@@ -1,0 +1,765 @@
+"""Query catalog: every implemented operator as a named query plus its
+DuckDB oracle SQL (the driver contract in ``__spark_entry__.py``).
+
+Each entry maps a SURVEY.md §2 row (or a north-star LLM-pipeline
+operator) to (a) a Spark callable ``(spark, sf_dir) -> DataFrame`` and
+(b) equivalent ANSI/DuckDB SQL, or ``None`` for genuinely
+non-SQL-expressible ops (iterative k-means, HLL sketches, seeded LSH)
+which get the driver's rows-only check + pytest invariants.
+
+Engine-portability rules used throughout (see functions/exprs.py):
+decimal-routed float sums, md5/sha2 content hashes, BIGINT for every
+computed integer, STRING for every emitted timestamp, unique ORDER BY
+tiebreakers, rounded similarity scores before ranking.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceimpl_spark.operators import dedup, kmeans, multimodal, relational
+from mapreduceimpl_spark.operators import similarity, text_analysis, udf_surface, wordcount
+from mapreduceimpl_spark.sources import load_table, load_tables
+
+# --- shared SQL fragments (mirror functions/exprs.py exactly) -------------
+
+
+def _dec_sum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS DOUBLE) AS {alias}"
+
+
+def _dec_avg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS DOUBLE) / COUNT({expr}) AS {alias}"
+    )
+
+
+# tokens / shingles (mirror tokens() and ngram_shingles())
+_TOKS = "string_split(text, ' ')"
+
+
+def _shingle_list(n: int) -> str:
+    """DuckDB list of md5-hashed token n-gram shingles of ``text``."""
+    return (
+        f"list_distinct(list_transform(range(0, len({_TOKS}) - {n - 1}), "
+        f"i -> md5(array_to_string({_TOKS}[i + 1 : i + {n}], ' '))))"
+    )
+
+
+# near-dup test corpus (mirror dedup.with_mutated_copies)
+_NEARDUP_CORPUS = """
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' extra suffix tokens' AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    bench: bool = False  # include in bench.py headline set
+    doc: str = ""
+
+
+def _rel(builder: Callable[[dict[str, DataFrame]], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return builder(load_tables(spark, sf_dir))
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# reference-parity queries
+# ---------------------------------------------------------------------------
+
+
+def _q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return wordcount.word_count(load_table(spark, sf_dir, "documents"))
+
+
+def _q_lang_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return wordcount.line_count(
+        load_table(spark, sf_dir, "documents").select("lang"), key_col="lang"
+    )
+
+
+def _q_udf_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return udf_surface.udf_wordcount(load_table(spark, sf_dir, "documents"))
+
+
+_WORDCOUNT_ORACLE = """
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline queries
+# ---------------------------------------------------------------------------
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact_normalized(load_table(spark, sf_dir, "documents"))
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup.with_mutated_copies(load_table(spark, sf_dir, "documents"))
+    return dedup.minhash_lsh_pairs(corpus)
+
+
+def _q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup.with_mutated_copies(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash_pairs(corpus)
+
+
+def _q_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup.with_mutated_copies(load_table(spark, sf_dir, "documents"))
+    return dedup.ngram_jaccard_pairs(corpus, min_jaccard=0.5)
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup.with_perturbed_vectors(load_table(spark, sf_dir, "embeddings"))
+    return dedup.embedding_neardup_pairs(corpus, min_cosine=0.9, round_digits=6)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, queries, k=5, round_digits=6)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(emb, queries, k=5)
+
+
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans.kmeans_assignments(load_table(spark, sf_dir, "embeddings"), k=10, max_iter=5)
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.fingerprint_winnow(load_table(spark, sf_dir, "documents"))
+
+
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.multimodal_meta(load_table(spark, sf_dir, "documents"))
+
+
+# --- generated oracle SQL for hash-based ops ------------------------------
+
+
+def _minhash_oracle(n_perms: int = dedup.MINHASH_PERMS, band_size: int = dedup.LSH_BAND_SIZE) -> str:
+    mins = ",\n    ".join(
+        f"min(md5('{i}#' || shingle)) AS mh_{i}" for i in range(n_perms)
+    )
+    n_bands = n_perms // band_size
+    bands = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_id, md5(concat_ws('|', {cols})) AS band_key FROM sig".format(
+            b=b,
+            cols=", ".join(f"mh_{b * band_size + r}" for r in range(band_size)),
+        )
+        for b in range(n_bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(n_perms)
+    )
+    return f"""
+WITH corpus AS ({_NEARDUP_CORPUS}),
+sh AS (
+  SELECT doc_id, unnest({_shingle_list(3)}) AS shingle
+  FROM corpus WHERE len({_TOKS}) >= 3
+),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+),
+band AS (
+{bands}
+),
+pair AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST({matches} AS DOUBLE) / {float(n_perms)} AS est_jaccard
+FROM pair
+JOIN sig sa ON pair.doc_a = sa.doc_id
+JOIN sig sb ON pair.doc_b = sb.doc_id
+"""
+
+
+def _simhash_oracle(bits: int = dedup.SIMHASH_BITS) -> str:
+    hexhi = "('8','9','a','b','c','d','e','f')"
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN substr(h, {i + 1}, 1) IN {hexhi} THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(bits)
+    )
+    terms = " + ".join(
+        f"CASE WHEN v_{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i in range(bits)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_shingle_list(3)}) AS shingle
+  FROM documents WHERE len({_TOKS}) >= 3
+),
+hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {terms} AS simhash FROM votes
+"""
+
+
+def _ngram_oracle(min_jaccard: float = 0.5) -> str:
+    return f"""
+WITH corpus AS ({_NEARDUP_CORPUS}),
+sh AS (
+  SELECT doc_id, unnest({_shingle_list(3)}) AS shingle
+  FROM corpus WHERE len({_TOKS}) >= 3
+),
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+  FROM inter
+  JOIN sz sa ON inter.doc_a = sa.doc_id
+  JOIN sz sb ON inter.doc_b = sb.doc_id
+)
+WHERE jaccard >= {min_jaccard}
+"""
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(text_analysis.LANG_MARKERS)
+    scores = ",\n    ".join(
+        "CAST(len(list_filter({toks}, t -> list_contains({lst}, t))) AS BIGINT) AS score_{lang}".format(
+            toks=_TOKS,
+            lst="[" + ", ".join(f"'{w}'" for w in text_analysis.LANG_MARKERS[lang]) + "]",
+            lang=lang,
+        )
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    whens = "\n         ".join(
+        f"WHEN score_{lang} = {best} AND {best} > 0 THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    {scores}
+  FROM documents
+)
+SELECT doc_id, lang, {best} AS best_score,
+       CASE {whens}
+         ELSE 'und' END AS pred_lang
+FROM scored
+"""
+
+
+def _multimodal_oracle() -> str:
+    # mirror multimodal._fake_decode: bytes 0..2 of sha256 digest from hex
+    def byte_expr(i: int) -> str:
+        c1 = f"substr(content_sha, {2 * i + 1}, 1)"
+        c2 = f"substr(content_sha, {2 * i + 2}, 1)"
+        nib = "(strpos('0123456789abcdef', {c}) - 1)"
+        return f"(16 * {nib.format(c=c1)} + {nib.format(c=c2)})"
+
+    return f"""
+WITH base AS (
+  SELECT doc_id AS asset_id,
+         CAST(strlen(text) AS BIGINT) AS n_bytes,
+         sha256(text) AS content_sha
+  FROM documents
+)
+SELECT asset_id, n_bytes, content_sha,
+       CAST(16 + {byte_expr(0)} % 240 AS BIGINT) AS width,
+       CAST(16 + {byte_expr(1)} % 240 AS BIGINT) AS height,
+       CASE {byte_expr(2)} % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# the catalog
+# ---------------------------------------------------------------------------
+
+SPECS: dict[str, QuerySpec] = {
+    # --- reference parity (SURVEY §2.1/2.4) ---
+    "wordcount": QuerySpec(
+        _q_wordcount, _WORDCOUNT_ORACLE, bench=True,
+        doc="flagship: the reference's line/word-frequency job (test.go:13-81)",
+    ),
+    "lang_count": QuerySpec(
+        _q_lang_count,
+        "SELECT lang AS key, COUNT(*) AS cnt FROM documents GROUP BY lang",
+        doc="line_count parity on a categorical column",
+    ),
+    "udf_wordcount": QuerySpec(
+        _q_udf_wordcount, _WORDCOUNT_ORACLE,
+        doc="wordcount via the mapInPandas/applyInPandas UDF surface (mp/worker.go:14-17)",
+    ),
+    # --- filters / projections ---
+    "filter_project": QuerySpec(
+        _rel(relational.q_filter_project),
+        """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
+                  l_extendedprice * (1 - l_discount) AS rev
+           FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05""",
+        bench=True,
+    ),
+    "scalar_case": QuerySpec(
+        _rel(relational.q_scalar_case),
+        """SELECT CASE WHEN o_totalprice < 1000 THEN 'small'
+                       WHEN o_totalprice < 10000 THEN 'medium'
+                       ELSE 'large' END AS bucket, COUNT(*) AS cnt
+           FROM orders GROUP BY 1""",
+    ),
+    # --- aggregations ---
+    "pricing_summary": QuerySpec(
+        _rel(relational.q_pricing_summary),
+        f"""SELECT l_returnflag, l_linestatus,
+                   {_dec_sum('l_quantity', 'sum_qty')},
+                   {_dec_sum('l_extendedprice', 'sum_base_price')},
+                   {_dec_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+                   {_dec_avg('l_quantity', 'avg_qty')},
+                   {_dec_avg('l_discount', 'avg_disc')},
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus""",
+        bench=True,
+        doc="TPC-H Q1 shape",
+    ),
+    "agg_multikey": QuerySpec(
+        _rel(relational.q_agg_multikey),
+        f"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                   MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+                   {_dec_sum('l_extendedprice', 'sum_price')}
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    ),
+    "agg_distinct": QuerySpec(
+        _rel(relational.q_agg_distinct),
+        """SELECT c_mktsegment, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+                  COUNT(*) AS n_orders
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment""",
+    ),
+    "distinct_op": QuerySpec(
+        _rel(relational.q_distinct),
+        "SELECT DISTINCT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer",
+    ),
+    "agg_rollup": QuerySpec(
+        _rel(relational.q_agg_rollup),
+        f"""SELECT r_name, n_name, COUNT(*) AS cnt, {_dec_sum('c_acctbal', 'sum_bal')}
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)""",
+    ),
+    "agg_cube": QuerySpec(
+        _rel(relational.q_agg_cube),
+        f"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, {_dec_sum('l_quantity', 'sum_qty')}
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    ),
+    "grouping_sets": QuerySpec(
+        _rel(relational.q_grouping_sets),
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+           FROM orders
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    ),
+    "agg_approx": QuerySpec(
+        _rel(relational.q_agg_approx), None,
+        doc="HLL approx_count_distinct — sketch values are engine-specific (rows-only check)",
+    ),
+    # --- joins ---
+    "join_inner": QuerySpec(
+        _rel(relational.q_join_inner),
+        """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE o_totalprice > 50000""",
+    ),
+    "join_left": QuerySpec(
+        _rel(relational.q_join_left),
+        """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey""",
+    ),
+    "join_semi": QuerySpec(
+        _rel(relational.q_join_semi),
+        """SELECT c_custkey, c_name FROM customer
+           WHERE EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_totalprice > 100000)""",
+    ),
+    "join_anti": QuerySpec(
+        _rel(relational.q_join_anti),
+        """SELECT c_custkey, c_name, c_mktsegment FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders
+                             WHERE o_custkey = c_custkey AND o_totalprice > 80000)""",
+    ),
+    "join_full": QuerySpec(
+        _rel(relational.q_join_full),
+        """SELECT CAST(COALESCE(c.k, s.k) AS BIGINT) AS nationkey,
+                  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+           FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+           FULL JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+             ON c.k = s.k""",
+    ),
+    "join_cross": QuerySpec(
+        _rel(relational.q_join_cross),
+        "SELECT r_name, n_name FROM region CROSS JOIN (SELECT n_name FROM nation) n",
+    ),
+    "join_broadcast": QuerySpec(
+        _rel(relational.q_join_broadcast),
+        f"""SELECT n_name, COUNT(*) AS n_cust, {_dec_sum('c_acctbal', 'sum_bal')}
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
+        bench=True,
+    ),
+    "join_theta": QuerySpec(
+        _rel(relational.q_join_theta),
+        f"""SELECT p_brand, COUNT(*) AS cnt,
+                   {_dec_sum('l_extendedprice * (1 - l_discount)', 'rev')}
+            FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+            GROUP BY p_brand""",
+    ),
+    "shipping_priority": QuerySpec(
+        _rel(relational.q_shipping_priority),
+        f"""SELECT o_orderkey, {_dec_sum('l_extendedprice * (1 - l_discount)', 'rev')}
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY rev DESC, o_orderkey ASC LIMIT 10""",
+        bench=True,
+        doc="TPC-H Q3 shape",
+    ),
+    "local_supplier_volume": QuerySpec(
+        _rel(relational.q_local_supplier_volume),
+        f"""SELECT n_name, {_dec_sum('l_extendedprice * (1 - l_discount)', 'rev')}
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name""",
+        bench=True,
+        doc="TPC-H Q5 shape",
+    ),
+    # --- windows ---
+    "window_rank": QuerySpec(
+        _rel(relational.q_window_rank),
+        """SELECT * FROM (
+             SELECT o_custkey, o_orderkey, o_totalprice,
+                    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+                    CAST(RANK() OVER w AS BIGINT) AS rnk
+             FROM orders
+             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+           ) WHERE rn <= 3""",
+        bench=True,
+    ),
+    "window_lag": QuerySpec(
+        _rel(relational.q_window_lag),
+        """SELECT user_id, event_id, value,
+                  LAG(value, 1) OVER w AS prev_value,
+                  value - COALESCE(LAG(value, 1) OVER w, 0.0) AS delta
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    ),
+    "window_running": QuerySpec(
+        _rel(relational.q_window_running),
+        """SELECT user_id, event_id,
+                  COUNT(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,
+                  COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS window3_n,
+                  CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    ),
+    # --- sorts / top-k ---
+    "sort_limit": QuerySpec(
+        _rel(relational.q_sort_limit),
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""",
+    ),
+    # --- set ops ---
+    "set_union": QuerySpec(
+        _rel(relational.q_set_union),
+        """SELECT o_orderstatus, COUNT(*) AS cnt FROM (
+             SELECT * FROM orders WHERE o_orderkey % 2 = 0
+             UNION ALL
+             SELECT * FROM orders WHERE o_orderkey % 2 = 1
+           ) GROUP BY o_orderstatus""",
+    ),
+    "set_intersect": QuerySpec(
+        _rel(relational.q_set_intersect),
+        """SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'""",
+    ),
+    "set_except": QuerySpec(
+        _rel(relational.q_set_except),
+        """SELECT o_custkey, COUNT(*) AS cnt FROM (
+             SELECT o_custkey FROM orders
+             EXCEPT ALL
+             SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+           ) GROUP BY o_custkey""",
+    ),
+    # --- scalar functions ---
+    "scalar_string": QuerySpec(
+        _rel(relational.q_scalar_string),
+        """SELECT p_partkey, UPPER(p_brand) AS brand_u, substr(p_name, 1, 8) AS name8,
+                  concat_ws('/', p_brand, p_type) AS brand_type,
+                  CAST(length(p_name) AS BIGINT) AS name_len,
+                  replace(p_type, ' ', '_') AS type_snake
+           FROM part""",
+    ),
+    "scalar_date": QuerySpec(
+        _rel(relational.q_scalar_date),
+        """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                  CAST(month(o_orderdate) AS BIGINT) AS mo, COUNT(*) AS cnt
+           FROM orders GROUP BY 1, 2""",
+    ),
+    "scalar_math": QuerySpec(
+        _rel(relational.q_scalar_math),
+        """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                  abs(l_quantity - 25.0) AS dev,
+                  CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS price_h,
+                  CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct,
+                  CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct,
+                  l_orderkey % 7 AS mod7,
+                  round(sqrt(l_quantity), 3) AS sqrt_qty
+           FROM lineitem""",
+    ),
+    "json_extract": QuerySpec(
+        _rel(relational.q_json_extract),
+        """SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+                  MIN(k) AS min_k, MAX(k) AS max_k
+           FROM (SELECT event_type, CAST(props ->> '$.k' AS BIGINT) AS k FROM events)
+           GROUP BY event_type""",
+    ),
+    # --- time / sessionization ---
+    "events_tumbling": QuerySpec(
+        _rel(relational.q_events_tumbling),
+        f"""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+                   COUNT(*) AS cnt, {_dec_sum('value', 'sum_value')}
+            FROM events GROUP BY 1, 2""",
+    ),
+    "events_sessionize": QuerySpec(
+        _rel(relational.q_events_sessionize),
+        """WITH flagged AS (
+             SELECT user_id, event_id, ts,
+                    CASE WHEN LAG(ts) OVER w IS NULL
+                              OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                         THEN 1 ELSE 0 END AS is_new
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           ),
+           sess AS (
+             SELECT user_id, event_id,
+                    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             FROM flagged
+           )
+           SELECT user_id, session_id, COUNT(*) AS n_events
+           FROM sess GROUP BY user_id, session_id""",
+        bench=True,
+    ),
+    "asof_join": QuerySpec(
+        _rel(relational.q_asof_join),
+        """SELECT c.event_id AS click_id, c.user_id AS user_id,
+                  CAST(MAX(v.ts) AS VARCHAR) AS matched_view_ts
+           FROM events c
+           LEFT JOIN events v
+             ON v.user_id = c.user_id AND v.event_type = 'view' AND v.ts <= c.ts
+           WHERE c.event_type = 'click'
+           GROUP BY c.event_id, c.user_id""",
+    ),
+    # --- LLM pipeline: dedup ---
+    "dedup_exact": QuerySpec(
+        _q_dedup_exact,
+        """SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+           FROM documents GROUP BY 1""",
+        bench=True,
+    ),
+    "dedup_exact_norm": QuerySpec(
+        _q_dedup_exact_norm,
+        r"""WITH k AS (
+             SELECT doc_id,
+                    sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_sha
+             FROM documents
+           )
+           SELECT doc_id, content_sha,
+                  (ROW_NUMBER() OVER (PARTITION BY content_sha ORDER BY doc_id)) = 1 AS is_canonical
+           FROM k""",
+    ),
+    "dedup_minhash_lsh": QuerySpec(
+        _q_minhash_pairs, _minhash_oracle(), bench=True,
+        doc="MinHash+LSH fuzzy dedup: banded signature join over shingles",
+    ),
+    "dedup_simhash_sigs": QuerySpec(
+        _q_simhash_sigs, _simhash_oracle(),
+        doc="32-bit SimHash signatures (portable md5-nibble bit votes)",
+    ),
+    "dedup_simhash_pairs": QuerySpec(
+        _q_simhash_pairs, None,
+        doc="SimHash near-dup pairs via 16-bit block join (rows-only check)",
+    ),
+    "dedup_ngram_jaccard": QuerySpec(
+        _q_ngram_pairs, _ngram_oracle(),
+        doc="exact n-gram Jaccard via shingle inverted index",
+    ),
+    "dedup_embedding": QuerySpec(
+        _q_embedding_neardup,
+        """WITH base AS (
+             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label
+             FROM embeddings
+           ),
+           e AS (
+             SELECT vec_id, v, label FROM base
+             UNION ALL
+             SELECT vec_id + 100000 AS vec_id,
+                    list_concat([v[1] + 0.5], v[2:]) AS v, label
+             FROM base WHERE vec_id % 10 = 0
+           )
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9""",
+    ),
+    # --- LLM pipeline: similarity search ---
+    "ann_topk": QuerySpec(
+        _q_ann_topk,
+        """WITH e AS (
+             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings
+           ),
+           q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+           scored AS (
+             SELECT query_id, vec_id,
+                    round(list_cosine_similarity(qv, v), 6) AS cosine
+             FROM q CROSS JOIN e
+           )
+           SELECT query_id, vec_id, cosine, rank FROM (
+             SELECT query_id, vec_id, cosine,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+             FROM scored
+           ) WHERE rank <= 5""",
+        bench=True,
+        doc="brute-force cosine top-k (exact ANN baseline)",
+    ),
+    "ann_lsh_topk": QuerySpec(
+        _q_ann_lsh, None,
+        doc="sign-LSH bucketed ANN (seeded hyperplanes; rows-only + recall pytest)",
+    ),
+    # --- LLM pipeline: clustering / text / multimodal ---
+    "kmeans_assign": QuerySpec(
+        _q_kmeans, None, doc="DataFrame-native Lloyd's (kmeans.go:14-25 completed); pytest invariants",
+    ),
+    "text_lang_id": QuerySpec(_q_lang_id, _lang_id_oracle()),
+    "text_quality": QuerySpec(
+        _q_quality,
+        f"""SELECT doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars2,
+                   CAST(length(text) - (len({_TOKS}) - 1) AS DOUBLE)
+                     / CAST(len({_TOKS}) AS DOUBLE) AS mean_tok_len,
+                   CAST(len(list_filter({_TOKS},
+                        t -> list_contains(['the','a','of','and','to','in','is','on'], t))) AS DOUBLE)
+                     / CAST(len({_TOKS}) AS DOUBLE) AS stopword_ratio,
+                   CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                     / CAST(len({_TOKS}) AS DOUBLE) AS diversity,
+                   (len({_TOKS}) >= 10 AND len(list_distinct({_TOKS})) >= 5) AS keep
+            FROM documents""",
+        bench=True,
+    ),
+    "text_token_stats": QuerySpec(
+        _q_token_stats,
+        f"""SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(SUM(est_subwords) AS BIGINT) AS total_subwords,
+                   MAX(n_tokens) AS max_tokens
+            FROM (SELECT lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                         CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_subwords
+                  FROM documents)
+            GROUP BY lang""",
+    ),
+    "text_fingerprint": QuerySpec(
+        _q_fingerprint,
+        f"""WITH t AS (
+              SELECT doc_id,
+                     list_transform(range(0, len({_TOKS}) - 4),
+                                    i -> md5(array_to_string({_TOKS}[i + 1 : i + 5], ' '))) AS hs
+              FROM documents WHERE len({_TOKS}) >= 5
+            ),
+            s AS (
+              SELECT doc_id, unnest(hs) AS h,
+                     unnest(range(0, len(hs))) AS pos
+              FROM t
+            )
+            SELECT DISTINCT doc_id, fingerprint FROM (
+              SELECT doc_id, pos,
+                     MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fingerprint
+              FROM s
+            ) WHERE pos >= 3""",
+        doc="winnowing fingerprints (Schleimer et al. SIGMOD'03)",
+    ),
+    "multimodal_meta": QuerySpec(
+        _q_multimodal, _multimodal_oracle(),
+        doc="binary-payload metadata extraction via mapInPandas (decode stubbed)",
+    ),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in SPECS.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in SPECS.items() if spec.oracle is not None}
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in SPECS.items() if spec.bench}

@@ -1,0 +1,383 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five dedup families over ``documents`` (and ``embeddings`` for vector
+near-dup), all expressed as declarative DataFrame pipelines that scale
+by partitioning on content-derived keys — no driver-side state, no
+pairwise O(n^2) work except inside LSH candidate buckets.
+
+Portability: content hashing uses md5/sha2 (engine-independent) rather
+than Spark-private xxhash64, so every deterministic stage is
+oracle-checkable in DuckDB.  At 100 TB the same choice makes signatures
+stable across engine versions/restarts — a re-run dedups against
+yesterday's signatures byte-for-byte.
+
+Scale notes per operator are in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduceimpl_spark.functions import cosine_similarity, md5_token_hash, tokens
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col: F.Column) -> F.Column:
+    """Canonical form for exact dedup: lower, trim, collapse whitespace."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: keep the lowest-id document per sha256(text).
+
+    Scale: one hash-shuffle on a 64-hex-char key (uniform, unskewable);
+    map-side partial ``min`` makes the shuffle tiny regardless of dup
+    rate.  This is the reference's groupBy-count dataflow
+    (``test.go:13-81``) with ``min`` instead of ``count``.
+    """
+    return (
+        docs.select(F.sha2(F.col(text_col), 256).alias("content_sha"), F.col(id_col))
+        .groupBy("content_sha")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def dedup_exact_normalized(docs: DataFrame) -> DataFrame:
+    """Exact dedup on normalized text, ranking form: every doc labeled
+    keep/drop via ROW_NUMBER inside its content group."""
+    from pyspark.sql import Window
+
+    key = F.sha2(normalize_text(F.col("text")), 256)
+    w = Window.partitionBy("content_sha").orderBy("doc_id")
+    return (
+        docs.select("doc_id", key.alias("content_sha"))
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "content_sha",
+            (F.col("rn") == 1).alias("is_canonical"),
+        )
+    )
+
+
+def with_mutated_copies(
+    docs: DataFrame, every: int = 10, id_offset: int = 100_000, suffix: str = " extra suffix tokens"
+) -> DataFrame:
+    """Test corpus for near-dup operators: append a lightly-mutated copy
+    of every ``every``-th document (same text + a short suffix), so
+    fuzzy dedup has true near-duplicates to find.  Deterministic and
+    SQL-mirrorable (the oracle builds the same union)."""
+    dup = docs.filter((F.col("doc_id") % every) == 0).select(
+        (F.col("doc_id") + id_offset).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(suffix)).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(dup)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+# 16 permutations in 4 bands of 4 rows: P(candidate) = 1-(1-j^4)^4,
+# ~0.5 crossover at jaccard ~0.7 — a standard near-dup operating point.
+MINHASH_PERMS = 16
+LSH_BAND_SIZE = 4
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_perms: int = MINHASH_PERMS,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document MinHash signature over token n-gram shingles.
+
+    Shingling (not unigram tokens) is load-bearing: real corpora — and
+    this fixture — share a small vocabulary, so unigram sets are near
+    identical across unrelated docs; 3-token shingles are distinctive.
+    Permutation *i* is simulated by the lexicographic MIN of
+    ``md5('<i>#' || shingle)`` over the doc's distinct shingles —
+    fully JVM-side and engine-portable (md5 hex order == unsigned
+    big-endian numeric order).
+
+    Scale: explode(shingles) → groupBy(doc) with map-side partial MIN;
+    one shuffle keyed by doc id.  Signature width is n_perms * 32 hex
+    chars; 50 B docs x 16 perms is ~25 TB of signatures — itself a
+    dataset, which is why bands (below) aggregate to one short key per
+    (doc, band) before any join.
+    """
+    sh = ngram_shingles(docs, n=shingle_n, id_col=id_col, text_col=text_col)
+    mins = [F.min(md5_token_hash(F.col("shingle"), i)).alias(f"mh_{i}") for i in range(n_perms)]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def lsh_bands(signatures: DataFrame, n_perms: int = MINHASH_PERMS, band_size: int = LSH_BAND_SIZE) -> DataFrame:
+    """Fold a signature into (doc_id, band_id, band_key) rows; band_key =
+    md5 of the band's concatenated minhashes (constant-width join key)."""
+    n_bands = n_perms // band_size
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh_{b * band_size + r}") for r in range(band_size)])
+            ).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    return signatures.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_perms: int = MINHASH_PERMS,
+    band_size: int = LSH_BAND_SIZE,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: documents sharing >= 1 LSH band,
+    with MinHash-estimated Jaccard.
+
+    Pipeline: signatures → bands → self-equi-join on (band_id,
+    band_key) → distinct pairs → estimated jaccard = matching
+    signature positions / n_perms.
+
+    Scale: the join key is (band_id, md5) — uniformly distributed, so
+    the self-join shuffles evenly; hot buckets (boilerplate docs) are
+    the one skew risk, handled by AQE skew-join splitting.  Work is
+    O(sum of bucket^2), not O(n^2).
+    """
+    sigs = minhash_signatures(docs, n_perms).cache()
+    bands = lsh_bands(sigs, n_perms, band_size)
+    left = bands.alias("a")
+    right = bands.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
+        for i in range(n_perms)
+    )
+    return (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / F.lit(float(n_perms))).alias("est_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_signatures(
+    docs: DataFrame, shingle_n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash per document over token n-gram shingles.
+
+    Bit *i* of a shingle's hash = high bit of hex nibble *i* of
+    ``md5(shingle)`` (i.e. nibble >= 8).  The document bit is the
+    majority vote over distinct shingles; ties (sum == 0) resolve to 0.
+    (Shingles, not unigrams, for the same distinctiveness reason as
+    ``minhash_signatures``.)
+
+    Scale: explode + groupBy(doc) with 32 map-side partial SUMs — one
+    shuffle, signature is a single BIGINT.  Near-dup candidates then
+    block on bit-bands of the signature (see ``simhash_pairs``).
+    """
+    tok = ngram_shingles(docs, n=shingle_n, id_col=id_col, text_col=text_col).withColumn(
+        "h", F.md5("shingle")
+    )
+    # nibble i high bit → +1 / -1 vote
+    votes = [
+        F.sum(
+            F.when(F.substring("h", i + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    bit_terms = [
+        F.when(F.col(f"v_{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(SIMHASH_BITS)
+    ]
+    simhash = bit_terms[0]
+    for term in bit_terms[1:]:
+        simhash = simhash + term
+    return agg.select(F.col(id_col), simhash.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit halves (a pair within
+    hamming distance <= 3 of a 32-bit hash shares at least one half by
+    pigeonhole when distance <= 1 per half... conservatively we block on
+    both halves and verify with bit_count(xor)).
+
+    Scale: two equi-joins on 16-bit keys instead of O(n^2); verify is a
+    single BIGINT xor+popcount.
+    """
+    sigs = simhash_signatures(docs).cache()
+    lo = sigs.select("doc_id", "simhash", (F.col("simhash") % 65536).alias("blk"))
+    hi = sigs.select(
+        "doc_id", "simhash", (F.floor(F.col("simhash") / 65536)).alias("blk")
+    )
+    blocked = lo.unionByName(hi)
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct token n-gram shingles per doc: (doc_id, shingle_md5).
+
+    Built from ``transform`` over token indexes — no UDF, no explode
+    before the shingle step.
+    """
+    toks = tokens(text_col)
+    k = F.size(toks) - (n - 1)
+    shingles = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    )
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+
+    intersection(a,b) = count of shared shingles (equi-join on shingle);
+    union = |a| + |b| - intersection.  Only pairs sharing >= 1 shingle
+    are ever materialized — work is O(sum over shingles of df^2), the
+    standard inverted-index bound, not O(n^2).
+
+    Scale: a stop-shingle guard (drop shingles appearing in > ~1e4
+    docs) caps hot-key blowup at web scale; not needed at fixture
+    scale so df cap is left to the caller.
+    """
+    sh = ngram_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def with_perturbed_vectors(
+    embeddings: DataFrame, every: int = 10, id_offset: int = 100_000, delta: float = 0.5
+) -> DataFrame:
+    """Test corpus for vector near-dup: add a copy of every ``every``-th
+    vector with ``delta`` added to dimension 0 (cosine stays high but
+    < 1).  Deterministic IEEE double ops — SQL-mirrorable exactly."""
+    base = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label")
+    dup = base.filter((F.col("vec_id") % every) == 0).select(
+        (F.col("vec_id") + id_offset).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + delta),
+            F.slice("embedding", 2, 100_000),
+        ).alias("embedding"),
+        "label",
+    )
+    return base.unionByName(dup)
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    min_cosine: float = 0.95,
+    block_col: str = "label",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Vector near-duplicate pairs: cosine >= threshold, blocked.
+
+    Blocking on ``block_col`` (here the coarse label; in production an
+    LSH/IVF bucket id from ``similarity.lsh_bucket``) turns O(n^2) into
+    O(sum of block^2).  The cosine itself is a JVM-side fold — no UDF.
+    """
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), F.col(block_col).alias("blk")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    sim = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

@@ -1,0 +1,105 @@
+"""DataFrame-native k-means (Lloyd's algorithm).
+
+Completes what the reference only sketches in comments
+(``kmeans.go:14-25``: split input, locally cluster per mapper, merge
+per coordinate range in reducers — stubs ``KnnMap``/``KnnReduce`` at
+``kmeans.go:5-12`` are empty).  The Spark-first formulation is the
+textbook distributed Lloyd's:
+
+  assign:  broadcast k centroids; each vector picks argmin distance
+           (narrow map stage, no shuffle)
+  update:  groupBy(cluster) -> per-dimension mean (one shuffle of k
+           partial sums per partition — map-side combined)
+
+Only the k centroid rows ever reach the driver (k * dim doubles per
+iteration), so the loop is cluster-scale: 100 TB of vectors moves
+through narrow stages + a k-row aggregate per iteration.
+
+Determinism: init = first k vectors by vec_id (stable), squared-L2
+distance with fixed fold order, argmin ties broken by lowest cluster
+id.  Not SQL-expressible as one query (iterative) → driver rows-only
+check + pytest invariants (assignment optimality, centroid = mean).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(v: F.Column, c: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Add ``cluster`` = argmin_c ||v - centroid_c||^2 (ties -> lowest c)."""
+    dists = [
+        _sq_dist(F.col("v"), F.array(*[F.lit(float(x)) for x in c])).alias(f"d_{i}")
+        for i, c in enumerate(centroids)
+    ]
+    with_d = vectors.select("*", *dists)
+    best = F.least(*[F.col(f"d_{i}") for i in range(len(centroids))])
+    cluster = F.lit(len(centroids) - 1)
+    for i in reversed(range(len(centroids))):
+        cluster = F.when(F.col(f"d_{i}") == best, F.lit(i)).otherwise(cluster)
+    return with_d.select(
+        *vectors.columns, cluster.cast("long").alias("cluster"), best.alias("sq_dist")
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 10,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-6,
+) -> tuple[list[list[float]], DataFrame]:
+    """Run Lloyd's; return (centroids, assignments DataFrame).
+
+    Assignments: (vec_id, cluster, sq_dist).
+    """
+    vectors = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).cache()
+
+    # deterministic init: the k lowest-id vectors
+    init_rows = vectors.orderBy("vec_id").limit(k).collect()
+    centroids = [list(r["v"]) for r in init_rows]
+
+    for _ in range(max_iter):
+        assigned = _assign(vectors, centroids)
+        # update: per-(cluster, dimension) partial sums — map-side
+        # combined, so the shuffle carries k*dim rows per partition and
+        # only k*dim rows reach the driver (640 doubles at k=10,d=64).
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        )
+        rows = sums.collect()
+        new_centroids = [list(c) for c in centroids]
+        for r in rows:
+            c = int(r["cluster"])
+            new_centroids[c][int(r["pos"])] = float(r["s"]) / float(r["n"])
+        shift = max(
+            sum((a - b) ** 2 for a, b in zip(old, new))
+            for old, new in zip(centroids, new_centroids)
+        )
+        centroids = new_centroids
+        if shift < tol:
+            break
+
+    assignments = _assign(vectors, centroids).select("vec_id", "cluster", "sq_dist")
+    return centroids, assignments
+
+
+def kmeans_assignments(embeddings: DataFrame, k: int = 10, max_iter: int = 5) -> DataFrame:
+    """Convenience: fit then return (vec_id, cluster) — the driver-facing
+    rows-only query."""
+    _, assignments = kmeans_fit(embeddings, k=k, max_iter=max_iter)
+    return assignments.select("vec_id", "cluster")

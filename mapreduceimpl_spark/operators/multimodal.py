@@ -1,0 +1,90 @@
+"""Multimodal column operators: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: the payload is an opaque
+``BINARY`` column riding alongside typed metadata; decode / feature
+extraction / resize / frame-sampling run as Arrow-batched pandas
+functions over ``mapInPandas`` so each task streams batches without
+materializing a partition.
+
+The decode step itself is STUBBED (no codec libraries in this
+environment): ``decode_image_stub`` derives deterministic fake
+metadata from the payload bytes and raises ``NotImplementedError``
+when ``strict=True`` — the Spark-side plumbing (schema, batching,
+partition flow) is real and tested; swap ``_fake_decode`` for
+PIL/ffmpeg in production.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Schema of a decoded-asset metadata record.
+DECODE_SCHEMA = (
+    "asset_id long, n_bytes long, content_sha string, width long, height long, format string"
+)
+
+
+def to_binary_assets(docs: DataFrame) -> DataFrame:
+    """Fixture adapter: treat document text bytes as an opaque payload
+    (the fixtures ship no real media; the column type and flow are what
+    matters)."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic stand-in for an image decoder: width/height/format
+    derived from the payload digest.  STUB — replace with a real codec."""
+    digest = hashlib.sha256(payload).digest()
+    width = 16 + digest[0] % 240
+    height = 16 + digest[1] % 240
+    fmt = ("png", "jpeg", "webp")[digest[2] % 3]
+    return width, height, fmt
+
+
+def decode_image_stub(assets: DataFrame, strict: bool = False) -> DataFrame:
+    """Decode/feature-extract pass over binary assets via mapInPandas.
+
+    ``strict=True`` raises NotImplementedError (no codec libs here) —
+    the honest production marker.  Default runs the deterministic fake
+    so the pipeline shape is executable and testable.
+    """
+    if strict:
+        raise NotImplementedError(
+            "real image decode requires codec libraries not present in this "
+            "environment; the Spark plumbing below is the production shape"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "content_sha": [
+                        hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]
+                    ],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "format": [m[2] for m in meta],
+                }
+            )
+
+    return assets.mapInPandas(decode, schema=DECODE_SCHEMA)
+
+
+def multimodal_meta(docs: DataFrame) -> DataFrame:
+    """End-to-end: docs -> binary assets -> decoded metadata summary.
+
+    n_bytes/content_sha are real (and DuckDB-checkable); width/height/
+    format come from the stub decoder (deterministic but fake).
+    """
+    return decode_image_stub(to_binary_assets(docs))

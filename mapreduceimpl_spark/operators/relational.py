@@ -1,0 +1,509 @@
+"""Relational operator suite over the fixture star schema.
+
+The reference has NO relational surface beyond hash-grouped count
+(SURVEY.md §2.2-2.8: filters, projections, joins, windows, sorts, set
+ops are all `absent`); this module supplies it Spark-first.  Each
+function is a declarative DataFrame plan: Catalyst handles predicate
+pushdown, column pruning, join strategy (broadcast for the small dims),
+and AQE handles skew/coalescing at runtime.
+
+Determinism rules (oracle + 100 TB correctness):
+- double sums go through DECIMAL (``dec_sum``) → partition-order-free;
+- every top-k / ranking ORDER BY carries a unique tiebreaker key;
+- computed integers are cast to BIGINT, timestamps to STRING/DATE at
+  the output edge so results are engine-portable.
+
+Each ``q_*`` takes a dict of table-name → DataFrame (from
+``sources.load_tables``) so the same plan runs on any storage binding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from mapreduceimpl_spark.functions import dec_avg, dec_sum, revenue
+
+# ---------------------------------------------------------------------------
+# filters / projections  (SURVEY §2.2 P2-P3)
+# ---------------------------------------------------------------------------
+
+
+def q_filter_project(t: dict[str, DataFrame]) -> DataFrame:
+    """Filter + computed projection; predicate and columns reach the scan."""
+    li = t["lineitem"]
+    return (
+        li.filter((F.col("l_quantity") > 45) & (F.col("l_discount") >= 0.05))
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            "l_quantity",
+            revenue().alias("rev"),
+        )
+    )
+
+
+def q_scalar_case(t: dict[str, DataFrame]) -> DataFrame:
+    """CASE-WHEN bucketing + aggregation."""
+    o = t["orders"]
+    bucket = (
+        F.when(F.col("o_totalprice") < 1000, "small")
+        .when(F.col("o_totalprice") < 10000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregations  (SURVEY §2.4 A3/A5/A6)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q1 shape: multi-aggregate GROUP BY with partial aggregation.
+
+    The reference's flagship count (``test.go:13-81``) generalized to
+    sums/avgs; decimal-routed so the result is shuffle-order-free.
+    """
+    li = t["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum(revenue()).alias("sum_disc_price"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_agg_multikey(t: dict[str, DataFrame]) -> DataFrame:
+    li = t["lineitem"]
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        dec_sum("l_extendedprice").alias("sum_price"),
+    )
+
+
+def q_agg_distinct(t: dict[str, DataFrame]) -> DataFrame:
+    o, c = t["orders"], t["customer"]
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_distinct(t: dict[str, DataFrame]) -> DataFrame:
+    c = t["customer"]
+    return c.select("c_mktsegment", F.col("c_nationkey").cast("long").alias("c_nationkey")).distinct()
+
+
+def q_agg_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """ROLLUP over the region→nation hierarchy (broadcast dim joins)."""
+    c, n, r = t["customer"], t["nation"], t["region"]
+    joined = c.join(broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("cnt"),
+        dec_sum("c_acctbal").alias("sum_bal"),
+    )
+
+
+def q_agg_cube(t: dict[str, DataFrame]) -> DataFrame:
+    li = t["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        dec_sum("l_quantity").alias("sum_qty"),
+    )
+
+
+def q_grouping_sets(t: dict[str, DataFrame]) -> DataFrame:
+    """GROUPING SETS via the SQL surface (Spark SQL == engine API too)."""
+    t["orders"].createOrReplaceTempView("_gs_orders")
+    spark = t["orders"].sparkSession
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_agg_approx(t: dict[str, DataFrame]) -> DataFrame:
+    """HLL approximate distinct — no exact oracle (driver rows-only check)."""
+    li = t["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins  (SURVEY §2.3 — all absent in the reference)
+# ---------------------------------------------------------------------------
+
+
+def q_join_inner(t: dict[str, DataFrame]) -> DataFrame:
+    o, c = t["orders"], t["customer"]
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .filter(F.col("o_totalprice") > 50000)
+        .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+    )
+
+
+def q_join_left(t: dict[str, DataFrame]) -> DataFrame:
+    """Left outer + per-customer order count (0 for order-less customers)."""
+    o, c = t["orders"], t["customer"]
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def q_join_semi(t: dict[str, DataFrame]) -> DataFrame:
+    o, c = t["orders"], t["customer"]
+    big = o.filter(F.col("o_totalprice") > 100000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_join_anti(t: dict[str, DataFrame]) -> DataFrame:
+    """Customers with no high-value order (anti join against a filtered
+    build side — every customer has *some* order in the fixture)."""
+    o, c = t["orders"], t["customer"]
+    big = o.filter(F.col("o_totalprice") > 80000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_join_full(t: dict[str, DataFrame]) -> DataFrame:
+    """Full outer join of per-nation customer vs supplier counts."""
+    c = t["customer"].groupBy("c_nationkey").agg(F.count("*").alias("n_cust"))
+    s = t["supplier"].groupBy("s_nationkey").agg(F.count("*").alias("n_supp"))
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .select(
+            F.coalesce(c.c_nationkey, s.s_nationkey).cast("long").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+def q_join_cross(t: dict[str, DataFrame]) -> DataFrame:
+    """Cartesian product of the two smallest dims (bounded: 5 x 25)."""
+    r, n = t["region"], t["nation"]
+    return r.crossJoin(n.select("n_name")).select("r_name", "n_name")
+
+
+def q_join_broadcast(t: dict[str, DataFrame]) -> DataFrame:
+    """Explicit broadcast hint: dim tables never shuffle the fact side."""
+    c, n = t["customer"], t["nation"]
+    return (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_cust"), dec_sum("c_acctbal").alias("sum_bal"))
+    )
+
+
+def q_join_theta(t: dict[str, DataFrame]) -> DataFrame:
+    """Mixed equi+theta join: equi key prunes, theta predicate filters."""
+    li, p = t["lineitem"], t["part"]
+    return (
+        li.join(broadcast(p), (li.l_partkey == p.p_partkey) & (li.l_quantity > p.p_size))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"), dec_sum(revenue()).alias("rev"))
+    )
+
+
+def q_shipping_priority(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, agg, deterministic top-10."""
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"]
+    li = t["lineitem"]
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(dec_sum(revenue()).alias("rev"))
+        .orderBy(F.desc("rev"), F.asc("o_orderkey"))  # unique tiebreaker
+        .limit(10)
+    )
+
+
+def q_local_supplier_volume(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join; dims broadcast, facts shuffle once."""
+    c, o, li = t["customer"], t["orders"], t["lineitem"]
+    s, n, r = t["supplier"], t["nation"], t["region"]
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dec_sum(revenue()).alias("rev"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# windows  (SURVEY §2.5 — absent in the reference)
+# ---------------------------------------------------------------------------
+
+
+def q_window_rank(t: dict[str, DataFrame]) -> DataFrame:
+    """Top-3 orders per customer: rank + row_number with unique tiebreak."""
+    o = t["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def q_window_lag(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-user event deltas via LAG (unique tiebreak on event_id)."""
+    e = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        (F.col("value") - F.coalesce(F.lag("value", 1).over(w), F.lit(0.0))).alias("delta"),
+    )
+
+
+def q_window_running(t: dict[str, DataFrame]) -> DataFrame:
+    """Running count + moving 3-row count frame per user.
+
+    Counts (not float sums) keep the frame aggregation engine-portable.
+    """
+    e = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("running_n"),
+        F.count("*").over(w.rowsBetween(-2, 0)).alias("window3_n"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sorts / limits / top-k  (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+def q_sort_limit(t: dict[str, DataFrame]) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject (no full sort)."""
+    o = t["orders"]
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations  (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_set_union(t: dict[str, DataFrame]) -> DataFrame:
+    """Union-of-shards parity (``test.go:53-65``): split, union, re-agg."""
+    o = t["orders"]
+    lo = o.filter(F.col("o_orderkey") % 2 == 0)
+    hi = o.filter(F.col("o_orderkey") % 2 == 1)
+    return (
+        lo.unionByName(hi)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_set_intersect(t: dict[str, DataFrame]) -> DataFrame:
+    """Customers that are both big spenders and recent purchasers."""
+    o = t["orders"]
+    big = o.filter(F.col("o_totalprice") > 50000).select("o_custkey")
+    recent = o.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")).select("o_custkey")
+    return big.intersect(recent)
+
+
+def q_set_except(t: dict[str, DataFrame]) -> DataFrame:
+    o = t["orders"]
+    any_cust = o.select("o_custkey")
+    big = o.filter(F.col("o_totalprice") > 50000).select("o_custkey")
+    return any_cust.exceptAll(big).groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# scalar functions  (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+def q_scalar_string(t: dict[str, DataFrame]) -> DataFrame:
+    p = t["part"]
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+def q_scalar_date(t: dict[str, DataFrame]) -> DataFrame:
+    o = t["orders"]
+    return (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .groupBy("yr", "mo")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_scalar_math(t: dict[str, DataFrame]) -> DataFrame:
+    li = t["lineitem"]
+    # round() is demoed on an irrational value (sqrt) — money-like
+    # values hit exact decimal halfway points where Spark (HALF_UP) and
+    # other engines (round-half-even/away) legitimately differ.
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.abs(F.col("l_quantity") - 25.0).alias("dev"),
+        F.floor(F.col("l_extendedprice") / 100.0).cast("long").alias("price_h"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        F.ceil(F.col("l_tax") * 100).cast("long").alias("tax_pct"),
+        (F.col("l_orderkey") % 7).cast("long").alias("mod7"),
+        F.round(F.sqrt("l_quantity"), 3).alias("sqrt_qty"),
+    )
+
+
+def q_json_extract(t: dict[str, DataFrame]) -> DataFrame:
+    """JSON prop extraction from ``events.props`` (``{"k": int}``)."""
+    e = t["events"]
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# time / sessionization (batch analogues of the streaming operators)
+# ---------------------------------------------------------------------------
+
+
+def q_events_tumbling(t: dict[str, DataFrame]) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation (batch form of §2.10)."""
+    e = t["events"]
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").cast("string").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"), dec_sum("value").alias("sum_value"))
+    )
+
+
+def q_events_sessionize(t: dict[str, DataFrame]) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via window cumsum —
+    the classic streaming session-window computed in batch."""
+    e = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # fractional epoch seconds (cast, not unix_timestamp: that floors to
+    # whole seconds and the fixture has microsecond components)
+    ts_sec = F.col("ts").cast("double")
+    gap = ts_sec - F.lag(ts_sec, 1).over(w)
+    with_new = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("is_new"),
+    )
+    with_sess = with_new.select(
+        "user_id",
+        "event_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+def q_asof_join(t: dict[str, DataFrame]) -> DataFrame:
+    """As-of join: each 'click' event matched to the latest prior-or-equal
+    'view' event of the same user.
+
+    Spark lacks a native ASOF JOIN; the idiomatic composition is a
+    range join + per-left-row MAX(right.ts), then a window to pick the
+    match — two shuffles on user_id, both AQE-coalesced.  (DuckDB has
+    native ``ASOF JOIN``, used as the oracle.)
+    """
+    e = t["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    joined = clicks.join(
+        views,
+        (clicks.user_id == views.v_user_id) & (views.view_ts <= clicks.click_ts),
+        "left",
+    )
+    w = Window.partitionBy("click_id").orderBy(
+        F.desc("view_ts"), F.desc("view_event_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "click_id",
+            "user_id",
+            F.col("view_ts").cast("string").alias("matched_view_ts"),
+        )
+    )

@@ -1,0 +1,140 @@
+"""Similarity search over embedding vectors (ARRAY<FLOAT> columns).
+
+Two tiers, mirroring a production ANN stack:
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  Broadcast the (small) query set against the full corpus; one narrow
+  map stage + per-query TakeOrdered.  At 100 TB the corpus side stays
+  partitioned and never shuffles; only (n_queries x k) rows move.
+- ``lsh_bucket`` / ``lsh_topk``: random-hyperplane (sign) LSH — the
+  scale path.  Vectors land in 2^n_planes buckets; queries probe only
+  their own bucket, cutting scanned rows by ~2^n_planes at some
+  recall cost (measured in tests against brute force).
+
+Hyperplanes are generated from a seeded NumPy RNG on the driver (a few
+KiB) and broadcast as literal arrays — deterministic, no data-dependent
+state.  All math is the JVM-side fold from ``functions.exprs`` — no
+Python UDF in any hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduceimpl_spark.functions import cosine_similarity, dot
+
+
+def _as_double(col: str | F.Column) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    ``queries``: (query_id, embedding).  Result: (query_id, vec_id,
+    cosine, rank) with rank 1..k, deterministic tie-break on vec_id.
+    ``round_digits`` rounds the similarity before ranking so the order
+    is reproducible across engines with different float fold order.
+    """
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = F.broadcast(q).crossJoin(corpus).select(
+        "query_id",
+        "vec_id",
+        sim.alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach a sign-LSH bucket id (0..2^n_planes-1) to each vector.
+
+    bucket = sum over planes of (dot(v, plane_i) > 0) << i — all
+    JVM-side; the plane matrix is a broadcast literal.
+    """
+    planes = random_hyperplanes(n_planes, dim, seed)
+    v = _as_double(vec_col)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane_lit = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(dot(v, plane_lit) > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return embeddings.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket.
+
+    Scale: corpus is bucketed once (writable as a bucketed table for
+    reuse); each query joins to ~corpus/2^n_planes rows.  Recall vs
+    brute force is a measured test invariant, not a promise.
+    """
+    corpus = lsh_bucket(
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        n_planes,
+        dim,
+        seed,
+    ).select("vec_id", _as_double("embedding").alias("cv"), "bucket")
+    q = lsh_bucket(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("embedding")),
+        n_planes,
+        dim,
+        seed,
+    ).select("query_id", _as_double("embedding").alias("qv"), "bucket")
+    scored = F.broadcast(q).join(corpus, "bucket").select(
+        "query_id",
+        "vec_id",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1,0 +1,131 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+All metrics are JVM-side Catalyst expressions over the ``documents``
+table (no Python in the hot path), chosen to be engine-portable so the
+DuckDB oracle checks them bit-for-bit.  At 100 TB each of these is a
+single narrow map stage fused into the scan by whole-stage codegen —
+zero shuffles except where a groupBy is semantically required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduceimpl_spark.functions import tokens
+
+# Tiny per-language function-word lists for the n-gram/stopword
+# heuristic language scorer. Deterministic and vocabulary-driven —
+# real pipelines swap in fastText/CLD3; the operator shape (score per
+# language -> argmax with stable tie-break) is the same.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "y"),
+    "fr": ("le", "la", "les", "et"),
+    "zh": ("de", "le", "shi", "he"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+
+def _count_marker(tok_col: F.Column, words: tuple[str, ...]) -> F.Column:
+    return F.size(F.filter(tok_col, lambda t: t.isin(*words))).cast("long")
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: marker-word hit counts per language,
+    argmax with deterministic tie-break (higher count, then language
+    name ascending); 'und' (undetermined) when no marker hits."""
+    toks = tokens("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            _count_marker(toks, words).alias(f"score_{lang}")
+            for lang, words in sorted(LANG_MARKERS.items())
+        ],
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # iterate in reverse-alphabetical so earlier names win equal scores
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id", "lang", best.alias("best_score"), pred.alias("pred_lang")
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Per-document quality metrics for corpus filtering.
+
+    n_tokens, mean token length, stopword ratio, vocabulary diversity
+    (distinct/total tokens), and a composite keep-flag.  All ratios are
+    single double divisions of exact integers — deterministic.
+    """
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars2"),
+        ((n_chars - (n_tok - 1)).cast("double") / n_tok.cast("double")).alias("mean_tok_len"),
+        (n_stop.cast("double") / n_tok.cast("double")).alias("stopword_ratio"),
+        (n_distinct.cast("double") / n_tok.cast("double")).alias("diversity"),
+        ((n_tok >= 10) & (n_distinct >= 5)).alias("keep"),
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + a subword estimate
+    (ceil(chars/4), the classic BPE rule-of-thumb) per doc and corpus
+    totals by language."""
+    toks = tokens("text")
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est_subwords"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("est_subwords").alias("total_subwords"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+def fingerprint_winnow(docs: DataFrame, k: int = 5, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03).
+
+    k-token shingles → portable md5 "rolling" hash → per-doc sliding
+    MIN over `window` consecutive shingle hashes → distinct selected
+    hashes = the fingerprint set.  Output: (doc_id, fingerprint) rows.
+
+    Scale: explode is linear in corpus token count; the sliding MIN is
+    a bounded-frame window partitioned by doc — no cross-doc shuffle
+    beyond the doc-id partition.
+    """
+    toks = tokens("text")
+    n_sh = F.size(toks) - (k - 1)
+    shingle_arr = F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    )
+    sh = (
+        docs.filter(F.size(toks) >= k)
+        .select("doc_id", F.posexplode(shingle_arr).alias("pos", "h"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(window - 1), 0)
+    return (
+        sh.select("doc_id", F.min("h").over(w).alias("fingerprint"), "pos")
+        .filter(F.col("pos") >= window - 1)
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )

@@ -1,0 +1,105 @@
+"""The reference's user-programming surface, re-expressed on Spark.
+
+The reference's entire query API is two user functions
+(``mp/worker.go:14-17``):
+
+  MapperInterface: one input file -> R partitioned intermediate files
+  ReduceInterface: all shards of one partition -> final output
+
+Spark-first equivalents (SURVEY.md §2.9 U1-U3):
+
+- ``map_partitions``   = MapperInterface minus the hand-rolled
+  partitioning/IO: the user writes "iterator of pandas batches in,
+  iterator of batches out"; Spark owns splits, shuffle, and fault
+  tolerance.  Arrow-vectorized via ``mapInPandas``.
+- ``group_reduce``     = ReduceInterface: the user sees one FULL group
+  as a pandas DataFrame (exactly "all shards of partition Cur merged",
+  ``test.go:53-65``) via ``applyInPandas``.
+- ``grouped_agg_udaf`` = the UDAF surface the reference lacks (U7):
+  a pandas Series -> scalar aggregate usable inside ``agg``.
+
+These are the *escape hatch* — the engine's guidance (and the rest of
+this codebase) prefers built-in columnar expressions, which are
+10-100x faster.  The word-count pair below exists as the parity demo
+proving the surface can express the reference's flagship job.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DataType
+
+
+def map_partitions(
+    df: DataFrame,
+    fn: Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]],
+    schema: DataType | str,
+) -> DataFrame:
+    """Mapper surface (U1): per-partition batch transform, Arrow-backed."""
+    return df.mapInPandas(fn, schema=schema)
+
+
+def group_reduce(
+    df: DataFrame,
+    keys: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: DataType | str,
+) -> DataFrame:
+    """Reducer surface (U2): ``fn`` receives one complete group as a
+    pandas DataFrame — the exact contract of ``TestReduce``
+    (``test.go:44-71``) with shuffle/merge handled by Spark."""
+    return df.groupBy(*keys).applyInPandas(fn, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# parity demo: the reference's word count on the UDF surface (U5)
+# ---------------------------------------------------------------------------
+
+
+def _wc_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Mapper UDF: lines -> (token, partial count) per batch.
+
+    Mirrors ``TestMap`` (``test.go:13-42``): tokenize + local
+    pre-aggregation (the map-side combine at ``test.go:22-25``).
+    """
+    for pdf in batches:
+        toks = pdf["text"].str.split(" ").explode()
+        counts = toks.value_counts()
+        yield pd.DataFrame({"token": counts.index.astype(str), "cnt": counts.to_numpy()})
+
+
+def _wc_reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Reducer UDF: merge partial counts of one token group
+    (``TestReduce``, ``test.go:51-65``)."""
+    return pd.DataFrame({"token": [pdf["token"].iloc[0]], "cnt": [int(pdf["cnt"].sum())]})
+
+
+def udf_wordcount(docs: DataFrame) -> DataFrame:
+    """Word count expressed purely through the user-function surface:
+    map_partitions (partial counts) -> shuffle -> group_reduce (merge).
+
+    Same result as ``operators.wordcount.word_count``; exists to prove
+    U1/U2 parity.  ~10x slower than the columnar plan — documented, and
+    exactly why the engine treats UDFs as the slow path.
+    """
+    partial = map_partitions(
+        docs.select("text"), _wc_map, "token string, cnt long"
+    )
+    return group_reduce(partial, ["token"], _wc_reduce, "token string, cnt long")
+
+
+def grouped_agg_udaf(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    fn: Callable[[pd.Series], float],
+    alias: str = "udaf_value",
+) -> DataFrame:
+    """UDAF surface (U7): pandas Series -> scalar, map-side combinable by
+    Spark only per-group (Arrow grouped-agg pandas UDF)."""
+    udaf = F.pandas_udf(fn, "double")
+    return df.groupBy(*keys).agg(udaf(F.col(value_col)).alias(alias))

@@ -1,0 +1,15 @@
+from mapreduceimpl_spark.plans.introspect import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    explain_str,
+    scan_read_schema,
+)
+
+__all__ = [
+    "assert_broadcast_join",
+    "assert_no_cartesian",
+    "assert_pushed_filters",
+    "explain_str",
+    "scan_read_schema",
+]

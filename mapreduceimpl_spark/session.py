@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for the engine's scale posture.
+
+The reference hand-rolls its runtime (master/worker RPC scheduling,
+``mp/master.go:94-110``); on Spark all of that is the engine's job.
+What we *do* own is configuration: adaptive execution, sane shuffle
+parallelism, Arrow for the (rare) pandas-UDF paths.
+
+Scale posture (100 TB): every knob here is a per-job default that a
+real cluster deployment would keep — AQE coalesces the shuffle
+partition count at runtime so one setting works from sf0.001 to
+100 TB; skew-join handling splits hot keys; broadcast threshold keeps
+dimension-table joins shuffle-free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle parallelism default for local test runs. On a real cluster this
+# is overridden (2-3x total cores); AQE coalescing makes the exact value
+# non-critical because post-shuffle partitions are merged to target size.
+_DEFAULT_LOCAL_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(app_name: str = "mapreduceimpl-spark") -> SparkSession:
+    """Return (creating if needed) the engine's SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local core count (driver contract).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # --- adaptive execution: re-plan at runtime from real stats ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle ---
+        .config("spark.sql.shuffle.partitions", _DEFAULT_LOCAL_SHUFFLE_PARTITIONS)
+        # --- broadcast joins for dimension tables (region/nation/...) ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- Arrow: vectorized transfer for pandas-UDF escape hatches ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- parquet scan: keep splits memory-friendly ---
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # --- deterministic session timezone for timestamp semantics ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # parquet TIMESTAMP(NANOS) (events.ts) is rejected by default;
+        # read as long and convert in sources.registry (micro precision,
+        # matching DuckDB's ns->us read of the same file)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,83 @@
+"""Table registry for the fixture star schema + LLM-pipeline tables.
+
+The reference's "source registration" is a deduplicated file-name list
+handed to the master (``mp/master.go:205-226``); its only scan is a
+line-oriented text scan (``test.go:16-25``).  Here sources are columnar
+parquet scans with real schemas — predicate pushdown and column pruning
+reach the reader for free — and the registry doubles as the SQL catalog
+(``register_views`` creates temp views so ``spark.sql`` works on every
+table).
+
+Scale posture: at 100 TB these would be partitioned/bucketed external
+tables; the registry keeps path handling in one place so swapping
+``/root/testdata/sf0.1`` for ``s3://.../warehouse`` is a one-line change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Every table the driver pre-registers for the DuckDB oracle.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables a planner should broadcast in star joins.
+DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one fixture table (reference parity: S1/S7).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as BIGINT nanos
+    and is converted here to a microsecond TimestampType — the same
+    value DuckDB sees reading the same file.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql``."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_text_lines(spark: SparkSession, *paths: str) -> DataFrame:
+    """Line-oriented text scan — the reference's native source.
+
+    ``spark.read.text`` yields ``DataFrame[value: string]``, one row per
+    line, matching the reference's ``bufio.Scanner`` loop
+    (``test.go:16-25``) with multi-path registration
+    (``mp/master.go:205-226``) built in.
+    """
+    return spark.read.text(list(paths))
