@@ -112,16 +112,17 @@ def fingerprint_winnow(docs: DataFrame, k: int = 5, window: int = 4) -> DataFram
     a bounded-frame window partitioned by doc — no cross-doc shuffle
     beyond the doc-id partition.
     """
-    toks = tokens("text")
-    n_sh = F.size(toks) - (k - 1)
+    # token array via its own projection — inlining split() into the
+    # lambda would recompute it per index (see dedup.ngram_shingles)
+    pre = docs.select("doc_id", tokens("text").alias("__toks")).filter(
+        F.size("__toks") >= k
+    )
+    n_sh = F.size(F.col("__toks")) - (k - 1)
     shingle_arr = F.transform(
         F.sequence(F.lit(0), n_sh - 1),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k))),
     )
-    sh = (
-        docs.filter(F.size(toks) >= k)
-        .select("doc_id", F.posexplode(shingle_arr).alias("pos", "h"))
-    )
+    sh = pre.select("doc_id", F.posexplode(shingle_arr).alias("pos", "h"))
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(window - 1), 0)
     return (
         sh.select("doc_id", F.min("h").over(w).alias("fingerprint"), "pos")
