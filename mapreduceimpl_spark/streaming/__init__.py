@@ -1,0 +1,17 @@
+from mapreduceimpl_spark.streaming.ops import (
+    read_events_stream,
+    session_counts,
+    sliding_counts,
+    stream_dedup,
+    stream_running_totals,
+    tumbling_counts,
+)
+
+__all__ = [
+    "read_events_stream",
+    "session_counts",
+    "sliding_counts",
+    "stream_dedup",
+    "stream_running_totals",
+    "tumbling_counts",
+]

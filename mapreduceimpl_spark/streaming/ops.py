@@ -1,0 +1,198 @@
+"""Structured Streaming operators over the ``events`` table shape.
+
+The reference is batch-only (SURVEY.md §2.10: input is a fixed file
+list, job ends at ``reduceCnt == R``, ``mp/master.go:196-199``).  This
+module supplies the streaming surface Spark-first: file-source streams,
+event-time windows with watermarks for late data, streaming dedup, and
+an ``applyInPandasWithState`` custom stateful operator.
+
+Every transformation here works on *unbounded* input: state is bounded
+by watermarks (Spark drops window/dedup state older than the watermark)
+so a 100 TB/day stream runs with O(active windows) memory per key
+range, not O(history).
+
+All operators take the streaming DataFrame as input and return a
+streaming DataFrame — sinks/triggers are the caller's choice
+(``writeStream`` to kafka/parquet/memory).  The batch analogues used
+by the correctness oracle live in ``operators.relational``
+(``q_events_tumbling``, ``q_events_sessionize``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# events schema as a *stream source* schema: ts read as BIGINT nanos
+# (parquet TIMESTAMP(NANOS) under nanosAsLong) and converted below.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream of events parquet (micro-batched per file).
+
+    In production this is ``spark.readStream.format("kafka")``; the
+    file source has identical semantics for every operator below.
+    """
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data handling.
+
+    Watermark bounds state: windows older than max(event time) -
+    ``watermark`` are finalized and dropped.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding windows: each event lands in window/slide buckets."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (gap-based), the streaming form of
+    ``relational.q_events_sessionize``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state:
+    duplicates arriving within the watermark horizon are dropped,
+    state for older ids is reclaimed (dropDuplicatesWithinWatermark)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def stream_running_totals(events: DataFrame, timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful operator: per-user running event count + value
+    total, maintained across micro-batches via applyInPandasWithState
+    (the streaming analogue of the reference's reducer-side state,
+    ``test.go:51-65``, but incremental and unbounded).
+
+    ``timeout_ms`` (production): evict state after that much
+    processing-time inactivity so idle users cost nothing — the 100 TB
+    posture for keyed state.  Default None = NoTimeout: with timeouts
+    armed, every empty micro-batch fires + re-arms timers, so a
+    drain-the-source test (``processAllAvailable``) would never become
+    idle.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: Any, pdfs: Any, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = pdf["ts"].max()
+            last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+        state.update((n, total))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -1,0 +1,114 @@
+"""Dedup operator invariants (beyond the DuckDB oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduceimpl_spark.operators import dedup
+
+
+def test_exact_dedup_idempotent(docs):
+    """Dedup of an already-deduped corpus keeps every row."""
+    first = dedup.dedup_exact(docs)
+    assert first.count() == docs.select("text").distinct().count()
+    kept = docs.join(
+        first.select(F.col("keep_id").alias("doc_id")), "doc_id", "inner"
+    )
+    second = dedup.dedup_exact(kept)
+    assert second.count() == kept.count()
+    assert second.agg(F.max("n_copies")).collect()[0][0] == 1
+
+
+def test_exact_dedup_finds_planted_duplicates(docs):
+    """Exact copies (identical text) collapse to one keeper."""
+    clone = docs.limit(20).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    corpus = docs.unionByName(clone)
+    result = dedup.dedup_exact(corpus)
+    dups = result.filter(F.col("n_copies") == 2)
+    assert dups.count() == 20
+    # keeper is always the original (lower id)
+    assert dups.agg(F.max("keep_id")).collect()[0][0] < 500_000
+
+
+def test_minhash_recall_on_mutated_corpus(docs):
+    """Every planted near-dup (original, original+suffix) must surface
+    as a candidate pair with high estimated Jaccard."""
+    corpus = dedup.with_mutated_copies(docs, every=10)
+    n_planted = docs.filter(F.col("doc_id") % 10 == 0).count()
+    pairs = dedup.minhash_lsh_pairs(corpus).collect()
+    planted_found = {
+        (r["doc_a"], r["doc_b"])
+        for r in pairs
+        if r["doc_b"] == r["doc_a"] + 100_000
+    }
+    recall = len(planted_found) / n_planted
+    assert recall >= 0.9, f"minhash recall {recall} over {n_planted} planted pairs"
+    for r in pairs:
+        if r["doc_b"] == r["doc_a"] + 100_000:
+            assert r["est_jaccard"] >= 0.5
+
+
+def test_simhash_exact_copy_distance_zero(docs):
+    """An exact copy has the identical simhash (hamming 0)."""
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 500_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+        )
+    )
+    pairs = dedup.simhash_pairs(corpus, max_hamming=0)
+    exact = {
+        (r["doc_a"], r["doc_b"]) for r in pairs.collect() if r["doc_b"] == r["doc_a"] + 500_000
+    }
+    assert len(exact) == 20
+
+
+def test_ngram_jaccard_self_similarity(docs):
+    """jaccard(doc, exact copy) == 1.0 via the inverted index."""
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 500_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+        )
+    )
+    pairs = dedup.ngram_jaccard_pairs(corpus, min_jaccard=0.99)
+    perfect = [r for r in pairs.collect() if r["doc_b"] == r["doc_a"] + 500_000]
+    assert len(perfect) == 10
+    assert all(abs(r["jaccard"] - 1.0) < 1e-12 for r in perfect)
+
+
+def test_embedding_neardup_finds_perturbed(embeddings):
+    """Exactly the perturbed-copy pairs whose true cosine clears the
+    threshold are returned — verified against a NumPy recomputation —
+    and no unrelated pair sneaks in."""
+    import numpy as np
+
+    corpus = dedup.with_perturbed_vectors(embeddings, every=10)
+    pairs = dedup.embedding_neardup_pairs(corpus, min_cosine=0.9).collect()
+
+    base = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in embeddings.collect()
+    }
+    expected = 0
+    for vid, v in base.items():
+        if vid % 10 != 0:
+            continue
+        w = v.copy()
+        w[0] += 0.5
+        cos = float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w)))
+        if round(cos, 6) >= 0.9:
+            expected += 1
+    planted = [r for r in pairs if r["vec_b"] == r["vec_a"] + 100_000]
+    assert len(planted) == expected > 0
+    # blocking + threshold: every returned pair is a planted one
+    assert len(pairs) == len(planted)
+    assert all(r["cosine"] >= 0.9 for r in pairs)
+
+
+def test_normalize_text_canonicalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello   World "), (2, "hello world")], ["doc_id", "text"]
+    )
+    out = df.select(dedup.normalize_text(F.col("text")).alias("t")).collect()
+    assert out[0]["t"] == out[1]["t"] == "hello world"

@@ -1,0 +1,66 @@
+"""k-means invariants (not DuckDB-expressible; SURVEY §5.2 layer 3)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mapreduceimpl_spark.operators.kmeans import _assign, kmeans_fit
+
+
+def test_kmeans_basic_invariants(embeddings):
+    k = 5
+    centroids, assignments = kmeans_fit(embeddings, k=k, max_iter=4)
+    rows = assignments.collect()
+    assert len(rows) == embeddings.count()
+    clusters = {r["cluster"] for r in rows}
+    assert clusters <= set(range(k))
+    assert len(centroids) == k
+    assert all(len(c) == 64 for c in centroids)
+
+
+def test_assignment_is_nearest_centroid(embeddings):
+    """Every point's assigned cluster minimizes squared distance over
+    the returned centroids (Lloyd's invariant after the final assign)."""
+    k = 4
+    centroids, assignments = kmeans_fit(embeddings, k=k, max_iter=3)
+    sample = (
+        embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .join(assignments, "vec_id")
+        .limit(50)
+        .collect()
+    )
+    for row in sample:
+        dists = [
+            sum((a - b) ** 2 for a, b in zip(row["v"], c)) for c in centroids
+        ]
+        best = min(range(k), key=lambda i: (dists[i], i))
+        assert math.isclose(dists[row["cluster"]], dists[best], rel_tol=1e-9)
+
+
+def test_centroid_is_cluster_mean(embeddings):
+    """At convergence, each centroid equals the mean of its assigned
+    vectors (update-step invariant; holds only once assignments stop
+    changing, hence the generous max_iter)."""
+    k = 3
+    centroids, _ = kmeans_fit(embeddings, k=k, max_iter=50)
+    vectors = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned = _assign(vectors, centroids)
+    sums = (
+        assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in sums:
+        mean = r["s"] / r["n"]
+        assert math.isclose(mean, centroids[r["cluster"]][r["pos"]], rel_tol=1e-4, abs_tol=1e-6)
+
+
+def test_kmeans_deterministic(embeddings):
+    c1, _ = kmeans_fit(embeddings, k=3, max_iter=2)
+    c2, _ = kmeans_fit(embeddings, k=3, max_iter=2)
+    assert c1 == c2

@@ -1,0 +1,109 @@
+"""Physical-plan regression tests: the 100 TB posture, made checkable.
+
+These assert *how* Catalyst executes the operators, not just what
+they return: filters reach the parquet scan, scans are column-pruned,
+dimension joins broadcast, nothing degenerates to a cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduceimpl_spark.operators import relational
+from mapreduceimpl_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    scan_read_schema,
+)
+
+
+def test_filter_pushdown_reaches_scan(tables):
+    df = relational.q_filter_project(tables)
+    assert_pushed_filters(df, "GreaterThan(l_quantity,45.0)")
+
+
+def test_column_pruning(tables):
+    """A 4-column projection must not read the other 7 lineitem cols."""
+    df = relational.q_filter_project(tables)
+    cols = set(scan_read_schema(df))
+    assert "l_comment" not in cols
+    assert cols <= {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    }
+
+
+def test_dim_joins_broadcast(tables):
+    """Star joins broadcast the dims — the fact side never shuffles
+    for the join itself."""
+    assert_broadcast_join(relational.q_join_broadcast(tables), expect=1)
+    assert_broadcast_join(relational.q_local_supplier_volume(tables), expect=3)
+
+
+def test_no_cartesian_in_star_join(tables):
+    assert_no_cartesian(relational.q_local_supplier_volume(tables))
+
+
+def test_wordcount_partial_aggregation(docs):
+    """The plan must contain the partial/final HashAggregate pair —
+    the reference's map-side combine (test.go:22-25) done by Catalyst."""
+    from mapreduceimpl_spark.operators.wordcount import word_count
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(word_count(docs))
+    assert "partial_count" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_is_take_ordered(tables):
+    """orderBy().limit() must plan TakeOrderedAndProject, not a full
+    global sort."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(relational.q_sort_limit(tables), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_events_ts_is_timestamp(tables):
+    assert dict(tables["events"].dtypes)["ts"] == "timestamp"
+
+
+def test_scan_prunes_partitions_on_projection(tables):
+    """Reading one column of part reads exactly one column."""
+    df = tables["part"].select("p_brand")
+    assert scan_read_schema(df) == ["p_brand"]
+
+
+def test_broadcast_threshold_configured(spark):
+    assert int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold")) >= 10 * 1024 * 1024
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_filter_project_stays_in_codegen(tables):
+    """The scan->filter->project pipeline fuses into a whole-stage
+    codegen span (no Python/row boundary in the hot path).  In simple
+    explain mode codegen stages render as '*(n)' prefixes."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(relational.q_filter_project(tables), "simple")
+    assert "*(1)" in plan
+
+
+def test_ann_corpus_side_not_shuffled(embeddings):
+    """brute_force_topk broadcasts the query side; the corpus scan
+    must not appear under an Exchange before the join."""
+    from mapreduceimpl_spark.operators.similarity import brute_force_topk
+
+    queries = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = brute_force_topk(embeddings, queries, k=3)
+    assert_broadcast_join(df, expect=1)

@@ -1,0 +1,66 @@
+"""Similarity-search invariants: exactness of brute force, recall of
+LSH, determinism of bucketing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduceimpl_spark.operators import similarity
+
+
+def _queries(embeddings, n=5):
+    return embeddings.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_self_is_nearest(embeddings):
+    """Each query vector's rank-1 neighbor is itself (cosine 1)."""
+    topk = similarity.brute_force_topk(embeddings, _queries(embeddings), k=3)
+    r1 = {r["query_id"]: r for r in topk.filter(F.col("rank") == 1).collect()}
+    for qid, row in r1.items():
+        assert row["vec_id"] == qid
+        assert abs(row["cosine"] - 1.0) < 1e-9
+
+
+def test_topk_exactly_k_and_sorted(embeddings):
+    topk = similarity.brute_force_topk(embeddings, _queries(embeddings), k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in topk:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        assert len(rows) == 5
+        rows.sort(key=lambda r: r["rank"])
+        sims = [r["cosine"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_bucket_deterministic(embeddings):
+    b1 = similarity.lsh_bucket(embeddings, n_planes=6, seed=7).select("vec_id", "bucket")
+    b2 = similarity.lsh_bucket(embeddings, n_planes=6, seed=7).select("vec_id", "bucket")
+    assert b1.exceptAll(b2).count() == 0
+
+
+def test_lsh_recall_vs_brute_force(embeddings):
+    """Bucketed ANN must recover a reasonable fraction of the true
+    top-k (same-bucket probing only; measured, not promised)."""
+    q = _queries(embeddings, n=10)
+    exact = similarity.brute_force_topk(embeddings, q, k=5).collect()
+    approx = similarity.lsh_topk(embeddings, q, k=5, n_planes=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[qid] & approx_sets.get(qid, set())) / len(exact_sets[qid])
+        for qid in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3
+
+
+def test_cosine_symmetric_range(embeddings):
+    topk = similarity.brute_force_topk(embeddings, _queries(embeddings), k=50)
+    mm = topk.agg(F.min("cosine"), F.max("cosine")).collect()[0]
+    assert -1.0 - 1e-9 <= mm[0] and mm[1] <= 1.0 + 1e-9

@@ -1,0 +1,96 @@
+"""Structured Streaming operators: stream == batch on the same data,
+watermarked dedup, custom stateful running totals.
+
+File-source streams over a temp copy of the events parquet; memory
+sink + processAllAvailable for determinism.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduceimpl_spark import streaming
+from mapreduceimpl_spark.sources import load_table, table_path
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(table_path(SF, "events"), d / "part-000.parquet")
+    return str(d)
+
+
+def _run_stream(df, mode="append"):
+    name = "t" + uuid.uuid4().hex[:12]
+    q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try:
+        q.processAllAvailable()
+        return df.sparkSession.table(name).collect()
+    finally:
+        q.stop()
+
+
+def test_stream_source_schema(spark, events_dir):
+    stream = streaming.read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
+def test_tumbling_counts_match_batch(spark, events_dir):
+    stream = streaming.read_events_stream(spark, events_dir)
+    got = _run_stream(streaming.tumbling_counts(stream), mode="append")
+    # append mode emits only watermark-closed windows; with a single
+    # batch the final windows stay open, so compare the emitted subset
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    batch_map = {(r["w"]["start"], r["event_type"]): r["cnt"] for r in batch}
+    assert len(got) > 0
+    for r in got:
+        assert batch_map[(r["window_start"], r["event_type"])] == r["cnt"]
+
+
+def test_session_counts_run(spark, events_dir):
+    stream = streaming.read_events_stream(spark, events_dir)
+    got = _run_stream(streaming.session_counts(stream), mode="append")
+    assert all(r["n_events"] >= 1 for r in got)
+    assert len(got) > 0
+
+
+def test_stream_dedup_drops_duplicates(spark, events_dir, tmp_path):
+    # duplicate the file -> every event arrives twice
+    dup_dir = tmp_path / "dup"
+    dup_dir.mkdir()
+    shutil.copy(f"{events_dir}/part-000.parquet", dup_dir / "a.parquet")
+    shutil.copy(f"{events_dir}/part-000.parquet", dup_dir / "b.parquet")
+    stream = streaming.read_events_stream(spark, str(dup_dir), max_files_per_trigger=2)
+    got = _run_stream(streaming.stream_dedup(stream), mode="append")
+    n_unique = load_table(spark, SF, "events").select("event_id").distinct().count()
+    assert len(got) == n_unique
+
+
+def test_stream_running_totals(spark, events_dir):
+    stream = streaming.read_events_stream(spark, events_dir)
+    got = _run_stream(streaming.stream_running_totals(stream), mode="update")
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    )
+    batch_map = {r["user_id"]: r for r in batch}
+    # last update per user must equal the batch totals
+    latest = {r["user_id"]: r for r in got}
+    assert len(latest) == len(batch_map)
+    for uid, r in latest.items():
+        assert r["n_events"] == batch_map[uid]["n"]
+        assert abs(r["total_value"] - batch_map[uid]["tv"]) < 1e-6

@@ -1,0 +1,66 @@
+"""UDF-surface parity: the two-function API (mp/worker.go:14-17)
+expressed on mapInPandas/applyInPandas must agree with the columnar
+plans."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mapreduceimpl_spark.operators import udf_surface, wordcount
+
+
+def test_udf_wordcount_matches_columnar(docs):
+    """U1+U2 wordcount == built-in groupBy().count() exactly."""
+    via_udf = udf_surface.udf_wordcount(docs)
+    via_columnar = wordcount.word_count(docs)
+    assert via_udf.exceptAll(via_columnar).count() == 0
+    assert via_columnar.exceptAll(via_udf).count() == 0
+
+
+def test_map_partitions_generic(docs):
+    """Arbitrary per-partition transform: char count per doc."""
+
+    def fn(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n": pdf["text"].str.len()}
+            )
+
+    out = udf_surface.map_partitions(
+        docs.select("doc_id", "text"), fn, "doc_id long, n long"
+    )
+    joined = out.join(docs, "doc_id")
+    mismatches = joined.filter(F.col("n") != F.length("text")).count()
+    assert mismatches == 0
+
+
+def test_group_reduce_sees_full_group(tables):
+    """The reducer UDF receives the complete group (all shards merged),
+    like TestReduce (test.go:53-65): per-group row count == group size."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_orderstatus": [pdf["o_orderstatus"].iloc[0]], "n": [len(pdf)]}
+        )
+
+    out = udf_surface.group_reduce(
+        tables["orders"], ["o_orderstatus"], fn, "o_orderstatus string, n long"
+    )
+    expected = tables["orders"].groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    assert out.exceptAll(expected).count() == 0
+
+
+def test_grouped_agg_udaf(tables):
+    def mean_fn(s: pd.Series) -> float:
+        return float(s.mean())
+
+    out = udf_surface.grouped_agg_udaf(
+        tables["orders"], ["o_orderstatus"], "o_totalprice", mean_fn, "m"
+    )
+    expected = tables["orders"].groupBy("o_orderstatus").agg(
+        F.avg("o_totalprice").alias("m")
+    )
+    pairs = {r["o_orderstatus"]: r["m"] for r in out.collect()}
+    for r in expected.collect():
+        assert abs(pairs[r["o_orderstatus"]] - r["m"]) < 1e-6
