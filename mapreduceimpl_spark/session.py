@@ -54,5 +54,12 @@ def get_spark(app_name: str = "mapreduceimpl-spark") -> SparkSession:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # managed-table warehouse (bucketed tables); static conf, so it
+        # must be set here — production deployments point this at the
+        # real warehouse path
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/mapreduceimpl-warehouse"),
+        )
     )
     return builder.getOrCreate()
