@@ -39,6 +39,12 @@ DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# (applicationId, sf_dir, table) -> DataFrame.  DataFrames are immutable
+# lazy plans, so reuse is safe; keying by applicationId drops entries of
+# stopped sessions.  Saves re-reading parquet footers when a harness
+# runs dozens of catalog queries against the same tables.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -54,11 +60,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    if name == "events":
+        # dynamic session conf — set defensively so the loader also
+        # works under a SparkSession not built by get_spark()
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
         )
+    _TABLE_CACHE[key] = df
     return df
 
 
@@ -70,6 +85,31 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for ``spark.sql``."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV source (SURVEY §2.1 S7).  Always pass an explicit schema in
+    production — inference reads the data twice and guesses types."""
+    reader = spark.read.option("header", header).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON-lines source (SURVEY §2.1 S7); explicit schema preferred."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
 
 
 def read_text_lines(spark: SparkSession, *paths: str) -> DataFrame:

@@ -1,0 +1,53 @@
+"""Source registry: formats, schema handling, nanos timestamps, cache."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduceimpl_spark.sources import load_table, read_text_lines
+from mapreduceimpl_spark.sources.registry import _TABLE_CACHE, read_csv, read_json
+
+
+def test_unknown_table_rejected(spark):
+    with pytest.raises(KeyError, match="unknown table"):
+        load_table(spark, "/root/testdata/sf0.001", "nope")
+
+
+def test_events_nanos_to_timestamp(spark):
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert dict(e.dtypes)["ts"] == "timestamp"
+    yr = e.select(F.min(F.year("ts")).alias("y")).collect()[0]["y"]
+    assert 2000 <= yr <= 2100
+
+
+def test_table_cache_hit(spark):
+    a = load_table(spark, "/root/testdata/sf0.001", "region")
+    b = load_table(spark, "/root/testdata/sf0.001", "region")
+    assert a is b
+    key = (spark.sparkContext.applicationId, "/root/testdata/sf0.001", "region")
+    assert key in _TABLE_CACHE
+
+
+def test_read_text_lines_multipath(spark, tmp_path):
+    p1, p2 = tmp_path / "a.txt", tmp_path / "b.txt"
+    p1.write_text("x\ny\n")
+    p2.write_text("z\n")
+    df = read_text_lines(spark, str(p1), str(p2))
+    assert df.columns == ["value"]
+    assert df.count() == 3
+
+
+def test_read_csv_with_schema(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("id,name\n1,alpha\n2,beta\n")
+    df = read_csv(spark, str(p), schema="id long, name string")
+    assert df.dtypes == [("id", "bigint"), ("name", "string")]
+    assert df.count() == 2
+
+
+def test_read_json_lines(spark, tmp_path):
+    p = tmp_path / "t.jsonl"
+    p.write_text('{"id": 1, "v": 2.5}\n{"id": 2, "v": 3.5}\n')
+    df = read_json(spark, str(p), schema="id long, v double")
+    assert df.agg(F.sum("v")).collect()[0][0] == 6.0
