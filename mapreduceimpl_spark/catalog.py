@@ -578,6 +578,77 @@ SPECS: dict[str, QuerySpec] = {
            FROM (SELECT event_type, CAST(props ->> '$.k' AS BIGINT) AS k FROM events)
            GROUP BY event_type""",
     ),
+    # --- subqueries / arrays / dates / stats / pivot / sampling ---
+    "subquery_corr": QuerySpec(
+        _rel(relational.q_subquery_corr),
+        """SELECT o_orderkey, o_custkey, o_totalprice
+           FROM orders o
+           WHERE o_totalprice > 1.5 * (
+             SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)
+             FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+           )""",
+        doc="correlated scalar subquery (decorrelated by Catalyst)",
+    ),
+    "array_agg": QuerySpec(
+        _rel(relational.q_array_agg),
+        """SELECT o_custkey,
+                  array_to_string(list(CAST(year(o_orderdate) AS BIGINT)
+                                       ORDER BY CAST(year(o_orderdate) AS BIGINT)), ',') AS yrs,
+                  COUNT(*) AS n_orders
+           FROM orders GROUP BY o_custkey""",
+    ),
+    "date_arith": QuerySpec(
+        _rel(relational.q_date_arith),
+        """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                  CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS ship_delay_days,
+                  CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS promise_date
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+    ),
+    "percentile": QuerySpec(
+        _rel(relational.q_percentile),
+        """SELECT l_returnflag,
+                  quantile_cont(l_quantity, 0.25) AS p25,
+                  quantile_cont(l_quantity, 0.5) AS p50,
+                  quantile_cont(l_quantity, 0.75) AS p75,
+                  COUNT(*) AS n
+           FROM lineitem GROUP BY l_returnflag""",
+    ),
+    "stats_stddev": QuerySpec(
+        _rel(relational.q_stats),
+        """SELECT l_linestatus,
+                  round(stddev_samp(l_discount), 6) AS sd_disc,
+                  round(var_samp(l_discount), 6) AS var_disc,
+                  round(stddev_samp(l_tax), 6) AS sd_tax,
+                  COUNT(*) AS n
+           FROM lineitem GROUP BY l_linestatus""",
+    ),
+    "pivot": QuerySpec(
+        _rel(relational.q_pivot),
+        """SELECT o_orderpriority,
+                  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+                  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+                  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+           FROM orders GROUP BY o_orderpriority""",
+    ),
+    "sample_hash": QuerySpec(
+        _rel(relational.q_sample_hash),
+        """SELECT doc_id, lang, source FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'""",
+        doc="reproducible hash-based sampling (rerun-stable, engine-portable)",
+    ),
+    "events_sliding": QuerySpec(
+        _rel(relational.q_events_sliding),
+        """WITH slotted AS (
+             SELECT event_type, unnest(range(slot - 3, slot + 1)) AS start_slot
+             FROM (SELECT event_type,
+                          CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot
+                   FROM events)
+           )
+           SELECT CAST(make_timestamp(start_slot * 900 * 1000000) AS VARCHAR) AS window_start,
+                  event_type, COUNT(*) AS cnt
+           FROM slotted GROUP BY 1, 2""",
+        doc="batch sliding windows via epoch-grid explode",
+    ),
     # --- time / sessionization ---
     "events_tumbling": QuerySpec(
         _rel(relational.q_events_tumbling),

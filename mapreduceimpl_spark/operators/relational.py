@@ -470,6 +470,115 @@ def q_events_sessionize(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def q_subquery_corr(t: dict[str, DataFrame]) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates to a join):
+    orders 50% above their customer's decimal-exact average."""
+    t["orders"].createOrReplaceTempView("_sq_orders")
+    spark = t["orders"].sparkSession
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM _sq_orders o
+        WHERE o_totalprice > 1.5 * (
+          SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)
+          FROM _sq_orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+def q_array_agg(t: dict[str, DataFrame]) -> DataFrame:
+    """Array aggregation with deterministic ordering, emitted as a
+    string (engine-portable rendering of ARRAY values)."""
+    o = t["orders"]
+    return (
+        o.select("o_custkey", F.year("o_orderdate").cast("long").alias("yr"))
+        .groupBy("o_custkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("yr"))).alias("yrs"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_date_arith(t: dict[str, DataFrame]) -> DataFrame:
+    """Date arithmetic: ship delay in days + a +30d promise date."""
+    li, o = t["lineitem"], t["orders"]
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            F.datediff("l_shipdate", "o_orderdate").cast("long").alias("ship_delay_days"),
+            F.date_add(F.col("o_orderdate"), 30).cast("string").alias("promise_date"),
+        )
+    )
+
+
+def q_percentile(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact interpolated percentiles (SortAggregate path).  l_quantity
+    is integer-valued, so the interpolation points are binary-exact."""
+    li = t["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Sample stddev/variance (rounded: parallel vs single-pass moment
+    accumulation differs at ~1e-16 relative — far below 6 decimals)."""
+    li = t["lineitem"]
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.stddev_samp("l_tax"), 6).alias("sd_tax"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_pivot(t: dict[str, DataFrame]) -> DataFrame:
+    """Pivot order counts: status values become columns."""
+    o = t["orders"]
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+def q_sample_hash(t: dict[str, DataFrame]) -> DataFrame:
+    """Reproducible 1/16 sampling by content hash — the portable,
+    rerun-stable alternative to rand()-based sampling for pipeline
+    debugging at scale."""
+    d = t["documents"]
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    ).select("doc_id", "lang", "source")
+
+
+def q_events_sliding(t: dict[str, DataFrame]) -> DataFrame:
+    """Batch sliding windows (1h window, 15min slide): each event lands
+    in 4 windows, generated by epoch-grid arithmetic."""
+    e = t["events"]
+    slot = F.floor(F.col("ts").cast("double") / 900).cast("long")
+    windows = e.select(
+        "event_type",
+        F.explode(F.sequence(slot - 3, slot)).alias("start_slot"),
+    )
+    return (
+        windows.select(
+            F.timestamp_seconds(F.col("start_slot") * 900).cast("string").alias("window_start"),
+            "event_type",
+        )
+        .groupBy("window_start", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def q_asof_join(t: dict[str, DataFrame]) -> DataFrame:
     """As-of join: each 'click' event matched to the latest prior-or-equal
     'view' event of the same user.
