@@ -578,6 +578,54 @@ SPECS: dict[str, QuerySpec] = {
            FROM (SELECT event_type, CAST(props ->> '$.k' AS BIGINT) AS k FROM events)
            GROUP BY event_type""",
     ),
+    "set_intersect_all": QuerySpec(
+        _rel(relational.q_set_intersect_all),
+        """SELECT o_custkey, COUNT(*) AS cnt FROM (
+             SELECT o_custkey FROM orders WHERE o_totalprice > 20000
+             INTERSECT ALL
+             SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           ) GROUP BY o_custkey""",
+    ),
+    "null_handling": QuerySpec(
+        _rel(relational.q_null_handling),
+        """SELECT l_returnflag, COUNT(*) AS n_rows,
+                  COUNT(nullif(l_discount, 0.0)) AS n_discounted,
+                  CAST(SUM(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_disc,
+                  CAST(SUM(CAST(COALESCE(nullif(l_discount, 0.0), 0.0) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc,
+                  CAST(SUM(CASE WHEN nullif(l_discount, 0.0) IS NOT DISTINCT FROM 0.05
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_exactly_5pct
+           FROM lineitem GROUP BY l_returnflag""",
+        doc="nullif/coalesce/null-safe equality semantics",
+    ),
+    "like_patterns": QuerySpec(
+        _rel(relational.q_like_patterns),
+        """SELECT p_partkey,
+                  p_name LIKE '%gold%' AS has_gold,
+                  p_type LIKE 'STANDARD%' AS is_standard,
+                  p_name LIKE '%d' AS ends_d,
+                  contains(p_brand, '#1') AS brand1x
+           FROM part""",
+    ),
+    "window_range_frame": QuerySpec(
+        _rel(relational.q_window_range),
+        """SELECT o_orderkey, o_custkey,
+                  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                                 RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+                    AS n_similar_price
+           FROM orders""",
+    ),
+    "window_firstlast": QuerySpec(
+        _rel(relational.q_window_firstlast),
+        """SELECT user_id, event_id,
+                  first_value(event_type) OVER w2 AS first_type,
+                  last_value(event_type) OVER w2 AS last_type,
+                  round(percent_rank() OVER w, 8) AS pr,
+                  round(cume_dist() OVER w, 8) AS cd
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                  w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    ),
     # --- subqueries / arrays / dates / stats / pivot / sampling ---
     "subquery_corr": QuerySpec(
         _rel(relational.q_subquery_corr),

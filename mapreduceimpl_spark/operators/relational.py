@@ -470,6 +470,74 @@ def q_events_sessionize(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def q_set_intersect_all(t: dict[str, DataFrame]) -> DataFrame:
+    """INTERSECT ALL (multiset semantics, vs the distinct INTERSECT)."""
+    o = t["orders"]
+    big = o.filter(F.col("o_totalprice") > 20000).select("o_custkey")
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return big.intersectAll(recent).groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+
+
+def q_null_handling(t: dict[str, DataFrame]) -> DataFrame:
+    """NULL semantics: nullif-derived nulls, null-skipping aggregates,
+    coalesce, and null-safe equality counting."""
+    li = t["lineitem"]
+    d = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count(d).alias("n_discounted"),
+        F.sum(F.when(d.isNull(), 1).otherwise(0)).cast("long").alias("n_zero_disc"),
+        F.sum(F.coalesce(d, F.lit(0.0)).cast("decimal(28,4)")).cast("double").alias("sum_disc"),
+        F.sum((d.eqNullSafe(F.lit(0.05))).cast("long")).alias("n_exactly_5pct"),
+    )
+
+
+def q_like_patterns(t: dict[str, DataFrame]) -> DataFrame:
+    """LIKE / prefix / suffix / contains predicates."""
+    p = t["part"]
+    return p.select(
+        "p_partkey",
+        F.col("p_name").like("%gold%").alias("has_gold"),
+        F.col("p_type").startswith("STANDARD").alias("is_standard"),
+        F.col("p_name").endswith("d").alias("ends_d"),
+        F.col("p_brand").contains("#1").alias("brand1x"),
+    )
+
+
+def q_window_range(t: dict[str, DataFrame]) -> DataFrame:
+    """RANGE frame (value-based, deterministic under ties): number of
+    same-customer orders within 1000 of this order's price."""
+    o = t["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).alias("n_similar_price"),
+    )
+
+
+def q_window_firstlast(t: dict[str, DataFrame]) -> DataFrame:
+    """first/last/nth value + percent_rank/cume_dist over a total
+    per-user event ordering."""
+    e = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(full).alias("first_type"),
+        F.last("event_type").over(full).alias("last_type"),
+        F.round(F.percent_rank().over(w), 8).alias("pr"),
+        F.round(F.cume_dist().over(w), 8).alias("cd"),
+    )
+
+
 def q_subquery_corr(t: dict[str, DataFrame]) -> DataFrame:
     """Correlated scalar subquery (Catalyst decorrelates to a join):
     orders 50% above their customer's decimal-exact average."""
