@@ -81,6 +81,69 @@ def decode_image_stub(assets: DataFrame, strict: bool = False) -> DataFrame:
     return assets.mapInPandas(decode, schema=DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "asset_id long, width long, height long, target_w long, target_h long, scale double"
+)
+
+
+def resize_stub(decoded: DataFrame, max_side: int = 64, strict: bool = False) -> DataFrame:
+    """Resize pass over decoded assets: computes the aspect-preserving
+    target geometry (real) and would rescale pixels (stubbed — no codec
+    libs).  Shape: metadata-only transform, fused into the decode scan.
+    """
+    if strict:
+        raise NotImplementedError("pixel rescaling requires codec libraries")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scale = (max_side / pdf[["width", "height"]].max(axis=1)).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "target_w": (pdf["width"] * scale).round().astype("int64"),
+                    "target_h": (pdf["height"] * scale).round().astype("int64"),
+                    "scale": scale,
+                }
+            )
+
+    return decoded.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "asset_id long, frame_idx long, frame_ts_ms long, frame_sha string"
+
+
+def frame_sample_stub(
+    assets: DataFrame, fps_out: float = 1.0, duration_s: float = 8.0, strict: bool = False
+) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled
+    frame (row-expanding mapInPandas — the batch shape real frame
+    extraction uses).  Frame bytes are stubbed as digests of
+    (payload, frame index); timing math is real.
+    """
+    if strict:
+        raise NotImplementedError("video decode requires codec libraries")
+
+    n_frames = int(duration_s * fps_out)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, shas = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for i in range(n_frames):
+                    ids.append(aid)
+                    idxs.append(i)
+                    tss.append(int(i * 1000 / fps_out))
+                    shas.append(hashlib.sha256(raw + i.to_bytes(4, "big")).hexdigest())
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "frame_ts_ms": tss, "frame_sha": shas}
+            )
+
+    return assets.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
 def multimodal_meta(docs: DataFrame) -> DataFrame:
     """End-to-end: docs -> binary assets -> decoded metadata summary.
 

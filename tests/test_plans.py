@@ -97,6 +97,16 @@ def test_filter_project_stays_in_codegen(tables):
     assert "*(1)" in plan
 
 
+def test_sessionize_single_shuffle(tables):
+    """Both windows and the final groupBy cluster on user_id (the
+    grouping key is a superset of the window partitioning), so the
+    whole sessionization needs exactly one Exchange."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(relational.q_events_sessionize(tables), "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_ann_corpus_side_not_shuffled(embeddings):
     """brute_force_topk broadcasts the query side; the corpus scan
     must not appear under an Exchange before the join."""
