@@ -21,7 +21,7 @@ from mapreduceimpl_spark import catalog
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (reference parity: the word-frequency count of
     test.go:13-81) on /root/testdata/sf0.001; driver checks rows>0."""
-    return catalog.SPECS["wordcount"].fn(spark, "/root/testdata/sf0.001")
+    return catalog.queries()["wordcount"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -872,8 +872,25 @@ SPECS: dict[str, QuerySpec] = {
 }
 
 
+def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Pin the session timezone before building the plan.
+
+    Parquet timestamps are UTC instants; DuckDB renders them as UTC
+    wall time.  Spark's year()/date_trunc()/cast-to-string are
+    session-timezone-dependent, so a non-UTC caller session would
+    shift every derived date/string — pin it per query instead of
+    trusting the harness's session config.
+    """
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in SPECS.items()}
+    return {name: _with_utc(spec.fn) for name, spec in SPECS.items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -881,4 +898,4 @@ def oracle_sql() -> dict[str, str]:
 
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in SPECS.items() if spec.bench}
+    return {name: _with_utc(spec.fn) for name, spec in SPECS.items() if spec.bench}
