@@ -42,10 +42,12 @@ def test_assignment_is_nearest_centroid(embeddings):
 def test_centroid_is_cluster_mean(embeddings):
     """At convergence, each centroid equals the mean of its assigned
     vectors (update-step invariant; holds only once assignments stop
-    changing, hence the generous max_iter)."""
+    changing).  A 100-vector subset converges in a handful of Lloyd
+    iterations — deterministic, so this is stable across runs."""
     k = 3
-    centroids, _ = kmeans_fit(embeddings, k=k, max_iter=50)
-    vectors = embeddings.select(
+    subset = embeddings.filter(F.col("vec_id") < 100)
+    centroids, _ = kmeans_fit(subset, k=k, max_iter=40)
+    vectors = subset.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     assigned = _assign(vectors, centroids)

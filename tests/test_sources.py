@@ -51,3 +51,30 @@ def test_read_json_lines(spark, tmp_path):
     p.write_text('{"id": 1, "v": 2.5}\n{"id": 2, "v": 3.5}\n')
     df = read_json(spark, str(p), schema="id long, v double")
     assert df.agg(F.sum("v")).collect()[0][0] == 6.0
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC sink + scan (SURVEY S7 columnar formats beyond parquet)."""
+    src = load_table(spark, "/root/testdata/sf0.001", "nation")
+    out = str(tmp_path / "nation_orc")
+    src.write.format("orc").mode("overwrite").save(out)
+    back = spark.read.orc(out)
+    assert back.count() == src.count()
+    assert set(back.columns) == set(src.columns)
+    assert back.exceptAll(src).count() == 0
+
+
+def test_register_views_sql_surface(spark):
+    """register_views + spark.sql: the engine's SQL entry point."""
+    from mapreduceimpl_spark.sources import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    got = spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS n_cust
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_cust DESC, n_name LIMIT 3
+        """
+    ).collect()
+    assert len(got) == 3
+    assert got[0]["n_cust"] >= got[1]["n_cust"] >= got[2]["n_cust"]
