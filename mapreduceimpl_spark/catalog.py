@@ -844,6 +844,35 @@ SPECS: dict[str, QuerySpec] = {
                   FROM documents)
             GROUP BY lang""",
     ),
+    "text_bpe_tokens": QuerySpec(
+        lambda spark, sf_dir: text_analysis.bpe_ish_tokens(load_table(spark, sf_dir, "documents")),
+        None,
+        doc="BPE-style regex pretokenizer counts (Java regex — rows-only check)",
+    ),
+    "embedding_centroids": QuerySpec(
+        lambda spark, sf_dir: similarity.embedding_centroids(load_table(spark, sf_dir, "embeddings")),
+        """SELECT CAST(label AS BIGINT) AS grp, CAST(pos AS BIGINT) AS pos,
+                  CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(x) AS mean_x,
+                  COUNT(*) AS n
+           FROM (
+             SELECT label,
+                    unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS x,
+                    unnest(range(0, len(embedding))) AS pos
+             FROM embeddings
+           )
+           GROUP BY 1, 2""",
+        doc="per-label mean pooling (class centroids / IVF coarse quantizer)",
+    ),
+    "embedding_norms": QuerySpec(
+        lambda spark, sf_dir: similarity.embedding_norms(load_table(spark, sf_dir, "embeddings")),
+        """SELECT vec_id,
+                  sqrt(CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS l2_norm
+           FROM (
+             SELECT vec_id, unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS x
+             FROM embeddings
+           )
+           GROUP BY vec_id""",
+    ),
     "text_fingerprint": QuerySpec(
         _q_fingerprint,
         f"""WITH t AS (

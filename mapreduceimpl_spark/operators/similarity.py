@@ -69,6 +69,42 @@ def brute_force_topk(
     )
 
 
+def embedding_centroids(embeddings: DataFrame, by: str = "label") -> DataFrame:
+    """Mean-pool vectors per group, one row per (group, dimension):
+    the distributed primitive behind class centroids / IVF coarse
+    quantizers.  Decimal-routed per-dimension sums keep the mean
+    independent of partition order.
+
+    Scale: posexplode is linear in n*dim; the aggregate moves
+    (groups x dim) partial sums per partition — map-side combined.
+    """
+    # decimal scale 6, not 12: the vectors are float32, whose promoted
+    # doubles can round differently across engines at decimal digits
+    # beyond float32's ~7 significant digits (exact-binary vs
+    # shortest-repr tie-breaking); scale 6 stays inside the agreed zone
+    return (
+        embeddings.select(F.col(by).cast("long").alias("grp"), F.posexplode(_as_double("embedding")).alias("pos", "x"))
+        .groupBy("grp", "pos")
+        .agg(
+            (F.sum(F.col("x").cast("decimal(28,6)")).cast("double") / F.count("x")).alias("mean_x"),
+            F.count("*").alias("n"),
+        )
+        .select("grp", F.col("pos").cast("long").alias("pos"), "mean_x", "n")
+    )
+
+
+def embedding_norms(embeddings: DataFrame) -> DataFrame:
+    """Per-vector L2 norm via decimal-routed sum of squares (order-free
+    and engine-portable; each x*x is an IEEE-deterministic product)."""
+    sq = embeddings.select(
+        "vec_id", F.posexplode(_as_double("embedding")).alias("pos", "x")
+    )
+    return (
+        sq.groupBy("vec_id")
+        .agg(F.sqrt(F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).cast("double")).alias("l2_norm"))
+    )
+
+
 def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for sign-LSH."""
     rng = np.random.default_rng(seed)

@@ -101,6 +101,26 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer shape: contractions, letter runs, digit
+# runs, punctuation runs, whitespace-prefixed words.  Java regex (Spark
+# JVM) — engine-specific, so queries on it are rows-only checked.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_ish_tokens(docs: DataFrame) -> DataFrame:
+    """Token counting with a BPE-style regex pretokenizer (vs the
+    whitespace count): per-doc counts of both, plus the chars/4
+    rule-of-thumb, for tokenizer-budget estimation over a corpus."""
+    toks = tokens("text")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("ws_tokens"),
+        F.size(bpe).cast("long").alias("bpe_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est_subwords"),
+    )
+
+
 def fingerprint_winnow(docs: DataFrame, k: int = 5, window: int = 4) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03).
 
