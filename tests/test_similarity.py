@@ -60,6 +60,37 @@ def test_lsh_recall_vs_brute_force(embeddings):
     assert sum(recalls) / len(recalls) >= 0.3
 
 
+def test_embedding_centroids_match_numpy(embeddings):
+    """Distributed per-label mean pooling == NumPy mean (to the decimal
+    resolution the operator guarantees)."""
+    import numpy as np
+
+    got = {
+        (r["grp"], r["pos"]): (r["mean_x"], r["n"])
+        for r in similarity.embedding_centroids(embeddings).collect()
+    }
+    by_label: dict[int, list] = {}
+    for r in embeddings.collect():
+        by_label.setdefault(r["label"], []).append(
+            np.array(r["embedding"], dtype=np.float64)
+        )
+    for label, vecs in by_label.items():
+        mean = np.mean(vecs, axis=0)
+        for pos in (0, 1, 31, 63):
+            mx, n = got[(label, pos)]
+            assert n == len(vecs)
+            assert abs(mx - mean[pos]) < 1e-5
+
+
+def test_embedding_norms_match_numpy(embeddings):
+    import numpy as np
+
+    got = {r["vec_id"]: r["l2_norm"] for r in similarity.embedding_norms(embeddings).collect()}
+    for r in embeddings.limit(20).collect():
+        expected = float(np.linalg.norm(np.array(r["embedding"], dtype=np.float64)))
+        assert abs(got[r["vec_id"]] - expected) < 1e-9
+
+
 def test_cosine_symmetric_range(embeddings):
     topk = similarity.brute_force_topk(embeddings, _queries(embeddings), k=50)
     mm = topk.agg(F.min("cosine"), F.max("cosine")).collect()[0]
