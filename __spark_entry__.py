@@ -11,11 +11,19 @@ the thin contract shim.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mapreduceimpl_spark import catalog
+# make the engine package importable even when this module is loaded
+# by file path from a different working directory
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from mapreduceimpl_spark import catalog  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
