@@ -786,6 +786,16 @@ SPECS: dict[str, QuerySpec] = {
            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9""",
     ),
+    "dedup_clusters": QuerySpec(
+        lambda spark, sf_dir: dedup.dedup_decision(
+            dedup.with_mutated_copies(load_table(spark, sf_dir, "documents")),
+            dedup.minhash_lsh_pairs(
+                dedup.with_mutated_copies(load_table(spark, sf_dir, "documents"))
+            ).filter(F.col("est_jaccard") >= 0.5),
+        ),
+        None,
+        doc="full fuzzy-dedup verdict: MinHash pairs -> connected components -> canonical keeper (iterative; rows-only)",
+    ),
     # --- LLM pipeline: similarity search ---
     "ann_topk": QuerySpec(
         _q_ann_topk,
@@ -811,6 +821,17 @@ SPECS: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(
         _q_ann_lsh, None,
         doc="sign-LSH bucketed ANN (seeded hyperplanes; rows-only + recall pytest)",
+    ),
+    "ann_ivf_topk": QuerySpec(
+        lambda spark, sf_dir: similarity.ivf_topk(
+            load_table(spark, sf_dir, "embeddings"),
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=5,
+        ),
+        None,
+        doc="IVF ANN: k-means coarse quantizer + n_probe cells (iterative; rows-only + recall pytest)",
     ),
     # --- LLM pipeline: clustering / text / multimodal ---
     "kmeans_assign": QuerySpec(

@@ -346,6 +346,81 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.8) -
 
 
 # ---------------------------------------------------------------------------
+# connected components: pairs -> dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: (doc_id, component)
+    where component = min doc_id reachable (the canonical keeper).
+
+    Iterative min-label propagation over the undirected pair graph:
+    each round every node adopts the smallest label in its
+    neighborhood; converges in O(diameter) rounds.  Dedup components
+    are tiny (near-dup groups), so a handful of rounds suffices; the
+    loop exits early when the label sum stops changing (a cheap
+    convergence witness — labels only ever decrease).
+
+    Scale: each round is one groupBy over the edge list — the standard
+    large-graph CC pattern (cf. Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14) restricted to the common
+    small-diameter dedup case.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .cache()
+    )
+    # initial label: self, per node (fresh column names per step so the
+    # edge<->label self-joins never share lineage)
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+
+    prev_sum: int | None = None
+    for _ in range(max_iter):
+        neighbor_labels = (
+            edges.join(labels, edges.v == labels.node)
+            .select(F.col("u").alias("node2"), F.col("label").alias("label2"))
+        )
+        labels = (
+            labels.select(F.col("node").alias("node2"), F.col("label").alias("label2"))
+            .unionByName(neighbor_labels)
+            .groupBy("node2")
+            .agg(F.min("label2").alias("label"))
+            .select(F.col("node2").alias("node"), "label")
+        ).cache()
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def dedup_decision(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Full fuzzy-dedup verdict: every document labeled with its
+    near-dup component and whether it is the canonical keeper (lowest
+    doc_id of the component).  Documents in no pair are their own
+    component."""
+    comp = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("component"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -134,6 +134,65 @@ def lsh_bucket(
     return embeddings.withColumn("bucket", bucket)
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    kmeans_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer -> inverted cell lists ->
+    probe the ``n_probe`` nearest cells per query.
+
+    The scale path beyond sign-LSH: cells adapt to the data
+    distribution, and the corpus assignment is writable as a bucketed
+    table for reuse.  Deterministic (k-means init/iteration order are
+    fixed).  Recall vs brute force is a measured test invariant.
+    """
+    from mapreduceimpl_spark.operators.kmeans import kmeans_fit
+
+    corpus = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    centroids, assigned = kmeans_fit(corpus, k=n_cells, max_iter=kmeans_iter)
+    cells = (
+        corpus.select("vec_id", _as_double("embedding").alias("cv"))
+        .join(assigned.select("vec_id", F.col("cluster").alias("cell")), "vec_id")
+    )
+    # query-side: distance to every centroid (n_queries x n_cells,
+    # tiny), keep the n_probe nearest cells
+    qv = queries.select(F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    probe_structs = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.array(*[F.lit(float(x)) for x in c]), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.lit(i).cast("long").alias("cell"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    probes = qv.select(
+        "query_id",
+        "qv",
+        F.slice(F.array_sort(F.array(*probe_structs)), 1, n_probe).alias("probe"),
+    ).select("query_id", "qv", F.explode("probe.cell").alias("cell"))
+    scored = F.broadcast(probes).join(cells, "cell").select(
+        "query_id",
+        "vec_id",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

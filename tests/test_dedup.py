@@ -106,6 +106,39 @@ def test_embedding_neardup_finds_perturbed(embeddings):
     assert all(r["cosine"] >= 0.9 for r in pairs)
 
 
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3, pair 10-11, triangle 20-21-22 + isolated-by-absence
+    nodes collapse to min-label components."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["doc_a", "doc_b"],
+    )
+    comp = {r["doc_id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_decision_end_to_end(docs):
+    """Pairs from MinHash -> components -> exactly one canonical doc
+    per component; every planted mutated copy is non-canonical."""
+    corpus = dedup.with_mutated_copies(docs, every=10)
+    pairs = dedup.minhash_lsh_pairs(corpus).filter(F.col("est_jaccard") >= 0.5)
+    decision = dedup.dedup_decision(corpus, pairs)
+    rows = decision.collect()
+    assert len(rows) == corpus.count()
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp_rows in by_comp.values():
+        canonicals = [r for r in comp_rows if r["is_canonical"]]
+        assert len(canonicals) == 1
+        assert canonicals[0]["doc_id"] == min(r["doc_id"] for r in comp_rows)
+    # planted copies (id >= 100k) must never be the keeper of a pair group
+    planted_canonical = [
+        r for r in rows if r["doc_id"] >= 100_000 and r["is_canonical"]
+    ]
+    assert planted_canonical == []
+
+
 def test_normalize_text_canonicalizes(spark):
     df = spark.createDataFrame(
         [(1, "  Hello   World "), (2, "hello world")], ["doc_id", "text"]

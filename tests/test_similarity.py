@@ -60,6 +60,29 @@ def test_lsh_recall_vs_brute_force(embeddings):
     assert sum(recalls) / len(recalls) >= 0.3
 
 
+def test_ivf_recall_vs_brute_force(embeddings):
+    """IVF with 8 cells / 2 probes recovers a reasonable fraction of
+    the true top-k (deterministic: fixed k-means init)."""
+    q = _queries(embeddings, n=8)
+    exact = similarity.brute_force_topk(embeddings, q, k=5).collect()
+    approx = similarity.ivf_topk(embeddings, q, k=5, n_cells=8, n_probe=2).collect()
+    exact_sets: dict[int, set] = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets: dict[int, set] = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[qid] & approx_sets.get(qid, set())) / len(exact_sets[qid])
+        for qid in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4
+    # self must always be found (its cell is by definition probed first)
+    for r in approx:
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["query_id"]
+
+
 def test_embedding_centroids_match_numpy(embeddings):
     """Distributed per-label mean pooling == NumPy mean (to the decimal
     resolution the operator guarantees)."""

@@ -59,6 +59,24 @@ def test_tumbling_counts_match_batch(spark, events_dir):
         assert batch_map[(r["window_start"], r["event_type"])] == r["cnt"]
 
 
+def test_sliding_counts_multiple_windows(spark, events_dir):
+    """Sliding 1h/15min windows: each event lands in 4 windows, so the
+    emitted (closed-window) counts must total ~4x the tumbling mass for
+    the same horizon; verify per-window counts against batch."""
+    stream = streaming.read_events_stream(spark, events_dir)
+    got = _run_stream(streaming.sliding_counts(stream), mode="append")
+    assert len(got) > 0
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    batch_map = {(r["w"]["start"], r["event_type"]): r["cnt"] for r in batch}
+    for r in got:
+        assert batch_map[(r["window_start"], r["event_type"])] == r["cnt"]
+
+
 def test_session_counts_run(spark, events_dir):
     stream = streaming.read_events_stream(spark, events_dir)
     got = _run_stream(streaming.session_counts(stream), mode="append")
