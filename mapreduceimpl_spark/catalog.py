@@ -299,6 +299,55 @@ FROM scored
 """
 
 
+_STOPWORD_LIST = "[" + ", ".join(f"'{w}'" for w in text_analysis.STOPWORDS) + "]"
+_KEPT = f"list_filter(string_split(lower(text), ' '), t -> NOT list_contains({_STOPWORD_LIST}, t))"
+
+_CLEAN_TEXT_ORACLE = f"""
+SELECT doc_id,
+       array_to_string({_KEPT}, ' ') AS clean_text,
+       CAST(len({_KEPT}) AS BIGINT) AS n_kept,
+       CAST(len(string_split(lower(text), ' ')) - len({_KEPT}) AS BIGINT) AS n_removed
+FROM documents
+"""
+
+
+def _corpus_filter_oracle() -> str:
+    langs = sorted(text_analysis.LANG_MARKERS)
+    scores = ",\n    ".join(
+        "CAST(len(list_filter({toks}, t -> list_contains({lst}, t))) AS BIGINT) AS score_{lang}".format(
+            toks=_TOKS,
+            lst="[" + ", ".join(f"'{w}'" for w in text_analysis.LANG_MARKERS[lang]) + "]",
+            lang=lang,
+        )
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    whens = " ".join(
+        f"WHEN score_{lang} = {best} AND {best} > 0 THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+         (len({_TOKS}) >= 10 AND len(list_distinct({_TOKS})) >= 5) AS q_keep
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+    {scores}
+  FROM documents
+),
+l AS (
+  SELECT doc_id, CASE {whens} ELSE 'und' END AS pred_lang FROM scored
+)
+SELECT q.doc_id AS doc_id, pred_lang,
+       q_keep AND pred_lang <> 'und' AS keep,
+       CASE WHEN NOT q_keep THEN 'low_quality'
+            WHEN pred_lang = 'und' THEN 'unknown_lang'
+            ELSE 'ok' END AS reason
+FROM q JOIN l ON q.doc_id = l.doc_id
+"""
+
+
 def _multimodal_oracle() -> str:
     # mirror multimodal._fake_decode: bytes 0..2 of sha256 digest from hex
     def byte_expr(i: int) -> str:
@@ -864,6 +913,16 @@ SPECS: dict[str, QuerySpec] = {
                          CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_subwords
                   FROM documents)
             GROUP BY lang""",
+    ),
+    "text_clean": QuerySpec(
+        lambda spark, sf_dir: text_analysis.clean_text(load_table(spark, sf_dir, "documents")),
+        _CLEAN_TEXT_ORACLE,
+        doc="lowercase + stopword removal (pre-embedding normalization)",
+    ),
+    "corpus_filter": QuerySpec(
+        lambda spark, sf_dir: text_analysis.corpus_filter(load_table(spark, sf_dir, "documents")),
+        _corpus_filter_oracle(),
+        doc="composed keep/drop verdict: quality gate + language confidence",
     ),
     "text_bpe_tokens": QuerySpec(
         lambda spark, sf_dir: text_analysis.bpe_ish_tokens(load_table(spark, sf_dir, "documents")),

@@ -101,6 +101,41 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def clean_text(docs: DataFrame) -> DataFrame:
+    """Text cleaning: lowercase, stopword removal, dedup-preserving
+    token order — the standard pre-embedding normalization pass."""
+    toks = tokens(F.lower(F.col("text")))
+    kept = F.filter(toks, lambda t: ~t.isin(*STOPWORDS))
+    return docs.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+def corpus_filter(docs: DataFrame) -> DataFrame:
+    """End-to-end corpus filtering verdict: quality gate + language
+    confidence, the composition a training-data pipeline applies before
+    dedup.  Output: per-doc keep decision with reasons."""
+    q = quality_score(docs).select(
+        "doc_id", "n_tokens", "stopword_ratio", "diversity", F.col("keep").alias("q_keep")
+    )
+    lid = lang_id(docs).select("doc_id", "pred_lang", "best_score")
+    return (
+        q.join(lid, "doc_id")
+        .select(
+            "doc_id",
+            "pred_lang",
+            (F.col("q_keep") & (F.col("pred_lang") != "und")).alias("keep"),
+            F.when(~F.col("q_keep"), "low_quality")
+            .when(F.col("pred_lang") == "und", "unknown_lang")
+            .otherwise("ok")
+            .alias("reason"),
+        )
+    )
+
+
 # GPT-2-style pretokenizer shape: contractions, letter runs, digit
 # runs, punctuation runs, whitespace-prefixed words.  Java regex (Spark
 # JVM) — engine-specific, so queries on it are rows-only checked.
