@@ -536,6 +536,70 @@ SPECS: dict[str, QuerySpec] = {
         bench=True,
         doc="TPC-H Q5 shape",
     ),
+    "volume_shipping": QuerySpec(
+        _rel(relational.q_volume_shipping),
+        f"""SELECT supp_nation, cust_nation, l_year,
+                   {_dec_sum('volume', 'rev')}
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            )
+            GROUP BY supp_nation, cust_nation, l_year""",
+        doc="TPC-H Q7 shape",
+    ),
+    "returned_items": QuerySpec(
+        _rel(relational.q_returned_items),
+        f"""SELECT c_custkey, c_name, n_name,
+                   {_dec_sum('l_extendedprice * (1 - l_discount)', 'rev')}
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY rev DESC, c_custkey ASC LIMIT 20""",
+        doc="TPC-H Q10 shape",
+    ),
+    "events_funnel": QuerySpec(
+        _rel(relational.q_funnel),
+        """WITH f1 AS (
+             SELECT user_id,
+                    MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+             FROM events GROUP BY user_id
+           ),
+           f2 AS (
+             SELECT e.user_id AS user_id,
+                    MAX(f1.first_view) AS first_view,
+                    MIN(CASE WHEN e.event_type = 'click' AND e.ts > f1.first_view
+                             THEN e.ts END) AS first_click
+             FROM events e JOIN f1 ON e.user_id = f1.user_id
+             GROUP BY e.user_id
+           ),
+           f3 AS (
+             SELECT e.user_id AS user_id,
+                    MAX(f2.first_view) AS first_view,
+                    MAX(f2.first_click) AS first_click,
+                    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > f2.first_click
+                             THEN e.ts END) AS first_purchase
+             FROM events e JOIN f2 ON e.user_id = f2.user_id
+             GROUP BY e.user_id
+           )
+           SELECT COUNT(*) AS n_users,
+                  COUNT(first_view) AS n_viewed,
+                  COUNT(first_click) AS n_clicked_after_view,
+                  COUNT(first_purchase) AS n_purchased_after_click
+           FROM f3""",
+        doc="ordered view->click->purchase funnel via conditional-min passes",
+    ),
     # --- windows ---
     "window_rank": QuerySpec(
         _rel(relational.q_window_rank),

@@ -272,6 +272,85 @@ def q_local_supplier_volume(t: dict[str, DataFrame]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_volume_shipping(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation x customer-nation trade volume
+    by ship year, restricted to one nation pair."""
+    li, o, c = t["lineitem"], t["orders"], t["customer"]
+    s, n = t["supplier"], t["nation"]
+    n1 = broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")))
+    n2 = broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("sk"))
+        .join(n2, F.col("c_nationkey") == F.col("ck"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(dec_sum(revenue()).alias("rev"))
+
+
+def q_returned_items(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue."""
+    li, o, c, n = t["lineitem"], t["orders"], t["customer"], t["nation"]
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dec_sum(revenue()).alias("rev"))
+        .orderBy(F.desc("rev"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_funnel(t: dict[str, DataFrame]) -> DataFrame:
+    """Ordered event funnel per user: first view -> first click after
+    that view -> first purchase after that click; counts per stage.
+
+    Two conditional-min passes (groupBy user), each map-side combined —
+    the scalable funnel formulation (no per-user sort needed).
+    """
+    e = t["events"]
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view")
+    )
+    # plain joins, not broadcast: the per-user side scales with users
+    with_fv = e.join(firsts, "user_id")
+    seconds = with_fv.groupBy("user_id").agg(
+        F.max("first_view").alias("first_view"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("first_view")),
+                F.col("ts"),
+            )
+        ).alias("first_click"),
+    )
+    with_fc = e.join(seconds, "user_id")
+    per_user = with_fc.groupBy("user_id").agg(
+        F.max("first_view").alias("first_view"),
+        F.max("first_click").alias("first_click"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("first_click")),
+                F.col("ts"),
+            )
+        ).alias("first_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_view").alias("n_viewed"),
+        F.count("first_click").alias("n_clicked_after_view"),
+        F.count("first_purchase").alias("n_purchased_after_click"),
+    )
+
+
 def q_window_rank(t: dict[str, DataFrame]) -> DataFrame:
     """Top-3 orders per customer: rank + row_number with unique tiebreak."""
     o = t["orders"]
