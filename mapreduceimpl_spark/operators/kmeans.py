@@ -51,6 +51,36 @@ def _assign(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
     )
 
 
+def _init_farthest_first(vectors: DataFrame, k: int) -> list[list[float]]:
+    """Deterministic k-means++-style seeding: farthest-first traversal.
+
+    Start from the lowest-id vector; repeatedly add the vector farthest
+    from its nearest chosen centroid (argmax of min squared distance,
+    ties broken by lowest vec_id).  This is the deterministic maximin
+    variant of k-means++ — same spread-the-seeds effect, no RNG, so
+    runs are byte-reproducible.  Each of the k-1 rounds is a narrow map
+    (distances to <= k broadcast literals) + TakeOrdered(1): only one
+    row per round reaches the driver.
+    """
+    first = vectors.orderBy("vec_id").limit(1).collect()
+    if not first:
+        raise ValueError("kmeans: empty input")
+    centroids = [list(first[0]["v"])]
+    for _ in range(k - 1):
+        dists = [
+            _sq_dist(F.col("v"), F.array(*[F.lit(float(x)) for x in c])) for c in centroids
+        ]
+        dmin = F.least(*dists) if len(dists) > 1 else dists[0]
+        far = (
+            vectors.select("vec_id", "v", dmin.alias("dmin"))
+            .orderBy(F.desc("dmin"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        centroids.append(list(far["v"]))
+    return centroids
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     k: int = 10,
@@ -58,18 +88,27 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tol: float = 1e-6,
+    init: str = "farthest",
 ) -> tuple[list[list[float]], DataFrame]:
     """Run Lloyd's; return (centroids, assignments DataFrame).
 
-    Assignments: (vec_id, cluster, sq_dist).
+    Assignments: (vec_id, cluster, sq_dist).  ``init``: "farthest"
+    (default; deterministic k-means++-style spread — measurably better
+    IVF cell balance, see COVERAGE.md) or "first" (k lowest-id
+    vectors — cheapest, one pass).
     """
     vectors = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     ).cache()
 
-    # deterministic init: the k lowest-id vectors
-    init_rows = vectors.orderBy("vec_id").limit(k).collect()
-    centroids = [list(r["v"]) for r in init_rows]
+    if init == "farthest":
+        centroids = _init_farthest_first(vectors, k)
+    elif init == "first":
+        # deterministic init: the k lowest-id vectors
+        init_rows = vectors.orderBy("vec_id").limit(k).collect()
+        centroids = [list(r["v"]) for r in init_rows]
+    else:
+        raise ValueError(f"unknown init {init!r} (use 'farthest' or 'first')")
 
     for _ in range(max_iter):
         assigned = _assign(vectors, centroids)
@@ -95,6 +134,10 @@ def kmeans_fit(
             break
 
     assignments = _assign(vectors, centroids).select("vec_id", "cluster", "sq_dist")
+    # the iterations that needed the cache are done; drop it so repeated
+    # catalog/bench runs don't accumulate executor memory (the final
+    # assignment pass recomputes one narrow scan lazily)
+    vectors.unpersist()
     return centroids, assignments
 
 

@@ -114,7 +114,7 @@ def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[flo
 def lsh_bucket(
     embeddings: DataFrame,
     n_planes: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -122,7 +122,18 @@ def lsh_bucket(
 
     bucket = sum over planes of (dot(v, plane_i) > 0) << i — all
     JVM-side; the plane matrix is a broadcast literal.
+
+    ``dim`` defaults to the length of the first vector (one tiny
+    driver action); every row is then validated against it at execute
+    time — a mismatched vector raises instead of silently hashing
+    null dot products into bucket 0 (which would degrade recall with
+    no error).
     """
+    if dim is None:
+        row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+        if row is None or row["d"] is None:
+            raise ValueError("lsh_bucket: cannot derive dim from an empty DataFrame")
+        dim = int(row["d"])
     planes = random_hyperplanes(n_planes, dim, seed)
     v = _as_double(vec_col)
     bucket = F.lit(0).cast("long")
@@ -131,7 +142,15 @@ def lsh_bucket(
         bucket = bucket + F.when(dot(v, plane_lit) > 0, F.lit(2**i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return embeddings.withColumn("bucket", bucket)
+    guarded = F.when(F.size(v) == dim, bucket).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_bucket: embedding length != dim={dim}: got "),
+                F.size(v).cast("string"),
+            )
+        )
+    )
+    return embeddings.withColumn("bucket", guarded)
 
 
 def ivf_topk(
@@ -198,7 +217,7 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 5,
     n_planes: int = 6,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -41,6 +41,18 @@ def test_lsh_bucket_deterministic(embeddings):
     assert b1.exceptAll(b2).count() == 0
 
 
+def test_lsh_bucket_rejects_mismatched_dim(spark):
+    """A vector whose length differs from the (derived) dim must raise,
+    not silently hash a null dot product into bucket 0."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 64), (2, [0.2] * 32)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(Exception, match="lsh_bucket"):
+        similarity.lsh_bucket(df).select("bucket").collect()
+
+
 def test_lsh_recall_vs_brute_force(embeddings):
     """Bucketed ANN must recover a reasonable fraction of the true
     top-k (same-bucket probing only; measured, not promised)."""
