@@ -244,26 +244,67 @@ def simhash_signatures(
     return agg.select(F.col(id_col), simhash.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 16-bit halves (a pair within
-    hamming distance <= 3 of a 32-bit hash shares at least one half by
-    pigeonhole when distance <= 1 per half... conservatively we block on
-    both halves and verify with bit_count(xor)).
+def simhash_block_ranges(max_hamming: int, bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
+    """(offset, width) of the ``max_hamming + 1`` disjoint bit-range
+    blocks used for candidate blocking.  Pigeonhole: a pair within
+    hamming distance d <= max_hamming differs in at most max_hamming of
+    the max_hamming + 1 blocks, so at least one block matches exactly —
+    blocking on per-block equality has 100% recall (the round-1
+    two-half scheme only guaranteed this for d <= 1 and silently
+    dropped pairs whose differing bits spanned both halves)."""
+    n_blocks = max_hamming + 1
+    if n_blocks > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs {n_blocks} blocks > {bits} bits")
+    base, rem = divmod(bits, n_blocks)
+    ranges: list[tuple[int, int]] = []
+    off = 0
+    for i in range(n_blocks):
+        width = base + (1 if i < rem else 0)
+        ranges.append((off, width))
+        off += width
+    return ranges
 
-    Scale: two equi-joins on 16-bit keys instead of O(n^2); verify is a
-    single BIGINT xor+popcount.
+
+def simhash_pairs_from_signatures(
+    sigs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Candidate blocking + exact verify over (doc_id, simhash) rows.
+
+    Each signature explodes into ``max_hamming + 1`` (block_id,
+    block_val) keys; candidates equi-join on an exact block match and
+    are verified with one BIGINT xor + popcount.  See
+    ``simhash_block_ranges`` for the recall guarantee.
+
+    Scale: with 32-bit signatures the blocks are only ~8 bits wide
+    (256 values) — fine for corpus-sized fixtures, but at billions of
+    docs use 64-bit signatures (``bits=64`` with a 64-nibble hash) so
+    blocks are 16 bits and bucket sizes stay O(n / 65536).
     """
-    sigs = simhash_signatures(docs).cache()
-    lo = sigs.select("doc_id", "simhash", (F.col("simhash") % 65536).alias("blk"))
-    hi = sigs.select(
-        "doc_id", "simhash", (F.floor(F.col("simhash") / 65536)).alias("blk")
+    structs = [
+        F.struct(
+            F.lit(i).alias("block_id"),
+            F.shiftright(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .cast("long")
+            .alias("block_val"),
+        )
+        for i, (off, width) in enumerate(simhash_block_ranges(max_hamming, bits))
+    ]
+    blocked = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*structs)).alias("b")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("b.block_id").alias("block_id"),
+        F.col("b.block_val").alias("block_val"),
     )
-    blocked = lo.unionByName(hi)
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -275,6 +316,17 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on ``max_hamming + 1`` disjoint
+    bit-range blocks (guaranteed recall by pigeonhole), verify with
+    bit_count(xor).
+
+    Scale: (max_hamming + 1) equi-joins on short keys instead of
+    O(n^2); verify is a single BIGINT xor + popcount.
+    """
+    return simhash_pairs_from_signatures(simhash_signatures(docs), max_hamming)
 
 
 # ---------------------------------------------------------------------------
@@ -302,7 +354,12 @@ def ngram_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col
     return pre.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.8) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    min_jaccard: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index.
 
     intersection(a,b) = count of shared shingles (equi-join on shingle);
@@ -310,11 +367,25 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.8) -
     are ever materialized — work is O(sum over shingles of df^2), the
     standard inverted-index bound, not O(n^2).
 
-    Scale: a stop-shingle guard (drop shingles appearing in > ~1e4
-    docs) caps hot-key blowup at web scale; not needed at fixture
-    scale so df cap is left to the caller.
+    Scale: ``max_shingle_df`` is the stop-shingle guard — shingles whose
+    document frequency exceeds it (boilerplate headers, license text)
+    are dropped from every document's shingle set BEFORE the self-join,
+    capping the per-shingle join blowup at df^2 <= max_shingle_df^2.
+    Jaccard is then measured over the capped sets on both sides of the
+    ratio, so an all-boilerplate pair scores 0, not 1.  Default ``None``
+    (no cap) keeps exact semantics for small corpora; at web scale set
+    it to ~1e4.
     """
     sh = ngram_shingles(docs, n)
+    if max_shingle_df is not None:
+        # hot shingles are few by construction (df > cap) → broadcast anti-join
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -369,37 +440,55 @@ def connected_components(
     Scale: each round is one groupBy over the edge list — the standard
     large-graph CC pattern (cf. Kiveris et al., "Connected Components
     in MapReduce and Beyond", SoCC'14) restricted to the common
-    small-diameter dedup case.
+    small-diameter dedup case.  Each round's label cache is dropped as
+    soon as the next round materializes (<= 2 label sets cached at any
+    moment), so a long run does not accumulate executor memory.
     """
-    edges = (
+    import warnings
+
+    sym = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
-        .cache()
     )
-    # initial label: self, per node (fresh column names per step so the
-    # edge<->label self-joins never share lineage)
-    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
+    nodes = sym.select("u").distinct()
+    # Self-loop edges let each round reference `labels` exactly ONCE
+    # (join only — no labels-union-labels), so the logical plan grows
+    # linearly with rounds instead of doubling per round.  The doubled
+    # formulation stack-overflows Catalyst's tree walk past ~10 rounds.
+    edges = sym.unionByName(nodes.select("u", F.col("u").alias("v"))).cache()
+    labels = nodes.select(F.col("u").alias("node"), F.col("u").alias("label"))
 
     prev_sum: int | None = None
+    prev_cached: DataFrame | None = None
+    converged = False
     for _ in range(max_iter):
-        neighbor_labels = (
-            edges.join(labels, edges.v == labels.node)
-            .select(F.col("u").alias("node2"), F.col("label").alias("label2"))
-        )
         labels = (
-            labels.select(F.col("node").alias("node2"), F.col("label").alias("label2"))
-            .unionByName(neighbor_labels)
-            .groupBy("node2")
-            .agg(F.min("label2").alias("label"))
-            .select(F.col("node2").alias("node"), "label")
+            edges.join(
+                labels.select(F.col("node").alias("nbr"), F.col("label").alias("lbl")),
+                edges.v == F.col("nbr"),
+            )
+            .groupBy("u")
+            .agg(F.min("lbl").alias("label"))
+            .select(F.col("u").alias("node"), "label")
         ).cache()
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        warnings.warn(
+            f"connected_components: no convergence witness after {max_iter} rounds; "
+            "a component wider than max_iter hops may carry split labels "
+            "(raise max_iter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
@@ -446,17 +535,33 @@ def with_perturbed_vectors(
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     min_cosine: float = 0.95,
-    block_col: str = "label",
+    block_col: str | None = None,
     round_digits: int | None = None,
+    n_planes: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
     """Vector near-duplicate pairs: cosine >= threshold, blocked.
 
-    Blocking on ``block_col`` (here the coarse label; in production an
-    LSH/IVF bucket id from ``similarity.lsh_bucket``) turns O(n^2) into
-    O(sum of block^2).  The cosine itself is a JVM-side fold — no UDF.
+    Blocking turns O(n^2) into O(sum of block^2).  Default
+    (``block_col=None``) is the production path: a sign-LSH bucket
+    computed from the vector itself (``similarity.lsh_bucket``) — no
+    label/metadata required, works on any unlabeled corpus.  Pass a
+    column name (e.g. a class label or IVF cell id) to block on an
+    existing coarse key instead; the LSH default trades a small recall
+    loss (a perturbed near-dup can land across a hyperplane — measured
+    in tests) for label-free scale.  The cosine itself is a JVM-side
+    fold — no UDF.
     """
-    e = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"), F.col(block_col).alias("blk")
+    if block_col is None:
+        from mapreduceimpl_spark.operators.similarity import lsh_bucket
+
+        src = lsh_bucket(embeddings, n_planes=n_planes, seed=seed)
+        blk = F.col("bucket")
+    else:
+        src = embeddings
+        blk = F.col(block_col)
+    e = src.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), blk.alias("blk")
     )
     a, b = e.alias("a"), e.alias("b")
     sim = cosine_similarity(F.col("a.v"), F.col("b.v"))

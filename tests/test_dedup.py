@@ -50,6 +50,40 @@ def test_minhash_recall_on_mutated_corpus(docs):
             assert r["est_jaccard"] >= 0.5
 
 
+def test_simhash_blocking_finds_cross_block_pairs(spark):
+    """Round-1 regression: a hamming-2 pair with one differing bit in
+    each 16-bit half shared neither half-block and was silently
+    dropped.  The (max_hamming + 1)-block scheme must find every pair
+    within the promised distance — planted signatures exercise
+    distances 2 and 3 spread across the old halves, plus a
+    distance-4 candidate that must be verified away."""
+    sigs = spark.createDataFrame(
+        [
+            (1, 0),
+            (2, (1 << 3) | (1 << 20)),              # d(1,2)=2, one bit per old half
+            (3, (1 << 5) | (1 << 13) | (1 << 27)),  # d(1,3)=3, spread over 3 blocks
+            (4, 0b1111 << 14),                      # d(1,4)=4 -> candidate, verified out
+        ],
+        ["doc_id", "simhash"],
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs_from_signatures(sigs, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 2
+    assert pairs[(1, 3)] == 3
+    assert (1, 4) not in pairs
+
+
+def test_simhash_block_ranges_cover_all_bits():
+    ranges = dedup.simhash_block_ranges(3, 32)
+    assert len(ranges) == 4
+    covered = sorted(
+        bit for off, width in ranges for bit in range(off, off + width)
+    )
+    assert covered == list(range(32))
+
+
 def test_simhash_exact_copy_distance_zero(docs):
     """An exact copy has the identical simhash (hamming 0)."""
     corpus = docs.unionByName(
@@ -78,13 +112,13 @@ def test_ngram_jaccard_self_similarity(docs):
 
 
 def test_embedding_neardup_finds_perturbed(embeddings):
-    """Exactly the perturbed-copy pairs whose true cosine clears the
-    threshold are returned — verified against a NumPy recomputation —
-    and no unrelated pair sneaks in."""
+    """Label-blocked mode: exactly the perturbed-copy pairs whose true
+    cosine clears the threshold are returned — verified against a
+    NumPy recomputation — and no unrelated pair sneaks in."""
     import numpy as np
 
     corpus = dedup.with_perturbed_vectors(embeddings, every=10)
-    pairs = dedup.embedding_neardup_pairs(corpus, min_cosine=0.9).collect()
+    pairs = dedup.embedding_neardup_pairs(corpus, min_cosine=0.9, block_col="label").collect()
 
     base = {
         r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
@@ -104,6 +138,62 @@ def test_embedding_neardup_finds_perturbed(embeddings):
     # blocking + threshold: every returned pair is a planted one
     assert len(pairs) == len(planted)
     assert all(r["cosine"] >= 0.9 for r in pairs)
+
+
+def test_embedding_neardup_lsh_default_recall(embeddings):
+    """The label-free default (sign-LSH bucket blocking) is the
+    production path: it must stay threshold-correct (no pair below
+    min_cosine) and recover a measured fraction of the label-blocked
+    reference pairs — the recall cost of not needing labels."""
+    corpus = dedup.with_perturbed_vectors(embeddings, every=10)
+    ref = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_neardup_pairs(
+            corpus, min_cosine=0.9, block_col="label"
+        ).collect()
+    }
+    got_rows = dedup.embedding_neardup_pairs(corpus, min_cosine=0.9).collect()
+    assert all(r["cosine"] >= 0.9 for r in got_rows)
+    got = {(r["vec_a"], r["vec_b"]) for r in got_rows}
+    recall = len(ref & got) / len(ref)
+    assert recall >= 0.5, f"LSH-bucket recall {recall} vs label blocking over {len(ref)} pairs"
+
+
+def test_ngram_stop_shingle_cap(spark):
+    """Docs that share ONLY a hot boilerplate shingle pair up without
+    the df cap and stop pairing with it; genuinely similar docs
+    (sharing a rare shingle) survive the cap."""
+    boiler = [(i, f"lorem ipsum dolor u{i} v{i} w{i}") for i in range(12)]
+    near = [(100, "aa bb cc dd"), (101, "aa bb cc ee")]
+    docs = spark.createDataFrame(boiler + near, ["doc_id", "text"])
+
+    uncapped = dedup.ngram_jaccard_pairs(docs, min_jaccard=0.1).collect()
+    boiler_pairs = [r for r in uncapped if r["doc_a"] < 100 and r["doc_b"] < 100]
+    assert len(boiler_pairs) == 12 * 11 // 2  # quadratic blowup on the hot shingle
+
+    capped = dedup.ngram_jaccard_pairs(docs, min_jaccard=0.1, max_shingle_df=5).collect()
+    assert [r for r in capped if r["doc_a"] < 100 and r["doc_b"] < 100] == []
+    kept = [(r["doc_a"], r["doc_b"]) for r in capped]
+    assert (100, 101) in kept  # rare-shingle pair survives
+
+
+def test_connected_components_bounded_cache_and_warning(spark):
+    """The label-propagation loop must not accumulate cached plans
+    (round-1 leak: one cache per round) and must warn when it exits
+    without a convergence witness."""
+    import pytest
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], ["doc_a", "doc_b"]
+    )
+    comp = dedup.connected_components(chain)
+    assert {r["component"] for r in comp.collect()} == {0}
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after - before <= 1  # only the final label set may stay cached
+
+    with pytest.warns(RuntimeWarning, match="no convergence witness"):
+        dedup.connected_components(chain, max_iter=2)
 
 
 def test_connected_components_known_graph(spark):
