@@ -156,6 +156,162 @@ def bpe_ish_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
+def _gram_strings(toks: F.Column, n: int) -> F.Column:
+    """Array of space-joined token n-grams (positional, not distinct)."""
+    if n == 1:
+        return toks
+    # guard: sequence(0, size-n) on a too-short doc is DESCENDING
+    # ([0, -1, ...]) in Spark, and slice(toks, 0, n) then errors —
+    # short docs simply have no n-grams
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1):
+    fraction of tokens taken by the most frequent unigram / bigram, and
+    the fraction of duplicate trigrams.  Boilerplate-heavy and
+    degenerate (looping) documents score high and are dropped.
+
+    Output per doc: n_tokens, top_unigram_frac, top_bigram_frac,
+    dup_trigram_frac, keep (all three under the standard thresholds).
+    Docs shorter than 3 tokens have no bi/trigrams; their fractions
+    coalesce to 0.0 (nothing repeats).
+
+    Scale: one tagged explode of all three gram streams → ONE
+    groupBy(doc, gram_type, gram) with map-side partial counts → ONE
+    groupBy(doc) with conditional aggregates.  Two shuffles total, both
+    keyed by doc-derived keys (uniform), regardless of corpus size.
+    All ratios are single divisions of exact integer counts —
+    bit-identical across engines.
+    """
+    pre = docs.select("doc_id", tokens("text").alias("__toks"))
+    grams = None
+    for gtype in (1, 2, 3):
+        g = pre.select(
+            "doc_id",
+            F.lit(gtype).alias("gtype"),
+            F.explode(_gram_strings(F.col("__toks"), gtype)).alias("gram"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    per_gram = grams.groupBy("doc_id", "gtype", "gram").agg(F.count("*").alias("cnt"))
+    is1, is2, is3 = (F.col("gtype") == i for i in (1, 2, 3))
+    stats = per_gram.groupBy("doc_id").agg(
+        F.max(F.when(is1, F.col("cnt"))).alias("top_uni"),
+        F.sum(F.when(is1, F.col("cnt"))).alias("n_uni"),
+        F.max(F.when(is2, F.col("cnt"))).alias("top_bi"),
+        F.sum(F.when(is2, F.col("cnt"))).alias("n_bi"),
+        F.sum(F.when(is3, F.col("cnt"))).alias("n_tri"),
+        F.count(F.when(is3, F.lit(1))).alias("tri_distinct"),
+    )
+    top_uni_frac = F.coalesce(
+        F.col("top_uni").cast("double") / F.col("n_uni").cast("double"), F.lit(0.0)
+    )
+    top_bi_frac = F.coalesce(
+        F.col("top_bi").cast("double") / F.col("n_bi").cast("double"), F.lit(0.0)
+    )
+    dup_tri_frac = F.coalesce(
+        (F.col("n_tri") - F.col("tri_distinct")).cast("double")
+        / F.col("n_tri").cast("double"),
+        F.lit(0.0),
+    )
+    return stats.select(
+        "doc_id",
+        F.col("n_uni").cast("long").alias("n_tokens"),
+        top_uni_frac.alias("top_unigram_frac"),
+        top_bi_frac.alias("top_bigram_frac"),
+        dup_tri_frac.alias("dup_trigram_frac"),
+        (
+            (top_uni_frac <= 0.30) & (top_bi_frac <= 0.20) & (dup_tri_frac <= 0.30)
+        ).alias("keep"),
+    )
+
+
+# Simple, RE2-and-Java-compatible PII patterns (both engines use the
+# same syntax subset: character classes, bounded repeats, alternation).
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII redaction pass: replace email addresses and phone-shaped
+    numbers with typed placeholders, and count what was removed — the
+    audit trail a training-data pipeline keeps per document.
+
+    Purely scalar regexp_replace/regexp_count — fused into the scan by
+    whole-stage codegen, zero shuffles at any scale.  Patterns are
+    restricted to the RE2/Java-common syntax subset so the DuckDB
+    oracle runs the identical expressions.
+    """
+    email, phone = F.lit(PII_EMAIL_PATTERN), F.lit(PII_PHONE_PATTERN)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, F.lit("<EMAIL>")),
+        phone,
+        F.lit("<PHONE>"),
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("clean_text"),
+        F.regexp_count(F.col("text"), email).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), phone).cast("long").alias("n_phones"),
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination detection: flag training documents that
+    share any n-token shingle (default 13-gram-style n=8) with an
+    evaluation set — the standard decontamination pass before training.
+
+    ``benchmark``: (doc_id, text) eval documents.  Default (None) uses
+    the deterministic fixture subset ``doc_id % 97 == 0`` as a stand-in
+    eval set (production passes the real benchmark table); those docs
+    are excluded from the scored output.
+
+    Scale: the benchmark shingle set is tiny relative to the corpus —
+    broadcast inner-join against the corpus shingle stream (md5 keys,
+    uniform), then one groupBy(doc).  The corpus side never shuffles
+    for the join itself.
+    """
+    from mapreduceimpl_spark.operators.dedup import ngram_shingles
+
+    if benchmark is None:
+        benchmark = docs.filter((F.col(id_col) % 97) == 0)
+        corpus = docs.filter((F.col(id_col) % 97) != 0)
+    else:
+        corpus = docs
+    bench_sh = (
+        ngram_shingles(benchmark, n=n, id_col=id_col, text_col=text_col)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = ngram_shingles(corpus, n=n, id_col=id_col, text_col=text_col)
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+        .withColumn("is_contaminated", F.col("n_contaminated") > 0)
+    )
+
+
 def fingerprint_winnow(docs: DataFrame, k: int = 5, window: int = 4) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03).
 

@@ -62,3 +62,74 @@ def test_fingerprint_subset_of_shingle_hashes(docs):
     # winnowing compresses: selected << total shingles
     total_sh = docs.select(F.sum(F.size(F.split("text", " ")) - 4)).collect()[0][0]
     assert fp.count() < total_sh
+
+
+def test_repetition_stats_flags_degenerate_docs(spark):
+    """A looping document scores high on every repetition metric and is
+    dropped; a diverse document keeps low fractions and survives."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "buy now buy now buy now buy now"),
+            (3, "the quick brown fox jumps over a lazy dog tonight"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text_analysis.repetition_stats(docs).collect()}
+    assert rows[1]["top_unigram_frac"] == 1.0
+    assert rows[1]["dup_trigram_frac"] > 0.5
+    assert not rows[1]["keep"]
+    assert rows[2]["top_bigram_frac"] > 0.5
+    assert not rows[2]["keep"]
+    assert rows[3]["top_unigram_frac"] <= 0.2
+    assert rows[3]["dup_trigram_frac"] == 0.0
+    assert rows[3]["keep"]
+
+
+def test_repetition_stats_short_docs_zero_not_null(spark):
+    """Docs too short for bi/trigrams coalesce those fractions to 0.0
+    (nothing repeats) instead of null-poisoning the keep flag."""
+    docs = spark.createDataFrame([(1, "solo"), (2, "two words")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in text_analysis.repetition_stats(docs).collect()}
+    assert rows[1]["dup_trigram_frac"] == 0.0
+    assert rows[1]["top_bigram_frac"] == 0.0
+    assert rows[2]["dup_trigram_frac"] == 0.0
+    assert rows[1]["keep"] is not None
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact alice@example.com or bob.smith@corp.co.uk today"),
+            (2, "call 555-123-4567 or +1 555 987 6543 now"),
+            (3, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text_analysis.pii_scrub(docs).collect()}
+    assert rows[1]["n_emails"] == 2
+    assert "<EMAIL>" in rows[1]["clean_text"]
+    assert "alice@example.com" not in rows[1]["clean_text"]
+    assert rows[2]["n_phones"] >= 1
+    assert "<PHONE>" in rows[2]["clean_text"]
+    assert "555-123-4567" not in rows[2]["clean_text"]
+    assert rows[3]["clean_text"] == "no pii here at all"
+    assert rows[3]["n_emails"] == 0 and rows[3]["n_phones"] == 0
+
+
+def test_contamination_check_finds_planted_overlap(spark):
+    """A training doc sharing an 8-gram with the benchmark set is
+    flagged; disjoint docs are not; benchmark docs are excluded."""
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    docs = spark.createDataFrame(
+        [
+            (0, bench_text),                                      # doc_id % 97 == 0 -> benchmark
+            (1, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"),
+            (2, "completely different words with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text_analysis.contamination_check(docs).collect()}
+    assert 0 not in rows  # benchmark docs excluded from scoring
+    assert rows[1]["is_contaminated"] and rows[1]["n_contaminated"] >= 1
+    assert not rows[2]["is_contaminated"] and rows[2]["n_contaminated"] == 0
