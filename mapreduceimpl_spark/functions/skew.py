@@ -45,6 +45,11 @@ def explode_salts(df: DataFrame, n_salts: int) -> DataFrame:
     )
 
 
+_SALTED_JOIN_HOWS = frozenset(
+    {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+)
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,
@@ -55,7 +60,17 @@ def salted_join(
     """Equi-join with the hot-key pressure spread over ``n_salts``
     reducers.  Result is identical to ``large.join(small, on, how)``
     (asserted in tests); only the shuffle distribution changes.
+
+    ``how`` is restricted to inner/left/semi/anti: for right or full
+    outer joins the exploded small side would emit each UNMATCHED
+    small-side row once per salt value (n_salts phantom rows), so those
+    modes are rejected rather than silently wrong.
     """
+    if how not in _SALTED_JOIN_HOWS:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the replicated small side "
+            f"would duplicate unmatched rows; use one of {sorted(_SALTED_JOIN_HOWS)}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     l_salted = add_salt(large, n_salts)
     s_salted = explode_salts(small, n_salts)

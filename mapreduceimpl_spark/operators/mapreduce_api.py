@@ -106,11 +106,14 @@ class MapReduceJob:
             .write.mode("overwrite")
             .text(output_dir)
         )
-        files = [
-            r["f"]
-            for r in self._spark.read.text(output_dir)
-            .select(F.input_file_name().alias("f"))
-            .distinct()
-            .collect()
-        ]
-        return sorted(files)
+        # list part files from the filesystem (Hadoop FS API, so any
+        # scheme works) — re-reading with input_file_name() would omit
+        # EMPTY part files, returning < R paths where the reference
+        # always returns R reducer files (mp/master.go:112-117)
+        jvm_path = self._spark._jvm.org.apache.hadoop.fs.Path(output_dir)
+        fs = jvm_path.getFileSystem(self._spark.sparkContext._jsc.hadoopConfiguration())
+        return sorted(
+            status.getPath().toString()
+            for status in fs.listStatus(jvm_path)
+            if status.getPath().getName().startswith("part-")
+        )

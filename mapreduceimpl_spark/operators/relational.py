@@ -44,8 +44,10 @@ def q_filter_project(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def q_scalar_case(t: dict[str, DataFrame]) -> DataFrame:
-    """CASE-WHEN bucketing + aggregation."""
+def q_scalar_case_date(t: dict[str, DataFrame]) -> DataFrame:
+    """CASE-WHEN bucketing x date-part extraction + aggregation
+    (merged from the round-1 scalar_case + scalar_date entries so both
+    scalar families share one driver-verified catalog slot)."""
     o = t["orders"]
     bucket = (
         F.when(F.col("o_totalprice") < 1000, "small")
@@ -53,8 +55,12 @@ def q_scalar_case(t: dict[str, DataFrame]) -> DataFrame:
         .otherwise("large")
     )
     return (
-        o.select(bucket.alias("bucket"))
-        .groupBy("bucket")
+        o.select(
+            bucket.alias("bucket"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .groupBy("bucket", "yr", "mo")
         .agg(F.count("*").alias("cnt"))
     )
 
@@ -86,12 +92,19 @@ def q_pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def q_agg_multikey(t: dict[str, DataFrame]) -> DataFrame:
+    """Multi-key, multi-aggregate GROUP BY, including sample
+    stddev/variance (merged from the round-1 stats_stddev entry).
+    Moments are rounded to 6 decimals: parallel vs single-pass moment
+    accumulation differs at ~1e-16 relative — far below 6 decimals."""
     li = t["lineitem"]
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("cnt"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
         dec_sum("l_extendedprice").alias("sum_price"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.stddev_samp("l_tax"), 6).alias("sd_tax"),
     )
 
 
@@ -362,9 +375,17 @@ def q_funnel(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def q_window_rank(t: dict[str, DataFrame]) -> DataFrame:
-    """Top-3 orders per customer: rank + row_number with unique tiebreak."""
+    """Top-3 orders per customer: rank + row_number with unique
+    tiebreak, plus a value-based RANGE frame count (merged from the
+    round-1 window_range_frame entry — same o_custkey partitioning, so
+    both window specs share one Exchange)."""
     o = t["orders"]
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
     return (
         o.select(
             "o_custkey",
@@ -372,37 +393,40 @@ def q_window_rank(t: dict[str, DataFrame]) -> DataFrame:
             "o_totalprice",
             F.row_number().over(w).cast("long").alias("rn"),
             F.rank().over(w).cast("long").alias("rnk"),
+            F.count("*").over(wr).alias("n_similar_price"),
         )
         .filter(F.col("rn") <= 3)
     )
 
 
-def q_window_lag(t: dict[str, DataFrame]) -> DataFrame:
-    """Per-user event deltas via LAG (unique tiebreak on event_id)."""
+def q_window_analytics(t: dict[str, DataFrame]) -> DataFrame:
+    """One-pass per-user window analytics over events: LAG deltas,
+    running/moving counts, ntile, first/last value, percent_rank and
+    cume_dist (merged from the round-1 window_lag + window_running +
+    window_firstlast entries).  Every spec shares the same
+    (user_id; ts, event_id) partitioning and ordering, so Catalyst
+    plans ONE Exchange + ONE Sort for all eleven window columns.
+
+    Counts (not float sums) keep the frame aggregation engine-portable.
+    """
     e = t["events"]
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    w3 = w.rowsBetween(-2, 0)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return e.select(
         "user_id",
         "event_id",
         "value",
         F.lag("value", 1).over(w).alias("prev_value"),
         (F.col("value") - F.coalesce(F.lag("value", 1).over(w), F.lit(0.0))).alias("delta"),
-    )
-
-
-def q_window_running(t: dict[str, DataFrame]) -> DataFrame:
-    """Running count + moving 3-row count frame per user.
-
-    Counts (not float sums) keep the frame aggregation engine-portable.
-    """
-    e = t["events"]
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return e.select(
-        "user_id",
-        "event_id",
-        F.count("*").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("running_n"),
-        F.count("*").over(w.rowsBetween(-2, 0)).alias("window3_n"),
+        F.count("*").over(run).alias("running_n"),
+        F.count("*").over(w3).alias("window3_n"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.first("event_type").over(full).alias("first_type"),
+        F.last("event_type").over(full).alias("last_type"),
+        F.round(F.percent_rank().over(w), 8).alias("pr"),
+        F.round(F.cume_dist().over(w), 8).alias("cd"),
     )
 
 
@@ -453,12 +477,44 @@ def q_set_except(t: dict[str, DataFrame]) -> DataFrame:
     return any_cust.exceptAll(big).groupBy("o_custkey").agg(F.count("*").alias("cnt"))
 
 
+def q_set_ops(t: dict[str, DataFrame]) -> DataFrame:
+    """All four set operators in one tagged, value-checked result
+    (merged from the round-1 set_union / set_intersect / set_except /
+    set_intersect_all entries so the whole §2.7 family shares one
+    driver-verified catalog slot).  Each branch keeps its full value
+    output, aligned to (op, key, cnt)."""
+    union_part = q_set_union(t).select(
+        F.lit("union_all").alias("op"),
+        F.col("o_orderstatus").alias("key"),
+        F.col("cnt"),
+    )
+    inter = q_set_intersect(t).select(
+        F.lit("intersect").alias("op"),
+        F.col("o_custkey").cast("string").alias("key"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    inter_all = q_set_intersect_all(t).select(
+        F.lit("intersect_all").alias("op"),
+        F.col("o_custkey").cast("string").alias("key"),
+        F.col("cnt"),
+    )
+    exc = q_set_except(t).select(
+        F.lit("except_all").alias("op"),
+        F.col("o_custkey").cast("string").alias("key"),
+        F.col("cnt"),
+    )
+    return union_part.unionByName(inter).unionByName(inter_all).unionByName(exc)
+
+
 # ---------------------------------------------------------------------------
 # scalar functions  (SURVEY §2.8)
 # ---------------------------------------------------------------------------
 
 
 def q_scalar_string(t: dict[str, DataFrame]) -> DataFrame:
+    """String scalar functions + LIKE/prefix/suffix/contains predicates
+    (merged from the round-1 like_patterns entry — one projection pass
+    over part exercises the whole §2.8 string surface)."""
     p = t["part"]
     return p.select(
         "p_partkey",
@@ -467,27 +523,22 @@ def q_scalar_string(t: dict[str, DataFrame]) -> DataFrame:
         F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
         F.length("p_name").cast("long").alias("name_len"),
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.col("p_name").like("%gold%").alias("has_gold"),
+        F.col("p_type").startswith("STANDARD").alias("is_standard"),
+        F.col("p_name").endswith("d").alias("ends_d"),
+        F.col("p_brand").contains("#1").alias("brand1x"),
     )
 
 
-def q_scalar_date(t: dict[str, DataFrame]) -> DataFrame:
-    o = t["orders"]
-    return (
-        o.select(
-            F.year("o_orderdate").cast("long").alias("yr"),
-            F.month("o_orderdate").cast("long").alias("mo"),
-        )
-        .groupBy("yr", "mo")
-        .agg(F.count("*").alias("cnt"))
-    )
-
-
-def q_scalar_math(t: dict[str, DataFrame]) -> DataFrame:
-    li = t["lineitem"]
-    # round() is demoed on an irrational value (sqrt) — money-like
-    # values hit exact decimal halfway points where Spark (HALF_UP) and
-    # other engines (round-half-even/away) legitimately differ.
-    return li.select(
+def q_scalar_math_date(t: dict[str, DataFrame]) -> DataFrame:
+    """Math scalar functions + date arithmetic in one projection over
+    lineitem x orders (merged from the round-1 scalar_math + date_arith
+    entries).  round() is demoed on an irrational value (sqrt) —
+    money-like values hit exact decimal halfway points where Spark
+    (HALF_UP) and other engines (round-half-even/away) legitimately
+    differ."""
+    li, o = t["lineitem"], t["orders"]
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
         "l_orderkey",
         F.col("l_linenumber").cast("long").alias("l_linenumber"),
         F.abs(F.col("l_quantity") - 25.0).alias("dev"),
@@ -496,6 +547,8 @@ def q_scalar_math(t: dict[str, DataFrame]) -> DataFrame:
         F.ceil(F.col("l_tax") * 100).cast("long").alias("tax_pct"),
         (F.col("l_orderkey") % 7).cast("long").alias("mod7"),
         F.round(F.sqrt("l_quantity"), 3).alias("sqrt_qty"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("ship_delay_days"),
+        F.date_add(F.col("o_orderdate"), 30).cast("string").alias("promise_date"),
     )
 
 
@@ -583,50 +636,6 @@ def q_null_handling(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def q_like_patterns(t: dict[str, DataFrame]) -> DataFrame:
-    """LIKE / prefix / suffix / contains predicates."""
-    p = t["part"]
-    return p.select(
-        "p_partkey",
-        F.col("p_name").like("%gold%").alias("has_gold"),
-        F.col("p_type").startswith("STANDARD").alias("is_standard"),
-        F.col("p_name").endswith("d").alias("ends_d"),
-        F.col("p_brand").contains("#1").alias("brand1x"),
-    )
-
-
-def q_window_range(t: dict[str, DataFrame]) -> DataFrame:
-    """RANGE frame (value-based, deterministic under ties): number of
-    same-customer orders within 1000 of this order's price."""
-    o = t["orders"]
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_totalprice")
-        .rangeBetween(-1000, 1000)
-    )
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        F.count("*").over(w).alias("n_similar_price"),
-    )
-
-
-def q_window_firstlast(t: dict[str, DataFrame]) -> DataFrame:
-    """first/last/nth value + percent_rank/cume_dist over a total
-    per-user event ordering."""
-    e = t["events"]
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return e.select(
-        "user_id",
-        "event_id",
-        F.first("event_type").over(full).alias("first_type"),
-        F.last("event_type").over(full).alias("last_type"),
-        F.round(F.percent_rank().over(w), 8).alias("pr"),
-        F.round(F.cume_dist().over(w), 8).alias("cd"),
-    )
-
-
 def q_subquery_corr(t: dict[str, DataFrame]) -> DataFrame:
     """Correlated scalar subquery (Catalyst decorrelates to a join):
     orders 50% above their customer's decimal-exact average."""
@@ -658,20 +667,6 @@ def q_array_agg(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def q_date_arith(t: dict[str, DataFrame]) -> DataFrame:
-    """Date arithmetic: ship delay in days + a +30d promise date."""
-    li, o = t["lineitem"], t["orders"]
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            "l_orderkey",
-            F.col("l_linenumber").cast("long").alias("l_linenumber"),
-            F.datediff("l_shipdate", "o_orderdate").cast("long").alias("ship_delay_days"),
-            F.date_add(F.col("o_orderdate"), 30).cast("string").alias("promise_date"),
-        )
-    )
-
-
 def q_percentile(t: dict[str, DataFrame]) -> DataFrame:
     """Exact interpolated percentiles (SortAggregate path).  l_quantity
     is integer-valued, so the interpolation points are binary-exact."""
@@ -680,18 +675,6 @@ def q_percentile(t: dict[str, DataFrame]) -> DataFrame:
         F.expr("percentile(l_quantity, 0.25)").alias("p25"),
         F.expr("percentile(l_quantity, 0.5)").alias("p50"),
         F.expr("percentile(l_quantity, 0.75)").alias("p75"),
-        F.count("*").alias("n"),
-    )
-
-
-def q_stats(t: dict[str, DataFrame]) -> DataFrame:
-    """Sample stddev/variance (rounded: parallel vs single-pass moment
-    accumulation differs at ~1e-16 relative — far below 6 decimals)."""
-    li = t["lineitem"]
-    return li.groupBy("l_linestatus").agg(
-        F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
-        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
-        F.round(F.stddev_samp("l_tax"), 6).alias("sd_tax"),
         F.count("*").alias("n"),
     )
 
@@ -740,36 +723,60 @@ def q_asof_join(t: dict[str, DataFrame]) -> DataFrame:
     """As-of join: each 'click' event matched to the latest prior-or-equal
     'view' event of the same user.
 
-    Spark lacks a native ASOF JOIN; the idiomatic composition is a
-    range join + per-left-row MAX(right.ts), then a window to pick the
-    match — two shuffles on user_id, both AQE-coalesced.  (DuckDB has
-    native ``ASOF JOIN``, used as the oracle.)
+    Spark lacks a native ASOF JOIN; the scale-safe formulation is a
+    SINGLE window pass — union both event kinds in one stream ordered
+    by (ts, views-first), carry ``last(view ts, ignorenulls)`` forward,
+    then keep the clicks.  One Exchange on user_id, strictly linear.
+    (The round-1 range-join + row_number formulation materialized
+    V x C rows per user before discarding — a skew amplifier for power
+    users at 100 TB.)  Views sort before clicks at equal ts so a
+    same-timestamp view still matches (the <= semantics of ASOF).
+    DuckDB's native ``ASOF JOIN`` semantics are the oracle.
+    """
+    e = t["events"].filter(F.col("event_type").isin("view", "click"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            "ts",
+            F.when(F.col("event_type") == "view", 0).otherwise(1),
+            "event_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("matched_view_ts", last_view.cast("string"))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            "matched_view_ts",
+        )
+    )
+
+
+def q_events_session_native(t: dict[str, DataFrame]) -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE session_window
+    operator (30-min inactivity gap) — the same operator Structured
+    Streaming uses for stateful session windows, here in batch.  Spark
+    merges an event into the open session iff its ts < previous ts +
+    gap (sessions are [start, end) intervals); session end = last
+    event ts + gap.
+
+    Complements ``q_events_sessionize`` (the portable cumsum
+    formulation): this entry proves the native operator itself against
+    a DuckDB replica of those exact merge semantics.
     """
     e = t["events"]
-    clicks = e.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id"),
-        F.col("ts").alias("click_ts"),
-    )
-    views = e.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user_id"),
-        F.col("ts").alias("view_ts"),
-        F.col("event_id").alias("view_event_id"),
-    )
-    joined = clicks.join(
-        views,
-        (clicks.user_id == views.v_user_id) & (views.view_ts <= clicks.click_ts),
-        "left",
-    )
-    w = Window.partitionBy("click_id").orderBy(
-        F.desc("view_ts"), F.desc("view_event_id")
-    )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
         .select(
-            "click_id",
             "user_id",
-            F.col("view_ts").cast("string").alias("matched_view_ts"),
+            F.col("sw.start").cast("string").alias("session_start"),
+            F.col("sw.end").cast("string").alias("session_end"),
+            "n_events",
         )
     )

@@ -107,6 +107,26 @@ def test_sessionize_single_shuffle(tables):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_asof_join_single_window_pass(tables):
+    """The as-of join must be the one-Exchange window formulation —
+    no join operator, no V x C range-join expansion (round-1 review
+    item: the old plan materialized every prior view per click)."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(relational.q_asof_join(tables), "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_window_analytics_single_exchange(tables):
+    """All eleven window columns share (user_id; ts, event_id) — one
+    Exchange, no per-spec reshuffle."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(relational.q_window_analytics(tables), "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_ann_corpus_side_not_shuffled(embeddings):
     """brute_force_topk broadcasts the query side; the corpus scan
     must not appear under an Exchange before the join."""

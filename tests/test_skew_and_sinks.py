@@ -31,6 +31,18 @@ def test_salted_left_join_preserves_unmatched(spark):
     assert rows == {1: "r1", 2: None, 3: None}
 
 
+def test_salted_join_rejects_outer_modes(spark):
+    """right/full outer would emit each unmatched small-side row once
+    per salt — the helper must refuse instead of being silently wrong."""
+    import pytest
+
+    left = spark.createDataFrame([(1, "x")], ["k", "v"])
+    right = spark.createDataFrame([(2, "r")], ["k", "r"])
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="unsupported"):
+            salted_join(left, right, "k", how=how)
+
+
 def test_two_phase_agg_matches_direct(tables):
     direct = (
         tables["orders"]
