@@ -84,7 +84,7 @@ def main() -> int:
         t1 = time.time()
         if spec.oracle is None:
             print(f"ok   {name}: rows={len(sdf)} (rows-only, {t1 - t0:.1f}s)")
-            if len(sdf) == 0 and name != "dedup_simhash_pairs":
+            if len(sdf) == 0:
                 print(f"     WARNING {name}: 0 rows")
             continue
         try:
