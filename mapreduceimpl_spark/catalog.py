@@ -886,19 +886,29 @@ SPECS: dict[str, QuerySpec] = {
            WHERE EXISTS (SELECT 1 FROM orders
                          WHERE o_custkey = c_custkey AND o_totalprice > 100000)""",
     ),
-    "join_anti": QuerySpec(
-        _rel(relational.q_join_anti),
-        """SELECT c_custkey, c_name, c_mktsegment FROM customer
-           WHERE NOT EXISTS (SELECT 1 FROM orders
-                             WHERE o_custkey = c_custkey AND o_totalprice > 80000)""",
+    "scalar_case_date": QuerySpec(
+        _rel(relational.q_scalar_case_date),
+        """SELECT CASE WHEN o_totalprice < 1000 THEN 'small'
+                       WHEN o_totalprice < 10000 THEN 'medium'
+                       ELSE 'large' END AS bucket,
+                  CAST(year(o_orderdate) AS BIGINT) AS yr,
+                  CAST(month(o_orderdate) AS BIGINT) AS mo,
+                  COUNT(*) AS cnt
+           FROM orders GROUP BY 1, 2, 3""",
+        doc="CASE bucketing x date parts (merged round-1 scalar_case + scalar_date)",
     ),
-    "join_full": QuerySpec(
-        _rel(relational.q_join_full),
-        """SELECT CAST(COALESCE(c.k, s.k) AS BIGINT) AS nationkey,
-                  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
-           FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
-           FULL JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
-             ON c.k = s.k""",
+    "scalar_string": QuerySpec(
+        _rel(relational.q_scalar_string),
+        """SELECT p_partkey, UPPER(p_brand) AS brand_u, substr(p_name, 1, 8) AS name8,
+                  concat_ws('/', p_brand, p_type) AS brand_type,
+                  CAST(length(p_name) AS BIGINT) AS name_len,
+                  replace(p_type, ' ', '_') AS type_snake,
+                  p_name LIKE '%gold%' AS has_gold,
+                  p_type LIKE 'STANDARD%' AS is_standard,
+                  p_name LIKE '%d' AS ends_d,
+                  contains(p_brand, '#1') AS brand1x
+           FROM part""",
+        doc="string scalars + LIKE predicates (merged round-1 like_patterns)",
     ),
     "join_broadcast": QuerySpec(
         _rel(relational.q_join_broadcast),
@@ -907,12 +917,19 @@ SPECS: dict[str, QuerySpec] = {
             GROUP BY n_name""",
         bench=True,
     ),
-    "join_theta": QuerySpec(
-        _rel(relational.q_join_theta),
-        f"""SELECT p_brand, COUNT(*) AS cnt,
-                   {_dec_sum('l_extendedprice * (1 - l_discount)', 'rev')}
-            FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
-            GROUP BY p_brand""",
+    "scalar_math_date": QuerySpec(
+        _rel(relational.q_scalar_math_date),
+        """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                  abs(l_quantity - 25.0) AS dev,
+                  CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS price_h,
+                  CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct,
+                  CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct,
+                  l_orderkey % 7 AS mod7,
+                  round(sqrt(l_quantity), 3) AS sqrt_qty,
+                  CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS ship_delay_days,
+                  CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS promise_date
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+        doc="math scalars + date arithmetic (merged round-1 scalar_math + date_arith)",
     ),
     "shipping_priority": QuerySpec(
         _rel(relational.q_shipping_priority),
@@ -1032,16 +1049,11 @@ SPECS: dict[str, QuerySpec] = {
         _rel(relational.q_join_cross),
         "SELECT r_name, n_name FROM region CROSS JOIN (SELECT n_name FROM nation) n",
     ),
-    "scalar_case_date": QuerySpec(
-        _rel(relational.q_scalar_case_date),
-        """SELECT CASE WHEN o_totalprice < 1000 THEN 'small'
-                       WHEN o_totalprice < 10000 THEN 'medium'
-                       ELSE 'large' END AS bucket,
-                  CAST(year(o_orderdate) AS BIGINT) AS yr,
-                  CAST(month(o_orderdate) AS BIGINT) AS mo,
-                  COUNT(*) AS cnt
-           FROM orders GROUP BY 1, 2, 3""",
-        doc="CASE bucketing x date parts (merged round-1 scalar_case + scalar_date)",
+    "join_anti": QuerySpec(
+        _rel(relational.q_join_anti),
+        """SELECT c_custkey, c_name, c_mktsegment FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders
+                             WHERE o_custkey = c_custkey AND o_totalprice > 80000)""",
     ),
     "grouping_sets": QuerySpec(
         _rel(relational.q_grouping_sets),
@@ -1049,32 +1061,20 @@ SPECS: dict[str, QuerySpec] = {
            FROM orders
            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
     ),
-    "scalar_string": QuerySpec(
-        _rel(relational.q_scalar_string),
-        """SELECT p_partkey, UPPER(p_brand) AS brand_u, substr(p_name, 1, 8) AS name8,
-                  concat_ws('/', p_brand, p_type) AS brand_type,
-                  CAST(length(p_name) AS BIGINT) AS name_len,
-                  replace(p_type, ' ', '_') AS type_snake,
-                  p_name LIKE '%gold%' AS has_gold,
-                  p_type LIKE 'STANDARD%' AS is_standard,
-                  p_name LIKE '%d' AS ends_d,
-                  contains(p_brand, '#1') AS brand1x
-           FROM part""",
-        doc="string scalars + LIKE predicates (merged round-1 like_patterns)",
+    "join_full": QuerySpec(
+        _rel(relational.q_join_full),
+        """SELECT CAST(COALESCE(c.k, s.k) AS BIGINT) AS nationkey,
+                  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+           FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+           FULL JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+             ON c.k = s.k""",
     ),
-    "scalar_math_date": QuerySpec(
-        _rel(relational.q_scalar_math_date),
-        """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-                  abs(l_quantity - 25.0) AS dev,
-                  CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS price_h,
-                  CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct,
-                  CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct,
-                  l_orderkey % 7 AS mod7,
-                  round(sqrt(l_quantity), 3) AS sqrt_qty,
-                  CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS ship_delay_days,
-                  CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS promise_date
-           FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
-        doc="math scalars + date arithmetic (merged round-1 scalar_math + date_arith)",
+    "join_theta": QuerySpec(
+        _rel(relational.q_join_theta),
+        f"""SELECT p_brand, COUNT(*) AS cnt,
+                   {_dec_sum('l_extendedprice * (1 - l_discount)', 'rev')}
+            FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+            GROUP BY p_brand""",
     ),
     "json_extract": QuerySpec(
         _rel(relational.q_json_extract),
