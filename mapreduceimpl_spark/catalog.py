@@ -33,8 +33,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduceimpl_spark.operators import dedup, kmeans, multimodal, relational
-from mapreduceimpl_spark.operators import similarity, text_analysis, udf_surface, wordcount
+from mapreduceimpl_spark.operators import dedup, kmeans, multimodal, packing, relational
+from mapreduceimpl_spark.operators import sampling, similarity, text_analysis, udf_surface, wordcount
 from mapreduceimpl_spark.sources import load_table, load_tables
 
 # --- shared SQL fragments (mirror functions/exprs.py exactly) -------------
@@ -60,6 +60,41 @@ def _shingle_list(n: int) -> str:
         f"list_distinct(list_transform(range(0, len({_TOKS}) - {n - 1}), "
         f"i -> md5(array_to_string({_TOKS}[i + 1 : i + {n}], ' '))))"
     )
+
+
+# md5-hash uniforms (mirror sampling.hash_uniform)
+_UNIFORM = sampling.hash_uniform_sql("doc_id")
+_UNIFORM_D = sampling.hash_uniform_sql("d.doc_id")
+
+# greedy first-fit packing replayed as a linear recursive CTE: each
+# iteration advances every (lang, shard) group by one document in
+# doc_id order, carrying (bin_id, bin_fill) forward — the exact
+# recurrence pack_greedy runs imperatively inside applyInPandas.
+_SEQ_PACK_ORACLE = f"""
+WITH RECURSIVE sized AS (
+  SELECT CAST(lang AS VARCHAR) AS group_key,
+         CAST(floor(({_UNIFORM}) * 4) AS BIGINT) AS shard,
+         doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY group_key, shard ORDER BY doc_id) AS rn
+  FROM sized
+),
+packed AS (
+  SELECT group_key, shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.group_key, o.shard, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN p.bin_fill + o.n_tokens <= 256 THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.bin_fill + o.n_tokens <= 256 THEN p.bin_fill + o.n_tokens ELSE o.n_tokens END
+  FROM packed p JOIN ordered o
+    ON o.group_key = p.group_key AND o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT group_key, shard, doc_id, n_tokens, bin_id, bin_fill FROM packed
+"""
 
 
 # near-dup test corpus (mirror dedup.with_mutated_copies)
@@ -806,6 +841,104 @@ SPECS: dict[str, QuerySpec] = {
         _q_multimodal, _multimodal_oracle(),
         doc="binary-payload metadata extraction via mapInPandas (decode stubbed)",
     ),
+    "sample_stratified": QuerySpec(
+        lambda spark, sf_dir: sampling.stratified_sample(
+            load_table(spark, sf_dir, "documents"),
+            {"en": 0.5, "de": 0.25, "fr": 0.125, "zh": 0.0625},
+        ).select("doc_id", "lang", "source"),
+        f"""SELECT doc_id, lang, source FROM documents
+            WHERE {_UNIFORM} < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                                         WHEN 'fr' THEN 0.125 WHEN 'zh' THEN 0.0625
+                                         ELSE 0.0 END""",
+        doc="deterministic per-stratum hash sampling — exact row-set parity, "
+            "not just expected counts (new in round 2)",
+    ),
+    "domain_mix": QuerySpec(
+        lambda spark, sf_dir: sampling.domain_mix(
+            load_table(spark, sf_dir, "documents"),
+            {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1},
+        ).select("doc_id", "lang", "keep_rate"),
+        f"""WITH wts(lang, w) AS (VALUES ('de', 0.1), ('en', 0.4), ('es', 0.2),
+                                         ('fr', 0.1), ('zh', 0.2)),
+            counts AS (SELECT lang, COUNT(*) AS n FROM documents
+                       WHERE lang IN ('de', 'en', 'es', 'fr', 'zh') GROUP BY lang),
+            caps AS (SELECT c.lang, n / w AS cap FROM counts c JOIN wts USING (lang)),
+            rates AS (SELECT lang, LEAST(1.0, MIN(cap) OVER () / cap) AS keep_rate
+                      FROM caps)
+            SELECT d.doc_id, d.lang, r.keep_rate
+            FROM documents d JOIN rates r ON d.lang = r.lang
+            WHERE {_UNIFORM_D} < r.keep_rate""",
+        doc="target-proportion domain rebalancing: most-constrained stratum kept "
+            "in full, others hash-downsampled (new in round 2)",
+    ),
+    "seq_pack": QuerySpec(
+        lambda spark, sf_dir: packing.pack_greedy(
+            load_table(spark, sf_dir, "documents"), budget=256, n_shards=4
+        ),
+        _SEQ_PACK_ORACLE,
+        doc="greedy first-fit sequence packing into 256-token bins per "
+            "(lang, md5-shard); applyInPandas vs a recursive-CTE oracle "
+            "(new in round 2)",
+    ),
+    "embedding_quantize": QuerySpec(
+        lambda spark, sf_dir: similarity.quantize_embeddings(
+            load_table(spark, sf_dir, "embeddings")
+        ),
+        """WITH v AS (
+             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings
+           ),
+           s AS (
+             SELECT vec_id, v,
+                    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+             FROM v
+           ),
+           q AS (
+             SELECT vec_id, v, scale,
+                    list_transform(v, x ->
+                      CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                           ELSE CAST(greatest(-127, least(127, floor(x / scale + 0.5))) AS BIGINT)
+                      END) AS qv
+             FROM s
+           )
+           SELECT vec_id, scale,
+                  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+                  CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'sum') AS BIGINT) AS q_abs_sum,
+                  list_reduce(
+                    list_transform(range(1, len(v) + 1),
+                                   j -> (v[j] - qv[j] * scale) * (v[j] - qv[j] * scale)),
+                    (a, b) -> a + b) / len(v) AS mse
+           FROM q""",
+        doc="symmetric int8 quantization: scale + exact code checksums + MSE, "
+            "portable floor(x+0.5) rounding (new in round 2)",
+    ),
+    "tfidf_topterms": QuerySpec(
+        lambda spark, sf_dir: text_analysis.tfidf_top_terms(
+            load_table(spark, sf_dir, "documents"), k=3
+        ),
+        """WITH tf AS (
+             SELECT doc_id, term, COUNT(*) AS tf
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+             GROUP BY doc_id, term
+           ),
+           dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+           n AS (SELECT COUNT(*) AS n_docs FROM documents),
+           scored AS (
+             SELECT tf.doc_id, tf.term, tf.tf,
+                    round(tf.tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+             FROM tf JOIN dfreq USING (term) CROSS JOIN n
+           ),
+           ranked AS (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term ASC) AS rk
+             FROM scored
+           )
+           SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+                  CAST(rk AS BIGINT) AS rk
+           FROM ranked WHERE rk <= 3""",
+        doc="per-doc top-3 TF-IDF terms, scores rounded before ranking with "
+            "term tiebreak (new in round 2)",
+    ),
     # =====================================================================
     # window part 2: §2-critical relational surface (re-verified this
     # round; every entry below was also green in CORRECTNESS_r01.json)
@@ -850,41 +983,9 @@ SPECS: dict[str, QuerySpec] = {
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         doc="multi-aggregate GROUP BY incl. sample moments (merged round-1 stats_stddev)",
     ),
-    "agg_distinct": QuerySpec(
-        _rel(relational.q_agg_distinct),
-        """SELECT c_mktsegment, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
-                  COUNT(*) AS n_orders
-           FROM orders JOIN customer ON o_custkey = c_custkey
-           GROUP BY c_mktsegment""",
-    ),
-    "agg_rollup": QuerySpec(
-        _rel(relational.q_agg_rollup),
-        f"""SELECT r_name, n_name, COUNT(*) AS cnt, {_dec_sum('c_acctbal', 'sum_bal')}
-            FROM customer JOIN nation ON c_nationkey = n_nationkey
-                          JOIN region ON n_regionkey = r_regionkey
-            GROUP BY ROLLUP (r_name, n_name)""",
-    ),
     "agg_approx": QuerySpec(
         _rel(relational.q_agg_approx), None,
         doc="HLL approx_count_distinct — sketch values are engine-specific (rows-only check)",
-    ),
-    "join_inner": QuerySpec(
-        _rel(relational.q_join_inner),
-        """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
-           FROM orders JOIN customer ON o_custkey = c_custkey
-           WHERE o_totalprice > 50000""",
-    ),
-    "join_left": QuerySpec(
-        _rel(relational.q_join_left),
-        """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
-           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-           GROUP BY c_custkey""",
-    ),
-    "join_semi": QuerySpec(
-        _rel(relational.q_join_semi),
-        """SELECT c_custkey, c_name FROM customer
-           WHERE EXISTS (SELECT 1 FROM orders
-                         WHERE o_custkey = c_custkey AND o_totalprice > 100000)""",
     ),
     "scalar_case_date": QuerySpec(
         _rel(relational.q_scalar_case_date),
@@ -1031,6 +1132,38 @@ SPECS: dict[str, QuerySpec] = {
     # green hash-verified row in CORRECTNESS_r01.json; they rotate back
     # into the window in later rounds
     # =====================================================================
+    "agg_distinct": QuerySpec(
+        _rel(relational.q_agg_distinct),
+        """SELECT c_mktsegment, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+                  COUNT(*) AS n_orders
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment""",
+    ),
+    "agg_rollup": QuerySpec(
+        _rel(relational.q_agg_rollup),
+        f"""SELECT r_name, n_name, COUNT(*) AS cnt, {_dec_sum('c_acctbal', 'sum_bal')}
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)""",
+    ),
+    "join_inner": QuerySpec(
+        _rel(relational.q_join_inner),
+        """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE o_totalprice > 50000""",
+    ),
+    "join_left": QuerySpec(
+        _rel(relational.q_join_left),
+        """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey""",
+    ),
+    "join_semi": QuerySpec(
+        _rel(relational.q_join_semi),
+        """SELECT c_custkey, c_name FROM customer
+           WHERE EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_totalprice > 100000)""",
+    ),
     "lang_count": QuerySpec(
         _q_lang_count,
         "SELECT lang AS key, COUNT(*) AS cnt FROM documents GROUP BY lang",

@@ -1,0 +1,118 @@
+"""Sequence packing: greedy first-fit of documents into token budgets.
+
+Training batches want fixed-length token sequences; packing short
+documents together (instead of padding each to the max length) is the
+standard throughput win.  ``pack_greedy`` assigns every document to a
+bin such that bin token totals stay within ``budget``, walking each
+group's documents in doc_id order and opening a new bin whenever the
+next document would overflow the current one (a document larger than
+the whole budget gets a bin of its own).
+
+This is an inherently sequential recurrence — bin state depends on
+every previous document — so it is NOT expressible as a window
+function.  The Spark shape is ``applyInPandas`` over independent
+packing groups: each group's documents stream through one Python
+pass (Arrow-batched, O(group) memory in the worst case of one giant
+group, O(1) state otherwise).
+
+Scale: parallelism == number of packing groups.  Packing per
+``(stratum, shard)`` with ``n_shards`` hash shards makes the group
+count — and so the parallelism — a free parameter: shards are
+deterministic md5 buckets (engine-portable, mirrored by the DuckDB
+oracle), and packing quality within a shard is unaffected because
+greedy first-fit only ever inspects one bin.  At 100 TB pick
+n_shards ~ executor-cores so each shard packs a few GB.
+
+Reference parity: the reference has no packer; this extends the
+Map/Reduce surface the same way its partitioned sink does
+(``test.go:28-40`` — deterministic hash routing, then per-partition
+sequential writes).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduceimpl_spark.functions.exprs import tokens
+from mapreduceimpl_spark.operators.sampling import hash_uniform
+
+_PACK_SCHEMA = (
+    "group_key string, shard long, doc_id long, n_tokens long, "
+    "bin_id long, bin_fill long"
+)
+
+
+def _pack_one_group(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
+    pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    bin_id, fill = 0, 0
+    bins, fills = [], []
+    for n in pdf["n_tokens"]:
+        n = int(n)
+        if fill > 0 and fill + n > budget:
+            bin_id += 1
+            fill = 0
+        fill += n
+        bins.append(bin_id)
+        fills.append(fill)
+    pdf["bin_id"] = pd.Series(bins, dtype="int64")
+    pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+    return pdf
+
+
+def pack_greedy(
+    docs: DataFrame,
+    budget: int = 512,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    n_shards: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document a ``(group, shard, bin_id)`` packing slot.
+
+    Output: (group_key, shard, doc_id, n_tokens, bin_id, bin_fill)
+    where bin_fill is the running token total of the bin *after* this
+    document — the last document of a bin carries the bin's final
+    size.  Deterministic: doc order within a group is doc_id order and
+    shards are md5 buckets, so the assignment is reproducible across
+    runs, partitionings, and engines.
+    """
+    if budget <= 0:
+        raise ValueError(f"pack_greedy: budget must be positive, got {budget}")
+    # explicit floor: Spark's double->long cast truncates but DuckDB's
+    # rounds, so the oracle mirrors floor() on both sides
+    shard = F.floor(hash_uniform(F.col(id_col)) * n_shards).cast("long")
+    sized = docs.select(
+        F.col(group_col).cast("string").alias("group_key"),
+        shard.alias("shard"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _pack_one_group(pdf, budget)
+
+    return sized.groupBy("group_key", "shard").applyInPandas(pack, _PACK_SCHEMA)
+
+
+def packing_stats(packed: DataFrame, budget: int = 512) -> DataFrame:
+    """Per-group packing efficiency: bins used, mean fill ratio,
+    and the padding tokens a fixed-length batch would waste."""
+    bin_sizes = (
+        packed.groupBy("group_key", "shard", "bin_id")
+        .agg(F.max("bin_fill").alias("bin_tokens"), F.count("*").alias("n_docs"))
+    )
+    return (
+        bin_sizes.groupBy("group_key")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("bin_tokens").alias("total_tokens"),
+            F.sum(
+                F.when(
+                    F.col("bin_tokens") < budget, F.lit(budget) - F.col("bin_tokens")
+                ).otherwise(F.lit(0))
+            ).alias("padding_tokens"),
+        )
+    )

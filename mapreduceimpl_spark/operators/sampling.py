@@ -1,0 +1,120 @@
+"""Deterministic corpus sampling: stratified rates and domain mixing.
+
+Training-data pipelines sample constantly — per-language quotas,
+source up/down-weighting, debug subsets — and at 100 TB a sample must
+be (a) reproducible across reruns and engines (no ``rand()``) and
+(b) a narrow map over the scan (no shuffle just to sample).  Both
+operators here key every keep/drop decision off an md5 content hash
+of the row's id, mapped to a uniform [0, 1) value that DuckDB
+reproduces bit-exactly (``conv(hex, 16, 10)`` == DuckDB
+``CAST('0x' || hex AS BIGINT)``), so the *exact row set* — not just
+the expected size — is engine-independent and rerun-stable.
+
+The reference's data plane has no sampler; this extends its
+capability surface for the LLM-pipeline north star (the same role
+hash-mod partitioning plays in its sink, ``test.go:28-40``).
+
+Scale: ``stratified_sample`` is filter-only (zero shuffles, predicate
+evaluated in whole-stage codegen on the scan).  ``domain_mix`` adds
+one tiny aggregate (|distinct strata| rows) broadcast back onto the
+corpus — the corpus itself never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^32: the hash prefix is 8 hex digits.
+_HASH_SPAN = 4294967296.0
+
+
+def hash_uniform(col: Column) -> Column:
+    """Uniform [0, 1) from the first 8 md5 hex digits of ``col``.
+
+    Exact integer parse then ONE float division — both engines produce
+    the identical double for the identical input string.
+    """
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+        / F.lit(_HASH_SPAN)
+    )
+
+
+def hash_uniform_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`hash_uniform` for oracle SQL."""
+    return (
+        f"CAST('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8) AS BIGINT)"
+        f" / {_HASH_SPAN!r}"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically.
+
+    ``rates`` maps stratum value -> keep rate in [0, 1]; strata not
+    listed use ``default_rate`` (default: drop).  A row is kept iff
+    ``hash_uniform(key) < rate`` — rerun-stable, engine-portable, and
+    (unlike ``df.sample``) independent of partitioning, so the same
+    rows survive on a laptop and on a 1000-executor cluster.
+    """
+    rate: Column = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
+    return df.filter(hash_uniform(F.col(key_col)) < rate)
+
+
+def domain_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Downsample strata so the output matches target mix proportions.
+
+    ``weights`` maps stratum -> target share (need not sum to 1; only
+    ratios matter).  The most-constrained stratum m (min n_s / w_s) is
+    kept in full; every other stratum s is hash-downsampled at
+    ``rate_s = (w_s * (n_m / w_m)) / n_s`` so expected counts follow
+    the target ratios exactly.  Strata not in ``weights`` are dropped.
+    Output: the surviving rows plus their stratum's ``keep_rate``.
+
+    Scale: one groupBy over the corpus producing |strata| rows, a
+    global MIN window over those few rows, then a BROADCAST join back
+    onto the corpus — the corpus is scanned twice (count + filter) but
+    never shuffled.  At 100 TB prefer persisting per-stratum counts
+    from a previous pipeline stage and calling
+    :func:`stratified_sample` with precomputed rates.
+    """
+    from pyspark.sql import Window
+
+    target = df.filter(F.col(strata_col).isin(*weights))
+    w_expr: Column = F.lit(None).cast("double")
+    for value, wt in sorted(weights.items()):
+        w_expr = F.when(F.col(strata_col) == value, F.lit(float(wt))).otherwise(w_expr)
+
+    counts = (
+        target.groupBy(strata_col)
+        .agg(F.count("*").alias("n"))
+        .withColumn("w", w_expr)
+        .withColumn("cap", F.col("n") / F.col("w"))
+    )
+    # rate = scale / cap (== w * scale / n algebraically, but the
+    # most-constrained stratum divides its own cap by itself and gets
+    # EXACTLY 1.0 instead of a 1-ulp-under value)
+    rates = counts.withColumn(
+        "scale", F.min("cap").over(Window.partitionBy())
+    ).select(
+        strata_col,
+        F.least(F.lit(1.0), F.col("scale") / F.col("cap")).alias("keep_rate"),
+    )
+    return (
+        target.join(F.broadcast(rates), strata_col)
+        .filter(hash_uniform(F.col(key_col)) < F.col("keep_rate"))
+    )

@@ -252,3 +252,72 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector integer quantization + reconstruction audit.
+
+    The standard storage/bandwidth optimization for ANN at scale:
+    ``scale = max|v| / (2^(bits-1) - 1)``, ``q_i = clamp(round(v_i /
+    scale))`` — int8 shrinks a float32 corpus 4x and most ANN distance
+    work then runs on integers.  Output per vector: the scale, exact
+    integer checksums of the quantized codes (q_sum, q_abs_sum — these
+    pin the entire code vector for the oracle without shipping arrays),
+    and the mean squared reconstruction error.
+
+    Engine parity: round() is ``floor(x + 0.5)`` (identical in Spark
+    and DuckDB — their native round() rounding modes differ), the MSE
+    fold is sequential in array order with a 0.0 seed (IEEE-identical
+    across engines), and a zero vector quantizes to all-zero codes
+    rather than dividing by zero.
+
+    Scale: pure narrow map over the scan — zero shuffles at any corpus
+    size.
+    """
+    n_levels = float(2 ** (bits - 1) - 1)
+    v = _as_double(vec_col)
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("v"),
+        (F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(n_levels)).alias(
+            "scale"
+        ),
+    )
+    lo, hi = F.lit(-int(n_levels)), F.lit(int(n_levels))
+    quantized = base.withColumn(
+        "qv",
+        F.transform(
+            F.col("v"),
+            lambda x: F.when(F.col("scale") == 0, F.lit(0).cast("long")).otherwise(
+                F.greatest(
+                    lo.cast("long"),
+                    F.least(
+                        hi.cast("long"), F.floor(x / F.col("scale") + F.lit(0.5))
+                    ),
+                )
+            ),
+        ),
+    )
+    sq_err = F.zip_with(
+        F.col("v"),
+        F.col("qv"),
+        lambda a, b: (a - b * F.col("scale")) * (a - b * F.col("scale")),
+    )
+    return quantized.select(
+        "vec_id",
+        "scale",
+        F.aggregate(F.col("qv"), F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "q_sum"
+        ),
+        F.aggregate(
+            F.col("qv"), F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+        ).alias("q_abs_sum"),
+        (
+            F.aggregate(sq_err, F.lit(0.0), lambda acc, x: acc + x) / F.size(F.col("v"))
+        ).alias("mse"),
+    )

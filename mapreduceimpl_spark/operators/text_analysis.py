@@ -341,3 +341,52 @@ def fingerprint_winnow(docs: DataFrame, k: int = 5, window: int = 4) -> DataFram
         .select("doc_id", "fingerprint")
         .distinct()
     )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)`` — the smoothed sklearn-style
+    variant): the classic feature-extraction / keyword pass over a
+    training corpus.
+
+    Determinism: scores are rounded to 6 decimals BEFORE ranking (the
+    natural log may differ by an ulp across math libraries) and ties
+    break on the term string, so the selected top-k set is
+    engine-independent.
+
+    Scale: token explode -> groupBy(doc, term) with map-side partial
+    counts; document frequency is a second aggregate over the (doc,
+    term) pairs (much smaller than the token stream); N is a 1-row
+    aggregate broadcast onto the scores.  The final per-doc top-k is
+    one row_number window partitioned by doc — uniform keys.
+    """
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "score", F.col("rk").cast("long").alias("rk"))
+    )

@@ -137,3 +137,38 @@ def test_ann_corpus_side_not_shuffled(embeddings):
     )
     df = brute_force_topk(embeddings, queries, k=3)
     assert_broadcast_join(df, expect=1)
+
+
+def test_stratified_sample_zero_shuffle(docs):
+    """Hash sampling is a pure scan-side filter — no Exchange anywhere
+    (rand()-free AND shuffle-free at any corpus size)."""
+    from mapreduceimpl_spark.operators.sampling import stratified_sample
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(
+        stratified_sample(docs, {"en": 0.5, "de": 0.25}).select("doc_id"), "simple"
+    )
+    assert plan.count("Exchange") == 0, plan
+
+
+def test_domain_mix_corpus_never_shuffled(docs):
+    """The per-stratum rates (|strata| rows) broadcast onto the corpus:
+    BroadcastHashJoin, never a SortMergeJoin over the documents."""
+    from mapreduceimpl_spark.operators.sampling import domain_mix
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(
+        domain_mix(docs, {"en": 0.5, "de": 0.5}).select("doc_id"), "simple"
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pack_greedy_single_exchange(docs):
+    """Packing shuffles once — on (group, shard) for the sequential
+    per-group pass; n_shards controls parallelism, not shuffle count."""
+    from mapreduceimpl_spark.operators.packing import pack_greedy
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(pack_greedy(docs, budget=256, n_shards=4), "simple")
+    assert plan.count("Exchange") == 1, plan

@@ -1,0 +1,179 @@
+"""Stratified sampling, domain mixing, sequence packing, quantization,
+and TF-IDF invariants."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduceimpl_spark.operators import packing, sampling, similarity, text_analysis
+
+# `docs` / `embeddings` fixtures come from conftest (sf0.001)
+
+
+# --- stratified sampling ---------------------------------------------------
+
+
+def test_stratified_sample_deterministic_and_subset(docs):
+    rates = {"en": 0.5, "de": 0.25}
+    a = sampling.stratified_sample(docs, rates)
+    b = sampling.stratified_sample(docs, rates)
+    ids_a = {r["doc_id"] for r in a.select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in b.select("doc_id").collect()}
+    assert ids_a == ids_b  # rerun-stable
+    langs = {r["lang"] for r in a.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}  # default_rate=0 drops other strata
+
+
+def test_stratified_sample_rate_accuracy(docs):
+    rates = {"en": 0.5}
+    n_en = docs.filter(F.col("lang") == "en").count()
+    n_kept = sampling.stratified_sample(docs, rates).count()
+    # md5-uniform keep: binomial(n_en, 0.5); 4 sigma tolerance
+    sigma = math.sqrt(n_en * 0.25)
+    assert abs(n_kept - 0.5 * n_en) <= 4 * sigma
+
+
+def test_stratified_sample_rate_one_keeps_all(docs):
+    n_fr = docs.filter(F.col("lang") == "fr").count()
+    kept = sampling.stratified_sample(docs, {"fr": 1.0}).count()
+    assert kept == n_fr
+
+
+# --- domain mix ------------------------------------------------------------
+
+
+def test_domain_mix_hits_target_proportions(docs):
+    weights = {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1}
+    out = sampling.domain_mix(docs, weights)
+    counts = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    total = sum(counts.values())
+    for lang, w in weights.items():
+        # expected share within sampling noise (4 sigma of binomial)
+        exp = w * total
+        assert abs(counts[lang] - exp) <= 4 * math.sqrt(exp) + 2, (lang, counts)
+
+
+def test_domain_mix_most_constrained_kept_fully(docs):
+    # the stratum minimizing n/w must survive in full (rate clamps to 1.0)
+    weights = {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1}
+    counts = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    constrained = min(weights, key=lambda s: counts[s] / weights[s])
+    out = sampling.domain_mix(docs, weights)
+    kept = out.filter(F.col("lang") == constrained).count()
+    assert kept == counts[constrained]
+    rate = out.filter(F.col("lang") == constrained).select("keep_rate").first()["keep_rate"]
+    assert rate == 1.0
+
+
+# --- sequence packing ------------------------------------------------------
+
+
+def test_pack_greedy_invariants(docs):
+    budget = 256
+    packed = packing.pack_greedy(docs, budget=budget, n_shards=2).cache()
+    # every document exactly once
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+    # no bin over budget except single-doc oversized bins
+    bins = (
+        packed.groupBy("group_key", "shard", "bin_id")
+        .agg(F.max("bin_fill").alias("tokens"), F.count("*").alias("n_docs"))
+    )
+    bad = bins.filter((F.col("tokens") > budget) & (F.col("n_docs") > 1)).count()
+    assert bad == 0
+    # bin ids are dense from 0 per (group, shard)
+    dense = bins.groupBy("group_key", "shard").agg(
+        F.min("bin_id").alias("lo"), F.max("bin_id").alias("hi"), F.count("*").alias("n")
+    )
+    assert dense.filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)).count() == 0
+    packed.unpersist()
+
+
+def test_pack_greedy_known_sequence(spark):
+    rows = [(i, "g", "x " * n) for i, n in enumerate([100, 100, 100, 300, 50, 260])]
+    docs = spark.createDataFrame(
+        [(i, g, t.strip()) for i, g, t in rows], ["doc_id", "lang", "text"]
+    )
+    packed = {
+        r["doc_id"]: r["bin_id"]
+        for r in packing.pack_greedy(docs, budget=256).collect()
+    }
+    # greedy in doc_id order: [100,100] | [100] | [300 oversized] | [50] + 260 overflows -> own bin
+    assert packed == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_pack_greedy_oversized_doc_alone(spark):
+    docs = spark.createDataFrame(
+        [(1, "g", "t " * 999), (2, "g", "t t")], ["doc_id", "lang", "text"]
+    )
+    rows = packing.pack_greedy(docs, budget=10).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["bin_id"] != by_id[2]["bin_id"]
+
+
+def test_packing_stats_totals(docs):
+    budget = 256
+    packed = packing.pack_greedy(docs, budget=budget)
+    stats = packing.packing_stats(packed, budget=budget)
+    row = {r["group_key"]: r for r in stats.collect()}
+    total_docs = sum(r["n_docs"] for r in row.values())
+    assert total_docs == docs.count()
+    # padding is budget*n_bins - total_tokens for full batches (no bin over budget here?)
+    for r in row.values():
+        assert r["padding_tokens"] >= 0
+
+
+# --- quantization ----------------------------------------------------------
+
+
+def test_quantize_known_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r for r in similarity.quantize_embeddings(df).collect()}
+    r1 = out[1]
+    assert r1["scale"] == pytest.approx(1.0 / 127.0)
+    # q = round(v/scale): [127, -64 (floor(-63.5+0.5)), 32 (31.75->32.25->32), 0]
+    assert r1["q_sum"] == 127 - 63 + 32 + 0 or r1["q_sum"] == 127 - 64 + 32
+    assert r1["q_abs_sum"] in (127 + 63 + 32, 127 + 64 + 32)
+    assert r1["mse"] < (r1["scale"] / 2) ** 2  # within half-step error bound
+    r2 = out[2]
+    assert r2["scale"] == 0.0 and r2["q_sum"] == 0 and r2["mse"] == 0.0
+
+
+def test_quantize_reconstruction_error_bound(embeddings):
+    out = similarity.quantize_embeddings(embeddings)
+    # per-element error <= scale/2, so mse <= (scale/2)^2
+    bad = out.filter(F.col("mse") > (F.col("scale") / 2) ** 2 + 1e-12).count()
+    assert bad == 0
+
+
+# --- tf-idf ----------------------------------------------------------------
+
+
+def test_tfidf_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], ["doc_id", "text"]
+    )
+    rows = text_analysis.tfidf_top_terms(docs, k=3).collect()
+    got = {(r["doc_id"], r["term"]): (r["tf"], r["score"], r["rk"]) for r in rows}
+    n = 2
+    idf = lambda df_: math.log((n + 1) / (df_ + 1)) + 1
+    assert got[(1, "a")][0] == 2
+    assert got[(1, "a")][1] == pytest.approx(round(2 * idf(1), 6))
+    assert got[(1, "b")][1] == pytest.approx(round(1 * idf(2), 6))
+    # doc1: a (2*1.405) > b (1*1.0) -> ranks
+    assert got[(1, "a")][2] == 1 and got[(1, "b")][2] == 2
+    # doc2: b and c tie? c idf (1.405) > b idf (1.0)
+    assert got[(2, "c")][2] == 1 and got[(2, "b")][2] == 2
+
+
+def test_tfidf_topk_bound(docs):
+    out = text_analysis.tfidf_top_terms(docs, k=3)
+    over = out.groupBy("doc_id").agg(F.count("*").alias("n")).filter(F.col("n") > 3)
+    assert over.count() == 0
+    assert out.filter(F.col("rk") > 3).count() == 0

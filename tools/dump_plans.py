@@ -88,6 +88,35 @@ ANNOTATED = {
         "At 100 TB the training corpus never moves for the benchmark "
         "join."
     ),
+    "sample_stratified": (
+        "Deterministic hash sampling: the keep predicate (md5-uniform "
+        "vs per-stratum rate) is evaluated in the scan stage — zero "
+        "Exchanges at any corpus size, and the surviving row SET is "
+        "identical on any partitioning (no rand())."
+    ),
+    "domain_mix": (
+        "Target-proportion rebalancing: per-stratum counts are a tiny "
+        "aggregate (|strata| rows); rates broadcast back onto the "
+        "corpus (BroadcastHashJoin) — the corpus itself never shuffles."
+    ),
+    "seq_pack": (
+        "Sequence packing: ONE Exchange on (lang, md5-shard), then a "
+        "sequential greedy pass per group inside applyInPandas. "
+        "n_shards scales parallelism without changing the shuffle "
+        "count; the recurrence is verified against a recursive-CTE "
+        "DuckDB oracle."
+    ),
+    "embedding_quantize": (
+        "int8 quantization: pure narrow map (transform/aggregate "
+        "folds) fused into the scan — zero shuffles; per-vector exact "
+        "checksums pin the full code vector for the oracle."
+    ),
+    "tfidf_topterms": (
+        "TF-IDF: token explode -> (doc, term) counts with map-side "
+        "partials; document frequency aggregates the much smaller "
+        "(doc, term) stream; N broadcasts as a 1-row literal; final "
+        "per-doc top-k is one row_number window."
+    ),
 }
 
 
