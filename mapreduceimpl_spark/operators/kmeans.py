@@ -93,8 +93,10 @@ def kmeans_fit(
     """Run Lloyd's; return (centroids, assignments DataFrame).
 
     Assignments: (vec_id, cluster, sq_dist).  ``init``: "farthest"
-    (default; deterministic k-means++-style spread — measurably better
-    IVF cell balance, see COVERAGE.md) or "first" (k lowest-id
+    (default; deterministic k-means++-style spread — insurance against
+    degenerate adjacent seeds when ids correlate with content; on the
+    synthetic fixture both inits converge to equivalent quality, see
+    COVERAGE.md for measured numbers) or "first" (k lowest-id
     vectors — cheapest, one pass).
     """
     vectors = embeddings.select(

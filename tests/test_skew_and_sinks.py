@@ -82,3 +82,41 @@ def test_write_files_count(tables, tmp_path):
     import glob
 
     assert len(glob.glob(f"{out}/part-*.parquet")) == 1
+
+
+def test_bucketed_join_skips_shuffle(tables):
+    """Two tables bucketed on the join key with equal bucket counts
+    join WITHOUT any Exchange — the write-time shuffle is reused by
+    every later join (the persistent analogue of the reference's
+    hash-partitioned intermediate files, test.go:28-40)."""
+    from mapreduceimpl_spark.plans import explain_str
+    from mapreduceimpl_spark.sources.sinks import write_bucketed
+
+    spark = tables["orders"].sparkSession
+    write_bucketed(
+        tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+        "t_orders_bkt",
+        ["o_custkey"],
+        n_buckets=8,
+    )
+    write_bucketed(
+        tables["customer"].select("c_custkey", "c_name"),
+        "t_cust_bkt",
+        ["c_custkey"],
+        n_buckets=8,
+    )
+    o = spark.table("t_orders_bkt")
+    c = spark.table("t_cust_bkt")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = o.join(c, o.o_custkey == c.c_custkey)
+        plan = explain_str(joined, "simple")
+        assert "SortMergeJoin" in plan, plan
+        assert plan.count("Exchange") == 0, plan
+        # and the result is still correct
+        assert joined.count() == tables["orders"].count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_cust_bkt")
