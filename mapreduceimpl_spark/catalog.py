@@ -983,10 +983,6 @@ SPECS: dict[str, QuerySpec] = {
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         doc="multi-aggregate GROUP BY incl. sample moments (merged round-1 stats_stddev)",
     ),
-    "agg_approx": QuerySpec(
-        _rel(relational.q_agg_approx), None,
-        doc="HLL approx_count_distinct — sketch values are engine-specific (rows-only check)",
-    ),
     "scalar_case_date": QuerySpec(
         _rel(relational.q_scalar_case_date),
         """SELECT CASE WHEN o_totalprice < 1000 THEN 'small'
@@ -1132,6 +1128,10 @@ SPECS: dict[str, QuerySpec] = {
     # green hash-verified row in CORRECTNESS_r01.json; they rotate back
     # into the window in later rounds
     # =====================================================================
+    "agg_approx": QuerySpec(
+        _rel(relational.q_agg_approx), None,
+        doc="HLL approx_count_distinct — sketch values are engine-specific (rows-only check)",
+    ),
     "agg_distinct": QuerySpec(
         _rel(relational.q_agg_distinct),
         """SELECT c_mktsegment, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,

