@@ -84,6 +84,34 @@ def test_session_counts_run(spark, events_dir):
     assert len(got) > 0
 
 
+def test_session_counts_match_batch_native(spark, events_dir):
+    """Streaming session_window == the batch native session query on
+    the same events (complete mode so the watermark withholds
+    nothing) — the operator itself, not just 'it runs'."""
+    from mapreduceimpl_spark.operators import relational
+    from mapreduceimpl_spark.sources import load_tables
+
+    from datetime import datetime
+
+    stream = streaming.read_events_stream(spark, events_dir)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in _run_stream(streaming.session_counts(stream), mode="complete")
+    }
+    # the batch query emits timestamps as strings (oracle portability);
+    # parse them back so trailing-zero formatting can't cause a diff
+    batch = {
+        (
+            r["user_id"],
+            datetime.fromisoformat(r["session_start"]),
+            datetime.fromisoformat(r["session_end"]),
+            r["n_events"],
+        )
+        for r in relational.q_events_session_native(load_tables(spark, SF)).collect()
+    }
+    assert got == batch
+
+
 def test_stream_dedup_drops_duplicates(spark, events_dir, tmp_path):
     # duplicate the file -> every event arrives twice
     dup_dir = tmp_path / "dup"
