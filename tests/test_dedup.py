@@ -50,6 +50,25 @@ def test_minhash_recall_on_mutated_corpus(docs):
             assert r["est_jaccard"] >= 0.5
 
 
+def test_minhash_xxhash64_path_equivalent_recall(docs):
+    """The production hash (seeded xxhash64, no hex formatting) must
+    find the planted near-dups just like the oracle-portable md5 path
+    — same operating point, different hash family."""
+    corpus = dedup.with_mutated_copies(docs, every=10)
+    n_planted = docs.filter(F.col("doc_id") % 10 == 0).count()
+    pairs = dedup.minhash_lsh_pairs(corpus, hash_fn="xxhash64").collect()
+    planted_found = {
+        (r["doc_a"], r["doc_b"])
+        for r in pairs
+        if r["doc_b"] == r["doc_a"] + 100_000
+    }
+    recall = len(planted_found) / n_planted
+    assert recall >= 0.9, f"xxhash64 minhash recall {recall} over {n_planted}"
+    for r in pairs:
+        if r["doc_b"] == r["doc_a"] + 100_000:
+            assert r["est_jaccard"] >= 0.5
+
+
 def test_simhash_blocking_finds_cross_block_pairs(spark):
     """Round-1 regression: a hamming-2 pair with one differing bit in
     each 16-bit half shared neither half-block and was silently
