@@ -91,7 +91,8 @@ packed AS (
          CASE WHEN p.bin_fill + o.n_tokens <= 256 THEN p.bin_id ELSE p.bin_id + 1 END,
          CASE WHEN p.bin_fill + o.n_tokens <= 256 THEN p.bin_fill + o.n_tokens ELSE o.n_tokens END
   FROM packed p JOIN ordered o
-    ON o.group_key = p.group_key AND o.shard = p.shard AND o.rn = p.rn + 1
+    ON o.group_key IS NOT DISTINCT FROM p.group_key
+   AND o.shard = p.shard AND o.rn = p.rn + 1
 )
 SELECT group_key, shard, doc_id, n_tokens, bin_id, bin_fill FROM packed
 """
@@ -806,13 +807,18 @@ SPECS: dict[str, QuerySpec] = {
         lambda spark, sf_dir: text_analysis.pii_scrub(
             load_table(spark, sf_dir, "documents")
         ),
-        f"""SELECT doc_id,
-                   regexp_replace(regexp_replace(text,
-                       '{text_analysis.PII_EMAIL_PATTERN}', '<EMAIL>', 'g'),
+        f"""WITH st AS (
+              SELECT doc_id, text,
+                     regexp_replace(text, '{text_analysis.PII_EMAIL_PATTERN}',
+                                    '<EMAIL>', 'g') AS after_email
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(after_email,
                        '{text_analysis.PII_PHONE_PATTERN}', '<PHONE>', 'g') AS clean_text,
                    CAST(len(regexp_extract_all(text, '{text_analysis.PII_EMAIL_PATTERN}')) AS BIGINT) AS n_emails,
-                   CAST(len(regexp_extract_all(text, '{text_analysis.PII_PHONE_PATTERN}')) AS BIGINT) AS n_phones
-            FROM documents""",
+                   CAST(len(regexp_extract_all(after_email, '{text_analysis.PII_PHONE_PATTERN}')) AS BIGINT) AS n_phones
+            FROM st""",
         doc="PII redaction (emails/phones) + removal audit counts; RE2/Java-common regex subset (new in round 2)",
     ),
     "contamination_check": QuerySpec(

@@ -46,7 +46,18 @@ def explode_salts(df: DataFrame, n_salts: int) -> DataFrame:
 
 
 _SALTED_JOIN_HOWS = frozenset(
-    {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    {
+        "inner",
+        "left",
+        "left_outer",
+        "leftouter",
+        "left_semi",
+        "leftsemi",
+        "semi",
+        "left_anti",
+        "leftanti",
+        "anti",
+    }
 )
 
 

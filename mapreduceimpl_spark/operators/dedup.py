@@ -405,14 +405,17 @@ def ngram_jaccard_pairs(
     """
     sh = ngram_shingles(docs, n)
     if max_shingle_df is not None:
-        # hot shingles are few by construction (df > cap) → broadcast anti-join
+        # anti-join out the hot shingles.  No forced broadcast: the hot
+        # set is bounded by total_shingles / cap, which for a small cap
+        # (or a huge corpus) is NOT driver-sized — let AQE pick
+        # broadcast vs shuffle from the actual size at runtime.
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_shingle_df)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -499,7 +502,15 @@ def connected_components(
             .agg(F.min("lbl").alias("label"))
             .select(F.col("u").alias("node"), "label")
         ).cache()
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        # convergence witness: order-free 64-bit hash sum of (node,
+        # label) — type-agnostic (doc ids may be strings, e.g. content
+        # hashes) where a raw SUM(label) would crash or null out.
+        # Labels only ever decrease, so an unchanged multiset means a
+        # fixed point; a false positive needs a colliding 64-bit sum
+        # across consecutive rounds (~2^-64 per round).
+        cur_sum = labels.agg(
+            F.sum(F.xxhash64(F.col("node"), F.col("label")).cast("decimal(38,0)"))
+        ).collect()[0][0]
         if prev_cached is not None:
             prev_cached.unpersist()
         prev_cached = labels

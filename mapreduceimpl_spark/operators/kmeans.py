@@ -23,6 +23,7 @@ check + pytest invariants (assignment optimality, centroid = mean).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -51,34 +52,48 @@ def _assign(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
     )
 
 
-def _init_farthest_first(vectors: DataFrame, k: int) -> list[list[float]]:
-    """Deterministic k-means++-style seeding: farthest-first traversal.
+def _init_farthest_first(
+    vectors: DataFrame, k: int, sample_size: int = 2048
+) -> list[list[float]]:
+    """Deterministic k-means++-style seeding: farthest-first traversal
+    over a deterministic hash-sample of candidates.
 
-    Start from the lowest-id vector; repeatedly add the vector farthest
-    from its nearest chosen centroid (argmax of min squared distance,
-    ties broken by lowest vec_id).  This is the deterministic maximin
-    variant of k-means++ — same spread-the-seeds effect, no RNG, so
-    runs are byte-reproducible.  Each of the k-1 rounds is a narrow map
-    (distances to <= k broadcast literals) + TakeOrdered(1): only one
-    row per round reaches the driver.
+    ONE Spark job collects up to ``sample_size`` candidate vectors
+    (ordered by an md5-derived uniform of vec_id — deterministic, not
+    partition-dependent); the maximin traversal then runs driver-side
+    in NumPy: start from the hash-first vector, repeatedly add the
+    candidate farthest from its nearest chosen centroid (ties by
+    lowest vec_id).  Same spread-the-seeds effect as k-means++, no
+    RNG, byte-reproducible — and O(1) passes over the data instead of
+    the k-1 full-corpus scans a distributed farthest-first would cost
+    (which would dominate ivf_topk's index build at scale).
+
+    Stops early when every remaining candidate coincides with a chosen
+    centroid (max min-distance == 0), so k > #distinct vectors returns
+    fewer, never-duplicated centroids.
     """
-    first = vectors.orderBy("vec_id").limit(1).collect()
-    if not first:
+    from mapreduceimpl_spark.operators.sampling import hash_uniform
+
+    rows = (
+        vectors.orderBy(hash_uniform(F.col("vec_id")), F.col("vec_id"))
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
         raise ValueError("kmeans: empty input")
-    centroids = [list(first[0]["v"])]
-    for _ in range(k - 1):
-        dists = [
-            _sq_dist(F.col("v"), F.array(*[F.lit(float(x)) for x in c])) for c in centroids
-        ]
-        dmin = F.least(*dists) if len(dists) > 1 else dists[0]
-        far = (
-            vectors.select("vec_id", "v", dmin.alias("dmin"))
-            .orderBy(F.desc("dmin"), F.asc("vec_id"))
-            .limit(1)
-            .collect()[0]
-        )
-        centroids.append(list(far["v"]))
-    return centroids
+    # candidates in (hash, vec_id) order; re-sort by vec_id for the
+    # deterministic tie-break
+    rows.sort(key=lambda r: r["vec_id"])
+    cand = np.array([r["v"] for r in rows], dtype=np.float64)
+    centroids = [0]
+    dmin = ((cand - cand[0]) ** 2).sum(axis=1)
+    while len(centroids) < min(k, len(cand)):
+        far = int(np.argmax(dmin))  # argmax returns the FIRST max: lowest id
+        if dmin[far] == 0.0:
+            break  # every remaining candidate duplicates a chosen centroid
+        centroids.append(far)
+        dmin = np.minimum(dmin, ((cand - cand[far]) ** 2).sum(axis=1))
+    return [list(cand[i]) for i in centroids]
 
 
 def kmeans_fit(

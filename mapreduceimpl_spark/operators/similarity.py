@@ -111,6 +111,14 @@ def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[flo
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def derive_dim(embeddings: DataFrame, vec_col: str = "embedding") -> int:
+    """Vector length from the first row (one tiny driver action)."""
+    row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None:
+        raise ValueError("derive_dim: cannot derive dim from an empty DataFrame")
+    return int(row["d"])
+
+
 def lsh_bucket(
     embeddings: DataFrame,
     n_planes: int = 8,
@@ -130,10 +138,7 @@ def lsh_bucket(
     no error).
     """
     if dim is None:
-        row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
-        if row is None or row["d"] is None:
-            raise ValueError("lsh_bucket: cannot derive dim from an empty DataFrame")
-        dim = int(row["d"])
+        dim = derive_dim(embeddings, vec_col)
     planes = random_hyperplanes(n_planes, dim, seed)
     v = _as_double(vec_col)
     bucket = F.lit(0).cast("long")
@@ -229,6 +234,12 @@ def lsh_topk(
     reuse); each query joins to ~corpus/2^n_planes rows.  Recall vs
     brute force is a measured test invariant, not a promise.
     """
+    # derive dim ONCE from the corpus and use it for both sides: a
+    # query set with a different vector length then fails the bucket
+    # guard instead of silently hashing with a different hyperplane
+    # matrix (incomparable buckets, null cosines ranked into top-k)
+    if dim is None:
+        dim = derive_dim(embeddings, vec_col)
     corpus = lsh_bucket(
         embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
         n_planes,

@@ -191,14 +191,19 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     bit-identical across engines.
     """
     pre = docs.select("doc_id", tokens("text").alias("__toks"))
-    grams = None
-    for gtype in (1, 2, 3):
-        g = pre.select(
-            "doc_id",
-            F.lit(gtype).alias("gtype"),
-            F.explode(_gram_strings(F.col("__toks"), gtype)).alias("gram"),
+    # ONE explode over the concatenation of the three tagged gram
+    # streams — a single corpus scan and tokenization (three union
+    # branches would each re-scan and re-tokenize the documents)
+    def _tag(gtype: int) -> F.Column:
+        return F.transform(
+            _gram_strings(F.col("__toks"), gtype),
+            lambda g: F.struct(F.lit(gtype).alias("gtype"), g.alias("gram")),
         )
-        grams = g if grams is None else grams.unionByName(g)
+
+    tagged = F.concat(_tag(1), _tag(2), _tag(3))
+    grams = pre.select("doc_id", F.explode(tagged).alias("t")).select(
+        "doc_id", F.col("t.gtype").alias("gtype"), F.col("t.gram").alias("gram")
+    )
     per_gram = grams.groupBy("doc_id", "gtype", "gram").agg(F.count("*").alias("cnt"))
     is1, is2, is3 = (F.col("gtype") == i for i in (1, 2, 3))
     stats = per_gram.groupBy("doc_id").agg(
@@ -249,16 +254,18 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     oracle runs the identical expressions.
     """
     email, phone = F.lit(PII_EMAIL_PATTERN), F.lit(PII_PHONE_PATTERN)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(F.col("text"), email, F.lit("<EMAIL>")),
-        phone,
-        F.lit("<PHONE>"),
-    )
+    # scrub in a fixed order (emails, then phones) and count each
+    # pattern against the text it actually ran on: a phone-shaped
+    # number inside an email local part is consumed by <EMAIL>, so
+    # counting phones on the RAW text would overcount vs the
+    # placeholders the audit is supposed to explain
+    after_email = F.regexp_replace(F.col("text"), email, F.lit("<EMAIL>"))
+    scrubbed = F.regexp_replace(after_email, phone, F.lit("<PHONE>"))
     return docs.select(
         "doc_id",
         scrubbed.alias("clean_text"),
         F.regexp_count(F.col("text"), email).cast("long").alias("n_emails"),
-        F.regexp_count(F.col("text"), phone).cast("long").alias("n_phones"),
+        F.regexp_count(after_email, phone).cast("long").alias("n_phones"),
     )
 
 

@@ -254,3 +254,14 @@ def test_normalize_text_canonicalizes(spark):
     )
     out = df.select(dedup.normalize_text(F.col("text")).alias("t")).collect()
     assert out[0]["t"] == out[1]["t"] == "hello world"
+
+
+def test_connected_components_string_ids(spark):
+    """Doc ids are often content hashes (strings): the convergence
+    witness must be type-agnostic (round-2 review: SUM over string
+    labels crashed under ANSI, silently mis-converged otherwise)."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["doc_a", "doc_b"]
+    )
+    comp = {r["doc_id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

@@ -66,3 +66,18 @@ def test_kmeans_deterministic(embeddings):
     c1, _ = kmeans_fit(embeddings, k=3, max_iter=2)
     c2, _ = kmeans_fit(embeddings, k=3, max_iter=2)
     assert c1 == c2
+
+
+def test_kmeans_k_exceeding_vectors_no_duplicate_centroids(spark):
+    """k > #distinct vectors returns fewer centroids, never
+    duplicates (round-2 review: farthest-first re-picked the lowest-id
+    vector once candidates were exhausted)."""
+    from mapreduceimpl_spark.operators import kmeans as km
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(5)], ["vec_id", "embedding"]
+    )
+    centroids, assign = km.kmeans_fit(df, k=10, max_iter=3)
+    assert len(centroids) <= 5
+    assert len({tuple(c) for c in centroids}) == len(centroids)
+    assert assign.count() == 5

@@ -120,3 +120,13 @@ def test_bucketed_join_skips_shuffle(tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
         spark.sql("DROP TABLE IF EXISTS t_cust_bkt")
+
+
+def test_salted_join_accepts_short_aliases(spark):
+    """Spark's 'semi'/'anti' aliases are valid and salt-safe."""
+    left = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "v"])
+    right = spark.createDataFrame([(1, "r")], ["k", "r"])
+    semi = salted_join(left, right, "k", how="semi").collect()
+    assert [r["k"] for r in semi] == [1]
+    anti = salted_join(left, right, "k", how="anti").collect()
+    assert [r["k"] for r in anti] == [2]

@@ -133,3 +133,24 @@ def test_contamination_check_finds_planted_overlap(spark):
     assert 0 not in rows  # benchmark docs excluded from scoring
     assert rows[1]["is_contaminated"] and rows[1]["n_contaminated"] >= 1
     assert not rows[2]["is_contaminated"] and rows[2]["n_contaminated"] == 0
+
+
+def test_pii_scrub_phone_inside_email_not_double_counted(spark):
+    """A phone-shaped string consumed by <EMAIL> must not also count
+    as a removed phone (audit counts describe the placeholders)."""
+    docs = spark.createDataFrame(
+        [(1, "reach me at 555-123-4567@mail.com ok")], ["doc_id", "text"]
+    )
+    r = text_analysis.pii_scrub(docs).collect()[0]
+    assert r["n_emails"] == 1
+    assert r["n_phones"] == 0
+    assert "<EMAIL>" in r["clean_text"] and "<PHONE>" not in r["clean_text"]
+
+
+def test_repetition_stats_single_scan(docs):
+    """The gram pipeline must scan/tokenize the corpus once (round-2
+    review: three union branches re-scanned it three times)."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(text_analysis.repetition_stats(docs), "simple")
+    assert plan.count("Scan parquet") == 1, plan
