@@ -1338,6 +1338,40 @@ SPECS: dict[str, QuerySpec] = {
             GROUP BY supp_nation, cust_nation, l_year""",
         doc="TPC-H Q7 shape",
     ),
+    "text_unigram_logprob": QuerySpec(
+        lambda spark, sf_dir: text_analysis.unigram_logprob(
+            load_table(spark, sf_dir, "documents")
+        ),
+        f"""WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+            ),
+            counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+            total AS (SELECT COUNT(*) AS total FROM toks),
+            scored AS (
+              SELECT t.doc_id,
+                     round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 9) AS lp
+              FROM toks t JOIN counts USING (token) CROSS JOIN total
+            )
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   round(-CAST(SUM(CAST(lp AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+                     AS avg_neg_logprob
+            FROM scored GROUP BY doc_id""",
+        doc="corpus-unigram-LM pseudo-perplexity quality score (tail entry, "
+            "locally verified; rotates into the driver window next round)",
+    ),
+    "sample_fixed_n": QuerySpec(
+        lambda spark, sf_dir: sampling.stratified_fixed_n(
+            load_table(spark, sf_dir, "documents"), 25
+        ).select("doc_id", "lang"),
+        f"""SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY {_UNIFORM}, doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 25""",
+        doc="exact-size deterministic per-stratum sample (tail entry, locally "
+            "verified; rotates into the driver window next round)",
+    ),
     "returned_items": QuerySpec(
         _rel(relational.q_returned_items),
         f"""SELECT c_custkey, c_name, n_name,

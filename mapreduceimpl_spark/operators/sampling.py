@@ -118,3 +118,35 @@ def domain_mix(
         target.join(F.broadcast(rates), strata_col)
         .filter(hash_uniform(F.col(key_col)) < F.col("keep_rate"))
     )
+
+
+def stratified_fixed_n(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (or all of a smaller
+    stratum), chosen deterministically: rank rows inside each stratum
+    by their md5 uniform (key tiebreak) and keep the first n.
+
+    Unlike rate-based sampling, the output size is exact — the shape
+    eval sets and per-domain quotas need.  The hash ranking makes the
+    selection a fixed pseudo-random subset, stable across reruns,
+    partitionings, and engines.
+
+    Scale: one shuffle (the per-stratum window).  For very large
+    strata, pre-filter with ``stratified_sample`` at ~2x the target
+    rate first, then rank only the survivors — same result, window
+    input cut by orders of magnitude.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_uniform(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

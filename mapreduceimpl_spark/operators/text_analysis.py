@@ -397,3 +397,39 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rk") <= k)
         .select("doc_id", "term", "tf", "score", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def unigram_logprob(docs: DataFrame, round_lp: int = 9) -> DataFrame:
+    """Corpus-unigram-LM pseudo-perplexity per document: the mean
+    negative log-probability of the doc's tokens under the corpus
+    unigram distribution — the cheap statistical cousin of the
+    LM-perplexity quality filter (high score = improbable/garbled
+    text, low score = boilerplate-probable text).
+
+    Determinism: each token's ln p is rounded to ``round_lp`` decimals
+    and summed through DECIMAL, so the per-doc mean is independent of
+    partition/accumulation order and engine math-library ulps.
+
+    Scale: token explode -> one global unigram count (map-side
+    combined), joined back onto the token stream by token (uniform
+    keys), one groupBy(doc).  Two shuffles regardless of corpus size.
+    """
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("total"))
+    lp = F.round(
+        F.log(F.col("cnt").cast("double") / F.col("total").cast("double")), round_lp
+    )
+    scored = (
+        toks.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            -F.sum(F.col("lp").cast(f"decimal(28,{round_lp})")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_neg_logprob"),
+    )

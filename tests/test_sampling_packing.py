@@ -177,3 +177,38 @@ def test_tfidf_topk_bound(docs):
     over = out.groupBy("doc_id").agg(F.count("*").alias("n")).filter(F.col("n") > 3)
     assert over.count() == 0
     assert out.filter(F.col("rk") > 3).count() == 0
+
+
+# --- exact-n sampling ------------------------------------------------------
+
+
+def test_stratified_fixed_n_exact_counts(docs):
+    out = sampling.stratified_fixed_n(docs, 25)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in full.items():
+        assert counts[lang] == min(25, n)
+
+
+def test_stratified_fixed_n_deterministic(docs):
+    a = {r["doc_id"] for r in sampling.stratified_fixed_n(docs, 10).select("doc_id").collect()}
+    b = {r["doc_id"] for r in sampling.stratified_fixed_n(docs, 10).select("doc_id").collect()}
+    assert a == b and len(a) == 50  # 5 strata x 10
+
+
+# --- unigram logprob -------------------------------------------------------
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame([(1, "a a b"), (2, "b c")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in text_analysis.unigram_logprob(docs).collect()}
+    # corpus: a:2, b:2, c:1, total 5
+    lp = lambda c: round(math.log(c / 5), 9)
+    exp1 = round(-(lp(2) + lp(2) + lp(2)) / 3, 6)
+    exp2 = round(-(lp(2) + lp(1)) / 2, 6)
+    assert rows[1]["n_tokens"] == 3 and abs(rows[1]["avg_neg_logprob"] - exp1) < 1e-9
+    assert rows[2]["n_tokens"] == 2 and abs(rows[2]["avg_neg_logprob"] - exp2) < 1e-9
+    # rarer tokens -> higher surprise
+    assert rows[2]["avg_neg_logprob"] > rows[1]["avg_neg_logprob"]
