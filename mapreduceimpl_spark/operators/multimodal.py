@@ -39,9 +39,64 @@ def to_binary_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
+    """REAL image-dimension extraction from container headers — pure
+    byte parsing, no codec library needed.  Handles PNG (IHDR), GIF
+    (logical screen descriptor), JPEG (SOF0/1/2 marker scan), and WEBP
+    (VP8X extended header).  Returns (width, height, format) or None
+    for unrecognized payloads.
+
+    At 100 TB this is the cheap first pass a media pipeline runs on
+    every asset (filter by dimensions/format BEFORE paying for pixel
+    decode); only the pixel decode itself needs a codec."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        return (
+            int.from_bytes(payload[16:20], "big"),
+            int.from_bytes(payload[20:24], "big"),
+            "png",
+        )
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        return (
+            int.from_bytes(payload[6:8], "little"),
+            int.from_bytes(payload[8:10], "little"),
+            "gif",
+        )
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):
+                return (
+                    int.from_bytes(payload[i + 7 : i + 9], "big"),
+                    int.from_bytes(payload[i + 5 : i + 7], "big"),
+                    "jpeg",
+                )
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+        return None
+    if (
+        payload[:4] == b"RIFF"
+        and payload[8:12] == b"WEBP"
+        and payload[12:16] == b"VP8X"
+        and len(payload) >= 30
+    ):
+        return (
+            int.from_bytes(payload[24:27], "little") + 1,
+            int.from_bytes(payload[27:30], "little") + 1,
+            "webp",
+        )
+    return None
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     """Deterministic stand-in for an image decoder: width/height/format
-    derived from the payload digest.  STUB — replace with a real codec."""
+    derived from the payload digest.  STUB — replace with a real codec.
+    Only reached for payloads ``parse_image_header`` does not
+    recognize (the text-byte fixtures)."""
     digest = hashlib.sha256(payload).digest()
     width = 16 + digest[0] % 240
     height = 16 + digest[1] % 240
@@ -64,7 +119,12 @@ def decode_image_stub(assets: DataFrame, strict: bool = False) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            # real header parse first; digest-derived fake only for
+            # unrecognized payloads (the fixtures' text bytes)
+            meta = [
+                parse_image_header(bytes(p)) or _fake_decode(bytes(p))
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"].to_numpy(),

@@ -82,3 +82,51 @@ def test_binary_column_type(docs):
     assert dict(assets.dtypes)["payload"] == "binary"
     n = assets.filter(F.length("payload") > 0).count()
     assert n == docs.count()
+
+
+def _minimal_png(w, h):
+    import struct, zlib
+
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk))
+    )
+
+
+def _minimal_jpeg(w, h):
+    import struct
+
+    # SOI + APP0 stub + SOF0 with height/width (APP0 length 16 =
+    # 2 length bytes + 14 payload bytes)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_parse_image_header_real_formats():
+    from mapreduceimpl_spark.operators.multimodal import parse_image_header
+
+    assert parse_image_header(_minimal_png(640, 480)) == (640, 480, "png")
+    assert parse_image_header(_minimal_jpeg(320, 200)) == (320, 200, "jpeg")
+    gif = b"GIF89a" + (100).to_bytes(2, "little") + (50).to_bytes(2, "little")
+    assert parse_image_header(gif) == (100, 50, "gif")
+    assert parse_image_header(b"just some text bytes") is None
+
+
+def test_decode_uses_real_header_when_present(spark):
+    """A genuine PNG payload in the asset stream gets its TRUE
+    dimensions from the header parser; text payloads fall back to the
+    deterministic fake."""
+    from mapreduceimpl_spark.operators import multimodal
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(_minimal_png(800, 600))), (2, bytearray(b"plain text"))],
+        "asset_id long, payload binary",
+    )
+    rows = {r["asset_id"]: r for r in multimodal.decode_image_stub(assets).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["format"]) == (800, 600, "png")
+    assert rows[2]["width"] > 0  # fake path still deterministic
