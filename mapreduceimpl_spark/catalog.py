@@ -1372,6 +1372,15 @@ SPECS: dict[str, QuerySpec] = {
         doc="exact-size deterministic per-stratum sample (tail entry, locally "
             "verified; rotates into the driver window next round)",
     ),
+    "text_compression_ratio": QuerySpec(
+        lambda spark, sf_dir: text_analysis.compression_ratio(
+            load_table(spark, sf_dir, "documents")
+        ),
+        None,
+        doc="zlib compression-ratio quality filter (CCNet/Gopher-style "
+            "low-entropy signal); DEFLATE bytes are zlib-build-specific, so "
+            "rows-only + pytest invariants (tail entry, new round 2)",
+    ),
     "returned_items": QuerySpec(
         _rel(relational.q_returned_items),
         f"""SELECT c_custkey, c_name, n_name,

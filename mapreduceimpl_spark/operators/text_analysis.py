@@ -10,6 +10,7 @@ zero shuffles except where a groupBy is semantically required.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -433,3 +434,47 @@ def unigram_logprob(docs: DataFrame, round_lp: int = 9) -> DataFrame:
             6,
         ).alias("avg_neg_logprob"),
     )
+
+
+COMPRESSION_SCHEMA = (
+    "doc_id long, n_bytes long, n_compressed long, ratio double, keep boolean"
+)
+
+
+def compression_ratio(
+    docs: DataFrame, level: int = 6, max_ratio: float = 4.0
+) -> DataFrame:
+    """zlib compression ratio per document — the classic cheap
+    low-entropy signal (CCNet/Gopher-style): boilerplate and looping
+    text compresses far better than natural prose, so a high
+    bytes/compressed ratio flags junk the n-gram filters can miss.
+
+    Runs as an Arrow-batched ``mapInPandas`` (zlib is stdlib — no
+    Python-environment risk); DEFLATE output depends on the zlib
+    build, so this is a rows-only operator (pytest invariants, no SQL
+    oracle).  ``keep`` = ratio <= ``max_ratio``.
+
+    Scale: pure narrow map — zero shuffles; ~100 MB/s/core for zlib
+    level 6, so at 100 TB prefer level 1 (~3x faster, same signal).
+    """
+    from collections.abc import Iterator as _Iterator
+
+    def comp(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            n_bytes = [len(b) for b in raw]
+            n_comp = [len(zlib.compress(b, level)) for b in raw]
+            ratio = [b / c for b, c in zip(n_bytes, n_comp)]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": pd.Series(n_bytes, dtype="int64"),
+                    "n_compressed": pd.Series(n_comp, dtype="int64"),
+                    "ratio": pd.Series(ratio, dtype="float64"),
+                    "keep": pd.Series([r <= max_ratio for r in ratio], dtype="bool"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(comp, COMPRESSION_SCHEMA)

@@ -154,3 +154,26 @@ def test_repetition_stats_single_scan(docs):
 
     plan = explain_str(text_analysis.repetition_stats(docs), "simple")
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_compression_ratio_separates_boilerplate(spark):
+    """Looping text compresses far better than diverse text — the
+    ratio flags it; the keep threshold splits them."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 200),
+            (2, "the quick brown fox jumps over the lazy dog while zebras quarrel"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text_analysis.compression_ratio(docs).collect()}
+    assert rows[1]["ratio"] > 10  # degenerate repetition
+    assert rows[2]["ratio"] < 2   # natural-ish prose
+    assert not rows[1]["keep"] and rows[2]["keep"]
+    assert rows[1]["n_compressed"] < rows[1]["n_bytes"]
+
+
+def test_compression_ratio_deterministic(docs):
+    a = {(r["doc_id"], r["n_compressed"]) for r in text_analysis.compression_ratio(docs).collect()}
+    b = {(r["doc_id"], r["n_compressed"]) for r in text_analysis.compression_ratio(docs).collect()}
+    assert a == b and len(a) == docs.count()
