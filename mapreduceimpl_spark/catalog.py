@@ -535,6 +535,15 @@ FROM sess GROUP BY user_id, sid
 # the catalog — ordering matters; see module docstring
 # ---------------------------------------------------------------------------
 
+# Entries added AFTER this round's verification window was already full
+# of higher-priority new evidence.  They are locally oracle-verified
+# (tools/check_oracle.py) and MUST rotate into the window next round —
+# tests/test_catalog_contract.py enforces that this set only shrinks:
+# once an entry has a driver CORRECTNESS row it must leave this set.
+DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
+    {"text_unigram_logprob", "sample_fixed_n", "text_compression_ratio"}
+)
+
 SPECS: dict[str, QuerySpec] = {
     # =====================================================================
     # window part 1: time-series + LLM-pipeline family (no round-1 driver
