@@ -172,10 +172,37 @@ def ivf_topk(
     """IVF-style ANN: k-means coarse quantizer -> inverted cell lists ->
     probe the ``n_probe`` nearest cells per query.
 
-    The scale path beyond sign-LSH: cells adapt to the data
-    distribution, and the corpus assignment is writable as a bucketed
-    table for reuse.  Deterministic (k-means init/iteration order are
-    fixed).  Recall vs brute force is a measured test invariant.
+    Convenience wrapper over :func:`ivf_build` + :func:`ivf_search` —
+    one-shot build-and-query.  In production, call ``ivf_build`` once,
+    persist the cell assignment as a bucketed table, and run
+    ``ivf_search`` against it for every query batch: rebuilding the
+    quantizer per query batch (what this wrapper does) wastes a full
+    k-means fit each time.
+    """
+    centroids, cells = ivf_build(
+        embeddings, n_cells=n_cells, kmeans_iter=kmeans_iter,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return ivf_search(
+        centroids, cells, queries, k=k, n_probe=n_probe,
+        vec_col=vec_col, query_id_col=query_id_col,
+    )
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    kmeans_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], DataFrame]:
+    """Build the IVF index once: (centroid list, cell-assigned corpus).
+
+    The returned ``cells`` DataFrame (vec_id, cv, cell) is the
+    persistent artifact — write it with ``sinks.write_bucketed(...,
+    ["cell"])`` so every later ``ivf_search`` probes cells without
+    re-shuffling the corpus.  Deterministic (k-means init/iteration
+    order are fixed).
     """
     from mapreduceimpl_spark.operators.kmeans import kmeans_fit
 
@@ -185,6 +212,21 @@ def ivf_topk(
         corpus.select("vec_id", _as_double("embedding").alias("cv"))
         .join(assigned.select("vec_id", F.col("cluster").alias("cell")), "vec_id")
     )
+    return centroids, cells
+
+
+def ivf_search(
+    centroids: list[list[float]],
+    cells: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Query a prebuilt IVF index: per query, rank the broadcast
+    centroid list (n_queries x n_cells, tiny), probe the ``n_probe``
+    nearest cells, exact-rescore only those cells' vectors."""
     # query-side: distance to every centroid (n_queries x n_cells,
     # tiny), keep the n_probe nearest cells
     qv = queries.select(F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv"))

@@ -130,3 +130,26 @@ def test_cosine_symmetric_range(embeddings):
     topk = similarity.brute_force_topk(embeddings, _queries(embeddings), k=50)
     mm = topk.agg(F.min("cosine"), F.max("cosine")).collect()[0]
     assert -1.0 - 1e-9 <= mm[0] and mm[1] <= 1.0 + 1e-9
+
+
+def test_ivf_build_once_search_twice(embeddings):
+    """The split build/search API returns the same results as the
+    one-shot wrapper, and one index serves multiple query batches."""
+    from mapreduceimpl_spark.operators.similarity import ivf_build, ivf_search, ivf_topk
+
+    q1 = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    q2 = embeddings.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 6)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids, cells = ivf_build(embeddings)
+    cells = cells.cache()
+    try:
+        a = {(r["query_id"], r["rank"], r["vec_id"]) for r in ivf_search(centroids, cells, q1).collect()}
+        b = {(r["query_id"], r["rank"], r["vec_id"]) for r in ivf_topk(embeddings, q1).collect()}
+        assert a == b
+        # same index, second batch — no rebuild needed
+        assert ivf_search(centroids, cells, q2, k=3).count() == 9
+    finally:
+        cells.unpersist()
