@@ -276,7 +276,29 @@ def lsh_topk(
     reuse); each query joins to ~corpus/2^n_planes rows.  Recall vs
     brute force is a measured test invariant, not a promise.
     """
-    # derive dim ONCE from the corpus and use it for both sides: a
+    params, corpus = lsh_build(
+        embeddings, n_planes=n_planes, dim=dim, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return lsh_search(params, corpus, queries, k=k, vec_col=vec_col,
+                      query_id_col=query_id_col)
+
+
+def lsh_build(
+    embeddings: DataFrame,
+    n_planes: int = 6,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[dict, DataFrame]:
+    """Build the sign-LSH index once: ({n_planes, dim, seed}, bucketed
+    corpus).  The params dict travels with the corpus so every later
+    :func:`lsh_search` hashes queries with the SAME hyperplane matrix;
+    the bucketed DataFrame (vec_id, cv, bucket) is the persistent
+    artifact — write it with ``sinks.write_bucketed(..., ["bucket"])``
+    for shuffle-free probing across query batches."""
+    # derive dim ONCE from the corpus and pin it in the params: a
     # query set with a different vector length then fails the bucket
     # guard instead of silently hashing with a different hyperplane
     # matrix (incomparable buckets, null cosines ranked into top-k)
@@ -288,11 +310,24 @@ def lsh_topk(
         dim,
         seed,
     ).select("vec_id", _as_double("embedding").alias("cv"), "bucket")
+    return {"n_planes": n_planes, "dim": dim, "seed": seed}, corpus
+
+
+def lsh_search(
+    params: dict,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Query a prebuilt sign-LSH index: hash queries with the index's
+    own hyperplane params, probe only matching buckets."""
     q = lsh_bucket(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("embedding")),
-        n_planes,
-        dim,
-        seed,
+        params["n_planes"],
+        params["dim"],
+        params["seed"],
     ).select("query_id", _as_double("embedding").alias("qv"), "bucket")
     scored = F.broadcast(q).join(corpus, "bucket").select(
         "query_id",

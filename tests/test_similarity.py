@@ -153,3 +153,25 @@ def test_ivf_build_once_search_twice(embeddings):
         assert ivf_search(centroids, cells, q2, k=3).count() == 9
     finally:
         cells.unpersist()
+
+
+def test_lsh_build_once_search_twice(embeddings):
+    """Split LSH API == one-shot wrapper; one bucketed index serves
+    multiple query batches with the same hyperplanes."""
+    from mapreduceimpl_spark.operators.similarity import lsh_build, lsh_search, lsh_topk
+
+    q1 = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    q2 = embeddings.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 6)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    params, corpus = lsh_build(embeddings)
+    corpus = corpus.cache()
+    try:
+        a = {(r["query_id"], r["rank"], r["vec_id"]) for r in lsh_search(params, corpus, q1).collect()}
+        b = {(r["query_id"], r["rank"], r["vec_id"]) for r in lsh_topk(embeddings, q1).collect()}
+        assert a == b
+        assert lsh_search(params, corpus, q2, k=2).count() > 0
+    finally:
+        corpus.unpersist()
