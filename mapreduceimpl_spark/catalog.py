@@ -541,7 +541,7 @@ FROM sess GROUP BY user_id, sid
 # tests/test_catalog_contract.py enforces that this set only shrinks:
 # once an entry has a driver CORRECTNESS row it must leave this set.
 DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
-    {"text_unigram_logprob", "sample_fixed_n", "text_compression_ratio"}
+    {"text_unigram_logprob", "sample_fixed_n", "text_compression_ratio", "scalar_map"}
 )
 
 SPECS: dict[str, QuerySpec] = {
@@ -1380,6 +1380,20 @@ SPECS: dict[str, QuerySpec] = {
             ) WHERE rn <= 25""",
         doc="exact-size deterministic per-stratum sample (tail entry, locally "
             "verified; rotates into the driver window next round)",
+    ),
+    "scalar_map": QuerySpec(
+        _rel(relational.q_scalar_map),
+        """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                  n_name AS nation,
+                  'earth' AS planet,
+                  CAST(3 AS BIGINT) AS n_keys,
+                  'nation,planet,region' AS keys_sorted,
+                  array_to_string(list_sort([upper(n_name), upper(r_name), 'EARTH']), ',')
+                    AS vals_upper_sorted
+           FROM nation JOIN region ON n_regionkey = r_regionkey""",
+        doc="MAP-typed scalar surface: create_map/element_at/map_keys/"
+            "map_values/map_concat/transform_values, outputs reduced to "
+            "plain scalars (tail entry, locally verified; new round 2)",
     ),
     "text_compression_ratio": QuerySpec(
         lambda spark, sf_dir: text_analysis.compression_ratio(

@@ -780,3 +780,31 @@ def q_events_session_native(t: dict[str, DataFrame]) -> DataFrame:
             "n_events",
         )
     )
+
+
+def q_scalar_map(t: dict[str, DataFrame]) -> DataFrame:
+    """MAP-typed scalar surface (§2.8 array/map/json row): build a map
+    per nation, then read it back via element_at / map_keys /
+    map_values / size / map_concat / transform_values.  Every OUTPUT
+    is a plain scalar (maps never leave the plan) so the oracle —
+    which computes the same results directly — compares values, not
+    engine-specific map renderings.
+    """
+    n, r = t["nation"], t["region"]
+    base = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+    m = F.create_map(
+        F.lit("nation"), F.col("n_name"),
+        F.lit("region"), F.col("r_name"),
+    )
+    m2 = F.map_concat(m, F.create_map(F.lit("planet"), F.lit("earth")))
+    upper = F.transform_values(m2, lambda _, v: F.upper(v))
+    return base.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.element_at(m, "nation").alias("nation"),
+        F.element_at(m2, "planet").alias("planet"),
+        F.size(m2).cast("long").alias("n_keys"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m2))).alias("keys_sorted"),
+        F.concat_ws(",", F.array_sort(F.map_values(upper))).alias("vals_upper_sorted"),
+    )
