@@ -112,7 +112,9 @@ def kmeans_fit(
     degenerate adjacent seeds when ids correlate with content; on the
     synthetic fixture both inits converge to equivalent quality, see
     COVERAGE.md for measured numbers) or "first" (k lowest-id
-    vectors — cheapest, one pass).
+    vectors — cheapest, one pass).  May return FEWER than k centroids
+    when the data has fewer than k distinct vectors (never duplicate
+    centroids).
     """
     vectors = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
