@@ -2,6 +2,7 @@ from mapreduceimpl_spark.streaming.ops import (
     read_events_stream,
     session_counts,
     sliding_counts,
+    stream_click_view_join,
     stream_dedup,
     stream_running_totals,
     tumbling_counts,
@@ -11,6 +12,7 @@ __all__ = [
     "read_events_stream",
     "session_counts",
     "sliding_counts",
+    "stream_click_view_join",
     "stream_dedup",
     "stream_running_totals",
     "tumbling_counts",

@@ -196,3 +196,55 @@ def stream_running_totals(events: DataFrame, timeout_ms: int | None = None) -> D
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stream_click_view_join(
+    events: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked STREAM-STREAM join: every click paired with the
+    same user's view events from the preceding ``horizon``.
+
+    Both sides are the same unbounded stream filtered by type; each
+    carries its own watermark, and the range condition
+    ``click_ts - horizon <= view_ts <= click_ts`` lets Spark bound the
+    join state — views older than (watermark + horizon) are dropped
+    from state instead of accumulating forever.  This is the streaming
+    form of the batch as-of/funnel family (inner join: results emit as
+    matches arrive; the watermark governs state cleanup, not output
+    delay).
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return clicks.join(
+        views,
+        F.expr(
+            f"""
+            c_user_id = v_user_id AND
+            view_ts <= click_ts AND
+            view_ts >= click_ts - INTERVAL {horizon}
+            """
+        ),
+        "inner",
+    ).select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "view_id",
+        "view_ts",
+    )

@@ -140,3 +140,37 @@ def test_stream_running_totals(spark, events_dir):
     for uid, r in latest.items():
         assert r["n_events"] == batch_map[uid]["n"]
         assert abs(r["total_value"] - batch_map[uid]["tv"]) < 1e-6
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """Watermarked stream-stream click<-view join == the equivalent
+    batch range join on the same events (inner join: nothing withheld
+    by the watermark once all data is processed)."""
+    stream = streaming.read_events_stream(spark, events_dir)
+    got = {
+        (r["user_id"], r["click_id"], r["view_id"])
+        for r in _run_stream(streaming.stream_click_view_join(stream), mode="append")
+    }
+
+    e = load_table(spark, SF, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    batch = {
+        (r["c_user_id"], r["click_id"], r["view_id"])
+        for r in clicks.join(
+            views,
+            F.expr(
+                "c_user_id = v_user_id AND view_ts <= click_ts "
+                "AND view_ts >= click_ts - INTERVAL 1 hour"
+            ),
+        ).collect()
+    }
+    assert got == batch and len(batch) > 0
