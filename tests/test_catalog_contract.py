@@ -75,3 +75,39 @@ def test_every_spec_has_runnable_shape():
     for name, spec in catalog.SPECS.items():
         assert callable(spec.fn), name
         assert spec.oracle is None or isinstance(spec.oracle, str), name
+
+
+def test_catalog_queries_pin_utc_under_hostile_session(spark):
+    """A caller session in a non-UTC timezone must get identical
+    results from catalog.queries() (which pins UTC per query) — the
+    derived dates/strings in the oracle contract are UTC instants."""
+    q = catalog.queries()["scalar_case_date"]
+    sf = "/root/testdata/sf0.001"
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    baseline = {tuple(r) for r in q(spark, sf).collect()}
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        hostile = {tuple(r) for r in q(spark, sf).collect()}
+        # the pin must also leave the session in UTC afterwards is NOT
+        # promised — only the query's own results are
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert hostile == baseline and len(baseline) > 0
+
+
+def test_events_tumbling_pins_utc_too(spark):
+    """Window boundaries over the nanos-timestamp events table are the
+    timezone-sensitive worst case — same hostile-session check."""
+    q = catalog.queries()["events_tumbling"]
+    sf = "/root/testdata/sf0.001"
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    baseline = {tuple(r) for r in q(spark, sf).collect()}
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")  # +05:45
+    try:
+        hostile = {tuple(r) for r in q(spark, sf).collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert hostile == baseline and len(baseline) > 0
