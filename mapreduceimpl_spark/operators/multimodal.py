@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 # Schema of a decoded-asset metadata record.
 DECODE_SCHEMA = (
-    "asset_id long, n_bytes long, content_sha string, width long, height long, format string"
+    "asset_id long, n_bytes long, content_sha string, width long, height long, "
+    "format string, header_parsed boolean"
 )
 
 
@@ -62,33 +63,49 @@ def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
             "gif",
         )
     if payload[:2] == b"\xff\xd8":
+        # every SOFn frame header carries the geometry (all of
+        # C0-C3, C5-C7, C9-CB, CD-CF; C4/C8/CC are DHT/JPG/DAC)
+        sof = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
         i = 2
         while i + 9 < len(payload):
             if payload[i] != 0xFF:
                 break
             marker = payload[i + 1]
-            if marker in (0xC0, 0xC1, 0xC2):
+            if marker == 0xFF:  # legal fill byte before a marker
+                i += 1
+                continue
+            if marker in sof:
                 return (
                     int.from_bytes(payload[i + 7 : i + 9], "big"),
                     int.from_bytes(payload[i + 5 : i + 7], "big"),
                     "jpeg",
                 )
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2
+                i += 2  # standalone markers carry no length field
                 continue
             i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
         return None
-    if (
-        payload[:4] == b"RIFF"
-        and payload[8:12] == b"WEBP"
-        and payload[12:16] == b"VP8X"
-        and len(payload) >= 30
-    ):
-        return (
-            int.from_bytes(payload[24:27], "little") + 1,
-            int.from_bytes(payload[27:30], "little") + 1,
-            "webp",
-        )
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        chunk = payload[12:16]
+        if chunk == b"VP8X" and len(payload) >= 30:
+            return (
+                int.from_bytes(payload[24:27], "little") + 1,
+                int.from_bytes(payload[27:30], "little") + 1,
+                "webp",
+            )
+        if chunk == b"VP8 " and len(payload) >= 30 and payload[23:26] == b"\x9d\x01\x2a":
+            # lossy VP8 keyframe: 14-bit LE dimensions after the
+            # 3-byte frame tag + 3-byte start code
+            return (
+                int.from_bytes(payload[26:28], "little") & 0x3FFF,
+                int.from_bytes(payload[28:30], "little") & 0x3FFF,
+                "webp",
+            )
+        if chunk == b"VP8L" and len(payload) >= 25 and payload[20] == 0x2F:
+            # lossless: 14-bit width-1 / height-1 packed little-endian
+            bits = int.from_bytes(payload[21:25], "little")
+            return ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "webp")
+        return None
     return None
 
 
@@ -120,10 +137,13 @@ def decode_image_stub(assets: DataFrame, strict: bool = False) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             # real header parse first; digest-derived fake only for
-            # unrecognized payloads (the fixtures' text bytes)
+            # unrecognized payloads (the fixtures' text bytes).  The
+            # header_parsed flag lets downstream filters distinguish
+            # true geometry from the deterministic stand-in.
+            parsed = [parse_image_header(bytes(p)) for p in pdf["payload"]]
             meta = [
-                parse_image_header(bytes(p)) or _fake_decode(bytes(p))
-                for p in pdf["payload"]
+                m if m is not None else _fake_decode(bytes(p))
+                for m, p in zip(parsed, pdf["payload"])
             ]
             yield pd.DataFrame(
                 {
@@ -135,6 +155,7 @@ def decode_image_stub(assets: DataFrame, strict: bool = False) -> DataFrame:
                     "width": [m[0] for m in meta],
                     "height": [m[1] for m in meta],
                     "format": [m[2] for m in meta],
+                    "header_parsed": [m is not None for m in parsed],
                 }
             )
 

@@ -417,7 +417,9 @@ def unigram_logprob(docs: DataFrame, round_lp: int = 9) -> DataFrame:
     """
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
-    total = toks.agg(F.count("*").alias("total"))
+    # total from the (tiny) aggregated counts side — summing the token
+    # stream directly would re-scan and re-tokenize the whole corpus
+    total = counts.agg(F.sum("cnt").alias("total"))
     lp = F.round(
         F.log(F.col("cnt").cast("double") / F.col("total").cast("double")), round_lp
     )
@@ -463,7 +465,10 @@ def compression_ratio(
         import zlib
 
         for pdf in batches:
-            raw = [t.encode("utf-8") for t in pdf["text"]]
+            # null text -> empty bytes (ratio 0, keep) instead of
+            # crashing the worker; SQL operators null-propagate, the
+            # Python path must at least not fail the stage
+            raw = [(t or "").encode("utf-8") for t in pdf["text"]]
             n_bytes = [len(b) for b in raw]
             n_comp = [len(zlib.compress(b, level)) for b in raw]
             ratio = [b / c for b, c in zip(n_bytes, n_comp)]

@@ -11,26 +11,13 @@ the invariant mechanically for future rounds' reorderings.
 
 from __future__ import annotations
 
-import glob
-import json
-
 from mapreduceimpl_spark import catalog
 
-WINDOW = 49
+WINDOW = catalog.VERIFICATION_WINDOW
 
 
 def _previously_verified() -> set[str]:
-    verified: set[str] = set()
-    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
-        with open(path) as fh:
-            data = json.load(fh)
-        for name, row in data.items():
-            # a green hash row, or a rows-only op the driver executed
-            if row.get("hash_match") or (
-                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-            ):
-                verified.add(name)
-    return verified
+    return set(catalog.driver_verified_queries())
 
 
 def test_unverified_entries_lead_the_window():

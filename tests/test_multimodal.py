@@ -19,6 +19,7 @@ def test_payload_roundtrip_and_schema(docs):
     meta = multimodal.multimodal_meta(docs)
     assert [f.name for f in meta.schema.fields] == [
         "asset_id", "n_bytes", "content_sha", "width", "height", "format",
+        "header_parsed",
     ]
     rows = {r["asset_id"]: r for r in meta.collect()}
     sample = docs.limit(5).collect()
@@ -130,3 +131,54 @@ def test_decode_uses_real_header_when_present(spark):
     rows = {r["asset_id"]: r for r in multimodal.decode_image_stub(assets).collect()}
     assert (rows[1]["width"], rows[1]["height"], rows[1]["format"]) == (800, 600, "png")
     assert rows[2]["width"] > 0  # fake path still deterministic
+
+
+def test_parse_image_header_webp_layouts():
+    """Lossy VP8 and lossless VP8L — the common WebP layouts without a
+    VP8X extended header — parse too."""
+    import struct
+
+    from mapreduceimpl_spark.operators.multimodal import parse_image_header
+
+    # lossy: RIFF..WEBP VP8 <len> [3B frame tag] 9d 01 2a [w16][h16]
+    vp8 = (
+        b"RIFF" + struct.pack("<I", 30) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 14)
+        + b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + struct.pack("<HH", 1920, 1080) + b"\x00\x00"
+    )
+    assert parse_image_header(vp8) == (1920, 1080, "webp")
+
+    # lossless: RIFF..WEBP VP8L <len> 2f [14b w-1 | 14b h-1 packed LE]
+    bits = (639) | (479 << 14)
+    vp8l = (
+        b"RIFF" + struct.pack("<I", 20) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", 6)
+        + b"\x2f" + struct.pack("<I", bits) + b"\x00"
+    )
+    assert parse_image_header(vp8l) == (640, 480, "webp")
+
+
+def test_parse_image_header_jpeg_fill_bytes():
+    """Legal 0xFF padding between JPEG segments must not derail the
+    SOF scan."""
+    import struct
+
+    from mapreduceimpl_spark.operators.multimodal import parse_image_header
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof2 = b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 77, 99, 1) + b"\x01\x11\x00"
+    jpeg = b"\xff\xd8" + app0 + b"\xff\xff\xff" + sof2  # progressive + fill
+    assert parse_image_header(jpeg) == (99, 77, "jpeg")
+
+
+def test_decode_flags_header_parsed(spark):
+    from mapreduceimpl_spark.operators import multimodal
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(_minimal_png(32, 16))), (2, bytearray(b"not an image"))],
+        "asset_id long, payload binary",
+    )
+    rows = {r["asset_id"]: r for r in multimodal.decode_image_stub(assets).collect()}
+    assert rows[1]["header_parsed"] is True
+    assert rows[2]["header_parsed"] is False

@@ -13,27 +13,17 @@ Usage: python tools/rotation_report.py
 
 from __future__ import annotations
 
-import glob
-import json
 import sys
 
 sys.path.insert(0, "/root/repo")
 
 from mapreduceimpl_spark import catalog  # noqa: E402
 
-WINDOW = 49
+WINDOW = catalog.VERIFICATION_WINDOW
 
 
 def main() -> int:
-    verified: dict[str, str] = {}
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
-        rnd = path.rsplit("_r", 1)[1].split(".")[0]
-        with open(path) as fh:
-            for name, row in json.load(fh).items():
-                if row.get("hash_match"):
-                    verified[name] = f"hash r{rnd}"
-                elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-                    verified.setdefault(name, f"rows-only r{rnd}")
+    verified = catalog.driver_verified_queries()
 
     names = list(catalog.SPECS)
     unverified = [n for n in names if n not in verified]
