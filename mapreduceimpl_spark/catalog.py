@@ -75,7 +75,7 @@ WITH RECURSIVE sized AS (
   SELECT CAST(lang AS VARCHAR) AS group_key,
          CAST(floor(({_UNIFORM}) * 4) AS BIGINT) AS shard,
          doc_id,
-         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+         CAST(greatest(0, coalesce(len({_TOKS}), 0)) AS BIGINT) AS n_tokens
   FROM documents
 ),
 ordered AS (
@@ -199,7 +199,7 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.lsh_topk(emb, queries, k=5)
+    return similarity.lsh_topk(emb, queries, k=5, round_digits=6)
 
 
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,6 +268,40 @@ SELECT doc_a, doc_b,
 FROM pair
 JOIN sig sa ON pair.doc_a = sa.doc_id
 JOIN sig sb ON pair.doc_b = sb.doc_id
+"""
+
+
+def _dedup_clusters_oracle(min_jaccard: float = 0.5) -> str:
+    """Mirror of ``dedup.dedup_decision`` over MinHash pairs (round-3:
+    flips dedup_clusters from rows-only to hash-checked).
+
+    Spark runs iterative min-label propagation to a convergence
+    witness; on a converged run every node's component is exactly the
+    minimum doc_id reachable in the pair graph, which a recursive
+    reachability closure computes directly (components here are tiny
+    near-dup groups, so the closure is |component| x |component| rows
+    at worst — cheap at fixture scale).  The edge list embeds the
+    already-verified ``_minhash_oracle`` body as a derived table."""
+    return f"""
+WITH RECURSIVE scored AS (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle()}) p WHERE est_jaccard >= {min_jaccard}
+),
+edge AS (
+  SELECT doc_a AS u, doc_b AS v FROM scored
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM scored
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edge
+  UNION
+  SELECT re.node, e.v AS r FROM reach re JOIN edge e ON re.r = e.u
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+corpus AS ({_NEARDUP_CORPUS})
+SELECT c.doc_id,
+       coalesce(k.component, c.doc_id) AS component,
+       c.doc_id = coalesce(k.component, c.doc_id) AS is_canonical
+FROM corpus c LEFT JOIN comp k ON c.doc_id = k.node
 """
 
 
@@ -361,31 +395,49 @@ WHERE jaccard >= {min_jaccard}
 """
 
 
-def _embedding_neardup_oracle(
-    min_cosine: float = 0.9, n_planes: int = 4, dim: int = 64, seed: int = 42
-) -> str:
-    """Mirror of the production (label-free) ``embedding_neardup_pairs``
-    path: sign-LSH bucket blocking with the SAME seeded hyperplanes.
+# Vector length of the embeddings fixture (TESTDATA.md): the seeded
+# hyperplane matrices in the LSH oracles below are generated at this
+# dim, and the Spark side derives dim from the first data row — a
+# fixture dim change would silently desync them, so
+# tests/test_catalog_contract.py asserts derive_dim(fixture) == this.
+EMBEDDING_FIXTURE_DIM = 64
 
-    Bit-exact parity notes: plane literals go through
-    ``CAST('<repr>' AS DOUBLE)`` (a bare float literal parses as
-    DECIMAL in DuckDB); the per-plane dot product is a sequential
-    left fold (``list_reduce``) matching Spark's ``aggregate`` fold
-    order, so the sign test agrees bitwise.
-    """
+
+def _lsh_bucket_sql(n_planes: int, dim: int, seed: int, vec: str = "v") -> str:
+    """DuckDB expression replaying ``similarity.lsh_bucket`` bit-exactly
+    over a list-of-double column ``vec``.
+
+    Parity notes: plane literals go through ``CAST('<repr>' AS
+    DOUBLE)`` (a bare float literal parses as DECIMAL in DuckDB); the
+    per-plane dot product is a sequential left fold (``list_reduce``)
+    matching Spark's ``aggregate`` fold order, so the sign test agrees
+    bitwise."""
     planes = similarity.random_hyperplanes(n_planes, dim, seed)
 
     def dot_expr(p: list[float]) -> str:
         lst = "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in p) + "]"
         return (
             f"list_reduce(list_transform(range(1, {dim + 1}), "
-            f"j -> v[j] * ({lst})[j]), (a, b) -> a + b)"
+            f"j -> {vec}[j] * ({lst})[j]), (a, b) -> a + b)"
         )
 
-    bucket = "\n      + ".join(
+    return "\n      + ".join(
         f"(CASE WHEN {dot_expr(p)} > 0 THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for i, p in enumerate(planes)
     )
+
+
+def _embedding_neardup_oracle(
+    min_cosine: float = 0.9,
+    n_planes: int = 4,
+    dim: int = EMBEDDING_FIXTURE_DIM,
+    seed: int = 42,
+) -> str:
+    """Mirror of the production (label-free) ``embedding_neardup_pairs``
+    path: sign-LSH bucket blocking with the SAME seeded hyperplanes
+    (see ``_lsh_bucket_sql`` for the bit-exact parity notes).
+    """
+    bucket = _lsh_bucket_sql(n_planes, dim, seed)
     return f"""
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -406,6 +458,43 @@ SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
        round(list_cosine_similarity(a.v, b2.v), 6) AS cosine
 FROM b a JOIN b b2 ON a.blk = b2.blk AND a.vec_id < b2.vec_id
 WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= {min_cosine}
+"""
+
+
+def _ann_lsh_oracle(
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = EMBEDDING_FIXTURE_DIM,
+    seed: int = 42,
+) -> str:
+    """Mirror of ``similarity.lsh_topk`` (round-3: flips ann_lsh_topk
+    from rows-only to hash-checked): bucket corpus and queries with the
+    SAME seeded hyperplanes, probe only the query's bucket, rank by
+    rounded cosine with vec_id tiebreak — the seeded-hyperplane replay
+    already proven bit-exact by ``_embedding_neardup_oracle``."""
+    bucket = _lsh_bucket_sql(n_planes, dim, seed)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, v,
+      {bucket} AS bucket
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         round(list_cosine_similarity(q.qv, b.v), 6) AS cosine
+  FROM q JOIN b ON q.bucket = b.bucket
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {k}
 """
 
 
@@ -550,14 +639,20 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
 VERIFICATION_WINDOW = 49
 
 
-def driver_verified_queries(repo_dir: str = "/root/repo") -> dict[str, str]:
+def driver_verified_queries(repo_dir: str | None = None) -> dict[str, str]:
     """Queries already verified by the driver across all prior rounds:
     name -> evidence ("hash rN" green value row, or "rows-only rN" for
     an executed no-oracle op).  Shared by the rotation-report tool and
-    the catalog-contract tests so the two can never disagree."""
+    the catalog-contract tests so the two can never disagree.
+
+    ``repo_dir`` defaults to the repo root derived from this file's
+    location, so the tool works from any checkout path."""
     import glob as _glob
     import json as _json
+    from pathlib import Path as _Path
 
+    if repo_dir is None:
+        repo_dir = str(_Path(__file__).resolve().parents[1])
     verified: dict[str, str] = {}
     for path in sorted(_glob.glob(f"{repo_dir}/CORRECTNESS_r*.json")):
         rnd = path.rsplit("_r", 1)[1].split(".")[0]
@@ -663,8 +758,10 @@ SPECS: dict[str, QuerySpec] = {
                 dedup.with_mutated_copies(load_table(spark, sf_dir, "documents"))
             ).filter(F.col("est_jaccard") >= 0.5),
         ),
-        None,
-        doc="full fuzzy-dedup verdict: MinHash pairs -> connected components -> canonical keeper (iterative; rows-only)",
+        _dedup_clusters_oracle(),
+        doc="full fuzzy-dedup verdict: MinHash pairs -> connected components -> "
+            "canonical keeper (round-3: hash-checked vs recursive reachability "
+            "closure — valid because the Spark side converges on this graph)",
     ),
     # --- LLM pipeline: similarity search ---
     "ann_topk": QuerySpec(
@@ -689,8 +786,9 @@ SPECS: dict[str, QuerySpec] = {
         doc="brute-force cosine top-k (exact ANN baseline)",
     ),
     "ann_lsh_topk": QuerySpec(
-        _q_ann_lsh, None,
-        doc="sign-LSH bucketed ANN (seeded hyperplanes; rows-only + recall pytest)",
+        _q_ann_lsh, _ann_lsh_oracle(),
+        doc="sign-LSH bucketed ANN (round-3: hash-checked via seeded-hyperplane "
+            "replay + rounded-cosine rank; recall pytest vs brute force)",
     ),
     "ann_ivf_topk": QuerySpec(
         lambda spark, sf_dir: similarity.ivf_topk(

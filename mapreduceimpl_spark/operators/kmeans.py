@@ -61,9 +61,10 @@ def _init_farthest_first(
     ONE Spark job collects up to ``sample_size`` candidate vectors
     (ordered by an md5-derived uniform of vec_id — deterministic, not
     partition-dependent); the maximin traversal then runs driver-side
-    in NumPy: start from the hash-first vector, repeatedly add the
-    candidate farthest from its nearest chosen centroid (ties by
-    lowest vec_id).  Same spread-the-seeds effect as k-means++, no
+    in NumPy: the sampled candidates are re-sorted by vec_id, the
+    traversal starts from the lowest-vec_id candidate, then repeatedly
+    adds the candidate farthest from its nearest chosen centroid (ties
+    by lowest vec_id).  Same spread-the-seeds effect as k-means++, no
     RNG, byte-reproducible — and O(1) passes over the data instead of
     the k-1 full-corpus scans a distributed farthest-first would cost
     (which would dominate ivf_topk's index build at scale).

@@ -87,7 +87,13 @@ def pack_greedy(
         F.col(group_col).cast("string").alias("group_key"),
         shard.alias("shard"),
         F.col(id_col).cast("long").alias("doc_id"),
-        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        # null/empty text packs as a 0-token document instead of a NULL
+        # (size() yields null/-1 on null input depending on legacy conf;
+        # int(NaN) would then raise inside the pandas pass) — mirrored
+        # in the catalog's recursive-CTE oracle
+        F.greatest(F.lit(0), F.coalesce(F.size(tokens(text_col)), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

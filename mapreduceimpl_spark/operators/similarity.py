@@ -269,6 +269,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the query's LSH bucket.
 
@@ -281,7 +282,7 @@ def lsh_topk(
         id_col=id_col, vec_col=vec_col,
     )
     return lsh_search(params, corpus, queries, k=k, vec_col=vec_col,
-                      query_id_col=query_id_col)
+                      query_id_col=query_id_col, round_digits=round_digits)
 
 
 def lsh_build(
@@ -320,19 +321,27 @@ def lsh_search(
     k: int = 5,
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Query a prebuilt sign-LSH index: hash queries with the index's
-    own hyperplane params, probe only matching buckets."""
+    own hyperplane params, probe only matching buckets.
+
+    ``round_digits`` rounds the cosine before ranking so the order is
+    reproducible across engines with different float fold order (same
+    knob as :func:`brute_force_topk` — used by the DuckDB oracle)."""
     q = lsh_bucket(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("embedding")),
         params["n_planes"],
         params["dim"],
         params["seed"],
     ).select("query_id", _as_double("embedding").alias("qv"), "bucket")
+    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
     scored = F.broadcast(q).join(corpus, "bucket").select(
         "query_id",
         "vec_id",
-        cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+        sim.alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

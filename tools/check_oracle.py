@@ -14,11 +14,12 @@ from __future__ import annotations
 import math
 import sys
 import time
+from pathlib import Path
 
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from mapreduceimpl_spark import catalog, get_spark  # noqa: E402
 from mapreduceimpl_spark.sources import TABLES  # noqa: E402

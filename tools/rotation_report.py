@@ -14,8 +14,9 @@ Usage: python tools/rotation_report.py
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from mapreduceimpl_spark import catalog  # noqa: E402
 
