@@ -9,15 +9,18 @@ probing) which get the driver's rows-only check + pytest invariants.
 
 Ordering contract (round 2+): the driver records CORRECTNESS rows for
 roughly the FIRST 50 entries in insertion order.  SPECS is therefore
-ordered so the entries that most need a fresh green row come first —
-round 2 leads with the entire LLM-pipeline family (dedup / ANN /
-k-means / text / multimodal / embedding) plus the time-series ops,
-none of which landed inside round 1's window; the overflow tail is
-exclusively queries already hash-verified green in CORRECTNESS_r01.json
-and rotates back into the window in later rounds.  Near-duplicate
-relational entries from round 1 were merged (set ops 4->1, windows
-5->2, scalar 6->3, stats folded into agg_multikey) so the window holds
-strictly more distinct operator evidence per round.
+rebuilt from ``_ROUND3_ORDER`` (defined after the dict literal) so the
+entries that most need a fresh green row come first.  Round 3 leads
+with the 4 entries that sat past every previous window
+(text_unigram_logprob / sample_fixed_n / scalar_map /
+text_compression_ratio), then the three entries whose oracle is new
+this round (dedup_simhash64_pairs / ann_lsh_topk / dedup_clusters);
+positions 8-42 refresh the round-1 relational evidence (2 rounds old),
+43-49 refresh high-value round-2 LLM entries, slot 50 holds a
+rows-only entry as off-by-one slack, and the tail is exclusively
+queries hash-verified green in round 2.  The bench set is pinned to
+the round-2 execution order (``_BENCH_ORDER``) so per-query timings
+stay comparable across rounds regardless of window rotation.
 
 Engine-portability rules used throughout (see functions/exprs.py):
 decimal-routed float sums, md5/sha2 content hashes, BIGINT for every
@@ -176,6 +179,11 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(corpus)
 
 
+def _q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup.with_mutated_copies(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash_pairs(corpus, bits=64)
+
+
 def _q_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = dedup.with_mutated_copies(load_table(spark, sf_dir, "documents"))
     return dedup.ngram_jaccard_pairs(corpus, min_jaccard=0.5)
@@ -307,17 +315,24 @@ FROM corpus c LEFT JOIN comp k ON c.doc_id = k.node
 
 def _simhash_sig_fragments(bits: int) -> tuple[str, str]:
     """(votes select-list, bit-sum expression) for the SimHash sig CTEs —
-    shared by the signatures oracle and the pairs oracle."""
+    shared by the signatures oracle and the pairs oracles.  Bit 63 uses
+    the signed two's-complement value (``dedup._signed_bit``) so the
+    64-bit sum matches Spark's BIGINT signature bit-for-bit."""
     hexhi = "('8','9','a','b','c','d','e','f')"
     votes = ",\n    ".join(
         f"SUM(CASE WHEN substr(h, {i + 1}, 1) IN {hexhi} THEN 1 ELSE -1 END) AS v_{i}"
         for i in range(bits)
     )
     terms = " + ".join(
-        f"CASE WHEN v_{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        f"CASE WHEN v_{i} > 0 THEN CAST({dedup._signed_bit(i)} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         for i in range(bits)
     )
     return votes, terms
+
+
+def _simhash_hash_sql(bits: int) -> str:
+    """DuckDB shingle digest matching ``dedup._simhash_shingle_hash``."""
+    return "md5(shingle)" if bits <= 32 else "sha256(shingle)"
 
 
 def _simhash_oracle(bits: int = dedup.SIMHASH_BITS) -> str:
@@ -327,7 +342,7 @@ WITH sh AS (
   SELECT doc_id, unnest({_shingle_list(3)}) AS shingle
   FROM documents WHERE len({_TOKS}) >= 3
 ),
-hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+hashed AS (SELECT doc_id, {_simhash_hash_sql(bits)} AS h FROM sh),
 votes AS (
   SELECT doc_id,
     {votes}
@@ -353,7 +368,7 @@ sh AS (
   SELECT doc_id, unnest({_shingle_list(3)}) AS shingle
   FROM corpus WHERE len({_TOKS}) >= 3
 ),
-hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+hashed AS (SELECT doc_id, {_simhash_hash_sql(bits)} AS h FROM sh),
 votes AS (
   SELECT doc_id,
     {votes}
@@ -630,9 +645,9 @@ FROM sess GROUP BY user_id, sid
 # (tools/check_oracle.py) and MUST rotate into the window next round —
 # tests/test_catalog_contract.py enforces that this set only shrinks:
 # once an entry has a driver CORRECTNESS row it must leave this set.
-DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
-    {"text_unigram_logprob", "sample_fixed_n", "text_compression_ratio", "scalar_map"}
-)
+# Round 3: nothing is deferred — every entry lacking a driver row sits
+# inside the recording window (positions 1-7 of _ROUND3_ORDER).
+DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset()
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
 # this position in SPECS get no row); slot WINDOW+1 is kept low-stakes.
@@ -741,6 +756,11 @@ SPECS: dict[str, QuerySpec] = {
         _q_simhash_pairs, _simhash_pairs_oracle(),
         doc="SimHash near-dup pairs via (max_hamming+1) bit-range blocks "
             "(round-2 fix: full pigeonhole recall + full SQL oracle)",
+    ),
+    "dedup_simhash64_pairs": QuerySpec(
+        _q_simhash64_pairs, _simhash_pairs_oracle(bits=64),
+        doc="64-bit SimHash near-dup pairs (sha2-256 nibble votes, 16-bit "
+            "pigeonhole blocks — the billion-doc scale configuration; new round 3)",
     ),
     "dedup_ngram_jaccard": QuerySpec(
         _q_ngram_pairs, _ngram_oracle(),
@@ -1543,6 +1563,52 @@ SPECS: dict[str, QuerySpec] = {
 }
 
 
+# Round-3 window rotation (driver records the first ~50 entries; see
+# module docstring).  Head 1-7: never-driver-verified + new-oracle
+# entries; 8-42: round-1 evidence refresh; 43-49: round-2 LLM refresh;
+# 50: rows-only slack; 51+: round-2-green tail.
+_ROUND3_ORDER = [
+    "text_unigram_logprob", "sample_fixed_n", "scalar_map", "text_compression_ratio",
+    "dedup_simhash64_pairs", "ann_lsh_topk", "dedup_clusters", "wordcount",
+    "lang_count", "udf_wordcount", "filter_project", "pricing_summary",
+    "agg_multikey", "agg_distinct", "distinct_op", "agg_rollup",
+    "agg_cube", "grouping_sets", "join_inner", "join_left",
+    "join_semi", "join_anti", "join_full", "join_cross",
+    "join_broadcast", "join_theta", "shipping_priority", "local_supplier_volume",
+    "volume_shipping", "returned_items", "events_funnel", "window_rank",
+    "sort_limit", "scalar_string", "json_extract", "null_handling",
+    "subquery_corr", "array_agg", "percentile", "pivot",
+    "sample_hash", "events_sliding", "events_tumbling", "events_sessionize",
+    "asof_join", "dedup_minhash_lsh", "dedup_embedding", "seq_pack",
+    "multimodal_meta", "agg_approx", "events_session_native", "dedup_exact",
+    "dedup_exact_norm", "dedup_simhash_sigs", "dedup_simhash_pairs", "dedup_ngram_jaccard",
+    "ann_topk", "ann_ivf_topk", "kmeans_assign", "text_lang_id",
+    "text_quality", "text_token_stats", "text_clean", "corpus_filter",
+    "text_bpe_tokens", "embedding_centroids", "embedding_norms", "text_fingerprint",
+    "text_repetition", "text_pii_scrub", "contamination_check", "sample_stratified",
+    "domain_mix", "embedding_quantize", "tfidf_topterms", "scalar_case_date",
+    "scalar_math_date", "window_analytics", "set_ops",
+]
+
+if set(_ROUND3_ORDER) != set(SPECS) or len(_ROUND3_ORDER) != len(SPECS):
+    raise AssertionError(
+        "catalog rotation list out of sync with SPECS: "
+        f"missing={set(SPECS) - set(_ROUND3_ORDER)} "
+        f"unknown={set(_ROUND3_ORDER) - set(SPECS)}"
+    )
+SPECS = {name: SPECS[name] for name in _ROUND3_ORDER}
+
+
+# Bench execution order, pinned to round 2's recorded order so the
+# per-query timing comparison in BENCH_r{N}.json stays aligned across
+# window rotations (the set itself is the unchanged 2x-gate set).
+_BENCH_ORDER = [
+    "events_sessionize", "dedup_exact", "dedup_minhash_lsh", "ann_topk",
+    "text_quality", "wordcount", "filter_project", "pricing_summary",
+    "join_broadcast", "shipping_priority", "local_supplier_volume", "window_rank",
+]
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Pin the session timezone before building the plan.
 
@@ -1569,4 +1635,10 @@ def oracle_sql() -> dict[str, str]:
 
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _with_utc(spec.fn) for name, spec in SPECS.items() if spec.bench}
+    flagged = {name for name, spec in SPECS.items() if spec.bench}
+    if flagged != set(_BENCH_ORDER):
+        raise AssertionError(
+            f"bench set drifted from the pinned order: flagged-only="
+            f"{flagged - set(_BENCH_ORDER)} order-only={set(_BENCH_ORDER) - flagged}"
+        )
+    return {name: _with_utc(SPECS[name].fn) for name in _BENCH_ORDER}

@@ -235,35 +235,71 @@ def minhash_lsh_pairs(
 SIMHASH_BITS = 32
 
 
-def simhash_signatures(
-    docs: DataFrame, shingle_n: int = 3, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """32-bit SimHash per document over token n-gram shingles.
+def _simhash_shingle_hash(col: F.Column, bits: int) -> F.Column:
+    """Hex digest wide enough for ``bits`` nibble votes: md5 (32
+    nibbles) up to 32 bits, sha2-256 (64 nibbles) up to 64."""
+    if bits <= 0:
+        raise ValueError(f"simhash: bits must be positive, got {bits}")
+    if bits <= 32:
+        return F.md5(col)
+    if bits <= 64:
+        return F.sha2(col, 256)
+    raise ValueError(f"simhash: bits must be <= 64 (one BIGINT signature), got {bits}")
 
-    Bit *i* of a shingle's hash = high bit of hex nibble *i* of
-    ``md5(shingle)`` (i.e. nibble >= 8).  The document bit is the
+
+def _signed_bit(i: int) -> int:
+    """2^i as the signed two's-complement BIGINT value (bit 63 is the
+    sign bit, so it contributes -2^63 — identical bit pattern)."""
+    v = 1 << i
+    return v - (1 << 64) if i == 63 else v
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """``bits``-wide SimHash per document over token n-gram shingles.
+
+    Bit *i* of a shingle's hash = high bit of hex nibble *i* of the
+    shingle digest (i.e. nibble >= 8) — md5 for ``bits <= 32``,
+    sha2-256 for ``bits <= 64`` (both engine-portable, so the DuckDB
+    oracle replays either width bit-exactly).  The document bit is the
     majority vote over distinct shingles; ties (sum == 0) resolve to 0.
     (Shingles, not unigrams, for the same distinctiveness reason as
     ``minhash_signatures``.)
 
-    Scale: explode + groupBy(doc) with 32 map-side partial SUMs — one
-    shuffle, signature is a single BIGINT.  Near-dup candidates then
-    block on bit-bands of the signature (see ``simhash_pairs``).
+    Default stays 32 (the oracle-checked fixture configuration);
+    ``bits=64`` is the billion-doc configuration — its pigeonhole
+    blocks are 16 bits wide (65536 values) so candidate buckets stay
+    O(n / 65536) where 32-bit blocks would collapse to O(n / 256)
+    (see ``simhash_pairs_from_signatures``).  Bit 63 of a 64-bit
+    signature lands in the BIGINT sign bit — the signature may be
+    negative; xor/popcount/shift-mask candidate logic is bit-pattern
+    arithmetic and unaffected.
+
+    Scale: explode + groupBy(doc) with ``bits`` map-side partial SUMs —
+    one shuffle, signature is a single BIGINT.  Near-dup candidates
+    then block on bit-bands of the signature (see ``simhash_pairs``).
     """
     tok = ngram_shingles(docs, n=shingle_n, id_col=id_col, text_col=text_col).withColumn(
-        "h", F.md5("shingle")
+        "h", _simhash_shingle_hash(F.col("shingle"), bits)
     )
     # nibble i high bit → +1 / -1 vote
     votes = [
         F.sum(
             F.when(F.substring("h", i + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
         ).alias(f"v_{i}")
-        for i in range(SIMHASH_BITS)
+        for i in range(bits)
     ]
     agg = tok.groupBy(id_col).agg(*votes)
     bit_terms = [
-        F.when(F.col(f"v_{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
-        for i in range(SIMHASH_BITS)
+        F.when(F.col(f"v_{i}") > 0, F.lit(_signed_bit(i)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(bits)
     ]
     simhash = bit_terms[0]
     for term in bit_terms[1:]:
@@ -304,8 +340,10 @@ def simhash_pairs_from_signatures(
 
     Scale: with 32-bit signatures the blocks are only ~8 bits wide
     (256 values) — fine for corpus-sized fixtures, but at billions of
-    docs use 64-bit signatures (``bits=64`` with a 64-nibble hash) so
-    blocks are 16 bits and bucket sizes stay O(n / 65536).
+    docs use 64-bit signatures (``simhash_signatures(..., bits=64)``,
+    sha2-256 nibble votes) so blocks are 16 bits and bucket sizes stay
+    O(n / 65536).  The shift-mask below is sign-safe for bit 63: the
+    arithmetic shift's sign-extension is erased by the width mask.
     """
     structs = [
         F.struct(
@@ -345,15 +383,21 @@ def simhash_pairs_from_signatures(
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS
+) -> DataFrame:
     """Near-dup pairs by SimHash: block on ``max_hamming + 1`` disjoint
     bit-range blocks (guaranteed recall by pigeonhole), verify with
     bit_count(xor).
 
     Scale: (max_hamming + 1) equi-joins on short keys instead of
-    O(n^2); verify is a single BIGINT xor + popcount.
+    O(n^2); verify is a single BIGINT xor + popcount.  ``bits=64``
+    (sha2-256 signatures, 16-bit blocks) is the billion-doc
+    configuration — see ``simhash_signatures``.
     """
-    return simhash_pairs_from_signatures(simhash_signatures(docs), max_hamming)
+    return simhash_pairs_from_signatures(
+        simhash_signatures(docs, bits=bits), max_hamming, bits
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -51,7 +51,19 @@ def group_reduce(
 ) -> DataFrame:
     """Reducer surface (U2): ``fn`` receives one complete group as a
     pandas DataFrame — the exact contract of ``TestReduce``
-    (``test.go:44-71``) with shuffle/merge handled by Spark."""
+    (``test.go:44-71``) with shuffle/merge handled by Spark.
+
+    HIGH-CARDINALITY WARNING: ``applyInPandas`` materializes one pandas
+    DataFrame per key — at millions of keys that is millions of tiny
+    Arrow batches and the per-group Python dispatch dominates.  Reach
+    for this surface only when the reduction genuinely needs the whole
+    group as a table (sequential recurrences like ``packing.pack_greedy``,
+    cross-row logic).  For per-group SCALAR reduction use
+    :func:`grouped_agg_udaf` (measured in
+    ``tests/test_udf_surface.py::test_grouped_agg_udaf_vs_group_reduce_high_cardinality``:
+    ~3x faster at 50k single-digit-row groups, and the gap widens with
+    key count); for anything expressible in ``pyspark.sql.functions``
+    use the built-ins (~10-100x, see ``udf_wordcount``)."""
     return df.groupBy(*keys).applyInPandas(fn, schema=schema)
 
 
@@ -101,5 +113,12 @@ def grouped_agg_udaf(
 ) -> DataFrame:
     """UDAF surface (U7): pandas Series -> scalar, map-side combinable by
     Spark only per-group (Arrow grouped-agg pandas UDF)."""
-    udaf = F.pandas_udf(fn, "double")
+
+    # pandas_udf picks SCALAR vs GROUPED_AGG from the callable's type
+    # hints; the annotated adapter pins GROUPED_AGG so un-annotated
+    # callables (lambdas) work too
+    def _agg(s: pd.Series) -> float:
+        return fn(s)
+
+    udaf = F.pandas_udf(_agg, "double")
     return df.groupBy(*keys).agg(udaf(F.col(value_col)).alias(alias))

@@ -52,6 +52,16 @@ def test_deferred_set_self_cleans():
     assert not unknown, f"deferred names not in SPECS: {unknown}"
 
 
+def test_embedding_fixture_dim_matches_lsh_oracles(embeddings):
+    """The LSH oracles generate their seeded hyperplane matrices at
+    catalog.EMBEDDING_FIXTURE_DIM while the Spark side derives dim from
+    the data; if the embeddings fixture ever changes width, this is the
+    alarm that the two would silently desync (ADVICE r2)."""
+    from mapreduceimpl_spark.operators.similarity import derive_dim
+
+    assert derive_dim(embeddings) == catalog.EMBEDDING_FIXTURE_DIM
+
+
 def test_catalog_names_unique_and_oracles_subset():
     names = list(catalog.SPECS)
     assert len(names) == len(set(names))

@@ -103,6 +103,51 @@ def test_simhash_block_ranges_cover_all_bits():
     assert covered == list(range(32))
 
 
+def test_simhash64_block_ranges_16bit_wide():
+    """The 64-bit configuration's pigeonhole blocks are 16 bits wide
+    (65536 values) — the property that keeps candidate buckets
+    O(n / 65536) at billion-doc scale."""
+    assert dedup.simhash_block_ranges(3, 64) == [(0, 16), (16, 16), (32, 16), (48, 16)]
+
+
+def test_simhash64_sign_bit_is_blocked_and_verified(spark):
+    """Bit 63 lands in the BIGINT sign bit: a negative signature must
+    still block correctly (arithmetic shift's sign-extension is masked
+    off) and verify via xor/popcount."""
+    hi = -(1 << 63)  # only bit 63 set, as a signed long
+    sigs = spark.createDataFrame(
+        [(1, hi), (2, hi | (1 << 5)), (3, 1 << 5)],
+        "doc_id long, simhash long",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs_from_signatures(sigs, max_hamming=3, bits=64).collect()
+    }
+    assert pairs[(1, 2)] == 1   # differ only in bit 5
+    assert pairs[(2, 3)] == 1   # differ only in sign bit
+    assert pairs[(1, 3)] == 2
+
+
+def test_simhash_64_vs_32_operating_point(docs):
+    """32-bit and 64-bit signatures are different operating points at
+    the same max_hamming: a given text edit flips ~2x the bits in a
+    64-bit signature, so d<=3 on 64 bits (the Manku et al. WWW'07
+    web-dedup configuration) is STRICTER.  Invariants that hold by
+    construction: exact copies collide at hamming 0 in both widths,
+    and the 64-bit pair set at the same threshold is higher-precision
+    (never more candidates) on the fixture corpus."""
+    exact = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    corpus = dedup.with_mutated_copies(docs).unionByName(exact)
+    p32 = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dedup.simhash_pairs(corpus).collect()}
+    p64 = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dedup.simhash_pairs(corpus, bits=64).collect()}
+    for base in range(20):  # every exact copy found at distance 0, both widths
+        assert p32[(base, base + 500_000)] == 0
+        assert p64[(base, base + 500_000)] == 0
+    assert len(p64) <= len(p32)  # 256x keyspace -> fewer incidental candidates
+
+
 def test_simhash_exact_copy_distance_zero(docs):
     """An exact copy has the identical simhash (hamming 0)."""
     corpus = docs.unionByName(

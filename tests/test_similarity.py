@@ -175,3 +175,60 @@ def test_lsh_build_once_search_twice(embeddings):
         assert lsh_search(params, corpus, q2, k=2).count() > 0
     finally:
         corpus.unpersist()
+
+
+def _topk_set(df):
+    return {(r["query_id"], r["rank"], r["vec_id"]) for r in df.collect()}
+
+
+def test_ivf_persisted_index_round_trip(embeddings):
+    """The docstring's 'build once, serve many batches' claim, end to
+    end: ivf_build -> write_bucketed -> re-read from disk -> ivf_search
+    equals searching the in-memory index, and the probe join against
+    the persisted corpus is broadcast-side — the corpus is never
+    exchanged (no Exchange on the cell key in the plan)."""
+    from mapreduceimpl_spark.operators.similarity import ivf_build, ivf_search
+    from mapreduceimpl_spark.plans import explain_str
+    from mapreduceimpl_spark.sources.sinks import write_bucketed
+
+    spark = embeddings.sparkSession
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids, cells = ivf_build(embeddings)
+    try:
+        write_bucketed(cells, "t_ivf_cells_rt", ["cell"], n_buckets=8)
+        reread = spark.table("t_ivf_cells_rt")
+        from_disk = ivf_search(centroids, reread, q)
+        assert _topk_set(from_disk) == _topk_set(ivf_search(centroids, cells, q))
+        plan = explain_str(from_disk, "simple")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "Exchange hashpartitioning(cell" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivf_cells_rt")
+
+
+def test_lsh_persisted_index_round_trip(embeddings):
+    """Same round trip for the sign-LSH index: the params dict written
+    alongside the bucketed corpus re-hashes a later query batch with
+    the SAME hyperplanes, so disk == memory exactly; the bucketed
+    corpus is never exchanged."""
+    from mapreduceimpl_spark.operators.similarity import lsh_build, lsh_search
+    from mapreduceimpl_spark.plans import explain_str
+    from mapreduceimpl_spark.sources.sinks import write_bucketed
+
+    spark = embeddings.sparkSession
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    params, corpus = lsh_build(embeddings)
+    try:
+        write_bucketed(corpus, "t_lsh_corpus_rt", ["bucket"], n_buckets=8)
+        reread = spark.table("t_lsh_corpus_rt")
+        from_disk = lsh_search(params, reread, q)
+        assert _topk_set(from_disk) == _topk_set(lsh_search(params, corpus, q))
+        plan = explain_str(from_disk, "simple")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "Exchange hashpartitioning(bucket" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_lsh_corpus_rt")

@@ -51,6 +51,55 @@ def test_group_reduce_sees_full_group(tables):
     assert out.exceptAll(expected).count() == 0
 
 
+def test_grouped_agg_udaf_vs_group_reduce_high_cardinality(spark):
+    """The measured basis for group_reduce's high-cardinality warning:
+    at 50k tiny groups, per-group applyInPandas pays one pandas
+    DataFrame + one Python dispatch per key, while the grouped-agg
+    pandas UDF amortizes dispatch across Arrow batches.  Results must
+    be identical; the UDAF path must not be slower."""
+    import time
+
+    df = (
+        spark.range(100_000)
+        .select((F.col("id") % 50_000).alias("k"), (F.col("id") * 1.0).alias("v"))
+        .cache()
+    )
+    df.count()
+    try:
+        def sum_fn(s: pd.Series) -> float:  # hints drive pandas_udf's
+            return float(s.sum())           # grouped-agg inference
+
+        t0 = time.perf_counter()
+        via_udaf = {
+            (r["k"], r["s"])
+            for r in udf_surface.grouped_agg_udaf(
+                df, ["k"], "v", sum_fn, alias="s"
+            ).collect()
+        }
+        t_udaf = time.perf_counter() - t0
+
+        def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"k": [pdf["k"].iloc[0]], "s": [float(pdf["v"].sum())]}
+            )
+
+        t0 = time.perf_counter()
+        via_reduce = {
+            (r["k"], r["s"])
+            for r in udf_surface.group_reduce(
+                df, ["k"], reduce_fn, "k long, s double"
+            ).collect()
+        }
+        t_reduce = time.perf_counter() - t0
+    finally:
+        df.unpersist()
+    assert via_udaf == via_reduce
+    assert t_udaf < t_reduce, (
+        f"grouped_agg_udaf {t_udaf:.2f}s should beat per-key "
+        f"applyInPandas {t_reduce:.2f}s at 50k groups"
+    )
+
+
 def test_grouped_agg_udaf(tables):
     def mean_fn(s: pd.Series) -> float:
         return float(s.mean())
