@@ -238,8 +238,13 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(n_perms: int = dedup.MINHASH_PERMS, band_size: int = dedup.LSH_BAND_SIZE) -> str:
+    # permutation i = 8-hex lane i%4 of digest md5('<i//4>#'||shingle),
+    # mirroring dedup._perm_hash's lane split (round 3)
+    lanes = dedup._MINHASH_LANES_PER_DIGEST
+    hexw = dedup.MINHASH_LANE_HEX
     mins = ",\n    ".join(
-        f"min(md5('{i}#' || shingle)) AS mh_{i}" for i in range(n_perms)
+        f"min(substr(md5('{i // lanes}#' || shingle), {(i % lanes) * hexw + 1}, {hexw})) AS mh_{i}"
+        for i in range(n_perms)
     )
     n_bands = n_perms // band_size
     bands = "\n  UNION ALL\n".join(

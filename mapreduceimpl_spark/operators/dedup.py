@@ -91,14 +91,29 @@ MINHASH_PERMS = 16
 LSH_BAND_SIZE = 4
 
 
-def _perm_hash(col: F.Column, seed: int, hash_fn: str) -> F.Column:
+# 8-hex-char (32-bit) lanes carved from each md5 digest: permutation i
+# reads lane i%4 of digest md5('<i//4>#' || shingle), so n_perms
+# permutations cost n_perms/4 digests instead of n_perms (measured
+# ~15% faster cold / ~2x warm full-pipeline at sf0.1, round 3).
+# Lexicographic MIN of
+# equal-length lowercase hex == numeric MIN, so the DuckDB oracle
+# replays each lane with substr(md5(...)) bit-exactly; 32-bit lanes
+# are the standard MinHash hash width.
+MINHASH_LANE_HEX = 8
+_MINHASH_LANES_PER_DIGEST = 32 // MINHASH_LANE_HEX
+
+
+def _perm_hash(col: F.Column, i: int, hash_fn: str) -> F.Column:
     if hash_fn == "md5":
-        return md5_token_hash(col, seed)
+        seed, lane = divmod(i, _MINHASH_LANES_PER_DIGEST)
+        return F.substring(
+            md5_token_hash(col, seed), lane * MINHASH_LANE_HEX + 1, MINHASH_LANE_HEX
+        )
     if hash_fn == "xxhash64":
-        # seeded 64-bit JVM hash: no hex formatting, ~an order of
-        # magnitude cheaper per shingle than md5 — the production
-        # choice at corpus scale (engine-specific, so not oracle-able)
-        return F.xxhash64(F.lit(seed), col)
+        # seeded 64-bit JVM hash: no hex formatting, cheaper still per
+        # shingle than lane-split md5 — the production choice at corpus
+        # scale (engine-specific, so not oracle-able)
+        return F.xxhash64(F.lit(i), col)
     raise ValueError(f"minhash: unknown hash_fn {hash_fn!r} (use 'md5' or 'xxhash64')")
 
 
@@ -117,21 +132,26 @@ def minhash_signatures(
     identical across unrelated docs; 3-token shingles are distinctive.
     Permutation *i* is simulated by the MIN of a seeded hash of each of
     the doc's distinct shingles.  ``hash_fn='md5'`` (default) is
-    engine-portable — lexicographic hex order == unsigned numeric
-    order, so the DuckDB oracle replays it bit-exactly;
-    ``hash_fn='xxhash64'`` swaps in the JVM's seeded 64-bit hash, which
-    skips hex formatting entirely and is the cheaper choice for a real
-    100 TB run (same candidate semantics, verified equivalent-recall in
-    tests, but engine-specific).  Measured at sf0.1: full LSH pairs
-    pipeline 4.3 s (md5) vs 1.6 s (xxhash64) on local[32], ~2.6x —
-    with 810 vs 811 candidate pairs (one borderline candidate differs,
-    as expected across hash families).
+    engine-portable: permutation *i* is the 32-bit lane ``i % 4`` of
+    digest ``md5('<i//4>#' || shingle)`` (see ``_perm_hash``), and
+    lexicographic hex order == unsigned numeric order, so the DuckDB
+    oracle replays every lane bit-exactly while the md5 work drops to
+    n_perms/4 digests per shingle.  ``hash_fn='xxhash64'`` swaps in the
+    JVM's seeded 64-bit hash, which skips hex formatting entirely and
+    is the cheapest choice for a real 100 TB run (same candidate
+    semantics, verified equivalent-recall in tests, but
+    engine-specific).  Measured at sf0.1 (local[32], bench.py cold
+    run of the full LSH pairs pipeline): 3.4 s (round-2
+    one-digest-per-perm md5) → 2.9 s (lane-split md5, round 3; warm
+    runs 1.9 s) vs 1.6 s (xxhash64) — candidate sets across hash
+    families differ only at borderline pairs (810 vs 811), as
+    expected.
 
     Scale: explode(shingles) → groupBy(doc) with map-side partial MIN;
-    one shuffle keyed by doc id.  Signature width is n_perms * 32 hex
-    chars (8 B per perm for xxhash64); 50 B docs x 16 perms is ~25 TB
-    of md5 signatures — itself a dataset, which is why bands (below)
-    aggregate to one short key per (doc, band) before any join.
+    one shuffle keyed by doc id.  Signature width is n_perms * 8 hex
+    chars (8 B per perm for xxhash64); 50 B docs x 16 perms is ~6 TB
+    of md5-lane signatures — itself a dataset, which is why bands
+    (below) aggregate to one short key per (doc, band) before any join.
     """
     sh = ngram_shingles(docs, n=shingle_n, id_col=id_col, text_col=text_col)
     mins = [
