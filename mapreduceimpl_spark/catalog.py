@@ -210,6 +210,14 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, k=5, round_digits=6)
 
 
+def _q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(emb, queries, k=5, n_probe=3, round_digits=6)
+
+
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans.kmeans_assignments(load_table(spark, sf_dir, "embeddings"), k=10, max_iter=5)
 
@@ -423,15 +431,15 @@ WHERE jaccard >= {min_jaccard}
 EMBEDDING_FIXTURE_DIM = 64
 
 
-def _lsh_bucket_sql(n_planes: int, dim: int, seed: int, vec: str = "v") -> str:
-    """DuckDB expression replaying ``similarity.lsh_bucket`` bit-exactly
-    over a list-of-double column ``vec``.
+def _lsh_dot_exprs(n_planes: int, dim: int, seed: int, vec: str = "v") -> list[str]:
+    """Per-plane dot-product SQL replaying ``similarity``'s seeded
+    hyperplanes bit-exactly over a list-of-double column ``vec``.
 
     Parity notes: plane literals go through ``CAST('<repr>' AS
     DOUBLE)`` (a bare float literal parses as DECIMAL in DuckDB); the
     per-plane dot product is a sequential left fold (``list_reduce``)
-    matching Spark's ``aggregate`` fold order, so the sign test agrees
-    bitwise."""
+    matching Spark's ``aggregate`` fold order, so sign and magnitude
+    agree bitwise."""
     planes = similarity.random_hyperplanes(n_planes, dim, seed)
 
     def dot_expr(p: list[float]) -> str:
@@ -441,9 +449,15 @@ def _lsh_bucket_sql(n_planes: int, dim: int, seed: int, vec: str = "v") -> str:
             f"j -> {vec}[j] * ({lst})[j]), (a, b) -> a + b)"
         )
 
+    return [dot_expr(p) for p in planes]
+
+
+def _lsh_bucket_sql(n_planes: int, dim: int, seed: int, vec: str = "v") -> str:
+    """DuckDB expression replaying ``similarity.lsh_bucket`` bit-exactly
+    (see ``_lsh_dot_exprs`` for the parity notes)."""
     return "\n      + ".join(
-        f"(CASE WHEN {dot_expr(p)} > 0 THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for i, p in enumerate(planes)
+        f"(CASE WHEN {d} > 0 THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i, d in enumerate(_lsh_dot_exprs(n_planes, dim, seed, vec))
     )
 
 
@@ -486,13 +500,34 @@ def _ann_lsh_oracle(
     n_planes: int = 6,
     dim: int = EMBEDDING_FIXTURE_DIM,
     seed: int = 42,
+    n_probe: int = 1,
 ) -> str:
     """Mirror of ``similarity.lsh_topk`` (round-3: flips ann_lsh_topk
     from rows-only to hash-checked): bucket corpus and queries with the
     SAME seeded hyperplanes, probe only the query's bucket, rank by
     rounded cosine with vec_id tiebreak — the seeded-hyperplane replay
-    already proven bit-exact by ``_embedding_neardup_oracle``."""
+    already proven bit-exact by ``_embedding_neardup_oracle``.
+
+    ``n_probe > 1`` replays the multi-probe expansion: sort planes by
+    (|dot|, 2^plane) — the same struct ordering Spark's array_sort
+    uses — and probe the base bucket plus its ``n_probe - 1``
+    lowest-margin single-bit flips."""
     bucket = _lsh_bucket_sql(n_planes, dim, seed)
+    if n_probe > 1:
+        margin_list = "[" + ", ".join(
+            f"{{'m': abs({d}), 'b': CAST({2**i} AS BIGINT)}}"
+            for i, d in enumerate(_lsh_dot_exprs(n_planes, dim, seed, vec="qv"))
+        ) + "]"
+        q_cte = f"""q0 AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+q AS (
+  SELECT query_id, qv,
+         unnest(list_prepend(bucket, list_transform(
+             (list_sort({margin_list}))[1:{n_probe - 1}],
+             s -> xor(bucket, s.b)))) AS bucket
+  FROM q0
+)"""
+    else:
+        q_cte = "q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10)"
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -503,7 +538,7 @@ b AS (
       {bucket} AS bucket
   FROM e
 ),
-q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+{q_cte},
 scored AS (
   SELECT q.query_id, b.vec_id,
          round(list_cosine_similarity(q.qv, b.v), 6) AS cosine
@@ -814,6 +849,12 @@ SPECS: dict[str, QuerySpec] = {
         _q_ann_lsh, _ann_lsh_oracle(),
         doc="sign-LSH bucketed ANN (round-3: hash-checked via seeded-hyperplane "
             "replay + rounded-cosine rank; recall pytest vs brute force)",
+    ),
+    "ann_lsh_multiprobe": QuerySpec(
+        _q_ann_lsh_multiprobe, _ann_lsh_oracle(n_probe=3),
+        doc="multi-probe sign-LSH ANN (Lv et al. VLDB'07 shape): probe the "
+            "base bucket + 2 lowest-margin single-bit flips — recall toward "
+            "brute force without growing the index (new round 3)",
     ),
     "ann_ivf_topk": QuerySpec(
         lambda spark, sf_dir: similarity.ivf_topk(
@@ -1574,7 +1615,7 @@ SPECS: dict[str, QuerySpec] = {
 # 50: rows-only slack; 51+: round-2-green tail.
 _ROUND3_ORDER = [
     "text_unigram_logprob", "sample_fixed_n", "scalar_map", "text_compression_ratio",
-    "dedup_simhash64_pairs", "ann_lsh_topk", "dedup_clusters", "wordcount",
+    "dedup_simhash64_pairs", "ann_lsh_topk", "ann_lsh_multiprobe", "dedup_clusters", "wordcount",
     "lang_count", "udf_wordcount", "filter_project", "pricing_summary",
     "agg_multikey", "agg_distinct", "distinct_op", "agg_rollup",
     "agg_cube", "grouping_sets", "join_inner", "join_left",
@@ -1583,9 +1624,9 @@ _ROUND3_ORDER = [
     "volume_shipping", "returned_items", "events_funnel", "window_rank",
     "sort_limit", "scalar_string", "json_extract", "null_handling",
     "subquery_corr", "array_agg", "percentile", "pivot",
-    "sample_hash", "events_sliding", "events_tumbling", "events_sessionize",
+    "sample_hash", "events_tumbling", "events_sessionize",
     "asof_join", "dedup_minhash_lsh", "dedup_embedding", "seq_pack",
-    "multimodal_meta", "agg_approx", "events_session_native", "dedup_exact",
+    "multimodal_meta", "agg_approx", "events_sliding", "events_session_native", "dedup_exact",
     "dedup_exact_norm", "dedup_simhash_sigs", "dedup_simhash_pairs", "dedup_ngram_jaccard",
     "ann_topk", "ann_ivf_topk", "kmeans_assign", "text_lang_id",
     "text_quality", "text_token_stats", "text_clean", "corpus_filter",

@@ -270,19 +270,22 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_digits: int | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket.
+    """Approximate top-k: probe only the query's LSH bucket (or the
+    ``n_probe`` most promising buckets — see :func:`lsh_search`).
 
     Scale: corpus is bucketed once (writable as a bucketed table for
-    reuse); each query joins to ~corpus/2^n_planes rows.  Recall vs
-    brute force is a measured test invariant, not a promise.
+    reuse); each query joins to ~n_probe * corpus/2^n_planes rows.
+    Recall vs brute force is a measured test invariant, not a promise.
     """
     params, corpus = lsh_build(
         embeddings, n_planes=n_planes, dim=dim, seed=seed,
         id_col=id_col, vec_col=vec_col,
     )
-    return lsh_search(params, corpus, queries, k=k, vec_col=vec_col,
-                      query_id_col=query_id_col, round_digits=round_digits)
+    return lsh_search(params, corpus, queries, k=k, n_probe=n_probe,
+                      vec_col=vec_col, query_id_col=query_id_col,
+                      round_digits=round_digits)
 
 
 def lsh_build(
@@ -319,6 +322,7 @@ def lsh_search(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
+    n_probe: int = 1,
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_digits: int | None = None,
@@ -326,15 +330,50 @@ def lsh_search(
     """Query a prebuilt sign-LSH index: hash queries with the index's
     own hyperplane params, probe only matching buckets.
 
+    ``n_probe > 1`` enables multi-probe LSH (Lv et al., VLDB'07 shape):
+    besides its own bucket, each query probes the ``n_probe - 1``
+    buckets reached by flipping the single plane whose decision margin
+    |dot(q, plane)| is smallest — the planes most likely to have put a
+    true neighbor on the other side.  Recall rises toward brute force
+    at a scan cost of ~n_probe/2^n_planes of the corpus per query,
+    WITHOUT growing the index (the alternative — fewer planes — fattens
+    every bucket instead).  Probed buckets are distinct, and buckets
+    partition the corpus, so no result dedup is needed.
+
     ``round_digits`` rounds the cosine before ranking so the order is
     reproducible across engines with different float fold order (same
     knob as :func:`brute_force_topk` — used by the DuckDB oracle)."""
+    n_planes = params["n_planes"]
+    if not 1 <= n_probe <= n_planes + 1:
+        raise ValueError(
+            f"lsh_search: n_probe must be in [1, n_planes+1={n_planes + 1}], got {n_probe}"
+        )
     q = lsh_bucket(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("embedding")),
-        params["n_planes"],
+        n_planes,
         params["dim"],
         params["seed"],
     ).select("query_id", _as_double("embedding").alias("qv"), "bucket")
+    if n_probe > 1:
+        planes = random_hyperplanes(n_planes, params["dim"], params["seed"])
+        # (margin, bit) per plane; array_sort orders by margin then bit
+        # (bit = 2^plane is monotone in plane index, the deterministic
+        # tiebreak) — identical struct ordering in the DuckDB oracle
+        margins = [
+            F.struct(
+                F.abs(dot(F.col("qv"), F.array(*[F.lit(float(x)) for x in p]))).alias("m"),
+                F.lit(2**i).cast("long").alias("b"),
+            )
+            for i, p in enumerate(planes)
+        ]
+        probes = F.concat(
+            F.array(F.col("bucket")),
+            F.transform(
+                F.slice(F.array_sort(F.array(*margins)), 1, n_probe - 1),
+                lambda s: F.col("bucket").bitwiseXOR(s["b"]),
+            ),
+        )
+        q = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
     sim = cosine_similarity(F.col("qv"), F.col("cv"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)

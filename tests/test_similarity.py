@@ -72,6 +72,40 @@ def test_lsh_recall_vs_brute_force(embeddings):
     assert sum(recalls) / len(recalls) >= 0.3
 
 
+def _mean_recall(embeddings, q, approx_rows):
+    exact = similarity.brute_force_topk(embeddings, q, k=5).collect()
+    exact_sets: dict[int, set] = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets: dict[int, set] = {}
+    for r in approx_rows:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[qid] & approx_sets.get(qid, set())) / len(exact_sets[qid])
+        for qid in exact_sets
+    ]
+    return sum(recalls) / len(recalls)
+
+
+def test_lsh_multiprobe_improves_recall(embeddings):
+    """Multi-probe (base bucket + lowest-margin bit flips) must never
+    lose results vs single-probe — every single-probe hit is in a
+    probed bucket by construction — and on this corpus the extra
+    probes strictly improve mean recall toward brute force."""
+    q = _queries(embeddings, n=10)
+    single_rows = similarity.lsh_topk(embeddings, q, k=5, n_planes=4).collect()
+    multi_rows = similarity.lsh_topk(
+        embeddings, q, k=5, n_planes=4, n_probe=3
+    ).collect()
+    r1 = _mean_recall(embeddings, q, single_rows)
+    r3 = _mean_recall(embeddings, q, multi_rows)
+    assert r3 >= r1, (r1, r3)
+    # the query's own bucket is always probed: self stays rank 1
+    for r in multi_rows:
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["query_id"]
+
+
 def test_ivf_recall_vs_brute_force(embeddings):
     """IVF with 8 cells / 2 probes recovers a reasonable fraction of
     the true top-k (deterministic: fixed k-means init)."""

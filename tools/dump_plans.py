@@ -8,7 +8,8 @@ from __future__ import annotations
 
 import sys
 
-sys.path.insert(0, "/root/repo")
+import pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from mapreduceimpl_spark import catalog, get_spark  # noqa: E402
 from mapreduceimpl_spark.plans import explain_str  # noqa: E402
@@ -58,6 +59,14 @@ ANNOTATED = {
         "Query side is a BroadcastExchange; the corpus scan joins "
         "without shuffling — at scale only (n_queries x k) rows move "
         "to the final per-query TakeOrdered window."
+    ),
+    "ann_lsh_multiprobe": (
+        "Multi-probe sign-LSH: the query side computes its bucket + "
+        "the 2 lowest-margin bit-flip buckets (explode of 3 probes) "
+        "and broadcasts; the bucketed corpus joins WITHOUT shuffling "
+        "(BroadcastHashJoin on bucket). Probe count scales recall at "
+        "~n_probe/2^n_planes of the corpus per query — the index "
+        "itself never grows or moves."
     ),
     "asof_join": (
         "Round-2 rewrite: ONE Exchange on user_id, a single sort, a "
