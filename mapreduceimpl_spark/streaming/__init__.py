@@ -4,6 +4,7 @@ from mapreduceimpl_spark.streaming.ops import (
     sliding_counts,
     stream_click_view_join,
     stream_dedup,
+    stream_dedup_content,
     stream_running_totals,
     tumbling_counts,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "sliding_counts",
     "stream_click_view_join",
     "stream_dedup",
+    "stream_dedup_content",
     "stream_running_totals",
     "tumbling_counts",
 ]

@@ -130,6 +130,31 @@ def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def stream_dedup_content(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming analogue of ``dedup.dedup_exact``: drop any document
+    whose sha2-256 content hash was already seen within the watermark
+    horizon — the continuous-ingest half of the LLM dedup pipeline
+    (new documents stream in; re-crawls and mirrors of recent content
+    are dropped at the door).
+
+    State is ONE 64-hex key per unique recent document, reclaimed past
+    the watermark — bounded regardless of corpus size; the periodic
+    batch dedup (``dedup_exact`` etc.) owns anything older than the
+    horizon.  The sha2 key matches the batch operator bit-for-bit, so
+    a batch backfill and the stream agree on identity.
+    """
+    return (
+        docs.withColumn("content_sha", F.sha2(F.col(text_col), 256))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_sha"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------

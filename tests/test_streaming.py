@@ -124,6 +124,39 @@ def test_stream_dedup_drops_duplicates(spark, events_dir, tmp_path):
     assert len(got) == n_unique
 
 
+def test_stream_dedup_content_matches_batch(spark, tmp_path):
+    """Streaming content dedup == batch dedup_exact identity: stream
+    the documents fixture twice (every doc arrives as two file copies)
+    and expect exactly one survivor per distinct text, keyed by the
+    same sha2-256 the batch operator uses."""
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id",
+        "text",
+        # deterministic ingest time: fixture has no timestamp column
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ingest_ts"),
+    )
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    got = _run_stream(streaming.stream_dedup_content(stream), mode="append")
+    n_distinct_texts = docs.select("text").distinct().count()
+    assert len(got) == n_distinct_texts
+    # identity key matches the batch operator bit-for-bit
+    batch_shas = {
+        r["content_sha"]
+        for r in load_table(spark, SF, "documents")
+        .select(F.sha2("text", 256).alias("content_sha"))
+        .collect()
+    }
+    assert {r["content_sha"] for r in got} == batch_shas
+
+
 def test_stream_running_totals(spark, events_dir):
     stream = streaming.read_events_stream(spark, events_dir)
     got = _run_stream(streaming.stream_running_totals(stream), mode="update")
