@@ -14,11 +14,12 @@ entries that most need a fresh green row come first.  Round 3 leads
 with the 4 entries that sat past every previous window
 (text_unigram_logprob / sample_fixed_n / scalar_map /
 text_compression_ratio), then the three entries whose oracle is new
-this round (dedup_simhash64_pairs / ann_lsh_topk / dedup_clusters);
-positions 8-42 refresh the round-1 relational evidence (2 rounds old),
-43-49 refresh high-value round-2 LLM entries, slot 50 holds a
-rows-only entry as off-by-one slack, and the tail is exclusively
-queries hash-verified green in round 2.  The bench set is pinned to
+this round (dedup_simhash64_pairs / ann_lsh_topk / dedup_clusters) and
+the three operators new in round 3 (range_join / hypertable_rollup /
+dedup_incremental); the rest of the window refreshes the round-1
+relational evidence (2 rounds old) then high-value round-2 LLM
+entries, and the tail is exclusively queries hash-verified green in
+earlier rounds.  The bench set is pinned to
 the round-2 execution order (``_BENCH_ORDER``) so per-query timings
 stay comparable across rounds regardless of window rotation.
 
@@ -245,7 +246,11 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- generated oracle SQL for hash-based ops ------------------------------
 
 
-def _minhash_oracle(n_perms: int = dedup.MINHASH_PERMS, band_size: int = dedup.LSH_BAND_SIZE) -> str:
+def _minhash_oracle(
+    n_perms: int = dedup.MINHASH_PERMS,
+    band_size: int = dedup.LSH_BAND_SIZE,
+    corpus_sql: str = _NEARDUP_CORPUS,
+) -> str:
     # permutation i = 8-hex lane i%4 of digest md5('<i//4>#'||shingle),
     # mirroring dedup._perm_hash's lane split (round 3)
     lanes = dedup._MINHASH_LANES_PER_DIGEST
@@ -266,7 +271,7 @@ def _minhash_oracle(n_perms: int = dedup.MINHASH_PERMS, band_size: int = dedup.L
         f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(n_perms)
     )
     return f"""
-WITH corpus AS ({_NEARDUP_CORPUS}),
+WITH corpus AS ({corpus_sql}),
 sh AS (
   SELECT doc_id, unnest({_shingle_list(3)}) AS shingle
   FROM corpus WHERE len({_TOKS}) >= 3
@@ -324,6 +329,75 @@ SELECT c.doc_id,
        c.doc_id = coalesce(k.component, c.doc_id) AS is_canonical
 FROM corpus c LEFT JOIN comp k ON c.doc_id = k.node
 """
+
+
+# Incoming-batch fixture for incremental dedup, derived from documents
+# so both engines rebuild it identically: byte-exact copies (expected
+# 'exact'), suffix-mutated copies (expected 'near' — same mutation as
+# _NEARDUP_CORPUS), and synthetic novel texts (expected 'new').  Batch
+# ids all >= 100000 > every corpus id, so cross pairs in the shared
+# minhash oracle are exactly doc_a < 100000 <= doc_b.
+_INCR_BATCH_SQL = """
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' extra suffix tokens' AS text
+  FROM documents WHERE doc_id % 10 = 5
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id,
+         'entirely novel synthetic document body number ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 10 = 7
+"""
+
+
+def _dedup_incremental_oracle(min_jaccard: float = 0.5) -> str:
+    """Mirror of ``dedup.incremental_dedup`` on the derived batch: the
+    shared ``_minhash_oracle`` body runs over corpus+batch, restricted
+    to cross pairs by the id split; exact matches compare raw text
+    (== sha256 equality, which is what the Spark side joins on)."""
+    all_sql = f"SELECT doc_id, text FROM documents UNION ALL {_INCR_BATCH_SQL}"
+    return f"""
+WITH batch AS ({_INCR_BATCH_SQL}),
+exact AS (
+  SELECT DISTINCT b.doc_id FROM batch b JOIN documents d ON b.text = d.text
+),
+near AS (
+  SELECT DISTINCT p.doc_b AS doc_id
+  FROM ({_minhash_oracle(corpus_sql=all_sql)}) p
+  WHERE p.est_jaccard >= {min_jaccard} AND p.doc_a < 100000 AND p.doc_b >= 100000
+)
+SELECT b.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+            WHEN n.doc_id IS NOT NULL THEN 'near'
+            ELSE 'new' END AS verdict
+FROM batch b
+LEFT JOIN exact e ON b.doc_id = e.doc_id
+LEFT JOIN near n ON b.doc_id = n.doc_id
+"""
+
+
+def _incr_batch_df(docs: DataFrame) -> DataFrame:
+    """Spark-side replica of ``_INCR_BATCH_SQL``."""
+    d = docs.select("doc_id", "text")
+    exact_b = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    near_b = d.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra suffix tokens")).alias("text"),
+    )
+    new_b = d.filter(F.col("doc_id") % 10 == 7).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.lit("entirely novel synthetic document body number "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return exact_b.unionByName(near_b).unionByName(new_b)
+
+
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_dedup(docs.select("doc_id", "text"), _incr_batch_df(docs))
 
 
 def _simhash_sig_fragments(bits: int) -> tuple[str, str]:
@@ -766,6 +840,48 @@ SPECS: dict[str, QuerySpec] = {
            GROUP BY c.event_id, c.user_id""",
         doc="single-pass windowed as-of join (round-2 rewrite; was range-join + row_number)",
     ),
+    "range_join": QuerySpec(
+        _rel(relational.q_range_join),
+        f"""WITH iv AS (
+             SELECT user_id,
+                    CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+                    MIN(ts) AS w_start, MAX(ts) AS w_end
+             FROM events WHERE event_type = 'view'
+             GROUP BY 1, 2
+           )
+           SELECT p.user_id AS user_id, iv.day AS day,
+                  COUNT(*) AS n_purchases,
+                  {_dec_sum('p.value', 'sum_value')}
+           FROM events p
+           JOIN iv ON p.user_id = iv.user_id
+                  AND p.ts >= iv.w_start AND p.ts <= iv.w_end
+           WHERE p.event_type = 'purchase'
+           GROUP BY 1, 2""",
+        doc="interval-overlap range join: purchases attributed to same-user "
+            "[first,last]-view browsing windows (new round 3)",
+    ),
+    "hypertable_rollup": QuerySpec(
+        _rel(relational.q_hypertable_rollup),
+        f"""WITH base AS (
+             SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+                    CAST(hour(ts) AS BIGINT) AS hour,
+                    CAST(floor(minute(ts) / 15) AS BIGINT) AS q15,
+                    value
+             FROM events
+           )
+           SELECT day, hour, q15,
+                  CASE WHEN day IS NULL THEN 'total'
+                       WHEN hour IS NULL THEN 'day'
+                       WHEN q15 IS NULL THEN 'hour'
+                       ELSE 'quarter' END AS grain,
+                  COUNT(*) AS cnt,
+                  {_dec_sum('value', 'sum_value')}
+           FROM base
+           GROUP BY ROLLUP(day, hour, q15)""",
+        doc="hypertable-style continuous aggregate: day/hour/quarter-hour "
+            "grains in ONE shuffle via rollup over nested time buckets "
+            "(new round 3)",
+    ),
     # --- LLM pipeline: dedup ---
     "dedup_exact": QuerySpec(
         _q_dedup_exact,
@@ -822,6 +938,12 @@ SPECS: dict[str, QuerySpec] = {
         doc="full fuzzy-dedup verdict: MinHash pairs -> connected components -> "
             "canonical keeper (round-3: hash-checked vs recursive reachability "
             "closure — valid because the Spark side converges on this graph)",
+    ),
+    "dedup_incremental": QuerySpec(
+        _q_dedup_incremental, _dedup_incremental_oracle(),
+        doc="incremental-ingest dedup: new batch labeled exact/near/new "
+            "against the existing corpus via one-sided sha256 + banded LSH "
+            "joins (new round 3)",
     ),
     # --- LLM pipeline: similarity search ---
     "ann_topk": QuerySpec(
@@ -1615,7 +1737,8 @@ SPECS: dict[str, QuerySpec] = {
 # 50: rows-only slack; 51+: round-2-green tail.
 _ROUND3_ORDER = [
     "text_unigram_logprob", "sample_fixed_n", "scalar_map", "text_compression_ratio",
-    "dedup_simhash64_pairs", "ann_lsh_topk", "ann_lsh_multiprobe", "dedup_clusters", "wordcount",
+    "dedup_simhash64_pairs", "ann_lsh_topk", "ann_lsh_multiprobe", "dedup_clusters",
+    "range_join", "hypertable_rollup", "dedup_incremental", "wordcount",
     "lang_count", "udf_wordcount", "filter_project", "pricing_summary",
     "agg_multikey", "agg_distinct", "distinct_op", "agg_rollup",
     "agg_cube", "grouping_sets", "join_inner", "join_left",

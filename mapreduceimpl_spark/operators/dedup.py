@@ -179,6 +179,42 @@ def lsh_bands(signatures: DataFrame, n_perms: int = MINHASH_PERMS, band_size: in
     ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
 
 
+def _bands_with_sig(
+    docs: DataFrame,
+    n_perms: int = MINHASH_PERMS,
+    band_size: int = LSH_BAND_SIZE,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(doc_id, sig array, band_id, band_key) rows — the LSH join input.
+
+    Shared by the self-join (``minhash_lsh_pairs``) and the
+    batch-vs-corpus join (``incremental_dedup``); the signature array
+    rides along so estimated Jaccard never needs a join back."""
+    sigs = minhash_signatures(docs, n_perms, hash_fn=hash_fn)
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(n_perms)])
+    n_bands = n_perms // band_size
+
+    def band_key(bi: int) -> F.Column:
+        cols = [F.col(f"mh_{bi * band_size + r}") for r in range(band_size)]
+        if hash_fn == "xxhash64":
+            # signatures are longs: one more xxhash64 folds the band,
+            # no string formatting anywhere in the pipeline
+            return F.xxhash64(*cols).cast("string")
+        return F.md5(F.concat_ws("|", *cols))
+
+    band_structs = [
+        F.struct(F.lit(bi).alias("band_id"), band_key(bi).alias("band_key"))
+        for bi in range(n_bands)
+    ]
+    return sigs.select(
+        "doc_id", sig_arr.alias("sig"), F.explode(F.array(*band_structs)).alias("band")
+    ).select(
+        "doc_id", "sig",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n_perms: int = MINHASH_PERMS,
@@ -202,29 +238,7 @@ def minhash_lsh_pairs(
     the same pass — no join back to the signature table (measured ~4x
     faster than the signatures->pairs->re-join formulation).
     """
-    sigs = minhash_signatures(docs, n_perms, hash_fn=hash_fn)
-    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(n_perms)])
-    n_bands = n_perms // band_size
-
-    def band_key(bi: int) -> F.Column:
-        cols = [F.col(f"mh_{bi * band_size + r}") for r in range(band_size)]
-        if hash_fn == "xxhash64":
-            # signatures are longs: one more xxhash64 folds the band,
-            # no string formatting anywhere in the pipeline
-            return F.xxhash64(*cols).cast("string")
-        return F.md5(F.concat_ws("|", *cols))
-
-    band_structs = [
-        F.struct(F.lit(bi).alias("band_id"), band_key(bi).alias("band_key"))
-        for bi in range(n_bands)
-    ]
-    bands = sigs.select(
-        "doc_id", sig_arr.alias("sig"), F.explode(F.array(*band_structs)).alias("band")
-    ).select(
-        "doc_id", "sig",
-        F.col("band.band_id").alias("band_id"),
-        F.col("band.band_key").alias("band_key"),
-    )
+    bands = _bands_with_sig(docs, n_perms, band_size, hash_fn)
     a, b = bands.alias("a"), bands.alias("b")
     matches = F.size(
         F.filter(
@@ -245,6 +259,86 @@ def minhash_lsh_pairs(
             (matches.cast("double") / F.lit(float(n_perms))).alias("est_jaccard"),
         )
         .distinct()
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    min_jaccard: float = 0.5,
+    n_perms: int = MINHASH_PERMS,
+    band_size: int = LSH_BAND_SIZE,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Incremental-ingest dedup: label every ``batch`` document against
+    an existing ``corpus`` as ``'exact'`` (byte-identical to a corpus
+    doc), ``'near'`` (shares an LSH band with a corpus doc at estimated
+    Jaccard >= ``min_jaccard``), or ``'new'``.
+
+    This is the daily-ingest shape of a training-data pipeline: the
+    corpus is yesterday's deduped data (in production, its PERSISTED
+    signature/band table — content-derived md5 keys make signatures
+    byte-stable across runs, see module docstring), and only the new
+    batch is shingled.  Both probes are one-sided joins:
+
+    - exact: sha256(batch) LEFT SEMI sha256(corpus) — one shuffle on a
+      uniform 64-hex key; the corpus side is a pre-computable distinct
+      hash set.
+    - near: batch bands JOIN corpus bands on (band_id, band_key) — the
+      banded LSH join restricted to cross pairs, so unlike a self-join
+      over corpus+batch it never recomputes corpus x corpus candidates
+      (at 100 TB the corpus dwarfs every batch; batch x corpus work is
+      O(batch bucket occupancy), not O(corpus^2)).
+
+    Docs with fewer than ``shingle_n`` tokens have no signature and can
+    only match exactly — same edge the oracle's ``len >= 3`` filter
+    encodes.  Output: (doc_id, verdict) for every batch document.
+    """
+    b_hash = batch.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha")
+    )
+    c_hash = corpus.select(F.sha2(F.col("text"), 256).alias("content_sha")).distinct()
+    exact_ids = (
+        b_hash.join(c_hash, "content_sha", "left_semi")
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(True))
+    )
+
+    bb = _bands_with_sig(batch, n_perms, band_size, hash_fn).alias("b")
+    cb = _bands_with_sig(corpus, n_perms, band_size, hash_fn).alias("c")
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("b.sig"), F.col("c.sig"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    near_ids = (
+        bb.join(
+            cb,
+            (F.col("b.band_id") == F.col("c.band_id"))
+            & (F.col("b.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            (matches.cast("double") / F.lit(float(n_perms))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_jaccard)
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+
+    return (
+        batch.select("doc_id")
+        .join(exact_ids, "doc_id", "left")
+        .join(near_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), F.lit("exact"))
+            .when(F.col("is_near"), F.lit("near"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
     )
 
 

@@ -782,6 +782,97 @@ def q_events_session_native(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def range_join(
+    probe: DataFrame,
+    intervals: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    start_col: str = "w_start",
+    end_col: str = "w_end",
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-overlap (range) join: probe rows matched to interval rows
+    of the same key where ``start <= ts <= end``.
+
+    The reference engine has no range join (SURVEY §2.3 lists joins as
+    absent); time-series stores (e.g. TimescaleDB / kdb) make it a
+    primitive.  Spark-first formulation: the EQUI keys carry the join —
+    Catalyst plans a hash/sort-merge join on ``keys`` and applies the
+    range predicate as a join filter — so the shuffle is keyed and
+    uniform, never a cartesian.  At 100 TB the per-key interval list is
+    the small side (one row per key x bucket), so AQE usually picks a
+    broadcast; an unkeyed range join (pure interval overlap, no equi
+    key) should instead bucket both sides by coarse time epoch first,
+    which is exactly what ``q_range_join`` does by deriving bounded
+    per-(user, day) intervals.
+    """
+    # alias both sides: probe and intervals usually derive from the SAME
+    # scan, and unqualified probe[k] == intervals[k] is ambiguous lineage
+    # (Spark warns "trivially true equals predicate")
+    p, iv = probe.alias("_rj_probe"), intervals.alias("_rj_iv")
+    cond = (F.col(f"_rj_probe.{ts_col}") >= F.col(f"_rj_iv.{start_col}")) & (
+        F.col(f"_rj_probe.{ts_col}") <= F.col(f"_rj_iv.{end_col}")
+    )
+    for k in keys:
+        cond = (F.col(f"_rj_probe.{k}") == F.col(f"_rj_iv.{k}")) & cond
+    keep = [p[c] for c in probe.columns] + [
+        iv[c] for c in intervals.columns if c not in keys
+    ]
+    return p.join(iv, cond, how).select(*keep)
+
+
+def q_range_join(t: dict[str, DataFrame]) -> DataFrame:
+    """Purchases attributed to same-user browsing windows via range join.
+
+    Intervals = per (user, day) the [first, last] 'view' timestamp;
+    probe = 'purchase' events; a purchase inside the window counts
+    toward that (user, day).  Output is re-aggregated so results are
+    set-deterministic (no row-order sensitivity).
+    """
+    e = t["events"]
+    iv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy(
+            "user_id",
+            F.date_trunc("day", "ts").cast("date").cast("string").alias("day"),
+        )
+        .agg(F.min("ts").alias("w_start"), F.max("ts").alias("w_end"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    j = range_join(p, iv, keys=["user_id"])
+    return j.groupBy("user_id", "day").agg(
+        F.count("*").alias("n_purchases"), dec_sum("value").alias("sum_value")
+    )
+
+
+def q_hypertable_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """Hierarchical time rollup (hypertable-style continuous aggregate):
+    one pass produces day, day+hour, day+hour+quarter-hour, and grand
+    totals via ROLLUP over NESTED time buckets.
+
+    TimescaleDB materializes each granularity separately; with nested
+    time dimensions a single ROLLUP is strictly hierarchical, so Spark
+    computes all four grains in ONE shuffle (Expand emits 4 rows per
+    input, partial agg collapses them map-side before the exchange).
+    Grain is labeled from NULL-ness of the bucket columns (ts is never
+    NULL in the fixture, so NULL bucket == rolled-up level).
+    """
+    e = t["events"]
+    day = F.date_trunc("day", "ts").cast("date").cast("string").alias("day")
+    hour = F.hour("ts").cast("long").alias("hour")
+    q15 = F.floor(F.minute("ts") / 15).cast("long").alias("q15")
+    rolled = e.rollup(day, hour, q15).agg(
+        F.count("*").alias("cnt"), dec_sum("value").alias("sum_value")
+    )
+    grain = (
+        F.when(F.col("day").isNull(), "total")
+        .when(F.col("hour").isNull(), "day")
+        .when(F.col("q15").isNull(), "hour")
+        .otherwise("quarter")
+    )
+    return rolled.select("day", "hour", "q15", grain.alias("grain"), "cnt", "sum_value")
+
+
 def q_scalar_map(t: dict[str, DataFrame]) -> DataFrame:
     """MAP-typed scalar surface (§2.8 array/map/json row): build a map
     per nation, then read it back via element_at / map_keys /

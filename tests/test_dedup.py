@@ -319,3 +319,57 @@ def test_connected_components_string_ids(spark):
     )
     comp = {r["doc_id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
     assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_incremental_dedup_verdicts(docs):
+    """Exact copies label 'exact', mutated copies mostly 'near' (LSH
+    recall bound), novel synthetic docs 'new'; one verdict per batch
+    doc."""
+    corpus = docs.select("doc_id", "text")
+    exact_b = corpus.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 200_000).alias("doc_id"), "text"
+    )
+    near_b = corpus.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra suffix tokens")).alias("text"),
+    )
+    new_b = corpus.filter(F.col("doc_id") % 10 == 7).select(
+        (F.col("doc_id") + 300_000).alias("doc_id"),
+        F.concat(
+            F.lit("entirely novel synthetic document body number "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    batch = exact_b.unionByName(near_b).unionByName(new_b)
+    verdicts = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup.incremental_dedup(corpus, batch).collect()
+    }
+    assert len(verdicts) == batch.count()
+
+    exact_ids = [r["doc_id"] for r in exact_b.select("doc_id").collect()]
+    near_ids = [r["doc_id"] for r in near_b.select("doc_id").collect()]
+    new_ids = [r["doc_id"] for r in new_b.select("doc_id").collect()]
+    assert all(verdicts[i] == "exact" for i in exact_ids)
+    assert all(verdicts[i] == "new" for i in new_ids)
+    # mutated copies: never 'exact'; 'near' at >= the measured LSH
+    # recall bound (borderline est_jaccard pairs are coin flips by
+    # design, identical coin flips in the oracle)
+    assert all(verdicts[i] != "exact" for i in near_ids)
+    n_near = sum(1 for i in near_ids if verdicts[i] == "near")
+    assert n_near >= 0.9 * len(near_ids), f"{n_near}/{len(near_ids)} near"
+
+
+def test_incremental_dedup_short_docs_exact_only(spark):
+    """Docs below shingle width have no signature: byte-identical short
+    docs still label 'exact', distinct short docs fall through to
+    'new' (never crash, never near-match)."""
+    corpus = spark.createDataFrame([(1, "hi"), (2, "tiny doc")], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(100, "hi"), (101, "yo"), (102, "tiny doc")], ["doc_id", "text"]
+    )
+    verdicts = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup.incremental_dedup(corpus, batch).collect()
+    }
+    assert verdicts == {100: "exact", 101: "new", 102: "exact"}

@@ -172,3 +172,37 @@ def test_pack_greedy_single_exchange(docs):
 
     plan = explain_str(pack_greedy(docs, budget=256, n_shards=4), "simple")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_range_join_is_keyed_not_cartesian(tables):
+    """The range join must ride its equi key (hash/sort-merge join with
+    the interval predicate as join filter), never a nested-loop
+    cartesian."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    df = relational.q_range_join(tables)
+    assert_no_cartesian(df)
+    plan = explain_str(df, "simple")
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_hypertable_rollup_single_shuffle(tables):
+    """All four grains come out of ONE exchange: Expand fans each row
+    to its grouping sets, partial agg collapses map-side."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(relational.q_hypertable_rollup(tables), "simple")
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_incremental_dedup_no_cartesian(docs):
+    """Both incremental probes (sha256 semi join, banded LSH join) are
+    keyed joins."""
+    from mapreduceimpl_spark.operators import dedup
+
+    corpus = docs.select("doc_id", "text")
+    batch = corpus.limit(50).select((F.col("doc_id") + 100_000).alias("doc_id"), "text")
+    assert_no_cartesian(dedup.incremental_dedup(corpus, batch))

@@ -126,6 +126,30 @@ ANNOTATED = {
         "(doc, term) stream; N broadcasts as a 1-row literal; final "
         "per-doc top-k is one row_number window."
     ),
+    "range_join": (
+        "Interval-overlap join: the EQUI key (user_id) carries the "
+        "join — SortMergeJoin/BroadcastHashJoin on user_id with the "
+        "[start,end] containment as a join-level filter — never a "
+        "nested-loop cartesian. The interval side is a per-(user, day) "
+        "aggregate, orders of magnitude smaller than the probe stream, "
+        "so AQE typically broadcasts it."
+    ),
+    "hypertable_rollup": (
+        "Hypertable-style continuous aggregate: nested time buckets "
+        "(day > hour > quarter-hour) make ROLLUP strictly "
+        "hierarchical, so all four grains come from ONE pass — Expand "
+        "fans each row to its 4 grouping sets, partial HashAggregate "
+        "collapses map-side, and exactly one Exchange ships the "
+        "already-tiny per-grain partials."
+    ),
+    "dedup_incremental": (
+        "Incremental-ingest dedup: both probes are one-sided keyed "
+        "joins — sha256(batch) LEFT SEMI against the corpus hash set, "
+        "and batch LSH bands JOIN corpus bands on (band_id, band_key). "
+        "The corpus is never self-joined: work is O(batch bucket "
+        "occupancy), so a daily batch probes a 100 TB corpus without "
+        "recomputing corpus x corpus candidates."
+    ),
 }
 
 
