@@ -5,6 +5,7 @@ from mapreduceimpl_spark.streaming.ops import (
     stream_click_view_join,
     stream_dedup,
     stream_dedup_content,
+    stream_enrich,
     stream_running_totals,
     tumbling_counts,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "stream_click_view_join",
     "stream_dedup",
     "stream_dedup_content",
+    "stream_enrich",
     "stream_running_totals",
     "tumbling_counts",
 ]

@@ -273,3 +273,23 @@ def stream_click_view_join(
         "view_id",
         "view_ts",
     )
+
+
+def stream_enrich(
+    events: DataFrame, dim: DataFrame, on: str = "user_id", how: str = "left"
+) -> DataFrame:
+    """STREAM-STATIC enrichment join: each micro-batch of the unbounded
+    stream joins against a bounded dimension table.
+
+    The static side is stateless for streaming purposes — Spark
+    re-plans it per micro-batch (so an updated dim parquet is picked
+    up on the next trigger) and, under the session's broadcast
+    threshold, ships it as a BroadcastHashJoin: the stream side never
+    shuffles for the join.  This is the standard feature-lookup /
+    user-profile enrichment shape; at 100 TB/day the only scale knob
+    is the dim size — past the broadcast threshold it becomes a
+    shuffled join per micro-batch, at which point pre-bucketing the
+    dim on the join key (sinks.write_bucketed) keeps the exchange
+    one-sided.
+    """
+    return events.join(F.broadcast(dim), on, how)

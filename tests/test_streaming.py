@@ -207,3 +207,27 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
         ).collect()
     }
     assert got == batch and len(batch) > 0
+
+
+def test_stream_enrich_matches_batch(spark, events_dir):
+    """Stream-static enrichment: joining the stream against a computed
+    per-user dimension equals the same join done in batch."""
+    batch_events = load_table(spark, SF, "events")
+    dim = (
+        batch_events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    stream = streaming.read_events_stream(spark, events_dir)
+    got = _run_stream(
+        streaming.stream_enrich(
+            stream.select("event_id", "user_id"), dim
+        )
+    )
+    batch = (
+        batch_events.select("event_id", "user_id")
+        .join(dim, "user_id", "left")
+        .collect()
+    )
+    key = lambda r: (r["event_id"], r["user_id"], r["n_purchases"])
+    assert sorted(map(key, got)) == sorted(map(key, batch))
