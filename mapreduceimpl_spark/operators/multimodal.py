@@ -109,6 +109,116 @@ def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
     return None
 
 
+def parse_audio_header(payload: bytes) -> tuple[int, int, int, str] | None:
+    """REAL audio metadata from container headers — pure byte parsing.
+    Handles WAV (RIFF fmt chunk), FLAC (STREAMINFO), and OGG/Vorbis
+    (identification header).  Returns (sample_rate_hz, channels,
+    duration_ms, format) or None; duration_ms is -1 where the
+    container doesn't carry it cheaply.
+
+    Same 100 TB role as ``parse_image_header``: filter/ bucket assets
+    by rate/channels/duration BEFORE paying for sample decode."""
+    if (
+        payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+        and len(payload) >= 44
+    ):
+        # chunk walk: find 'fmt ' and 'data' (usually at 12 and 36,
+        # but LIST/INFO chunks may intervene)
+        i, rate, channels, byte_rate, data_size = 12, None, None, None, None
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            csz = int.from_bytes(payload[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 16 <= len(payload):
+                channels = int.from_bytes(payload[i + 10 : i + 12], "little")
+                rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+                byte_rate = int.from_bytes(payload[i + 16 : i + 20], "little")
+            elif cid == b"data":
+                data_size = csz
+            i += 8 + csz + (csz & 1)  # chunks are word-aligned
+        if rate and channels:
+            dur = (
+                int(data_size * 1000 / byte_rate)
+                if byte_rate and data_size is not None
+                else -1
+            )
+            return rate, channels, dur, "wav"
+        return None
+    if payload[:4] == b"fLaC" and len(payload) >= 26:
+        # first metadata block must be STREAMINFO (34 bytes, header at 4)
+        if payload[4] & 0x7F != 0:
+            return None
+        rate = int.from_bytes(payload[18:21], "big") >> 4  # 20 bits
+        channels = ((payload[20] >> 1) & 0x07) + 1
+        total = (
+            (payload[21] & 0x0F) << 32
+        ) | int.from_bytes(payload[22:26], "big")  # 36-bit sample count
+        dur = int(total * 1000 / rate) if rate and total else -1
+        return (rate, channels, dur, "flac") if rate else None
+    if payload[:4] == b"OggS" and len(payload) >= 58:
+        # first page payload: vorbis identification header
+        nsegs = payload[26]
+        off = 27 + nsegs
+        if payload[off : off + 7] == b"\x01vorbis" and len(payload) >= off + 16:
+            channels = payload[off + 11]
+            rate = int.from_bytes(payload[off + 12 : off + 16], "little")
+            return (rate, channels, -1, "ogg") if rate and channels else None
+        return None
+    return None
+
+
+def parse_video_header(payload: bytes) -> tuple[int, int, int, str] | None:
+    """REAL video metadata from an ISO-BMFF (MP4/MOV) box walk — pure
+    byte parsing: mvhd gives duration, tkhd gives display geometry.
+    Returns (width, height, duration_ms, format) or None.  Width and
+    height are -1 for audio-only moov trees."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+
+    def walk(lo: int, hi: int, depth: int = 0):
+        dur_ms, w, h = None, None, None
+        i = lo
+        while i + 8 <= hi and depth < 6:
+            size = int.from_bytes(payload[i : i + 4], "big")
+            btype = payload[i + 4 : i + 8]
+            if size == 1 or size == 0 or i + size > hi or size < 8:
+                break
+            if btype in (b"moov", b"trak"):
+                d, ww, hh = walk(i + 8, i + size, depth + 1)
+                dur_ms = dur_ms if dur_ms is not None else d
+                w, h = (w, h) if w is not None else (ww, hh)
+            elif btype == b"mvhd" and i + 32 <= hi:
+                ver = payload[i + 8]
+                if ver == 1:
+                    scale = int.from_bytes(payload[i + 28 : i + 32], "big")
+                    dur = int.from_bytes(payload[i + 32 : i + 40], "big")
+                else:
+                    scale = int.from_bytes(payload[i + 20 : i + 24], "big")
+                    dur = int.from_bytes(payload[i + 24 : i + 28], "big")
+                if scale:
+                    dur_ms = int(dur * 1000 / scale)
+            elif btype == b"tkhd" and i + 92 <= hi:
+                ver = payload[i + 8]
+                geo = i + (96 if ver == 1 else 84)
+                if geo + 8 <= hi:
+                    ww = int.from_bytes(payload[geo : geo + 4], "big") >> 16
+                    hh = int.from_bytes(payload[geo + 4 : geo + 8], "big") >> 16
+                    if ww and hh:  # audio tracks carry 0x0 geometry
+                        w, h = ww, hh
+            i += size
+        return dur_ms, w, h
+
+    dur_ms, w, h = walk(0, len(payload))
+    if dur_ms is None and w is None:
+        return None
+    return (
+        w if w is not None else -1,
+        h if h is not None else -1,
+        dur_ms if dur_ms is not None else -1,
+        "mp4",
+    )
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     """Deterministic stand-in for an image decoder: width/height/format
     derived from the payload digest.  STUB — replace with a real codec.
@@ -223,6 +333,71 @@ def frame_sample_stub(
             )
 
     return assets.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+MEDIA_SCHEMA = (
+    "asset_id long, n_bytes long, media string, format string, width long, "
+    "height long, sample_rate long, channels long, duration_ms long, "
+    "header_parsed boolean"
+)
+
+
+def probe_media(assets: DataFrame) -> DataFrame:
+    """Media triage: ONE Arrow-batched pass over opaque payloads tries
+    the image, audio, then video header parsers and emits a typed
+    metadata row per asset (``media`` in image/audio/video/unknown;
+    fields that don't apply are NULL).
+
+    This is the first operator a mixed 100 TB media crawl runs: route
+    by ``media``/``format``, filter by geometry/rate/duration, and
+    only then pay for codec decode on the surviving subset.  All
+    parsing is real byte parsing (no codec libs); only pixel/sample
+    decode is stubbed."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "asset_id", "n_bytes", "media", "format", "width",
+                    "height", "sample_rate", "channels", "duration_ms",
+                    "header_parsed",
+                )
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload)
+                media, fmt, w, h, rate, ch, dur, ok = (
+                    "unknown", None, None, None, None, None, None, False,
+                )
+                img = parse_image_header(raw)
+                if img is not None:
+                    media, fmt, (w, h), ok = "image", img[2], img[:2], True
+                else:
+                    aud = parse_audio_header(raw)
+                    if aud is not None:
+                        media, fmt, ok = "audio", aud[3], True
+                        rate, ch = aud[0], aud[1]
+                        dur = aud[2] if aud[2] >= 0 else None
+                    else:
+                        vid = parse_video_header(raw)
+                        if vid is not None:
+                            media, fmt, ok = "video", vid[3], True
+                            w = vid[0] if vid[0] >= 0 else None
+                            h = vid[1] if vid[1] >= 0 else None
+                            dur = vid[2] if vid[2] >= 0 else None
+                out["asset_id"].append(aid)
+                out["n_bytes"].append(len(raw))
+                out["media"].append(media)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["duration_ms"].append(dur)
+                out["header_parsed"].append(ok)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(probe, schema=MEDIA_SCHEMA)
 
 
 def multimodal_meta(docs: DataFrame) -> DataFrame:

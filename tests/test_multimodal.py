@@ -182,3 +182,95 @@ def test_decode_flags_header_parsed(spark):
     rows = {r["asset_id"]: r for r in multimodal.decode_image_stub(assets).collect()}
     assert rows[1]["header_parsed"] is True
     assert rows[2]["header_parsed"] is False
+
+
+def _wav_bytes(rate=44100, channels=2, bits=16, n_samples=44100):
+    byte_rate = rate * channels * bits // 8
+    data_size = n_samples * channels * bits // 8
+    return (
+        b"RIFF" + (36 + data_size).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+        + (channels * bits // 8).to_bytes(2, "little") + bits.to_bytes(2, "little")
+        + b"data" + data_size.to_bytes(4, "little")
+    )
+
+
+def _flac_bytes(rate=48000, channels=2, total=480000):
+    info = bytearray(34)
+    packed = (rate << 44) | ((channels - 1) << 41) | ((16 - 1) << 36) | total
+    info[10:18] = packed.to_bytes(8, "big")
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(info)
+
+
+def _ogg_bytes(rate=22050, channels=1):
+    vorbis = (
+        b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([channels])
+        + rate.to_bytes(4, "little") + bytes(14)
+    )
+    return b"OggS" + bytes(22) + bytes([1]) + bytes([len(vorbis)]) + vorbis
+
+
+def _mp4_bytes(dur_ms=5000, timescale=1000, width=640, height=360):
+    def box(t, body):
+        return (8 + len(body)).to_bytes(4, "big") + t + body
+
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        bytes(4) + bytes(8) + timescale.to_bytes(4, "big")
+        + (dur_ms * timescale // 1000).to_bytes(4, "big") + bytes(80),
+    )
+    # v0 body: ver/flags(4) ctime/mtime/track_id(12) rsvd(4) duration(4)
+    # rsvd(8) layer/alt/vol/rsvd(8) matrix(36) = 76, then 16.16 geometry
+    tkhd = box(
+        b"tkhd",
+        bytes(4) + bytes(12) + bytes(4) + bytes(4) + bytes(8) + bytes(8)
+        + bytes(36)
+        + (width << 16).to_bytes(4, "big") + (height << 16).to_bytes(4, "big"),
+    )
+    return ftyp + box(b"moov", mvhd + box(b"trak", tkhd))
+
+
+def test_parse_audio_header_formats():
+    assert multimodal.parse_audio_header(_wav_bytes(16000, 1, 16, 32000)) == (
+        16000, 1, 2000, "wav",
+    )
+    assert multimodal.parse_audio_header(_flac_bytes(48000, 2, 96000)) == (
+        48000, 2, 2000, "flac",
+    )
+    assert multimodal.parse_audio_header(_ogg_bytes(22050, 1)) == (
+        22050, 1, -1, "ogg",
+    )
+    assert multimodal.parse_audio_header(b"not audio at all, just text") is None
+
+
+def test_parse_video_header_mp4():
+    got = multimodal.parse_video_header(_mp4_bytes(7500, 600, 1280, 720))
+    assert got == (1280, 720, 7500, "mp4")
+    assert multimodal.parse_video_header(b"RIFF....WAVE") is None
+
+
+def test_probe_media_routes_mixed_payloads(spark):
+    png = (
+        b"\x89PNG\r\n\x1a\n" + bytes(8)
+        + (320).to_bytes(4, "big") + (240).to_bytes(4, "big")
+    )
+    rows = spark.createDataFrame(
+        [
+            (1, bytearray(png)),
+            (2, bytearray(_wav_bytes(8000, 1, 16, 8000))),
+            (3, bytearray(_mp4_bytes(3000, 1000, 640, 360))),
+            (4, bytearray(b"plain text payload")),
+        ],
+        "asset_id long, payload binary",
+    )
+    got = {r["asset_id"]: r for r in multimodal.probe_media(rows).collect()}
+    assert got[1]["media"] == "image" and (got[1]["width"], got[1]["height"]) == (320, 240)
+    assert got[2]["media"] == "audio" and got[2]["sample_rate"] == 8000
+    assert got[2]["duration_ms"] == 1000 and got[2]["channels"] == 1
+    assert got[3]["media"] == "video" and got[3]["duration_ms"] == 3000
+    assert (got[3]["width"], got[3]["height"]) == (640, 360)
+    assert got[4]["media"] == "unknown" and not got[4]["header_parsed"]
+    assert all(r["n_bytes"] > 0 for r in got.values())
