@@ -1035,8 +1035,16 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "text_bpe_tokens": QuerySpec(
         lambda spark, sf_dir: text_analysis.bpe_ish_tokens(load_table(spark, sf_dir, "documents")),
-        None,
-        doc="BPE-style regex pretokenizer counts (Java regex — rows-only check)",
+        f"""SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text,
+                    '{text_analysis.BPE_ISH_PATTERN.replace("'", "''")}', 0)) AS BIGINT)
+                 AS bpe_tokens,
+               CAST(ceil(len(text) / 4.0) AS BIGINT) AS est_subwords
+           FROM documents""",
+        doc="BPE-style regex pretokenizer counts (round-3: hash-checked — the "
+            "pattern is pure leftmost-first alternation, verified identical "
+            "under Java regex and DuckDB RE2 on the full fixture)",
     ),
     "embedding_centroids": QuerySpec(
         lambda spark, sf_dir: similarity.embedding_centroids(load_table(spark, sf_dir, "embeddings")),
@@ -1747,13 +1755,13 @@ _ROUND3_ORDER = [
     "volume_shipping", "returned_items", "events_funnel", "window_rank",
     "sort_limit", "scalar_string", "json_extract", "null_handling",
     "subquery_corr", "array_agg", "percentile", "pivot",
-    "sample_hash", "events_tumbling", "events_sessionize",
+    "text_bpe_tokens", "events_tumbling", "events_sessionize",
     "asof_join", "dedup_minhash_lsh", "dedup_embedding", "seq_pack",
     "multimodal_meta", "agg_approx", "events_sliding", "events_session_native", "dedup_exact",
     "dedup_exact_norm", "dedup_simhash_sigs", "dedup_simhash_pairs", "dedup_ngram_jaccard",
     "ann_topk", "ann_ivf_topk", "kmeans_assign", "text_lang_id",
     "text_quality", "text_token_stats", "text_clean", "corpus_filter",
-    "text_bpe_tokens", "embedding_centroids", "embedding_norms", "text_fingerprint",
+    "sample_hash", "embedding_centroids", "embedding_norms", "text_fingerprint",
     "text_repetition", "text_pii_scrub", "contamination_check", "sample_stratified",
     "domain_mix", "embedding_quantize", "tfidf_topterms", "scalar_case_date",
     "scalar_math_date", "window_analytics", "set_ops",

@@ -191,6 +191,19 @@ def _bands_with_sig(
     batch-vs-corpus join (``incremental_dedup``); the signature array
     rides along so estimated Jaccard never needs a join back."""
     sigs = minhash_signatures(docs, n_perms, hash_fn=hash_fn)
+    return _bands_from_sigs(sigs, n_perms, band_size, hash_fn)
+
+
+def _bands_from_sigs(
+    sigs: DataFrame,
+    n_perms: int = MINHASH_PERMS,
+    band_size: int = LSH_BAND_SIZE,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Band rows from an existing (doc_id, mh_0..mh_{n-1}) signature
+    table — the path a PERSISTED signature table takes (signatures are
+    content-derived md5/sha2, so yesterday's table is byte-valid
+    today)."""
     sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(n_perms)])
     n_bands = n_perms // band_size
 
@@ -269,6 +282,8 @@ def incremental_dedup(
     n_perms: int = MINHASH_PERMS,
     band_size: int = LSH_BAND_SIZE,
     hash_fn: str = "md5",
+    corpus_sigs: DataFrame | None = None,
+    corpus_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingest dedup: label every ``batch`` document against
     an existing ``corpus`` as ``'exact'`` (byte-identical to a corpus
@@ -293,11 +308,23 @@ def incremental_dedup(
     Docs with fewer than ``shingle_n`` tokens have no signature and can
     only match exactly — same edge the oracle's ``len >= 3`` filter
     encodes.  Output: (doc_id, verdict) for every batch document.
+
+    Production path: pass ``corpus_sigs`` (a persisted
+    ``minhash_signatures`` table) and ``corpus_hashes`` (a persisted
+    DISTINCT ``content_sha`` table) so the standing corpus is never
+    re-shingled — only the batch pays signature cost.  Both are
+    content-derived (md5/sha2), so yesterday's persisted tables are
+    byte-valid against today's batch; equivalence with the recompute
+    path is tested.
     """
     b_hash = batch.select(
         "doc_id", F.sha2(F.col("text"), 256).alias("content_sha")
     )
-    c_hash = corpus.select(F.sha2(F.col("text"), 256).alias("content_sha")).distinct()
+    c_hash = (
+        corpus_hashes.select("content_sha").distinct()
+        if corpus_hashes is not None
+        else corpus.select(F.sha2(F.col("text"), 256).alias("content_sha")).distinct()
+    )
     exact_ids = (
         b_hash.join(c_hash, "content_sha", "left_semi")
         .select("doc_id")
@@ -305,7 +332,11 @@ def incremental_dedup(
     )
 
     bb = _bands_with_sig(batch, n_perms, band_size, hash_fn).alias("b")
-    cb = _bands_with_sig(corpus, n_perms, band_size, hash_fn).alias("c")
+    cb = (
+        _bands_from_sigs(corpus_sigs, n_perms, band_size, hash_fn)
+        if corpus_sigs is not None
+        else _bands_with_sig(corpus, n_perms, band_size, hash_fn)
+    ).alias("c")
     matches = F.size(
         F.filter(
             F.zip_with(F.col("b.sig"), F.col("c.sig"), lambda x, y: x == y),

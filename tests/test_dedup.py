@@ -373,3 +373,35 @@ def test_incremental_dedup_short_docs_exact_only(spark):
         for r in dedup.incremental_dedup(corpus, batch).collect()
     }
     assert verdicts == {100: "exact", 101: "new", 102: "exact"}
+
+
+def test_incremental_dedup_persisted_corpus_sigs(docs, tmp_path):
+    """Production path: a persisted corpus signature + hash table
+    (written to disk, re-read) yields verdicts identical to
+    recomputing from corpus text — the batch is the only side that
+    ever pays shingling cost."""
+    spark = docs.sparkSession
+    corpus = docs.select("doc_id", "text")
+    batch = corpus.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra suffix tokens")).alias("text"),
+    )
+
+    sig_dir = str(tmp_path / "corpus_sigs")
+    hash_dir = str(tmp_path / "corpus_hashes")
+    dedup.minhash_signatures(corpus).write.parquet(sig_dir)
+    corpus.select(
+        F.sha2(F.col("text"), 256).alias("content_sha")
+    ).distinct().write.parquet(hash_dir)
+
+    from_disk = dedup.incremental_dedup(
+        corpus,
+        batch,
+        corpus_sigs=spark.read.parquet(sig_dir),
+        corpus_hashes=spark.read.parquet(hash_dir),
+    )
+    recomputed = dedup.incremental_dedup(corpus, batch)
+    key = lambda r: (r["doc_id"], r["verdict"])
+    assert sorted(map(key, from_disk.collect())) == sorted(
+        map(key, recomputed.collect())
+    )
