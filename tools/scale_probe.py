@@ -1,0 +1,127 @@
+"""Reproducible scaling probes behind the COVERAGE.md measurements.
+
+Each probe runs the SAME pipeline at two scale factors (default
+sf0.01 -> sf0.1, a 10x input step) after an untimed warm-up, and
+prints one JSON line per (probe, sf) with wall seconds and output
+size — the evidence that candidate-generation work tracks bucket
+occupancy, not n^2, as the corpus grows.
+
+Usage:
+    python3 tools/scale_probe.py                 # all probes
+    python3 tools/scale_probe.py minhash simhash64 incremental
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mapreduceimpl_spark import get_spark  # noqa: E402
+from mapreduceimpl_spark.catalog import _incr_batch_df  # noqa: E402
+from mapreduceimpl_spark.operators import dedup  # noqa: E402
+from mapreduceimpl_spark.sources import load_table  # noqa: E402
+
+SF_DIRS = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+WARMUP_DIR = "/root/testdata/sf0.001"
+
+
+def _probe_minhash(spark, sf_dir: str, hash_fn: str = "xxhash64"):
+    corpus = dedup.with_mutated_copies(load_table(spark, sf_dir, "documents"))
+    t0 = time.time()
+    n = dedup.minhash_lsh_pairs(corpus, hash_fn=hash_fn).count()
+    return time.time() - t0, n
+
+
+def _probe_simhash64(spark, sf_dir: str):
+    corpus = dedup.with_mutated_copies(load_table(spark, sf_dir, "documents"))
+    t0 = time.time()
+    n = dedup.simhash_pairs(corpus, bits=64).count()
+    return time.time() - t0, n
+
+
+def _probe_simhash32(spark, sf_dir: str):
+    corpus = dedup.with_mutated_copies(load_table(spark, sf_dir, "documents"))
+    t0 = time.time()
+    n = dedup.simhash_pairs(corpus, bits=32).count()
+    return time.time() - t0, n
+
+
+def _probe_incremental(spark, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text")
+    t0 = time.time()
+    n = dedup.incremental_dedup(corpus, _incr_batch_df(docs)).count()
+    return time.time() - t0, n
+
+
+def _probe_incremental_persisted(spark, sf_dir: str):
+    """Same verdicts, but the corpus side comes from precomputed
+    signature/hash tables (cached here; parquet on a real cluster)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text")
+    sigs = dedup.minhash_signatures(corpus).cache()
+    hashes = (
+        corpus.select(F.sha2(F.col("text"), 256).alias("content_sha"))
+        .distinct()
+        .cache()
+    )
+    sigs.count(), hashes.count()  # build the "persisted" side untimed
+    t0 = time.time()
+    n = dedup.incremental_dedup(
+        corpus, _incr_batch_df(docs), corpus_sigs=sigs, corpus_hashes=hashes
+    ).count()
+    wall = time.time() - t0
+    sigs.unpersist(), hashes.unpersist()
+    return wall, n
+
+
+PROBES = {
+    "minhash": _probe_minhash,
+    "simhash64": _probe_simhash64,
+    "simhash32": _probe_simhash32,
+    "incremental": _probe_incremental,
+    "incremental_persisted": _probe_incremental_persisted,
+}
+
+
+def main(argv: list[str]) -> None:
+    names = argv or list(PROBES)
+    unknown = set(names) - set(PROBES)
+    if unknown:
+        raise SystemExit(f"unknown probes {sorted(unknown)}; have {sorted(PROBES)}")
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        fn = PROBES[name]
+        fn(spark, WARMUP_DIR)  # untimed: codegen + parquet footer warm-up
+        walls = []
+        for sf_dir in SF_DIRS:
+            wall, n_out = fn(spark, sf_dir)
+            walls.append(wall)
+            print(
+                json.dumps(
+                    {
+                        "probe": name,
+                        "sf_dir": sf_dir,
+                        "wall_sec": round(wall, 2),
+                        "rows_out": n_out,
+                    }
+                ),
+                flush=True,
+            )
+        print(
+            json.dumps(
+                {"probe": name, "wall_ratio_for_10x_input": round(walls[1] / walls[0], 2)}
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
