@@ -4,6 +4,7 @@ from mapreduceimpl_spark.streaming.ops import (
     sliding_counts,
     stream_click_view_join,
     stream_dedup,
+    stream_dedup_against_corpus,
     stream_dedup_content,
     stream_enrich,
     stream_running_totals,
@@ -16,6 +17,7 @@ __all__ = [
     "sliding_counts",
     "stream_click_view_join",
     "stream_dedup",
+    "stream_dedup_against_corpus",
     "stream_dedup_content",
     "stream_enrich",
     "stream_running_totals",

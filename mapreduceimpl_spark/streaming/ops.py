@@ -155,6 +155,35 @@ def stream_dedup_content(
     )
 
 
+def stream_dedup_against_corpus(
+    docs: DataFrame,
+    corpus_hashes: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The full streaming half of ``dedup.incremental_dedup``: drop
+    incoming documents that duplicate (a) the standing corpus — a
+    STREAM-STATIC LEFT ANTI join against the persisted distinct
+    ``content_sha`` table — or (b) anything seen on the stream within
+    the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    The corpus hash table is the same artifact the batch operator's
+    ``corpus_hashes`` input uses (content-derived sha2-256, byte-stable
+    across runs), re-planned per micro-batch so a nightly corpus
+    refresh is picked up without restarting the stream.  Anti-join
+    state is zero (static side); stream-dedup state is one 64-hex key
+    per unique recent doc, reclaimed past the watermark.
+    """
+    hashed = docs.withColumn("content_sha", F.sha2(F.col(text_col), 256))
+    fresh = hashed.join(
+        F.broadcast(corpus_hashes.select("content_sha")), "content_sha", "left_anti"
+    )
+    return fresh.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_sha"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------

@@ -231,3 +231,43 @@ def test_stream_enrich_matches_batch(spark, events_dir):
     )
     key = lambda r: (r["event_id"], r["user_id"], r["n_purchases"])
     assert sorted(map(key, got)) == sorted(map(key, batch))
+
+
+def test_stream_dedup_against_corpus(spark, tmp_path):
+    """Streaming incremental dedup: docs already in the corpus are
+    dropped by the static anti join; on-stream re-arrivals are dropped
+    by the watermarked dedup; survivors == batch 'new'+'near' exact
+    semantics for the exact tier."""
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id",
+        "text",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ingest_ts"),
+    )
+    # standing corpus = docs with doc_id % 2 == 0
+    corpus_hashes = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.sha2("text", 256).alias("content_sha"))
+        .distinct()
+    )
+    src = tmp_path / "incr_stream"
+    src.mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    got = _run_stream(
+        streaming.stream_dedup_against_corpus(stream, corpus_hashes)
+    )
+    # expected: one survivor per distinct text NOT in the corpus
+    expected = (
+        docs.select("text", F.sha2("text", 256).alias("content_sha"))
+        .distinct()
+        .join(corpus_hashes, "content_sha", "left_anti")
+    )
+    assert len(got) == expected.count()
+    assert {r["content_sha"] for r in got} == {
+        r["content_sha"] for r in expected.collect()
+    }
