@@ -882,6 +882,25 @@ SPECS: dict[str, QuerySpec] = {
             "grains in ONE shuffle via rollup over nested time buckets "
             "(new round 3)",
     ),
+    "retention_cohorts": QuerySpec(
+        _rel(relational.q_retention_cohorts),
+        """WITH fw AS (
+             SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+             FROM events GROUP BY 1
+           ),
+           aw AS (
+             SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+             FROM events
+           )
+           SELECT CAST(f.cohort_week AS VARCHAR) AS cohort_week,
+                  CAST(date_diff('day', f.cohort_week, a.week) / 7 AS BIGINT)
+                    AS week_offset,
+                  COUNT(*) AS n_users
+           FROM aw a JOIN fw f USING (user_id)
+           GROUP BY 1, 2""",
+        doc="cohort retention matrix: first-active week x week offset -> "
+            "returning users (new round 3)",
+    ),
     # --- LLM pipeline: dedup ---
     "dedup_exact": QuerySpec(
         _q_dedup_exact,
@@ -1746,7 +1765,7 @@ SPECS: dict[str, QuerySpec] = {
 _ROUND3_ORDER = [
     "text_unigram_logprob", "sample_fixed_n", "scalar_map", "text_compression_ratio",
     "dedup_simhash64_pairs", "ann_lsh_topk", "ann_lsh_multiprobe", "dedup_clusters",
-    "range_join", "hypertable_rollup", "dedup_incremental", "wordcount",
+    "range_join", "hypertable_rollup", "dedup_incremental", "retention_cohorts", "wordcount",
     "lang_count", "udf_wordcount", "filter_project", "pricing_summary",
     "agg_multikey", "agg_distinct", "distinct_op", "agg_rollup",
     "agg_cube", "grouping_sets", "join_inner", "join_left",

@@ -873,6 +873,31 @@ def q_hypertable_rollup(t: dict[str, DataFrame]) -> DataFrame:
     return rolled.select("day", "hour", "q15", grain.alias("grain"), "cnt", "sum_value")
 
 
+def q_retention_cohorts(t: dict[str, DataFrame]) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week,
+    counted in each subsequent week they return.
+
+    The product-analytics staple (cohort_week x week_offset -> users).
+    Two keyed shuffles: per-user MIN(week) for the cohort, then the
+    distinct (user, week) activity set joins its cohort and
+    aggregates.  Both weeks are Monday-truncated so offsets are exact
+    multiples of 7 days; every computed column lands as date-string /
+    BIGINT for engine portability.
+    """
+    e = t["events"]
+    week = F.date_trunc("week", "ts").cast("date")
+    first = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    active = e.select("user_id", week.alias("week")).distinct()
+    j = active.join(first, "user_id")
+    return (
+        j.groupBy(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 def q_scalar_map(t: dict[str, DataFrame]) -> DataFrame:
     """MAP-typed scalar surface (§2.8 array/map/json row): build a map
     per nation, then read it back via element_at / map_keys /
