@@ -901,6 +901,30 @@ SPECS: dict[str, QuerySpec] = {
         doc="cohort retention matrix: first-active week x week offset -> "
             "returning users (new round 3)",
     ),
+    "doc_chunks": QuerySpec(
+        lambda spark, sf_dir: text_analysis.chunk_documents(
+            load_table(spark, sf_dir, "documents")
+        ),
+        f"""WITH base AS (
+             SELECT doc_id, {_TOKS} AS toks FROM documents
+           ),
+           ex AS (
+             SELECT doc_id, toks,
+                    unnest(range(0, 1 + GREATEST(0,
+                        CAST(ceil((len(toks) - 64) / {64 - 8}.0) AS BIGINT))))
+                      AS chunk_idx
+             FROM base
+           )
+           SELECT doc_id, chunk_idx,
+                  array_to_string(
+                      list_slice(toks, chunk_idx * {64 - 8} + 1,
+                                 chunk_idx * {64 - 8} + 64), ' ') AS chunk_text,
+                  CAST(LEAST(64, len(toks) - chunk_idx * {64 - 8}) AS BIGINT)
+                    AS n_tokens
+           FROM ex""",
+        doc="context-window chunking (64-token chunks, 8-token overlap) — "
+            "zero-shuffle narrow transform (new round 3)",
+    ),
     # --- LLM pipeline: dedup ---
     "dedup_exact": QuerySpec(
         _q_dedup_exact,
@@ -1765,7 +1789,7 @@ SPECS: dict[str, QuerySpec] = {
 _ROUND3_ORDER = [
     "text_unigram_logprob", "sample_fixed_n", "scalar_map", "text_compression_ratio",
     "dedup_simhash64_pairs", "ann_lsh_topk", "ann_lsh_multiprobe", "dedup_clusters",
-    "range_join", "hypertable_rollup", "dedup_incremental", "retention_cohorts", "wordcount",
+    "range_join", "hypertable_rollup", "dedup_incremental", "retention_cohorts", "doc_chunks", "wordcount",
     "lang_count", "udf_wordcount", "filter_project", "pricing_summary",
     "agg_multikey", "agg_distinct", "distinct_op", "agg_rollup",
     "agg_cube", "grouping_sets", "join_inner", "join_left",

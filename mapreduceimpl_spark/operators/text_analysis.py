@@ -483,3 +483,56 @@ def compression_ratio(
             )
 
     return docs.select("doc_id", "text").mapInPandas(comp, COMPRESSION_SCHEMA)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the context-length chunking step of a pretraining / embedding
+    pipeline (every chunk becomes a training sequence or an embedding
+    unit; the overlap preserves cross-boundary context).
+
+    Pure narrow transformation: tokenize once, explode a 0..n_chunks-1
+    index sequence, slice the token array per index — zero shuffles at
+    any corpus size (plan-tested), and deterministic (chunk boundaries
+    are pure arithmetic on token position, identical on any
+    partitioning and in the DuckDB oracle).  The last chunk keeps
+    whatever remains (may be shorter than ``chunk_tokens``);
+    ``n_chunks = 1 + max(0, ceil((n - chunk_tokens) / stride))`` so
+    every token lands in at least one chunk.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"chunk_documents: need 0 <= overlap < chunk_tokens, "
+            f"got overlap={overlap} chunk_tokens={chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    toks = tokens("text")
+    n = F.size(toks)
+    n_chunks = 1 + F.greatest(
+        F.lit(0),
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(float(stride))).cast("int"),
+    )
+    start = (F.col("chunk_idx") * stride + 1).cast("int")
+    return (
+        docs.select(
+            "doc_id",
+            toks.alias("toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(F.col("toks"), start, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.lit(chunk_tokens), F.size("toks") - F.col("chunk_idx") * stride
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )

@@ -177,3 +177,40 @@ def test_compression_ratio_deterministic(docs):
     a = {(r["doc_id"], r["n_compressed"]) for r in text_analysis.compression_ratio(docs).collect()}
     b = {(r["doc_id"], r["n_compressed"]) for r in text_analysis.compression_ratio(docs).collect()}
     assert a == b and len(a) == docs.count()
+
+
+def test_chunk_documents_exact_windows(docs):
+    """Chunk i's tokens are exactly orig_tokens[i*stride : i*stride+64];
+    every token of every doc is covered."""
+    from mapreduceimpl_spark.operators.text_analysis import chunk_documents
+
+    orig = {r["doc_id"]: r["text"].split(" ") for r in docs.limit(50).collect()}
+    got = chunk_documents(docs.limit(50)).collect()
+    stride = 64 - 8
+    seen = {}
+    for r in got:
+        toks = orig[r["doc_id"]]
+        start = r["chunk_idx"] * stride
+        expect = toks[start : start + 64]
+        assert r["chunk_text"].split(" ") == expect
+        assert r["n_tokens"] == len(expect)
+        seen.setdefault(r["doc_id"], set()).update(range(start, start + len(expect)))
+    for did, toks in orig.items():
+        assert seen[did] == set(range(len(toks))), f"doc {did} has uncovered tokens"
+
+
+def test_chunk_documents_zero_shuffle(docs):
+    from mapreduceimpl_spark.operators.text_analysis import chunk_documents
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(chunk_documents(docs), "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_chunk_documents_rejects_bad_overlap(docs):
+    import pytest
+
+    from mapreduceimpl_spark.operators.text_analysis import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=16, overlap=16)
