@@ -901,6 +901,20 @@ SPECS: dict[str, QuerySpec] = {
         doc="cohort retention matrix: first-active week x week offset -> "
             "returning users (new round 3)",
     ),
+    "sample_weighted": QuerySpec(
+        lambda spark, sf_dir: sampling.weighted_sample(
+            load_table(spark, sf_dir, "documents").withColumn(
+                "w", F.col("n_chars") / F.lit(400.0)
+            ),
+        "w",
+        ).select("doc_id", "lang"),
+        f"""SELECT doc_id, lang FROM documents
+           WHERE {sampling.hash_uniform_sql('doc_id')}
+                 < LEAST(1.0, GREATEST(0.0, n_chars / 400.0))""",
+        doc="importance sampling: per-row keep probability = its own "
+            "length-derived weight, md5-uniform decision, zero shuffles "
+            "(new round 3)",
+    ),
     "doc_chunks": QuerySpec(
         lambda spark, sf_dir: text_analysis.chunk_documents(
             load_table(spark, sf_dir, "documents")
@@ -1789,7 +1803,7 @@ SPECS: dict[str, QuerySpec] = {
 _ROUND3_ORDER = [
     "text_unigram_logprob", "sample_fixed_n", "scalar_map", "text_compression_ratio",
     "dedup_simhash64_pairs", "ann_lsh_topk", "ann_lsh_multiprobe", "dedup_clusters",
-    "range_join", "hypertable_rollup", "dedup_incremental", "retention_cohorts", "doc_chunks", "wordcount",
+    "range_join", "hypertable_rollup", "dedup_incremental", "retention_cohorts", "doc_chunks", "sample_weighted", "wordcount",
     "lang_count", "udf_wordcount", "filter_project", "pricing_summary",
     "agg_multikey", "agg_distinct", "distinct_op", "agg_rollup",
     "agg_cube", "grouping_sets", "join_inner", "join_left",

@@ -150,3 +150,23 @@ def stratified_fixed_n(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Importance sampling: keep each row with ITS OWN probability
+    (``weight_col``, clamped to [0, 1]) — quality-weighted corpus
+    selection, where a doc's keep chance rides its quality/length/
+    source score instead of a per-stratum rate.
+
+    Same determinism contract as ``stratified_sample``: the keep
+    decision is ``hash_uniform(key) < weight``, a pure per-row
+    predicate — zero shuffles, exact row SET reproducible across
+    engines, reruns, and partitionings.  Weights outside [0, 1] are
+    clamped (w <= 0 never keeps, w >= 1 always keeps).
+    """
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col(weight_col).cast("double")))
+    return df.filter(hash_uniform(F.col(key_col)) < w)

@@ -212,3 +212,31 @@ def test_unigram_logprob_hand_computed(spark):
     assert rows[2]["n_tokens"] == 2 and abs(rows[2]["avg_neg_logprob"] - exp2) < 1e-9
     # rarer tokens -> higher surprise
     assert rows[2]["avg_neg_logprob"] > rows[1]["avg_neg_logprob"]
+
+
+def test_weighted_sample_deterministic_and_monotone(docs):
+    """Same input -> identical row set; higher weights keep supersets
+    (the md5 uniform is fixed per key, so raising every weight can
+    only add rows)."""
+    from mapreduceimpl_spark.operators.sampling import weighted_sample
+
+    w1 = docs.withColumn("w", F.col("n_chars") / 500.0)
+    w2 = docs.withColumn("w", F.col("n_chars") / 250.0)  # double the weight
+    a = {r["doc_id"] for r in weighted_sample(w1, "w").select("doc_id").collect()}
+    b = {r["doc_id"] for r in weighted_sample(w1, "w").select("doc_id").collect()}
+    assert a == b
+    hi = {r["doc_id"] for r in weighted_sample(w2, "w").select("doc_id").collect()}
+    assert a <= hi
+    # clamp edges: weight 0 keeps nothing, weight 1 keeps everything
+    assert weighted_sample(docs.withColumn("w", F.lit(0.0)), "w").count() == 0
+    assert weighted_sample(docs.withColumn("w", F.lit(1.0)), "w").count() == docs.count()
+
+
+def test_weighted_sample_zero_shuffle(docs):
+    from mapreduceimpl_spark.operators.sampling import weighted_sample
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(
+        weighted_sample(docs.withColumn("w", F.col("n_chars") / 400.0), "w"), "simple"
+    )
+    assert "Exchange" not in plan, plan
