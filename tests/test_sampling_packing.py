@@ -240,3 +240,40 @@ def test_weighted_sample_zero_shuffle(docs):
         weighted_sample(docs.withColumn("w", F.col("n_chars") / 400.0), "w"), "simple"
     )
     assert "Exchange" not in plan, plan
+
+
+def test_pipeline_composes_filter_dedup_chunk_pack(docs):
+    """The operators chain as one lazy plan — the realistic pretraining
+    path: quality filter -> exact dedup keepers -> context-window
+    chunking -> sequence packing. Invariants: monotone row funnels,
+    every surviving chunk packed exactly once, no bin over budget."""
+    from mapreduceimpl_spark.operators import dedup
+    from mapreduceimpl_spark.operators.packing import pack_greedy
+    from mapreduceimpl_spark.operators.text_analysis import chunk_documents, corpus_filter
+
+    kept = (
+        corpus_filter(docs)
+        .filter(F.col("keep"))
+        .select("doc_id")
+        .join(docs, "doc_id")
+    )
+    keepers = dedup.dedup_exact(kept).select(F.col("keep_id").alias("doc_id"))
+    surviving = kept.join(keepers, "doc_id")
+    chunks = chunk_documents(surviving).select(
+        # chunk id must be unique for packing; doc_id * 1024 + idx is
+        # collision-free (chunk_idx < 1024 at fixture text lengths)
+        (F.col("doc_id") * 1024 + F.col("chunk_idx")).alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+        F.lit("all").alias("lang"),
+    )
+    packed = pack_greedy(chunks, budget=128)
+
+    n_docs, n_kept = docs.count(), kept.count()
+    n_surviving, n_chunks, n_packed = surviving.count(), chunks.count(), packed.count()
+    assert n_docs >= n_kept >= n_surviving > 0
+    assert n_chunks >= n_surviving  # every doc yields >= 1 chunk
+    assert n_packed == n_chunks     # packing assigns every chunk exactly once
+    bin_fill = packed.groupBy("group_key", "shard", "bin_id").agg(
+        F.max("bin_fill").alias("fill")
+    )
+    assert bin_fill.filter(F.col("fill") > 128).count() == 0
