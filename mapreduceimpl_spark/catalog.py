@@ -901,6 +901,30 @@ SPECS: dict[str, QuerySpec] = {
         doc="cohort retention matrix: first-active week x week offset -> "
             "returning users (new round 3)",
     ),
+    "user_features": QuerySpec(
+        _rel(relational.q_user_features),
+        f"""WITH base AS (
+             SELECT user_id, event_type, value,
+                    date_diff('day', CAST(ts AS DATE), DATE '2024-01-31')
+                      AS days_back
+             FROM events
+           )
+           SELECT user_id,
+                  CAST(SUM(CASE WHEN days_back < 7 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_events_7d,
+                  CAST(SUM(CASE WHEN days_back < 30 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_events_30d,
+                  CAST(SUM(CASE WHEN event_type = 'purchase' AND days_back < 7
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases_7d,
+                  CAST(SUM(CASE WHEN event_type = 'purchase' AND days_back < 30
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases_30d,
+                  {_dec_sum("CASE WHEN event_type = 'purchase' AND days_back < 30 THEN value ELSE 0.0 END", "purchase_value_30d")},
+                  CAST(MIN(days_back) AS BIGINT) AS last_seen_days
+           FROM base GROUP BY user_id""",
+        doc="as-of trailing-window user features (7d/30d conditional "
+            "aggregates, one pass, one shuffle — the feature-store "
+            "materialization shape; new round 3)",
+    ),
     "sample_weighted": QuerySpec(
         lambda spark, sf_dir: sampling.weighted_sample(
             load_table(spark, sf_dir, "documents").withColumn(
@@ -1803,7 +1827,7 @@ SPECS: dict[str, QuerySpec] = {
 _ROUND3_ORDER = [
     "text_unigram_logprob", "sample_fixed_n", "scalar_map", "text_compression_ratio",
     "dedup_simhash64_pairs", "ann_lsh_topk", "ann_lsh_multiprobe", "dedup_clusters",
-    "range_join", "hypertable_rollup", "dedup_incremental", "retention_cohorts", "doc_chunks", "sample_weighted", "wordcount",
+    "range_join", "hypertable_rollup", "dedup_incremental", "retention_cohorts", "doc_chunks", "sample_weighted", "user_features", "wordcount",
     "lang_count", "udf_wordcount", "filter_project", "pricing_summary",
     "agg_multikey", "agg_distinct", "distinct_op", "agg_rollup",
     "agg_cube", "grouping_sets", "join_inner", "join_left",

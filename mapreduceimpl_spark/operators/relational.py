@@ -898,6 +898,37 @@ def q_retention_cohorts(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def q_user_features(t: dict[str, DataFrame]) -> DataFrame:
+    """As-of trailing-window feature aggregation — the feature-store
+    shape: one row per user with activity counts/sums over 7-day and
+    30-day windows trailing a fixed as-of date, plus recency.
+
+    ONE pass over events (conditional aggregates — no per-window
+    re-scan, no join), one shuffle on user_id.  At 100 TB this is the
+    canonical daily feature-materialization job; every window is a
+    CASE inside the same partial aggregate, so adding windows costs
+    zero extra shuffles.  The as-of date is a parameter pinned here so
+    the result is deterministic for the oracle.
+    """
+    e = t["events"]
+    days_back = F.datediff(F.lit("2024-01-31").cast("date"), F.col("ts").cast("date"))
+    is_purchase = F.col("event_type") == "purchase"
+
+    def cnt(cond: F.Column) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return e.groupBy("user_id").agg(
+        cnt(days_back < 7).alias("n_events_7d"),
+        cnt(days_back < 30).alias("n_events_30d"),
+        cnt(is_purchase & (days_back < 7)).alias("n_purchases_7d"),
+        cnt(is_purchase & (days_back < 30)).alias("n_purchases_30d"),
+        dec_sum(
+            F.when(is_purchase & (days_back < 30), F.col("value")).otherwise(0.0)
+        ).alias("purchase_value_30d"),
+        F.min(days_back).cast("long").alias("last_seen_days"),
+    )
+
+
 def q_scalar_map(t: dict[str, DataFrame]) -> DataFrame:
     """MAP-typed scalar surface (§2.8 array/map/json row): build a map
     per nation, then read it back via element_at / map_keys /
