@@ -760,7 +760,7 @@ FROM sess GROUP BY user_id, sid
 # tests/test_catalog_contract.py enforces that this set only shrinks:
 # once an entry has a driver CORRECTNESS row it must leave this set.
 # Round 3: nothing is deferred — every entry lacking a driver row sits
-# inside the recording window (positions 1-7 of _ROUND3_ORDER).
+# inside the recording window (positions 1-15 of _ROUND3_ORDER).
 DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset()
 
 # Size of the driver's CORRECTNESS recording window (entries beyond

@@ -150,6 +150,31 @@ ANNOTATED = {
         "occupancy), so a daily batch probes a 100 TB corpus without "
         "recomputing corpus x corpus candidates."
     ),
+    "retention_cohorts": (
+        "Cohort retention: per-user MIN(week) aggregate (tiny, one row "
+        "per user) joins the distinct (user, week) activity set — two "
+        "keyed shuffles total, both on user_id, so AQE can coalesce "
+        "them; the final matrix is |cohorts| x |offsets| rows."
+    ),
+    "doc_chunks": (
+        "Context-window chunking: tokenize once, explode a computed "
+        "0..n_chunks-1 index, slice the token array per index — a pure "
+        "narrow transform with ZERO Exchanges at any corpus size. "
+        "Chunk boundaries are position arithmetic, so the output set "
+        "is partitioning-independent."
+    ),
+    "sample_weighted": (
+        "Importance sampling: keep iff md5-uniform(doc_id) < clamped "
+        "per-row weight — a whole-stage-codegen filter fused into the "
+        "scan, zero Exchanges; the surviving row SET is identical on "
+        "any partitioning and in the oracle."
+    ),
+    "user_features": (
+        "Feature-store materialization: every trailing window (7d/30d "
+        "counts, purchase sums, recency) is a CASE inside ONE "
+        "partial+final aggregate pair — one shuffle on user_id; "
+        "adding feature windows adds columns, never shuffles."
+    ),
 }
 
 
