@@ -206,3 +206,21 @@ def test_incremental_dedup_no_cartesian(docs):
     corpus = docs.select("doc_id", "text")
     batch = corpus.limit(50).select((F.col("doc_id") + 100_000).alias("doc_id"), "text")
     assert_no_cartesian(dedup.incremental_dedup(corpus, batch))
+
+
+def test_user_features_single_shuffle(tables):
+    """Every trailing window is a CASE inside one partial+final
+    aggregate pair: exactly one Exchange however many windows."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(relational.q_user_features(tables), "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_retention_cohorts_two_keyed_shuffles(tables):
+    """Cohort matrix = per-user MIN(week) + distinct activity join +
+    final group: all keyed on user_id/small outputs — and never a
+    cartesian."""
+    df = relational.q_retention_cohorts(tables)
+    assert_no_cartesian(df)
