@@ -214,3 +214,26 @@ def test_chunk_documents_rejects_bad_overlap(docs):
 
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=16, overlap=16)
+
+
+def test_chunk_documents_boundary_lengths(spark):
+    """Edge lengths: empty text (1 empty token), single token, exactly
+    chunk_tokens, chunk_tokens + 1 (forces a short overlap-bearing
+    second chunk)."""
+    from mapreduceimpl_spark.operators.text_analysis import chunk_documents
+
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))
+    rows = [(1, ""), (2, "solo"), (3, mk(64)), (4, mk(65))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for r in chunk_documents(df).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    assert len(got[1]) == 1 and got[1][0]["n_tokens"] == 1  # split('') -> ['']
+    assert len(got[2]) == 1 and got[2][0]["chunk_text"] == "solo"
+    assert len(got[3]) == 1 and got[3][0]["n_tokens"] == 64
+    two = sorted(got[4], key=lambda r: r["chunk_idx"])
+    assert len(two) == 2
+    assert two[0]["n_tokens"] == 64
+    # second chunk starts at stride 56: tokens 56..64 = 9 tokens
+    assert two[1]["n_tokens"] == 9
+    assert two[1]["chunk_text"].split(" ")[0] == "t56"
