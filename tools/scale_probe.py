@@ -81,8 +81,50 @@ def _probe_incremental_persisted(spark, sf_dir: str):
     return wall, n
 
 
+def _synth_corpus(spark, n: int):
+    """Structureless synthetic corpus: 40 md5-prefix tokens per doc
+    (no arithmetic self-similarity), plus a planted suffix near-copy
+    of every 50th doc — ground truth = n/50 near-dup pairs."""
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.array(
+                *[
+                    F.substring(
+                        F.md5(
+                            F.concat_ws("-", F.col("id").cast("string"), F.lit(str(i)))
+                        ),
+                        1,
+                        8,
+                    )
+                    for i in range(40)
+                ]
+            ),
+        ).alias("text"),
+    )
+    dup = base.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra suffix tokens")).alias("text"),
+    )
+    return base.unionByName(dup)
+
+
+def _probe_minhash_synth(spark, sf_dir: str):
+    """sf_dir maps to synthetic corpus size: sf0.001 (warm-up) -> 5k,
+    sf0.01 -> 50k docs, sf0.1 -> 500k (the half-million-doc run in
+    COVERAGE.md)."""
+    sizes = {"sf0.001": 5_000, "sf0.01": 50_000, "sf0.1": 500_000}
+    n = sizes[sf_dir.rstrip("/").rsplit("/", 1)[-1]]
+    corpus = _synth_corpus(spark, n)
+    t0 = time.time()
+    pairs = dedup.minhash_lsh_pairs(corpus, hash_fn="xxhash64").count()
+    return time.time() - t0, pairs
+
+
 PROBES = {
     "minhash": _probe_minhash,
+    "minhash_synth": _probe_minhash_synth,
     "simhash64": _probe_simhash64,
     "simhash32": _probe_simhash32,
     "incremental": _probe_incremental,
