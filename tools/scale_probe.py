@@ -122,9 +122,58 @@ def _probe_minhash_synth(spark, sf_dir: str):
     return time.time() - t0, pairs
 
 
+def _synth_embeddings(spark, n: int, dim: int = 64):
+    """Deterministic pseudo-random unit-scale vectors: component j of
+    vector i = md5-uniform(i, j) - 0.5 (structureless, engine-free)."""
+    comps = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("-", F.col("id").cast("string"), F.lit(str(j)))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(4294967296.0)
+            - F.lit(0.5)
+        ).cast("float")
+        for j in range(dim)
+    ]
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
+    )
+
+
+def _probe_ann_lsh_synth(spark, sf_dir: str):
+    """Search wall against a prebuilt (cached) LSH index as the corpus
+    grows 10x; the fixed 100-query batch probes buckets only, so
+    search cost tracks bucket occupancy (n / 2^n_planes), not corpus
+    scans.  sf0.001 (warm-up) -> 5k vectors, sf0.01 -> 50k, sf0.1 ->
+    500k."""
+    from mapreduceimpl_spark.operators import similarity
+
+    sizes = {"sf0.001": 5_000, "sf0.01": 50_000, "sf0.1": 500_000}
+    n = sizes[sf_dir.rstrip("/").rsplit("/", 1)[-1]]
+    emb = _synth_embeddings(spark, n)
+    params, corpus = similarity.lsh_build(emb, n_planes=8)
+    corpus = corpus.cache()
+    corpus.count()  # index build excluded from the timed search
+    queries = _synth_embeddings(spark, 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.time()
+    n_out = similarity.lsh_search(params, corpus, queries, k=5, n_probe=2).count()
+    wall = time.time() - t0
+    corpus.unpersist()
+    return wall, n_out
+
+
 PROBES = {
     "minhash": _probe_minhash,
     "minhash_synth": _probe_minhash_synth,
+    "ann_lsh_synth": _probe_ann_lsh_synth,
     "simhash64": _probe_simhash64,
     "simhash32": _probe_simhash32,
     "incremental": _probe_incremental,
