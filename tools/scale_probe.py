@@ -170,10 +170,35 @@ def _probe_ann_lsh_synth(spark, sf_dir: str):
     return wall, n_out
 
 
+def _probe_sessionize_synth(spark, sf_dir: str):
+    """Gap-sessionization (single-Exchange window cumsum) over
+    synthetic event streams: 10k users x 100/1000 events each.
+    sf0.001 (warm-up) -> 100k events, sf0.01 -> 1M, sf0.1 -> 10M."""
+    from mapreduceimpl_spark.operators import relational
+
+    sizes = {"sf0.001": 100_000, "sf0.01": 1_000_000, "sf0.1": 10_000_000}
+    n = sizes[sf_dir.rstrip("/").rsplit("/", 1)[-1]]
+    events = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 10_000).alias("user_id"),
+        # per-user slot k at time 60k + 2000*(k//8): strictly
+        # increasing, with a >30-min gap at every 8th slot — so each
+        # user contributes ~slots/8 sessions
+        F.timestamp_seconds(
+            F.floor(F.col("id") / 10_000).cast("long") * 60
+            + F.floor(F.col("id") / 80_000).cast("long") * 2000
+        ).alias("ts"),
+    )
+    t0 = time.time()
+    n_out = relational.q_events_sessionize({"events": events}).count()
+    return time.time() - t0, n_out
+
+
 PROBES = {
     "minhash": _probe_minhash,
     "minhash_synth": _probe_minhash_synth,
     "ann_lsh_synth": _probe_ann_lsh_synth,
+    "sessionize_synth": _probe_sessionize_synth,
     "simhash64": _probe_simhash64,
     "simhash32": _probe_simhash32,
     "incremental": _probe_incremental,
