@@ -15,8 +15,9 @@ with the 4 entries that sat past every previous window
 (text_unigram_logprob / sample_fixed_n / scalar_map /
 text_compression_ratio), then the three entries whose oracle is new
 this round (dedup_simhash64_pairs / ann_lsh_topk / dedup_clusters) and
-the three operators new in round 3 (range_join / hypertable_rollup /
-dedup_incremental); the rest of the window refreshes the round-1
+the seven operators new in round 3 (range_join / hypertable_rollup /
+dedup_incremental / retention_cohorts / doc_chunks / sample_weighted /
+user_features); the rest of the window refreshes the round-1
 relational evidence (2 rounds old) then high-value round-2 LLM
 entries, and the tail is exclusively queries hash-verified green in
 earlier rounds.  The bench set is pinned to
