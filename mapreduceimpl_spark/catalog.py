@@ -909,6 +909,7 @@ SPECS: dict[str, QuerySpec] = {
                     date_diff('day', CAST(ts AS DATE), DATE '2024-01-31')
                       AS days_back
              FROM events
+             WHERE CAST(ts AS DATE) <= DATE '2024-01-31'
            )
            SELECT user_id,
                   CAST(SUM(CASE WHEN days_back < 7 THEN 1 ELSE 0 END) AS BIGINT)

@@ -910,7 +910,10 @@ def q_user_features(t: dict[str, DataFrame]) -> DataFrame:
     zero extra shuffles.  The as-of date is a parameter pinned here so
     the result is deterministic for the oracle.
     """
-    e = t["events"]
+    # events dated AFTER the as-of date must not leak into any window
+    # (days_back < 7 alone would admit negative values) — harmless on
+    # this fixture, load-bearing when the as-of date is mid-history
+    e = t["events"].filter(F.col("ts").cast("date") <= F.lit("2024-01-31").cast("date"))
     days_back = F.datediff(F.lit("2024-01-31").cast("date"), F.col("ts").cast("date"))
     is_purchase = F.col("event_type") == "purchase"
 

@@ -166,7 +166,12 @@ def weighted_sample(
     decision is ``hash_uniform(key) < weight``, a pure per-row
     predicate — zero shuffles, exact row SET reproducible across
     engines, reruns, and partitionings.  Weights outside [0, 1] are
-    clamped (w <= 0 never keeps, w >= 1 always keeps).
+    clamped (w <= 0 never keeps, w >= 1 always keeps); a NULL weight
+    is treated as 0 (explicitly dropped, not silently
+    null-propagated).
     """
-    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col(weight_col).cast("double")))
+    w = F.least(
+        F.lit(1.0),
+        F.greatest(F.lit(0.0), F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))),
+    )
     return df.filter(hash_uniform(F.col(key_col)) < w)

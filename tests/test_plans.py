@@ -224,3 +224,20 @@ def test_retention_cohorts_two_keyed_shuffles(tables):
     cartesian."""
     df = relational.q_retention_cohorts(tables)
     assert_no_cartesian(df)
+
+
+def test_user_features_excludes_future_events(spark):
+    """Events after the as-of date must not count in any window
+    (days_back < 7 alone would admit negative values)."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 30, 12), 7, "purchase", 10.0, "{}"),
+        (2, datetime(2024, 2, 5, 12), 7, "purchase", 99.0, "{}"),  # future
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["user_id"]: r for r in relational.q_user_features({"events": events}).collect()}
+    assert got[7]["n_purchases_7d"] == 1
+    assert got[7]["purchase_value_30d"] == 10.0

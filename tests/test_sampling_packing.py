@@ -277,3 +277,13 @@ def test_pipeline_composes_filter_dedup_chunk_pack(docs):
         F.max("bin_fill").alias("fill")
     )
     assert bin_fill.filter(F.col("fill") > 128).count() == 0
+
+
+def test_weighted_sample_null_weight_drops(spark):
+    from mapreduceimpl_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 1.0)], "doc_id long, w double"
+    )
+    kept = weighted_sample(df, "w").collect()
+    assert [r["doc_id"] for r in kept] == [2]
