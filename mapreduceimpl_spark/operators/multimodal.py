@@ -250,17 +250,25 @@ def decode_image_stub(assets: DataFrame, strict: bool = False) -> DataFrame:
             # unrecognized payloads (the fixtures' text bytes).  The
             # header_parsed flag lets downstream filters distinguish
             # true geometry from the deterministic stand-in.
-            parsed = [parse_image_header(bytes(p)) for p in pdf["payload"]]
+            # null payloads parse as empty bytes (-> fake metadata,
+            # header_parsed False) instead of crashing the task
+            parsed = [
+                parse_image_header(bytes(p) if p is not None else b"")
+                for p in pdf["payload"]
+            ]
             meta = [
-                m if m is not None else _fake_decode(bytes(p))
+                m if m is not None else _fake_decode(bytes(p) if p is not None else b"")
                 for m, p in zip(parsed, pdf["payload"])
             ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"].to_numpy(),
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "n_bytes": [
+                        len(bytes(p) if p is not None else b"") for p in pdf["payload"]
+                    ],
                     "content_sha": [
-                        hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]
+                        hashlib.sha256(bytes(p) if p is not None else b"").hexdigest()
+                        for p in pdf["payload"]
                     ],
                     "width": [m[0] for m in meta],
                     "height": [m[1] for m in meta],
@@ -365,7 +373,7 @@ def probe_media(assets: DataFrame) -> DataFrame:
                 )
             }
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                raw = bytes(payload)
+                raw = bytes(payload) if payload is not None else b""
                 media, fmt, w, h, rate, ch, dur, ok = (
                     "unknown", None, None, None, None, None, None, False,
                 )

@@ -510,7 +510,10 @@ def chunk_documents(
             f"got overlap={overlap} chunk_tokens={chunk_tokens}"
         )
     stride = chunk_tokens - overlap
-    toks = tokens("text")
+    # null text chunks as empty (one 1-token chunk of ''), mirroring
+    # pack_greedy's null handling — explode(sequence(0, NULL)) would
+    # otherwise silently DROP the document from the output
+    toks = tokens(F.coalesce(F.col("text"), F.lit("")))
     n = F.size(toks)
     n_chunks = 1 + F.greatest(
         F.lit(0),

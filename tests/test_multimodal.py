@@ -274,3 +274,26 @@ def test_probe_media_routes_mixed_payloads(spark):
     assert (got[3]["width"], got[3]["height"]) == (640, 360)
     assert got[4]["media"] == "unknown" and not got[4]["header_parsed"]
     assert all(r["n_bytes"] > 0 for r in got.values())
+
+
+def test_null_payload_and_text_do_not_crash(spark):
+    """Null payloads probe as empty bytes (unknown, header_parsed
+    False) and null text chunks as one empty chunk — neither silently
+    drops rows nor crashes the Arrow batch."""
+    from mapreduceimpl_spark.operators.text_analysis import chunk_documents
+
+    assets = spark.createDataFrame(
+        [(1, None), (2, bytearray(b"abc"))], "asset_id long, payload binary"
+    )
+    got = {r["asset_id"]: r for r in multimodal.probe_media(assets).collect()}
+    assert got[1]["media"] == "unknown" and got[1]["n_bytes"] == 0
+    meta = {r["asset_id"]: r for r in multimodal.decode_image_stub(assets).collect()}
+    assert meta[1]["n_bytes"] == 0 and not meta[1]["header_parsed"]
+
+    docs = spark.createDataFrame([(1, None), (2, "a b c")], "doc_id long, text string")
+    chunks = chunk_documents(docs).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == ""
+    assert len(by_doc[2]) == 1
