@@ -305,20 +305,25 @@ def stream_click_view_join(
 
 
 def stream_enrich(
-    events: DataFrame, dim: DataFrame, on: str = "user_id", how: str = "left"
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """STREAM-STATIC enrichment join: each micro-batch of the unbounded
     stream joins against a bounded dimension table.
 
     The static side is stateless for streaming purposes — Spark
     re-plans it per micro-batch (so an updated dim parquet is picked
-    up on the next trigger) and, under the session's broadcast
-    threshold, ships it as a BroadcastHashJoin: the stream side never
-    shuffles for the join.  This is the standard feature-lookup /
-    user-profile enrichment shape; at 100 TB/day the only scale knob
-    is the dim size — past the broadcast threshold it becomes a
-    shuffled join per micro-batch, at which point pre-bucketing the
-    dim on the join key (sinks.write_bucketed) keeps the exchange
-    one-sided.
+    up on the next trigger).  ``broadcast_dim=True`` (default) pins a
+    BroadcastHashJoin so the stream side never shuffles — right for
+    lookup-sized dims; it is a HARD hint, so pass ``False`` for a dim
+    too large to materialize per executor and let Catalyst pick a
+    shuffled join, at which point pre-bucketing the dim on the join
+    key (``sinks.write_bucketed``) keeps the exchange one-sided.
+    This is the standard feature-lookup / user-profile enrichment
+    shape.
     """
-    return events.join(F.broadcast(dim), on, how)
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(d, on, how)
