@@ -1819,6 +1819,124 @@ SPECS: dict[str, QuerySpec] = {
             ORDER BY rev DESC, c_custkey ASC LIMIT 20""",
         doc="TPC-H Q10 shape",
     ),
+    # --- round-4 optimizer-shape breadth (relational.py same-named fns;
+    # fixture schema lacks commitdate/shipmode/partsupp/phone, so the
+    # Q4/Q12/Q16/Q21/Q22 shapes substitute equivalent predicates — the
+    # plan shape is the point, not the TPC-H literal) ---
+    "priority_returns": QuerySpec(
+        _rel(relational.q_priority_returns),
+        """SELECT o_orderpriority, COUNT(*) AS order_count
+           FROM orders o
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1997-01-01'
+             AND EXISTS (SELECT 1 FROM lineitem
+                         WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'R')
+           GROUP BY o_orderpriority""",
+        doc="TPC-H Q4 shape: EXISTS -> left-semi + priority count",
+    ),
+    "forecast_revenue": QuerySpec(
+        _rel(relational.q_forecast_revenue),
+        f"""SELECT {_dec_sum('l_extendedprice * l_discount', 'revenue')}
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24""",
+        doc="TPC-H Q6 shape: scan-only filtered aggregate, no shuffle",
+    ),
+    "shipmode_priority": QuerySpec(
+        _rel(relational.q_shipmode_priority),
+        """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_yr,
+                  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 END) AS high_line_count,
+                  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                             THEN 1 END) AS low_line_count
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1999-01-01'
+           GROUP BY ship_yr""",
+        doc="TPC-H Q12 shape: conditional two-way counts per ship year",
+    ),
+    "customer_distribution": QuerySpec(
+        _rel(relational.q_customer_distribution),
+        """SELECT c_count, COUNT(*) AS custdist FROM (
+             SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             FROM customer LEFT JOIN orders
+               ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+             GROUP BY c_custkey
+           ) GROUP BY c_count""",
+        doc="TPC-H Q13 shape: outer-join order-count distribution",
+    ),
+    "promo_revenue": QuerySpec(
+        _rel(relational.q_promo_revenue),
+        """SELECT round(
+                    100.0
+                    * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                         THEN l_extendedprice * (1 - l_discount)
+                                         ELSE 0.0 END AS DECIMAL(28,4))) AS DOUBLE)
+                    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(28,4))) AS DOUBLE), 6) AS promo_pct
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-07-01'""",
+        doc="TPC-H Q14 shape: conditional-ratio aggregate over broadcast dim",
+    ),
+    "parts_supplier_relation": QuerySpec(
+        _rel(relational.q_parts_supplier_relation),
+        """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' AND p_size <= 25
+             AND l_suppkey NOT IN
+                 (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1500)
+           GROUP BY p_brand, p_type, p_size""",
+        doc="TPC-H Q16 shape: NOT-IN blacklist anti join + distinct count",
+    ),
+    "discounted_revenue": QuerySpec(
+        _rel(relational.q_discounted_revenue),
+        f"""SELECT {_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue')}
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)""",
+        doc="TPC-H Q19 shape: OR-of-ANDs mixed-table disjunction pushdown",
+    ),
+    "waiting_suppliers": QuerySpec(
+        _rel(relational.q_waiting_suppliers),
+        """SELECT s_name, COUNT(*) AS numwait
+           FROM lineitem l1
+           JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+           JOIN supplier ON l1.l_suppkey = s_suppkey
+           WHERE l1.l_returnflag = 'R'
+             AND EXISTS (SELECT 1 FROM lineitem l2
+                         WHERE l2.l_orderkey = l1.l_orderkey
+                           AND l2.l_suppkey <> l1.l_suppkey)
+             AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                             WHERE l3.l_orderkey = l1.l_orderkey
+                               AND l3.l_suppkey <> l1.l_suppkey
+                               AND l3.l_returnflag = 'R')
+           GROUP BY s_name
+           ORDER BY numwait DESC, s_name ASC LIMIT 10""",
+        doc="TPC-H Q21 shape: correlated semi + anti on one key with "
+            "a non-equi conjunct",
+    ),
+    "sales_opportunity": QuerySpec(
+        _rel(relational.q_sales_opportunity),
+        f"""SELECT n_name, COUNT(*) AS numcust,
+                   {_dec_sum('c_acctbal', 'totacctbal')}
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > (
+                SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+                       / COUNT(c_acctbal)
+                FROM customer WHERE c_acctbal > 0.0
+              )
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY n_name""",
+        doc="TPC-H Q22 shape: scalar-subquery threshold + no-orders anti join",
+    ),
 }
 
 

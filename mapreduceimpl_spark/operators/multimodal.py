@@ -129,7 +129,8 @@ def parse_audio_header(payload: bytes) -> tuple[int, int, int, str] | None:
         while i + 8 <= len(payload):
             cid = payload[i : i + 4]
             csz = int.from_bytes(payload[i + 4 : i + 8], "little")
-            if cid == b"fmt " and i + 16 <= len(payload):
+            # guard covers every byte read below (byte_rate ends at i+20)
+            if cid == b"fmt " and i + 20 <= len(payload):
                 channels = int.from_bytes(payload[i + 10 : i + 12], "little")
                 rate = int.from_bytes(payload[i + 12 : i + 16], "little")
                 byte_rate = int.from_bytes(payload[i + 16 : i + 20], "little")

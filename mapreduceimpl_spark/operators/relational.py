@@ -958,3 +958,232 @@ def q_scalar_map(t: dict[str, DataFrame]) -> DataFrame:
         F.concat_ws(",", F.array_sort(F.map_keys(m2))).alias("keys_sorted"),
         F.concat_ws(",", F.array_sort(F.map_values(upper))).alias("vals_upper_sorted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H optimizer-shape breadth (round 4) — shapes the reference has no
+# relational surface for (SURVEY §2.2-2.4 all `absent`), chosen to
+# exercise distinct Catalyst strategies: EXISTS-semi aggregation,
+# scan-only agg, conditional two-way counts, outer-join distribution,
+# conditional ratio, NOT-IN blacklist + distinct count, OR-of-ANDs
+# pushdown, and correlated double-EXISTS (semi + anti on the same key
+# with a non-equi conjunct).  The fixture schema lacks
+# l_commitdate/l_receiptdate/l_shipmode/partsupp/c_phone, so the Q4 /
+# Q12 / Q16 / Q21 / Q22 shapes substitute equivalent predicates over
+# the columns that exist; the PLAN shape (what the optimizer must do)
+# is the point, not the TPC-H literal.
+# ---------------------------------------------------------------------------
+
+
+def q_priority_returns(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q4 shape: order-priority count over EXISTS(lineitem ...).
+
+    The EXISTS becomes a LEFT SEMI join — at 100 TB the semi join
+    dedups on the fly (no exploding multi-match fan-out), and the
+    orders-side date filter is pushed to the scan.
+    """
+    o, li = t["orders"], t["lineitem"]
+    in_window = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        in_window.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_forecast_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q6 shape: scan-only filtered aggregate — every predicate
+    reaches the parquet scan (PushedFilters), no join, no groupBy
+    shuffle: partial sums combine map-side into one row."""
+    li = t["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+def q_shipmode_priority(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q12 shape (shipmode -> ship-year): per ship-year counts of
+    high- vs low-priority orders as conditional sums — one fact
+    shuffle, orders broadcast-joined if small else shuffled once."""
+    li, o = t["lineitem"], t["orders"]
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_yr"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_customer_distribution(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts via a
+    LEFT OUTER join (customers with zero qualifying orders must appear
+    with c_count = 0) and a second aggregation over the first."""
+    c, o = t["customer"], t["orders"]
+    qualifying = o.filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    per_cust = (
+        c.join(qualifying, c.c_custkey == qualifying.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_promo_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q14 shape: promo-revenue percentage — conditional numerator
+    over a common denominator, part dim broadcast, one row out.
+    Both sums are decimal-routed, the ratio rounded to 6 decimals so
+    the result is shuffle-order-free."""
+    li, p = t["lineitem"], t["part"]
+    promo_rev = dec_sum(
+        F.when(F.col("p_type") == "PROMO", revenue()).otherwise(F.lit(0.0))
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * promo_rev / dec_sum(revenue()), 6).alias("promo_pct")
+        )
+    )
+
+
+def q_parts_supplier_relation(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q16 shape (lineitem as the part-supplier association):
+    distinct supplier count per (brand, type, size) for parts outside
+    one brand/type, excluding blacklisted suppliers via NOT IN -> LEFT
+    ANTI join.  The distinct-count shuffles on the grouping key only
+    after the anti join has pruned rows."""
+    li, p, s = t["lineitem"], t["part"], t["supplier"]
+    parts = p.filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size") <= 25)
+    )
+    blacklist = s.filter(F.col("s_acctbal") < 1500).select("s_suppkey")
+    return (
+        li.join(blacklist, li.l_suppkey == blacklist.s_suppkey, "left_anti")
+        .join(broadcast(parts), li.l_partkey == parts.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_discounted_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of conjunct groups mixing
+    part and lineitem predicates.  Catalyst extracts the common
+    part-join key and pushes the disjunction's column bounds
+    (p_size <= 15, l_quantity <= 30) below the join."""
+    li, p = t["lineitem"], t["part"]
+    joined = li.join(broadcast(p), li.l_partkey == p.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 5))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return joined.filter(clause).agg(dec_sum(revenue()).alias("revenue"))
+
+
+def q_waiting_suppliers(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q21 shape: suppliers whose line was returned in a
+    multi-supplier finished order where NO other supplier's line was
+    returned — correlated EXISTS (semi) + NOT EXISTS (anti) on the
+    same order key with a supplier-inequality conjunct.
+
+    Both probes reuse the same lineitem projection; the semi/anti
+    joins shuffle on l_orderkey so all three legs co-partition — one
+    key's worth of shuffles, not three independent plans.
+    """
+    li, o, s = t["lineitem"], t["orders"], t["supplier"]
+    lines = li.select("l_orderkey", "l_suppkey", "l_returnflag")
+    finished = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = (
+        lines.filter(F.col("l_returnflag") == "R")
+        .join(finished, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = lines.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    l3 = (
+        lines.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("o3_orderkey"),
+            F.col("l_suppkey").alias("o3_suppkey"),
+        )
+    )
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(broadcast(s), waited.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+def q_sales_opportunity(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q22 shape: customers above the average positive account
+    balance (uncorrelated scalar subquery -> broadcast one-row join)
+    with NO orders (anti join), grouped by nation."""
+    c, o, n = t["customer"], t["orders"], t["nation"]
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(dec_avg("c_acctbal").alias("avg_bal"))
+    )
+    rich = (
+        c.join(broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return (
+        rich.join(broadcast(n), rich.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            dec_sum("c_acctbal").alias("totacctbal"),
+        )
+    )

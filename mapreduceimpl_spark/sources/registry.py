@@ -53,10 +53,14 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table (reference parity: S1/S7).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as BIGINT nanos
-    and is converted here to a microsecond TimestampType — the same
-    value DuckDB sees reading the same file.
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) (rounds 1-3)
+    and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 4+); both
+    are normalized here to the session-zone TimestampType the rest of
+    the engine assumes: NANOS arrives as BIGINT nanos (via
+    ``spark.sql.legacy.parquet.nanosAsLong``) and is truncated to
+    micros; MICROS arrives as TIMESTAMP_NTZ and is reinterpreted in
+    the UTC session zone — bit-identical to what DuckDB reads from the
+    same file either way.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -69,10 +73,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # works under a SparkSession not built by get_spark()
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+            )
+        elif ts_type == "timestamp_ntz":
+            # same wall-clock instant: session zone is pinned to UTC
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 

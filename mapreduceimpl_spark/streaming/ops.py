@@ -161,6 +161,7 @@ def stream_dedup_against_corpus(
     text_col: str = "text",
     ts_col: str = "ingest_ts",
     watermark: str = "2 hours",
+    broadcast_corpus: bool = True,
 ) -> DataFrame:
     """The full streaming half of ``dedup.incremental_dedup``: drop
     incoming documents that duplicate (a) the standing corpus — a
@@ -174,11 +175,19 @@ def stream_dedup_against_corpus(
     refresh is picked up without restarting the stream.  Anti-join
     state is zero (static side); stream-dedup state is one 64-hex key
     per unique recent doc, reclaimed past the watermark.
+
+    ``broadcast_corpus=True`` hints the corpus hash table per-executor
+    — right while the distinct-sha set fits in executor memory
+    (millions of docs).  At billions of docs pass ``False`` (mirroring
+    ``stream_enrich``): the anti join falls back to a shuffled (or,
+    with a bucketed static table, shuffle-free-on-the-static-side)
+    plan instead of materializing the full hash set on every executor.
     """
     hashed = docs.withColumn("content_sha", F.sha2(F.col(text_col), 256))
-    fresh = hashed.join(
-        F.broadcast(corpus_hashes.select("content_sha")), "content_sha", "left_anti"
-    )
+    corpus = corpus_hashes.select("content_sha")
+    if broadcast_corpus:
+        corpus = F.broadcast(corpus)
+    fresh = hashed.join(corpus, "content_sha", "left_anti")
     return fresh.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_sha"]
     )

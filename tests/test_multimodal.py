@@ -246,6 +246,34 @@ def test_parse_audio_header_formats():
     assert multimodal.parse_audio_header(b"not audio at all, just text") is None
 
 
+def test_parse_audio_header_truncated_wav_fmt_rejected():
+    """A WAV payload cut off INSIDE a trailing fmt chunk must be
+    rejected, not parsed into zeros from short slices (ADVICE r3: the
+    old guard covered reads through i+16 but byte_rate ends at i+20).
+
+    A LIST filler chunk pushes fmt toward the end so the payload stays
+    past the 44-byte container minimum while fmt itself is truncated."""
+    filler = b"LIST" + (24).to_bytes(4, "little") + bytes(24)  # 12..44
+    head = b"RIFF" + (200).to_bytes(4, "little") + b"WAVE" + filler
+    fmt_full = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (16000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    # fmt starts at i=44; guard needs i+20 = 64 bytes total.  Cut the
+    # payload so the fmt id+size survive (>=52) but byte_rate doesn't.
+    for cut in (52, 56, 60, 63):
+        payload = (head + fmt_full)[:cut]
+        assert len(payload) >= 44
+        assert multimodal.parse_audio_header(payload) is None
+    # with all 20 guarded bytes present, rate/channels parse; no data
+    # chunk so duration_ms = -1
+    assert multimodal.parse_audio_header((head + fmt_full)[:64]) == (
+        16000, 1, -1, "wav",
+    )
+
+
 def test_parse_video_header_mp4():
     got = multimodal.parse_video_header(_mp4_bytes(7500, 600, 1280, 720))
     assert got == (1280, 720, 7500, "mp4")

@@ -261,6 +261,16 @@ def test_stream_dedup_against_corpus(spark, tmp_path):
     got = _run_stream(
         streaming.stream_dedup_against_corpus(stream, corpus_hashes)
     )
+    # broadcast opt-out (billion-doc corpus posture): identical result
+    # through the shuffled anti-join plan
+    got_shuffled = _run_stream(
+        streaming.stream_dedup_against_corpus(
+            stream, corpus_hashes, broadcast_corpus=False
+        )
+    )
+    assert {r["content_sha"] for r in got_shuffled} == {
+        r["content_sha"] for r in got
+    }
     # expected: one survivor per distinct text NOT in the corpus
     expected = (
         docs.select("text", F.sha2("text", 256).alias("content_sha"))
