@@ -9,20 +9,23 @@ probing) which get the driver's rows-only check + pytest invariants.
 
 Ordering contract (round 2+): the driver records CORRECTNESS rows for
 roughly the FIRST 50 entries in insertion order.  SPECS is therefore
-rebuilt from ``_ROUND3_ORDER`` (defined after the dict literal) so the
-entries that most need a fresh green row come first.  Round 3 leads
-with the 4 entries that sat past every previous window
-(text_unigram_logprob / sample_fixed_n / scalar_map /
-text_compression_ratio), then the three entries whose oracle is new
-this round (dedup_simhash64_pairs / ann_lsh_topk / dedup_clusters) and
-the seven operators new in round 3 (range_join / hypertable_rollup /
-dedup_incremental / retention_cohorts / doc_chunks / sample_weighted /
-user_features); the rest of the window refreshes the round-1
-relational evidence (2 rounds old) then high-value round-2 LLM
-entries, and the tail is exclusively queries hash-verified green in
-earlier rounds.  The bench set is pinned to
-the round-2 execution order (``_BENCH_ORDER``) so per-query timings
-stay comparable across rounds regardless of window rotation.
+rebuilt from ``_ROUND4_ORDER`` (defined after the dict literal) so the
+entries that most need a fresh green row come first.  Round 4 leads
+with the fifteen TPC-H optimizer-shape queries new this round
+(Q2 min_cost_supplier, Q4 priority_returns, Q6 forecast_revenue,
+Q11 revenue_share, Q12 shipmode_priority, Q13 customer_distribution,
+Q14 promo_revenue, Q15 top_supplier, Q16 parts_supplier_relation,
+Q17 small_qty_revenue, Q18 large_orders, Q19 discounted_revenue,
+Q20 heavy_shippers, Q21 waiting_suppliers, Q22 sales_opportunity —
+joining the Q1/Q3/Q5/Q7/Q10 shapes verified in earlier rounds), then
+rotates in the 37 entries whose most recent driver row is round 2
+(they sat past round 3's 50-entry window; the last two of those plus
+the padding land just past this window and lead round 5), and keeps
+everything hash-verified in round 3 in the tail.
+Union across rounds = full-catalog driver verification.  The bench set
+is pinned to the round-2 execution order (``_BENCH_ORDER``) so
+per-query timings stay comparable across rounds regardless of window
+rotation.
 
 Engine-portability rules used throughout (see functions/exprs.py):
 decimal-routed float sums, md5/sha2 content hashes, BIGINT for every
@@ -1933,21 +1936,134 @@ SPECS: dict[str, QuerySpec] = {
                        / COUNT(c_acctbal)
                 FROM customer WHERE c_acctbal > 0.0
               )
-              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                              AND o_orderpriority = '1-URGENT')
             GROUP BY n_name""",
-        doc="TPC-H Q22 shape: scalar-subquery threshold + no-orders anti join",
+        doc="TPC-H Q22 shape: scalar-subquery threshold + anti join on the "
+            "URGENT order subset (every fixture customer has orders, so the "
+            "literal no-orders form would be trivially empty)",
+    ),
+    "min_cost_supplier": QuerySpec(
+        _rel(relational.q_min_cost_supplier),
+        """WITH pair AS (
+             SELECT l_partkey, l_suppkey,
+                    MIN(round(l_extendedprice / l_quantity, 4)) AS cost
+             FROM lineitem WHERE l_quantity > 0
+             GROUP BY l_partkey, l_suppkey
+           )
+           SELECT p_partkey, p_name, s_name, cost
+           FROM pair
+           JOIN part ON p_partkey = l_partkey AND p_size <= 10
+           JOIN supplier ON s_suppkey = l_suppkey
+           WHERE cost = (SELECT MIN(cost) FROM pair p2
+                         WHERE p2.l_partkey = pair.l_partkey)""",
+        doc="TPC-H Q2 shape: correlated MIN -> per-part window minimum "
+            "(unit price from shipped lines; fixture has no partsupp)",
+    ),
+    "revenue_share": QuerySpec(
+        _rel(relational.q_revenue_share),
+        """WITH per_supp AS (
+             SELECT l_suppkey,
+                    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(28,4))) AS DOUBLE) AS value
+             FROM lineitem GROUP BY l_suppkey
+           )
+           SELECT s_name, round(value, 4) AS value
+           FROM per_supp JOIN supplier ON s_suppkey = l_suppkey
+           WHERE value > (SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                              AS DECIMAL(28,4))) AS DOUBLE)
+                                 * CAST(0.0105 AS DOUBLE)
+                          FROM lineitem)""",
+        doc="TPC-H Q11 shape: HAVING share-of-total (scale-free fraction)",
+    ),
+    "top_supplier": QuerySpec(
+        _rel(relational.q_top_supplier),
+        """WITH rev AS (
+             SELECT l_suppkey,
+                    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(28,4))) AS DOUBLE) AS total_revenue
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+               AND l_shipdate < TIMESTAMP '1997-04-01'
+             GROUP BY l_suppkey
+           )
+           SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
+           FROM rev JOIN supplier ON s_suppkey = l_suppkey
+           WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""",
+        doc="TPC-H Q15 shape: MAX-of-aggregate view",
+    ),
+    "small_qty_revenue": QuerySpec(
+        _rel(relational.q_small_qty_revenue),
+        """WITH avg_qty AS (
+             SELECT l_partkey AS a_partkey,
+                    CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+                    / COUNT(l_quantity) AS avg_qty
+             FROM lineitem GROUP BY l_partkey
+           )
+           SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+                        / 7.0, 4) AS avg_yearly
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'
+           JOIN avg_qty ON l_partkey = a_partkey
+           WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""",
+        doc="TPC-H Q17 shape: correlated per-part AVG, decorrelated",
+    ),
+    "large_orders": QuerySpec(
+        _rel(relational.q_large_orders),
+        """WITH heavy AS (
+             SELECT l_orderkey,
+                    CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) > 150
+           )
+           SELECT c_custkey, o_orderkey,
+                  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                  o_totalprice, sum_qty
+           FROM orders JOIN heavy ON o_orderkey = l_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+        doc="TPC-H Q18 shape: group-HAVING subquery -> keyed join-back",
+    ),
+    "heavy_shippers": QuerySpec(
+        _rel(relational.q_heavy_shippers),
+        """SELECT s_name, s_acctbal FROM supplier WHERE s_suppkey IN (
+             SELECT l_suppkey FROM lineitem
+             JOIN part ON l_partkey = p_partkey
+             WHERE p_size <= 15
+               AND l_shipdate >= TIMESTAMP '1997-01-01'
+               AND l_shipdate < TIMESTAMP '1998-01-01'
+             GROUP BY l_suppkey
+             HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) > 800
+           )""",
+        doc="TPC-H Q20 shape: IN over grouped-HAVING -> left-semi join",
     ),
 }
 
 
-# Round-3 window rotation (driver records the first ~50 entries; see
-# module docstring).  Head 1-7: never-driver-verified + new-oracle
-# entries; 8-42: round-1 evidence refresh; 43-49: round-2 LLM refresh;
-# 50: rows-only slack; 51+: round-2-green tail.
-_ROUND3_ORDER = [
+# Round-4 window rotation (driver records the first ~50 entries; see
+# module docstring).  Head 1-15: the fifteen TPC-H optimizer-shape
+# queries new this round (never driver-verified); 16-52: the 37
+# entries whose last driver row is round 2 (they sat past round 3's
+# window); 53+: round-3-green padding, then the round-3-green tail.
+_ROUND4_ORDER = [
+    "priority_returns", "forecast_revenue", "shipmode_priority", "customer_distribution",
+    "promo_revenue", "parts_supplier_relation", "discounted_revenue", "waiting_suppliers",
+    "sales_opportunity", "min_cost_supplier", "revenue_share", "top_supplier",
+    "small_qty_revenue", "large_orders", "heavy_shippers",
+    "events_sessionize", "asof_join", "dedup_minhash_lsh", "dedup_embedding",
+    "seq_pack", "multimodal_meta", "agg_approx", "events_sliding",
+    "events_session_native", "dedup_exact", "dedup_exact_norm", "dedup_simhash_sigs",
+    "dedup_simhash_pairs", "dedup_ngram_jaccard", "ann_topk", "ann_ivf_topk",
+    "kmeans_assign", "text_lang_id", "text_quality", "text_token_stats",
+    "text_clean", "corpus_filter", "sample_hash", "embedding_centroids",
+    "embedding_norms", "text_fingerprint", "text_repetition", "text_pii_scrub",
+    "contamination_check", "sample_stratified", "domain_mix", "embedding_quantize",
+    "tfidf_topterms", "scalar_case_date", "scalar_math_date", "window_analytics",
+    "set_ops",
+    "wordcount", "dedup_incremental", "doc_chunks", "retention_cohorts",
     "text_unigram_logprob", "sample_fixed_n", "scalar_map", "text_compression_ratio",
     "dedup_simhash64_pairs", "ann_lsh_topk", "ann_lsh_multiprobe", "dedup_clusters",
-    "range_join", "hypertable_rollup", "dedup_incremental", "retention_cohorts", "doc_chunks", "sample_weighted", "user_features", "wordcount",
+    "range_join", "hypertable_rollup", "sample_weighted", "user_features",
     "lang_count", "udf_wordcount", "filter_project", "pricing_summary",
     "agg_multikey", "agg_distinct", "distinct_op", "agg_rollup",
     "agg_cube", "grouping_sets", "join_inner", "join_left",
@@ -1956,25 +2072,16 @@ _ROUND3_ORDER = [
     "volume_shipping", "returned_items", "events_funnel", "window_rank",
     "sort_limit", "scalar_string", "json_extract", "null_handling",
     "subquery_corr", "array_agg", "percentile", "pivot",
-    "text_bpe_tokens", "events_tumbling", "events_sessionize",
-    "asof_join", "dedup_minhash_lsh", "dedup_embedding", "seq_pack",
-    "multimodal_meta", "agg_approx", "events_sliding", "events_session_native", "dedup_exact",
-    "dedup_exact_norm", "dedup_simhash_sigs", "dedup_simhash_pairs", "dedup_ngram_jaccard",
-    "ann_topk", "ann_ivf_topk", "kmeans_assign", "text_lang_id",
-    "text_quality", "text_token_stats", "text_clean", "corpus_filter",
-    "sample_hash", "embedding_centroids", "embedding_norms", "text_fingerprint",
-    "text_repetition", "text_pii_scrub", "contamination_check", "sample_stratified",
-    "domain_mix", "embedding_quantize", "tfidf_topterms", "scalar_case_date",
-    "scalar_math_date", "window_analytics", "set_ops",
+    "text_bpe_tokens", "events_tumbling",
 ]
 
-if set(_ROUND3_ORDER) != set(SPECS) or len(_ROUND3_ORDER) != len(SPECS):
+if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):
     raise AssertionError(
         "catalog rotation list out of sync with SPECS: "
-        f"missing={set(SPECS) - set(_ROUND3_ORDER)} "
-        f"unknown={set(_ROUND3_ORDER) - set(SPECS)}"
+        f"missing={set(SPECS) - set(_ROUND4_ORDER)} "
+        f"unknown={set(_ROUND4_ORDER) - set(SPECS)}"
     )
-SPECS = {name: SPECS[name] for name in _ROUND3_ORDER}
+SPECS = {name: SPECS[name] for name in _ROUND4_ORDER}
 
 
 # Bench execution order, pinned to round 2's recorded order so the

@@ -1168,16 +1168,23 @@ def q_waiting_suppliers(t: dict[str, DataFrame]) -> DataFrame:
 def q_sales_opportunity(t: dict[str, DataFrame]) -> DataFrame:
     """TPC-H Q22 shape: customers above the average positive account
     balance (uncorrelated scalar subquery -> broadcast one-row join)
-    with NO orders (anti join), grouped by nation."""
+    with no URGENT order (anti join), grouped by nation.
+
+    Q22's literal anti side is "no orders at all"; every fixture
+    customer has orders, which would make the result (and its hash
+    check) trivially empty — so the anti join keys on the selective
+    URGENT subset instead.  Plan shape is identical: scalar-subquery
+    threshold, then an anti join against a filtered orders scan."""
     c, o, n = t["customer"], t["orders"], t["nation"]
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.0)
         .agg(dec_avg("c_acctbal").alias("avg_bal"))
     )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     rich = (
         c.join(broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
     )
     return (
         rich.join(broadcast(n), rich.c_nationkey == n.n_nationkey)
@@ -1186,4 +1193,150 @@ def q_sales_opportunity(t: dict[str, DataFrame]) -> DataFrame:
             F.count("*").alias("numcust"),
             dec_sum("c_acctbal").alias("totacctbal"),
         )
+    )
+
+
+def q_min_cost_supplier(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q2 shape: for each part in a size slice, the supplier(s)
+    whose minimum observed unit price is the lowest for that part —
+    the correlated ``= (SELECT MIN ...)`` pattern.
+
+    The fixture has no partsupp table, so unit cost is derived from
+    shipped lines (extendedprice/quantity, rounded before comparison
+    so the equality is engine-portable).  Spark-first formulation:
+    per-(part, supplier) MIN, then a per-part window MIN and an
+    equality filter — one shuffle on l_partkey carries both the
+    pair-level aggregate and the window, no self-join, no correlated
+    re-scan per outer row.
+    """
+    li, p, s = t["lineitem"], t["part"], t["supplier"]
+    cost = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)
+    pair = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(cost).alias("cost"))
+    )
+    best = pair.withColumn(
+        "best_cost", F.min("cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("cost") == F.col("best_cost"))
+    sized = p.filter(F.col("p_size") <= 10)
+    return (
+        best.join(broadcast(sized), best.l_partkey == sized.p_partkey)
+        .join(broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "cost")
+    )
+
+
+def q_revenue_share(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q11 shape: per-supplier revenue HAVING share-of-total
+    above a fraction — group-aggregate filtered by an uncorrelated
+    scalar aggregate of the same fact.  The one-row total broadcasts;
+    the fact shuffles once on l_suppkey.  The threshold is a fraction
+    of the total, so the query is scale-free by construction."""
+    li, s = t["lineitem"], t["supplier"]
+    per_supp = li.groupBy("l_suppkey").agg(dec_sum(revenue()).alias("value"))
+    total = li.agg((dec_sum(revenue()) * F.lit(0.0105)).alias("threshold"))
+    kept = per_supp.join(broadcast(total)).filter(
+        F.col("value") > F.col("threshold")
+    )
+    return (
+        kept.join(broadcast(s), kept.l_suppkey == s.s_suppkey)
+        .select("s_name", F.round("value", 4).alias("value"))
+    )
+
+
+def q_top_supplier(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue
+    — aggregate view + uncorrelated MAX-of-aggregate subquery.  The
+    revenue aggregate is computed once and reused for both the MAX and
+    the final filter (Spark: one plan, the one-row MAX broadcasts)."""
+    li, s = t["lineitem"], t["supplier"]
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(dec_sum(revenue()).alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue"))
+    )
+
+
+def q_small_qty_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lines whose quantity is below
+    0.2x the part's average quantity — correlated per-group AVG
+    subquery.  Spark-first: the per-part average is one aggregate on
+    l_partkey joined back to the brand slice (exactly Catalyst's
+    decorrelation of the subquery), with the avg side aggregated
+    BEFORE the join so the join input is |parts| rows, not |lineitem|.
+    """
+    li, p = t["lineitem"], t["part"]
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        dec_avg("l_quantity").alias("avg_qty")
+    )
+    brand = p.filter(F.col("p_brand") == "Brand#3")
+    lines = li.join(broadcast(brand), li.l_partkey == brand.p_partkey)
+    return (
+        lines.join(avg_qty, lines.l_partkey == avg_qty.a_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(dec_sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+def q_large_orders(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold (group-HAVING subquery), joined back to orders+customer,
+    top-100 by total price.  The HAVING aggregate shuffles on
+    l_orderkey; the surviving keys (rare) then ride a keyed join —
+    at 100 TB the join probe side is already reduced to the heavy
+    orders only."""
+    li, o, c = t["lineitem"], t["orders"], t["customer"]
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(dec_sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        o.join(heavy, o.o_orderkey == heavy.l_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q_heavy_shippers(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than a threshold
+    quantity of small parts in a year — IN over a grouped-HAVING
+    subquery becomes a LEFT SEMI join against the aggregated key set.
+    The aggregate prunes to few suppliers before touching the supplier
+    dim, so the semi probe is tiny regardless of fact size."""
+    li, p, s = t["lineitem"], t["part"], t["supplier"]
+    small = p.filter(F.col("p_size") <= 15)
+    shippers = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(broadcast(small), li.l_partkey == small.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(dec_sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 800)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(shippers, s.s_suppkey == shippers.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
     )

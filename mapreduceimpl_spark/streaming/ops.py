@@ -31,21 +31,46 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
-# events schema as a *stream source* schema: ts read as BIGINT nanos
-# (parquet TIMESTAMP(NANOS) under nanosAsLong) and converted below.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# events schema as a *stream source* schema.  The fixture has shipped
+# ``ts`` as parquet TIMESTAMP(NANOS) (rounds 1-3: read as BIGINT nanos
+# under nanosAsLong, converted below) and TIMESTAMP(MICROS,
+# isAdjustedToUTC=false) (round 4+: read as TIMESTAMP_NTZ, cast to the
+# UTC session zone) — mirror sources.registry.load_table exactly.
+def _events_raw_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+def _events_ts_unit(path: str) -> str:
+    """Peek one parquet footer to learn the physical unit of ``ts``.
+
+    A streaming file source needs the schema declared up front, so the
+    NANOS-vs-MICROS decision can't be made from the batch DataFrame's
+    dtypes the way ``load_table`` does it.  One footer read at plan
+    time (driver-side, O(KB)) keeps both fixture generations working.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        return "us"
+    ts = pq.read_schema(files[0]).field("ts").type
+    return getattr(ts, "unit", "us")
 
 
 def read_events_stream(
@@ -56,14 +81,22 @@ def read_events_stream(
     In production this is ``spark.readStream.format("kafka")``; the
     file source has identical semantics for every operator below.
     """
+    if _events_ts_unit(path) == "ns":
+        raw = (
+            spark.readStream.schema(_events_raw_schema(LongType()))
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+        )
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+        )
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(TimestampNTZType()))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
-    )
+    # same wall-clock instant: session zone is pinned to UTC
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(

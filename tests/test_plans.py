@@ -241,3 +241,152 @@ def test_user_features_excludes_future_events(spark):
     got = {r["user_id"]: r for r in relational.q_user_features({"events": events}).collect()}
     assert got[7]["n_purchases_7d"] == 1
     assert got[7]["purchase_value_30d"] == 10.0
+
+
+def test_q4_semi_join_not_inner(tables):
+    """Q4's EXISTS must plan a LeftSemi probe (dedup on the fly) —
+    an inner join would fan out per matching lineitem and overcount."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    df = relational.q_priority_returns(tables)
+    plan = explain_str(df, "simple")
+    assert "LeftSemi" in plan, plan
+    assert_pushed_filters(df, "o_orderdate")
+
+
+def test_q6_scan_only_aggregate(tables):
+    """Q6 is the purest pushdown test: every predicate reaches the
+    scan, no join anywhere, partial sums collapse map-side so the one
+    Exchange moves exactly one row per task."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    df = relational.q_forecast_revenue(tables)
+    assert_pushed_filters(df, "l_shipdate", "l_discount", "LessThan(l_quantity,24.0)")
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
+
+
+def test_q12_date_pushdown_single_agg_shuffle(tables):
+    df = relational.q_shipmode_priority(tables)
+    assert_pushed_filters(df, "l_shipdate")
+    assert_no_cartesian(df)
+
+
+def test_q13_left_join_preserves_zero_customers(tables):
+    """Q13 must keep customers with no qualifying orders (LEFT join,
+    count(o_orderkey) -> 0), and the orders-side filter must not be
+    pushed below the outer join's null-supplying side incorrectly."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(relational.q_customer_distribution(tables), "simple")
+    assert "LeftOuter" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_q14_part_dim_broadcast(tables):
+    assert_broadcast_join(relational.q_promo_revenue(tables), expect=1)
+    assert_pushed_filters(relational.q_promo_revenue(tables), "l_shipdate")
+
+
+def test_q16_anti_then_broadcast(tables):
+    """Blacklist anti join prunes before the part broadcast join; the
+    distinct count shuffles only after both."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    df = relational.q_parts_supplier_relation(tables)
+    plan = explain_str(df, "simple")
+    assert "LeftAnti" in plan, plan
+    assert_broadcast_join(df, expect=1)
+    assert_no_cartesian(df)
+
+
+def test_q19_disjunction_stays_joined(tables):
+    """Q19's OR-of-ANDs must not break the equi join into a nested
+    loop: the common l_partkey = p_partkey key carries the join, the
+    disjunction rides as a post-join filter."""
+    df = relational.q_discounted_revenue(tables)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, expect=1)
+
+
+def test_q21_semi_anti_same_key_no_cartesian(tables):
+    """Q21's correlated EXISTS / NOT EXISTS with the supplier-inequality
+    conjunct must stay keyed hash/merge joins on l_orderkey (the
+    non-equi part is a join condition), never a cartesian expansion."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    df = relational.q_waiting_suppliers(tables)
+    assert_no_cartesian(df)
+    plan = explain_str(df, "simple")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q22_scalar_subquery_broadcasts(tables):
+    """The one-row average broadcasts (nested-loop on a 1-row side is
+    fine); the URGENT anti join and nation join must not cartesian."""
+    df = relational.q_sales_opportunity(tables)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, expect=2)
+
+
+def test_q2_window_min_no_self_join(tables):
+    """Q2's correlated MIN must be the window formulation: one shuffle
+    on l_partkey serves both the pair aggregate and the per-part
+    minimum — no second scan of lineitem, no cartesian."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    df = relational.q_min_cost_supplier(tables)
+    assert_no_cartesian(df)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") <= 3, plan  # li + part + supplier, once each
+    assert_broadcast_join(df, expect=2)
+
+
+def test_q11_total_broadcasts_fact_shuffles_once(tables):
+    """The one-row total must broadcast onto the per-supplier aggregate
+    (nested-loop on a 1-row side), never shuffle the aggregate."""
+    df = relational.q_revenue_share(tables)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, expect=2)  # total + supplier dim
+
+
+def test_q15_max_of_aggregate_broadcasts(tables):
+    df = relational.q_top_supplier(tables)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, expect=2)  # one-row max + supplier dim
+    assert_pushed_filters(df, "l_shipdate")
+
+
+def test_q17_avg_side_aggregated_before_join(tables):
+    """The per-part AVG must collapse to |parts| rows BEFORE joining
+    the brand slice (partial aggregate below the join), so the join
+    probe is dimension-sized however big lineitem is."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    df = relational.q_small_qty_revenue(tables)
+    assert_no_cartesian(df)
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q18_having_prunes_before_join_back(tables):
+    """The heavy-order HAVING filter sits on the aggregate, and the
+    orders join-back keys on o_orderkey (hash/merge), with the top-100
+    as TakeOrderedAndProject, not a global sort."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    df = relational.q_large_orders(tables)
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_q20_in_subquery_is_semi_join(tables):
+    from mapreduceimpl_spark.plans import explain_str
+
+    df = relational.q_heavy_shippers(tables)
+    plan = explain_str(df, "simple")
+    assert "LeftSemi" in plan, plan
+    assert_pushed_filters(df, "l_shipdate")
