@@ -223,6 +223,40 @@ def _q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, k=5, n_probe=3, round_digits=6)
 
 
+def _q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.random_projection(
+        load_table(spark, sf_dir, "embeddings"), out_dim=8, seed=42
+    )
+
+
+def _random_projection_oracle(
+    out_dim: int = 8, dim: int | None = None, seed: int = 42
+) -> str:
+    """Mirror of ``similarity.random_projection``: the SAME seeded
+    Gaussian matrix as literals, the same sequential left-fold dot
+    product (see ``_lsh_dot_exprs`` parity notes), rounded to 6."""
+    if dim is None:
+        dim = EMBEDDING_FIXTURE_DIM  # defined below; resolved at call time
+    comps = ", ".join(f"round({d}, 6)" for d in _lsh_dot_exprs(out_dim, dim, seed))
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+p AS (SELECT vec_id, [{comps}] AS proj FROM e)
+SELECT vec_id, CAST(pos AS BIGINT) AS pos, proj[pos + 1] AS x
+FROM p CROSS JOIN (SELECT unnest(range(0, {out_dim})) AS pos)
+"""
+
+
+def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.knn_classify(emb, queries, k=5, round_digits=6)
+
+
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans.kmeans_assignments(load_table(spark, sf_dir, "embeddings"), k=10, max_iter=5)
 
@@ -1947,7 +1981,8 @@ SPECS: dict[str, QuerySpec] = {
         _rel(relational.q_min_cost_supplier),
         """WITH pair AS (
              SELECT l_partkey, l_suppkey,
-                    MIN(round(l_extendedprice / l_quantity, 4)) AS cost
+                    MIN(floor(l_extendedprice / l_quantity * 10000 + 0.5)
+                        / 10000) AS cost
              FROM lineitem WHERE l_quantity > 0
              GROUP BY l_partkey, l_suppkey
            )
@@ -1970,11 +2005,12 @@ SPECS: dict[str, QuerySpec] = {
            )
            SELECT s_name, round(value, 4) AS value
            FROM per_supp JOIN supplier ON s_suppkey = l_suppkey
-           WHERE value > (SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                              AS DECIMAL(28,4))) AS DOUBLE)
-                                 * CAST(0.0105 AS DOUBLE)
-                          FROM lineitem)""",
-        doc="TPC-H Q11 shape: HAVING share-of-total (scale-free fraction)",
+           WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                                 / COUNT(value) * CAST(1.05 AS DOUBLE)
+                          FROM per_supp)""",
+        doc="TPC-H Q11 shape: HAVING above 1.05x the mean supplier revenue "
+            "(TPC-H's own fraction is 0.0001/SF — scale-dependent; the "
+            "mean-relative form stays selective at every sf)",
     ),
     "top_supplier": QuerySpec(
         _rel(relational.q_top_supplier),
@@ -2037,19 +2073,112 @@ SPECS: dict[str, QuerySpec] = {
            )""",
         doc="TPC-H Q20 shape: IN over grouped-HAVING -> left-semi join",
     ),
+    # --- round-4 LLM-pipeline additions ---
+    "vocab_topk": QuerySpec(
+        lambda spark, sf_dir: text_analysis.vocab_top_terms(
+            load_table(spark, sf_dir, "documents"), k=10
+        ),
+        """WITH counts AS (
+             SELECT lang, token, COUNT(*) AS cnt
+             FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+                   FROM documents)
+             GROUP BY lang, token
+           )
+           SELECT lang, token, cnt, rank FROM (
+             SELECT lang, token, cnt,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                            ORDER BY cnt DESC, token ASC)
+                         AS BIGINT) AS rank
+             FROM counts
+           ) WHERE rank <= 10""",
+        doc="per-language top-k vocabulary terms (tokenizer/vocab build step); "
+            "ranking window runs over aggregated counts, not the corpus",
+    ),
+    "quality_percentile": QuerySpec(
+        lambda spark, sf_dir: text_analysis.quality_percentile_filter(
+            load_table(spark, sf_dir, "documents"), quantile=0.75
+        ),
+        """SELECT doc_id, lang, diversity FROM (
+             SELECT doc_id, lang, diversity,
+                    cume_dist() OVER (PARTITION BY lang ORDER BY diversity) AS cd
+             FROM (SELECT doc_id, lang,
+                          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                          / len(string_split(text, ' ')) AS diversity
+                   FROM documents)
+           ) WHERE cd > 0.75""",
+        doc="per-language top-quartile diversity gate; rank-based cutoff "
+            "(cume_dist) so the kept set is engine-portable, with "
+            "percentile_approx documented as the skew-safe 100 TB variant",
+    ),
+    "knn_classify": QuerySpec(
+        _q_knn_classify,
+        """WITH e AS (
+             SELECT vec_id, CAST(label AS BIGINT) AS label,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings
+           ),
+           q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+           neighbors AS (
+             SELECT query_id, label FROM (
+               SELECT query_id, vec_id, label,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY query_id
+                        ORDER BY round(list_cosine_similarity(qv, v), 6) DESC,
+                                 vec_id ASC) AS rank
+               FROM q CROSS JOIN e
+               WHERE query_id <> vec_id
+             ) WHERE rank <= 5
+           ),
+           votes AS (
+             SELECT query_id, label, COUNT(*) AS votes
+             FROM neighbors GROUP BY query_id, label
+           )
+           SELECT query_id, label AS pred_label, votes FROM (
+             SELECT query_id, label, votes,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY votes DESC, label ASC) AS r
+             FROM votes
+           ) WHERE r = 1""",
+        doc="k-NN majority-vote label prediction (leave-one-out): corpus label "
+            "rides the scored row, no post-rank corpus re-join",
+    ),
+    "random_projection": QuerySpec(
+        _q_random_projection,
+        _random_projection_oracle(),
+        doc="Johnson-Lindenstrauss seeded random projection to 8 dims "
+            "(zero-shuffle narrow transform; bit-exact seeded-matrix replay "
+            "in the oracle via the LSH fold machinery)",
+    ),
+    "next_event_pairs": QuerySpec(
+        _rel(relational.q_next_event_pairs),
+        """SELECT user_id, event_id,
+                  lag(event_type, 3) OVER w AS ctx3,
+                  lag(event_type, 2) OVER w AS ctx2,
+                  lag(event_type, 1) OVER w AS ctx1,
+                  event_type AS label
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        doc="next-event-prediction training pairs: lag-1..3 context + label "
+            "in one window Exchange (no history self-join)",
+    ),
 }
 
 
 # Round-4 window rotation (driver records the first ~50 entries; see
-# module docstring).  Head 1-15: the fifteen TPC-H optimizer-shape
-# queries new this round (never driver-verified); 16-52: the 37
-# entries whose last driver row is round 2 (they sat past round 3's
-# window); 53+: round-3-green padding, then the round-3-green tail.
+# module docstring).  Head 1-20: the fifteen TPC-H optimizer-shape
+# queries plus the five LLM-pipeline additions (vocab_topk,
+# quality_percentile, knn_classify, random_projection,
+# next_event_pairs) new this round (never driver-verified); 21-50:
+# the oldest-evidence entries (last driver row round 2); the rest of
+# that cohort plus the round-3-green tail follow and lead round 5's
+# window.
 _ROUND4_ORDER = [
     "priority_returns", "forecast_revenue", "shipmode_priority", "customer_distribution",
     "promo_revenue", "parts_supplier_relation", "discounted_revenue", "waiting_suppliers",
     "sales_opportunity", "min_cost_supplier", "revenue_share", "top_supplier",
     "small_qty_revenue", "large_orders", "heavy_shippers",
+    "vocab_topk", "quality_percentile", "knn_classify",
+    "random_projection", "next_event_pairs",
     "events_sessionize", "asof_join", "dedup_minhash_lsh", "dedup_embedding",
     "seq_pack", "multimodal_meta", "agg_approx", "events_sliding",
     "events_session_native", "dedup_exact", "dedup_exact_norm", "dedup_simhash_sigs",

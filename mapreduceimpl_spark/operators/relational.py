@@ -1210,7 +1210,12 @@ def q_min_cost_supplier(t: dict[str, DataFrame]) -> DataFrame:
     re-scan per outer row.
     """
     li, p, s = t["lineitem"], t["part"], t["supplier"]
-    cost = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)
+    # floor(x*1e4 + 0.5)/1e4, not round(): Spark rounds doubles
+    # HALF_UP, DuckDB half-to-even — at sf0.1 six unit prices landed
+    # exactly on a .00005 boundary and split the engines.  floor is
+    # bit-identical everywhere given the same IEEE quotient.
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    cost = F.floor(unit * 10000.0 + 0.5) / 10000.0
     pair = (
         li.filter(F.col("l_quantity") > 0)
         .groupBy("l_partkey", "l_suppkey")
@@ -1229,14 +1234,21 @@ def q_min_cost_supplier(t: dict[str, DataFrame]) -> DataFrame:
 
 def q_revenue_share(t: dict[str, DataFrame]) -> DataFrame:
     """TPC-H Q11 shape: per-supplier revenue HAVING share-of-total
-    above a fraction — group-aggregate filtered by an uncorrelated
-    scalar aggregate of the same fact.  The one-row total broadcasts;
-    the fact shuffles once on l_suppkey.  The threshold is a fraction
-    of the total, so the query is scale-free by construction."""
+    above a threshold — group-aggregate filtered by an uncorrelated
+    scalar aggregate of the same data.  The one-row threshold
+    broadcasts; the fact shuffles once on l_suppkey.
+
+    TPC-H's Q11 fraction is 0.0001/SF — itself scaled by data size —
+    so a fixed fraction goes empty as suppliers multiply.  The
+    scale-free equivalent used here: suppliers 5% above the MEAN
+    supplier revenue, computed from the per-supplier aggregate itself
+    (|suppliers| rows, decimal-routed so the mean is order-free)."""
     li, s = t["lineitem"], t["supplier"]
     per_supp = li.groupBy("l_suppkey").agg(dec_sum(revenue()).alias("value"))
-    total = li.agg((dec_sum(revenue()) * F.lit(0.0105)).alias("threshold"))
-    kept = per_supp.join(broadcast(total)).filter(
+    threshold = per_supp.agg(
+        (dec_avg("value") * F.lit(1.05)).alias("threshold")
+    )
+    kept = per_supp.join(broadcast(threshold)).filter(
         F.col("value") > F.col("threshold")
     )
     return (
@@ -1339,4 +1351,28 @@ def q_heavy_shippers(t: dict[str, DataFrame]) -> DataFrame:
     return (
         s.join(shippers, s.s_suppkey == shippers.l_suppkey, "left_semi")
         .select("s_name", "s_acctbal")
+    )
+
+
+def q_next_event_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Training-example construction over the event stream: for each
+    event, the previous three event types in the same user's timeline
+    (lag-1..3 context) and the current type as the label — the
+    next-event-prediction dataset shape.
+
+    One window shuffle on user_id with the (ts, event_id) unique
+    tiebreak; rows without a full 3-event history keep NULL context
+    slots (the consumer decides whether to pad or drop).  At 100 TB
+    this is the same single-Exchange lag pipeline as sessionization —
+    linear per partition, no self-join against the history.
+    """
+    e = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_type", 3).over(w).alias("ctx3"),
+        F.lag("event_type", 2).over(w).alias("ctx2"),
+        F.lag("event_type", 1).over(w).alias("ctx1"),
+        F.col("event_type").alias("label"),
     )

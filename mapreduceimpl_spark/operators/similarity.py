@@ -457,3 +457,86 @@ def quantize_embeddings(
             F.aggregate(sq_err, F.lit(0.0), lambda acc, x: acc + x) / F.size(F.col("v"))
         ).alias("mse"),
     )
+
+
+def knn_classify(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    round_digits: int | None = 6,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """k-NN majority-vote label prediction for each query vector —
+    the classify-by-neighbors primitive (weak labeling / label
+    propagation over an embedded corpus).
+
+    The corpus label rides the scored row, so no second join against
+    the corpus is needed after ranking: broadcast queries x corpus ->
+    rank ≤ k -> count votes per (query, label) -> argmax.  Corpus
+    never shuffles (ann_topk's plan property); everything after the
+    rank filter is (n_queries x k) rows.
+
+    Deterministic: cosine rounded before ranking, vec_id tie-break on
+    neighbors, (votes desc, label asc) tie-break on the winning label.
+    ``exclude_self`` drops corpus rows whose vec_id equals the query
+    id (leave-one-out evaluation when queries are drawn from the
+    corpus).
+    """
+    corpus = embeddings.select(
+        "vec_id", _as_double("embedding").alias("cv"), F.col("label").cast("long").alias("label")
+    )
+    q = queries.select(
+        F.col("query_id"), _as_double("embedding").alias("qv")
+    )
+    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = F.broadcast(q).crossJoin(corpus)
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    neighbors = (
+        scored.select("query_id", "vec_id", "label", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    votes = neighbors.groupBy("query_id", "label").agg(F.count("*").alias("votes"))
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    round_digits: int | None = 6,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim``
+    dimensions — the dimensionality-reduction pass before clustering /
+    coarse ANN when the native embedding width is too wide to shuffle.
+
+    The seeded Gaussian matrix is a driver-side literal (out_dim x dim
+    doubles, a few KiB) broadcast inside the plan; each output
+    component is the same sequential ``aggregate(zip_with(...))`` fold
+    as sign-LSH, so the projection is bit-reproducible across engines
+    (and replayable in SQL — see the catalog oracle).  Zero shuffles:
+    a narrow per-row transform, output (vec_id, pos, x) rows.
+    """
+    if dim is None:
+        dim = derive_dim(embeddings, vec_col)
+    planes = random_hyperplanes(out_dim, dim, seed)
+    v = _as_double(vec_col)
+    comps = []
+    for p in planes:
+        plane_lit = F.array(*[F.lit(float(x)) for x in p])
+        d = dot(v, plane_lit)
+        comps.append(F.round(d, round_digits) if round_digits is not None else d)
+    return embeddings.select(
+        "vec_id", F.posexplode(F.array(*comps)).alias("pos", "x")
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), "x")

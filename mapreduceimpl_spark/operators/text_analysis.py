@@ -539,3 +539,58 @@ def chunk_documents(
             .alias("n_tokens"),
         )
     )
+
+
+def vocab_top_terms(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Per-language top-k vocabulary terms by frequency — the first
+    step of tokenizer/vocab construction over a corpus.
+
+    Scale: explode+count is the wordcount shape (map-side partial
+    aggregation, one shuffle on (lang, token)); the ranking window
+    then partitions by lang over the *aggregated* counts (|vocab|
+    rows, not |corpus| rows), so the second Exchange moves one row per
+    distinct term.  Deterministic tie-break: count desc, token asc.
+    """
+    counts = (
+        docs.select("lang", F.explode(tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", "token", "cnt", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def quality_percentile_filter(docs: DataFrame, quantile: float = 0.75) -> DataFrame:
+    """Keep documents whose vocabulary diversity is in the top
+    (1 - quantile) of their language — per-stratum percentile gating,
+    the relative-threshold variant of ``corpus_filter``'s absolute
+    gate.
+
+    The cutoff is rank-based (``cume_dist``), NOT a float percentile
+    interpolation: cume_dist is an exact rational (rows_le / rows) so
+    the kept set is engine-portable bit-for-bit, where
+    percentile-interpolated thresholds can diverge in the last ulp
+    across engines.
+
+    Scale: the window sorts each language partition once.  At 100 TB
+    with few languages that sort is the skew hot spot — swap the
+    window for ``percentile_approx`` per lang (tiny aggregate,
+    broadcast back, filter) and accept the approximate cutoff; the
+    exact rank-based form stays the correctness oracle.
+    """
+    toks = tokens("text")
+    diversity = (
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.size(toks).cast("double")
+    )
+    scored = docs.select("doc_id", "lang", diversity.alias("diversity"))
+    w = Window.partitionBy("lang").orderBy("diversity")
+    return (
+        scored.withColumn("cd", F.cume_dist().over(w))
+        .filter(F.col("cd") > quantile)
+        .select("doc_id", "lang", "diversity")
+    )

@@ -390,3 +390,48 @@ def test_q20_in_subquery_is_semi_join(tables):
     plan = explain_str(df, "simple")
     assert "LeftSemi" in plan, plan
     assert_pushed_filters(df, "l_shipdate")
+
+
+def test_knn_classify_corpus_never_shuffled(embeddings):
+    """The scored join must broadcast the query side; the corpus scan
+    stays partition-local (ann_topk's plan property carried through
+    the vote pipeline)."""
+    from mapreduceimpl_spark.operators.similarity import knn_classify
+
+    q = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = knn_classify(embeddings, q, k=3)
+    assert_broadcast_join(df, expect=1)
+
+
+def test_vocab_topk_window_over_aggregated_counts(docs):
+    """Two exchanges only: one for the (lang, token) count, one for
+    the per-lang ranking window — and the window reads the aggregated
+    |vocab| rows, never the exploded corpus."""
+    from mapreduceimpl_spark.operators.text_analysis import vocab_top_terms
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(vocab_top_terms(docs, k=10), "simple")
+    assert plan.count("Exchange") == 2, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final count
+
+
+def test_random_projection_zero_shuffle(embeddings):
+    """The projection is a narrow per-row transform: no Exchange in
+    the plan at any corpus size."""
+    from mapreduceimpl_spark.operators.similarity import random_projection
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(random_projection(embeddings, out_dim=4), "simple")
+    assert plan.count("Exchange") == 0, plan
+
+
+def test_next_event_pairs_single_window_shuffle(tables):
+    """lag-1..3 + label share one (user_id; ts, event_id) window:
+    exactly one Exchange, no join against history."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(relational.q_next_event_pairs(tables), "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan

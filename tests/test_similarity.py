@@ -266,3 +266,81 @@ def test_lsh_persisted_index_round_trip(embeddings):
         assert "Exchange hashpartitioning(bucket" not in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS t_lsh_corpus_rt")
+
+
+def test_knn_classify_majority_and_self_exclusion(spark):
+    """Planted geometry: three tight clusters on coordinate axes; a
+    query in cluster 0 must be labeled 0 by its k=3 neighbors, and its
+    own row must not vote (exclude_self)."""
+    def vec(axis, eps, dim=4):
+        v = [eps] * dim
+        v[axis] = 1.0
+        return v
+
+    rows = [
+        (0, vec(0, 0.00), 7),   # query row: label 7 (wrong on purpose);
+        (1, vec(0, 0.01), 0),   # self-exclusion means label 7 never votes
+        (2, vec(0, 0.02), 0),
+        (3, vec(0, 0.03), 0),
+        (4, vec(1, 0.01), 1),
+        (5, vec(1, 0.02), 1),
+        (6, vec(2, 0.01), 2),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.knn_classify(emb, q, k=3).collect()
+    assert len(got) == 1
+    assert got[0]["pred_label"] == 0
+    assert got[0]["votes"] == 3
+
+    # with exclude_self=False the self row votes its own label but is
+    # outvoted 3-1 by the cluster
+    got2 = similarity.knn_classify(emb, q, k=4, exclude_self=False).collect()
+    assert got2[0]["pred_label"] == 0
+    assert got2[0]["votes"] == 3
+
+
+def test_knn_classify_tiebreak_lowest_label(spark):
+    """2-2 vote split resolves to the smaller label."""
+    rows = [
+        (0, [1.0, 0.0], 9),
+        (1, [1.0, 0.01], 5),
+        (2, [1.0, 0.02], 5),
+        (3, [1.0, 0.03], 3),
+        (4, [1.0, 0.04], 3),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.knn_classify(emb, q, k=4).collect()
+    assert got[0]["pred_label"] == 3
+    assert got[0]["votes"] == 2
+
+
+def test_random_projection_shape_and_determinism(embeddings):
+    p1 = similarity.random_projection(embeddings, out_dim=4, seed=9)
+    n_vec = embeddings.count()
+    assert p1.count() == n_vec * 4
+    # same seed -> identical output; different seed -> different values
+    p2 = similarity.random_projection(embeddings, out_dim=4, seed=9)
+    assert p1.exceptAll(p2).count() == 0
+    p3 = similarity.random_projection(embeddings, out_dim=4, seed=10)
+    assert p1.exceptAll(p3).count() > 0
+
+
+def test_random_projection_preserves_relative_geometry(spark):
+    """JL sanity: a vector projected twice lands in the same place,
+    and orthogonal inputs stay distinguishable (projection is linear:
+    proj(2v) == 2*proj(v))."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [2.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = similarity.random_projection(emb, out_dim=3, round_digits=None).collect()
+    v1 = {r["pos"]: r["x"] for r in rows if r["vec_id"] == 1}
+    v2 = {r["pos"]: r["x"] for r in rows if r["vec_id"] == 2}
+    for pos in v1:
+        assert abs(v2[pos] - 2.0 * v1[pos]) < 1e-12

@@ -237,3 +237,62 @@ def test_chunk_documents_boundary_lengths(spark):
     # second chunk starts at stride 56: tokens 56..64 = 9 tokens
     assert two[1]["n_tokens"] == 9
     assert two[1]["chunk_text"].split(" ")[0] == "t56"
+
+
+def test_vocab_top_terms_ranked_with_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b b c", "en"),
+            (2, "b z z", "en"),
+            (3, "x y", "de"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = text_analysis.vocab_top_terms(df, k=2).collect()
+    en = sorted([(r["rank"], r["token"], r["cnt"]) for r in out if r["lang"] == "en"])
+    de = sorted([(r["rank"], r["token"], r["cnt"]) for r in out if r["lang"] == "de"])
+    # en counts: a=3, b=3, c=1, z=2 -> top2 = a (tiebreak asc) then b
+    assert en == [(1, "a", 3), (2, "b", 3)]
+    # de counts: x=1, y=1 -> tiebreak alphabetical
+    assert de == [(1, "x", 1), (2, "y", 1)]
+
+
+def test_vocab_top_terms_respects_k(docs):
+    out = text_analysis.vocab_top_terms(docs, k=5)
+    per_lang = out.groupBy("lang").count().collect()
+    for r in per_lang:
+        assert r["count"] <= 5
+    assert out.filter(F.col("rank") > 5).count() == 0
+
+
+def test_quality_percentile_keeps_top_quartile_per_lang(docs):
+    kept = text_analysis.quality_percentile_filter(docs, quantile=0.75)
+    total = docs.groupBy("lang").count().withColumnRenamed("count", "n_total")
+    kept_n = kept.groupBy("lang").count().withColumnRenamed("count", "n_kept")
+    joined = {r["lang"]: r for r in total.join(kept_n, "lang", "left").collect()}
+    for lang, r in joined.items():
+        n_kept = r["n_kept"] or 0
+        # rank-based cutoff keeps at most 25% + ties, at least one doc
+        # unless every doc shares the max diversity... fixture has spread
+        assert n_kept <= max(1, int(r["n_total"] * 0.30) + 1), lang
+        assert n_kept >= 1, lang
+
+
+def test_quality_percentile_threshold_is_per_lang(spark):
+    """A low-diversity doc in a low-diversity language survives while
+    the same score in a high-diversity language is dropped."""
+    rows = [
+        # lang 'aa': diversities 0.25, 0.5 -> keep only 0.5
+        (1, "a a a a", "aa"),
+        (2, "a b a b", "aa"),
+        # lang 'bb': diversities 0.5, 0.75, 1.0 1.0 -> cume_dist 0.25,0.5,1,1
+        (3, "a b a b", "bb"),
+        (4, "a b c a", "bb"),
+        (5, "a b c d", "bb"),
+        (6, "e f g h", "bb"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    kept = {r["doc_id"] for r in text_analysis.quality_percentile_filter(df, 0.75).collect()}
+    assert 2 in kept          # 0.5 survives in lang aa (cume_dist 1.0)
+    assert 3 not in kept      # 0.5 dropped in lang bb (cume_dist 0.25)
+    assert kept >= {5, 6}     # the 1.0-diversity pair (cume_dist 1.0)
