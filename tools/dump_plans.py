@@ -175,6 +175,112 @@ ANNOTATED = {
         "partial+final aggregate pair — one shuffle on user_id; "
         "adding feature windows adds columns, never shuffles."
     ),
+    # --- round-4 TPC-H optimizer-shape sweep ---
+    "min_cost_supplier": (
+        "Q2 shape: the correlated = (SELECT MIN ...) is a window MIN "
+        "over the (partkey, suppkey) aggregate — lineitem is scanned "
+        "ONCE (no per-outer-row re-scan), the window reads |pairs| "
+        "rows, part/supplier dims broadcast."
+    ),
+    "priority_returns": (
+        "Q4 shape: EXISTS plans as LeftSemi (dedups on the fly — an "
+        "inner join would overcount per matching line); the order-date "
+        "window is in PushedFilters."
+    ),
+    "forecast_revenue": (
+        "Q6 shape, the purest pushdown proof: every predicate in "
+        "PushedFilters, no join, partial+final HashAggregate pair — "
+        "the one Exchange moves one row per task."
+    ),
+    "revenue_share": (
+        "Q11 shape: the one-row 1.05x-mean threshold broadcasts onto "
+        "the per-supplier aggregate; the fact shuffles once on "
+        "l_suppkey; the threshold is computed from the |suppliers|-row "
+        "aggregate, not a second fact scan."
+    ),
+    "shipmode_priority": (
+        "Q12 shape: ship-date window in PushedFilters, conditional "
+        "high/low counts as CASE sums inside one partial+final "
+        "aggregate — one join, one agg shuffle."
+    ),
+    "top_supplier": (
+        "Q15 shape: the revenue view is computed once; its one-row MAX "
+        "broadcasts back for the equality filter — no re-aggregation, "
+        "supplier dim broadcast."
+    ),
+    "customer_distribution": (
+        "Q13 shape: LEFT OUTER preserves zero-order customers "
+        "(count(o_orderkey) -> 0); the orders-side filter stays on the "
+        "null-supplying side, never pushed through the outer join."
+    ),
+    "promo_revenue": (
+        "Q14 shape: conditional-ratio aggregate over a broadcast part "
+        "dim; both sums decimal-routed, ratio rounded — one fact pass."
+    ),
+    "parts_supplier_relation": (
+        "Q16 shape: NOT IN becomes LeftAnti against the blacklist "
+        "BEFORE the broadcast part join; countDistinct shuffles only "
+        "the pruned rows."
+    ),
+    "small_qty_revenue": (
+        "Q17 shape: the correlated per-part AVG is decorrelated into "
+        "an aggregate joined back on l_partkey — the avg side is "
+        "|parts| rows at the join, not |lineitem|."
+    ),
+    "large_orders": (
+        "Q18 shape: the group-HAVING subquery prunes to heavy orders "
+        "before the keyed join-back; top-100 is TakeOrderedAndProject, "
+        "never a global sort."
+    ),
+    "discounted_revenue": (
+        "Q19 shape: the OR-of-ANDs rides as a post-join filter on the "
+        "common l_partkey equi key — no nested-loop fallback; column "
+        "bounds (p_size, l_quantity) still push to the scans."
+    ),
+    "heavy_shippers": (
+        "Q20 shape: IN over a grouped-HAVING subquery = LeftSemi "
+        "against the aggregated key set — few suppliers survive the "
+        "HAVING, so the semi probe is tiny at any fact size."
+    ),
+    "waiting_suppliers": (
+        "Q21 shape: correlated EXISTS + NOT EXISTS on one order key "
+        "with a supplier-inequality conjunct — both stay keyed "
+        "hash/merge joins on l_orderkey (the non-equi part is a join "
+        "condition), never a cartesian expansion."
+    ),
+    "sales_opportunity": (
+        "Q22 shape: the scalar-subquery average broadcasts as a "
+        "one-row side; the URGENT anti join and the nation dim join "
+        "both broadcast — customer is the only shuffled input."
+    ),
+    # --- round-4 LLM-pipeline additions ---
+    "vocab_topk": (
+        "Vocab building: wordcount-shaped count (partial agg map-side, "
+        "Exchange on (lang, token)) then a per-lang ranking window "
+        "over the AGGREGATED |vocab| rows — the second Exchange moves "
+        "one row per distinct term, never the exploded corpus."
+    ),
+    "quality_percentile": (
+        "Per-language top-quartile gate: rank-based cume_dist cutoff "
+        "(engine-portable, no float percentile interpolation) in one "
+        "window Exchange on lang; at extreme skew swap for "
+        "percentile_approx + broadcast threshold."
+    ),
+    "knn_classify": (
+        "k-NN vote: queries broadcast, corpus never shuffles, the "
+        "corpus label rides the scored row so the vote pipeline after "
+        "the rank filter is (n_queries x k) rows — no corpus re-join."
+    ),
+    "random_projection": (
+        "JL projection: the seeded Gaussian matrix is a plan literal; "
+        "zero Exchanges — a narrow per-row fold that scales with the "
+        "scan alone."
+    ),
+    "next_event_pairs": (
+        "Training-pair construction: lag-1/2/3 context and the label "
+        "share one (user_id; ts, event_id) window — a single Exchange, "
+        "no self-join against history."
+    ),
 }
 
 

@@ -194,6 +194,35 @@ def _probe_sessionize_synth(spark, sf_dir: str):
     return time.time() - t0, n_out
 
 
+def _probe_tpch_heavy(spark, sf_dir: str):
+    """The two heaviest round-4 TPC-H shapes end-to-end: Q2
+    (window-min over the pair aggregate) and Q21 (semi + anti probes
+    on one key).  Both should scale ~linearly: the Q2 window reads
+    |pairs| rows and Q21's three legs co-partition on l_orderkey."""
+    from mapreduceimpl_spark.operators import relational
+    from mapreduceimpl_spark.sources import load_tables
+
+    t = load_tables(spark, sf_dir)
+    t0 = time.time()
+    n = (
+        relational.q_min_cost_supplier(t).count()
+        + relational.q_waiting_suppliers(t).count()
+    )
+    return time.time() - t0, n
+
+
+def _probe_vocab(spark, sf_dir: str):
+    """vocab_topk: wordcount-shaped count + ranking window over the
+    aggregated vocab — wall should track the corpus scan, with the
+    window cost flat (|vocab| rows barely grows with the corpus)."""
+    from mapreduceimpl_spark.operators import text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = text_analysis.vocab_top_terms(docs, k=10).count()
+    return time.time() - t0, n
+
+
 PROBES = {
     "minhash": _probe_minhash,
     "minhash_synth": _probe_minhash_synth,
@@ -203,6 +232,8 @@ PROBES = {
     "simhash32": _probe_simhash32,
     "incremental": _probe_incremental,
     "incremental_persisted": _probe_incremental_persisted,
+    "tpch_heavy": _probe_tpch_heavy,
+    "vocab": _probe_vocab,
 }
 
 
