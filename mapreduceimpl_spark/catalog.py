@@ -257,6 +257,43 @@ def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_classify(emb, queries, k=5, round_digits=6)
 
 
+def _q_knn_classify_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.knn_classify_lsh(
+        emb, queries, k=5, n_planes=6, seed=42, n_probe=2, round_digits=6
+    )
+
+
+def _knn_classify_lsh_oracle(k: int = 5, n_probe: int = 2) -> str:
+    """Wrap the bit-exact LSH top-k replay with the leave-one-out
+    re-rank and the majority vote (mirrors ``knn_classify_lsh``)."""
+    base = _ann_lsh_oracle(k=k + 1, n_probe=n_probe)
+    return f"""
+WITH base AS ({base}),
+noself AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS r2
+  FROM base WHERE query_id <> vec_id
+),
+nb AS (SELECT query_id, vec_id FROM noself WHERE r2 <= {k}),
+votes AS (
+  SELECT query_id, CAST(label AS BIGINT) AS label, COUNT(*) AS votes
+  FROM nb JOIN embeddings USING (vec_id)
+  GROUP BY query_id, label
+)
+SELECT query_id, label AS pred_label, votes FROM (
+  SELECT query_id, label, votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label ASC) AS rr
+  FROM votes
+) WHERE rr = 1
+"""
+
+
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans.kmeans_assignments(load_table(spark, sf_dir, "embeddings"), k=10, max_iter=5)
 
@@ -2161,24 +2198,58 @@ SPECS: dict[str, QuerySpec] = {
         doc="next-event-prediction training pairs: lag-1..3 context + label "
             "in one window Exchange (no history self-join)",
     ),
+    "token_pair_counts": QuerySpec(
+        lambda spark, sf_dir: text_analysis.token_pair_counts(
+            load_table(spark, sf_dir, "documents"), k=20
+        ),
+        """WITH tok AS (SELECT lang, string_split(text, ' ') AS toks
+                        FROM documents),
+           pairs AS (
+             SELECT lang, toks[j] || ' ' || toks[j + 1] AS pair
+             FROM tok, unnest(range(1, len(toks))) AS t(j)
+             WHERE len(toks) >= 2
+           ),
+           counts AS (
+             SELECT lang, pair, COUNT(*) AS cnt FROM pairs GROUP BY lang, pair
+           )
+           SELECT lang, pair, cnt, rank FROM (
+             SELECT lang, pair, cnt,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                            ORDER BY cnt DESC, pair ASC)
+                         AS BIGINT) AS rank
+             FROM counts
+           ) WHERE rank <= 20""",
+        doc="BPE merge-candidate counting: adjacent-token pair frequencies "
+            "per language, top-20 (pair array built JVM-side, wordcount-"
+            "shaped count, window over the aggregated pair vocab)",
+    ),
+    "knn_classify_lsh": QuerySpec(
+        _q_knn_classify_lsh,
+        _knn_classify_lsh_oracle(),
+        doc="scale tier of knn_classify: neighbors from the multi-probe "
+            "sign-LSH index (bucket probes, not a corpus scan), same "
+            "leave-one-out majority vote; oracle replays the seeded "
+            "hyperplanes + k+1 re-rank + vote bit-exactly",
+    ),
 }
 
 
 # Round-4 window rotation (driver records the first ~50 entries; see
-# module docstring).  Head 1-20: the fifteen TPC-H optimizer-shape
-# queries plus the five LLM-pipeline additions (vocab_topk,
+# module docstring).  Head 1-22: the fifteen TPC-H optimizer-shape
+# queries plus the seven LLM-pipeline additions (vocab_topk,
 # quality_percentile, knn_classify, random_projection,
-# next_event_pairs) new this round (never driver-verified); 21-50:
-# the oldest-evidence entries (last driver row round 2); the rest of
-# that cohort plus the round-3-green tail follow and lead round 5's
-# window.
+# next_event_pairs, token_pair_counts, knn_classify_lsh) new this
+# round (never driver-verified); 23-50: the oldest-evidence entries
+# (last driver row round 2); the rest of that cohort plus the
+# round-3-green tail follow and lead round 5's window.
 _ROUND4_ORDER = [
     "priority_returns", "forecast_revenue", "shipmode_priority", "customer_distribution",
     "promo_revenue", "parts_supplier_relation", "discounted_revenue", "waiting_suppliers",
     "sales_opportunity", "min_cost_supplier", "revenue_share", "top_supplier",
     "small_qty_revenue", "large_orders", "heavy_shippers",
     "vocab_topk", "quality_percentile", "knn_classify",
-    "random_projection", "next_event_pairs",
+    "random_projection", "next_event_pairs", "token_pair_counts",
+    "knn_classify_lsh",
     "events_sessionize", "asof_join", "dedup_minhash_lsh", "dedup_embedding",
     "seq_pack", "multimodal_meta", "agg_approx", "events_sliding",
     "events_session_native", "dedup_exact", "dedup_exact_norm", "dedup_simhash_sigs",

@@ -540,3 +540,45 @@ def random_projection(
     return embeddings.select(
         "vec_id", F.posexplode(F.array(*comps)).alias("pos", "x")
     ).select("vec_id", F.col("pos").cast("long").alias("pos"), "x")
+
+
+def knn_classify_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 42,
+    n_probe: int = 1,
+    round_digits: int | None = 6,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """The scale tier of :func:`knn_classify`: neighbors come from the
+    sign-LSH index (bucket probes, ~n_probe/2^n_planes of the corpus
+    per query) instead of a full scan, then the same majority vote.
+
+    ``exclude_self`` searches k+1 and re-ranks after dropping the
+    query's own row (its identical vector always lands in its own
+    bucket at cosine 1), so the vote is leave-one-out like the exact
+    tier.  The (n_queries x k) neighbor set broadcasts onto the corpus
+    label column — the corpus itself never shuffles in the vote.
+    Recall inherits lsh_search's measured behavior; the vote winner is
+    deterministic ((votes desc, label asc), cosine rounded pre-rank).
+    """
+    top = lsh_topk(
+        embeddings, queries, k=k + (1 if exclude_self else 0),
+        n_planes=n_planes, seed=seed, n_probe=n_probe,
+        round_digits=round_digits,
+    )
+    if exclude_self:
+        top = top.filter(F.col("query_id") != F.col("vec_id"))
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+        top = top.withColumn("r2", F.row_number().over(w)).filter(F.col("r2") <= k)
+    labels = embeddings.select("vec_id", F.col("label").cast("long").alias("label"))
+    voted = F.broadcast(top.select("query_id", "vec_id")).join(labels, "vec_id")
+    votes = voted.groupBy("query_id", "label").agg(F.count("*").alias("votes"))
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("rr", F.row_number().over(wv))
+        .filter(F.col("rr") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )

@@ -594,3 +594,37 @@ def quality_percentile_filter(docs: DataFrame, quantile: float = 0.75) -> DataFr
         .filter(F.col("cd") > quantile)
         .select("doc_id", "lang", "diversity")
     )
+
+
+def token_pair_counts(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Adjacent-token pair frequencies per language, top-k — the
+    merge-candidate counting step of BPE tokenizer training (each
+    round merges the most frequent adjacent pair).
+
+    The pair array is built JVM-side (``transform(sequence(...))`` —
+    no explode-then-self-join on position), so the corpus contributes
+    one explode of n-1 pairs per doc; counting is the wordcount shape
+    (map-side partial agg, one shuffle on (lang, pair)) and the
+    ranking window reads only the aggregated pair vocabulary.
+    Single-token and empty docs contribute no pairs.
+    """
+    base = docs.select("lang", tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda j: F.concat_ws(
+            " ", F.element_at(F.col("toks"), j), F.element_at(F.col("toks"), j + 1)
+        ),
+    )
+    counts = (
+        base.select("lang", F.explode(pair_arr).alias("pair"))
+        .groupBy("lang", "pair")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", "pair", "cnt", F.col("rank").cast("long").alias("rank"))
+    )

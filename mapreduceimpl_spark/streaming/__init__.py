@@ -7,6 +7,7 @@ from mapreduceimpl_spark.streaming.ops import (
     stream_dedup_against_corpus,
     stream_dedup_content,
     stream_enrich,
+    stream_next_event_pairs,
     stream_running_totals,
     tumbling_counts,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "stream_dedup_against_corpus",
     "stream_dedup_content",
     "stream_enrich",
+    "stream_next_event_pairs",
     "stream_running_totals",
     "tumbling_counts",
 ]

@@ -369,3 +369,67 @@ def stream_enrich(
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return events.join(d, on, how)
+
+
+_PAIRS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ctx3", StringType()),
+        StructField("ctx2", StringType()),
+        StructField("ctx1", StringType()),
+        StructField("label", StringType()),
+    ]
+)
+
+_PAIRS_STATE = StructType(
+    [
+        StructField("p3", StringType()),
+        StructField("p2", StringType()),
+        StructField("p1", StringType()),
+    ]
+)
+
+
+def stream_next_event_pairs(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``relational.q_next_event_pairs``: per-user
+    (lag-3..1 context, label) training pairs where the 3-event history
+    is keyed state carried ACROSS micro-batches — an event near a
+    batch boundary still sees the context that arrived in earlier
+    batches, which the batch window gets for free but a per-batch
+    window would lose.
+
+    State per user is exactly three strings (the rolling context), so
+    state size is O(users), independent of stream length.  Rows are
+    ordered (ts, event_id) within each batch; cross-batch order is
+    arrival order, correct whenever the source delivers per-user
+    events in time order (true for the file fixture and for a
+    Kafka topic keyed by user).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: Any, pdfs: Any, state: GroupState):
+        hist = list(state.get) if state.exists else [None, None, None]
+        out: dict[str, list] = {
+            "user_id": [], "event_id": [], "ctx3": [], "ctx2": [], "ctx1": [], "label": [],
+        }
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, et in zip(pdf["event_id"], pdf["event_type"]):
+                out["user_id"].append(key[0])
+                out["event_id"].append(eid)
+                out["ctx3"].append(hist[0])
+                out["ctx2"].append(hist[1])
+                out["ctx1"].append(hist[2])
+                out["label"].append(et)
+                hist = [hist[1], hist[2], et]
+        state.update(tuple(hist))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_PAIRS_SCHEMA,
+        stateStructType=_PAIRS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

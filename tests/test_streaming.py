@@ -281,3 +281,78 @@ def test_stream_dedup_against_corpus(spark, tmp_path):
     assert {r["content_sha"] for r in got} == {
         r["content_sha"] for r in expected.collect()
     }
+
+
+def test_stream_next_event_pairs_match_batch(spark, events_dir):
+    """The stateful streaming context builder equals the batch lag
+    window on the same data (single-file source: per-user arrival
+    order == time order)."""
+    from mapreduceimpl_spark.operators import relational
+
+    stream = streaming.read_events_stream(spark, events_dir)
+    got = _run_stream(streaming.stream_next_event_pairs(stream), mode="append")
+    batch = relational.q_next_event_pairs(
+        {"events": load_table(spark, SF, "events")}
+    ).collect()
+    key = lambda r: (r["user_id"], r["event_id"])  # noqa: E731
+    got_map = {key(r): (r["ctx3"], r["ctx2"], r["ctx1"], r["label"]) for r in got}
+    batch_map = {key(r): (r["ctx3"], r["ctx2"], r["ctx1"], r["label"]) for r in batch}
+    assert got_map == batch_map
+    assert len(got_map) == len(batch)
+
+
+def test_stream_next_event_pairs_state_crosses_batches(spark, tmp_path):
+    """Context must survive the micro-batch boundary: with one file
+    per trigger, the first event of file B sees the last three events
+    of file A as its lag context — the property a per-batch window
+    would lose."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "two_batches"
+    d.mkdir()
+
+    def write(fname, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            d / fname,
+        )
+
+    ets = ["view", "click", "cart", "purchase", "view", "click"]
+    rows_a = [(i, f"2024-01-01 10:0{i}:00", 7, ets[i], 1.0, "{}") for i in range(3)]
+    rows_b = [(i, f"2024-01-01 10:0{i}:00", 7, ets[i], 1.0, "{}") for i in range(3, 6)]
+    write("a.parquet", rows_a)
+    _time.sleep(0.05)
+    write("b.parquet", rows_b)
+    now = _time.time()
+    os.utime(d / "a.parquet", (now - 60, now - 60))  # A strictly older -> first batch
+    os.utime(d / "b.parquet", (now, now))
+
+    stream = streaming.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    got = {
+        r["event_id"]: (r["ctx3"], r["ctx2"], r["ctx1"], r["label"])
+        for r in _run_stream(streaming.stream_next_event_pairs(stream), mode="append")
+    }
+    assert len(got) == 6
+    # the boundary row: event 3 (first of file B) must see A's history
+    assert got[3] == ("view", "click", "cart", "purchase")
+    assert got[4] == ("click", "cart", "purchase", "view")
+    assert got[0] == (None, None, None, "view")

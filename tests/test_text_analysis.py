@@ -296,3 +296,21 @@ def test_quality_percentile_threshold_is_per_lang(spark):
     assert 2 in kept          # 0.5 survives in lang aa (cume_dist 1.0)
     assert 3 not in kept      # 0.5 dropped in lang bb (cume_dist 0.25)
     assert kept >= {5, 6}     # the 1.0-diversity pair (cume_dist 1.0)
+
+
+def test_token_pair_counts_bpe_merge_candidates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "lo w lo w er", "en"),
+            (2, "lo w", "en"),
+            (3, "x", "en"),      # single token: no pairs
+            (4, "", "de"),       # empty-string doc: 1 empty token, no pairs
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = text_analysis.token_pair_counts(df, k=3).collect()
+    en = {(r["rank"], r["pair"], r["cnt"]) for r in out if r["lang"] == "en"}
+    # pairs: doc1 -> (lo w), (w lo), (lo w), (w er); doc2 -> (lo w)
+    # counts: "lo w"=3, "w er"=1, "w lo"=1 -> rank by cnt desc, pair asc
+    assert en == {(1, "lo w", 3), (2, "w er", 1), (3, "w lo", 1)}
+    assert not [r for r in out if r["lang"] == "de"]

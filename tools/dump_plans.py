@@ -281,6 +281,19 @@ ANNOTATED = {
         "share one (user_id; ts, event_id) window — a single Exchange, "
         "no self-join against history."
     ),
+    "token_pair_counts": (
+        "BPE merge-candidate counting: the adjacent-pair array is "
+        "built JVM-side (transform over sequence — no positional "
+        "self-join), counting is the wordcount shape, and the ranking "
+        "window reads only the aggregated pair vocabulary."
+    ),
+    "knn_classify_lsh": (
+        "Scale-tier k-NN vote: neighbors come from the multi-probe "
+        "sign-LSH bucket join (~n_probe/2^n_planes of the corpus per "
+        "query), the k+1 search + post-drop re-rank keeps it "
+        "leave-one-out, and the vote joins only (n_queries x k) rows "
+        "against the label column."
+    ),
 }
 
 
