@@ -294,6 +294,90 @@ SELECT query_id, label AS pred_label, votes FROM (
 """
 
 
+def _q_pretrain_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining data path as ONE lazy plan: quality+lang
+    filter -> exact-dedup keepers -> context-window chunking ->
+    greedy sequence packing (the composition `tests/test_sampling_
+    packing.test_pipeline_composes_filter_dedup_chunk_pack` proves
+    invariants for, here driver-verified value-exactly)."""
+    from mapreduceimpl_spark.operators import packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        text_analysis.corpus_filter(docs)
+        .filter(F.col("keep"))
+        .select("doc_id")
+        .join(docs, "doc_id")
+    )
+    keepers = dedup.dedup_exact(kept).select(F.col("keep_id").alias("doc_id"))
+    surviving = kept.join(keepers, "doc_id")
+    chunks = text_analysis.chunk_documents(surviving).select(
+        # chunk id collision-free: chunk_idx < 1024 at fixture lengths
+        (F.col("doc_id") * 1024 + F.col("chunk_idx")).alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+        F.lit("all").alias("lang"),
+    )
+    return packing.pack_greedy(chunks, budget=128, n_shards=4)
+
+
+def _pretrain_funnel_oracle() -> str:
+    """Composition of the four stage oracles (corpus_filter keep mask,
+    sha256 min-id keepers, 64/56 chunk windows, budget-128 recursive
+    packing) — each already hash-verified standalone."""
+    return f"""
+WITH RECURSIVE
+cf AS MATERIALIZED (
+  SELECT doc_id FROM ({_corpus_filter_oracle()}) WHERE keep
+),
+kept AS (SELECT d.doc_id, d.text FROM documents d JOIN cf USING (doc_id)),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY sha256(text)),
+surviving AS (SELECT k.doc_id, k.text FROM kept k JOIN keepers USING (doc_id)),
+cbase AS (SELECT doc_id, string_split(text, ' ') AS toks FROM surviving),
+cex AS (
+  SELECT doc_id, toks,
+         unnest(range(0, 1 + GREATEST(0,
+             CAST(ceil((len(toks) - 64) / 56.0) AS BIGINT)))) AS chunk_idx
+  FROM cbase
+),
+chunks AS (
+  SELECT doc_id * 1024 + chunk_idx AS doc_id,
+         array_to_string(list_slice(toks, chunk_idx * 56 + 1,
+                                    chunk_idx * 56 + 64), ' ') AS text,
+         'all' AS lang
+  FROM cex
+),
+sized AS (
+  SELECT CAST(lang AS VARCHAR) AS group_key,
+         CAST(floor((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) / 4294967296.0) * 4) AS BIGINT) AS shard,
+         doc_id,
+         CAST(greatest(0, coalesce(len(string_split(text, ' ')), 0))
+              AS BIGINT) AS n_tokens
+  FROM chunks
+),
+ordered AS MATERIALIZED (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY group_key, shard
+                               ORDER BY doc_id) AS rn
+  FROM sized
+),
+packed AS (
+  SELECT group_key, shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.group_key, o.shard, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN p.bin_fill + o.n_tokens <= 128
+              THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.bin_fill + o.n_tokens <= 128
+              THEN p.bin_fill + o.n_tokens ELSE o.n_tokens END
+  FROM packed p JOIN ordered o
+    ON o.group_key IS NOT DISTINCT FROM p.group_key
+   AND o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT group_key, shard, doc_id, n_tokens, bin_id, bin_fill FROM packed
+"""
+
+
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans.kmeans_assignments(load_table(spark, sf_dir, "embeddings"), k=10, max_iter=5)
 
@@ -2231,17 +2315,26 @@ SPECS: dict[str, QuerySpec] = {
             "leave-one-out majority vote; oracle replays the seeded "
             "hyperplanes + k+1 re-rank + vote bit-exactly",
     ),
+    "pretrain_funnel": QuerySpec(
+        _q_pretrain_funnel,
+        _pretrain_funnel_oracle(),
+        doc="flagship composition, driver-verified end to end: quality+lang "
+            "filter -> exact-dedup keepers -> 64/56 context-window chunking "
+            "-> budget-128 greedy packing, one lazy plan; oracle composes "
+            "the four stage oracles",
+    ),
 }
 
 
 # Round-4 window rotation (driver records the first ~50 entries; see
-# module docstring).  Head 1-22: the fifteen TPC-H optimizer-shape
-# queries plus the seven LLM-pipeline additions (vocab_topk,
+# module docstring).  Head 1-23: the fifteen TPC-H optimizer-shape
+# queries plus the eight LLM-pipeline additions (vocab_topk,
 # quality_percentile, knn_classify, random_projection,
-# next_event_pairs, token_pair_counts, knn_classify_lsh) new this
-# round (never driver-verified); 23-50: the oldest-evidence entries
-# (last driver row round 2); the rest of that cohort plus the
-# round-3-green tail follow and lead round 5's window.
+# next_event_pairs, token_pair_counts, knn_classify_lsh,
+# pretrain_funnel) new this round (never driver-verified); 24-50:
+# the oldest-evidence entries (last driver row round 2); the rest of
+# that cohort plus the round-3-green tail follow and lead round 5's
+# window.
 _ROUND4_ORDER = [
     "priority_returns", "forecast_revenue", "shipmode_priority", "customer_distribution",
     "promo_revenue", "parts_supplier_relation", "discounted_revenue", "waiting_suppliers",
@@ -2249,7 +2342,7 @@ _ROUND4_ORDER = [
     "small_qty_revenue", "large_orders", "heavy_shippers",
     "vocab_topk", "quality_percentile", "knn_classify",
     "random_projection", "next_event_pairs", "token_pair_counts",
-    "knn_classify_lsh",
+    "knn_classify_lsh", "pretrain_funnel",
     "events_sessionize", "asof_join", "dedup_minhash_lsh", "dedup_embedding",
     "seq_pack", "multimodal_meta", "agg_approx", "events_sliding",
     "events_session_native", "dedup_exact", "dedup_exact_norm", "dedup_simhash_sigs",

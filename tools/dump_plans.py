@@ -294,6 +294,13 @@ ANNOTATED = {
         "leave-one-out, and the vote joins only (n_queries x k) rows "
         "against the label column."
     ),
+    "pretrain_funnel": (
+        "The flagship composition as ONE lazy plan: filter verdict -> "
+        "sha256 keeper semi-join -> zero-shuffle chunk explode -> one "
+        "packing Exchange on (group, shard).  Catalyst fuses the "
+        "narrow stages; only the dedup groupBy and the packing "
+        "applyInPandas shuffle."
+    ),
 }
 
 
