@@ -2323,18 +2323,38 @@ SPECS: dict[str, QuerySpec] = {
             "-> budget-128 greedy packing, one lazy plan; oracle composes "
             "the four stage oracles",
     ),
+    "corr_analysis": QuerySpec(
+        _rel(relational.q_corr_analysis),
+        """SELECT l_returnflag, COUNT(*) AS n,
+                  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+                  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_qty
+           FROM lineitem GROUP BY l_returnflag""",
+        doc="bivariate stats per group: corr + covariance + regression slope "
+            "(single-pass distributed moment aggregates, rounded)",
+    ),
+    "price_histogram": QuerySpec(
+        _rel(relational.q_price_histogram),
+        f"""SELECT LEAST(9, CAST(floor(o_totalprice / 50000.0) AS BIGINT)) AS bucket,
+                   COUNT(*) AS n_orders,
+                   {_dec_sum('o_totalprice', 'sum_price')}
+            FROM orders GROUP BY 1""",
+        doc="fixed-width histogram with overflow bucket (explicit floor "
+            "arithmetic, scan-side projection + tiny aggregate)",
+    ),
 }
 
 
 # Round-4 window rotation (driver records the first ~50 entries; see
-# module docstring).  Head 1-23: the fifteen TPC-H optimizer-shape
-# queries plus the eight LLM-pipeline additions (vocab_topk,
+# module docstring).  Head 1-25: the fifteen TPC-H optimizer-shape
+# queries, the eight LLM-pipeline additions (vocab_topk,
 # quality_percentile, knn_classify, random_projection,
 # next_event_pairs, token_pair_counts, knn_classify_lsh,
-# pretrain_funnel) new this round (never driver-verified); 24-50:
-# the oldest-evidence entries (last driver row round 2); the rest of
-# that cohort plus the round-3-green tail follow and lead round 5's
-# window.
+# pretrain_funnel), and two analytics completions (corr_analysis,
+# price_histogram) — all new this round (never driver-verified);
+# 26-50: the oldest-evidence entries (last driver row round 2); the
+# rest of that cohort plus the round-3-green tail follow and lead
+# round 5's window.
 _ROUND4_ORDER = [
     "priority_returns", "forecast_revenue", "shipmode_priority", "customer_distribution",
     "promo_revenue", "parts_supplier_relation", "discounted_revenue", "waiting_suppliers",
@@ -2342,7 +2362,7 @@ _ROUND4_ORDER = [
     "small_qty_revenue", "large_orders", "heavy_shippers",
     "vocab_topk", "quality_percentile", "knn_classify",
     "random_projection", "next_event_pairs", "token_pair_counts",
-    "knn_classify_lsh", "pretrain_funnel",
+    "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
     "events_sessionize", "asof_join", "dedup_minhash_lsh", "dedup_embedding",
     "seq_pack", "multimodal_meta", "agg_approx", "events_sliding",
     "events_session_native", "dedup_exact", "dedup_exact_norm", "dedup_simhash_sigs",

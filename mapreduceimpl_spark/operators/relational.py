@@ -1376,3 +1376,36 @@ def q_next_event_pairs(t: dict[str, DataFrame]) -> DataFrame:
         F.lag("event_type", 1).over(w).alias("ctx1"),
         F.col("event_type").alias("label"),
     )
+
+
+def q_corr_analysis(t: dict[str, DataFrame]) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation, sample
+    covariance, and the least-squares slope of extendedprice on
+    quantity — the analytics completion of agg_multikey's univariate
+    moments.  All three are single-pass distributed aggregates
+    (partial moment tuples combine map-side); rounded so the parallel
+    vs sequential accumulation difference (~1e-16 relative) vanishes.
+    """
+    li = t["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_price_qty"),
+    )
+
+
+def q_price_histogram(t: dict[str, DataFrame]) -> DataFrame:
+    """Fixed-width histogram of order totals: 10 x 50k buckets with an
+    overflow bucket — the distribution-profiling scan every dataset
+    audit starts with.  Bucketing is explicit floor arithmetic (not a
+    percentile): a pure scan-side projection, one tiny aggregate."""
+    o = t["orders"]
+    bucket = F.least(F.lit(9), F.floor(F.col("o_totalprice") / 50000.0)).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum("o_totalprice").alias("sum_price"),
+        )
+    )
