@@ -41,6 +41,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduceimpl_spark.functions import skew
 from mapreduceimpl_spark.operators import dedup, kmeans, multimodal, packing, relational
 from mapreduceimpl_spark.operators import sampling, similarity, text_analysis, udf_surface, wordcount
 from mapreduceimpl_spark.sources import load_table, load_tables
@@ -292,6 +293,53 @@ SELECT query_id, label AS pred_label, votes FROM (
   FROM votes
 ) WHERE rr = 1
 """
+
+
+def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join whose RESULT is oracle-checked against the plain
+    join: the salt must change only the shuffle distribution, never a
+    row.  Revenue is decimal-routed so the aggregate is order-free."""
+    from pyspark.sql import functions as _F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        _F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = skew.salted_join(li, o, on="l_orderkey", n_salts=8)
+    dec = lambda c: _F.sum(c.cast("decimal(28,4)")).cast("double")  # noqa: E731
+    return joined.groupBy("o_orderpriority").agg(
+        _F.count("*").alias("n_lines"),
+        dec((_F.col("l_extendedprice") * (1 - _F.col("l_discount")))).alias("rev"),
+    )
+
+
+def _q_skew_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation oracle-checked against the plain
+    GROUP BY: the double column rides as DECIMAL through both phases
+    so partial-then-final summation is exactly re-aggregatable."""
+    from pyspark.sql import functions as _F
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "qty_dec", _F.col("l_quantity").cast("decimal(28,4)")
+    )
+    out = skew.two_phase_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs=[
+            ("count", "l_orderkey", "n_lines"),
+            ("sum", "qty_dec", "sum_qty_dec"),
+            ("min", "l_quantity", "min_qty"),
+            ("max", "l_quantity", "max_qty"),
+        ],
+        n_salts=8,
+    )
+    return out.select(
+        "l_returnflag",
+        "n_lines",
+        _F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        "min_qty",
+        "max_qty",
+    )
 
 
 def _q_pretrain_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2342,19 +2390,40 @@ SPECS: dict[str, QuerySpec] = {
         doc="fixed-width histogram with overflow bucket (explicit floor "
             "arithmetic, scan-side projection + tiny aggregate)",
     ),
+    "skew_salted_join": QuerySpec(
+        _q_skew_salted_join,
+        f"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+                   {_dec_sum('l_extendedprice * (1 - l_discount)', 'rev')}
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority""",
+        doc="salt-and-explode join (functions.skew.salted_join, 8 salts) "
+            "value-checked against the PLAIN join SQL — salting must change "
+            "the shuffle distribution, never a row",
+    ),
+    "skew_two_phase": QuerySpec(
+        _q_skew_two_phase,
+        """SELECT l_returnflag, COUNT(l_orderkey) AS n_lines,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+                  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+           FROM lineitem GROUP BY l_returnflag""",
+        doc="two-phase salted aggregation (functions.skew.two_phase_agg, "
+            "8 salts) value-checked against the PLAIN GROUP BY — the double "
+            "rides as DECIMAL through both phases so re-aggregation is exact",
+    ),
 }
 
 
 # Round-4 window rotation (driver records the first ~50 entries; see
-# module docstring).  Head 1-25: the fifteen TPC-H optimizer-shape
+# module docstring).  Head 1-27: the fifteen TPC-H optimizer-shape
 # queries, the eight LLM-pipeline additions (vocab_topk,
 # quality_percentile, knn_classify, random_projection,
 # next_event_pairs, token_pair_counts, knn_classify_lsh,
 # pretrain_funnel), and two analytics completions (corr_analysis,
-# price_histogram) — all new this round (never driver-verified);
-# 26-50: the oldest-evidence entries (last driver row round 2); the
-# rest of that cohort plus the round-3-green tail follow and lead
-# round 5's window.
+# price_histogram), and the two skew-machinery parity entries
+# (skew_salted_join, skew_two_phase) — all new this round (never
+# driver-verified); 28-50: the oldest-evidence entries (last driver
+# row round 2); the rest of that cohort plus the round-3-green tail
+# follow and lead round 5's window.
 _ROUND4_ORDER = [
     "priority_returns", "forecast_revenue", "shipmode_priority", "customer_distribution",
     "promo_revenue", "parts_supplier_relation", "discounted_revenue", "waiting_suppliers",
@@ -2363,6 +2432,7 @@ _ROUND4_ORDER = [
     "vocab_topk", "quality_percentile", "knn_classify",
     "random_projection", "next_event_pairs", "token_pair_counts",
     "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
+    "skew_salted_join", "skew_two_phase",
     "events_sessionize", "asof_join", "dedup_minhash_lsh", "dedup_embedding",
     "seq_pack", "multimodal_meta", "agg_approx", "events_sliding",
     "events_session_native", "dedup_exact", "dedup_exact_norm", "dedup_simhash_sigs",

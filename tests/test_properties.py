@@ -106,3 +106,46 @@ def test_hash_uniform_python_replica_in_range(key):
     h = hashlib.md5(str(key).encode()).hexdigest()[:8]
     u = int(h, 16) / 4294967296.0
     assert 0.0 <= u < 1.0
+
+
+# --- media header parsers never crash on arbitrary bytes ------------------
+
+
+@given(payload=st.binary(min_size=0, max_size=512))
+@settings(max_examples=300, deadline=None)
+def test_media_parsers_total_on_arbitrary_bytes(payload):
+    """The container parsers must be TOTAL over byte strings: any
+    payload — truncated, corrupt, adversarial — parses to a tuple or
+    None, never an exception (at 100 TB every possible corruption
+    exists in the corpus)."""
+    from mapreduceimpl_spark.operators import multimodal
+
+    for fn in (
+        multimodal.parse_image_header,
+        multimodal.parse_audio_header,
+        multimodal.parse_video_header,
+    ):
+        out = fn(payload)
+        assert out is None or isinstance(out, tuple)
+
+
+@given(payload=st.binary(min_size=0, max_size=256))
+@settings(max_examples=200, deadline=None)
+def test_media_parsers_total_on_magic_prefixed_bytes(payload):
+    """Same totality with valid magics spliced in front — exercises the
+    deep parse paths (chunk walks) on garbage bodies."""
+    from mapreduceimpl_spark.operators import multimodal
+
+    magics = [
+        b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8\xff", b"RIFF????WEBP",
+        b"RIFF????WAVE", b"fLaC", b"OggS", b"\x00\x00\x00\x18ftypisom",
+    ]
+    for m in magics:
+        blob = m + payload
+        for fn in (
+            multimodal.parse_image_header,
+            multimodal.parse_audio_header,
+            multimodal.parse_video_header,
+        ):
+            out = fn(blob)
+            assert out is None or isinstance(out, tuple)
