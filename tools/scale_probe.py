@@ -211,6 +211,18 @@ def _probe_tpch_heavy(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_funnel(spark, sf_dir: str):
+    """The end-to-end pretrain funnel (filter -> dedup keepers ->
+    chunk -> pack) as one plan: wall should track the corpus scan plus
+    one packing Exchange, with the applyInPandas cost bounded by
+    chunk count, never doc length."""
+    from mapreduceimpl_spark.catalog import _q_pretrain_funnel
+
+    t0 = time.time()
+    n = _q_pretrain_funnel(spark, sf_dir).count()
+    return time.time() - t0, n
+
+
 def _probe_vocab(spark, sf_dir: str):
     """vocab_topk: wordcount-shaped count + ranking window over the
     aggregated vocab — wall should track the corpus scan, with the
@@ -234,6 +246,7 @@ PROBES = {
     "incremental_persisted": _probe_incremental_persisted,
     "tpch_heavy": _probe_tpch_heavy,
     "vocab": _probe_vocab,
+    "funnel": _probe_funnel,
 }
 
 
