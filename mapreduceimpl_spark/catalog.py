@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduceimpl_spark.functions import skew
-from mapreduceimpl_spark.operators import dedup, kmeans, multimodal, packing, relational
+from mapreduceimpl_spark.operators import dedup, graph, kmeans, multimodal, packing, relational
 from mapreduceimpl_spark.operators import sampling, similarity, text_analysis, udf_surface, wordcount
 from mapreduceimpl_spark.sources import load_table, load_tables
 
@@ -295,6 +295,57 @@ SELECT query_id, label AS pred_label, votes FROM (
 """
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer -> supplier purchase graph (an edge
+    per distinct transacting pair; supplier ids offset so the two key
+    spaces don't collide)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.pagerank(edges, iterations=5)
+
+
+def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    """Chained-CTE replay of ``graph.pagerank``: one CTE layer per
+    iteration, decimal-routed contribution sums, the SAME float
+    literals Spark uses (repr-interpolated — 1-0.85 is
+    0.15000000000000002 in IEEE, on both engines)."""
+    base = f"{1.0 - damping!r}"
+    d = f"{damping!r}"
+    layers = [
+        """edges AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        layers.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST('{base}' AS DOUBLE)
+         + CAST('{d}' AS DOUBLE) * COALESCE(c.incoming, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(r.rank / d2.out_deg AS DECIMAL(28,12))) AS DOUBLE) AS incoming
+    FROM edges e JOIN r{i - 1} r ON e.src = r.node JOIN deg d2 ON e.src = d2.src
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+)"""
+        )
+    body = ",\n".join(layers)
+    return f"WITH {body}\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
+
+
 def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted join whose RESULT is oracle-checked against the plain
     join: the salt must change only the shuffle distribution, never a
@@ -347,7 +398,15 @@ def _q_pretrain_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter -> exact-dedup keepers -> context-window chunking ->
     greedy sequence packing (the composition `tests/test_sampling_
     packing.test_pipeline_composes_filter_dedup_chunk_pack` proves
-    invariants for, here driver-verified value-exactly)."""
+    invariants for, here driver-verified value-exactly).
+
+    Scale note: ``kept`` feeds two branches (the sha256 keeper
+    aggregate and the surviving-doc join), so the filter subtree plans
+    twice; AQE's exchange reuse dedups the shuffle but not the scan.
+    At real corpus scale, persist ``kept`` (or checkpoint the filter
+    verdict table) between stages — the measured 10x probe
+    (COVERAGE.md, 1.17x wall) shows the double scan is immaterial at
+    fixture scale."""
     from mapreduceimpl_spark.operators import packing
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2410,18 +2469,27 @@ SPECS: dict[str, QuerySpec] = {
             "8 salts) value-checked against the PLAIN GROUP BY — the double "
             "rides as DECIMAL through both phases so re-aggregation is exact",
     ),
+    "pagerank": QuerySpec(
+        _q_pagerank,
+        _pagerank_oracle(),
+        doc="fixed-iteration PageRank over the customer->supplier purchase "
+            "graph — the canonical MapReduce workload, hash-verified via a "
+            "chained-CTE replay of all 5 iterations (decimal-routed "
+            "contribution sums make every iteration order-free)",
+    ),
 }
 
 
 # Round-4 window rotation (driver records the first ~50 entries; see
-# module docstring).  Head 1-27: the fifteen TPC-H optimizer-shape
+# module docstring).  Head 1-28: the fifteen TPC-H optimizer-shape
 # queries, the eight LLM-pipeline additions (vocab_topk,
 # quality_percentile, knn_classify, random_projection,
 # next_event_pairs, token_pair_counts, knn_classify_lsh,
 # pretrain_funnel), and two analytics completions (corr_analysis,
-# price_histogram), and the two skew-machinery parity entries
-# (skew_salted_join, skew_two_phase) — all new this round (never
-# driver-verified); 28-50: the oldest-evidence entries (last driver
+# price_histogram), the two skew-machinery parity entries
+# (skew_salted_join, skew_two_phase), and pagerank — all new this
+# round (never driver-verified); 29-50: the oldest-evidence entries
+# (last driver
 # row round 2); the rest of that cohort plus the round-3-green tail
 # follow and lead round 5's window.
 _ROUND4_ORDER = [
@@ -2432,7 +2500,7 @@ _ROUND4_ORDER = [
     "vocab_topk", "quality_percentile", "knn_classify",
     "random_projection", "next_event_pairs", "token_pair_counts",
     "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
-    "skew_salted_join", "skew_two_phase",
+    "skew_salted_join", "skew_two_phase", "pagerank",
     "events_sessionize", "asof_join", "dedup_minhash_lsh", "dedup_embedding",
     "seq_pack", "multimodal_meta", "agg_approx", "events_sliding",
     "events_session_native", "dedup_exact", "dedup_exact_norm", "dedup_simhash_sigs",

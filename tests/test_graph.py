@@ -1,0 +1,58 @@
+"""PageRank invariants: hand-computable graphs + fixture sanity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduceimpl_spark.operators import graph
+
+
+def _ranks(spark, edges, iterations=5):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(df, iterations=iterations).collect()
+    }
+
+
+def test_two_node_cycle_is_stationary(spark):
+    """A <-> B with uniform start is already the fixed point: every
+    iteration yields rank 1.0 for both."""
+    got = _ranks(spark, [(1, 2), (2, 1)], iterations=3)
+    assert got == {1: 1.0, 2: 1.0}
+
+
+def test_chain_converges_to_hand_computed_values(spark):
+    """A -> B (no back edge): A gets no inflow, so rank_A = 0.15 from
+    iteration 1 on; B sees 0.15 + 0.85 * rank_A = 0.2775 once A has
+    settled."""
+    got = _ranks(spark, [(1, 2)], iterations=5)
+    assert got[1] == pytest.approx(0.15, abs=1e-9)
+    assert got[2] == pytest.approx(0.15 + 0.85 * 0.15, abs=1e-9)
+
+
+def test_rank_floor_and_star_ordering(spark):
+    """Every node's rank >= (1 - d); the hub of a star graph outranks
+    its spokes."""
+    spokes = [(i, 100) for i in range(1, 6)]  # 5 spokes -> hub 100
+    got = _ranks(spark, spokes + [(100, 1)], iterations=5)
+    assert all(r >= 0.15 - 1e-12 for r in got.values())
+    assert got[100] > max(r for n, r in got.items() if n != 100)
+
+
+def test_iterations_validated(spark):
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        graph.pagerank(df, iterations=0)
+
+
+def test_determinism_across_partitionings(spark):
+    """Same ranks whatever the edge partitioning (decimal-routed
+    contribution sums are order-free)."""
+    edges = [(i, (i * 7) % 23) for i in range(60)]
+    df1 = spark.createDataFrame(edges, ["src", "dst"])
+    df8 = df1.repartition(8)
+    r1 = {r["node"]: r["rank"] for r in graph.pagerank(df1, 3).collect()}
+    r8 = {r["node"]: r["rank"] for r in graph.pagerank(df8, 3).collect()}
+    assert r1 == r8

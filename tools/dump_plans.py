@@ -301,6 +301,13 @@ ANNOTATED = {
         "narrow stages; only the dedup groupBy and the packing "
         "applyInPandas shuffle."
     ),
+    "pagerank": (
+        "Iterative-on-DataFrames done declaratively: each of the 5 "
+        "iterations is an edges-x-ranks join plus ONE decimal-routed "
+        "contribution aggregate keyed on dst; the degree table and "
+        "node set are computed once and reused.  Ranks stay O(nodes) "
+        "— the edge table dominates and streams once per iteration."
+    ),
 }
 
 

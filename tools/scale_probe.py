@@ -223,6 +223,17 @@ def _probe_funnel(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_pagerank(spark, sf_dir: str):
+    """Fixed-iteration PageRank over the purchase graph: per iteration
+    one edges join + one keyed aggregate, ranks O(nodes) — wall should
+    track edge count, not node-pair count."""
+    from mapreduceimpl_spark.catalog import _q_pagerank
+
+    t0 = time.time()
+    n = _q_pagerank(spark, sf_dir).count()
+    return time.time() - t0, n
+
+
 def _probe_vocab(spark, sf_dir: str):
     """vocab_topk: wordcount-shaped count + ranking window over the
     aggregated vocab — wall should track the corpus scan, with the
@@ -247,6 +258,7 @@ PROBES = {
     "tpch_heavy": _probe_tpch_heavy,
     "vocab": _probe_vocab,
     "funnel": _probe_funnel,
+    "pagerank": _probe_pagerank,
 }
 
 
