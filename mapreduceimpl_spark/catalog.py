@@ -41,6 +41,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduceimpl_spark.functions import dec_sum as _fn_dec_sum
 from mapreduceimpl_spark.functions import skew
 from mapreduceimpl_spark.operators import dedup, graph, kmeans, multimodal, packing, relational
 from mapreduceimpl_spark.operators import sampling, similarity, text_analysis, udf_surface, wordcount
@@ -255,7 +256,9 @@ def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.knn_classify(emb, queries, k=5, round_digits=6)
+    return similarity.knn_classify(
+        emb, queries, k=5, round_digits=6, exclude_self=True
+    )
 
 
 def _q_knn_classify_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,7 +267,8 @@ def _q_knn_classify_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.knn_classify_lsh(
-        emb, queries, k=5, n_planes=6, seed=42, n_probe=2, round_digits=6
+        emb, queries, k=5, n_planes=6, seed=42, n_probe=2, round_digits=6,
+        exclude_self=True,
     )
 
 
@@ -349,18 +353,16 @@ def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
 def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted join whose RESULT is oracle-checked against the plain
     join: the salt must change only the shuffle distribution, never a
-    row.  Revenue is decimal-routed so the aggregate is order-free."""
-    from pyspark.sql import functions as _F
-
+    row.  Revenue is decimal-routed (the canonical ``dec_sum``) so the
+    aggregate is order-free."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select(
-        _F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
     joined = skew.salted_join(li, o, on="l_orderkey", n_salts=8)
-    dec = lambda c: _F.sum(c.cast("decimal(28,4)")).cast("double")  # noqa: E731
     return joined.groupBy("o_orderpriority").agg(
-        _F.count("*").alias("n_lines"),
-        dec((_F.col("l_extendedprice") * (1 - _F.col("l_discount")))).alias("rev"),
+        F.count("*").alias("n_lines"),
+        _fn_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
     )
 
 
@@ -368,10 +370,8 @@ def _q_skew_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase (salted) aggregation oracle-checked against the plain
     GROUP BY: the double column rides as DECIMAL through both phases
     so partial-then-final summation is exactly re-aggregatable."""
-    from pyspark.sql import functions as _F
-
     li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "qty_dec", _F.col("l_quantity").cast("decimal(28,4)")
+        "qty_dec", F.col("l_quantity").cast("decimal(28,4)")
     )
     out = skew.two_phase_agg(
         li,
@@ -387,7 +387,7 @@ def _q_skew_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_returnflag",
         "n_lines",
-        _F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        F.col("sum_qty_dec").cast("double").alias("sum_qty"),
         "min_qty",
         "max_qty",
     )
@@ -407,8 +407,6 @@ def _q_pretrain_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict table) between stages — the measured 10x probe
     (COVERAGE.md, 1.17x wall) shows the double scan is immaterial at
     fixture scale."""
-    from mapreduceimpl_spark.operators import packing
-
     docs = load_table(spark, sf_dir, "documents")
     kept = (
         text_analysis.corpus_filter(docs)
@@ -418,9 +416,23 @@ def _q_pretrain_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keepers = dedup.dedup_exact(kept).select(F.col("keep_id").alias("doc_id"))
     surviving = kept.join(keepers, "doc_id")
+    # chunk-id remap doc_id*1024 + chunk_idx is collision-free only
+    # while chunk_idx < 1024 (~57k whitespace tokens at 64/56 windows);
+    # guard with raise_error so an over-long document fails LOUDLY
+    # instead of silently aliasing two chunks onto one packing id
+    chunk_id = F.when(
+        F.col("chunk_idx") < 1024, F.col("doc_id") * 1024 + F.col("chunk_idx")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("pretrain_funnel: chunk_idx >= 1024 for doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(" — widen the chunk-id multiplier"),
+            )
+        )
+    )
     chunks = text_analysis.chunk_documents(surviving).select(
-        # chunk id collision-free: chunk_idx < 1024 at fixture lengths
-        (F.col("doc_id") * 1024 + F.col("chunk_idx")).alias("doc_id"),
+        chunk_id.alias("doc_id"),
         F.col("chunk_text").alias("text"),
         F.lit("all").alias("lang"),
     )
@@ -2332,7 +2344,7 @@ SPECS: dict[str, QuerySpec] = {
              FROM (SELECT doc_id, lang,
                           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                           / len(string_split(text, ' ')) AS diversity
-                   FROM documents)
+                   FROM documents WHERE text IS NOT NULL)
            ) WHERE cd > 0.75""",
         doc="per-language top-quartile diversity gate; rank-based cutoff "
             "(cume_dist) so the kept set is engine-portable, with "

@@ -39,6 +39,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_digits: int | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k for each query vector.
 
@@ -46,6 +47,12 @@ def brute_force_topk(
     cosine, rank) with rank 1..k, deterministic tie-break on vec_id.
     ``round_digits`` rounds the similarity before ranking so the order
     is reproducible across engines with different float fold order.
+
+    ``exclude_self=True`` drops corpus rows whose vec_id equals the
+    query id BEFORE ranking (leave-one-out when queries are drawn
+    from the corpus).  Only set it when query ids ARE corpus ids: with
+    an unrelated query id space it silently removes an innocent
+    corpus vector per query.
     """
     corpus = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("cv")
@@ -56,7 +63,10 @@ def brute_force_topk(
     sim = cosine_similarity(F.col("qv"), F.col("cv"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    scored = F.broadcast(q).crossJoin(corpus).select(
+    joined = F.broadcast(q).crossJoin(corpus)
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("vec_id"))
+    scored = joined.select(
         "query_id",
         "vec_id",
         sim.alias("cosine"),
@@ -459,54 +469,49 @@ def quantize_embeddings(
     )
 
 
+def _majority_vote(neighbors: DataFrame, labels: DataFrame) -> DataFrame:
+    """Shared vote tail for both kNN tiers: join the (n_queries x k)
+    neighbor set onto the corpus label column (neighbors broadcast —
+    the corpus never shuffles for the vote), count votes, take the
+    deterministic (votes desc, label asc) winner."""
+    voted = F.broadcast(neighbors.select("query_id", "vec_id")).join(labels, "vec_id")
+    votes = voted.groupBy("query_id", "label").agg(F.count("*").alias("votes"))
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("rr", F.row_number().over(wv))
+        .filter(F.col("rr") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
 def knn_classify(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
     round_digits: int | None = 6,
-    exclude_self: bool = True,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """k-NN majority-vote label prediction for each query vector —
     the classify-by-neighbors primitive (weak labeling / label
     propagation over an embedded corpus).
 
-    The corpus label rides the scored row, so no second join against
-    the corpus is needed after ranking: broadcast queries x corpus ->
-    rank ≤ k -> count votes per (query, label) -> argmax.  Corpus
-    never shuffles (ann_topk's plan property); everything after the
-    rank filter is (n_queries x k) rows.
+    Exact tier: neighbors come from :func:`brute_force_topk` (ONE
+    ranking implementation shared with ann_topk — no duplicated
+    tie-break machinery), then the (n_queries x k) neighbor set
+    broadcasts onto the label column; the corpus never shuffles.
 
     Deterministic: cosine rounded before ranking, vec_id tie-break on
     neighbors, (votes desc, label asc) tie-break on the winning label.
-    ``exclude_self`` drops corpus rows whose vec_id equals the query
-    id (leave-one-out evaluation when queries are drawn from the
-    corpus).
+    ``exclude_self=True`` is the leave-one-out mode for queries DRAWN
+    FROM the corpus — see brute_force_topk's warning before setting it
+    with an unrelated query id space.
     """
-    corpus = embeddings.select(
-        "vec_id", _as_double("embedding").alias("cv"), F.col("label").cast("long").alias("label")
+    top = brute_force_topk(
+        embeddings, queries, k=k, round_digits=round_digits,
+        exclude_self=exclude_self,
     )
-    q = queries.select(
-        F.col("query_id"), _as_double("embedding").alias("qv")
-    )
-    sim = cosine_similarity(F.col("qv"), F.col("cv"))
-    if round_digits is not None:
-        sim = F.round(sim, round_digits)
-    scored = F.broadcast(q).crossJoin(corpus)
-    if exclude_self:
-        scored = scored.filter(F.col("query_id") != F.col("vec_id"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    neighbors = (
-        scored.select("query_id", "vec_id", "label", sim.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
-    votes = neighbors.groupBy("query_id", "label").agg(F.count("*").alias("votes"))
-    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
-    return (
-        votes.withColumn("r", F.row_number().over(wv))
-        .filter(F.col("r") == 1)
-        .select("query_id", F.col("label").alias("pred_label"), "votes")
-    )
+    labels = embeddings.select("vec_id", F.col("label").cast("long").alias("label"))
+    return _majority_vote(top, labels)
 
 
 def random_projection(
@@ -550,19 +555,20 @@ def knn_classify_lsh(
     seed: int = 42,
     n_probe: int = 1,
     round_digits: int | None = 6,
-    exclude_self: bool = True,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """The scale tier of :func:`knn_classify`: neighbors come from the
     sign-LSH index (bucket probes, ~n_probe/2^n_planes of the corpus
-    per query) instead of a full scan, then the same majority vote.
+    per query) instead of a full scan, then the same majority vote
+    (shared ``_majority_vote`` tail).
 
-    ``exclude_self`` searches k+1 and re-ranks after dropping the
+    ``exclude_self=True`` searches k+1 and re-ranks after dropping the
     query's own row (its identical vector always lands in its own
-    bucket at cosine 1), so the vote is leave-one-out like the exact
-    tier.  The (n_queries x k) neighbor set broadcasts onto the corpus
-    label column — the corpus itself never shuffles in the vote.
-    Recall inherits lsh_search's measured behavior; the vote winner is
-    deterministic ((votes desc, label asc), cosine rounded pre-rank).
+    bucket at cosine 1), making the vote leave-one-out like the exact
+    tier — only valid when query ids ARE corpus ids (see
+    brute_force_topk's warning).  Recall inherits lsh_search's
+    measured behavior; the vote winner is deterministic ((votes desc,
+    label asc), cosine rounded pre-rank).
     """
     top = lsh_topk(
         embeddings, queries, k=k + (1 if exclude_self else 0),
@@ -574,11 +580,4 @@ def knn_classify_lsh(
         w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
         top = top.withColumn("r2", F.row_number().over(w)).filter(F.col("r2") <= k)
     labels = embeddings.select("vec_id", F.col("label").cast("long").alias("label"))
-    voted = F.broadcast(top.select("query_id", "vec_id")).join(labels, "vec_id")
-    votes = voted.groupBy("query_id", "label").agg(F.count("*").alias("votes"))
-    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
-    return (
-        votes.withColumn("rr", F.row_number().over(wv))
-        .filter(F.col("rr") == 1)
-        .select("query_id", F.col("label").alias("pred_label"), "votes")
-    )
+    return _majority_vote(top, labels)

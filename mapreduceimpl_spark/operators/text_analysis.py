@@ -587,7 +587,12 @@ def quality_percentile_filter(docs: DataFrame, quantile: float = 0.75) -> DataFr
         F.size(F.array_distinct(toks)).cast("double")
         / F.size(toks).cast("double")
     )
-    scored = docs.select("doc_id", "lang", diversity.alias("diversity"))
+    # null text is excluded up front: size(split(NULL)) is -1 under
+    # legacy sizeOfNull, which would score a null doc as -1/-1 = 1.0
+    # "perfect diversity" and diverge from the oracle's NULL
+    scored = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", "lang", diversity.alias("diversity")
+    )
     w = Window.partitionBy("lang").orderBy("diversity")
     return (
         scored.withColumn("cd", F.cume_dist().over(w))

@@ -60,6 +60,10 @@ def _events_ts_unit(path: str) -> str:
     NANOS-vs-MICROS decision can't be made from the batch DataFrame's
     dtypes the way ``load_table`` does it.  One footer read at plan
     time (driver-side, O(KB)) keeps both fixture generations working.
+
+    Raises on an empty directory: guessing a unit there would lock the
+    stream to a schema the first real file may not match — the caller
+    must pass ``ts_unit`` explicitly when starting ahead of data.
     """
     import glob
     import os
@@ -68,20 +72,35 @@ def _events_ts_unit(path: str) -> str:
 
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     if not files:
-        return "us"
+        raise ValueError(
+            f"read_events_stream: no parquet files in {path!r} to detect the "
+            "ts unit from — pass ts_unit='us' (round 4+ fixtures) or 'ns' "
+            "explicitly when starting a stream on an empty directory"
+        )
     ts = pq.read_schema(files[0]).field("ts").type
     return getattr(ts, "unit", "us")
 
 
 def read_events_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+    ts_unit: str = "auto",
 ) -> DataFrame:
     """File-source stream of events parquet (micro-batched per file).
 
     In production this is ``spark.readStream.format("kafka")``; the
     file source has identical semantics for every operator below.
+
+    ``ts_unit``: 'auto' (default) peeks the first file's footer —
+    requires data to exist and assumes all files share one generation;
+    pass 'us' or 'ns' explicitly for empty-at-start directories or
+    mixed-generation landing zones.
     """
-    if _events_ts_unit(path) == "ns":
+    if ts_unit not in ("auto", "us", "ns"):
+        raise ValueError(f"read_events_stream: ts_unit must be auto|us|ns, got {ts_unit!r}")
+    unit = _events_ts_unit(path) if ts_unit == "auto" else ts_unit
+    if unit == "ns":
         raw = (
             spark.readStream.schema(_events_raw_schema(LongType()))
             .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -400,8 +419,11 @@ def stream_next_event_pairs(events: DataFrame) -> DataFrame:
     window would lose.
 
     State per user is exactly three strings (the rolling context), so
-    state size is O(users), independent of stream length.  Rows are
-    ordered (ts, event_id) within each batch; cross-batch order is
+    state size is O(users), independent of stream length.  A group's
+    rows arrive as an ITERATOR of Arrow chunks (split at
+    arrow.maxRecordsPerBatch, default 10k) — they are concatenated and
+    sorted (ts, event_id) ONCE so ordering holds across chunk
+    boundaries, not just within each chunk; cross-batch order is
     arrival order, correct whenever the source delivers per-user
     events in time order (true for the file fixture and for a
     Kafka topic keyed by user).
@@ -413,9 +435,15 @@ def stream_next_event_pairs(events: DataFrame) -> DataFrame:
         out: dict[str, list] = {
             "user_id": [], "event_id": [], "ctx3": [], "ctx2": [], "ctx1": [], "label": [],
         }
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for eid, et in zip(pdf["event_id"], pdf["event_type"]):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            # one global sort per (user, micro-batch): a >10k-event user
+            # spans several Arrow chunks, and per-chunk sorting would
+            # interleave their time order
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for eid, et in zip(batch["event_id"], batch["event_type"]):
                 out["user_id"].append(key[0])
                 out["event_id"].append(eid)
                 out["ctx3"].append(hist[0])

@@ -273,14 +273,34 @@ def test_q12_date_pushdown_single_agg_shuffle(tables):
     assert_no_cartesian(df)
 
 
-def test_q13_left_join_preserves_zero_customers(tables):
+def test_q13_left_join_preserves_zero_customers(tables, spark):
     """Q13 must keep customers with no qualifying orders (LEFT join,
-    count(o_orderkey) -> 0), and the orders-side filter must not be
-    pushed below the outer join's null-supplying side incorrectly."""
+    count(o_orderkey) -> 0): the plan must contain an OUTER join — an
+    inner join (the classic Q13 regression) also broadcasts, so the
+    assertion requires LeftOuter specifically — and on a constructed
+    input where one customer has only excluded orders, the c_count = 0
+    bucket must appear (the fixture has no such customer, so this is
+    checked on a micro-fixture)."""
     from mapreduceimpl_spark.plans import explain_str
 
     plan = explain_str(relational.q_customer_distribution(tables), "simple")
-    assert "LeftOuter" in plan or "BroadcastHashJoin" in plan, plan
+    assert "LeftOuter" in plan, plan
+
+    c = spark.createDataFrame([(1,), (2,)], "c_custkey long")
+    o = spark.createDataFrame(
+        [
+            (10, 1, "1-URGENT"),
+            (11, 2, "4-NOT SPECIFIED"),  # customer 2: only excluded orders
+        ],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    got = {
+        r["c_count"]: r["custdist"]
+        for r in relational.q_customer_distribution(
+            {"customer": c, "orders": o}
+        ).collect()
+    }
+    assert got == {1: 1, 0: 1}
 
 
 def test_q14_part_dim_broadcast(tables):

@@ -290,7 +290,7 @@ def test_knn_classify_majority_and_self_exclusion(spark):
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    got = similarity.knn_classify(emb, q, k=3).collect()
+    got = similarity.knn_classify(emb, q, k=3, exclude_self=True).collect()
     assert len(got) == 1
     assert got[0]["pred_label"] == 0
     assert got[0]["votes"] == 3
@@ -315,7 +315,7 @@ def test_knn_classify_tiebreak_lowest_label(spark):
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    got = similarity.knn_classify(emb, q, k=4).collect()
+    got = similarity.knn_classify(emb, q, k=4, exclude_self=True).collect()
     assert got[0]["pred_label"] == 3
     assert got[0]["votes"] == 2
 
