@@ -2489,18 +2489,48 @@ SPECS: dict[str, QuerySpec] = {
             "chained-CTE replay of all 5 iterations (decimal-routed "
             "contribution sums make every iteration order-free)",
     ),
+    "timeseries_gapfill": QuerySpec(
+        _rel(relational.q_timeseries_gapfill),
+        """WITH hourly AS (
+             SELECT user_id, date_trunc('hour', ts) AS bucket, COUNT(*) AS cnt,
+                    CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+             FROM events GROUP BY 1, 2
+           ),
+           spans AS (
+             SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+             FROM hourly GROUP BY 1
+           ),
+           grid AS (
+             SELECT user_id, g.bucket
+             FROM spans, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                           AS g(bucket)
+           )
+           SELECT g.user_id,
+                  strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+                  COALESCE(h.cnt, 0) AS cnt,
+                  last_value(h.sum_value IGNORE NULLS) OVER (
+                      PARTITION BY g.user_id ORDER BY g.bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                  ) AS sum_value_locf
+           FROM grid g LEFT JOIN hourly h
+             ON g.user_id = h.user_id AND g.bucket = h.bucket""",
+        doc="hypertable gap fill + LOCF (TimescaleDB time_bucket_gapfill "
+            "shape): per-user hour grid from a narrow sequence-explode of "
+            "the span table, keyed fill join, one LOCF window",
+    ),
 }
 
 
 # Round-4 window rotation (driver records the first ~50 entries; see
-# module docstring).  Head 1-28: the fifteen TPC-H optimizer-shape
+# module docstring).  Head 1-29: the fifteen TPC-H optimizer-shape
 # queries, the eight LLM-pipeline additions (vocab_topk,
 # quality_percentile, knn_classify, random_projection,
 # next_event_pairs, token_pair_counts, knn_classify_lsh,
 # pretrain_funnel), and two analytics completions (corr_analysis,
 # price_histogram), the two skew-machinery parity entries
-# (skew_salted_join, skew_two_phase), and pagerank — all new this
-# round (never driver-verified); 29-50: the oldest-evidence entries
+# (skew_salted_join, skew_two_phase), pagerank, and
+# timeseries_gapfill — all new this round (never driver-verified);
+# 30-50: the oldest-evidence entries
 # (last driver
 # row round 2); the rest of that cohort plus the round-3-green tail
 # follow and lead round 5's window.
@@ -2512,7 +2542,7 @@ _ROUND4_ORDER = [
     "vocab_topk", "quality_percentile", "knn_classify",
     "random_projection", "next_event_pairs", "token_pair_counts",
     "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
-    "skew_salted_join", "skew_two_phase", "pagerank",
+    "skew_salted_join", "skew_two_phase", "pagerank", "timeseries_gapfill",
     "events_sessionize", "asof_join", "dedup_minhash_lsh", "dedup_embedding",
     "seq_pack", "multimodal_meta", "agg_approx", "events_sliding",
     "events_session_native", "dedup_exact", "dedup_exact_norm", "dedup_simhash_sigs",

@@ -1409,3 +1409,44 @@ def q_price_histogram(t: dict[str, DataFrame]) -> DataFrame:
             dec_sum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+def q_timeseries_gapfill(t: dict[str, DataFrame]) -> DataFrame:
+    """Hypertable gap filling + last-observation-carried-forward (the
+    TimescaleDB ``time_bucket_gapfill`` + ``locf`` shape): every hour
+    of each user's active span appears exactly once, missing hours get
+    cnt = 0 and the carried-forward last observed hourly sum.
+
+    Scale: the hourly aggregate is one keyed shuffle; the per-user
+    hour grid is a narrow sequence-explode of the (user, lo, hi) span
+    table (|users| rows in, span-hours rows out — never a global
+    cross join against a calendar dim); the fill join is keyed on
+    (user, bucket) and the LOCF window rides the same user
+    partitioning.
+    """
+    e = t["events"]
+    hourly = (
+        e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count("*").alias("cnt"), dec_sum("value").alias("sum_value"))
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+        ).alias("bucket"),
+    )
+    filled = grid.join(hourly, ["user_id", "bucket"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
+    )

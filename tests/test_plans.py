@@ -455,3 +455,33 @@ def test_next_event_pairs_single_window_shuffle(tables):
     plan = explain_str(relational.q_next_event_pairs(tables), "simple")
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_gapfill_locf_semantics(spark):
+    """Constructed series: hours 0,1,3 present -> hour 2 must appear
+    with cnt=0 and hour 1's carried-forward sum."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 5), 7, "view", 10.0, "{}"),
+        (2, datetime(2024, 1, 1, 1, 5), 7, "view", 20.0, "{}"),
+        (3, datetime(2024, 1, 1, 3, 5), 7, "view", 40.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        r["bucket"]: (r["cnt"], r["sum_value_locf"])
+        for r in relational.q_timeseries_gapfill({"events": events}).collect()
+    }
+    assert len(got) == 4  # hours 0-3 inclusive, gap filled
+    assert got["2024-01-01 02:00:00"] == (0, 20.0)  # LOCF from hour 1
+    assert got["2024-01-01 03:00:00"] == (1, 40.0)
+
+
+def test_gapfill_grid_is_not_cartesian(tables):
+    """The hour grid comes from a per-user sequence explode, never a
+    users x calendar cross join."""
+    df = relational.q_timeseries_gapfill(tables)
+    assert_no_cartesian(df)

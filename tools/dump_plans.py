@@ -308,6 +308,12 @@ ANNOTATED = {
         "node set are computed once and reused.  Ranks stay O(nodes) "
         "— the edge table dominates and streams once per iteration."
     ),
+    "timeseries_gapfill": (
+        "Gap fill without a calendar cross join: the per-user hour "
+        "grid is a narrow sequence-explode of the (user, lo, hi) span "
+        "table, the fill join is keyed on (user, bucket), and LOCF is "
+        "one window over the user partitioning."
+    ),
 }
 
 
