@@ -299,6 +299,83 @@ SELECT query_id, label AS pred_label, votes FROM (
 """
 
 
+# WAV header hex: RIFF + size + WAVE + 'fmt ' + 16-byte PCM body
+# (rate 16000 LE = 803E0000); two variants differ only in channel
+# count / byte_rate / block_align.  The data chunk header claims
+# 32000 bytes (truncated payload is fine — only the header is read),
+# so duration = 32000*1000/byte_rate = 500 ms (1ch) / 250 ms (2ch).
+_WAV_HEX_1CH = (
+    "52494646" "24000000" "57415645" "666D7420" "10000000"
+    "0100" "0100" "803E0000" "00FA0000" "0200" "1000"
+    "64617461" "007D0000"  # data chunk header claiming 32000 bytes
+)
+_WAV_HEX_2CH = (
+    "52494646" "24000000" "57415645" "666D7420" "10000000"
+    "0100" "0200" "803E0000" "00F40100" "0400" "1000"
+    "64617461" "007D0000"
+)
+
+
+def _q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant REAL container headers (PNG / GIF / WAV, built byte-exact
+    from doc_id arithmetic inside the plan) plus raw-text 'unknown'
+    payloads, then run the triage pass.  The oracle derives every
+    metadata value ANALYTICALLY from the same arithmetic — so the
+    driver check fails iff the Python byte parsers stop recovering
+    exactly what was planted (a true end-to-end parser test, with no
+    parser logic in the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    w = (F.lit(100) + F.col("doc_id") % 50).cast("int")  # < 256: LE16 = hex2 + '00'
+    h = (F.lit(50) + F.col("doc_id") % 30).cast("int")
+
+    def hex8(c):  # big-endian uint32
+        return F.lpad(F.hex(c), 8, "0")
+
+    def hex2(c):
+        return F.lpad(F.hex(c), 2, "0")
+
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A" "0000000D49484452"), hex8(w), hex8(h)
+    )
+    gif_hex = F.concat(F.lit("474946383961"), hex2(w), F.lit("00"), hex2(h), F.lit("00"))
+    wav_hex = F.when(F.col("doc_id") % 2 == 0, F.lit(_WAV_HEX_1CH)).otherwise(
+        F.lit(_WAV_HEX_2CH)
+    )
+    payload = (
+        F.when(m == 0, F.unhex(png_hex))
+        .when(m == 1, F.unhex(gif_hex))
+        .when(m == 2, F.unhex(wav_hex))
+        .otherwise(F.encode("text", "utf-8"))
+    )
+    assets = docs.select(F.col("doc_id").alias("asset_id"), payload.alias("payload"))
+    return multimodal.probe_media(assets)
+
+
+def _media_probe_oracle() -> str:
+    return """
+SELECT doc_id AS asset_id,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 10 WHEN 2 THEN 44
+            ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
+       CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'image'
+            WHEN 2 THEN 'audio' ELSE 'unknown' END AS media,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+            WHEN 2 THEN 'wav' ELSE NULL END AS format,
+       CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 100 + doc_id % 50 END
+            AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 50 + doc_id % 30 END
+            AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 4 = 2 THEN 16000 END AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 4 = 2 THEN 1 + doc_id % 2 END AS BIGINT)
+         AS channels,
+       CAST(CASE WHEN doc_id % 4 = 2
+                 THEN CASE WHEN doc_id % 2 = 0 THEN 500 ELSE 250 END
+            END AS BIGINT) AS duration_ms,
+       doc_id % 4 <> 3 AS header_parsed
+FROM documents
+"""
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer -> supplier purchase graph (an edge
     per distinct transacting pair; supplier ids offset so the two key
@@ -2518,19 +2595,27 @@ SPECS: dict[str, QuerySpec] = {
             "shape): per-user hour grid from a narrow sequence-explode of "
             "the span table, keyed fill join, one LOCF window",
     ),
+    "media_probe": QuerySpec(
+        _q_media_probe,
+        _media_probe_oracle(),
+        doc="media triage over planted byte-exact PNG/GIF/WAV headers + "
+            "raw-text unknowns: the oracle derives metadata analytically "
+            "from the planting arithmetic, so the hash check is a true "
+            "end-to-end test of the Python byte parsers",
+    ),
 }
 
 
 # Round-4 window rotation (driver records the first ~50 entries; see
-# module docstring).  Head 1-29: the fifteen TPC-H optimizer-shape
+# module docstring).  Head 1-30: the fifteen TPC-H optimizer-shape
 # queries, the eight LLM-pipeline additions (vocab_topk,
 # quality_percentile, knn_classify, random_projection,
 # next_event_pairs, token_pair_counts, knn_classify_lsh,
 # pretrain_funnel), and two analytics completions (corr_analysis,
 # price_histogram), the two skew-machinery parity entries
-# (skew_salted_join, skew_two_phase), pagerank, and
-# timeseries_gapfill — all new this round (never driver-verified);
-# 30-50: the oldest-evidence entries
+# (skew_salted_join, skew_two_phase), pagerank, timeseries_gapfill,
+# and media_probe — all new this round (never driver-verified);
+# 31-50: the oldest-evidence entries
 # (last driver
 # row round 2); the rest of that cohort plus the round-3-green tail
 # follow and lead round 5's window.
@@ -2543,6 +2628,7 @@ _ROUND4_ORDER = [
     "random_projection", "next_event_pairs", "token_pair_counts",
     "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
     "skew_salted_join", "skew_two_phase", "pagerank", "timeseries_gapfill",
+    "media_probe",
     "events_sessionize", "asof_join", "dedup_minhash_lsh", "dedup_embedding",
     "seq_pack", "multimodal_meta", "agg_approx", "events_sliding",
     "events_session_native", "dedup_exact", "dedup_exact_norm", "dedup_simhash_sigs",
