@@ -80,15 +80,27 @@ _UNIFORM_D = sampling.hash_uniform_sql("d.doc_id")
 # iteration advances every (lang, shard) group by one document in
 # doc_id order, carrying (bin_id, bin_fill) forward — the exact
 # recurrence pack_greedy runs imperatively inside applyInPandas.
-_SEQ_PACK_ORACLE = f"""
-WITH RECURSIVE sized AS (
+def _pack_sql(source: str, budget: int, n_shards: int = 4) -> str:
+    """The greedy first-fit packing recurrence as recursive-CTE layers
+    over relation ``source`` (needs lang / doc_id / text columns) —
+    THE single SQL copy of ``packing._pack_one_group``'s semantics,
+    shared by the seq_pack and pretrain_funnel oracles.
+
+    The stay-in-bin condition mirrors the Python exactly, including
+    the ``fill == 0`` case: an oversized document landing on an EMPTY
+    bin stays there (Python's ``fill > 0 and fill + n > budget``
+    overflow check), it does not open a second bin.  ``ordered`` is
+    MATERIALIZED so the recursion never re-runs the upstream pipeline
+    per step."""
+    stay = f"(p.bin_fill = 0 OR p.bin_fill + o.n_tokens <= {budget})"
+    return f"""sized AS (
   SELECT CAST(lang AS VARCHAR) AS group_key,
-         CAST(floor(({_UNIFORM}) * 4) AS BIGINT) AS shard,
+         CAST(floor(({_UNIFORM}) * {n_shards}) AS BIGINT) AS shard,
          doc_id,
          CAST(greatest(0, coalesce(len({_TOKS}), 0)) AS BIGINT) AS n_tokens
-  FROM documents
+  FROM {source}
 ),
-ordered AS (
+ordered AS MATERIALIZED (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY group_key, shard ORDER BY doc_id) AS rn
   FROM sized
 ),
@@ -98,14 +110,41 @@ packed AS (
   FROM ordered WHERE rn = 1
   UNION ALL
   SELECT o.group_key, o.shard, o.rn, o.doc_id, o.n_tokens,
-         CASE WHEN p.bin_fill + o.n_tokens <= 256 THEN p.bin_id ELSE p.bin_id + 1 END,
-         CASE WHEN p.bin_fill + o.n_tokens <= 256 THEN p.bin_fill + o.n_tokens ELSE o.n_tokens END
+         CASE WHEN {stay} THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN {stay} THEN p.bin_fill + o.n_tokens ELSE o.n_tokens END
   FROM packed p JOIN ordered o
     ON o.group_key IS NOT DISTINCT FROM p.group_key
    AND o.shard = p.shard AND o.rn = p.rn + 1
 )
-SELECT group_key, shard, doc_id, n_tokens, bin_id, bin_fill FROM packed
-"""
+SELECT group_key, shard, doc_id, n_tokens, bin_id, bin_fill FROM packed"""
+
+
+_SEQ_PACK_ORACLE = f"WITH RECURSIVE {_pack_sql('documents', 256)}"
+
+
+def _chunk_sql(source: str, chunk_tokens: int = 64, overlap: int = 8) -> str:
+    """``chunk_documents``'s window arithmetic as CTE layers over
+    relation ``source`` — the single SQL copy shared by the doc_chunks
+    and pretrain_funnel oracles.  Emits ``chunkrows`` with
+    (doc_id, chunk_idx, chunk_text, n_tokens)."""
+    stride = chunk_tokens - overlap
+    return f"""cbase AS (SELECT doc_id, {_TOKS} AS toks FROM {source}),
+cex AS (
+  SELECT doc_id, toks,
+         unnest(range(0, 1 + GREATEST(0,
+             CAST(ceil((len(toks) - {chunk_tokens}) / {stride}.0) AS BIGINT))))
+           AS chunk_idx
+  FROM cbase
+),
+chunkrows AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(list_slice(toks, chunk_idx * {stride} + 1,
+                                    chunk_idx * {stride} + {chunk_tokens}),
+                         ' ') AS chunk_text,
+         CAST(LEAST({chunk_tokens}, len(toks) - chunk_idx * {stride})
+              AS BIGINT) AS n_tokens
+  FROM cex
+)"""
 
 
 # near-dup test corpus (mirror dedup.with_mutated_copies)
@@ -301,17 +340,18 @@ SELECT query_id, label AS pred_label, votes FROM (
 
 # WAV header hex: RIFF + size + WAVE + 'fmt ' + 16-byte PCM body
 # (rate 16000 LE = 803E0000); two variants differ only in channel
-# count / byte_rate / block_align.  The data chunk header claims
-# 32000 bytes (truncated payload is fine — only the header is read),
-# so duration = 32000*1000/byte_rate = 500 ms (1ch) / 250 ms (2ch).
+# count / byte_rate / block_align (byte_rate = rate * channels * 2,
+# spec-consistent PCM).  The data chunk header claims 32000 bytes
+# (truncated payload is fine — only the header is read), so duration
+# = 32000*1000/byte_rate = 1000 ms (1ch) / 500 ms (2ch).
 _WAV_HEX_1CH = (
     "52494646" "24000000" "57415645" "666D7420" "10000000"
-    "0100" "0100" "803E0000" "00FA0000" "0200" "1000"
+    "0100" "0100" "803E0000" "007D0000" "0200" "1000"
     "64617461" "007D0000"  # data chunk header claiming 32000 bytes
 )
 _WAV_HEX_2CH = (
     "52494646" "24000000" "57415645" "666D7420" "10000000"
-    "0100" "0200" "803E0000" "00F40100" "0400" "1000"
+    "0100" "0200" "803E0000" "00FA0000" "0400" "1000"
     "64617461" "007D0000"
 )
 
@@ -356,7 +396,7 @@ def _media_probe_oracle() -> str:
     return """
 SELECT doc_id AS asset_id,
        CAST(CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 10 WHEN 2 THEN 44
-            ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
+            ELSE octet_length(encode(COALESCE(text, ''))) END AS BIGINT) AS n_bytes,
        CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'image'
             WHEN 2 THEN 'audio' ELSE 'unknown' END AS media,
        CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
@@ -369,7 +409,7 @@ SELECT doc_id AS asset_id,
        CAST(CASE WHEN doc_id % 4 = 2 THEN 1 + doc_id % 2 END AS BIGINT)
          AS channels,
        CAST(CASE WHEN doc_id % 4 = 2
-                 THEN CASE WHEN doc_id % 2 = 0 THEN 500 ELSE 250 END
+                 THEN CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 500 END
             END AS BIGINT) AS duration_ms,
        doc_id % 4 <> 3 AS header_parsed
 FROM documents
@@ -379,15 +419,28 @@ FROM documents
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer -> supplier purchase graph (an edge
     per distinct transacting pair; supplier ids offset so the two key
-    spaces don't collide)."""
+    spaces don't collide).
+
+    The +1e6 offset is guarded with raise_error: a custkey at or past
+    the offset would silently alias a customer onto a supplier node
+    (wrong ranks the oracle would AGREE with, since it replays the
+    same arithmetic) — at TPC-H scales where custkey exceeds 1e6,
+    widen the offset rather than letting the spaces overlap."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
+    offset = 1_000_000
+    src = F.when(F.col("o_custkey") < offset, F.col("o_custkey")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"pagerank: o_custkey >= {offset} collides with the "
+                      "supplier id offset — widen it: "),
+                F.col("o_custkey").cast("string"),
+            )
+        )
+    )
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + 1_000_000).alias("dst"),
-        )
+        .select(src.alias("src"), (F.col("l_suppkey") + offset).alias("dst"))
         .distinct()
     )
     return graph.pagerank(edges, iterations=5)
@@ -518,8 +571,10 @@ def _q_pretrain_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pretrain_funnel_oracle() -> str:
     """Composition of the four stage oracles (corpus_filter keep mask,
-    sha256 min-id keepers, 64/56 chunk windows, budget-128 recursive
-    packing) — each already hash-verified standalone."""
+    sha256 min-id keepers, the shared ``_chunk_sql`` 64/56 windows,
+    the shared ``_pack_sql`` budget-128 recursive packing) — each
+    already hash-verified standalone, with ONE SQL copy of the chunk
+    arithmetic and the packing recurrence repo-wide."""
     return f"""
 WITH RECURSIVE
 cf AS MATERIALIZED (
@@ -528,49 +583,13 @@ cf AS MATERIALIZED (
 kept AS (SELECT d.doc_id, d.text FROM documents d JOIN cf USING (doc_id)),
 keepers AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY sha256(text)),
 surviving AS (SELECT k.doc_id, k.text FROM kept k JOIN keepers USING (doc_id)),
-cbase AS (SELECT doc_id, string_split(text, ' ') AS toks FROM surviving),
-cex AS (
-  SELECT doc_id, toks,
-         unnest(range(0, 1 + GREATEST(0,
-             CAST(ceil((len(toks) - 64) / 56.0) AS BIGINT)))) AS chunk_idx
-  FROM cbase
-),
+{_chunk_sql('surviving')},
 chunks AS (
-  SELECT doc_id * 1024 + chunk_idx AS doc_id,
-         array_to_string(list_slice(toks, chunk_idx * 56 + 1,
-                                    chunk_idx * 56 + 64), ' ') AS text,
+  SELECT doc_id * 1024 + chunk_idx AS doc_id, chunk_text AS text,
          'all' AS lang
-  FROM cex
+  FROM chunkrows
 ),
-sized AS (
-  SELECT CAST(lang AS VARCHAR) AS group_key,
-         CAST(floor((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                          AS BIGINT) / 4294967296.0) * 4) AS BIGINT) AS shard,
-         doc_id,
-         CAST(greatest(0, coalesce(len(string_split(text, ' ')), 0))
-              AS BIGINT) AS n_tokens
-  FROM chunks
-),
-ordered AS MATERIALIZED (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY group_key, shard
-                               ORDER BY doc_id) AS rn
-  FROM sized
-),
-packed AS (
-  SELECT group_key, shard, rn, doc_id, n_tokens,
-         CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill
-  FROM ordered WHERE rn = 1
-  UNION ALL
-  SELECT o.group_key, o.shard, o.rn, o.doc_id, o.n_tokens,
-         CASE WHEN p.bin_fill + o.n_tokens <= 128
-              THEN p.bin_id ELSE p.bin_id + 1 END,
-         CASE WHEN p.bin_fill + o.n_tokens <= 128
-              THEN p.bin_fill + o.n_tokens ELSE o.n_tokens END
-  FROM packed p JOIN ordered o
-    ON o.group_key IS NOT DISTINCT FROM p.group_key
-   AND o.shard = p.shard AND o.rn = p.rn + 1
-)
-SELECT group_key, shard, doc_id, n_tokens, bin_id, bin_fill FROM packed
+{_pack_sql('chunks', 128)}
 """
 
 
@@ -1299,25 +1318,11 @@ SPECS: dict[str, QuerySpec] = {
         lambda spark, sf_dir: text_analysis.chunk_documents(
             load_table(spark, sf_dir, "documents")
         ),
-        f"""WITH base AS (
-             SELECT doc_id, {_TOKS} AS toks FROM documents
-           ),
-           ex AS (
-             SELECT doc_id, toks,
-                    unnest(range(0, 1 + GREATEST(0,
-                        CAST(ceil((len(toks) - 64) / {64 - 8}.0) AS BIGINT))))
-                      AS chunk_idx
-             FROM base
-           )
-           SELECT doc_id, chunk_idx,
-                  array_to_string(
-                      list_slice(toks, chunk_idx * {64 - 8} + 1,
-                                 chunk_idx * {64 - 8} + 64), ' ') AS chunk_text,
-                  CAST(LEAST(64, len(toks) - chunk_idx * {64 - 8}) AS BIGINT)
-                    AS n_tokens
-           FROM ex""",
+        f"""WITH {_chunk_sql('documents')}
+           SELECT doc_id, chunk_idx, chunk_text, n_tokens FROM chunkrows""",
         doc="context-window chunking (64-token chunks, 8-token overlap) — "
-            "zero-shuffle narrow transform (new round 3)",
+            "zero-shuffle narrow transform (new round 3; round 4 shares "
+            "the _chunk_sql oracle body with pretrain_funnel)",
     ),
     # --- LLM pipeline: dedup ---
     "dedup_exact": QuerySpec(

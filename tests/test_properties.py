@@ -149,3 +149,43 @@ def test_media_parsers_total_on_magic_prefixed_bytes(payload):
         ):
             out = fn(blob)
             assert out is None or isinstance(out, tuple)
+
+
+# --- SQL packing recurrence == Python on the empty-first-bin edge ---------
+
+
+def test_pack_sql_keeps_oversized_doc_in_empty_bin():
+    """A 0-token document opening a bin followed by an over-budget
+    document: Python's overflow check (`fill > 0 and fill + n >
+    budget`) keeps the oversized doc in the EMPTY bin 0 — the shared
+    _pack_sql recursion must agree (its stay condition carries the
+    explicit bin_fill = 0 clause for exactly this case)."""
+    import duckdb
+
+    from mapreduceimpl_spark.catalog import _pack_sql
+    from mapreduceimpl_spark.operators.packing import _pack_one_group
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, NULL, 'en'), (2, trim(repeat('x ', 200)), 'en')"
+        ") t(doc_id, text, lang)"
+    )
+    sql_rows = con.execute(
+        f"WITH RECURSIVE {_pack_sql('documents', 128, n_shards=1)} ORDER BY doc_id"
+    ).fetchall()
+    # (group_key, shard, doc_id, n_tokens, bin_id, bin_fill)
+    assert [(r[2], r[3], r[4], r[5]) for r in sql_rows] == [
+        (1, 0, 0, 0),
+        (2, 200, 0, 200),  # stays in the empty bin 0, not a new bin 1
+    ]
+    py = _pack_one_group(
+        pd.DataFrame(
+            {"group_key": ["en", "en"], "shard": [0, 0],
+             "doc_id": [1, 2], "n_tokens": [0, 200]}
+        ),
+        128,
+    )
+    assert list(zip(py["doc_id"], py["bin_id"], py["bin_fill"])) == [
+        (1, 0, 0), (2, 0, 200),
+    ]
