@@ -2600,6 +2600,32 @@ SPECS: dict[str, QuerySpec] = {
             "shape): per-user hour grid from a narrow sequence-explode of "
             "the span table, keyed fill join, one LOCF window",
     ),
+    "text_token_entropy": QuerySpec(
+        lambda spark, sf_dir: text_analysis.token_entropy(
+            load_table(spark, sf_dir, "documents")
+        ),
+        """WITH tok AS (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents
+           ),
+           per AS (SELECT doc_id, token, COUNT(*) AS cnt
+                   FROM tok GROUP BY 1, 2),
+           totals AS (SELECT doc_id, SUM(cnt) AS n FROM per GROUP BY 1),
+           terms AS (
+             SELECT per.doc_id, totals.n,
+                    round((cnt / CAST(n AS DOUBLE))
+                          * log2(cnt / CAST(n AS DOUBLE)), 9) AS term
+             FROM per JOIN totals ON per.doc_id = totals.doc_id
+           )
+           SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+                  round(-CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6)
+                    AS entropy_bits
+           FROM terms GROUP BY doc_id""",
+        doc="per-document Shannon token entropy in bits (repetition/"
+            "boilerplate signal): p*log2(p) terms rounded then "
+            "decimal-summed, order- and libm-ulp-free (the "
+            "unigram_logprob pattern, doc-internal)",
+    ),
     "media_probe": QuerySpec(
         _q_media_probe,
         _media_probe_oracle(),
@@ -2612,15 +2638,15 @@ SPECS: dict[str, QuerySpec] = {
 
 
 # Round-4 window rotation (driver records the first ~50 entries; see
-# module docstring).  Head 1-30: the fifteen TPC-H optimizer-shape
+# module docstring).  Head 1-31: the fifteen TPC-H optimizer-shape
 # queries, the eight LLM-pipeline additions (vocab_topk,
 # quality_percentile, knn_classify, random_projection,
 # next_event_pairs, token_pair_counts, knn_classify_lsh,
 # pretrain_funnel), and two analytics completions (corr_analysis,
 # price_histogram), the two skew-machinery parity entries
 # (skew_salted_join, skew_two_phase), pagerank, timeseries_gapfill,
-# and media_probe — all new this round (never driver-verified);
-# 31-50: the oldest-evidence entries
+# media_probe, and text_token_entropy — all new this round (never
+# driver-verified); 32-50: the oldest-evidence entries
 # (last driver
 # row round 2); the rest of that cohort plus the round-3-green tail
 # follow and lead round 5's window.
@@ -2633,7 +2659,7 @@ _ROUND4_ORDER = [
     "random_projection", "next_event_pairs", "token_pair_counts",
     "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
     "skew_salted_join", "skew_two_phase", "pagerank", "timeseries_gapfill",
-    "media_probe",
+    "media_probe", "text_token_entropy",
     "events_sessionize", "asof_join", "dedup_minhash_lsh", "dedup_embedding",
     "seq_pack", "multimodal_meta", "agg_approx", "events_sliding",
     "events_session_native", "dedup_exact", "dedup_exact_norm", "dedup_simhash_sigs",

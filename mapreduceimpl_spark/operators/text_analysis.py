@@ -633,3 +633,37 @@ def token_pair_counts(docs: DataFrame, k: int = 20) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("lang", "pair", "cnt", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def token_entropy(docs: DataFrame, round_term: int = 9) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits)
+    — low entropy flags repetitive/boilerplate text, high entropy
+    flags diverse prose; the information-theoretic sibling of the
+    ``text_repetition`` gram filters and the zlib compression ratio.
+
+    Determinism: each p*log2(p) term is rounded to ``round_term``
+    decimals and summed through DECIMAL, so the per-doc entropy is
+    independent of partition order and engine libm ulps (the
+    ``unigram_logprob`` pattern, doc-internal instead of corpus-LM).
+
+    Scale: explode -> (doc, token) count -> per-doc total -> one
+    keyed join back, all on uniform content-derived keys; two shuffles
+    regardless of corpus size.
+    """
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    per = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    totals = per.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt").cast("double") / F.col("n").cast("double")
+    term = F.round(p * F.log2(p), round_term)
+    return (
+        per.join(totals, "doc_id")
+        .select("doc_id", "n", term.alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("term").cast(f"decimal(28,{round_term})")).cast("double"),
+                6,
+            ).alias("entropy_bits"),
+        )
+    )

@@ -314,3 +314,16 @@ def test_token_pair_counts_bpe_merge_candidates(spark):
     # counts: "lo w"=3, "w er"=1, "w lo"=1 -> rank by cnt desc, pair asc
     assert en == {(1, "lo w", 3), (2, "w er", 1), (3, "w lo", 1)}
     assert not [r for r in out if r["lang"] == "de"]
+
+
+def test_token_entropy_known_values(spark):
+    """Hand-computable entropies: uniform 4-token doc -> 2 bits;
+    single repeated token -> 0 bits; 'a a b b' -> 1 bit."""
+    df = spark.createDataFrame(
+        [(1, "a b c d", "en"), (2, "x x x x", "en"), (3, "a a b b", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    got = {r["doc_id"]: r for r in text_analysis.token_entropy(df).collect()}
+    assert got[1]["entropy_bits"] == 2.0 and got[1]["n_tokens"] == 4
+    assert got[2]["entropy_bits"] == 0.0
+    assert got[3]["entropy_bits"] == 1.0
