@@ -314,6 +314,19 @@ ANNOTATED = {
         "table, the fill join is keyed on (user, bucket), and LOCF is "
         "one window over the user partitioning."
     ),
+    "media_probe": (
+        "Media triage: payload synthesis (unhex of computed hex) and "
+        "the parser pass are ONE narrow mapInPandas stage fused with "
+        "the scan — zero shuffles; at 100 TB this is the cheap "
+        "route-by-type first pass before any codec decode."
+    ),
+    "text_token_entropy": (
+        "Doc-internal entropy: explode -> (doc, token) partial+final "
+        "count -> per-doc total -> keyed join back; two shuffles on "
+        "uniform doc-derived keys regardless of corpus size, terms "
+        "rounded-then-decimal-summed so the result is partition-order "
+        "and libm-ulp free."
+    ),
 }
 
 
