@@ -2600,6 +2600,23 @@ SPECS: dict[str, QuerySpec] = {
             "shape): per-user hour grid from a narrow sequence-explode of "
             "the span table, keyed fill join, one LOCF window",
     ),
+    "monthly_growth": QuerySpec(
+        _rel(relational.q_monthly_growth),
+        """WITH monthly AS (
+             SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                    CAST(month(o_orderdate) AS BIGINT) AS mo,
+                    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                      AS rev,
+                    COUNT(*) AS n_orders
+             FROM orders GROUP BY 1, 2
+           )
+           SELECT yr, mo, rev, n_orders,
+                  round((rev - lag(rev) OVER w) / lag(rev) OVER w, 6)
+                    AS mom_growth
+           FROM monthly WINDOW w AS (ORDER BY yr, mo)""",
+        doc="month-over-month revenue growth: lag ratio over the monthly "
+            "aggregate (global window over |months| rows, never raw facts)",
+    ),
     "text_token_entropy": QuerySpec(
         lambda spark, sf_dir: text_analysis.token_entropy(
             load_table(spark, sf_dir, "documents")
@@ -2638,15 +2655,15 @@ SPECS: dict[str, QuerySpec] = {
 
 
 # Round-4 window rotation (driver records the first ~50 entries; see
-# module docstring).  Head 1-31: the fifteen TPC-H optimizer-shape
+# module docstring).  Head 1-32: the fifteen TPC-H optimizer-shape
 # queries, the eight LLM-pipeline additions (vocab_topk,
 # quality_percentile, knn_classify, random_projection,
 # next_event_pairs, token_pair_counts, knn_classify_lsh,
 # pretrain_funnel), and two analytics completions (corr_analysis,
 # price_histogram), the two skew-machinery parity entries
 # (skew_salted_join, skew_two_phase), pagerank, timeseries_gapfill,
-# media_probe, and text_token_entropy — all new this round (never
-# driver-verified); 32-50: the oldest-evidence entries
+# media_probe, text_token_entropy, and monthly_growth — all new this
+# round (never driver-verified); 33-50: the oldest-evidence entries
 # (last driver
 # row round 2); the rest of that cohort plus the round-3-green tail
 # follow and lead round 5's window.
@@ -2659,7 +2676,7 @@ _ROUND4_ORDER = [
     "random_projection", "next_event_pairs", "token_pair_counts",
     "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
     "skew_salted_join", "skew_two_phase", "pagerank", "timeseries_gapfill",
-    "media_probe", "text_token_entropy",
+    "media_probe", "text_token_entropy", "monthly_growth",
     "events_sessionize", "asof_join", "dedup_minhash_lsh", "dedup_embedding",
     "seq_pack", "multimodal_meta", "agg_approx", "events_sliding",
     "events_session_native", "dedup_exact", "dedup_exact_norm", "dedup_simhash_sigs",

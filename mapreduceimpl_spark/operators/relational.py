@@ -1450,3 +1450,29 @@ def q_timeseries_gapfill(t: dict[str, DataFrame]) -> DataFrame:
         F.coalesce("cnt", F.lit(0)).alias("cnt"),
         F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
     )
+
+
+def q_monthly_growth(t: dict[str, DataFrame]) -> DataFrame:
+    """Month-over-month revenue growth: monthly aggregate then lag
+    ratio — the standard KPI/reporting shape.
+
+    The growth window is GLOBAL (orderBy without partitionBy), which
+    is correct here because its input is the already-aggregated
+    |months| rows, not the fact table — a single-partition pass over
+    dozens of rows.  Never apply this shape to raw facts; aggregate
+    first (as here) or partition the window.
+    """
+    o = t["orders"]
+    monthly = (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(dec_sum("o_totalprice").alias("rev"), F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy("yr", "mo")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "yr", "mo", "rev", "n_orders",
+        F.round((F.col("rev") - prev) / prev, 6).alias("mom_growth"),
+    )
