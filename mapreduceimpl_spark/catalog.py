@@ -11,13 +11,15 @@ Ordering contract (round 2+): the driver records CORRECTNESS rows for
 roughly the FIRST 50 entries in insertion order.  SPECS is therefore
 rebuilt from ``_ROUND4_ORDER`` (defined after the dict literal) so the
 entries that most need a fresh green row come first.  Round 4 leads
-with the fifteen TPC-H optimizer-shape queries new this round
+with the seventeen TPC-H optimizer-shape queries new this round
 (Q2 min_cost_supplier, Q4 priority_returns, Q6 forecast_revenue,
-Q11 revenue_share, Q12 shipmode_priority, Q13 customer_distribution,
+Q8 market_share, Q9 product_profit, Q11 revenue_share,
+Q12 shipmode_priority, Q13 customer_distribution,
 Q14 promo_revenue, Q15 top_supplier, Q16 parts_supplier_relation,
 Q17 small_qty_revenue, Q18 large_orders, Q19 discounted_revenue,
 Q20 heavy_shippers, Q21 waiting_suppliers, Q22 sales_opportunity —
-joining the Q1/Q3/Q5/Q7/Q10 shapes verified in earlier rounds), then
+joining the Q1/Q3/Q5/Q7/Q10 shapes verified in earlier rounds, which
+completes all 22 TPC-H query shapes), then
 rotates in the 37 entries whose most recent driver row is round 2
 (they sat past round 3's 50-entry window; the last two of those plus
 the padding land just past this window and lead round 5), and keeps
@@ -2617,6 +2619,57 @@ SPECS: dict[str, QuerySpec] = {
         doc="month-over-month revenue growth: lag ratio over the monthly "
             "aggregate (global window over |months| rows, never raw facts)",
     ),
+    "market_share": QuerySpec(
+        _rel(relational.q_market_share),
+        """WITH market AS (
+             SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                    l_extendedprice * (1 - l_discount) AS rev,
+                    sn.n_name AS supp_nation
+             FROM lineitem
+             JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation cn ON c_nationkey = cn.n_nationkey
+             JOIN region ON cn.n_regionkey = r_regionkey
+                        AND r_name = 'EUROPE'
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation sn ON s_nationkey = sn.n_nationkey
+           ),
+           shares AS (
+             SELECT o_year,
+                    CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_7'
+                                       THEN rev ELSE 0.0 END
+                                  AS DECIMAL(28,4))) AS DOUBLE) AS nation_rev,
+                    CAST(SUM(CAST(rev AS DECIMAL(28,4))) AS DOUBLE)
+                      AS total_rev
+             FROM market GROUP BY o_year
+           )
+           SELECT o_year, nation_rev, total_rev,
+                  round(nation_rev / total_rev, 6) AS mkt_share
+           FROM shares""",
+        doc="TPC-H Q8 shape: one nation's share of a region's ECONOMY-"
+            "part market by year — conditional-sum / sum on one grouped "
+            "pass; completes the 22-query TPC-H shape sweep with Q9",
+    ),
+    "product_profit": QuerySpec(
+        _rel(relational.q_product_profit),
+        """SELECT sn.n_name AS nation,
+                  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                  CAST(SUM(CAST(
+                    floor((l_extendedprice * (1 - l_discount)
+                           - l_quantity * p_retailprice
+                             * CAST(0.6 AS DOUBLE)) * 10000.0 + 0.5)
+                    / 10000.0 AS DECIMAL(28,4))) AS DOUBLE) AS profit
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           GROUP BY nation, o_year""",
+        doc="TPC-H Q9 shape: profit by supplier nation x year over a "
+            "part-name slice (supply cost = 60% retail, fixture has no "
+            "partsupp); per-line profit floor-rounded before dec-sum",
+    ),
     "text_token_entropy": QuerySpec(
         lambda spark, sf_dir: text_analysis.token_entropy(
             load_table(spark, sf_dir, "documents")
@@ -2655,8 +2708,9 @@ SPECS: dict[str, QuerySpec] = {
 
 
 # Round-4 window rotation (driver records the first ~50 entries; see
-# module docstring).  Head 1-32: the fifteen TPC-H optimizer-shape
-# queries, the eight LLM-pipeline additions (vocab_topk,
+# module docstring).  Head 1-34: the seventeen TPC-H optimizer-shape
+# queries (incl. Q8 market_share / Q9 product_profit, completing all
+# 22 shapes), the eight LLM-pipeline additions (vocab_topk,
 # quality_percentile, knn_classify, random_projection,
 # next_event_pairs, token_pair_counts, knn_classify_lsh,
 # pretrain_funnel), and two analytics completions (corr_analysis,
@@ -2672,6 +2726,7 @@ _ROUND4_ORDER = [
     "promo_revenue", "parts_supplier_relation", "discounted_revenue", "waiting_suppliers",
     "sales_opportunity", "min_cost_supplier", "revenue_share", "top_supplier",
     "small_qty_revenue", "large_orders", "heavy_shippers",
+    "market_share", "product_profit",
     "vocab_topk", "quality_percentile", "knn_classify",
     "random_projection", "next_event_pairs", "token_pair_counts",
     "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",

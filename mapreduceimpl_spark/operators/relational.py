@@ -1476,3 +1476,87 @@ def q_monthly_growth(t: dict[str, DataFrame]) -> DataFrame:
         "yr", "mo", "rev", "n_orders",
         F.round((F.col("rev") - prev) / prev, 6).alias("mom_growth"),
     )
+
+
+def q_market_share(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for a
+    part type, by order year — conditional-sum-over-sum on the same
+    grouped rows (TPC-H's ``sum(case when nation = X ...)/sum(...)``).
+
+    Plan shape: every dimension (part slice, supplier, customer,
+    nation x2, region) broadcasts; the lineitem->orders join is the
+    only fact-fact shuffle, and the ECONOMY part filter prunes the
+    fact FIRST via the broadcast-hash join, so the shuffled side is
+    already the sliced market, not all of lineitem.  Share is a
+    per-group ratio of two decimal-routed sums — no second pass and
+    no join back, which is what keeps Q8 one aggregation at 100 TB.
+    """
+    li, o, c = t["lineitem"], t["orders"], t["customer"]
+    s, n, r = t["supplier"], t["nation"], t["region"]
+    n_cust = n.join(
+        broadcast(r.filter(F.col("r_name") == "EUROPE")),
+        n.n_regionkey == r.r_regionkey,
+    ).select(F.col("n_nationkey").alias("cust_nk"))
+    n_supp = n.select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    econ_parts = t["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    market = (
+        li.join(broadcast(econ_parts), li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n_cust), F.col("c_nationkey") == F.col("cust_nk"))
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n_supp), F.col("s_nationkey") == F.col("supp_nk"))
+    )
+    rev = revenue()
+    target = F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(F.lit(0.0))
+    return (
+        market.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            dec_sum(target).alias("nation_rev"),
+            dec_sum(rev).alias("total_rev"),
+        )
+        .select(
+            "o_year",
+            "nation_rev",
+            "total_rev",
+            F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+        )
+    )
+
+
+def q_product_profit(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for parts
+    matching a name pattern (``p_name LIKE '%bolt%'``).
+
+    The fixture has no partsupp, so supply cost is derived as 60% of
+    the part's retail price per unit (same adaptation family as Q2's
+    shipped-line unit cost).  Per-line profit is rounded via the
+    portable floor(x*1e4+0.5)/1e4 BEFORE the decimal sum: profit
+    mixes two double products and Spark/DuckDB must agree at the
+    .00005 cast boundaries (the exact bug Q2 hit at sf0.1).
+
+    Plan shape: the part-name slice broadcasts and prunes the fact
+    first, supplier+nation broadcast, and the only shuffles are the
+    fact->orders join and the final (nation, year) aggregate.
+    """
+    li, o, s, n = t["lineitem"], t["orders"], t["supplier"], t["nation"]
+    bolt_parts = (
+        t["part"]
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    raw_profit = revenue() - F.col("l_quantity") * F.col("p_retailprice") * F.lit(0.6)
+    line_profit = F.floor(raw_profit * 10000.0 + 0.5) / 10000.0
+    return (
+        li.join(broadcast(bolt_parts), li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            broadcast(n.select("n_nationkey", F.col("n_name").alias("nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(dec_sum(line_profit).alias("profit"))
+    )

@@ -485,3 +485,22 @@ def test_gapfill_grid_is_not_cartesian(tables):
     users x calendar cross join."""
     df = relational.q_timeseries_gapfill(tables)
     assert_no_cartesian(df)
+
+
+def test_q8_all_dims_broadcast_single_agg(tables):
+    """Q8's six dimension joins all broadcast (part slice, customer,
+    nation x2, region-filtered nation, supplier); the only shuffles
+    are fact->orders and the final year aggregate, and the share is
+    computed inside that one grouped pass (no join-back)."""
+    df = relational.q_market_share(tables)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, expect=5)
+
+
+def test_q9_part_slice_prunes_fact_first(tables):
+    """Q9 broadcasts the %bolt% part slice so the name filter prunes
+    lineitem before the orders shuffle; supplier and nation broadcast
+    too."""
+    df = relational.q_product_profit(tables)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, expect=3)
