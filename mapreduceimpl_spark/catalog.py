@@ -2670,6 +2670,57 @@ SPECS: dict[str, QuerySpec] = {
             "part-name slice (supply cost = 60% retail, fixture has no "
             "partsupp); per-line profit floor-rounded before dec-sum",
     ),
+    "dedup_span_exact": QuerySpec(
+        lambda spark, sf_dir: dedup.duplicate_spans(
+            load_table(spark, sf_dir, "documents"), min_len=8
+        ),
+        f"""WITH t AS (
+             SELECT doc_id, {_TOKS} AS toks FROM documents
+           ),
+           occ AS (
+             SELECT doc_id, len(toks) AS n_tokens, i AS start,
+                    md5(array_to_string(toks[i + 1 : i + 8], ' ')) AS h
+             FROM t, unnest(range(0, greatest(len(toks) - 7, 0))) AS u(i)
+             WHERE len(toks) >= 8
+           ),
+           dup AS (
+             SELECT h FROM occ GROUP BY h
+             HAVING min(doc_id) <> max(doc_id)
+           ),
+           hits AS (
+             SELECT doc_id, n_tokens, start, start + 7 AS fin
+             FROM occ JOIN dup USING (h)
+           ),
+           marked AS (
+             SELECT doc_id, n_tokens, start, fin,
+                    CASE WHEN start > coalesce(
+                          MAX(fin) OVER (PARTITION BY doc_id ORDER BY start
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS brk
+             FROM hits
+           ),
+           isl AS (
+             SELECT doc_id, n_tokens, start, fin,
+                    SUM(brk) OVER (PARTITION BY doc_id ORDER BY start)
+                      AS island
+             FROM marked
+           ),
+           spans AS (
+             SELECT doc_id, island, MAX(n_tokens) AS n_tokens,
+                    MAX(fin) - MIN(start) + 1 AS span_len
+             FROM isl GROUP BY doc_id, island
+           )
+           SELECT doc_id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+                  CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+                  CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+                  round(SUM(span_len) / CAST(MAX(n_tokens) AS DOUBLE), 6)
+                    AS dup_frac
+           FROM spans GROUP BY doc_id""",
+        doc="exact-substring span dedup (suffix-array pass re-expressed "
+            "as positional 8-token shingles + per-doc interval union): "
+            "maximal cross-doc duplicated runs, merged not re-counted",
+    ),
     "text_token_entropy": QuerySpec(
         lambda spark, sf_dir: text_analysis.token_entropy(
             load_table(spark, sf_dir, "documents")
@@ -2726,7 +2777,7 @@ _ROUND4_ORDER = [
     "promo_revenue", "parts_supplier_relation", "discounted_revenue", "waiting_suppliers",
     "sales_opportunity", "min_cost_supplier", "revenue_share", "top_supplier",
     "small_qty_revenue", "large_orders", "heavy_shippers",
-    "market_share", "product_profit",
+    "market_share", "product_profit", "dedup_span_exact",
     "vocab_topk", "quality_percentile", "knn_classify",
     "random_projection", "next_event_pairs", "token_pair_counts",
     "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",

@@ -16,7 +16,7 @@ Scale notes per operator are in each docstring.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapreduceimpl_spark.functions import cosine_similarity, md5_token_hash, tokens
@@ -805,4 +805,90 @@ def embedding_neardup_pairs(
             sim.alias("cosine"),
         )
         .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span dedup (repeated >=L-token runs across documents)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(docs: DataFrame, min_len: int = 8) -> DataFrame:
+    """Per-document duplicated-substring mass: maximal runs of >=
+    ``min_len`` consecutive tokens that also appear verbatim in some
+    OTHER document — the exact-substring dedup pass of LLM pipelines
+    (suffix-array dedup a la "Deduplicating Training Data Makes
+    Language Models Better"), re-expressed Spark-first.
+
+    Instead of a monolithic suffix array, every ``min_len``-token
+    window becomes a positional shingle (start, md5); a shingle whose
+    occurrences span more than one doc_id marks its ``min_len`` tokens
+    as duplicated, and per-doc interval union (running-max-end
+    gap-and-islands) merges overlapping marks into maximal spans, so a
+    40-token shared run is reported once, length 40, not as 33
+    overlapping windows.
+
+    Returns (doc_id, n_tokens, n_dup_spans, dup_tokens, dup_frac) for
+    docs with at least one cross-doc duplicated span.
+
+    Scale: shingling is a narrow per-row transform (see
+    ``ngram_shingles`` on why the token array is projected before the
+    lambda); the duplicated-shingle set is one groupBy on the md5 key;
+    marking is one shuffle join back on that key; the interval merge
+    is one (doc_id; start) window.  No pairwise doc comparison exists
+    anywhere — cost tracks total token count plus true duplicated
+    mass, which is what survives a 100 TB corpus.  Boilerplate-heavy
+    corpora (one shingle in millions of docs) pay the join-back for
+    every occurrence; that is the operator's real output (those spans
+    ARE duplicated), but pair it with ``repetition_stats`` filtering
+    upstream if boilerplate should be dropped rather than measured.
+    """
+    pre = docs.select("doc_id", tokens("text").alias("__toks")).filter(
+        F.size("__toks") >= min_len
+    )
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - min_len),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, min_len))),
+    )
+    occ = pre.select(
+        "doc_id",
+        F.size("__toks").alias("n_tokens"),
+        F.posexplode(shingles).alias("start", "h"),
+    )
+    dup = (
+        occ.groupBy("h")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
+        .select("h")
+    )
+    hits = occ.join(dup, "h").select(
+        "doc_id", "n_tokens", "start", (F.col("start") + min_len - 1).alias("fin")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("start")
+    isl = hits.withColumn(
+        "brk",
+        F.when(
+            F.col("start") > F.coalesce(F.max("fin").over(w_prev), F.lit(-1)), 1
+        ).otherwise(0),
+    ).withColumn("island", F.sum("brk").over(w_run))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        (F.max("fin") - F.min("start") + 1).alias("span_len"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_dup_spans"),
+            F.sum("span_len").cast("long").alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_tokens") / F.col("n_tokens").cast("double"), 6),
+        )
     )

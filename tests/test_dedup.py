@@ -405,3 +405,66 @@ def test_incremental_dedup_persisted_corpus_sigs(docs, tmp_path):
     assert sorted(map(key, from_disk.collect())) == sorted(
         map(key, recomputed.collect())
     )
+
+
+def _span_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_merges_overlapping_windows(spark):
+    """A 12-token run shared by two docs is one span of length 12 —
+    the 5 overlapping 8-token windows merge, they don't re-count."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    d = _span_docs(
+        spark,
+        [
+            (1, shared + " " + " ".join(f"a{i}" for i in range(6))),
+            (2, " ".join(f"b{i}" for i in range(6)) + " " + shared),
+        ],
+    )
+    got = {r["doc_id"]: r for r in dedup.duplicate_spans(d, min_len=8).collect()}
+    assert set(got) == {1, 2}
+    for doc_id in (1, 2):
+        assert got[doc_id]["n_dup_spans"] == 1
+        assert got[doc_id]["dup_tokens"] == 12
+        assert got[doc_id]["n_tokens"] == 18
+        assert got[doc_id]["dup_frac"] == round(12 / 18, 6)
+
+
+def test_duplicate_spans_gap_yields_two_spans(spark):
+    """Two shared 8-token runs separated by unique middles are two
+    spans per doc, not one merged blob."""
+    run1 = " ".join(f"x{i}" for i in range(8))
+    run2 = " ".join(f"y{i}" for i in range(8))
+    d = _span_docs(
+        spark,
+        [
+            (1, f"{run1} m1 m2 m3 {run2}"),
+            (2, f"{run2} n1 n2 n3 n4 {run1}"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in dedup.duplicate_spans(d, min_len=8).collect()}
+    assert got[1]["n_dup_spans"] == 2
+    assert got[1]["dup_tokens"] == 16
+    assert got[2]["n_dup_spans"] == 2
+
+
+def test_duplicate_spans_ignores_within_doc_repeats_and_short_docs(spark):
+    """A run repeated only inside ONE doc is not cross-doc duplicated;
+    docs shorter than min_len never produce shingles."""
+    run = " ".join(f"r{i}" for i in range(8))
+    d = _span_docs(
+        spark,
+        [
+            (1, f"{run} mid {run}"),  # within-doc repeat only
+            (2, "tiny doc"),  # < min_len tokens
+            (3, " ".join(f"u{i}" for i in range(20))),  # all unique
+        ],
+    )
+    assert dedup.duplicate_spans(d, min_len=8).count() == 0
+
+
+def test_duplicate_spans_single_join_no_cartesian(docs):
+    from mapreduceimpl_spark.plans import assert_no_cartesian
+
+    assert_no_cartesian(dedup.duplicate_spans(docs))
