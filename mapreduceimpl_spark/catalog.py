@@ -2670,6 +2670,23 @@ SPECS: dict[str, QuerySpec] = {
             "part-name slice (supply cost = 60% retail, fixture has no "
             "partsupp); per-line profit floor-rounded before dec-sum",
     ),
+    "split_assign": QuerySpec(
+        lambda spark, sf_dir: sampling.train_val_test_split(
+            load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+        ),
+        # thresholds are repr()s of the operator's float accumulation
+        # (0.9, 0.9 + 0.05) so the CASE boundaries are bit-identical
+        f"""SELECT doc_id, lang,
+                   CASE WHEN {sampling.hash_uniform_sql("'split-v1:' || CAST(doc_id AS VARCHAR)")} < 0.9
+                        THEN 'train'
+                        WHEN {sampling.hash_uniform_sql("'split-v1:' || CAST(doc_id AS VARCHAR)")} < {0.9 + 0.05!r}
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents""",
+        doc="deterministic 90/5/5 train/val/test assignment from salted "
+            "md5 uniforms: rerun-stable, growth-stable (new docs never "
+            "move old ones across splits), zero-shuffle",
+    ),
     "dedup_span_exact": QuerySpec(
         lambda spark, sf_dir: dedup.duplicate_spans(
             load_table(spark, sf_dir, "documents"), min_len=8
@@ -2777,7 +2794,7 @@ _ROUND4_ORDER = [
     "promo_revenue", "parts_supplier_relation", "discounted_revenue", "waiting_suppliers",
     "sales_opportunity", "min_cost_supplier", "revenue_share", "top_supplier",
     "small_qty_revenue", "large_orders", "heavy_shippers",
-    "market_share", "product_profit", "dedup_span_exact",
+    "market_share", "product_profit", "dedup_span_exact", "split_assign",
     "vocab_topk", "quality_percentile", "knn_classify",
     "random_projection", "next_event_pairs", "token_pair_counts",
     "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",

@@ -175,3 +175,44 @@ def weighted_sample(
         F.greatest(F.lit(0.0), F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))),
     )
     return df.filter(hash_uniform(F.col(key_col)) < w)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic dataset split assignment: each row lands in the
+    first named split whose cumulative weight exceeds its md5 uniform.
+
+    The uniform is hashed from (salt, id), never ``rand()``, so the
+    assignment is (a) reproducible across reruns/retries — a retried
+    task re-derives the identical split, no shuffle-order or seed
+    plumbing; (b) stable under corpus growth — adding documents never
+    moves an existing document between splits, the property that keeps
+    yesterday's eval set leak-free when the corpus is re-snapshotted;
+    (c) a zero-shuffle narrow transform at any scale.  Changing the
+    salt re-rolls every assignment at once (intentional: version the
+    salt with the dataset release).
+
+    ``weights`` maps split name -> fraction, in iteration order;
+    fractions must sum to ~1.  Default 90/5/5 train/val/test.
+    """
+    if weights is None:
+        weights = {"train": 0.90, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = hash_uniform(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    expr: Column | None = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        branch = F.when(u < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
+    split = (
+        expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
+    )
+    return df.withColumn("split", split)

@@ -287,3 +287,42 @@ def test_weighted_sample_null_weight_drops(spark):
     )
     kept = weighted_sample(df, "w").collect()
     assert [r["doc_id"] for r in kept] == [2]
+
+
+def test_split_assign_growth_stable_and_deterministic(docs):
+    """Adding documents never moves an existing doc between splits,
+    and a rerun reproduces the identical assignment (hash, not rand)."""
+    from mapreduceimpl_spark.operators.sampling import train_val_test_split
+
+    subset = docs.filter(F.col("doc_id") < 100).select("doc_id")
+    full = docs.select("doc_id")
+    sub_map = {r["doc_id"]: r["split"] for r in train_val_test_split(subset).collect()}
+    full_map = {r["doc_id"]: r["split"] for r in train_val_test_split(full).collect()}
+    assert sub_map == {k: v for k, v in full_map.items() if k < 100}
+    rerun = {r["doc_id"]: r["split"] for r in train_val_test_split(full).collect()}
+    assert rerun == full_map
+    # 90/5/5 within fixture tolerance
+    n = len(full_map)
+    frac_train = sum(v == "train" for v in full_map.values()) / n
+    assert 0.84 <= frac_train <= 0.96
+    assert set(full_map.values()) == {"train", "val", "test"}
+
+
+def test_split_assign_zero_shuffle_and_weight_guard(docs):
+    from mapreduceimpl_spark.operators.sampling import train_val_test_split
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(train_val_test_split(docs.select("doc_id")), "simple")
+    assert plan.count("Exchange") == 0, plan
+    import pytest
+
+    with pytest.raises(ValueError):
+        train_val_test_split(docs, weights={"a": 0.5, "b": 0.3})
+
+
+def test_split_assign_salt_reassigns(docs):
+    from mapreduceimpl_spark.operators.sampling import train_val_test_split
+
+    a = {r["doc_id"]: r["split"] for r in train_val_test_split(docs.select("doc_id"), salt="v1").collect()}
+    b = {r["doc_id"]: r["split"] for r in train_val_test_split(docs.select("doc_id"), salt="v2").collect()}
+    assert a != b  # a salt bump re-rolls assignments
