@@ -2670,6 +2670,72 @@ SPECS: dict[str, QuerySpec] = {
             "part-name slice (supply cost = 60% retail, fixture has no "
             "partsupp); per-line profit floor-rounded before dec-sum",
     ),
+    "text_bigram_logprob": QuerySpec(
+        lambda spark, sf_dir: text_analysis.bigram_logprob(
+            load_table(spark, sf_dir, "documents")
+        ),
+        # 0.30000000000000004 is repr(1.0 - 0.7): the interpolation
+        # weights must be the same doubles in both engines
+        f"""WITH t AS (
+             SELECT doc_id, {_TOKS} AS toks FROM documents
+           ),
+           tok AS (SELECT unnest(toks) AS token FROM t),
+           uni AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+           tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM uni),
+           pairs AS (
+             SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+             FROM t, unnest(range(1, len(toks))) AS u(i)
+             WHERE len(toks) >= 2
+           ),
+           bi AS (
+             SELECT prev, cur, COUNT(*) AS cnt_pc FROM pairs GROUP BY 1, 2
+           ),
+           scored AS (
+             SELECT p.doc_id,
+                    round(ln(CAST(0.7 AS DOUBLE)
+                             * (CAST(bi.cnt_pc AS DOUBLE)
+                                / CAST(up.cnt AS DOUBLE))
+                           + CAST({1.0 - 0.7!r} AS DOUBLE)
+                             * (CAST(uc.cnt AS DOUBLE)
+                                / CAST(n AS DOUBLE))), 9) AS lp
+             FROM pairs p
+             JOIN bi ON p.prev = bi.prev AND p.cur = bi.cur
+             JOIN uni up ON p.prev = up.token
+             JOIN uni uc ON p.cur = uc.token
+             CROSS JOIN tot
+           )
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                  round(-CAST(SUM(CAST(lp AS DECIMAL(28,9))) AS DOUBLE)
+                        / COUNT(*), 6) AS avg_neg_logprob
+           FROM scored GROUP BY doc_id""",
+        doc="interpolated bigram-LM score per doc (lam=0.7 bigram + 0.3 "
+            "unigram backoff, corpus-trained): catches scrambled word "
+            "order that unigram stats miss; per-pair ln p rounded then "
+            "decimal-summed",
+    ),
+    "heavy_hitters": QuerySpec(
+        lambda spark, sf_dir: text_analysis.heavy_hitters(
+            load_table(spark, sf_dir, "documents"), min_frac=0.002
+        ),
+        # threshold product forced to DOUBLE: DuckDB would otherwise
+        # evaluate total * 0.002 in exact DECIMAL and disagree with
+        # Spark's double product at representation boundaries
+        """WITH tok AS (
+             SELECT unnest(string_split(text, ' ')) AS token
+             FROM documents
+           ),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok)
+           SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt,
+                  round(COUNT(*) / CAST(total AS DOUBLE), 6) AS frac
+           FROM tok, tot
+           GROUP BY token, total
+           HAVING COUNT(*) >= total * CAST(0.002 AS DOUBLE)""",
+        doc="exact heavy hitters via per-partition Misra-Gries candidate "
+            "summaries (O(1/frac) state, recall-guaranteed superset) + "
+            "exact recount over the broadcast candidate set — the "
+            "shuffle carries candidates, never the full vocabulary; "
+            "the oracle is the plain exact formulation",
+    ),
     "split_assign": QuerySpec(
         lambda spark, sf_dir: sampling.train_val_test_split(
             load_table(spark, sf_dir, "documents").select("doc_id", "lang")
@@ -2795,6 +2861,7 @@ _ROUND4_ORDER = [
     "sales_opportunity", "min_cost_supplier", "revenue_share", "top_supplier",
     "small_qty_revenue", "large_orders", "heavy_shippers",
     "market_share", "product_profit", "dedup_span_exact", "split_assign",
+    "heavy_hitters", "text_bigram_logprob",
     "vocab_topk", "quality_percentile", "knn_classify",
     "random_projection", "next_event_pairs", "token_pair_counts",
     "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",

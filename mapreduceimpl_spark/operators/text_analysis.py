@@ -667,3 +667,136 @@ def token_entropy(docs: DataFrame, round_term: int = 9) -> DataFrame:
             ).alias("entropy_bits"),
         )
     )
+
+
+def heavy_hitters(docs: DataFrame, min_frac: float = 0.002) -> DataFrame:
+    """Exact corpus heavy hitters — every token whose frequency is at
+    least ``min_frac`` of all tokens — via the two-phase
+    candidate-then-verify pattern: per-partition Misra-Gries summaries
+    generate a small candidate set with a RECALL GUARANTEE, then one
+    exact recount over the candidates alone produces exact counts.
+
+    Why not plain wordcount+filter?  At 100 TB the full (token, count)
+    aggregate shuffles the entire vocabulary — billions of distinct
+    keys — to answer a question about a few hundred tokens.  Here the
+    shuffle carries only candidates: Misra-Gries with capacity
+    k = ceil(1/min_frac) per partition guarantees any token with
+    global count > N/(k+1) <= min_frac*N survives in at least one
+    partition's summary (if it survived nowhere, each partition saw
+    at most n_p/(k+1) of it, which sums below the threshold), so the
+    union of summaries is a superset of the answer.  The exact
+    recount (broadcast semi-join on the candidate set, then count)
+    removes false positives; eviction-order nondeterminism inside MG
+    cannot affect the result because the final filter uses exact
+    counts.  State per partition is O(1/min_frac), independent of
+    vocabulary size.
+
+    Returns (token, cnt, frac) with frac rounded to 6.
+    """
+    from collections.abc import Iterator as _Iterator
+
+    if not 0.0 < min_frac < 1.0:
+        raise ValueError(f"min_frac must be in (0,1), got {min_frac}")
+    cap = int(1.0 / min_frac) + 1
+
+    def mg(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        summary: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["text"]:
+                for tok in (text or "").split(" "):
+                    if tok in summary:
+                        summary[tok] += 1
+                    elif len(summary) < cap:
+                        summary[tok] = 1
+                    else:
+                        # decrement-all step; drop zeros
+                        dead = []
+                        for key in summary:
+                            summary[key] -= 1
+                            if summary[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del summary[key]
+        yield pd.DataFrame({"token": list(summary)})
+
+    candidates = (
+        docs.select("text").mapInPandas(mg, "token string").distinct()
+    )
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    total = toks.agg(F.count("*").alias("total"))
+    return (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.col("total") * F.lit(min_frac))
+        .select(
+            "token",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("total").cast("double"), 6).alias("frac"),
+        )
+    )
+
+
+def bigram_logprob(
+    docs: DataFrame, lam: float = 0.7, round_lp: int = 9
+) -> DataFrame:
+    """Interpolated-bigram-LM pseudo-perplexity per document: mean
+    negative log of p(cur|prev) = lam*c(prev,cur)/c(prev)
+    + (1-lam)*c(cur)/N under the corpus's own counts — the next step
+    up from ``unigram_logprob`` in the LM-quality-filter ladder
+    (catches scrambled word ORDER that unigram statistics cannot).
+
+    Interpolation with the unigram term means unseen bigrams never hit
+    log(0); corpus-internal scoring means every doc bigram exists at
+    least once, but the smoothed form is what you would ship against a
+    held-out reference corpus.
+
+    Determinism: per-pair log-probs rounded to ``round_lp`` then
+    decimal-summed (the ``unigram_logprob`` pattern); the interpolation
+    is evaluated in one fixed operation order and (1-lam) is computed
+    once in Python so the oracle can repr-match the exact double.
+
+    Scale: pair construction is a narrow transform (token array
+    projected first — see ``ngram_shingles``); then three uniform-key
+    joins (bigram counts, prev unigram, cur unigram), a broadcast
+    1-row total, one groupBy(doc).  No vocabulary-sized state on any
+    single node.
+    """
+    lam2 = 1.0 - lam
+    pre = docs.select("doc_id", tokens("text").alias("__toks")).filter(
+        F.size("__toks") >= 2
+    )
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    uni = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = uni.agg(F.sum("cnt").alias("n"))
+    pairs = pre.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__toks) - 1), "
+                "i -> struct(__toks[i-1] AS prev, __toks[i] AS cur))"
+            )
+        ).alias("pc"),
+    ).select("doc_id", "pc.prev", "pc.cur")
+    bi = pairs.groupBy("prev", "cur").agg(F.count("*").alias("cnt_pc"))
+    up = uni.select(F.col("token").alias("prev"), F.col("cnt").alias("cnt_prev"))
+    uc = uni.select(F.col("token").alias("cur"), F.col("cnt").alias("cnt_cur"))
+    prob = F.lit(lam) * (
+        F.col("cnt_pc").cast("double") / F.col("cnt_prev").cast("double")
+    ) + F.lit(lam2) * (F.col("cnt_cur").cast("double") / F.col("n").cast("double"))
+    scored = (
+        pairs.join(bi, ["prev", "cur"])
+        .join(up, "prev")
+        .join(uc, "cur")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.round(F.log(prob), round_lp).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(
+            -F.sum(F.col("lp").cast(f"decimal(28,{round_lp})")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_neg_logprob"),
+    )

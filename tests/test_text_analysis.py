@@ -327,3 +327,82 @@ def test_token_entropy_known_values(spark):
     assert got[1]["entropy_bits"] == 2.0 and got[1]["n_tokens"] == 4
     assert got[2]["entropy_bits"] == 0.0
     assert got[3]["entropy_bits"] == 1.0
+
+
+def test_heavy_hitters_exact_and_recall_guaranteed(docs):
+    """MG candidates + exact recount must equal plain wordcount +
+    threshold filter — including at a tiny capacity where eviction
+    churn is constant (the recall guarantee, not luck)."""
+    from mapreduceimpl_spark.operators.text_analysis import heavy_hitters
+
+    for frac in (0.002, 0.02):
+        got = {
+            r["token"]: r["cnt"] for r in heavy_hitters(docs, min_frac=frac).collect()
+        }
+        toks = docs.select(F.explode(F.split("text", " ")).alias("t"))
+        n = toks.count()
+        exact = {
+            r["t"]: r["c"]
+            for r in toks.groupBy("t").agg(F.count("*").alias("c")).collect()
+            if r["c"] >= n * frac
+        }
+        assert got == exact, f"frac={frac}"
+
+
+def test_heavy_hitters_rejects_bad_frac(docs):
+    import pytest
+
+    from mapreduceimpl_spark.operators.text_analysis import heavy_hitters
+
+    with pytest.raises(ValueError):
+        heavy_hitters(docs, min_frac=0.0)
+
+
+def test_heavy_hitters_candidate_set_broadcast(docs):
+    """The recount joins the token stream against a BROADCAST
+    candidate set — the full vocabulary never shuffles."""
+    from mapreduceimpl_spark.operators.text_analysis import heavy_hitters
+    from mapreduceimpl_spark.plans import assert_broadcast_join
+
+    assert_broadcast_join(heavy_hitters(docs), expect=2)  # candidates + total
+
+
+def test_bigram_logprob_known_values(spark):
+    """Hand-checked two-doc corpus: 'a b a b' and 'a b'. Unigram
+    counts a=3 b=3 N=6; bigrams ab=3 ba=1. p(b|a)=0.7*1+0.3*0.5=0.85,
+    p(a|b)=0.7*(1/3)+0.3*0.5."""
+    import math
+
+    from mapreduceimpl_spark.operators.text_analysis import bigram_logprob
+
+    d = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bigram_logprob(d).collect()}
+    p_ab = 0.7 * (3 / 3) + 0.30000000000000004 * (3 / 6)
+    p_ba = 0.7 * (1 / 3) + 0.30000000000000004 * (3 / 6)
+    lp = lambda p: round(math.log(p), 9)
+    exp1 = round(-(lp(p_ab) + lp(p_ba) + lp(p_ab)) / 3, 6)
+    exp2 = round(-lp(p_ab) / 1, 6)
+    assert got[1]["n_pairs"] == 3 and got[1]["avg_neg_logprob"] == exp1
+    assert got[2]["n_pairs"] == 1 and got[2]["avg_neg_logprob"] == exp2
+
+
+def test_bigram_logprob_orders_predictable_below_scrambled(spark):
+    """Within one corpus, a doc made of the dominant repeated bigram
+    chain must score more probable (lower avg neg logprob) than a doc
+    pairing the SAME tokens in never-repeated combinations — the
+    word-order signal unigram stats cannot express.  Also: the score
+    is partition-count invariant (decimal-routed sum)."""
+    from mapreduceimpl_spark.operators.text_analysis import bigram_logprob
+
+    rows = [(i, "a b c d a b c d a b c d") for i in range(10)]
+    rows.append((100, "a d c b d a b d c a d b"))  # same tokens, odd pairs
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_neg_logprob"] for r in bigram_logprob(d).collect()}
+    assert got[100] > got[0]
+    re_got = {
+        r["doc_id"]: r["avg_neg_logprob"]
+        for r in bigram_logprob(d.repartition(7)).collect()
+    }
+    assert re_got == got
