@@ -64,3 +64,36 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    range_cols: Sequence[str],
+    n_files: int | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered layout: repartitionByRange + sortWithinPartitions
+    on the same keys, so each output file covers a narrow, disjoint
+    slice of the key space and its parquet row-group min/max statistics
+    become selective — a point or range predicate on ``range_cols``
+    skips whole files/row groups at scan time (poor-man's zone maps).
+
+    This is the read-optimization complement of ``write_bucketed``:
+    bucketing kills the next JOIN's shuffle, range-sorting kills the
+    next RANGE SCAN's I/O.  At 100 TB the difference between a
+    clustered and an unclustered time-series table is reading one
+    day's files vs all of them.
+
+    ``n_files`` sets the number of range slices (None = default
+    parallelism); range boundaries come from Spark's reservoir sample
+    of the keys, so slices are balanced even for skewed keys.
+    """
+    cols = [df[c] for c in range_cols]
+    out = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files
+        else df.repartitionByRange(*cols)
+    )
+    out.sortWithinPartitions(*cols).write.format(fmt).mode(mode).save(path)

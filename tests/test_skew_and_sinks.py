@@ -130,3 +130,50 @@ def test_salted_join_accepts_short_aliases(spark):
     assert [r["k"] for r in semi] == [1]
     anti = salted_join(left, right, "k", how="anti").collect()
     assert [r["k"] for r in anti] == [2]
+
+
+def test_write_range_sorted_files_cover_disjoint_key_slices(tables, tmp_path):
+    """Each output file must span a narrow slice of l_shipdate so its
+    parquet min/max stats make range predicates skip files: a 1-year
+    filter over ~6.6 years of data should intersect well under half
+    of the 8 range slices (an unclustered write intersects ALL)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mapreduceimpl_spark.sources.sinks import write_range_sorted
+
+    path = str(tmp_path / "li_range")
+    write_range_sorted(
+        tables["lineitem"], path, range_cols=["l_shipdate"], n_files=8
+    )
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) >= 6  # range split produced multiple slices
+
+    import datetime as dt
+
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1997, 1, 1)
+    spans = []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "l_shipdate"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    overlapping = sum(1 for mn, mx in spans if mx >= lo and mn < hi)
+    assert overlapping <= len(files) // 2, spans
+
+    # slices are pairwise non-overlapping (true range clustering)
+    spans.sort()
+    for (_, prev_max), (next_min, _) in zip(spans, spans[1:]):
+        assert prev_max <= next_min, spans
+
+    # and the data round-trips
+    got = tables["lineitem"].sparkSession.read.parquet(path)
+    assert got.count() == tables["lineitem"].count()
