@@ -327,6 +327,45 @@ ANNOTATED = {
         "rounded-then-decimal-summed so the result is partition-order "
         "and libm-ulp free."
     ),
+    "market_share": (
+        "TPC-H Q8: all six dimension sides (part slice, customer, "
+        "nation x2, region-filtered nation, supplier) are "
+        "BroadcastHashJoins; the ECONOMY slice prunes lineitem BEFORE "
+        "the orders shuffle, and the nation share is a conditional "
+        "sum inside the single year aggregate — no join-back."
+    ),
+    "product_profit": (
+        "TPC-H Q9: the %bolt% part slice broadcasts and prunes the "
+        "fact first; per-line profit is floor-rounded then "
+        "decimal-summed so the (nation, year) aggregate is "
+        "shuffle-order-free."
+    ),
+    "dedup_span_exact": (
+        "Exact-substring span dedup: positional shingles are a narrow "
+        "transform; one groupBy finds cross-doc shingles, one "
+        "join-back marks positions, one (doc; start) window merges "
+        "overlapping marks into maximal spans.  No doc-x-doc "
+        "comparison exists in the plan — cost tracks token count plus "
+        "true duplicated mass."
+    ),
+    "split_assign": (
+        "Train/val/test assignment: a zero-Exchange narrow transform "
+        "— the salted md5 uniform and CASE cascade fuse into the scan "
+        "projection; rerun- and growth-stable by construction."
+    ),
+    "heavy_hitters": (
+        "Misra-Gries candidates (bounded O(1/frac) state per "
+        "partition, mapInPandas) feed a BROADCAST semi-join recount: "
+        "the full vocabulary never shuffles, only candidate tokens "
+        "are aggregated; the exact recount makes MG eviction "
+        "nondeterminism unobservable."
+    ),
+    "text_bigram_logprob": (
+        "Interpolated bigram LM: pair construction is a narrow "
+        "JVM-side transform; three uniform-key joins (bigram count, "
+        "prev/cur unigram) plus a 1-row broadcast total; per-pair ln "
+        "p rounded then decimal-summed per doc."
+    ),
 }
 
 
