@@ -2713,6 +2713,67 @@ SPECS: dict[str, QuerySpec] = {
             "order that unigram stats miss; per-pair ln p rounded then "
             "decimal-summed",
     ),
+    "collocations_pmi": QuerySpec(
+        lambda spark, sf_dir: text_analysis.collocations_pmi(
+            load_table(spark, sf_dir, "documents")
+        ),
+        f"""WITH t AS (
+             SELECT {_TOKS} AS toks FROM documents
+           ),
+           tok AS (SELECT unnest(toks) AS token FROM t),
+           uni AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+           ntok AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM uni),
+           pairs AS (
+             SELECT toks[i] AS tok_a, toks[i + 1] AS tok_b
+             FROM t, unnest(range(1, len(toks))) AS u(i)
+             WHERE len(toks) >= 2
+           ),
+           bi AS (
+             SELECT tok_a, tok_b, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2
+           ),
+           npair AS (SELECT CAST(SUM(cnt) AS BIGINT) AS p FROM bi),
+           scored AS (
+             SELECT b.tok_a, b.tok_b, CAST(b.cnt AS BIGINT) AS cnt,
+                    round(ln((CAST(b.cnt AS DOUBLE) / CAST(p AS DOUBLE))
+                          / ((CAST(ua.cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(ub.cnt AS DOUBLE)
+                                / CAST(n AS DOUBLE)))), 6) AS pmi
+             FROM bi b
+             JOIN uni ua ON b.tok_a = ua.token
+             JOIN uni ub ON b.tok_b = ub.token
+             CROSS JOIN ntok CROSS JOIN npair
+             WHERE b.cnt >= 5
+           )
+           SELECT tok_a, tok_b, cnt, pmi FROM scored
+           ORDER BY pmi DESC, tok_a, tok_b LIMIT 50""",
+        doc="top-50 adjacent collocations by PMI with min-count guard: "
+            "joins land on the pair vocabulary, totals broadcast, "
+            "top-k is TakeOrderedAndProject",
+    ),
+    "events_anomaly": QuerySpec(
+        _rel(relational.q_events_anomaly),
+        """WITH stats AS (
+             SELECT user_id, event_id, value,
+                    COUNT(*) OVER w AS n,
+                    CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER w
+                         AS DOUBLE) AS s1,
+                    CAST(SUM(CAST(value * value AS DECIMAL(28,4))) OVER w
+                         AS DOUBLE) AS s2
+             FROM events WINDOW w AS (PARTITION BY user_id)
+           ),
+           scored AS (
+             SELECT user_id, event_id, value,
+                    s2 / n - (s1 / n) * (s1 / n) AS var,
+                    round((value - s1 / n)
+                          / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS z
+             FROM stats
+           )
+           SELECT user_id, event_id, value, z
+           FROM scored WHERE var > 0 AND abs(z) > 3.0""",
+        doc="per-user |z|>3 outlier events from decimal-routed window "
+            "count/sum/sum-of-squares over ONE user_id Exchange — "
+            "no self-join, no per-user collect",
+    ),
     "heavy_hitters": QuerySpec(
         lambda spark, sf_dir: text_analysis.heavy_hitters(
             load_table(spark, sf_dir, "documents"), min_frac=0.002
@@ -2861,7 +2922,7 @@ _ROUND4_ORDER = [
     "sales_opportunity", "min_cost_supplier", "revenue_share", "top_supplier",
     "small_qty_revenue", "large_orders", "heavy_shippers",
     "market_share", "product_profit", "dedup_span_exact", "split_assign",
-    "heavy_hitters", "text_bigram_logprob",
+    "heavy_hitters", "text_bigram_logprob", "collocations_pmi", "events_anomaly",
     "vocab_topk", "quality_percentile", "knn_classify",
     "random_projection", "next_event_pairs", "token_pair_counts",
     "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",

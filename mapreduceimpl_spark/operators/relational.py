@@ -1560,3 +1560,38 @@ def q_product_profit(t: dict[str, DataFrame]) -> DataFrame:
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(dec_sum(line_profit).alias("profit"))
     )
+
+
+def q_events_anomaly(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-user outlier events: |z-score| > 3 against the user's own
+    value distribution — the standard telemetry anomaly pass.
+
+    Mean and variance come from decimal-routed window sums over ONE
+    (user_id) Exchange (count, sum, sum-of-squares are each exact, so
+    mean/var/z are identical doubles on any engine and any partition
+    order); var > 0 guards the constant-value user.  At 100 TB this
+    is a single pass over events: no self-join, no per-user collect.
+    """
+    e = t["events"]
+    w = Window.partitionBy("user_id")
+    n = F.count("*").over(w)
+    s1 = F.sum(F.col("value").cast("decimal(28,4)")).over(w).cast("double")
+    s2 = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,4)"))
+        .over(w)
+        .cast("double")
+    )
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "value",
+            var.alias("__var"),
+            F.round(z, 6).alias("z"),
+        )
+        .filter((F.col("__var") > 0) & (F.abs(F.col("z")) > 3.0))
+        .select("user_id", "event_id", "value", "z")
+    )

@@ -800,3 +800,62 @@ def bigram_logprob(
             6,
         ).alias("avg_neg_logprob"),
     )
+
+
+def collocations_pmi(
+    docs: DataFrame, min_count: int = 5, k: int = 50
+) -> DataFrame:
+    """Top-k adjacent-token collocations by pointwise mutual
+    information: PMI(a,b) = ln( (c_ab/P) / ((c_a/N) * (c_b/N)) ) with
+    P = total pairs, N = total tokens — the classic collocation-mining
+    statistic (high PMI = tokens that co-occur far more than their
+    independent frequencies predict).
+
+    ``min_count`` drops rare pairs whose PMI is spuriously high (the
+    statistic's known failure mode); ranking is by rounded PMI with a
+    (tok_a, tok_b) tiebreak so top-k is total-ordered.
+
+    Scale: same bounded shapes as ``bigram_logprob`` — narrow pair
+    transform, two wordcount-style aggregates, two uniform-key joins
+    onto the PAIR VOCABULARY (not the token stream), two 1-row
+    broadcast totals, and a TakeOrderedAndProject top-k (never a
+    global sort).
+    """
+    pre = docs.select(tokens("text").alias("__toks")).filter(F.size("__toks") >= 2)
+    pairs = pre.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__toks) - 1), "
+                "i -> struct(__toks[i-1] AS tok_a, __toks[i] AS tok_b))"
+            )
+        ).alias("pc")
+    ).select("pc.tok_a", "pc.tok_b")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    uni = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    n_tok = uni.agg(F.sum("cnt").alias("n"))
+    bi = pairs.groupBy("tok_a", "tok_b").agg(F.count("*").alias("cnt"))
+    n_pair = bi.agg(F.sum("cnt").alias("p"))
+    ua = uni.select(F.col("token").alias("tok_a"), F.col("cnt").alias("cnt_a"))
+    ub = uni.select(F.col("token").alias("tok_b"), F.col("cnt").alias("cnt_b"))
+    pmi = F.log(
+        (F.col("cnt").cast("double") / F.col("p").cast("double"))
+        / (
+            (F.col("cnt_a").cast("double") / F.col("n").cast("double"))
+            * (F.col("cnt_b").cast("double") / F.col("n").cast("double"))
+        )
+    )
+    return (
+        bi.filter(F.col("cnt") >= min_count)
+        .join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pair))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(k)
+    )

@@ -41,6 +41,13 @@ def get_spark(app_name: str = "mapreduceimpl-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", _DEFAULT_LOCAL_SHUFFLE_PARTITIONS)
         # --- broadcast joins for dimension tables (region/nation/...) ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- runtime row-level filtering: inject a bloom filter built
+        # from the selective (creation) side of a shuffle join into the
+        # big side's scan, pruning rows before the shuffle.  Off by
+        # default in Spark; at 100 TB this is the difference between
+        # shuffling the whole fact table and shuffling the ~matching
+        # slice when the dim side carries a selective predicate ---
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # --- Arrow: vectorized transfer for pandas-UDF escape hatches ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

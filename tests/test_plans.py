@@ -504,3 +504,34 @@ def test_q9_part_slice_prunes_fact_first(tables):
     df = relational.q_product_profit(tables)
     assert_no_cartesian(df)
     assert_broadcast_join(df, expect=3)
+
+
+def test_runtime_bloom_filter_enabled(spark):
+    """Runtime row-level filtering is on: selective shuffle joins can
+    inject a bloom filter into the big side's scan (prune before
+    shuffle — a 100 TB posture knob that Spark ships disabled)."""
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+
+
+def test_events_anomaly_single_exchange_and_known_outlier(spark):
+    """One user_id Exchange carries all three window aggregates; a
+    planted point 5 sigma out is flagged, the tight cluster is not."""
+    from datetime import datetime
+
+    from mapreduceimpl_spark.plans import explain_str
+
+    base = [
+        (i, datetime(2024, 1, 1, 0, i), 7, "view", float(v), "{}")
+        for i, v in enumerate([10.0] * 20 + [10.5] * 20)
+    ]
+    base.append((99, datetime(2024, 1, 2), 7, "view", 500.0, "{}"))
+    base.append((100, datetime(2024, 1, 2), 8, "view", 1.0, "{}"))  # constant user
+    events = spark.createDataFrame(
+        base,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    df = relational.q_events_anomaly({"events": events})
+    plan = explain_str(df, "simple")  # pre-collect: AQE not yet finalized
+    assert plan.count("Exchange") == 1, plan
+    rows = df.collect()
+    assert [r["event_id"] for r in rows] == [99]

@@ -406,3 +406,34 @@ def test_bigram_logprob_orders_predictable_below_scrambled(spark):
         for r in bigram_logprob(d.repartition(7)).collect()
     }
     assert re_got == got
+
+
+def test_collocations_pmi_known_corpus(spark):
+    """'new york' appears 6x and its parts appear nowhere else ->
+    highest PMI; 'the the' (frequent independent token) ranks below."""
+    import math
+
+    from mapreduceimpl_spark.operators.text_analysis import collocations_pmi
+
+    rows = [(i, "new york " + "the the the " * 4) for i in range(6)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = collocations_pmi(d, min_count=5, k=10).collect()
+    assert got[0]["tok_a"] == "new" and got[0]["tok_b"] == "york"
+    n_tok = d.selectExpr("sum(size(split(text, ' ')))").first()[0]
+    n_pair = d.selectExpr("sum(size(split(text, ' ')) - 1)").first()[0]
+    exp = round(math.log((6 / n_pair) / ((6 / n_tok) * (6 / n_tok))), 6)
+    assert got[0]["pmi"] == exp
+    pmis = {(r["tok_a"], r["tok_b"]): r["pmi"] for r in got}
+    assert pmis[("the", "the")] < pmis[("new", "york")]
+
+
+def test_collocations_min_count_drops_rare(spark):
+    from mapreduceimpl_spark.operators.text_analysis import collocations_pmi
+
+    d = spark.createDataFrame(
+        [(1, "rare pair common common common common common common")],
+        "doc_id long, text string",
+    )
+    got = {(r["tok_a"], r["tok_b"]) for r in collocations_pmi(d, min_count=5).collect()}
+    assert ("rare", "pair") not in got
+    assert ("common", "common") in got
