@@ -2774,6 +2774,34 @@ SPECS: dict[str, QuerySpec] = {
             "count/sum/sum-of-squares over ONE user_id Exchange — "
             "no self-join, no per-user collect",
     ),
+    "events_running_anomaly": QuerySpec(
+        _rel(relational.q_events_running_anomaly),
+        """WITH stats AS (
+             SELECT user_id, event_id, value,
+                    COUNT(*) OVER w AS n,
+                    CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER w
+                         AS DOUBLE) AS s1,
+                    CAST(SUM(CAST(value * value AS DECIMAL(28,4))) OVER w
+                         AS DOUBLE) AS s2
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)
+           ),
+           scored AS (
+             SELECT user_id, event_id, value, n,
+                    s2 / n - (s1 / n) * (s1 / n) AS var,
+                    round((value - s1 / n)
+                          / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS z
+             FROM stats
+           )
+           SELECT user_id, event_id, value, z
+           FROM scored WHERE n >= 10 AND var > 0 AND abs(z) > 3.0""",
+        doc="prefix (online) anomaly: z against strictly-earlier user "
+            "stats only (leak-free labeling), one Exchange; the batch "
+            "twin of streaming.stream_running_anomaly (stream==batch "
+            "tested)",
+    ),
     "heavy_hitters": QuerySpec(
         lambda spark, sf_dir: text_analysis.heavy_hitters(
             load_table(spark, sf_dir, "documents"), min_frac=0.002
@@ -2923,6 +2951,7 @@ _ROUND4_ORDER = [
     "small_qty_revenue", "large_orders", "heavy_shippers",
     "market_share", "product_profit", "dedup_span_exact", "split_assign",
     "heavy_hitters", "text_bigram_logprob", "collocations_pmi", "events_anomaly",
+    "events_running_anomaly",
     "vocab_topk", "quality_percentile", "knn_classify",
     "random_projection", "next_event_pairs", "token_pair_counts",
     "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",

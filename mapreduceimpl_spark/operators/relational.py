@@ -1595,3 +1595,46 @@ def q_events_anomaly(t: dict[str, DataFrame]) -> DataFrame:
         .filter((F.col("__var") > 0) & (F.abs(F.col("z")) > 3.0))
         .select("user_id", "event_id", "value", "z")
     )
+
+
+def q_events_running_anomaly(t: dict[str, DataFrame]) -> DataFrame:
+    """Prefix (online) anomaly detection: each event's z-score against
+    the user's statistics over STRICTLY EARLIER events only — the
+    batch twin of the streaming detector
+    (``streaming.stream_running_anomaly``), and the leak-free form for
+    training-data labeling (an event never sees its own future).
+
+    Same determinism machinery as ``q_events_anomaly``, but the three
+    aggregates run over a ROWS UNBOUNDED PRECEDING..1 PRECEDING frame
+    on the (user_id; ts, event_id) ordering — still ONE Exchange.
+    Events before the user's 10th are unscored warm-up (the online
+    estimator is meaningless at n=2), mirroring the streaming twin.
+    """
+    e = t["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = F.count("*").over(w)
+    s1 = F.sum(F.col("value").cast("decimal(28,4)")).over(w).cast("double")
+    s2 = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,4)"))
+        .over(w)
+        .cast("double")
+    )
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "value",
+            n.alias("__n"),
+            var.alias("__var"),
+            F.round(z, 6).alias("z"),
+        )
+        .filter((F.col("__n") >= 10) & (F.col("__var") > 0) & (F.abs(F.col("z")) > 3.0))
+        .select("user_id", "event_id", "value", "z")
+    )

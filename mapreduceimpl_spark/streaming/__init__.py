@@ -8,6 +8,7 @@ from mapreduceimpl_spark.streaming.ops import (
     stream_dedup_content,
     stream_enrich,
     stream_next_event_pairs,
+    stream_running_anomaly,
     stream_running_totals,
     tumbling_counts,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "stream_dedup_content",
     "stream_enrich",
     "stream_next_event_pairs",
+    "stream_running_anomaly",
     "stream_running_totals",
     "tumbling_counts",
 ]

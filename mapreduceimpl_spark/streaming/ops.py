@@ -461,3 +461,90 @@ def stream_next_event_pairs(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_ANOM_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("z", DoubleType()),
+    ]
+)
+# exact prefix statistics in integer ten-thousandths: n, sum(value),
+# sum(value^2), each value/square first quantized HALF_UP at 4
+# decimals — the bit-exact mirror of the batch CAST(.. AS DECIMAL(28,4))
+_ANOM_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s1", LongType()),
+        StructField("s2", LongType()),
+    ]
+)
+
+
+def stream_running_anomaly(events: DataFrame, min_history: int = 10) -> DataFrame:
+    """Streaming per-user anomaly detector: each event is z-scored
+    against the user's statistics over STRICTLY EARLIER events, then
+    folded into the state — the online twin of the batch
+    ``relational.q_events_running_anomaly`` (stream == batch tested).
+
+    State per user is three longs (count, sum, sum-of-squares in
+    integer ten-thousandths).  Values are quantized exactly as the
+    batch plan's CAST(x AS DECIMAL(28,4)) — python Decimal(double)
+    ROUND_HALF_UP, the same exact-binary-expansion rounding Spark's
+    cast performs — so the integer state accumulates the identical
+    quantities the batch decimal sums do, in any arrival order a
+    per-user-time-ordered source delivers.  z itself repeats the batch
+    double arithmetic op-for-op (closest-double of the exact decimal,
+    divide by n, subtract, sqrt, HALF_UP round at 6).
+
+    O(users) state, no per-event history kept — the reason the online
+    form exists at 100 TB/day event volumes.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    q4 = Decimal("0.0001")
+
+    def _q(v: float) -> int:
+        return int(Decimal(v).quantize(q4, rounding=ROUND_HALF_UP).scaleb(4))
+
+    def update(key: Any, pdfs: Any, state: GroupState):
+        n, s1, s2 = state.get if state.exists else (0, 0, 0)
+        out: dict[str, list] = {"user_id": [], "event_id": [], "value": [], "z": []}
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for eid, v in zip(batch["event_id"], batch["value"]):
+                v = float(v)
+                if n >= min_history:
+                    mean = float(s1) / 1e4 / n
+                    var = float(s2) / 1e4 / n - mean * mean
+                    if var > 0:
+                        zval = float(
+                            Decimal((v - mean) / var**0.5).quantize(
+                                Decimal("0.000001"), rounding=ROUND_HALF_UP
+                            )
+                        )
+                        if abs(zval) > 3.0:
+                            out["user_id"].append(key[0])
+                            out["event_id"].append(int(eid))
+                            out["value"].append(v)
+                            out["z"].append(zval)
+                n += 1
+                s1 += _q(v)
+                s2 += _q(v * v)
+        state.update((n, s1, s2))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_ANOM_SCHEMA,
+        stateStructType=_ANOM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -356,3 +356,22 @@ def test_stream_next_event_pairs_state_crosses_batches(spark, tmp_path):
     assert got[3] == ("view", "click", "cart", "purchase")
     assert got[4] == ("click", "cart", "purchase", "view")
     assert got[0] == (None, None, None, "view")
+
+
+def test_stream_running_anomaly_matches_batch(spark, events_dir):
+    """The stateful online z-scorer equals the batch prefix-window
+    formulation event-for-event, z-for-z — the integer-ten-thousandths
+    state is a bit-exact mirror of the batch DECIMAL(28,4) sums."""
+    from mapreduceimpl_spark.operators import relational
+
+    stream = streaming.read_events_stream(spark, events_dir)
+    got = _run_stream(streaming.stream_running_anomaly(stream), mode="append")
+    batch = relational.q_events_running_anomaly(
+        {"events": load_table(spark, SF, "events")}
+    ).collect()
+    key = lambda r: (r["user_id"], r["event_id"])  # noqa: E731
+    got_map = {key(r): r["z"] for r in got}
+    batch_map = {key(r): r["z"] for r in batch}
+    assert got_map == batch_map
+    assert len(got) == len(batch)
+    assert len(batch) > 0  # the fixture actually contains outliers
