@@ -2774,6 +2774,87 @@ SPECS: dict[str, QuerySpec] = {
             "count/sum/sum-of-squares over ONE user_id Exchange — "
             "no self-join, no per-user collect",
     ),
+    "revenue_pareto": QuerySpec(
+        _rel(relational.q_revenue_pareto),
+        f"""WITH per_supp AS (
+             SELECT l_suppkey,
+                    {_dec_sum('l_extendedprice * (1 - l_discount)', 'rev')}
+             FROM lineitem GROUP BY l_suppkey
+           ),
+           tot AS (
+             SELECT {_dec_sum('rev', 'total')} FROM per_supp
+           ),
+           ranked AS (
+             SELECT l_suppkey, rev,
+                    ROW_NUMBER() OVER
+                      (ORDER BY rev DESC, l_suppkey) AS rnk,
+                    CAST(SUM(CAST(rev AS DECIMAL(28,4))) OVER
+                      (ORDER BY rev DESC, l_suppkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) AS cum
+             FROM per_supp
+           )
+           SELECT rnk, s_name, round(rev, 4) AS rev,
+                  round(cum / total, 6) AS cum_share,
+                  round((cum - rev) / total, 6) < 0.8 AS in_top80
+           FROM ranked, tot
+           JOIN supplier ON s_suppkey = l_suppkey""",
+        doc="Pareto 80/20: cumulative revenue share over the aggregated "
+            "|suppliers| rows (aggregate-then-global-window rule); "
+            "in_top80 keeps the crossing supplier",
+    ),
+    "customer_rfm": QuerySpec(
+        _rel(relational.q_customer_rfm),
+        """WITH ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+           per_cust AS (
+             SELECT o_custkey, MAX(o_orderdate) AS last_order,
+                    COUNT(*) AS frequency,
+                    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+                         AS DOUBLE) AS monetary
+             FROM orders GROUP BY o_custkey
+           ),
+           scored AS (
+             SELECT o_custkey,
+                    CAST(date_diff('day', last_order, ref_date) AS BIGINT)
+                      AS recency_days,
+                    CAST(frequency AS BIGINT) AS frequency,
+                    round(monetary, 4) AS monetary,
+                    CAST(ntile(5) OVER (ORDER BY
+                      date_diff('day', last_order, ref_date),
+                      o_custkey) AS BIGINT) AS r_score,
+                    CAST(ntile(5) OVER (ORDER BY frequency DESC,
+                      o_custkey) AS BIGINT) AS f_score,
+                    CAST(ntile(5) OVER (ORDER BY monetary DESC,
+                      o_custkey) AS BIGINT) AS m_score
+             FROM per_cust, ref
+           )
+           SELECT o_custkey, recency_days, frequency, monetary,
+                  r_score, f_score, m_score,
+                  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                    || CAST(m_score AS VARCHAR) AS segment
+           FROM scored""",
+        doc="RFM segmentation: recency/frequency/monetary quintiles by "
+            "ntile over a strict (metric, custkey) total order; exact "
+            "over the customer aggregate, percentile_approx cutoffs "
+            "documented as the billion-customer variant",
+    ),
+    "event_top_paths": QuerySpec(
+        _rel(relational.q_event_top_paths),
+        """WITH seq AS (
+             SELECT lag(event_type, 2) OVER w AS e2,
+                    lag(event_type, 1) OVER w AS e1,
+                    event_type AS e0
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           )
+           SELECT e2 || '>' || e1 || '>' || e0 AS path,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM seq WHERE e2 IS NOT NULL
+           GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20""",
+        doc="top-20 3-step behavior paths: one user_id window Exchange "
+            "builds trigrams via lag, wordcount-shaped count, "
+            "TakeOrderedAndProject top-k",
+    ),
     "events_running_anomaly": QuerySpec(
         _rel(relational.q_events_running_anomaly),
         """WITH stats AS (
@@ -2951,7 +3032,7 @@ _ROUND4_ORDER = [
     "small_qty_revenue", "large_orders", "heavy_shippers",
     "market_share", "product_profit", "dedup_span_exact", "split_assign",
     "heavy_hitters", "text_bigram_logprob", "collocations_pmi", "events_anomaly",
-    "events_running_anomaly",
+    "events_running_anomaly", "revenue_pareto", "customer_rfm", "event_top_paths",
     "vocab_topk", "quality_percentile", "knn_classify",
     "random_projection", "next_event_pairs", "token_pair_counts",
     "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",

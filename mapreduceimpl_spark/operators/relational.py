@@ -1638,3 +1638,112 @@ def q_events_running_anomaly(t: dict[str, DataFrame]) -> DataFrame:
         .filter((F.col("__n") >= 10) & (F.col("__var") > 0) & (F.abs(F.col("z")) > 3.0))
         .select("user_id", "event_id", "value", "z")
     )
+
+
+def q_revenue_pareto(t: dict[str, DataFrame]) -> DataFrame:
+    """Pareto (80/20) analysis of supplier revenue: rank suppliers by
+    revenue and mark the vital few whose cumulative share is needed to
+    reach 80% of total.
+
+    The ranking window is GLOBAL but runs over the already-aggregated
+    |suppliers| rows (the ``monthly_growth`` rule: aggregate first,
+    then a global window over group-count rows, never raw facts).
+    ``in_top80`` uses the PREVIOUS cumulative share (cum - own), so
+    the supplier that crosses the 80% line is still included —
+    the set you'd keep to cover 80% of revenue.
+    """
+    li, s = t["lineitem"], t["supplier"]
+    per_supp = li.groupBy("l_suppkey").agg(dec_sum(revenue()).alias("rev"))
+    total = per_supp.agg(dec_sum("rev").alias("total"))
+    w = (
+        Window.orderBy(F.desc("rev"), F.asc("l_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col("rev").cast("decimal(28,4)")).over(w).cast("double")
+    ranked = (
+        per_supp.crossJoin(F.broadcast(total))
+        .withColumn("rnk", F.row_number().over(Window.orderBy(F.desc("rev"), F.asc("l_suppkey"))))
+        .withColumn("cum_share", F.round(cum / F.col("total"), 6))
+        .withColumn(
+            "in_top80",
+            F.round((cum - F.col("rev")) / F.col("total"), 6) < 0.8,
+        )
+    )
+    return (
+        ranked.join(broadcast(s), ranked.l_suppkey == s.s_suppkey)
+        .select("rnk", "s_name", F.round("rev", 4).alias("rev"), "cum_share", "in_top80")
+    )
+
+
+def q_customer_rfm(t: dict[str, DataFrame]) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since last order,
+    vs the corpus max date), frequency (order count), monetary (total
+    spend), each scored 1-5 by ntile over a strict total order
+    (metric, custkey), concatenated into the familiar segment code.
+
+    Scale note: ntile is a GLOBAL window — exact and oracle-portable,
+    fine over the aggregated |customers| rows here, but at billions of
+    customers replace it with percentile_approx cutoffs broadcast
+    against the aggregate (the ``quality_percentile`` pattern); the
+    scores differ only at quintile boundaries.
+    """
+    o = t["orders"]
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            dec_sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("ref_date"), F.col("last_order")).cast("long"),
+        )
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return per_cust.select(
+        "o_custkey",
+        "recency_days",
+        F.col("frequency").cast("long").alias("frequency"),
+        F.round("monetary", 4).alias("monetary"),
+        F.ntile(5).over(w_r).cast("long").alias("r_score"),
+        F.ntile(5).over(w_f).cast("long").alias("f_score"),
+        F.ntile(5).over(w_m).cast("long").alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat_ws(
+            "",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+def q_event_top_paths(t: dict[str, DataFrame]) -> DataFrame:
+    """Most common 3-step behavior paths: per-user time-ordered
+    event-type trigrams, counted corpus-wide, top-20 — the path-
+    analytics complement of ``q_next_event_pairs`` (which builds
+    training pairs; this reports the aggregate navigation structure).
+
+    One window Exchange on user_id builds the trigram via lag, one
+    wordcount-shaped aggregate counts paths, and the top-20 is
+    TakeOrderedAndProject with a path tiebreak.
+    """
+    e = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(F.lag("event_type", 2).over(w).alias("e2"),
+                 F.lag("event_type", 1).over(w).alias("e1"),
+                 F.col("event_type").alias("e0"))
+        .filter(F.col("e2").isNotNull())
+        .select(F.concat_ws(">", "e2", "e1", "e0").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("path"))
+        .limit(20)
+    )

@@ -535,3 +535,55 @@ def test_events_anomaly_single_exchange_and_known_outlier(spark):
     assert plan.count("Exchange") == 1, plan
     rows = df.collect()
     assert [r["event_id"] for r in rows] == [99]
+
+
+def test_pareto_includes_crossing_supplier(spark):
+    """Revenues 80/15/5: supplier A (80%) is in_top80 with prev-cum 0,
+    B crosses the 80% line (prev-cum 0.8 -> not strictly < 0.8 ...
+    actually prev-cum 0.8 is NOT < 0.8, so only A) — pin the exact
+    boundary semantics on constructed data."""
+    li = spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 800.0, 0.0, 0.0, "N", "O", None),
+         (2, 1, 2, 1, 1.0, 150.0, 0.0, 0.0, "N", "O", None),
+         (3, 1, 3, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", None)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        "l_quantity double, l_extendedprice double, l_discount double,"
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    s = spark.createDataFrame(
+        [(1, "A", 0, 0.0), (2, "B", 0, 0.0), (3, "C", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    )
+    rows = {r["s_name"]: r for r in relational.q_revenue_pareto(
+        {"lineitem": li, "supplier": s}
+    ).collect()}
+    assert rows["A"]["in_top80"] and rows["A"]["rnk"] == 1
+    assert not rows["B"]["in_top80"]  # prev cum exactly 0.80, not < 0.8
+    assert not rows["C"]["in_top80"]
+    assert rows["C"]["cum_share"] == 1.0
+
+
+def test_rfm_scores_consistent(tables):
+    rows = relational.q_customer_rfm(tables).collect()
+    for r in rows[:200]:
+        assert 1 <= r["r_score"] <= 5 and 1 <= r["f_score"] <= 5 and 1 <= r["m_score"] <= 5
+        assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+    # the biggest spender must hold m_score 1
+    top = max(rows, key=lambda r: r["monetary"])
+    assert top["m_score"] == 1
+
+
+def test_event_top_paths_known_sequence(spark):
+    from datetime import datetime
+
+    rows = []
+    for u in range(5):  # five users all do view>click>purchase
+        for i, et in enumerate(["view", "click", "purchase"]):
+            rows.append((u * 10 + i, datetime(2024, 1, 1, 0, i), u, et, 1.0, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = relational.q_event_top_paths({"events": events}).collect()
+    assert got[0]["path"] == "view>click>purchase" and got[0]["cnt"] == 5
+    assert len(got) == 1  # trigrams never cross users
