@@ -246,8 +246,46 @@ def _probe_vocab(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_span_dedup(spark, sf_dir: str):
+    """dedup_span_exact: positional-shingle + interval-union pipeline —
+    wall should track total token count plus true duplicated mass
+    (the join-back emits one row per duplicated occurrence), never
+    doc x doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = dedup.duplicate_spans(docs, min_len=8).count()
+    return time.time() - t0, n
+
+
+def _probe_heavy_hitters(spark, sf_dir: str):
+    """heavy_hitters: the MG candidate pass is a corpus scan with O(1/frac)
+    state; the recount shuffles candidates only — wall should track the
+    scan, with the recount flat."""
+    from mapreduceimpl_spark.operators import text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = text_analysis.heavy_hitters(docs, min_frac=0.002).count()
+    return time.time() - t0, n
+
+
+def _probe_bigram(spark, sf_dir: str):
+    """text_bigram_logprob: pair transform + three uniform-key joins —
+    wall should scale with the token stream, with the bigram/unigram
+    count tables growing sublinearly (vocab saturation)."""
+    from mapreduceimpl_spark.operators import text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = text_analysis.bigram_logprob(docs).count()
+    return time.time() - t0, n
+
+
 PROBES = {
     "minhash": _probe_minhash,
+    "span_dedup": _probe_span_dedup,
+    "heavy_hitters": _probe_heavy_hitters,
+    "bigram": _probe_bigram,
     "minhash_synth": _probe_minhash_synth,
     "ann_lsh_synth": _probe_ann_lsh_synth,
     "sessionize_synth": _probe_sessionize_synth,
