@@ -2774,6 +2774,27 @@ SPECS: dict[str, QuerySpec] = {
             "count/sum/sum-of-squares over ONE user_id Exchange — "
             "no self-join, no per-user collect",
     ),
+    "state_intervals": QuerySpec(
+        _rel(relational.q_state_intervals),
+        """WITH marked AS (
+             SELECT user_id, ts, event_id, event_type,
+                    lag(event_type) OVER w AS prev_state
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           ),
+           changes AS (
+             SELECT user_id, ts, event_id, event_type FROM marked
+             WHERE prev_state IS NULL OR prev_state <> event_type
+           )
+           SELECT user_id, event_type AS state,
+                  CAST(ts AS VARCHAR) AS valid_from,
+                  CAST(lead(ts) OVER w2 AS VARCHAR) AS valid_to
+           FROM changes
+           WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        doc="SCD2 changelog compression: state-change rows open "
+            "[from, to) validity intervals (open end = null) — the "
+            "type-2 dimension build step, one user_id Exchange",
+    ),
     "revenue_pareto": QuerySpec(
         _rel(relational.q_revenue_pareto),
         f"""WITH per_supp AS (
@@ -3033,6 +3054,7 @@ _ROUND4_ORDER = [
     "market_share", "product_profit", "dedup_span_exact", "split_assign",
     "heavy_hitters", "text_bigram_logprob", "collocations_pmi", "events_anomaly",
     "events_running_anomaly", "revenue_pareto", "customer_rfm", "event_top_paths",
+    "state_intervals",
     "vocab_topk", "quality_percentile", "knn_classify",
     "random_projection", "next_event_pairs", "token_pair_counts",
     "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",

@@ -1747,3 +1747,35 @@ def q_event_top_paths(t: dict[str, DataFrame]) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("path"))
         .limit(20)
     )
+
+
+def q_state_intervals(t: dict[str, DataFrame]) -> DataFrame:
+    """SCD2-style changelog compression: collapse each user's event
+    stream into validity intervals of their current event_type state —
+    rows where the state CHANGES open an interval, the next change
+    closes it (open-ended = null valid_to).  This is the slowly-
+    changing-dimension type-2 build step: changelog in, [from, to)
+    history table out.
+
+    Both the change detection (lag) and the interval close (lead over
+    the surviving change rows) partition on user_id — one Exchange
+    total; the lead window reads only the compressed change rows.
+    Timestamps emit as strings at the edge (engine portability rule).
+    """
+    e = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_state", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("event_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").cast("string").alias("valid_from"),
+        F.lead("ts").over(w2).cast("string").alias("valid_to"),
+    )

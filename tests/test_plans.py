@@ -587,3 +587,31 @@ def test_event_top_paths_known_sequence(spark):
     got = relational.q_event_top_paths({"events": events}).collect()
     assert got[0]["path"] == "view>click>purchase" and got[0]["cnt"] == 5
     assert len(got) == 1  # trigrams never cross users
+
+
+def test_state_intervals_semantics_and_single_exchange(spark):
+    """view,view,click,view -> three intervals (consecutive repeats
+    compress); intervals chain exactly (valid_to == next valid_from,
+    last open); both windows share one user_id Exchange."""
+    from datetime import datetime
+
+    from mapreduceimpl_spark.plans import explain_str
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 7, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 1), 7, "view", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 0, 2), 7, "click", 1.0, "{}"),
+        (4, datetime(2024, 1, 1, 0, 3), 7, "view", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    df = relational.q_state_intervals({"events": events})
+    plan = explain_str(df, "simple")
+    assert plan.count("Exchange") == 1, plan
+    got = sorted(df.collect(), key=lambda r: r["valid_from"])
+    assert [r["state"] for r in got] == ["view", "click", "view"]
+    assert got[0]["valid_to"] == got[1]["valid_from"]
+    assert got[1]["valid_to"] == got[2]["valid_from"]
+    assert got[2]["valid_to"] is None
