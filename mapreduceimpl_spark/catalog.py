@@ -3033,19 +3033,21 @@ SPECS: dict[str, QuerySpec] = {
 
 
 # Round-4 window rotation (driver records the first ~50 entries; see
-# module docstring).  Head 1-34: the seventeen TPC-H optimizer-shape
-# queries (incl. Q8 market_share / Q9 product_profit, completing all
-# 22 shapes), the eight LLM-pipeline additions (vocab_topk,
-# quality_percentile, knn_classify, random_projection,
-# next_event_pairs, token_pair_counts, knn_classify_lsh,
-# pretrain_funnel), and two analytics completions (corr_analysis,
-# price_histogram), the two skew-machinery parity entries
-# (skew_salted_join, skew_two_phase), pagerank, timeseries_gapfill,
-# media_probe, text_token_entropy, and monthly_growth — all new this
-# round (never driver-verified); 33-50: the oldest-evidence entries
-# (last driver
-# row round 2); the rest of that cohort plus the round-3-green tail
-# follow and lead round 5's window.
+# module docstring).  Head 1-45: everything new this round (never
+# driver-verified) — the seventeen TPC-H optimizer-shape queries
+# (incl. Q8 market_share / Q9 product_profit, completing all 22
+# shapes), the session-2 additions (dedup_span_exact, split_assign,
+# heavy_hitters, text_bigram_logprob, collocations_pmi,
+# events_anomaly, events_running_anomaly, revenue_pareto,
+# customer_rfm, event_top_paths, state_intervals), the eight
+# LLM-pipeline additions (vocab_topk, quality_percentile,
+# knn_classify, random_projection, next_event_pairs,
+# token_pair_counts, knn_classify_lsh, pretrain_funnel), two
+# analytics completions (corr_analysis, price_histogram), the two
+# skew-machinery parity entries (skew_salted_join, skew_two_phase),
+# pagerank, timeseries_gapfill, media_probe, text_token_entropy, and
+# monthly_growth; 46-50: already-green padding; the round-3-green
+# tail follows and leads round 5's window.
 _ROUND4_ORDER = [
     "priority_returns", "forecast_revenue", "shipmode_priority", "customer_distribution",
     "promo_revenue", "parts_supplier_relation", "discounted_revenue", "waiting_suppliers",

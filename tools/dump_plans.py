@@ -366,6 +366,46 @@ ANNOTATED = {
         "prev/cur unigram) plus a 1-row broadcast total; per-pair ln "
         "p rounded then decimal-summed per doc."
     ),
+    "collocations_pmi": (
+        "PMI collocations: unigram/pair joins land on the PAIR "
+        "VOCABULARY (bi is pre-aggregated and min-count-filtered "
+        "before joining), totals broadcast as 1-row tables, top-50 is "
+        "TakeOrderedAndProject."
+    ),
+    "events_anomaly": (
+        "Per-user z-score outliers: count/sum/sum-of-squares are "
+        "decimal-routed window aggregates sharing ONE user_id "
+        "Exchange — no self-join, no per-user collect, identical "
+        "doubles on any partition order."
+    ),
+    "events_running_anomaly": (
+        "Online (prefix) form: same three aggregates over a ROWS "
+        "UNBOUNDED PRECEDING..1 PRECEDING frame — leak-free labeling "
+        "and still one Exchange; the streaming twin carries the same "
+        "quantities as three longs of keyed state."
+    ),
+    "revenue_pareto": (
+        "Pareto share: the global ranking window runs over the "
+        "AGGREGATED |suppliers| rows (aggregate-then-global-window "
+        "rule), cumulative decimal sum, supplier dim broadcast back."
+    ),
+    "customer_rfm": (
+        "RFM quintiles: three ntile windows over strict (metric, "
+        "custkey) total orders of the customer AGGREGATE — exact and "
+        "oracle-portable; at billions of customers swap ntile for "
+        "broadcast percentile_approx cutoffs (documented)."
+    ),
+    "event_top_paths": (
+        "Path mining: one user_id window Exchange builds event-type "
+        "trigrams via lag, the count is the wordcount shape "
+        "(partial+final), top-20 is TakeOrderedAndProject."
+    ),
+    "state_intervals": (
+        "SCD2 build: lag change-detect and lead interval-close share "
+        "one user_id Exchange; the lead window reads only the "
+        "compressed change rows, so interval construction costs "
+        "O(changes), not O(events)."
+    ),
 }
 
 
