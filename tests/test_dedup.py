@@ -468,3 +468,56 @@ def test_duplicate_spans_single_join_no_cartesian(docs):
     from mapreduceimpl_spark.plans import assert_no_cartesian
 
     assert_no_cartesian(dedup.duplicate_spans(docs))
+
+
+def test_duplicate_spans_randomized_vs_python_reference(spark):
+    """30 seeded random docs with planted shared runs: the Spark
+    pipeline must equal an independent pure-Python computation of
+    cross-doc duplicated 8-gram interval unions."""
+    import random
+
+    rng = random.Random(4242)
+    shared = [
+        [f"run{r}_{i}" for i in range(rng.randint(8, 20))] for r in range(6)
+    ]
+    docs = []
+    for d in range(30):
+        toks = [f"u{d}_{i}" for i in range(rng.randint(0, 40))]
+        for r in rng.sample(range(6), rng.randint(0, 3)):
+            pos = rng.randint(0, len(toks))
+            toks = toks[:pos] + shared[r] + toks[pos:]
+        docs.append((d, " ".join(toks)))
+
+    L = 8
+    occ: dict[tuple, list] = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        for i in range(max(0, len(toks) - L + 1)):
+            occ.setdefault(tuple(toks[i : i + L]), []).append((doc_id, i))
+    expected: dict[int, list] = {}
+    for gram, hits in occ.items():
+        if len({d for d, _ in hits}) > 1:
+            for d, i in hits:
+                expected.setdefault(d, []).append((i, i + L - 1))
+    exp_rows = {}
+    for d, ivals in expected.items():
+        ivals.sort()
+        merged = [list(ivals[0])]
+        for lo, hi in ivals[1:]:
+            if lo <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        n_tok = len(docs[d][1].split(" "))
+        exp_rows[d] = (
+            n_tok,
+            len(merged),
+            sum(hi - lo + 1 for lo, hi in merged),
+        )
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["dup_tokens"])
+        for r in dedup.duplicate_spans(sdf, min_len=8).collect()
+    }
+    assert got == exp_rows
