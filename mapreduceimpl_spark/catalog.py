@@ -2764,8 +2764,10 @@ SPECS: dict[str, QuerySpec] = {
            scored AS (
              SELECT user_id, event_id, value,
                     s2 / n - (s1 / n) * (s1 / n) AS var,
-                    round((value - s1 / n)
-                          / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS z
+                    CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
+                         THEN round((value - s1 / n)
+                              / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6)
+                         END AS z
              FROM stats
            )
            SELECT user_id, event_id, value, z
@@ -2893,8 +2895,10 @@ SPECS: dict[str, QuerySpec] = {
            scored AS (
              SELECT user_id, event_id, value, n,
                     s2 / n - (s1 / n) * (s1 / n) AS var,
-                    round((value - s1 / n)
-                          / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS z
+                    CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
+                         THEN round((value - s1 / n)
+                              / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6)
+                         END AS z
              FROM stats
            )
            SELECT user_id, event_id, value, z

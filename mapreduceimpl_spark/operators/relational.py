@@ -1772,10 +1772,9 @@ def q_state_intervals(t: dict[str, DataFrame]) -> DataFrame:
             | (F.col("prev_state") != F.col("event_type"))
         )
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return changes.select(
         "user_id",
         F.col("event_type").alias("state"),
         F.col("ts").cast("string").alias("valid_from"),
-        F.lead("ts").over(w2).cast("string").alias("valid_to"),
+        F.lead("ts").over(w).cast("string").alias("valid_to"),
     )

@@ -210,8 +210,11 @@ def train_val_test_split(
     names = list(weights)
     for name in names[:-1]:
         cum += weights[name]
-        branch = F.when(u < F.lit(cum), F.lit(name))
-        expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
+        expr = (
+            F.when(u < F.lit(cum), F.lit(name))
+            if expr is None
+            else expr.when(u < F.lit(cum), F.lit(name))
+        )
     split = (
         expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
     )

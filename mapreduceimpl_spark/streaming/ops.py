@@ -491,9 +491,11 @@ def stream_running_anomaly(events: DataFrame, min_history: int = 10) -> DataFram
 
     State per user is three longs (count, sum, sum-of-squares in
     integer ten-thousandths).  Values are quantized exactly as the
-    batch plan's CAST(x AS DECIMAL(28,4)) — python Decimal(double)
-    ROUND_HALF_UP, the same exact-binary-expansion rounding Spark's
-    cast performs — so the integer state accumulates the identical
+    batch plan's CAST(x AS DECIMAL(28,4)) — python Decimal(repr(x))
+    ROUND_HALF_UP, matching Spark's BigDecimal.valueOf(double)
+    shortest-repr semantics (Decimal(x) directly would use the exact
+    binary expansion and diverge at repr-tie values like 2.00005) —
+    so the integer state accumulates the identical
     quantities the batch decimal sums do, in any arrival order a
     per-user-time-ordered source delivers.  z itself repeats the batch
     double arithmetic op-for-op (closest-double of the exact decimal,
@@ -509,7 +511,7 @@ def stream_running_anomaly(events: DataFrame, min_history: int = 10) -> DataFram
     q4 = Decimal("0.0001")
 
     def _q(v: float) -> int:
-        return int(Decimal(v).quantize(q4, rounding=ROUND_HALF_UP).scaleb(4))
+        return int(Decimal(repr(v)).quantize(q4, rounding=ROUND_HALF_UP).scaleb(4))
 
     def update(key: Any, pdfs: Any, state: GroupState):
         n, s1, s2 = state.get if state.exists else (0, 0, 0)
@@ -526,7 +528,7 @@ def stream_running_anomaly(events: DataFrame, min_history: int = 10) -> DataFram
                     var = float(s2) / 1e4 / n - mean * mean
                     if var > 0:
                         zval = float(
-                            Decimal((v - mean) / var**0.5).quantize(
+                            Decimal(repr((v - mean) / var**0.5)).quantize(
                                 Decimal("0.000001"), rounding=ROUND_HALF_UP
                             )
                         )

@@ -375,3 +375,20 @@ def test_stream_running_anomaly_matches_batch(spark, events_dir):
     assert got_map == batch_map
     assert len(got) == len(batch)
     assert len(batch) > 0  # the fixture actually contains outliers
+
+
+def test_decimal_quantize_mirrors_spark_cast(spark):
+    """The streaming state quantizer must equal Spark's
+    CAST(double AS DECIMAL(28,4)) including at shortest-repr tie
+    values (2.00005's exact double is 2.0000499..., but Spark's
+    BigDecimal.valueOf rounds the SHORTEST REPR, giving 2.0001 —
+    Decimal(v) without repr() would give 2.0000)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    vals = [2.00005, 123.45675, 0.00005, 1.00005, 490.02, 0.01]
+    rows = spark.createDataFrame([(v,) for v in vals], "v double").selectExpr(
+        "cast(v as decimal(28,4)) AS q"
+    ).collect()
+    for v, r in zip(vals, rows):
+        mine = Decimal(repr(v)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        assert Decimal(str(r["q"])) == mine, v
