@@ -194,6 +194,31 @@ def _probe_sessionize_synth(spark, sf_dir: str):
     return time.time() - t0, n_out
 
 
+def _probe_anomaly_synth(spark, sf_dir: str):
+    """Prefix anomaly detection (three decimal window aggregates, ONE
+    user_id Exchange) over synthetic 10k-user streams with planted
+    5-sigma spikes at every 97th slot: 1M -> 10M events should be
+    ~linear per partition, like sessionize."""
+    from mapreduceimpl_spark.operators import relational
+
+    sizes = {"sf0.001": 100_000, "sf0.01": 1_000_000, "sf0.1": 10_000_000}
+    n = sizes[sf_dir.rstrip("/").rsplit("/", 1)[-1]]
+    events = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 10_000).alias("user_id"),
+        F.timestamp_seconds(
+            F.floor(F.col("id") / 10_000).cast("long") * 60
+        ).alias("ts"),
+        # base noise in [10, 11) from a hash, spike to 500 every 97th
+        F.when(F.col("id") % 97 == 0, F.lit(500.0))
+        .otherwise(10.0 + (F.xxhash64("id") % 1000).cast("double") / 1000.0)
+        .alias("value"),
+    )
+    t0 = time.time()
+    n_out = relational.q_events_running_anomaly({"events": events}).count()
+    return time.time() - t0, n_out
+
+
 def _probe_tpch_heavy(spark, sf_dir: str):
     """The two heaviest round-4 TPC-H shapes end-to-end: Q2
     (window-min over the pair aggregate) and Q21 (semi + anti probes
@@ -289,6 +314,7 @@ PROBES = {
     "minhash_synth": _probe_minhash_synth,
     "ann_lsh_synth": _probe_ann_lsh_synth,
     "sessionize_synth": _probe_sessionize_synth,
+    "anomaly_synth": _probe_anomaly_synth,
     "simhash64": _probe_simhash64,
     "simhash32": _probe_simhash32,
     "incremental": _probe_incremental,
