@@ -2776,6 +2776,65 @@ SPECS: dict[str, QuerySpec] = {
             "count/sum/sum-of-squares over ONE user_id Exchange — "
             "no self-join, no per-user collect",
     ),
+    "fuzzy_join": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda names: dedup.fuzzy_join(
+                names,
+                names.select(
+                    "id", F.regexp_replace("text", "a", "").alias("text")
+                ),
+                min_jaccard=0.5,
+            )
+        )(
+            load_table(spark, sf_dir, "part")
+            .groupBy("p_name")
+            .agg(F.min("p_partkey").alias("id"))
+            .select("id", F.col("p_name").alias("text"))
+        ),
+        r"""WITH lnames AS (
+             SELECT MIN(p_partkey) AS id, p_name AS text
+             FROM part GROUP BY p_name
+           ),
+           rnames AS (
+             SELECT id, replace(text, 'a', '') AS text FROM lnames
+           ),
+           lsh AS (
+             SELECT id AS l_id, unnest(list_distinct(list_transform(
+                      range(1, length(s) - 1),
+                      i -> substr(s, CAST(i AS INTEGER), 3)))) AS shingle
+             FROM (SELECT id,
+                          regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+                            AS s
+                   FROM lnames)
+             WHERE length(s) >= 3
+           ),
+           rsh AS (
+             SELECT id AS r_id, unnest(list_distinct(list_transform(
+                      range(1, length(s) - 1),
+                      i -> substr(s, CAST(i AS INTEGER), 3)))) AS shingle
+             FROM (SELECT id,
+                          regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+                            AS s
+                   FROM rnames)
+             WHERE length(s) >= 3
+           ),
+           lsizes AS (SELECT l_id, COUNT(*) AS n_l FROM lsh GROUP BY 1),
+           rsizes AS (SELECT r_id, COUNT(*) AS n_r FROM rsh GROUP BY 1),
+           inter AS (
+             SELECT l_id, r_id, COUNT(*) AS i
+             FROM lsh JOIN rsh USING (shingle) GROUP BY 1, 2
+           )
+           SELECT l_id, r_id,
+                  round(CAST(i AS DOUBLE)
+                        / CAST(n_l + n_r - i AS DOUBLE), 6) AS jaccard
+           FROM inter JOIN lsizes USING (l_id) JOIN rsizes USING (r_id)
+           WHERE round(CAST(i AS DOUBLE)
+                       / CAST(n_l + n_r - i AS DOUBLE), 6) >= 0.5""",
+        doc="entity resolution: cross-table approximate-string join on "
+            "normalized char-3-gram Jaccard (part-name dictionary vs a "
+            "vowel-dropped mutation) — inverted-index candidates, "
+            "never left x right",
+    ),
     "state_intervals": QuerySpec(
         _rel(relational.q_state_intervals),
         """WITH marked AS (
@@ -3037,20 +3096,20 @@ SPECS: dict[str, QuerySpec] = {
 
 
 # Round-4 window rotation (driver records the first ~50 entries; see
-# module docstring).  Head 1-45: everything new this round (never
+# module docstring).  Head 1-46: everything new this round (never
 # driver-verified) — the seventeen TPC-H optimizer-shape queries
 # (incl. Q8 market_share / Q9 product_profit, completing all 22
 # shapes), the session-2 additions (dedup_span_exact, split_assign,
 # heavy_hitters, text_bigram_logprob, collocations_pmi,
 # events_anomaly, events_running_anomaly, revenue_pareto,
-# customer_rfm, event_top_paths, state_intervals), the eight
+# customer_rfm, event_top_paths, state_intervals, fuzzy_join), the eight
 # LLM-pipeline additions (vocab_topk, quality_percentile,
 # knn_classify, random_projection, next_event_pairs,
 # token_pair_counts, knn_classify_lsh, pretrain_funnel), two
 # analytics completions (corr_analysis, price_histogram), the two
 # skew-machinery parity entries (skew_salted_join, skew_two_phase),
 # pagerank, timeseries_gapfill, media_probe, text_token_entropy, and
-# monthly_growth; 46-50: already-green padding; the round-3-green
+# monthly_growth; 47-50: already-green padding; the round-3-green
 # tail follows and leads round 5's window.
 _ROUND4_ORDER = [
     "priority_returns", "forecast_revenue", "shipmode_priority", "customer_distribution",
@@ -3060,7 +3119,7 @@ _ROUND4_ORDER = [
     "market_share", "product_profit", "dedup_span_exact", "split_assign",
     "heavy_hitters", "text_bigram_logprob", "collocations_pmi", "events_anomaly",
     "events_running_anomaly", "revenue_pareto", "customer_rfm", "event_top_paths",
-    "state_intervals",
+    "state_intervals", "fuzzy_join",
     "vocab_topk", "quality_percentile", "knn_classify",
     "random_projection", "next_event_pairs", "token_pair_counts",
     "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",

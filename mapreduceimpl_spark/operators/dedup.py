@@ -892,3 +892,84 @@ def duplicate_spans(docs: DataFrame, min_len: int = 8) -> DataFrame:
             F.round(F.col("dup_tokens") / F.col("n_tokens").cast("double"), 6),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (approximate-string) join across two tables — entity resolution
+# ---------------------------------------------------------------------------
+
+
+def _char_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, out_id: str
+) -> DataFrame:
+    """Distinct character n-grams of the normalized string per row:
+    (out_id, shingle).  Character grams (not token grams) because
+    entity strings are short and typo-bearing — 'acme corp' vs
+    'acme crop' share most char 3-grams but few token 3-grams."""
+    pre = df.select(
+        F.col(id_col).alias(out_id), normalize_text(F.col(text_col)).alias("__s")
+    ).filter(F.length("__s") >= n)
+    sh = F.expr(
+        f"array_distinct(transform(sequence(1, length(__s) - {n - 1}), "
+        f"i -> substr(__s, i, {n})))"
+    )
+    return pre.select(out_id, F.explode(sh).alias("shingle"))
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "id",
+    left_text: str = "text",
+    right_id: str = "id",
+    right_text: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Approximate-string join (entity resolution) between two tables:
+    pairs whose normalized char-n-gram Jaccard >= ``min_jaccard`` —
+    the record-linkage twin of ``ngram_jaccard_pairs``, but ACROSS
+    tables, so candidate generation is the cross-table inverted-index
+    join (left occurrences x right occurrences per shingle), never
+    left x right.
+
+    Scale: work is O(sum over shingles of df_L * df_R); for skewed
+    shingles (every name sharing ' co') set ``max_shingle_df`` to drop
+    grams whose COMBINED document frequency exceeds it — the cap is
+    applied to both sides' sets before sizing, so Jaccard stays a
+    true ratio over the capped universe (same contract as
+    ``ngram_jaccard_pairs``).  Normalization (lower/trim/collapse
+    whitespace) is ``normalize_text`` — the exact-dedup canonical
+    form, shared so a fuzzy match at 1.0 coincides with exact-dup.
+
+    Returns (``left_id``, ``right_id``, jaccard rounded to 6).
+    """
+    ls = _char_shingles(left, left_id, left_text, n, "l_id")
+    rs = _char_shingles(right, right_id, right_text, n, "r_id")
+    if max_shingle_df is not None:
+        df_all = (
+            ls.select("shingle").unionAll(rs.select("shingle"))
+            .groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        ls = ls.join(df_all, "shingle", "left_anti")
+        rs = rs.join(df_all, "shingle", "left_anti")
+    l_sizes = ls.groupBy("l_id").agg(F.count("*").alias("n_l"))
+    r_sizes = rs.groupBy("r_id").agg(F.count("*").alias("n_r"))
+    inter = (
+        ls.join(rs, "shingle")
+        .groupBy("l_id", "r_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n_l") + F.col("n_r") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(l_sizes, "l_id")
+        .join(r_sizes, "r_id")
+        .select("l_id", "r_id", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

@@ -521,3 +521,56 @@ def test_duplicate_spans_randomized_vs_python_reference(spark):
         for r in dedup.duplicate_spans(sdf, min_len=8).collect()
     }
     assert got == exp_rows
+
+
+def test_fuzzy_join_finds_typos_not_strangers(spark):
+    """Classic record-linkage fixture: typo'd names match their
+    source above 0.5, unrelated names don't; normalization makes
+    case/whitespace-only variants score 1.0."""
+    left = spark.createDataFrame(
+        [(1, "Acme Corporation"), (2, "Globex Industries"), (3, "Initech LLC")],
+        "id long, text string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "acme  corporation"),   # normalization-equal to 1
+            (11, "Globex Industies"),    # typo of 2
+            (12, "Umbrella Group"),      # stranger
+        ],
+        "id long, text string",
+    )
+    got = {
+        (r["l_id"], r["r_id"]): r["jaccard"]
+        for r in dedup.fuzzy_join(left, right, min_jaccard=0.5).collect()
+    }
+    assert got[(1, 10)] == 1.0
+    assert 0.5 <= got[(2, 11)] < 1.0
+    assert all(r != 12 for (_, r) in got)
+
+
+def test_fuzzy_join_stop_shingle_cap(spark):
+    """With a df cap, a gram shared by every row (' co') is dropped
+    from BOTH sides' universes; the distinguishing grams still match
+    the true pair."""
+    left = spark.createDataFrame(
+        [(1, "alpha co"), (2, "beta co")], "id long, text string"
+    )
+    right = spark.createDataFrame(
+        [(11, "alpha co"), (12, "gamma co")], "id long, text string"
+    )
+    capped = {
+        (r["l_id"], r["r_id"])
+        for r in dedup.fuzzy_join(
+            left, right, min_jaccard=0.9, max_shingle_df=3
+        ).collect()
+    }
+    assert (1, 11) in capped
+    assert (2, 12) not in capped
+
+
+def test_fuzzy_join_no_cartesian(spark):
+    from mapreduceimpl_spark.plans import assert_no_cartesian
+
+    left = spark.createDataFrame([(1, "abc def")], "id long, text string")
+    right = spark.createDataFrame([(2, "abc xyz")], "id long, text string")
+    assert_no_cartesian(dedup.fuzzy_join(left, right))
