@@ -406,6 +406,12 @@ ANNOTATED = {
         "compressed change rows, so interval construction costs "
         "O(changes), not O(events)."
     ),
+    "fuzzy_join": (
+        "Entity resolution: both sides explode to char-3-gram "
+        "inverted indexes and meet in a keyed equi-join on the gram — "
+        "candidate work is sum(df_L x df_R) per gram, and no "
+        "cartesian/nested-loop appears anywhere in the plan."
+    ),
 }
 
 
