@@ -594,43 +594,75 @@ def ngram_jaccard_pairs(
     """
     sh = ngram_shingles(docs, n)
     if max_shingle_df is not None:
-        # anti-join out the hot shingles.  No forced broadcast: the hot
-        # set is bounded by total_shingles / cap, which for a small cap
-        # (or a huge corpus) is NOT driver-sized — let AQE pick
-        # broadcast vs shuffle from the actual size at runtime.
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+        sh = _drop_hot_shingles(sh, max_shingle_df)
+    return _jaccard_from_shingles(
+        sh, sh, "doc_id", "doc_id", "doc_a", "doc_b", min_jaccard, require_lt=True
+    )
+
+
+def _drop_hot_shingles(
+    sh: DataFrame, max_df: int, df_source: DataFrame | None = None
+) -> DataFrame:
+    """Anti-join out shingles whose occurrence count in ``df_source``
+    (default: ``sh`` itself; the cross-table join passes the union of
+    both sides) exceeds ``max_df``.
+
+    No forced broadcast: the hot set is bounded by total_shingles /
+    cap, which for a small cap (or a huge corpus) is NOT driver-sized —
+    let AQE pick broadcast vs shuffle from the actual size at runtime.
+    """
+    hot = (
+        (df_source if df_source is not None else sh)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(hot, "shingle", "left_anti")
+
+
+def _jaccard_from_shingles(
+    ls: DataFrame,
+    rs: DataFrame,
+    id_l: str,
+    id_r: str,
+    out_l: str,
+    out_r: str,
+    min_jaccard: float,
+    require_lt: bool = False,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Shared Jaccard core over two (id, shingle) relations: per-id set
+    sizes, inverted-index intersection counts (the equi-join that bounds
+    work at O(sum over shingles of df_L x df_R)), then
+    inter / (n_l + n_r - inter) with a threshold filter.  Serves both
+    the self-join near-dup pass (``require_lt`` adds the id ordering
+    guard) and the cross-table fuzzy join; ``round_to`` rounds the
+    ratio before filtering (the oracle-portability choice of
+    ``fuzzy_join``; ``ngram_jaccard_pairs`` keeps the raw double).
+    """
+    a, b = ls.alias("__l"), rs.alias("__r")
+    cond = F.col("__l.shingle") == F.col("__r.shingle")
+    if require_lt:
+        cond = cond & (F.col(f"__l.{id_l}") < F.col(f"__r.{id_r}"))
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, cond)
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col(f"__l.{id_l}").alias(out_l), F.col(f"__r.{id_r}").alias(out_r)
         )
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sa = ls.groupBy(id_l).agg(F.count("*").alias("n_l")).withColumnRenamed(id_l, out_l)
+    sb = rs.groupBy(id_r).agg(F.count("*").alias("n_r")).withColumnRenamed(id_r, out_r)
+    jac = F.col("inter").cast("double") / (
+        F.col("n_l") + F.col("n_r") - F.col("inter")
+    ).cast("double")
+    if round_to is not None:
+        jac = F.round(jac, round_to)
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
-            ).alias("jaccard"),
-        )
+        inter.join(sa, out_l)
+        .join(sb, out_r)
+        .select(out_l, out_r, jac.alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
 
@@ -948,28 +980,10 @@ def fuzzy_join(
     ls = _char_shingles(left, left_id, left_text, n, "l_id")
     rs = _char_shingles(right, right_id, right_text, n, "r_id")
     if max_shingle_df is not None:
-        df_all = (
-            ls.select("shingle").unionAll(rs.select("shingle"))
-            .groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
-        ls = ls.join(df_all, "shingle", "left_anti")
-        rs = rs.join(df_all, "shingle", "left_anti")
-    l_sizes = ls.groupBy("l_id").agg(F.count("*").alias("n_l"))
-    r_sizes = rs.groupBy("r_id").agg(F.count("*").alias("n_r"))
-    inter = (
-        ls.join(rs, "shingle")
-        .groupBy("l_id", "r_id")
-        .agg(F.count("*").alias("inter"))
-    )
-    jac = F.col("inter").cast("double") / (
-        F.col("n_l") + F.col("n_r") - F.col("inter")
-    ).cast("double")
-    return (
-        inter.join(l_sizes, "l_id")
-        .join(r_sizes, "r_id")
-        .select("l_id", "r_id", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= min_jaccard)
+        # cross-table cap: df is counted over BOTH sides' occurrences
+        union = ls.select("shingle").unionAll(rs.select("shingle"))
+        ls = _drop_hot_shingles(ls, max_shingle_df, df_source=union)
+        rs = _drop_hot_shingles(rs, max_shingle_df, df_source=union)
+    return _jaccard_from_shingles(
+        ls, rs, "l_id", "r_id", "l_id", "r_id", min_jaccard, round_to=6
     )

@@ -209,9 +209,12 @@ def _probe_anomaly_synth(spark, sf_dir: str):
         F.timestamp_seconds(
             F.floor(F.col("id") / 10_000).cast("long") * 60
         ).alias("ts"),
-        # base noise in [10, 11) from a hash, spike to 500 every 97th
+        # base noise in [10, 11) from a hash (pmod: Spark's % keeps the
+        # dividend's sign, xxhash64 is signed), spike to 500 every 97th
         F.when(F.col("id") % 97 == 0, F.lit(500.0))
-        .otherwise(10.0 + (F.xxhash64("id") % 1000).cast("double") / 1000.0)
+        .otherwise(
+            10.0 + F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double") / 1000.0
+        )
         .alias("value"),
     )
     t0 = time.time()
