@@ -392,3 +392,58 @@ def test_decimal_quantize_mirrors_spark_cast(spark):
     for v, r in zip(vals, rows):
         mine = Decimal(repr(v)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
         assert Decimal(str(r["q"])) == mine, v
+
+
+def test_stream_running_anomaly_state_crosses_batches(spark, tmp_path):
+    """The spike in file B must be z-scored against statistics
+    accumulated from file A's events — with one file per trigger,
+    that only works if the (n, s1, s2) state survives the micro-batch
+    boundary.  A per-batch aggregation would see n=1 < min_history
+    and emit nothing."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "anomaly_two_batches"
+    d.mkdir()
+
+    def write(fname, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            d / fname,
+        )
+
+    # warm-up: 12 alternating values (nonzero variance), then a spike
+    rows_a = [
+        (i, f"2024-01-01 10:{i:02d}:00", 7, "view", 10.0 + (i % 2), "{}")
+        for i in range(12)
+    ]
+    rows_b = [(99, "2024-01-01 11:00:00", 7, "view", 500.0, "{}")]
+    write("a.parquet", rows_a)
+    _time.sleep(0.05)
+    write("b.parquet", rows_b)
+    now = _time.time()
+    os.utime(d / "a.parquet", (now - 60, now - 60))
+    os.utime(d / "b.parquet", (now, now))
+
+    stream = streaming.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    got = _run_stream(streaming.stream_running_anomaly(stream), mode="append")
+    assert [r["event_id"] for r in got] == [99]
+    assert got[0]["z"] > 3.0  # spike vs file-A statistics
