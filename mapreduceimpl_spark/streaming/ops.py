@@ -550,3 +550,68 @@ def stream_running_anomaly(events: DataFrame, min_history: int = 10) -> DataFram
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SCD2_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("state", StringType()),
+        StructField("valid_from", TimestampType()),
+        StructField("valid_to", TimestampType()),
+    ]
+)
+# open interval carried across micro-batches: current state + its start
+_SCD2_STATE = StructType(
+    [
+        StructField("cur_state", StringType()),
+        StructField("cur_from", TimestampType()),
+    ]
+)
+
+
+def stream_state_intervals(events: DataFrame) -> DataFrame:
+    """Streaming SCD2 build — the CDC twin of the batch
+    ``relational.q_state_intervals``: each user's OPEN interval (current
+    state + start time) is keyed state; when an arriving event changes
+    the state, the closed [from, to) interval emits and a new one
+    opens.  Closed intervals from the stream equal the batch form's
+    non-null-``valid_to`` rows (tested); the still-open interval stays
+    in state rather than emitting, which is exactly the batch rows the
+    stream cannot know are final yet.
+
+    State per user is one (string, timestamp) pair — O(users),
+    independent of stream length; per-batch rows are concatenated and
+    sorted (ts, event_id) once so chunk boundaries cannot reorder a
+    user's events (same contract as ``stream_next_event_pairs``).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: Any, pdfs: Any, state: GroupState):
+        cur_state, cur_from = state.get if state.exists else (None, None)
+        out: dict[str, list] = {
+            "user_id": [], "state": [], "valid_from": [], "valid_to": [],
+        }
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for ts, et in zip(batch["ts"], batch["event_type"]):
+                if cur_state is None:
+                    cur_state, cur_from = et, ts
+                elif et != cur_state:
+                    out["user_id"].append(key[0])
+                    out["state"].append(cur_state)
+                    out["valid_from"].append(cur_from)
+                    out["valid_to"].append(ts)
+                    cur_state, cur_from = et, ts
+        state.update((cur_state, cur_from))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_SCD2_SCHEMA,
+        stateStructType=_SCD2_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

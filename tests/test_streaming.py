@@ -447,3 +447,37 @@ def test_stream_running_anomaly_state_crosses_batches(spark, tmp_path):
     got = _run_stream(streaming.stream_running_anomaly(stream), mode="append")
     assert [r["event_id"] for r in got] == [99]
     assert got[0]["z"] > 3.0  # spike vs file-A statistics
+
+
+def test_stream_state_intervals_matches_batch_closed(spark, events_dir):
+    """The streaming SCD2 build's emitted (closed) intervals equal the
+    batch form's non-null-valid_to rows on the same data — the open
+    interval per user stays in state, exactly the rows the stream
+    cannot know are final."""
+    from datetime import datetime
+
+    from mapreduceimpl_spark.operators import relational
+
+    stream = streaming.read_events_stream(spark, events_dir)
+    got = _run_stream(streaming.stream_state_intervals(stream), mode="append")
+    batch = (
+        relational.q_state_intervals({"events": load_table(spark, SF, "events")})
+        .filter(F.col("valid_to").isNotNull())
+        .collect()
+    )
+    key = lambda r: (r["user_id"], r["state"], r["valid_from"], r["valid_to"])  # noqa: E731
+    got_set = {
+        (r["user_id"], r["state"], str(r["valid_from"]), str(r["valid_to"]))
+        for r in got
+    }
+    batch_set = {
+        (
+            r["user_id"],
+            r["state"],
+            str(datetime.fromisoformat(r["valid_from"])),
+            str(datetime.fromisoformat(r["valid_to"])),
+        )
+        for r in batch
+    }
+    assert got_set == batch_set
+    assert len(got) == len(batch) > 0
