@@ -1135,9 +1135,9 @@ FROM sess GROUP BY user_id, sid
 # (tools/check_oracle.py) and MUST rotate into the window next round —
 # tests/test_catalog_contract.py enforces that this set only shrinks:
 # once an entry has a driver CORRECTNESS row it must leave this set.
-# Round 3: nothing is deferred — every entry lacking a driver row sits
-# inside the recording window (positions 1-15 of _ROUND3_ORDER).
-DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset()
+# Round 4: table_profile landed after the 46 new-entry head filled the
+# window; it sits at the catalog tail and leads round 5.
+DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset({"table_profile"})
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
 # this position in SPECS get no row); slot WINDOW+1 is kept low-stakes.
@@ -2835,6 +2835,30 @@ SPECS: dict[str, QuerySpec] = {
             "vowel-dropped mutation) — inverted-index candidates, "
             "never left x right",
     ),
+    "table_profile": QuerySpec(
+        lambda spark, sf_dir: relational.table_profile(
+            load_table(spark, sf_dir, "lineitem")
+        ),
+        "\nUNION ALL\n".join(
+            f"""SELECT '{c}' AS col_name,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+                  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                  CAST(MIN({c}) AS VARCHAR) AS min_value,
+                  CAST(MAX({c}) AS VARCHAR) AS max_value
+                FROM lineitem"""
+            for c in (
+                "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag", "l_linestatus", "l_shipdate",
+            )
+        ),
+        doc="data-quality profile of lineitem: per-column row/null/"
+            "distinct counts + min/max in ONE pass (stacked wide "
+            "aggregate, never a scan per column) — the dbt-test/Deequ "
+            "validation shape; DEFERRED to round 5's window (landed "
+            "after the head filled)",
+    ),
     "state_intervals": QuerySpec(
         _rel(relational.q_state_intervals),
         """WITH marked AS (
@@ -3148,6 +3172,7 @@ _ROUND4_ORDER = [
     "sort_limit", "scalar_string", "json_extract", "null_handling",
     "subquery_corr", "array_agg", "percentile", "pivot",
     "text_bpe_tokens", "events_tumbling",
+    "table_profile",  # deferred: leads round 5 (DEFERRED_TO_NEXT_ROUND)
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

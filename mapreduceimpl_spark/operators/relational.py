@@ -1778,3 +1778,47 @@ def q_state_intervals(t: dict[str, DataFrame]) -> DataFrame:
         F.col("ts").cast("string").alias("valid_from"),
         F.lead("ts").over(w).cast("string").alias("valid_to"),
     )
+
+
+def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Data-quality profile: one row per column with row count, null
+    count, exact distinct count, and min/max — the dbt-test/Deequ
+    validation shape, used to gate pipeline stages ("did this
+    snapshot's null fraction jump?").
+
+    ONE pass over the table: every column's aggregates are computed in
+    a single aggregation (multiple DISTINCT aggregates plan via
+    Expand), then the wide row is stacked to long form — never one
+    scan per column.  min/max aggregate in the column's native type
+    and cast to string at the edge (string-casting FIRST would make
+    numeric mins lexicographic).  Exact countDistinct is the oracle
+    default; at 100 TB swap approx_count_distinct per column — same
+    single-pass shape without the Expand blow-up.
+    """
+    cols = columns or df.columns
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__mn_{c}"),
+            F.max(c).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return wide.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, __nn, n_distinct, min_value, max_value)"
+        ),
+    ).select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("n_rows") - F.col("__nn")).cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )

@@ -615,3 +615,23 @@ def test_state_intervals_semantics_and_single_exchange(spark):
     assert got[0]["valid_to"] == got[1]["valid_from"]
     assert got[1]["valid_to"] == got[2]["valid_from"]
     assert got[2]["valid_to"] is None
+
+
+def test_table_profile_single_scan_and_nulls(spark):
+    """One scan feeds every column's aggregates (Expand for the
+    multi-DISTINCT, never a scan per column); null accounting and
+    native-type min/max are value-checked on constructed data."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "b"), (2, None, "a"), (3, 2.0, None), (3, 2.0, "c")],
+        "k long, v double, s string",
+    )
+    prof = relational.table_profile(df)
+    plan = explain_str(prof, "simple")
+    assert plan.count("Scan ExistingRDD") == 1, plan
+    rows = {r["col_name"]: r for r in prof.collect()}
+    assert rows["v"]["n_nulls"] == 1 and rows["v"]["n_distinct"] == 2
+    assert rows["v"]["min_value"] == "2.0"  # native-type min, not "10.0"
+    assert rows["k"]["n_rows"] == 4 and rows["k"]["n_distinct"] == 3
+    assert rows["s"]["max_value"] == "c"
