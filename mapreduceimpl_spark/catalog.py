@@ -1135,9 +1135,12 @@ FROM sess GROUP BY user_id, sid
 # (tools/check_oracle.py) and MUST rotate into the window next round —
 # tests/test_catalog_contract.py enforces that this set only shrinks:
 # once an entry has a driver CORRECTNESS row it must leave this set.
-# Round 4: table_profile landed after the 46 new-entry head filled the
-# window; it sits at the catalog tail and leads round 5.
-DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset({"table_profile"})
+# Round 4: table_profile and snapshot_diff landed after the 46-entry
+# new-evidence head filled the window; they sit at the catalog tail
+# and lead round 5.
+DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
+    {"table_profile", "snapshot_diff"}
+)
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
 # this position in SPECS get no row); slot WINDOW+1 is kept low-stakes.
@@ -2835,6 +2838,83 @@ SPECS: dict[str, QuerySpec] = {
             "vowel-dropped mutation) — inverted-index candidates, "
             "never left x right",
     ),
+    "snapshot_diff": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda o: relational.snapshot_diff(
+                o,
+                # "new snapshot": %13 keys deleted, %17 keys re-added
+                # under shifted ids, %11 survivors get a status flip
+                o.filter(F.col("o_orderkey") % 13 != 0)
+                .withColumn(
+                    "o_orderstatus",
+                    F.when(
+                        F.col("o_orderkey") % 11 == 0, F.lit("X")
+                    ).otherwise(F.col("o_orderstatus")),
+                )
+                .unionByName(
+                    o.filter(F.col("o_orderkey") % 17 == 0).withColumn(
+                        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+                    )
+                ),
+                key_cols=["o_orderkey"],
+            )
+        )(
+            # money as DECIMAL before the diff: double->string formatting
+            # is engine-specific at shortest-repr edge cases, decimal
+            # strings are not
+            load_table(spark, sf_dir, "orders").withColumn(
+                "o_totalprice", F.col("o_totalprice").cast("decimal(18,4)")
+            )
+        ),
+        """WITH o AS (
+             SELECT o_orderkey, o_custkey,
+                    CAST(o_totalprice AS DECIMAL(18,4)) AS o_totalprice,
+                    o_orderdate, o_orderstatus, o_orderpriority
+             FROM orders
+           ),
+           new_snap AS (
+             SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+                    CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                         ELSE o_orderstatus END AS o_orderstatus,
+                    o_orderpriority
+             FROM o WHERE o_orderkey % 13 <> 0
+             UNION ALL
+             SELECT o_orderkey + 10000000, o_custkey, o_totalprice,
+                    o_orderdate, o_orderstatus, o_orderpriority
+             FROM o WHERE o_orderkey % 17 = 0
+           ),
+           osha AS (
+             SELECT o_orderkey, sha256(concat_ws(chr(31),
+                      coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+                      coalesce(CAST(o_orderdate AS VARCHAR), chr(0)),
+                      coalesce(CAST(o_orderpriority AS VARCHAR), chr(0)),
+                      coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
+                      coalesce(CAST(o_totalprice AS VARCHAR), chr(0))))
+                    AS old_sha
+             FROM o
+           ),
+           nsha AS (
+             SELECT o_orderkey, sha256(concat_ws(chr(31),
+                      coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+                      coalesce(CAST(o_orderdate AS VARCHAR), chr(0)),
+                      coalesce(CAST(o_orderpriority AS VARCHAR), chr(0)),
+                      coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
+                      coalesce(CAST(o_totalprice AS VARCHAR), chr(0))))
+                    AS new_sha
+             FROM new_snap
+           )
+           SELECT coalesce(osha.o_orderkey, nsha.o_orderkey)
+                    AS o_orderkey,
+                  CASE WHEN old_sha IS NULL THEN 'added'
+                       WHEN new_sha IS NULL THEN 'removed'
+                       WHEN old_sha = new_sha THEN 'unchanged'
+                       ELSE 'changed' END AS change
+           FROM osha FULL OUTER JOIN nsha USING (o_orderkey)""",
+        doc="snapshot diff / CDC derivation: added-removed-changed-"
+            "unchanged per key via one full outer join on sha2-256 row "
+            "digests (sorted-column canonical form; wide rows travel "
+            "as one 64-hex digest); DEFERRED to round 5's window",
+    ),
     "table_profile": QuerySpec(
         lambda spark, sf_dir: relational.table_profile(
             load_table(spark, sf_dir, "lineitem")
@@ -3172,7 +3252,8 @@ _ROUND4_ORDER = [
     "sort_limit", "scalar_string", "json_extract", "null_handling",
     "subquery_corr", "array_agg", "percentile", "pivot",
     "text_bpe_tokens", "events_tumbling",
-    "table_profile",  # deferred: leads round 5 (DEFERRED_TO_NEXT_ROUND)
+    # deferred: lead round 5 (DEFERRED_TO_NEXT_ROUND)
+    "table_profile", "snapshot_diff",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

@@ -1822,3 +1822,43 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot comparison: label every key as added / removed /
+    changed / unchanged between two versions of a table — the
+    change-data-capture derivation step (and the audit behind "what
+    did yesterday's pipeline run actually touch?").
+
+    Rows compare by a sha2-256 over the canonicalized ``compare_cols``
+    (default: all non-key columns, in sorted-name order so column
+    order can't flip verdicts), so wide rows travel the join as one
+    64-hex digest, not N columns.  One full outer join on the key —
+    at 100 TB both sides bucket/cluster by the same key and the join
+    is co-located (see ``sinks.write_bucketed``).
+
+    Returns key columns + ``change`` ('added'|'removed'|'changed'|
+    'unchanged').
+    """
+    if compare_cols is None:
+        compare_cols = sorted(c for c in old.columns if c not in key_cols)
+    digest = F.sha2(
+        F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                              for c in compare_cols]),
+        256,
+    )
+    o = old.select(*key_cols, digest.alias("__old_sha"))
+    n = new.select(*key_cols, digest.alias("__new_sha"))
+    joined = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("__old_sha").isNull(), F.lit("added"))
+        .when(F.col("__new_sha").isNull(), F.lit("removed"))
+        .when(F.col("__old_sha") == F.col("__new_sha"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(*key_cols, change.alias("change"))

@@ -635,3 +635,27 @@ def test_table_profile_single_scan_and_nulls(spark):
     assert rows["v"]["min_value"] == "2.0"  # native-type min, not "10.0"
     assert rows["k"]["n_rows"] == 4 and rows["k"]["n_distinct"] == 3
     assert rows["s"]["max_value"] == "c"
+
+
+def test_snapshot_diff_verdicts(spark):
+    """Constructed snapshots: one added, one removed, one changed, one
+    unchanged key; null column values hash distinctly from empty
+    strings (the \\x00 sentinel)."""
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", None), (3, "c", 31.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    got = {
+        r["k"]: r["change"]
+        for r in relational.snapshot_diff(old, new, key_cols=["k"]).collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+    # null vs empty string must differ
+    old2 = spark.createDataFrame([(1, None)], "k long, s string")
+    new2 = spark.createDataFrame([(1, "")], "k long, s string")
+    r = relational.snapshot_diff(old2, new2, key_cols=["k"]).collect()[0]
+    assert r["change"] == "changed"
