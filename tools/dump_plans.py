@@ -412,6 +412,18 @@ ANNOTATED = {
         "candidate work is sum(df_L x df_R) per gram, and no "
         "cartesian/nested-loop appears anywhere in the plan."
     ),
+    "table_profile": (
+        "Data-quality profile: ONE scan feeds every column's "
+        "count/distinct/min/max (the multi-DISTINCT plans via "
+        "Expand), then the wide row stacks to long form — never a "
+        "scan per column."
+    ),
+    "snapshot_diff": (
+        "CDC derivation: both snapshots reduce to (key, sha256 row "
+        "digest) before the single full outer join, so wide rows "
+        "travel as one 64-hex digest and the join is co-locatable by "
+        "bucketing both snapshots on the key."
+    ),
 }
 
 
