@@ -1,9 +1,12 @@
 """Deduplication operators for LLM training-data pipelines.
 
-Five dedup families over ``documents`` (and ``embeddings`` for vector
-near-dup), all expressed as declarative DataFrame pipelines that scale
-by partitioning on content-derived keys — no driver-side state, no
-pairwise O(n^2) work except inside LSH candidate buckets.
+Seven dedup families over ``documents`` (and ``embeddings`` for vector
+near-dup) — exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine, exact-substring spans, incremental ingest — plus the
+cross-table fuzzy join for entity resolution, all expressed as
+declarative DataFrame pipelines that scale by partitioning on
+content-derived keys — no driver-side state, no pairwise O(n^2) work
+except inside LSH candidate buckets.
 
 Portability: content hashing uses md5/sha2 (engine-independent) rather
 than Spark-private xxhash64, so every deterministic stage is
