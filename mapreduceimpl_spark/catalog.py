@@ -2852,8 +2852,10 @@ SPECS: dict[str, QuerySpec] = {
                     ).otherwise(F.col("o_orderstatus")),
                 )
                 .unionByName(
+                    # shift far above any o_orderkey this fixture family
+                    # can produce (6M/SF) so re-added ids never collide
                     o.filter(F.col("o_orderkey") % 17 == 0).withColumn(
-                        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+                        "o_orderkey", F.col("o_orderkey") + F.lit(100_000_000)
                     )
                 ),
                 key_cols=["o_orderkey"],
@@ -2879,27 +2881,37 @@ SPECS: dict[str, QuerySpec] = {
                     o_orderpriority
              FROM o WHERE o_orderkey % 13 <> 0
              UNION ALL
-             SELECT o_orderkey + 10000000, o_custkey, o_totalprice,
+             SELECT o_orderkey + 100000000, o_custkey, o_totalprice,
                     o_orderdate, o_orderstatus, o_orderpriority
              FROM o WHERE o_orderkey % 17 = 0
            ),
            osha AS (
              SELECT o_orderkey, sha256(concat_ws(chr(31),
-                      coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
-                      coalesce(CAST(o_orderdate AS VARCHAR), chr(0)),
-                      coalesce(CAST(o_orderpriority AS VARCHAR), chr(0)),
-                      coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
-                      coalesce(CAST(o_totalprice AS VARCHAR), chr(0))))
+                      coalesce(CAST(length(CAST(o_custkey AS VARCHAR)) AS VARCHAR)
+                        || ':' || CAST(o_custkey AS VARCHAR), chr(0)),
+                      coalesce(CAST(length(CAST(o_orderdate AS VARCHAR)) AS VARCHAR)
+                        || ':' || CAST(o_orderdate AS VARCHAR), chr(0)),
+                      coalesce(CAST(length(CAST(o_orderpriority AS VARCHAR)) AS VARCHAR)
+                        || ':' || CAST(o_orderpriority AS VARCHAR), chr(0)),
+                      coalesce(CAST(length(CAST(o_orderstatus AS VARCHAR)) AS VARCHAR)
+                        || ':' || CAST(o_orderstatus AS VARCHAR), chr(0)),
+                      coalesce(CAST(length(CAST(o_totalprice AS VARCHAR)) AS VARCHAR)
+                        || ':' || CAST(o_totalprice AS VARCHAR), chr(0))))
                     AS old_sha
              FROM o
            ),
            nsha AS (
              SELECT o_orderkey, sha256(concat_ws(chr(31),
-                      coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
-                      coalesce(CAST(o_orderdate AS VARCHAR), chr(0)),
-                      coalesce(CAST(o_orderpriority AS VARCHAR), chr(0)),
-                      coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
-                      coalesce(CAST(o_totalprice AS VARCHAR), chr(0))))
+                      coalesce(CAST(length(CAST(o_custkey AS VARCHAR)) AS VARCHAR)
+                        || ':' || CAST(o_custkey AS VARCHAR), chr(0)),
+                      coalesce(CAST(length(CAST(o_orderdate AS VARCHAR)) AS VARCHAR)
+                        || ':' || CAST(o_orderdate AS VARCHAR), chr(0)),
+                      coalesce(CAST(length(CAST(o_orderpriority AS VARCHAR)) AS VARCHAR)
+                        || ':' || CAST(o_orderpriority AS VARCHAR), chr(0)),
+                      coalesce(CAST(length(CAST(o_orderstatus AS VARCHAR)) AS VARCHAR)
+                        || ':' || CAST(o_orderstatus AS VARCHAR), chr(0)),
+                      coalesce(CAST(length(CAST(o_totalprice AS VARCHAR)) AS VARCHAR)
+                        || ':' || CAST(o_totalprice AS VARCHAR), chr(0))))
                     AS new_sha
              FROM new_snap
            )
@@ -2943,13 +2955,14 @@ SPECS: dict[str, QuerySpec] = {
         _rel(relational.q_state_intervals),
         """WITH marked AS (
              SELECT user_id, ts, event_id, event_type,
-                    lag(event_type) OVER w AS prev_state
+                    coalesce(event_type, chr(0)) AS sc,
+                    lag(coalesce(event_type, chr(0))) OVER w AS prev_state
              FROM events
              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
            ),
            changes AS (
              SELECT user_id, ts, event_id, event_type FROM marked
-             WHERE prev_state IS NULL OR prev_state <> event_type
+             WHERE prev_state IS NULL OR prev_state <> sc
            )
            SELECT user_id, event_type AS state,
                   CAST(ts AS VARCHAR) AS valid_from,

@@ -1761,15 +1761,22 @@ def q_state_intervals(t: dict[str, DataFrame]) -> DataFrame:
     the surviving change rows) partition on user_id — one Exchange
     total; the lead window reads only the compressed change rows.
     Timestamps emit as strings at the edge (engine portability rule).
+
+    A NULL event_type is a distinct state (compared through a \\x00
+    sentinel so SQL three-valued logic can't silently merge a null-
+    state run into its neighbors); the streaming twin
+    (``streaming.stream_state_intervals``) defines null identically,
+    keeping stream == batch on null-bearing changelogs too.
     """
     e = t["events"]
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    state_c = F.coalesce(F.col("event_type"), F.lit("\x00"))
     changes = (
-        e.select("user_id", "ts", "event_id", "event_type")
-        .withColumn("prev_state", F.lag("event_type").over(w))
+        e.select("user_id", "ts", "event_id", "event_type", state_c.alias("__sc"))
+        .withColumn("prev_state", F.lag("__sc").over(w))
         .filter(
             F.col("prev_state").isNull()
-            | (F.col("prev_state") != F.col("event_type"))
+            | (F.col("prev_state") != F.col("__sc"))
         )
     )
     return changes.select(
@@ -1805,8 +1812,20 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             F.max(c).cast("string").alias(f"__mx_{c}"),
         ]
     wide = df.agg(*aggs)
+
+    # names reach generated SQL: escape the string literal, backtick-
+    # quote the identifiers, so ingested-CSV names ('unit price',
+    # "o'clock") can't break or inject into the stack() expression
+    def lit(c: str) -> str:
+        return "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    def ident(prefix: str, c: str) -> str:
+        return "`" + f"{prefix}{c}".replace("`", "``") + "`"
+
     stack_args = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+        f"{lit(c)}, {ident('__nn_', c)}, {ident('__nd_', c)}, "
+        f"{ident('__mn_', c)}, {ident('__mx_', c)}"
+        for c in cols
     )
     return wide.select(
         F.col("__n").alias("n_rows"),
@@ -1847,11 +1866,31 @@ def snapshot_diff(
     """
     if compare_cols is None:
         compare_cols = sorted(c for c in old.columns if c not in key_cols)
-    digest = F.sha2(
-        F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                              for c in compare_cols]),
-        256,
-    )
+        new_extra = sorted(
+            c for c in new.columns if c not in key_cols and c not in compare_cols
+        )
+        if new_extra:
+            raise ValueError(
+                "snapshot_diff: new snapshot has non-key columns absent from "
+                f"old ({new_extra}) — a digest over old's columns would "
+                "silently ignore their changes; pass compare_cols explicitly"
+            )
+    # length-prefixed encoding ('<len>:<value>') makes the digest a
+    # prefix code: separator bytes inside values cannot realign field
+    # boundaries, and a real '\\x00' value ('1:\\x00') cannot collide
+    # with the bare null sentinel
+    encoded = [
+        F.coalesce(
+            F.concat(
+                F.length(F.col(c).cast("string")).cast("string"),
+                F.lit(":"),
+                F.col(c).cast("string"),
+            ),
+            F.lit("\x00"),
+        )
+        for c in compare_cols
+    ]
+    digest = F.sha2(F.concat_ws("\x1f", *encoded), 256)
     o = old.select(*key_cols, digest.alias("__old_sha"))
     n = new.select(*key_cols, digest.alias("__new_sha"))
     joined = o.join(n, key_cols, "full_outer")

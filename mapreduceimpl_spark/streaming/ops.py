@@ -583,8 +583,16 @@ def stream_state_intervals(events: DataFrame) -> DataFrame:
     independent of stream length; per-batch rows are concatenated and
     sorted (ts, event_id) once so chunk boundaries cannot reorder a
     user's events (same contract as ``stream_next_event_pairs``).
+
+    A NULL event_type is a distinct state, carried in state as the
+    same \\x00 sentinel the batch form compares through and emitted
+    back as NULL — without the sentinel, "no open interval yet" and
+    "open interval of null state" would be indistinguishable and the
+    stream would silently diverge from batch on null-bearing logs.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sent = "\x00"
 
     def update(key: Any, pdfs: Any, state: GroupState):
         cur_state, cur_from = state.get if state.exists else (None, None)
@@ -597,14 +605,15 @@ def stream_state_intervals(events: DataFrame) -> DataFrame:
                 ["ts", "event_id"]
             )
             for ts, et in zip(batch["ts"], batch["event_type"]):
+                sc = sent if et is None or (et != et) else et  # NaN-safe
                 if cur_state is None:
-                    cur_state, cur_from = et, ts
-                elif et != cur_state:
+                    cur_state, cur_from = sc, ts
+                elif sc != cur_state:
                     out["user_id"].append(key[0])
-                    out["state"].append(cur_state)
+                    out["state"].append(None if cur_state == sent else cur_state)
                     out["valid_from"].append(cur_from)
                     out["valid_to"].append(ts)
-                    cur_state, cur_from = et, ts
+                    cur_state, cur_from = sc, ts
         state.update((cur_state, cur_from))
         yield pd.DataFrame(out)
 

@@ -659,3 +659,54 @@ def test_snapshot_diff_verdicts(spark):
     new2 = spark.createDataFrame([(1, "")], "k long, s string")
     r = relational.snapshot_diff(old2, new2, key_cols=["k"]).collect()[0]
     assert r["change"] == "changed"
+
+
+def test_state_intervals_null_state_is_distinct(spark):
+    """view, NULL, view -> three intervals: the null run is its own
+    state (sentinel comparison), not absorbed by its neighbors, and
+    the null interval's state emits as NULL."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 7, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 1), 7, None, 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 0, 2), 7, "view", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = sorted(
+        relational.q_state_intervals({"events": events}).collect(),
+        key=lambda r: r["valid_from"],
+    )
+    assert [r["state"] for r in got] == ["view", None, "view"]
+    assert got[0]["valid_to"] == got[1]["valid_from"]
+    assert got[1]["valid_to"] == got[2]["valid_from"]
+
+
+def test_table_profile_hostile_column_names(spark):
+    """Names with spaces and quotes survive the generated stack()."""
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, None)], ["unit price", "o'clock"]
+    )
+    rows = {r["col_name"]: r for r in relational.table_profile(df).collect()}
+    assert rows["unit price"]["n_distinct"] == 2
+    assert rows["o'clock"]["n_nulls"] == 1
+
+
+def test_snapshot_diff_digest_not_injectable(spark):
+    """Values containing the separator can't realign field boundaries
+    (length-prefix coding): ('x\\x1fy','z') vs ('x','y\\x1fz') is
+    'changed'; schema drift on the new side raises."""
+    import pytest
+
+    old = spark.createDataFrame([(1, "x\x1fy", "z")], "k long, a string, b string")
+    new = spark.createDataFrame([(1, "x", "y\x1fz")], "k long, a string, b string")
+    r = relational.snapshot_diff(old, new, key_cols=["k"]).collect()[0]
+    assert r["change"] == "changed"
+
+    new_drift = spark.createDataFrame([(1, "x", "z", "v2")],
+                                      "k long, a string, b string, c string")
+    with pytest.raises(ValueError, match="compare_cols"):
+        relational.snapshot_diff(old, new_drift, key_cols=["k"])

@@ -465,7 +465,6 @@ def test_stream_state_intervals_matches_batch_closed(spark, events_dir):
         .filter(F.col("valid_to").isNotNull())
         .collect()
     )
-    key = lambda r: (r["user_id"], r["state"], r["valid_from"], r["valid_to"])  # noqa: E731
     got_set = {
         (r["user_id"], r["state"], str(r["valid_from"]), str(r["valid_to"]))
         for r in got
