@@ -108,3 +108,44 @@ def test_events_tumbling_pins_utc_too(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert hostile == baseline and len(baseline) > 0
+
+
+def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
+    """Plan lint over the ENTIRE catalog: no entry may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin may appear only
+    where a bounded side is deliberately broadcast — 1-row
+    totals/thresholds riding a crossJoin (corpus statistics,
+    scalar-subquery decorrelations), the broadcast query side of the
+    ANN/k-NN scorers, and the intentionally tiny join_cross.  A new
+    entry that accidentally degenerates to a nested loop fails here
+    before it can reach a 100 TB plan."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    # every name here is a reviewed, bounded nested-loop: the
+    # broadcast side is 1 row (aggregate total / threshold / ref
+    # date) or the small query batch; join_cross is the explicit
+    # bounded cartesian parity entry
+    bnlj_ok = {
+        "sales_opportunity",   # scalar AVG subquery broadcast (Q22)
+        "revenue_share",       # 1-row threshold (Q11)
+        "heavy_hitters",       # 1-row token total
+        "text_bigram_logprob", # 1-row token total
+        "collocations_pmi",    # 1-row pair + token totals
+        "revenue_pareto",      # 1-row revenue total
+        "customer_rfm",        # 1-row reference date
+        "knn_classify",        # broadcast query batch vs corpus scan
+        "ann_topk",            # broadcast query batch vs corpus scan
+        "tfidf_topterms",      # 1-row doc-count denominator
+        "text_unigram_logprob",# 1-row token total
+        "join_cross",          # intentional bounded cross join
+    }
+    sf = "/root/testdata/sf0.001"
+    cart, bad_bnlj = [], []
+    for name, spec in catalog.SPECS.items():
+        plan = explain_str(spec.fn(spark, sf), "simple")
+        if "CartesianProduct" in plan:
+            cart.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            bad_bnlj.append(name)
+    assert not cart, f"cartesian products in: {cart}"
+    assert not bad_bnlj, f"unreviewed nested-loop joins in: {bad_bnlj}"
