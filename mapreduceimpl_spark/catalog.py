@@ -1135,11 +1135,11 @@ FROM sess GROUP BY user_id, sid
 # (tools/check_oracle.py) and MUST rotate into the window next round —
 # tests/test_catalog_contract.py enforces that this set only shrinks:
 # once an entry has a driver CORRECTNESS row it must leave this set.
-# Round 4: table_profile and snapshot_diff landed after the 46-entry
-# new-evidence head filled the window; they sit at the catalog tail
-# and lead round 5.
+# Round 4: table_profile, snapshot_diff, and triangle_count landed
+# after the 46-entry new-evidence head filled the window; they sit at
+# the catalog tail and lead round 5.
 DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
-    {"table_profile", "snapshot_diff"}
+    {"table_profile", "snapshot_diff", "triangle_count"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -2927,6 +2927,42 @@ SPECS: dict[str, QuerySpec] = {
             "digests (sorted-column canonical form; wide rows travel "
             "as one 64-hex digest); DEFERRED to round 5's window",
     ),
+    "triangle_count": QuerySpec(
+        lambda spark, sf_dir: graph.triangle_count(
+            (lambda ps: ps.alias("x")
+             .join(
+                 ps.alias("y"),
+                 (F.col("x.l_partkey") == F.col("y.l_partkey"))
+                 & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+             )
+             .select(
+                 F.col("x.l_suppkey").alias("src"),
+                 F.col("y.l_suppkey").alias("dst"),
+             ))(
+                load_table(spark, sf_dir, "lineitem")
+                .select("l_partkey", "l_suppkey")
+                .distinct()
+            )
+        ),
+        """WITH ps AS (
+             SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+           ),
+           und AS (
+             SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+             FROM ps x JOIN ps y
+               ON x.l_partkey = y.l_partkey
+              AND x.l_suppkey < y.l_suppkey
+           )
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+           FROM und e1
+           JOIN und e2 ON e1.v = e2.u
+           JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""",
+        doc="exact triangle count of the supplier co-supply graph via "
+            "degree-ordered (compact-forward) orientation — "
+            "O(sqrt(m))-bounded wedge fan-out; any consistent "
+            "orientation yields the same total, so the oracle replays "
+            "with plain id ordering; DEFERRED to round 5's window",
+    ),
     "table_profile": QuerySpec(
         lambda spark, sf_dir: relational.table_profile(
             load_table(spark, sf_dir, "lineitem")
@@ -3266,7 +3302,7 @@ _ROUND4_ORDER = [
     "subquery_corr", "array_agg", "percentile", "pivot",
     "text_bpe_tokens", "events_tumbling",
     # deferred: lead round 5 (DEFERRED_TO_NEXT_ROUND)
-    "table_profile", "snapshot_diff",
+    "table_profile", "snapshot_diff", "triangle_count",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

@@ -56,3 +56,35 @@ def test_determinism_across_partitionings(spark):
     r1 = {r["node"]: r["rank"] for r in graph.pagerank(df1, 3).collect()}
     r8 = {r["node"]: r["rank"] for r in graph.pagerank(df8, 3).collect()}
     assert r1 == r8
+
+
+def test_triangle_count_known_graphs(spark):
+    from mapreduceimpl_spark.operators.graph import triangle_count
+
+    def count(pairs):
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        return triangle_count(e).collect()[0]["n_triangles"]
+
+    triangle = [(1, 2), (2, 3), (3, 1)]
+    assert count(triangle) == 1
+    square = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    assert count(square) == 0
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    assert count(k4) == 4
+    # duplicate edges, reversed duplicates, and self-loops don't
+    # inflate the count (undirected canonicalization + a != b filter)
+    messy = triangle + [(2, 1), (2, 3), (1, 1)]
+    assert count(messy) == 1
+
+
+def test_triangle_count_degree_orientation_matches_id_orientation(spark):
+    """The scale-friendly (degree, id) orientation must count exactly
+    what a plain id orientation counts on a skewed hub graph (one hub
+    connected to everything plus a chain)."""
+    from mapreduceimpl_spark.operators.graph import triangle_count
+
+    hub = [(0, i) for i in range(1, 20)] + [(i, i + 1) for i in range(1, 19)]
+    e = spark.createDataFrame(hub, "src long, dst long")
+    got = triangle_count(e).collect()[0]["n_triangles"]
+    # each chain edge (i, i+1) for 1<=i<19 forms a triangle with hub 0
+    assert got == 18
