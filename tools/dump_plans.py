@@ -424,6 +424,12 @@ ANNOTATED = {
         "travel as one 64-hex digest and the join is co-locatable by "
         "bucketing both snapshots on the key."
     ),
+    "triangle_count": (
+        "Compact-forward triangles: dedup'd undirected edges join "
+        "degree tables, orient lower-(degree,id)-first, then two "
+        "keyed self-joins close wedges — every join is an equi-join "
+        "and per-vertex fan-out is O(sqrt(m)) by the orientation."
+    ),
 }
 
 
