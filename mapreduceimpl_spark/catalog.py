@@ -1135,11 +1135,12 @@ FROM sess GROUP BY user_id, sid
 # (tools/check_oracle.py) and MUST rotate into the window next round —
 # tests/test_catalog_contract.py enforces that this set only shrinks:
 # once an entry has a driver CORRECTNESS row it must leave this set.
-# Round 4: table_profile, snapshot_diff, and triangle_count landed
+# Round 4: table_profile, snapshot_diff, triangle_count, and
+# clustering_coeff landed
 # after the 46-entry new-evidence head filled the window; they sit at
 # the catalog tail and lead round 5.
 DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
-    {"table_profile", "snapshot_diff", "triangle_count"}
+    {"table_profile", "snapshot_diff", "triangle_count", "clustering_coeff"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -2963,6 +2964,62 @@ SPECS: dict[str, QuerySpec] = {
             "orientation yields the same total, so the oracle replays "
             "with plain id ordering; DEFERRED to round 5's window",
     ),
+    "clustering_coeff": QuerySpec(
+        lambda spark, sf_dir: graph.clustering_coefficient(
+            (lambda ps: ps.alias("x")
+             .join(
+                 ps.alias("y"),
+                 (F.col("x.l_partkey") == F.col("y.l_partkey"))
+                 & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+             )
+             .select(
+                 F.col("x.l_suppkey").alias("src"),
+                 F.col("y.l_suppkey").alias("dst"),
+             ))(
+                load_table(spark, sf_dir, "lineitem")
+                .select("l_partkey", "l_suppkey")
+                .distinct()
+            )
+        ),
+        """WITH ps AS (
+             SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+           ),
+           und AS (
+             SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+             FROM ps x JOIN ps y
+               ON x.l_partkey = y.l_partkey
+              AND x.l_suppkey < y.l_suppkey
+           ),
+           tri AS (
+             SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             FROM und e1
+             JOIN und e2 ON e1.v = e2.u
+             JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+           ),
+           per_node AS (
+             SELECT node, COUNT(*) AS n_triangles FROM (
+               SELECT a AS node FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri
+             ) GROUP BY node
+           ),
+           deg AS (
+             SELECT node, COUNT(*) AS deg FROM (
+               SELECT u AS node FROM und UNION ALL SELECT v FROM und
+             ) GROUP BY node
+           )
+           SELECT deg.node, CAST(deg AS BIGINT) AS deg,
+                  CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+                  round(CAST(2.0 AS DOUBLE)
+                        * CAST(coalesce(n_triangles, 0) AS DOUBLE)
+                        / CAST(deg * (deg - 1) AS DOUBLE), 6) AS coeff
+           FROM deg LEFT JOIN per_node USING (node)
+           WHERE deg >= 2""",
+        doc="per-node local clustering coefficient of the co-supply "
+            "graph (2*T_v / deg*(deg-1)): triangle machinery reused, "
+            "per-member triangle credit is orientation-independent; "
+            "DEFERRED to round 5's window",
+    ),
     "table_profile": QuerySpec(
         lambda spark, sf_dir: relational.table_profile(
             load_table(spark, sf_dir, "lineitem")
@@ -3302,7 +3359,7 @@ _ROUND4_ORDER = [
     "subquery_corr", "array_agg", "percentile", "pivot",
     "text_bpe_tokens", "events_tumbling",
     # deferred: lead round 5 (DEFERRED_TO_NEXT_ROUND)
-    "table_profile", "snapshot_diff", "triangle_count",
+    "table_profile", "snapshot_diff", "triangle_count", "clustering_coeff",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

@@ -77,7 +77,7 @@ def pagerank(
     return ranks.select("node", F.round("rank", round_digits).alias("rank"))
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def _triangle_internals(edges: DataFrame, src: str, dst: str):
     """Exact triangle count of the undirected graph given by
     ``edges`` — the canonical graph-analytics benchmark after
     PageRank, and the clustering-coefficient numerator.
@@ -131,5 +131,49 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     wedges = e1.join(e2, "b")
     closed = wedges.join(
         e3, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2"))
+    ).select("a", "b", "c")
+    return closed.agg(F.count("*").cast("long").alias("n_triangles")), closed, deg
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Single-row exact triangle count; see ``_triangle_internals``
+    for the compact-forward algorithm and scale notes."""
+    total, _closed, _deg = _triangle_internals(edges, src, dst)
+    return total
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient: 2*T_v / (deg_v*(deg_v-1))
+    — how close each node's neighborhood is to a clique, the standard
+    community-structure signal (triangle machinery reused; each
+    triangle credits all three members, which is orientation-
+    independent, so the oracle again replays with id ordering).
+
+    Returns (node, deg, n_triangles, coeff) for nodes with deg >= 2
+    (the coefficient is undefined below); coeff rounded to 6.
+    """
+    _total, closed, deg = _triangle_internals(edges, src, dst)
+    per_node = (
+        closed.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
     )
-    return closed.agg(F.count("*").cast("long").alias("n_triangles"))
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+                6,
+            ).alias("coeff"),
+        )
+    )

@@ -88,3 +88,19 @@ def test_triangle_count_degree_orientation_matches_id_orientation(spark):
     got = triangle_count(e).collect()[0]["n_triangles"]
     # each chain edge (i, i+1) for 1<=i<19 forms a triangle with hub 0
     assert got == 18
+
+
+def test_clustering_coefficient_known_values(spark):
+    """Hub-and-chain: hub 0 connects to 1..4, plus edge (1,2).  Node
+    1 and 2 each have deg 2 and one triangle -> coeff 1.0; hub has
+    deg 4, one triangle -> 2*1/(4*3) = 0.166667; leaf 3 (deg 1) is
+    excluded."""
+    from mapreduceimpl_spark.operators.graph import clustering_coefficient
+
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r for r in clustering_coefficient(e).collect()}
+    assert got[1]["coeff"] == 1.0 and got[1]["n_triangles"] == 1
+    assert got[2]["coeff"] == 1.0
+    assert got[0]["deg"] == 4 and got[0]["coeff"] == round(2 / 12, 6)
+    assert 3 not in got and 4 not in got  # deg < 2 excluded
