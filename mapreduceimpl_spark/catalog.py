@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from mapreduceimpl_spark.functions import dec_sum as _fn_dec_sum
 from mapreduceimpl_spark.functions import skew
 from mapreduceimpl_spark.operators import dedup, graph, kmeans, multimodal, packing, relational
-from mapreduceimpl_spark.operators import sampling, similarity, text_analysis, udf_surface, wordcount
+from mapreduceimpl_spark.operators import sampling, similarity, text_analysis, timeseries, udf_surface, wordcount
 from mapreduceimpl_spark.sources import load_table, load_tables
 
 # --- shared SQL fragments (mirror functions/exprs.py exactly) -------------
@@ -1140,7 +1140,13 @@ FROM sess GROUP BY user_id, sid
 # after the 46-entry new-evidence head filled the window; they sit at
 # the catalog tail and lead round 5.
 DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
-    {"table_profile", "snapshot_diff", "triangle_count", "clustering_coeff"}
+    {
+        "table_profile",
+        "snapshot_diff",
+        "triangle_count",
+        "clustering_coeff",
+        "events_ewma",
+    }
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -3044,6 +3050,17 @@ SPECS: dict[str, QuerySpec] = {
             "validation shape; DEFERRED to round 5's window (landed "
             "after the head filled)",
     ),
+    "events_ewma": QuerySpec(
+        lambda spark, sf_dir: timeseries.ewma(load_table(spark, sf_dir, "events")),
+        timeseries.ewma_oracle_sql(),
+        doc="per-user exponential smoothing (EWMA, alpha=1/8) — a "
+            "sequential recurrence no window frame expresses; one "
+            "user_id Exchange then an O(1)-state Arrow pass per key; "
+            "oracle replays the identical IEEE multiply-add sequence "
+            "as a linear recursive CTE with repr-interpolated "
+            "coefficients; DEFERRED to round 5's window (landed after "
+            "the head filled)",
+    ),
     "state_intervals": QuerySpec(
         _rel(relational.q_state_intervals),
         """WITH marked AS (
@@ -3360,6 +3377,7 @@ _ROUND4_ORDER = [
     "text_bpe_tokens", "events_tumbling",
     # deferred: lead round 5 (DEFERRED_TO_NEXT_ROUND)
     "table_profile", "snapshot_diff", "triangle_count", "clustering_coeff",
+    "events_ewma",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

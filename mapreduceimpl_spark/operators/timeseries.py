@@ -1,0 +1,127 @@
+"""Sequential time-series recurrences: exponentially-weighted moving
+averages (EWMA / exponential smoothing).
+
+``ewma`` computes, per key, the classic recurrence
+
+    e_1 = x_1
+    e_t = alpha * x_t + (1 - alpha) * e_{t-1}
+
+over the key's events in (ts, event_id) order.  Unlike the prefix
+window statistics in ``relational.q_events_running_anomaly``, EWMA is
+NOT expressible as an unordered aggregate over a frame: every value's
+weight depends on its distance from the *end* of the prefix, so the
+closed form Σ alpha·(1-alpha)^(t-i)·x_i needs pow() terms that
+underflow for long series and whose floating-point evaluation is
+summation-order-dependent.  The recurrence itself, evaluated in
+sequence order, is the deterministic form — the same reason the
+greedy packer (``packing.pack_greedy``) runs as a sequential pass.
+
+Spark shape: ``applyInPandas`` over keys — ONE Exchange on the key,
+then each key's series streams through a single Arrow-batched Python
+pass with O(1) state.  Parallelism is the number of keys (users),
+which at 100 TB is millions — the same per-key-sequential layout any
+engine (Flink keyed streams, kdb+ `ema`) uses for this operator.
+
+Determinism / oracle parity: alpha and beta = 1-alpha are interpolated
+into the DuckDB oracle via ``repr`` so both engines run the IDENTICAL
+sequence of IEEE-double multiply-adds (same order, same literals), and
+the emitted value is quantized with the portable HALF-UP
+floor(x*1e6+0.5)/1e6 (Spark's round() HALF_UP vs DuckDB's half-even
+would split on exact boundaries).  The oracle replays the recurrence
+as a linear recursive CTE (one step per row rank), the same shape as
+the packing oracle.
+
+The streaming twin (``streaming.ops.stream_ewma``) carries
+(last_ewma) as keyed state across micro-batches and equals this batch
+form bit-exactly (same doubles, same order) — tested in
+``tests/test_streaming.py``.
+
+Reference parity: the reference engine (MapReduceImpl) has no
+time-series surface at all; this extends the same per-key sequential
+pass its partitioned reduce performs (``mp/worker.go:14-17`` — one
+ordered pass per key group) to a stateful numeric recurrence.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_EWMA_SCHEMA = (
+    "user_id long, event_id long, value double, ewma double"
+)
+
+
+def _ewma_round(x: float, digits: int) -> float:
+    # portable HALF-UP: floor(x * 10^d + 0.5) / 10^d — mirrored
+    # literally in the SQL oracle (COVERAGE.md min_cost_supplier note)
+    import math
+
+    p = 10.0**digits
+    return math.floor(x * p + 0.5) / p
+
+
+def ewma(
+    events: DataFrame,
+    alpha: float = 0.125,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-user EWMA of ``value`` over (ts, event_id) order.
+
+    Output: (user_id, event_id, value, ewma) — one row per input
+    event, ``ewma`` the smoothed level *after* absorbing that event,
+    quantized HALF-UP at ``round_digits`` decimals.
+
+    ``alpha`` defaults to 0.125 (= 1/8, exactly representable, so
+    beta = 0.875 is too); any float works — the oracle interpolates
+    ``repr(alpha)`` so both engines see the same double.
+
+    Null values are excluded up front (a NaN would poison the whole
+    tail of the recurrence); the oracle mirrors the filter.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"ewma: alpha must be in (0, 1], got {alpha}")
+    beta = 1.0 - alpha
+    digits = round_digits
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        e = None
+        out = []
+        for x in pdf["value"]:
+            x = float(x)
+            e = x if e is None else alpha * x + beta * e
+            out.append(_ewma_round(e, digits))
+        res = pdf[["user_id", "event_id", "value"]].copy()
+        res["ewma"] = pd.Series(out, dtype="float64")
+        return res
+
+    src = events.select("user_id", "event_id", "ts", "value").filter(
+        F.col("value").isNotNull()
+    )
+    return src.groupBy("user_id").applyInPandas(smooth, _EWMA_SCHEMA)
+
+
+def ewma_oracle_sql(alpha: float = 0.125, round_digits: int = 6) -> str:
+    """The recurrence as a linear recursive CTE (DuckDB), advancing
+    every user one rank per step — repr-interpolated alpha/beta so the
+    double arithmetic matches the pandas pass bit-for-bit."""
+    a, b = repr(alpha), repr(1.0 - alpha)
+    p = repr(10.0**round_digits)
+    return f"""WITH RECURSIVE ordered AS MATERIALIZED (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+),
+rec AS (
+  SELECT user_id, event_id, value, rn, value AS e
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.value, o.rn, {a} * o.value + {b} * r.e
+  FROM rec r JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, event_id, value, floor(e * {p} + 0.5) / {p} AS ewma
+FROM rec"""

@@ -624,3 +624,67 @@ def stream_state_intervals(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_EWMA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+# the smoothed level after the user's last absorbed event — carrying
+# the raw double (not a quantized emission) keeps the recurrence
+# bit-exact across micro-batch boundaries
+_EWMA_STATE = StructType([StructField("level", DoubleType())])
+
+
+def stream_ewma(events: DataFrame, alpha: float = 0.125, round_digits: int = 6) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.ewma``: the per-user
+    smoothed level is ONE double of keyed state carried across
+    micro-batches, so an unbounded stream smooths with O(users) state.
+
+    Bit-exact stream==batch: the state holds the UNROUNDED level and
+    each emission applies the same portable HALF-UP quantization as
+    the batch pass — the recurrence therefore executes the identical
+    sequence of IEEE multiply-adds whether the series arrives in one
+    batch or many (tested, incl. an explicit two-batch boundary).
+    Per-batch rows are concatenated and sorted (ts, event_id) once so
+    Arrow chunk boundaries cannot reorder a user's events (same
+    contract as ``stream_next_event_pairs``).
+    """
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    beta = 1.0 - alpha
+    p = 10.0**round_digits
+
+    def update(key: Any, pdfs: Any, state: GroupState):
+        level = state.get[0] if state.exists else None
+        out: dict[str, list] = {"user_id": [], "event_id": [], "value": [], "ewma": []}
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for eid, x in zip(batch["event_id"], batch["value"]):
+                if x != x or x is None:  # NaN/null guard, mirrors batch filter
+                    continue
+                x = float(x)
+                level = x if level is None else alpha * x + beta * level
+                out["user_id"].append(key[0])
+                out["event_id"].append(eid)
+                out["value"].append(x)
+                out["ewma"].append(math.floor(level * p + 0.5) / p)
+        state.update((level,))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,186 @@
+"""EWMA: hand-computed values, null handling, partition invariance,
+and the streaming twin (incl. state across micro-batch boundaries)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduceimpl_spark.operators import timeseries
+
+
+def _events(spark, rows):
+    """rows: (event_id, minute, user_id, value)"""
+    return spark.createDataFrame(
+        [
+            (eid, dt.datetime(2024, 1, 1, 10, minute), uid, "view", val, "{}")
+            for eid, minute, uid, val in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_ewma_hand_computed(spark):
+    # alpha=0.5: e = [4, (8+4)/2=6, (8+6)/2=7]
+    df = _events(spark, [(1, 0, 7, 4.0), (2, 1, 7, 8.0), (3, 2, 7, 8.0)])
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in timeseries.ewma(df, alpha=0.5).collect()
+    }
+    assert got == {1: 4.0, 2: 6.0, 3: 7.0}
+
+
+def test_ewma_orders_by_ts_then_event_id(spark):
+    # same minute: event_id breaks the tie; swapping insertion order
+    # must not change the series
+    rows = [(2, 0, 7, 8.0), (1, 0, 7, 4.0), (3, 1, 7, 8.0)]
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in timeseries.ewma(_events(spark, rows), alpha=0.5).collect()
+    }
+    assert got == {1: 4.0, 2: 6.0, 3: 7.0}
+
+
+def test_ewma_null_values_excluded(spark):
+    df = _events(spark, [(1, 0, 7, 4.0), (3, 2, 7, 8.0)]).unionByName(
+        spark.createDataFrame(
+            [(2, dt.datetime(2024, 1, 1, 10, 1), 7, "view", None, "{}")],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+    )
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in timeseries.ewma(df, alpha=0.5).collect()
+    }
+    # the null row disappears and does NOT reset/poison the recurrence
+    assert got == {1: 4.0, 3: 6.0}
+
+
+def test_ewma_independent_per_user(spark):
+    df = _events(spark, [(1, 0, 7, 4.0), (2, 1, 8, 100.0), (3, 2, 7, 8.0)])
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in timeseries.ewma(df, alpha=0.5).collect()
+    }
+    assert got == {1: 4.0, 2: 100.0, 3: 6.0}
+
+
+def test_ewma_partition_invariance(spark):
+    rows = [(i, i % 60, i % 3, float((i * 7) % 13)) for i in range(120)]
+    base = _events(spark, rows)
+    a = {(r["user_id"], r["event_id"]): r["ewma"]
+         for r in timeseries.ewma(base).collect()}
+    b = {(r["user_id"], r["event_id"]): r["ewma"]
+         for r in timeseries.ewma(base.repartition(17)).collect()}
+    assert a == b and len(a) == 120
+
+
+def test_ewma_alpha_validation(spark):
+    df = _events(spark, [(1, 0, 7, 4.0)])
+    with pytest.raises(ValueError):
+        timeseries.ewma(df, alpha=0.0)
+    with pytest.raises(ValueError):
+        timeseries.ewma(df, alpha=1.5)
+
+
+# --- streaming twin -------------------------------------------------------
+
+
+def test_stream_ewma_matches_batch(spark, tmp_path):
+    import shutil
+
+    from mapreduceimpl_spark import streaming
+    from mapreduceimpl_spark.sources import load_table, table_path
+    from tests.test_streaming import _run_stream
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "ewma_stream"
+    d.mkdir()
+    shutil.copy(table_path(sf, "events"), d / "part-000.parquet")
+
+    batch = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in timeseries.ewma(load_table(spark, sf, "events")).collect()
+    }
+    stream = streaming.read_events_stream(spark, str(d))
+    got = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in _run_stream(streaming.stream_ewma(stream), mode="append")
+    }
+    assert got == batch and len(got) > 0
+
+
+def test_stream_ewma_state_crosses_batches(spark, tmp_path):
+    """File B's single event must be smoothed against the level built
+    from file A — exact equality with the batch recurrence, which is
+    only possible if the unrounded double level survives the
+    micro-batch boundary."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduceimpl_spark import streaming
+    from tests.test_streaming import _run_stream
+
+    d = tmp_path / "ewma_two_batches"
+    d.mkdir()
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+
+    def write(fname, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), d / fname
+        )
+
+    rows_a = [(i, f"2024-01-01 10:{i:02d}:00", 7, "view", 10.0 + (i % 2), "{}")
+              for i in range(5)]
+    rows_b = [(99, "2024-01-01 11:00:00", 7, "view", 50.0, "{}")]
+    write("a.parquet", rows_a)
+    _time.sleep(0.05)
+    write("b.parquet", rows_b)
+    now = _time.time()
+    os.utime(d / "a.parquet", (now - 60, now - 60))
+    os.utime(d / "b.parquet", (now, now))
+
+    stream = streaming.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    got = {r["event_id"]: r["ewma"]
+           for r in _run_stream(streaming.stream_ewma(stream), mode="append")}
+
+    # replicate the recurrence in plain Python (alpha=0.125)
+    level = None
+    for _, _, _, _, v, _ in rows_a + rows_b:
+        level = v if level is None else 0.125 * v + 0.875 * level
+    import math
+    assert got[99] == math.floor(level * 1e6 + 0.5) / 1e6
+    assert len(got) == 6
+
+
+def test_ewma_single_exchange_plan(spark):
+    """One Exchange on user_id (the applyInPandas grouping) — the
+    series pass itself is narrow."""
+    from mapreduceimpl_spark.plans import explain_str
+    from mapreduceimpl_spark.sources import load_table
+
+    df = timeseries.ewma(load_table(spark, "/root/testdata/sf0.001", "events"))
+    plan = explain_str(df, "simple")
+    assert plan.count("Exchange") == 1, plan
