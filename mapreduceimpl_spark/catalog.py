@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from mapreduceimpl_spark.functions import dec_sum as _fn_dec_sum
 from mapreduceimpl_spark.functions import skew
 from mapreduceimpl_spark.operators import dedup, graph, kmeans, multimodal, packing, relational
+from mapreduceimpl_spark.operators import retrieval
 from mapreduceimpl_spark.operators import sampling, similarity, text_analysis, timeseries, udf_surface, wordcount
 from mapreduceimpl_spark.sources import load_table, load_tables
 
@@ -148,6 +149,15 @@ chunkrows AS (
   FROM cex
 )"""
 
+
+# BM25 query set: fixed (query_id, term) pairs over the fixture
+# vocabulary ('shuffle' is deliberately out-of-vocabulary — a missing
+# term must contribute nothing, not null the score)
+_BM25_QUERIES = [
+    (0, "spark"), (0, "shuffle"),
+    (1, "hash"), (1, "join"),
+    (2, "window"), (2, "sort"), (2, "fast"),
+]
 
 # near-dup test corpus (mirror dedup.with_mutated_copies)
 _NEARDUP_CORPUS = """
@@ -1146,6 +1156,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "triangle_count",
         "clustering_coeff",
         "events_ewma",
+        "bm25_search",
     }
 )
 
@@ -3050,6 +3061,19 @@ SPECS: dict[str, QuerySpec] = {
             "validation shape; DEFERRED to round 5's window (landed "
             "after the head filled)",
     ),
+    "bm25_search": QuerySpec(
+        lambda spark, sf_dir: retrieval.bm25_topk(
+            load_table(spark, sf_dir, "documents"),
+            spark.createDataFrame(_BM25_QUERIES, "query_id long, term string"),
+        ),
+        retrieval.bm25_oracle_sql(_BM25_QUERIES),
+        doc="BM25 top-5 lexical retrieval over the corpus inverted "
+            "index: query vocabulary broadcast onto the tf table so "
+            "only queried postings survive, per-term scores rounded "
+            "then decimal-summed, rounded-then-ranked top-k; the "
+            "tf/dl tables are the persistable build-once index; "
+            "DEFERRED to round 5's window",
+    ),
     "events_ewma": QuerySpec(
         lambda spark, sf_dir: timeseries.ewma(load_table(spark, sf_dir, "events")),
         timeseries.ewma_oracle_sql(),
@@ -3377,7 +3401,7 @@ _ROUND4_ORDER = [
     "text_bpe_tokens", "events_tumbling",
     # deferred: lead round 5 (DEFERRED_TO_NEXT_ROUND)
     "table_profile", "snapshot_diff", "triangle_count", "clustering_coeff",
-    "events_ewma",
+    "events_ewma", "bm25_search",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

@@ -1,0 +1,188 @@
+"""Full-text retrieval: BM25 scoring over an inverted index.
+
+The standard lexical-retrieval operator for RAG / training-data
+curation pipelines: given a query term set, rank documents by
+
+    score(q, d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    idf(t)     = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+
+(the Robertson/Sparck-Jones BM25+ idf that stays positive for
+df > N/2).
+
+Spark shape — designed so the expensive side never moves:
+  * the inverted index (term-frequency table) is ONE wordcount-shaped
+    aggregate over the exploded token stream (map-side combined);
+  * doc lengths and corpus stats (N, Σ|d|) derive from the tf table,
+    never re-scanning text;
+  * the query term set is BROADCAST onto the tf table, so only
+    postings of queried terms survive — the corpus-sized tf table is
+    filtered before any further join;
+  * per-term df stats join on the (tiny) queried-vocabulary keys;
+  * final ranking is a per-query top-k window over candidate docs.
+
+At 100 TB the tf/dl tables are the persistable index (write once,
+bucketed by token via ``sinks.write_bucketed``); each query batch is
+a broadcast probe — the same build-once/serve-many contract as the
+ANN indexes in ``operators/similarity.py``.
+
+Determinism / oracle parity: constants (k1, b, 1−b, k1+1) are
+repr-interpolated into the DuckDB oracle so both engines evaluate the
+IDENTICAL double expressions; per-term scores are rounded at 9
+decimals then decimal-summed (order-free), final scores rounded at 6
+and ranked with a doc_id tiebreak (rounded-then-ranked rule).
+
+Reference parity: the reference engine has no retrieval surface; the
+inverted index is its word-count shuffle (``test.go:22-25``) keyed by
+(token, doc) instead of token.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduceimpl_spark.functions.exprs import tokens
+
+
+def bm25_index(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Build the BM25 index: (tf, dl) tables.
+
+    tf: (token, doc_id, tf) — postings with term frequencies.
+    dl: (doc_id, dl) — document token lengths, derived from tf so the
+    text is scanned exactly once.
+    """
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = toks.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    return tf, dl
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25.
+
+    ``query_terms``: (query_id, term) — duplicate terms within a query
+    are deduplicated (set-of-terms semantics, the standard bag-free
+    formulation).
+
+    Output: (query_id, rank, doc_id, score).
+    """
+    tf, dl = bm25_index(docs)
+    n_docs_df = dl.agg(
+        F.count("*").cast("long").alias("n"), F.sum("dl").cast("long").alias("s")
+    )
+    qterms = query_terms.select("query_id", "term").distinct()
+
+    # corpus-sized tf filtered by the broadcast query vocabulary FIRST
+    cand = tf.join(
+        F.broadcast(qterms), tf["token"] == qterms["term"], "inner"
+    ).select("query_id", "doc_id", "token", "tf")
+    # df over the queried vocabulary only (broadcast back onto cand)
+    dfreq = (
+        cand.select("token", "doc_id")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = (
+        cand.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_docs_df))
+    )
+
+    one_minus_b = 1.0 - b
+    k1p1 = k1 + 1.0
+    avgdl = F.col("s").cast("double") / F.col("n").cast("double")
+    norm = F.lit(one_minus_b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    denom = F.col("tf").cast("double") + F.lit(k1) * norm
+    num = F.col("tf").cast("double") * F.lit(k1p1)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    term_score = F.round(idf * (num / denom), 9)
+
+    per_doc = (
+        scored.select("query_id", "doc_id", term_score.alias("ts"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("ts").cast("decimal(28,9)")).cast("double"),
+                round_digits,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def bm25_oracle_sql(
+    queries: list[tuple[int, str]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB replay with repr-interpolated constants and identical
+    expression parenthesization (see module docstring)."""
+    vals = ", ".join(f"({qid}, '{t}')" for qid, t in queries)
+    a_k1, a_b = repr(k1), repr(b)
+    a_omb, a_k1p1 = repr(1.0 - b), repr(k1 + 1.0)
+    toks = "string_split(text, ' ')"
+    return f"""WITH qterms AS (
+  SELECT DISTINCT * FROM (VALUES {vals}) AS q(query_id, term)
+),
+tf AS (
+  SELECT token, doc_id, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({toks}) AS token FROM documents)
+  GROUP BY token, doc_id
+),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS s FROM dl
+),
+cand AS (
+  SELECT q.query_id, t.doc_id, t.token, t.tf
+  FROM tf t JOIN qterms q ON t.token = q.term
+),
+dfreq AS (
+  SELECT token, COUNT(*) AS df
+  FROM (SELECT DISTINCT token, doc_id FROM cand) GROUP BY token
+),
+scored AS (
+  SELECT c.query_id, c.doc_id,
+         round(
+           ln(1.0 + (st.n - f.df + 0.5) / (f.df + 0.5))
+           * ((CAST(c.tf AS DOUBLE) * {a_k1p1})
+              / (CAST(c.tf AS DOUBLE)
+                 + {a_k1} * ({a_omb} + {a_b} * (CAST(d.dl AS DOUBLE)
+                     / (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE)))))),
+           9) AS ts
+  FROM cand c
+  JOIN dfreq f USING (token)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats st
+),
+per_doc AS (
+  SELECT query_id, doc_id,
+         round(CAST(SUM(CAST(ts AS DECIMAL(28,9))) AS DOUBLE), {round_digits})
+           AS score
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM per_doc
+) WHERE rank <= {k}"""

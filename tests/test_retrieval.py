@@ -1,0 +1,112 @@
+"""BM25 retrieval: hand-computed scores, OOV terms, ranking
+determinism, and the broadcast-probe plan shape."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mapreduceimpl_spark.operators import retrieval
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _queries(spark, pairs):
+    return spark.createDataFrame(pairs, "query_id long, term string")
+
+
+def _bm25_ref(tf, df, n, dl, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
+
+
+def test_bm25_hand_computed(spark):
+    docs = _docs(spark, [(1, "cat dog cat"), (2, "dog fish"), (3, "fish fish fish")])
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in retrieval.bm25_topk(docs, _queries(spark, [(0, "cat")])).collect()
+    }
+    # N=3, avgdl=8/3; 'cat': df=1, tf(doc1)=2, dl(doc1)=3
+    want = round(
+        round(_bm25_ref(2, 1, 3, 3, 8 / 3.0), 9), 6
+    )
+    assert got == {(0, 1): (1, want)}
+
+
+def test_bm25_oov_term_contributes_nothing(spark):
+    docs = _docs(spark, [(1, "cat dog"), (2, "dog fish")])
+    with_oov = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in retrieval.bm25_topk(
+            docs, _queries(spark, [(0, "cat"), (0, "zebra")])
+        ).collect()
+    }
+    without = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in retrieval.bm25_topk(docs, _queries(spark, [(0, "cat")])).collect()
+    }
+    assert with_oov == without and len(with_oov) == 1
+
+
+def test_bm25_duplicate_query_terms_deduped(spark):
+    docs = _docs(spark, [(1, "cat dog"), (2, "dog fish")])
+    once = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in retrieval.bm25_topk(docs, _queries(spark, [(0, "cat")])).collect()
+    }
+    twice = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in retrieval.bm25_topk(
+            docs, _queries(spark, [(0, "cat"), (0, "cat")])
+        ).collect()
+    }
+    assert once == twice
+
+
+def test_bm25_rarer_term_ranks_higher(spark):
+    # doc 1 matches the rare term, doc 2 the common term; same tf/dl
+    docs = _docs(
+        spark,
+        [(1, "rare pad"), (2, "common pad"), (3, "common x"), (4, "common y")],
+    )
+    rows = retrieval.bm25_topk(
+        docs, _queries(spark, [(0, "rare"), (0, "common")]), k=4
+    ).collect()
+    ranked = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert ranked[0] == 1  # rare-term doc on top
+
+
+def test_bm25_rank_ties_break_by_doc_id(spark):
+    docs = _docs(spark, [(5, "cat dog"), (2, "cat dog"), (9, "cat dog")])
+    rows = retrieval.bm25_topk(docs, _queries(spark, [(0, "cat")]), k=3).collect()
+    ordered = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert ordered == [2, 5, 9]
+
+
+def test_bm25_k_limits_results(spark, docs):
+    out = retrieval.bm25_topk(
+        docs, _queries(spark, [(0, "spark"), (1, "hash")]), k=3
+    )
+    per_q = {
+        r["query_id"]: r["cnt"]
+        for r in out.groupBy("query_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert per_q == {0: 3, 1: 3}
+
+
+def test_bm25_query_side_broadcast(spark, docs):
+    """The query vocabulary must broadcast onto the tf table — the
+    corpus-sized postings list is filtered in place, never shuffled
+    against the query set."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(
+        retrieval.bm25_topk(docs, _queries(spark, [(0, "spark")])), "simple"
+    )
+    assert "BroadcastHashJoin" in plan, plan
