@@ -1157,6 +1157,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "clustering_coeff",
         "events_ewma",
         "bm25_search",
+        "dedup_minhash_verified",
     }
 )
 
@@ -1386,6 +1387,32 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(
         _q_ngram_pairs, _ngram_oracle(),
         doc="exact n-gram Jaccard via shingle inverted index",
+    ),
+    "dedup_minhash_verified": QuerySpec(
+        lambda spark, sf_dir: dedup.minhash_verified_pairs(
+            dedup.with_mutated_copies(load_table(spark, sf_dir, "documents"))
+        ),
+        f"""WITH cand AS (SELECT * FROM ({_minhash_oracle()}) p),
+corpus AS ({_NEARDUP_CORPUS}),
+sets AS (
+  SELECT doc_id, {_shingle_list(3)} AS sh
+  FROM corpus WHERE len({_TOKS}) >= 3
+)
+SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
+  SELECT c.doc_a, c.doc_b, c.est_jaccard,
+         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / CAST(len(sa.sh) + len(sb.sh)
+                      - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE),
+               6) AS jaccard
+  FROM cand c
+  JOIN sets sa ON c.doc_a = sa.doc_id
+  JOIN sets sb ON c.doc_b = sb.doc_id
+) WHERE jaccard >= 0.5""",
+        doc="the full production dedup shape: banded-LSH candidates, "
+            "then EXACT Jaccard verification of only those pairs via "
+            "per-doc shingle-set arrays (work O(candidates x set "
+            "size), never the full inverted-index blowup); DEFERRED "
+            "to round 5's window",
     ),
     "dedup_embedding": QuerySpec(
         _q_embedding_neardup, _embedding_neardup_oracle(),
@@ -3401,7 +3428,7 @@ _ROUND4_ORDER = [
     "text_bpe_tokens", "events_tumbling",
     # deferred: lead round 5 (DEFERRED_TO_NEXT_ROUND)
     "table_profile", "snapshot_diff", "triangle_count", "clustering_coeff",
-    "events_ewma", "bm25_search",
+    "events_ewma", "bm25_search", "dedup_minhash_verified",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

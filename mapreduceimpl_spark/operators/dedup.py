@@ -278,6 +278,57 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_verified_pairs(
+    docs: DataFrame,
+    min_jaccard: float = 0.5,
+    n_perms: int = MINHASH_PERMS,
+    band_size: int = LSH_BAND_SIZE,
+    hash_fn: str = "md5",
+    round_to: int = 6,
+) -> DataFrame:
+    """The full production dedup shape: LSH candidate generation, then
+    EXACT Jaccard verification of only the candidate pairs.
+
+    ``minhash_lsh_pairs`` alone over-reports (banding admits any pair
+    agreeing on one band; its est_jaccard is a 1/n_perms-granular
+    estimate), and the exact inverted-index pass
+    (``ngram_jaccard_pairs``) scores every shingle-sharing pair.  This
+    operator composes them the way web-scale pipelines do: candidates
+    from the banded self-join (O(Σ bucket²)), then an exact
+    set-intersection ONLY for candidates — verification work is
+    O(candidates × shingle-set size), independent of how many
+    non-candidate pairs share a stray shingle.
+
+    Implementation: each doc's distinct shingle set is collected to an
+    ARRAY once, the candidate list joins the arrays for both endpoints
+    (two keyed joins on uniformly-distributed doc ids), and
+    ``array_intersect`` computes the exact overlap in place — the
+    per-pair work never re-explodes the inverted index.
+
+    Output: (doc_a, doc_b, est_jaccard, jaccard) for verified pairs
+    with jaccard >= ``min_jaccard`` (rounded at ``round_to`` before
+    the filter; threshold repr-matched by the oracle).
+    """
+    cands = minhash_lsh_pairs(docs, n_perms, band_size, hash_fn)
+    sets = ngram_shingles(docs).groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = F.round(
+        inter.cast("double")
+        / (F.size("sh_a") + F.size("sh_b") - inter).cast("double"),
+        round_to,
+    )
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", "est_jaccard", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def incremental_dedup(
     corpus: DataFrame,
     batch: DataFrame,

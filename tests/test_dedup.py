@@ -574,3 +574,46 @@ def test_fuzzy_join_no_cartesian(spark):
     left = spark.createDataFrame([(1, "abc def")], "id long, text string")
     right = spark.createDataFrame([(2, "abc xyz")], "id long, text string")
     assert_no_cartesian(dedup.fuzzy_join(left, right))
+
+
+def test_minhash_verified_subset_of_candidates(docs):
+    """Verification can only REMOVE candidate pairs, and every
+    surviving pair carries an exact Jaccard >= the threshold."""
+    corpus = dedup.with_mutated_copies(docs)
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(corpus).collect()
+    }
+    verified = dedup.minhash_verified_pairs(corpus, min_jaccard=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in verified} <= cands
+    assert all(r["jaccard"] >= 0.5 for r in verified)
+    assert len(verified) > 0
+
+
+def test_minhash_verified_jaccard_matches_exact_pass(docs):
+    """The exact Jaccard computed per candidate (array intersection)
+    must equal the inverted-index formulation on shared pairs — same
+    shingle universe, same ratio."""
+    corpus = dedup.with_mutated_copies(docs)
+    exact = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+        for r in dedup.ngram_jaccard_pairs(corpus, min_jaccard=0.5).collect()
+    }
+    for r in dedup.minhash_verified_pairs(corpus, min_jaccard=0.5).collect():
+        key = (r["doc_a"], r["doc_b"])
+        assert key in exact, key
+        assert r["jaccard"] == exact[key], key
+
+
+def test_minhash_verified_drops_low_jaccard_candidates(spark):
+    """A pair that collides on one band but shares few shingles must
+    be admitted as a candidate yet rejected by verification."""
+    # identical first 3 tokens (one shared shingle region), divergent tails
+    base = "alpha beta gamma " + " ".join(f"x{i}" for i in range(30))
+    other = "alpha beta gamma " + " ".join(f"y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, base, "en", "s", len(base)), (2, other, "en", "s", len(other))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    verified = dedup.minhash_verified_pairs(df, min_jaccard=0.5).collect()
+    assert verified == []  # true jaccard ~ 1/63, must not survive
