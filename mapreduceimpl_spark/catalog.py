@@ -1158,6 +1158,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "events_ewma",
         "bm25_search",
         "dedup_minhash_verified",
+        "basket_rules",
     }
 )
 
@@ -3101,6 +3102,54 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "tf/dl tables are the persistable build-once index; "
             "DEFERRED to round 5's window",
     ),
+    "basket_rules": QuerySpec(
+        _rel(relational.q_basket_rules),
+        """WITH items AS (
+             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           ),
+           tot AS (
+             SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+             FROM items
+           ),
+           supp AS (
+             SELECT l_partkey, COUNT(*) AS item_cnt FROM items GROUP BY 1
+           ),
+           pairs AS (
+             SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                    COUNT(*) AS pair_cnt
+             FROM items a
+             JOIN items b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2
+             HAVING COUNT(*) >= 2
+           ),
+           rules AS (
+             SELECT pa AS antecedent, pb AS consequent, pair_cnt FROM pairs
+             UNION ALL
+             SELECT pb AS antecedent, pa AS consequent, pair_cnt FROM pairs
+           )
+           SELECT antecedent, consequent,
+                  CAST(pair_cnt AS BIGINT) AS pair_cnt,
+                  round(CAST(pair_cnt AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)
+                    AS support,
+                  round(CAST(pair_cnt AS DOUBLE) / CAST(sa.item_cnt AS DOUBLE), 6)
+                    AS confidence,
+                  round((CAST(pair_cnt AS DOUBLE) / CAST(sa.item_cnt AS DOUBLE))
+                        / (CAST(sb.item_cnt AS DOUBLE)
+                           / CAST(n_orders AS DOUBLE)), 6) AS lift
+           FROM rules
+           JOIN supp sa ON sa.l_partkey = antecedent
+           JOIN supp sb ON sb.l_partkey = consequent
+           CROSS JOIN tot
+           ORDER BY lift DESC, antecedent, consequent
+           LIMIT 25""",
+        doc="market-basket association rules: co-ordered part pairs -> "
+            "directed rules with support/confidence/lift; ONE "
+            "orderkey-keyed self-join bounded by basket size, stats "
+            "joined onto the aggregated pair vocabulary, "
+            "TakeOrderedAndProject top-25 by rounded lift; DEFERRED "
+            "to round 5's window",
+    ),
     "events_ewma": QuerySpec(
         lambda spark, sf_dir: timeseries.ewma(load_table(spark, sf_dir, "events")),
         timeseries.ewma_oracle_sql(),
@@ -3428,7 +3477,7 @@ _ROUND4_ORDER = [
     "text_bpe_tokens", "events_tumbling",
     # deferred: lead round 5 (DEFERRED_TO_NEXT_ROUND)
     "table_profile", "snapshot_diff", "triangle_count", "clustering_coeff",
-    "events_ewma", "bm25_search", "dedup_minhash_verified",
+    "events_ewma", "bm25_search", "dedup_minhash_verified", "basket_rules",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

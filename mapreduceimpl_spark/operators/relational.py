@@ -1749,6 +1749,79 @@ def q_event_top_paths(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def q_basket_rules(
+    t: dict[str, DataFrame], min_pair_count: int = 2, k: int = 25
+) -> DataFrame:
+    """Market-basket association rules over order baskets: for part
+    pairs co-ordered in >= ``min_pair_count`` orders, both directed
+    rules a→b with support / confidence / lift, top-``k`` by lift.
+
+    Shape: baskets are (orderkey, partkey) DISTINCT item sets; the
+    pair count is ONE self-join keyed on l_orderkey — per-basket work
+    is O(items²) bounded by the largest basket (13 here; capped by
+    order size in any real corpus, never O(n²) in parts).  Item
+    supports and the order total join onto the (already aggregated,
+    pair-vocabulary-sized) rule table, not the item stream — the
+    joins-land-on-the-vocabulary rule (`collocations_pmi`).  Top-k is
+    TakeOrderedAndProject on rounded lift with a unique
+    (antecedent, consequent) tiebreak.
+
+    Determinism: support/confidence/lift are integer-ratio doubles
+    (identical CAST structure mirrored in the oracle), rounded at 6
+    before ranking.
+    """
+    li = t["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(
+        F.count_distinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    supp = items.groupBy("l_partkey").agg(F.count("*").alias("item_cnt"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_pair_count)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "pair_cnt"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "pair_cnt"
+        )
+    )
+    sa = supp.select(F.col("l_partkey").alias("antecedent"), F.col("item_cnt").alias("cnt_a"))
+    sb = supp.select(F.col("l_partkey").alias("consequent"), F.col("item_cnt").alias("cnt_b"))
+    conf = F.col("pair_cnt").cast("double") / F.col("cnt_a").cast("double")
+    return (
+        rules.join(sa, "antecedent")
+        .join(sb, "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("pair_cnt").cast("long").alias("pair_cnt"),
+            F.round(
+                F.col("pair_cnt").cast("double") / F.col("n_orders").cast("double"), 6
+            ).alias("support"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(
+                conf
+                / (F.col("cnt_b").cast("double") / F.col("n_orders").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("antecedent"), F.asc("consequent"))
+        .limit(k)
+    )
+
+
 def q_state_intervals(t: dict[str, DataFrame]) -> DataFrame:
     """SCD2-style changelog compression: collapse each user's event
     stream into validity intervals of their current event_type state —

@@ -139,6 +139,7 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
         "text_unigram_logprob",# 1-row token total
         "join_cross",          # intentional bounded cross join
         "bm25_search",         # 1-row corpus stats (N, sum dl)
+        "basket_rules",        # 1-row order total
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

@@ -710,3 +710,58 @@ def test_snapshot_diff_digest_not_injectable(spark):
                                       "k long, a string, b string, c string")
     with pytest.raises(ValueError, match="compare_cols"):
         relational.snapshot_diff(old, new_drift, key_cols=["k"])
+
+
+def test_basket_rules_hand_computed(spark):
+    """3 orders: {1,2}, {1,2}, {1,3}.  Pair (1,2) co-occurs twice ->
+    survives min_pair_count=2; (1,3) once -> dropped.  conf(1->2) =
+    2/3, conf(2->1) = 2/2 = 1, lift = conf / (supp_cons/N)."""
+    rows = [
+        (10, 1), (10, 2),
+        (11, 1), (11, 2),
+        (12, 1), (12, 3),
+    ]
+    li = spark.createDataFrame(
+        [(ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None) for ok, pk in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        "l_quantity double, l_extendedprice double, l_discount double,"
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    got = {
+        (r["antecedent"], r["consequent"]): r
+        for r in relational.q_basket_rules({"lineitem": li}).collect()
+    }
+    assert set(got) == {(1, 2), (2, 1)}
+    r12, r21 = got[(1, 2)], got[(2, 1)]
+    assert r12["pair_cnt"] == 2 and r21["pair_cnt"] == 2
+    assert r12["confidence"] == round(2 / 3, 6) and r21["confidence"] == 1.0
+    # lift is symmetric: pair_cnt * N / (cnt_a * cnt_b) = 2*3/(3*2) = 1
+    assert r12["lift"] == 1.0 and r21["lift"] == 1.0
+    assert r12["support"] == round(2 / 3, 6)
+
+
+def test_basket_rules_duplicate_lineitems_count_once(spark):
+    """The same part twice in one order is ONE basket item (DISTINCT),
+    not a self-pair and not a doubled count."""
+    li = spark.createDataFrame(
+        [(10, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None),
+         (10, 1, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", None),
+         (10, 2, 1, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", None),
+         (11, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None),
+         (11, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", None)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        "l_quantity double, l_extendedprice double, l_discount double,"
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    got = {(r["antecedent"], r["consequent"]): r["pair_cnt"]
+           for r in relational.q_basket_rules({"lineitem": li}).collect()}
+    assert got == {(1, 2): 2, (2, 1): 2}
+
+
+def test_basket_rules_topk_plan(tables):
+    """Keyed self-join (no cartesian) + TakeOrderedAndProject top-k."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(relational.q_basket_rules(tables), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
