@@ -1159,6 +1159,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "bm25_search",
         "dedup_minhash_verified",
         "basket_rules",
+        "skyline_frontier",
     }
 )
 
@@ -3102,6 +3103,23 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "tf/dl tables are the persistable build-once index; "
             "DEFERRED to round 5's window",
     ),
+    "skyline_frontier": QuerySpec(
+        _rel(relational.q_skyline_frontier),
+        """SELECT p.p_partkey, p.p_retailprice, p.p_size
+           FROM part p
+           WHERE NOT EXISTS (
+             SELECT 1 FROM part q
+             WHERE q.p_retailprice <= p.p_retailprice
+               AND q.p_size >= p.p_size
+               AND (q.p_retailprice < p.p_retailprice
+                    OR q.p_size > p.p_size)
+           )""",
+        doc="2-D skyline (min price, max size): per-price maxima + one "
+            "global window over the aggregated |distinct prices| rows "
+            "+ broadcast join-back — never the O(n²) dominance test; "
+            "the oracle IS the quadratic dominance definition "
+            "(independent formulation); DEFERRED to round 5's window",
+    ),
     "basket_rules": QuerySpec(
         _rel(relational.q_basket_rules),
         """WITH items AS (
@@ -3478,6 +3496,7 @@ _ROUND4_ORDER = [
     # deferred: lead round 5 (DEFERRED_TO_NEXT_ROUND)
     "table_profile", "snapshot_diff", "triangle_count", "clustering_coeff",
     "events_ewma", "bm25_search", "dedup_minhash_verified", "basket_rules",
+    "skyline_frontier",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

@@ -1749,6 +1749,46 @@ def q_event_top_paths(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def q_skyline_frontier(t: dict[str, DataFrame]) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: minimize p_retailprice,
+    maximize p_size — every part not dominated by another that is at
+    least as cheap AND at least as large (strictly better in one).
+
+    Spark shape (never the O(n²) dominance test the definition
+    suggests): (1) aggregate max size per distinct price — the
+    frontier can only contain per-price maxima; (2) ONE global window
+    over the aggregated |distinct prices| rows computes the running
+    max size over strictly-cheaper prices (aggregate-then-global-
+    window rule: the window input is already reduced, so the single
+    partition holds |prices| rows, not |parts|); (3) broadcast the
+    surviving (price, size) frontier keys back onto the part table to
+    emit all tied frontier rows.  A price's maximum survives iff it
+    strictly exceeds every cheaper price's maximum — same-price
+    same-size ties co-survive (neither dominates).
+
+    The oracle is the dominance DEFINITION (NOT EXISTS over the
+    quadratic pair space) — an independent formulation, not a replay
+    of this plan.
+    """
+    p = t["part"]
+    per_price = p.groupBy("p_retailprice").agg(F.max("p_size").alias("msize"))
+    w = (
+        Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier_keys = (
+        per_price.withColumn("prev_max", F.max("msize").over(w))
+        .filter(F.col("prev_max").isNull() | (F.col("msize") > F.col("prev_max")))
+        .select(
+            F.col("p_retailprice").alias("__fp"), F.col("msize").alias("__fs")
+        )
+    )
+    return p.join(
+        F.broadcast(frontier_keys),
+        (p["p_retailprice"] == F.col("__fp")) & (p["p_size"] == F.col("__fs")),
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
 def q_basket_rules(
     t: dict[str, DataFrame], min_pair_count: int = 2, k: int = 25
 ) -> DataFrame:

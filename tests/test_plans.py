@@ -765,3 +765,33 @@ def test_basket_rules_topk_plan(tables):
     plan = explain_str(relational.q_basket_rules(tables), "simple")
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_skyline_hand_computed_with_ties(spark):
+    """Constructed frontier: (1,5) and a same-price same-size twin
+    both survive; (1,4) dominated by (1,5); (2,6) survives (bigger);
+    (2,5) dominated by (1,5) (same size, cheaper exists); (3,6)
+    dominated by (2,6)."""
+    parts = [
+        (1, 1.0, 5), (2, 1.0, 5), (3, 1.0, 4),
+        (4, 2.0, 6), (5, 2.0, 5), (6, 3.0, 6),
+    ]
+    p = spark.createDataFrame(
+        [(k, f"p{k}", "b", "t", sz, pr) for k, pr, sz in parts],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        "p_size int, p_retailprice double",
+    )
+    got = {r["p_partkey"] for r in
+           relational.q_skyline_frontier({"part": p}).collect()}
+    assert got == {1, 2, 4}
+
+
+def test_skyline_never_quadratic(tables):
+    """The plan must be agg + window + broadcast join-back — no
+    cartesian, no nested-loop dominance test."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(relational.q_skyline_frontier(tables), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan
