@@ -177,3 +177,76 @@ def test_write_range_sorted_files_cover_disjoint_key_slices(tables, tmp_path):
     # and the data round-trips
     got = tables["lineitem"].sparkSession.read.parquet(path)
     assert got.count() == tables["lineitem"].count()
+
+
+def test_write_zorder_skips_files_on_both_columns(tables, tmp_path):
+    """Z-ordering (l_partkey, l_suppkey) must make parquet min/max
+    stats selective on BOTH columns: a quartile-range predicate on
+    either column intersects a strict minority of the 16 files.  A
+    single-column sort gives perfect skipping on its key and NONE on
+    the other — that contrast is asserted too."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mapreduceimpl_spark.sources.sinks import write_range_sorted, write_zorder
+
+    li = tables["lineitem"]
+    path = str(tmp_path / "li_zorder")
+    write_zorder(li, path, cols=["l_partkey", "l_suppkey"], n_files=16)
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) >= 12  # range split on the z key produced slices
+
+    def spans(files, column):
+        out = []
+        for f in files:
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == column
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    def hit_fraction(files, column, lo, hi):
+        s = spans(files, column)
+        return sum(1 for mn, mx in s if mx >= lo and mn <= hi) / len(s)
+
+    # quartile ranges of each key space
+    pk_lo, pk_hi = 1, 500        # parts are 1..2000 at sf0.001? use data bounds
+    import pyspark.sql.functions as F
+    b = li.agg(F.min("l_partkey"), F.max("l_partkey"),
+               F.min("l_suppkey"), F.max("l_suppkey")).collect()[0]
+    pk_lo, pk_q = b[0], b[0] + (b[1] - b[0]) // 4
+    sk_lo, sk_q = b[2], b[2] + (b[3] - b[2]) // 4
+
+    assert hit_fraction(files, "l_partkey", pk_lo, pk_q) <= 0.5
+    assert hit_fraction(files, "l_suppkey", sk_lo, sk_q) <= 0.5
+
+    # contrast: single-key range sort skips nothing on the OTHER key
+    path2 = str(tmp_path / "li_pk_sorted")
+    write_range_sorted(li, path2, range_cols=["l_partkey"], n_files=16)
+    files2 = sorted(glob.glob(path2 + "/part-*.parquet"))
+    assert hit_fraction(files2, "l_suppkey", sk_lo, sk_q) > 0.9
+
+    # data round-trips intact
+    got = li.sparkSession.read.parquet(path)
+    assert got.count() == li.count()
+
+
+def test_zorder_key_validation_and_clamp(tables):
+    import pytest
+
+    from mapreduceimpl_spark.sources.sinks import zorder_key
+
+    with pytest.raises(ValueError):
+        zorder_key(tables["lineitem"], ["l_partkey"])
+    z, stats = zorder_key(tables["lineitem"], ["l_partkey", "l_suppkey"], bits_per_col=8)
+    import pyspark.sql.functions as F
+    mx = tables["lineitem"].select(z.alias("z")).agg(F.max("z"), F.min("z")).collect()[0]
+    assert 0 <= mx[1] and mx[0] < (1 << 16)  # 8 bits x 2 cols
