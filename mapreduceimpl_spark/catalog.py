@@ -683,6 +683,53 @@ JOIN sig sb ON pair.doc_b = sb.doc_id
 """
 
 
+def _fuzzy_cand_sql(min_jaccard: float) -> str:
+    """The fuzzy_join candidate CTE chain (part-name dictionary vs its
+    vowel-dropped mutation) parameterized by threshold — the SAME
+    shapes as the verified `fuzzy_join` entry's literal oracle, shared
+    by the verify-tier entry.  Emits CTEs lnames/rnames/.../cand where
+    cand = (l_id, r_id, jaccard >= min_jaccard)."""
+    return rf"""lnames AS (
+  SELECT MIN(p_partkey) AS id, p_name AS text
+  FROM part GROUP BY p_name
+),
+rnames AS (
+  SELECT id, replace(text, 'a', '') AS text FROM lnames
+),
+lsh AS (
+  SELECT id AS l_id, unnest(list_distinct(list_transform(
+           range(1, length(s) - 1),
+           i -> substr(s, CAST(i AS INTEGER), 3)))) AS shingle
+  FROM (SELECT id,
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS s
+        FROM lnames)
+  WHERE length(s) >= 3
+),
+rsh AS (
+  SELECT id AS r_id, unnest(list_distinct(list_transform(
+           range(1, length(s) - 1),
+           i -> substr(s, CAST(i AS INTEGER), 3)))) AS shingle
+  FROM (SELECT id,
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS s
+        FROM rnames)
+  WHERE length(s) >= 3
+),
+lsizes AS (SELECT l_id, COUNT(*) AS n_l FROM lsh GROUP BY 1),
+rsizes AS (SELECT r_id, COUNT(*) AS n_r FROM rsh GROUP BY 1),
+inter AS (
+  SELECT l_id, r_id, COUNT(*) AS i
+  FROM lsh JOIN rsh USING (shingle) GROUP BY 1, 2
+),
+cand AS (
+  SELECT l_id, r_id,
+         round(CAST(i AS DOUBLE)
+               / CAST(n_l + n_r - i AS DOUBLE), 6) AS jaccard
+  FROM inter JOIN lsizes USING (l_id) JOIN rsizes USING (r_id)
+  WHERE round(CAST(i AS DOUBLE)
+              / CAST(n_l + n_r - i AS DOUBLE), 6) >= {min_jaccard}
+)"""
+
+
 def _dedup_clusters_oracle(min_jaccard: float = 0.5) -> str:
     """Mirror of ``dedup.dedup_decision`` over MinHash pairs (round-3:
     flips dedup_clusters from rows-only to hash-checked).
@@ -1160,6 +1207,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "dedup_minhash_verified",
         "basket_rules",
         "skyline_frontier",
+        "fuzzy_join_verified",
     }
 )
 
@@ -3103,6 +3151,47 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "tf/dl tables are the persistable build-once index; "
             "DEFERRED to round 5's window",
     ),
+    "fuzzy_join_verified": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda names: dedup.fuzzy_join_verified(
+                names,
+                names.select(
+                    "id", F.regexp_replace("text", "a", "").alias("text")
+                ),
+                min_jaccard=0.3,
+                min_similarity=0.7,
+            )
+        )(
+            load_table(spark, sf_dir, "part")
+            .groupBy("p_name")
+            .agg(F.min("p_partkey").alias("id"))
+            .select("id", F.col("p_name").alias("text"))
+        ),
+        rf"""WITH {_fuzzy_cand_sql(0.3)},
+lnorm AS (
+  SELECT id AS l_id,
+         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS ln
+  FROM lnames
+),
+rnorm AS (
+  SELECT id AS r_id,
+         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS rn
+  FROM rnames
+)
+SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
+  SELECT c.l_id, c.r_id, c.jaccard,
+         CAST(levenshtein(ln, rn) AS BIGINT) AS edit_distance,
+         round(1.0 - CAST(levenshtein(ln, rn) AS DOUBLE)
+               / CAST(greatest(length(ln), length(rn)) AS DOUBLE), 6)
+           AS similarity
+  FROM cand c JOIN lnorm USING (l_id) JOIN rnorm USING (r_id)
+) WHERE similarity >= 0.7""",
+        doc="entity resolution at production shape: low-threshold "
+            "inverted-index candidates, then exact Levenshtein "
+            "verification of ONLY the candidates (normalized edit "
+            "similarity >= 0.7) — O(len²) edit distance never runs on "
+            "left x right; DEFERRED to round 5's window",
+    ),
     "skyline_frontier": QuerySpec(
         _rel(relational.q_skyline_frontier),
         """SELECT p.p_partkey, p.p_retailprice, p.p_size
@@ -3496,7 +3585,7 @@ _ROUND4_ORDER = [
     # deferred: lead round 5 (DEFERRED_TO_NEXT_ROUND)
     "table_profile", "snapshot_diff", "triangle_count", "clustering_coeff",
     "events_ewma", "bm25_search", "dedup_minhash_verified", "basket_rules",
-    "skyline_frontier",
+    "skyline_frontier", "fuzzy_join_verified",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

@@ -1041,3 +1041,63 @@ def fuzzy_join(
     return _jaccard_from_shingles(
         ls, rs, "l_id", "r_id", "l_id", "r_id", min_jaccard, round_to=6
     )
+
+
+def fuzzy_join_verified(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "id",
+    left_text: str = "text",
+    right_id: str = "id",
+    right_text: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.3,
+    min_similarity: float = 0.7,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Entity resolution at production shape: cheap inverted-index
+    candidates (``fuzzy_join`` at a deliberately LOW ``min_jaccard``),
+    then exact edit-distance verification of only the candidates —
+    the cross-table sibling of ``minhash_verified_pairs``.
+
+    Verification: normalized Levenshtein similarity
+    ``1 − lev(a,b) / max(len(a), len(b))`` over the same
+    ``normalize_text`` canonical strings the shingles came from; keep
+    pairs with similarity >= ``min_similarity`` (rounded at 6 before
+    the filter).  Levenshtein is O(len²) per PAIR — affordable
+    precisely because it only ever runs on candidates, never on
+    left × right.
+
+    Output: (l_id, r_id, jaccard, edit_distance, similarity).
+    """
+    cand = fuzzy_join(
+        left, right, left_id, left_text, right_id, right_text, n,
+        min_jaccard, max_shingle_df,
+    )
+    ln = left.select(
+        F.col(left_id).alias("l_id"),
+        normalize_text(F.col(left_text)).alias("__ln"),
+    )
+    rn = right.select(
+        F.col(right_id).alias("r_id"),
+        normalize_text(F.col(right_text)).alias("__rn"),
+    )
+    lev = F.levenshtein("__ln", "__rn")
+    sim = F.round(
+        F.lit(1.0)
+        - lev.cast("double")
+        / F.greatest(F.length("__ln"), F.length("__rn")).cast("double"),
+        6,
+    )
+    return (
+        cand.join(ln, "l_id")
+        .join(rn, "r_id")
+        .select(
+            "l_id",
+            "r_id",
+            "jaccard",
+            lev.cast("long").alias("edit_distance"),
+            sim.alias("similarity"),
+        )
+        .filter(F.col("similarity") >= min_similarity)
+    )

@@ -617,3 +617,52 @@ def test_minhash_verified_drops_low_jaccard_candidates(spark):
     )
     verified = dedup.minhash_verified_pairs(df, min_jaccard=0.5).collect()
     assert verified == []  # true jaccard ~ 1/63, must not survive
+
+
+def test_fuzzy_join_verified_levenshtein_filter(spark):
+    """A transposition-level typo passes verification; a different
+    string that happens to share many grams (high Jaccard, high edit
+    distance) is rejected — the case the verify tier exists for."""
+    left = spark.createDataFrame(
+        [(1, "acme corporation"), (2, "abc abc abc abc")],
+        "id long, text string",
+    )
+    right = spark.createDataFrame(
+        # 11: one-char typo of 1.  22: same gram SET as 2 but rotated
+        # (shared 3-gram vocabulary, large edit distance)
+        [(11, "acme corporatoin"), (22, "bca bca bca bca")],
+        "id long, text string",
+    )
+    got = {
+        (r["l_id"], r["r_id"]): r
+        for r in dedup.fuzzy_join_verified(
+            left, right, min_jaccard=0.2, min_similarity=0.8
+        ).collect()
+    }
+    assert (1, 11) in got
+    assert got[(1, 11)]["edit_distance"] == 2  # transposed 'oi'
+    assert (2, 22) not in got  # gram-similar, edit-far
+
+
+def test_fuzzy_join_verified_subset_of_candidates(spark):
+    left = spark.createDataFrame(
+        [(i, f"item number {i} common suffix words") for i in range(20)],
+        "id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(i + 100, f"item number {i} common sufix words") for i in range(20)],
+        "id long, text string",
+    )
+    cands = {
+        (r["l_id"], r["r_id"])
+        for r in dedup.fuzzy_join(left, right, min_jaccard=0.3).collect()
+    }
+    verified = dedup.fuzzy_join_verified(
+        left, right, min_jaccard=0.3, min_similarity=0.9
+    ).collect()
+    assert {(r["l_id"], r["r_id"]) for r in verified} <= cands
+    assert all(r["similarity"] >= 0.9 for r in verified)
+    # every true typo pair survives
+    assert {(i, i + 100) for i in range(20)} <= {
+        (r["l_id"], r["r_id"]) for r in verified
+    }
