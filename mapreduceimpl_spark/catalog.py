@@ -1208,6 +1208,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "basket_rules",
         "skyline_frontier",
         "fuzzy_join_verified",
+        "rolling_active_users",
     }
 )
 
@@ -3151,6 +3152,38 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "tf/dl tables are the persistable build-once index; "
             "DEFERRED to round 5's window",
     ),
+    "rolling_active_users": QuerySpec(
+        _rel(relational.q_rolling_active_users),
+        """WITH grid AS (
+             SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                    user_id
+             FROM events
+           ),
+           dau AS (SELECT day, COUNT(*) AS dau FROM grid GROUP BY day),
+           contrib AS (
+             SELECT DISTINCT
+                    CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                                                CAST(day AS TIMESTAMP)
+                                                  + INTERVAL 6 DAY,
+                                                INTERVAL 1 DAY)) AS DATE)
+                      AS day,
+                    user_id
+             FROM grid
+           ),
+           wau AS (
+             SELECT day, COUNT(*) AS wau7 FROM contrib
+             WHERE day IN (SELECT day FROM grid)
+             GROUP BY day
+           )
+           SELECT CAST(d.day AS VARCHAR) AS day,
+                  CAST(d.dau AS BIGINT) AS dau,
+                  CAST(w.wau7 AS BIGINT) AS wau7
+           FROM dau d JOIN wau w USING (day)""",
+        doc="DAU + trailing-7-day rolling distinct users: the sliding "
+            "COUNT(DISTINCT) no frame window expresses — bounded x7 "
+            "contribution-explode of the reduced (day, user) grid, "
+            "never a per-day self-join; DEFERRED to round 5's window",
+    ),
     "fuzzy_join_verified": QuerySpec(
         lambda spark, sf_dir: (
             lambda names: dedup.fuzzy_join_verified(
@@ -3585,7 +3618,7 @@ _ROUND4_ORDER = [
     # deferred: lead round 5 (DEFERRED_TO_NEXT_ROUND)
     "table_profile", "snapshot_diff", "triangle_count", "clustering_coeff",
     "events_ewma", "bm25_search", "dedup_minhash_verified", "basket_rules",
-    "skyline_frontier", "fuzzy_join_verified",
+    "skyline_frontier", "fuzzy_join_verified", "rolling_active_users",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

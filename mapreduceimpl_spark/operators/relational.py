@@ -1749,6 +1749,50 @@ def q_event_top_paths(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def q_rolling_active_users(t: dict[str, DataFrame]) -> DataFrame:
+    """DAU / trailing-7-day WAU per observed day — the
+    distinct-count-over-sliding-window shape that frame windows
+    CANNOT express (COUNT(DISTINCT) is not frame-composable: a user
+    active on 3 of the 7 days must count once).
+
+    Shape: (1) reduce events to the DISTINCT (day, user) grid — the
+    only pass over raw events; (2) CONTRIBUTION EXPLODE: each
+    (day, user) row contributes to the 7 window-end days day..day+6
+    (a bounded ×7 fan-out of the already-reduced grid, never of the
+    event stream); (3) distinct + count per window end gives the
+    rolling distinct — work is O(active-pairs × 7), linear at any
+    scale, with no per-day self-join and no O(window) state.  A
+    semi-join against observed days drops the phantom window ends
+    after the last day of data.
+
+    Determinism: days are UTC dates emitted as strings (session zone
+    is pinned per query); counts are exact BIGINTs.
+    """
+    e = t["events"]
+    grid = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = grid.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = (
+        grid.select(
+            F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("wau7"))
+        .join(grid.select("day").distinct(), "day", "left_semi")
+    )
+    return (
+        dau.join(contrib, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau7").cast("long").alias("wau7"),
+        )
+    )
+
+
 def q_skyline_frontier(t: dict[str, DataFrame]) -> DataFrame:
     """2-D skyline (Pareto frontier) of parts: minimize p_retailprice,
     maximize p_size — every part not dominated by another that is at

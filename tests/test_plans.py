@@ -795,3 +795,44 @@ def test_skyline_never_quadratic(tables):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rolling_active_users_hand_computed(spark):
+    """Users {1,2} day0; {2} day3; {3} day10.  dau = 2/1/1; wau7(day0)
+    = 2; wau7(day3) = {1,2 from day0} + {2} = 2 distinct; wau7(day10)
+    = 1 (day3 is 7 days back, outside day10's trailing window)."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9), 1),
+        (2, dt.datetime(2024, 1, 1, 10), 2),
+        (3, dt.datetime(2024, 1, 4, 9), 2),
+        (4, dt.datetime(2024, 1, 11, 9), 3),
+    ]
+    e = spark.createDataFrame(
+        [(i, ts, u, "view", 1.0, "{}") for i, ts, u in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        "value double, props string",
+    )
+    got = {r["day"]: (r["dau"], r["wau7"])
+           for r in relational.q_rolling_active_users({"events": e}).collect()}
+    assert got == {
+        "2024-01-01": (2, 2),
+        "2024-01-04": (1, 2),
+        "2024-01-11": (1, 1),
+    }
+
+
+def test_rolling_active_users_no_phantom_days(tables):
+    """Only observed days appear (the explode generates window ends
+    past the last data day; the semi-join must drop them)."""
+    rows = relational.q_rolling_active_users(tables).collect()
+    observed = {
+        r["day"]
+        for r in tables["events"]
+        .select(F.to_date("ts").cast("string").alias("day"))
+        .distinct()
+        .collect()
+    }
+    assert {r["day"] for r in rows} == observed
+    assert all(r["wau7"] >= r["dau"] for r in rows)
