@@ -430,6 +430,50 @@ ANNOTATED = {
         "keyed self-joins close wedges — every join is an equi-join "
         "and per-vertex fan-out is O(sqrt(m)) by the orientation."
     ),
+    "events_ewma": (
+        "Sequential recurrence: ONE Exchange on user_id feeds "
+        "FlatMapGroupsInPandas (the O(1)-state Arrow pass); the "
+        "value-null filter is pushed to the parquet scan "
+        "(PushedFilters: IsNotNull(value))."
+    ),
+    "bm25_search": (
+        "Lexical retrieval: the tf index is the wordcount shape "
+        "(partial+final HashAggregate); the query vocabulary enters "
+        "via BroadcastHashJoin so corpus postings are filtered in "
+        "place; corpus stats ride a 1-row broadcast; top-k is a "
+        "per-query rank window over candidates only."
+    ),
+    "dedup_minhash_verified": (
+        "Candidate-then-verify: the banded self-join generates "
+        "candidates (uniform md5 band keys), then two keyed joins "
+        "attach per-doc shingle-set ARRAYS and array_intersect "
+        "verifies in place — the exact-Jaccard stage never "
+        "re-explodes the inverted index."
+    ),
+    "basket_rules": (
+        "Association rules: ONE self-join keyed on l_orderkey "
+        "(bounded by basket size), supports join onto the aggregated "
+        "pair vocabulary, 1-row order total broadcast, and the "
+        "top-25 is TakeOrderedAndProject on rounded lift."
+    ),
+    "skyline_frontier": (
+        "Skyline: per-price max aggregate, one global window over "
+        "the aggregated |distinct prices| rows, then a "
+        "BroadcastHashJoin back onto part for ties — the O(n²) "
+        "dominance test exists only in the oracle."
+    ),
+    "fuzzy_join_verified": (
+        "Verify tier on the gram-candidate join: Levenshtein runs "
+        "inside a projection AFTER two keyed joins attach the "
+        "normalized strings — O(len²) edit distance on candidates "
+        "only, never a cross join."
+    ),
+    "rolling_active_users": (
+        "Sliding COUNT(DISTINCT): the (day,user) grid aggregates "
+        "once, the x7 sequence-explode is a narrow transform of the "
+        "grid, and both distinct-counts are partial+final "
+        "HashAggregates — no per-day self-join, no window state."
+    ),
 }
 
 

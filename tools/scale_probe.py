@@ -309,8 +309,66 @@ def _probe_bigram(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_minhash_verified(spark, sf_dir: str):
+    """Candidate-then-verify dedup: wall should track candidates x
+    shingle-set size, staying close to the pure candidate pass."""
+    corpus = dedup.with_mutated_copies(load_table(spark, sf_dir, "documents"))
+    t0 = time.time()
+    n = dedup.minhash_verified_pairs(corpus, hash_fn="xxhash64").count()
+    return time.time() - t0, n
+
+
+def _probe_basket_rules(spark, sf_dir: str):
+    """Orderkey-keyed self-join bounded by basket size — linear in
+    orders at any scale."""
+    from mapreduceimpl_spark.operators import relational
+
+    li = load_table(spark, sf_dir, "lineitem")
+    t0 = time.time()
+    n = relational.q_basket_rules({"lineitem": li}).count()
+    return time.time() - t0, n
+
+
+def _probe_rolling_active(spark, sf_dir: str):
+    """Bounded x7 contribution explode of the (day,user) grid."""
+    from mapreduceimpl_spark.operators import relational
+
+    e = load_table(spark, sf_dir, "events")
+    t0 = time.time()
+    n = relational.q_rolling_active_users({"events": e}).count()
+    return time.time() - t0, n
+
+
+def _probe_bm25(spark, sf_dir: str):
+    """Index build dominates; the broadcast query probe cost is
+    bounded by the queried postings, not the corpus."""
+    from mapreduceimpl_spark.catalog import _BM25_QUERIES
+    from mapreduceimpl_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id long, term string")
+    t0 = time.time()
+    n = retrieval.bm25_topk(docs, q, k=5).count()
+    return time.time() - t0, n
+
+
+def _probe_ewma(spark, sf_dir: str):
+    """One user_id Exchange + O(1)-state Arrow pass per key."""
+    from mapreduceimpl_spark.operators import timeseries
+
+    e = load_table(spark, sf_dir, "events")
+    t0 = time.time()
+    n = timeseries.ewma(e).count()
+    return time.time() - t0, n
+
+
 PROBES = {
     "minhash": _probe_minhash,
+    "minhash_verified": _probe_minhash_verified,
+    "basket_rules": _probe_basket_rules,
+    "rolling_active": _probe_rolling_active,
+    "bm25": _probe_bm25,
+    "ewma": _probe_ewma,
     "span_dedup": _probe_span_dedup,
     "heavy_hitters": _probe_heavy_hitters,
     "bigram": _probe_bigram,
