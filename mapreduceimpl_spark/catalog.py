@@ -1209,6 +1209,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "skyline_frontier",
         "fuzzy_join_verified",
         "rolling_active_users",
+        "sample_weighted_k",
+        "pit_join",
     }
 )
 
@@ -3152,6 +3154,55 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "tf/dl tables are the persistable build-once index; "
             "DEFERRED to round 5's window",
     ),
+    "pit_join": QuerySpec(
+        _rel(relational.q_pit_join),
+        """WITH marked AS (
+             SELECT user_id, ts, event_id,
+                    coalesce(event_type, chr(0)) AS sc,
+                    lag(coalesce(event_type, chr(0))) OVER w AS prev_state
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           ),
+           changes AS (
+             SELECT user_id, ts, event_id, sc FROM marked
+             WHERE prev_state IS NULL OR prev_state <> sc
+           ),
+           ivals AS (
+             SELECT user_id, sc AS state, ts AS valid_from,
+                    lead(ts) OVER w2 AS valid_to
+             FROM changes
+             WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+           )
+           SELECT e.event_id, e.user_id,
+                  CASE WHEN i.state = chr(0) THEN NULL ELSE i.state END
+                    AS state,
+                  CAST(i.valid_from AS VARCHAR) AS version_from
+           FROM events e
+           JOIN ivals i
+             ON e.user_id = i.user_id
+            AND e.ts >= i.valid_from
+            AND (i.valid_to IS NULL OR e.ts < i.valid_to)""",
+        doc="point-in-time (SCD2 as-of-validity) join: each event "
+            "resolves to the dimension version valid at its event "
+            "time — equi key carries the shuffle, interval predicate "
+            "rides as join filter (range_join design, never a "
+            "cartesian); the feature-store train-serve-skew killer; "
+            "DEFERRED to round 5's window",
+    ),
+    "sample_weighted_k": QuerySpec(
+        lambda spark, sf_dir: sampling.weighted_topk_sample(
+            load_table(spark, sf_dir, "documents"),
+            k=64,
+            weight_col="n_chars",
+            extra_cols=("lang",),
+        ),
+        sampling.weighted_topk_sample_sql(64, "n_chars", extra="lang"),
+        doc="exact-size weighted sampling without replacement "
+            "(Efraimidis-Spirakis A-ES): deterministic exponential "
+            "race keys from hash uniforms, k smallest win via "
+            "TakeOrderedAndProject — no global sort, losers never "
+            "shuffle; DEFERRED to round 5's window",
+    ),
     "rolling_active_users": QuerySpec(
         _rel(relational.q_rolling_active_users),
         """WITH grid AS (
@@ -3619,6 +3670,7 @@ _ROUND4_ORDER = [
     "table_profile", "snapshot_diff", "triangle_count", "clustering_coeff",
     "events_ewma", "bm25_search", "dedup_minhash_verified", "basket_rules",
     "skyline_frontier", "fuzzy_join_verified", "rolling_active_users",
+    "sample_weighted_k", "pit_join",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

@@ -1749,6 +1749,82 @@ def q_event_top_paths(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time join: each fact row picks the dimension version
+    whose [valid_from, valid_to) interval contains the fact timestamp
+    (open-ended current version = null valid_to) — the SCD2 lookup
+    every feature store / dimension-history query runs, and the
+    train-serve-skew killer (a training row must see the dimension AS
+    OF its event time, not the current one).
+
+    Join mechanics: the equi key carries the shuffle; the interval
+    predicate rides as a join filter (same design as ``range_join`` —
+    keyed join, never a cartesian).  With non-overlapping intervals
+    per key (what ``q_state_intervals`` produces) each fact matches at
+    most one version.
+
+    Columns from ``dim`` other than the key (payload AND interval
+    bounds — the version stamp is often wanted downstream) are
+    returned alongside all fact columns.
+    """
+    f, d = facts.alias("__f"), dim.alias("__d")
+    cond = (
+        (F.col(f"__f.{key}") == F.col(f"__d.{key}"))
+        & (F.col(f"__f.{ts_col}") >= F.col(f"__d.{valid_from}"))
+        & (
+            F.col(f"__d.{valid_to}").isNull()
+            | (F.col(f"__f.{ts_col}") < F.col(f"__d.{valid_to}"))
+        )
+    )
+    payload = [c for c in dim.columns if c != key]
+    return f.join(d, cond, how).select(
+        *[F.col(f"__f.{c}") for c in facts.columns],
+        *[F.col(f"__d.{c}") for c in payload],
+    )
+
+
+def q_pit_join(t: dict[str, DataFrame]) -> DataFrame:
+    """PIT lookup of each event's state version: builds the SCD2
+    interval table (``q_state_intervals``'s logic, timestamps kept
+    native for the join) and point-in-time-joins the event stream
+    back onto it.  Every event resolves to exactly one version — its
+    own state at event time — which doubles as the built-in
+    correctness witness (pytest asserts state == event_type).
+    """
+    e = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    state_c = F.coalesce(F.col("event_type"), F.lit("\x00"))
+    changes = (
+        e.select("user_id", "ts", "event_id", state_c.alias("__sc"))
+        .withColumn("prev_state", F.lag("__sc").over(w))
+        .filter(
+            F.col("prev_state").isNull() | (F.col("prev_state") != F.col("__sc"))
+        )
+    )
+    dim = changes.select(
+        "user_id",
+        F.col("__sc").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    facts = e.select("event_id", "user_id", "ts")
+    out = pit_join(facts, dim)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("state") == "\x00", F.lit(None)).otherwise(F.col("state")).alias("state"),
+        F.col("valid_from").cast("string").alias("version_from"),
+    )
+
+
 def q_rolling_active_users(t: dict[str, DataFrame]) -> DataFrame:
     """DAU / trailing-7-day WAU per observed day — the
     distinct-count-over-sliding-window shape that frame windows

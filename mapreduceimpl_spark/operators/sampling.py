@@ -219,3 +219,57 @@ def train_val_test_split(
         expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
     )
     return df.withColumn("split", split)
+
+
+def weighted_topk_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact-size weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES, the distributed-reservoir standard):
+    each row draws an exponential race time ``-ln(1 − u) / w`` from
+    its deterministic hash uniform, and the ``k`` smallest draws win —
+    inclusion probability rides the weight, the sample is exactly
+    ``k`` rows, and the top-k is ``TakeOrderedAndProject`` (per-
+    partition heaps, no global sort, no shuffle of losers).
+
+    ``1 − u`` (not ``u``) keeps the log argument inside (0, 1]: Spark
+    returns NULL for ``log(0)`` while DuckDB returns -inf, so the
+    u = 0 hash bucket would otherwise diverge between engines.
+    Rows with weight <= 0 or NULL never sample (filtered, mirroring
+    ``weighted_sample``'s clamp contract).
+
+    Determinism: the race key is rounded at 9 decimals before ranking
+    with a ``key_col`` tiebreak (rounded-then-ranked rule), so the
+    exact winning SET is engine-/rerun-/partitioning-stable.
+    """
+    if k <= 0:
+        raise ValueError(f"weighted_topk_sample: k must be positive, got {k}")
+    w = F.col(weight_col).cast("double")
+    race = F.round(
+        -F.log(F.lit(1.0) - hash_uniform(F.col(key_col))) / w, 9
+    )
+    return (
+        df.filter(w > 0)
+        .select(key_col, *extra_cols, race.alias("race"))
+        .orderBy(F.asc("race"), F.asc(key_col))
+        .limit(k)
+    )
+
+
+def weighted_topk_sample_sql(
+    k: int, weight_expr: str, key: str = "doc_id", extra: str = ""
+) -> str:
+    """DuckDB mirror of :func:`weighted_topk_sample` over
+    ``documents`` (ln / division / rounding replayed literally)."""
+    u = hash_uniform_sql(key)
+    cols = f"{key}{', ' + extra if extra else ''}"
+    return f"""SELECT {cols}, race FROM (
+  SELECT {cols},
+         round(-ln(1.0 - ({u})) / CAST({weight_expr} AS DOUBLE), 9) AS race
+  FROM documents
+  WHERE CAST({weight_expr} AS DOUBLE) > 0
+) ORDER BY race ASC, {key} ASC LIMIT {k}"""

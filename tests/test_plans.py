@@ -836,3 +836,47 @@ def test_rolling_active_users_no_phantom_days(tables):
     }
     assert {r["day"] for r in rows} == observed
     assert all(r["wau7"] >= r["dau"] for r in rows)
+
+
+def test_pit_join_resolves_exactly_one_version(tables):
+    """Every event matches exactly one SCD2 version, and (since the
+    dimension was built from the event stream itself) the resolved
+    state equals the event's own type — the built-in witness."""
+    e_cnt = tables["events"].count()
+    rows = relational.q_pit_join(tables).collect()
+    assert len(rows) == e_cnt
+    types = {
+        r["event_id"]: r["event_type"]
+        for r in tables["events"].select("event_id", "event_type").collect()
+    }
+    assert all(r["state"] == types[r["event_id"]] for r in rows)
+
+
+def test_pit_join_generic_versioned_dim(spark):
+    """Explicit versioned dimension: fact at t=5 sees version B
+    ([4, 9)), not the current C ([9, null)); fact before any version
+    drops on inner join."""
+    import datetime as dt
+
+    def ts(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    facts = spark.createDataFrame(
+        [(1, 7, ts(5)), (2, 7, ts(9)), (3, 7, ts(1)), (4, 8, ts(5))],
+        "fact_id long, user_id long, ts timestamp",
+    )
+    dim = spark.createDataFrame(
+        [(7, "A", ts(2), ts(4)), (7, "B", ts(4), ts(9)), (7, "C", ts(9), None)],
+        "user_id long, state string, valid_from timestamp, valid_to timestamp",
+    )
+    got = {r["fact_id"]: r["state"]
+           for r in relational.pit_join(facts, dim).collect()}
+    assert got == {1: "B", 2: "C"}  # 3 pre-history, 4 unknown key drop
+
+
+def test_pit_join_keyed_not_cartesian(tables):
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(relational.q_pit_join(tables), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -326,3 +326,60 @@ def test_split_assign_salt_reassigns(docs):
     a = {r["doc_id"]: r["split"] for r in train_val_test_split(docs.select("doc_id"), salt="v1").collect()}
     b = {r["doc_id"]: r["split"] for r in train_val_test_split(docs.select("doc_id"), salt="v2").collect()}
     assert a != b  # a salt bump re-rolls assignments
+
+
+def test_weighted_topk_exact_size_and_determinism(docs):
+    from mapreduceimpl_spark.operators.sampling import weighted_topk_sample
+
+    a = weighted_topk_sample(docs, 64, "n_chars", extra_cols=("lang",)).collect()
+    b = weighted_topk_sample(
+        docs.repartition(13), 64, "n_chars", extra_cols=("lang",)
+    ).collect()
+    assert len(a) == 64
+    assert {r["doc_id"] for r in a} == {r["doc_id"] for r in b}
+
+
+def test_weighted_topk_scale_invariant(spark, docs):
+    """Scaling every weight by a constant divides every race key by
+    the same constant — the winning SET must not change (the A-ES
+    property that makes weights unit-free)."""
+    import pyspark.sql.functions as F
+
+    from mapreduceimpl_spark.operators.sampling import weighted_topk_sample
+
+    scaled = docs.withColumn("w2", F.col("n_chars") * 1000.0)
+    base = {r["doc_id"] for r in weighted_topk_sample(docs, 32, "n_chars").collect()}
+    big = {r["doc_id"] for r in weighted_topk_sample(scaled, 32, "w2").collect()}
+    assert base == big
+
+
+def test_weighted_topk_excludes_nonpositive_and_caps_k(spark):
+    import pyspark.sql.functions as F
+
+    from mapreduceimpl_spark.operators.sampling import weighted_topk_sample
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "doc_id long, w double",
+    )
+    rows = weighted_topk_sample(df, 10, "w").collect()
+    assert {r["doc_id"] for r in rows} == {1, 5}
+
+    import pytest
+    with pytest.raises(ValueError):
+        weighted_topk_sample(df, 0, "w")
+
+
+def test_weighted_topk_favors_heavy_rows(spark):
+    """1000:1 weights: the heavy minority must dominate the sample
+    (deterministic given the fixed hash uniforms)."""
+    import pyspark.sql.functions as F
+
+    from mapreduceimpl_spark.operators.sampling import weighted_topk_sample
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 20, 1000.0).otherwise(1.0).alias("w"),
+    )
+    got = {r["doc_id"] for r in weighted_topk_sample(df, 20, "w").collect()}
+    assert len(got & set(range(20))) >= 15
