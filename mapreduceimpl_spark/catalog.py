@@ -1211,6 +1211,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "rolling_active_users",
         "sample_weighted_k",
         "pit_join",
+        "changelog_apply",
     }
 )
 
@@ -3154,6 +3155,51 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "tf/dl tables are the persistable build-once index; "
             "DEFERRED to round 5's window",
     ),
+    "changelog_apply": QuerySpec(
+        _rel(relational.q_changelog_apply),
+        """WITH o AS (
+             SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           ),
+           changes AS (
+             SELECT o_orderkey, o_orderstatus,
+                    o_totalprice + 10.0 AS o_totalprice,
+                    1 AS version, 'U' AS op
+             FROM o WHERE o_orderkey % 7 = 0
+             UNION ALL
+             SELECT o_orderkey, o_orderstatus, o_totalprice, 4, 'D'
+             FROM o WHERE o_orderkey % 13 = 0
+             UNION ALL
+             SELECT o_orderkey, 'X', o_totalprice, 2, 'U'
+             FROM o WHERE o_orderkey % 21 = 0
+             UNION ALL
+             SELECT o_orderkey, 'Y', o_totalprice, 3, 'U'
+             FROM o WHERE o_orderkey % 21 = 0
+             UNION ALL
+             SELECT o_orderkey + 1000000, 'N', o_totalprice, 1, 'U'
+             FROM o WHERE o_orderkey % 17 = 0
+           ),
+           unioned AS (
+             SELECT o_orderkey, o_orderstatus, o_totalprice,
+                    0 AS version, 'U' AS op
+             FROM o
+             UNION ALL
+             SELECT * FROM changes
+           ),
+           ranked AS (
+             SELECT *, ROW_NUMBER() OVER
+                      (PARTITION BY o_orderkey ORDER BY version DESC)
+                      AS rn
+             FROM unioned
+           )
+           SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM ranked WHERE rn = 1 AND op <> 'D'""",
+        doc="CDC apply / MERGE INTO: latest change per key wins by "
+            "version, tombstones delete, absent keys pass through, "
+            "new keys insert — one union + one keyed window Exchange "
+            "(bucketing both sides makes it shuffle-free); the "
+            "inverse of snapshot_diff, completing the CDC round trip; "
+            "DEFERRED to round 5's window",
+    ),
     "pit_join": QuerySpec(
         _rel(relational.q_pit_join),
         """WITH marked AS (
@@ -3670,7 +3716,7 @@ _ROUND4_ORDER = [
     "table_profile", "snapshot_diff", "triangle_count", "clustering_coeff",
     "events_ewma", "bm25_search", "dedup_minhash_verified", "basket_rules",
     "skyline_frontier", "fuzzy_join_verified", "rolling_active_users",
-    "sample_weighted_k", "pit_join",
+    "sample_weighted_k", "pit_join", "changelog_apply",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

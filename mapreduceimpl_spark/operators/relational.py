@@ -1749,6 +1749,97 @@ def q_event_top_paths(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def changelog_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str = "version",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC changelog to a snapshot — the MERGE INTO /
+    merge-on-read compaction shape (the inverse of
+    ``snapshot_diff``, which derives a changelog FROM two snapshots):
+    for each key, the highest-``version_col`` row wins; a winning
+    ``delete_op`` row tombstones the key out; otherwise the winner's
+    payload upserts over the base row.
+
+    Base rows participate as version-0 upserts, so a key absent from
+    the changelog survives unchanged and a key present only in the
+    changelog inserts.  Multiple changelog versions of one key
+    collapse to the latest (exactly Delta/Iceberg MoR compaction).
+
+    Shape: ONE union + ONE window rank on the key — a single Exchange
+    keyed by ``key_cols``; with both sides bucketed on the key the
+    shuffle disappears entirely.  ``version_col`` must totally order
+    each key's changes (ties would make "latest" ambiguous — enforced
+    nowhere here, contract of the changelog producer).
+    """
+    payload = [c for c in base.columns if c not in key_cols]
+    b = base.select(
+        *key_cols,
+        *payload,
+        F.lit(0).cast("long").alias(version_col),
+        F.lit("U").alias(op_col),
+    )
+    c = changes.select(
+        *key_cols, *payload,
+        F.col(version_col).cast("long").alias(version_col),
+        F.col(op_col).alias(op_col),
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(version_col))
+    return (
+        b.unionByName(c)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .select(*key_cols, *payload)
+    )
+
+
+def q_changelog_apply(t: dict[str, DataFrame]) -> DataFrame:
+    """MERGE of a synthetic-but-deterministic changelog into the
+    orders snapshot: %13 keys tombstone out, %7 keys take a price
+    bump (+10.0 — an exactly-representable double increment, so both
+    engines agree bit-for-bit with no rounding boundary), %21 keys
+    get TWO further versions where the later status overwrite must
+    win, and shifted +1000000 keys insert.  Change families carry
+    DISTINCT versions (1..4, deletes highest) so overlapping keys
+    (%91 is both %7 and %13; %21 is also %7) resolve deterministically
+    — a version tie would make "latest" ambiguous, which
+    ``changelog_apply`` documents as a changelog-producer contract."""
+    o = t["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+        F.lit(1).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit(4).alias("version"), F.lit("D").alias("op"),
+    )
+    twice_v1 = o.filter(F.col("o_orderkey") % 21 == 0).select(
+        "o_orderkey", F.lit("X").alias("o_orderstatus"), "o_totalprice",
+        F.lit(2).alias("version"), F.lit("U").alias("op"),
+    )
+    twice_v2 = o.filter(F.col("o_orderkey") % 21 == 0).select(
+        "o_orderkey", F.lit("Y").alias("o_orderstatus"), "o_totalprice",
+        F.lit(3).alias("version"), F.lit("U").alias("op"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + F.lit(1000000)).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit(1).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    changes = upd.unionByName(dels).unionByName(twice_v1).unionByName(twice_v2).unionByName(ins)
+    return changelog_apply(o, changes, ["o_orderkey"])
+
+
 def pit_join(
     facts: DataFrame,
     dim: DataFrame,

@@ -880,3 +880,41 @@ def test_pit_join_keyed_not_cartesian(tables):
     plan = explain_str(relational.q_pit_join(tables), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_changelog_apply_semantics(spark):
+    """Upsert wins by version, tombstone deletes, untouched keys pass
+    through, new keys insert, two versions collapse to the latest."""
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 1, "U"),          # update
+            (2, "b", 1, "D"),           # delete
+            (3, "c2", 1, "U"), (3, "c3", 2, "U"),  # latest wins
+            (9, "new", 1, "U"),         # insert
+        ],
+        "k long, v string, version long, op string",
+    )
+    got = {r["k"]: r["v"]
+           for r in relational.changelog_apply(base, changes, ["k"]).collect()}
+    assert got == {1: "a2", 3: "c3", 4: "d", 9: "new"}
+
+
+def test_changelog_apply_overlapping_families(tables):
+    """Catalog instantiation: %91 keys (both update and delete) must
+    tombstone (delete carries the highest version); %21 keys must end
+    at status 'Y'; counts reconcile."""
+    rows = relational.q_changelog_apply(tables).collect()
+    by_key = {r["o_orderkey"]: r for r in rows}
+    base_keys = {
+        r["o_orderkey"] for r in tables["orders"].select("o_orderkey").collect()
+    }
+    for k in base_keys:
+        if k % 13 == 0:
+            assert k not in by_key  # tombstoned (incl. %91 overlap)
+        elif k % 21 == 0:
+            assert by_key[k]["o_orderstatus"] == "Y"
+    inserted = {k for k in by_key if k >= 1000000}
+    assert inserted == {k + 1000000 for k in base_keys if k % 17 == 0}
