@@ -66,7 +66,7 @@ def bm25_topk(
     b: float = 0.75,
     round_digits: int = 6,
 ) -> DataFrame:
-    """Top-``k`` documents per query by BM25.
+    """Top-``k`` documents per query by BM25 (index built inline).
 
     ``query_terms``: (query_id, term) — duplicate terms within a query
     are deduplicated (set-of-terms semantics, the standard bag-free
@@ -75,6 +75,24 @@ def bm25_topk(
     Output: (query_id, rank, doc_id, score).
     """
     tf, dl = bm25_index(docs)
+    return bm25_search(tf, dl, query_terms, k, k1, b, round_digits)
+
+
+def bm25_search(
+    tf: DataFrame,
+    dl: DataFrame,
+    query_terms: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+) -> DataFrame:
+    """BM25 over a PREBUILT (tf, dl) index — the serve-many-batches
+    half of the build/search split: persist the index once with
+    ``sinks.write_bucketed(tf, ..., ["token"])`` and every query
+    batch probes it without re-tokenizing the corpus (round-trip
+    equality + plan proven in ``tests/test_retrieval.py``).
+    """
     n_docs_df = dl.agg(
         F.count("*").cast("long").alias("n"), F.sum("dl").cast("long").alias("s")
     )

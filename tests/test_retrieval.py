@@ -110,3 +110,31 @@ def test_bm25_query_side_broadcast(spark, docs):
         retrieval.bm25_topk(docs, _queries(spark, [(0, "spark")])), "simple"
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bm25_persisted_index_round_trip(spark, docs):
+    """Build-once/serve-many: bm25_index -> write_bucketed (tf by
+    token, dl by doc_id) -> re-read from disk -> bm25_search equals
+    the inline bm25_topk bit-for-bit."""
+    from mapreduceimpl_spark.operators.retrieval import (
+        bm25_index,
+        bm25_search,
+        bm25_topk,
+    )
+    from mapreduceimpl_spark.sources.sinks import write_bucketed
+
+    q = _queries(spark, [(0, "spark"), (0, "shuffle"), (1, "hash"), (1, "join")])
+    tf, dl = bm25_index(docs)
+    try:
+        write_bucketed(tf, "t_bm25_tf_rt", ["token"], n_buckets=8)
+        write_bucketed(dl, "t_bm25_dl_rt", ["doc_id"], n_buckets=8)
+        from_disk = bm25_search(
+            spark.table("t_bm25_tf_rt"), spark.table("t_bm25_dl_rt"), q
+        )
+        inline = bm25_topk(docs, q)
+        assert sorted(map(tuple, from_disk.collect())) == sorted(
+            map(tuple, inline.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bm25_tf_rt")
+        spark.sql("DROP TABLE IF EXISTS t_bm25_dl_rt")
