@@ -1212,6 +1212,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "sample_weighted_k",
         "pit_join",
         "changelog_apply",
+        "events_autocorr",
     }
 )
 
@@ -3155,6 +3156,37 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "tf/dl tables are the persistable build-once index; "
             "DEFERRED to round 5's window",
     ),
+    "events_autocorr": QuerySpec(
+        _rel(relational.q_events_autocorr),
+        """WITH pairs AS (
+             SELECT user_id, value AS y, lag(value) OVER w AS x
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           ),
+           agg AS (
+             SELECT user_id, COUNT(*) AS n,
+                    CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+                    CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+                    CAST(SUM(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+                    CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+                    CAST(SUM(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy
+             FROM pairs WHERE x IS NOT NULL GROUP BY user_id
+           )
+           SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+                  round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                               * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+                    AS autocorr
+           FROM agg
+           WHERE n >= 10
+             AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
+             AND CAST(n AS DOUBLE) * syy - sy * sy > 0""",
+        doc="per-user lag-1 autocorrelation from five decimal-routed "
+            "moment sums over the lag-pair stream — one user_id "
+            "Exchange serves both the window and the aggregate; the "
+            "stationarity diagnostic for the EWMA/anomaly stack; "
+            "DEFERRED to round 5's window",
+    ),
     "changelog_apply": QuerySpec(
         _rel(relational.q_changelog_apply),
         """WITH o AS (
@@ -3716,7 +3748,7 @@ _ROUND4_ORDER = [
     "table_profile", "snapshot_diff", "triangle_count", "clustering_coeff",
     "events_ewma", "bm25_search", "dedup_minhash_verified", "basket_rules",
     "skyline_frontier", "fuzzy_join_verified", "rolling_active_users",
-    "sample_weighted_k", "pit_join", "changelog_apply",
+    "sample_weighted_k", "pit_join", "changelog_apply", "events_autocorr",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

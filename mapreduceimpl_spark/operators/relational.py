@@ -1640,6 +1640,56 @@ def q_events_running_anomaly(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def q_events_autocorr(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-user lag-1 autocorrelation of event values — the
+    time-series diagnostic that separates trending/bursty users from
+    white-noise ones (feature for the anomaly stack, and the
+    stationarity check before any EWMA/forecast is trusted).
+
+    Shape: ONE user_id Exchange serves both the lag window and the
+    per-user aggregate (grouping key == window partition key).  The
+    Pearson r over (prev, cur) pairs is computed from five
+    decimal-routed moment sums (Σx, Σy, Σxy, Σx², Σy²) — the same
+    order-free determinism as ``q_events_anomaly`` — then one double
+    formula, rounded at 6.  Users with < 10 pairs or zero variance on
+    either side are excluded (r undefined).
+    """
+    e = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            "user_id",
+            F.col("value").alias("y"),
+            F.lag("value").over(w).alias("x"),
+        )
+        .filter(F.col("x").isNotNull())
+    )
+
+    def dsum(expr: F.Column) -> F.Column:
+        return F.sum(expr.cast("decimal(28,4)")).cast("double")
+
+    agg = pairs.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        agg.filter((F.col("n") >= 10) & (vx > 0) & (vy > 0))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_pairs"),
+            F.round(cov / F.sqrt(vx * vy), 6).alias("autocorr"),
+        )
+    )
+
+
 def q_revenue_pareto(t: dict[str, DataFrame]) -> DataFrame:
     """Pareto (80/20) analysis of supplier revenue: rank suppliers by
     revenue and mark the vital few whose cumulative share is needed to

@@ -918,3 +918,39 @@ def test_changelog_apply_overlapping_families(tables):
             assert by_key[k]["o_orderstatus"] == "Y"
     inserted = {k for k in by_key if k >= 1000000}
     assert inserted == {k + 1000000 for k in base_keys if k % 17 == 0}
+
+
+def test_autocorr_hand_computed(spark):
+    """Alternating series has lag-1 autocorrelation -1; a linear ramp
+    has +1 (up to rounding); constant series is excluded (zero
+    variance)."""
+    import datetime as dt
+
+    rows = []
+    # user 1: alternating 0,1,0,1... -> r = -1
+    for i in range(20):
+        rows.append((100 + i, dt.datetime(2024, 1, 1, 0, i), 1, float(i % 2)))
+    # user 2: ramp 0..19 -> r = +1
+    for i in range(20):
+        rows.append((200 + i, dt.datetime(2024, 1, 1, 0, i), 2, float(i)))
+    # user 3: constant -> excluded
+    for i in range(20):
+        rows.append((300 + i, dt.datetime(2024, 1, 1, 0, i), 3, 5.0))
+    e = spark.createDataFrame(
+        [(eid, ts, u, "view", v, "{}") for eid, ts, u, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        "value double, props string",
+    )
+    got = {r["user_id"]: r["autocorr"]
+           for r in relational.q_events_autocorr({"events": e}).collect()}
+    assert set(got) == {1, 2}
+    assert got[1] == -1.0
+    assert got[2] == 1.0
+
+
+def test_autocorr_single_exchange(tables):
+    """Window partition key == grouping key -> one Exchange total."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(relational.q_events_autocorr(tables), "simple")
+    assert plan.count("Exchange") == 1, plan
