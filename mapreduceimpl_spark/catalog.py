@@ -1195,7 +1195,11 @@ FROM sess GROUP BY user_id, sid
 # Round 4: table_profile, snapshot_diff, triangle_count, and
 # clustering_coeff landed
 # after the 46-entry new-evidence head filled the window; they sit at
-# the catalog tail and lead round 5.
+# the catalog tail and lead round 5.  Round-4 session 3 added eleven
+# more (EWMA + autocorr time series, BM25 retrieval, the two
+# candidate-then-verify tiers, basket rules, skyline, rolling distinct
+# users, A-ES weighted sampling, PIT join, CDC apply) — all locally
+# oracle-PASS at sf0.01 AND sf0.1, all deferred likewise.
 DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
     {
         "table_profile",

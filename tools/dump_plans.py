@@ -474,6 +474,29 @@ ANNOTATED = {
         "grid, and both distinct-counts are partial+final "
         "HashAggregates — no per-day self-join, no window state."
     ),
+    "pit_join": (
+        "SCD2 point-in-time lookup: the equi key (user_id) carries "
+        "the one shuffle; the [valid_from, valid_to) containment "
+        "predicate rides as a join filter on the SortMergeJoin — "
+        "never a cartesian or nested loop."
+    ),
+    "sample_weighted_k": (
+        "A-ES weighted sampling: the race key is a narrow projection "
+        "over the scan (hash uniform + ln), and the k winners come "
+        "from TakeOrderedAndProject — per-partition heaps, no global "
+        "sort, losers never shuffle."
+    ),
+    "changelog_apply": (
+        "MERGE INTO: base and changelog union (narrow), then ONE "
+        "window Exchange on the key ranks versions; with both sides "
+        "bucketed on the key the Exchange disappears — the "
+        "merge-on-read compaction plan."
+    ),
+    "events_autocorr": (
+        "Lag-pair moments: the lag window and the per-user aggregate "
+        "share one user_id Exchange (partition key == grouping key); "
+        "five decimal sums make the Pearson r partition-order-free."
+    ),
 }
 
 
