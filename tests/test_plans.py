@@ -954,3 +954,59 @@ def test_autocorr_single_exchange(tables):
 
     plan = explain_str(relational.q_events_autocorr(tables), "simple")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_skyline_randomized_vs_bruteforce(spark):
+    """Seeded random point sets on a small grid (forcing price/size
+    ties) vs the O(n²) dominance definition in pure Python."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        pts = [(k, float(rng.randint(0, 12)), rng.randint(0, 12))
+               for k in range(120)]
+        p = spark.createDataFrame(
+            [(k, f"p{k}", "b", "t", sz, pr) for k, pr, sz in pts],
+            "p_partkey long, p_name string, p_brand string, p_type string,"
+            "p_size int, p_retailprice double",
+        )
+        got = {r["p_partkey"] for r in
+               relational.q_skyline_frontier({"part": p}).collect()}
+        want = {
+            k for k, pr, sz in pts
+            if not any(
+                qpr <= pr and qsz >= sz and (qpr < pr or qsz > sz)
+                for _, qpr, qsz in pts
+            )
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_changelog_apply_randomized_vs_dict_replay(spark):
+    """Seeded random changelogs vs a pure-Python dict replay (apply
+    changes in version order; delete removes, upsert overwrites)."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        base = {k: f"b{k}" for k in range(40)}
+        changes = []
+        for i in range(120):
+            k = rng.randint(0, 59)          # some keys outside base
+            v = i + 1                        # unique global versions
+            op = "D" if rng.random() < 0.3 else "U"
+            changes.append((k, f"c{i}", v, op))
+
+        # python reference
+        state = dict(base)
+        for k, val, v, op in sorted(changes, key=lambda c: c[2]):
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = val
+
+        b = spark.createDataFrame(list(base.items()), "k long, v string")
+        c = spark.createDataFrame(changes, "k long, v string, version long, op string")
+        got = {r["k"]: r["v"]
+               for r in relational.changelog_apply(b, c, ["k"]).collect()}
+        assert got == state, f"trial {trial}"
