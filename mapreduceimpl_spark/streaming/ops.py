@@ -688,3 +688,33 @@ def stream_ewma(events: DataFrame, alpha: float = 0.125, round_digits: int = 6) 
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_daily_active(
+    events: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming DAU: per-day DISTINCT user counts on an unbounded
+    stream — the continuous twin of the batch
+    ``relational.q_rolling_active_users`` dau column.
+
+    Composition (both stages watermark-bounded): dropDuplicates on
+    (day, user_id) holds one row of state per ACTIVE (day, user) pair
+    and releases it once the watermark passes the day; the downstream
+    tumbling count then sees each user once per day.  State is
+    O(active pairs within the watermark horizon), independent of
+    stream length — the composed dedup-then-aggregate pattern any
+    exact streaming distinct-count needs (approx_count_distinct is
+    the sketch alternative when per-day user sets outgrow state).
+    """
+    days = events.select(
+        F.col("ts"), F.to_date("ts").alias("day"), "user_id"
+    ).withWatermark("ts", watermark)
+    per_user_day = days.dropDuplicates(["day", "user_id"])
+    return (
+        per_user_day.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("dau"))
+        .select(
+            F.col("w.start").cast("date").cast("string").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+        )
+    )

@@ -480,3 +480,23 @@ def test_stream_state_intervals_matches_batch_closed(spark, events_dir):
     }
     assert got_set == batch_set
     assert len(got) == len(batch) > 0
+
+
+def test_stream_daily_active_matches_batch(spark, events_dir):
+    """Streaming per-day distinct users == the batch dau column of
+    q_rolling_active_users (dedup state + tumbling count compose)."""
+    from mapreduceimpl_spark.operators import relational
+    from mapreduceimpl_spark.sources import load_table
+
+    batch = {
+        r["day"]: r["dau"]
+        for r in relational.q_rolling_active_users(
+            {"events": load_table(spark, SF, "events")}
+        ).collect()
+    }
+    stream = streaming.read_events_stream(spark, events_dir)
+    got = {
+        r["day"]: r["dau"]
+        for r in _run_stream(streaming.stream_daily_active(stream), mode="complete")
+    }
+    assert got == batch and len(got) > 0
