@@ -1217,6 +1217,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "pit_join",
         "changelog_apply",
         "events_autocorr",
+        "span_corruption",
     }
 )
 
@@ -3160,6 +3161,69 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "tf/dl tables are the persistable build-once index; "
             "DEFERRED to round 5's window",
     ),
+    "span_corruption": QuerySpec(
+        lambda spark, sf_dir: text_analysis.span_corruption_pairs(
+            load_table(spark, sf_dir, "documents")
+        ),
+        f"""WITH toks AS (
+             SELECT doc_id,
+                    unnest(range(0, len(ts))) AS pos,
+                    unnest(ts) AS tok
+             FROM (SELECT doc_id, {_TOKS} AS ts FROM documents)
+           ),
+           marked AS (
+             SELECT doc_id, pos, tok,
+                    ({sampling.hash_uniform_sql(
+                        "CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)"
+                    )}) < 0.15 AS m
+             FROM toks
+           ),
+           runs AS (
+             SELECT *,
+                    m AND (lag(m) OVER w IS NULL OR NOT lag(m) OVER w)
+                      AS new_run
+             FROM marked
+             WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+           ),
+           run_ids AS (
+             SELECT *,
+                    SUM(CASE WHEN new_run THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+             FROM runs
+           ),
+           inp AS (
+             SELECT doc_id,
+                    string_agg(
+                      CASE WHEN m
+                           THEN '<extra_id_' || CAST(run_id - 1 AS VARCHAR)
+                                || '>'
+                           ELSE tok END,
+                      ' ' ORDER BY pos) AS input_text
+             FROM run_ids WHERE NOT m OR new_run GROUP BY doc_id
+           ),
+           tgt AS (
+             SELECT doc_id,
+                    string_agg(
+                      CASE WHEN new_run
+                           THEN '<extra_id_' || CAST(run_id - 1 AS VARCHAR)
+                                || '> ' || tok
+                           ELSE tok END,
+                      ' ' ORDER BY pos) AS target_text,
+                    COUNT(*) AS n_masked
+             FROM run_ids WHERE m GROUP BY doc_id
+           )
+           SELECT i.doc_id, i.input_text,
+                  coalesce(t.target_text, '') AS target_text,
+                  CAST(coalesce(t.n_masked, 0) AS BIGINT) AS n_masked
+           FROM inp i LEFT JOIN tgt t USING (doc_id)""",
+        doc="T5 span-corruption training pairs: deterministic "
+            "Bernoulli masking via hash uniforms, masked runs "
+            "collapse to numbered sentinels in the input and emit as "
+            "the target — ONE doc_id Exchange serves the "
+            "run-detection window and both ordered reassemblies; "
+            "DEFERRED to round 5's window",
+    ),
     "events_autocorr": QuerySpec(
         _rel(relational.q_events_autocorr),
         """WITH pairs AS (
@@ -3753,6 +3817,7 @@ _ROUND4_ORDER = [
     "events_ewma", "bm25_search", "dedup_minhash_verified", "basket_rules",
     "skyline_frontier", "fuzzy_join_verified", "rolling_active_users",
     "sample_weighted_k", "pit_join", "changelog_apply", "events_autocorr",
+    "span_corruption",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

@@ -859,3 +859,81 @@ def collocations_pmi(
         .orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
         .limit(k)
     )
+
+
+def span_corruption_pairs(docs: DataFrame, mask_rate: float = 0.15) -> DataFrame:
+    """T5-style span-corruption training pairs: deterministically mask
+    ~``mask_rate`` of each document's tokens, collapse each masked RUN
+    to one numbered sentinel in the input, and emit the masked spans
+    (each prefixed by its sentinel) as the target —
+
+        text:   "a b c d e"  with  c d  masked
+        input:  "a b <extra_id_0> e"
+        target: "<extra_id_0> c d"
+
+    — the denoising-objective example constructor (Raffel et al., T5),
+    the NLP sibling of ``relational.q_next_event_pairs``.
+
+    Masking is content-deterministic: token position i of doc d masks
+    iff ``hash_uniform(d || ':' || i) < mask_rate`` — rerun-stable,
+    engine-portable (the oracle replays every decision bit-exactly),
+    and adjacent masked positions merge into spans organically (the
+    i.i.d.-Bernoulli variant of T5's span sampling).
+
+    Shape: ONE Exchange on doc_id serves the run-detection window
+    (lag + prefix-sum) and both ordered string reassemblies
+    (sort_array(collect_list(struct(pos, piece)))); per-doc work is
+    linear in tokens.  At 100 TB this is the same partition-once
+    pattern as sessionization — no self-joins, no per-span explode
+    beyond the token stream the tokenizer already produces.
+
+    Output: (doc_id, input_text, target_text, n_masked); docs with no
+    masked position emit their original text and an empty target.
+    """
+    from mapreduceimpl_spark.operators.sampling import hash_uniform
+
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    u = hash_uniform(F.concat_ws(":", F.col("doc_id"), F.col("pos")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = toks.select(
+        "doc_id", "pos", "tok", (u < F.lit(mask_rate)).alias("m")
+    ).withColumn(
+        "new_run",
+        F.col("m")
+        & (F.lag("m").over(w).isNull() | ~F.lag("m").over(w)),
+    ).withColumn(
+        "run_id", F.sum(F.col("new_run").cast("long")).over(wsum)
+    )
+
+    def ordered_join(cond: F.Column, piece: F.Column) -> F.Column:
+        # collect_list skips nulls, so when(cond, struct) filters and
+        # collects in one conditional aggregate — both reassemblies
+        # ride ONE groupBy instead of two filtered branches + a join
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(cond, F.struct(F.col("pos"), piece.alias("p")))
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+            " ",
+        )
+
+    sentinel = F.concat(
+        F.lit("<extra_id_"), (F.col("run_id") - 1).cast("string"), F.lit(">")
+    )
+    piece_in = F.when(F.col("m"), sentinel).otherwise(F.col("tok"))
+    piece_tgt = (
+        F.when(F.col("new_run"), F.concat(sentinel, F.lit(" "), F.col("tok")))
+        .otherwise(F.col("tok"))
+    )
+    return marked.groupBy("doc_id").agg(
+        ordered_join(~F.col("m") | F.col("new_run"), piece_in).alias("input_text"),
+        ordered_join(F.col("m"), piece_tgt).alias("target_text"),
+        F.sum(F.col("m").cast("long")).alias("n_masked"),
+    )

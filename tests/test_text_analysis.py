@@ -437,3 +437,56 @@ def test_collocations_min_count_drops_rare(spark):
     got = {(r["tok_a"], r["tok_b"]) for r in collocations_pmi(d, min_count=5).collect()}
     assert ("rare", "pair") not in got
     assert ("common", "common") in got
+
+
+def test_span_corruption_reconstruction_invariant(docs):
+    """For every doc: replacing each input sentinel with its target
+    span reconstructs the original text exactly — masking must be
+    lossless."""
+    from mapreduceimpl_spark.operators.text_analysis import span_corruption_pairs
+
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rows = span_corruption_pairs(docs).collect()
+    assert len(rows) == len(originals)
+    masked_docs = 0
+    for r in rows:
+        # parse target: "<extra_id_0> a b <extra_id_1> c" -> spans
+        spans = {}
+        cur = None
+        for tok in r["target_text"].split(" ") if r["target_text"] else []:
+            if tok.startswith("<extra_id_"):
+                cur = tok
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        out = []
+        for tok in r["input_text"].split(" "):
+            if tok.startswith("<extra_id_"):
+                out.extend(spans[tok])
+            else:
+                out.append(tok)
+        assert " ".join(out) == originals[r["doc_id"]], r["doc_id"]
+        if r["n_masked"] > 0:
+            masked_docs += 1
+        assert r["n_masked"] == sum(len(v) for v in spans.values())
+    # at 15% token mask rate virtually every doc has a masked span
+    assert masked_docs > len(rows) * 0.8
+
+
+def test_span_corruption_mask_rate_and_determinism(docs):
+    from mapreduceimpl_spark.operators.text_analysis import span_corruption_pairs
+
+    a = span_corruption_pairs(docs).collect()
+    b = span_corruption_pairs(docs.repartition(7)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    total_tokens = sum(len(r["text"].split(" ")) for r in docs.collect())
+    total_masked = sum(r["n_masked"] for r in a)
+    assert 0.10 <= total_masked / total_tokens <= 0.20  # ~15%
+
+
+def test_span_corruption_single_exchange(docs):
+    from mapreduceimpl_spark.operators.text_analysis import span_corruption_pairs
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(span_corruption_pairs(docs), "simple")
+    assert plan.count("Exchange") == 1, plan  # one doc_id partition, no join
