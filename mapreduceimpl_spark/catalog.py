@@ -1218,6 +1218,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "changelog_apply",
         "events_autocorr",
         "span_corruption",
+        "triplet_mining",
     }
 )
 
@@ -3161,6 +3162,49 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "tf/dl tables are the persistable build-once index; "
             "DEFERRED to round 5's window",
     ),
+    "triplet_mining": QuerySpec(
+        lambda spark, sf_dir: similarity.triplet_mining(
+            load_table(spark, sf_dir, "embeddings"),
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 20)
+            .select(F.col("vec_id").alias("anchor_id"), "embedding", "label"),
+        ),
+        """WITH e AS (
+             SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                    CAST(label AS BIGINT) AS label
+             FROM embeddings
+           ),
+           a AS (SELECT vec_id AS anchor_id, v AS qv, label AS alabel
+                 FROM e WHERE vec_id < 20),
+           scored AS (
+             SELECT anchor_id, alabel, vec_id AS cand_id,
+                    (label = alabel) AS same,
+                    round(list_cosine_similarity(qv, v), 6) AS cos
+             FROM a CROSS JOIN e
+             WHERE anchor_id <> vec_id
+           ),
+           best AS (
+             SELECT * FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, same
+                                            ORDER BY cos DESC, cand_id ASC)
+                           AS rn
+               FROM scored
+             ) WHERE rn = 1
+           )
+           SELECT anchor_id,
+                  MAX(CASE WHEN same THEN cand_id END) AS positive_id,
+                  MAX(CASE WHEN same THEN cos END) AS positive_cos,
+                  MAX(CASE WHEN NOT same THEN cand_id END) AS negative_id,
+                  MAX(CASE WHEN NOT same THEN cos END) AS negative_cos
+           FROM best GROUP BY anchor_id
+           HAVING positive_id IS NOT NULL AND negative_id IS NOT NULL""",
+        doc="contrastive triplet mining: hardest positive + hardest "
+            "negative per labeled anchor — anchors broadcast over the "
+            "never-shuffled corpus, one (anchor, same-label?) rank "
+            "window, winners fold via conditional MAX; DEFERRED to "
+            "round 5's window",
+    ),
     "span_corruption": QuerySpec(
         lambda spark, sf_dir: text_analysis.span_corruption_pairs(
             load_table(spark, sf_dir, "documents")
@@ -3817,7 +3861,7 @@ _ROUND4_ORDER = [
     "events_ewma", "bm25_search", "dedup_minhash_verified", "basket_rules",
     "skyline_frontier", "fuzzy_join_verified", "rolling_active_users",
     "sample_weighted_k", "pit_join", "changelog_apply", "events_autocorr",
-    "span_corruption",
+    "span_corruption", "triplet_mining",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

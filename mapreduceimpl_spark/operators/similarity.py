@@ -581,3 +581,71 @@ def knn_classify_lsh(
         top = top.withColumn("r2", F.row_number().over(w)).filter(F.col("r2") <= k)
     labels = embeddings.select("vec_id", F.col("label").cast("long").alias("label"))
     return _majority_vote(top, labels)
+
+
+def triplet_mining(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Contrastive-training triplet mining: for each labeled anchor,
+    its hardest positive (most-similar SAME-label corpus vector) and
+    hardest negative (most-similar DIFFERENT-label vector) — the
+    (anchor, positive, hard-negative) construction every contrastive /
+    embedding-finetune pipeline feeds on, where hard negatives (near
+    the anchor but differently labeled) carry most of the gradient
+    signal.
+
+    ``anchors``: (anchor_id, embedding, label), typically a sampled
+    corpus subset.  Output: one row per anchor with
+    positive_id/positive_cos and negative_id/negative_cos.
+
+    Shape: the anchor batch BROADCASTS over the corpus (the corpus
+    never shuffles — ``brute_force_topk``'s contract), one window
+    ranks per (anchor, same-label?) partition, and the two winners
+    fold into one row via conditional MAX aggregates (each partition
+    contributes exactly one rank-1 row, so MAX reads a single value).
+    Anchors lacking any same-label or any different-label vector drop
+    (inner semantics — a 1-label corpus has no triplets).
+
+    Determinism: rounded-then-ranked cosine with vec_id tiebreak.
+    """
+    corpus = embeddings.select(
+        F.col("vec_id").alias("cand_id"),
+        _as_double("embedding").alias("cv"),
+        F.col("label").cast("long").alias("cand_label"),
+    )
+    a = anchors.select(
+        F.col("anchor_id"),
+        _as_double("embedding").alias("qv"),
+        F.col("label").cast("long").alias("anchor_label"),
+    )
+    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), round_digits)
+    scored = (
+        F.broadcast(a)
+        .crossJoin(corpus)
+        .filter(F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "cand_id",
+            (F.col("cand_label") == F.col("anchor_label")).alias("same"),
+            sim.alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "same").orderBy(
+        F.desc("cos"), F.asc("cand_id")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy("anchor_id")
+        .agg(
+            F.max(F.when(F.col("same"), F.col("cand_id"))).alias("positive_id"),
+            F.max(F.when(F.col("same"), F.col("cos"))).alias("positive_cos"),
+            F.max(F.when(~F.col("same"), F.col("cand_id"))).alias("negative_id"),
+            F.max(F.when(~F.col("same"), F.col("cos"))).alias("negative_cos"),
+        )
+        .filter(
+            F.col("positive_id").isNotNull() & F.col("negative_id").isNotNull()
+        )
+    )

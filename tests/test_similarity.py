@@ -344,3 +344,51 @@ def test_random_projection_preserves_relative_geometry(spark):
     v2 = {r["pos"]: r["x"] for r in rows if r["vec_id"] == 2}
     for pos in v1:
         assert abs(v2[pos] - 2.0 * v1[pos]) < 1e-12
+
+
+def test_triplet_mining_labels_and_hardness(embeddings):
+    """Positives share the anchor's label, negatives don't, neither is
+    the anchor itself, and each winner is the TOP-similarity candidate
+    of its label class (checked against brute-force ranking)."""
+    from mapreduceimpl_spark.operators.similarity import (
+        brute_force_topk,
+        triplet_mining,
+    )
+
+    anchors = embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    labels = {r["vec_id"]: r["label"] for r in embeddings.select("vec_id", "label").collect()}
+    rows = triplet_mining(embeddings, anchors).collect()
+    assert len(rows) == 8
+    # full ranking per anchor for cross-checking
+    ranked = brute_force_topk(
+        embeddings,
+        anchors.select(F.col("anchor_id").alias("query_id"), "embedding"),
+        k=10**6, round_digits=6, exclude_self=True,
+    ).collect()
+    by_anchor: dict = {}
+    for r in ranked:
+        by_anchor.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for r in rows:
+        al = labels[r["anchor_id"]]
+        assert labels[r["positive_id"]] == al
+        assert labels[r["negative_id"]] != al
+        assert r["positive_id"] != r["anchor_id"]
+        order = [v for _, v in sorted(by_anchor[r["anchor_id"]])]
+        # winner of each class appears before any other member of it
+        same_first = next(v for v in order if labels[v] == al)
+        diff_first = next(v for v in order if labels[v] != al)
+        assert r["positive_id"] == same_first
+        assert r["negative_id"] == diff_first
+
+
+def test_triplet_mining_single_label_corpus_empty(spark):
+    from mapreduceimpl_spark.operators.similarity import triplet_mining
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], 0) for i in range(5)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    anchors = emb.select(F.col("vec_id").alias("anchor_id"), "embedding", "label")
+    assert triplet_mining(emb, anchors).collect() == []
