@@ -497,6 +497,18 @@ ANNOTATED = {
         "share one user_id Exchange (partition key == grouping key); "
         "five decimal sums make the Pearson r partition-order-free."
     ),
+    "span_corruption": (
+        "T5 denoising pairs: run-detection window and BOTH ordered "
+        "string reassemblies (conditional collect_list aggregates) "
+        "share ONE doc_id Exchange — no second scan, no join between "
+        "input and target construction."
+    ),
+    "triplet_mining": (
+        "Contrastive triplets: the anchor batch broadcasts over the "
+        "corpus scan (corpus never exchanges), one rank window per "
+        "(anchor, same-label?) partition, winners fold via "
+        "conditional MAX — no per-class re-join."
+    ),
 }
 
 
