@@ -135,6 +135,7 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
         "customer_rfm",        # 1-row reference date
         "knn_classify",        # broadcast query batch vs corpus scan
         "ann_topk",            # broadcast query batch vs corpus scan
+        "triplet_mining",      # broadcast anchor batch vs corpus scan
         "tfidf_topterms",      # 1-row doc-count denominator
         "text_unigram_logprob",# 1-row token total
         "join_cross",          # intentional bounded cross join
