@@ -892,7 +892,12 @@ def span_corruption_pairs(docs: DataFrame, mask_rate: float = 0.15) -> DataFrame
     """
     from mapreduceimpl_spark.operators.sampling import hash_uniform
 
-    toks = docs.select(
+    # repartition BEFORE the explode: the one Exchange then carries
+    # unexploded documents (1x the text bytes) and the downstream
+    # window + groupBy inherit the doc_id partitioning — shuffling the
+    # exploded token stream would move ~|tokens| rows (5-10x the
+    # bytes) for the same plan
+    toks = docs.repartition("doc_id").select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
     )
     u = hash_uniform(F.concat_ws(":", F.col("doc_id"), F.col("pos")))

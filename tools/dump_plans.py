@@ -500,8 +500,10 @@ ANNOTATED = {
     "span_corruption": (
         "T5 denoising pairs: run-detection window and BOTH ordered "
         "string reassemblies (conditional collect_list aggregates) "
-        "share ONE doc_id Exchange — no second scan, no join between "
-        "input and target construction."
+        "share ONE doc_id Exchange, and that Exchange sits BELOW the "
+        "explode — it moves unexploded documents (1x text bytes), "
+        "not the 5-10x token stream; no join between input and "
+        "target construction."
     ),
     "triplet_mining": (
         "Contrastive triplets: the anchor batch broadcasts over the "
