@@ -1219,6 +1219,14 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "events_autocorr",
         "span_corruption",
         "triplet_mining",
+        # round-4 session 4: temperature mixing, k-fold CV, epoch shuffle,
+        # vocabulary coverage, preference pairs, dialog assembly
+        "temperature_mix",
+        "kfold_assign",
+        "epoch_shuffle",
+        "vocab_coverage",
+        "preference_pairs",
+        "conversation_build",
     }
 )
 
@@ -3800,6 +3808,121 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "from the planting arithmetic, so the hash check is a true "
             "end-to-end test of the Python byte parsers",
     ),
+    "temperature_mix": QuerySpec(
+        lambda spark, sf_dir: sampling.temperature_mix(
+            load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+        ).select("doc_id", "lang", "keep_rate"),
+        f"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+           r AS (
+             SELECT lang,
+                    sqrt(CAST((SELECT MIN(n) FROM c) AS DOUBLE))
+                      / sqrt(CAST(n AS DOUBLE)) AS keep_rate
+             FROM c
+           )
+           SELECT d.doc_id, d.lang, r.keep_rate
+           FROM documents d JOIN r ON d.lang = r.lang
+           WHERE {_UNIFORM_D} < r.keep_rate""",
+        doc="temperature-flattened language mix at T=2 (alpha=0.5): "
+            "keep_rate = sqrt(n_min/n_s), expected counts the geometric "
+            "mean; sqrt is IEEE-correctly-rounded (pow is not) so the "
+            "kept row SET is engine-exact; corpus never shuffles",
+    ),
+    "kfold_assign": QuerySpec(
+        lambda spark, sf_dir: sampling.kfold_assign(
+            load_table(spark, sf_dir, "documents").select("doc_id", "lang"), k=5
+        ),
+        f"""SELECT doc_id, lang,
+                   CAST(FLOOR({sampling.hash_uniform_sql("'cv-v1:' || CAST(doc_id AS VARCHAR)")} * 5.0)
+                        AS BIGINT) AS fold
+            FROM documents""",
+        doc="deterministic 5-fold CV assignment from salted md5 uniforms: "
+            "fold = floor(u*k), rerun-stable, growth-stable, zero-shuffle "
+            "(the k-ary generalization of split_assign)",
+    ),
+    "epoch_shuffle": QuerySpec(
+        lambda spark, sf_dir: sampling.epoch_shuffle(
+            load_table(spark, sf_dir, "documents").select("doc_id", "source"),
+            epoch=0,
+        ),
+        f"""SELECT doc_id, source,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY source
+                        ORDER BY {sampling.hash_uniform_sql("'epoch-0:' || CAST(doc_id AS VARCHAR)")} ASC,
+                                 doc_id ASC) AS BIGINT) AS shuffle_rank
+            FROM documents""",
+        doc="deterministic per-epoch training-order shuffle: salted-hash "
+            "rank within each source stratum; ORDER BY (shuffle_rank, "
+            "source) round-robin interleaves domains; one window Exchange",
+    ),
+    "vocab_coverage": QuerySpec(
+        lambda spark, sf_dir: text_analysis.vocab_coverage(
+            load_table(spark, sf_dir, "documents"), vocab_size=500
+        ),
+        f"""WITH tok AS (
+             SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+           ),
+           cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+           vocab AS (
+             SELECT tok FROM (
+               SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS rn
+               FROM cnt
+             ) WHERE rn <= 500
+           )
+           SELECT t.doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_oov,
+                  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+           FROM tok t LEFT JOIN vocab v USING (tok)
+           GROUP BY t.doc_id""",
+        doc="per-doc OOV rate vs the corpus top-500 vocabulary "
+            "(tokenizer-fit QA): wordcount-shaped vocab count, top-N via "
+            "TakeOrderedAndProject (never a global window sort), tiny "
+            "vocab BROADCAST onto the token stream, per-doc re-agg",
+    ),
+    "preference_pairs": QuerySpec(
+        lambda spark, sf_dir: text_analysis.preference_pairs(
+            load_table(spark, sf_dir, "documents")
+        ),
+        f"""WITH base AS (
+             SELECT doc_id, lang, source,
+                    CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                      / CAST(len({_TOKS}) AS DOUBLE) AS diversity
+             FROM documents
+           ),
+           r AS (
+             SELECT *,
+                    ROW_NUMBER() OVER (PARTITION BY lang, source
+                                       ORDER BY diversity DESC, doc_id ASC) AS rd,
+                    ROW_NUMBER() OVER (PARTITION BY lang, source
+                                       ORDER BY diversity ASC, doc_id DESC) AS ra
+             FROM base
+           )
+           SELECT c.lang, c.source,
+                  c.doc_id AS chosen_id, j.doc_id AS rejected_id,
+                  c.diversity AS chosen_score, j.diversity AS rejected_score,
+                  c.diversity - j.diversity AS margin
+           FROM (SELECT * FROM r WHERE rd = 1) c
+           JOIN (SELECT * FROM r WHERE ra = 1) j USING (lang, source)
+           WHERE c.diversity > j.diversity""",
+        doc="DPO-style preference pairs: per (lang, source) group, "
+            "highest- vs lowest-diversity doc; two row_number windows "
+            "share ONE Exchange; opposite tiebreak directions + margin>0 "
+            "keep only genuinely ordered pairs",
+    ),
+    "conversation_build": QuerySpec(
+        _rel(relational.q_conversation_build),
+        """SELECT user_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_events,
+                  array_to_string((list(event_type ORDER BY ts, event_id))[1:8], '>')
+                    AS turns
+           FROM events GROUP BY user_id""",
+        doc="per-user dialog assembly: time-ordered event sequence "
+            "truncated to 8 turns as one path string; ordered aggregation "
+            "via array_sort over (ts, event_id, type) structs (unique key "
+            "-> total order), ONE user_id Exchange",
+    ),
 }
 
 
@@ -3861,7 +3984,8 @@ _ROUND4_ORDER = [
     "events_ewma", "bm25_search", "dedup_minhash_verified", "basket_rules",
     "skyline_frontier", "fuzzy_join_verified", "rolling_active_users",
     "sample_weighted_k", "pit_join", "changelog_apply", "events_autocorr",
-    "span_corruption", "triplet_mining",
+    "span_corruption", "triplet_mining", "temperature_mix", "kfold_assign",
+    "epoch_shuffle", "vocab_coverage", "preference_pairs", "conversation_build",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

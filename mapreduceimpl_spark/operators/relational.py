@@ -2275,3 +2275,42 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return joined.select(*key_cols, change.alias("change"))
+
+
+def q_conversation_build(t: dict[str, DataFrame], max_turns: int = 8) -> DataFrame:
+    """Per-user ordered interaction sequence construction — the
+    dialog-assembly shape of chat-style training data: every user's
+    events, time-ordered, truncated to the first ``max_turns`` turns
+    and rendered as one path string, plus the full turn count (the
+    consumer drops or windows long histories from the count).
+
+    Ordered aggregation portability: Spark has no ``collect_list(...
+    ORDER BY ...)``, so the order is imposed by collecting
+    (ts, event_id, event_type) STRUCTS and ``array_sort``-ing them —
+    struct comparison orders by field position, and (ts, event_id) is
+    a unique key, so the sort is total and deterministic regardless of
+    partitioning.  DuckDB mirrors it natively with
+    ``list(event_type ORDER BY ts, event_id)``.
+
+    Plan: ONE Exchange (the user_id groupBy); the sort is per-group
+    array_sort, not a window.  State per user is bounded by collecting
+    only (ts, event_id, type) — at 100 TB, cap pathological users
+    upstream (events_sessionize's gap split) before assembling.
+    """
+    e = t["events"]
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.slice(ordered, 1, max_turns), lambda s: s["event_type"]
+                ),
+                ">",
+            ).alias("turns"),
+        )
+        .select("user_id", "n_events", "turns")
+    )

@@ -273,3 +273,99 @@ def weighted_topk_sample_sql(
   FROM documents
   WHERE CAST({weight_expr} AS DOUBLE) > 0
 ) ORDER BY race ASC, {key} ASC LIMIT {k}"""
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened stratum rebalancing at T=2 (alpha=0.5),
+    the multilingual-pretraining mix rule (sample language l with
+    probability proportional to p_l^alpha): keep rate for stratum s is
+    ``sqrt(n_min / n_s)``, so expected counts become the geometric mean
+    ``sqrt(n_min * n_s)`` — big strata are damped toward the smallest
+    stratum without ever upsampling it.
+
+    alpha = 0.5 is not just the common choice, it is the ENGINE-PORTABLE
+    one: IEEE-754 ``sqrt`` is correctly rounded (unlike ``pow``, whose
+    libm implementations differ in the last ulp across engines), so
+    ``sqrt(n_min)/sqrt(n_s)`` is bit-identical in Spark and DuckDB and
+    the kept row SET — not just its expected size — matches exactly.
+    The smallest stratum's rate is x/x == 1.0 exactly: kept in full.
+
+    Scale: one tiny groupBy (|strata| rows), a global MIN over those few
+    rows, then a BROADCAST join back — the corpus never shuffles, and the
+    keep decision is the same zero-shuffle md5-uniform predicate as
+    :func:`stratified_sample`.  Extends the reference's data plane the
+    same way the samplers above do (its sink's hash-mod partitioning,
+    ``test.go:28-40``, is the closest native analogue).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n"))
+    rates = counts.withColumn(
+        "n_min", F.min("n").over(Window.partitionBy())
+    ).select(
+        strata_col,
+        (
+            F.sqrt(F.col("n_min").cast("double")) / F.sqrt(F.col("n").cast("double"))
+        ).alias("keep_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(hash_uniform(F.col(key_col)) < F.col("keep_rate"))
+    )
+
+
+def kfold_assign(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    salt: str = "cv-v1",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment:
+    ``fold = floor(hash_uniform(salt:id) * k)`` in [0, k).
+
+    Same contract as :func:`train_val_test_split` (whose two-sided CASE
+    thresholds this generalizes to k equal bins): rerun-stable,
+    growth-stable (new rows never move old rows between folds),
+    zero-shuffle, and salted so a new CV round re-rolls every
+    assignment at once.  ``u * k`` and ``floor`` are single IEEE ops on
+    identical doubles — engine-portable bit-for-bit, and u < 1 keeps
+    every fold id strictly below k.
+    """
+    if k <= 1:
+        raise ValueError(f"kfold_assign: k must be >= 2, got {k}")
+    u = hash_uniform(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    return df.withColumn("fold", F.floor(u * F.lit(float(k))).cast("long"))
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int = 0,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle: rank each row
+    inside its stratum by a salted md5 uniform (key tiebreak).  Reading
+    the output ``ORDER BY (shuffle_rank, strata)`` round-robin
+    interleaves the strata — every epoch sees each domain spread evenly
+    through the schedule instead of clumped, and ``epoch`` salts the
+    uniform so each epoch gets a fresh, reproducible permutation (the
+    seeded-shuffle contract training-reproducibility needs; no
+    ``rand()``, no zipWithIndex, no driver involvement).
+
+    Scale: ONE window Exchange on ``strata_col``.  The global order is
+    never materialized as a single sequence — downstream writers sort by
+    (shuffle_rank, strata), a range-partitioned sort.  With few, huge
+    strata the per-stratum window sort is the hot spot: salt the stratum
+    into hash shards first and interleave (shard, rank) instead.
+    """
+    from pyspark.sql import Window
+
+    u = hash_uniform(
+        F.concat(F.lit(f"epoch-{epoch}:"), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(key_col).asc())
+    return df.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))

@@ -942,3 +942,115 @@ def span_corruption_pairs(docs: DataFrame, mask_rate: float = 0.15) -> DataFrame
         ordered_join(F.col("m"), piece_tgt).alias("target_text"),
         F.sum(F.col("m").cast("long")).alias("n_masked"),
     )
+
+
+def vocab_coverage(docs: DataFrame, vocab_size: int = 500) -> DataFrame:
+    """Per-document OOV rate against the corpus's own top-N token
+    vocabulary — the tokenizer-fit signal (a doc whose tokens mostly
+    miss the vocabulary will shatter into bytes under a tokenizer
+    trained on this corpus, and a vocabulary-coverage sweep is the
+    standard pre-tokenizer-training QA pass).
+
+    Plan: explode tokens once; count the token vocabulary (wordcount
+    shape, one Exchange on token); take the top ``vocab_size`` by
+    (count DESC, token ASC) via orderBy+limit — TakeOrderedAndProject,
+    per-partition heaps, never a single-partition window sort, so the
+    vocabulary selection survives a 100M-type vocabulary; LEFT join the
+    (tiny) vocabulary back onto the token stream BROADCAST; re-aggregate
+    per doc (one Exchange on doc_id).  Counts are exact BIGINTs; the
+    only float is one division of identical integers — engine-exact.
+
+    Documents with zero tokens have no exploded rows and are absent
+    from the output (no 0/0 row), mirroring the explode semantics of
+    ``unigram_logprob``.
+    """
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+def preference_pairs(docs: DataFrame) -> DataFrame:
+    """DPO/RLHF-style preference-pair construction: within each
+    (lang, source) group, pair the highest-diversity document (chosen)
+    with the lowest-diversity one (rejected) — the batch shape of
+    "build contrastive preference data from a scored pool", with
+    vocabulary diversity standing in for the reward-model score.
+
+    Ranking determinism: diversity is a single division of exact
+    integers (identical doubles in both engines); ties break on doc_id
+    — ascending for the chosen rank, DESCENDING for the rejected rank,
+    so an all-equal group nominates two DIFFERENT docs before the
+    margin filter drops it (margin > 0 keeps only genuinely ordered
+    pairs).
+
+    Plan: both row_number windows share the (lang, source) partition
+    key — ONE Exchange, two sorts; the two rank-1 sets are |groups|
+    rows joined on the group key.  At 100 TB the group count is small
+    (domains x languages) — the join is broadcast-eligible and the
+    window input is the corpus scanned once.
+    """
+    toks = tokens("text")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("diversity"),
+    )
+    w_chosen = Window.partitionBy("lang", "source").orderBy(
+        F.col("diversity").desc(), F.col("doc_id").asc()
+    )
+    w_rejected = Window.partitionBy("lang", "source").orderBy(
+        F.col("diversity").asc(), F.col("doc_id").desc()
+    )
+    ranked = base.withColumn("rd", F.row_number().over(w_chosen)).withColumn(
+        "ra", F.row_number().over(w_rejected)
+    )
+    chosen = ranked.filter(F.col("rd") == 1).select(
+        "lang",
+        "source",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("diversity").alias("chosen_score"),
+    )
+    rejected = ranked.filter(F.col("ra") == 1).select(
+        "lang",
+        "source",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("diversity").alias("rejected_score"),
+    )
+    return (
+        chosen.join(rejected, ["lang", "source"])
+        .filter(F.col("chosen_score") > F.col("rejected_score"))
+        .select(
+            "lang",
+            "source",
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+        )
+    )

@@ -383,3 +383,83 @@ def test_weighted_topk_favors_heavy_rows(spark):
     )
     got = {r["doc_id"] for r in weighted_topk_sample(df, 20, "w").collect()}
     assert len(got & set(range(20))) >= 15
+
+
+def test_temperature_mix_smallest_stratum_kept_fully(docs):
+    base = docs.select("doc_id", "lang")
+    counts = {r["lang"]: r["n"] for r in base.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    smallest = min(counts, key=lambda k: (counts[k], k))
+    out = sampling.temperature_mix(base)
+    kept = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # the most-constrained stratum's rate is exactly 1.0 -> kept in full
+    assert kept[smallest] == counts[smallest]
+    # every stratum's keep_rate is sqrt(n_min/n_s) <= 1
+    rates = {r["lang"]: r["keep_rate"] for r in out.select("lang", "keep_rate").distinct().collect()}
+    n_min = counts[smallest]
+    for lang, n in counts.items():
+        assert rates[lang] == math.sqrt(float(n_min)) / math.sqrt(float(n))
+
+
+def test_temperature_mix_geometric_mean_expectation(docs):
+    base = docs.select("doc_id", "lang")
+    counts = {r["lang"]: r["n"] for r in base.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n_min = min(counts.values())
+    kept = {
+        r["lang"]: r["n"]
+        for r in sampling.temperature_mix(base).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in counts.items():
+        expected = math.sqrt(n_min * n)
+        # md5 uniforms: binomial around the geometric mean
+        assert abs(kept[lang] - expected) <= 4 * math.sqrt(expected) + 3
+
+
+def test_temperature_mix_deterministic(docs):
+    base = docs.select("doc_id", "lang")
+    a = sorted(r["doc_id"] for r in sampling.temperature_mix(base).collect())
+    b = sorted(r["doc_id"] for r in sampling.temperature_mix(base.repartition(7)).collect())
+    assert a == b
+
+
+def test_kfold_assign_range_balance_and_stability(docs):
+    base = docs.select("doc_id", "lang")
+    out = sampling.kfold_assign(base, k=5)
+    folds = {r["doc_id"]: r["fold"] for r in out.collect()}
+    assert set(folds.values()) <= set(range(5))
+    n = len(folds)
+    sizes = [sum(1 for f in folds.values() if f == i) for i in range(5)]
+    for s in sizes:
+        assert abs(s - n / 5) <= 4 * math.sqrt(n / 5) + 3
+    # growth-stable: assignment on a subset is the restriction of the full one
+    sub = sampling.kfold_assign(base.filter(F.col("doc_id") % 3 == 0), k=5)
+    for r in sub.collect():
+        assert folds[r["doc_id"]] == r["fold"]
+
+
+def test_kfold_assign_salt_and_k_guard(docs):
+    base = docs.select("doc_id")
+    a = {r["doc_id"]: r["fold"] for r in sampling.kfold_assign(base, k=5).collect()}
+    b = {r["doc_id"]: r["fold"] for r in sampling.kfold_assign(base, k=5, salt="cv-v2").collect()}
+    assert any(a[d] != b[d] for d in a)
+    with pytest.raises(ValueError):
+        sampling.kfold_assign(base, k=1)
+
+
+def test_epoch_shuffle_is_per_stratum_permutation(docs):
+    base = docs.select("doc_id", "source")
+    out = sampling.epoch_shuffle(base, epoch=0)
+    rows = out.collect()
+    by_src: dict[str, list[int]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["shuffle_rank"])
+    for ranks in by_src.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_epoch_shuffle_epochs_differ_and_rerun_stable(docs):
+    base = docs.select("doc_id", "source")
+    e0 = {r["doc_id"]: r["shuffle_rank"] for r in sampling.epoch_shuffle(base, epoch=0).collect()}
+    e0b = {r["doc_id"]: r["shuffle_rank"] for r in sampling.epoch_shuffle(base.repartition(5), epoch=0).collect()}
+    e1 = {r["doc_id"]: r["shuffle_rank"] for r in sampling.epoch_shuffle(base, epoch=1).collect()}
+    assert e0 == e0b
+    assert any(e0[d] != e1[d] for d in e0)

@@ -490,3 +490,66 @@ def test_span_corruption_single_exchange(docs):
 
     plan = explain_str(span_corruption_pairs(docs), "simple")
     assert plan.count("Exchange") == 1, plan  # one doc_id partition, no join
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from mapreduceimpl_spark.operators.text_analysis import vocab_coverage
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),     # 'a' x3, 'b' x1
+            (2, "a b c"),       # 'c' is rarest
+            (3, "c a"),
+        ],
+        ["doc_id", "text"],
+    )
+    # vocab_size=2 -> counts: a=5, b=2, c=2; tie b vs c broken token ASC -> {a, b}
+    out = {r["doc_id"]: r for r in vocab_coverage(df, vocab_size=2).collect()}
+    assert out[1]["n_oov"] == 0 and out[1]["n_tokens"] == 4
+    assert out[2]["n_oov"] == 1 and out[2]["oov_rate"] == 1.0 / 3.0
+    assert out[3]["n_oov"] == 1 and out[3]["oov_rate"] == 0.5
+
+
+def test_vocab_coverage_full_vocab_zero_oov(docs):
+    from mapreduceimpl_spark.operators.text_analysis import vocab_coverage
+
+    out = vocab_coverage(docs, vocab_size=10_000_000)
+    assert out.filter(F.col("n_oov") > 0).count() == 0
+
+
+def test_preference_pairs_hand_computed(spark):
+    from mapreduceimpl_spark.operators.text_analysis import preference_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "web", "a b c d"),    # diversity 1.0
+            (2, "en", "web", "a a a a"),    # diversity 0.25
+            (3, "en", "web", "a b a b"),    # diversity 0.5
+            (4, "fr", "web", "x x"),        # single-group all-equal -> dropped
+            (5, "fr", "web", "y y"),
+        ],
+        ["doc_id", "lang", "source", "text"],
+    )
+    rows = preference_pairs(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["chosen_id"], r["rejected_id"]) == (1, 2)
+    assert r["margin"] == 0.75
+
+
+def test_preference_pairs_singleton_group_dropped(spark):
+    from mapreduceimpl_spark.operators.text_analysis import preference_pairs
+
+    df = spark.createDataFrame(
+        [(1, "en", "web", "a b c")], ["doc_id", "lang", "source", "text"]
+    )
+    assert preference_pairs(df).count() == 0
+
+
+def test_preference_pairs_chosen_beats_rejected(docs):
+    from mapreduceimpl_spark.operators.text_analysis import preference_pairs
+
+    for r in preference_pairs(docs).collect():
+        assert r["chosen_score"] > r["rejected_score"]
+        assert r["chosen_id"] != r["rejected_id"]
+        assert r["margin"] > 0

@@ -184,3 +184,53 @@ def test_ewma_single_exchange_plan(spark):
     df = timeseries.ewma(load_table(spark, "/root/testdata/sf0.001", "events"))
     plan = explain_str(df, "simple")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_conversation_build_hand_computed(spark):
+    import datetime as dt
+
+    from mapreduceimpl_spark.operators.relational import q_conversation_build
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (3, t0 + dt.timedelta(minutes=2), 7, "buy", 0.0, "{}"),
+        (1, t0, 7, "view", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 7, "click", 0.0, "{}"),
+        (4, t0, 8, "view", 0.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r["user_id"]: r for r in q_conversation_build({"events": e}).collect()}
+    assert out[7]["turns"] == "view>click>buy"
+    assert out[7]["n_events"] == 3
+    assert out[8]["turns"] == "view"
+
+
+def test_conversation_build_truncates_and_counts(spark):
+    import datetime as dt
+
+    from mapreduceimpl_spark.operators.relational import q_conversation_build
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), 1, f"e{i}", 0.0, "{}") for i in range(12)
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = q_conversation_build({"events": e}, max_turns=8).collect()[0]
+    assert out["n_events"] == 12
+    assert out["turns"].split(">") == [f"e{i}" for i in range(8)]
+
+
+def test_conversation_build_partition_invariant(tables):
+    from mapreduceimpl_spark.operators.relational import q_conversation_build
+
+    base = q_conversation_build(tables)
+    shuffled = q_conversation_build(
+        {"events": tables["events"].repartition(13)}
+    )
+    a = sorted((r["user_id"], r["turns"]) for r in base.collect())
+    b = sorted((r["user_id"], r["turns"]) for r in shuffled.collect())
+    assert a == b

@@ -511,6 +511,37 @@ ANNOTATED = {
         "(anchor, same-label?) partition, winners fold via "
         "conditional MAX — no per-class re-join."
     ),
+    "temperature_mix": (
+        "Temperature-flattened mix (T=2): |strata| counts -> global "
+        "MIN over those few rows -> BroadcastHashJoin back onto the "
+        "corpus scan; the keep decision is a codegen md5 predicate — "
+        "the corpus never exchanges. sqrt (IEEE correctly-rounded, "
+        "unlike pow) makes the kept row SET engine-exact."
+    ),
+    "epoch_shuffle": (
+        "Seeded epoch shuffle: ONE Exchange (source stratum) feeds a "
+        "row_number over the salted md5 uniform; no rand(), no "
+        "zipWithIndex, no global sort — downstream interleaves with a "
+        "range-partitioned ORDER BY (shuffle_rank, source)."
+    ),
+    "vocab_coverage": (
+        "OOV-rate sweep: the top-500 vocabulary comes from "
+        "TakeOrderedAndProject over the aggregated token counts "
+        "(never a single-partition window), then BROADCASTs onto the "
+        "exploded token stream; one Exchange on token, one on doc_id."
+    ),
+    "preference_pairs": (
+        "DPO pair construction: both row_number windows (chosen DESC, "
+        "rejected ASC) share ONE (lang, source) Exchange — the corpus "
+        "is scanned and shuffled once; the rank-1 sets are |groups| "
+        "rows, joined broadcast."
+    ),
+    "conversation_build": (
+        "Dialog assembly: ONE user_id Exchange; ordering is array_sort "
+        "over (ts, event_id, type) structs inside the aggregate — a "
+        "per-group sort, not a window, and partial aggregation still "
+        "applies map-side."
+    ),
 }
 
 
