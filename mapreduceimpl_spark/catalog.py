@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from mapreduceimpl_spark.functions import dec_sum as _fn_dec_sum
 from mapreduceimpl_spark.functions import skew
 from mapreduceimpl_spark.operators import dedup, graph, kmeans, multimodal, packing, relational
-from mapreduceimpl_spark.operators import retrieval
+from mapreduceimpl_spark.operators import retrieval, sketches
 from mapreduceimpl_spark.operators import sampling, similarity, text_analysis, timeseries, udf_surface, wordcount
 from mapreduceimpl_spark.sources import load_table, load_tables
 
@@ -603,6 +603,56 @@ chunks AS (
 ),
 {_pack_sql('chunks', 128)}
 """
+
+
+def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom build over corpus sha256 content keys; probe every 5th doc
+    (true members) plus 200 synthetic ghosts (non-members).  The
+    ``truth`` column rides along so the result exposes false positives
+    directly; the oracle replays the identical md5-lane bit positions."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(F.sha2(F.col("text"), 256).alias("key"))
+    bits = sketches.bloom_build(corpus, "key", m_bits=8192, n_hashes=3)
+    members = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("probe_id"),
+        F.sha2(F.col("text"), 256).alias("key"),
+        F.lit(True).alias("truth"),
+    )
+    ghosts = spark.range(200).select(
+        F.concat(F.lit("ghost-"), F.col("id").cast("string")).alias("probe_id"),
+        F.concat(F.lit("ghost-"), F.col("id").cast("string")).alias("key"),
+        F.lit(False).alias("truth"),
+    )
+    probes = members.unionByName(ghosts)
+    res = sketches.bloom_probe(
+        bits, probes.select("probe_id", "key"), m_bits=8192, n_hashes=3
+    )
+    return probes.select("probe_id", "truth").join(res, "probe_id")
+
+
+def _bloom_membership_oracle() -> str:
+    pos_corpus = sketches._bloom_positions_sql("key", 3, 8192)
+    return f"""WITH corpus AS (SELECT sha256(text) AS key FROM documents),
+bits AS (
+  SELECT DISTINCT unnest({pos_corpus}) AS pos FROM corpus
+),
+probes AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS probe_id,
+         sha256(text) AS key, TRUE AS truth
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT 'ghost-' || CAST(i AS VARCHAR) AS probe_id,
+         'ghost-' || CAST(i AS VARCHAR) AS key, FALSE AS truth
+  FROM range(0, 200) AS g(i)
+),
+pp AS (
+  SELECT probe_id, truth, unnest(list_distinct({pos_corpus})) AS pos
+  FROM probes
+)
+SELECT probe_id, truth,
+       (SUM(CASE WHEN b.pos IS NULL THEN 1 ELSE 0 END) = 0) AS bloom_member
+FROM pp LEFT JOIN bits b USING (pos)
+GROUP BY probe_id, truth"""
 
 
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1227,6 +1277,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "vocab_coverage",
         "preference_pairs",
         "conversation_build",
+        "kmv_distinct",
+        "bloom_membership",
     }
 )
 
@@ -3911,6 +3963,26 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "share ONE Exchange; opposite tiebreak directions + margin>0 "
             "keep only genuinely ordered pairs",
     ),
+    "kmv_distinct": QuerySpec(
+        lambda spark, sf_dir: sketches.kmv_distinct(
+            load_table(spark, sf_dir, "documents"), k=256
+        ),
+        sketches.kmv_distinct_sql(k=256),
+        doc="KMV distinct-count sketch per language over 3-gram shingles: "
+            "estimate (k-1)/u_(k) next to the exact count; md5-prefix "
+            "hashing makes the ESTIMATE VALUE engine-replayable (unlike "
+            "HLL's rows-only check); the k smallest hashes are a "
+            "mergeable summary (partial agg works)",
+    ),
+    "bloom_membership": QuerySpec(
+        _q_bloom_membership,
+        _bloom_membership_oracle(),
+        doc="Bloom-filter corpus-membership probe: bit table from "
+            "sha256 content keys (<= m rows, broadcast), probes = every "
+            "5th doc (members) + 200 ghosts; member iff all 3 md5-lane "
+            "positions set — no false negatives, replayed FP-exactly "
+            "in the oracle",
+    ),
     "conversation_build": QuerySpec(
         _rel(relational.q_conversation_build),
         """SELECT user_id,
@@ -3986,6 +4058,7 @@ _ROUND4_ORDER = [
     "sample_weighted_k", "pit_join", "changelog_apply", "events_autocorr",
     "span_corruption", "triplet_mining", "temperature_mix", "kfold_assign",
     "epoch_shuffle", "vocab_coverage", "preference_pairs", "conversation_build",
+    "kmv_distinct", "bloom_membership",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

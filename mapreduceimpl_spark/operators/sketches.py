@@ -1,0 +1,201 @@
+"""Deterministic, mergeable sketches: KMV distinct-count and Bloom
+membership.
+
+Both are the hash-space half of the classic approximate-query toolkit,
+built so the SKETCH ITSELF is engine-portable: every hash is an md5 of
+the element (never a seeded JVM hash), so DuckDB replays the exact bit
+pattern and the driver's oracle can verify the ESTIMATE value-exactly —
+unlike ``approx_count_distinct`` (HLL, JVM-internal hashing, rows-only
+check by design).
+
+Why these two shapes matter at 100 TB:
+
+* KMV (k minimum values): per-group distinct-count estimation where the
+  shuffle carries k doubles per group instead of the distinct value set.
+  The k smallest hashes of a set are a MERGEABLE summary (union = merge
+  + re-truncate), the property that makes partial aggregation and
+  cross-partition combining work; the estimator (k-1)/u_(k) is the
+  standard unbiased KMV form (Bar-Yossef et al. 2002).
+
+* Bloom membership: a corpus-fingerprint bit set probed by an incoming
+  batch — the "have we seen this content before" pre-filter in front of
+  exact dedup, sized m bits with k hash lanes.  Positions are derived
+  from md5 lanes of the key, so build and probe are pure column
+  expressions; the bit set is |distinct positions| <= m rows, broadcast
+  onto the probe stream.
+
+The reference has no sketch surface; this extends its data plane the
+way its hash-mod-R partitioning (``test.go:28-40``) extrapolates to
+content-hash keying.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduceimpl_spark.functions.exprs import tokens
+from mapreduceimpl_spark.operators.sampling import hash_uniform, hash_uniform_sql
+
+
+def kmv_distinct(
+    docs: DataFrame,
+    k: int = 256,
+    n: int = 3,
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Per-stratum distinct n-gram-shingle count: KMV estimate next to
+    the exact count, plus the k-th minimum hash the estimate derives
+    from.
+
+    The element hash is the md5-prefix uniform (``sampling.
+    hash_uniform``), so distinctness is taken over HASH VALUES (the
+    sketch's own domain — a hash collision folds two elements, which is
+    the estimator's documented bias, not an implementation wart).
+    Estimate = (k-1) / u_(k): one division of an exact integer by a
+    replayable double — engine-exact.
+
+    Plan: explode shingles once; DISTINCT (stratum, u) is one Exchange;
+    the k-th smallest per stratum is a row_number window over the
+    distinct hashes (second Exchange, same key).  At 100 TB the window
+    input is already the DISTINCT hash set — for very hot strata, keep
+    only per-partition top-k candidates first (any partition's k-th
+    minimum bounds the global one), the same two-phase trim
+    ``heavy_hitters`` uses.  Strata with fewer than k distinct hashes
+    have no k-th minimum and are reported with a NULL estimate (the
+    sketch's "return the exact set" regime).
+    """
+    if k < 2:
+        raise ValueError(f"kmv_distinct: k must be >= 2, got {k}")
+    pre = docs.select(F.col(strata_col), tokens("text").alias("__toks")).filter(
+        F.size("__toks") >= n
+    )
+    m = F.size(F.col("__toks")) - (n - 1)
+    shingles = F.transform(
+        F.sequence(F.lit(0), m - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, n))),
+    )
+    sh = pre.select(
+        F.col(strata_col), F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+    u = hash_uniform(F.col("shingle"))
+    hashes = sh.select(strata_col, u.alias("u")).distinct()
+    w = Window.partitionBy(strata_col).orderBy(F.col("u").asc())
+    kth = (
+        hashes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == k)
+        .select(strata_col, F.col("u").alias("kth_u"))
+    )
+    exact = hashes.groupBy(strata_col).agg(
+        F.count("*").cast("long").alias("exact_distinct")
+    )
+    return exact.join(kth, strata_col, "left").select(
+        strata_col,
+        "exact_distinct",
+        "kth_u",
+        (F.lit(float(k - 1)) / F.col("kth_u")).alias("est_distinct"),
+    )
+
+
+def kmv_distinct_sql(k: int = 256, n: int = 3, strata_col: str = "lang") -> str:
+    """DuckDB mirror of :func:`kmv_distinct` over ``documents``."""
+    u = hash_uniform_sql(f"md5(array_to_string(toks[i + 1 : i + {n}], ' '))")
+    return f"""WITH t AS (
+  SELECT {strata_col}, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= {n}
+),
+sh AS (
+  SELECT DISTINCT {strata_col}, {u} AS u
+  FROM t, unnest(range(0, len(toks) - {n - 1})) AS q(i)
+),
+kth AS (
+  SELECT {strata_col}, u AS kth_u FROM (
+    SELECT {strata_col}, u,
+           ROW_NUMBER() OVER (PARTITION BY {strata_col} ORDER BY u ASC) AS rn
+    FROM sh
+  ) WHERE rn = {k}
+),
+exact AS (
+  SELECT {strata_col}, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+  FROM sh GROUP BY {strata_col}
+)
+SELECT e.{strata_col}, e.exact_distinct, k.kth_u,
+       {float(k - 1)!r} / k.kth_u AS est_distinct
+FROM exact e LEFT JOIN kth k USING ({strata_col})"""
+
+
+def _bloom_positions(key: F.Column, n_hashes: int, m_bits: int) -> F.Column:
+    """Array of ``n_hashes`` bit positions for ``key``: lane i hashes
+    ``'i:' || key`` through the md5-prefix integer, mod ``m_bits``.
+    Pure column expressions — identical in Spark and DuckDB."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(m_bits),
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def _bloom_positions_sql(key_expr: str, n_hashes: int, m_bits: int) -> str:
+    lanes = ", ".join(
+        f"CAST('0x' || substr(md5('{i}:' || CAST({key_expr} AS VARCHAR)), 1, 8) AS BIGINT) % {m_bits}"
+        for i in range(n_hashes)
+    )
+    return f"[{lanes}]"
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str = "key", m_bits: int = 8192, n_hashes: int = 3
+) -> DataFrame:
+    """The Bloom filter's set-bit table: DISTINCT positions touched by
+    any key — at most ``m_bits`` rows regardless of corpus size, the
+    broadcastable index a probe batch joins against.  Persist it
+    (parquet) to serve many probe batches, the same build-once contract
+    as the ANN indexes."""
+    return (
+        keys.select(
+            F.explode(_bloom_positions(F.col(key_col), n_hashes, m_bits)).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame,
+    probes: DataFrame,
+    probe_col: str = "probe_id",
+    key_col: str = "key",
+    m_bits: int = 8192,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Probe a built bit table: a key is a (claimed) member iff ALL of
+    its ``n_hashes`` positions are set — no false negatives, false
+    positives at the designed rate.  The bit table (< m_bits rows)
+    BROADCASTs onto the probe stream; membership is a per-key aggregate
+    counting missed positions (SUM of misses == 0, portable where
+    bool_and is not).
+    """
+    pr = probes.select(
+        F.col(probe_col),
+        F.explode(
+            F.array_distinct(_bloom_positions(F.col(key_col), n_hashes, m_bits))
+        ).alias("pos"),
+    )
+    hit = F.broadcast(bits.withColumn("__set", F.lit(1)))
+    return (
+        pr.join(hit, "pos", "left")
+        .groupBy(probe_col)
+        .agg(
+            F.sum(F.when(F.col("__set").isNull(), 1).otherwise(0)).alias("__miss")
+        )
+        .select(F.col(probe_col), (F.col("__miss") == 0).alias("bloom_member"))
+    )

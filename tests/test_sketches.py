@@ -1,0 +1,110 @@
+"""KMV distinct sketch + Bloom membership (operators/sketches.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduceimpl_spark.operators import sketches
+
+# `docs` fixture comes from conftest (sf0.001)
+
+
+def _kmv(docs, k):
+    return {r["lang"]: r for r in sketches.kmv_distinct(docs, k=k).collect()}
+
+
+def test_kmv_estimator_definition_and_accuracy(docs):
+    k = 64
+    rows = _kmv(docs, k)
+    for lang, r in rows.items():
+        assert r["exact_distinct"] > k  # fixture sanity: sketch regime
+        # estimator is exactly (k-1)/kth_u
+        assert r["est_distinct"] == (k - 1) / r["kth_u"]
+        # KMV relative error ~ 1/sqrt(k) = 12.5%; allow 5 sigma
+        rel = abs(r["est_distinct"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert rel < 0.625, (lang, rel)
+
+
+def test_kmv_small_stratum_null_estimate(spark):
+    df = spark.createDataFrame(
+        [(1, "xx", "a b c d")], ["doc_id", "lang", "text"]
+    )  # 2 shingles < k
+    row = sketches.kmv_distinct(df, k=64).collect()[0]
+    assert row["exact_distinct"] == 2
+    assert row["kth_u"] is None and row["est_distinct"] is None
+
+
+def test_kmv_partition_invariant(docs):
+    a = _kmv(docs, 64)
+    b = _kmv(docs.repartition(11), 64)
+    assert {(r["lang"], r["kth_u"]) for r in a.values()} == {
+        (r["lang"], r["kth_u"]) for r in b.values()
+    }
+
+
+def test_kmv_mergeable_summary(docs):
+    """The union's k minimum values are recoverable by merging the two
+    halves' k minimum values and re-truncating — the property partial
+    aggregation relies on."""
+    k = 32
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    # collect the distinct hash sets via the operator's own hashing scheme
+    def hashes(df):
+        from mapreduceimpl_spark.functions.exprs import tokens
+        from mapreduceimpl_spark.operators.sampling import hash_uniform
+
+        pre = df.select(tokens("text").alias("t"), "lang").filter(F.size("t") >= 3)
+        m = F.size("t") - 2
+        sh = F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i + 1, 3))),
+        )
+        ex = pre.select(F.explode(F.array_distinct(sh)).alias("s")).filter(
+            F.lit(True)
+        )
+        return sorted(
+            {r["u"] for r in ex.select(hash_uniform(F.col("s")).alias("u")).distinct().collect()}
+        )
+
+    full = hashes(docs)[:k]
+    merged = sorted(set(hashes(half_a)[:k]) | set(hashes(half_b)[:k]))[:k]
+    assert full == merged
+
+
+def test_bloom_no_false_negatives_and_fp_regime(docs):
+    corpus = docs.select(F.sha2(F.col("text"), 256).alias("key"))
+    bits = sketches.bloom_build(corpus, "key", m_bits=4096, n_hashes=3)
+    assert bits.count() <= 4096
+    members = docs.select(
+        F.col("doc_id").cast("string").alias("probe_id"),
+        F.sha2(F.col("text"), 256).alias("key"),
+    )
+    res = sketches.bloom_probe(bits, members, m_bits=4096, n_hashes=3)
+    assert res.filter(~F.col("bloom_member")).count() == 0  # no FN, ever
+
+
+def test_bloom_ghosts_mostly_rejected(spark, docs):
+    corpus = docs.select(F.sha2(F.col("text"), 256).alias("key"))
+    bits = sketches.bloom_build(corpus, "key", m_bits=8192, n_hashes=3)
+    ghosts = spark.range(500).select(
+        F.concat(F.lit("g-"), F.col("id").cast("string")).alias("probe_id"),
+        F.concat(F.lit("g-"), F.col("id").cast("string")).alias("key"),
+    )
+    res = sketches.bloom_probe(bits, ghosts, m_bits=8192, n_hashes=3)
+    fp = res.filter(F.col("bloom_member")).count()
+    # 50 docs x3 lanes <= 150/8192 bits set -> FP ~ (150/8192)^3 ~ 6e-6
+    assert fp <= 2
+
+
+def test_bloom_bits_union_merges(docs):
+    """bits(A union B) == bits(A) union bits(B): the filter is mergeable
+    across corpus shards by construction."""
+    corpus = docs.select(F.sha2(F.col("text"), 256).alias("key"))
+    a = corpus.limit(20)
+    full = sketches.bloom_build(corpus, "key", m_bits=2048, n_hashes=3)
+    pa = {r["pos"] for r in sketches.bloom_build(a, "key", m_bits=2048, n_hashes=3).collect()}
+    rest = corpus.exceptAll(a)
+    pb = {r["pos"] for r in sketches.bloom_build(rest, "key", m_bits=2048, n_hashes=3).collect()}
+    assert {r["pos"] for r in full.collect()} == pa | pb

@@ -542,6 +542,17 @@ ANNOTATED = {
         "per-group sort, not a window, and partial aggregation still "
         "applies map-side."
     ),
+    "kmv_distinct": (
+        "KMV sketch: DISTINCT (lang, hash) then a per-lang row_number "
+        "window share the lang hash partitioning; the shuffle carries "
+        "distinct hashes, never the raw token stream; estimate is one "
+        "division — oracle-replayable where HLL is not."
+    ),
+    "bloom_membership": (
+        "Bloom probe: the bit table (<= m rows) BROADCASTs onto the "
+        "exploded probe positions — probes never shuffle for the "
+        "lookup; membership folds back with one probe_id Exchange."
+    ),
 }
 
 
