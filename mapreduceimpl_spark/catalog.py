@@ -1279,6 +1279,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "conversation_build",
         "kmv_distinct",
         "bloom_membership",
+        "dedup_prefix_filter",
+        "length_buckets",
     }
 )
 
@@ -3963,6 +3965,54 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "share ONE Exchange; opposite tiebreak directions + margin>0 "
             "keep only genuinely ordered pairs",
     ),
+    "dedup_prefix_filter": QuerySpec(
+        lambda spark, sf_dir: dedup.prefix_filter_pairs(
+            dedup.with_mutated_copies(load_table(spark, sf_dir, "documents")),
+            min_jaccard=0.5,
+        ),
+        _ngram_oracle(0.5),
+        doc="exact Jaccard self-join via PREFIX FILTERING (AllPairs/"
+            "PPJoin): rare-first shingle order, only the (|S|-ceil(t|S|)"
+            "+1)-prefix enters the inverted index, candidates verified "
+            "with exact set intersection; the oracle is the plain exact "
+            "formulation — algorithm-independent, so the hash match "
+            "proves losslessness of the pruning",
+    ),
+    "length_buckets": QuerySpec(
+        lambda spark, sf_dir: packing.length_buckets(
+            load_table(spark, sf_dir, "documents"), n_buckets=8
+        ),
+        """WITH base AS (
+             SELECT lang, doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             FROM documents
+           ),
+           b AS (
+             SELECT lang, n_tokens,
+                    CAST(NTILE(8) OVER (PARTITION BY lang
+                                        ORDER BY n_tokens ASC, doc_id ASC)
+                         AS BIGINT) AS bucket
+             FROM base
+           ),
+           agg AS (
+             SELECT lang, bucket,
+                    CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+                    CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+                    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+             FROM b GROUP BY lang, bucket
+           )
+           SELECT lang, bucket, n_docs, min_tokens, max_tokens, sum_tokens,
+                  CAST(n_docs * max_tokens - sum_tokens AS BIGINT)
+                    AS padding_waste,
+                  CAST(n_docs * max_tokens - sum_tokens AS DOUBLE)
+                    / CAST(n_docs * max_tokens AS DOUBLE) AS pad_frac
+           FROM agg""",
+        doc="sequence-length bucketing report: per-lang NTILE(8) over "
+            "(n_tokens, doc_id) with per-bucket padding waste — the "
+            "pre-packing analysis; one window Exchange, all-integer "
+            "arithmetic",
+    ),
     "kmv_distinct": QuerySpec(
         lambda spark, sf_dir: sketches.kmv_distinct(
             load_table(spark, sf_dir, "documents"), k=256
@@ -4058,7 +4108,7 @@ _ROUND4_ORDER = [
     "sample_weighted_k", "pit_join", "changelog_apply", "events_autocorr",
     "span_corruption", "triplet_mining", "temperature_mix", "kfold_assign",
     "epoch_shuffle", "vocab_coverage", "preference_pairs", "conversation_build",
-    "kmv_distinct", "bloom_membership",
+    "kmv_distinct", "bloom_membership", "dedup_prefix_filter", "length_buckets",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

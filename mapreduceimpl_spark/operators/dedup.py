@@ -1101,3 +1101,85 @@ def fuzzy_join_verified(
         )
         .filter(F.col("similarity") >= min_similarity)
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact set-similarity self-join via PREFIX FILTERING (the
+    AllPairs/PPJoin candidate rule): identical output to
+    :func:`ngram_jaccard_pairs`, candidate space far smaller.
+
+    Order every document's shingle set by (global df ASC, shingle) —
+    rarest first — and explode only the first
+    ``p = |S| - ceil(t * |S|) + 1`` shingles into the inverted index.
+    Theorem (Chaudhuri et al. SSJoin'06 / Bayardo et al. WWW'07): if
+    J(A,B) >= t, the minimum-ordered common shingle must sit inside
+    BOTH prefixes (each suffix holds fewer elements than any
+    qualifying intersection), so the prefix join loses no qualifying
+    pair; every candidate is then verified with EXACT Jaccard over the
+    full sets, so the pass is exact, not approximate.
+
+    Why it scales where the full inverted index does not: join fan-out
+    is sum over shingles of prefix-df^2, and the rare-first order
+    pushes boilerplate (high-df) shingles OUT of prefixes — the df cap
+    ``ngram_jaccard_pairs`` needs as an explicit guard falls out of
+    the ordering here, with no recall loss.  Work beyond candidates is
+    O(candidates x set size) array intersection.
+
+    Portability: jaccard is one division of exact integers; candidate
+    pruning happens only Spark-side (the oracle is the plain exact
+    formulation — algorithm-independent).
+    """
+    sh = ngram_shingles(docs, n)
+    df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sets = (
+        sh.join(df_tbl, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+            ).alias("ordered")
+        )
+    )
+    n_sh = F.size("ordered")
+    p = (n_sh - F.ceil(F.lit(min_jaccard) * n_sh) + 1).cast("int")
+    pref = sets.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.slice(F.col("ordered"), F.lit(1), p), lambda s: s["shingle"])
+        ).alias("shingle"),
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    shsets = sets.select(
+        "doc_id", F.transform("ordered", lambda s: s["shingle"]).alias("sset")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    jac = inter.cast("double") / (
+        F.size("set_a") + F.size("set_b") - inter
+    ).cast("double")
+    return (
+        cand.join(
+            shsets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("set_a")),
+            "doc_a",
+        )
+        .join(
+            shsets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("set_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

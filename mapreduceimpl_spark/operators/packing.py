@@ -122,3 +122,57 @@ def packing_stats(packed: DataFrame, budget: int = 512) -> DataFrame:
             ).alias("padding_tokens"),
         )
     )
+
+
+def length_buckets(
+    docs: DataFrame,
+    n_buckets: int = 8,
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Sequence-length bucketing report: split each stratum's documents
+    into ``n_buckets`` equal-count buckets by token length (NTILE over
+    (n_tokens, doc_id)) and measure the padding cost of batching each
+    bucket to its own max length — the standard pre-packing analysis
+    that decides between plain bucketed batching and full sequence
+    packing (``pack_greedy``).
+
+    ``padding_waste = n_docs * max_tokens - sum_tokens`` (pad every doc
+    in the bucket to the bucket max) and ``pad_frac`` are pure integer
+    arithmetic plus one division — engine-exact.  NTILE is the SQL-
+    standard allocation (first ``n mod b`` buckets take the extra row)
+    over a TOTAL order (unique doc_id tiebreak), so bucket membership
+    is deterministic and portable.
+
+    Scale: ONE Exchange (the per-stratum window); the report output is
+    |strata| x n_buckets rows.  The same window that assigns buckets
+    would also emit per-doc bucket ids for the writer — this operator
+    keeps the aggregate view.
+    """
+    from pyspark.sql import Window
+
+    from mapreduceimpl_spark.functions.exprs import tokens
+
+    base = docs.select(
+        F.col(strata_col),
+        F.col("doc_id"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("n_tokens").asc(), F.col("doc_id").asc()
+    )
+    bucketed = base.withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
+    agg = bucketed.groupBy(strata_col, "bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+    waste = agg.withColumn(
+        "padding_waste",
+        (F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens")).cast("long"),
+    )
+    return waste.withColumn(
+        "pad_frac",
+        F.col("padding_waste").cast("double")
+        / (F.col("n_docs") * F.col("max_tokens")).cast("double"),
+    )

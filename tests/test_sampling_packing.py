@@ -463,3 +463,32 @@ def test_epoch_shuffle_epochs_differ_and_rerun_stable(docs):
     e1 = {r["doc_id"]: r["shuffle_rank"] for r in sampling.epoch_shuffle(base, epoch=1).collect()}
     assert e0 == e0b
     assert any(e0[d] != e1[d] for d in e0)
+
+
+def test_length_buckets_balanced_and_monotone(docs):
+    out = packing.length_buckets(docs, n_buckets=4).collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r["bucket"])
+        sizes = [r["n_docs"] for r in rows]
+        assert max(sizes) - min(sizes) <= 1  # NTILE equal-count split
+        # buckets ordered by length: each bucket's max <= next bucket's min
+        for lo, hi in zip(rows, rows[1:]):
+            assert lo["max_tokens"] <= hi["min_tokens"]
+        for r in rows:
+            assert r["padding_waste"] == r["n_docs"] * r["max_tokens"] - r["sum_tokens"]
+            assert 0 <= r["pad_frac"] < 1
+
+
+def test_length_buckets_hand_case(spark):
+    df = spark.createDataFrame(
+        [(i, "en", " ".join(["t"] * n)) for i, n in enumerate([2, 2, 4, 8])],
+        ["doc_id", "lang", "text"],
+    )
+    rows = {r["bucket"]: r for r in packing.length_buckets(df, n_buckets=2).collect()}
+    # NTILE(2) over 4 rows -> buckets of 2: [2,2] and [4,8]
+    assert rows[1]["padding_waste"] == 0
+    assert rows[2]["padding_waste"] == 4  # pad the 4-token doc to 8
+    assert rows[2]["pad_frac"] == 4.0 / 16.0

@@ -553,6 +553,19 @@ ANNOTATED = {
         "exploded probe positions — probes never shuffle for the "
         "lookup; membership folds back with one probe_id Exchange."
     ),
+    "dedup_prefix_filter": (
+        "PPJoin-style exact similarity join: only the rare-first "
+        "(|S|-ceil(t|S|)+1)-prefix of each shingle set enters the "
+        "self-join, so fan-out is prefix-df^2 and boilerplate "
+        "(high-df) shingles never join; verification is array_intersect "
+        "over the full sets, O(candidates x set size)."
+    ),
+    "length_buckets": (
+        "Length bucketing: one per-lang window Exchange assigns NTILE "
+        "buckets; the padding-waste report re-aggregates on the same "
+        "(lang, bucket) grain — all-integer arithmetic, |strata| x "
+        "n_buckets output rows."
+    ),
 }
 
 
