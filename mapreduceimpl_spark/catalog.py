@@ -1281,6 +1281,9 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "bloom_membership",
         "dedup_prefix_filter",
         "length_buckets",
+        "dq_expectations",
+        "histogram_drift",
+        "incremental_agg",
     }
 )
 
@@ -3965,6 +3968,90 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "share ONE Exchange; opposite tiebreak directions + margin>0 "
             "keep only genuinely ordered pairs",
     ),
+    "dq_expectations": QuerySpec(
+        _rel(relational.q_dq_expectations),
+        """SELECT 'orders_pk_unique' AS rule,
+                  CAST(COUNT(*) AS BIGINT) AS n_checked,
+                  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                    AS n_violations,
+                  (COUNT(*) - COUNT(DISTINCT o_orderkey)) = 0 AS passed
+           FROM orders
+           UNION ALL
+           SELECT 'lineitem_orderkey_ri',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+                  v, v = 0
+           FROM (SELECT CAST(COUNT(*) AS BIGINT) AS v
+                 FROM lineitem l LEFT JOIN orders o
+                   ON l.l_orderkey = o.o_orderkey
+                 WHERE o.o_orderkey IS NULL)
+           UNION ALL
+           SELECT 'lineitem_qty_1_50', CAST(COUNT(*) AS BIGINT),
+                  CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                                THEN 1 ELSE 0 END) AS BIGINT),
+                  SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                           THEN 1 ELSE 0 END) = 0
+           FROM lineitem
+           UNION ALL
+           SELECT 'customer_acctbal_not_null', CAST(COUNT(*) AS BIGINT),
+                  CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT),
+                  SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) = 0
+           FROM customer
+           UNION ALL
+           SELECT 'ship_gte_orderdate', CAST(COUNT(*) AS BIGINT),
+                  CAST(SUM(CASE WHEN l_shipdate < o_orderdate
+                                THEN 1 ELSE 0 END) AS BIGINT),
+                  SUM(CASE WHEN l_shipdate < o_orderdate
+                           THEN 1 ELSE 0 END) = 0
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+        doc="deequ/dbt-style expectation suite: PK uniqueness, "
+            "referential integrity (LEFT ANTI), range, null-rate, and "
+            "cross-column ordering rules — one verdict row per rule; "
+            "every rule folds to 1 row before the union",
+    ),
+    "histogram_drift": QuerySpec(
+        _rel(relational.q_histogram_drift),
+        """WITH e AS (SELECT event_id, value FROM events),
+           b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM e),
+           binned AS (
+             SELECT least(CAST(floor((value - lo) / ((hi - lo) / 20.0))
+                               AS BIGINT), 19) AS bin,
+                    (event_id % 2 = 0) AS half
+             FROM e, b
+           ),
+           counts AS (
+             SELECT bin,
+                    CAST(SUM(CASE WHEN half THEN 1 ELSE 0 END) AS BIGINT)
+                      AS cnt_a,
+                    CAST(SUM(CASE WHEN NOT half THEN 1 ELSE 0 END) AS BIGINT)
+                      AS cnt_b
+             FROM binned GROUP BY bin
+           ),
+           tot AS (SELECT SUM(cnt_a) AS n_a, SUM(cnt_b) AS n_b FROM counts)
+           SELECT bin, cnt_a, cnt_b,
+                  CAST(cnt_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS share_a,
+                  CAST(cnt_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS share_b,
+                  abs(CAST(cnt_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      - CAST(cnt_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                    AS share_gap
+           FROM counts, tot""",
+        doc="snapshot drift monitor: shared equi-width histogram over "
+            "both halves (global min/max broadcast), per-bin share gap "
+            "= the TV-distance decomposition; bin arithmetic is IEEE on "
+            "identical operands — engine-exact",
+    ),
+    "incremental_agg": QuerySpec(
+        _rel(relational.q_incremental_agg),
+        f"""SELECT event_type,
+                   CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   {_dec_sum("value", "sum_value")}
+            FROM events GROUP BY event_type, day""",
+        doc="incremental aggregate maintenance: base-snapshot partials "
+            "merged with delta-batch partials; DECIMAL(28,4) partial sums "
+            "are exact+associative so the ORACLE IS THE FULL RECOMPUTE — "
+            "the hash match proves base+delta == full bit-for-bit",
+    ),
     "dedup_prefix_filter": QuerySpec(
         lambda spark, sf_dir: dedup.prefix_filter_pairs(
             dedup.with_mutated_copies(load_table(spark, sf_dir, "documents")),
@@ -4109,6 +4196,7 @@ _ROUND4_ORDER = [
     "span_corruption", "triplet_mining", "temperature_mix", "kfold_assign",
     "epoch_shuffle", "vocab_coverage", "preference_pairs", "conversation_build",
     "kmv_distinct", "bloom_membership", "dedup_prefix_filter", "length_buckets",
+    "dq_expectations", "histogram_drift", "incremental_agg",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

@@ -2314,3 +2314,149 @@ def q_conversation_build(t: dict[str, DataFrame], max_turns: int = 8) -> DataFra
         )
         .select("user_id", "n_events", "turns")
     )
+
+
+def q_dq_expectations(t: dict[str, DataFrame]) -> DataFrame:
+    """Declarative data-quality expectation suite over the star schema —
+    the deequ/dbt-test shape (``table_profile`` describes; this
+    ASSERTS): key uniqueness, referential integrity, range, null-rate,
+    and cross-column ordering rules, one result row per rule with the
+    violation count and a pass verdict.
+
+    Scale: every rule is one scan + tiny aggregate; the referential-
+    integrity rule is a LEFT ANTI join on the join key (shuffle on
+    orderkey — the same key the fact table is bucketed by in a real
+    deployment, so it co-locates).  Rules aggregate to 1 row each
+    before the union: the union is 5 rows, not 5 scans' worth of data.
+    """
+    li, orders, cust = t["lineitem"], t["orders"], t["customer"]
+
+    def rule(name: str, checked: DataFrame) -> DataFrame:
+        return checked.select(
+            F.lit(name).alias("rule"),
+            F.col("n_checked").cast("long").alias("n_checked"),
+            F.col("n_violations").cast("long").alias("n_violations"),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+
+    unique_orderkey = orders.agg(
+        F.count("*").alias("n_checked"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("n_violations"),
+    )
+    ref_integrity = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .crossJoin(li.agg(F.count("*").alias("n_checked")))
+    )
+    qty_range = li.agg(
+        F.count("*").alias("n_checked"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        ).alias("n_violations"),
+    )
+    acctbal_null = cust.agg(
+        F.count("*").alias("n_checked"),
+        F.sum(F.when(F.col("c_acctbal").isNull(), 1).otherwise(0)).alias("n_violations"),
+    )
+    ship_after_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .agg(
+            F.count("*").alias("n_checked"),
+            F.sum(
+                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+            ).alias("n_violations"),
+        )
+    )
+    return (
+        rule("orders_pk_unique", unique_orderkey)
+        .unionByName(rule("lineitem_orderkey_ri", ref_integrity))
+        .unionByName(rule("lineitem_qty_1_50", qty_range))
+        .unionByName(rule("customer_acctbal_not_null", acctbal_null))
+        .unionByName(rule("ship_gte_orderdate", ship_after_order))
+    )
+
+
+def q_histogram_drift(t: dict[str, DataFrame], n_bins: int = 20) -> DataFrame:
+    """Distribution-drift report between two deterministic snapshot
+    halves of the event stream (even/odd event_id): a shared equi-width
+    histogram over ``value`` plus each half's per-bin share and the
+    absolute share gap — the per-bin decomposition of total-variation
+    distance, the standard corpus-snapshot drift monitor.
+
+    Bin edges derive from the GLOBAL min/max over both halves (one
+    2-value aggregate broadcast back), so both halves bin identically;
+    ``bin = least(floor((v - min) / width), n_bins - 1)`` is pure IEEE
+    arithmetic on identical operands — engine-exact.  Shares are
+    single divisions of exact counts; the gap |pa - pb| subtracts two
+    such doubles.  Output is ``n_bins`` rows.
+    """
+    e = t["events"].select("event_id", "value")
+    bounds = e.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = (
+        e.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bin",
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / F.lit(float(n_bins)))
+                ),
+                F.lit(n_bins - 1),
+            ).cast("long"),
+        )
+        .withColumn("half", (F.col("event_id") % 2 == 0))
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half"), 1).otherwise(0)).cast("long").alias("cnt_a"),
+        F.sum(F.when(~F.col("half"), 1).otherwise(0)).cast("long").alias("cnt_b"),
+    )
+    totals = counts.agg(
+        F.sum("cnt_a").alias("n_a"), F.sum("cnt_b").alias("n_b")
+    )
+    shared = counts.crossJoin(F.broadcast(totals))
+    pa = F.col("cnt_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("cnt_b").cast("double") / F.col("n_b").cast("double")
+    return shared.select(
+        "bin",
+        "cnt_a",
+        "cnt_b",
+        pa.alias("share_a"),
+        pb.alias("share_b"),
+        F.abs(pa - pb).alias("share_gap"),
+    )
+
+
+def q_incremental_agg(t: dict[str, DataFrame]) -> DataFrame:
+    """Incremental aggregate maintenance: merge a base snapshot's
+    partial aggregates with a delta batch's partial aggregates and get
+    EXACTLY the full recompute — the mergeability contract that lets a
+    100 TB daily rollup absorb a new partition without rescanning
+    history.
+
+    The partials carry (count, DECIMAL(28,4) sum): decimal addition is
+    exact and associative, so merge order cannot perturb the result —
+    the oracle IS the single-pass full aggregate, and the hash match
+    proves base+delta == full bit-for-bit.  The split (event_id mod 5)
+    is deterministic; the merge is a 2-rows-per-group re-aggregate.
+    """
+    e = t["events"]
+    day = F.to_date("ts").cast("string").alias("day")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("event_type"), day).agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(28,4)")).alias("dec_sum"),
+        )
+
+    base = partial(e.filter(F.col("event_id") % 5 != 0))
+    delta = partial(e.filter(F.col("event_id") % 5 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.sum("dec_sum").cast("double").alias("sum_value"),
+        )
+    )

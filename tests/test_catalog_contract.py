@@ -141,6 +141,8 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
         "join_cross",          # intentional bounded cross join
         "bm25_search",         # 1-row corpus stats (N, sum dl)
         "basket_rules",        # 1-row order total
+        "dq_expectations",     # 1-row n_checked total riding the RI rule
+        "histogram_drift",     # 1-row global (min,max) + 1-row totals
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

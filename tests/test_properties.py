@@ -189,3 +189,102 @@ def test_pack_sql_keeps_oversized_doc_in_empty_bin():
     assert list(zip(py["doc_id"], py["bin_id"], py["bin_fill"])) == [
         (1, 0, 0), (2, 0, 200),
     ]
+
+
+def test_dq_expectations_detects_planted_violations(spark, tables):
+    """Planting a duplicate PK and an orphan lineitem flips exactly the
+    two affected rules to failed with the right violation counts."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimpl_spark.operators.relational import q_dq_expectations
+
+    orders = tables["orders"]
+    li = tables["lineitem"]
+    dup = orders.limit(1)
+    orphan = li.limit(1).withColumn("l_orderkey", F.lit(-999).cast("long"))
+    t2 = dict(tables)
+    t2["orders"] = orders.unionByName(dup)
+    t2["lineitem"] = li.unionByName(orphan)
+    rows = {r["rule"]: r for r in q_dq_expectations(t2).collect()}
+    assert rows["orders_pk_unique"]["n_violations"] == 1
+    assert not rows["orders_pk_unique"]["passed"]
+    assert rows["lineitem_orderkey_ri"]["n_violations"] == 1
+    assert not rows["lineitem_orderkey_ri"]["passed"]
+    assert rows["lineitem_qty_1_50"]["passed"]
+
+
+def test_dq_expectations_fixture_verdicts(tables):
+    """The synthetic fixture satisfies the structural rules (PK, RI,
+    range, null) but ships lines independently of the order date — the
+    temporal rule correctly FAILS, proving the suite detects real
+    violations rather than rubber-stamping."""
+    from mapreduceimpl_spark.operators.relational import q_dq_expectations
+
+    rows = {r["rule"]: r for r in q_dq_expectations(tables).collect()}
+    assert len(rows) == 5
+    for name in (
+        "orders_pk_unique",
+        "lineitem_orderkey_ri",
+        "lineitem_qty_1_50",
+        "customer_acctbal_not_null",
+    ):
+        assert rows[name]["passed"], name
+    assert not rows["ship_gte_orderdate"]["passed"]
+    assert rows["ship_gte_orderdate"]["n_violations"] > 0
+    assert all(r["n_checked"] > 0 for r in rows.values())
+
+
+def test_histogram_drift_shares_sum_to_one(tables):
+    from pyspark.sql import functions as F
+
+    from mapreduceimpl_spark.operators.relational import q_histogram_drift
+
+    out = q_histogram_drift(tables).collect()
+    assert abs(sum(r["share_a"] for r in out) - 1.0) < 1e-9
+    assert abs(sum(r["share_b"] for r in out) - 1.0) < 1e-9
+    assert all(0 <= r["bin"] <= 19 for r in out)
+    for r in out:
+        assert abs(r["share_gap"] - abs(r["share_a"] - r["share_b"])) < 1e-15
+
+
+def test_histogram_drift_detects_shifted_half(spark):
+    """A delta half shifted to the top of the range concentrates its
+    mass in the high bins — the gap exposes it."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mapreduceimpl_spark.operators.relational import q_histogram_drift
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # even ids (half A): uniform low values; odd ids (half B): high
+        (i, t0, i, "e", float(i % 50) if i % 2 == 0 else 950.0 + (i % 50), "{}")
+        for i in range(400)
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = q_histogram_drift({"events": e}).collect()
+    # total variation distance = 0.5 * sum |pa - pb| should be ~1.0
+    tvd = 0.5 * sum(r["share_gap"] for r in out)
+    assert tvd > 0.95
+
+
+def test_incremental_agg_equals_full_recompute(tables):
+    from pyspark.sql import functions as F
+
+    from mapreduceimpl_spark.operators.relational import q_incremental_agg
+
+    e = tables["events"]
+    full = (
+        e.groupBy("event_type", F.to_date("ts").cast("string").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("sum_value"),
+        )
+    )
+    inc = q_incremental_agg(tables)
+    a = sorted(map(tuple, full.collect()))
+    b = sorted(map(tuple, inc.collect()))
+    assert a == b  # bit-exact, incl. the decimal-routed double sums

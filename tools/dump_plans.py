@@ -566,6 +566,23 @@ ANNOTATED = {
         "(lang, bucket) grain — all-integer arithmetic, |strata| x "
         "n_buckets output rows."
     ),
+    "dq_expectations": (
+        "Expectation suite: five 1-row rule verdicts unioned; the RI "
+        "rule is a LEFT ANTI join on the fact's join key; every other "
+        "rule is scan + tiny aggregate — violations never leave the "
+        "executor as rows, only as counts."
+    ),
+    "histogram_drift": (
+        "Drift monitor: global (min,max) and totals are 1-row "
+        "broadcasts; binning is codegen arithmetic on the scan; one "
+        "Exchange on the 20-value bin key."
+    ),
+    "incremental_agg": (
+        "Aggregate maintenance: base and delta partials merge by "
+        "re-aggregating 2 rows per group; DECIMAL partial sums are "
+        "exact+associative, so the merged result hash-equals the "
+        "full single-pass recompute (the oracle)."
+    ),
 }
 
 
