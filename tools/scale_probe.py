@@ -362,8 +362,24 @@ def _probe_ewma(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_prefix_filter(spark, sf_dir: str):
+    corpus = dedup.with_mutated_copies(load_table(spark, sf_dir, "documents"))
+    t0 = time.time()
+    n = dedup.prefix_filter_pairs(corpus, min_jaccard=0.5).count()
+    return time.time() - t0, n
+
+
+def _probe_inverted_index(spark, sf_dir: str):
+    corpus = dedup.with_mutated_copies(load_table(spark, sf_dir, "documents"))
+    t0 = time.time()
+    n = dedup.ngram_jaccard_pairs(corpus, min_jaccard=0.5).count()
+    return time.time() - t0, n
+
+
 PROBES = {
     "minhash": _probe_minhash,
+    "prefix_filter": _probe_prefix_filter,
+    "inverted_index": _probe_inverted_index,
     "minhash_verified": _probe_minhash_verified,
     "basket_rules": _probe_basket_rules,
     "rolling_active": _probe_rolling_active,
