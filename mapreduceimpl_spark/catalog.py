@@ -605,6 +605,67 @@ chunks AS (
 """
 
 
+def _q_alignment_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The preference-tuning data path as ONE lazy plan: quality+lang
+    filter -> exact-dedup keepers -> DPO preference pairs over the
+    survivors -> deterministic train/val/test split of the pairs
+    (salted by chosen_id) — the SFT/DPO sibling of
+    ``pretrain_funnel``, composed from four independently
+    hash-verified stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        text_analysis.corpus_filter(docs)
+        .filter(F.col("keep"))
+        .select("doc_id")
+        .join(docs, "doc_id")
+    )
+    keepers = dedup.dedup_exact(kept).select(F.col("keep_id").alias("doc_id"))
+    surviving = kept.join(keepers, "doc_id")
+    pairs = text_analysis.preference_pairs(surviving)
+    split = sampling.train_val_test_split(pairs, id_col="chosen_id")
+    return split.select(
+        "lang", "source", "chosen_id", "rejected_id", "margin", "split"
+    )
+
+
+def _alignment_funnel_oracle() -> str:
+    u = sampling.hash_uniform_sql("'split-v1:' || CAST(chosen_id AS VARCHAR)")
+    return f"""
+WITH cf AS MATERIALIZED (
+  SELECT doc_id FROM ({_corpus_filter_oracle()}) WHERE keep
+),
+kept AS (SELECT d.* FROM documents d JOIN cf USING (doc_id)),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY sha256(text)),
+surviving AS (SELECT k.* FROM kept k JOIN keepers USING (doc_id)),
+base AS (
+  SELECT doc_id, lang, source,
+         CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+           / CAST(len({_TOKS}) AS DOUBLE) AS diversity
+  FROM surviving
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY diversity DESC, doc_id ASC) AS rd,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY diversity ASC, doc_id DESC) AS ra
+  FROM base
+),
+pairs AS (
+  SELECT c.lang, c.source,
+         c.doc_id AS chosen_id, j.doc_id AS rejected_id,
+         c.diversity - j.diversity AS margin
+  FROM (SELECT * FROM r WHERE rd = 1) c
+  JOIN (SELECT * FROM r WHERE ra = 1) j USING (lang, source)
+  WHERE c.diversity > j.diversity
+)
+SELECT lang, source, chosen_id, rejected_id, margin,
+       CASE WHEN {u} < 0.9 THEN 'train'
+            WHEN {u} < {0.9 + 0.05!r} THEN 'val'
+            ELSE 'test' END AS split
+FROM pairs"""
+
+
 def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom build over corpus sha256 content keys; probe every 5th doc
     (true members) plus 200 synthetic ghosts (non-members).  The
@@ -1284,6 +1345,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "dq_expectations",
         "histogram_drift",
         "incremental_agg",
+        "alignment_funnel",
     }
 )
 
@@ -3968,6 +4030,15 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "share ONE Exchange; opposite tiebreak directions + margin>0 "
             "keep only genuinely ordered pairs",
     ),
+    "alignment_funnel": QuerySpec(
+        _q_alignment_funnel,
+        _alignment_funnel_oracle(),
+        doc="the preference-tuning data path end-to-end as ONE plan: "
+            "quality filter -> sha256 dedup keepers -> DPO pairs over "
+            "survivors -> salted train/val/test split of the pairs; the "
+            "oracle composes four independently hash-verified stage "
+            "oracles (the SFT sibling of pretrain_funnel)",
+    ),
     "dq_expectations": QuerySpec(
         _rel(relational.q_dq_expectations),
         """SELECT 'orders_pk_unique' AS rule,
@@ -4196,7 +4267,7 @@ _ROUND4_ORDER = [
     "span_corruption", "triplet_mining", "temperature_mix", "kfold_assign",
     "epoch_shuffle", "vocab_coverage", "preference_pairs", "conversation_build",
     "kmv_distinct", "bloom_membership", "dedup_prefix_filter", "length_buckets",
-    "dq_expectations", "histogram_drift", "incremental_agg",
+    "dq_expectations", "histogram_drift", "incremental_agg", "alignment_funnel",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

@@ -288,3 +288,35 @@ def test_incremental_agg_equals_full_recompute(tables):
     a = sorted(map(tuple, full.collect()))
     b = sorted(map(tuple, inc.collect()))
     assert a == b  # bit-exact, incl. the decimal-routed double sums
+
+
+def test_alignment_funnel_invariants(spark):
+    """Every emitted pair comes from quality-surviving, dedup-keeper
+    docs of the same (lang, source) group, chosen beats rejected, and
+    the split column only takes the three split values."""
+    from mapreduceimpl_spark.catalog import _q_alignment_funnel
+    from mapreduceimpl_spark.operators import dedup, text_analysis
+    from mapreduceimpl_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = _q_alignment_funnel(spark, sf).collect()
+    assert len(out) > 0
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+    docs = load_table(spark, sf, "documents")
+    kept = (
+        text_analysis.corpus_filter(docs)
+        .filter("keep")
+        .select("doc_id")
+        .join(docs, "doc_id")
+    )
+    keeper_ids = {
+        r["keep_id"] for r in dedup.dedup_exact(kept).select("keep_id").collect()
+    }
+    meta = {r["doc_id"]: (r["lang"], r["source"]) for r in docs.collect()}
+    for r in out:
+        assert r["chosen_id"] in keeper_ids
+        assert r["rejected_id"] in keeper_ids
+        assert meta[r["chosen_id"]] == (r["lang"], r["source"])
+        assert meta[r["rejected_id"]] == (r["lang"], r["source"])
+        assert r["margin"] > 0

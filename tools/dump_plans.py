@@ -583,6 +583,13 @@ ANNOTATED = {
         "exact+associative, so the merged result hash-equals the "
         "full single-pass recompute (the oracle)."
     ),
+    "alignment_funnel": (
+        "Preference-tuning funnel in ONE plan: quality filter -> "
+        "sha256 keeper aggregate -> the two shared-Exchange preference "
+        "windows -> zero-shuffle split assignment; like "
+        "pretrain_funnel, the filter subtree plans twice (keeper agg + "
+        "survivor join) and AQE reuses the exchange."
+    ),
 }
 
 
