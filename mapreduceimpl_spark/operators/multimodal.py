@@ -106,6 +106,42 @@ def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
             bits = int.from_bytes(payload[21:25], "little")
             return ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "webp")
         return None
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        # BITMAPINFOHEADER: int32 LE width at 18, height at 22; a
+        # negative height means top-down row order — magnitude is the
+        # pixel height either way
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        if w <= 0 or h == 0:
+            return None
+        return (w, abs(h), "bmp")
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF: walk IFD0's 12-byte entries for ImageWidth (256) /
+        # ImageLength (257); SHORT(3)/LONG(4) values are inline
+        order = "little" if payload[:2] == b"II" else "big"
+        if len(payload) < 8:
+            return None
+        ifd = int.from_bytes(payload[4:8], order)
+        if ifd + 2 > len(payload):
+            return None
+        n = int.from_bytes(payload[ifd : ifd + 2], order)
+        w = h = None
+        for k in range(n):
+            e = ifd + 2 + 12 * k
+            if e + 12 > len(payload):
+                return None
+            tag = int.from_bytes(payload[e : e + 2], order)
+            typ = int.from_bytes(payload[e + 2 : e + 4], order)
+            if tag in (256, 257) and typ in (3, 4):
+                width_bytes = 2 if typ == 3 else 4
+                val = int.from_bytes(payload[e + 8 : e + 8 + width_bytes], order)
+                if tag == 256:
+                    w = val
+                else:
+                    h = val
+        if w is not None and h is not None:
+            return (w, h, "tiff")
+        return None
     return None
 
 

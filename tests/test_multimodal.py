@@ -325,3 +325,48 @@ def test_null_payload_and_text_do_not_crash(spark):
         by_doc.setdefault(r["doc_id"], []).append(r)
     assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == ""
     assert len(by_doc[2]) == 1
+
+
+def _bmp(w: int, h: int) -> bytes:
+    return (
+        b"BM" + (26).to_bytes(4, "little") + b"\x00" * 4 + (26).to_bytes(4, "little")
+        + (12).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little", signed=True)
+    )
+
+
+def _tiff(w: int, h: int, order: str = "little") -> bytes:
+    bo = order
+    magic = b"II*\x00" if bo == "little" else b"MM\x00*"
+    # IFD at offset 8, two entries: 256 (LONG w), 257 (SHORT h)
+    def entry(tag: int, typ: int, val: int, width: int) -> bytes:
+        return (
+            tag.to_bytes(2, bo) + typ.to_bytes(2, bo)
+            + (1).to_bytes(4, bo) + val.to_bytes(width, bo).ljust(4, b"\x00" if bo == "little" else b"\x00")
+        ) if bo == "little" else (
+            tag.to_bytes(2, bo) + typ.to_bytes(2, bo)
+            + (1).to_bytes(4, bo) + val.to_bytes(width, bo).rjust(4, b"\x00")[:4]
+        )
+
+    ifd = (2).to_bytes(2, bo) + entry(256, 4, w, 4) + entry(257, 3, h, 2)
+    # big-endian SHORT inline values sit in the HIGH bytes of the field
+    if bo == "big":
+        ifd = (2).to_bytes(2, bo) + entry(256, 4, w, 4) + (
+            (257).to_bytes(2, bo) + (3).to_bytes(2, bo) + (1).to_bytes(4, bo)
+            + h.to_bytes(2, bo) + b"\x00\x00"
+        )
+    return magic + (8).to_bytes(4, bo) + ifd
+
+
+def test_bmp_header_parses():
+    assert multimodal.parse_image_header(_bmp(640, 480)) == (640, 480, "bmp")
+    # top-down BMP stores negative height
+    assert multimodal.parse_image_header(_bmp(640, -480)) == (640, 480, "bmp")
+    assert multimodal.parse_image_header(b"BM" + b"\x00" * 10) is None
+
+
+def test_tiff_header_parses_both_byte_orders():
+    assert multimodal.parse_image_header(_tiff(1024, 768, "little")) == (1024, 768, "tiff")
+    assert multimodal.parse_image_header(_tiff(321, 123, "big")) == (321, 123, "tiff")
+    # truncated IFD -> None, not an exception
+    assert multimodal.parse_image_header(_tiff(1024, 768, "little")[:12]) is None

@@ -1010,3 +1010,27 @@ def test_changelog_apply_randomized_vs_dict_replay(spark):
         got = {r["k"]: r["v"]
                for r in relational.changelog_apply(b, c, ["k"]).collect()}
         assert got == state, f"trial {trial}"
+
+
+def test_join_strategy_hints_reach_the_planner(spark, tables):
+    """The engine exposes all three equi-join strategies: broadcast,
+    shuffled-hash, and sort-merge — the knobs a 100 TB deployment uses
+    to pick hash-vs-sort and avoid sorting the big side when one side
+    fits per-executor memory (SHUFFLE_HASH) or neither does (MERGE)."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    li = tables["lineitem"]
+    orders = tables["orders"]
+
+    merged = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    assert "SortMergeJoin" in explain_str(merged, "simple")
+
+    shuffled = li.join(
+        orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+    )
+    assert "ShuffledHashJoin" in explain_str(shuffled, "simple")
+
+    bcast = li.join(
+        F.broadcast(orders), li.l_orderkey == orders.o_orderkey
+    )
+    assert "BroadcastHashJoin" in explain_str(bcast, "simple")

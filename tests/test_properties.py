@@ -139,6 +139,7 @@ def test_media_parsers_total_on_magic_prefixed_bytes(payload):
     magics = [
         b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8\xff", b"RIFF????WEBP",
         b"RIFF????WAVE", b"fLaC", b"OggS", b"\x00\x00\x00\x18ftypisom",
+        b"BM", b"II*\x00", b"MM\x00*",
     ]
     for m in magics:
         blob = m + payload
