@@ -1346,6 +1346,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "histogram_drift",
         "incremental_agg",
         "alignment_funnel",
+        "centroid_similarity",
     }
 )
 
@@ -4030,6 +4031,40 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "share ONE Exchange; opposite tiebreak directions + margin>0 "
             "keep only genuinely ordered pairs",
     ),
+    "centroid_similarity": QuerySpec(
+        lambda spark, sf_dir: similarity.centroid_similarity(
+            load_table(spark, sf_dir, "embeddings")
+        ),
+        """WITH c AS (
+             SELECT CAST(label AS BIGINT) AS grp, CAST(pos AS BIGINT) AS pos,
+                    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(x)
+                      AS mean_x
+             FROM (
+               SELECT label,
+                      unnest(list_transform(embedding, e -> CAST(e AS DOUBLE)))
+                        AS x,
+                      unnest(range(0, len(embedding))) AS pos
+               FROM embeddings
+             )
+             GROUP BY 1, 2
+           ),
+           j AS (
+             SELECT a.grp AS grp_a, b.grp AS grp_b,
+                    round(a.mean_x * b.mean_x, 9) AS ab,
+                    round(a.mean_x * a.mean_x, 9) AS aa,
+                    round(b.mean_x * b.mean_x, 9) AS bb
+             FROM c a JOIN c b ON a.pos = b.pos AND a.grp < b.grp
+           )
+           SELECT grp_a, grp_b,
+                  round(CAST(SUM(CAST(ab AS DECIMAL(28,9))) AS DOUBLE)
+                        / (sqrt(CAST(SUM(CAST(aa AS DECIMAL(28,9))) AS DOUBLE))
+                           * sqrt(CAST(SUM(CAST(bb AS DECIMAL(28,9))) AS DOUBLE))),
+                        6) AS cosine
+           FROM j GROUP BY grp_a, grp_b""",
+        doc="pairwise cosine between label centroids (class-overlap "
+            "report): self-join on the groups x dims centroid table, "
+            "never the corpus; products rounded-then-decimal-summed",
+    ),
     "alignment_funnel": QuerySpec(
         _q_alignment_funnel,
         _alignment_funnel_oracle(),
@@ -4268,6 +4303,7 @@ _ROUND4_ORDER = [
     "epoch_shuffle", "vocab_coverage", "preference_pairs", "conversation_build",
     "kmv_distinct", "bloom_membership", "dedup_prefix_filter", "length_buckets",
     "dq_expectations", "histogram_drift", "incremental_agg", "alignment_funnel",
+    "centroid_similarity",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

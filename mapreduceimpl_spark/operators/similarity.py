@@ -649,3 +649,52 @@ def triplet_mining(
             F.col("positive_id").isNotNull() & F.col("negative_id").isNotNull()
         )
     )
+
+
+def centroid_similarity(
+    embeddings: DataFrame, by: str = "label", round_to: int = 6
+) -> DataFrame:
+    """Pairwise cosine similarity between group centroids — the
+    cluster-confusability / class-overlap report (which labels' mean
+    embeddings crowd each other), composed on
+    :func:`embedding_centroids`.
+
+    Portability: the centroid means are already engine-exact
+    (decimal-routed); each per-dimension product is one IEEE multiply
+    of identical doubles, ROUNDED AT 9 DIGITS THEN DECIMAL-SUMMED so
+    the dot/norm accumulations are partition-order- and libm-free;
+    sqrt is correctly rounded; the final cosine rounds before emit.
+
+    Scale: the self-join keys on the dimension index (|dims| distinct
+    values, each carrying |groups| rows — the join input is the
+    groups x dims centroid table, NOT the corpus); output is
+    |groups| choose 2 rows.  The corpus is touched only by the
+    centroid aggregate.
+    """
+    c = embedding_centroids(embeddings, by).select("grp", "pos", "mean_x")
+    a, b = c.alias("a"), c.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.pos") == F.col("b.pos")) & (F.col("a.grp") < F.col("b.grp")),
+    ).select(
+        F.col("a.grp").alias("grp_a"),
+        F.col("b.grp").alias("grp_b"),
+        F.round(F.col("a.mean_x") * F.col("b.mean_x"), 9).alias("ab"),
+        F.round(F.col("a.mean_x") * F.col("a.mean_x"), 9).alias("aa"),
+        F.round(F.col("b.mean_x") * F.col("b.mean_x"), 9).alias("bb"),
+    )
+
+    def dsum(col: str):
+        return F.sum(F.col(col).cast("decimal(28,9)")).cast("double")
+
+    return (
+        joined.groupBy("grp_a", "grp_b")
+        .agg(dsum("ab").alias("dot"), dsum("aa").alias("na"), dsum("bb").alias("nb"))
+        .select(
+            "grp_a",
+            "grp_b",
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), round_to
+            ).alias("cosine"),
+        )
+    )

@@ -718,3 +718,54 @@ def stream_daily_active(
             F.col("dau").cast("long").alias("dau"),
         )
     )
+
+
+def stream_bloom_prefilter(
+    docs: DataFrame,
+    bloom_bits: DataFrame,
+    m_bits: int = 8192,
+    n_hashes: int = 3,
+    text_col: str = "text",
+    broadcast_bits: bool = True,
+) -> DataFrame:
+    """Bloom pre-filter in front of streaming ingest: drop documents
+    whose content fingerprint CLAIMS corpus membership, passing only
+    guaranteed-new docs downstream.
+
+    Memory posture vs ``stream_dedup_against_corpus``: that operator
+    carries the corpus's full distinct sha table (one 64-hex row per
+    unique doc — grows with the corpus); this one carries the <=
+    ``m_bits``-row bit table from ``sketches.bloom_build`` — CONSTANT
+    size regardless of corpus row count.  The trade is exactness: no
+    false negatives ever (every emitted doc is truly new — the property
+    ingest correctness needs), but a false positive silently drops a
+    new doc at the designed rate.  Production chains both: Bloom first
+    (cheap, constant memory), exact anti join only on the claimed-dup
+    slice if dropped-new-docs matter.
+
+    Implementation: membership is decided by one LEFT JOIN PER HASH
+    LANE against the static bit table — no streaming aggregate, so the
+    filter composes with any downstream sink/output mode.  The static
+    side re-plans per micro-batch (nightly fingerprint refresh picked
+    up live); positions reuse ``sketches._bloom_positions`` so batch
+    build and stream probe can never drift.
+    """
+    from mapreduceimpl_spark.operators.sketches import _bloom_positions
+
+    out = docs.withColumn("content_sha", F.sha2(F.col(text_col), 256))
+    lanes = _bloom_positions(F.col("content_sha"), n_hashes, m_bits)
+    member = None
+    helper_cols: list[str] = []
+    for i in range(n_hashes):
+        bits_i = bloom_bits.select(
+            F.col("pos").alias(f"__pos{i}"), F.lit(True).alias(f"__hit{i}")
+        )
+        if broadcast_bits:
+            bits_i = F.broadcast(bits_i)
+        out = out.withColumn(f"__p{i}", F.element_at(lanes, i + 1)).join(
+            bits_i, F.col(f"__p{i}") == F.col(f"__pos{i}"), "left"
+        )
+        helper_cols += [f"__p{i}", f"__pos{i}", f"__hit{i}"]
+        cond = F.col(f"__hit{i}").isNotNull()
+        member = cond if member is None else (member & cond)
+    return out.filter(~member).drop(*helper_cols)

@@ -392,3 +392,31 @@ def test_triplet_mining_single_label_corpus_empty(spark):
     )
     anchors = emb.select(F.col("vec_id").alias("anchor_id"), "embedding", "label")
     assert triplet_mining(emb, anchors).collect() == []
+
+
+def test_centroid_similarity_hand_computed(spark):
+    from mapreduceimpl_spark.operators.similarity import centroid_similarity
+
+    rows = [
+        (1, 0, [1.0, 0.0]), (2, 0, [1.0, 0.0]),   # centroid (1, 0)
+        (3, 1, [0.0, 2.0]),                        # centroid (0, 2)
+        (4, 2, [3.0, 3.0]),                        # centroid (3, 3)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = {(r["grp_a"], r["grp_b"]): r["cosine"] for r in centroid_similarity(emb).collect()}
+    assert out[(0, 1)] == 0.0
+    assert abs(out[(0, 2)] - round(3 / (1 * (18 ** 0.5)), 6)) < 1e-12
+    assert abs(out[(1, 2)] - round(6 / (2 * (18 ** 0.5)), 6)) < 1e-12
+
+
+def test_centroid_similarity_bounds_and_pairs(embeddings):
+    from pyspark.sql import functions as F
+
+    from mapreduceimpl_spark.operators.similarity import centroid_similarity
+
+    out = centroid_similarity(embeddings).collect()
+    n_labels = embeddings.select("label").distinct().count()
+    assert len(out) == n_labels * (n_labels - 1) // 2
+    for r in out:
+        assert -1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9
+        assert r["grp_a"] < r["grp_b"]

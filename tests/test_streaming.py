@@ -500,3 +500,56 @@ def test_stream_daily_active_matches_batch(spark, events_dir):
         for r in _run_stream(streaming.stream_daily_active(stream), mode="complete")
     }
     assert got == batch and len(got) > 0
+
+
+def test_stream_bloom_prefilter_matches_batch_probe(spark, tmp_path):
+    """Streaming Bloom pre-filter == batch bloom_probe verdicts: every
+    corpus doc is dropped (no false negatives), and the survivor set is
+    exactly the batch claimed-non-member set."""
+    from mapreduceimpl_spark.operators import sketches
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id",
+        "text",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ingest_ts"),
+    )
+    corpus_keys = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.sha2("text", 256).alias("key"))
+        .distinct()
+    )
+    bits = sketches.bloom_build(corpus_keys, "key", m_bits=4096, n_hashes=3)
+
+    src = tmp_path / "bloom_stream"
+    src.mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    got = _run_stream(
+        streaming.stream_bloom_prefilter(stream, bits, m_bits=4096, n_hashes=3)
+    )
+    survivors = {r["content_sha"] for r in got}
+
+    # no false negatives: nothing from the corpus survives
+    corpus_shas = {r["key"] for r in corpus_keys.collect()}
+    assert survivors.isdisjoint(corpus_shas)
+
+    # survivors == batch probe's claimed-non-members over the same docs
+    probes = docs.select(
+        F.sha2("text", 256).alias("probe_id"), F.sha2("text", 256).alias("key")
+    ).distinct()
+    batch = sketches.bloom_probe(bits, probes, m_bits=4096, n_hashes=3)
+    expected = {r["probe_id"] for r in batch.collect() if not r["bloom_member"]}
+    assert survivors == expected
+
+    # shuffled-bits posture (giant bit table): identical survivors
+    got_shuffled = _run_stream(
+        streaming.stream_bloom_prefilter(
+            stream, bits, m_bits=4096, n_hashes=3, broadcast_bits=False
+        )
+    )
+    assert {r["content_sha"] for r in got_shuffled} == survivors

@@ -590,6 +590,12 @@ ANNOTATED = {
         "pretrain_funnel, the filter subtree plans twice (keeper agg + "
         "survivor join) and AQE reuses the exchange."
     ),
+    "centroid_similarity": (
+        "Class-overlap report: the corpus is touched only by the "
+        "centroid aggregate; the cosine self-join runs on the "
+        "groups x dims centroid table (hundreds of rows), products "
+        "rounded-then-decimal-summed."
+    ),
 }
 
 
