@@ -181,3 +181,37 @@ def write_zorder(
         else keyed.repartitionByRange("__z")
     )
     out.sortWithinPartitions("__z").drop("__z").write.format(fmt).mode(mode).save(path)
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_files: int,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a directory whose file count has
+    fragmented (streaming micro-batches, over-parallel writers) down to
+    ``target_files`` — at 100 TB, listing + opening millions of tiny
+    files dominates scan time long before the bytes do, and a nightly
+    compaction pass is standard table maintenance.
+
+    Read -> coalesce (NARROW: merges partitions without a shuffle;
+    the rewrite moves bytes once) -> write to a sibling staging dir ->
+    atomic-ish swap (staging rename after the write commits).  Returns
+    the compacted file count.  For partitioned/bucketed layouts,
+    compact per partition directory instead so layout metadata
+    survives.
+    """
+    import os
+    import shutil
+
+    df = spark.read.format(fmt).load(path)
+    staging = path.rstrip("/") + "__compacting"
+    df.coalesce(target_files).write.format(fmt).mode("overwrite").save(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return sum(
+        1
+        for f in os.listdir(path)
+        if f.endswith(f".{fmt}") or (fmt == "parquet" and f.endswith(".parquet"))
+    )

@@ -255,3 +255,43 @@ def test_zorder_key_validation_and_clamp(tables):
     import pyspark.sql.functions as F
     mx = tables["lineitem"].select(z.alias("z")).agg(F.max("z"), F.min("z")).collect()[0]
     assert 0 <= mx[1] and mx[0] < (1 << 16)  # 8 bits x 2 cols
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, tmp_path, docs):
+    import os
+
+    from mapreduceimpl_spark.sources.sinks import compact_files
+
+    path = str(tmp_path / "fragmented")
+    docs.repartition(20).write.parquet(path)
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before == 20
+    rows_before = sorted(r["doc_id"] for r in spark.read.parquet(path).collect())
+
+    n_after = compact_files(spark, path, target_files=2)
+    assert n_after <= 2
+    rows_after = sorted(r["doc_id"] for r in spark.read.parquet(path).collect())
+    assert rows_after == rows_before
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """mergeSchema unifies a column added mid-corpus — the schema-drift
+    posture a long-lived 100 TB table needs (new columns arrive; old
+    files backfill NULL)."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolving")
+    v1 = spark.range(5).select(F.col("id").alias("doc_id"), F.lit("a").alias("text"))
+    v1.write.parquet(base + "/batch=1")
+    v2 = spark.range(5, 10).select(
+        F.col("id").alias("doc_id"),
+        F.lit("b").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    v2.write.parquet(base + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"doc_id", "text", "lang", "batch"}
+    rows = {r["doc_id"]: r["lang"] for r in merged.collect()}
+    assert rows[0] is None and rows[7] == "en"
+    assert merged.count() == 10
