@@ -1347,6 +1347,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "incremental_agg",
         "alignment_funnel",
         "centroid_similarity",
+        "udtf_chunks",
     }
 )
 
@@ -4031,6 +4032,17 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "share ONE Exchange; opposite tiebreak directions + margin>0 "
             "keep only genuinely ordered pairs",
     ),
+    "udtf_chunks": QuerySpec(
+        lambda spark, sf_dir: udf_surface.udtf_chunk_documents(
+            spark, load_table(spark, sf_dir, "documents")
+        ),
+        f"""WITH {_chunk_sql('documents')}
+           SELECT doc_id, chunk_idx, chunk_text, n_tokens FROM chunkrows""",
+        doc="U7 through the modern surface: a real Python @udtf applied "
+            "via SQL LATERAL join, value-identical to the columnar "
+            "chunk_documents (same oracle body verifies both); the "
+            "columnar form stays the production path",
+    ),
     "centroid_similarity": QuerySpec(
         lambda spark, sf_dir: similarity.centroid_similarity(
             load_table(spark, sf_dir, "embeddings")
@@ -4303,7 +4315,7 @@ _ROUND4_ORDER = [
     "epoch_shuffle", "vocab_coverage", "preference_pairs", "conversation_build",
     "kmv_distinct", "bloom_membership", "dedup_prefix_filter", "length_buckets",
     "dq_expectations", "histogram_drift", "incremental_agg", "alignment_funnel",
-    "centroid_similarity",
+    "centroid_similarity", "udtf_chunks",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

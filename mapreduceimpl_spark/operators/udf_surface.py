@@ -122,3 +122,52 @@ def grouped_agg_udaf(
 
     udaf = F.pandas_udf(_agg, "double")
     return df.groupBy(*keys).agg(udaf(F.col(value_col)).alias(alias))
+
+
+def udtf_chunk_documents(
+    spark,
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """U7's table-function half through the MODERN surface: a real
+    Python UDTF (Spark 4 ``@udtf``) applied with a SQL LATERAL join —
+    one input document expands to N chunk rows inside the engine's
+    UDTF evaluation, not via explode.  Output contract is IDENTICAL to
+    ``text_analysis.chunk_documents`` (same recurrence, same edge
+    cases: null text chunks as one empty 1-token chunk, the last chunk
+    keeps the remainder), so the columnar operator's DuckDB oracle
+    verifies this UDTF value-exactly.
+
+    Use the columnar ``chunk_documents`` in production — it stays in
+    whole-stage codegen; this is the parity/API-surface demo (the
+    reference's UDF story, ``mp/worker.go:14-17``, extended to
+    table-valued functions).  Still Arrow-batched, still a narrow
+    per-row expansion: zero shuffles at any scale.
+    """
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    stride = chunk_tokens - overlap
+
+    @udtf(returnType="chunk_idx: bigint, chunk_text: string, n_tokens: bigint")
+    class ChunkDoc:
+        def eval(self, text: str):  # noqa: ANN202 - UDTF eval signature
+            toks = (text if text is not None else "").split(" ")
+            n = len(toks)
+            n_chunks = 1 + max(0, math.ceil((n - chunk_tokens) / stride))
+            for i in range(n_chunks):
+                s = i * stride
+                yield (
+                    i,
+                    " ".join(toks[s : s + chunk_tokens]),
+                    min(chunk_tokens, n - s),
+                )
+
+    spark.udtf.register("chunk_doc_udtf", ChunkDoc)
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens "
+        "FROM __udtf_docs d, LATERAL chunk_doc_udtf(d.text) c"
+    )

@@ -113,3 +113,30 @@ def test_grouped_agg_udaf(tables):
     pairs = {r["o_orderstatus"]: r["m"] for r in out.collect()}
     for r in expected.collect():
         assert abs(pairs[r["o_orderstatus"]] - r["m"]) < 1e-6
+
+
+def test_udtf_chunks_equal_columnar_chunker(spark, docs):
+    """The Python @udtf LATERAL expansion is value-identical to the
+    columnar chunk_documents (same recurrence, same null/short edges)."""
+    from mapreduceimpl_spark.operators.text_analysis import chunk_documents
+    from mapreduceimpl_spark.operators.udf_surface import udtf_chunk_documents
+
+    key = lambda r: (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+    a = sorted(map(key, chunk_documents(docs).collect()))
+    b = sorted(map(key, udtf_chunk_documents(spark, docs).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_udtf_chunks_null_and_short_edges(spark):
+    from mapreduceimpl_spark.operators.udf_surface import udtf_chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b"), (3, " ".join(["t"] * 70))], ["doc_id", "text"]
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"])
+        for r in udtf_chunk_documents(spark, df).collect()
+    )
+    # null -> one empty 1-token chunk; 2 tokens -> one chunk;
+    # 70 tokens -> chunks at 0 and 56 (stride 56), second has 14
+    assert rows == [(1, 0, 1), (2, 0, 2), (3, 0, 64), (3, 1, 14)]
