@@ -78,3 +78,44 @@ def test_register_views_sql_surface(spark):
     ).collect()
     assert len(got) == 3
     assert got[0]["n_cust"] >= got[1]["n_cust"] >= got[2]["n_cust"]
+
+
+def test_variant_json_path_matches_string_path(spark, tables):
+    """Spark 4 VARIANT ingestion (parse_json -> variant_get) extracts
+    the same values as the string-path get_json_object route used by
+    the json_extract catalog entry — the semi-structured column type a
+    modern lakehouse table would store props as (parse once, binary
+    encoding, typed access), verified against the classic path."""
+    from pyspark.sql import functions as F
+
+    e = tables["events"].select("event_id", "props")
+    via_variant = e.select(
+        "event_id",
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    via_string = e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    a = sorted(map(tuple, via_variant.collect()))
+    b = sorted(map(tuple, via_string.collect()))
+    assert a == b and len(a) > 0
+    assert all(k is not None for _, k in a)
+
+
+def test_variant_tolerates_malformed_json(spark):
+    """try_parse_json returns NULL on garbage instead of failing the
+    task — the permissive-ingest posture a 100 TB raw feed needs."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, "not json"), (3, None)], ["id", "props"]
+    )
+    out = {
+        r["id"]: r["k"]
+        for r in df.select(
+            "id",
+            F.variant_get(F.try_parse_json("props"), "$.k", "bigint").alias("k"),
+        ).collect()
+    }
+    assert out == {1: 5, 2: None, 3: None}
