@@ -1348,6 +1348,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "alignment_funnel",
         "centroid_similarity",
         "udtf_chunks",
+        "attribution_last_touch",
     }
 )
 
@@ -4032,6 +4033,29 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "share ONE Exchange; opposite tiebreak directions + margin>0 "
             "keep only genuinely ordered pairs",
     ),
+    "attribution_last_touch": QuerySpec(
+        _rel(relational.q_attribution_last_touch),
+        """SELECT user_id, event_id, attr_click_id,
+                  CAST(date_diff('second', attr_click_ts, ts) AS BIGINT)
+                    AS secs_to_convert
+           FROM (
+             SELECT user_id, event_id, event_type, ts,
+                    last_value(CASE WHEN event_type = 'click'
+                                    THEN event_id END IGNORE NULLS) OVER w
+                      AS attr_click_id,
+                    last_value(CASE WHEN event_type = 'click'
+                                    THEN ts END IGNORE NULLS) OVER w
+                      AS attr_click_ts
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           )
+           WHERE event_type = 'purchase'""",
+        doc="last-touch conversion attribution: purchases credited to "
+            "the most recent preceding click via a running ignore-nulls "
+            "last() — ONE user_id Exchange, no purchase-vs-click-history "
+            "self-join; NULL attribution = organic",
+    ),
     "udtf_chunks": QuerySpec(
         lambda spark, sf_dir: udf_surface.udtf_chunk_documents(
             spark, load_table(spark, sf_dir, "documents")
@@ -4315,7 +4339,7 @@ _ROUND4_ORDER = [
     "epoch_shuffle", "vocab_coverage", "preference_pairs", "conversation_build",
     "kmv_distinct", "bloom_membership", "dedup_prefix_filter", "length_buckets",
     "dq_expectations", "histogram_drift", "incremental_agg", "alignment_funnel",
-    "centroid_similarity", "udtf_chunks",
+    "centroid_similarity", "udtf_chunks", "attribution_last_touch",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

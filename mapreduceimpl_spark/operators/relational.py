@@ -2460,3 +2460,40 @@ def q_incremental_agg(t: dict[str, DataFrame]) -> DataFrame:
             F.sum("dec_sum").cast("double").alias("sum_value"),
         )
     )
+
+
+def q_attribution_last_touch(t: dict[str, DataFrame]) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to
+    the user's most recent PRECEDING click (the marketing-analytics
+    staple; first-touch is the same window with ``first``).
+
+    One user_id window Exchange; the attributed click rides a
+    running ``last(..., ignorenulls=True)`` over an
+    unbounded-preceding/-1 frame — no self-join of purchases against
+    click history, which at 100 TB would re-shuffle the event stream
+    per conversion type.  Purchases with no prior click keep NULL
+    attribution (the consumer's organic bucket), and
+    ``secs_to_convert`` is an exact BIGINT epoch difference.
+    """
+    e = t["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    click_id = F.last(F.when(is_click, F.col("event_id")), ignorenulls=True).over(w)
+    click_ts = F.last(F.when(is_click, F.col("ts")), ignorenulls=True).over(w)
+    return (
+        e.withColumn("attr_click_id", click_id)
+        .withColumn("attr_click_ts", click_ts)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "attr_click_id",
+            (F.unix_timestamp("ts") - F.unix_timestamp("attr_click_ts"))
+            .cast("long")
+            .alias("secs_to_convert"),
+        )
+    )

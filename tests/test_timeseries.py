@@ -234,3 +234,37 @@ def test_conversation_build_partition_invariant(tables):
     a = sorted((r["user_id"], r["turns"]) for r in base.collect())
     b = sorted((r["user_id"], r["turns"]) for r in shuffled.collect())
     assert a == b
+
+
+def test_attribution_last_touch_hand_case(spark):
+    import datetime as dt
+
+    from mapreduceimpl_spark.operators.relational import q_attribution_last_touch
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda n: t0 + dt.timedelta(seconds=n)
+    rows = [
+        (1, s(0), 7, "view", 0.0, "{}"),
+        (2, s(10), 7, "click", 0.0, "{}"),
+        (3, s(25), 7, "purchase", 0.0, "{}"),   # -> click 2, 15s
+        (4, s(30), 7, "click", 0.0, "{}"),
+        (5, s(31), 7, "purchase", 0.0, "{}"),   # -> click 4, 1s
+        (6, s(5), 8, "purchase", 0.0, "{}"),    # no prior click -> NULL
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r["event_id"]: r for r in q_attribution_last_touch({"events": e}).collect()}
+    assert set(out) == {3, 5, 6}
+    assert (out[3]["attr_click_id"], out[3]["secs_to_convert"]) == (2, 15)
+    assert (out[5]["attr_click_id"], out[5]["secs_to_convert"]) == (4, 1)
+    assert out[6]["attr_click_id"] is None and out[6]["secs_to_convert"] is None
+
+
+def test_attribution_click_precedes_purchase(tables):
+    from mapreduceimpl_spark.operators.relational import q_attribution_last_touch
+
+    out = q_attribution_last_touch(tables).collect()
+    attributed = [r for r in out if r["attr_click_id"] is not None]
+    assert len(attributed) > 0
+    assert all(r["secs_to_convert"] >= 0 for r in attributed)
