@@ -1349,6 +1349,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "centroid_similarity",
         "udtf_chunks",
         "attribution_last_touch",
+        "ab_test_report",
     }
 )
 
@@ -4033,6 +4034,45 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "share ONE Exchange; opposite tiebreak directions + margin>0 "
             "keep only genuinely ordered pairs",
     ),
+    "ab_test_report": QuerySpec(
+        _rel(relational.q_ab_test_report),
+        """WITH agg AS (
+             SELECT event_type,
+                    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_a,
+                    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_b,
+                    CAST(SUM(CASE WHEN user_id % 2 = 0
+                                  THEN CAST(value AS DECIMAL(28,4)) END)
+                         AS DOUBLE) AS s1_a,
+                    CAST(SUM(CASE WHEN user_id % 2 <> 0
+                                  THEN CAST(value AS DECIMAL(28,4)) END)
+                         AS DOUBLE) AS s1_b,
+                    CAST(SUM(CASE WHEN user_id % 2 = 0
+                                  THEN CAST(value * value AS DECIMAL(28,4)) END)
+                         AS DOUBLE) AS s2_a,
+                    CAST(SUM(CASE WHEN user_id % 2 <> 0
+                                  THEN CAST(value * value AS DECIMAL(28,4)) END)
+                         AS DOUBLE) AS s2_b
+             FROM events GROUP BY event_type
+           ),
+           z AS (
+             SELECT event_type, n_a, n_b,
+                    s1_a / n_a AS mean_a, s1_b / n_b AS mean_b,
+                    round((s1_a / n_a - s1_b / n_b)
+                          / sqrt(((s2_a - s1_a * s1_a / n_a) / (n_a - 1)) / n_a
+                                 + ((s2_b - s1_b * s1_b / n_b) / (n_b - 1)) / n_b),
+                          6) AS welch_z
+             FROM agg
+           )
+           SELECT event_type, n_a, n_b, mean_a, mean_b, welch_z,
+                  abs(welch_z) > 1.96 AS significant_95
+           FROM z""",
+        doc="A/B experiment readout: deterministic arms, decimal-routed "
+            "moments (n, sum, sumsq) folded for BOTH arms in one "
+            "conditional-aggregation pass (no per-arm scan/join), Welch "
+            "z rounded before the 95% verdict",
+    ),
     "attribution_last_touch": QuerySpec(
         _rel(relational.q_attribution_last_touch),
         """SELECT user_id, event_id, attr_click_id,
@@ -4340,6 +4380,7 @@ _ROUND4_ORDER = [
     "kmv_distinct", "bloom_membership", "dedup_prefix_filter", "length_buckets",
     "dq_expectations", "histogram_drift", "incremental_agg", "alignment_funnel",
     "centroid_similarity", "udtf_chunks", "attribution_last_touch",
+    "ab_test_report",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

@@ -2497,3 +2497,54 @@ def q_attribution_last_touch(t: dict[str, DataFrame]) -> DataFrame:
             .alias("secs_to_convert"),
         )
     )
+
+
+def q_ab_test_report(t: dict[str, DataFrame]) -> DataFrame:
+    """A/B experiment readout: users split into two deterministic arms
+    (user_id parity — in production, the salted hash split of
+    ``sampling.train_val_test_split``), per-event-type mean ``value``
+    compared with a Welch z statistic and a 95% verdict.
+
+    Engine-exact statistics from decimal-routed moments: n (BIGINT),
+    sum and sum-of-squares (DECIMAL(28,4) — each x*x is one IEEE
+    product), then mean/variance/z as a fixed arithmetic tree over
+    identical doubles, z ROUNDED at 6 before the verdict so the
+    comparison never sits on a ulp.  One Exchange (event_type);
+    conditional aggregation folds both arms in a single pass — no
+    per-arm scan or join.
+    """
+    e = t["events"]
+
+    def m(cond, expr, cast="decimal(28,4)"):
+        return F.sum(F.when(cond, expr).otherwise(F.lit(None)).cast(cast))
+
+    a = F.col("user_id") % 2 == 0
+    b = ~a
+    agg = e.groupBy("event_type").agg(
+        F.sum(F.when(a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(b, 1).otherwise(0)).cast("long").alias("n_b"),
+        m(a, F.col("value")).cast("double").alias("s1_a"),
+        m(b, F.col("value")).cast("double").alias("s1_b"),
+        m(a, F.col("value") * F.col("value")).cast("double").alias("s2_a"),
+        m(b, F.col("value") * F.col("value")).cast("double").alias("s2_b"),
+    )
+    mean_a = F.col("s1_a") / F.col("n_a")
+    mean_b = F.col("s1_b") / F.col("n_b")
+    var_a = (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    z = F.round(
+        (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")), 6
+    )
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        z.alias("welch_z"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )

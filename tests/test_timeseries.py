@@ -268,3 +268,40 @@ def test_attribution_click_precedes_purchase(tables):
     attributed = [r for r in out if r["attr_click_id"] is not None]
     assert len(attributed) > 0
     assert all(r["secs_to_convert"] >= 0 for r in attributed)
+
+
+def test_ab_test_report_detects_planted_effect(spark):
+    """Arm A shifted by +10: every event type flags significant with
+    the right sign; a no-effect copy stays insignificant."""
+    import datetime as dt
+
+    from mapreduceimpl_spark.operators.relational import q_ab_test_report
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(2000):
+        arm_a = (i % 2 == 0)  # user parity == arm
+        base = float((i * 37) % 100) / 10.0
+        rows.append(
+            (i, t0, i, "treated", base + (10.0 if arm_a else 0.0), "{}")
+        )
+        rows.append((i + 10_000, t0, i, "control_like", base, "{}"))
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r["event_type"]: r for r in q_ab_test_report({"events": e}).collect()}
+    assert out["treated"]["significant_95"]
+    assert out["treated"]["welch_z"] > 0
+    assert abs(out["treated"]["mean_a"] - out["treated"]["mean_b"] - 10.0) < 0.5
+    assert not out["control_like"]["significant_95"]
+
+
+def test_ab_test_report_fixture_sane(tables):
+    from mapreduceimpl_spark.operators.relational import q_ab_test_report
+
+    out = q_ab_test_report(tables).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["n_a"] > 0 and r["n_b"] > 0
+        # parity arms over uniform values: no real effect in the fixture
+        assert abs(r["welch_z"]) < 5
