@@ -769,3 +769,72 @@ def stream_bloom_prefilter(
         cond = F.col(f"__hit{i}").isNotNull()
         member = cond if member is None else (member & cond)
     return out.filter(~member).drop(*helper_cols)
+
+
+_ATTR_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("attr_click_id", LongType()),
+        StructField("secs_to_convert", LongType()),
+    ]
+)
+# last preceding click per user: (event_id, epoch_seconds)
+_ATTR_STATE = StructType(
+    [
+        StructField("click_id", LongType()),
+        StructField("click_epoch", LongType()),
+    ]
+)
+
+
+def stream_attribution_last_touch(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``relational.q_attribution_last_touch``: each
+    purchase is credited to the user's most recent PRECEDING click,
+    where "preceding" correctly crosses micro-batch boundaries because
+    the last click is ONE (event_id, epoch) pair of keyed state —
+    O(users) state, independent of stream length (the batch operator's
+    running ignore-nulls last(), carried as state instead of a window
+    frame).
+
+    Rows in a micro-batch are concatenated across Arrow chunks and
+    sorted (ts, event_id) once, mirroring the batch window's total
+    order; purchases before any click emit NULL attribution (the
+    organic bucket), identical to the batch form.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: Any, pdfs: Any, state: GroupState):
+        click = state.get if state.exists else (None, None)
+        out: dict[str, list] = {
+            "user_id": [], "event_id": [], "attr_click_id": [], "secs_to_convert": [],
+        }
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for eid, et, ts in zip(
+                batch["event_id"], batch["event_type"], batch["ts"]
+            ):
+                epoch = int(pd.Timestamp(ts).value // 1_000_000_000)
+                if et == "purchase":
+                    out["user_id"].append(key[0])
+                    out["event_id"].append(eid)
+                    out["attr_click_id"].append(click[0])
+                    out["secs_to_convert"].append(
+                        None if click[1] is None else epoch - click[1]
+                    )
+                if et == "click":
+                    click = (int(eid), epoch)
+        if click[0] is not None:
+            state.update(click)
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_ATTR_SCHEMA,
+        stateStructType=_ATTR_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -553,3 +553,80 @@ def test_stream_bloom_prefilter_matches_batch_probe(spark, tmp_path):
         )
     )
     assert {r["content_sha"] for r in got_shuffled} == survivors
+
+
+def test_stream_attribution_matches_batch(spark, events_dir):
+    """Single-file source: streaming last-touch attribution equals the
+    batch window form row-for-row."""
+    from mapreduceimpl_spark.operators import relational
+
+    stream = streaming.read_events_stream(spark, events_dir)
+    got = {
+        r["event_id"]: (r["attr_click_id"], r["secs_to_convert"])
+        for r in _run_stream(
+            streaming.stream_attribution_last_touch(stream), mode="append"
+        )
+    }
+    batch_events = load_table(spark, SF, "events")
+    batch = {
+        r["event_id"]: (r["attr_click_id"], r["secs_to_convert"])
+        for r in relational.q_attribution_last_touch(
+            {"events": batch_events}
+        ).collect()
+    }
+    assert got == batch and len(got) > 0
+
+
+def test_stream_attribution_state_crosses_batches(spark, tmp_path):
+    """A click in micro-batch A must attribute a purchase in micro-batch
+    B — the single-pair state crossing the boundary."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "attr_two_batches"
+    d.mkdir()
+
+    def write(fname, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            d / fname,
+        )
+
+    write("a.parquet", [
+        (1, "2024-01-01 10:00:00", 7, "purchase", 1.0, "{}"),  # organic
+        (2, "2024-01-01 10:01:00", 7, "click", 1.0, "{}"),
+    ])
+    _time.sleep(0.05)
+    write("b.parquet", [
+        (3, "2024-01-01 10:03:00", 7, "purchase", 1.0, "{}"),  # -> click 2
+    ])
+    now = _time.time()
+    os.utime(d / "a.parquet", (now - 60, now - 60))
+    os.utime(d / "b.parquet", (now, now))
+
+    stream = streaming.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    got = {
+        r["event_id"]: (r["attr_click_id"], r["secs_to_convert"])
+        for r in _run_stream(
+            streaming.stream_attribution_last_touch(stream), mode="append"
+        )
+    }
+    assert got == {1: (None, None), 3: (2, 120)}
