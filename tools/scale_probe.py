@@ -376,10 +376,46 @@ def _probe_inverted_index(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_kmv(spark, sf_dir: str):
+    from mapreduceimpl_spark.operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = sketches.kmv_distinct(docs, k=256).count()
+    return time.time() - t0, n
+
+
+def _probe_bloom(spark, sf_dir: str):
+    from mapreduceimpl_spark.operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(F.sha2(F.col("text"), 256).alias("key"))
+    probes = docs.select(
+        F.col("doc_id").cast("string").alias("probe_id"),
+        F.sha2(F.col("text"), 256).alias("key"),
+    )
+    t0 = time.time()
+    bits = sketches.bloom_build(corpus, "key")
+    n = sketches.bloom_probe(bits, probes).count()
+    return time.time() - t0, n
+
+
+def _probe_attribution(spark, sf_dir: str):
+    from mapreduceimpl_spark.operators import relational
+
+    events = load_table(spark, sf_dir, "events")
+    t0 = time.time()
+    n = relational.q_attribution_last_touch({"events": events}).count()
+    return time.time() - t0, n
+
+
 PROBES = {
     "minhash": _probe_minhash,
     "prefix_filter": _probe_prefix_filter,
     "inverted_index": _probe_inverted_index,
+    "kmv": _probe_kmv,
+    "bloom": _probe_bloom,
+    "attribution": _probe_attribution,
     "minhash_verified": _probe_minhash_verified,
     "basket_rules": _probe_basket_rules,
     "rolling_active": _probe_rolling_active,
