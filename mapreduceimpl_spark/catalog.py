@@ -1350,6 +1350,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "udtf_chunks",
         "attribution_last_touch",
         "ab_test_report",
+        "k_anonymity",
     }
 )
 
@@ -4034,6 +4035,20 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "share ONE Exchange; opposite tiebreak directions + margin>0 "
             "keep only genuinely ordered pairs",
     ),
+    "k_anonymity": QuerySpec(
+        _rel(relational.q_k_anonymity),
+        """SELECT lang, source,
+                  LEAST(9, CAST(floor(n_chars / 100) AS BIGINT)) AS len_bucket,
+                  CAST(COUNT(*) AS BIGINT) AS class_size,
+                  COUNT(*) < 5 AS violates_k
+           FROM documents
+           GROUP BY lang, source, LEAST(9, CAST(floor(n_chars / 100) AS BIGINT))""",
+        doc="k-anonymity audit over quasi-identifiers (lang, source, "
+            "length bucket): every equivalence class with its size and "
+            "k=5 violation flag — the re-identification-risk measure "
+            "next to pii_scrub's direct-identifier redaction; one "
+            "Exchange on the quasi-identifier tuple",
+    ),
     "ab_test_report": QuerySpec(
         _rel(relational.q_ab_test_report),
         """WITH agg AS (
@@ -4380,7 +4395,7 @@ _ROUND4_ORDER = [
     "kmv_distinct", "bloom_membership", "dedup_prefix_filter", "length_buckets",
     "dq_expectations", "histogram_drift", "incremental_agg", "alignment_funnel",
     "centroid_similarity", "udtf_chunks", "attribution_last_touch",
-    "ab_test_report",
+    "ab_test_report", "k_anonymity",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

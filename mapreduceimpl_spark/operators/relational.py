@@ -2548,3 +2548,34 @@ def q_ab_test_report(t: dict[str, DataFrame]) -> DataFrame:
         z.alias("welch_z"),
         (F.abs(z) > 1.96).alias("significant_95"),
     )
+
+
+def q_k_anonymity(t: dict[str, DataFrame], k: int = 5) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the data-governance
+    counterpart of ``text_pii_scrub`` (that operator redacts direct
+    identifiers; this one measures RE-IDENTIFICATION risk from the
+    indirect ones): group documents by the quasi-identifier tuple
+    (lang, source, length decile) and report every equivalence class,
+    its size, and whether it violates k-anonymity (size < k — an
+    attacker who knows a target's quasi-identifiers can narrow them to
+    under k candidates).
+
+    The length decile uses fixed 100-char buckets (pure integer
+    arithmetic — portable), mirroring how real audits coarsen
+    continuous attributes before measuring.  One Exchange on the
+    quasi-identifier tuple; the violation summary is |classes| rows.
+    """
+    d = t["documents"]
+    bucket = F.least(F.lit(9), F.floor(F.col("n_chars") / 100).cast("long"))
+    classes = (
+        d.select("lang", "source", bucket.alias("len_bucket"))
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count("*").cast("long").alias("class_size"))
+    )
+    return classes.select(
+        "lang",
+        "source",
+        "len_bucket",
+        "class_size",
+        (F.col("class_size") < k).alias("violates_k"),
+    )

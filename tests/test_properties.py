@@ -321,3 +321,29 @@ def test_alignment_funnel_invariants(spark):
         assert meta[r["chosen_id"]] == (r["lang"], r["source"])
         assert meta[r["rejected_id"]] == (r["lang"], r["source"])
         assert r["margin"] > 0
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from mapreduceimpl_spark.operators.relational import q_k_anonymity
+
+    rows = (
+        [(i, "en", "web", 50) for i in range(10)]       # class of 10: safe
+        + [(100 + i, "fr", "web", 150) for i in range(2)]  # class of 2: violates
+    )
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "source", "n_chars"])
+    out = {
+        (r["lang"], r["len_bucket"]): r
+        for r in q_k_anonymity({"documents": d}, k=5).collect()
+    }
+    assert not out[("en", 0)]["violates_k"] and out[("en", 0)]["class_size"] == 10
+    assert out[("fr", 1)]["violates_k"] and out[("fr", 1)]["class_size"] == 2
+
+
+def test_k_anonymity_classes_partition_corpus(tables):
+    from pyspark.sql import functions as F
+
+    from mapreduceimpl_spark.operators.relational import q_k_anonymity
+
+    out = q_k_anonymity(tables).collect()
+    assert sum(r["class_size"] for r in out) == tables["documents"].count()
+    assert all(0 <= r["len_bucket"] <= 9 for r in out)
