@@ -1351,6 +1351,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "attribution_last_touch",
         "ab_test_report",
         "k_anonymity",
+        "mad_outliers",
     }
 )
 
@@ -4035,6 +4036,35 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "share ONE Exchange; opposite tiebreak directions + margin>0 "
             "keep only genuinely ordered pairs",
     ),
+    "mad_outliers": QuerySpec(
+        _rel(relational.q_mad_outliers),
+        """WITH med AS (
+             SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+             FROM lineitem GROUP BY l_returnflag
+           ),
+           dev AS (
+             SELECT l.l_returnflag, med,
+                    abs(l.l_quantity - med) AS dev
+             FROM lineitem l JOIN med USING (l_returnflag)
+           ),
+           mad AS (
+             SELECT l_returnflag, quantile_cont(dev, 0.5) AS mad
+             FROM dev GROUP BY l_returnflag
+           )
+           SELECT d.l_returnflag,
+                  MAX(d.med) AS median_qty,
+                  MAX(m.mad) AS mad,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_outliers
+           FROM dev d JOIN mad m USING (l_returnflag)
+           GROUP BY d.l_returnflag""",
+        doc="robust outlier detection: median + MAD per group (unmoved "
+            "by the outliers they hunt, unlike mean/stddev); integer "
+            "inputs keep every interpolated median binary-exact; three "
+            "broadcast-backed passes (persist the deviation projection "
+            "at scale)",
+    ),
     "k_anonymity": QuerySpec(
         _rel(relational.q_k_anonymity),
         """SELECT lang, source,
@@ -4395,7 +4425,7 @@ _ROUND4_ORDER = [
     "kmv_distinct", "bloom_membership", "dedup_prefix_filter", "length_buckets",
     "dq_expectations", "histogram_drift", "incremental_agg", "alignment_funnel",
     "centroid_similarity", "udtf_chunks", "attribution_last_touch",
-    "ab_test_report", "k_anonymity",
+    "ab_test_report", "k_anonymity", "mad_outliers",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

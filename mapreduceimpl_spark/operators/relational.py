@@ -2579,3 +2579,46 @@ def q_k_anonymity(t: dict[str, DataFrame], k: int = 5) -> DataFrame:
         "class_size",
         (F.col("class_size") < k).alias("violates_k"),
     )
+
+
+def q_mad_outliers(t: dict[str, DataFrame]) -> DataFrame:
+    """Robust per-group outlier detection via Median Absolute Deviation
+    — the heavy-tail-safe alternative to the z-score (``events_
+    running_anomaly``): median and MAD are unmoved by the outliers
+    they hunt, where mean/stddev are dragged toward them.
+
+    Portability fine print: l_quantity is integer-valued, so the
+    interpolated medians land on binary-exact points (x.0 / x.5), the
+    absolute deviations are half-integers, and the MAD lands on
+    quarter-integers — every comparison against 3*MAD is exact in both
+    engines (the same argument ``q_percentile`` documents).
+
+    Plan: three passes over the fact (group medians -> deviations ->
+    MAD -> outlier count), each a tiny aggregate BROADCAST back —
+    the honest cost of nested medians; at 100 TB persist the deviation
+    projection between passes 2 and 3.
+    """
+    li = t["lineitem"].select("l_returnflag", "l_quantity")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "dev", F.abs(F.col("l_quantity") - F.col("med"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("med").alias("median_qty"),
+            F.max("mad").alias("mad"),
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

@@ -347,3 +347,27 @@ def test_k_anonymity_classes_partition_corpus(tables):
     out = q_k_anonymity(tables).collect()
     assert sum(r["class_size"] for r in out) == tables["documents"].count()
     assert all(0 <= r["len_bucket"] <= 9 for r in out)
+
+
+def test_mad_outliers_hand_case(spark):
+    """Planted extreme values: MAD ignores them (median-based) while
+    flagging exactly the planted rows."""
+    from mapreduceimpl_spark.operators.relational import q_mad_outliers
+
+    vals = [10, 11, 12, 13, 14, 15, 16, 17, 18, 1000, 2000]
+    rows = [(i, "A", float(v)) for i, v in enumerate(vals)]
+    li = spark.createDataFrame(rows, ["rid", "l_returnflag", "l_quantity"])
+    out = q_mad_outliers({"lineitem": li}).collect()[0]
+    assert out["median_qty"] == 15.0   # unmoved by the two giants
+    assert out["mad"] == 3.0           # |x-15| medians at 3
+    assert out["n_outliers"] == 2      # only 1000 and 2000 exceed 15+9
+    assert out["n"] == 11
+
+
+def test_mad_outliers_fixture_robust(tables):
+    from mapreduceimpl_spark.operators.relational import q_mad_outliers
+
+    for r in q_mad_outliers(tables).collect():
+        # uniform 1..50 quantities: MAD ~ 12-13, no 3-MAD outliers
+        assert r["n_outliers"] == 0
+        assert 0 < r["mad"] <= 15
