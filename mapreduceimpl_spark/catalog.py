@@ -1352,6 +1352,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "ab_test_report",
         "k_anonymity",
         "mad_outliers",
+        "bootstrap_se",
     }
 )
 
@@ -4036,6 +4037,40 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "share ONE Exchange; opposite tiebreak directions + margin>0 "
             "keep only genuinely ordered pairs",
     ),
+    "bootstrap_se": QuerySpec(
+        lambda spark, sf_dir: sampling.bootstrap_se(
+            load_table(spark, sf_dir, "documents")
+        ),
+        f"""WITH weighted AS (
+             SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS v, b,
+                    {sampling.poisson_weight_sql(sampling.hash_uniform_sql("CAST(b AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)"))} AS w
+             FROM documents, unnest(range(1, 21)) AS t(b)
+           ),
+           means AS (
+             SELECT lang,
+                    round(CAST(SUM(w * v) AS DOUBLE)
+                          / CAST(SUM(w) AS DOUBLE), 9) AS m
+             FROM weighted GROUP BY lang, b
+             HAVING SUM(w) > 0
+           ),
+           agg AS (
+             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_boot,
+                    CAST(SUM(CAST(m AS DECIMAL(28,9))) AS DOUBLE) AS s1,
+                    CAST(SUM(CAST(round(m * m, 9) AS DECIMAL(28,9)))
+                         AS DOUBLE) AS s2
+             FROM means GROUP BY lang
+           )
+           SELECT lang, n_boot,
+                  round(s1 / n_boot, 6) AS boot_mean,
+                  round(sqrt((s2 - s1 * s1 / n_boot) / (n_boot - 1)), 6)
+                    AS boot_se
+           FROM agg""",
+        doc="Poisson-bootstrap SE of the per-language mean doc length: "
+            "deterministic Poisson(1) multiplicities from md5 uniforms "
+            "inverted through repr-pinned CDF thresholds (no global n, "
+            "no resample shuffle); resample means rounded then "
+            "decimal-folded so the SE is bit-identical across engines",
+    ),
     "mad_outliers": QuerySpec(
         _rel(relational.q_mad_outliers),
         """WITH med AS (
@@ -4425,7 +4460,7 @@ _ROUND4_ORDER = [
     "kmv_distinct", "bloom_membership", "dedup_prefix_filter", "length_buckets",
     "dq_expectations", "histogram_drift", "incremental_agg", "alignment_funnel",
     "centroid_similarity", "udtf_chunks", "attribution_last_touch",
-    "ab_test_report", "k_anonymity", "mad_outliers",
+    "ab_test_report", "k_anonymity", "mad_outliers", "bootstrap_se",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

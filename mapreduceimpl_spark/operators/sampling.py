@@ -369,3 +369,102 @@ def epoch_shuffle(
     )
     w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(key_col).asc())
     return df.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
+
+
+# Poisson(1) CDF thresholds for the deterministic bootstrap: weight w
+# is the smallest k with u < P(X <= k), capped at 5.  The repr() of
+# each constant is interpolated into BOTH engines' expressions, so the
+# CASE boundaries are bit-identical.
+_POISSON1_CDF = (
+    0.36787944117144233,  # P(0)
+    0.7357588823428847,   # P(<=1)
+    0.9196986029286058,   # P(<=2)
+    0.9810118431238462,   # P(<=3)
+    0.9963401531726563,   # P(<=4)
+)
+
+
+def _poisson_weight(u: Column) -> Column:
+    w: Column = F.lit(5)
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w.cast("long")
+
+
+def poisson_weight_sql(u_expr: str) -> str:
+    """DuckDB mirror of :func:`_poisson_weight`."""
+    cases = " ".join(
+        f"WHEN ({u_expr}) < {c!r} THEN {k}"
+        for k, c in enumerate(_POISSON1_CDF)
+    )
+    return f"CASE {cases} ELSE 5 END"
+
+
+def bootstrap_se(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    n_boot: int = 20,
+) -> DataFrame:
+    """Bootstrap standard error of the per-stratum mean — uncertainty
+    quantification for corpus statistics WITHOUT distributional
+    assumptions, in one distributed pass.
+
+    The classic bootstrap resamples n rows with replacement; the
+    distributed form is the POISSON BOOTSTRAP (each row enters
+    resample b with an independent Poisson(1) multiplicity — the
+    large-n limit of Binomial(n, 1/n)), which needs no global count
+    and no shuffle of the resample itself.  Multiplicities are
+    DETERMINISTIC: the md5 uniform of (b, key) inverted through the
+    Poisson(1) CDF — rerun-/engine-/partition-stable like every
+    sampler here.
+
+    Portability: each resample mean is one division of a DECIMAL-
+    routed weighted sum by an exact weight total, ROUNDED at 9; the
+    across-resample variance folds those rounded means through decimal
+    moments, so the SE is bit-identical across engines.  Plan: the
+    corpus explodes x n_boot (the honest cost — n_boot is small), one
+    Exchange on (stratum, b), then a |strata| x n_boot -> |strata|
+    re-aggregate.
+    """
+    b = F.explode(F.sequence(F.lit(1), F.lit(n_boot))).alias("b")
+    u = hash_uniform(
+        F.concat(F.col("b").cast("string"), F.lit(":"), F.col(key_col).cast("string"))
+    )
+    weighted = (
+        df.select(strata_col, key_col, F.col(value_col).cast("long").alias("v"), b)
+        .withColumn("w", _poisson_weight(u))
+    )
+    means = (
+        weighted.groupBy(strata_col, "b")
+        .agg(
+            F.sum(F.col("w") * F.col("v")).cast("long").alias("wsum"),
+            F.sum("w").cast("long").alias("wtot"),
+        )
+        .filter(F.col("wtot") > 0)
+        .select(
+            strata_col,
+            F.round(F.col("wsum").cast("double") / F.col("wtot").cast("double"), 9)
+            .alias("m"),
+        )
+    )
+
+    def dsum(expr: Column) -> Column:
+        return F.sum(expr.cast("decimal(28,9)")).cast("double")
+
+    agg = means.groupBy(strata_col).agg(
+        F.count("*").cast("long").alias("n_boot"),
+        dsum(F.col("m")).alias("s1"),
+        dsum(F.round(F.col("m") * F.col("m"), 9)).alias("s2"),
+    )
+    se = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_boot"))
+        / (F.col("n_boot") - 1)
+    )
+    return agg.select(
+        strata_col,
+        "n_boot",
+        F.round(F.col("s1") / F.col("n_boot"), 6).alias("boot_mean"),
+        F.round(se, 6).alias("boot_se"),
+    )

@@ -492,3 +492,42 @@ def test_length_buckets_hand_case(spark):
     assert rows[1]["padding_waste"] == 0
     assert rows[2]["padding_waste"] == 4  # pad the 4-token doc to 8
     assert rows[2]["pad_frac"] == 4.0 / 16.0
+
+
+def test_bootstrap_se_statistical_sanity(docs):
+    """The bootstrap SE of a mean over n uniform-ish docs should land
+    near sigma/sqrt(n) — within a loose factor, since B=20."""
+    import statistics
+
+    rows = docs.select("lang", "n_chars").collect()
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    out = {r["lang"]: r for r in sampling.bootstrap_se(docs).collect()}
+    for lang, vals in by_lang.items():
+        r = out[lang]
+        assert r["n_boot"] == 20
+        true_mean = statistics.mean(vals)
+        theo_se = statistics.pstdev(vals) / math.sqrt(len(vals))
+        assert abs(r["boot_mean"] - true_mean) < 5 * theo_se
+        assert theo_se / 3 < r["boot_se"] < theo_se * 3
+
+
+def test_bootstrap_se_deterministic_across_partitioning(docs):
+    a = sorted(map(tuple, sampling.bootstrap_se(docs).collect()))
+    b = sorted(map(tuple, sampling.bootstrap_se(docs.repartition(9)).collect()))
+    assert a == b
+
+
+def test_poisson_weights_distribution(docs):
+    """Mean multiplicity ~ 1 and weights bounded by the CDF cap."""
+    from pyspark.sql import functions as F
+
+    b = F.explode(F.sequence(F.lit(1), F.lit(20))).alias("b")
+    u = sampling.hash_uniform(
+        F.concat(F.col("b").cast("string"), F.lit(":"), F.col("doc_id").cast("string"))
+    )
+    w = docs.select("doc_id", b).select(sampling._poisson_weight(u).alias("w"))
+    stats = w.agg(F.count("*").alias("n"), F.sum("w").alias("s"), F.max("w").alias("mx")).collect()[0]
+    assert stats["mx"] <= 5
+    assert abs(stats["s"] / stats["n"] - 1.0) < 0.05
