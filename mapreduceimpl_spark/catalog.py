@@ -628,20 +628,21 @@ def _q_alignment_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _alignment_funnel_oracle() -> str:
-    u = sampling.hash_uniform_sql("'split-v1:' || CAST(chosen_id AS VARCHAR)")
-    return f"""
-WITH cf AS MATERIALIZED (
-  SELECT doc_id FROM ({_corpus_filter_oracle()}) WHERE keep
-),
-kept AS (SELECT d.* FROM documents d JOIN cf USING (doc_id)),
-keepers AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY sha256(text)),
-surviving AS (SELECT k.* FROM kept k JOIN keepers USING (doc_id)),
-base AS (
-  SELECT doc_id, lang, source,
-         CAST(len(list_distinct({_TOKS})) AS DOUBLE)
-           / CAST(len({_TOKS}) AS DOUBLE) AS diversity
-  FROM surviving
+def _preference_pairs_sql(source: str) -> str:
+    """Shared base/r/pairs CTE body of the DPO preference-pair oracle
+    over ``source`` — ONE SQL copy of the diversity definition,
+    tiebreak directions, and margin gate serves both the standalone
+    ``preference_pairs`` entry and the alignment funnel (the
+    ``_chunk_sql`` pattern).  NULL-diversity docs are excluded before
+    ranking, mirroring the Spark operator (engines disagree on null
+    sort order)."""
+    return f"""base AS (
+  SELECT doc_id, lang, source, diversity FROM (
+    SELECT doc_id, lang, source,
+           CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+             / CAST(len({_TOKS}) AS DOUBLE) AS diversity
+    FROM {source}
+  ) WHERE diversity IS NOT NULL
 ),
 r AS (
   SELECT *,
@@ -654,11 +655,24 @@ r AS (
 pairs AS (
   SELECT c.lang, c.source,
          c.doc_id AS chosen_id, j.doc_id AS rejected_id,
+         c.diversity AS chosen_score, j.diversity AS rejected_score,
          c.diversity - j.diversity AS margin
   FROM (SELECT * FROM r WHERE rd = 1) c
   JOIN (SELECT * FROM r WHERE ra = 1) j USING (lang, source)
   WHERE c.diversity > j.diversity
-)
+)"""
+
+
+def _alignment_funnel_oracle() -> str:
+    u = sampling.hash_uniform_sql("'split-v1:' || CAST(chosen_id AS VARCHAR)")
+    return f"""
+WITH cf AS MATERIALIZED (
+  SELECT doc_id FROM ({_corpus_filter_oracle()}) WHERE keep
+),
+kept AS (SELECT d.* FROM documents d JOIN cf USING (doc_id)),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY sha256(text)),
+surviving AS (SELECT k.* FROM kept k JOIN keepers USING (doc_id)),
+{_preference_pairs_sql('surviving')}
 SELECT lang, source, chosen_id, rejected_id, margin,
        CASE WHEN {u} < 0.9 THEN 'train'
             WHEN {u} < {0.9 + 0.05!r} THEN 'val'
@@ -4011,27 +4025,10 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
         lambda spark, sf_dir: text_analysis.preference_pairs(
             load_table(spark, sf_dir, "documents")
         ),
-        f"""WITH base AS (
-             SELECT doc_id, lang, source,
-                    CAST(len(list_distinct({_TOKS})) AS DOUBLE)
-                      / CAST(len({_TOKS}) AS DOUBLE) AS diversity
-             FROM documents
-           ),
-           r AS (
-             SELECT *,
-                    ROW_NUMBER() OVER (PARTITION BY lang, source
-                                       ORDER BY diversity DESC, doc_id ASC) AS rd,
-                    ROW_NUMBER() OVER (PARTITION BY lang, source
-                                       ORDER BY diversity ASC, doc_id DESC) AS ra
-             FROM base
-           )
-           SELECT c.lang, c.source,
-                  c.doc_id AS chosen_id, j.doc_id AS rejected_id,
-                  c.diversity AS chosen_score, j.diversity AS rejected_score,
-                  c.diversity - j.diversity AS margin
-           FROM (SELECT * FROM r WHERE rd = 1) c
-           JOIN (SELECT * FROM r WHERE ra = 1) j USING (lang, source)
-           WHERE c.diversity > j.diversity""",
+        f"""WITH {_preference_pairs_sql('documents')}
+           SELECT lang, source, chosen_id, rejected_id,
+                  chosen_score, rejected_score, margin
+           FROM pairs""",
         doc="DPO-style preference pairs: per (lang, source) group, "
             "highest- vs lowest-diversity doc; two row_number windows "
             "share ONE Exchange; opposite tiebreak directions + margin>0 "

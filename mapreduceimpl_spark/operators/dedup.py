@@ -1145,7 +1145,15 @@ def prefix_filter_pairs(
         )
     )
     n_sh = F.size("ordered")
-    p = (n_sh - F.ceil(F.lit(min_jaccard) * n_sh) + 1).cast("int")
+    # required overlap o = ceil(t*|S|) computed EPSILON-SAFE: when
+    # t*|S| is mathematically integral, IEEE can land a hair above the
+    # integer (0.1*30 = 3.0000000000000004) and ceil would overshoot,
+    # shortening the prefix by one and losing qualifying pairs; the
+    # 1e-9 nudge can only LENGTHEN the prefix — recall-safe, and the
+    # exact verify step keeps precision exact
+    p = (
+        n_sh - F.ceil(F.lit(min_jaccard) * n_sh - F.lit(1e-9)) + 1
+    ).cast("int")
     pref = sets.select(
         "doc_id",
         F.explode(

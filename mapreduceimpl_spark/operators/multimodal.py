@@ -107,11 +107,20 @@ def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
             return ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "webp")
         return None
     if payload[:2] == b"BM" and len(payload) >= 26:
-        # BITMAPINFOHEADER: int32 LE width at 18, height at 22; a
-        # negative height means top-down row order — magnitude is the
-        # pixel height either way
-        w = int.from_bytes(payload[18:22], "little", signed=True)
-        h = int.from_bytes(payload[22:26], "little", signed=True)
+        # DIB header size at 14 distinguishes the families: >= 40
+        # (BITMAPINFOHEADER and successors) stores int32 LE dims at
+        # 18/22 (negative height = top-down row order); the 12-byte
+        # OS/2 BITMAPCOREHEADER stores uint16 dims at 18/20 — reading
+        # it as int32 would weld width and height into garbage
+        dib = int.from_bytes(payload[14:18], "little")
+        if dib >= 40:
+            w = int.from_bytes(payload[18:22], "little", signed=True)
+            h = int.from_bytes(payload[22:26], "little", signed=True)
+        elif dib == 12:
+            w = int.from_bytes(payload[18:20], "little")
+            h = int.from_bytes(payload[20:22], "little")
+        else:
+            return None
         if w <= 0 or h == 0:
             return None
         return (w, abs(h), "bmp")

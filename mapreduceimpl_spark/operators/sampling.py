@@ -303,6 +303,11 @@ def temperature_mix(
     """
     from pyspark.sql import Window
 
+    # NULL strata are excluded EXPLICITLY: the equi-join below would
+    # silently drop them anyway (NULL never equals NULL) while the
+    # counts aggregate still priced them into n_min — filter first so
+    # "dropped" is a documented contract, not a join artifact
+    df = df.filter(F.col(strata_col).isNotNull())
     counts = df.groupBy(strata_col).agg(F.count("*").alias("n"))
     rates = counts.withColumn(
         "n_min", F.min("n").over(Window.partitionBy())

@@ -1019,7 +1019,10 @@ def preference_pairs(docs: DataFrame) -> DataFrame:
             F.size(F.array_distinct(toks)).cast("double")
             / F.size(toks).cast("double")
         ).alias("diversity"),
-    )
+    ).filter(F.col("diversity").isNotNull())
+    # NULL-diversity docs (null text) are excluded BEFORE ranking:
+    # Spark sorts nulls first on ASC while DuckDB defaults nulls last,
+    # so a null row would hijack the rejected slot in one engine only
     w_chosen = Window.partitionBy("lang", "source").orderBy(
         F.col("diversity").desc(), F.col("doc_id").asc()
     )

@@ -149,6 +149,11 @@ def udtf_chunk_documents(
 
     from pyspark.sql.functions import udtf
 
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"udtf_chunk_documents: need 0 <= overlap < chunk_tokens, "
+            f"got overlap={overlap} chunk_tokens={chunk_tokens}"
+        )
     stride = chunk_tokens - overlap
 
     @udtf(returnType="chunk_idx: bigint, chunk_text: string, n_tokens: bigint")

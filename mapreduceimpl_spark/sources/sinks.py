@@ -197,21 +197,21 @@ def compact_files(
 
     Read -> coalesce (NARROW: merges partitions without a shuffle;
     the rewrite moves bytes once) -> write to a sibling staging dir ->
-    atomic-ish swap (staging rename after the write commits).  Returns
-    the compacted file count.  For partitioned/bucketed layouts,
-    compact per partition directory instead so layout metadata
-    survives.
+    two renames (old aside, staging in, old removed LAST) so a crash
+    at any step leaves the data reachable under either the live or the
+    __old path — never a window where the dataset exists nowhere.
+    Returns the compacted file count.  For partitioned/bucketed
+    layouts, compact per partition directory instead so layout
+    metadata survives.
     """
     import os
     import shutil
 
     df = spark.read.format(fmt).load(path)
-    staging = path.rstrip("/") + "__compacting"
+    base = path.rstrip("/")
+    staging, old = base + "__compacting", base + "__old"
     df.coalesce(target_files).write.format(fmt).mode("overwrite").save(staging)
-    shutil.rmtree(path)
+    os.rename(path, old)
     os.rename(staging, path)
-    return sum(
-        1
-        for f in os.listdir(path)
-        if f.endswith(f".{fmt}") or (fmt == "parquet" and f.endswith(".parquet"))
-    )
+    shutil.rmtree(old)
+    return sum(1 for f in os.listdir(path) if f.endswith(f".{fmt}"))

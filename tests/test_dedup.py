@@ -721,3 +721,26 @@ def test_prefix_filter_hand_case(spark):
     r = rows[0]
     assert (r["doc_a"], r["doc_b"]) == (1, 2)
     assert r["jaccard"] == 3.0 / 5.0
+
+
+def test_prefix_filter_integral_threshold_boundary(spark):
+    """min_jaccard where t*|S| is mathematically integral (0.1*30=3):
+    IEEE rounds 0.1*30 a hair ABOVE 3, and a naive ceil would shorten
+    the prefix by one and lose boundary pairs — the epsilon-safe
+    overlap must keep output == the exact inverted-index answer."""
+    # 32-token docs -> 30 distinct trigram shingles each
+    base = [f"t{i}" for i in range(32)]
+    other = [f"u{i}" for i in range(32)]
+    df = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(base[:16] + other[16:])), (3, " ".join(other))],
+        ["doc_id", "text"],
+    )
+    a = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.prefix_filter_pairs(df, min_jaccard=0.1).collect()
+    }
+    b = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, min_jaccard=0.1).collect()
+    }
+    assert a == b and len(a) > 0

@@ -328,10 +328,20 @@ def test_null_payload_and_text_do_not_crash(spark):
 
 
 def _bmp(w: int, h: int) -> bytes:
+    # BITMAPINFOHEADER (DIB size 40): int32 LE dims at offsets 18/22
+    return (
+        b"BM" + (26).to_bytes(4, "little") + b"\x00" * 4 + (26).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little", signed=True)
+    )
+
+
+def _bmp_core(w: int, h: int) -> bytes:
+    # OS/2 BITMAPCOREHEADER (DIB size 12): uint16 dims at offsets 18/20
     return (
         b"BM" + (26).to_bytes(4, "little") + b"\x00" * 4 + (26).to_bytes(4, "little")
         + (12).to_bytes(4, "little")
-        + w.to_bytes(4, "little") + h.to_bytes(4, "little", signed=True)
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 4
     )
 
 
@@ -363,6 +373,8 @@ def test_bmp_header_parses():
     # top-down BMP stores negative height
     assert multimodal.parse_image_header(_bmp(640, -480)) == (640, 480, "bmp")
     assert multimodal.parse_image_header(b"BM" + b"\x00" * 10) is None
+    # OS/2 core header: uint16 fields, not int32
+    assert multimodal.parse_image_header(_bmp_core(100, 100)) == (100, 100, "bmp")
 
 
 def test_tiff_header_parses_both_byte_orders():

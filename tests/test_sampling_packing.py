@@ -531,3 +531,14 @@ def test_poisson_weights_distribution(docs):
     stats = w.agg(F.count("*").alias("n"), F.sum("w").alias("s"), F.max("w").alias("mx")).collect()[0]
     assert stats["mx"] <= 5
     assert abs(stats["s"] / stats["n"] - 1.0) < 0.05
+
+
+def test_temperature_mix_null_stratum_dropped_explicitly(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, None), (4, "fr")], ["doc_id", "lang"]
+    )
+    out = sampling.temperature_mix(df)
+    assert out.filter(F.col("lang").isNull()).count() == 0
+    # the null rows also don't distort n_min for the real strata
+    rates = {r["lang"]: r["keep_rate"] for r in out.select("lang", "keep_rate").distinct().collect()}
+    assert rates.get("fr") == 1.0  # fr (n=1) is the smallest REAL stratum

@@ -553,3 +553,21 @@ def test_preference_pairs_chosen_beats_rejected(docs):
         assert r["chosen_score"] > r["rejected_score"]
         assert r["chosen_id"] != r["rejected_id"]
         assert r["margin"] > 0
+
+
+def test_preference_pairs_null_text_excluded(spark):
+    """A null-text doc must not hijack the rejected slot (Spark sorts
+    nulls first on ASC; DuckDB defaults nulls last)."""
+    from mapreduceimpl_spark.operators.text_analysis import preference_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "web", "a b c d"),
+            (2, "en", "web", "a a a a"),
+            (3, "en", "web", None),
+        ],
+        ["doc_id", "lang", "source", "text"],
+    )
+    rows = preference_pairs(df).collect()
+    assert len(rows) == 1
+    assert (rows[0]["chosen_id"], rows[0]["rejected_id"]) == (1, 2)

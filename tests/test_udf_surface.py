@@ -140,3 +140,12 @@ def test_udtf_chunks_null_and_short_edges(spark):
     # null -> one empty 1-token chunk; 2 tokens -> one chunk;
     # 70 tokens -> chunks at 0 and 56 (stride 56), second has 14
     assert rows == [(1, 0, 1), (2, 0, 2), (3, 0, 64), (3, 1, 14)]
+
+
+def test_udtf_chunks_rejects_bad_overlap(spark, docs):
+    import pytest as _pytest
+
+    from mapreduceimpl_spark.operators.udf_surface import udtf_chunk_documents
+
+    with _pytest.raises(ValueError):
+        udtf_chunk_documents(spark, docs, chunk_tokens=64, overlap=64)
