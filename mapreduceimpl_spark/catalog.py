@@ -1367,6 +1367,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "k_anonymity",
         "mad_outliers",
         "bootstrap_se",
+        "cuped_adjustment",
     }
 )
 
@@ -4034,6 +4035,47 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "share ONE Exchange; opposite tiebreak directions + margin>0 "
             "keep only genuinely ordered pairs",
     ),
+    "cuped_adjustment": QuerySpec(
+        _rel(relational.q_cuped_adjustment),
+        """WITH users AS (
+             SELECT user_id,
+                    COALESCE(CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                                           THEN CAST(value AS DECIMAL(28,4)) END)
+                                  AS DOUBLE), 0.0) AS x,
+                    COALESCE(CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                                           THEN CAST(value AS DECIMAL(28,4)) END)
+                                  AS DOUBLE), 0.0) AS y
+             FROM events GROUP BY user_id
+           ),
+           m AS (
+             SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+                    CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+                    CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(28,6)))
+                         AS DOUBLE) AS sxx,
+                    CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(28,6)))
+                         AS DOUBLE) AS sxy
+             FROM users
+           ),
+           adj AS (
+             SELECT user_id % 2 = 0 AS arm_a, y,
+                    round(y - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                              * (x - sx / n), 6) AS y_adj,
+                    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta
+             FROM users, m
+           )
+           SELECT arm_a, CAST(COUNT(*) AS BIGINT) AS n_users,
+                  round(CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE)
+                        / COUNT(*), 6) AS mean_post,
+                  round(CAST(SUM(CAST(y_adj AS DECIMAL(28,6))) AS DOUBLE)
+                        / COUNT(*), 6) AS mean_adjusted,
+                  round(MAX(theta), 6) AS theta
+           FROM adj GROUP BY arm_a""",
+        doc="CUPED variance reduction (Deng et al. WSDM'13): post-period "
+            "user metrics adjusted by pre-period covariates, theta from "
+            "pooled decimal-routed moments broadcast back in 1 row; the "
+            "experiment-sensitivity booster next to ab_test_report",
+    ),
     "bootstrap_se": QuerySpec(
         lambda spark, sf_dir: sampling.bootstrap_se(
             load_table(spark, sf_dir, "documents")
@@ -4458,6 +4500,7 @@ _ROUND4_ORDER = [
     "dq_expectations", "histogram_drift", "incremental_agg", "alignment_funnel",
     "centroid_similarity", "udtf_chunks", "attribution_last_touch",
     "ab_test_report", "k_anonymity", "mad_outliers", "bootstrap_se",
+    "cuped_adjustment",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

@@ -2622,3 +2622,78 @@ def q_mad_outliers(t: dict[str, DataFrame]) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+def q_cuped_adjustment(t: dict[str, DataFrame]) -> DataFrame:
+    """CUPED variance reduction for the A/B readout (Deng et al.
+    WSDM'13, the industry-standard experiment sensitivity boost):
+    each user's POST-period metric is adjusted by their PRE-period
+    covariate, ``y_adj = y - theta * (x - mean(x))`` with
+    ``theta = cov(x, y) / var(x)`` pooled over all users — removing
+    the between-user variance the experiment didn't cause.
+
+    Pipeline: one pass builds per-user (pre, post) decimal sums
+    (conditional aggregation on the Jan-16 cutoff, one user_id
+    Exchange); a 1-row pooled-moments aggregate broadcasts theta and
+    mean(x) back; per-arm means fold in a final 2-row aggregate.
+    Portability: per-user sums are decimal-routed; cross products are
+    ROUNDED AT 6 then decimal-summed; theta/means are fixed arithmetic
+    trees over identical doubles, rounded at 6 on emit.
+    """
+    e = t["events"]
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+
+    def dsum(cond):
+        return F.coalesce(
+            F.sum(F.when(cond, F.col("value")).cast("decimal(28,4)")).cast("double"),
+            F.lit(0.0),
+        )
+
+    users = e.groupBy("user_id").agg(
+        dsum(F.col("ts") < cutoff).alias("x"),
+        dsum(F.col("ts") >= cutoff).alias("y"),
+    )
+    moments = users.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,4)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,4)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    with_theta = users.crossJoin(F.broadcast(moments)).select(
+        "user_id",
+        "x",
+        "y",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("theta"),
+        (F.col("sx") / F.col("n")).alias("mean_x"),
+    )
+    adj = with_theta.withColumn(
+        "y_adj",
+        F.round(
+            F.col("y") - F.col("theta") * (F.col("x") - F.col("mean_x")), 6
+        ),
+    ).withColumn("arm_a", F.col("user_id") % 2 == 0)
+    return (
+        adj.groupBy("arm_a")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.round(
+                F.sum(F.col("y").cast("decimal(28,4)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_post"),
+            F.round(
+                F.sum(F.col("y_adj").cast("decimal(28,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_adjusted"),
+            F.round(F.max("theta"), 6).alias("theta"),
+        )
+    )

