@@ -596,6 +596,36 @@ ANNOTATED = {
         "groups x dims centroid table (hundreds of rows), products "
         "rounded-then-decimal-summed."
     ),
+    "attribution_last_touch": (
+        "Last-touch attribution: ONE user_id window Exchange with a "
+        "running ignore-nulls last() over an unbounded-preceding "
+        "frame — no purchase-vs-click-history self-join."
+    ),
+    "ab_test_report": (
+        "A/B readout: both arms fold in ONE conditional-aggregation "
+        "pass over a single event_type Exchange; Welch z is driver-free "
+        "arithmetic on the 5-row aggregate."
+    ),
+    "bootstrap_se": (
+        "Poisson bootstrap: the corpus explodes x20 (the honest "
+        "resampling cost), one Exchange on (lang, b), then a "
+        "|strata| x 20 -> |strata| re-aggregate; no global count, no "
+        "resample shuffle, no driver randomness."
+    ),
+    "mad_outliers": (
+        "Robust outliers: three passes over the fact, each reduced to "
+        "a tiny aggregate BROADCAST back (group medians, MAD, outlier "
+        "count) — the honest cost of nested medians."
+    ),
+    "cuped_adjustment": (
+        "CUPED: per-user (pre, post) sums in one user_id Exchange; "
+        "pooled moments are a 1-row broadcast carrying theta and "
+        "mean(x) back; per-arm means fold in a final 2-row aggregate."
+    ),
+    "k_anonymity": (
+        "Privacy audit: one Exchange on the quasi-identifier tuple; "
+        "the violation report is |equivalence classes| rows."
+    ),
 }
 
 
