@@ -24,6 +24,11 @@ rotates in the 37 entries whose most recent driver row is round 2
 (they sat past round 3's 50-entry window; the last two of those plus
 the padding land just past this window and lead round 5), and keeps
 everything hash-verified in round 3 in the tail.
+ROUND-5 HANDOFF: rebuild SPECS order so the 44 entries in
+``DEFERRED_TO_NEXT_ROUND`` (sessions 2-4 additions, all locally
+oracle-PASS at sf0.01 AND sf0.1 via tools/check_oracle.py) occupy
+positions 1-44; pad 45-49 with already-green entries;
+tests/test_catalog_contract.py enforces both directions.
 Union across rounds = full-catalog driver verification.  The bench set
 is pinned to the round-2 execution order (``_BENCH_ORDER``) so
 per-query timings stay comparable across rounds regardless of window
