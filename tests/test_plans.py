@@ -1034,3 +1034,83 @@ def test_join_strategy_hints_reach_the_planner(spark, tables):
         F.broadcast(orders), li.l_orderkey == orders.o_orderkey
     )
     assert "BroadcastHashJoin" in explain_str(bcast, "simple")
+
+
+def test_session4_operator_shuffle_budgets(spark, tables, docs, embeddings):
+    """Exchange budgets for the session-4 additions — each operator's
+    documented shuffle count, held as a regression gate."""
+    from mapreduceimpl_spark.operators import packing, sampling, sketches, text_analysis
+    from mapreduceimpl_spark.plans import explain_str
+
+    base = docs.select("doc_id", "lang")
+
+    # zero-shuffle narrow transforms
+    for df in (
+        sampling.kfold_assign(base, k=5),
+        sampling.train_val_test_split(base),
+    ):
+        assert explain_str(df, "simple").count("Exchange") == 0
+
+    # one window Exchange
+    plan = explain_str(
+        sampling.epoch_shuffle(docs.select("doc_id", "source")), "simple"
+    )
+    assert plan.count("Exchange") == 1, plan
+
+    # attribution: one user_id window Exchange
+    plan = explain_str(relational.q_attribution_last_touch(tables), "simple")
+    assert plan.count("Exchange") == 1, plan
+
+    # conversation assembly: one user_id Exchange, partial agg map-side
+    plan = explain_str(relational.q_conversation_build(tables), "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "partial" in plan
+
+    # length bucketing: window + re-agg cluster on the same key -> 1
+    plan = explain_str(packing.length_buckets(docs), "simple")
+    assert plan.count("Exchange") == 1, plan
+
+    # A/B readout: both arms in one conditional pass -> 1 Exchange
+    plan = explain_str(relational.q_ab_test_report(tables), "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_vocab_coverage_topk_and_broadcast(docs):
+    """The vocabulary selection must be TakeOrderedAndProject (never a
+    single-partition window sort) and must BROADCAST onto the token
+    stream."""
+    from mapreduceimpl_spark.operators.text_analysis import vocab_coverage
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(vocab_coverage(docs), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_temperature_mix_corpus_never_shuffles(docs):
+    """The corpus side joins the tiny rates table via broadcast; the
+    only Exchanges feed the |strata| counts aggregate and its global
+    MIN — never the corpus rows."""
+    from mapreduceimpl_spark.operators.sampling import temperature_mix
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(temperature_mix(docs.select("doc_id", "lang")), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bloom_probe_broadcasts_bits(docs):
+    from pyspark.sql import functions as F
+
+    from mapreduceimpl_spark.operators import sketches
+    from mapreduceimpl_spark.plans import explain_str
+
+    corpus = docs.select(F.sha2(F.col("text"), 256).alias("key"))
+    bits = sketches.bloom_build(corpus, "key", m_bits=2048, n_hashes=3)
+    probes = docs.select(
+        F.col("doc_id").cast("string").alias("probe_id"),
+        F.sha2(F.col("text"), 256).alias("key"),
+    )
+    plan = explain_str(
+        sketches.bloom_probe(bits, probes, m_bits=2048, n_hashes=3), "simple"
+    )
+    assert "BroadcastHashJoin" in plan, plan
