@@ -24,11 +24,13 @@ rotates in the 37 entries whose most recent driver row is round 2
 (they sat past round 3's 50-entry window; the last two of those plus
 the padding land just past this window and lead round 5), and keeps
 everything hash-verified in round 3 in the tail.
-ROUND-5 HANDOFF: rebuild SPECS order so the 44 entries in
-``DEFERRED_TO_NEXT_ROUND`` (sessions 2-4 additions, all locally
-oracle-PASS at sf0.01 AND sf0.1 via tools/check_oracle.py) occupy
-positions 1-44; pad 45-49 with already-green entries;
-tests/test_catalog_contract.py enforces both directions.
+ROUND-5 HANDOFF: rebuild SPECS order so every entry in
+``DEFERRED_TO_NEXT_ROUND`` (sessions 3-4 additions, all locally
+oracle-PASS at sf0.01 AND sf0.1 via tools/check_oracle.py — count it
+with len(), don't trust a stale number here) occupies the window head,
+padding the remaining slots up to VERIFICATION_WINDOW with
+already-green entries; tests/test_catalog_contract.py enforces both
+directions and tools/rotation_report.py shows the live state.
 Union across rounds = full-catalog driver verification.  The bench set
 is pinned to the round-2 execution order (``_BENCH_ORDER``) so
 per-query timings stay comparable across rounds regardless of window
@@ -3958,7 +3960,8 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
         lambda spark, sf_dir: sampling.temperature_mix(
             load_table(spark, sf_dir, "documents").select("doc_id", "lang")
         ).select("doc_id", "lang", "keep_rate"),
-        f"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        f"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+                      WHERE lang IS NOT NULL GROUP BY lang),
            r AS (
              SELECT lang,
                     sqrt(CAST((SELECT MIN(n) FROM c) AS DOUBLE))
@@ -4103,10 +4106,12 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
                     CAST(SUM(CAST(round(m * m, 9) AS DECIMAL(28,9)))
                          AS DOUBLE) AS s2
              FROM means GROUP BY lang
+             HAVING COUNT(*) > 1
            )
            SELECT lang, n_boot,
                   round(s1 / n_boot, 6) AS boot_mean,
-                  round(sqrt((s2 - s1 * s1 / n_boot) / (n_boot - 1)), 6)
+                  round(sqrt(GREATEST((s2 - s1 * s1 / n_boot)
+                                      / (n_boot - 1), 0.0)), 6)
                     AS boot_se
            FROM agg""",
         doc="Poisson-bootstrap SE of the per-language mean doc length: "

@@ -2664,13 +2664,16 @@ def q_cuped_adjustment(t: dict[str, DataFrame]) -> DataFrame:
         .cast("double")
         .alias("sxy"),
     )
+    # zero pre-period variance (all x identical / all zero) must yield
+    # NULL theta like DuckDB's x/0, not an ANSI DIVIDE_BY_ZERO crash
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     with_theta = users.crossJoin(F.broadcast(moments)).select(
         "user_id",
         "x",
         "y",
-        (
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        F.when(
+            denom != 0,
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom,
         ).alias("theta"),
         (F.col("sx") / F.col("n")).alias("mean_x"),
     )

@@ -458,14 +458,21 @@ def bootstrap_se(
     def dsum(expr: Column) -> Column:
         return F.sum(expr.cast("decimal(28,9)")).cast("double")
 
+    # n_boot > 1 guards the (n-1) divisor (a 1-doc stratum can lose 19
+    # of 20 resamples to weight 0 — ANSI Spark would crash, DuckDB
+    # would NULL); GREATEST(.., 0) clamps the ~-1e-9 the rounded-m*m
+    # folding can leave, where Spark's sqrt(neg)=NaN but DuckDB ERRORS
     agg = means.groupBy(strata_col).agg(
         F.count("*").cast("long").alias("n_boot"),
         dsum(F.col("m")).alias("s1"),
         dsum(F.round(F.col("m") * F.col("m"), 9)).alias("s2"),
-    )
+    ).filter(F.col("n_boot") > 1)
     se = F.sqrt(
-        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_boot"))
-        / (F.col("n_boot") - 1)
+        F.greatest(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_boot"))
+            / (F.col("n_boot") - 1),
+            F.lit(0.0),
+        )
     )
     return agg.select(
         strata_col,

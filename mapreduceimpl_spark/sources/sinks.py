@@ -207,9 +207,19 @@ def compact_files(
     import os
     import shutil
 
-    df = spark.read.format(fmt).load(path)
     base = path.rstrip("/")
     staging, old = base + "__compacting", base + "__old"
+    # crash recovery from a previous interrupted run, so the pass is
+    # RE-RUNNABLE: a crash between the two renames leaves the data only
+    # under __old (restore it); leftover __old/__compacting dirs from a
+    # crash after the swap are stale and must not block the renames
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    for stale in (staging, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+
+    df = spark.read.format(fmt).load(path)
     df.coalesce(target_files).write.format(fmt).mode("overwrite").save(staging)
     os.rename(path, old)
     os.rename(staging, path)

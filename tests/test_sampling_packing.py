@@ -542,3 +542,16 @@ def test_temperature_mix_null_stratum_dropped_explicitly(spark):
     # the null rows also don't distort n_min for the real strata
     rates = {r["lang"]: r["keep_rate"] for r in out.select("lang", "keep_rate").distinct().collect()}
     assert rates.get("fr") == 1.0  # fr (n=1) is the smallest REAL stratum
+
+
+def test_bootstrap_se_single_resample_stratum_dropped(spark):
+    """A 1-doc stratum can lose 19 of 20 resamples to Poisson weight 0:
+    strata with fewer than 2 surviving resamples are dropped instead of
+    dividing by zero — and the fixture-scale strata are unaffected."""
+    df = spark.createDataFrame([(1, "solo", 100)], ["doc_id", "lang", "n_chars"])
+    out = sampling.bootstrap_se(df).collect()
+    # either the solo stratum survives with n_boot >= 2 resamples or it
+    # is absent entirely — never a crash, never n_boot < 2
+    for r in out:
+        assert r["n_boot"] >= 2
+        assert r["boot_se"] is not None and r["boot_se"] >= 0

@@ -295,3 +295,29 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     rows = {r["doc_id"]: r["lang"] for r in merged.collect()}
     assert rows[0] is None and rows[7] == "en"
     assert merged.count() == 10
+
+
+def test_compact_files_rerunnable_after_stale_dirs(spark, tmp_path, docs):
+    """Leftover __old / __compacting dirs from a crashed run must not
+    block the next run; a missing live dir restores from __old."""
+    import os
+    import shutil
+
+    from mapreduceimpl_spark.sources.sinks import compact_files
+
+    path = str(tmp_path / "frag2")
+    docs.repartition(8).write.parquet(path)
+    rows = sorted(r["doc_id"] for r in spark.read.parquet(path).collect())
+
+    # simulate a crash after the swap: stale __old and __compacting
+    shutil.copytree(path, path + "__old")
+    os.makedirs(path + "__compacting", exist_ok=True)
+    assert compact_files(spark, path, target_files=2) <= 2
+    assert sorted(r["doc_id"] for r in spark.read.parquet(path).collect()) == rows
+
+    # simulate a crash between the renames: data only under __old
+    os.rename(path, path + "__old_tmp")
+    shutil.rmtree(path + "__old", ignore_errors=True)
+    os.rename(path + "__old_tmp", path + "__old")
+    assert compact_files(spark, path, target_files=1) <= 1
+    assert sorted(r["doc_id"] for r in spark.read.parquet(path).collect()) == rows

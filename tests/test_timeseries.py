@@ -345,3 +345,24 @@ def test_cuped_fixture_sane(tables):
     for r in out:
         assert r["n_users"] > 0
         assert r["theta"] is not None
+
+
+def test_cuped_zero_variance_covariate_nulls_theta(spark):
+    """All events post-cutoff -> every user's pre-period x is 0.0 ->
+    zero covariate variance: theta must be NULL (matching DuckDB's
+    x/0), never an ANSI divide-by-zero crash."""
+    import datetime as dt
+
+    from mapreduceimpl_spark.operators.relational import q_cuped_adjustment
+
+    t = dt.datetime(2024, 1, 20)
+    rows = [(i, t, i, "e", float(i % 7), "{}") for i in range(50)]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = q_cuped_adjustment({"events": e}).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["theta"] is None
+        assert r["mean_adjusted"] is None
+        assert r["mean_post"] is not None
