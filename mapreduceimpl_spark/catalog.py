@@ -1375,6 +1375,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "mad_outliers",
         "bootstrap_se",
         "cuped_adjustment",
+        "consistent_sample_join",
     }
 )
 
@@ -4043,6 +4044,39 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "share ONE Exchange; opposite tiebreak directions + margin>0 "
             "keep only genuinely ordered pairs",
     ),
+    "consistent_sample_join": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda t: (
+                lambda cust_sample: t["orders"]
+                .join(cust_sample, t["orders"].o_custkey == cust_sample.c_custkey, "left_semi")
+                .groupBy()
+                .agg(
+                    F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+                    F.count("*").cast("long").alias("n_orders"),
+                    _fn_dec_sum("o_totalprice").alias("sum_price"),
+                )
+            )(
+                t["customer"].filter(
+                    sampling.hash_uniform(F.col("c_custkey")) < 0.2
+                ).select("c_custkey")
+            )
+        )(load_tables(spark, sf_dir)),
+        f"""SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   {_dec_sum("o_totalprice", "sum_price")}
+            FROM orders o
+            WHERE EXISTS (
+              SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey
+                AND {sampling.hash_uniform_sql("c.c_custkey")} < 0.2
+            )""",
+        doc="KEY-CONSISTENT cross-table sampling: hash-sample the "
+            "customer dimension at 20%, keep ALL of those customers' "
+            "orders via LEFT SEMI — the subtlety independent per-table "
+            "sampling destroys (it keeps only rate^2 of joinable pairs); "
+            "the md5-uniform decision makes both tables agree on the "
+            "sampled keys with zero coordination",
+    ),
     "cuped_adjustment": QuerySpec(
         _rel(relational.q_cuped_adjustment),
         """WITH users AS (
@@ -4510,7 +4544,7 @@ _ROUND4_ORDER = [
     "dq_expectations", "histogram_drift", "incremental_agg", "alignment_funnel",
     "centroid_similarity", "udtf_chunks", "attribution_last_touch",
     "ab_test_report", "k_anonymity", "mad_outliers", "bootstrap_se",
-    "cuped_adjustment",
+    "cuped_adjustment", "consistent_sample_join",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

@@ -555,3 +555,29 @@ def test_bootstrap_se_single_resample_stratum_dropped(spark):
     for r in out:
         assert r["n_boot"] >= 2
         assert r["boot_se"] is not None and r["boot_se"] >= 0
+
+
+def test_consistent_sample_join_keeps_whole_customers(tables):
+    """Every sampled customer keeps ALL their orders; independent
+    per-table sampling at the same rate would keep only ~rate^2 of
+    joinable pairs — the property this composition exists to protect."""
+    from mapreduceimpl_spark.catalog import SPECS
+
+    cust = tables["customer"]
+    orders = tables["orders"]
+    sampled_keys = {
+        r["c_custkey"]
+        for r in cust.filter(
+            sampling.hash_uniform(F.col("c_custkey")) < 0.2
+        ).collect()
+    }
+    by_cust: dict[int, int] = {}
+    for r in orders.collect():
+        by_cust[r["o_custkey"]] = by_cust.get(r["o_custkey"], 0) + 1
+    expected_orders = sum(n for k, n in by_cust.items() if k in sampled_keys)
+
+    row = SPECS["consistent_sample_join"].fn(
+        tables["customer"].sparkSession, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row["n_orders"] == expected_orders
+    assert row["n_customers"] == len(sampled_keys & set(by_cust))
