@@ -1376,6 +1376,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "bootstrap_se",
         "cuped_adjustment",
         "consistent_sample_join",
+        "sft_render",
     }
 )
 
@@ -4044,6 +4045,25 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "share ONE Exchange; opposite tiebreak directions + margin>0 "
             "keep only genuinely ordered pairs",
     ),
+    "sft_render": QuerySpec(
+        _rel(relational.q_sft_render),
+        """WITH o AS (
+             SELECT user_id, event_type,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS rn
+             FROM events
+           )
+           SELECT user_id,
+                  string_agg(CASE WHEN rn % 2 = 1 THEN '<|user|>'
+                                  ELSE '<|assistant|>' END || event_type,
+                             '' ORDER BY rn) AS rendered,
+                  CAST(COUNT(*) AS BIGINT) AS n_turns
+           FROM o WHERE rn <= 8 GROUP BY user_id""",
+        doc="chat-template rendering (the SFT serialization step): "
+            "alternating role markers by turn parity, truncated to 8 "
+            "turns; window and per-user aggregate share ONE Exchange, "
+            "ordered aggregation via unique-key struct sort",
+    ),
     "consistent_sample_join": QuerySpec(
         lambda spark, sf_dir: (
             lambda t: (
@@ -4544,7 +4564,7 @@ _ROUND4_ORDER = [
     "dq_expectations", "histogram_drift", "incremental_agg", "alignment_funnel",
     "centroid_similarity", "udtf_chunks", "attribution_last_touch",
     "ab_test_report", "k_anonymity", "mad_outliers", "bootstrap_se",
-    "cuped_adjustment", "consistent_sample_join",
+    "cuped_adjustment", "consistent_sample_join", "sft_render",
 ]
 
 if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):

@@ -2700,3 +2700,40 @@ def q_cuped_adjustment(t: dict[str, DataFrame]) -> DataFrame:
             F.round(F.max("theta"), 6).alias("theta"),
         )
     )
+
+
+def q_sft_render(t: dict[str, DataFrame], max_turns: int = 8) -> DataFrame:
+    """Chat-template rendering — the last serialization step of an SFT
+    pipeline: each user's time-ordered interaction sequence becomes ONE
+    training string with alternating role markers
+    (``<|user|>``/``<|assistant|>`` by turn parity), truncated to
+    ``max_turns`` (the tokenizer-ready sibling of
+    ``q_conversation_build``'s plain path string).
+
+    Plan: one user_id window (row_number over the (ts, event_id) total
+    order) and the per-user aggregate share the SAME partitioning —
+    ONE Exchange; ordering inside the aggregate is array_sort over
+    (rn, piece) structs with rn unique per user, so the rendered string
+    is deterministic on any partitioning.
+    """
+    e = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    role = F.when(F.col("rn") % 2 == 1, F.lit("<|user|>")).otherwise(
+        F.lit("<|assistant|>")
+    )
+    pieces = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_turns)
+        .select(
+            "user_id",
+            F.col("rn"),
+            F.concat(role, F.col("event_type")).alias("piece"),
+        )
+    )
+    ordered = F.array_sort(F.collect_list(F.struct(F.col("rn"), F.col("piece"))))
+    return pieces.groupBy("user_id").agg(
+        F.array_join(F.transform(ordered, lambda s: s["piece"]), "").alias(
+            "rendered"
+        ),
+        F.count("*").cast("long").alias("n_turns"),
+    )

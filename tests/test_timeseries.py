@@ -366,3 +366,37 @@ def test_cuped_zero_variance_covariate_nulls_theta(spark):
         assert r["theta"] is None
         assert r["mean_adjusted"] is None
         assert r["mean_post"] is not None
+
+
+def test_sft_render_hand_case(spark):
+    import datetime as dt
+
+    from mapreduceimpl_spark.operators.relational import q_sft_render
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (2, t0 + dt.timedelta(minutes=1), 7, "click", 0.0, "{}"),
+        (1, t0, 7, "view", 0.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 7, "buy", 0.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = q_sft_render({"events": e}).collect()[0]
+    assert out["rendered"] == "<|user|>view<|assistant|>click<|user|>buy"
+    assert out["n_turns"] == 3
+
+
+def test_sft_render_truncates_and_is_partition_invariant(spark, tables):
+    from mapreduceimpl_spark.operators.relational import q_sft_render
+
+    out = q_sft_render(tables).collect()
+    assert all(r["n_turns"] <= 8 for r in out)
+    a = sorted((r["user_id"], r["rendered"]) for r in out)
+    b = sorted(
+        (r["user_id"], r["rendered"])
+        for r in q_sft_render(
+            {"events": tables["events"].repartition(13)}
+        ).collect()
+    )
+    assert a == b
