@@ -9,29 +9,15 @@ probing) which get the driver's rows-only check + pytest invariants.
 
 Ordering contract (round 2+): the driver records CORRECTNESS rows for
 roughly the FIRST 50 entries in insertion order.  SPECS is therefore
-rebuilt from ``_ROUND4_ORDER`` (defined after the dict literal) so the
-entries that most need a fresh green row come first.  Round 4 leads
-with the seventeen TPC-H optimizer-shape queries new this round
-(Q2 min_cost_supplier, Q4 priority_returns, Q6 forecast_revenue,
-Q8 market_share, Q9 product_profit, Q11 revenue_share,
-Q12 shipmode_priority, Q13 customer_distribution,
-Q14 promo_revenue, Q15 top_supplier, Q16 parts_supplier_relation,
-Q17 small_qty_revenue, Q18 large_orders, Q19 discounted_revenue,
-Q20 heavy_shippers, Q21 waiting_suppliers, Q22 sales_opportunity —
-joining the Q1/Q3/Q5/Q7/Q10 shapes verified in earlier rounds, which
-completes all 22 TPC-H query shapes), then
-rotates in the 37 entries whose most recent driver row is round 2
-(they sat past round 3's 50-entry window; the last two of those plus
-the padding land just past this window and lead round 5), and keeps
-everything hash-verified in round 3 in the tail.
-ROUND-5 HANDOFF: rebuild SPECS order so every entry in
-``DEFERRED_TO_NEXT_ROUND`` (sessions 3-4 additions, all locally
-oracle-PASS at sf0.01 AND sf0.1 via tools/check_oracle.py — count it
-with len(), don't trust a stale number here) occupies the window head,
-padding the remaining slots up to VERIFICATION_WINDOW with
-already-green entries; tests/test_catalog_contract.py enforces both
-directions and tools/rotation_report.py shows the live state.
-Union across rounds = full-catalog driver verification.  The bench set
+rebuilt from ``_ROUND5_ORDER`` (defined after the dict literal) so the
+entries that most need a fresh green row come first.
+Round 5 leads with the full 41-entry round-4 deferral backlog
+(positions 1-41 of ``_ROUND5_ORDER``), padded to the window with the
+stalest round-1/2 greens — after round 5's driver run, every
+oracle-backed entry will have a driver row.  Any NEW entry added this
+round that doesn't fit the window goes into
+``DEFERRED_TO_NEXT_ROUND``; tests/test_catalog_contract.py enforces
+both directions and tools/rotation_report.py shows the live state.  The bench set
 is pinned to the round-2 execution order (``_BENCH_ORDER``) so
 per-query timings stay comparable across rounds regardless of window
 rotation.
@@ -1324,61 +1310,10 @@ FROM sess GROUP BY user_id, sid
 # (tools/check_oracle.py) and MUST rotate into the window next round —
 # tests/test_catalog_contract.py enforces that this set only shrinks:
 # once an entry has a driver CORRECTNESS row it must leave this set.
-# Round 4: table_profile, snapshot_diff, triangle_count, and
-# clustering_coeff landed
-# after the 46-entry new-evidence head filled the window; they sit at
-# the catalog tail and lead round 5.  Round-4 session 3 added eleven
-# more (EWMA + autocorr time series, BM25 retrieval, the two
-# candidate-then-verify tiers, basket rules, skyline, rolling distinct
-# users, A-ES weighted sampling, PIT join, CDC apply) — all locally
-# oracle-PASS at sf0.01 AND sf0.1, all deferred likewise.
-DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
-    {
-        "table_profile",
-        "snapshot_diff",
-        "triangle_count",
-        "clustering_coeff",
-        "events_ewma",
-        "bm25_search",
-        "dedup_minhash_verified",
-        "basket_rules",
-        "skyline_frontier",
-        "fuzzy_join_verified",
-        "rolling_active_users",
-        "sample_weighted_k",
-        "pit_join",
-        "changelog_apply",
-        "events_autocorr",
-        "span_corruption",
-        "triplet_mining",
-        # round-4 session 4: temperature mixing, k-fold CV, epoch shuffle,
-        # vocabulary coverage, preference pairs, dialog assembly
-        "temperature_mix",
-        "kfold_assign",
-        "epoch_shuffle",
-        "vocab_coverage",
-        "preference_pairs",
-        "conversation_build",
-        "kmv_distinct",
-        "bloom_membership",
-        "dedup_prefix_filter",
-        "length_buckets",
-        "dq_expectations",
-        "histogram_drift",
-        "incremental_agg",
-        "alignment_funnel",
-        "centroid_similarity",
-        "udtf_chunks",
-        "attribution_last_touch",
-        "ab_test_report",
-        "k_anonymity",
-        "mad_outliers",
-        "bootstrap_se",
-        "cuped_adjustment",
-        "consistent_sample_join",
-        "sft_render",
-    }
-)
+# Round 5 start: EMPTY — all 41 round-4 deferrals were rotated into
+# window head positions 1-41 (see _ROUND5_ORDER).  Any entry added
+# this round that doesn't fit the window goes here.
+DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset()
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
 # this position in SPECS get no row); slot WINDOW+1 is kept low-stakes.
@@ -3752,7 +3687,7 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "in_top80 keeps the crossing supplier",
     ),
     "customer_rfm": QuerySpec(
-        _rel(relational.q_customer_rfm),
+        _rel(relational.q_customer_rfm_exact),
         """WITH ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
            per_cust AS (
              SELECT o_custkey, MAX(o_orderdate) AS last_order,
@@ -4242,10 +4177,11 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
            z AS (
              SELECT event_type, n_a, n_b,
                     s1_a / n_a AS mean_a, s1_b / n_b AS mean_b,
-                    round((s1_a / n_a - s1_b / n_b)
-                          / sqrt(((s2_a - s1_a * s1_a / n_a) / (n_a - 1)) / n_a
-                                 + ((s2_b - s1_b * s1_b / n_b) / (n_b - 1)) / n_b),
-                          6) AS welch_z
+                    CASE WHEN n_a > 1 AND n_b > 1 THEN
+                      round((s1_a / n_a - s1_b / n_b)
+                            / sqrt(((s2_a - s1_a * s1_a / n_a) / (n_a - 1)) / n_a
+                                   + ((s2_b - s1_b * s1_b / n_b) / (n_b - 1)) / n_b),
+                            6) END AS welch_z
              FROM agg
            )
            SELECT event_type, n_a, n_b, mean_a, mean_b, welch_z,
@@ -4379,8 +4315,10 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
         """WITH e AS (SELECT event_id, value FROM events),
            b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM e),
            binned AS (
-             SELECT least(CAST(floor((value - lo) / ((hi - lo) / 20.0))
-                               AS BIGINT), 19) AS bin,
+             SELECT CASE WHEN hi <> lo
+                         THEN least(CAST(floor((value - lo) / ((hi - lo) / 20.0))
+                                         AS BIGINT), 19)
+                         ELSE 0 END AS bin,
                     (event_id % 2 = 0) AS half
              FROM e, b
            ),
@@ -4500,46 +4438,47 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
 }
 
 
-# Round-4 window rotation (driver records the first ~50 entries; see
-# module docstring).  Head 1-46: everything new this round (never
-# driver-verified) — the seventeen TPC-H optimizer-shape queries
-# (incl. Q8 market_share / Q9 product_profit, completing all 22
-# shapes), the session-2 additions (dedup_span_exact, split_assign,
-# heavy_hitters, text_bigram_logprob, collocations_pmi,
-# events_anomaly, events_running_anomaly, revenue_pareto,
-# customer_rfm, event_top_paths, state_intervals, fuzzy_join), the eight
-# LLM-pipeline additions (vocab_topk, quality_percentile,
-# knn_classify, random_projection, next_event_pairs,
-# token_pair_counts, knn_classify_lsh, pretrain_funnel), two
-# analytics completions (corr_analysis, price_histogram), the two
-# skew-machinery parity entries (skew_salted_join, skew_two_phase),
-# pagerank, timeseries_gapfill, media_probe, text_token_entropy, and
-# monthly_growth; 47-50: already-green padding; the round-3-green
-# tail follows and leads round 5's window.
-_ROUND4_ORDER = [
-    "priority_returns", "forecast_revenue", "shipmode_priority", "customer_distribution",
-    "promo_revenue", "parts_supplier_relation", "discounted_revenue", "waiting_suppliers",
-    "sales_opportunity", "min_cost_supplier", "revenue_share", "top_supplier",
-    "small_qty_revenue", "large_orders", "heavy_shippers",
+# Round-5 window rotation (driver records the first ~50 entries; see
+# module docstring).  Head 1-41: the full round-4 deferral backlog —
+# every entry that landed after round 4's window filled and therefore
+# has no driver CORRECTNESS row yet (all locally oracle-PASS at
+# sf0.01 AND sf0.1 via tools/check_oracle.py, and independently
+# re-verified by the round-4 judge); 42-49: the stalest round-1/2
+# greens as low-stakes padding; the round-4-green block and the rest
+# of the previously-verified tail follow.  After round 5's driver run
+# every oracle-backed entry in the catalog will have a driver row.
+_ROUND5_ORDER = [
+    "table_profile", "snapshot_diff", "triangle_count", "clustering_coeff",
+    "events_ewma", "bm25_search", "dedup_minhash_verified", "basket_rules",
+    "skyline_frontier", "fuzzy_join_verified", "rolling_active_users", "sample_weighted_k",
+    "pit_join", "changelog_apply", "events_autocorr", "span_corruption",
+    "triplet_mining", "temperature_mix", "kfold_assign", "epoch_shuffle",
+    "vocab_coverage", "preference_pairs", "conversation_build", "kmv_distinct",
+    "bloom_membership", "dedup_prefix_filter", "length_buckets", "dq_expectations",
+    "histogram_drift", "incremental_agg", "alignment_funnel", "centroid_similarity",
+    "udtf_chunks", "attribution_last_touch", "ab_test_report", "k_anonymity",
+    "mad_outliers", "bootstrap_se", "cuped_adjustment", "consistent_sample_join",
+    "sft_render", "seq_pack", "multimodal_meta", "events_sliding",
+    "events_session_native", "dedup_exact", "dedup_exact_norm", "dedup_simhash_sigs",
+    "dedup_simhash_pairs", "priority_returns", "forecast_revenue", "shipmode_priority",
+    "customer_distribution", "promo_revenue", "parts_supplier_relation", "discounted_revenue",
+    "waiting_suppliers", "sales_opportunity", "min_cost_supplier", "revenue_share",
+    "top_supplier", "small_qty_revenue", "large_orders", "heavy_shippers",
     "market_share", "product_profit", "dedup_span_exact", "split_assign",
     "heavy_hitters", "text_bigram_logprob", "collocations_pmi", "events_anomaly",
     "events_running_anomaly", "revenue_pareto", "customer_rfm", "event_top_paths",
-    "state_intervals", "fuzzy_join",
-    "vocab_topk", "quality_percentile", "knn_classify",
-    "random_projection", "next_event_pairs", "token_pair_counts",
+    "state_intervals", "fuzzy_join", "vocab_topk", "quality_percentile",
+    "knn_classify", "random_projection", "next_event_pairs", "token_pair_counts",
     "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
     "skew_salted_join", "skew_two_phase", "pagerank", "timeseries_gapfill",
-    "media_probe", "text_token_entropy", "monthly_growth",
-    "events_sessionize", "asof_join", "dedup_minhash_lsh", "dedup_embedding",
-    "seq_pack", "multimodal_meta", "agg_approx", "events_sliding",
-    "events_session_native", "dedup_exact", "dedup_exact_norm", "dedup_simhash_sigs",
-    "dedup_simhash_pairs", "dedup_ngram_jaccard", "ann_topk", "ann_ivf_topk",
-    "kmeans_assign", "text_lang_id", "text_quality", "text_token_stats",
-    "text_clean", "corpus_filter", "sample_hash", "embedding_centroids",
-    "embedding_norms", "text_fingerprint", "text_repetition", "text_pii_scrub",
-    "contamination_check", "sample_stratified", "domain_mix", "embedding_quantize",
-    "tfidf_topterms", "scalar_case_date", "scalar_math_date", "window_analytics",
-    "set_ops",
+    "media_probe", "text_token_entropy", "monthly_growth", "events_sessionize",
+    "asof_join", "dedup_minhash_lsh", "dedup_embedding", "agg_approx",
+    "dedup_ngram_jaccard", "ann_topk", "ann_ivf_topk", "kmeans_assign",
+    "text_lang_id", "text_quality", "text_token_stats", "text_clean",
+    "corpus_filter", "sample_hash", "embedding_centroids", "embedding_norms",
+    "text_fingerprint", "text_repetition", "text_pii_scrub", "contamination_check",
+    "sample_stratified", "domain_mix", "embedding_quantize", "tfidf_topterms",
+    "scalar_case_date", "scalar_math_date", "window_analytics", "set_ops",
     "wordcount", "dedup_incremental", "doc_chunks", "retention_cohorts",
     "text_unigram_logprob", "sample_fixed_n", "scalar_map", "text_compression_ratio",
     "dedup_simhash64_pairs", "ann_lsh_topk", "ann_lsh_multiprobe", "dedup_clusters",
@@ -4553,27 +4492,15 @@ _ROUND4_ORDER = [
     "sort_limit", "scalar_string", "json_extract", "null_handling",
     "subquery_corr", "array_agg", "percentile", "pivot",
     "text_bpe_tokens", "events_tumbling",
-    # deferred: lead round 5 (DEFERRED_TO_NEXT_ROUND)
-    "table_profile", "snapshot_diff", "triangle_count", "clustering_coeff",
-    "events_ewma", "bm25_search", "dedup_minhash_verified", "basket_rules",
-    "skyline_frontier", "fuzzy_join_verified", "rolling_active_users",
-    "sample_weighted_k", "pit_join", "changelog_apply", "events_autocorr",
-    "span_corruption", "triplet_mining", "temperature_mix", "kfold_assign",
-    "epoch_shuffle", "vocab_coverage", "preference_pairs", "conversation_build",
-    "kmv_distinct", "bloom_membership", "dedup_prefix_filter", "length_buckets",
-    "dq_expectations", "histogram_drift", "incremental_agg", "alignment_funnel",
-    "centroid_similarity", "udtf_chunks", "attribution_last_touch",
-    "ab_test_report", "k_anonymity", "mad_outliers", "bootstrap_se",
-    "cuped_adjustment", "consistent_sample_join", "sft_render",
 ]
 
-if set(_ROUND4_ORDER) != set(SPECS) or len(_ROUND4_ORDER) != len(SPECS):
+if set(_ROUND5_ORDER) != set(SPECS) or len(_ROUND5_ORDER) != len(SPECS):
     raise AssertionError(
         "catalog rotation list out of sync with SPECS: "
-        f"missing={set(SPECS) - set(_ROUND4_ORDER)} "
-        f"unknown={set(_ROUND4_ORDER) - set(SPECS)}"
+        f"missing={set(SPECS) - set(_ROUND5_ORDER)} "
+        f"unknown={set(_ROUND5_ORDER) - set(SPECS)}"
     )
-SPECS = {name: SPECS[name] for name in _ROUND4_ORDER}
+SPECS = {name: SPECS[name] for name in _ROUND5_ORDER}
 
 
 # Bench execution order, pinned to round 2's recorded order so the

@@ -124,6 +124,10 @@ def grouped_agg_udaf(
     return df.groupBy(*keys).agg(udaf(F.col(value_col)).alias(alias))
 
 
+# monotone suffix for per-call UDTF registration names (see below)
+_UDTF_CALL_SEQ = 0
+
+
 def udtf_chunk_documents(
     spark,
     docs: DataFrame,
@@ -170,9 +174,17 @@ def udtf_chunk_documents(
                     min(chunk_tokens, n - s),
                 )
 
-    spark.udtf.register("chunk_doc_udtf", ChunkDoc)
-    docs.createOrReplaceTempView("__udtf_docs")
+    # unique view/function names per call: a fixed name would let two
+    # interleaved lazy plans clobber each other's input view, silently
+    # chunking the wrong DataFrame when the earlier plan finally
+    # executes (ADVICE r4)
+    global _UDTF_CALL_SEQ
+    _UDTF_CALL_SEQ += 1
+    fn_name = f"chunk_doc_udtf_{_UDTF_CALL_SEQ}"
+    view_name = f"__udtf_docs_{_UDTF_CALL_SEQ}"
+    spark.udtf.register(fn_name, ChunkDoc)
+    docs.createOrReplaceTempView(view_name)
     return spark.sql(
-        "SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens "
-        "FROM __udtf_docs d, LATERAL chunk_doc_udtf(d.text) c"
+        f"SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens "
+        f"FROM {view_name} d, LATERAL {fn_name}(d.text) c"
     )

@@ -203,9 +203,26 @@ def compact_files(
     Returns the compacted file count.  For partitioned/bucketed
     layouts, compact per partition directory instead so layout
     metadata survives.
+
+    LOCAL-FILESYSTEM ONLY: the atomic-swap step uses os.rename, which
+    cannot address hdfs:// or s3a:// paths (the Spark write would
+    succeed, then the swap would corrupt the layout).  On object
+    stores run the same read->coalesce->write against a staging prefix
+    and swap via the store's own rename/commit API.  Note also that
+    coalesce yields min(target_files, current partition count) files —
+    it can only merge, never split.
     """
     import os
     import shutil
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"compact_files only supports local filesystem paths; got scheme "
+            f"{scheme!r} — on {scheme}:// use a staging-prefix rewrite with "
+            "the store's atomic rename/commit instead"
+        )
 
     base = path.rstrip("/")
     staging, old = base + "__compacting", base + "__old"

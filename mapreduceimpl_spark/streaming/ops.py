@@ -752,6 +752,9 @@ def stream_bloom_prefilter(
     """
     from mapreduceimpl_spark.operators.sketches import _bloom_positions
 
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+
     out = docs.withColumn("content_sha", F.sha2(F.col(text_col), 256))
     lanes = _bloom_positions(F.col("content_sha"), n_hashes, m_bits)
     member = None

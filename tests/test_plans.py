@@ -48,6 +48,34 @@ def test_no_cartesian_in_star_join(tables):
     assert_no_cartesian(relational.q_local_supplier_volume(tables))
 
 
+def test_fact_scaled_dims_degrade_without_threshold(spark, tables):
+    """VERDICT r4 #1: customer/supplier/part carry NO hard broadcast
+    hint — with the autoBroadcast threshold disabled they must degrade
+    to a shuffled join (sort-merge / shuffled-hash), never a forced
+    broadcast (OOM-by-hint at 100x) and never a cartesian.  Only the
+    bounded nation/region frames keep hard hints."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for q, hinted in [
+            (relational.q_local_supplier_volume, 2),  # nation + region
+            (relational.q_volume_shipping, 2),  # the two nation splits
+            (relational.q_returned_items, 1),  # nation
+        ]:
+            plan = explain_str(q(tables), "simple")
+            assert "CartesianProduct" not in plan, (q.__name__, plan)
+            n_broadcast = plan.count("BroadcastHashJoin")
+            assert n_broadcast == hinted, (q.__name__, n_broadcast, plan)
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, (
+                q.__name__,
+                plan,
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_wordcount_partial_aggregation(docs):
     """The plan must contain the partial/final HashAggregate pair —
     the reference's map-side combine (test.go:22-25) done by Catalyst."""
@@ -564,13 +592,25 @@ def test_pareto_includes_crossing_supplier(spark):
 
 
 def test_rfm_scores_consistent(tables):
-    rows = relational.q_customer_rfm(tables).collect()
-    for r in rows[:200]:
-        assert 1 <= r["r_score"] <= 5 and 1 <= r["f_score"] <= 5 and 1 <= r["m_score"] <= 5
-        assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
-    # the biggest spender must hold m_score 1
-    top = max(rows, key=lambda r: r["monetary"])
-    assert top["m_score"] == 1
+    for variant in (relational.q_customer_rfm, relational.q_customer_rfm_exact):
+        rows = variant(tables).collect()
+        for r in rows[:200]:
+            assert 1 <= r["r_score"] <= 5 and 1 <= r["f_score"] <= 5 and 1 <= r["m_score"] <= 5
+            assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+        # the biggest spender must hold m_score 1
+        top = max(rows, key=lambda r: r["monetary"])
+        assert top["m_score"] == 1
+
+
+def test_rfm_default_has_no_global_window(tables):
+    """VERDICT r4 #2: the default RFM path scores via broadcast
+    percentile_approx cutoffs — no partition-less WindowExec may touch
+    the per-customer aggregate (the exact-ntile formulation lives only
+    in q_customer_rfm_exact, the oracle-parity variant)."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(relational.q_customer_rfm(tables), "simple")
+    assert "Window" not in plan, plan
 
 
 def test_event_top_paths_known_sequence(spark):
