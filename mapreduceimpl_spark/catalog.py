@@ -451,6 +451,52 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(edges, iterations=5)
 
 
+def _bpe_oracle(rounds: int = 4) -> str:
+    """Chained-CTE replay of ``text_analysis.bpe_train_merges``: one
+    (pair-count -> argmax -> replace) CTE layer per merge round, on the
+    same US/RS string representation — DuckDB ``replace`` shares the
+    JVM's scan-left/advance-past-match semantics, so the greedy
+    non-overlapping merges are bit-identical (see the operator
+    docstring; the ``_pagerank_oracle`` pattern for fixed-iteration
+    replays)."""
+    layers = [
+        """d0 AS MATERIALIZED (
+  SELECT array_to_string(
+           string_split(replace(replace(text, chr(31), ''), chr(30), ''), ' '),
+           chr(31)) AS seq
+  FROM documents
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        layers.append(
+            f"""p{r} AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 j -> toks[j] || chr(31) || toks[j + 1])) AS pair
+    FROM (SELECT string_split(seq, chr(31)) AS toks FROM d{r - 1})
+    WHERE len(toks) >= 2
+  ) GROUP BY pair
+),
+t{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)"""
+        )
+        if r < rounds:
+            layers.append(
+                f"""d{r} AS MATERIALIZED (
+  SELECT replace(seq, (SELECT pair FROM t{r}),
+                 replace((SELECT pair FROM t{r}), chr(31), chr(30))) AS seq
+  FROM d{r - 1}
+)"""
+            )
+    body = ",\n".join(layers)
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, "
+        f"replace(replace(pair, chr(31), ' '), chr(30), ' ') AS pair, cnt "
+        f"FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return f"WITH {body}\n{selects}"
+
+
 def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
     """Chained-CTE replay of ``graph.pagerank``: one CTE layer per
     iteration, decimal-routed contribution sums, the SAME float
@@ -1313,7 +1359,12 @@ FROM sess GROUP BY user_id, sid
 # Round 5 start: EMPTY — all 41 round-4 deferrals were rotated into
 # window head positions 1-41 (see _ROUND5_ORDER).  Any entry added
 # this round that doesn't fit the window goes here.
-DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset()
+DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
+    {
+        # round-5 additions past the already-full window
+        "bpe_train_merges",
+    }
+)
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
 # this position in SPECS get no row); slot WINDOW+1 is kept low-stakes.
@@ -2711,6 +2762,16 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
         doc="BPE merge-candidate counting: adjacent-token pair frequencies "
             "per language, top-20 (pair array built JVM-side, wordcount-"
             "shaped count, window over the aggregated pair vocab)",
+    ),
+    "bpe_train_merges": QuerySpec(
+        lambda spark, sf_dir: text_analysis.bpe_train_merges(
+            load_table(spark, sf_dir, "documents"), rounds=4
+        ),
+        _bpe_oracle(4),
+        doc="iterative BPE merge training (4 chained rounds): corpus-wide "
+            "pair count -> argmax merge -> greedy non-overlapping rewrite, "
+            "repeated on the merged corpus; hash-verified via a chained-CTE "
+            "replay (completes token_pair_counts into the full loop)",
     ),
     "knn_classify_lsh": QuerySpec(
         _q_knn_classify_lsh,
@@ -4469,7 +4530,7 @@ _ROUND5_ORDER = [
     "events_running_anomaly", "revenue_pareto", "customer_rfm", "event_top_paths",
     "state_intervals", "fuzzy_join", "vocab_topk", "quality_percentile",
     "knn_classify", "random_projection", "next_event_pairs", "token_pair_counts",
-    "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
+    "bpe_train_merges", "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
     "skew_salted_join", "skew_two_phase", "pagerank", "timeseries_gapfill",
     "media_probe", "text_token_entropy", "monthly_growth", "events_sessionize",
     "asof_join", "dedup_minhash_lsh", "dedup_embedding", "agg_approx",

@@ -571,3 +571,42 @@ def test_preference_pairs_null_text_excluded(spark):
     rows = preference_pairs(df).collect()
     assert len(rows) == 1
     assert (rows[0]["chosen_id"], rows[0]["rejected_id"]) == (1, 2)
+
+
+def test_bpe_train_merges_greedy_loop(spark):
+    """The chained merge rounds follow BPE's greedy non-overlapping
+    rule: 'a a a a' yields two 'a a' pairs in round 1, and round 2
+    counts pairs of the MERGED corpus (merged symbols participate)."""
+    from mapreduceimpl_spark.operators.text_analysis import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "a a b"), (3, "c b")], ["doc_id", "text"]
+    )
+    rows = {r["round"]: r for r in bpe_train_merges(docs, rounds=2).collect()}
+    # round 1 COUNTS all adjacent positions (overlap allowed): doc1 has
+    # 3 'a a' positions + 1 in doc2 = 4; only the MERGE is non-overlap
+    assert rows[1]["pair"] == "a a" and rows[1]["cnt"] == 4
+    # merged corpus: doc1 = (a a)(a a) b, doc2 = (a a) b -> the pair
+    # '(a a) b' appears twice; '(a a) (a a)' once; 'c b' once
+    assert rows[2]["pair"] == "a a b" and rows[2]["cnt"] == 2
+
+
+def test_bpe_train_merges_persist_path_identical(docs):
+    from mapreduceimpl_spark.operators.text_analysis import bpe_train_merges
+
+    lazy = {tuple(r) for r in bpe_train_merges(docs, rounds=3).collect()}
+    persisted = {
+        tuple(r)
+        for r in bpe_train_merges(docs, rounds=3, persist_levels=True).collect()
+    }
+    assert lazy == persisted and len(lazy) == 3
+
+
+def test_bpe_train_merges_validates_rounds(spark):
+    import pytest as _pytest
+
+    from mapreduceimpl_spark.operators.text_analysis import bpe_train_merges
+
+    docs = spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        bpe_train_merges(docs, rounds=0)
