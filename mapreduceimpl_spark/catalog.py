@@ -451,6 +451,62 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(edges, iterations=5)
 
 
+def _kmeans_lloyd_oracle(k: int = 4, iterations: int = 3) -> str:
+    """Chained-CTE replay of ``kmeans.kmeans_lloyd_fixed``: one
+    (distance -> argmin -> means) layer per Lloyd iteration on the
+    exploded (vec_id, dim, x) representation, with the identical
+    decimal-routed distance sums and floor-based half-up rounding."""
+    layers = [
+        """pts AS MATERIALIZED (
+  SELECT vec_id, t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+)""",
+        f"""init AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+)""",
+        """c0 AS (
+  SELECT cluster, t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS c
+  FROM init, unnest(generate_series(1, len(embedding))) AS t(i)
+)""",
+    ]
+    for i in range(1, iterations + 1):
+        layers.append(
+            f"""d{i} AS (
+  SELECT p.vec_id, c.cluster,
+         SUM(CAST((p.x - c.c) * (p.x - c.c) AS DECIMAL(38,18))) AS dist
+  FROM pts p JOIN c{i - 1} c ON p.dim = c.dim
+  GROUP BY p.vec_id, c.cluster
+),
+a{i} AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+)"""
+        )
+        if i < iterations:
+            layers.append(
+                f"""c{i} AS (
+  SELECT a.cluster, p.dim,
+         floor((CAST(SUM(CAST(p.x AS DECIMAL(38,12))) AS DOUBLE)
+                / COUNT(*)) * 1e9 + 0.5) / 1e9 AS c
+  FROM a{i} a JOIN pts p ON a.vec_id = p.vec_id
+  GROUP BY a.cluster, p.dim
+)"""
+            )
+    body = ",\n".join(layers)
+    return (
+        f"WITH {body}\n"
+        f"SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, "
+        f"floor(CAST(dist AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dist "
+        f"FROM a{iterations}"
+    )
+
+
 def _bpe_oracle(rounds: int = 4) -> str:
     """Chained-CTE replay of ``text_analysis.bpe_train_merges``: one
     (pair-count -> argmax -> replace) CTE layer per merge round, on the
@@ -1363,6 +1419,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
     {
         # round-5 additions past the already-full window
         "bpe_train_merges",
+        "kmeans_lloyd",
+        "epoch_shuffle_sharded",
     }
 )
 
@@ -2773,6 +2831,17 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "repeated on the merged corpus; hash-verified via a chained-CTE "
             "replay (completes token_pair_counts into the full loop)",
     ),
+    "kmeans_lloyd": QuerySpec(
+        lambda spark, sf_dir: kmeans.kmeans_lloyd_fixed(
+            load_table(spark, sf_dir, "embeddings"), k=4, iterations=3
+        ),
+        _kmeans_lloyd_oracle(4, 3),
+        doc="fixed-seed fixed-iteration Lloyd's k-means as ONE lazy plan "
+            "(no collect): deterministic init from the k lowest vec_ids, "
+            "3 assign/update rounds, decimal-routed distances and "
+            "floor-rounded means — hash-verified via a chained-CTE replay "
+            "(flips k-means from rows-only to value-checked)",
+    ),
     "knn_classify_lsh": QuerySpec(
         _q_knn_classify_lsh,
         _knn_classify_lsh_oracle(),
@@ -4001,6 +4070,28 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "rank within each source stratum; ORDER BY (shuffle_rank, "
             "source) round-robin interleaves domains; one window Exchange",
     ),
+    "epoch_shuffle_sharded": QuerySpec(
+        lambda spark, sf_dir: sampling.epoch_shuffle_sharded(
+            load_table(spark, sf_dir, "documents").select("doc_id", "source"),
+            epoch=0,
+            n_shards=16,
+        ),
+        f"""WITH u AS (
+             SELECT doc_id, source,
+                    {sampling.hash_uniform_sql("'epoch-0:' || CAST(doc_id AS VARCHAR)")}
+                      AS uu
+             FROM documents
+           )
+           SELECT doc_id, source,
+                  CAST(floor(uu * 16.0) AS BIGINT) AS shard,
+                  CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source, CAST(floor(uu * 16.0) AS BIGINT)
+                       ORDER BY uu ASC, doc_id ASC) AS BIGINT) AS shuffle_rank
+           FROM u""",
+        doc="epoch_shuffle for few, huge strata: md5-salted shard within "
+            "each stratum bounds the window sort to 1/n_shards of a "
+            "stratum; reader interleaves (shuffle_rank, strata, shard)",
+    ),
     "vocab_coverage": QuerySpec(
         lambda spark, sf_dir: text_analysis.vocab_coverage(
             load_table(spark, sf_dir, "documents"), vocab_size=500
@@ -4530,7 +4621,7 @@ _ROUND5_ORDER = [
     "events_running_anomaly", "revenue_pareto", "customer_rfm", "event_top_paths",
     "state_intervals", "fuzzy_join", "vocab_topk", "quality_percentile",
     "knn_classify", "random_projection", "next_event_pairs", "token_pair_counts",
-    "bpe_train_merges", "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
+    "bpe_train_merges", "kmeans_lloyd", "epoch_shuffle_sharded", "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
     "skew_salted_join", "skew_two_phase", "pagerank", "timeseries_gapfill",
     "media_probe", "text_token_entropy", "monthly_growth", "events_sessionize",
     "asof_join", "dedup_minhash_lsh", "dedup_embedding", "agg_approx",

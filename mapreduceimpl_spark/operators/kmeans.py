@@ -184,3 +184,92 @@ def kmeans_assignments(embeddings: DataFrame, k: int = 10, max_iter: int = 5) ->
     rows-only query."""
     _, assignments = kmeans_fit(embeddings, k=k, max_iter=max_iter)
     return assignments.select("vec_id", "cluster")
+
+
+def kmeans_lloyd_fixed(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+) -> DataFrame:
+    """Fixed-seed, fixed-iteration Lloyd's k-means whose final
+    assignment is VALUE-verifiable against a chained-CTE DuckDB replay
+    (VERDICT r4 gap #4 — flips k-means from rows-only to hash-green,
+    the ``pagerank`` pattern applied to clustering).
+
+    Unlike ``kmeans_fit`` (farthest-first seeding, driver-side
+    centroid loop), everything here is ONE lazy plan with no collect:
+
+    - init: centroids = embeddings of the ``k`` lowest vec_ids
+      (deterministic, SQL-expressible);
+    - iterate ``iterations`` x: assign each point to the nearest
+      centroid (squared L2), then recompute per-dimension means —
+      the last iteration stops after the assign;
+    - representation: points exploded to (vec_id, dim, x) once; a
+      centroid set is k*dim rows broadcast onto the per-dim join.
+
+    Engine-exact arithmetic: distances sum DECIMAL-cast (order-free)
+    squared terms over identical doubles; means divide a decimal sum
+    by the count and round via floor(x*1e9+.5)/1e9 (the repo's
+    bit-exact half-up, immune to the HALF_UP/half-even cast split);
+    argmin ties break on cluster id.
+
+    Scale: per iteration one broadcast join (k*dim rows ride to every
+    executor) + two keyed shuffles (per-point distance agg on vec_id,
+    mean agg on (cluster, dim)); the point set itself re-scans per
+    iteration but never shuffles wider than those aggregates.  Linear
+    lineage (centroids_i references assign_{i-1} exactly once), so no
+    exponential replay.
+    """
+    if k < 1 or iterations < 1:
+        raise ValueError(
+            f"kmeans_lloyd_fixed: need k >= 1 and iterations >= 1, "
+            f"got k={k} iterations={iterations}"
+        )
+    from pyspark.sql import Window
+
+    pts = embeddings.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    w0 = Window.orderBy("vec_id")  # bounded: applied to k rows only
+    cent = (
+        embeddings.orderBy("vec_id")
+        .limit(k)
+        .withColumn("cluster", (F.row_number().over(w0) - 1).cast("long"))
+        .select(
+            "cluster",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "c"),
+        )
+    )
+
+    assign = None
+    for it in range(iterations):
+        term = (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+        dists = (
+            pts.join(F.broadcast(cent), "dim")
+            .select("vec_id", "cluster", term.alias("t"))
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum(F.col("t").cast("decimal(38,18)")).alias("dist"))
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cluster"))
+        )
+        assign = (
+            dists.withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster", "dist")
+        )
+        if it < iterations - 1:
+            mean = F.sum(F.col("x").cast("decimal(38,12)")).cast("double") / F.count(
+                "*"
+            )
+            cent = (
+                assign.join(pts, "vec_id")
+                .groupBy("cluster", "dim")
+                .agg((F.floor(mean * 1e9 + F.lit(0.5)) / 1e9).alias("c"))
+            )
+    return assign.select(
+        "vec_id",
+        "cluster",
+        (F.floor(F.col("dist").cast("double") * 1e6 + F.lit(0.5)) / 1e6).alias("dist"),
+    )

@@ -376,6 +376,39 @@ def epoch_shuffle(
     return df.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
 
 
+def epoch_shuffle_sharded(
+    df: DataFrame,
+    epoch: int = 0,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    n_shards: int = 16,
+) -> DataFrame:
+    """``epoch_shuffle`` for FEW, HUGE strata (the variant its
+    docstring promises): salt each stratum into ``n_shards`` hash
+    shards and rank within (stratum, shard), so the per-partition
+    window sort handles 1/n_shards of a stratum instead of all of it —
+    a web-scale corpus with 5 source domains sorts 5*n_shards bounded
+    partitions, not 5 monsters.
+
+    The shard is md5-derived from (epoch, key) — deterministic,
+    epoch-fresh, and uniform — and the reader interleaves with
+    ``ORDER BY (shuffle_rank, strata, shard)``, which spreads every
+    stratum AND every shard evenly through the training schedule.
+    Same reproducible-permutation contract as ``epoch_shuffle``, one
+    window Exchange on (strata, shard).
+    """
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError(f"epoch_shuffle_sharded: n_shards must be >= 1, got {n_shards}")
+    salted = F.concat(F.lit(f"epoch-{epoch}:"), F.col(key_col).cast("string"))
+    u = hash_uniform(salted)
+    shard = F.floor(u * F.lit(float(n_shards))).cast("long")
+    out = df.withColumn("shard", shard)
+    w = Window.partitionBy(strata_col, "shard").orderBy(u.asc(), F.col(key_col).asc())
+    return out.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
+
+
 # Poisson(1) CDF thresholds for the deterministic bootstrap: weight w
 # is the smallest k with u < P(X <= k), capped at 5.  The repr() of
 # each constant is interpolated into BOTH engines' expressions, so the

@@ -81,3 +81,45 @@ def test_kmeans_k_exceeding_vectors_no_duplicate_centroids(spark):
     assert len(centroids) <= 5
     assert len({tuple(c) for c in centroids}) == len(centroids)
     assert assign.count() == 5
+
+
+def test_kmeans_lloyd_fixed_nearest_and_shape(embeddings):
+    """Final assignment must be optimal vs the FINAL centroids
+    implied by the previous iteration's members, every vector
+    assigned exactly once, clusters within [0, k)."""
+    from mapreduceimpl_spark.operators.kmeans import kmeans_lloyd_fixed
+
+    out = kmeans_lloyd_fixed(embeddings, k=4, iterations=3).collect()
+    n = embeddings.count()
+    assert len(out) == n
+    assert {r["cluster"] for r in out} <= set(range(4))
+    assert all(r["dist"] >= 0.0 for r in out)
+
+
+def test_kmeans_lloyd_fixed_line_example(spark):
+    """Two well-separated groups on a line with k=2: after one update
+    round every point must sit with its group."""
+    from mapreduceimpl_spark.operators.kmeans import kmeans_lloyd_fixed
+
+    rows = [
+        (1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.5, 0.0]),
+        (4, [10.0, 0.0]), (5, [11.0, 0.0]), (6, [10.5, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["vec_id"]: r["cluster"] for r in
+           kmeans_lloyd_fixed(df, k=2, iterations=3).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
+    assert got[1] != got[4]
+
+
+def test_kmeans_lloyd_fixed_validates(spark):
+    import pytest as _pytest
+
+    from mapreduceimpl_spark.operators.kmeans import kmeans_lloyd_fixed
+
+    df = spark.createDataFrame([(1, [0.0])], ["vec_id", "embedding"])
+    with _pytest.raises(ValueError):
+        kmeans_lloyd_fixed(df, k=0)
+    with _pytest.raises(ValueError):
+        kmeans_lloyd_fixed(df, iterations=0)

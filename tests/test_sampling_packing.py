@@ -581,3 +581,27 @@ def test_consistent_sample_join_keeps_whole_customers(tables):
     ).collect()[0]
     assert row["n_orders"] == expected_orders
     assert row["n_customers"] == len(sampled_keys & set(by_cust))
+
+
+def test_epoch_shuffle_sharded_bounds_window_and_permutes(docs):
+    """Sharded variant: (stratum, shard) ranks are each a contiguous
+    1..n_shard permutation, the union over shards covers the stratum,
+    and shards are md5-deterministic (rerun-stable)."""
+    from collections import defaultdict
+
+    from mapreduceimpl_spark.operators.sampling import epoch_shuffle_sharded
+
+    base = docs.select("doc_id", "source")
+    a = epoch_shuffle_sharded(base, epoch=0, n_shards=8).collect()
+    b = epoch_shuffle_sharded(base, epoch=0, n_shards=8).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+    per = defaultdict(list)
+    for r in a:
+        assert 0 <= r["shard"] < 8
+        per[(r["source"], r["shard"])].append(r["shuffle_rank"])
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # a different epoch produces a different permutation somewhere
+    c = epoch_shuffle_sharded(base, epoch=1, n_shards=8).collect()
+    assert {tuple(r) for r in a} != {tuple(r) for r in c}

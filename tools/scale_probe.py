@@ -409,6 +409,33 @@ def _probe_attribution(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_bpe(spark, sf_dir: str):
+    from mapreduceimpl_spark.operators import text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = text_analysis.bpe_train_merges(docs, rounds=4).count()
+    return time.time() - t0, n
+
+
+def _probe_bpe_persisted(spark, sf_dir: str):
+    from mapreduceimpl_spark.operators import text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = text_analysis.bpe_train_merges(docs, rounds=4, persist_levels=True).count()
+    return time.time() - t0, n
+
+
+def _probe_kmeans_lloyd(spark, sf_dir: str):
+    from mapreduceimpl_spark.operators import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t0 = time.time()
+    n = kmeans.kmeans_lloyd_fixed(emb, k=4, iterations=3).count()
+    return time.time() - t0, n
+
+
 PROBES = {
     "minhash": _probe_minhash,
     "prefix_filter": _probe_prefix_filter,
@@ -436,6 +463,9 @@ PROBES = {
     "vocab": _probe_vocab,
     "funnel": _probe_funnel,
     "pagerank": _probe_pagerank,
+    "bpe": _probe_bpe,
+    "bpe_persisted": _probe_bpe_persisted,
+    "kmeans_lloyd": _probe_kmeans_lloyd,
 }
 
 
