@@ -507,7 +507,7 @@ a{i} AS (
     )
 
 
-def _bpe_oracle(rounds: int = 4) -> str:
+def _bpe_oracle(rounds: int = 4, apply: bool = False) -> str:
     """Chained-CTE replay of ``text_analysis.bpe_train_merges``: one
     (pair-count -> argmax -> replace) CTE layer per merge round, on the
     same US/RS string representation — DuckDB ``replace`` shares the
@@ -517,8 +517,10 @@ def _bpe_oracle(rounds: int = 4) -> str:
     replays)."""
     layers = [
         """d0 AS MATERIALIZED (
-  SELECT array_to_string(
-           string_split(replace(replace(text, chr(31), ''), chr(30), ''), ' '),
+  SELECT doc_id,
+         array_to_string(
+           string_split(replace(replace(coalesce(text, ''), chr(31), ''),
+                                chr(30), ''), ' '),
            chr(31)) AS seq
   FROM documents
 )"""
@@ -535,15 +537,26 @@ def _bpe_oracle(rounds: int = 4) -> str:
 ),
 t{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)"""
         )
-        if r < rounds:
+        if r < rounds or apply:
             layers.append(
                 f"""d{r} AS MATERIALIZED (
-  SELECT replace(seq, (SELECT pair FROM t{r}),
+  SELECT doc_id,
+         replace(seq, (SELECT pair FROM t{r}),
                  replace((SELECT pair FROM t{r}), chr(31), chr(30))) AS seq
   FROM d{r - 1}
 )"""
             )
     body = ",\n".join(layers)
+    if apply:
+        return (
+            f"WITH {body}\n"
+            f"SELECT doc_id,\n"
+            f"       CAST(len(string_split(seq, chr(31))) AS BIGINT) AS n_symbols,\n"
+            f"       CAST(len(list_filter(string_split(seq, chr(31)),\n"
+            f"                            x -> contains(x, chr(30)))) AS BIGINT)\n"
+            f"         AS n_merged\n"
+            f"FROM d{rounds}"
+        )
     selects = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS round, "
         f"replace(replace(pair, chr(31), ' '), chr(30), ' ') AS pair, cnt "
@@ -1419,8 +1432,11 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
     {
         # round-5 additions past the already-full window
         "bpe_train_merges",
+        "bpe_apply",
         "kmeans_lloyd",
         "epoch_shuffle_sharded",
+        "l_diversity",
+        "attribution_linear",
     }
 )
 
@@ -2830,6 +2846,17 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "pair count -> argmax merge -> greedy non-overlapping rewrite, "
             "repeated on the merged corpus; hash-verified via a chained-CTE "
             "replay (completes token_pair_counts into the full loop)",
+    ),
+    "bpe_apply": QuerySpec(
+        lambda spark, sf_dir: text_analysis.bpe_apply(
+            load_table(spark, sf_dir, "documents"), rounds=4
+        ),
+        _bpe_oracle(4, apply=True),
+        doc="apply half of BPE tokenizer training: every doc rewritten "
+            "through all 4 learned merges, per-doc symbol stats "
+            "(n_symbols = token count under the trained merges, n_merged "
+            "= multi-word symbols); oracle extends the chained replay one "
+            "rewrite level",
     ),
     "kmeans_lloyd": QuerySpec(
         lambda spark, sf_dir: kmeans.kmeans_lloyd_fixed(
@@ -4304,6 +4331,48 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "next to pii_scrub's direct-identifier redaction; one "
             "Exchange on the quasi-identifier tuple",
     ),
+    "l_diversity": QuerySpec(
+        _rel(relational.q_l_diversity),
+        """SELECT lang,
+                  LEAST(9, CAST(floor(n_chars / 100) AS BIGINT)) AS len_bucket,
+                  CAST(COUNT(*) AS BIGINT) AS class_size,
+                  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sensitive,
+                  COUNT(DISTINCT source) < 3 AS violates_l
+           FROM documents
+           GROUP BY lang, LEAST(9, CAST(floor(n_chars / 100) AS BIGINT))""",
+        doc="l-diversity audit (k-anonymity's variety complement): "
+            "distinct sensitive values (source) per quasi-identifier "
+            "class (lang, length bucket), flagging homogeneity-attack "
+            "classes with under l=3 distinct values; one Exchange",
+    ),
+    "attribution_linear": QuerySpec(
+        _rel(relational.q_attribution_linear),
+        """WITH grouped AS (
+             SELECT user_id, event_id, event_type,
+                    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0) AS grp
+             FROM events
+           ),
+           clicks AS (
+             SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS n_touch
+             FROM grouped WHERE event_type = 'click'
+             GROUP BY user_id, grp
+           )
+           SELECT p.user_id, p.event_id AS purchase_id,
+                  CAST(COALESCE(c.n_touch, 0) AS BIGINT) AS n_touch,
+                  CASE WHEN c.n_touch > 0
+                       THEN round(1.0 / c.n_touch, 6) END AS credit_per_touch
+           FROM grouped p LEFT JOIN clicks c
+             ON p.user_id = c.user_id AND p.grp = c.grp
+           WHERE p.event_type = 'purchase'""",
+        doc="linear multi-touch attribution: each purchase splits credit "
+            "equally over the clicks of its conversion group (running "
+            "preceding-purchase count segments the journey — no history "
+            "self-join); two keyed Exchanges",
+    ),
     "ab_test_report": QuerySpec(
         _rel(relational.q_ab_test_report),
         """WITH agg AS (
@@ -4621,7 +4690,8 @@ _ROUND5_ORDER = [
     "events_running_anomaly", "revenue_pareto", "customer_rfm", "event_top_paths",
     "state_intervals", "fuzzy_join", "vocab_topk", "quality_percentile",
     "knn_classify", "random_projection", "next_event_pairs", "token_pair_counts",
-    "bpe_train_merges", "kmeans_lloyd", "epoch_shuffle_sharded", "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
+    "bpe_train_merges", "bpe_apply", "kmeans_lloyd", "epoch_shuffle_sharded",
+    "l_diversity", "attribution_linear", "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
     "skew_salted_join", "skew_two_phase", "pagerank", "timeseries_gapfill",
     "media_probe", "text_token_entropy", "monthly_growth", "events_sessionize",
     "asof_join", "dedup_minhash_lsh", "dedup_embedding", "agg_approx",

@@ -2579,6 +2579,92 @@ def q_attribution_last_touch(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def q_l_diversity(t: dict[str, DataFrame], l: int = 3) -> DataFrame:
+    """l-diversity audit — k-anonymity's complement (``q_k_anonymity``
+    measures class SIZE; this measures sensitive-value VARIETY): group
+    documents by the quasi-identifier tuple (lang, length bucket) and
+    report each class's distinct count of the sensitive attribute
+    (source).  A class with fewer than ``l`` distinct sensitive values
+    is vulnerable to homogeneity attacks even when its size passes k —
+    an attacker who narrows a target to the class learns the sensitive
+    value outright.
+
+    Same shape as the k audit: ONE Exchange on the quasi-identifier
+    tuple carrying a distinct-count; the report is |classes| rows.
+    """
+    d = t["documents"]
+    bucket = F.least(F.lit(9), F.floor(F.col("n_chars") / 100).cast("long"))
+    return (
+        d.select("lang", bucket.alias("len_bucket"), "source")
+        .groupBy("lang", "len_bucket")
+        .agg(
+            F.count("*").cast("long").alias("class_size"),
+            F.countDistinct("source").cast("long").alias("n_sensitive"),
+        )
+        .select(
+            "lang",
+            "len_bucket",
+            "class_size",
+            "n_sensitive",
+            (F.col("n_sensitive") < l).alias("violates_l"),
+        )
+    )
+
+
+def q_attribution_linear(t: dict[str, DataFrame]) -> DataFrame:
+    """Linear multi-touch attribution — ``q_attribution_last_touch``
+    gives the newest click all the credit; here each purchase splits
+    its credit EQUALLY across every click since the user's previous
+    purchase (the journey segment it converts).
+
+    Journey segmentation without a history self-join: a running count
+    of PRECEDING purchases per user partitions the stream into
+    conversion groups (each group's clicks convert at the purchase
+    that closes it); a (user, group) aggregate counts the clicks, and
+    the purchase row joins that 1-row-per-group aggregate.  Two keyed
+    Exchanges (user_id window, (user, group) agg) regardless of
+    corpus size — never events x events.
+
+    Output per purchase: its touch count and the per-click credit
+    (round(1/n, 6); organic purchases — no clicks in their group —
+    report 0 touches and NULL credit).
+    """
+    e = t["events"]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_p = F.col("event_type") == "purchase"
+    is_c = F.col("event_type") == "click"
+    grouped = e.withColumn(
+        "grp",
+        F.coalesce(
+            F.sum(F.when(is_p, 1).otherwise(0)).over(w_prev), F.lit(0)
+        ).cast("long"),
+    )
+    clicks = (
+        grouped.filter(is_c)
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").cast("long").alias("n_touch"))
+    )
+    purchases = grouped.filter(is_p).select(
+        "user_id", "grp", F.col("event_id").alias("purchase_id")
+    )
+    return (
+        purchases.join(clicks, ["user_id", "grp"], "left")
+        .select(
+            "user_id",
+            "purchase_id",
+            F.coalesce(F.col("n_touch"), F.lit(0)).cast("long").alias("n_touch"),
+            F.when(
+                F.col("n_touch") > 0,
+                F.round(F.lit(1.0) / F.col("n_touch"), 6),
+            ).alias("credit_per_touch"),
+        )
+    )
+
+
 def q_ab_test_report(t: dict[str, DataFrame]) -> DataFrame:
     """A/B experiment readout: users split into two deterministic arms
     (user_id parity — in production, the salted hash split of

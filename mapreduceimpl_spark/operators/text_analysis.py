@@ -1100,14 +1100,39 @@ def bpe_train_merges(
     one scan of the previous one.  Both paths return identical values
     (tested).
     """
-    if rounds < 1:
-        raise ValueError(f"bpe_train_merges: rounds must be >= 1, got {rounds}")
-    us = "\x1f"  # symbol separator
-    rs = "\x1e"  # glue inside a merged symbol
+    seqs, merge_rows = _bpe_levels(
+        docs, rounds, text_col, persist_levels, apply_last=False
+    )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out
 
-    scrubbed = F.translate(F.col(text_col), us + rs, "")
+
+_BPE_US = "\x1f"  # symbol separator
+_BPE_RS = "\x1e"  # glue inside a merged symbol
+
+
+def _bpe_levels(
+    docs: DataFrame,
+    rounds: int,
+    text_col: str,
+    persist_levels: bool,
+    apply_last: bool,
+    id_col: str = "doc_id",
+):
+    """Shared BPE merge loop: returns (seqs, merge_rows) where seqs is
+    the (id, seq) corpus after rounds-1 merges (or all ``rounds``
+    merges when ``apply_last``) and merge_rows is one 1-row DataFrame
+    (round, pair, cnt) per round.  See ``bpe_train_merges`` for the
+    representation contract."""
+    if rounds < 1:
+        raise ValueError(f"bpe merge loop: rounds must be >= 1, got {rounds}")
+    us, rs = _BPE_US, _BPE_RS
+
+    scrubbed = F.translate(F.coalesce(F.col(text_col), F.lit("")), us + rs, "")
     seqs = docs.select(
-        F.array_join(F.split(scrubbed, " "), us).alias("seq")
+        F.col(id_col), F.array_join(F.split(scrubbed, " "), us).alias("seq")
     )
 
     merge_rows = []
@@ -1147,12 +1172,36 @@ def bpe_train_merges(
                 "cnt",
             )
         )
-        if r < rounds:
+        if r < rounds or apply_last:
             seqs = seqs.crossJoin(F.broadcast(top)).select(
-                F.replace(F.col("seq"), F.col("pair"), F.col("merged")).alias("seq")
+                F.col(id_col),
+                F.replace(F.col("seq"), F.col("pair"), F.col("merged")).alias("seq"),
             )
+    return seqs, merge_rows
 
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionAll(m)
-    return out
+
+def bpe_apply(
+    docs: DataFrame,
+    rounds: int = 4,
+    text_col: str = "text",
+    persist_levels: bool = False,
+) -> DataFrame:
+    """Tokenize the corpus with the merge table ``bpe_train_merges``
+    learns — the apply half of tokenizer training: every doc rewritten
+    through ALL ``rounds`` greedy merges, reported as per-doc symbol
+    stats (doc_id, n_symbols, n_merged).  n_symbols is the doc's token
+    count under the trained merges (what a sequence-length budget sees);
+    n_merged counts multi-word symbols.
+
+    Same representation, determinism, and scale posture as
+    ``bpe_train_merges`` (one extra rewrite for the final round);
+    value-verified by extending the chained-CTE replay one level.
+    """
+    seqs, _ = _bpe_levels(docs, rounds, text_col, persist_levels, apply_last=True)
+    toks = F.split(F.col("seq"), _BPE_US)
+    merged = F.filter(toks, lambda x: x.contains(_BPE_RS))
+    return seqs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_symbols"),
+        F.size(merged).cast("long").alias("n_merged"),
+    )

@@ -371,3 +371,23 @@ def test_mad_outliers_fixture_robust(tables):
         # uniform 1..50 quantities: MAD ~ 12-13, no 3-MAD outliers
         assert r["n_outliers"] == 0
         assert 0 < r["mad"] <= 15
+
+
+def test_histogram_drift_degenerate_range_single_bin(spark):
+    """All-equal values (hi == lo): everything lands in bin 0 with no
+    NaN/Inf from the zero-width division (ADVICE r4)."""
+    import datetime as dt
+
+    from mapreduceimpl_spark.operators.relational import q_histogram_drift
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1), i, "view", 7.5, "{}") for i in range(10)
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = q_histogram_drift({"events": e}).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["bin"] == 0 and r["cnt_a"] + r["cnt_b"] == 10
+    assert r["share_a"] == 1.0 and r["share_b"] == 1.0 and r["share_gap"] == 0.0

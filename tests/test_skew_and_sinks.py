@@ -321,3 +321,15 @@ def test_compact_files_rerunnable_after_stale_dirs(spark, tmp_path, docs):
     os.rename(path + "__old_tmp", path + "__old")
     assert compact_files(spark, path, target_files=1) <= 1
     assert sorted(r["doc_id"] for r in spark.read.parquet(path).collect()) == rows
+
+
+def test_compact_files_rejects_remote_scheme(spark):
+    """os.rename cannot address object stores — fail fast with a clear
+    error instead of stranding a staging dir (ADVICE r4)."""
+    import pytest as _pytest
+
+    from mapreduceimpl_spark.sources.sinks import compact_files
+
+    for path in ("s3a://bucket/table", "hdfs://nn/warehouse/t"):
+        with _pytest.raises(ValueError, match="local filesystem"):
+            compact_files(spark, path, target_files=2)

@@ -630,3 +630,13 @@ def test_stream_attribution_state_crosses_batches(spark, tmp_path):
         )
     }
     assert got == {1: (None, None), 3: (2, 120)}
+
+
+def test_stream_bloom_prefilter_validates_n_hashes(spark, docs):
+    import pytest as _pytest
+
+    from mapreduceimpl_spark.streaming import ops as streaming
+
+    bits = spark.createDataFrame([(1,)], ["pos"])
+    with _pytest.raises(ValueError, match="n_hashes"):
+        streaming.stream_bloom_prefilter(docs, bits, m_bits=64, n_hashes=0)

@@ -610,3 +610,38 @@ def test_bpe_train_merges_validates_rounds(spark):
     docs = spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         bpe_train_merges(docs, rounds=0)
+
+
+def test_bpe_apply_consistent_with_train(spark):
+    """Applying the learned merges must shrink token counts by exactly
+    the number of merge hits, and n_merged tracks multi-word symbols."""
+    from mapreduceimpl_spark.operators.text_analysis import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "a a b"), (3, "c b")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in bpe_apply(docs, rounds=2).collect()}
+    # round 1 merges 'a a'; round 2 merges '(a a) b'
+    # doc1: a a a a b -> (aa)(aa) b -> (aa) (aab)     => 2 symbols, 2 merged
+    assert (out[1]["n_symbols"], out[1]["n_merged"]) == (2, 2)
+    # doc2: a a b -> (aa) b -> (aab)                  => 1 symbol, merged
+    assert (out[2]["n_symbols"], out[2]["n_merged"]) == (1, 1)
+    # doc3: c b unchanged
+    assert (out[3]["n_symbols"], out[3]["n_merged"]) == (2, 0)
+
+
+def test_l_diversity_flags_homogeneous_class(spark):
+    from mapreduceimpl_spark.operators.relational import q_l_diversity
+
+    rows = [
+        (1, "x", "en", "web", 50),
+        (2, "x", "en", "books", 50),
+        (3, "x", "en", "wiki", 50),
+        (4, "x", "de", "web", 50),
+        (5, "x", "de", "web", 50),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {(r["lang"], r["len_bucket"]): r for r in
+           q_l_diversity({"documents": d}, l=3).collect()}
+    assert out[("en", 0)]["n_sensitive"] == 3 and not out[("en", 0)]["violates_l"]
+    assert out[("de", 0)]["n_sensitive"] == 1 and out[("de", 0)]["violates_l"]

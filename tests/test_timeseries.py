@@ -400,3 +400,64 @@ def test_sft_render_truncates_and_is_partition_invariant(spark, tables):
         ).collect()
     )
     assert a == b
+
+
+def test_attribution_linear_hand_case(spark):
+    import datetime as dt
+
+    from mapreduceimpl_spark.operators.relational import q_attribution_linear
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda n: t0 + dt.timedelta(seconds=n)
+    rows = [
+        (1, s(0), 7, "click", 0.0, "{}"),
+        (2, s(5), 7, "view", 0.0, "{}"),
+        (3, s(10), 7, "click", 0.0, "{}"),
+        (4, s(25), 7, "purchase", 0.0, "{}"),   # group 0: clicks 1,3 -> 0.5 each
+        (5, s(30), 7, "click", 0.0, "{}"),
+        (6, s(31), 7, "purchase", 0.0, "{}"),   # group 1: click 5 -> 1.0
+        (7, s(40), 7, "purchase", 0.0, "{}"),   # group 2: organic
+        (8, s(5), 8, "purchase", 0.0, "{}"),    # organic, other user
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r["purchase_id"]: r for r in q_attribution_linear({"events": e}).collect()}
+    assert set(out) == {4, 6, 7, 8}
+    assert (out[4]["n_touch"], out[4]["credit_per_touch"]) == (2, 0.5)
+    assert (out[6]["n_touch"], out[6]["credit_per_touch"]) == (1, 1.0)
+    assert out[7]["n_touch"] == 0 and out[7]["credit_per_touch"] is None
+    assert out[8]["n_touch"] == 0 and out[8]["credit_per_touch"] is None
+
+
+def test_attribution_linear_credit_conserved(tables):
+    """Every attributed purchase's touches sum to exactly one unit of
+    credit (within the 1e-6 rounding of credit_per_touch)."""
+    from mapreduceimpl_spark.operators.relational import q_attribution_linear
+
+    for r in q_attribution_linear(tables).collect():
+        if r["n_touch"] > 0:
+            assert abs(r["credit_per_touch"] * r["n_touch"] - 1.0) < 1e-4
+
+
+def test_ab_test_report_underpopulated_arm_null_z(spark):
+    """An event type with n<2 in one arm yields NULL z and NULL
+    verdict, not NaN (ADVICE r4)."""
+    import datetime as dt
+
+    from mapreduceimpl_spark.operators.relational import q_ab_test_report
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # arm a (even user_id): 3 events; arm b (odd): exactly 1
+        (1, t0, 2, "view", 1.0, "{}"),
+        (2, t0, 4, "view", 2.0, "{}"),
+        (3, t0, 6, "view", 3.0, "{}"),
+        (4, t0, 3, "view", 9.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    r = q_ab_test_report({"events": e}).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 1)
+    assert r["welch_z"] is None and r["significant_95"] is None

@@ -149,3 +149,17 @@ def test_udtf_chunks_rejects_bad_overlap(spark, docs):
 
     with _pytest.raises(ValueError):
         udtf_chunk_documents(spark, docs, chunk_tokens=64, overlap=64)
+
+
+def test_udtf_chunk_documents_interleaved_calls_do_not_clobber(spark, docs):
+    """Two lazily-built UDTF plans over DIFFERENT inputs must each
+    chunk their own input when executed later (per-call view names —
+    ADVICE r4)."""
+    from mapreduceimpl_spark.operators.udf_surface import udtf_chunk_documents
+
+    small = docs.limit(3)
+    plan_a = udtf_chunk_documents(spark, small)
+    plan_b = udtf_chunk_documents(spark, docs.limit(7))  # overwrites? no:
+    a_docs = {r["doc_id"] for r in plan_a.select("doc_id").distinct().collect()}
+    b_docs = {r["doc_id"] for r in plan_b.select("doc_id").distinct().collect()}
+    assert len(a_docs) == 3 and len(b_docs) == 7 and a_docs <= b_docs
