@@ -507,7 +507,7 @@ a{i} AS (
     )
 
 
-def _bpe_oracle(rounds: int = 4, apply: bool = False) -> str:
+def _bpe_oracle(rounds: int = 4, apply: bool = False, vocab_k: int | None = None) -> str:
     """Chained-CTE replay of ``text_analysis.bpe_train_merges``: one
     (pair-count -> argmax -> replace) CTE layer per merge round, on the
     same US/RS string representation — DuckDB ``replace`` shares the
@@ -537,7 +537,7 @@ def _bpe_oracle(rounds: int = 4, apply: bool = False) -> str:
 ),
 t{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)"""
         )
-        if r < rounds or apply:
+        if r < rounds or apply or vocab_k is not None:
             layers.append(
                 f"""d{r} AS MATERIALIZED (
   SELECT doc_id,
@@ -547,6 +547,18 @@ t{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)"""
 )"""
             )
     body = ",\n".join(layers)
+    if vocab_k is not None:
+        return (
+            f"WITH {body}\n"
+            f"SELECT replace(symbol, chr(30), ' ') AS symbol, cnt, rank FROM (\n"
+            f"  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS cnt,\n"
+            f"         CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, symbol ASC)\n"
+            f"              AS BIGINT) AS rank\n"
+            f"  FROM (SELECT unnest(string_split(seq, chr(31))) AS symbol\n"
+            f"        FROM d{rounds})\n"
+            f"  GROUP BY symbol\n"
+            f") WHERE rank <= {vocab_k}"
+        )
     if apply:
         return (
             f"WITH {body}\n"
@@ -1163,6 +1175,31 @@ WHERE jaccard >= {min_jaccard}
 """
 
 
+def _containment_oracle(min_containment: float = 0.8) -> str:
+    return f"""
+WITH corpus AS ({_NEARDUP_CORPUS}),
+sh AS (
+  SELECT doc_id, unnest({_shingle_list(3)}) AS shingle
+  FROM corpus WHERE len({_TOKS}) >= 3
+),
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, containment FROM (
+  SELECT doc_a, doc_b,
+         CAST(inter AS DOUBLE) / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE)
+           AS containment
+  FROM inter
+  JOIN sz sa ON inter.doc_a = sa.doc_id
+  JOIN sz sb ON inter.doc_b = sb.doc_id
+)
+WHERE containment >= {min_containment}
+"""
+
+
 # Vector length of the embeddings fixture (TESTDATA.md): the seeded
 # hyperplane matrices in the LSH oracles below are generated at this
 # dim, and the Spark side derives dim from the first data row — a
@@ -1433,10 +1470,12 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         # round-5 additions past the already-full window
         "bpe_train_merges",
         "bpe_apply",
+        "bpe_vocab",
         "kmeans_lloyd",
         "epoch_shuffle_sharded",
         "l_diversity",
         "attribution_linear",
+        "dedup_containment",
     }
 )
 
@@ -1666,6 +1705,17 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(
         _q_ngram_pairs, _ngram_oracle(),
         doc="exact n-gram Jaccard via shingle inverted index",
+    ),
+    "dedup_containment": QuerySpec(
+        lambda spark, sf_dir: dedup.ngram_containment_pairs(
+            dedup.with_mutated_copies(load_table(spark, sf_dir, "documents")),
+            min_containment=0.8,
+        ),
+        _containment_oracle(0.8),
+        doc="asymmetric containment near-dup pairs (inter / min set size) "
+            "over the shingle inverted index — scores a small doc embedded "
+            "in a big one 1.0 where Jaccard under-scores it; superset dedup "
+            "/ decontamination relation",
     ),
     "dedup_minhash_verified": QuerySpec(
         lambda spark, sf_dir: dedup.minhash_verified_pairs(
@@ -2857,6 +2907,15 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "(n_symbols = token count under the trained merges, n_merged "
             "= multi-word symbols); oracle extends the chained replay one "
             "rewrite level",
+    ),
+    "bpe_vocab": QuerySpec(
+        lambda spark, sf_dir: text_analysis.bpe_vocab(
+            load_table(spark, sf_dir, "documents"), rounds=4, k=30
+        ),
+        _bpe_oracle(4, vocab_k=30),
+        doc="vocabulary half of BPE training: top-30 symbols by corpus "
+            "frequency after all learned merges; wordcount aggregate + "
+            "ranking window over the aggregated vocab only",
     ),
     "kmeans_lloyd": QuerySpec(
         lambda spark, sf_dir: kmeans.kmeans_lloyd_fixed(
@@ -4690,8 +4749,8 @@ _ROUND5_ORDER = [
     "events_running_anomaly", "revenue_pareto", "customer_rfm", "event_top_paths",
     "state_intervals", "fuzzy_join", "vocab_topk", "quality_percentile",
     "knn_classify", "random_projection", "next_event_pairs", "token_pair_counts",
-    "bpe_train_merges", "bpe_apply", "kmeans_lloyd", "epoch_shuffle_sharded",
-    "l_diversity", "attribution_linear", "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
+    "bpe_train_merges", "bpe_apply", "bpe_vocab", "kmeans_lloyd", "epoch_shuffle_sharded",
+    "l_diversity", "attribution_linear", "dedup_containment", "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
     "skew_salted_join", "skew_two_phase", "pagerank", "timeseries_gapfill",
     "media_probe", "text_token_entropy", "monthly_growth", "events_sessionize",
     "asof_join", "dedup_minhash_lsh", "dedup_embedding", "agg_approx",

@@ -654,6 +654,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    min_containment: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: inter / min(|A|, |B|)
+    over the same shingle inverted index as ``ngram_jaccard_pairs``.
+
+    Jaccard under-scores a small document embedded in a much larger
+    one (union is dominated by the big side); containment scores it
+    1.0 — the relation that matters for superset dedup and
+    benchmark-inside-training-doc decontamination.  Same inverted-
+    index bound (O(sum df^2), never n^2) and the same
+    ``max_shingle_df`` stop-shingle guard as the Jaccard pass.
+    """
+    sh = ngram_shingles(docs, n)
+    if max_shingle_df is not None:
+        sh = _drop_hot_shingles(sh, max_shingle_df)
+    a, b = sh.alias("__l"), sh.alias("__r")
+    cond = (F.col("__l.shingle") == F.col("__r.shingle")) & (
+        F.col("__l.doc_id") < F.col("__r.doc_id")
+    )
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col("__l.doc_id").alias("doc_a"), F.col("__r.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sh.groupBy("doc_id").agg(F.count("*").alias("n_a")).withColumnRenamed(
+        "doc_id", "doc_a"
+    )
+    sb = sh.groupBy("doc_id").agg(F.count("*").alias("n_b")).withColumnRenamed(
+        "doc_id", "doc_b"
+    )
+    containment = F.col("inter").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
+    ).cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", containment.alias("containment"))
+        .filter(F.col("containment") >= min_containment)
+    )
+
+
 def _drop_hot_shingles(
     sh: DataFrame, max_df: int, df_source: DataFrame | None = None
 ) -> DataFrame:

@@ -1180,6 +1180,40 @@ def _bpe_levels(
     return seqs, merge_rows
 
 
+def bpe_vocab(
+    docs: DataFrame,
+    rounds: int = 4,
+    k: int = 30,
+    text_col: str = "text",
+    persist_levels: bool = False,
+) -> DataFrame:
+    """The vocabulary half of BPE training: top-k symbols by corpus
+    frequency AFTER all learned merges (multi-word symbols display
+    their words space-joined) — what a tokenizer persists alongside
+    the ``bpe_train_merges`` merge table.
+
+    One wordcount-shaped aggregate over the merged corpus; the top-k
+    ranking window reads only the aggregated symbol vocabulary (the
+    ``vocab_topk`` pattern — bounded by |vocab|, not corpus size).
+    """
+    seqs, _ = _bpe_levels(docs, rounds, text_col, persist_levels, apply_last=True)
+    counts = (
+        seqs.select(F.explode(F.split(F.col("seq"), _BPE_US)).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("symbol"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.replace(F.col("symbol"), F.lit(_BPE_RS), F.lit(" ")).alias("symbol"),
+            F.col("cnt").cast("long").alias("cnt"),
+            "rank",
+        )
+    )
+
+
 def bpe_apply(
     docs: DataFrame,
     rounds: int = 4,

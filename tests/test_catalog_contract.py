@@ -146,6 +146,7 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
         "cuped_adjustment",    # 1-row pooled moments (theta, mean_x)
         "bpe_train_merges",    # 1-row argmax merge pair per round
         "bpe_apply",           # same 1-row argmax broadcast, +1 round
+        "bpe_vocab",           # same 1-row argmax broadcast, +1 round
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

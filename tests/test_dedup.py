@@ -744,3 +744,20 @@ def test_prefix_filter_integral_threshold_boundary(spark):
         for r in dedup.ngram_jaccard_pairs(df, min_jaccard=0.1).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_containment_scores_embedded_doc_full(spark):
+    """A small doc whose shingles all appear in a larger doc scores
+    containment 1.0 even though Jaccard is far below threshold."""
+    from mapreduceimpl_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    big = " ".join(f"w{i}" for i in range(40))
+    small = " ".join(f"w{i}" for i in range(10, 16))  # embedded span
+    docs = spark.createDataFrame([(1, big), (2, small)], ["doc_id", "text"])
+    cont = ngram_containment_pairs(docs, min_containment=0.9).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    jac = ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()
+    assert jac == []  # Jaccard misses the embedded relation

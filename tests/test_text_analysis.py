@@ -645,3 +645,21 @@ def test_l_diversity_flags_homogeneous_class(spark):
            q_l_diversity({"documents": d}, l=3).collect()}
     assert out[("en", 0)]["n_sensitive"] == 3 and not out[("en", 0)]["violates_l"]
     assert out[("de", 0)]["n_sensitive"] == 1 and out[("de", 0)]["violates_l"]
+
+
+def test_bpe_vocab_reflects_merges(spark):
+    """After training, merged symbols appear in the vocabulary as
+    space-joined words with their post-merge frequencies."""
+    from mapreduceimpl_spark.operators.text_analysis import bpe_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "a a b"), (3, "c b")], ["doc_id", "text"]
+    )
+    rows = {r["symbol"]: r for r in bpe_vocab(docs, rounds=2, k=10).collect()}
+    # post-merge corpus: doc1 = (aa) (aab), doc2 = (aab), doc3 = c b
+    assert rows["a a b"]["cnt"] == 2
+    assert rows["a a"]["cnt"] == 1
+    assert rows["b"]["cnt"] == 1 and rows["c"]["cnt"] == 1
+    assert "a" not in rows  # every bare 'a' was merged away
+    ranks = sorted(r["rank"] for r in rows.values())
+    assert ranks == list(range(1, len(rows) + 1))
