@@ -841,3 +841,63 @@ def stream_attribution_last_touch(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_ATTR_LINEAR_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("purchase_id", LongType()),
+        StructField("n_touch", LongType()),
+        StructField("credit_per_touch", DoubleType()),
+    ]
+)
+# clicks observed since the user's previous purchase
+_ATTR_LINEAR_STATE = StructType([StructField("n_clicks", LongType())])
+
+
+def stream_attribution_linear(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``relational.q_attribution_linear``: each
+    purchase splits credit equally over the clicks of its conversion
+    group, where the group correctly spans micro-batch boundaries
+    because the click count since the last purchase is ONE integer of
+    keyed state per user — O(users) state, stream-length independent
+    (the batch operator's running-purchase-count segmentation, carried
+    as state instead of a window).
+
+    Same total order and edge semantics as the batch form: rows sort
+    (ts, event_id) within each micro-batch, organic purchases (no
+    clicks in their group) emit 0 touches and NULL credit.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: Any, pdfs: Any, state: GroupState):
+        n_clicks = state.get[0] if state.exists else 0
+        out: dict[str, list] = {
+            "user_id": [], "purchase_id": [], "n_touch": [], "credit_per_touch": [],
+        }
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for eid, et in zip(batch["event_id"], batch["event_type"]):
+                if et == "purchase":
+                    out["user_id"].append(key[0])
+                    out["purchase_id"].append(int(eid))
+                    out["n_touch"].append(n_clicks)
+                    out["credit_per_touch"].append(
+                        round(1.0 / n_clicks, 6) if n_clicks > 0 else None
+                    )
+                    n_clicks = 0
+                elif et == "click":
+                    n_clicks += 1
+        state.update((n_clicks,))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_ATTR_LINEAR_SCHEMA,
+        stateStructType=_ATTR_LINEAR_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -640,3 +640,79 @@ def test_stream_bloom_prefilter_validates_n_hashes(spark, docs):
     bits = spark.createDataFrame([(1,)], ["pos"])
     with _pytest.raises(ValueError, match="n_hashes"):
         streaming.stream_bloom_prefilter(docs, bits, m_bits=64, n_hashes=0)
+
+
+def test_stream_attribution_linear_matches_batch(spark, events_dir):
+    """Streaming linear multi-touch attribution equals the batch
+    journey-segmentation form row-for-row."""
+    from mapreduceimpl_spark.operators import relational
+
+    stream = streaming.read_events_stream(spark, events_dir)
+    got = {
+        r["purchase_id"]: (r["n_touch"], r["credit_per_touch"])
+        for r in _run_stream(
+            streaming.stream_attribution_linear(stream), mode="append"
+        )
+    }
+    batch = {
+        r["purchase_id"]: (r["n_touch"], r["credit_per_touch"])
+        for r in relational.q_attribution_linear(
+            {"events": load_table(spark, SF, "events")}
+        ).collect()
+    }
+    assert got == batch and len(got) > 0
+
+
+def test_stream_attribution_linear_group_crosses_batches(spark, tmp_path):
+    """Clicks in micro-batch A plus a click in batch B must all credit
+    the purchase in batch B — the click-count state crossing the
+    boundary — and the purchase must reset the group."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "attr_linear_two_batches"
+    d.mkdir()
+
+    def write(fname, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            d / fname,
+        )
+
+    write(
+        "b1.parquet",
+        [
+            (1, "2024-01-01 00:00:00", 7, "click", 0.0, "{}"),
+            (2, "2024-01-01 00:00:10", 7, "click", 0.0, "{}"),
+        ],
+    )
+    write(
+        "b2.parquet",
+        [
+            (3, "2024-01-01 00:01:00", 7, "click", 0.0, "{}"),
+            (4, "2024-01-01 00:02:00", 7, "purchase", 0.0, "{}"),  # 3 touches
+            (5, "2024-01-01 00:03:00", 7, "purchase", 0.0, "{}"),  # organic
+        ],
+    )
+    stream = streaming.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    out = {
+        r["purchase_id"]: (r["n_touch"], r["credit_per_touch"])
+        for r in _run_stream(streaming.stream_attribution_linear(stream))
+    }
+    assert out[4] == (3, round(1.0 / 3, 6))
+    assert out[5] == (0, None)
