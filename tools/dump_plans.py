@@ -36,9 +36,13 @@ ANNOTATED = {
         "under any shuffle schedule)."
     ),
     "local_supplier_volume": (
-        "TPC-H Q5 shape: every dimension side is a BroadcastHashJoin — "
-        "the lineitem fact table is scanned once and shuffled only for "
-        "the orders join; at 100 TB the fact side never moves for dims."
+        "TPC-H Q5 shape: every dimension side is a BroadcastHashJoin at "
+        "fixture scale — the lineitem fact table is scanned once and "
+        "shuffled only for the orders join.  Round 5: only the bounded "
+        "nation/region frames carry HARD broadcast hints; the SF-scaled "
+        "customer/supplier broadcasts here come from the size threshold "
+        "+ AQE, so at 100x they degrade to sort-merge instead of "
+        "OOM-by-hint (plan-tested both ways)."
     ),
     "shipping_priority": (
         "Join -> agg -> TakeOrderedAndProject: the top-10 never "
