@@ -1009,6 +1009,41 @@ FROM corpus c LEFT JOIN comp k ON c.doc_id = k.node
 """
 
 
+def _dedup_keeper_longest_oracle(min_jaccard: float = 0.5) -> str:
+    """Keeper-policy mirror of ``_dedup_clusters_oracle``: same
+    recursive reachability components, keeper = argmax (text length,
+    -doc_id) per component via FIRST_VALUE."""
+    return f"""
+WITH RECURSIVE scored AS (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle()}) p WHERE est_jaccard >= {min_jaccard}
+),
+edge AS (
+  SELECT doc_a AS u, doc_b AS v FROM scored
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM scored
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edge
+  UNION
+  SELECT re.node, e.v AS r FROM reach re JOIN edge e ON re.r = e.u
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+corpus AS ({_NEARDUP_CORPUS}),
+labeled AS (
+  SELECT c.doc_id,
+         CAST(length(c.text) AS BIGINT) AS n_len,
+         coalesce(k.component, c.doc_id) AS component
+  FROM corpus c LEFT JOIN comp k ON c.doc_id = k.node
+)
+SELECT doc_id, component, keeper_id, doc_id = keeper_id AS is_keeper FROM (
+  SELECT doc_id, component,
+         FIRST_VALUE(doc_id) OVER (PARTITION BY component
+                                   ORDER BY n_len DESC, doc_id ASC) AS keeper_id
+  FROM labeled
+)
+"""
+
+
 # Incoming-batch fixture for incremental dedup, derived from documents
 # so both engines rebuild it identically: byte-exact copies (expected
 # 'exact'), suffix-mutated copies (expected 'near' — same mutation as
@@ -1476,6 +1511,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "l_diversity",
         "attribution_linear",
         "dedup_containment",
+        "dedup_keeper_longest",
     }
 )
 
@@ -1759,6 +1795,18 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
         doc="full fuzzy-dedup verdict: MinHash pairs -> connected components -> "
             "canonical keeper (round-3: hash-checked vs recursive reachability "
             "closure — valid because the Spark side converges on this graph)",
+    ),
+    "dedup_keeper_longest": QuerySpec(
+        lambda spark, sf_dir: dedup.dedup_keeper_longest(
+            dedup.with_mutated_copies(load_table(spark, sf_dir, "documents")),
+            dedup.minhash_lsh_pairs(
+                dedup.with_mutated_copies(load_table(spark, sf_dir, "documents"))
+            ).filter(F.col("est_jaccard") >= 0.5),
+        ),
+        _dedup_keeper_longest_oracle(),
+        doc="keeper-policy dedup: same components as dedup_clusters but "
+            "the keeper is the LONGEST member (most-complete-copy "
+            "heuristic) — one bounded window Exchange on component",
     ),
     "dedup_incremental": QuerySpec(
         _q_dedup_incremental, _dedup_incremental_oracle(),
@@ -4750,7 +4798,8 @@ _ROUND5_ORDER = [
     "state_intervals", "fuzzy_join", "vocab_topk", "quality_percentile",
     "knn_classify", "random_projection", "next_event_pairs", "token_pair_counts",
     "bpe_train_merges", "bpe_apply", "bpe_vocab", "kmeans_lloyd", "epoch_shuffle_sharded",
-    "l_diversity", "attribution_linear", "dedup_containment", "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
+    "l_diversity", "attribution_linear", "dedup_containment", "dedup_keeper_longest",
+    "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
     "skew_salted_join", "skew_two_phase", "pagerank", "timeseries_gapfill",
     "media_probe", "text_token_entropy", "monthly_growth", "events_sessionize",
     "asof_join", "dedup_minhash_lsh", "dedup_embedding", "agg_approx",

@@ -869,6 +869,38 @@ def dedup_decision(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_keeper_longest(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Keeper-policy variant of ``dedup_decision``: within each
+    near-dup component keep the LONGEST document (tiebreak lowest
+    doc_id) instead of the lowest id — the "most complete copy"
+    heuristic real pipelines use when near-dups are truncations or
+    suffixed re-crawls of one another.
+
+    Shape: the same connected components, then ONE window Exchange on
+    the component id to pick the argmax-(length, -doc_id) keeper; at
+    100 TB components are tiny near-dup groups, so the per-partition
+    sort is bounded by the largest dup cluster, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs)
+    labeled = (
+        docs.select("doc_id", F.length("text").cast("long").alias("n_len"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_len",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_len"), F.asc("doc_id"))
+    return labeled.select(
+        "doc_id",
+        "component",
+        F.first("doc_id").over(w).alias("keeper_id"),
+    ).withColumn("is_keeper", F.col("doc_id") == F.col("keeper_id"))
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------

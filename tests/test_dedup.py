@@ -761,3 +761,30 @@ def test_containment_scores_embedded_doc_full(spark):
     assert len(cont) == 1 and cont[0]["containment"] == 1.0
     jac = ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()
     assert jac == []  # Jaccard misses the embedded relation
+
+
+def test_keeper_longest_picks_most_complete_copy(spark):
+    """In a component of {original, suffixed re-crawl}, the longest
+    member is the keeper — differing from dedup_decision's min-id
+    policy on the same graph."""
+    from mapreduceimpl_spark.operators.dedup import (
+        dedup_decision,
+        dedup_keeper_longest,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta extra suffix"),   # longer dup
+            (3, "unrelated totally different text here"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    keep = {r["doc_id"]: r for r in dedup_keeper_longest(docs, pairs).collect()}
+    assert keep[1]["keeper_id"] == 2 and not keep[1]["is_keeper"]
+    assert keep[2]["is_keeper"]
+    assert keep[3]["is_keeper"] and keep[3]["component"] == 3
+    # min-id policy on the same graph keeps doc 1 instead
+    minid = {r["doc_id"]: r for r in dedup_decision(docs, pairs).collect()}
+    assert minid[1]["is_canonical"] and not minid[2]["is_canonical"]
