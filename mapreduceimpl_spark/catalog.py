@@ -1512,6 +1512,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "attribution_linear",
         "dedup_containment",
         "dedup_keeper_longest",
+        "winsorize_mad",
     }
 )
 
@@ -4424,6 +4425,42 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "broadcast-backed passes (persist the deviation projection "
             "at scale)",
     ),
+    "winsorize_mad": QuerySpec(
+        _rel(relational.q_winsorize_mad),
+        """WITH med AS (
+             SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+             FROM lineitem GROUP BY l_returnflag
+           ),
+           dev AS (
+             SELECT l.l_returnflag, l.l_quantity, med
+             FROM lineitem l JOIN med USING (l_returnflag)
+           ),
+           mad AS (
+             SELECT l_returnflag,
+                    quantile_cont(abs(l_quantity - med), 0.5) AS mad
+             FROM dev GROUP BY l_returnflag
+           ),
+           fenced AS (
+             SELECT d.l_returnflag, d.l_quantity,
+                    d.med - 3 * m.mad AS lo, d.med + 3 * m.mad AS hi
+             FROM dev d JOIN mad m USING (l_returnflag)
+           )
+           SELECT l_returnflag,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN l_quantity < lo THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_clipped_low,
+                  CAST(SUM(CASE WHEN l_quantity > hi THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_clipped_high,
+                  round(CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+                        / COUNT(*), 6) AS mean_raw,
+                  round(CAST(SUM(CAST(LEAST(hi, GREATEST(lo, l_quantity))
+                                      AS DECIMAL(28,4))) AS DOUBLE)
+                        / COUNT(*), 6) AS mean_winsorized
+           FROM fenced GROUP BY l_returnflag""",
+        doc="robust winsorization: clip to median +/- 3*MAD per group "
+            "(mad_outliers counts the tail; this clamps it), decimal-"
+            "routed before/after means; three broadcast-backed passes",
+    ),
     "k_anonymity": QuerySpec(
         _rel(relational.q_k_anonymity),
         """SELECT lang, source,
@@ -4799,7 +4836,7 @@ _ROUND5_ORDER = [
     "knn_classify", "random_projection", "next_event_pairs", "token_pair_counts",
     "bpe_train_merges", "bpe_apply", "bpe_vocab", "kmeans_lloyd", "epoch_shuffle_sharded",
     "l_diversity", "attribution_linear", "dedup_containment", "dedup_keeper_longest",
-    "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
+    "winsorize_mad", "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
     "skew_salted_join", "skew_two_phase", "pagerank", "timeseries_gapfill",
     "media_probe", "text_token_entropy", "monthly_growth", "events_sessionize",
     "asof_join", "dedup_minhash_lsh", "dedup_embedding", "agg_approx",

@@ -2798,6 +2798,55 @@ def q_mad_outliers(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def q_winsorize_mad(t: dict[str, DataFrame]) -> DataFrame:
+    """Robust winsorization — ``q_mad_outliers`` COUNTS the tail; this
+    CLIPS it: per group, values outside median +/- 3*MAD are clamped
+    to the fence, the standard heavy-tail normalization before
+    aggregate statistics (or before using a metric as a training
+    weight).  Reports per group the clip counts and the decimal-routed
+    mean before/after — the after-mean is what the cleaned pipeline
+    consumes.
+
+    Same integer-input exactness argument as ``q_mad_outliers``
+    (quarter-integer fences, exact comparisons in both engines), same
+    three broadcast-backed passes; at 100 TB persist the deviation
+    projection between the MAD pass and the clip pass.
+    """
+    li = t["lineitem"].select("l_returnflag", "l_quantity")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag")
+    mad = dev.withColumn(
+        "dev", F.abs(F.col("l_quantity") - F.col("med"))
+    ).groupBy("l_returnflag").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    fenced = dev.join(F.broadcast(mad), "l_returnflag").select(
+        "l_returnflag",
+        "l_quantity",
+        (F.col("med") - 3 * F.col("mad")).alias("lo"),
+        (F.col("med") + 3 * F.col("mad")).alias("hi"),
+    )
+    clipped = F.least(F.col("hi"), F.greatest(F.col("lo"), F.col("l_quantity")))
+    return fenced.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("l_quantity") < F.col("lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("l_quantity") > F.col("hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_high"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(28,4)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_raw"),
+        F.round(
+            F.sum(clipped.cast("decimal(28,4)")).cast("double") / F.count("*"),
+            6,
+        ).alias("mean_winsorized"),
+    )
+
+
 def q_cuped_adjustment(t: dict[str, DataFrame]) -> DataFrame:
     """CUPED variance reduction for the A/B readout (Deng et al.
     WSDM'13, the industry-standard experiment sensitivity boost):

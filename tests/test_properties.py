@@ -391,3 +391,20 @@ def test_histogram_drift_degenerate_range_single_bin(spark):
     r = out[0]
     assert r["bin"] == 0 and r["cnt_a"] + r["cnt_b"] == 10
     assert r["share_a"] == 1.0 and r["share_b"] == 1.0 and r["share_gap"] == 0.0
+
+
+def test_winsorize_mad_clips_planted_outlier(spark):
+    """A wild value is clamped to the 3-MAD fence: clip counts move,
+    the winsorized mean sits between median and raw mean."""
+    from mapreduceimpl_spark.operators.relational import q_winsorize_mad
+
+    rows = [("A", float(q)) for q in [10, 11, 12, 13, 14, 500]]
+    li = spark.createDataFrame(rows, ["l_returnflag", "l_quantity"])
+    r = q_winsorize_mad({"lineitem": li}).collect()[0]
+    assert r["n"] == 6 and r["n_clipped_high"] == 1 and r["n_clipped_low"] == 0
+    assert r["mean_winsorized"] < r["mean_raw"]
+    # no outliers -> means agree
+    calm = spark.createDataFrame(rows[:5], ["l_returnflag", "l_quantity"])
+    c = q_winsorize_mad({"lineitem": calm}).collect()[0]
+    assert c["n_clipped_low"] == 0 and c["n_clipped_high"] == 0
+    assert c["mean_winsorized"] == c["mean_raw"]
