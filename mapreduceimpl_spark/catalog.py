@@ -1513,6 +1513,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "dedup_containment",
         "dedup_keeper_longest",
         "winsorize_mad",
+        "countmin_estimate",
     }
 )
 
@@ -4768,6 +4769,41 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "pre-packing analysis; one window Exchange, all-integer "
             "arithmetic",
     ),
+    "countmin_estimate": QuerySpec(
+        lambda spark, sf_dir: sketches.countmin_estimate(
+            load_table(spark, sf_dir, "documents"), d=3, w=1024, k=20
+        ),
+        """WITH tok AS (
+             SELECT unnest(string_split(text, ' ')) AS token FROM documents
+           ),
+           cells AS (
+             SELECT i.i - 1 AS lane, b.buckets[i.i] AS bucket
+             FROM (SELECT [CAST('0x' || substr(md5('0:' || token), 1, 8) AS BIGINT) % 1024, CAST('0x' || substr(md5('1:' || token), 1, 8) AS BIGINT) % 1024, CAST('0x' || substr(md5('2:' || token), 1, 8) AS BIGINT) % 1024] AS buckets FROM tok) b,
+                  unnest(generate_series(1, 3)) AS i(i)
+           ),
+           sketch AS (
+             SELECT lane, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM cells GROUP BY lane, bucket
+           ),
+           truth AS (
+             SELECT token, CAST(COUNT(*) AS BIGINT) AS true_cnt
+             FROM tok GROUP BY token
+             ORDER BY true_cnt DESC, token ASC LIMIT 20
+           ),
+           qpos AS (
+             SELECT t.token, t.true_cnt, i.i - 1 AS lane,
+                    ([CAST('0x' || substr(md5('0:' || t.token), 1, 8) AS BIGINT) % 1024, CAST('0x' || substr(md5('1:' || t.token), 1, 8) AS BIGINT) % 1024, CAST('0x' || substr(md5('2:' || t.token), 1, 8) AS BIGINT) % 1024])[i.i] AS bucket
+             FROM truth t, unnest(generate_series(1, 3)) AS i(i)
+           )
+           SELECT q.token, q.true_cnt, MIN(s.cnt) AS est_cnt
+           FROM qpos q JOIN sketch s
+             ON q.lane = s.lane AND q.bucket = s.bucket
+           GROUP BY q.token, q.true_cnt""",
+        doc="Count-Min sketch point queries: fixed d*w (3*1024) cell "
+            "table summarizes the token stream; estimates for the top-20 "
+            "true-frequency tokens verified value-exactly (one-sided "
+            "error est >= true; md5 lane hashes replayed in SQL)",
+    ),
     "kmv_distinct": QuerySpec(
         lambda spark, sf_dir: sketches.kmv_distinct(
             load_table(spark, sf_dir, "documents"), k=256
@@ -4836,7 +4872,7 @@ _ROUND5_ORDER = [
     "knn_classify", "random_projection", "next_event_pairs", "token_pair_counts",
     "bpe_train_merges", "bpe_apply", "bpe_vocab", "kmeans_lloyd", "epoch_shuffle_sharded",
     "l_diversity", "attribution_linear", "dedup_containment", "dedup_keeper_longest",
-    "winsorize_mad", "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
+    "winsorize_mad", "countmin_estimate", "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
     "skew_salted_join", "skew_two_phase", "pagerank", "timeseries_gapfill",
     "media_probe", "text_token_entropy", "monthly_growth", "events_sessionize",
     "asof_join", "dedup_minhash_lsh", "dedup_embedding", "agg_approx",

@@ -199,3 +199,81 @@ def bloom_probe(
         )
         .select(F.col(probe_col), (F.col("__miss") == 0).alias("bloom_member"))
     )
+
+
+def _cm_bucket(key: F.Column, lane: int, w: int) -> F.Column:
+    """Count-Min bucket for ``key`` in ``lane``: md5-prefix integer of
+    ``'<lane>:' || key`` mod ``w`` — the same portable lane-hash family
+    as the Bloom positions."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{lane}:"), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(w),
+    )
+
+
+def countmin_build(
+    docs: DataFrame, d: int = 3, w: int = 1024, text_col: str = "text"
+) -> DataFrame:
+    """Count-Min sketch of the token stream: a (lane, bucket, cnt)
+    table of AT MOST d*w rows regardless of vocabulary size — the
+    fixed-memory frequency summary that answers point queries with
+    one-sided error (est >= true, overshoot bounded by collisions).
+
+    One explode of d cells per token instance, then the wordcount
+    aggregate on (lane, bucket) — map-side combined, one shuffle whose
+    key space is the FIXED d*w grid, so the reduce side is constant
+    regardless of corpus size (the Misra-Gries alternative when you
+    need arbitrary point queries, not just the top tail).
+    """
+    if d < 1 or w < 1:
+        raise ValueError(f"countmin_build: need d >= 1 and w >= 1, got d={d} w={w}")
+    toks = docs.select(F.explode(tokens(text_col)).alias("token"))
+    cells = toks.select(
+        F.posexplode(
+            F.array(*[_cm_bucket(F.col("token"), i, w) for i in range(d)])
+        ).alias("lane", "bucket")
+    )
+    return cells.groupBy("lane", "bucket").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def countmin_estimate(
+    docs: DataFrame,
+    d: int = 3,
+    w: int = 1024,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Build the sketch and point-query it for the ``k`` highest
+    true-frequency tokens, reporting estimate next to truth — the
+    one-sided-error contract (est_cnt >= true_cnt always; equality
+    when the token's d cells saw no collisions) made value-checkable.
+
+    The query side is k rows broadcast onto the d*w sketch; the truth
+    side is the plain wordcount aggregate.  At 100 TB the sketch is
+    what you persist — point queries then never touch the corpus.
+    """
+    sketch = countmin_build(docs, d=d, w=w, text_col=text_col)
+    truth = (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("token"))
+        .limit(k)
+    )
+    qpos = truth.select(
+        "token",
+        "true_cnt",
+        F.posexplode(
+            F.array(*[_cm_bucket(F.col("token"), i, w) for i in range(d)])
+        ).alias("lane", "bucket"),
+    )
+    return (
+        F.broadcast(qpos)
+        .join(sketch, ["lane", "bucket"])
+        .groupBy("token", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )

@@ -108,3 +108,48 @@ def test_bloom_bits_union_merges(docs):
     rest = corpus.exceptAll(a)
     pb = {r["pos"] for r in sketches.bloom_build(rest, "key", m_bits=2048, n_hashes=3).collect()}
     assert {r["pos"] for r in full.collect()} == pa | pb
+
+
+def test_countmin_one_sided_error_and_exact_when_sparse(spark, docs):
+    """est >= true for every queried token (Count-Min's contract), and
+    with a huge width vs tiny vocab the estimates are exact."""
+    from mapreduceimpl_spark.operators.sketches import countmin_estimate
+
+    rows = countmin_estimate(docs, d=3, w=1024, k=20).collect()
+    assert len(rows) == 20
+    assert all(r["est_cnt"] >= r["true_cnt"] for r in rows)
+
+    tiny = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    exact = {r["token"]: r for r in
+             countmin_estimate(tiny, d=3, w=65536, k=10).collect()}
+    assert all(r["est_cnt"] == r["true_cnt"] for r in exact.values())
+    assert exact["a"]["true_cnt"] == 4
+
+
+def test_countmin_build_bounded_and_mergeable(docs):
+    """The sketch never exceeds d*w rows, and summing cell counts per
+    lane reproduces the total token count (each instance lands in
+    exactly one bucket per lane) — the property that makes two
+    sketches mergeable by cell-wise addition."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimpl_spark.operators.sketches import countmin_build
+
+    sk = countmin_build(docs, d=3, w=256)
+    assert sk.count() <= 3 * 256
+    per_lane = {r["lane"]: r["s"] for r in
+                sk.groupBy("lane").agg(F.sum("cnt").alias("s")).collect()}
+    total = docs.select(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
+    assert per_lane == {0: total, 1: total, 2: total}
+
+
+def test_countmin_build_validates(spark):
+    import pytest as _pytest
+
+    from mapreduceimpl_spark.operators.sketches import countmin_build
+
+    tiny = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        countmin_build(tiny, d=0)
