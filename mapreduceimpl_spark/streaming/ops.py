@@ -720,6 +720,34 @@ def stream_daily_active(
     )
 
 
+def stream_countmin(
+    events: DataFrame, d: int = 3, w: int = 1024, key_col: str = "event_type"
+) -> DataFrame:
+    """Count-Min sketch as a streaming aggregate with CONSTANT state:
+    the d*w cell grid IS the state, so this unbounded aggregation
+    needs no watermark — the key space is fixed by construction, the
+    one streaming aggregate that literally cannot grow.  Cells match
+    ``sketches.countmin_build`` bit-for-bit (same md5 lane hashes), so
+    a batch-built sketch and the live stream agree and merge by
+    cell-wise addition (e.g. nightly batch + today's stream).
+
+    Emit in update/complete mode; point queries join the latest cell
+    table exactly as in ``sketches.countmin_estimate``.
+    """
+    from mapreduceimpl_spark.operators.sketches import _cm_bucket
+
+    if d < 1 or w < 1:
+        raise ValueError(f"stream_countmin: need d >= 1 and w >= 1, got d={d} w={w}")
+    cells = events.select(
+        F.posexplode(
+            F.array(*[_cm_bucket(F.col(key_col), i, w) for i in range(d)])
+        ).alias("lane", "bucket")
+    )
+    return cells.groupBy("lane", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
 def stream_bloom_prefilter(
     docs: DataFrame,
     bloom_bits: DataFrame,

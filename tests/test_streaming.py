@@ -716,3 +716,30 @@ def test_stream_attribution_linear_group_crosses_batches(spark, tmp_path):
     }
     assert out[4] == (3, round(1.0 / 3, 6))
     assert out[5] == (0, None)
+
+
+def test_stream_countmin_matches_batch_and_state_bounded(spark, events_dir):
+    """The streaming Count-Min cell table equals the batch build over
+    the same data (same md5 lanes) and never exceeds the d*w grid."""
+    from mapreduceimpl_spark.operators.sketches import _cm_bucket
+
+    stream = streaming.read_events_stream(spark, events_dir)
+    got = {
+        (r["lane"], r["bucket"]): r["cnt"]
+        for r in _run_stream(
+            streaming.stream_countmin(stream, d=3, w=256), mode="complete"
+        )
+    }
+    batch = load_table(spark, SF, "events")
+    cells = batch.select(
+        F.posexplode(
+            F.array(*[_cm_bucket(F.col("event_type"), i, 256) for i in range(3)])
+        ).alias("lane", "bucket")
+    )
+    want = {
+        (r["lane"], r["bucket"]): r["cnt"]
+        for r in cells.groupBy("lane", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want and 0 < len(got) <= 3 * 256
