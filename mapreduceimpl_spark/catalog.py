@@ -509,19 +509,27 @@ a{i} AS (
 
 def _bpe_oracle(rounds: int = 4, apply: bool = False, vocab_k: int | None = None) -> str:
     """Chained-CTE replay of ``text_analysis.bpe_train_merges``: one
-    (pair-count -> argmax -> replace) CTE layer per merge round, on the
-    same US/RS string representation — DuckDB ``replace`` shares the
-    JVM's scan-left/advance-past-match semantics, so the greedy
-    non-overlapping merges are bit-identical (see the operator
-    docstring; the ``_pagerank_oracle`` pattern for fixed-iteration
-    replays)."""
+    (pair-count -> argmax -> replace) CTE layer per merge round, on
+    the same fully-wrapped <SOH>sym<EOT> string representation —
+    DuckDB ``replace`` shares the JVM's scan-left/advance-past-match
+    semantics, and the both-ends boundary markers make every match
+    symbol-aligned, so the greedy non-overlapping merges are
+    bit-identical (see the operator docstring; the
+    ``_pagerank_oracle`` pattern for fixed-iteration replays).  An
+    empty round's scalar subqueries coalesce to the chr(31) sentinel
+    (a no-op replace), mirroring the Spark side exactly."""
+    # boundary between symbols inside the wrapped string: <EOT><SOH>
+    b = "chr(3) || chr(2)"
+    syms = f"string_split(substr(seq, 2, len(seq) - 2), {b})"
     layers = [
-        """d0 AS MATERIALIZED (
+        f"""d0 AS MATERIALIZED (
   SELECT doc_id,
-         array_to_string(
-           string_split(replace(replace(coalesce(text, ''), chr(31), ''),
-                                chr(30), ''), ' '),
-           chr(31)) AS seq
+         chr(2) || array_to_string(
+           string_split(
+             replace(replace(replace(replace(coalesce(text, ''),
+                     chr(2), ''), chr(3), ''), chr(30), ''), chr(31), ''),
+             ' '),
+           {b}) || chr(3) AS seq
   FROM documents
 )"""
     ]
@@ -530,8 +538,8 @@ def _bpe_oracle(rounds: int = 4, apply: bool = False, vocab_k: int | None = None
             f"""p{r} AS (
   SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
     SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
-                                 j -> toks[j] || chr(31) || toks[j + 1])) AS pair
-    FROM (SELECT string_split(seq, chr(31)) AS toks FROM d{r - 1})
+                                 j -> toks[j] || {b} || toks[j + 1])) AS pair
+    FROM (SELECT {syms} AS toks FROM d{r - 1})
     WHERE len(toks) >= 2
   ) GROUP BY pair
 ),
@@ -541,8 +549,12 @@ t{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)"""
             layers.append(
                 f"""d{r} AS MATERIALIZED (
   SELECT doc_id,
-         replace(seq, (SELECT pair FROM t{r}),
-                 replace((SELECT pair FROM t{r}), chr(31), chr(30))) AS seq
+         replace(seq,
+                 coalesce(chr(2) || (SELECT pair FROM t{r}) || chr(3),
+                          chr(31)),
+                 coalesce(chr(2) || replace((SELECT pair FROM t{r}),
+                                            {b}, chr(30)) || chr(3),
+                          chr(31))) AS seq
   FROM d{r - 1}
 )"""
             )
@@ -554,7 +566,7 @@ t{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)"""
             f"  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS cnt,\n"
             f"         CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, symbol ASC)\n"
             f"              AS BIGINT) AS rank\n"
-            f"  FROM (SELECT unnest(string_split(seq, chr(31))) AS symbol\n"
+            f"  FROM (SELECT unnest({syms}) AS symbol\n"
             f"        FROM d{rounds})\n"
             f"  GROUP BY symbol\n"
             f") WHERE rank <= {vocab_k}"
@@ -563,15 +575,15 @@ t{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)"""
         return (
             f"WITH {body}\n"
             f"SELECT doc_id,\n"
-            f"       CAST(len(string_split(seq, chr(31))) AS BIGINT) AS n_symbols,\n"
-            f"       CAST(len(list_filter(string_split(seq, chr(31)),\n"
+            f"       CAST(len({syms}) AS BIGINT) AS n_symbols,\n"
+            f"       CAST(len(list_filter({syms},\n"
             f"                            x -> contains(x, chr(30)))) AS BIGINT)\n"
             f"         AS n_merged\n"
             f"FROM d{rounds}"
         )
     selects = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS round, "
-        f"replace(replace(pair, chr(31), ' '), chr(30), ' ') AS pair, cnt "
+        f"replace(replace(pair, {b}, ' '), chr(30), ' ') AS pair, cnt "
         f"FROM t{r}"
         for r in range(1, rounds + 1)
     )
@@ -4509,7 +4521,8 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
            SELECT p.user_id, p.event_id AS purchase_id,
                   CAST(COALESCE(c.n_touch, 0) AS BIGINT) AS n_touch,
                   CASE WHEN c.n_touch > 0
-                       THEN round(1.0 / c.n_touch, 6) END AS credit_per_touch
+                       THEN floor(1e6 / c.n_touch + 0.5) / 1e6
+                       END AS credit_per_touch
            FROM grouped p LEFT JOIN clicks c
              ON p.user_id = c.user_id AND p.grp = c.grp
            WHERE p.event_type = 'purchase'""",
@@ -4543,7 +4556,10 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
            z AS (
              SELECT event_type, n_a, n_b,
                     s1_a / n_a AS mean_a, s1_b / n_b AS mean_b,
-                    CASE WHEN n_a > 1 AND n_b > 1 THEN
+                    CASE WHEN n_a > 1 AND n_b > 1
+                              AND ((s2_a - s1_a * s1_a / n_a) / (n_a - 1)) / n_a
+                                  + ((s2_b - s1_b * s1_b / n_b) / (n_b - 1)) / n_b
+                                  > 0 THEN
                       round((s1_a / n_a - s1_b / n_b)
                             / sqrt(((s2_a - s1_a * s1_a / n_a) / (n_a - 1)) / n_a
                                    + ((s2_b - s1_b * s1_b / n_b) / (n_b - 1)) / n_b),

@@ -2657,9 +2657,12 @@ def q_attribution_linear(t: dict[str, DataFrame]) -> DataFrame:
             "user_id",
             "purchase_id",
             F.coalesce(F.col("n_touch"), F.lit(0)).cast("long").alias("n_touch"),
+            # floor-based half-up: bit-identical in Spark SQL, DuckDB,
+            # and the streaming twin's Python (F.round HALF_UP vs
+            # Python banker's rounding split at exact ties like 1/128)
             F.when(
                 F.col("n_touch") > 0,
-                F.round(F.lit(1.0) / F.col("n_touch"), 6),
+                F.floor(F.lit(1e6) / F.col("n_touch") + F.lit(0.5)) / 1e6,
             ).alias("credit_per_touch"),
         )
     )
@@ -2702,16 +2705,15 @@ def q_ab_test_report(t: dict[str, DataFrame]) -> DataFrame:
     var_b = (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / F.col("n_b")) / (
         F.col("n_b") - 1
     )
-    # under-populated arm (n<2): variance is undefined — emit NULL z /
-    # NULL verdict in BOTH engines instead of Spark NaN vs DuckDB NULL
-    # (ADVICE r4; same guard class as cuped_adjustment / bootstrap_se)
+    # under-populated arm (n<2): variance is undefined; zero pooled
+    # variance (constant metric): z is 0/0 or x/0 — emit NULL z / NULL
+    # verdict in BOTH engines instead of Spark NaN/Inf vs DuckDB
+    # (ADVICE r4 + round-5 review; same guard class as
+    # cuped_adjustment / bootstrap_se)
+    se2 = var_a / F.col("n_a") + var_b / F.col("n_b")
     z = F.when(
-        (F.col("n_a") > 1) & (F.col("n_b") > 1),
-        F.round(
-            (mean_a - mean_b)
-            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
-            6,
-        ),
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0),
+        F.round((mean_a - mean_b) / F.sqrt(se2), 6),
     )
     return agg.select(
         "event_type",

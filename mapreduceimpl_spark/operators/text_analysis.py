@@ -1078,15 +1078,19 @@ def bpe_train_merges(
     exactly what tokenizer training persists.
 
     Representation (shared bit-exactly with the DuckDB oracle): each
-    doc is one string of symbols joined by US (chr 31); a merged
-    symbol glues its parts with RS (chr 30).  The round's winning pair
-    pattern ``a<US>b`` is rewritten to ``a<RS>b`` with plain
-    ``replace``, whose scan-left/advance-past-match semantics are
-    identical in the JVM and DuckDB AND identical to BPE's greedy
-    non-overlapping merge: consecutive occurrences like ``a a a a``
-    merge to ``(a a) (a a)`` and ``a a a`` to ``(a a) a``, because
-    each match consumes its separator.  Both control chars are
-    scrubbed from the input first so corpus text can never fake a
+    doc is one string of symbols, each wrapped ``<SOH>sym<EOT>``
+    (chr 2 / chr 3); a merged symbol glues its parts with RS (chr 30).
+    The round's winning pair pattern ``<SOH>a<EOT><SOH>b<EOT>`` is
+    rewritten to ``<SOH>a<RS>b<EOT>`` with plain ``replace``, whose
+    scan-left/advance-past-match semantics are identical in the JVM
+    and DuckDB AND identical to BPE's greedy non-overlapping merge:
+    consecutive occurrences like ``a a a a`` merge to ``(a a) (a a)``
+    and ``a a a`` to ``(a a) a``.  Because every symbol carries BOTH
+    boundary markers, a pattern can never match a substring that is
+    not symbol-aligned (``ca|b`` does not match the ``a|b`` pattern,
+    and ``a|bc`` does not match via the ``b`` prefix) — the full-wrap
+    form exists precisely to rule those out.  All three control chars
+    are scrubbed from the input first so corpus text can never fake a
     boundary.
 
     Scale: each round is one wordcount-shaped shuffle (pair counts,
@@ -1109,8 +1113,15 @@ def bpe_train_merges(
     return out
 
 
-_BPE_US = "\x1f"  # symbol separator
-_BPE_RS = "\x1e"  # glue inside a merged symbol
+_BPE_SOH = "\x02"  # symbol start marker
+_BPE_EOT = "\x03"  # symbol end marker
+_BPE_RS = "\x1e"   # glue inside a merged symbol
+# inter-symbol boundary inside the wrapped string: ...sym<EOT><SOH>sym...
+_BPE_B = _BPE_EOT + _BPE_SOH
+# sentinel that can never appear in the representation (scrubbed from
+# input, unused by the encoding) — the no-op replace target when a
+# round finds no pair to merge
+_BPE_NOMATCH = "\x1f"
 
 
 def _bpe_levels(
@@ -1128,22 +1139,37 @@ def _bpe_levels(
     representation contract."""
     if rounds < 1:
         raise ValueError(f"bpe merge loop: rounds must be >= 1, got {rounds}")
-    us, rs = _BPE_US, _BPE_RS
+    soh, eot, rs, b = _BPE_SOH, _BPE_EOT, _BPE_RS, _BPE_B
 
-    scrubbed = F.translate(F.coalesce(F.col(text_col), F.lit("")), us + rs, "")
+    scrubbed = F.translate(
+        F.coalesce(F.col(text_col), F.lit("")), soh + eot + rs + _BPE_NOMATCH, ""
+    )
+    # wrapped form: <SOH>sym1<EOT><SOH>sym2<EOT>... == SOH + join(b) + EOT
     seqs = docs.select(
-        F.col(id_col), F.array_join(F.split(scrubbed, " "), us).alias("seq")
+        F.col(id_col),
+        F.concat(
+            F.lit(soh), F.array_join(F.split(scrubbed, " "), b), F.lit(eot)
+        ).alias("seq"),
     )
 
+    prev_persisted = None
     merge_rows = []
     for r in range(1, rounds + 1):
         if persist_levels:
+            # eager per-round checkpoint cadence: materialize this
+            # level, then release the previous one — exactly one
+            # cached corpus alive at a time (the last level stays
+            # cached for the caller's action)
             seqs = seqs.persist()
-        toks = F.split(F.col("seq"), us)
+            seqs.count()
+            if prev_persisted is not None:
+                prev_persisted.unpersist()
+            prev_persisted = seqs
+        toks = _bpe_symbols(F.col("seq"))
         pair_arr = F.transform(
             F.sequence(F.lit(1), F.size(toks) - 1),
             lambda j: F.concat_ws(
-                us, F.element_at(toks, j), F.element_at(toks, j + 1)
+                b, F.element_at(toks, j), F.element_at(toks, j + 1)
             ),
         )
         top = (
@@ -1154,8 +1180,16 @@ def _bpe_levels(
             .orderBy(F.desc("cnt"), F.asc("pair"))
             .limit(1)
             .select(
+                # full-wrap pattern / replacement: <SOH>a<EOT><SOH>b<EOT>
+                # -> <SOH>a<RS>b<EOT>; boundary markers on both ends
+                # make non-symbol-aligned substring matches impossible
+                F.concat(F.lit(soh), F.col("pair"), F.lit(eot)).alias("pattern"),
+                F.concat(
+                    F.lit(soh),
+                    F.replace(F.col("pair"), F.lit(b), F.lit(rs)),
+                    F.lit(eot),
+                ).alias("merged"),
                 F.col("pair"),
-                F.replace(F.col("pair"), F.lit(us), F.lit(rs)).alias("merged"),
                 F.col("cnt").cast("long").alias("cnt"),
             )
         )
@@ -1165,7 +1199,7 @@ def _bpe_levels(
             top.select(
                 F.lit(r).cast("long").alias("round"),
                 F.replace(
-                    F.replace(F.col("pair"), F.lit(us), F.lit(" ")),
+                    F.replace(F.col("pair"), F.lit(b), F.lit(" ")),
                     F.lit(rs),
                     F.lit(" "),
                 ).alias("pair"),
@@ -1173,11 +1207,29 @@ def _bpe_levels(
             )
         )
         if r < rounds or apply_last:
-            seqs = seqs.crossJoin(F.broadcast(top)).select(
+            # 1-row-or-EMPTY argmax: aggregate to exactly one row so an
+            # empty round (no doc has 2 symbols) is a no-op rewrite via
+            # the never-matching sentinel, not a corpus-deleting
+            # crossJoin against zero rows
+            top1 = top.agg(
+                F.max("pattern").alias("pattern"), F.max("merged").alias("merged")
+            )
+            seqs = seqs.crossJoin(F.broadcast(top1)).select(
                 F.col(id_col),
-                F.replace(F.col("seq"), F.col("pair"), F.col("merged")).alias("seq"),
+                F.replace(
+                    F.col("seq"),
+                    F.coalesce(F.col("pattern"), F.lit(_BPE_NOMATCH)),
+                    F.coalesce(F.col("merged"), F.lit(_BPE_NOMATCH)),
+                ).alias("seq"),
             )
     return seqs, merge_rows
+
+
+def _bpe_symbols(seq: F.Column) -> F.Column:
+    """Symbol array of a wrapped seq: strip the outer <SOH>/<EOT>,
+    split on the <EOT><SOH> boundary."""
+    inner = seq.substr(F.lit(2), F.length(seq) - 2)
+    return F.split(inner, _BPE_B)
 
 
 def bpe_vocab(
@@ -1198,7 +1250,7 @@ def bpe_vocab(
     """
     seqs, _ = _bpe_levels(docs, rounds, text_col, persist_levels, apply_last=True)
     counts = (
-        seqs.select(F.explode(F.split(F.col("seq"), _BPE_US)).alias("symbol"))
+        seqs.select(F.explode(_bpe_symbols(F.col("seq"))).alias("symbol"))
         .groupBy("symbol")
         .agg(F.count("*").alias("cnt"))
     )
@@ -1232,7 +1284,7 @@ def bpe_apply(
     value-verified by extending the chained-CTE replay one level.
     """
     seqs, _ = _bpe_levels(docs, rounds, text_col, persist_levels, apply_last=True)
-    toks = F.split(F.col("seq"), _BPE_US)
+    toks = _bpe_symbols(F.col("seq"))
     merged = F.filter(toks, lambda x: x.contains(_BPE_RS))
     return seqs.select(
         "doc_id",

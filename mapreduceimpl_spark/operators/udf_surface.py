@@ -124,10 +124,6 @@ def grouped_agg_udaf(
     return df.groupBy(*keys).agg(udaf(F.col(value_col)).alias(alias))
 
 
-# monotone suffix for per-call UDTF registration names (see below)
-_UDTF_CALL_SEQ = 0
-
-
 def udtf_chunk_documents(
     spark,
     docs: DataFrame,
@@ -177,11 +173,15 @@ def udtf_chunk_documents(
     # unique view/function names per call: a fixed name would let two
     # interleaved lazy plans clobber each other's input view, silently
     # chunking the wrong DataFrame when the earlier plan finally
-    # executes (ADVICE r4)
-    global _UDTF_CALL_SEQ
-    _UDTF_CALL_SEQ += 1
-    fn_name = f"chunk_doc_udtf_{_UDTF_CALL_SEQ}"
-    view_name = f"__udtf_docs_{_UDTF_CALL_SEQ}"
+    # executes (ADVICE r4).  uuid4, not a module counter — an
+    # unsynchronized counter can collide across driver threads.  The
+    # registrations accumulate for the session lifetime (a lazy plan
+    # may execute arbitrarily late, so they cannot be dropped here).
+    import uuid
+
+    suffix = uuid.uuid4().hex[:12]
+    fn_name = f"chunk_doc_udtf_{suffix}"
+    view_name = f"__udtf_docs_{suffix}"
     spark.udtf.register(fn_name, ChunkDoc)
     docs.createOrReplaceTempView(view_name)
     return spark.sql(

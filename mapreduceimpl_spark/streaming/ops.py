@@ -20,6 +20,7 @@ by the correctness oracle live in ``operators.relational``
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 import pandas as pd
@@ -913,8 +914,13 @@ def stream_attribution_linear(events: DataFrame) -> DataFrame:
                     out["user_id"].append(key[0])
                     out["purchase_id"].append(int(eid))
                     out["n_touch"].append(n_clicks)
+                    # same floor-based half-up as the batch/oracle
+                    # forms (Python round() is banker's — splits at
+                    # exact ties like 1/128)
                     out["credit_per_touch"].append(
-                        round(1.0 / n_clicks, 6) if n_clicks > 0 else None
+                        math.floor(1e6 / n_clicks + 0.5) / 1e6
+                        if n_clicks > 0
+                        else None
                     )
                     n_clicks = 0
                 elif et == "click":

@@ -663,3 +663,39 @@ def test_bpe_vocab_reflects_merges(spark):
     assert "a" not in rows  # every bare 'a' was merged away
     ranks = sorted(r["rank"] for r in rows.values())
     assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_bpe_merges_are_symbol_aligned(spark):
+    """Round-5 review: the winner pair (a,b) must NOT match inside the
+    distinct symbols 'ca' (suffix) or 'bc' (prefix) — the full-wrap
+    representation makes every replace symbol-aligned."""
+    from mapreduceimpl_spark.operators.text_analysis import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "ca b"), (4, "a bc")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in bpe_apply(docs, rounds=1).collect()}
+    # winner is ('a','b') with count 2; docs 1-2 merge to one symbol
+    assert (out[1]["n_symbols"], out[1]["n_merged"]) == (1, 1)
+    assert (out[2]["n_symbols"], out[2]["n_merged"]) == (1, 1)
+    # 'ca b' and 'a bc' contain 'a...b' only as unaligned substrings
+    assert (out[3]["n_symbols"], out[3]["n_merged"]) == (2, 0)
+    assert (out[4]["n_symbols"], out[4]["n_merged"]) == (2, 0)
+
+
+def test_bpe_empty_round_is_noop_not_corpus_delete(spark):
+    """Round-5 review: a round with no mergeable pair (all docs have
+    one symbol) must keep every doc, not crossJoin them away."""
+    from mapreduceimpl_spark.operators.text_analysis import (
+        bpe_apply,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "word"), (3, "")], ["doc_id", "text"]
+    )
+    assert bpe_train_merges(docs, rounds=2).collect() == []
+    out = {r["doc_id"]: r for r in bpe_apply(docs, rounds=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(r["n_symbols"] == 1 and r["n_merged"] == 0 for r in out.values())

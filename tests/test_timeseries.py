@@ -461,3 +461,27 @@ def test_ab_test_report_underpopulated_arm_null_z(spark):
     r = q_ab_test_report({"events": e}).collect()[0]
     assert (r["n_a"], r["n_b"]) == (3, 1)
     assert r["welch_z"] is None and r["significant_95"] is None
+
+
+def test_ab_test_report_zero_variance_null_z(spark):
+    """Round-5 review: constant metric in both arms (pooled variance 0)
+    yields NULL z / NULL verdict, not NaN or Inf."""
+    import datetime as dt
+
+    from mapreduceimpl_spark.operators.relational import q_ab_test_report
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0, i, "view", 5.0, "{}") for i in range(1, 9)  # both arms, all 5.0
+    ] + [
+        (10, t0, 2, "click", 1.0, "{}"),
+        (11, t0, 4, "click", 2.0, "{}"),
+        (12, t0, 3, "click", 3.0, "{}"),
+        (13, t0, 5, "click", 5.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r["event_type"]: r for r in q_ab_test_report({"events": e}).collect()}
+    assert out["view"]["welch_z"] is None and out["view"]["significant_95"] is None
+    assert out["click"]["welch_z"] is not None  # healthy arm still reports
