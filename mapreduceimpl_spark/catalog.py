@@ -451,11 +451,12 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(edges, iterations=5)
 
 
-def _kmeans_lloyd_oracle(k: int = 4, iterations: int = 3) -> str:
-    """Chained-CTE replay of ``kmeans.kmeans_lloyd_fixed``: one
+def _kmeans_lloyd_layers(k: int = 4, iterations: int = 3) -> list[str]:
+    """CTE layers replaying ``kmeans.kmeans_lloyd_internals``: one
     (distance -> argmin -> means) layer per Lloyd iteration on the
     exploded (vec_id, dim, x) representation, with the identical
-    decimal-routed distance sums and floor-based half-up rounding."""
+    decimal-routed distance sums and floor-based half-up rounding.
+    Shared by the k-means and IVF oracles."""
     layers = [
         """pts AS MATERIALIZED (
   SELECT vec_id, t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
@@ -498,12 +499,83 @@ a{i} AS (
   GROUP BY a.cluster, p.dim
 )"""
             )
-    body = ",\n".join(layers)
+    return layers
+
+
+def _kmeans_lloyd_oracle(k: int = 4, iterations: int = 3) -> str:
+    body = ",\n".join(_kmeans_lloyd_layers(k, iterations))
     return (
         f"WITH {body}\n"
         f"SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, "
         f"floor(CAST(dist AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dist "
         f"FROM a{iterations}"
+    )
+
+
+def _ivf_lloyd_oracle(
+    k: int = 5, n_cells: int = 4, iterations: int = 3, n_probe: int = 2
+) -> str:
+    """Chained-CTE replay of ``similarity.ivf_lloyd_topk``: the shared
+    Lloyd layers build the quantizer, then query-to-centroid decimal
+    distances pick each query's n_probe cells, and the exact cosine
+    rescore runs only over the probed cells' members."""
+    layers = _kmeans_lloyd_layers(n_cells, iterations)
+    it = iterations
+    layers.append(
+        f"""qv AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 10
+)"""
+    )
+    layers.append(
+        """qpts AS (
+  SELECT q.query_id, t.i - 1 AS dim, q.qv[t.i] AS qx
+  FROM qv q, unnest(generate_series(1, len(q.qv))) AS t(i)
+)"""
+    )
+    layers.append(
+        f"""qd AS (
+  SELECT p.query_id, c.cluster,
+         SUM(CAST((p.qx - c.c) * (p.qx - c.c) AS DECIMAL(38,18))) AS dist
+  FROM qpts p JOIN c{it - 1} c ON p.dim = c.dim
+  GROUP BY p.query_id, c.cluster
+),
+probes AS (
+  SELECT query_id, cluster AS cell FROM (
+    SELECT query_id, cluster,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist, cluster) AS rn
+    FROM qd
+  ) WHERE rn <= {n_probe}
+)"""
+    )
+    layers.append(
+        """corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+)"""
+    )
+    layers.append(
+        f"""scored AS (
+  SELECT pr.query_id, a.vec_id,
+         round(list_cosine_similarity(q.qv, co.cv), 6) AS cosine
+  FROM probes pr
+  JOIN a{it} a ON pr.cell = a.cluster
+  JOIN corpus co ON a.vec_id = co.vec_id
+  JOIN qv q ON pr.query_id = q.query_id
+)"""
+    )
+    body = ",\n".join(layers)
+    return (
+        f"WITH {body}\n"
+        f"SELECT query_id, vec_id, cosine, rank FROM (\n"
+        f"  SELECT query_id, vec_id, cosine,\n"
+        f"         CAST(row_number() OVER (PARTITION BY query_id\n"
+        f"                                 ORDER BY cosine DESC, vec_id ASC)\n"
+        f"              AS BIGINT) AS rank\n"
+        f"  FROM scored\n"
+        f") WHERE rank <= {k}"
     )
 
 
@@ -1519,6 +1591,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "bpe_apply",
         "bpe_vocab",
         "kmeans_lloyd",
+        "ann_ivf_lloyd_topk",
         "epoch_shuffle_sharded",
         "l_diversity",
         "attribution_linear",
@@ -2978,6 +3051,21 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
         doc="vocabulary half of BPE training: top-30 symbols by corpus "
             "frequency after all learned merges; wordcount aggregate + "
             "ranking window over the aggregated vocab only",
+    ),
+    "ann_ivf_lloyd_topk": QuerySpec(
+        lambda spark, sf_dir: similarity.ivf_lloyd_topk(
+            load_table(spark, sf_dir, "embeddings"),
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=5, n_cells=4, iterations=3, n_probe=2,
+        ),
+        _ivf_lloyd_oracle(5, 4, 3, 2),
+        doc="IVF ANN on the SQL-replayable Lloyd quantizer: index build "
+            "+ cell probe + exact rescore hash-verified end-to-end via "
+            "the shared k-means CTE layers — the IVF family's "
+            "value-checked tier (ann_ivf_topk keeps the farthest-first "
+            "production seeding as rows-only)",
     ),
     "kmeans_lloyd": QuerySpec(
         lambda spark, sf_dir: kmeans.kmeans_lloyd_fixed(
@@ -4886,7 +4974,7 @@ _ROUND5_ORDER = [
     "events_running_anomaly", "revenue_pareto", "customer_rfm", "event_top_paths",
     "state_intervals", "fuzzy_join", "vocab_topk", "quality_percentile",
     "knn_classify", "random_projection", "next_event_pairs", "token_pair_counts",
-    "bpe_train_merges", "bpe_apply", "bpe_vocab", "kmeans_lloyd", "epoch_shuffle_sharded",
+    "bpe_train_merges", "bpe_apply", "bpe_vocab", "kmeans_lloyd", "ann_ivf_lloyd_topk", "epoch_shuffle_sharded",
     "l_diversity", "attribution_linear", "dedup_containment", "dedup_keeper_longest",
     "winsorize_mad", "countmin_estimate", "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
     "skew_salted_join", "skew_two_phase", "pagerank", "timeseries_gapfill",

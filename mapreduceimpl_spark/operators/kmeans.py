@@ -220,6 +220,23 @@ def kmeans_lloyd_fixed(
     lineage (centroids_i references assign_{i-1} exactly once), so no
     exponential replay.
     """
+    assign, _ = kmeans_lloyd_internals(embeddings, k, iterations)
+    return assign.select(
+        "vec_id",
+        "cluster",
+        (F.floor(F.col("dist").cast("double") * 1e6 + F.lit(0.5)) / 1e6).alias("dist"),
+    )
+
+
+def kmeans_lloyd_internals(
+    embeddings: DataFrame, k: int = 4, iterations: int = 3
+):
+    """The Lloyd loop behind :func:`kmeans_lloyd_fixed`, exposed for
+    composition (e.g. the SQL-replayable IVF quantizer): returns
+    ``(assign, centroids)`` where ``assign`` is (vec_id, cluster,
+    dist DECIMAL) after the final iteration and ``centroids`` is the
+    exploded (cluster, dim, c) frame the final assignment was scored
+    against — both lazy, both engine-exact per the parent docstring."""
     if k < 1 or iterations < 1:
         raise ValueError(
             f"kmeans_lloyd_fixed: need k >= 1 and iterations >= 1, "
@@ -268,8 +285,4 @@ def kmeans_lloyd_fixed(
                 .groupBy("cluster", "dim")
                 .agg((F.floor(mean * 1e9 + F.lit(0.5)) / 1e9).alias("c"))
             )
-    return assign.select(
-        "vec_id",
-        "cluster",
-        (F.floor(F.col("dist").cast("double") * 1e6 + F.lit(0.5)) / 1e6).alias("dist"),
-    )
+    return assign, cent

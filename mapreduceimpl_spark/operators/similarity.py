@@ -269,6 +269,79 @@ def ivf_search(
     )
 
 
+def ivf_lloyd_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 4,
+    iterations: int = 3,
+    n_probe: int = 2,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN on the SQL-replayable Lloyd quantizer: the coarse cells
+    come from ``kmeans.kmeans_lloyd_internals`` (fixed seed, fixed
+    iterations, decimal-exact), so unlike ``ivf_topk`` (farthest-first
+    seeding, rows-only checked) the ENTIRE index build + probe + exact
+    rescore chain is hash-verifiable against a chained-CTE DuckDB
+    replay — the IVF family's value-checked tier.
+
+    Shape: the k*dim centroid frame broadcasts onto the per-dim query
+    join (n_queries x k distance rows); each query probes its
+    ``n_probe`` nearest cells; the exact cosine rescore touches only
+    the probed cells' vectors (never a corpus scan — same contract as
+    ``ivf_search``); top-k per query with the rounded-cosine /
+    vec_id tiebreak the other ANN entries use.
+    """
+    from mapreduceimpl_spark.operators.kmeans import kmeans_lloyd_internals
+
+    assign, cent = kmeans_lloyd_internals(embeddings, k=n_cells, iterations=iterations)
+    cells = assign.select("vec_id", F.col("cluster").alias("cell"))
+
+    qpts = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "qx"),
+    )
+    term = (F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))
+    qd = (
+        qpts.join(F.broadcast(cent), "dim")
+        .select("query_id", "cluster", term.alias("t"))
+        .groupBy("query_id", "cluster")
+        .agg(F.sum(F.col("t").cast("decimal(38,18)")).alias("dist"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cluster"))
+    )
+    probes = (
+        qd.withColumn("rn", rn)
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", F.col("cluster").alias("cell"))
+    )
+
+    corpus = embeddings.select(F.col("vec_id"), _as_double(vec_col).alias("cv"))
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    scored = (
+        F.broadcast(probes.join(qv, "query_id"))
+        .join(cells, "cell")
+        .join(corpus, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

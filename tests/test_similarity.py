@@ -420,3 +420,32 @@ def test_centroid_similarity_bounds_and_pairs(embeddings):
     for r in out:
         assert -1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9
         assert r["grp_a"] < r["grp_b"]
+
+
+def test_ivf_lloyd_topk_recall_vs_brute_force(embeddings):
+    """The value-checked IVF tier returns correctly-ranked results from
+    the probed cells; recall vs exact brute force is measured (cheap
+    quantizer, 2 of 4 cells probed — expect most neighbors found)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimpl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_lloyd_topk,
+    )
+
+    queries = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = ivf_lloyd_topk(embeddings, queries, k=5, n_cells=4, iterations=3,
+                         n_probe=2)
+    exact = brute_force_topk(embeddings, queries, k=5, round_digits=6)
+    ivf_pairs = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
+    exact_pairs = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    assert len(ivf_pairs) == 50  # k results per query
+    recall = len(ivf_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.5, recall
+    # every IVF hit that IS in the exact set carries the same cosine
+    ivf_cos = {(r["query_id"], r["vec_id"]): r["cosine"] for r in ivf.collect()}
+    exact_cos = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact.collect()}
+    for key in ivf_pairs & exact_pairs:
+        assert ivf_cos[key] == exact_cos[key]
