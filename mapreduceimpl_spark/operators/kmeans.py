@@ -239,7 +239,7 @@ def kmeans_lloyd_internals(
     against — both lazy, both engine-exact per the parent docstring."""
     if k < 1 or iterations < 1:
         raise ValueError(
-            f"kmeans_lloyd_fixed: need k >= 1 and iterations >= 1, "
+            f"kmeans Lloyd loop: need k >= 1 and iterations >= 1, "
             f"got k={k} iterations={iterations}"
         )
     from pyspark.sql import Window

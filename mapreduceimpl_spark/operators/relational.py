@@ -2626,8 +2626,10 @@ def q_attribution_linear(t: dict[str, DataFrame]) -> DataFrame:
     corpus size — never events x events.
 
     Output per purchase: its touch count and the per-click credit
-    (round(1/n, 6); organic purchases — no clicks in their group —
-    report 0 touches and NULL credit).
+    (floor(1e6/n + 0.5)/1e6 — the floor-based half-up shared
+    bit-exactly by the oracle and the streaming twin; organic
+    purchases — no clicks in their group — report 0 touches and NULL
+    credit).
     """
     e = t["events"]
     w_prev = (

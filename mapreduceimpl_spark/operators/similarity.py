@@ -31,6 +31,20 @@ def _as_double(col: str | F.Column) -> F.Column:
     return c.cast("array<double>")
 
 
+def _topk_by_cosine(scored, k: int):
+    """Shared ANN ranking tail: per-query top-k of a (query_id, vec_id,
+    cosine) frame, descending cosine with the vec_id tiebreak — the
+    one place the ANN family's ranking contract lives."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -71,12 +85,7 @@ def brute_force_topk(
         "vec_id",
         sim.alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
-    )
+    return _topk_by_cosine(scored, k)
 
 
 def embedding_centroids(embeddings: DataFrame, by: str = "label") -> DataFrame:
@@ -261,12 +270,7 @@ def ivf_search(
         "vec_id",
         cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
-    )
+    return _topk_by_cosine(scored, k)
 
 
 def ivf_lloyd_topk(
@@ -276,6 +280,7 @@ def ivf_lloyd_topk(
     n_cells: int = 4,
     iterations: int = 3,
     n_probe: int = 2,
+    id_col: str = "vec_id",
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -295,7 +300,13 @@ def ivf_lloyd_topk(
     """
     from mapreduceimpl_spark.operators.kmeans import kmeans_lloyd_internals
 
-    assign, cent = kmeans_lloyd_internals(embeddings, k=n_cells, iterations=iterations)
+    # normalize names BEFORE the quantizer (same as ivf_build): the
+    # Lloyd loop reads vec_id/embedding, so custom id_col/vec_col must
+    # not silently cluster a different column than the rescore uses
+    norm = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    assign, cent = kmeans_lloyd_internals(norm, k=n_cells, iterations=iterations)
     cells = assign.select("vec_id", F.col("cluster").alias("cell"))
 
     qpts = queries.select(
@@ -318,7 +329,7 @@ def ivf_lloyd_topk(
         .select("query_id", F.col("cluster").alias("cell"))
     )
 
-    corpus = embeddings.select(F.col("vec_id"), _as_double(vec_col).alias("cv"))
+    corpus = norm.select("vec_id", _as_double("embedding").alias("cv"))
     qv = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     )
@@ -332,14 +343,7 @@ def ivf_lloyd_topk(
             F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
-        )
-    )
+    return _topk_by_cosine(scored, k)
 
 
 def lsh_topk(
@@ -465,12 +469,7 @@ def lsh_search(
         "vec_id",
         sim.alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
-    )
+    return _topk_by_cosine(scored, k)
 
 
 def quantize_embeddings(

@@ -1158,8 +1158,10 @@ def _bpe_levels(
         if persist_levels:
             # eager per-round checkpoint cadence: materialize this
             # level, then release the previous one — exactly one
-            # cached corpus alive at a time (the last level stays
-            # cached for the caller's action)
+            # cached CORPUS alive at a time (the last level stays
+            # cached for the caller's action).  The per-round 1-row
+            # argmax is persisted too (below) so the returned merge
+            # rows read cached tops, not replays of uncached levels.
             seqs = seqs.persist()
             seqs.count()
             if prev_persisted is not None:
@@ -1193,6 +1195,14 @@ def _bpe_levels(
                 F.col("cnt").cast("long").alias("cnt"),
             )
         )
+        if persist_levels:
+            # cache the 1-row argmax while its input level is still
+            # cached: without this, the merge-row union returned to
+            # the caller would replay every UNPERSISTED intermediate
+            # level at collect time — the exact exponential blowup
+            # persist_levels exists to prevent (round-5 review)
+            top = top.persist()
+            top.count()
         # readable merge row: both separators render as spaces (a pair
         # whose side is itself a merged symbol shows all its words)
         merge_rows.append(
