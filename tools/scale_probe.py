@@ -436,6 +436,21 @@ def _probe_kmeans_lloyd(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_ivf_lloyd(spark, sf_dir: str):
+    from pyspark.sql import functions as FF
+
+    from mapreduceimpl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(FF.col("vec_id") < 100).select(
+        FF.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.time()
+    n = similarity.ivf_lloyd_topk(emb, queries, k=5, n_cells=4, iterations=3,
+                                  n_probe=2).count()
+    return time.time() - t0, n
+
+
 PROBES = {
     "minhash": _probe_minhash,
     "prefix_filter": _probe_prefix_filter,
@@ -466,6 +481,7 @@ PROBES = {
     "bpe": _probe_bpe,
     "bpe_persisted": _probe_bpe_persisted,
     "kmeans_lloyd": _probe_kmeans_lloyd,
+    "ivf_lloyd": _probe_ivf_lloyd,
 }
 
 
