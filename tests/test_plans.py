@@ -1154,3 +1154,54 @@ def test_bloom_probe_broadcasts_bits(docs):
         sketches.bloom_probe(bits, probes, m_bits=2048, n_hashes=3), "simple"
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_kmeans_lloyd_centroids_broadcast(embeddings):
+    """The k*dim centroid frame must ride a BroadcastHashJoin onto the
+    per-dim point join every iteration — the corpus points never
+    shuffle for the join itself."""
+    from mapreduceimpl_spark.operators.kmeans import kmeans_lloyd_fixed
+    from mapreduceimpl_spark.plans import assert_broadcast_join, assert_no_cartesian
+
+    df = kmeans_lloyd_fixed(embeddings, k=4, iterations=3)
+    assert_broadcast_join(df, expect=3)  # one per iteration
+    assert_no_cartesian(df)
+
+
+def test_countmin_query_side_broadcasts(docs):
+    """Point queries join the fixed d*w sketch via a broadcast of the
+    tiny k*d query-position frame — never a shuffle of the sketch."""
+    from mapreduceimpl_spark.operators.sketches import countmin_estimate
+    from mapreduceimpl_spark.plans import assert_broadcast_join, assert_no_cartesian
+
+    df = countmin_estimate(docs, d=3, w=1024, k=20)
+    assert_broadcast_join(df, expect=1)
+    assert_no_cartesian(df)
+
+
+def test_epoch_shuffle_sharded_single_exchange(docs):
+    """The sharded shuffle is ONE window Exchange on (strata, shard)."""
+    from mapreduceimpl_spark.operators.sampling import epoch_shuffle_sharded
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(
+        epoch_shuffle_sharded(docs.select("doc_id", "source"), epoch=0), "simple"
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_ivf_lloyd_probe_side_broadcasts(spark, embeddings):
+    """The probe frame (queries x n_probe cells + query vectors)
+    broadcasts onto the cell assignment — the corpus is joined by its
+    cell key, never crossed against the query batch."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimpl_spark.operators.similarity import ivf_lloyd_topk
+    from mapreduceimpl_spark.plans import assert_broadcast_join, assert_no_cartesian
+
+    queries = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = ivf_lloyd_topk(embeddings, queries, k=5, n_cells=4, iterations=3, n_probe=2)
+    assert_broadcast_join(df, expect=4)  # 3 kmeans iters + probe side
+    assert_no_cartesian(df)
