@@ -1599,6 +1599,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "dedup_keeper_longest",
         "winsorize_mad",
         "countmin_estimate",
+        "contamination_containment",
     }
 )
 
@@ -4368,6 +4369,40 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "share ONE Exchange; opposite tiebreak directions + margin>0 "
             "keep only genuinely ordered pairs",
     ),
+    "contamination_containment": QuerySpec(
+        lambda spark, sf_dir: text_analysis.contamination_containment(
+            dedup.with_mutated_copies(load_table(spark, sf_dir, "documents")),
+            min_containment=0.5,
+        ),
+        f"""WITH corpus0 AS ({_NEARDUP_CORPUS}),
+            bsh AS (
+              SELECT doc_id AS bench_id, unnest({_shingle_list(8)}) AS shingle
+              FROM corpus0 WHERE doc_id % 97 = 0 AND len({_TOKS}) >= 8
+            ),
+            csh AS (
+              SELECT doc_id, unnest({_shingle_list(8)}) AS shingle
+              FROM corpus0 WHERE doc_id % 97 <> 0 AND len({_TOKS}) >= 8
+            ),
+            inter AS (
+              SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS inter
+              FROM csh c JOIN bsh b USING (shingle)
+              GROUP BY c.doc_id, b.bench_id
+            ),
+            bsz AS (SELECT bench_id, COUNT(*) AS n_bench FROM bsh GROUP BY bench_id)
+            SELECT i.doc_id, i.bench_id,
+                   round(CAST(inter AS DOUBLE) / CAST(n_bench AS DOUBLE), 6)
+                     AS containment
+            FROM inter i JOIN bsz USING (bench_id)
+            WHERE round(CAST(inter AS DOUBLE) / CAST(n_bench AS DOUBLE), 6)
+                  >= 0.5""",
+        doc="scored decontamination: per (training doc, benchmark doc) "
+            "pair, the fraction of the benchmark's 8-gram shingle set "
+            "contained in the training doc (one-sided containment — an "
+            "embedded eval item scores 1.0 regardless of doc size); "
+            "cross-table inverted-index join, benchmark side broadcast; "
+            "runs on the mutated-copy corpus so planted near-copies of "
+            "benchmark docs exercise real containment mass",
+    ),
     "sft_render": QuerySpec(
         _rel(relational.q_sft_render),
         """WITH o AS (
@@ -4976,7 +5011,8 @@ _ROUND5_ORDER = [
     "knn_classify", "random_projection", "next_event_pairs", "token_pair_counts",
     "bpe_train_merges", "bpe_apply", "bpe_vocab", "kmeans_lloyd", "ann_ivf_lloyd_topk", "epoch_shuffle_sharded",
     "l_diversity", "attribution_linear", "dedup_containment", "dedup_keeper_longest",
-    "winsorize_mad", "countmin_estimate", "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
+    "winsorize_mad", "countmin_estimate", "contamination_containment",
+    "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
     "skew_salted_join", "skew_two_phase", "pagerank", "timeseries_gapfill",
     "media_probe", "text_token_entropy", "monthly_growth", "events_sessionize",
     "asof_join", "dedup_minhash_lsh", "dedup_embedding", "agg_approx",

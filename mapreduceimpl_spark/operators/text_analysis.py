@@ -320,6 +320,59 @@ def contamination_check(
     )
 
 
+def contamination_containment(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    n: int = 8,
+    min_containment: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scored decontamination — ``contamination_check`` flags ANY
+    shared shingle; this reports, per (training doc, benchmark doc)
+    pair, WHAT FRACTION of the benchmark document's shingle set the
+    training doc contains (inter / |benchmark shingles|, the one-sided
+    containment that matters for leakage: a fully-embedded eval item
+    scores 1.0 no matter how large the training doc is).  Pairs at or
+    above ``min_containment`` survive — the audit table a
+    decontamination pass reviews before dropping documents.
+
+    Default benchmark: the deterministic fixture subset
+    ``doc_id % 97 == 0`` (same stand-in as ``contamination_check``).
+
+    Scale: cross-table inverted-index join on md5 shingles — work is
+    O(sum over shingles of df_train x df_bench), and the benchmark
+    side is tiny, so the corpus never shuffles for the join; per-pair
+    aggregation keys on (train, bench) ids.  Containment is one
+    division of exact counts, rounded at 6 before the threshold.
+    """
+    from mapreduceimpl_spark.operators.dedup import ngram_shingles
+
+    if benchmark is None:
+        benchmark = docs.filter((F.col(id_col) % 97) == 0)
+        corpus = docs.filter((F.col(id_col) % 97) != 0)
+    else:
+        corpus = docs
+    bench_sh = ngram_shingles(
+        benchmark, n=n, id_col=id_col, text_col=text_col
+    ).withColumnRenamed(id_col, "bench_id")
+    corpus_sh = ngram_shingles(corpus, n=n, id_col=id_col, text_col=text_col)
+    inter = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    bench_sz = bench_sh.groupBy("bench_id").agg(F.count("*").alias("n_bench"))
+    containment = F.round(
+        F.col("inter").cast("double") / F.col("n_bench").cast("double"), 6
+    )
+    return (
+        inter.join(F.broadcast(bench_sz), "bench_id")
+        .select(id_col, "bench_id", containment.alias("containment"))
+        .filter(F.col("containment") >= min_containment)
+    )
+
+
 def fingerprint_winnow(docs: DataFrame, k: int = 5, window: int = 4) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03).
 

@@ -699,3 +699,26 @@ def test_bpe_empty_round_is_noop_not_corpus_delete(spark):
     out = {r["doc_id"]: r for r in bpe_apply(docs, rounds=2).collect()}
     assert set(out) == {1, 2, 3}
     assert all(r["n_symbols"] == 1 and r["n_merged"] == 0 for r in out.values())
+
+
+def test_contamination_containment_scores_embedded_benchmark(spark):
+    """A benchmark doc fully embedded in a training doc scores 1.0;
+    partial overlap scores the exact shingle fraction; disjoint pairs
+    are absent."""
+    from mapreduceimpl_spark.operators.text_analysis import (
+        contamination_containment,
+    )
+
+    bench_text = " ".join(f"b{i}" for i in range(10))  # 3 8-gram shingles
+    rows = [
+        (0, bench_text),                                   # benchmark (id % 97 == 0)
+        (1, "pre " + bench_text + " post"),                # fully contains it
+        (2, " ".join(f"b{i}" for i in range(9))),          # 2 of 3 shingles
+        (3, "completely different words " * 4),            # disjoint
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           contamination_containment(docs, min_containment=0.5).collect()}
+    assert out[1]["containment"] == 1.0 and out[1]["bench_id"] == 0
+    assert out[2]["containment"] == round(2 / 3, 6)
+    assert 3 not in out
