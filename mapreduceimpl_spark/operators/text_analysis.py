@@ -270,6 +270,20 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     )
 
 
+def _default_benchmark_split(
+    docs: DataFrame, benchmark: DataFrame | None, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared benchmark/corpus split for the contamination operators:
+    an explicit benchmark table scores the WHOLE corpus; the default
+    carves the deterministic ``id % 97 == 0`` fixture subset out as
+    the stand-in eval set (one source of truth for the modulus)."""
+    if benchmark is None:
+        return docs.filter((F.col(id_col) % 97) == 0), docs.filter(
+            (F.col(id_col) % 97) != 0
+        )
+    return benchmark, docs
+
+
 def contamination_check(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
@@ -286,26 +300,28 @@ def contamination_check(
     eval set (production passes the real benchmark table); those docs
     are excluded from the scored output.
 
-    Scale: the benchmark shingle set is tiny relative to the corpus —
-    broadcast inner-join against the corpus shingle stream (md5 keys,
-    uniform), then one groupBy(doc).  The corpus side never shuffles
-    for the join itself.
+    Scale: with a real (small) benchmark table the threshold/AQE
+    broadcast the benchmark shingle set onto the corpus shingle stream
+    (md5 keys, uniform) and the corpus never shuffles for the join;
+    under the default fixture split the benchmark side is SF-scaled,
+    so no hard hint is used (round-5 bounded-frames-only policy) and
+    an oversized side degrades to a shuffled join instead of
+    OOM-by-hint.
     """
     from mapreduceimpl_spark.operators.dedup import ngram_shingles
 
-    if benchmark is None:
-        benchmark = docs.filter((F.col(id_col) % 97) == 0)
-        corpus = docs.filter((F.col(id_col) % 97) != 0)
-    else:
-        corpus = docs
+    benchmark, corpus = _default_benchmark_split(docs, benchmark, id_col)
     bench_sh = (
         ngram_shingles(benchmark, n=n, id_col=id_col, text_col=text_col)
         .select("shingle")
         .distinct()
     )
     corpus_sh = ngram_shingles(corpus, n=n, id_col=id_col, text_col=text_col)
+    # no hard broadcast hint: the benchmark shingle set is SF-scaled in
+    # the default split (1/97 of the corpus), so the threshold + AQE
+    # decide — the round-5 bounded-frames-only hint policy
     hits = (
-        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        corpus_sh.join(bench_sh, "shingle")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contaminated"))
     )
@@ -341,24 +357,24 @@ def contamination_containment(
     ``doc_id % 97 == 0`` (same stand-in as ``contamination_check``).
 
     Scale: cross-table inverted-index join on md5 shingles — work is
-    O(sum over shingles of df_train x df_bench), and the benchmark
-    side is tiny, so the corpus never shuffles for the join; per-pair
-    aggregation keys on (train, bench) ids.  Containment is one
-    division of exact counts, rounded at 6 before the threshold.
+    O(sum over shingles of df_train x df_bench); a real benchmark
+    table is small enough that the threshold/AQE broadcast it (no
+    hard hint — the default fixture split's benchmark side is
+    SF-scaled, round-5 policy); per-pair aggregation keys on
+    (train, bench) ids.  Containment is one division of exact
+    counts, rounded at 6 before the threshold.
     """
     from mapreduceimpl_spark.operators.dedup import ngram_shingles
 
-    if benchmark is None:
-        benchmark = docs.filter((F.col(id_col) % 97) == 0)
-        corpus = docs.filter((F.col(id_col) % 97) != 0)
-    else:
-        corpus = docs
+    benchmark, corpus = _default_benchmark_split(docs, benchmark, id_col)
     bench_sh = ngram_shingles(
         benchmark, n=n, id_col=id_col, text_col=text_col
     ).withColumnRenamed(id_col, "bench_id")
     corpus_sh = ngram_shingles(corpus, n=n, id_col=id_col, text_col=text_col)
+    # no hard broadcast hints (round-5 policy): the benchmark side is
+    # SF-scaled under the default 1/97 split — threshold + AQE decide
     inter = (
-        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        corpus_sh.join(bench_sh, "shingle")
         .groupBy(id_col, "bench_id")
         .agg(F.count("*").alias("inter"))
     )
@@ -367,7 +383,7 @@ def contamination_containment(
         F.col("inter").cast("double") / F.col("n_bench").cast("double"), 6
     )
     return (
-        inter.join(F.broadcast(bench_sz), "bench_id")
+        inter.join(bench_sz, "bench_id")
         .select(id_col, "bench_id", containment.alias("containment"))
         .filter(F.col("containment") >= min_containment)
     )

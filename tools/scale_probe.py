@@ -437,13 +437,11 @@ def _probe_kmeans_lloyd(spark, sf_dir: str):
 
 
 def _probe_ivf_lloyd(spark, sf_dir: str):
-    from pyspark.sql import functions as FF
-
     from mapreduceimpl_spark.operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(FF.col("vec_id") < 100).select(
-        FF.col("vec_id").alias("query_id"), "embedding"
+    queries = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
     t0 = time.time()
     n = similarity.ivf_lloyd_topk(emb, queries, k=5, n_cells=4, iterations=3,
