@@ -722,3 +722,81 @@ def test_contamination_containment_scores_embedded_benchmark(spark):
     assert out[1]["containment"] == 1.0 and out[1]["bench_id"] == 0
     assert out[2]["containment"] == round(2 / 3, 6)
     assert 3 not in out
+
+
+def _bpe_reference(texts, rounds):
+    """Pure-Python reference BPE: symbol lists, positional pair counts,
+    lexicographic-min argmax of max count, greedy left-to-right
+    non-overlapping merge.  Independent of the string-replace
+    representation the Spark operator uses."""
+    corpora = [t.split(" ") for t in texts]
+    merges = []
+    for _ in range(rounds):
+        counts = {}
+        for syms in corpora:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        # deterministic tiebreak: highest count, then lexicographically
+        # SMALLEST boundary-joined pair (mirrors the operator's ORDER BY)
+        top_cnt = max(counts.values())
+        cands = [p for p, c in counts.items() if c == top_cnt]
+        pair = min(cands, key=lambda p: "\x03\x02".join(p))
+        merges.append((" ".join(pair).replace("\x1e", " "), top_cnt))
+        merged_sym = pair[0] + "\x1e" + pair[1]
+        new_corpora = []
+        for syms in corpora:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                    out.append(merged_sym)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_corpora.append(out)
+        corpora = new_corpora
+    return merges, corpora
+
+
+def test_bpe_matches_pure_python_reference(spark):
+    """Property-style check: on randomized small corpora the
+    distributed string-replace BPE must equal an independent
+    symbol-list reference implementation (merge table AND final
+    per-doc symbol counts)."""
+    import random
+
+    from mapreduceimpl_spark.operators.text_analysis import (
+        bpe_apply,
+        bpe_train_merges,
+    )
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "ab", "ba", "aa", "x"]
+    for trial in range(4):
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+            for _ in range(rng.randint(3, 10))
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+        rounds = rng.randint(1, 3)
+        ref_merges, ref_corpora = _bpe_reference(texts, rounds)
+
+        got_merges = [
+            (r["pair"], r["cnt"])
+            for r in bpe_train_merges(docs, rounds=rounds)
+            .orderBy("round")
+            .collect()
+        ]
+        exp_merges = [(p.replace("\x1e", " "), c) for p, c in ref_merges]
+        assert got_merges == exp_merges, (trial, texts, got_merges, exp_merges)
+
+        got_counts = {
+            r["doc_id"]: r["n_symbols"]
+            for r in bpe_apply(docs, rounds=rounds).collect()
+        }
+        exp_counts = {i: len(syms) for i, syms in enumerate(ref_corpora)}
+        assert got_counts == exp_counts, (trial, texts)
