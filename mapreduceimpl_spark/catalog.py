@@ -1600,6 +1600,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "winsorize_mad",
         "countmin_estimate",
         "contamination_containment",
+        "asof_join_forward",
     }
 )
 
@@ -1679,6 +1680,19 @@ SPECS: dict[str, QuerySpec] = {
            WHERE c.event_type = 'click'
            GROUP BY c.event_id, c.user_id""",
         doc="single-pass windowed as-of join (round-2 rewrite; was range-join + row_number)",
+    ),
+    "asof_join_forward": QuerySpec(
+        _rel(relational.q_asof_join_forward),
+        """SELECT c.event_id AS click_id, c.user_id AS user_id,
+                  CAST(MIN(v.ts) AS VARCHAR) AS matched_view_ts
+           FROM events c
+           LEFT JOIN events v
+             ON v.user_id = c.user_id AND v.event_type = 'view' AND v.ts >= c.ts
+           WHERE c.event_type = 'click'
+           GROUP BY c.event_id, c.user_id""",
+        doc="forward as-of join (pandas merge_asof direction='forward'): "
+            "earliest at-or-after view per click via the same single "
+            "descending-window pass — no V x C expansion",
     ),
     "range_join": QuerySpec(
         _rel(relational.q_range_join),
@@ -5012,7 +5026,7 @@ _ROUND5_ORDER = [
     "bpe_train_merges", "bpe_apply", "bpe_vocab", "kmeans_lloyd", "ann_ivf_lloyd_topk", "epoch_shuffle_sharded",
     "l_diversity", "attribution_linear", "dedup_containment", "dedup_keeper_longest",
     "winsorize_mad", "countmin_estimate", "contamination_containment",
-    "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
+    "asof_join_forward", "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
     "skew_salted_join", "skew_two_phase", "pagerank", "timeseries_gapfill",
     "media_probe", "text_token_entropy", "monthly_growth", "events_sessionize",
     "asof_join", "dedup_minhash_lsh", "dedup_embedding", "agg_approx",

@@ -773,6 +773,43 @@ def q_asof_join(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def q_asof_join_forward(t: dict[str, DataFrame]) -> DataFrame:
+    """Forward as-of join — ``q_asof_join``'s direction complement
+    (pandas ``merge_asof(direction='forward')``): each 'click' matched
+    to the EARLIEST at-or-after 'view' of the same user (the "next
+    touchpoint" shape: what did the user see next).
+
+    Same single-window formulation, scanned from the future backward:
+    order ts DESCENDING with views before clicks at equal ts (so a
+    same-timestamp view still matches, the >= semantics), carry
+    ``last(view ts, ignorenulls)`` — in a descending scan that running
+    last IS the smallest view ts at-or-after the click.  One Exchange
+    on user_id, strictly linear; no V x C range-join expansion.
+    """
+    e = t["events"].filter(F.col("event_type").isin("view", "click"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.desc("ts"),
+            F.when(F.col("event_type") == "view", 0).otherwise(1),
+            F.desc("event_id"),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    next_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("matched_view_ts", next_view.cast("string"))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            "matched_view_ts",
+        )
+    )
+
+
 def q_events_session_native(t: dict[str, DataFrame]) -> DataFrame:
     """Gap-based sessionization via Spark's NATIVE session_window
     operator (30-min inactivity gap) — the same operator Structured

@@ -1205,3 +1205,12 @@ def test_ivf_lloyd_probe_side_broadcasts(spark, embeddings):
     df = ivf_lloyd_topk(embeddings, queries, k=5, n_cells=4, iterations=3, n_probe=2)
     assert_broadcast_join(df, expect=4)  # 3 kmeans iters + probe side
     assert_no_cartesian(df)
+
+
+def test_asof_forward_single_window_pass(tables):
+    """The forward direction shares the one-Exchange, no-join shape."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(relational.q_asof_join_forward(tables), "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan

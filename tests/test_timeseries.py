@@ -485,3 +485,29 @@ def test_ab_test_report_zero_variance_null_z(spark):
     out = {r["event_type"]: r for r in q_ab_test_report({"events": e}).collect()}
     assert out["view"]["welch_z"] is None and out["view"]["significant_95"] is None
     assert out["click"]["welch_z"] is not None  # healthy arm still reports
+
+
+def test_asof_forward_hand_case(spark):
+    """Forward as-of: earliest at-or-after view; same-ts view matches;
+    clicks after the last view get NULL."""
+    import datetime as dt
+
+    from mapreduceimpl_spark.operators.relational import q_asof_join_forward
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda n: t0 + dt.timedelta(seconds=n)
+    rows = [
+        (1, s(10), 7, "click", 0.0, "{}"),   # -> view at 20
+        (2, s(20), 7, "view", 0.0, "{}"),
+        (3, s(20), 7, "click", 0.0, "{}"),   # same-ts view matches (>=)
+        (4, s(30), 7, "view", 0.0, "{}"),
+        (5, s(40), 7, "click", 0.0, "{}"),   # no later view -> NULL
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r["click_id"]: r["matched_view_ts"] for r in
+           q_asof_join_forward({"events": e}).collect()}
+    assert out[1] == "2024-01-01 00:00:20"
+    assert out[3] == "2024-01-01 00:00:20"
+    assert out[5] is None
