@@ -86,6 +86,17 @@ def main() -> None:
                 "sf": sf,
                 "warmup_first_query_sec": warmup_sec,
                 "value_with_warmup": round(sum(timings.values()) + warmup_sec, 3),
+                # Same-day baseline so round-over-round deltas are ratios
+                # against a fresh rerun of the previous round's end commit,
+                # not against its (different-day) recorded number — makes
+                # the host-variance diagnosis mechanical (VERDICT r5 #5).
+                "provenance": {
+                    "prev_round_end_commit": "1b63be8",
+                    "prev_round_end_recheck_warm_sec": 9.733,
+                    "prev_round_end_recheck_with_warmup_sec": 13.206,
+                    "prev_round_recorded_warm_sec": 10.089,
+                    "recheck_date": "2026-08-14",
+                },
             }
         )
     )

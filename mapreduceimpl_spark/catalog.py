@@ -9,12 +9,14 @@ probing) which get the driver's rows-only check + pytest invariants.
 
 Ordering contract (round 2+): the driver records CORRECTNESS rows for
 roughly the FIRST 50 entries in insertion order.  SPECS is therefore
-rebuilt from ``_ROUND5_ORDER`` (defined after the dict literal) so the
+rebuilt from ``_ROUND6_ORDER`` (defined after the dict literal) so the
 entries that most need a fresh green row come first.
-Round 5 leads with the full 41-entry round-4 deferral backlog
-(positions 1-41 of ``_ROUND5_ORDER``), padded to the window with the
-stalest round-1/2 greens — after round 5's driver run, every
-oracle-backed entry will have a driver row.  Any NEW entry added this
+Round 6 leads with the 14-entry round-5 deferral backlog (positions
+1-14), then every oracle-backed entry whose newest driver row dates
+from r1/r2 (positions 15-36), then the stalest r3 greens — encoding
+the max-age policy (no oracle-backed entry's newest driver row older
+than 4 completed rounds; tests/test_catalog_contract.py enforces it
+against the live CORRECTNESS files).  Any NEW entry added this
 round that doesn't fit the window goes into
 ``DEFERRED_TO_NEXT_ROUND``; tests/test_catalog_contract.py enforces
 both directions and tools/rotation_report.py shows the live state.  The bench set
@@ -1581,28 +1583,10 @@ FROM sess GROUP BY user_id, sid
 # (tools/check_oracle.py) and MUST rotate into the window next round —
 # tests/test_catalog_contract.py enforces that this set only shrinks:
 # once an entry has a driver CORRECTNESS row it must leave this set.
-# Round 5 start: EMPTY — all 41 round-4 deferrals were rotated into
-# window head positions 1-41 (see _ROUND5_ORDER).  Any entry added
+# Round 6 start: EMPTY — all 14 round-5 deferrals were rotated into
+# window head positions 1-14 (see _ROUND6_ORDER).  Any entry added
 # this round that doesn't fit the window goes here.
-DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
-    {
-        # round-5 additions past the already-full window
-        "bpe_train_merges",
-        "bpe_apply",
-        "bpe_vocab",
-        "kmeans_lloyd",
-        "ann_ivf_lloyd_topk",
-        "epoch_shuffle_sharded",
-        "l_diversity",
-        "attribution_linear",
-        "dedup_containment",
-        "dedup_keeper_longest",
-        "winsorize_mad",
-        "countmin_estimate",
-        "contamination_containment",
-        "asof_join_forward",
-    }
-)
+DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset()
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
 # this position in SPECS get no row); slot WINDOW+1 is kept low-stakes.
@@ -5001,63 +4985,63 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
 # greens as low-stakes padding; the round-4-green block and the rest
 # of the previously-verified tail follow.  After round 5's driver run
 # every oracle-backed entry in the catalog will have a driver row.
-_ROUND5_ORDER = [
-    "table_profile", "snapshot_diff", "triangle_count", "clustering_coeff",
-    "events_ewma", "bm25_search", "dedup_minhash_verified", "basket_rules",
-    "skyline_frontier", "fuzzy_join_verified", "rolling_active_users", "sample_weighted_k",
-    "pit_join", "changelog_apply", "events_autocorr", "span_corruption",
-    "triplet_mining", "temperature_mix", "kfold_assign", "epoch_shuffle",
-    "vocab_coverage", "preference_pairs", "conversation_build", "kmv_distinct",
-    "bloom_membership", "dedup_prefix_filter", "length_buckets", "dq_expectations",
-    "histogram_drift", "incremental_agg", "alignment_funnel", "centroid_similarity",
-    "udtf_chunks", "attribution_last_touch", "ab_test_report", "k_anonymity",
-    "mad_outliers", "bootstrap_se", "cuped_adjustment", "consistent_sample_join",
-    "sft_render", "seq_pack", "multimodal_meta", "events_sliding",
-    "events_session_native", "dedup_exact", "dedup_exact_norm", "dedup_simhash_sigs",
-    "dedup_simhash_pairs", "priority_returns", "forecast_revenue", "shipmode_priority",
-    "customer_distribution", "promo_revenue", "parts_supplier_relation", "discounted_revenue",
-    "waiting_suppliers", "sales_opportunity", "min_cost_supplier", "revenue_share",
-    "top_supplier", "small_qty_revenue", "large_orders", "heavy_shippers",
-    "market_share", "product_profit", "dedup_span_exact", "split_assign",
-    "heavy_hitters", "text_bigram_logprob", "collocations_pmi", "events_anomaly",
-    "events_running_anomaly", "revenue_pareto", "customer_rfm", "event_top_paths",
-    "state_intervals", "fuzzy_join", "vocab_topk", "quality_percentile",
-    "knn_classify", "random_projection", "next_event_pairs", "token_pair_counts",
-    "bpe_train_merges", "bpe_apply", "bpe_vocab", "kmeans_lloyd", "ann_ivf_lloyd_topk", "epoch_shuffle_sharded",
-    "l_diversity", "attribution_linear", "dedup_containment", "dedup_keeper_longest",
-    "winsorize_mad", "countmin_estimate", "contamination_containment",
-    "asof_join_forward", "knn_classify_lsh", "pretrain_funnel", "corr_analysis", "price_histogram",
-    "skew_salted_join", "skew_two_phase", "pagerank", "timeseries_gapfill",
-    "media_probe", "text_token_entropy", "monthly_growth", "events_sessionize",
-    "asof_join", "dedup_minhash_lsh", "dedup_embedding", "agg_approx",
-    "dedup_ngram_jaccard", "ann_topk", "ann_ivf_topk", "kmeans_assign",
-    "text_lang_id", "text_quality", "text_token_stats", "text_clean",
-    "corpus_filter", "sample_hash", "embedding_centroids", "embedding_norms",
+_ROUND6_ORDER = [
+    "bpe_train_merges", "bpe_apply", "bpe_vocab", "kmeans_lloyd",
+    "ann_ivf_lloyd_topk", "epoch_shuffle_sharded", "l_diversity", "attribution_linear",
+    "dedup_containment", "dedup_keeper_longest", "winsorize_mad", "countmin_estimate",
+    "contamination_containment", "asof_join_forward", "sample_hash", "dedup_ngram_jaccard",
+    "ann_topk", "text_lang_id", "text_quality", "text_token_stats",
+    "text_clean", "corpus_filter", "embedding_centroids", "embedding_norms",
     "text_fingerprint", "text_repetition", "text_pii_scrub", "contamination_check",
     "sample_stratified", "domain_mix", "embedding_quantize", "tfidf_topterms",
     "scalar_case_date", "scalar_math_date", "window_analytics", "set_ops",
     "wordcount", "dedup_incremental", "doc_chunks", "retention_cohorts",
-    "text_unigram_logprob", "sample_fixed_n", "scalar_map", "text_compression_ratio",
-    "dedup_simhash64_pairs", "ann_lsh_topk", "ann_lsh_multiprobe", "dedup_clusters",
-    "range_join", "hypertable_rollup", "sample_weighted", "user_features",
-    "lang_count", "udf_wordcount", "filter_project", "pricing_summary",
-    "agg_multikey", "agg_distinct", "distinct_op", "agg_rollup",
-    "agg_cube", "grouping_sets", "join_inner", "join_left",
-    "join_semi", "join_anti", "join_full", "join_cross",
-    "join_broadcast", "join_theta", "shipping_priority", "local_supplier_volume",
-    "volume_shipping", "returned_items", "events_funnel", "window_rank",
-    "sort_limit", "scalar_string", "json_extract", "null_handling",
-    "subquery_corr", "array_agg", "percentile", "pivot",
-    "text_bpe_tokens", "events_tumbling",
+    "text_unigram_logprob", "sample_fixed_n", "scalar_map", "dedup_simhash64_pairs",
+    "ann_lsh_topk", "ann_lsh_multiprobe", "dedup_clusters", "range_join",
+    "hypertable_rollup", "table_profile", "snapshot_diff", "triangle_count",
+    "clustering_coeff", "events_ewma", "bm25_search", "dedup_minhash_verified",
+    "basket_rules", "skyline_frontier", "fuzzy_join_verified", "rolling_active_users",
+    "sample_weighted_k", "pit_join", "changelog_apply", "events_autocorr",
+    "span_corruption", "triplet_mining", "temperature_mix", "kfold_assign",
+    "epoch_shuffle", "vocab_coverage", "preference_pairs", "conversation_build",
+    "kmv_distinct", "bloom_membership", "dedup_prefix_filter", "length_buckets",
+    "dq_expectations", "histogram_drift", "incremental_agg", "alignment_funnel",
+    "centroid_similarity", "udtf_chunks", "attribution_last_touch", "ab_test_report",
+    "k_anonymity", "mad_outliers", "bootstrap_se", "cuped_adjustment",
+    "consistent_sample_join", "sft_render", "seq_pack", "multimodal_meta",
+    "events_sliding", "events_session_native", "dedup_exact", "dedup_exact_norm",
+    "dedup_simhash_sigs", "dedup_simhash_pairs", "priority_returns", "forecast_revenue",
+    "shipmode_priority", "customer_distribution", "promo_revenue", "parts_supplier_relation",
+    "discounted_revenue", "waiting_suppliers", "sales_opportunity", "min_cost_supplier",
+    "revenue_share", "top_supplier", "small_qty_revenue", "large_orders",
+    "heavy_shippers", "market_share", "product_profit", "dedup_span_exact",
+    "split_assign", "heavy_hitters", "text_bigram_logprob", "collocations_pmi",
+    "events_anomaly", "events_running_anomaly", "revenue_pareto", "customer_rfm",
+    "event_top_paths", "state_intervals", "fuzzy_join", "vocab_topk",
+    "quality_percentile", "knn_classify", "random_projection", "next_event_pairs",
+    "token_pair_counts", "knn_classify_lsh", "pretrain_funnel", "corr_analysis",
+    "price_histogram", "skew_salted_join", "skew_two_phase", "pagerank",
+    "timeseries_gapfill", "media_probe", "text_token_entropy", "monthly_growth",
+    "events_sessionize", "asof_join", "dedup_minhash_lsh", "dedup_embedding",
+    "agg_approx", "ann_ivf_topk", "kmeans_assign", "text_compression_ratio",
+    "sample_weighted", "user_features", "lang_count", "udf_wordcount",
+    "filter_project", "pricing_summary", "agg_multikey", "agg_distinct",
+    "distinct_op", "agg_rollup", "agg_cube", "grouping_sets",
+    "join_inner", "join_left", "join_semi", "join_anti",
+    "join_full", "join_cross", "join_broadcast", "join_theta",
+    "shipping_priority", "local_supplier_volume", "volume_shipping", "returned_items",
+    "events_funnel", "window_rank", "sort_limit", "scalar_string",
+    "json_extract", "null_handling", "subquery_corr", "array_agg",
+    "percentile", "pivot", "text_bpe_tokens", "events_tumbling",
 ]
 
-if set(_ROUND5_ORDER) != set(SPECS) or len(_ROUND5_ORDER) != len(SPECS):
+if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):
     raise AssertionError(
         "catalog rotation list out of sync with SPECS: "
-        f"missing={set(SPECS) - set(_ROUND5_ORDER)} "
-        f"unknown={set(_ROUND5_ORDER) - set(SPECS)}"
+        f"missing={set(SPECS) - set(_ROUND6_ORDER)} "
+        f"unknown={set(_ROUND6_ORDER) - set(SPECS)}"
     )
-SPECS = {name: SPECS[name] for name in _ROUND5_ORDER}
+SPECS = {name: SPECS[name] for name in _ROUND6_ORDER}
 
 
 # Bench execution order, pinned to round 2's recorded order so the

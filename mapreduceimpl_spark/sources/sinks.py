@@ -216,13 +216,18 @@ def compact_files(
     import shutil
     from urllib.parse import urlparse
 
-    scheme = urlparse(path).scheme
-    if scheme not in ("", "file"):
+    parsed = urlparse(path)
+    if parsed.scheme not in ("", "file"):
         raise ValueError(
             f"compact_files only supports local filesystem paths; got scheme "
-            f"{scheme!r} — on {scheme}:// use a staging-prefix rewrite with "
-            "the store's atomic rename/commit instead"
+            f"{parsed.scheme!r} — on {parsed.scheme}:// use a staging-prefix "
+            "rewrite with the store's atomic rename/commit instead"
         )
+    # a 'file://' URI passes the guard but os.rename/shutil need the
+    # bare OS path — strip the scheme so the atomic-swap steps address
+    # the same files Spark just wrote (ADVICE r5)
+    if parsed.scheme == "file":
+        path = parsed.path
 
     base = path.rstrip("/")
     staging, old = base + "__compacting", base + "__old"

@@ -38,6 +38,51 @@ def test_unverified_entries_lead_the_window():
     )
 
 
+def test_no_oracle_backed_entry_goes_stale():
+    """Max-age policy (VERDICT r5 #7): under the proposed window, every
+    oracle-backed entry must be re-attested by the driver at most every
+    4 rounds.  Concretely, before round N runs, an oracle-backed entry
+    must either (a) sit inside the recording window (gets a fresh row
+    now), (b) have a driver row from round >= N-3, or (c) be a declared
+    deferral.  Feasibility arithmetic: 49 window slots x 4-round cycle
+    = 196 attestations >= the ~190-entry catalog, so the policy is
+    sustainable iff rotation keeps per-round cohorts <= ~49 — which
+    this test also ends up enforcing, because an oversized cohort
+    surfaces here one round before it would overflow the window."""
+    import glob
+    import json
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    newest: dict[str, int] = {}
+    rounds = []
+    for path in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        rounds.append(rnd)
+        with open(path) as fh:
+            for name, row in json.load(fh).items():
+                if row.get("hash_match"):
+                    newest[name] = max(newest.get(name, 0), rnd)
+    if not rounds:
+        return
+    upcoming = max(rounds) + 1
+    names = list(catalog.SPECS)
+    stale = [
+        (i + 1, n, newest.get(n, 0))
+        for i, n in enumerate(names)
+        if i >= WINDOW
+        and catalog.SPECS[n].oracle is not None
+        and n not in catalog.DEFERRED_TO_NEXT_ROUND
+        and newest.get(n, 0) < upcoming - 3
+    ]
+    assert not stale, (
+        f"oracle-backed entries outside the window whose newest driver row "
+        f"is older than round {upcoming - 3}: {stale} — rotate them into "
+        "window positions (see catalog.py docstring)"
+    )
+
+
 def test_deferred_set_self_cleans():
     """Once a deferred entry receives a driver CORRECTNESS row it must
     leave DEFERRED_TO_NEXT_ROUND (and, per the rotation contract, move
