@@ -129,6 +129,7 @@ def udtf_chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 64,
     overlap: int = 8,
+    eager_cleanup: bool = False,
 ) -> DataFrame:
     """U7's table-function half through the MODERN surface: a real
     Python UDTF (Spark 4 ``@udtf``) applied with a SQL LATERAL join —
@@ -174,9 +175,13 @@ def udtf_chunk_documents(
     # interleaved lazy plans clobber each other's input view, silently
     # chunking the wrong DataFrame when the earlier plan finally
     # executes (ADVICE r4).  uuid4, not a module counter — an
-    # unsynchronized counter can collide across driver threads.  The
-    # registrations accumulate for the session lifetime (a lazy plan
-    # may execute arbitrarily late, so they cannot be dropped here).
+    # unsynchronized counter can collide across driver threads.  In
+    # the default lazy mode the registrations accumulate for the
+    # session lifetime (a lazy plan may execute arbitrarily late, so
+    # they cannot be dropped here); a long-lived session making heavy
+    # call volume should pass ``eager_cleanup=True``, which
+    # materializes the result (localCheckpoint) and drops both
+    # registrations before returning (ADVICE r5).
     import uuid
 
     suffix = uuid.uuid4().hex[:12]
@@ -184,7 +189,15 @@ def udtf_chunk_documents(
     view_name = f"__udtf_docs_{suffix}"
     spark.udtf.register(fn_name, ChunkDoc)
     docs.createOrReplaceTempView(view_name)
-    return spark.sql(
+    out = spark.sql(
         f"SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens "
         f"FROM {view_name} d, LATERAL {fn_name}(d.text) c"
     )
+    if eager_cleanup:
+        # eager materialization detaches the result from the view/UDTF
+        # lineage, so both registrations can be dropped immediately —
+        # catalog state stays O(1) per call instead of growing forever
+        out = out.localCheckpoint(eager=True)
+        spark.catalog.dropTempView(view_name)
+        spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {fn_name}")
+    return out

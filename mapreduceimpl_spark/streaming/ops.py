@@ -893,9 +893,19 @@ def stream_attribution_linear(events: DataFrame) -> DataFrame:
     (the batch operator's running-purchase-count segmentation, carried
     as state instead of a window).
 
-    Same total order and edge semantics as the batch form: rows sort
-    (ts, event_id) within each micro-batch, organic purchases (no
+    Same edge semantics as the batch form: organic purchases (no
     clicks in their group) emit 0 touches and NULL credit.
+
+    In-order-arrival ASSUMPTION (same caveat as the last-touch twin,
+    ADVICE r5): rows sort (ts, event_id) only WITHIN each micro-batch
+    — there is no watermark, so a click or purchase that arrives in a
+    later micro-batch than a same-user event with a later event time
+    is assigned to the wrong conversion group and silently diverges
+    from ``q_attribution_linear``.  Equality with the batch form holds
+    when each user's events arrive in event-time order across batches
+    (the pytest twins feed batches split on event-time boundaries);
+    late-data-tolerant attribution needs an event-time watermark and
+    buffered reordering in state.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

@@ -333,3 +333,17 @@ def test_compact_files_rejects_remote_scheme(spark):
     for path in ("s3a://bucket/table", "hdfs://nn/warehouse/t"):
         with _pytest.raises(ValueError, match="local filesystem"):
             compact_files(spark, path, target_files=2)
+
+
+def test_compact_files_accepts_file_uri(spark, tmp_path, docs):
+    """A file:// URI passes the scheme guard — the os-level atomic-swap
+    steps must strip the scheme or they fail mid-rename, stranding the
+    staging dir (ADVICE r5)."""
+    from mapreduceimpl_spark.sources.sinks import compact_files
+
+    path = str(tmp_path / "compact_uri")
+    docs.repartition(6).write.format("parquet").save(path)
+    n_after = compact_files(spark, f"file://{path}", target_files=2)
+    assert n_after <= 2
+    readback = spark.read.parquet(path)
+    assert readback.count() == docs.count()

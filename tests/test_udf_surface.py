@@ -163,3 +163,21 @@ def test_udtf_chunk_documents_interleaved_calls_do_not_clobber(spark, docs):
     a_docs = {r["doc_id"] for r in plan_a.select("doc_id").distinct().collect()}
     b_docs = {r["doc_id"] for r in plan_b.select("doc_id").distinct().collect()}
     assert len(a_docs) == 3 and len(b_docs) == 7 and a_docs <= b_docs
+
+
+def test_udtf_chunk_documents_eager_cleanup_drops_registrations(spark, docs):
+    """eager_cleanup=True must return correct rows AND leave no trace
+    in the session catalog (ADVICE r5: heavy call volume grew temp
+    view/function state without bound in lazy mode)."""
+    from mapreduceimpl_spark.operators.text_analysis import chunk_documents
+    from mapreduceimpl_spark.operators.udf_surface import udtf_chunk_documents
+
+    views_before = {v.name for v in spark.catalog.listTables() if v.isTemporary}
+    out = udtf_chunk_documents(spark, docs, eager_cleanup=True)
+    views_after = {v.name for v in spark.catalog.listTables() if v.isTemporary}
+    assert views_after - views_before == set(), "temp view leaked"
+
+    key = lambda r: (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+    a = sorted(map(key, chunk_documents(docs).collect()))
+    b = sorted(map(key, out.collect()))
+    assert a == b and len(a) > 0
