@@ -453,21 +453,26 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(edges, iterations=5)
 
 
-def _kmeans_lloyd_layers(k: int = 4, iterations: int = 3) -> list[str]:
+def _kmeans_lloyd_layers(
+    k: int = 4, iterations: int = 3, source: str = "embeddings"
+) -> list[str]:
     """CTE layers replaying ``kmeans.kmeans_lloyd_internals``: one
     (distance -> argmin -> means) layer per Lloyd iteration on the
     exploded (vec_id, dim, x) representation, with the identical
     decimal-routed distance sums and floor-based half-up rounding.
-    Shared by the k-means and IVF oracles."""
+    Shared by the k-means, IVF, and semantic-dedup oracles; ``source``
+    names the (vec_id, embedding) relation to quantize — a table or an
+    earlier CTE (e.g. the perturbed corpus semantic dedup plants its
+    near-dups in)."""
     layers = [
-        """pts AS MATERIALIZED (
+        f"""pts AS MATERIALIZED (
   SELECT vec_id, t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
-  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+  FROM {source}, unnest(generate_series(1, len(embedding))) AS t(i)
 )""",
         f"""init AS (
   SELECT vec_id, embedding,
          row_number() OVER (ORDER BY vec_id) - 1 AS cluster
-  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+  FROM (SELECT * FROM {source} ORDER BY vec_id LIMIT {k})
 )""",
         """c0 AS (
   SELECT cluster, t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS c
@@ -578,6 +583,56 @@ probes AS (
         f"              AS BIGINT) AS rank\n"
         f"  FROM scored\n"
         f") WHERE rank <= {k}"
+    )
+
+
+def _semantic_dedup_oracle(
+    n_cells: int = 4, iterations: int = 3, min_cosine: float = 0.9
+) -> str:
+    """Chained-CTE replay of ``dedup.semantic_dedup`` over the
+    perturbed corpus (``with_perturbed_vectors`` plants a +0.5-on-dim-0
+    copy of every 10th vector, the same planting
+    ``_embedding_neardup_oracle`` mirrors): the shared Lloyd layers
+    quantize the corpus into cells, then lower-id near-dup counts come
+    from an intra-cell self-join on the rounded cosine — candidates
+    only within a cell, O(sum cell^2), never n^2."""
+    layers = [
+        """base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+)""",
+        """corpus AS (
+  SELECT vec_id, embedding FROM base
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_concat([embedding[1] + 0.5], embedding[2:]) AS embedding
+  FROM base WHERE vec_id % 10 = 0
+)""",
+    ]
+    layers += _kmeans_lloyd_layers(n_cells, iterations, source="corpus")
+    it = iterations
+    layers.append(
+        f"""withcell AS (
+  SELECT a.vec_id, a.cluster AS cell, c.embedding AS v
+  FROM a{it} a JOIN corpus c ON a.vec_id = c.vec_id
+)"""
+    )
+    layers.append(
+        f"""dups AS (
+  SELECT b.vec_id, CAST(COUNT(*) AS BIGINT) AS n_lower_dups
+  FROM withcell a JOIN withcell b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {min_cosine}
+  GROUP BY b.vec_id
+)"""
+    )
+    body = ",\n".join(layers)
+    return (
+        f"WITH {body}\n"
+        f"SELECT w.vec_id, CAST(w.cell AS BIGINT) AS cell,\n"
+        f"       COALESCE(d.n_lower_dups, CAST(0 AS BIGINT)) AS n_lower_dups,\n"
+        f"       COALESCE(d.n_lower_dups, 0) = 0 AS keep\n"
+        f"FROM withcell w LEFT JOIN dups d ON w.vec_id = d.vec_id"
     )
 
 
@@ -1869,6 +1924,17 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
         _q_embedding_neardup, _embedding_neardup_oracle(),
         doc="vector near-dup via label-free sign-LSH bucket blocking "
             "(round-2 default; oracle mirrors the seeded hyperplanes bit-exactly)",
+    ),
+    "dedup_semantic": QuerySpec(
+        lambda spark, sf_dir: dedup.semantic_dedup(
+            dedup.with_perturbed_vectors(load_table(spark, sf_dir, "embeddings")),
+            n_cells=4, iterations=3, min_cosine=0.9,
+        ),
+        _semantic_dedup_oracle(4, 3, 0.9),
+        doc="SemDeDup (VERDICT r5 #2): Lloyd-quantized cells -> intra-cell "
+            "cosine near-dup counts -> lowest-id keeper per pairwise group; "
+            "the full chain (quantizer + blocking + decision) is "
+            "hash-verified via the shared k-means CTE layers",
     ),
     "dedup_clusters": QuerySpec(
         lambda spark, sf_dir: dedup.dedup_decision(
@@ -4995,6 +5061,7 @@ _ROUND6_ORDER = [
     "text_fingerprint", "text_repetition", "text_pii_scrub", "contamination_check",
     "sample_stratified", "domain_mix", "embedding_quantize", "tfidf_topterms",
     "scalar_case_date", "scalar_math_date", "window_analytics", "set_ops",
+    "dedup_semantic",
     "wordcount", "dedup_incremental", "doc_chunks", "retention_cohorts",
     "text_unigram_logprob", "sample_fixed_n", "scalar_map", "dedup_simhash64_pairs",
     "ann_lsh_topk", "ann_lsh_multiprobe", "dedup_clusters", "range_join",

@@ -973,6 +973,64 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_cells: int = 4,
+    iterations: int = 3,
+    min_cosine: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-shape semantic deduplication (Abbas et al. 2023): the
+    pass a 100 TB pipeline runs AFTER MinHash — near-duplicates by
+    embedding MEANING, not text overlap.  Quantize the corpus into
+    cells with the SQL-replayable Lloyd k-means
+    (``kmeans.kmeans_lloyd_internals``), then compute pairwise cosine
+    only WITHIN each cell and drop every vector that has a lower-id
+    near-duplicate (cosine >= threshold) in its cell.
+
+    Returns one row per vector: (vec_id, cell, n_lower_dups, keep) —
+    keep is False iff some lower-id same-cell vector is a near-dup, so
+    each pairwise-duplicate group keeps its lowest id (the paper keeps
+    one representative per group; lowest-id is the deterministic
+    choice, and like all pairwise-threshold policies it is not
+    transitive-closure dedup — see ``dedup_decision`` for the
+    connected-components variant on explicit pairs).
+
+    Scale: candidate generation is O(sum of cell^2), exactly the
+    LSH-family bound — the quantizer's cell count is the recall/cost
+    dial (the paper uses k ~ sqrt(n) clusters on deduplicating LAION).
+    The cosine is a JVM-side fold (no UDF); the only shuffles are the
+    Lloyd aggregates and one equi-join on cell id.  The fixed-seed
+    Lloyd tier makes the whole chain hash-verifiable in DuckDB the
+    same way ``ann_ivf_lloyd_topk`` is.
+    """
+    from mapreduceimpl_spark.operators.kmeans import kmeans_lloyd_internals
+
+    assign, _ = kmeans_lloyd_internals(embeddings, k=n_cells, iterations=iterations)
+    src = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).join(assign.select("vec_id", "cluster"), "vec_id")
+    pairs = embedding_neardup_pairs(
+        src, min_cosine=min_cosine, block_col="cluster", round_digits=6
+    )
+    dup_counts = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.count("*").alias("n_lower_dups")
+    )
+    return (
+        src.select("vec_id", F.col("cluster").alias("cell"))
+        .join(dup_counts, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(F.col("n_lower_dups"), F.lit(0).cast("long")).alias(
+                "n_lower_dups"
+            ),
+            (F.coalesce(F.col("n_lower_dups"), F.lit(0).cast("long")) == 0).alias(
+                "keep"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact-substring span dedup (repeated >=L-token runs across documents)
 # ---------------------------------------------------------------------------

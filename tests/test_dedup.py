@@ -788,3 +788,84 @@ def test_keeper_longest_picks_most_complete_copy(spark):
     # min-id policy on the same graph keeps doc 1 instead
     minid = {r["doc_id"]: r for r in dedup_decision(docs, pairs).collect()}
     assert minid[1]["is_canonical"] and not minid[2]["is_canonical"]
+
+
+def test_semantic_dedup_hand_case(spark):
+    """Two near-identical vectors landing in the same Lloyd cell dedup
+    (higher id dropped); a far vector in the same cell survives; and a
+    near-dup is immune across cells by construction (intra-cell
+    blocking only)."""
+    from mapreduceimpl_spark.operators.dedup import semantic_dedup
+
+    # two tight groups far apart -> k=2 Lloyd separates them; ids 1,2
+    # are near-identical (cosine ~1), id 3 is same-cell but orthogonal
+    # enough, ids 10,11 form the second cell
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.05]),
+        (2, [1.0, 0.0, 0.0, 0.06]),   # near-dup of 1 -> dropped
+        (3, [0.0, 0.0, 1.0, 0.0]),    # same half-space, not a dup
+        (10, [-1.0, -1.0, 0.0, 0.0]),
+        (11, [-1.0, -0.2, 0.0, 0.0]), # cosine vs 10 ~ 0.83 < 0.9 -> kept
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, n_cells=2, iterations=2).collect()}
+    assert len(out) == 5
+    assert out[1]["keep"] and out[1]["n_lower_dups"] == 0
+    assert not out[2]["keep"] and out[2]["n_lower_dups"] == 1
+    assert out[3]["keep"]
+    assert out[10]["keep"] and out[11]["keep"]
+    # groups ended up in different cells (the blocking structure)
+    assert out[1]["cell"] == out[2]["cell"]
+    assert out[10]["cell"] == out[11]["cell"]
+
+
+def test_semantic_dedup_keeps_lowest_id_per_group(spark):
+    """Three mutual near-dups in one cell: only the lowest id keeps;
+    each higher id counts all its lower-id dups."""
+    from mapreduceimpl_spark.operators.dedup import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(5, [1.0, 0.01]), (7, [1.0, 0.02]), (9, [1.0, 0.03]), (20, [-1.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, n_cells=2, iterations=2).collect()}
+    assert out[5]["keep"] and not out[7]["keep"] and not out[9]["keep"]
+    assert out[7]["n_lower_dups"] == 1 and out[9]["n_lower_dups"] == 2
+    assert out[20]["keep"]
+
+
+def test_semantic_dedup_no_cartesian_plan(spark, embeddings):
+    """The candidate join must be an equi-join on the cell id — never
+    a cartesian or nested-loop over the corpus."""
+    from mapreduceimpl_spark.operators.dedup import semantic_dedup, with_perturbed_vectors
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(
+        semantic_dedup(with_perturbed_vectors(embeddings)), "simple"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_candidate_mass_is_intra_cell_not_n_squared(spark, embeddings):
+    """The number of cosine evaluations semantic_dedup performs is
+    sum(C(cell_size, 2)) over Lloyd cells — measure it on the real
+    fixture and assert it is a strict fraction of the all-pairs
+    C(n, 2) a quantizer-free pass would score."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreduceimpl_spark.operators.dedup import with_perturbed_vectors
+    from mapreduceimpl_spark.operators.kmeans import kmeans_lloyd_internals
+
+    corpus = with_perturbed_vectors(embeddings)
+    n = corpus.count()
+    assign, _ = kmeans_lloyd_internals(corpus, k=4, iterations=3)
+    sizes = [r["c"] for r in assign.groupBy("cluster").agg(F.count("*").alias("c")).collect()]
+    candidate_mass = sum(math.comb(s, 2) for s in sizes)
+    all_pairs = math.comb(n, 2)
+    assert sum(sizes) == n
+    # with 4 cells, a perfectly balanced split scores ~1/4 of all
+    # pairs; accept anything meaningfully below the brute-force bound
+    assert 0 < candidate_mass < 0.6 * all_pairs, (candidate_mass, all_pairs, sizes)

@@ -449,8 +449,20 @@ def _probe_ivf_lloyd(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_semantic(spark, sf_dir: str):
+    """SemDeDup wall time across the 500 -> 2000-row embedding step
+    (the fixture's 4x); see ``semantic_candidate_mass`` in
+    tests/test_dedup.py for the direct intra-cell candidate-mass vs
+    corpus^2 evidence."""
+    corpus = dedup.with_perturbed_vectors(load_table(spark, sf_dir, "embeddings"))
+    t0 = time.time()
+    n = dedup.semantic_dedup(corpus, n_cells=4, iterations=3).count()
+    return time.time() - t0, n
+
+
 PROBES = {
     "minhash": _probe_minhash,
+    "semantic": _probe_semantic,
     "prefix_filter": _probe_prefix_filter,
     "inverted_index": _probe_inverted_index,
     "kmv": _probe_kmv,
