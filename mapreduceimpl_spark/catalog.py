@@ -35,7 +35,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduceimpl_spark.functions import dec_sum as _fn_dec_sum
@@ -420,6 +420,132 @@ SELECT doc_id AS asset_id,
             END AS BIGINT) AS duration_ms,
        doc_id % 4 <> 3 AS header_parsed
 FROM documents
+"""
+
+
+def _q_multimodal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal ingest funnel (VERDICT r5 #4), the media
+    counterpart of ``pretrain_funnel``: plant real container headers
+    (the ``media_probe`` technique) -> write them as WebDataset tar
+    shards with the distributed sink -> read the shards back -> probe
+    headers -> filter on geometry/duration -> exact-dedup by payload
+    sha256 with a lowest-id keeper.
+
+    The oracle derives every surviving row ANALYTICALLY from the same
+    doc_id arithmetic — so the driver check fails if ANY stage (tar
+    write, tar read, sample grouping, byte parsers, filter, sha
+    grouping) stops being byte-faithful.  Dedup classes are real: PNG/
+    GIF payloads collide exactly when (width, height) collide, WAVs
+    collide per planted variant.
+
+    The shard write happens eagerly at build time into a per-SF temp
+    dir (wiped first, atomic per-shard publish); the returned frame is
+    the lazy read-back pipeline.  The only collect is the 8-row shard
+    manifest — the bounded sink-stats pattern."""
+    import os
+    import shutil
+    import tempfile
+
+    from mapreduceimpl_spark.sources.webdataset import (
+        group_samples,
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    w = (F.lit(100) + F.col("doc_id") % 50).cast("int")
+    h = (F.lit(50) + F.col("doc_id") % 30).cast("int")
+
+    def hex8(c):
+        return F.lpad(F.hex(c), 8, "0")
+
+    def hex2(c):
+        return F.lpad(F.hex(c), 2, "0")
+
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A" "0000000D49484452"), hex8(w), hex8(h)
+    )
+    gif_hex = F.concat(F.lit("474946383961"), hex2(w), F.lit("00"), hex2(h), F.lit("00"))
+    # 1ch (duration 1000 ms) only when doc_id % 8 == 2, else 2ch
+    # (500 ms) — so the duration filter below drops real rows
+    wav_hex = F.when(F.col("doc_id") % 8 == 2, F.lit(_WAV_HEX_1CH)).otherwise(
+        F.lit(_WAV_HEX_2CH)
+    )
+    payload = (
+        F.when(m == 0, F.unhex(png_hex))
+        .when(m == 1, F.unhex(gif_hex))
+        .when(m == 2, F.unhex(wav_hex))
+        .otherwise(F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8"))
+    )
+    ext = (
+        F.when(m == 0, "png").when(m == 1, "gif").when(m == 2, "wav").otherwise("txt")
+    )
+    shard_id = (F.col("doc_id") % 8).alias("shard_id")
+    key = F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("key")
+    media_rows = docs.select(shard_id, key, ext.alias("ext"), payload.alias("payload"))
+    cap_rows = docs.select(
+        shard_id, key, F.lit("cap").alias("ext"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
+    )
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"mapreduceimpl_wds_funnel_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_tar_shards(media_rows.unionByName(cap_rows), out_dir).collect()
+
+    samples = group_samples(read_tar_shards(spark, out_dir + "/*.tar"))
+    media = samples.select(
+        F.col("key").cast("long").alias("asset_id"),
+        F.coalesce(
+            *[F.element_at("parts", e) for e in ("png", "gif", "wav", "txt")]
+        ).alias("payload"),
+    )
+    sha_df = media.select("asset_id", F.sha2(F.col("payload"), 256).alias("sha"))
+    probed = multimodal.probe_media(media)
+    passes = F.col("header_parsed") & (
+        ((F.col("media") == "image") & (F.col("width") >= 110) & (F.col("height") >= 60))
+        | ((F.col("media") == "audio") & (F.col("duration_ms") >= 750))
+    )
+    win = Window.partitionBy("sha")
+    return (
+        probed.filter(passes)
+        .join(sha_df, "asset_id")
+        .select(
+            "asset_id", "media", "format", "width", "height", "duration_ms",
+            F.min("asset_id").over(win).alias("keeper_id"),
+        )
+        .withColumn("is_keeper", F.col("asset_id") == F.col("keeper_id"))
+    )
+
+
+def _multimodal_funnel_oracle() -> str:
+    return """
+WITH f AS (
+  SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 4 IN (0, 1) THEN 'image' ELSE 'audio' END AS media,
+         CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'wav' END AS format,
+         CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 100 + doc_id % 50 END AS BIGINT) AS width,
+         CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 50 + doc_id % 30 END AS BIGINT) AS height,
+         CAST(CASE WHEN doc_id % 4 = 2
+                   THEN CASE WHEN doc_id % 8 = 2 THEN 1000 ELSE 500 END
+              END AS BIGINT) AS duration_ms,
+         CASE doc_id % 4
+           WHEN 0 THEN 'png:' || (100 + doc_id % 50) || 'x' || (50 + doc_id % 30)
+           WHEN 1 THEN 'gif:' || (100 + doc_id % 50) || 'x' || (50 + doc_id % 30)
+           ELSE 'wav:' || (doc_id % 8)
+         END AS cls
+  FROM documents
+  WHERE doc_id % 4 <> 3
+    AND ((doc_id % 4 IN (0, 1) AND doc_id % 50 >= 10 AND doc_id % 30 >= 10)
+         OR (doc_id % 4 = 2 AND doc_id % 8 = 2))
+)
+SELECT asset_id, media, format, width, height, duration_ms,
+       MIN(asset_id) OVER (PARTITION BY cls) AS keeper_id,
+       asset_id = MIN(asset_id) OVER (PARTITION BY cls) AS is_keeper
+FROM f
 """
 
 
@@ -4316,6 +4442,15 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "decimal-summed, order- and libm-ulp-free (the "
             "unigram_logprob pattern, doc-internal)",
     ),
+    "multimodal_funnel": QuerySpec(
+        _q_multimodal_funnel,
+        _multimodal_funnel_oracle(),
+        doc="multimodal ingest funnel: planted headers -> distributed "
+            "WebDataset tar-shard sink -> shard read-back -> header probe "
+            "-> geometry/duration filter -> sha256 exact-dedup with "
+            "lowest-id keeper; oracle is fully analytic, so the hash "
+            "check covers the whole source+probe+filter+dedup chain",
+    ),
     "media_probe": QuerySpec(
         _q_media_probe,
         _media_probe_oracle(),
@@ -5061,7 +5196,7 @@ _ROUND6_ORDER = [
     "text_fingerprint", "text_repetition", "text_pii_scrub", "contamination_check",
     "sample_stratified", "domain_mix", "embedding_quantize", "tfidf_topterms",
     "scalar_case_date", "scalar_math_date", "window_analytics", "set_ops",
-    "dedup_semantic",
+    "dedup_semantic", "multimodal_funnel",
     "wordcount", "dedup_incremental", "doc_chunks", "retention_cohorts",
     "text_unigram_logprob", "sample_fixed_n", "scalar_map", "dedup_simhash64_pairs",
     "ann_lsh_topk", "ann_lsh_multiprobe", "dedup_clusters", "range_join",

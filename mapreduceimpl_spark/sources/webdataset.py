@@ -97,3 +97,66 @@ def group_samples(members: DataFrame) -> DataFrame:
             F.sum("n_bytes").cast("long").alias("total_bytes"),
         )
     )
+
+
+MANIFEST_SCHEMA = "shard string, n_members long, n_bytes long"
+
+
+def write_tar_shards(
+    members: DataFrame,
+    out_dir: str,
+    shard_col: str = "shard_id",
+    key_col: str = "key",
+    ext_col: str = "ext",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Distributed WebDataset sink: one tar shard per ``shard_col``
+    value, each written by the executor that owns that group — the
+    standard way multimodal corpora are sharded for training (the
+    inverse of ``read_tar_shards``).
+
+    ``members`` carries one row per member: a sample key, an
+    extension, an opaque binary payload, and the caller's shard
+    assignment (e.g. ``key % n_shards`` for determinism, or a
+    round-robin for balance).  Each shard's members are written
+    sorted by (key, ext) with zeroed tar metadata (mtime/uid/gid), so
+    shard bytes are a pure function of their contents — re-running
+    the sink reproduces identical files, and a content-addressed
+    store dedups them.
+
+    Returns the manifest (shard path, n_members, n_bytes), one row
+    per shard — lazy; run an action to perform the write.
+
+    Scale: one keyed Exchange on the shard id, then each tar is
+    streamed member-by-member by its group's task — parallelism =
+    shard count, the same unit as the read side.  LOCAL/SHARED
+    FILESYSTEM ONLY (like ``sinks.compact_files``): executors write
+    directly to ``out_dir``, which in local mode or on a shared mount
+    is one filesystem; on an object store, point it at a FUSE mount
+    or swap the file write for a store upload in ``write_group``.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard_id = int(pdf[shard_col].iloc[0])
+        path = os.path.join(out_dir, f"shard-{shard_id:05d}.tar")
+        pdf = pdf.sort_values([key_col, ext_col], ignore_index=True)
+        n_bytes = 0
+        tmp = path + ".inprogress"
+        with tarfile.open(tmp, "w") as tf:
+            for key, ext, payload in zip(
+                pdf[key_col], pdf[ext_col], pdf[payload_col]
+            ):
+                blob = bytes(payload)
+                info = tarfile.TarInfo(f"{key}.{ext}" if ext else str(key))
+                info.size = len(blob)
+                tf.addfile(info, io.BytesIO(blob))
+                n_bytes += len(blob)
+        os.replace(tmp, path)  # atomic publish: never a half-written shard
+        return pd.DataFrame(
+            {"shard": [path], "n_members": [len(pdf)], "n_bytes": [n_bytes]}
+        )
+
+    return members.groupBy(shard_col).applyInPandas(write_group, MANIFEST_SCHEMA)
