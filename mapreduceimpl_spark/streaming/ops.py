@@ -721,6 +721,48 @@ def stream_daily_active(
     )
 
 
+def stream_weekly_active(
+    events: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming trailing-7-day WAU: the continuous twin of the batch
+    ``relational.q_rolling_active_users`` wau7 column (closes the
+    rolling-active twin gap, VERDICT r5 #6).
+
+    Chained-aggregation shape (the Spark 3.4+ multiple-stateful-
+    operator pattern — NOT a second withWatermark, which is
+    disallowed): (1) a 7-day sliding window with a 1-day slide, keyed
+    by (window, user) — one state row per user per window they touch,
+    so a user active on 3 of the 7 days still yields ONE finalized
+    row per window; (2) a downstream 1-day tumbling re-aggregation on
+    ``window_time`` (the documented chained-agg idiom, which keeps
+    event-time propagation intact) counts those rows — the trailing-
+    7-day distinct-user count labeled by the window's last day.
+    State is O(active users x 7 open windows) within the watermark
+    horizon — stream-length independent, no per-day sets.
+
+    Run in APPEND mode: a day's wau7 emits once, when the watermark
+    closes its 7-day window (so the last ~8 days of a bounded replay
+    stay open — compare the emitted subset, as the tumbling-count twin
+    does).  Divergence from the batch form, by design: every window a
+    user contributes to emits, including window-end days with no
+    events of their own (the batch form semi-joins those phantom ends
+    away); restrict to observed days to compare.
+    """
+    per_user_week = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "7 days", "1 day").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        per_user_week.groupBy(F.window(F.window_time("w"), "1 day").alias("d"))
+        .agg(F.count("*").alias("wau7"))
+        .select(
+            F.col("d.start").cast("date").cast("string").alias("day"),
+            F.col("wau7").cast("long").alias("wau7"),
+        )
+    )
+
+
 def stream_countmin(
     events: DataFrame, d: int = 3, w: int = 1024, key_col: str = "event_type"
 ) -> DataFrame:

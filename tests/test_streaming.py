@@ -743,3 +743,102 @@ def test_stream_countmin_matches_batch_and_state_bounded(spark, events_dir):
         .collect()
     }
     assert got == want and 0 < len(got) <= 3 * 256
+
+
+def test_stream_weekly_active_matches_batch(spark, events_dir):
+    """Streaming trailing-7-day WAU == the batch wau7 column of
+    q_rolling_active_users on every emitted OBSERVED day.  Append mode
+    emits a day once its 7-day window closes, so the trailing ~8 days
+    stay open; the stream may also emit gap days the batch form
+    semi-joins away — both documented divergences, so compare the
+    emitted-and-observed subset and require real coverage."""
+    from mapreduceimpl_spark.operators import relational
+
+    batch = {
+        r["day"]: r["wau7"]
+        for r in relational.q_rolling_active_users(
+            {"events": load_table(spark, SF, "events")}
+        ).collect()
+    }
+    stream = streaming.read_events_stream(spark, events_dir)
+    got = {
+        r["day"]: r["wau7"]
+        for r in _run_stream(streaming.stream_weekly_active(stream), mode="append")
+    }
+    common = set(got) & set(batch)
+    assert len(common) > 0
+    assert {d: got[d] for d in common} == {d: batch[d] for d in common}
+    # every batch day except the open trailing horizon must have emitted
+    missing = {d for d in batch if d not in got}
+    assert missing <= {d for d in batch if d >= max(got)}, missing
+
+
+def test_stream_weekly_active_state_crosses_batches(spark, tmp_path):
+    """A user active on day 1 (micro-batch A) must still count toward
+    day 3's trailing week when day 3 arrives in micro-batch B — the
+    contribution state crossing the boundary; and a user active in
+    BOTH batches counts once per window day."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "wau_two_batches"
+    d.mkdir()
+
+    def write(fname, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            d / fname,
+        )
+
+    write("a.parquet", [
+        (1, "2024-01-01 10:00:00", 7, "view", 1.0, "{}"),
+        (2, "2024-01-01 11:00:00", 8, "view", 1.0, "{}"),
+    ])
+    _time.sleep(0.05)
+    write("b.parquet", [
+        (3, "2024-01-03 10:00:00", 7, "view", 1.0, "{}"),   # user 7 again
+        (4, "2024-01-03 11:00:00", 9, "view", 1.0, "{}"),
+    ])
+    _time.sleep(0.05)
+    # watermark pusher: advances event time far enough to CLOSE every
+    # January window above (append mode only emits closed windows)
+    write("c.parquet", [
+        (5, "2024-01-20 00:00:00", 99, "view", 1.0, "{}"),
+    ])
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    got = {
+        r["day"]: r["wau7"]
+        for r in _run_stream(streaming.stream_weekly_active(stream), mode="append")
+    }
+    # Jan 1: users {7, 8}; Jan 3 trailing week: {7, 8, 9} with user 7
+    # active in both micro-batches counted once
+    assert got["2024-01-01"] == 2
+    assert got["2024-01-03"] == 3
+    # contribution horizon: Jan 7 still carries Jan 1's users; by Jan 9
+    # only the Jan 3 users remain in the trailing week
+    assert got["2024-01-07"] == 3 and got["2024-01-09"] == 2
