@@ -712,6 +712,57 @@ probes AS (
     )
 
 
+def _pca_power_oracle(iterations: int = 4) -> str:
+    """Chained-CTE replay of ``similarity.pca_power_scores``: center,
+    then one (X v -> X^T s -> window-normalize) layer per power
+    iteration, with the identical decimal-routed sums and floor-based
+    half-up rounding (the ``_kmeans_lloyd_layers`` recipe)."""
+    layers = [
+        """pts AS MATERIALIZED (
+  SELECT vec_id, t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+)""",
+        """means AS (
+  SELECT dim,
+         floor((CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*))
+               * 1e9 + 0.5) / 1e9 AS m
+  FROM pts GROUP BY dim
+)""",
+        """c AS MATERIALIZED (
+  SELECT p.vec_id, p.dim, p.x - m.m AS x
+  FROM pts p JOIN means m ON p.dim = m.dim
+)""",
+        "v0 AS (SELECT dim, CAST(1.0 AS DOUBLE) AS v FROM means)",
+    ]
+    for k in range(1, iterations + 1):
+        layers.append(
+            f"""s{k} AS (
+  SELECT c.vec_id,
+         CAST(SUM(CAST(c.x * v.v AS DECIMAL(38,18))) AS DOUBLE) AS s
+  FROM c JOIN v{k - 1} v ON c.dim = v.dim GROUP BY c.vec_id
+),
+u{k} AS (
+  SELECT c.dim,
+         CAST(SUM(CAST(c.x * s.s AS DECIMAL(38,18))) AS DOUBLE) AS u
+  FROM c JOIN s{k} s ON c.vec_id = s.vec_id GROUP BY c.dim
+),
+v{k} AS (
+  SELECT dim,
+         floor(u / sqrt(CAST(SUM(CAST(u * u AS DECIMAL(38,18))) OVER ()
+                             AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS v
+  FROM u{k}
+)"""
+        )
+    body = ",\n".join(layers)
+    return (
+        f"WITH {body}\n"
+        f"SELECT c.vec_id,\n"
+        f"       floor(CAST(SUM(CAST(c.x * v.v AS DECIMAL(38,18))) AS DOUBLE)\n"
+        f"             * 1e6 + 0.5) / 1e6 AS pc1_score\n"
+        f"FROM c JOIN v{iterations} v ON c.dim = v.dim GROUP BY c.vec_id"
+    )
+
+
 def _semantic_dedup_oracle(
     n_cells: int = 4, iterations: int = 3, min_cosine: float = 0.9
 ) -> str:
@@ -759,6 +810,58 @@ def _semantic_dedup_oracle(
         f"       COALESCE(d.n_lower_dups, CAST(0 AS BIGINT)) AS n_lower_dups,\n"
         f"       COALESCE(d.n_lower_dups, 0) = 0 AS keep\n"
         f"FROM withcell w LEFT JOIN dups d ON w.vec_id = d.vec_id"
+    )
+
+
+def _semantic_dedup_centroid_oracle(
+    n_cells: int = 4, iterations: int = 3, min_cosine: float = 0.9
+) -> str:
+    """``_semantic_dedup_oracle`` with the paper keeper policy replay:
+    the pair loser is the member NEARER its centroid (exact DECIMAL
+    distance from the shared Lloyd layers; ties lose the higher id)."""
+    layers = [
+        """base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+)""",
+        """corpus AS (
+  SELECT vec_id, embedding FROM base
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_concat([embedding[1] + 0.5], embedding[2:]) AS embedding
+  FROM base WHERE vec_id % 10 = 0
+)""",
+    ]
+    layers += _kmeans_lloyd_layers(n_cells, iterations, source="corpus")
+    it = iterations
+    layers.append(
+        f"""withcell AS (
+  SELECT a.vec_id, a.cluster AS cell, a.dist, c.embedding AS v
+  FROM a{it} a JOIN corpus c ON a.vec_id = c.vec_id
+)"""
+    )
+    layers.append(
+        f"""losers AS (
+  SELECT CASE WHEN a.dist < b.dist THEN a.vec_id
+              WHEN b.dist < a.dist THEN b.vec_id
+              ELSE b.vec_id END AS vec_id
+  FROM withcell a JOIN withcell b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {min_cosine}
+),
+dom AS (
+  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dominators
+  FROM losers GROUP BY vec_id
+)"""
+    )
+    body = ",\n".join(layers)
+    return (
+        f"WITH {body}\n"
+        f"SELECT w.vec_id, CAST(w.cell AS BIGINT) AS cell,\n"
+        f"       floor(CAST(w.dist AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dist,\n"
+        f"       COALESCE(d.n_dominators, CAST(0 AS BIGINT)) AS n_dominators,\n"
+        f"       COALESCE(d.n_dominators, 0) = 0 AS keep\n"
+        f"FROM withcell w LEFT JOIN dom d ON w.vec_id = d.vec_id"
     )
 
 
@@ -2051,6 +2154,16 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
         doc="vector near-dup via label-free sign-LSH bucket blocking "
             "(round-2 default; oracle mirrors the seeded hyperplanes bit-exactly)",
     ),
+    "pca_scores": QuerySpec(
+        lambda spark, sf_dir: similarity.pca_power_scores(
+            load_table(spark, sf_dir, "embeddings"), iterations=4
+        ),
+        _pca_power_oracle(4),
+        doc="top-principal-component scores via fixed-iteration power "
+            "method, distributed as X^T(Xv) without materializing the "
+            "covariance; decimal-routed sums + floor rounding make the "
+            "iterative chain hash-verifiable (the kmeans_lloyd recipe)",
+    ),
     "dedup_semantic": QuerySpec(
         lambda spark, sf_dir: dedup.semantic_dedup(
             dedup.with_perturbed_vectors(load_table(spark, sf_dir, "embeddings")),
@@ -2061,6 +2174,17 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "cosine near-dup counts -> lowest-id keeper per pairwise group; "
             "the full chain (quantizer + blocking + decision) is "
             "hash-verified via the shared k-means CTE layers",
+    ),
+    "dedup_semantic_centroid": QuerySpec(
+        lambda spark, sf_dir: dedup.semantic_dedup_centroid(
+            dedup.with_perturbed_vectors(load_table(spark, sf_dir, "embeddings")),
+            n_cells=4, iterations=3, min_cosine=0.9,
+        ),
+        _semantic_dedup_centroid_oracle(4, 3, 0.9),
+        doc="SemDeDup with the paper's keeper policy: within a near-dup "
+            "pair keep the member FARTHEST from its cluster centroid "
+            "(cluster-edge diversity), using the Lloyd assignment's exact "
+            "decimal distance; same hash-verified chain as dedup_semantic",
     ),
     "dedup_clusters": QuerySpec(
         lambda spark, sf_dir: dedup.dedup_decision(
@@ -5196,7 +5320,7 @@ _ROUND6_ORDER = [
     "text_fingerprint", "text_repetition", "text_pii_scrub", "contamination_check",
     "sample_stratified", "domain_mix", "embedding_quantize", "tfidf_topterms",
     "scalar_case_date", "scalar_math_date", "window_analytics", "set_ops",
-    "dedup_semantic", "multimodal_funnel",
+    "dedup_semantic", "multimodal_funnel", "pca_scores", "dedup_semantic_centroid",
     "wordcount", "dedup_incremental", "doc_chunks", "retention_cohorts",
     "text_unigram_logprob", "sample_fixed_n", "scalar_map", "dedup_simhash64_pairs",
     "ann_lsh_topk", "ann_lsh_multiprobe", "dedup_clusters", "range_join",

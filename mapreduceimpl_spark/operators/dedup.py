@@ -1031,6 +1031,78 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_centroid(
+    embeddings: DataFrame,
+    n_cells: int = 4,
+    iterations: int = 3,
+    min_cosine: float = 0.9,
+) -> DataFrame:
+    """``semantic_dedup`` with the SemDeDup paper's keeper policy:
+    within each near-duplicate pair, KEEP the member farthest from its
+    cluster centroid (the paper keeps low-centroid-similarity examples
+    to preserve cluster-edge diversity); ties keep the lower id.  The
+    squared centroid distance is the Lloyd assignment's own ``dist``
+    column — exact DECIMAL, so the comparison is deterministic and the
+    DuckDB oracle replays it bit-for-bit.
+
+    Returns (vec_id, cell, dist, n_dominators, keep): ``dist`` is the
+    rounded squared distance to the final centroid; ``n_dominators``
+    counts same-cell near-dups that beat this vector (farther out, or
+    equal-and-lower-id); keep iff none do.  Same O(sum cell^2)
+    candidate bound as ``semantic_dedup``.
+    """
+    from mapreduceimpl_spark.operators.kmeans import kmeans_lloyd_internals
+
+    assign, _ = kmeans_lloyd_internals(embeddings, k=n_cells, iterations=iterations)
+    src = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).join(assign, "vec_id")  # adds cluster, dist (exact decimal)
+    pairs = embedding_neardup_pairs(
+        src, min_cosine=min_cosine, block_col="cluster", round_digits=6
+    )
+    d = assign.select("vec_id", "dist")
+    scored = pairs.join(
+        d.select(F.col("vec_id").alias("vec_a"), F.col("dist").alias("dist_a")),
+        "vec_a",
+    ).join(
+        d.select(F.col("vec_id").alias("vec_b"), F.col("dist").alias("dist_b")),
+        "vec_b",
+    )
+    # the pair's LOSER: nearer to the centroid loses; exact tie keeps
+    # the lower id (vec_a < vec_b by construction, so b loses the tie)
+    loser = (
+        F.when(F.col("dist_a") < F.col("dist_b"), F.col("vec_a"))
+        .when(F.col("dist_b") < F.col("dist_a"), F.col("vec_b"))
+        .otherwise(F.col("vec_b"))
+    )
+    dominated = (
+        scored.select(loser.alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count("*").cast("long").alias("n_dominators"))
+    )
+    return (
+        src.select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cell"),
+            (F.floor(F.col("dist").cast("double") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "dist"
+            ),
+        )
+        .join(dominated, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "dist",
+            F.coalesce(F.col("n_dominators"), F.lit(0).cast("long")).alias(
+                "n_dominators"
+            ),
+            (F.coalesce(F.col("n_dominators"), F.lit(0).cast("long")) == 0).alias(
+                "keep"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact-substring span dedup (repeated >=L-token runs across documents)
 # ---------------------------------------------------------------------------

@@ -770,3 +770,90 @@ def centroid_similarity(
             ).alias("cosine"),
         )
     )
+
+
+def pca_power_scores(
+    embeddings: DataFrame, iterations: int = 4
+) -> DataFrame:
+    """Top-principal-component scores via fixed-iteration power
+    method — the dimensionality-reduction / drift-scoring primitive,
+    distributed WITHOUT materializing the covariance matrix: each
+    iteration computes C @ v as X^T (X v), two keyed aggregates over
+    the exploded point grid, with the dim-length vector broadcast.
+
+    Deterministic & engine-exact (the ``kmeans_lloyd_fixed`` recipe):
+    init v = all-ones; per-row double products; DECIMAL(38,18)-cast
+    sums so reduce order can't change the value; per-iteration L2
+    normalization via one GLOBAL window over the dim-length aggregate
+    (bounded: |dims| rows, the aggregate-then-global-window rule) and
+    floor-based half-up rounding to 1e-9.  The power method's sign
+    ambiguity is pinned by the deterministic init + iteration count —
+    an oracle replaying the same arithmetic gets the same sign.
+
+    Returns (vec_id, pc1_score): each vector's centered projection on
+    the learned component, rounded to 1e-6.
+
+    Scale: per iteration one broadcast of |dims| doubles + two keyed
+    shuffles (vec_id-sum, dim-sum); lineage is LINEAR in iterations —
+    every intermediate is referenced exactly once (the window-based
+    normalize exists precisely to avoid a second reference to the
+    u-vector), so no exponential replay and no persist needed at
+    realistic iteration counts.
+    """
+    if iterations < 1:
+        raise ValueError(f"pca_power_scores: iterations must be >= 1, got {iterations}")
+
+    def r9(col: F.Column) -> F.Column:
+        return F.floor(col * 1e9 + F.lit(0.5)) / 1e9
+
+    def dsum18(col: F.Column) -> F.Column:
+        return F.sum(col.cast("decimal(38,18)")).cast("double")
+
+    pts = embeddings.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    means = pts.groupBy("dim").agg(
+        (
+            F.floor(
+                (F.sum(F.col("x").cast("decimal(38,12)")).cast("double") / F.count("*"))
+                * 1e9
+                + F.lit(0.5)
+            )
+            / 1e9
+        ).alias("m")
+    )
+    centered = pts.join(F.broadcast(means), "dim").select(
+        "vec_id", "dim", (F.col("x") - F.col("m")).alias("x")
+    )
+
+    v = means.select("dim", F.lit(1.0).alias("v"))
+    w_all = Window.partitionBy()  # bounded: |dims| aggregated rows
+    for _ in range(iterations):
+        s = (
+            centered.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(dsum18(F.col("x") * F.col("v")).alias("s"))
+        )
+        u = (
+            centered.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(dsum18(F.col("x") * F.col("s")).alias("u"))
+        )
+        nrm = F.sqrt(
+            F.sum((F.col("u") * F.col("u")).cast("decimal(38,18)"))
+            .over(w_all)
+            .cast("double")
+        )
+        v = u.select("dim", r9(F.col("u") / nrm).alias("v"))
+
+    return (
+        centered.join(F.broadcast(v), "dim")
+        .groupBy("vec_id")
+        .agg(
+            (F.floor(dsum18(F.col("x") * F.col("v")) * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "pc1_score"
+            )
+        )
+        .select("vec_id", "pc1_score")
+    )

@@ -869,3 +869,49 @@ def test_semantic_candidate_mass_is_intra_cell_not_n_squared(spark, embeddings):
     # with 4 cells, a perfectly balanced split scores ~1/4 of all
     # pairs; accept anything meaningfully below the brute-force bound
     assert 0 < candidate_mass < 0.6 * all_pairs, (candidate_mass, all_pairs, sizes)
+
+
+def test_semantic_dedup_centroid_keeps_farthest(spark):
+    """Paper keeper policy: in a near-dup pair the member NEARER the
+    centroid is dropped (its twin, farther out, preserves cluster-edge
+    diversity) — the opposite vector of a lowest-id policy when the
+    lower id sits nearer the centroid."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimpl_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_centroid,
+    )
+
+    # worked geometry (Lloyd k=2, 2 iterations, init = ids 1 and 2):
+    # the (1, 2) near-dup pair lands in a cell whose final centroid is
+    # id 1's own init position, so id 1 (dist 0) is NEARER than id 2 —
+    # the centroid policy must flip the lowest-id verdict.  Vector 3
+    # shares their cell but its cosine to both is ~0.49, below the
+    # threshold, so it forms no pair.
+    rows = [
+        (1, [1.3, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),    # cosine(1,2)=1.0
+        (3, [0.5, 0.9, 0.0, 0.0]),
+        (10, [-1.0, -1.0, 0.0, 0.0]),
+        (11, [-1.0, -1.1, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cent = {r["vec_id"]: r for r in semantic_dedup_centroid(emb, n_cells=2, iterations=2).collect()}
+    low = {r["vec_id"]: r for r in semantic_dedup(emb, n_cells=2, iterations=2).collect()}
+
+    # exactly one of each near-dup pair survives under both policies
+    assert cent[1]["keep"] != cent[2]["keep"]
+    assert cent[10]["keep"] != cent[11]["keep"]
+    # lowest-id policy keeps 1 and 10
+    assert low[1]["keep"] and not low[2]["keep"]
+    assert low[10]["keep"] and not low[11]["keep"]
+    # centroid policy keeps whichever member is farther out — and in
+    # this geometry that FLIPS both verdicts vs lowest-id
+    for a, b in ((1, 2), (10, 11)):
+        farther = a if cent[a]["dist"] > cent[b]["dist"] else b
+        assert cent[farther]["keep"] and not cent[a + b - farther]["keep"]
+    assert not cent[1]["keep"] and cent[2]["keep"]
+    assert not cent[10]["keep"] and cent[11]["keep"]
+    # the non-duplicate vector survives under both
+    assert cent[3]["keep"] and low[3]["keep"]

@@ -449,3 +449,51 @@ def test_ivf_lloyd_topk_recall_vs_brute_force(embeddings):
     exact_cos = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact.collect()}
     for key in ivf_pairs & exact_pairs:
         assert ivf_cos[key] == exact_cos[key]
+
+
+def test_pca_power_scores_finds_dominant_direction(spark):
+    """A corpus whose variance is overwhelmingly along one axis must
+    get pc1 scores ordered by that axis coordinate (up to the power
+    method's global sign), with the small-noise axis contributing
+    ~nothing."""
+    from mapreduceimpl_spark.operators.similarity import pca_power_scores
+
+    rows = [
+        (i, [float(i - 5), 0.01 * ((i * 7) % 3 - 1), 0.0, 0.0])
+        for i in range(11)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["vec_id"]: r["pc1_score"] for r in pca_power_scores(emb, iterations=6).collect()}
+    assert len(got) == 11
+    scores = [got[i] for i in range(11)]
+    # monotone in the dominant coordinate (either direction)
+    diffs = [b - a for a, b in zip(scores, scores[1:])]
+    assert all(d > 0 for d in diffs) or all(d < 0 for d in diffs)
+    # centered projections sum to ~0
+    assert abs(sum(scores)) < 1e-3
+    # the projection magnitude tracks the dominant axis, not the noise
+    assert max(abs(s) for s in scores) > 4.9
+
+
+def test_pca_power_scores_deterministic_and_validates(spark, embeddings):
+    from mapreduceimpl_spark.operators.similarity import pca_power_scores
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pca_power_scores(embeddings, iterations=0)
+    a = sorted(map(tuple, pca_power_scores(embeddings, iterations=3).collect()))
+    b = sorted(map(tuple, pca_power_scores(embeddings, iterations=3).collect()))
+    assert a == b and len(a) == embeddings.count()
+
+
+def test_pca_power_scores_no_cartesian_single_broadcasts(spark, embeddings):
+    """Plan shape: dim-length vectors ride broadcast joins; no
+    cartesian products, no nested-loop joins, and the final plan's
+    only window is over the bounded dim-length aggregate."""
+    from mapreduceimpl_spark.operators.similarity import pca_power_scores
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(pca_power_scores(embeddings, iterations=2), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
