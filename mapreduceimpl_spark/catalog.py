@@ -154,6 +154,50 @@ _BM25_QUERIES = [
     (2, "window"), (2, "sort"), (2, "fast"),
 ]
 
+_ANN_TOPK_SQL = """WITH e AS (
+             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings
+           ),
+           q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+           scored AS (
+             SELECT query_id, vec_id,
+                    round(list_cosine_similarity(qv, v), 6) AS cosine
+             FROM q CROSS JOIN e
+           )
+           SELECT query_id, vec_id, cosine, rank FROM (
+             SELECT query_id, vec_id, cosine,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+             FROM scored
+           ) WHERE rank <= 5"""
+
+
+def _hybrid_rrf_oracle(k: int = 5, c: int = 60) -> str:
+    """Compose the two proven retrieval oracles (BM25 lexical, brute-
+    force cosine) as CTEs and replay ``retrieval.rrf_fuse``: full outer
+    join on (query, doc), RRF = sum of 1/(c + rank) contributions (the
+    1.0 literal is CAST to DOUBLE — DuckDB parses bare 1.0 as DECIMAL,
+    whose division would diverge from Spark's double arithmetic)."""
+    lex = retrieval.bm25_oracle_sql(_BM25_QUERIES)
+    return f"""WITH lex AS ({lex}),
+sem AS ({_ANN_TOPK_SQL}),
+fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.doc_id, s.vec_id) AS doc_id,
+         l.rank AS lex_rank, s.rank AS sem_rank,
+         COALESCE(CAST(1.0 AS DOUBLE) / ({c} + l.rank), CAST(0.0 AS DOUBLE))
+         + COALESCE(CAST(1.0 AS DOUBLE) / ({c} + s.rank), CAST(0.0 AS DOUBLE)) AS rrf
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.doc_id = s.vec_id
+)
+SELECT query_id, doc_id, rrf, lex_rank, sem_rank, rank FROM (
+  SELECT query_id, doc_id, rrf, lex_rank, sem_rank,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM fused
+) WHERE rank <= {k}"""
+
+
 # near-dup test corpus (mirror dedup.with_mutated_copies)
 _NEARDUP_CORPUS = """
   SELECT doc_id, text, lang, source, n_chars FROM documents
@@ -2219,22 +2263,7 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
     # --- LLM pipeline: similarity search ---
     "ann_topk": QuerySpec(
         _q_ann_topk,
-        """WITH e AS (
-             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             FROM embeddings
-           ),
-           q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-           scored AS (
-             SELECT query_id, vec_id,
-                    round(list_cosine_similarity(qv, v), 6) AS cosine
-             FROM q CROSS JOIN e
-           )
-           SELECT query_id, vec_id, cosine, rank FROM (
-             SELECT query_id, vec_id, cosine,
-                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                            ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
-             FROM scored
-           ) WHERE rank <= 5""",
+        _ANN_TOPK_SQL,
         bench=True,
         doc="brute-force cosine top-k (exact ANN baseline)",
     ),
@@ -3936,6 +3965,26 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "tf/dl tables are the persistable build-once index; "
             "DEFERRED to round 5's window",
     ),
+    "hybrid_search_rrf": QuerySpec(
+        lambda spark, sf_dir: retrieval.rrf_fuse(
+            retrieval.bm25_topk(
+                load_table(spark, sf_dir, "documents"),
+                spark.createDataFrame(_BM25_QUERIES, "query_id long, term string"),
+            ),
+            similarity.brute_force_topk(
+                load_table(spark, sf_dir, "embeddings"),
+                load_table(spark, sf_dir, "embeddings")
+                .filter(F.col("vec_id") < 10)
+                .select(F.col("vec_id").alias("query_id"), "embedding"),
+                k=5, round_digits=6,
+            ),
+        ),
+        _hybrid_rrf_oracle(),
+        doc="hybrid retrieval via reciprocal-rank fusion: BM25 lexical "
+            "top-k + embedding-cosine top-k fused as sum(1/(60+rank)) per "
+            "(query, doc) — rank-only, so the score scales never need "
+            "calibration; oracle composes the two proven retrieval replays",
+    ),
     "triplet_mining": QuerySpec(
         lambda spark, sf_dir: similarity.triplet_mining(
             load_table(spark, sf_dir, "embeddings"),
@@ -5321,6 +5370,7 @@ _ROUND6_ORDER = [
     "sample_stratified", "domain_mix", "embedding_quantize", "tfidf_topterms",
     "scalar_case_date", "scalar_math_date", "window_analytics", "set_ops",
     "dedup_semantic", "multimodal_funnel", "pca_scores", "dedup_semantic_centroid",
+    "hybrid_search_rrf",
     "wordcount", "dedup_incremental", "doc_chunks", "retention_cohorts",
     "text_unigram_logprob", "sample_fixed_n", "scalar_map", "dedup_simhash64_pairs",
     "ann_lsh_topk", "ann_lsh_multiprobe", "dedup_clusters", "range_join",

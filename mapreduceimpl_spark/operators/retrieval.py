@@ -204,3 +204,54 @@ SELECT query_id, rank, doc_id, score FROM (
                                  ORDER BY score DESC, doc_id) AS INT) AS rank
   FROM per_doc
 ) WHERE rank <= {k}"""
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    sem: DataFrame,
+    k: int = 5,
+    c: int = 60,
+    lex_id: str = "doc_id",
+    sem_id: str = "vec_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two ranked
+    retrieval lists — the standard hybrid-search combiner for a
+    lexical (BM25) and a semantic (embedding cosine) ranking: fused
+    score = sum over lists of 1 / (c + rank), c = 60 the canonical
+    constant; documents missing from one list simply contribute
+    nothing for it.
+
+    Inputs carry (query_id, <id>, rank); output is the fused top-``k``
+    per query: (query_id, doc_id, rrf, lex_rank, sem_rank, rank),
+    ranked by (rrf DESC, doc_id) — rank-only fusion, so the two
+    score scales never need calibrating.
+
+    Scale: both inputs are already top-k-per-query (bounded), so the
+    full-outer join and the per-query ranking window touch at most
+    2k rows per query — the expensive work lives in the upstream
+    retrievers, fusion is O(queries x k).
+    """
+    if k < 1 or c < 1:
+        raise ValueError(f"rrf_fuse: need k >= 1 and c >= 1, got k={k} c={c}")
+    l = lex.select(
+        "query_id", F.col(lex_id).alias("doc_id"), F.col("rank").alias("lex_rank")
+    )
+    s = sem.select(
+        "query_id", F.col(sem_id).alias("doc_id"), F.col("rank").alias("sem_rank")
+    )
+    fused = l.join(s, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("sem_rank")), F.lit(0.0))
+        ).alias("rrf"),
+        "lex_rank",
+        "sem_rank",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf", "lex_rank", "sem_rank", "rank")
+    )

@@ -138,3 +138,36 @@ def test_bm25_persisted_index_round_trip(spark, docs):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bm25_tf_rt")
         spark.sql("DROP TABLE IF EXISTS t_bm25_dl_rt")
+
+
+def test_rrf_fuse_hand_case(spark):
+    """RRF arithmetic and edge semantics: a doc in both lists outranks
+    single-list docs with better single ranks; one-list docs carry a
+    NULL rank for the missing side."""
+    from mapreduceimpl_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], ["query_id", "doc_id", "rank"]
+    )
+    sem = spark.createDataFrame(
+        [(0, 10, 2), (0, 12, 1)], ["query_id", "vec_id", "rank"]
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse(lex, sem, k=3).collect()}
+    # doc 10: 1/61 + 1/62; doc 12: 1/61; doc 11: 1/62
+    assert out[10]["rank"] == 1 and out[12]["rank"] == 2 and out[11]["rank"] == 3
+    assert abs(out[10]["rrf"] - (1 / 61 + 1 / 62)) < 1e-12
+    assert out[12]["lex_rank"] is None and out[11]["sem_rank"] is None
+
+
+def test_rrf_fuse_validates_and_ties_break_on_doc_id(spark):
+    import pytest as _pytest
+
+    from mapreduceimpl_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame([(0, 5, 1), (0, 3, 1)], ["query_id", "doc_id", "rank"])
+    sem = spark.createDataFrame([], "query_id long, vec_id long, rank long")
+    with _pytest.raises(ValueError):
+        rrf_fuse(lex, sem, k=0)
+    rows = rrf_fuse(lex, sem, k=2).collect()
+    # equal rrf -> lower doc_id wins the tie
+    assert [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])] == [3, 5]
