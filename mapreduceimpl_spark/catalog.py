@@ -593,6 +593,48 @@ FROM f
 """
 
 
+def _q_semdedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-dedup ingest path as ONE lazy plan: quality+lang
+    corpus filter -> exact-dedup keepers -> join the embedding table
+    on the shared id space -> SemDeDup (Lloyd cells + intra-cell
+    cosine) over the surviving vectors (with the planted perturbed
+    near-dups so the dedup stage has real work) — what a 100 TB
+    pipeline runs between raw crawl and training mix, composed from
+    independently hash-verified stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = (
+        text_analysis.corpus_filter(docs)
+        .filter(F.col("keep"))
+        .select("doc_id")
+        .join(docs, "doc_id")
+    )
+    keepers = dedup.dedup_exact(kept).select(F.col("keep_id").alias("vec_id"))
+    vecs = emb.join(keepers.distinct(), "vec_id")
+    return dedup.semantic_dedup(
+        dedup.with_perturbed_vectors(vecs), n_cells=4, iterations=3, min_cosine=0.9
+    )
+
+
+def _semdedup_funnel_oracle() -> str:
+    """Composition oracle: the corpus-filter + sha256-keeper stage
+    oracles produce the filtered ``base`` corpus, then every semantic-
+    dedup layer (perturbation, Lloyd quantizer, intra-cell pairs) is
+    shared verbatim with ``_semantic_dedup_oracle``."""
+    prefix = [
+        f"""cf AS MATERIALIZED (
+  SELECT doc_id FROM ({_corpus_filter_oracle()}) WHERE keep
+)""",
+        """kept AS (SELECT d.doc_id, d.text FROM documents d JOIN cf USING (doc_id))""",
+        """keepers AS (SELECT MIN(doc_id) AS vec_id FROM kept GROUP BY sha256(text))""",
+        """base AS (
+  SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings e JOIN keepers k ON e.vec_id = k.vec_id
+)""",
+    ]
+    return _semantic_dedup_oracle(4, 3, 0.9, prefix_layers=prefix)
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer -> supplier purchase graph (an edge
     per distinct transacting pair; supplier ids offset so the two key
@@ -807,8 +849,20 @@ v{k} AS (
     )
 
 
+_SEM_PERTURB_SQL = """corpus AS (
+  SELECT vec_id, embedding FROM base
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_concat([embedding[1] + 0.5], embedding[2:]) AS embedding
+  FROM base WHERE vec_id % 10 = 0
+)"""
+
+
 def _semantic_dedup_oracle(
-    n_cells: int = 4, iterations: int = 3, min_cosine: float = 0.9
+    n_cells: int = 4,
+    iterations: int = 3,
+    min_cosine: float = 0.9,
+    prefix_layers: list[str] | None = None,
 ) -> str:
     """Chained-CTE replay of ``dedup.semantic_dedup`` over the
     perturbed corpus (``with_perturbed_vectors`` plants a +0.5-on-dim-0
@@ -816,20 +870,21 @@ def _semantic_dedup_oracle(
     ``_embedding_neardup_oracle`` mirrors): the shared Lloyd layers
     quantize the corpus into cells, then lower-id near-dup counts come
     from an intra-cell self-join on the rounded cosine — candidates
-    only within a cell, O(sum cell^2), never n^2."""
-    layers = [
-        """base AS (
+    only within a cell, O(sum cell^2), never n^2.  ``prefix_layers``
+    overrides the CTEs that produce ``base`` (vec_id, embedding as
+    double list) so compositions (the semdedup funnel) can swap in a
+    filtered corpus while sharing every downstream layer."""
+    layers = list(
+        prefix_layers
+        if prefix_layers is not None
+        else [
+            """base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
   FROM embeddings
 )""",
-        """corpus AS (
-  SELECT vec_id, embedding FROM base
-  UNION ALL
-  SELECT vec_id + 100000 AS vec_id,
-         list_concat([embedding[1] + 0.5], embedding[2:]) AS embedding
-  FROM base WHERE vec_id % 10 = 0
-)""",
-    ]
+        ]
+    )
+    layers.append(_SEM_PERTURB_SQL)
     layers += _kmeans_lloyd_layers(n_cells, iterations, source="corpus")
     it = iterations
     layers.append(
@@ -2229,6 +2284,14 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "pair keep the member FARTHEST from its cluster centroid "
             "(cluster-edge diversity), using the Lloyd assignment's exact "
             "decimal distance; same hash-verified chain as dedup_semantic",
+    ),
+    "semdedup_funnel": QuerySpec(
+        _q_semdedup_funnel,
+        _semdedup_funnel_oracle(),
+        doc="semantic-dedup ingest funnel: corpus_filter -> exact-dedup "
+            "keepers -> embedding join -> SemDeDup over survivors, one "
+            "lazy plan; oracle composes the stage oracles and shares "
+            "every semantic layer with dedup_semantic verbatim",
     ),
     "dedup_clusters": QuerySpec(
         lambda spark, sf_dir: dedup.dedup_decision(
@@ -5370,7 +5433,7 @@ _ROUND6_ORDER = [
     "sample_stratified", "domain_mix", "embedding_quantize", "tfidf_topterms",
     "scalar_case_date", "scalar_math_date", "window_analytics", "set_ops",
     "dedup_semantic", "multimodal_funnel", "pca_scores", "dedup_semantic_centroid",
-    "hybrid_search_rrf",
+    "hybrid_search_rrf", "semdedup_funnel",
     "wordcount", "dedup_incremental", "doc_chunks", "retention_cohorts",
     "text_unigram_logprob", "sample_fixed_n", "scalar_map", "dedup_simhash64_pairs",
     "ann_lsh_topk", "ann_lsh_multiprobe", "dedup_clusters", "range_join",
