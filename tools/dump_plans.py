@@ -630,6 +630,28 @@ ANNOTATED = {
         "Privacy audit: one Exchange on the quasi-identifier tuple; "
         "the violation report is |equivalence classes| rows."
     ),
+    "dedup_semantic": (
+        "SemDeDup (round 6): the Lloyd quantizer's per-iteration "
+        "broadcast (k x dim centroid rows) + two keyed aggregates, then "
+        "ONE equi-join on the cell id for intra-cell cosine pairs — no "
+        "cartesian, candidate mass = sum of cell^2, never corpus^2; the "
+        "keeper decision is a left join onto the bounded dup counts."
+    ),
+    "pca_scores": (
+        "Power-iteration PCA (round 6): per iteration a |dims|-row "
+        "broadcast joins the exploded point grid (X v, vec_id-keyed "
+        "aggregate), then the transpose product (dim-keyed aggregate); "
+        "the normalize is a window over the |dims|-row aggregate "
+        "(aggregate-then-global-window rule) so lineage stays LINEAR in "
+        "iterations — no exponential replay, no persist needed."
+    ),
+    "hybrid_search_rrf": (
+        "RRF hybrid retrieval (round 6): the two retriever subplans are "
+        "the already-audited BM25 (query vocab broadcast onto postings) "
+        "and brute-force cosine (broadcast query batch, corpus never "
+        "shuffles); fusion itself is a full-outer join + window over "
+        "bounded top-k-per-query rows — O(queries x k)."
+    ),
 }
 
 

@@ -460,9 +460,33 @@ def _probe_semantic(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_pca(spark, sf_dir: str):
+    """Power-iteration PCA wall time across the 500 -> 2000-row step:
+    per-iteration work is two keyed aggregates over the exploded
+    (vec_id, dim) grid, so growth should track rows x dims."""
+    from mapreduceimpl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t0 = time.time()
+    n = similarity.pca_power_scores(emb, iterations=4).count()
+    return time.time() - t0, n
+
+
+def _probe_semdedup_funnel(spark, sf_dir: str):
+    """Full semantic-dedup funnel (filter -> exact dedup -> embedding
+    join -> SemDeDup): the composed pipeline's wall clock."""
+    from mapreduceimpl_spark.catalog import _q_semdedup_funnel
+
+    t0 = time.time()
+    n = _q_semdedup_funnel(spark, sf_dir).count()
+    return time.time() - t0, n
+
+
 PROBES = {
     "minhash": _probe_minhash,
     "semantic": _probe_semantic,
+    "pca": _probe_pca,
+    "semdedup_funnel": _probe_semdedup_funnel,
     "prefix_filter": _probe_prefix_filter,
     "inverted_index": _probe_inverted_index,
     "kmv": _probe_kmv,
