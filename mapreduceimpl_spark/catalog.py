@@ -849,6 +849,69 @@ v{k} AS (
     )
 
 
+def _bigram_logprob_sql() -> str:
+    """DuckDB replay of ``text_analysis.bigram_logprob`` (lam=0.7).
+    0.30000000000000004 is repr(1.0 - 0.7): the interpolation weights
+    must be the same doubles in both engines.  Shared by the
+    standalone entry and the CCNet bucketing oracle."""
+    return f"""WITH t AS (
+             SELECT doc_id, {_TOKS} AS toks FROM documents
+           ),
+           tok AS (SELECT unnest(toks) AS token FROM t),
+           uni AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+           tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM uni),
+           pairs AS (
+             SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+             FROM t, unnest(range(1, len(toks))) AS u(i)
+             WHERE len(toks) >= 2
+           ),
+           bi AS (
+             SELECT prev, cur, COUNT(*) AS cnt_pc FROM pairs GROUP BY 1, 2
+           ),
+           scored AS (
+             SELECT p.doc_id,
+                    round(ln(CAST(0.7 AS DOUBLE)
+                             * (CAST(bi.cnt_pc AS DOUBLE)
+                                / CAST(up.cnt AS DOUBLE))
+                           + CAST({1.0 - 0.7!r} AS DOUBLE)
+                             * (CAST(uc.cnt AS DOUBLE)
+                                / CAST(n AS DOUBLE))), 9) AS lp
+             FROM pairs p
+             JOIN bi ON p.prev = bi.prev AND p.cur = bi.cur
+             JOIN uni up ON p.prev = up.token
+             JOIN uni uc ON p.cur = uc.token
+             CROSS JOIN tot
+           )
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                  round(-CAST(SUM(CAST(lp AS DECIMAL(28,9))) AS DOUBLE)
+                        / COUNT(*), 6) AS avg_neg_logprob
+           FROM scored GROUP BY doc_id"""
+
+
+def _lm_quality_oracle() -> str:
+    """CCNet perplexity thirds: wrap the shared bigram replay, join
+    lang, cume_dist over the unique (score, doc_id) key per language,
+    head/middle/tail at exact 1/3 and 2/3 double thresholds."""
+    third, two_thirds = repr(1.0 / 3.0), repr(2.0 / 3.0)
+    return f"""WITH lp AS ({_bigram_logprob_sql()}),
+scored AS (
+  SELECT lp.doc_id, d.lang, lp.avg_neg_logprob
+  FROM lp JOIN documents d ON lp.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, lang, avg_neg_logprob,
+         cume_dist() OVER (PARTITION BY lang
+                           ORDER BY avg_neg_logprob, doc_id) AS cd
+  FROM scored
+)
+SELECT doc_id, lang, avg_neg_logprob,
+       CASE WHEN cd <= CAST('{third}' AS DOUBLE) THEN 'head'
+            WHEN cd <= CAST('{two_thirds}' AS DOUBLE) THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket,
+       NOT (cd > CAST('{two_thirds}' AS DOUBLE)) AS keep
+FROM ranked"""
+
+
 _SEM_PERTURB_SQL = """corpus AS (
   SELECT vec_id, embedding FROM base
   UNION ALL
@@ -3649,44 +3712,21 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
         lambda spark, sf_dir: text_analysis.bigram_logprob(
             load_table(spark, sf_dir, "documents")
         ),
-        # 0.30000000000000004 is repr(1.0 - 0.7): the interpolation
-        # weights must be the same doubles in both engines
-        f"""WITH t AS (
-             SELECT doc_id, {_TOKS} AS toks FROM documents
-           ),
-           tok AS (SELECT unnest(toks) AS token FROM t),
-           uni AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
-           tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM uni),
-           pairs AS (
-             SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
-             FROM t, unnest(range(1, len(toks))) AS u(i)
-             WHERE len(toks) >= 2
-           ),
-           bi AS (
-             SELECT prev, cur, COUNT(*) AS cnt_pc FROM pairs GROUP BY 1, 2
-           ),
-           scored AS (
-             SELECT p.doc_id,
-                    round(ln(CAST(0.7 AS DOUBLE)
-                             * (CAST(bi.cnt_pc AS DOUBLE)
-                                / CAST(up.cnt AS DOUBLE))
-                           + CAST({1.0 - 0.7!r} AS DOUBLE)
-                             * (CAST(uc.cnt AS DOUBLE)
-                                / CAST(n AS DOUBLE))), 9) AS lp
-             FROM pairs p
-             JOIN bi ON p.prev = bi.prev AND p.cur = bi.cur
-             JOIN uni up ON p.prev = up.token
-             JOIN uni uc ON p.cur = uc.token
-             CROSS JOIN tot
-           )
-           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-                  round(-CAST(SUM(CAST(lp AS DECIMAL(28,9))) AS DOUBLE)
-                        / COUNT(*), 6) AS avg_neg_logprob
-           FROM scored GROUP BY doc_id""",
+        _bigram_logprob_sql(),
         doc="interpolated bigram-LM score per doc (lam=0.7 bigram + 0.3 "
             "unigram backoff, corpus-trained): catches scrambled word "
             "order that unigram stats miss; per-pair ln p rounded then "
             "decimal-summed",
+    ),
+    "lm_quality_buckets": QuerySpec(
+        lambda spark, sf_dir: text_analysis.lm_quality_buckets(
+            load_table(spark, sf_dir, "documents")
+        ),
+        _lm_quality_oracle(),
+        doc="CCNet-style perplexity bucketing: corpus-trained bigram-LM "
+            "score -> per-language head/middle/tail thirds by exact "
+            "rank (cume_dist over unique keys), keep = head+middle; "
+            "oracle wraps the shared bigram replay in the same window",
     ),
     "collocations_pmi": QuerySpec(
         lambda spark, sf_dir: text_analysis.collocations_pmi(
@@ -5433,7 +5473,7 @@ _ROUND6_ORDER = [
     "sample_stratified", "domain_mix", "embedding_quantize", "tfidf_topterms",
     "scalar_case_date", "scalar_math_date", "window_analytics", "set_ops",
     "dedup_semantic", "multimodal_funnel", "pca_scores", "dedup_semantic_centroid",
-    "hybrid_search_rrf", "semdedup_funnel",
+    "hybrid_search_rrf", "semdedup_funnel", "lm_quality_buckets",
     "wordcount", "dedup_incremental", "doc_chunks", "retention_cohorts",
     "text_unigram_logprob", "sample_fixed_n", "scalar_map", "dedup_simhash64_pairs",
     "ann_lsh_topk", "ann_lsh_multiprobe", "dedup_clusters", "range_join",

@@ -1403,3 +1403,44 @@ def bpe_apply(
         F.size(toks).cast("long").alias("n_symbols"),
         F.size(merged).cast("long").alias("n_merged"),
     )
+
+
+def lm_quality_buckets(docs: DataFrame, lam: float = 0.7) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus-trained interpolated bigram LM
+    (``bigram_logprob``), then split each LANGUAGE into head / middle
+    / tail thirds by score — the standard way crawl corpora are
+    partitioned before choosing how much of each quality band to keep
+    (head = most-fluent third, tail = candidate discard).
+
+    The thirds are rank-based (``cume_dist`` over (score, doc_id) —
+    unique keys, so the distribution is exact rationals and the
+    bucketing is engine-portable bit-for-bit), per the
+    ``quality_percentile_filter`` determinism rule; ``keep`` follows
+    the common head+middle policy.
+
+    Docs with fewer than two tokens have no bigram score and are
+    absent, as in the scorer.
+
+    Scale: the scorer's joins are the dominant cost; the bucketing
+    adds one per-language window sort over the (doc, score) aggregate
+    — at 100 TB with few languages swap it for per-lang
+    ``percentile_approx`` cutoffs broadcast back (the
+    ``customer_rfm`` pattern) and keep this exact form as the oracle.
+    """
+    scored = bigram_logprob(docs, lam=lam).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy("avg_neg_logprob", "doc_id")
+    third, two_thirds = 1.0 / 3.0, 2.0 / 3.0
+    cd = F.cume_dist().over(w)
+    bucket = (
+        F.when(cd <= third, "head").when(cd <= two_thirds, "middle").otherwise("tail")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "avg_neg_logprob",
+        bucket.alias("ppl_bucket"),
+        (bucket != "tail").alias("keep"),
+    )

@@ -856,3 +856,25 @@ def test_bpe_auto_persist_engages_and_bounds_lineage(spark):
     for c in caches:
         c.unpersist()
     assert not any(c.storageLevel.useMemory for c in caches)
+
+
+def test_lm_quality_buckets_thirds_and_policy(spark):
+    """Head/middle/tail are per-language thirds by score rank; keep
+    drops exactly the tail; docs without a bigram score are absent."""
+    from mapreduceimpl_spark.operators.text_analysis import lm_quality_buckets
+
+    rows = [(i, "en", " ".join(["the quick fox"] * (1 + i % 3)) + f" w{i}") for i in range(9)]
+    rows.append((99, "en", "solo"))  # 1 token -> no bigram -> absent
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = lm_quality_buckets(docs).collect()
+    assert {r["doc_id"] for r in out} == set(range(9))
+    buckets = {}
+    for r in out:
+        buckets.setdefault(r["ppl_bucket"], []).append(r)
+    assert {len(buckets["head"]), len(buckets["middle"]), len(buckets["tail"])} == {3}
+    assert all(r["keep"] for r in buckets["head"] + buckets["middle"])
+    assert not any(r["keep"] for r in buckets["tail"])
+    # ranking is by score: every head score <= every tail score
+    assert max(r["avg_neg_logprob"] for r in buckets["head"]) <= min(
+        r["avg_neg_logprob"] for r in buckets["tail"]
+    )
