@@ -175,6 +175,8 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
         "revenue_share",       # 1-row threshold (Q11)
         "heavy_hitters",       # 1-row token total
         "text_bigram_logprob", # 1-row token total
+        "lm_quality_buckets",  # same 1-row token total via the shared
+                               # bigram scorer
         "collocations_pmi",    # 1-row pair + token totals
         "revenue_pareto",      # 1-row revenue total
         "customer_rfm",        # 1-row reference date
