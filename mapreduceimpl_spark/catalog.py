@@ -15,8 +15,10 @@ Round 6 leads with the 14-entry round-5 deferral backlog (positions
 1-14), then every oracle-backed entry whose newest driver row dates
 from r1/r2 (positions 15-36), then the stalest r3 greens — encoding
 the max-age policy (no oracle-backed entry's newest driver row older
-than 4 completed rounds; tests/test_catalog_contract.py enforces it
-against the live CORRECTNESS files).  Any NEW entry added this
+than 5 completed rounds — the sustainable cycle at ~50 slots/round
+for a growing ~195-entry catalog; tests/test_catalog_contract.py
+enforces it against the live CORRECTNESS files, and round 6's window
+is packed tighter than required: nothing outside it is older than r3).  Any NEW entry added this
 round that doesn't fit the window goes into
 ``DEFERRED_TO_NEXT_ROUND``; tests/test_catalog_contract.py enforces
 both directions and tools/rotation_report.py shows the live state.  The bench set
