@@ -174,6 +174,106 @@ _ANN_TOPK_SQL = """WITH e AS (
            ) WHERE rank <= 5"""
 
 
+def _in_batch_negatives_oracle(n_batches: int = 16) -> str:
+    """Replay of ``similarity.in_batch_negatives``: the md5-bucket
+    batch id uses the repo's standard CAST('0x'||substr(md5, 1, 8))
+    idiom (proven parity with Spark's conv(...,16,10))."""
+    b = (
+        "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) "
+        f"% {n_batches}"
+    )
+    return f"""WITH e AS (
+  SELECT {b} AS batch, vec_id, CAST(label AS BIGINT) AS label
+  FROM embeddings
+)
+SELECT a.batch, a.vec_id AS anchor_id, n.vec_id AS negative_id
+FROM e a JOIN e n
+  ON a.batch = n.batch AND a.vec_id <> n.vec_id AND a.label <> n.label"""
+
+
+def _retrieval_metrics_oracle(k: int = 5) -> str:
+    """Replay of ``retrieval.retrieval_metrics`` over the label-judged
+    leave-one-out ANN run: DCG terms 1.0/(ln(rank+1)/ln 2) rounded to
+    1e-9 then decimal-summed; ideal-DCG constants are the SAME
+    Python-computed prefix sums the Spark side embeds, injected as
+    repr literals, so the two sides cannot drift."""
+    import math as _math
+
+    prefix = [0.0]
+    for i in range(1, k + 1):
+        prefix.append(prefix[-1] + round(1.0 / _math.log2(i + 1.0), 9))
+    idcg_case = " ".join(
+        f"WHEN {i} THEN CAST('{prefix[i]!r}' AS DOUBLE)" for i in range(1, k + 1)
+    )
+    return f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         CAST(label AS BIGINT) AS label
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, vec_id,
+         round(list_cosine_similarity(qv, v), 6) AS cosine
+  FROM q CROSS JOIN e WHERE q.query_id <> e.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+),
+rels AS (
+  SELECT q.query_id, e.vec_id AS doc_id
+  FROM q JOIN e ON q.qlabel = e.label AND e.vec_id <> q.query_id
+),
+counts AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rels GROUP BY query_id
+),
+hits AS (
+  SELECT r.query_id, r.rank
+  FROM ranked r JOIN rels ON r.query_id = rels.query_id AND r.vec_id = rels.doc_id
+  WHERE r.rank <= {k}
+),
+perq AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         MIN(rank) AS first_rank,
+         CAST(SUM(CAST(round(CAST(1.0 AS DOUBLE)
+                             / (ln(CAST(rank AS DOUBLE) + 1.0)
+                                / ln(CAST(2.0 AS DOUBLE))), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS dcg
+  FROM hits GROUP BY query_id
+)
+SELECT c.query_id, c.n_rel,
+       COALESCE(p.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+       round(COALESCE(p.n_hits, 0) / CAST(c.n_rel AS DOUBLE), 6) AS recall_at_k,
+       COALESCE(CAST(1.0 AS DOUBLE) / p.first_rank, CAST(0.0 AS DOUBLE)) AS mrr,
+       round(COALESCE(p.dcg, CAST(0.0 AS DOUBLE))
+             / (CASE LEAST(c.n_rel, {k}) {idcg_case} END), 6) AS ndcg_at_k
+FROM counts c LEFT JOIN perq p ON c.query_id = p.query_id"""
+
+
+def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ranked = similarity.brute_force_topk(
+        emb, queries, k=5, round_digits=6, exclude_self=True
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    rel_pairs = q.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "label"),
+        F.col("qlabel") == F.col("label"),
+    ).filter(F.col("doc_id") != F.col("query_id"))
+    counts = rel_pairs.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_rel")
+    )
+    rels = rel_pairs.select("query_id", "doc_id").join(counts, "query_id")
+    return retrieval.retrieval_metrics(ranked, rels, k=5)
+
+
 def _hybrid_rrf_oracle(k: int = 5, c: int = 60) -> str:
     """Compose the two proven retrieval oracles (BM25 lexical, brute-
     force cosine) as CTEs and replay ``retrieval.rrf_fuse``: full outer
@@ -4070,6 +4170,24 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "tf/dl tables are the persistable build-once index; "
             "DEFERRED to round 5's window",
     ),
+    "in_batch_negatives": QuerySpec(
+        lambda spark, sf_dir: similarity.in_batch_negatives(
+            load_table(spark, sf_dir, "embeddings"), n_batches=16
+        ),
+        _in_batch_negatives_oracle(16),
+        doc="CLIP/DPR-style in-batch negative pairs: md5-bucketed "
+            "deterministic batches, label-aware filtering of false "
+            "negatives; pair work is O(sum batch^2) — the training "
+            "loader's own batch-size knob, never corpus^2",
+    ),
+    "retrieval_metrics": QuerySpec(
+        _q_retrieval_metrics,
+        _retrieval_metrics_oracle(5),
+        doc="retrieval evaluation: recall@5, MRR, nDCG@5 of the "
+            "leave-one-out ANN run against label-based judgments; "
+            "rounded-then-decimal-summed DCG terms, idcg constants "
+            "shared between engines as repr literals",
+    ),
     "hybrid_search_rrf": QuerySpec(
         lambda spark, sf_dir: retrieval.rrf_fuse(
             retrieval.bm25_topk(
@@ -5476,6 +5594,7 @@ _ROUND6_ORDER = [
     "scalar_case_date", "scalar_math_date", "window_analytics", "set_ops",
     "dedup_semantic", "multimodal_funnel", "pca_scores", "dedup_semantic_centroid",
     "hybrid_search_rrf", "semdedup_funnel", "lm_quality_buckets",
+    "in_batch_negatives", "retrieval_metrics",
     "wordcount", "dedup_incremental", "doc_chunks", "retention_cohorts",
     "text_unigram_logprob", "sample_fixed_n", "scalar_map", "dedup_simhash64_pairs",
     "ann_lsh_topk", "ann_lsh_multiprobe", "dedup_clusters", "range_join",

@@ -255,3 +255,83 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rrf", "lex_rank", "sem_rank", "rank")
     )
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    rels: DataFrame,
+    k: int = 5,
+    ranked_id: str = "vec_id",
+) -> DataFrame:
+    """Ranking-quality metrics per query — recall@k, MRR, nDCG@k —
+    the evaluation half of a retrieval stack (what you compute after
+    ``bm25_topk``/``brute_force_topk``/``rrf_fuse`` against a
+    relevance-judgment table).
+
+    ``ranked``: (query_id, <id>, rank) top-k lists; ``rels``:
+    (query_id, doc_id, n_rel) — the judged-relevant pairs plus each
+    query's TOTAL relevant count (recall's denominator, which the
+    top-k list alone cannot know).
+
+    Determinism: binary gains, so DCG terms are 1/log2(rank+1) —
+    each term rounded to 1e-9 then decimal-summed (libm-ulp-free, the
+    ``text_token_entropy`` recipe); ideal DCG sums the first
+    min(n_rel, k) terms the same way; ndcg/recall round to 1e-6.
+    MRR is an exact rational (1/first-hit-rank).
+
+    Scale: one equi-join of the bounded top-k lists against the
+    judgment table, then a per-query aggregate — O(queries x k).
+    """
+    if k < 1:
+        raise ValueError(f"retrieval_metrics: k must be >= 1, got {k}")
+
+    def log2_term(rank_col: F.Column) -> F.Column:
+        return F.round(
+            F.lit(1.0) / F.log(2.0, rank_col.cast("double") + F.lit(1.0)),
+            9,
+        )
+
+    hits = (
+        ranked.filter(F.col("rank") <= k)
+        .select("query_id", F.col(ranked_id).alias("doc_id"), "rank")
+        .join(rels.select("query_id", "doc_id"), ["query_id", "doc_id"])
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.min("rank").alias("first_rank"),
+        F.sum(log2_term(F.col("rank")).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("dcg"),
+    )
+    # ideal DCG depends only on min(n_rel, k): a bounded k-case expression
+    idcg_prefix = [0.0]
+    for i in range(1, k + 1):
+        import math
+
+        idcg_prefix.append(
+            idcg_prefix[-1] + round(1.0 / math.log2(i + 1.0), 9)
+        )
+    n_eff = F.least(F.col("n_rel"), F.lit(k))
+    idcg = F.element_at(
+        F.array(*[F.lit(v) for v in idcg_prefix]), (n_eff + 1).cast("int")
+    )
+    qstats = rels.select("query_id", "n_rel").distinct()
+    return (
+        qstats.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_rel").cast("long").alias("n_rel"),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_rel").cast("double"),
+                6,
+            ).alias("recall_at_k"),
+            F.coalesce(
+                F.lit(1.0) / F.col("first_rank").cast("double"), F.lit(0.0)
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / idcg, 6
+            ).alias("ndcg_at_k"),
+        )
+    )

@@ -857,3 +857,44 @@ def pca_power_scores(
         )
         .select("vec_id", "pc1_score")
     )
+
+
+def in_batch_negatives(
+    embeddings: DataFrame, n_batches: int = 16
+) -> DataFrame:
+    """Contrastive-training negative pairs via IN-BATCH sampling (the
+    CLIP/DPR construction): anchors are hashed into ``n_batches``
+    deterministic batches, and within a batch every OTHER anchor with
+    a DIFFERENT label is a negative — label-aware filtering removes
+    the false negatives naive in-batch sampling admits.
+
+    Deterministic: the batch id is an md5-derived bucket of the
+    anchor id (the repo's seeded-uniform machinery), so the pair set
+    is a pure function of the corpus.  Output: (batch, anchor_id,
+    negative_id), both directions (a is a negative for b AND b for a
+    — matching the symmetric InfoNCE loss).
+
+    Scale: one shuffle on the batch id; pair work is O(sum batch^2)
+    with batch size ~n/n_batches — the SAME knob a training loader
+    has (its batch size), never corpus^2.  Set ``n_batches`` ~
+    corpus/batch_size.
+    """
+    if n_batches < 1:
+        raise ValueError(f"in_batch_negatives: n_batches must be >= 1, got {n_batches}")
+    b = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_batches
+    )
+    e = embeddings.select(b.alias("batch"), "vec_id", "label")
+    a, n = e.alias("a"), e.alias("n")
+    return a.join(
+        n,
+        (F.col("a.batch") == F.col("n.batch"))
+        & (F.col("a.vec_id") != F.col("n.vec_id"))
+        & (F.col("a.label") != F.col("n.label")),
+    ).select(
+        F.col("a.batch").alias("batch"),
+        F.col("a.vec_id").alias("anchor_id"),
+        F.col("n.vec_id").alias("negative_id"),
+    )

@@ -185,6 +185,8 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
         "customer_rfm",        # 1-row reference date
         "knn_classify",        # broadcast query batch vs corpus scan
         "ann_topk",            # broadcast query batch vs corpus scan
+        "retrieval_metrics",   # ann_topk's broadcast query batch feeds
+                               # the evaluated ranked lists
         "hybrid_search_rrf",   # composes ann_topk's broadcast query batch
                                # + bm25's 1-row corpus stats (both above)
         "triplet_mining",      # broadcast anchor batch vs corpus scan

@@ -171,3 +171,30 @@ def test_rrf_fuse_validates_and_ties_break_on_doc_id(spark):
     rows = rrf_fuse(lex, sem, k=2).collect()
     # equal rrf -> lower doc_id wins the tie
     assert [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])] == [3, 5]
+
+
+def test_retrieval_metrics_hand_case(spark):
+    """Worked example: query 0 has 3 relevant docs; the ranked list
+    hits two of them at ranks 1 and 3.  recall@5 = 2/3, MRR = 1,
+    nDCG = (1 + 1/log2(4)) / (1 + 1/log2(3) + 1/log2(4)).  Query 1
+    (1 relevant, no hits) zeroes every metric."""
+    import math
+
+    from mapreduceimpl_spark.operators.retrieval import retrieval_metrics
+
+    ranked = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1)],
+        ["query_id", "vec_id", "rank"],
+    )
+    rels = spark.createDataFrame(
+        [(0, 10, 3), (0, 12, 3), (0, 99, 3), (1, 98, 1)],
+        ["query_id", "doc_id", "n_rel"],
+    )
+    out = {r["query_id"]: r for r in retrieval_metrics(ranked, rels, k=5).collect()}
+    assert out[0]["n_hits"] == 2 and out[0]["mrr"] == 1.0
+    assert abs(out[0]["recall_at_k"] - round(2 / 3, 6)) < 1e-12
+    dcg = round(1 / math.log2(2), 9) + round(1 / math.log2(4), 9)
+    idcg = sum(round(1 / math.log2(i + 1), 9) for i in (1, 2, 3))
+    assert abs(out[0]["ndcg_at_k"] - round(dcg / idcg, 6)) < 1e-9
+    assert out[1]["n_hits"] == 0 and out[1]["mrr"] == 0.0
+    assert out[1]["recall_at_k"] == 0.0 and out[1]["ndcg_at_k"] == 0.0

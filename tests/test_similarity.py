@@ -497,3 +497,23 @@ def test_pca_power_scores_no_cartesian_single_broadcasts(spark, embeddings):
     plan = explain_str(pca_power_scores(embeddings, iterations=2), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_in_batch_negatives_label_aware_and_symmetric(spark):
+    from mapreduceimpl_spark.operators.similarity import in_batch_negatives
+
+    import pytest as _pytest
+
+    rows = [(i, [float(i)], i % 3) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    with _pytest.raises(ValueError):
+        in_batch_negatives(emb, n_batches=0)
+    out = in_batch_negatives(emb, n_batches=4).collect()
+    labels = {r[0]: r[2] for r in rows}
+    pairs = {(r["anchor_id"], r["negative_id"]) for r in out}
+    assert len(pairs) == len(out) > 0
+    for a, n in pairs:
+        # never a false negative (same label), never self
+        assert labels[a] != labels[n] and a != n
+        # symmetric: b is a negative for a iff a is one for b
+        assert (n, a) in pairs
