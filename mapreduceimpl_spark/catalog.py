@@ -4170,6 +4170,34 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "tf/dl tables are the persistable build-once index; "
             "DEFERRED to round 5's window",
     ),
+    "token_budget_mix": QuerySpec(
+        lambda spark, sf_dir: sampling.token_budget_mix(
+            load_table(spark, sf_dir, "documents"),
+            {"en": 4000, "de": 2500, "fr": 1500},
+        ),
+        """WITH scored AS (
+             SELECT doc_id AS key, lang AS stratum,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    md5(CAST(doc_id AS VARCHAR)) AS h,
+                    CAST(CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 2500
+                         ELSE 1500 END AS BIGINT) AS budget
+             FROM documents WHERE lang IN ('en', 'de', 'fr')
+           ),
+           cum AS (
+             SELECT key, stratum, n_tokens,
+                    CAST(SUM(n_tokens) OVER (PARTITION BY stratum
+                                             ORDER BY h, key) AS BIGINT)
+                      AS cum_tokens,
+                    budget
+             FROM scored
+           )
+           SELECT key, stratum, n_tokens, cum_tokens
+           FROM cum WHERE cum_tokens - n_tokens < budget""",
+        doc="training-mix assembly to per-language TOKEN budgets: docs "
+            "taken in md5-hash order until each budget is crossed "
+            "(greedy prefix, crossing doc included); one per-stratum "
+            "window sort, exact BIGINT running totals",
+    ),
     "in_batch_negatives": QuerySpec(
         lambda spark, sf_dir: similarity.in_batch_negatives(
             load_table(spark, sf_dir, "embeddings"), n_batches=16
@@ -5594,7 +5622,7 @@ _ROUND6_ORDER = [
     "scalar_case_date", "scalar_math_date", "window_analytics", "set_ops",
     "dedup_semantic", "multimodal_funnel", "pca_scores", "dedup_semantic_centroid",
     "hybrid_search_rrf", "semdedup_funnel", "lm_quality_buckets",
-    "in_batch_negatives", "retrieval_metrics",
+    "in_batch_negatives", "retrieval_metrics", "token_budget_mix",
     "wordcount", "dedup_incremental", "doc_chunks", "retention_cohorts",
     "text_unigram_logprob", "sample_fixed_n", "scalar_map", "dedup_simhash64_pairs",
     "ann_lsh_topk", "ann_lsh_multiprobe", "dedup_clusters", "range_join",

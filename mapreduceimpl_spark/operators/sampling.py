@@ -513,3 +513,60 @@ def bootstrap_se(
         F.round(F.col("s1") / F.col("n_boot"), 6).alias("boot_mean"),
         F.round(se, 6).alias("boot_se"),
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assemble a training mix to a TOKEN budget per stratum — the
+    final step before tokenization in a pretraining pipeline: within
+    each stratum, documents are taken in deterministic md5-hash order
+    until the stratum's token budget is exhausted (the first document
+    that CROSSES the budget is still taken, so every non-empty
+    stratum with a positive budget emits at least one doc and the
+    realized total overshoots by at most one document — the standard
+    greedy-prefix rule).
+
+    ``budgets`` maps stratum -> whitespace-token budget; strata not
+    listed are dropped.  Output: (key, stratum, n_tokens, cum_tokens)
+    for every selected document.
+
+    Determinism: the order is (md5(key), key) — rerun-stable and
+    engine-portable; the running sum is an exact BIGINT.
+
+    Scale: one window sort per stratum over (hash, key) — the same
+    per-stratum sort ``sample_fixed_n`` pays; at 100 TB shard each
+    stratum first (``epoch_shuffle_sharded``'s salt trick) so no
+    single partition sorts a whole language.
+    """
+    from pyspark.sql import Window
+
+    if not budgets:
+        raise ValueError("token_budget_mix: budgets must be non-empty")
+    if any(b < 0 for b in budgets.values()):
+        raise ValueError(f"token_budget_mix: budgets must be >= 0, got {budgets}")
+    from mapreduceimpl_spark.functions import tokens
+
+    b_expr = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    scored = df.filter(F.col(strata_col).isin(*budgets.keys())).select(
+        F.col(key_col).alias("key"),
+        F.col(strata_col).alias("stratum"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        F.md5(F.col(key_col).cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("stratum").orderBy("h", "key")
+    cum = F.sum("n_tokens").over(w)
+    return (
+        scored.withColumn("cum_tokens", cum.cast("long"))
+        .withColumn("budget", F.element_at(b_expr, F.col("stratum")))
+        # keep while the PREVIOUS cumulative total was under budget:
+        # the crossing doc is included, everything after is cut
+        .filter((F.col("cum_tokens") - F.col("n_tokens")) < F.col("budget"))
+        .select("key", "stratum", "n_tokens", "cum_tokens")
+    )
