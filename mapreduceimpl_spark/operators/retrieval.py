@@ -282,6 +282,8 @@ def retrieval_metrics(
     Scale: one equi-join of the bounded top-k lists against the
     judgment table, then a per-query aggregate — O(queries x k).
     """
+    import math
+
     if k < 1:
         raise ValueError(f"retrieval_metrics: k must be >= 1, got {k}")
 
@@ -306,8 +308,6 @@ def retrieval_metrics(
     # ideal DCG depends only on min(n_rel, k): a bounded k-case expression
     idcg_prefix = [0.0]
     for i in range(1, k + 1):
-        import math
-
         idcg_prefix.append(
             idcg_prefix[-1] + round(1.0 / math.log2(i + 1.0), 9)
         )

@@ -140,6 +140,9 @@ def write_tar_shards(
     os.makedirs(out_dir, exist_ok=True)
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # re-create on the executor too: the driver-side makedirs above
+        # only covers single-machine filesystems
+        os.makedirs(out_dir, exist_ok=True)
         shard_id = int(pdf[shard_col].iloc[0])
         path = os.path.join(out_dir, f"shard-{shard_id:05d}.tar")
         pdf = pdf.sort_values([key_col, ext_col], ignore_index=True)
