@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from mapreduceimpl_spark.functions import dec_sum as _fn_dec_sum
 from mapreduceimpl_spark.functions import skew
+from mapreduceimpl_spark.operators import classifier as classifier_ops
 from mapreduceimpl_spark.operators import dedup, graph, kmeans, multimodal, packing, relational
 from mapreduceimpl_spark.operators import retrieval, sketches
 from mapreduceimpl_spark.operators import sampling, similarity, text_analysis, timeseries, udf_surface, wordcount
@@ -830,6 +831,80 @@ def _kmeans_lloyd_oracle(k: int = 4, iterations: int = 3) -> str:
         f"SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, "
         f"floor(CAST(dist AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dist "
         f"FROM a{iterations}"
+    )
+
+
+def _logreg_layers(iterations: int = 3, lr: float = 0.5) -> list[str]:
+    """CTE layers replaying ``classifier._logreg_weight_frames``: the
+    engine-exact feature array, the exploded (doc, dim) grid, zero
+    init, then one (window-z -> sigmoid -> gradient -> update) layer
+    per GD iteration with the identical decimal-routed sums and
+    floor-based half-up rounding.  ``w{iterations}`` is the final
+    weight relation."""
+    sw = ", ".join(f"'{w}'" for w in text_analysis.STOPWORDS)
+    layers = [
+        f"""feats AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         [1.0,
+          CAST(len({_TOKS}) AS DOUBLE) / 100.0,
+          CAST(length(text) - (len({_TOKS}) - 1) AS DOUBLE)
+            / CAST(len({_TOKS}) AS DOUBLE),
+          CAST(len(list_filter({_TOKS},
+               t -> list_contains([{sw}], t))) AS DOUBLE)
+            / CAST(len({_TOKS}) AS DOUBLE),
+          CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+            / CAST(len({_TOKS}) AS DOUBLE)] AS fs
+  FROM documents
+)""",
+        """lpts AS MATERIALIZED (
+  SELECT doc_id, y, t.i - 1 AS dim, CAST(fs[t.i] AS DOUBLE) AS x
+  FROM feats, unnest(generate_series(1, len(fs))) AS t(i)
+)""",
+        """w0 AS (SELECT DISTINCT dim, 0.0 AS w FROM lpts)""",
+    ]
+    for i in range(1, iterations + 1):
+        layers.append(
+            f"""g{i} AS (
+  SELECT dim, MIN(w) AS w_old,
+         CAST(SUM(CAST((p - y) * x AS DECIMAL(38,18))) AS DOUBLE) AS g,
+         COUNT(*) AS n
+  FROM (SELECT dim, x, y, w,
+               floor((1.0 / (1.0 + exp(-z))) * 1e9 + 0.5) / 1e9 AS p
+        FROM (SELECT l.dim, l.x, l.y, w.w, l.doc_id,
+                     CAST(SUM(CAST(l.x * w.w AS DECIMAL(38,18)))
+                          OVER (PARTITION BY l.doc_id) AS DOUBLE) AS z
+              FROM lpts l JOIN w{i - 1} w USING (dim)))
+  GROUP BY dim
+),
+w{i} AS (
+  SELECT dim, floor((w_old - {lr!r} * g / n) * 1e9 + 0.5) / 1e9 AS w
+  FROM g{i}
+)"""
+        )
+    return layers
+
+
+def _logreg_scores_oracle(iterations: int = 3, lr: float = 0.5) -> str:
+    body = ",\n".join(_logreg_layers(iterations, lr))
+    return (
+        f"WITH {body}\n"
+        f"""SELECT doc_id, CAST(y AS BIGINT) AS y,
+       floor((floor((1.0 / (1.0 + exp(-z))) * 1e9 + 0.5) / 1e9) * 1e6 + 0.5)
+         / 1e6 AS score,
+       (floor((1.0 / (1.0 + exp(-z))) * 1e9 + 0.5) / 1e9) >= 0.5 AS pred
+FROM (SELECT l.doc_id, MIN(l.y) AS y,
+             CAST(SUM(CAST(l.x * w.w AS DECIMAL(38,18))) AS DOUBLE) AS z
+      FROM lpts l JOIN w{iterations} w USING (dim)
+      GROUP BY l.doc_id)"""
+    )
+
+
+def _logreg_weights_oracle(iterations: int = 3, lr: float = 0.5) -> str:
+    body = ",\n".join(_logreg_layers(iterations, lr))
+    return (
+        f"WITH {body}\n"
+        f"SELECT CAST(dim AS BIGINT) AS dim, w FROM w{iterations}"
     )
 
 
@@ -2134,7 +2209,9 @@ FROM sess GROUP BY user_id, sid
 # Round 6 start: EMPTY — all 14 round-5 deferrals were rotated into
 # window head positions 1-14 (see _ROUND6_ORDER).  Any entry added
 # this round that doesn't fit the window goes here.
-DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset()
+DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
+    {"quality_classifier", "quality_classifier_weights"}
+)
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
 # this position in SPECS get no row); slot WINDOW+1 is kept low-stakes.
@@ -5598,6 +5675,28 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "via array_sort over (ts, event_id, type) structs (unique key "
             "-> total order), ONE user_id Exchange",
     ),
+    "quality_classifier": QuerySpec(
+        lambda spark, sf_dir: classifier_ops.logreg_train_scores(
+            load_table(spark, sf_dir, "documents"), iterations=3, lr=0.5
+        ),
+        _logreg_scores_oracle(3, 0.5),
+        doc="trainable corpus-quality classifier (fastText/DCLM-style "
+            "filter): fixed-iteration batch-GD logistic regression on "
+            "engine-exact text features (label = lang=='en'), scored "
+            "over every doc — ONE lazy plan, window-based z keeps the "
+            "lineage LINEAR in iterations; hash-verified via a "
+            "chained-CTE replay of all 3 gradient steps",
+    ),
+    "quality_classifier_weights": QuerySpec(
+        lambda spark, sf_dir: classifier_ops.logreg_weights(
+            load_table(spark, sf_dir, "documents"), iterations=3, lr=0.5
+        ),
+        _logreg_weights_oracle(3, 0.5),
+        doc="the learned weight vector of quality_classifier (|dims| "
+            "rows: bias, tokens/100, mean token length, stopword ratio, "
+            "diversity) — the broadcastable model artifact a 100 TB "
+            "scoring pass ships to executors",
+    ),
 }
 
 
@@ -5661,6 +5760,10 @@ _ROUND6_ORDER = [
     "events_funnel", "window_rank", "sort_limit", "scalar_string",
     "json_extract", "null_handling", "subquery_corr", "array_agg",
     "percentile", "pivot", "text_bpe_tokens", "events_tumbling",
+    # round-6 late additions: PAST the window, in DEFERRED_TO_NEXT_ROUND,
+    # locally oracle-verified at both SFs (check_oracle) — must rotate
+    # into the window head next round
+    "quality_classifier", "quality_classifier_weights",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -1,0 +1,182 @@
+"""Trainable corpus-quality classifier: batch-gradient-descent
+logistic regression, distributed as ONE lazy DataFrame plan.
+
+The modern pretrain-data pipeline scores every document with a small
+supervised classifier (the fastText-style quality filter popularized
+by GPT-3's curation and the DCLM baseline) and keeps the high-scoring
+fraction.  This module implements the training loop itself on Spark —
+the same fixed-iteration, engine-exact construction as
+``kmeans.kmeans_lloyd_fixed``, so the WHOLE chain (feature extraction
+-> N gradient steps -> per-doc scores) is value-verifiable against a
+chained-CTE DuckDB replay.
+
+Construction (mirrors the reference's unfinished iterative-UDF sketch
+the way ``kmeans.py`` does — reference `kmeans.go:14-25` is the only
+iterative-ML surface the reference exposes):
+
+- features: a fixed-length ARRAY<DOUBLE> of engine-exact per-doc
+  statistics (bias, token count, mean token length, stopword ratio,
+  type/token diversity) — every term an exact integer ratio, so both
+  engines produce bit-identical doubles;
+- label: deterministic from the corpus (``lang == positive_lang``);
+- iterate: z_d = sum_j w_j x_dj as a DECIMAL-summed window over the
+  per-(doc, dim) grid — a WINDOW, not a second join, so each
+  iteration references the previous weight vector exactly ONCE and
+  the lineage stays LINEAR in iterations (no exponential replay, the
+  lesson of the BPE default-posture fix);
+- p_d = sigmoid(z_d) rounded to 1e-9 (floor-based half-up — exp() is
+  the one libm call, same ulp-risk class as the shipped log()-based
+  entropy/BM25 entries);
+- gradient: g_j = sum_d (p_d - y_d) x_dj DECIMAL-summed per dim, with
+  the old weight riding the SAME aggregate (MIN over the constant-
+  within-group w), so the update w_j <- round9(w_j - lr * g_j / n)
+  still touches w once.
+
+Scale: per iteration one broadcast of |dims| doubles onto the
+(doc, dim) grid + two keyed exchanges (the per-doc window and the
+per-dim gradient aggregate), both map-side combined; the grid re-scans
+per iteration but never shuffles wider than those aggregates.  At
+100 TB the feature matrix never materializes — it is a projection of
+the document scan — and the weight vector is O(dims) everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduceimpl_spark.operators.text_analysis import STOPWORDS
+
+
+def _r9(col: F.Column) -> F.Column:
+    """Bit-exact half-up rounding to 1e-9 (the repo-wide recipe)."""
+    return F.floor(col * 1e9 + F.lit(0.5)) / 1e9
+
+
+def _dsum18(col: F.Column) -> F.Column:
+    """Order-free double sum: DECIMAL(38,18)-routed."""
+    return F.sum(col.cast("decimal(38,18)")).cast("double")
+
+
+def logreg_features(
+    docs: DataFrame, positive_lang: str = "en", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, y, fs): label + fixed-length feature array.
+
+    Every feature is an exact ratio of integers (token counts over the
+    single-space split, as ``functions.tokens``), so Spark and any
+    ANSI engine materialize identical doubles — no libm in features.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks).cast("long")  # split never returns []
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_tok_d = n_tok.cast("double")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("lang") == positive_lang, 1.0).otherwise(0.0).alias("y"),
+        F.array(
+            F.lit(1.0),
+            n_tok_d / 100.0,
+            (n_chars - (n_tok - 1)).cast("double") / n_tok_d,
+            n_stop.cast("double") / n_tok_d,
+            n_distinct.cast("double") / n_tok_d,
+        ).alias("fs"),
+    )
+
+
+def _logreg_weight_frames(
+    docs: DataFrame,
+    iterations: int,
+    lr: float,
+    positive_lang: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared GD loop: returns (pts, w) where pts is the exploded
+    (doc_id, y, dim, x) grid and w the final (dim, w) weights."""
+    if iterations < 1:
+        raise ValueError(
+            f"logreg: iterations must be >= 1, got {iterations}"
+        )
+    if lr <= 0:
+        raise ValueError(f"logreg: lr must be > 0, got {lr}")
+    feats = logreg_features(docs, positive_lang=positive_lang)
+    pts = feats.select(
+        "doc_id", "y", F.posexplode("fs").alias("dim", "x")
+    )
+    # w0 = zeros, dims read from one row (all arrays share a length);
+    # sigmoid(0) = 0.5 exactly, so iteration 1 is libm-free
+    w = (
+        feats.limit(1)
+        .select(F.posexplode("fs").alias("dim", "_x"))
+        .select("dim", F.lit(0.0).alias("w"))
+    )
+    zw = Window.partitionBy("doc_id")  # bounded: |dims| rows per doc
+    for _ in range(iterations):
+        grid = pts.join(F.broadcast(w), "dim")
+        z = (
+            F.sum((F.col("x") * F.col("w")).cast("decimal(38,18)"))
+            .over(zw)
+            .cast("double")
+        )
+        p = _r9(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+        g = (
+            grid.withColumn("p", p)
+            .groupBy("dim")
+            .agg(
+                F.min("w").alias("w_old"),  # constant within the group
+                _dsum18((F.col("p") - F.col("y")) * F.col("x")).alias("g"),
+                F.count("*").alias("n"),
+            )
+        )
+        w = g.select(
+            "dim",
+            _r9(
+                F.col("w_old") - F.lit(lr) * F.col("g") / F.col("n")
+            ).alias("w"),
+        )
+    return pts, w
+
+
+def logreg_train_scores(
+    docs: DataFrame,
+    iterations: int = 3,
+    lr: float = 0.5,
+    positive_lang: str = "en",
+) -> DataFrame:
+    """Train the quality classifier and score every document.
+
+    Output: (doc_id, y, score, pred) — score is the trained
+    sigmoid(w . x) rounded to 1e-6, pred the 0.5-threshold decision.
+    The whole train+score chain is one lazy plan; nothing reaches the
+    driver.
+    """
+    pts, w = _logreg_weight_frames(docs, iterations, lr, positive_lang)
+    scored = (
+        pts.join(F.broadcast(w), "dim")
+        .groupBy("doc_id")
+        .agg(
+            F.min("y").alias("y"),
+            _dsum18(F.col("x") * F.col("w")).alias("z"),
+        )
+    )
+    p = _r9(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))))
+    return scored.select(
+        "doc_id",
+        F.col("y").cast("bigint").alias("y"),
+        (F.floor(p * 1e6 + F.lit(0.5)) / 1e6).alias("score"),
+        (p >= 0.5).alias("pred"),
+    )
+
+
+def logreg_weights(
+    docs: DataFrame,
+    iterations: int = 3,
+    lr: float = 0.5,
+    positive_lang: str = "en",
+) -> DataFrame:
+    """The learned weight vector itself: (dim, w) — dims in feature
+    order (bias, tokens/100, mean token length, stopword ratio,
+    diversity).  |dims| rows total."""
+    _, w = _logreg_weight_frames(docs, iterations, lr, positive_lang)
+    return w.select(F.col("dim").cast("bigint").alias("dim"), "w")

@@ -1,0 +1,107 @@
+"""Logistic-regression quality classifier: learning sanity, exact
+equality with an independent Decimal-arithmetic reference, and input
+validation.  The catalog oracle (chained-CTE DuckDB replay) covers
+engine parity; these tests cover semantics."""
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+
+from mapreduceimpl_spark.operators.classifier import (
+    logreg_train_scores,
+    logreg_weights,
+)
+
+# en docs are stopword-heavy, xx docs are stopword-free — a separable
+# fixture (single-space texts so str.split(' ') == Spark split ' ')
+_DOCS = [
+    (0, "the cat sat on the mat and the dog", "en"),
+    (1, "a tale of two cities is a classic", "en"),
+    (2, "to be or not to be is the question", "en"),
+    (3, "rain in spain falls on the plain", "en"),
+    (4, "zug vogel berg tal fluss wald", "xx"),
+    (5, "mer soleil plage sable vague bateau", "xx"),
+    (6, "sol luna cielo tierra fuego agua", "xx"),
+    (7, "yama kawa umi sora hoshi tsuki", "xx"),
+]
+
+_STOP = {"the", "a", "of", "and", "to", "in", "is", "on"}
+
+
+def _r9(x: float) -> float:
+    return math.floor(x * 1e9 + 0.5) / 1e9
+
+
+def _dec18(x: float) -> Decimal:
+    return Decimal(x).quantize(Decimal("1e-18"), rounding=ROUND_HALF_UP)
+
+
+def _reference(docs, iterations=3, lr=0.5):
+    """Pure-Python replay: same features, same DECIMAL(38,18)-routed
+    sums, same floor-based half-up rounding, zero init."""
+    rows = []
+    for _doc_id, text, lang in docs:
+        toks = text.split(" ")
+        n_tok = len(toks)
+        fs = [
+            1.0,
+            n_tok / 100.0,
+            (len(text) - (n_tok - 1)) / n_tok,
+            sum(t in _STOP for t in toks) / n_tok,
+            len(set(toks)) / n_tok,
+        ]
+        rows.append((fs, 1.0 if lang == "en" else 0.0))
+    dims = len(rows[0][0])
+    w = [0.0] * dims
+    for _ in range(iterations):
+        ps = []
+        for fs, _y in rows:
+            z = float(sum(_dec18(x * wj) for x, wj in zip(fs, w)))
+            ps.append(_r9(1.0 / (1.0 + math.exp(-z))))
+        for j in range(dims):
+            g = float(
+                sum(_dec18((p - y) * fs[j]) for (fs, y), p in zip(rows, ps))
+            )
+            w[j] = _r9(w[j] - lr * g / len(rows))
+    scores = []
+    for fs, y in rows:
+        z = float(sum(_dec18(x * wj) for x, wj in zip(fs, w)))
+        p = _r9(1.0 / (1.0 + math.exp(-z)))
+        scores.append((int(y), math.floor(p * 1e6 + 0.5) / 1e6, p >= 0.5))
+    return w, scores
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(_DOCS, ["doc_id", "text", "lang"])
+
+
+def test_logreg_matches_decimal_reference(spark, docs_df):
+    ref_w, ref_scores = _reference(_DOCS)
+    got_w = {
+        r["dim"]: r["w"] for r in logreg_weights(docs_df).collect()
+    }
+    assert got_w == {j: wj for j, wj in enumerate(ref_w)}
+    got = {
+        r["doc_id"]: (r["y"], r["score"], r["pred"])
+        for r in logreg_train_scores(docs_df).collect()
+    }
+    assert got == {i: ref_scores[i] for i in range(len(_DOCS))}
+
+
+def test_logreg_learns_separation(spark, docs_df):
+    rows = logreg_train_scores(docs_df, iterations=5).collect()
+    pos = [r["score"] for r in rows if r["y"] == 1]
+    neg = [r["score"] for r in rows if r["y"] == 0]
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)
+    # and the model moved off the zero init
+    ws = [r["w"] for r in logreg_weights(docs_df).collect()]
+    assert any(w != 0.0 for w in ws)
+
+
+def test_logreg_validates(spark, docs_df):
+    with pytest.raises(ValueError):
+        logreg_train_scores(docs_df, iterations=0)
+    with pytest.raises(ValueError):
+        logreg_weights(docs_df, lr=0.0)
