@@ -908,6 +908,68 @@ def _logreg_weights_oracle(iterations: int = 3, lr: float = 0.5) -> str:
     )
 
 
+def _dsir_layers(n_buckets: int = 256) -> list[str]:
+    """CTE layers replaying ``text_analysis.dsir_weights``: benchmark
+    split, hashed-unigram bucket counts for target and raw pool,
+    add-one-smoothed ln-ratio per bucket, decimal-summed per doc."""
+    nb = n_buckets
+    return [
+        """dsir_tt AS (
+  SELECT t.t AS token
+  FROM (SELECT text FROM documents WHERE doc_id % 97 = 0),
+       unnest(string_split(text, ' ')) AS t(t)
+)""",
+        f"""dsir_ct AS MATERIALIZED (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('d:' || t.t), 1, 8) AS BIGINT) % {nb} AS b
+  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+       unnest(string_split(text, ' ')) AS t(t)
+)""",
+        f"""dsir_tb AS (
+  SELECT CAST('0x' || substr(md5('d:' || token), 1, 8) AS BIGINT) % {nb} AS b,
+         COUNT(*) AS tc
+  FROM dsir_tt GROUP BY 1
+)""",
+        """dsir_cb AS (SELECT b, COUNT(*) AS cc FROM dsir_ct GROUP BY b)""",
+        """dsir_nt AS (SELECT COUNT(*) AS nt FROM dsir_tt)""",
+        """dsir_nr AS (SELECT COUNT(*) AS nr FROM dsir_ct)""",
+        f"""dsir_delta AS (
+  SELECT COALESCE(tb.b, cb.b) AS b,
+         floor(ln(CAST(COALESCE(tb.tc, 0) + 1 AS DOUBLE)
+                  / CAST(nt + {nb} AS DOUBLE)) * 1e9 + 0.5) / 1e9
+       - floor(ln(CAST(COALESCE(cb.cc, 0) + 1 AS DOUBLE)
+                  / CAST(nr + {nb} AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS d
+  FROM dsir_tb tb FULL OUTER JOIN dsir_cb cb ON tb.b = cb.b, dsir_nt, dsir_nr
+)""",
+        """dsir_w AS (
+  SELECT doc_id,
+         floor(CAST(SUM(CAST(d AS DECIMAL(38,18))) AS DOUBLE) * 1e6 + 0.5)
+           / 1e6 AS log_w
+  FROM dsir_ct JOIN dsir_delta USING (b)
+  GROUP BY doc_id
+)""",
+    ]
+
+
+def _dsir_weights_oracle(n_buckets: int = 256) -> str:
+    body = ",\n".join(_dsir_layers(n_buckets))
+    return f"WITH {body}\nSELECT doc_id, log_w FROM dsir_w"
+
+
+def _dsir_select_oracle(k: int = 50, n_buckets: int = 256) -> str:
+    body = ",\n".join(_dsir_layers(n_buckets))
+    return (
+        f"WITH {body}\n"
+        f"""SELECT doc_id, log_w,
+       log_w + floor(-ln(-ln(u)) * 1e9 + 0.5) / 1e9 AS score
+FROM (SELECT doc_id, log_w,
+             CAST('0x' || substr(md5('g:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) / 4294967296.0 AS u
+      FROM dsir_w)
+ORDER BY score DESC, doc_id LIMIT {k}"""
+    )
+
+
 def _ivf_lloyd_oracle(
     k: int = 5, n_cells: int = 4, iterations: int = 3, n_probe: int = 2
 ) -> str:
@@ -2210,7 +2272,8 @@ FROM sess GROUP BY user_id, sid
 # window head positions 1-14 (see _ROUND6_ORDER).  Any entry added
 # this round that doesn't fit the window goes here.
 DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
-    {"quality_classifier", "quality_classifier_weights"}
+    {"quality_classifier", "quality_classifier_weights",
+     "dsir_weights", "dsir_select"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -5697,6 +5760,27 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "diversity) — the broadcastable model artifact a 100 TB "
             "scoring pass ships to executors",
     ),
+    "dsir_weights": QuerySpec(
+        lambda spark, sf_dir: text_analysis.dsir_weights(
+            load_table(spark, sf_dir, "documents"), n_buckets=256
+        ),
+        _dsir_weights_oracle(256),
+        doc="DSIR importance weights (Xie et al. 2023): hashed-unigram "
+            "bag ln-likelihood ratio of target (shared benchmark split) "
+            "vs raw pool, add-one smoothed over 256 md5 buckets; the "
+            "<=256-row delta table broadcasts onto the token stream — "
+            "the corpus shuffles only wordcount-shaped aggregates",
+    ),
+    "dsir_select": QuerySpec(
+        lambda spark, sf_dir: text_analysis.dsir_select(
+            load_table(spark, sf_dir, "documents"), k=50, n_buckets=256
+        ),
+        _dsir_select_oracle(50, 256),
+        doc="DSIR resampling: Gumbel top-k over the importance weights "
+            "— without-replacement sampling proportional to w as the k "
+            "largest (log_w + md5-seeded Gumbel) keys, selection via "
+            "TakeOrderedAndProject (no global sort materialized)",
+    ),
 }
 
 
@@ -5764,6 +5848,7 @@ _ROUND6_ORDER = [
     # locally oracle-verified at both SFs (check_oracle) — must rotate
     # into the window head next round
     "quality_classifier", "quality_classifier_weights",
+    "dsir_weights", "dsir_select",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

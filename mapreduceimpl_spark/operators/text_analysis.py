@@ -1444,3 +1444,131 @@ def lm_quality_buckets(docs: DataFrame, lam: float = 0.7) -> DataFrame:
         bucket.alias("ppl_bucket"),
         (bucket != "tail").alias("keep"),
     )
+
+
+def _dsir_bucket(tok: F.Column, n_buckets: int) -> F.Column:
+    """Hashed-ngram feature bucket (seed prefix 'd:' decouples it from
+    every other md5 family in the repo): md5-prefix integer mod
+    ``n_buckets`` — nonneg, so % and pmod agree across engines."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("d:"), tok)), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-pool
+    document by how much more likely its hashed-unigram bag is under
+    the TARGET distribution than under the RAW-pool distribution —
+    log w(doc) = sum over token instances of
+    (ln p_target[bucket] - ln p_raw[bucket]), with add-one smoothing
+    over ``n_buckets`` hashed buckets so unseen buckets never hit
+    ln(0).  ``target`` defaults to the shared benchmark-split stand-in
+    (``doc_id % 97 == 0``), the same one source of truth the
+    decontamination operators use; production passes the real
+    high-quality reference corpus.
+
+    Output: (doc_id, log_w) for every raw-pool doc — log_w rounded to
+    1e-6 after a decimal-routed sum of per-bucket deltas (each delta a
+    difference of two 1e-9-rounded ln terms, the ``bigram_logprob``
+    libm recipe).
+
+    Scale: two wordcount-shaped token aggregations (each at most
+    ``n_buckets`` output rows — map-side combined), two 1-row totals,
+    then the per-bucket delta table (<= n_buckets rows) BROADCAST onto
+    the corpus token stream and one groupBy(doc_id).  Nothing
+    vocabulary-sized ever sits on one node, and the corpus is scanned
+    twice (bucket counts + scoring), never shuffled whole.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"dsir_weights: n_buckets must be >= 2, got {n_buckets}")
+    tgt, crp = _default_benchmark_split(docs, target, "doc_id")
+    ttoks = tgt.select(F.explode(tokens("text")).alias("token"))
+    ctoks = crp.select("doc_id", F.explode(tokens("text")).alias("token"))
+
+    def r9(col: F.Column) -> F.Column:
+        return F.floor(col * 1e9 + F.lit(0.5)) / 1e9
+
+    tb = ttoks.groupBy(_dsir_bucket(F.col("token"), n_buckets).alias("b")).agg(
+        F.count("*").alias("tc")
+    )
+    cb = ctoks.groupBy(_dsir_bucket(F.col("token"), n_buckets).alias("b")).agg(
+        F.count("*").alias("cc")
+    )
+    nt = ttoks.agg(F.count("*").alias("nt"))
+    nr = ctoks.agg(F.count("*").alias("nr"))
+    lt = r9(
+        F.log(
+            (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
+            / (F.col("nt") + n_buckets).cast("double")
+        )
+    )
+    lr = r9(
+        F.log(
+            (F.coalesce(F.col("cc"), F.lit(0)) + 1).cast("double")
+            / (F.col("nr") + n_buckets).cast("double")
+        )
+    )
+    delta = (
+        tb.join(cb, "b", "full_outer")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select("b", (lt - lr).alias("d"))
+    )
+    return (
+        ctoks.select("doc_id", _dsir_bucket(F.col("token"), n_buckets).alias("b"))
+        .join(F.broadcast(delta), "b")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("d").cast("decimal(38,18)")).cast("double") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("log_w")
+        )
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    k: int = 100,
+    target: DataFrame | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """The resampling half of DSIR: Gumbel top-k over the importance
+    weights — sampling WITHOUT replacement proportional to w(doc) is
+    exactly taking the k largest (log_w + Gumbel noise) keys, and the
+    noise is derived deterministically from md5 (seed prefix 'g:'), so
+    the selected set is a pure function of the corpus (the repo's
+    seeded-uniform rule; the A-ES weighted-k sampler plays the same
+    trick with exponentials).
+
+    Output: the k selected docs as (doc_id, log_w, score), score =
+    log_w + round9(-ln(-ln(u))).  u = 0 maps to score -inf (never
+    selected), not NaN.
+
+    Scale: the weight computation dominates; selection itself is a
+    TakeOrderedAndProject on (score DESC, doc_id) — k rows to the
+    driver-side stage, no global sort materialized.
+    """
+    if k < 1:
+        raise ValueError(f"dsir_select: k must be >= 1, got {k}")
+    from mapreduceimpl_spark.operators.sampling import hash_uniform
+
+    w = dsir_weights(docs, target=target, n_buckets=n_buckets)
+    u = hash_uniform(F.concat(F.lit("g:"), F.col("doc_id").cast("string")))
+    g = F.floor(-F.log(-F.log(u)) * 1e9 + F.lit(0.5)) / 1e9
+    return (
+        w.select("doc_id", "log_w", (F.col("log_w") + g).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )

@@ -878,3 +878,51 @@ def test_lm_quality_buckets_thirds_and_policy(spark):
     assert max(r["avg_neg_logprob"] for r in buckets["head"]) <= min(
         r["avg_neg_logprob"] for r in buckets["tail"]
     )
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs sharing the target split's vocabulary must outscore docs
+    with alien vocabulary; selection is a deterministic subset."""
+    import pytest
+
+    # ids 0 and 97 land in the default benchmark split (id % 97 == 0)
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (97, "alpha beta gamma epsilon"),
+        (1, "alpha beta gamma delta"),   # target-like
+        (2, "zeta eta theta iota"),      # alien
+        (3, "alpha zeta beta eta"),      # mixed
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    w = {
+        r["doc_id"]: r["log_w"]
+        for r in text_analysis.dsir_weights(docs, n_buckets=64).collect()
+    }
+    assert set(w) == {1, 2, 3}  # pool only — split docs are not scored
+    assert w[1] > w[3] > w[2]
+
+    sel = text_analysis.dsir_select(docs, k=2, n_buckets=64).collect()
+    assert len(sel) == 2
+    assert all(r["doc_id"] in w for r in sel)
+    again = text_analysis.dsir_select(docs, k=2, n_buckets=64).collect()
+    assert [r["doc_id"] for r in sel] == [r["doc_id"] for r in again]
+
+    with pytest.raises(ValueError):
+        text_analysis.dsir_weights(docs, n_buckets=1)
+    with pytest.raises(ValueError):
+        text_analysis.dsir_select(docs, k=0)
+
+
+def test_dsir_explicit_target_scores_whole_corpus(spark):
+    """An explicit target table scores EVERY corpus doc (no carve-out),
+    matching the decontamination operators' contract."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "zeta eta")], ["doc_id", "text"]
+    )
+    target = spark.createDataFrame([(100, "alpha beta gamma")], ["doc_id", "text"])
+    w = {
+        r["doc_id"]: r["log_w"]
+        for r in text_analysis.dsir_weights(docs, target=target, n_buckets=64).collect()
+    }
+    assert set(w) == {1, 2}
+    assert w[1] > w[2]
