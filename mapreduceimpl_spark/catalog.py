@@ -769,7 +769,8 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_lloyd_layers(
-    k: int = 4, iterations: int = 3, source: str = "embeddings"
+    k: int = 4, iterations: int = 3, source: str = "embeddings",
+    prefix: str = "",
 ) -> list[str]:
     """CTE layers replaying ``kmeans.kmeans_lloyd_internals``: one
     (distance -> argmin -> means) layer per Lloyd iteration on the
@@ -779,45 +780,46 @@ def _kmeans_lloyd_layers(
     names the (vec_id, embedding) relation to quantize — a table or an
     earlier CTE (e.g. the perturbed corpus semantic dedup plants its
     near-dups in)."""
+    P = prefix
     layers = [
-        f"""pts AS MATERIALIZED (
+        f"""{P}pts AS MATERIALIZED (
   SELECT vec_id, t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
   FROM {source}, unnest(generate_series(1, len(embedding))) AS t(i)
 )""",
-        f"""init AS (
+        f"""{P}init AS (
   SELECT vec_id, embedding,
          row_number() OVER (ORDER BY vec_id) - 1 AS cluster
   FROM (SELECT * FROM {source} ORDER BY vec_id LIMIT {k})
 )""",
-        """c0 AS (
+        f"""{P}c0 AS (
   SELECT cluster, t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS c
-  FROM init, unnest(generate_series(1, len(embedding))) AS t(i)
+  FROM {P}init, unnest(generate_series(1, len(embedding))) AS t(i)
 )""",
     ]
     for i in range(1, iterations + 1):
         layers.append(
-            f"""d{i} AS (
+            f"""{P}d{i} AS (
   SELECT p.vec_id, c.cluster,
          SUM(CAST((p.x - c.c) * (p.x - c.c) AS DECIMAL(38,18))) AS dist
-  FROM pts p JOIN c{i - 1} c ON p.dim = c.dim
+  FROM {P}pts p JOIN {P}c{i - 1} c ON p.dim = c.dim
   GROUP BY p.vec_id, c.cluster
 ),
-a{i} AS (
+{P}a{i} AS (
   SELECT vec_id, cluster, dist FROM (
     SELECT vec_id, cluster, dist,
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY dist, cluster) AS rn
-    FROM d{i}
+    FROM {P}d{i}
   ) WHERE rn = 1
 )"""
         )
         if i < iterations:
             layers.append(
-                f"""c{i} AS (
+                f"""{P}c{i} AS (
   SELECT a.cluster, p.dim,
          floor((CAST(SUM(CAST(p.x AS DECIMAL(38,12))) AS DOUBLE)
                 / COUNT(*)) * 1e9 + 0.5) / 1e9 AS c
-  FROM a{i} a JOIN pts p ON a.vec_id = p.vec_id
+  FROM {P}a{i} a JOIN {P}pts p ON a.vec_id = p.vec_id
   GROUP BY a.cluster, p.dim
 )"""
             )
@@ -906,6 +908,34 @@ def _logreg_weights_oracle(iterations: int = 3, lr: float = 0.5) -> str:
         f"WITH {body}\n"
         f"SELECT CAST(dim AS BIGINT) AS dim, w FROM w{iterations}"
     )
+
+
+def _pq_codes_oracle(
+    m: int = 4, k: int = 4, iterations: int = 2, dim: int = 64
+) -> str:
+    """Chained-CTE replay of ``similarity.pq_codes``: one prefixed
+    Lloyd chain per subspace over the sliced embedding, unioned."""
+    d_sub = dim // m
+    layers: list[str] = []
+    selects: list[str] = []
+    for s in range(m):
+        src = f"pq{s}src"
+        layers.append(
+            f"""{src} AS (
+  SELECT vec_id, embedding[{s * d_sub + 1}:{(s + 1) * d_sub}] AS embedding
+  FROM embeddings
+)"""
+        )
+        layers.extend(
+            _kmeans_lloyd_layers(k, iterations, source=src, prefix=f"pq{s}_")
+        )
+        selects.append(
+            f"SELECT vec_id, CAST({s} AS BIGINT) AS subspace, "
+            f"CAST(cluster AS BIGINT) AS code, "
+            f"floor(CAST(dist AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dist "
+            f"FROM pq{s}_a{iterations}"
+        )
+    return "WITH " + ",\n".join(layers) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 def _dsir_layers(n_buckets: int = 256) -> list[str]:
@@ -2273,7 +2303,7 @@ FROM sess GROUP BY user_id, sid
 # this round that doesn't fit the window goes here.
 DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
     {"quality_classifier", "quality_classifier_weights",
-     "dsir_weights", "dsir_select"}
+     "dsir_weights", "dsir_select", "pq_codes"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -5771,6 +5801,17 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "<=256-row delta table broadcasts onto the token stream — "
             "the corpus shuffles only wordcount-shaped aggregates",
     ),
+    "pq_codes": QuerySpec(
+        lambda spark, sf_dir: similarity.pq_codes(
+            load_table(spark, sf_dir, "embeddings"), m=4, k=4, iterations=2, dim=64
+        ),
+        _pq_codes_oracle(4, 4, 2, 64),
+        doc="product quantization (Jegou et al. 2011): 4 independent "
+            "Lloyd codebooks over 16-dim slices, every vector encoded as "
+            "4 codes + per-subspace quantization error — the compression "
+            "tier IVF+PQ ANN stacks ship; each subspace chain is the "
+            "kmeans_lloyd chained-CTE oracle under its own prefix",
+    ),
     "dsir_select": QuerySpec(
         lambda spark, sf_dir: text_analysis.dsir_select(
             load_table(spark, sf_dir, "documents"), k=50, n_buckets=256
@@ -5848,7 +5889,7 @@ _ROUND6_ORDER = [
     # locally oracle-verified at both SFs (check_oracle) — must rotate
     # into the window head next round
     "quality_classifier", "quality_classifier_weights",
-    "dsir_weights", "dsir_select",
+    "dsir_weights", "dsir_select", "pq_codes",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

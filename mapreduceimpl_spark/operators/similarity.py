@@ -898,3 +898,61 @@ def in_batch_negatives(
         F.col("a.vec_id").alias("anchor_id"),
         F.col("n.vec_id").alias("negative_id"),
     )
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization codebook training + encoding (Jegou et al.
+    2011): split each vector into ``m`` contiguous subspaces, run the
+    SQL-replayable Lloyd quantizer (``kmeans_lloyd_internals``)
+    independently in each, and emit every vector's per-subspace code —
+    the compression tier of an ANN stack (m * log2(k) bits per vector
+    instead of dim * 8 bytes; IVF+PQ is the standard billion-vector
+    layout, and the IVF half already exists as ``ivf_lloyd_topk``).
+
+    Output: (vec_id, subspace, code, dist) long-form — one row per
+    vector per subspace; ``dist`` is the squared distance to the
+    chosen sub-centroid (the per-subspace quantization error), rounded
+    to 1e-6.  Fully hash-verifiable: each subspace chain replays the
+    ``kmeans_lloyd`` chained-CTE oracle under a distinct prefix.
+
+    Scale: the m quantizer chains share the corpus scan pattern of
+    ``kmeans_lloyd_fixed`` — per iteration one k*d_sub-row broadcast +
+    two keyed aggregates, nothing corpus-sized shuffles; chains are
+    independent plans unioned at the end, so Spark schedules their
+    stages concurrently.  At 100 TB you train each codebook on a
+    sample and broadcast-encode the full corpus; this full-corpus form
+    is the oracle-checkable fixture tier and the encode join it uses
+    is the same broadcast shape the sampled path ships.
+    """
+    if m < 1 or dim % m != 0:
+        raise ValueError(
+            f"pq_codes: m must divide dim, got m={m} dim={dim}"
+        )
+    from mapreduceimpl_spark.operators.kmeans import kmeans_lloyd_internals
+
+    d_sub = dim // m
+    out = None
+    for s in range(m):
+        sub = embeddings.select(
+            "vec_id",
+            F.slice(
+                F.col("embedding").cast("array<double>"), s * d_sub + 1, d_sub
+            ).alias("embedding"),
+        )
+        assign, _ = kmeans_lloyd_internals(sub, k=k, iterations=iterations)
+        part = assign.select(
+            "vec_id",
+            F.lit(s).cast("long").alias("subspace"),
+            F.col("cluster").cast("long").alias("code"),
+            (F.floor(F.col("dist").cast("double") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "dist"
+            ),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

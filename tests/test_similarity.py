@@ -517,3 +517,28 @@ def test_in_batch_negatives_label_aware_and_symmetric(spark):
         assert labels[a] != labels[n] and a != n
         # symmetric: b is a negative for a iff a is one for b
         assert (n, a) in pairs
+
+
+def test_pq_codes_shape_and_duplicate_vectors_agree(spark):
+    import pytest
+
+    from mapreduceimpl_spark.operators.similarity import pq_codes
+
+    vecs = [
+        (0, [float(i) for i in range(8)]),
+        (1, [float(i) for i in range(8)]),          # duplicate of 0
+        (2, [float(7 - i) for i in range(8)]),
+        (3, [float(i % 3) for i in range(8)]),
+        (4, [float(-i) for i in range(8)]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = pq_codes(df, m=2, k=2, iterations=2, dim=8).collect()
+    # one row per vector per subspace; codes within [0, k); dist >= 0
+    assert len(out) == len(vecs) * 2
+    assert all(0 <= r["code"] < 2 for r in out)
+    assert all(r["dist"] >= 0.0 for r in out)
+    by = {(r["vec_id"], r["subspace"]): r["code"] for r in out}
+    assert by[(0, 0)] == by[(1, 0)] and by[(0, 1)] == by[(1, 1)]
+
+    with pytest.raises(ValueError):
+        pq_codes(df, m=3, dim=8)
