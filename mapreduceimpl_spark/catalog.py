@@ -938,6 +938,74 @@ def _pq_codes_oracle(
     return "WITH " + ",\n".join(layers) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def _pq_adc_oracle(
+    n_queries: int = 10,
+    k_results: int = 5,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 2,
+    dim: int = 64,
+) -> str:
+    """Chained-CTE replay of ``similarity.pq_adc_topk``: the prefixed
+    Lloyd chains build codes + codebooks, per-subspace query lookup
+    tables score each (query, cluster), and a vector's approximate
+    distance sums its codes' entries."""
+    d_sub = dim // m
+    it = iterations
+    layers: list[str] = []
+    unions: list[str] = []
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        layers.append(
+            f"""pq{s}src AS (
+  SELECT vec_id, embedding[{lo}:{hi}] AS embedding FROM embeddings
+)"""
+        )
+        layers.extend(
+            _kmeans_lloyd_layers(k, iterations, source=f"pq{s}src", prefix=f"pq{s}_")
+        )
+        layers.append(
+            f"""pqq{s} AS (
+  SELECT vec_id AS query_id, t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS qx
+  FROM pq{s}src, unnest(generate_series(1, len(embedding))) AS t(i)
+  WHERE vec_id < {n_queries}
+)""",
+        )
+        layers.append(
+            f"""pqqd{s} AS (
+  SELECT q.query_id, c.cluster,
+         CAST(SUM(CAST((q.qx - c.c) * (q.qx - c.c) AS DECIMAL(38,18)))
+              AS DOUBLE) AS qdist
+  FROM pqq{s} q JOIN pq{s}_c{it - 1} c ON q.dim = c.dim
+  GROUP BY q.query_id, c.cluster
+)"""
+        )
+        unions.append(
+            f"SELECT a.vec_id, d.query_id, d.qdist "
+            f"FROM pq{s}_a{it} a JOIN pqqd{s} d ON a.cluster = d.cluster"
+        )
+    contribs = "\nUNION ALL\n".join(unions)
+    layers.append(f"pq_contrib AS (\n{contribs}\n)")
+    layers.append(
+        """pq_adist AS (
+  SELECT query_id, vec_id,
+         floor(CAST(SUM(CAST(qdist AS DECIMAL(38,18))) AS DOUBLE) * 1e6 + 0.5)
+           / 1e6 AS adist
+  FROM pq_contrib GROUP BY query_id, vec_id
+)"""
+    )
+    body = ",\n".join(layers)
+    return (
+        f"WITH {body}\n"
+        f"""SELECT query_id, vec_id, adist, rank FROM (
+  SELECT query_id, vec_id, adist,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adist, vec_id) AS BIGINT) AS rank
+  FROM pq_adist
+) WHERE rank <= {k_results}"""
+    )
+
+
 def _dsir_layers(n_buckets: int = 256) -> list[str]:
     """CTE layers replaying ``text_analysis.dsir_weights``: benchmark
     split, hashed-unigram bucket counts for target and raw pool,
@@ -2303,7 +2371,7 @@ FROM sess GROUP BY user_id, sid
 # this round that doesn't fit the window goes here.
 DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
     {"quality_classifier", "quality_classifier_weights",
-     "dsir_weights", "dsir_select", "pq_codes"}
+     "dsir_weights", "dsir_select", "pq_codes", "pq_adc_topk"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -5812,6 +5880,18 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "tier IVF+PQ ANN stacks ship; each subspace chain is the "
             "kmeans_lloyd chained-CTE oracle under its own prefix",
     ),
+    "pq_adc_topk": QuerySpec(
+        lambda spark, sf_dir: similarity.pq_adc_topk(
+            load_table(spark, sf_dir, "embeddings"),
+            n_queries=10, k_results=5, m=4, k=4, iterations=2, dim=64,
+        ),
+        _pq_adc_oracle(10, 5, 4, 4, 2, 64),
+        doc="asymmetric-distance PQ search: per-subspace query-to-"
+            "centroid lookup tables (10*4*4 rows, broadcast) score the "
+            "corpus through its codes alone — vectors never re-read at "
+            "query time; top-5 per query by summed table entries; full "
+            "chained-CTE replay of codebooks, tables, and ranking",
+    ),
     "dsir_select": QuerySpec(
         lambda spark, sf_dir: text_analysis.dsir_select(
             load_table(spark, sf_dir, "documents"), k=50, n_buckets=256
@@ -5889,7 +5969,7 @@ _ROUND6_ORDER = [
     # locally oracle-verified at both SFs (check_oracle) — must rotate
     # into the window head next round
     "quality_classifier", "quality_classifier_weights",
-    "dsir_weights", "dsir_select", "pq_codes",
+    "dsir_weights", "dsir_select", "pq_codes", "pq_adc_topk",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

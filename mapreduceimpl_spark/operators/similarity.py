@@ -956,3 +956,98 @@ def pq_codes(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k_results: int = 5,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance PQ search (the ADC of Jegou et al. 2011):
+    queries (the ``vec_id < n_queries`` convention the other ANN tiers
+    use) are compared to the corpus through its PQ codes — per
+    subspace, the query's exact distance to each of the k
+    sub-centroids forms a lookup table (n_queries * m * k rows,
+    BROADCAST), and a corpus vector's approximate distance is the sum
+    of its codes' table entries.  Self-matches are kept (the query is
+    corpus row 0 of its own ranking) — same contract as
+    ``brute_force_topk``.
+
+    Output: (query_id, vec_id, adist, rank) — top ``k_results`` per
+    query by (adist, vec_id), adist rounded to 1e-6 after a
+    decimal-routed sum of the m per-subspace doubles.
+
+    Scale: the corpus side touches only its (vec_id, cluster)
+    assignment — never re-reads the vectors at query time; the lookup
+    tables are O(queries * m * k) and ride broadcast joins, so the
+    scan tier is one map + one (query, vec) aggregate.  The per-query
+    ranking window partitions by query over corpus-sized partitions —
+    at 100 TB compose with the IVF cell-probe prune
+    (``ivf_lloyd_topk``) first, exactly the IVF+PQ layout; this
+    operator is the oracle-checkable ADC half.
+    """
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"pq_adc_topk: m must divide dim, got m={m} dim={dim}")
+    if n_queries < 1 or k_results < 1:
+        raise ValueError(
+            f"pq_adc_topk: need n_queries >= 1 and k_results >= 1, "
+            f"got {n_queries}, {k_results}"
+        )
+    from mapreduceimpl_spark.operators.kmeans import kmeans_lloyd_internals
+
+    d_sub = dim // m
+    contribs = None
+    for s in range(m):
+        sub = embeddings.select(
+            "vec_id",
+            F.slice(
+                F.col("embedding").cast("array<double>"), s * d_sub + 1, d_sub
+            ).alias("embedding"),
+        )
+        assign, cent = kmeans_lloyd_internals(sub, k=k, iterations=iterations)
+        qpts = (
+            sub.filter(F.col("vec_id") < n_queries)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                    "dim", "qx"
+                ),
+            )
+        )
+        qd = (
+            qpts.join(F.broadcast(cent), "dim")
+            .groupBy("query_id", "cluster")
+            .agg(
+                F.sum(
+                    (
+                        (F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))
+                    ).cast("decimal(38,18)")
+                )
+                .cast("double")
+                .alias("qdist")
+            )
+        )
+        contrib = (
+            assign.select("vec_id", "cluster")
+            .join(F.broadcast(qd), "cluster")
+            .select("vec_id", "query_id", "qdist")
+        )
+        contribs = contrib if contribs is None else contribs.unionByName(contrib)
+    adist = contribs.groupBy("query_id", "vec_id").agg(
+        (
+            F.floor(
+                F.sum(F.col("qdist").cast("decimal(38,18)")).cast("double") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("adist")
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    return (
+        adist.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k_results)
+    )

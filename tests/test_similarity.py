@@ -542,3 +542,30 @@ def test_pq_codes_shape_and_duplicate_vectors_agree(spark):
 
     with pytest.raises(ValueError):
         pq_codes(df, m=3, dim=8)
+
+
+def test_pq_adc_topk_ranking_invariants(spark):
+    import pytest
+
+    from mapreduceimpl_spark.operators.similarity import pq_adc_topk
+
+    vecs = [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(8)]) for i in range(12)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = pq_adc_topk(
+        df, n_queries=2, k_results=3, m=2, k=2, iterations=2, dim=8
+    ).collect()
+    assert len(out) == 2 * 3
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["adist"]))
+    for q, rows in per_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == [1, 2, 3]
+        dists = [r[1] for r in rows]
+        assert dists == sorted(dists)  # adist non-decreasing in rank
+        assert all(d >= 0.0 for d in dists)
+
+    with pytest.raises(ValueError):
+        pq_adc_topk(df, n_queries=0)
