@@ -987,3 +987,44 @@ def stream_attribution_linear(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_quality_score(
+    docs: DataFrame,
+    weights: list[float],
+    positive_lang: str = "en",
+) -> DataFrame:
+    """Score a document STREAM with a batch-trained quality classifier
+    (``classifier.logreg_weights``) — the ship-the-model step: train
+    offline, collect the |dims|-double weight vector, and apply it to
+    continuous ingest as a STATELESS projection (no state store, no
+    watermark; works in append mode on any rate of stream).
+
+    Bit-for-bit batch parity: z accumulates the per-feature products
+    as DECIMAL(28,18) terms added exactly (scale 18 is preserved
+    through the chain because each addition only grows precision, so
+    the chained sum equals the batch aggregate's order-free decimal
+    sum for any |z| < 1e10 — far past any real feature range), then
+    the same 1e-9-rounded sigmoid and 1e-6-rounded score.  Output:
+    (doc_id, score, pred).
+    """
+    from functools import reduce
+
+    from mapreduceimpl_spark.operators.classifier import logreg_features
+
+    if not weights:
+        raise ValueError("stream_quality_score: weights must be non-empty")
+    feats = logreg_features(docs, positive_lang=positive_lang)
+    terms = [
+        (F.element_at(F.col("fs"), j + 1) * F.lit(float(wj))).cast(
+            "decimal(28,18)"
+        )
+        for j, wj in enumerate(weights)
+    ]
+    z = reduce(lambda a, b: a + b, terms).cast("double")
+    p = F.floor((F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) * 1e9 + F.lit(0.5)) / 1e9
+    return feats.select(
+        "doc_id",
+        (F.floor(p * 1e6 + F.lit(0.5)) / 1e6).alias("score"),
+        (p >= 0.5).alias("pred"),
+    )

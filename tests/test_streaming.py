@@ -842,3 +842,42 @@ def test_stream_weekly_active_state_crosses_batches(spark, tmp_path):
     # contribution horizon: Jan 7 still carries Jan 1's users; by Jan 9
     # only the Jan 3 users remain in the trailing week
     assert got["2024-01-07"] == 3 and got["2024-01-09"] == 2
+
+
+def test_stream_quality_score_matches_batch_classifier(spark, tmp_path):
+    """Ship-the-model twin: weights trained offline by logreg_weights,
+    applied statelessly to a document stream, must reproduce
+    logreg_train_scores' scores and decisions bit-for-bit."""
+    from mapreduceimpl_spark.operators.classifier import (
+        logreg_train_scores,
+        logreg_weights,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text", "lang")
+    w_rows = sorted(
+        (r["dim"], r["w"]) for r in logreg_weights(docs).collect()
+    )
+    weights = [w for _dim, w in w_rows]
+    batch = {
+        r["doc_id"]: (r["score"], r["pred"])
+        for r in logreg_train_scores(docs).collect()
+    }
+
+    src = tmp_path / "docs_for_scoring"
+    # two files so the score runs across micro-batches
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(str(src / "a"))
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    got = _run_stream(
+        streaming.stream_quality_score(stream, weights), mode="append"
+    )
+    assert {r["doc_id"]: (r["score"], r["pred"]) for r in got} == batch
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        streaming.stream_quality_score(stream, [])
