@@ -1214,3 +1214,44 @@ def test_asof_forward_single_window_pass(tables):
     plan = explain_str(relational.q_asof_join_forward(tables), "simple")
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_logreg_weight_vector_broadcasts_every_iteration(docs):
+    """The |dims|-row weight frame must ride a BroadcastHashJoin onto
+    the (doc, dim) grid each GD iteration plus the final scoring pass
+    — the grid itself never shuffles for the join."""
+    from mapreduceimpl_spark.operators.classifier import logreg_train_scores
+    from mapreduceimpl_spark.plans import assert_broadcast_join, assert_no_cartesian
+
+    df = logreg_train_scores(docs, iterations=3)
+    assert_broadcast_join(df, expect=4)  # 3 iterations + scoring join
+    assert_no_cartesian(df)
+
+
+def test_dsir_delta_table_broadcasts_onto_token_stream(docs):
+    """The <= n_buckets-row ln-ratio table broadcasts onto the corpus
+    token stream; the corpus never shuffles for the scoring join."""
+    from mapreduceimpl_spark.operators.text_analysis import dsir_weights
+    from mapreduceimpl_spark.plans import assert_broadcast_join, assert_no_cartesian
+
+    df = dsir_weights(docs, n_buckets=64)
+    assert_broadcast_join(df, expect=1)
+    assert_no_cartesian(df)
+
+
+def test_pq_chains_broadcast_codebooks(embeddings):
+    """Every PQ subspace chain broadcasts its k*d_sub codebook per
+    iteration (m * iterations broadcasts total) — the corpus is only
+    touched by per-vector and per-centroid aggregates."""
+    from mapreduceimpl_spark.operators.similarity import pq_adc_topk, pq_codes
+    from mapreduceimpl_spark.plans import assert_broadcast_join, assert_no_cartesian
+
+    codes = pq_codes(embeddings, m=2, k=4, iterations=2, dim=64)
+    assert_broadcast_join(codes, expect=4)  # 2 subspaces x 2 iterations
+    assert_no_cartesian(codes)
+
+    adc = pq_adc_topk(embeddings, n_queries=5, k_results=3, m=2, k=4,
+                      iterations=2, dim=64)
+    # per subspace: 2 kmeans iters + lookup-table build + code join
+    assert_broadcast_join(adc, expect=8)
+    assert_no_cartesian(adc)
