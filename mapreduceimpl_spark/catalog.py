@@ -1006,6 +1006,62 @@ def _pq_adc_oracle(
     )
 
 
+def _skipgram_neg_oracle(
+    window: int = 1, k_neg: int = 1, n_cdf_buckets: int = 128, mod: int = 20
+) -> str:
+    """Chained-CTE replay of ``text_analysis.skipgram_negative_samples``
+    over the ``doc_id % mod == 0`` corpus slice: vocab^0.75 CDF with
+    exact decimal running totals, bucketized interval index, md5-seeded
+    inverse-CDF draws."""
+    B = n_cdf_buckets
+    return f"""WITH sgd AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id % {mod} = 0
+),
+sgv AS (
+  SELECT t.t AS token, COUNT(*) AS cnt
+  FROM sgd, unnest(toks) AS t(t) GROUP BY t.t
+),
+sgc AS (
+  SELECT token,
+         CAST(SUM(CAST(w AS DECIMAL(38,18))) OVER
+                (ORDER BY token) AS DOUBLE) AS hi,
+         CAST(SUM(CAST(w AS DECIMAL(38,18))) OVER
+                (ORDER BY token) - CAST(w AS DECIMAL(38,18)) AS DOUBLE) AS lo
+  FROM (SELECT token,
+               floor(pow(CAST(cnt AS DOUBLE), 0.75) * 1e9 + 0.5) / 1e9 AS w
+        FROM sgv)
+),
+sgw AS (SELECT MAX(hi) AS W FROM sgc),
+sgb AS (
+  SELECT b.b, c.token, c.lo, c.hi, w.W
+  FROM sgc c, sgw w,
+       unnest(generate_series(CAST(floor(c.lo / w.W * {B}) AS BIGINT),
+                              CAST(floor(c.hi / w.W * {B}) AS BIGINT))) AS b(b)
+),
+sgp AS (
+  SELECT d.doc_id, t.i - 1 AS pos, d.toks[t.i] AS center,
+         o.o AS "offset", d.toks[t.i + o.o] AS context
+  FROM sgd d,
+       unnest(generate_series(1, len(d.toks))) AS t(i),
+       unnest(generate_series(-{window}, {window})) AS o(o)
+  WHERE o.o <> 0 AND t.i + o.o >= 1 AND t.i + o.o <= len(d.toks)
+),
+sgu AS (
+  SELECT p.*, j.j,
+         CAST('0x' || substr(md5('n:' || CAST(p.doc_id AS VARCHAR) || ':'
+                                 || CAST(p.pos AS VARCHAR) || ':'
+                                 || CAST(p."offset" AS VARCHAR) || ':'
+                                 || CAST(j.j AS VARCHAR)), 1, 8) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM sgp p, unnest(generate_series(1, {k_neg})) AS j(j)
+)
+SELECT s.doc_id, s.pos, s.center, s."offset",
+       CAST(s.j AS BIGINT) AS j, s.context, b.token AS negative
+FROM sgu s JOIN sgb b ON CAST(floor(s.u * {B}) AS BIGINT) = b.b
+WHERE s.u * b.W >= b.lo AND s.u * b.W < b.hi"""
+
+
 def _dsir_layers(n_buckets: int = 256) -> list[str]:
     """CTE layers replaying ``text_analysis.dsir_weights``: benchmark
     split, hashed-unigram bucket counts for target and raw pool,
@@ -2371,7 +2427,8 @@ FROM sess GROUP BY user_id, sid
 # this round that doesn't fit the window goes here.
 DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
     {"quality_classifier", "quality_classifier_weights",
-     "dsir_weights", "dsir_select", "pq_codes", "pq_adc_topk"}
+     "dsir_weights", "dsir_select", "pq_codes", "pq_adc_topk",
+     "skipgram_negatives"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -5892,6 +5949,20 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "query time; top-5 per query by summed table entries; full "
             "chained-CTE replay of codebooks, tables, and ranking",
     ),
+    "skipgram_negatives": QuerySpec(
+        lambda spark, sf_dir: text_analysis.skipgram_negative_samples(
+            load_table(spark, sf_dir, "documents").filter(
+                (F.col("doc_id") % 20) == 0
+            ),
+            window=1, k_neg=1, n_cdf_buckets=128,
+        ),
+        _skipgram_neg_oracle(1, 1, 128, 20),
+        doc="word2vec skip-gram negatives: (center, context) pairs plus "
+            "deterministic unigram^0.75 noise draws via md5-seeded "
+            "inverse-CDF over a bucketized interval index — negative "
+            "lookup is a broadcast EQUI-join (alias-method role), never "
+            "a range scan; exact decimal CDF running totals",
+    ),
     "dsir_select": QuerySpec(
         lambda spark, sf_dir: text_analysis.dsir_select(
             load_table(spark, sf_dir, "documents"), k=50, n_buckets=256
@@ -5970,6 +6041,7 @@ _ROUND6_ORDER = [
     # into the window head next round
     "quality_classifier", "quality_classifier_weights",
     "dsir_weights", "dsir_select", "pq_codes", "pq_adc_topk",
+    "skipgram_negatives",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

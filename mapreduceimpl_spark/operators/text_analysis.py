@@ -1572,3 +1572,166 @@ def dsir_select(
         .orderBy(F.desc("score"), "doc_id")
         .limit(k)
     )
+
+
+def skipgram_pairs(
+    docs: DataFrame, window: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Skip-gram (center, context) pair construction (word2vec /
+    embedding-training input): every token paired with its neighbors
+    within ``window`` positions, both directions, as one narrow
+    projection — no self-join (the offsets are generated per position
+    from the token array itself, the ``next_event_pairs`` rule).
+
+    Output: (doc_id, pos, center, offset, context), offset in
+    [-window, window] minus 0, clipped at sequence edges.
+    """
+    if window < 1:
+        raise ValueError(f"skipgram_pairs: window must be >= 1, got {window}")
+    toks = tokens(text_col)
+    return (
+        docs.select("doc_id", toks.alias("__toks"))
+        .select(
+            "doc_id",
+            F.posexplode("__toks").alias("pos", "center"),
+            F.col("__toks").alias("__t2"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            "center",
+            F.explode(
+                F.filter(
+                    F.sequence(F.lit(-window), F.lit(window)),
+                    lambda o: (o != 0)
+                    & (F.col("pos") + o >= 0)
+                    & (F.col("pos") + o < F.size("__t2")),
+                )
+            ).alias("offset"),
+            F.col("__t2"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            "center",
+            F.col("offset").cast("long").alias("offset"),
+            F.element_at("__t2", (F.col("pos") + F.col("offset") + 1).cast("int")).alias(
+                "context"
+            ),
+        )
+    )
+
+
+def skipgram_negative_samples(
+    docs: DataFrame,
+    window: int = 1,
+    k_neg: int = 2,
+    n_cdf_buckets: int = 128,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic unigram^0.75 negative sampling for the skip-gram
+    pairs (the word2vec noise distribution): each positive pair draws
+    ``k_neg`` negatives from the corpus unigram distribution raised to
+    3/4, via inverse-CDF lookup seeded by md5 of the pair's identity —
+    a pure function of the corpus, engine-replayable.
+
+    Construction: vocab weights w = round9(cnt^0.75) cumulate over the
+    token-ordered vocabulary (unique key -> exact decimal running
+    totals) into half-open intervals [lo, hi); each draw maps
+    u = md5-uniform('n:' doc:pos:offset:j) into position u*W and finds
+    its interval.  The interval table is pre-bucketized: every vocab
+    interval is exploded to the ``n_cdf_buckets`` CDF buckets it
+    overlaps, so a draw EQUI-joins its bucket floor(u*B) and checks at
+    most the handful of intervals crossing that bucket — a broadcast
+    hash join at any vocabulary size, never a range scan (the alias-
+    method role, SQL-replayably).
+
+    Output: (doc_id, pos, center, offset, context, j, negative).
+    Negatives may collide with center/context (word2vec keeps these;
+    filtering would bias the noise distribution).
+
+    Scale: vocab aggregate is wordcount-shaped; the bucketized CDF is
+    O(V + B) rows broadcast; draws are a narrow projection of the
+    pair stream — output is pairs x k_neg, the training set itself.
+    """
+    if k_neg < 1 or n_cdf_buckets < 1:
+        raise ValueError(
+            f"skipgram_negative_samples: need k_neg >= 1 and "
+            f"n_cdf_buckets >= 1, got {k_neg}, {n_cdf_buckets}"
+        )
+    B = n_cdf_buckets
+    toks = docs.select(F.explode(tokens(text_col)).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    w_ord = Window.orderBy("token")  # bounded: |vocab| aggregated rows
+    cdf = vocab.select(
+        "token",
+        (F.floor(F.pow(F.col("cnt").cast("double"), 0.75) * 1e9 + F.lit(0.5)) / 1e9).alias(
+            "w"
+        ),
+    ).select(
+        "token",
+        F.sum(F.col("w").cast("decimal(38,18)"))
+        .over(w_ord)
+        .cast("double")
+        .alias("hi"),
+        (
+            F.sum(F.col("w").cast("decimal(38,18)")).over(w_ord)
+            - F.col("w").cast("decimal(38,18)")
+        )
+        .cast("double")
+        .alias("lo"),
+    )
+    total = cdf.agg(F.max("hi").alias("W"))
+    # bucketize: every interval exploded to the CDF buckets it overlaps
+    buckets = (
+        cdf.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "lo",
+            "hi",
+            "W",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lo") / F.col("W") * B).cast("long"),
+                    F.floor(F.col("hi") / F.col("W") * B).cast("long"),
+                )
+            ).alias("b"),
+        )
+        .select("b", "token", "lo", "hi", "W")
+    )
+    from mapreduceimpl_spark.operators.sampling import hash_uniform
+
+    pairs = skipgram_pairs(docs, window=window, text_col=text_col)
+    draws = pairs.select(
+        "*",
+        F.explode(F.sequence(F.lit(1), F.lit(k_neg))).alias("j"),
+    ).withColumn(
+        "u",
+        hash_uniform(
+            F.concat_ws(
+                ":",
+                F.lit("n"),
+                F.col("doc_id").cast("string"),
+                F.col("pos").cast("string"),
+                F.col("offset").cast("string"),
+                F.col("j").cast("string"),
+            )
+        ),
+    )
+    return (
+        draws.withColumn("b", F.floor(F.col("u") * B).cast("long"))
+        .join(F.broadcast(buckets), "b")
+        .filter(
+            (F.col("u") * F.col("W") >= F.col("lo"))
+            & (F.col("u") * F.col("W") < F.col("hi"))
+        )
+        .select(
+            "doc_id",
+            "pos",
+            "center",
+            "offset",
+            F.col("j").cast("long").alias("j"),
+            F.col("context"),
+            F.col("token").alias("negative"),
+        )
+    )

@@ -201,6 +201,9 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
         "bpe_train_merges",    # 1-row argmax merge pair per round
         "bpe_apply",           # same 1-row argmax broadcast, +1 round
         "bpe_vocab",           # same 1-row argmax broadcast, +1 round
+        "dsir_weights",        # 1-row target/pool bucket-mass totals
+        "dsir_select",         # same 1-row totals via dsir_weights
+        "skipgram_negatives",  # 1-row CDF grand total W
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

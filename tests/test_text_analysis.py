@@ -926,3 +926,42 @@ def test_dsir_explicit_target_scores_whole_corpus(spark):
     }
     assert set(w) == {1, 2}
     assert w[1] > w[2]
+
+
+def test_skipgram_pairs_window_and_edges(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    got = {
+        (r["pos"], r["offset"], r["center"], r["context"])
+        for r in text_analysis.skipgram_pairs(docs, window=1).collect()
+    }
+    assert got == {
+        (0, 1, "a", "b"),
+        (1, -1, "b", "a"),
+        (1, 1, "b", "c"),
+        (2, -1, "c", "b"),
+    }
+    with pytest.raises(ValueError):
+        text_analysis.skipgram_pairs(docs, window=0)
+
+
+def test_skipgram_negatives_one_draw_per_pair_from_vocab(spark):
+    """Every (pair, j) draw maps into exactly ONE CDF interval (the
+    half-open bucket filter can't double-count), negatives come from
+    the corpus vocabulary, and the draw set is rerun-stable."""
+    docs = spark.createDataFrame(
+        [(0, "a a a a b"), (20, "b c c a a")], ["doc_id", "text"]
+    )
+    out = text_analysis.skipgram_negative_samples(
+        docs, window=1, k_neg=2, n_cdf_buckets=8
+    ).collect()
+    n_pairs = text_analysis.skipgram_pairs(docs, window=1).count()
+    assert len(out) == n_pairs * 2  # exactly one negative per draw
+    keys = [(r["doc_id"], r["pos"], r["offset"], r["j"]) for r in out]
+    assert len(set(keys)) == len(keys)
+    assert {r["negative"] for r in out} <= {"a", "b", "c"}
+    again = text_analysis.skipgram_negative_samples(
+        docs, window=1, k_neg=2, n_cdf_buckets=8
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
