@@ -2428,7 +2428,8 @@ FROM sess GROUP BY user_id, sid
 DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
     {"quality_classifier", "quality_classifier_weights",
      "dsir_weights", "dsir_select", "pq_codes", "pq_adc_topk",
-     "skipgram_negatives"}
+     "skipgram_negatives", "glove_cooccurrence", "zipf_law_fit",
+     "heaps_law_growth", "unigram_kl", "vocab_overlap"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -5973,6 +5974,199 @@ SELECT l_id, r_id, jaccard, edit_distance, similarity FROM (
             "largest (log_w + md5-seeded Gumbel) keys, selection via "
             "TakeOrderedAndProject (no global sort materialized)",
     ),
+    "glove_cooccurrence": QuerySpec(
+        lambda spark, sf_dir: text_analysis.glove_cooccurrence(
+            load_table(spark, sf_dir, "documents").filter(
+                (F.col("doc_id") % 10) == 0
+            ),
+            window=3,
+        ),
+        """WITH gvd AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id % 10 = 0
+),
+gvp AS (
+  SELECT d.toks[t.i] AS word, o.o AS off, d.toks[t.i + o.o] AS context
+  FROM gvd d,
+       unnest(generate_series(1, len(d.toks))) AS t(i),
+       unnest(generate_series(-3, 3)) AS o(o)
+  WHERE o.o <> 0 AND t.i + o.o >= 1 AND t.i + o.o <= len(d.toks)
+)
+SELECT word, context,
+       CAST(SUM(CAST(floor(1e9 / abs(off) + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1e9 AS weight,
+       COUNT(*) AS n_pairs
+FROM gvp GROUP BY word, context""",
+        doc="GloVe input matrix: 1/distance-weighted (word, context) "
+            "co-occurrence over a +-3 window — weights quantized to "
+            "BIGINT ninths and summed exactly (order-independent and "
+            "engine-identical), ONE map-side-combined shuffle on the "
+            "pair key, only observed pairs materialize",
+    ),
+    "zipf_law_fit": QuerySpec(
+        lambda spark, sf_dir: text_analysis.zipf_law_fit(
+            load_table(spark, sf_dir, "documents")
+        ),
+        """WITH zt AS (
+  SELECT t.t AS token
+  FROM (SELECT string_split(text, ' ') AS toks FROM documents) d,
+       unnest(toks) AS t(t)
+),
+zv AS (SELECT token, COUNT(*) AS cnt FROM zt GROUP BY token),
+zr AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+  FROM zv
+),
+zquant AS (
+  SELECT cnt,
+         CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS lx,
+         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS ly
+  FROM zr
+),
+zterm AS (
+  SELECT cnt, lx, ly,
+         CAST(floor((CAST(lx AS DOUBLE) / 1e9) * (CAST(ly AS DOUBLE) / 1e9)
+                    * 1e9 + 0.5) AS BIGINT) AS lxy,
+         CAST(floor((CAST(lx AS DOUBLE) / 1e9) * (CAST(lx AS DOUBLE) / 1e9)
+                    * 1e9 + 0.5) AS BIGINT) AS lxx,
+         CAST(floor((CAST(ly AS DOUBLE) / 1e9) * (CAST(ly AS DOUBLE) / 1e9)
+                    * 1e9 + 0.5) AS BIGINT) AS lyy
+  FROM zquant
+),
+zs AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(lx) AS DOUBLE) / 1e9 AS sx,
+         CAST(SUM(ly) AS DOUBLE) / 1e9 AS sy,
+         CAST(SUM(lxy) AS DOUBLE) / 1e9 AS sxy,
+         CAST(SUM(lxx) AS DOUBLE) / 1e9 AS sxx,
+         CAST(SUM(lyy) AS DOUBLE) / 1e9 AS syy
+  FROM zterm
+)
+SELECT CAST(n AS BIGINT) AS n_vocab,
+       n_tokens,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM zs""",
+        doc="Zipf's-law OLS fit of ln(freq) on ln(rank): one-row corpus "
+            "health check (slope ~ -1 on natural text); round9 ln terms "
+            "quantized to BIGINT and summed exactly (engine-identical), "
+            "rank via a bounded |V|-row window",
+    ),
+    "heaps_law_growth": QuerySpec(
+        lambda spark, sf_dir: text_analysis.heaps_law_growth(
+            load_table(spark, sf_dir, "documents"), n_checkpoints=10
+        ),
+        """WITH hmax AS (SELECT MAX(doc_id) AS max_doc FROM documents),
+hcut AS (
+  SELECT CAST(c.c AS BIGINT) AS checkpoint,
+         CAST(floor(m.max_doc * c.c / 10) AS BIGINT) AS cutoff_doc_id
+  FROM hmax m, unnest(generate_series(1, 10)) AS c(c)
+),
+hfirst AS (
+  SELECT t.t AS token, MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+       unnest(toks) AS t(t)
+  GROUP BY t.t
+),
+hlen AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents
+),
+hv AS (
+  SELECT c.checkpoint, c.cutoff_doc_id, COUNT(*) AS vocab_size
+  FROM hfirst f, hcut c WHERE f.first_doc <= c.cutoff_doc_id
+  GROUP BY c.checkpoint, c.cutoff_doc_id
+),
+ht AS (
+  SELECT c.checkpoint, c.cutoff_doc_id,
+         CAST(SUM(l.len) AS BIGINT) AS tokens_seen
+  FROM hlen l, hcut c WHERE l.doc_id <= c.cutoff_doc_id
+  GROUP BY c.checkpoint, c.cutoff_doc_id
+)
+SELECT t.checkpoint, t.cutoff_doc_id, t.tokens_seen, v.vocab_size
+FROM ht t JOIN hv v
+  ON t.checkpoint = v.checkpoint AND t.cutoff_doc_id = v.cutoff_doc_id""",
+        doc="Heaps'-law vocab growth at 10 doc_id cutoffs: V(N) curve "
+            "without any global token ordering — first-occurrence and "
+            "doc-length aggregates fanned over a broadcast cutoff table",
+    ),
+    "unigram_kl": QuerySpec(
+        lambda spark, sf_dir: text_analysis.unigram_kl(
+            load_table(spark, sf_dir, "documents"), target="en"
+        ),
+        """WITH ukt AS (
+  SELECT t.t AS token, (lang = 'en') AS is_t
+  FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents) d,
+       unnest(toks) AS t(t)
+),
+ukc AS (
+  SELECT token,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cp
+  FROM ukt GROUP BY token
+),
+ukg AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cp) AS BIGINT) AS tp,
+         COUNT(*) AS v
+  FROM ukc
+),
+ukp AS (
+  SELECT g.tt, g.tp, g.v,
+         CAST(c.ct + 1 AS DOUBLE) / CAST(g.tt + g.v AS DOUBLE) AS p,
+         CAST(c.cp + 1 AS DOUBLE) / CAST(g.tp + g.v AS DOUBLE) AS q
+  FROM ukc c, ukg g
+),
+uks AS (
+  SELECT MAX(tt) AS target_tokens, MAX(tp) AS pool_tokens,
+         MAX(v) AS vocab_size,
+         SUM(CAST(floor(p * ln(p) * 1e12 + 0.5) AS BIGINT)) AS sh,
+         SUM(CAST(floor(p * ln(q) * 1e12 + 0.5) AS BIGINT)) AS sx
+  FROM ukp
+)
+SELECT CAST(target_tokens AS BIGINT) AS target_tokens,
+       CAST(pool_tokens AS BIGINT) AS pool_tokens,
+       CAST(vocab_size AS BIGINT) AS vocab_size,
+       CAST(-sh AS DOUBLE) / 1e12 AS target_entropy,
+       CAST(-sx AS DOUBLE) / 1e12 AS cross_entropy,
+       CAST(sh - sx AS DOUBLE) / 1e12 AS kl_nats
+FROM uks""",
+        doc="add-one-smoothed unigram KL(en || rest) over the union "
+            "vocab: one conditional-count shuffle, 1-row totals "
+            "broadcast, BIGINT-quantized entropy terms summed exactly "
+            "(engine-identical); kl == cross_entropy - target_entropy "
+            "by exact integer subtraction",
+    ),
+    "vocab_overlap": QuerySpec(
+        lambda spark, sf_dir: text_analysis.vocab_overlap(
+            load_table(spark, sf_dir, "documents"), group_col="lang"
+        ),
+        """WITH vo AS (
+  SELECT DISTINCT d.lang AS grp, t.t AS token
+  FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents) d,
+       unnest(toks) AS t(t)
+),
+vs AS (SELECT grp, COUNT(*) AS vocab FROM vo GROUP BY grp),
+vi AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b, COUNT(*) AS intersection
+  FROM vo a JOIN vo b ON a.token = b.token AND a.grp < b.grp
+  GROUP BY a.grp, b.grp
+)
+SELECT i.grp_a, i.grp_b,
+       CAST(sa.vocab AS BIGINT) AS vocab_a,
+       CAST(sb.vocab AS BIGINT) AS vocab_b,
+       CAST(i.intersection AS BIGINT) AS intersection,
+       CAST(i.intersection AS DOUBLE)
+         / CAST(sa.vocab + sb.vocab - i.intersection AS DOUBLE) AS jaccard
+FROM vi i
+JOIN vs sa ON i.grp_a = sa.grp
+JOIN vs sb ON i.grp_b = sb.grp""",
+        doc="pairwise per-language vocabulary Jaccard: ONE distinct "
+            "(group, token) shuffle, token self-join fans out <= C(G,2) "
+            "per token (never corpus^2), sizes ride broadcast joins; "
+            "Jaccard is an exact integer ratio — no quantization needed",
+    ),
 }
 
 
@@ -6041,7 +6235,8 @@ _ROUND6_ORDER = [
     # into the window head next round
     "quality_classifier", "quality_classifier_weights",
     "dsir_weights", "dsir_select", "pq_codes", "pq_adc_topk",
-    "skipgram_negatives",
+    "skipgram_negatives", "glove_cooccurrence", "zipf_law_fit",
+    "heaps_law_growth", "unigram_kl", "vocab_overlap",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

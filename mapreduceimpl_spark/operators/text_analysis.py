@@ -1735,3 +1735,322 @@ def skipgram_negative_samples(
             F.col("token").alias("negative"),
         )
     )
+
+
+def glove_cooccurrence(
+    docs: DataFrame, window: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """GloVe-style weighted co-occurrence counts (Pennington et al.
+    2014): every (word, context) pair within ``window`` positions
+    contributes weight 1/distance, summed over the corpus — the input
+    matrix X_ij that GloVe factorizes.  Builds on ``skipgram_pairs``
+    (no self-join; offsets generated per position from the token
+    array).
+
+    The 1/d weight is quantized to BIGINT ninths (``floor(1e9/d +
+    0.5)``) and summed as an exact integer, divided back to a double
+    only after the aggregate — integer sums are independent of
+    partition/accumulation order AND bit-identical across engines
+    (the DECIMAL route is not: DuckDB's double->DECIMAL cast scales
+    by 1e18 in floating point while Spark goes through the
+    shortest-repr string, diverging at ~1e-15 per term).
+
+    Output: (word, context, weight, n_pairs) — symmetric (X_ij ==
+    X_ji, since every ordered position pair appears once per
+    direction with the same distance).
+
+    Scale: pair stream is a narrow projection of the token explode
+    (output ~= 2 * window * corpus tokens); ONE shuffle on the
+    (word, context) key, map-side combined; no vocab^2 blowup — only
+    observed pairs materialize.
+    """
+    pairs = skipgram_pairs(docs, window=window, text_col=text_col)
+    lw = F.floor(F.lit(1e9) / F.abs(F.col("offset")) + F.lit(0.5)).cast("long")
+    return (
+        pairs.select(F.col("center").alias("word"), "context", lw.alias("__lw"))
+        .groupBy("word", "context")
+        .agg(
+            (F.sum("__lw").cast("double") / F.lit(1e9)).alias("weight"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+
+
+def zipf_law_fit(
+    docs: DataFrame, text_col: str = "text", round_l: int = 9
+) -> DataFrame:
+    """Zipf's-law fit over the corpus rank-frequency distribution:
+    closed-form OLS of ln(freq) on ln(rank) — slope ~ -1 on natural
+    text, so the slope is a one-number corpus-health check (a
+    synthetic or template-heavy crawl slice bends it).
+
+    Terms are ln values quantized to BIGINT ninths
+    (``floor(ln(.) * 1e9 + 0.5)``) and all five OLS sums are exact
+    BIGINT sums — integer arithmetic is partition-order independent
+    AND bit-identical across engines, side-stepping the
+    double->DECIMAL cast divergence (DuckDB scales by 1e18 in
+    floating point, Spark goes through the shortest-repr string, so
+    DECIMAL-routed sums of >1 magnitudes differ at ~1e-12).  r2 is
+    the squared Pearson correlation of the log-log scatter.
+
+    Output: ONE row (n_vocab, n_tokens, slope, intercept, r2).
+
+    Scale: one wordcount-shaped vocab aggregate; the rank assignment
+    is a single-partition window over the AGGREGATED vocab (bounded:
+    |V| rows, not corpus rows — same posture as the skipgram CDF); the
+    OLS reduce is a 1-row global aggregate.
+    """
+    toks = docs.select(F.explode(tokens(text_col)).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    w_ord = Window.orderBy(F.desc("cnt"), "token")  # bounded: |V| rows
+    ranked = vocab.select(
+        "cnt", F.row_number().over(w_ord).cast("long").alias("rank")
+    )
+    scale = float(10**round_l)
+    q = lambda c: F.floor(c * F.lit(scale) + F.lit(0.5)).cast("long")
+    lterms = ranked.select(
+        "cnt",
+        q(F.log(F.col("rank").cast("double"))).alias("lx"),
+        q(F.log(F.col("cnt").cast("double"))).alias("ly"),
+    )
+    xd = F.col("lx").cast("double") / F.lit(scale)
+    yd = F.col("ly").cast("double") / F.lit(scale)
+    terms = lterms.select(
+        "cnt",
+        "lx",
+        "ly",
+        q(xd * yd).alias("lxy"),
+        q(xd * xd).alias("lxx"),
+        q(yd * yd).alias("lyy"),
+    )
+    sl = terms.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum("lx").alias("slx"),
+        F.sum("ly").alias("sly"),
+        F.sum("lxy").alias("slxy"),
+        F.sum("lxx").alias("slxx"),
+        F.sum("lyy").alias("slyy"),
+    )
+    s = sl.select(
+        "n",
+        "n_tokens",
+        (F.col("slx").cast("double") / F.lit(scale)).alias("sx"),
+        (F.col("sly").cast("double") / F.lit(scale)).alias("sy"),
+        (F.col("slxy").cast("double") / F.lit(scale)).alias("sxy"),
+        (F.col("slxx").cast("double") / F.lit(scale)).alias("sxx"),
+        (F.col("slyy").cast("double") / F.lit(scale)).alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").cast("long").alias("n_vocab"),
+        "n_tokens",
+        (cov / varx).alias("slope"),
+        ((F.col("sy") - (cov / varx) * F.col("sx")) / F.col("n")).alias("intercept"),
+        (cov * cov / (varx * vary)).alias("r2"),
+    )
+
+
+def heaps_law_growth(
+    docs: DataFrame, n_checkpoints: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct-vocabulary size vs
+    tokens seen at ``n_checkpoints`` evenly spaced doc_id cutoffs —
+    V(N) ~ K*N^beta on natural text, so a flattening (template spam)
+    or runaway (OCR noise) curve is a one-glance corpus diagnostic.
+
+    Deliberately uses doc_id as the progress axis rather than global
+    token position: "tokens seen by cutoff c" = sum of doc lengths
+    with doc_id <= c and "vocab by c" = tokens whose FIRST doc_id
+    <= c, so there is NO global token ordering and NO unpartitioned
+    corpus-sized window — just two wordcount-shaped aggregates fanned
+    out over the (broadcast, ~n_checkpoints-row) cutoff table.
+
+    Output: (checkpoint, cutoff_doc_id, tokens_seen, vocab_size),
+    checkpoint in 1..n_checkpoints.
+
+    Scale: first-occurrence agg is |V| rows, doc-length agg is |docs|
+    rows; each crossJoins the tiny cutoff frame (n_checkpoints rows,
+    broadcast) then reduces per cutoff — shuffles bounded by
+    n_checkpoints * aggregate sizes, never corpus^2.
+    """
+    if n_checkpoints < 1:
+        raise ValueError(
+            f"heaps_law_growth: n_checkpoints must be >= 1, got {n_checkpoints}"
+        )
+    n = n_checkpoints
+    max_doc = docs.agg(F.max("doc_id").alias("max_doc"))
+    cuts = max_doc.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n))).alias("checkpoint"),
+        "max_doc",
+    ).select(
+        F.col("checkpoint").cast("long").alias("checkpoint"),
+        F.floor(F.col("max_doc") * F.col("checkpoint") / n)
+        .cast("long")
+        .alias("cutoff_doc_id"),
+    )
+    first_doc = (
+        docs.select("doc_id", F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    doc_len = docs.select("doc_id", F.size(tokens(text_col)).alias("len"))
+    vocab_at = (
+        first_doc.crossJoin(F.broadcast(cuts))
+        .filter(F.col("first_doc") <= F.col("cutoff_doc_id"))
+        .groupBy("checkpoint", "cutoff_doc_id")
+        .agg(F.count("*").cast("long").alias("vocab_size"))
+    )
+    tokens_at = (
+        doc_len.crossJoin(F.broadcast(cuts))
+        .filter(F.col("doc_id") <= F.col("cutoff_doc_id"))
+        .groupBy("checkpoint", "cutoff_doc_id")
+        .agg(F.sum("len").cast("long").alias("tokens_seen"))
+    )
+    return tokens_at.join(vocab_at, ["checkpoint", "cutoff_doc_id"]).select(
+        "checkpoint", "cutoff_doc_id", "tokens_seen", "vocab_size"
+    )
+
+
+def unigram_kl(
+    docs: DataFrame,
+    target: str,
+    split_col: str = "lang",
+    text_col: str = "text",
+    round_exp: int = 12,
+) -> DataFrame:
+    """Smoothed unigram KL divergence of a target corpus slice
+    against the rest of the corpus (the DSIR / CCNet-style "how far
+    is this slice from the pool" diagnostic, and the quantity a
+    domain-reweighting loop watches): add-one-smoothed unigram
+    distributions p (rows with ``split_col == target``) and q (the
+    rest) over the UNION vocabulary, then
+
+        H(p) = -sum p ln p,  H(p,q) = -sum p ln q,
+        KL(p||q) = H(p,q) - H(p).
+
+    Each term is quantized to a BIGINT (``floor(term * 1e12 + 0.5)``)
+    and summed exactly, so the one-row result is partition-order
+    independent and engine-identical (same posture as
+    ``zipf_law_fit`` — no double->DECIMAL casts).  KL is derived from
+    the two integer sums by exact subtraction, so kl_nats ==
+    cross_entropy - target_entropy holds bit-for-bit.
+
+    Output: ONE row (target_tokens, pool_tokens, vocab_size,
+    target_entropy, cross_entropy, kl_nats), all entropies in nats.
+
+    Scale: one wordcount-shaped shuffle with two conditional counts;
+    the totals frame is 1 row (broadcast, bounded nested-loop on
+    purpose); the term reduce is a 1-row global aggregate.  Term sums
+    are entropy-bounded (<= ln|V| * 1e12), so no BIGINT overflow at
+    any corpus size.
+    """
+    scale = float(10**round_exp)
+    toks = docs.select(
+        F.explode(tokens(text_col)).alias("token"),
+        (F.col(split_col) == F.lit(target)).alias("is_t"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cp"),
+    )
+    g = counts.agg(
+        F.sum("ct").alias("tt"),
+        F.sum("cp").alias("tp"),
+        F.count("*").alias("v"),
+    )
+    j = counts.crossJoin(F.broadcast(g))
+    p = (F.col("ct") + F.lit(1)).cast("double") / (
+        F.col("tt") + F.col("v")
+    ).cast("double")
+    q = (F.col("cp") + F.lit(1)).cast("double") / (
+        F.col("tp") + F.col("v")
+    ).cast("double")
+    qz = lambda c: F.floor(c * F.lit(scale) + F.lit(0.5)).cast("long")
+    s = j.select(
+        "tt",
+        "tp",
+        "v",
+        qz(p * F.log(p)).alias("lh"),
+        qz(p * F.log(q)).alias("lx"),
+    ).agg(
+        F.max("tt").alias("target_tokens"),
+        F.max("tp").alias("pool_tokens"),
+        F.max("v").alias("vocab_size"),
+        F.sum("lh").alias("sh"),
+        F.sum("lx").alias("sx"),
+    )
+    return s.select(
+        F.col("target_tokens").cast("long").alias("target_tokens"),
+        F.col("pool_tokens").cast("long").alias("pool_tokens"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        ((-F.col("sh")).cast("double") / F.lit(scale)).alias("target_entropy"),
+        ((-F.col("sx")).cast("double") / F.lit(scale)).alias("cross_entropy"),
+        ((F.col("sh") - F.col("sx")).cast("double") / F.lit(scale)).alias(
+            "kl_nats"
+        ),
+    )
+
+
+def vocab_overlap(
+    docs: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus groups (languages,
+    sources, snapshots): for every unordered group pair with at least
+    one shared token, |V_a INTERSECT V_b| / |V_a UNION V_b| — the
+    one-glance "are these slices the same language/template" matrix
+    that complements ``unigram_kl`` (which weighs by frequency;
+    this is set-level).
+
+    Jaccard is an exact integer ratio (intersection and sizes are
+    counts), so the division is engine-identical with no quantization
+    needed.  Pairs with an empty intersection are omitted (their
+    Jaccard is 0 and they never meet in the token join).
+
+    Output: (grp_a, grp_b, vocab_a, vocab_b, intersection, jaccard),
+    grp_a < grp_b.
+
+    Scale: distinct (group, token) is ONE wordcount-shaped shuffle to
+    |V| x G rows; the self-join on token fans out at most C(G,2) per
+    token (G = #groups, small), so join output <= |V| * G^2 / 2 —
+    linear in vocab, never corpus^2.  Group sizes ride a tiny
+    broadcast join.
+    """
+    gv = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
+        .distinct()
+    )
+    sizes = gv.groupBy("grp").agg(F.count("*").cast("long").alias("vocab"))
+    a, b = gv.alias("a"), gv.alias("b")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("a.grp") < F.col("b.grp"))
+        .groupBy(
+            F.col("a.grp").alias("grp_a"), F.col("b.grp").alias("grp_b")
+        )
+        .agg(F.count("*").cast("long").alias("intersection"))
+    )
+    sa = sizes.select(F.col("grp").alias("grp_a"), F.col("vocab").alias("vocab_a"))
+    sb = sizes.select(F.col("grp").alias("grp_b"), F.col("vocab").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "grp_a")
+        .join(F.broadcast(sb), "grp_b")
+        .select(
+            "grp_a",
+            "grp_b",
+            "vocab_a",
+            "vocab_b",
+            "intersection",
+            (
+                F.col("intersection").cast("double")
+                / (
+                    F.col("vocab_a") + F.col("vocab_b") - F.col("intersection")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )

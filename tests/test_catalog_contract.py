@@ -204,6 +204,10 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
         "dsir_weights",        # 1-row target/pool bucket-mass totals
         "dsir_select",         # same 1-row totals via dsir_weights
         "skipgram_negatives",  # 1-row CDF grand total W
+        "heaps_law_growth",    # broadcast n_checkpoints-row cutoff
+                               # frame fans the two aggregates out
+                               # (bounded x10, never corpus x corpus)
+        "unigram_kl",          # 1-row corpus totals (tt, tp, |V|)
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

@@ -965,3 +965,112 @@ def test_skipgram_negatives_one_draw_per_pair_from_vocab(spark):
         docs, window=1, k_neg=2, n_cdf_buckets=8
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_glove_cooccurrence_weights_and_symmetry(spark):
+    docs = spark.createDataFrame([(1, "a b c a")], ["doc_id", "text"])
+    got = {
+        (r["word"], r["context"]): (r["weight"], r["n_pairs"])
+        for r in text_analysis.glove_cooccurrence(docs, window=2).collect()
+    }
+    # tokens a0 b1 c2 a3; within distance 2:
+    #   (a,b): a0->b d1 + a3->b d2 = 1.5 over 2 pairs
+    #   (a,c): a0->c d2 + a3->c d1 = 1.5 over 2 pairs
+    #   (b,c): d1 only = 1.0 over 1 pair; mirrors identical
+    assert got[("a", "b")] == (1.5, 2)
+    assert got[("b", "a")] == (1.5, 2)
+    assert got[("a", "c")] == (1.5, 2)
+    assert got[("c", "a")] == (1.5, 2)
+    assert got[("b", "c")] == (1.0, 1)
+    # symmetry: X_ij == X_ji for every observed pair
+    for (w, c), (wt, n) in got.items():
+        assert got[(c, w)] == (wt, n)
+
+
+def test_zipf_law_fit_two_point_slope(spark):
+    # vocab {a: 4, b: 2}: ranks (1, 2); slope = (ln2-ln4)/(ln2-ln1) = -1
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b")], ["doc_id", "text"]
+    )
+    row = text_analysis.zipf_law_fit(docs).collect()[0]
+    assert row["n_vocab"] == 2
+    assert row["n_tokens"] == 6
+    assert abs(row["slope"] - (-1.0)) < 1e-6
+    # round9 quantization of the four products bounds the r2 error at
+    # ~1e-8, not machine epsilon
+    assert abs(row["r2"] - 1.0) < 1e-7
+    # intercept = mean(y) - slope*mean(x) = (ln4+ln2)/2 + (ln1+ln2)/2
+    import math
+
+    expect_b = (math.log(4) + math.log(2)) / 2 + (0 + math.log(2)) / 2
+    assert abs(row["intercept"] - expect_b) < 1e-6
+
+
+def test_heaps_law_growth_checkpoints(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (4, "d d")], ["doc_id", "text"]
+    )
+    got = {
+        r["checkpoint"]: (r["cutoff_doc_id"], r["tokens_seen"], r["vocab_size"])
+        for r in text_analysis.heaps_law_growth(docs, n_checkpoints=4).collect()
+    }
+    # max_doc=4, cutoffs 1,2,3,4
+    assert got[1] == (1, 2, 2)  # doc1: tokens a,b
+    assert got[2] == (2, 4, 3)  # +doc2: c new, a repeat
+    assert got[3] == (3, 4, 3)  # no doc3
+    assert got[4] == (4, 6, 4)  # +doc4: d new (counted once in vocab)
+    with pytest.raises(ValueError):
+        text_analysis.heaps_law_growth(docs, n_checkpoints=0)
+
+
+def test_unigram_kl_identical_slices_zero_kl(spark):
+    # same token distribution on both sides -> p == q -> KL == 0
+    docs = spark.createDataFrame(
+        [(1, "a a b", "en"), (2, "a a b", "fr")],
+        ["doc_id", "text", "lang"],
+    )
+    row = text_analysis.unigram_kl(docs, target="en").collect()[0]
+    assert row["target_tokens"] == 3
+    assert row["pool_tokens"] == 3
+    assert row["vocab_size"] == 2
+    assert row["kl_nats"] == 0.0
+    assert row["cross_entropy"] == row["target_entropy"]
+    # smoothed p = ((2+1)/5, (1+1)/5) -> H(p) = -(0.6 ln 0.6 + 0.4 ln 0.4)
+    import math
+
+    expect_h = -(0.6 * math.log(0.6) + 0.4 * math.log(0.4))
+    assert abs(row["target_entropy"] - expect_h) < 1e-9
+
+
+def test_unigram_kl_divergent_slices_positive(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a", "en"), (2, "b b b b", "fr")],
+        ["doc_id", "text", "lang"],
+    )
+    row = text_analysis.unigram_kl(docs, target="en").collect()[0]
+    assert row["kl_nats"] > 0.5  # heavily divergent
+    # exact identity by construction: kl = cross_entropy - target_entropy
+    assert abs(row["kl_nats"] - (row["cross_entropy"] - row["target_entropy"])) < 1e-12
+
+
+def test_vocab_overlap_jaccard(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en"),
+            (2, "b c d", "fr"),
+            (3, "x y", "zh"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    got = {
+        (r["grp_a"], r["grp_b"]): (
+            r["vocab_a"], r["vocab_b"], r["intersection"], r["jaccard"]
+        )
+        for r in text_analysis.vocab_overlap(docs).collect()
+    }
+    # en={a,b,c}, fr={b,c,d}: inter 2, union 4 -> 0.5
+    assert got[("en", "fr")] == (3, 3, 2, 0.5)
+    # zh shares nothing -> pair omitted
+    assert set(got) == {("en", "fr")}
