@@ -2429,7 +2429,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
     {"quality_classifier", "quality_classifier_weights",
      "dsir_weights", "dsir_select", "pq_codes", "pq_adc_topk",
      "skipgram_negatives", "glove_cooccurrence", "zipf_law_fit",
-     "heaps_law_growth", "unigram_kl", "vocab_overlap"}
+     "heaps_law_growth", "unigram_kl", "vocab_overlap",
+     "contamination_bloom", "ngram_novelty"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -6167,6 +6168,75 @@ JOIN vs sb ON i.grp_b = sb.grp""",
             "per token (never corpus^2), sizes ride broadcast joins; "
             "Jaccard is an exact integer ratio — no quantization needed",
     ),
+    "contamination_bloom": QuerySpec(
+        lambda spark, sf_dir: text_analysis.contamination_bloom(
+            load_table(spark, sf_dir, "documents")
+        ),
+        f"""WITH cbb AS (
+  SELECT DISTINCT unnest({_shingle_list(8)}) AS shingle
+  FROM documents WHERE doc_id % 97 = 0 AND len({_TOKS}) >= 8
+),
+cbbits AS (
+  SELECT DISTINCT unnest({sketches._bloom_positions_sql('shingle', 3, 65536)})
+    AS pos
+  FROM cbb
+),
+cbc AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+cbsh AS (
+  SELECT doc_id, unnest({_shingle_list(8)}) AS shingle
+  FROM cbc WHERE len({_TOKS}) >= 8
+),
+cbpr AS (
+  SELECT doc_id, shingle,
+         unnest(list_distinct(
+           {sketches._bloom_positions_sql('shingle', 3, 65536)})) AS pos
+  FROM cbsh
+),
+cbps AS (
+  SELECT p.doc_id, p.shingle,
+         SUM(CASE WHEN b.pos IS NULL THEN 1 ELSE 0 END) AS miss
+  FROM cbpr p LEFT JOIN cbbits b ON p.pos = b.pos
+  GROUP BY p.doc_id, p.shingle
+),
+cbd AS (
+  SELECT doc_id, COUNT(*) AS n_ngrams,
+         SUM(CASE WHEN miss = 0 THEN 1 ELSE 0 END) AS n_candidates
+  FROM cbps GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(COALESCE(d.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(d.n_candidates, 0) AS BIGINT) AS n_candidates,
+       COALESCE(d.n_candidates, 0) > 0 AS maybe_contaminated
+FROM cbc c LEFT JOIN cbd d ON c.doc_id = d.doc_id""",
+        doc="Bloom-filter decontamination pre-filter: benchmark 8-gram "
+            "shingles -> <= m_bits-row bit table (bounded broadcast BY "
+            "CONSTRUCTION, unlike the SF-scaled shingle set) -> probe "
+            "every training shingle; no false negatives vs "
+            "contamination_check (pytest-pinned superset invariant), "
+            "the exact join then runs only on the flagged sliver",
+    ),
+    "ngram_novelty": QuerySpec(
+        lambda spark, sf_dir: text_analysis.ngram_novelty(
+            load_table(spark, sf_dir, "documents")
+        ),
+        f"""WITH nns AS (
+  SELECT doc_id, unnest({_shingle_list(8)}) AS shingle
+  FROM documents WHERE len({_TOKS}) >= 8
+),
+nnd AS (SELECT shingle, COUNT(*) AS df FROM nns GROUP BY shingle)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM nns s JOIN nnd d ON s.shingle = d.shingle
+GROUP BY s.doc_id""",
+        doc="per-doc 8-gram novelty (fraction of the doc's distinct "
+            "shingles with corpus df == 1): ONE wordcount-shaped df "
+            "shuffle, join-back rides the same shingle partitioning, "
+            "exact integer ratio — the doc-level complement of the "
+            "pairwise dedup family",
+    ),
 }
 
 
@@ -6237,6 +6307,7 @@ _ROUND6_ORDER = [
     "dsir_weights", "dsir_select", "pq_codes", "pq_adc_topk",
     "skipgram_negatives", "glove_cooccurrence", "zipf_law_fit",
     "heaps_law_growth", "unigram_kl", "vocab_overlap",
+    "contamination_bloom", "ngram_novelty",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -2054,3 +2054,135 @@ def vocab_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def contamination_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    n: int = 8,
+    m_bits: int = 65536,
+    n_hashes: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter decontamination PRE-filter: build a Bloom filter
+    over the benchmark's n-gram shingles and probe every training
+    shingle against it — the cheap first pass a 100 TB pipeline runs
+    BEFORE ``contamination_check``'s exact join.  The bit table is at
+    most ``m_bits`` rows regardless of benchmark size (unlike the
+    benchmark shingle set itself, which scales with the eval suite),
+    so the broadcast is bounded BY CONSTRUCTION and the corpus never
+    shuffles; the exact join then runs only on the flagged sliver.
+
+    No false negatives (Bloom guarantee): every doc
+    ``contamination_check`` flags has ``maybe_contaminated`` here, and
+    ``n_candidates >= n_contaminated`` doc-for-doc; false positives at
+    the designed rate inflate only the candidate set.
+
+    Output: (doc_id, n_ngrams, n_candidates, maybe_contaminated) for
+    every corpus doc (docs shorter than n tokens report 0 shingles).
+
+    Scale: benchmark shingles reduce to <= m_bits DISTINCT positions
+    (one small shuffle); probes explode to <= n_hashes rows per corpus
+    shingle, broadcast-hash-join the bit table, and re-aggregate per
+    (doc, shingle) then per doc — all map-side-combinable, no
+    corpus-side wide shuffle beyond the two keyed aggregates.
+    """
+    from mapreduceimpl_spark.operators.dedup import ngram_shingles
+    from mapreduceimpl_spark.operators.sketches import (
+        _bloom_positions,
+        bloom_build,
+    )
+
+    benchmark, corpus = _default_benchmark_split(docs, benchmark, id_col)
+    bench_sh = (
+        ngram_shingles(benchmark, n=n, id_col=id_col, text_col=text_col)
+        .select("shingle")
+        .distinct()
+    )
+    bits = bloom_build(bench_sh, "shingle", m_bits=m_bits, n_hashes=n_hashes)
+    corpus_sh = ngram_shingles(corpus, n=n, id_col=id_col, text_col=text_col)
+    pr = corpus_sh.select(
+        id_col,
+        "shingle",
+        F.explode(
+            F.array_distinct(
+                _bloom_positions(F.col("shingle"), n_hashes, m_bits)
+            )
+        ).alias("pos"),
+    )
+    hit = F.broadcast(bits.withColumn("__set", F.lit(1)))
+    per_shingle = (
+        pr.join(hit, "pos", "left")
+        .groupBy(id_col, "shingle")
+        .agg(
+            F.sum(F.when(F.col("__set").isNull(), 1).otherwise(0)).alias(
+                "__miss"
+            )
+        )
+    )
+    per_doc = per_shingle.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_ngrams"),
+        F.sum(F.when(F.col("__miss") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_candidates"),
+    )
+    return (
+        corpus.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+        )
+        .withColumn("maybe_contaminated", F.col("n_candidates") > 0)
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    n-gram shingles that appear in NO other document (corpus document
+    frequency 1) — high novelty = original text, low novelty =
+    boilerplate/template/near-dup mass the dedup passes should have
+    caught; the doc-level complement of the pairwise dedup family.
+
+    Novelty is an exact integer ratio (both counts are exact), so the
+    division is engine-identical with no quantization.
+
+    Output: (doc_id, n_ngrams, n_novel, novelty) for every doc with at
+    least n tokens (shorter docs have no shingles and are omitted,
+    matching ``ngram_shingles``).
+
+    Scale: shingle document frequency is ONE wordcount-shaped shuffle
+    (each (doc, shingle) pair appears once, so COUNT(*) IS df); the
+    join back rides the same shingle key partitioning; the per-doc
+    re-agg is map-side combinable.  Never pairwise — work is linear in
+    total shingle mass.
+    """
+    from mapreduceimpl_spark.operators.dedup import ngram_shingles
+
+    sh = ngram_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_ngrams").cast("double")
+            ).alias("novelty"),
+        )
+    )

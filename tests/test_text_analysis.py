@@ -1074,3 +1074,64 @@ def test_vocab_overlap_jaccard(spark):
     assert got[("en", "fr")] == (3, 3, 2, 0.5)
     # zh shares nothing -> pair omitted
     assert set(got) == {("en", "fr")}
+
+
+def test_contamination_bloom_no_false_negatives(docs):
+    """Bloom guarantee: every doc the exact check flags is a bloom
+    candidate, and candidate counts dominate exact counts doc-for-doc."""
+    exact = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in text_analysis.contamination_check(docs).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_candidates"]
+        for r in text_analysis.contamination_bloom(docs).collect()
+    }
+    assert set(bloom) == set(exact)  # same corpus split, same coverage
+    for doc_id, n_exact in exact.items():
+        assert bloom[doc_id] >= n_exact
+
+
+def test_contamination_bloom_planted_overlap(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    docs = spark.createDataFrame(
+        [
+            (0, bench_text),  # doc_id % 97 == 0 -> benchmark
+            (1, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"),
+            (2, "completely different words with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text_analysis.contamination_bloom(docs).collect()}
+    assert 0 not in rows  # benchmark excluded
+    # doc 1 embeds exactly one of the benchmark's two 8-grams
+    assert rows[1]["maybe_contaminated"] and rows[1]["n_candidates"] == 1
+    # with m_bits=65536 and a handful of shingles, no false positives
+    assert not rows[2]["maybe_contaminated"]
+    # short doc: present with zero shingles
+    short = spark.createDataFrame(
+        [(0, bench_text), (1, "too short")], ["doc_id", "text"]
+    )
+    r1 = {r["doc_id"]: r for r in text_analysis.contamination_bloom(short).collect()}
+    assert r1[1]["n_ngrams"] == 0 and not r1[1]["maybe_contaminated"]
+
+
+def test_ngram_novelty_duplicate_vs_unique(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c d"),          # exact dup of 1 -> zero novelty both
+            (3, "p q r s t"),        # fully unique -> novelty 1
+            (4, "a b c d e"),        # shares 'a b c' with 1/2, adds new
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_novel"], r["novelty"])
+        for r in text_analysis.ngram_novelty(docs, n=3).collect()
+    }
+    assert got[1] == (2, 0, 0.0)          # both trigrams shared with 2 and 4/2
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (3, 3, 1.0)
+    # doc 4: trigrams {abc, bcd, cde}: abc df=3, bcd df=3, cde df=1
+    assert got[4] == (3, 1, 1 / 3)
