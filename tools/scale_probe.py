@@ -482,6 +482,52 @@ def _probe_semdedup_funnel(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_glove(spark, sf_dir: str):
+    """glove_cooccurrence over the FULL documents table (the catalog
+    entry subsamples 1/10): pair stream is ~2*window*tokens, one
+    map-side-combined shuffle — wall should track token mass."""
+    from mapreduceimpl_spark.operators import text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = text_analysis.glove_cooccurrence(docs, window=3).count()
+    return time.time() - t0, n
+
+
+def _probe_contamination_bloom(spark, sf_dir: str):
+    """contamination_bloom: probe-side explode is <= n_hashes rows per
+    shingle against a <= m_bits-row broadcast — wall should track
+    corpus shingle mass, never benchmark x corpus."""
+    from mapreduceimpl_spark.operators import text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = text_analysis.contamination_bloom(docs).count()
+    return time.time() - t0, n
+
+
+def _probe_ngram_novelty(spark, sf_dir: str):
+    """ngram_novelty: df count + join-back on the shingle key — linear
+    in shingle mass (never pairwise)."""
+    from mapreduceimpl_spark.operators import text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = text_analysis.ngram_novelty(docs).count()
+    return time.time() - t0, n
+
+
+def _probe_unigram_kl(spark, sf_dir: str):
+    """unigram_kl: wordcount-shaped conditional counts + 1-row totals
+    broadcast — wall tracks token mass; vocab saturates."""
+    from mapreduceimpl_spark.operators import text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = text_analysis.unigram_kl(docs, target="en").count()
+    return time.time() - t0, n
+
+
 PROBES = {
     "minhash": _probe_minhash,
     "semantic": _probe_semantic,
@@ -516,6 +562,10 @@ PROBES = {
     "bpe_persisted": _probe_bpe_persisted,
     "kmeans_lloyd": _probe_kmeans_lloyd,
     "ivf_lloyd": _probe_ivf_lloyd,
+    "glove": _probe_glove,
+    "contamination_bloom": _probe_contamination_bloom,
+    "ngram_novelty": _probe_ngram_novelty,
+    "unigram_kl": _probe_unigram_kl,
 }
 
 
