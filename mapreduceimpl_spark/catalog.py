@@ -2430,7 +2430,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "dsir_weights", "dsir_select", "pq_codes", "pq_adc_topk",
      "skipgram_negatives", "glove_cooccurrence", "zipf_law_fit",
      "heaps_law_growth", "unigram_kl", "vocab_overlap",
-     "contamination_bloom", "ngram_novelty"}
+     "contamination_bloom", "ngram_novelty", "kmv_set_ops"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -6237,6 +6237,19 @@ GROUP BY s.doc_id""",
             "exact integer ratio — the doc-level complement of the "
             "pairwise dedup family",
     ),
+    "kmv_set_ops": QuerySpec(
+        lambda spark, sf_dir: sketches.kmv_set_ops(
+            load_table(spark, sf_dir, "documents"), k=256
+        ),
+        sketches.kmv_set_ops_sql(k=256),
+        doc="KMV sketch set operations: per language pair, union / "
+            "intersection / Jaccard estimated from the MERGED k-min "
+            "sketches alone (Beyer et al. 2007) next to the exact "
+            "counts — the mergeable-sketch contract: sketch each "
+            "stratum once (k rows), answer any pair later without "
+            "re-reading the corpus; md5-uniform hashes make every "
+            "estimate replayable in both engines",
+    ),
 }
 
 
@@ -6307,7 +6320,7 @@ _ROUND6_ORDER = [
     "dsir_weights", "dsir_select", "pq_codes", "pq_adc_topk",
     "skipgram_negatives", "glove_cooccurrence", "zipf_law_fit",
     "heaps_law_growth", "unigram_kl", "vocab_overlap",
-    "contamination_bloom", "ngram_novelty",
+    "contamination_bloom", "ngram_novelty", "kmv_set_ops",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

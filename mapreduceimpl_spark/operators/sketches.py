@@ -277,3 +277,187 @@ def countmin_estimate(
         .groupBy("token", "true_cnt")
         .agg(F.min("cnt").alias("est_cnt"))
     )
+
+
+def _kmv_hashes(
+    docs: DataFrame, n: int, strata_col: str
+) -> DataFrame:
+    """Distinct (stratum, shingle-hash-uniform) pairs — the shared
+    input of :func:`kmv_distinct` and :func:`kmv_set_ops`."""
+    pre = docs.select(F.col(strata_col), tokens("text").alias("__toks")).filter(
+        F.size("__toks") >= n
+    )
+    m = F.size(F.col("__toks")) - (n - 1)
+    shingles = F.transform(
+        F.sequence(F.lit(0), m - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, n))),
+    )
+    sh = pre.select(
+        F.col(strata_col).alias("grp"),
+        F.explode(F.array_distinct(shingles)).alias("shingle"),
+    )
+    return sh.select("grp", hash_uniform(F.col("shingle")).alias("u")).distinct()
+
+
+def kmv_set_ops(
+    docs: DataFrame, k: int = 256, n: int = 3, strata_col: str = "lang"
+) -> DataFrame:
+    """KMV sketch SET OPERATIONS between corpus strata: for every
+    unordered stratum pair, the union and intersection cardinality of
+    their n-gram shingle sets, estimated FROM THE MERGED k-MIN
+    SKETCHES alone — the mergeable-sketch workflow that matters at
+    100 TB: sketch each stratum once (k rows each), answer any pair's
+    union/intersection/Jaccard later WITHOUT re-reading the corpus.
+
+    Estimators (Beyer et al. 2007): merge two k-min sketches, re-take
+    the k smallest; est_union = (k-1)/tau with tau the merged k-th
+    minimum; rho = how many of those k smallest occur in BOTH input
+    sketches; est_inter = rho/k * est_union; est_jaccard = rho/k.
+    Exact union/intersection counts ride along from the full hash
+    sets (the verification columns, same posture as ``kmv_distinct``).
+    Hashes are md5-prefix uniforms, so every estimate is a replayable
+    pure function of the corpus — engine-identical, no randomness.
+
+    Pairs where the merged sketch has fewer than k hashes report NULL
+    union/intersection estimates (the "return the exact set" regime,
+    as kmv_distinct); est_jaccard = rho/k is still emitted there but
+    is an UNDERESTIMATE (fixed denominator k exceeds the union size —
+    use exact_inter/exact_union in that regime).
+
+    Output: (grp_a, grp_b, exact_union, exact_inter, tau, rho,
+    est_union, est_inter, est_jaccard), grp_a < grp_b.
+
+    Scale: per-stratum sketches are k rows each (ONE bounded window
+    over the distinct hash set); all pair work happens on G * k rows
+    — G strata, never corpus-sized; the exact columns reuse the
+    distinct hash set with a per-pair flag aggregate (drop them in
+    production and nothing corpus-sized survives the sketch step).
+    """
+    if k < 2:
+        raise ValueError(f"kmv_set_ops: k must be >= 2, got {k}")
+    hashes = _kmv_hashes(docs, n, strata_col)
+    w = Window.partitionBy("grp").orderBy(F.col("u").asc())
+    sk = (
+        hashes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("grp", "u")
+    )
+    grps = hashes.select("grp").distinct()
+    pairs = (
+        grps.select(F.col("grp").alias("grp_a"))
+        .crossJoin(grps.select(F.col("grp").alias("grp_b")))
+        .filter(F.col("grp_a") < F.col("grp_b"))
+    )
+
+    def _pair_flags(src: DataFrame) -> DataFrame:
+        ga = pairs.join(
+            src.select(F.col("grp").alias("grp_a"), "u"), "grp_a"
+        ).select("grp_a", "grp_b", "u", F.lit(1).alias("a"), F.lit(0).alias("b"))
+        gb = pairs.join(
+            src.select(F.col("grp").alias("grp_b"), "u"), "grp_b"
+        ).select("grp_a", "grp_b", "u", F.lit(0).alias("a"), F.lit(1).alias("b"))
+        return (
+            ga.unionByName(gb)
+            .groupBy("grp_a", "grp_b", "u")
+            .agg(F.max("a").alias("in_a"), F.max("b").alias("in_b"))
+        )
+
+    exact = _pair_flags(hashes).groupBy("grp_a", "grp_b").agg(
+        F.count("*").cast("long").alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("exact_inter"),
+    )
+
+    wm = Window.partitionBy("grp_a", "grp_b").orderBy(F.col("u").asc())
+    merged = _pair_flags(sk).withColumn("__rn", F.row_number().over(wm))
+    tau = merged.filter(F.col("__rn") == k).select(
+        "grp_a", "grp_b", F.col("u").alias("tau")
+    )
+    rho = (
+        merged.filter(F.col("__rn") <= k)
+        .groupBy("grp_a", "grp_b")
+        .agg(F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("rho"))
+    )
+    est_union = F.lit(float(k - 1)) / F.col("tau")
+    return (
+        exact.join(tau, ["grp_a", "grp_b"], "left")
+        .join(rho, ["grp_a", "grp_b"], "left")
+        .select(
+            "grp_a",
+            "grp_b",
+            "exact_union",
+            "exact_inter",
+            "tau",
+            "rho",
+            est_union.alias("est_union"),
+            (F.col("rho").cast("double") * est_union / F.lit(float(k))).alias(
+                "est_inter"
+            ),
+            (F.col("rho").cast("double") / F.lit(float(k))).alias("est_jaccard"),
+        )
+    )
+
+
+def kmv_set_ops_sql(k: int = 256, n: int = 3, strata_col: str = "lang") -> str:
+    """DuckDB mirror of :func:`kmv_set_ops` over ``documents``."""
+    u = hash_uniform_sql(f"md5(array_to_string(toks[i + 1 : i + {n}], ' '))")
+    return f"""WITH kst AS (
+  SELECT {strata_col} AS grp, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= {n}
+),
+ksh AS (
+  SELECT DISTINCT grp, {u} AS u
+  FROM kst, unnest(range(0, len(toks) - {n - 1})) AS q(i)
+),
+ksk AS (
+  SELECT grp, u FROM (
+    SELECT grp, u, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY u ASC) AS rn
+    FROM ksh
+  ) WHERE rn <= {k}
+),
+kpairs AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b
+  FROM (SELECT DISTINCT grp FROM ksh) a, (SELECT DISTINCT grp FROM ksh) b
+  WHERE a.grp < b.grp
+),
+kfull AS (
+  SELECT grp_a, grp_b, u, MAX(a) AS in_a, MAX(b) AS in_b FROM (
+    SELECT p.grp_a, p.grp_b, s.u, 1 AS a, 0 AS b
+    FROM kpairs p JOIN ksh s ON s.grp = p.grp_a
+    UNION ALL
+    SELECT p.grp_a, p.grp_b, s.u, 0 AS a, 1 AS b
+    FROM kpairs p JOIN ksh s ON s.grp = p.grp_b
+  ) GROUP BY grp_a, grp_b, u
+),
+kexact AS (
+  SELECT grp_a, grp_b, CAST(COUNT(*) AS BIGINT) AS exact_union,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS exact_inter
+  FROM kfull GROUP BY grp_a, grp_b
+),
+kmrg AS (
+  SELECT grp_a, grp_b, u, in_a, in_b,
+         ROW_NUMBER() OVER (PARTITION BY grp_a, grp_b ORDER BY u ASC) AS rn
+  FROM (
+    SELECT grp_a, grp_b, u, MAX(a) AS in_a, MAX(b) AS in_b FROM (
+      SELECT p.grp_a, p.grp_b, s.u, 1 AS a, 0 AS b
+      FROM kpairs p JOIN ksk s ON s.grp = p.grp_a
+      UNION ALL
+      SELECT p.grp_a, p.grp_b, s.u, 0 AS a, 1 AS b
+      FROM kpairs p JOIN ksk s ON s.grp = p.grp_b
+    ) GROUP BY grp_a, grp_b, u
+  )
+),
+ktau AS (
+  SELECT grp_a, grp_b, u AS tau FROM kmrg WHERE rn = {k}
+),
+krho AS (
+  SELECT grp_a, grp_b, CAST(SUM(in_a * in_b) AS BIGINT) AS rho
+  FROM kmrg WHERE rn <= {k} GROUP BY grp_a, grp_b
+)
+SELECT e.grp_a, e.grp_b, e.exact_union, e.exact_inter, t.tau, r.rho,
+       {float(k - 1)!r} / t.tau AS est_union,
+       CAST(r.rho AS DOUBLE) * ({float(k - 1)!r} / t.tau) / {float(k)!r}
+         AS est_inter,
+       CAST(r.rho AS DOUBLE) / {float(k)!r} AS est_jaccard
+FROM kexact e
+LEFT JOIN ktau t ON e.grp_a = t.grp_a AND e.grp_b = t.grp_b
+LEFT JOIN krho r ON e.grp_a = r.grp_a AND e.grp_b = r.grp_b"""

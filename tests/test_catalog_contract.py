@@ -208,6 +208,8 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
                                # frame fans the two aggregates out
                                # (bounded x10, never corpus x corpus)
         "unigram_kl",          # 1-row corpus totals (tt, tp, |V|)
+        "kmv_set_ops",         # G-row strata grid self-paired
+                               # (G = #languages, bounded C(G,2))
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

@@ -153,3 +153,52 @@ def test_countmin_build_validates(spark):
     tiny = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         countmin_build(tiny, d=0)
+
+
+def test_kmv_set_ops_exact_regime_and_counts(spark):
+    """k larger than any merged set: exact columns are the truth,
+    union/intersection estimates are NULL (the return-the-exact-set
+    regime), rho equals the exact intersection."""
+    from mapreduceimpl_spark.operators import sketches
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e", "en"),   # trigrams: abc bcd cde
+            (2, "c d e f", "fr"),     # trigrams: cde def
+            (3, "x y z", "zh"),       # trigram: xyz
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    rows = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in sketches.kmv_set_ops(docs, k=64).collect()
+    }
+    assert set(rows) == {("en", "fr"), ("en", "zh"), ("fr", "zh")}
+    ef = rows[("en", "fr")]
+    assert ef["exact_union"] == 4          # abc bcd cde def
+    assert ef["exact_inter"] == 1          # cde
+    assert ef["rho"] == 1
+    assert ef["tau"] is None and ef["est_union"] is None
+    ez = rows[("en", "zh")]
+    assert ez["exact_union"] == 4 and ez["exact_inter"] == 0 and ez["rho"] == 0
+
+
+def test_kmv_set_ops_estimation_regime_identities(docs):
+    """With k below the per-language shingle counts, the estimator
+    identities hold exactly (deterministic md5 hashes) and the union
+    estimate lands near the exact union."""
+    from mapreduceimpl_spark.operators import sketches
+
+    out = sketches.kmv_set_ops(docs, k=32).collect()
+    assert out  # at least one pair
+    for r in out:
+        if r["tau"] is None:
+            continue
+        assert 0.0 < r["tau"] < 1.0
+        assert abs(r["est_union"] - 31 / r["tau"]) < 1e-12
+        assert abs(r["est_inter"] - r["rho"] * r["est_union"] / 32) < 1e-9
+        assert abs(r["est_jaccard"] - r["rho"] / 32) < 1e-12
+        assert 0 <= r["rho"] <= 32
+        # KMV relative error ~ 1/sqrt(k-1) ~ 18%; allow generous 3x
+        assert r["est_union"] > r["exact_union"] * 0.4
+        assert r["est_union"] < r["exact_union"] * 2.5
