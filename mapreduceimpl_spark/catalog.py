@@ -2430,7 +2430,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "dsir_weights", "dsir_select", "pq_codes", "pq_adc_topk",
      "skipgram_negatives", "glove_cooccurrence", "zipf_law_fit",
      "heaps_law_growth", "unigram_kl", "vocab_overlap",
-     "contamination_bloom", "ngram_novelty", "kmv_set_ops"}
+     "contamination_bloom", "ngram_novelty", "kmv_set_ops",
+     "events_holt"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -6250,6 +6251,18 @@ GROUP BY s.doc_id""",
             "re-reading the corpus; md5-uniform hashes make every "
             "estimate replayable in both engines",
     ),
+    "events_holt": QuerySpec(
+        lambda spark, sf_dir: timeseries.holt_trend(
+            load_table(spark, sf_dir, "events")
+        ),
+        timeseries.holt_oracle_sql(),
+        doc="per-user Holt double exponential smoothing (level + "
+            "linear trend, alpha=1/2 beta=1/4): tracks drifting "
+            "series EWMA lags by design; same one-Exchange "
+            "O(1)-state Arrow pass per key as events_ewma, oracle "
+            "replays the identical IEEE multiply-add sequence as a "
+            "linear recursive CTE",
+    ),
 }
 
 
@@ -6321,6 +6334,7 @@ _ROUND6_ORDER = [
     "skipgram_negatives", "glove_cooccurrence", "zipf_law_fit",
     "heaps_law_growth", "unigram_kl", "vocab_overlap",
     "contamination_bloom", "ngram_novelty", "kmv_set_ops",
+    "events_holt",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -125,3 +125,105 @@ rec AS (
 )
 SELECT user_id, event_id, value, floor(e * {p} + 0.5) / {p} AS ewma
 FROM rec"""
+
+
+_HOLT_SCHEMA = (
+    "user_id long, event_id long, value double, "
+    "level double, trend double, forecast double"
+)
+
+
+def holt_trend(
+    events: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-user Holt double exponential smoothing (level + linear
+    trend) of ``value`` over (ts, event_id) order — the next step up
+    from :func:`ewma` when the series drifts: EWMA lags a trending
+    series by design; Holt tracks the slope and forecasts ahead.
+
+        l_1 = x_1,  b_1 = 0
+        l_t = alpha * x_t + (1 - alpha) * (l_{t-1} + b_{t-1})
+        b_t = beta * (l_t - l_{t-1}) + (1 - beta) * b_{t-1}
+
+    Output: one row per event with the post-update ``level`` and
+    ``trend`` and the one-step-ahead ``forecast`` = level + trend,
+    each quantized HALF-UP at ``round_digits``.
+
+    Same posture as ``ewma`` in every dimension: applyInPandas per
+    user key (ONE Exchange, O(1) state per key, millions-of-keys
+    parallelism at 100 TB), repr-interpolated constants so the DuckDB
+    recursive-CTE oracle replays the IDENTICAL IEEE multiply-add
+    sequence, null values excluded up front.  Defaults 0.5/0.25 are
+    binary-exact.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"holt_trend: alpha must be in (0, 1], got {alpha}")
+    if not (0.0 <= beta <= 1.0):
+        raise ValueError(f"holt_trend: beta must be in [0, 1], got {beta}")
+    ia, ib = 1.0 - alpha, 1.0 - beta
+    digits = round_digits
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        lvl = None
+        tr = 0.0
+        levels, trends, fcs = [], [], []
+        for x in pdf["value"]:
+            x = float(x)
+            if lvl is None:
+                lvl, tr = x, 0.0
+            else:
+                prev = lvl
+                lvl = alpha * x + ia * (lvl + tr)
+                tr = beta * (lvl - prev) + ib * tr
+            levels.append(_ewma_round(lvl, digits))
+            trends.append(_ewma_round(tr, digits))
+            fcs.append(_ewma_round(lvl + tr, digits))
+        res = pdf[["user_id", "event_id", "value"]].copy()
+        res["level"] = pd.Series(levels, dtype="float64")
+        res["trend"] = pd.Series(trends, dtype="float64")
+        res["forecast"] = pd.Series(fcs, dtype="float64")
+        return res
+
+    src = events.select("user_id", "event_id", "ts", "value").filter(
+        F.col("value").isNotNull()
+    )
+    return src.groupBy("user_id").applyInPandas(smooth, _HOLT_SCHEMA)
+
+
+def holt_oracle_sql(
+    alpha: float = 0.5, beta: float = 0.25, round_digits: int = 6
+) -> str:
+    """Holt recurrence as a linear recursive CTE: the new level's
+    expression is textually duplicated inside the trend update (SQL
+    cannot name it mid-SELECT) — identical double arithmetic either
+    way, so parity with the pandas pass holds bit-for-bit."""
+    a, ia = repr(alpha), repr(1.0 - alpha)
+    b, ib = repr(beta), repr(1.0 - beta)
+    p = repr(10.0**round_digits)
+    lnew = f"{a} * o.value + {ia} * (r.l + r.b)"
+    return f"""WITH RECURSIVE ordered AS MATERIALIZED (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+),
+rec AS (
+  SELECT user_id, event_id, value, rn,
+         value AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.value, o.rn,
+         {lnew} AS l,
+         {b} * (({lnew}) - r.l) + {ib} * r.b AS b
+  FROM rec r JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, event_id, value,
+       floor(l * {p} + 0.5) / {p} AS level,
+       floor(b * {p} + 0.5) / {p} AS trend,
+       floor((l + b) * {p} + 0.5) / {p} AS forecast
+FROM rec"""

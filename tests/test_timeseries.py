@@ -511,3 +511,55 @@ def test_asof_forward_hand_case(spark):
     assert out[1] == "2024-01-01 00:00:20"
     assert out[3] == "2024-01-01 00:00:20"
     assert out[5] is None
+
+
+def test_holt_trend_tracks_linear_ramp(spark):
+    """On a pure linear ramp the trend converges toward the true slope
+    and the one-step forecast beats EWMA's lag."""
+    import datetime
+
+    from mapreduceimpl_spark.operators import timeseries
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 0, i), 7, float(10 + 5 * i))
+        for i in range(1, 25)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    out = sorted(
+        timeseries.holt_trend(df, alpha=0.5, beta=0.25).collect(),
+        key=lambda r: r["event_id"],
+    )
+    # recompute the recurrence independently
+    lvl, tr = None, 0.0
+    for r in rows:
+        x = r[3]
+        if lvl is None:
+            lvl, tr = x, 0.0
+        else:
+            prev = lvl
+            lvl = 0.5 * x + 0.5 * (lvl + tr)
+            tr = 0.25 * (lvl - prev) + 0.75 * tr
+    import math
+
+    q = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    last = out[-1]
+    assert last["level"] == q(lvl)
+    assert last["trend"] == q(tr)
+    assert last["forecast"] == q(lvl + tr)
+    # trend has converged near the true slope 5
+    assert abs(last["trend"] - 5.0) < 0.5
+    # forecast within a step of the next true value
+    next_true = 10 + 5 * 25
+    assert abs(last["forecast"] - next_true) < 3.0
+
+
+def test_holt_trend_validates_params(spark):
+    import pytest
+
+    from mapreduceimpl_spark.operators import timeseries
+
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        timeseries.holt_trend(df, alpha=0.0)
+    with pytest.raises(ValueError):
+        timeseries.holt_trend(df, beta=1.5)
