@@ -691,6 +691,93 @@ def stream_ewma(events: DataFrame, alpha: float = 0.125, round_digits: int = 6) 
     )
 
 
+_HOLT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("forecast", DoubleType()),
+    ]
+)
+# (level, trend) after the user's last absorbed event — raw doubles,
+# same bit-exactness contract as _EWMA_STATE
+_HOLT_STATE = StructType(
+    [StructField("level", DoubleType()), StructField("trend", DoubleType())]
+)
+
+
+def stream_holt(
+    events: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.holt_trend``: the
+    per-user Holt (level, trend) pair is TWO doubles of keyed state
+    carried across micro-batches — an unbounded stream tracks slope
+    and one-step forecast with O(users) state.
+
+    Bit-exact stream==batch: state holds the UNROUNDED level/trend and
+    each emission applies the same portable HALF-UP quantization as
+    the batch pass, so the recurrence executes the identical sequence
+    of IEEE multiply-adds whether the series arrives in one batch or
+    many (tested, incl. an explicit two-batch boundary).  Per-batch
+    rows are concatenated and sorted (ts, event_id) once so Arrow
+    chunk boundaries cannot reorder a user's events — same contract
+    as ``stream_ewma``.
+    """
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"stream_holt: alpha must be in (0, 1], got {alpha}")
+    if not (0.0 <= beta <= 1.0):
+        raise ValueError(f"stream_holt: beta must be in [0, 1], got {beta}")
+    ia, ib = 1.0 - alpha, 1.0 - beta
+    p = 10.0**round_digits
+
+    def update(key: Any, pdfs: Any, state: GroupState):
+        lvl, tr = (state.get if state.exists else (None, 0.0))
+        out: dict[str, list] = {
+            "user_id": [], "event_id": [], "value": [],
+            "level": [], "trend": [], "forecast": [],
+        }
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for eid, x in zip(batch["event_id"], batch["value"]):
+                if x != x or x is None:  # NaN/null guard, mirrors batch filter
+                    continue
+                x = float(x)
+                if lvl is None:
+                    lvl, tr = x, 0.0
+                else:
+                    prev = lvl
+                    lvl = alpha * x + ia * (lvl + tr)
+                    tr = beta * (lvl - prev) + ib * tr
+                out["user_id"].append(key[0])
+                out["event_id"].append(eid)
+                out["value"].append(x)
+                out["level"].append(math.floor(lvl * p + 0.5) / p)
+                out["trend"].append(math.floor(tr * p + 0.5) / p)
+                out["forecast"].append(math.floor((lvl + tr) * p + 0.5) / p)
+        state.update((lvl, tr))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_HOLT_SCHEMA,
+        stateStructType=_HOLT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_daily_active(
     events: DataFrame, watermark: str = "1 day"
 ) -> DataFrame:

@@ -553,6 +553,109 @@ def test_holt_trend_tracks_linear_ramp(spark):
     assert abs(last["forecast"] - next_true) < 3.0
 
 
+def test_stream_holt_matches_batch(spark, tmp_path):
+    import shutil
+
+    from mapreduceimpl_spark import streaming
+    from mapreduceimpl_spark.sources import load_table, table_path
+    from tests.test_streaming import _run_stream
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "holt_stream"
+    d.mkdir()
+    shutil.copy(table_path(sf, "events"), d / "part-000.parquet")
+
+    batch = {
+        (r["user_id"], r["event_id"]): (r["level"], r["trend"], r["forecast"])
+        for r in timeseries.holt_trend(load_table(spark, sf, "events")).collect()
+    }
+    stream = streaming.read_events_stream(spark, str(d))
+    got = {
+        (r["user_id"], r["event_id"]): (r["level"], r["trend"], r["forecast"])
+        for r in _run_stream(streaming.stream_holt(stream), mode="append")
+    }
+    assert got == batch and len(got) > 0
+
+
+def test_stream_holt_state_crosses_batches(spark, tmp_path):
+    """File B's single event must be smoothed against the (level,
+    trend) pair built from file A — exact equality with the batch
+    recurrence requires both unrounded doubles to survive the
+    micro-batch boundary."""
+    import math
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduceimpl_spark import streaming
+    from tests.test_streaming import _run_stream
+
+    d = tmp_path / "holt_two_batches"
+    d.mkdir()
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+
+    def write(fname, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), d / fname
+        )
+
+    rows_a = [(i, f"2024-01-01 10:{i:02d}:00", 7, "view", 10.0 + 3.0 * i, "{}")
+              for i in range(5)]
+    rows_b = [(99, "2024-01-01 11:00:00", 7, "view", 50.0, "{}")]
+    write("a.parquet", rows_a)
+    _time.sleep(0.05)
+    write("b.parquet", rows_b)
+    now = _time.time()
+    os.utime(d / "a.parquet", (now - 60, now - 60))
+    os.utime(d / "b.parquet", (now, now))
+
+    stream = streaming.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    got = {r["event_id"]: (r["level"], r["trend"], r["forecast"])
+           for r in _run_stream(streaming.stream_holt(stream), mode="append")}
+
+    # replicate the recurrence in plain Python (alpha=0.5, beta=0.25)
+    lvl, tr = None, 0.0
+    for _, _, _, _, v, _ in rows_a + rows_b:
+        if lvl is None:
+            lvl, tr = v, 0.0
+        else:
+            prev = lvl
+            lvl = 0.5 * v + 0.5 * (lvl + tr)
+            tr = 0.25 * (lvl - prev) + 0.75 * tr
+    q = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    assert got[99] == (q(lvl), q(tr), q(lvl + tr))
+    assert len(got) == 6
+
+
+def test_stream_holt_validates_params(spark):
+    import pytest
+
+    from mapreduceimpl_spark import streaming
+
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        streaming.stream_holt(df, alpha=0.0)
+    with pytest.raises(ValueError):
+        streaming.stream_holt(df, beta=1.5)
+
+
 def test_holt_trend_validates_params(spark):
     import pytest
 
