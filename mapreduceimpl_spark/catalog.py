@@ -910,6 +910,89 @@ def _logreg_weights_oracle(iterations: int = 3, lr: float = 0.5) -> str:
     )
 
 
+def _logreg_scored_layer(iterations: int = 3) -> str:
+    """The (doc_id, y, score, pred) relation of the trained classifier
+    as a CTE layer, for eval/calibration entries that compose on top of
+    the :func:`_logreg_layers` chain."""
+    return f"""lscored AS (
+  SELECT doc_id, CAST(y AS BIGINT) AS y,
+         floor((floor((1.0 / (1.0 + exp(-z))) * 1e9 + 0.5) / 1e9) * 1e6 + 0.5)
+           / 1e6 AS score,
+         (floor((1.0 / (1.0 + exp(-z))) * 1e9 + 0.5) / 1e9) >= 0.5 AS pred
+  FROM (SELECT l.doc_id, MIN(l.y) AS y,
+               CAST(SUM(CAST(l.x * w.w AS DECIMAL(38,18))) AS DOUBLE) AS z
+        FROM lpts l JOIN w{iterations} w USING (dim)
+        GROUP BY l.doc_id)
+)"""
+
+
+def _logreg_eval_oracle(iterations: int = 3, lr: float = 0.5) -> str:
+    """Confusion counts + midrank Mann-Whitney AUC over the trained
+    scores, mirroring ``classifier.logreg_eval`` term for term."""
+    body = ",\n".join(_logreg_layers(iterations, lr) + [_logreg_scored_layer(iterations)])
+    return f"""WITH {body},
+lconf AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN NOT pred AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM lscored
+),
+lbys AS (
+  SELECT score, COUNT(*) AS cnt, SUM(y) AS pos FROM lscored GROUP BY score
+),
+lrank AS (
+  SELECT cnt, pos,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+           + CAST(cnt + 1 AS DOUBLE) / 2.0 AS avg_rank
+  FROM lbys
+),
+lragg AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(CAST(pos * avg_rank AS DECIMAL(38,18))) AS DOUBLE)
+           AS pos_rank_sum
+  FROM lrank
+),
+lmet AS (
+  SELECT n, tp, fp, fn, tn,
+         floor((tp + tn) / CAST(n AS DOUBLE) * 1e9 + 0.5) / 1e9 AS accuracy,
+         CASE WHEN tp + fp > 0
+              THEN floor(tp / CAST(tp + fp AS DOUBLE) * 1e9 + 0.5) / 1e9
+         END AS prec,
+         CASE WHEN tp + fn > 0
+              THEN floor(tp / CAST(tp + fn AS DOUBLE) * 1e9 + 0.5) / 1e9
+         END AS recall,
+         CASE WHEN n_pos > 0 AND n - n_pos > 0
+              THEN floor((pos_rank_sum - (n_pos * (n_pos + 1)) / 2)
+                         / (n_pos * (n - n_pos)) * 1e9 + 0.5) / 1e9
+         END AS auc
+  FROM lconf, lragg
+)
+SELECT n, tp, fp, fn, tn, accuracy, prec, recall,
+       CASE WHEN prec IS NOT NULL AND recall IS NOT NULL
+                 AND prec + recall > 0
+            THEN floor(2.0 * prec * recall / (prec + recall) * 1e9 + 0.5) / 1e9
+       END AS f1,
+       auc
+FROM lmet"""
+
+
+def _logreg_calibration_oracle(
+    iterations: int = 3, lr: float = 0.5, bins: int = 10
+) -> str:
+    body = ",\n".join(_logreg_layers(iterations, lr) + [_logreg_scored_layer(iterations)])
+    return f"""WITH {body}
+SELECT CAST(LEAST(floor(score * {bins}), {bins - 1}) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       floor(CAST(SUM(CAST(score AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+             * 1e9 + 0.5) / 1e9 AS mean_score,
+       floor(SUM(y) / CAST(COUNT(*) AS DOUBLE) * 1e9 + 0.5) / 1e9 AS frac_pos
+FROM lscored
+GROUP BY 1"""
+
+
 def _pq_codes_oracle(
     m: int = 4, k: int = 4, iterations: int = 2, dim: int = 64
 ) -> str:
@@ -2431,7 +2514,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "skipgram_negatives", "glove_cooccurrence", "zipf_law_fit",
      "heaps_law_growth", "unigram_kl", "vocab_overlap",
      "contamination_bloom", "ngram_novelty", "kmv_set_ops",
-     "events_holt"}
+     "events_holt", "classifier_eval", "classifier_calibration",
+     "ams_f2"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -6263,6 +6347,41 @@ GROUP BY s.doc_id""",
             "replays the identical IEEE multiply-add sequence as a "
             "linear recursive CTE",
     ),
+    "classifier_eval": QuerySpec(
+        lambda spark, sf_dir: classifier_ops.logreg_eval(
+            load_table(spark, sf_dir, "documents"), iterations=3, lr=0.5
+        ),
+        _logreg_eval_oracle(3, 0.5),
+        doc="evaluation of the trained quality classifier: confusion "
+            "counts, accuracy/precision/recall/F1, and exact midrank "
+            "Mann-Whitney AUC — computed WITHOUT a global per-row sort "
+            "(scores are 1e-6-quantized, so ranking happens on the "
+            "bounded distinct-score relation); every ratio half-up at "
+            "1e-9, undefined ratios NULL",
+    ),
+    "classifier_calibration": QuerySpec(
+        lambda spark, sf_dir: classifier_ops.logreg_calibration(
+            load_table(spark, sf_dir, "documents"), iterations=3, lr=0.5
+        ),
+        _logreg_calibration_oracle(3, 0.5),
+        doc="reliability diagram of the trained classifier: 10 "
+            "equal-width score bins with count, mean predicted score "
+            "(decimal-routed), and observed positive rate — whether a "
+            "quality threshold transfers across corpora; one aggregate "
+            "on a <=10-row key space",
+    ),
+    "ams_f2": QuerySpec(
+        lambda spark, sf_dir: sketches.ams_f2(
+            load_table(spark, sf_dir, "events"), counters=9
+        ),
+        sketches.ams_f2_sql(counters=9),
+        doc="AMS second-moment sketch: F2 (self-join size on user_id — "
+            "the optimizer's skew/join-size oracle) estimated from 9 "
+            "md5-signed integer sums next to the exact value; signed "
+            "sums ride ONE per-key aggregate as columns (no row "
+            "explosion), median is a bounded 9-row pick; rel_err "
+            "value-checked like countmin_estimate",
+    ),
 }
 
 
@@ -6334,7 +6453,8 @@ _ROUND6_ORDER = [
     "skipgram_negatives", "glove_cooccurrence", "zipf_law_fit",
     "heaps_law_growth", "unigram_kl", "vocab_overlap",
     "contamination_bloom", "ngram_novelty", "kmv_set_ops",
-    "events_holt",
+    "events_holt", "classifier_eval", "classifier_calibration",
+    "ams_f2",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

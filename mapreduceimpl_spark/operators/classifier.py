@@ -180,3 +180,154 @@ def logreg_weights(
     diversity).  |dims| rows total."""
     _, w = _logreg_weight_frames(docs, iterations, lr, positive_lang)
     return w.select(F.col("dim").cast("bigint").alias("dim"), "w")
+
+
+def logreg_eval(
+    docs: DataFrame,
+    iterations: int = 3,
+    lr: float = 0.5,
+    positive_lang: str = "en",
+) -> DataFrame:
+    """Evaluate the trained quality classifier on its corpus: ONE row
+    of (n, tp, fp, fn, tn, accuracy, prec, recall, f1, auc) — the eval
+    loop every data-curation classifier ships with (you don't deploy a
+    quality filter without knowing its operating point).
+
+    AUC is the exact Mann-Whitney rank-sum with midrank tie handling,
+    computed WITHOUT a global per-row sort: scores are 1e-6-quantized,
+    so grouping by score first bounds the ranking window to <= 1e6+1
+    rows (the distinct-score relation) no matter how many documents
+    exist — the tie-group average rank is
+    ``rows_below + (tie_size + 1)/2`` and positives contribute
+    ``pos_in_group * avg_rank`` through an order-free decimal sum.
+    All counts are exact integers; every ratio is floor-based half-up
+    rounded at 1e-9 so both engines emit identical doubles; undefined
+    ratios (empty denominator, single-class corpus) are NULL, never
+    NaN.
+
+    Scale: the confusion counts are one scan-side aggregate; the AUC
+    side shuffles the bounded (score -> counts) relation only.  The
+    training chain itself is the linear-lineage GD of
+    :func:`logreg_train_scores`.
+    """
+    scored = logreg_train_scores(docs, iterations, lr, positive_lang)
+
+    conf = scored.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("pred") & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("pred") & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~F.col("pred") & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~F.col("pred") & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+
+    by_score = scored.groupBy("score").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_score.select(
+        "cnt",
+        "pos",
+        (
+            F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("double")
+            + (F.col("cnt") + 1).cast("double") / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+    rank_agg = ranked.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum((F.col("pos") * F.col("avg_rank")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("pos_rank_sum"),
+    )
+
+    j = conf.crossJoin(rank_agg)  # 1 row x 1 row
+    n_neg = (F.col("n") - F.col("n_pos")).alias("n_neg")
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        _r9(F.col("tp") / (F.col("tp") + F.col("fp"))),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        _r9(F.col("tp") / (F.col("tp") + F.col("fn"))),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n") - F.col("n_pos") > 0),
+        _r9(
+            (
+                F.col("pos_rank_sum")
+                - (F.col("n_pos") * (F.col("n_pos") + 1)) / F.lit(2)
+            )
+            / (F.col("n_pos") * (F.col("n") - F.col("n_pos")))
+        ),
+    )
+    out = j.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        _r9((F.col("tp") + F.col("tn")) / F.col("n")).alias("accuracy"),
+        prec.alias("prec"),
+        rec.alias("recall"),
+        auc.alias("auc"),
+    )
+    f1 = F.when(
+        F.col("prec").isNotNull()
+        & F.col("recall").isNotNull()
+        & (F.col("prec") + F.col("recall") > 0),
+        _r9(
+            F.lit(2.0)
+            * F.col("prec")
+            * F.col("recall")
+            / (F.col("prec") + F.col("recall"))
+        ),
+    )
+    return out.select(
+        "n", "tp", "fp", "fn", "tn", "accuracy", "prec", "recall",
+        f1.alias("f1"), "auc",
+    )
+
+
+def logreg_calibration(
+    docs: DataFrame,
+    iterations: int = 3,
+    lr: float = 0.5,
+    positive_lang: str = "en",
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram of the trained classifier: scores bucketed
+    into ``bins`` equal-width bins (last bin closed at 1.0), per bin
+    the doc count, mean predicted score, and observed positive rate —
+    calibration is what decides whether a quality THRESHOLD transfers
+    across corpora, so it ships next to the eval metrics.
+
+    ``bin = least(floor(score * bins), bins - 1)`` on the 1e-6-rounded
+    score; mean score is a decimal-routed order-free sum over the
+    count; both ratios half-up rounded at 1e-9.  One aggregate on a
+    <= ``bins``-row key space — nothing else shuffles.
+    """
+    if bins < 1:
+        raise ValueError(f"logreg_calibration: bins must be >= 1, got {bins}")
+    scored = logreg_train_scores(docs, iterations, lr, positive_lang)
+    b = F.least(
+        F.floor(F.col("score") * bins).cast("long"), F.lit(bins - 1)
+    ).alias("bin")
+    return (
+        scored.select(b, "score", "y")
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            _r9(
+                F.sum(F.col("score").cast("decimal(38,18)")).cast("double")
+                / F.count("*")
+            ).alias("mean_score"),
+            _r9(F.sum("y") / F.count("*")).alias("frac_pos"),
+        )
+    )

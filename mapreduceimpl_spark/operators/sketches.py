@@ -461,3 +461,126 @@ SELECT e.grp_a, e.grp_b, e.exact_union, e.exact_inter, t.tau, r.rho,
 FROM kexact e
 LEFT JOIN ktau t ON e.grp_a = t.grp_a AND e.grp_b = t.grp_b
 LEFT JOIN krho r ON e.grp_a = r.grp_a AND e.grp_b = r.grp_b"""
+
+
+def _ams_sign(key: F.Column, counter: int) -> F.Column:
+    """AMS sign hash for ``key`` in ``counter``: +1/-1 from the parity
+    of the md5-prefix integer of ``'<counter>#' || key`` — the same
+    portable lane-hash family as the Bloom/Count-Min buckets, so the
+    DuckDB oracle replays the identical bit pattern."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{counter}#"), key.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.lit(1) - F.lit(2) * F.pmod(h, F.lit(2))
+
+
+def ams_f2(
+    events: DataFrame, counters: int = 9, key_col: str = "user_id"
+) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-moment sketch of the key
+    frequency vector: estimates F2 = sum_k f_k^2 — the SELF-JOIN SIZE
+    of the stream on ``key_col`` — from ``counters`` signed sums, the
+    third classic sketch family next to the shipped Count-Min (point
+    frequency) and KMV (distinct count).
+
+    Why F2 matters in this engine: it is the optimizer's join-size /
+    skew oracle.  At 100 TB, Σ f_k² of a join key decides whether the
+    shuffle partner is safe or needs salting (``functions/skew.py``)
+    BEFORE the join runs, and each AMS counter is one signed integer —
+    mergeable across partitions (map-side combinable), O(counters)
+    state total.
+
+    Estimator: per counter c, S_c = Σ_k sign(c,k)·f_k (exact integer
+    arithmetic end-to-end), est_c = S_c²; the reported estimate is the
+    MEDIAN over an odd number of counters (row-number middle pick, a
+    bounded ``counters``-row sort, never a percentile interpolation).
+    E[S_c²] = F2 exactly (pairwise sign independence); the median
+    bounds the variance.  Output is ONE row: (f2_exact, f2_est,
+    rel_err) with rel_err half-up-rounded at 1e-9 — exact truth rides
+    along because the whole point of the entry is to make the sketch's
+    error VALUE-CHECKABLE, same contract as ``countmin_estimate``.
+
+    Plan: one (key → cnt) aggregate, a ``counters``-way column fan-out
+    (no row explosion before the aggregate — the sign-weighted sums
+    for ALL counters ride one groupBy as separate columns), then a
+    single-row reduce.  Nothing reaches the driver.
+    """
+    if counters < 1 or counters % 2 == 0:
+        raise ValueError(
+            f"ams_f2: counters must be a positive odd number, got {counters}"
+        )
+    cnts = events.groupBy(key_col).agg(F.count("*").alias("cnt"))
+    per_key = cnts.select(
+        (F.col("cnt") * F.col("cnt")).alias("sq"),
+        *[
+            (_ams_sign(F.col(key_col), c) * F.col("cnt")).alias(f"t{c}")
+            for c in range(counters)
+        ],
+    )
+    totals = per_key.agg(
+        F.sum("sq").cast("long").alias("f2_exact"),
+        *[F.sum(f"t{c}").cast("long").alias(f"s{c}") for c in range(counters)],
+    )
+    ests = totals.select(
+        "f2_exact",
+        F.explode(
+            F.array(*[F.col(f"s{c}") * F.col(f"s{c}") for c in range(counters)])
+        ).alias("est"),
+    )
+    w = Window.partitionBy("f2_exact").orderBy("est")  # bounded: `counters` rows
+    mid = (counters + 1) // 2
+    return (
+        ests.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == mid)
+        .select(
+            "f2_exact",
+            F.col("est").cast("long").alias("f2_est"),
+            (
+                F.floor(
+                    F.abs(F.col("est") - F.col("f2_exact"))
+                    / F.col("f2_exact")
+                    * 1e9
+                    + F.lit(0.5)
+                )
+                / 1e9
+            ).alias("rel_err"),
+        )
+    )
+
+
+def ams_f2_sql(counters: int = 9, key_col: str = "user_id") -> str:
+    """DuckDB mirror of :func:`ams_f2` over ``events``."""
+    sign = lambda c: (
+        f"(1 - 2 * (CAST('0x' || substr(md5('{c}#' || "
+        f"CAST({key_col} AS VARCHAR)), 1, 8) AS BIGINT) % 2))"
+    )
+    terms = ",\n         ".join(
+        f"CAST(SUM({sign(c)} * cnt) AS BIGINT) AS s{c}" for c in range(counters)
+    )
+    est_list = ", ".join(f"s{c} * s{c}" for c in range(counters))
+    mid = (counters + 1) // 2
+    return f"""WITH acnt AS (
+  SELECT {key_col}, COUNT(*) AS cnt FROM events GROUP BY {key_col}
+),
+atot AS (
+  SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact,
+         {terms}
+  FROM acnt
+),
+aest AS (
+  SELECT f2_exact, CAST(u.est AS BIGINT) AS est
+  FROM atot, unnest([{est_list}]) AS u(est)
+),
+amid AS (
+  SELECT f2_exact, est,
+         ROW_NUMBER() OVER (PARTITION BY f2_exact ORDER BY est) AS rn
+  FROM aest
+)
+SELECT f2_exact, est AS f2_est,
+       floor(abs(est - f2_exact) / CAST(f2_exact AS DOUBLE) * 1e9 + 0.5) / 1e9
+         AS rel_err
+FROM amid WHERE rn = {mid}"""

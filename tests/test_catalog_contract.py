@@ -199,6 +199,7 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
         "histogram_drift",     # 1-row global (min,max) + 1-row totals
         "cuped_adjustment",    # 1-row pooled moments (theta, mean_x)
         "bpe_train_merges",    # 1-row argmax merge pair per round
+        "classifier_eval",     # 1-row confusion x 1-row rank aggregate
         "bpe_apply",           # same 1-row argmax broadcast, +1 round
         "bpe_vocab",           # same 1-row argmax broadcast, +1 round
         "dsir_weights",        # 1-row target/pool bucket-mass totals

@@ -105,3 +105,83 @@ def test_logreg_validates(spark, docs_df):
         logreg_train_scores(docs_df, iterations=0)
     with pytest.raises(ValueError):
         logreg_weights(docs_df, lr=0.0)
+
+
+def _ref_metrics(scores):
+    """Midrank Mann-Whitney AUC + confusion metrics from (y, score,
+    pred) triples, independent of the Spark expressions."""
+    n = len(scores)
+    tp = sum(1 for y, _s, p in scores if p and y == 1)
+    fp = sum(1 for y, _s, p in scores if p and y == 0)
+    fn = sum(1 for y, _s, p in scores if not p and y == 1)
+    tn = sum(1 for y, _s, p in scores if not p and y == 0)
+    ordered = sorted(s for _y, s, _p in scores)
+    rank = {}
+    i = 0
+    while i < len(ordered):
+        j = i
+        while j < len(ordered) and ordered[j] == ordered[i]:
+            j += 1
+        rank[ordered[i]] = (i + 1 + j) / 2.0  # midrank of ties i+1..j
+        i = j
+    n_pos = sum(1 for y, _s, _p in scores if y == 1)
+    n_neg = n - n_pos
+    rsum = sum(rank[s] for y, s, _p in scores if y == 1)
+    auc = (
+        _r9((rsum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
+        if n_pos and n_neg
+        else None
+    )
+    prec = _r9(tp / (tp + fp)) if tp + fp else None
+    rec = _r9(tp / (tp + fn)) if tp + fn else None
+    f1 = (
+        _r9(2.0 * prec * rec / (prec + rec))
+        if prec is not None and rec is not None and prec + rec > 0
+        else None
+    )
+    return {
+        "n": n, "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+        "accuracy": _r9((tp + tn) / n), "prec": prec, "recall": rec,
+        "f1": f1, "auc": auc,
+    }
+
+
+def test_logreg_eval_matches_reference(spark, docs_df):
+    from mapreduceimpl_spark.operators.classifier import logreg_eval
+
+    triples = [
+        (r["y"], r["score"], r["pred"])
+        for r in logreg_train_scores(docs_df).collect()
+    ]
+    want = _ref_metrics(triples)
+    got = logreg_eval(docs_df).collect()[0].asDict()
+    assert got == want
+    # separable fixture after training: AUC must beat coin-flip
+    assert got["auc"] is not None and got["auc"] > 0.5
+
+
+def test_logreg_eval_single_class_null_auc(spark):
+    from mapreduceimpl_spark.operators.classifier import logreg_eval
+
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, (_, t, _l) in enumerate(_DOCS)],
+        ["doc_id", "text", "lang"],
+    )
+    r = logreg_eval(docs).collect()[0]
+    assert r["auc"] is None  # no negatives -> rank-sum undefined
+    assert r["fp"] == 0 and r["tn"] == 0
+
+
+def test_logreg_calibration_bins_partition_corpus(spark, docs_df):
+    from mapreduceimpl_spark.operators.classifier import logreg_calibration
+
+    rows = logreg_calibration(docs_df).collect()
+    assert sum(r["n"] for r in rows) == len(_DOCS)
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["frac_pos"] <= 1.0
+        # mean score lies inside (or on the closed edges of) its bin
+        assert r["bin"] / 10.0 - 1e-9 <= r["mean_score"] <= (r["bin"] + 1) / 10.0 + 1e-9
+
+    with pytest.raises(ValueError):
+        logreg_calibration(docs_df, bins=0)

@@ -202,3 +202,64 @@ def test_kmv_set_ops_estimation_regime_identities(docs):
         # KMV relative error ~ 1/sqrt(k-1) ~ 18%; allow generous 3x
         assert r["est_union"] > r["exact_union"] * 0.4
         assert r["est_union"] < r["exact_union"] * 2.5
+
+
+def test_ams_f2_exact_and_replayed_estimate(spark):
+    """f2_exact equals the hand-computed self-join size; f2_est equals
+    an independent Python replay of the signed-sum/median construction
+    (hashlib md5, no Spark expressions)."""
+    import datetime as dt
+    import hashlib
+
+    from mapreduceimpl_spark.operators.sketches import ams_f2
+
+    # skewed key frequencies: user u appears u+1 times
+    rows = []
+    eid = 0
+    for u in range(12):
+        for _ in range(u + 1):
+            rows.append((eid, dt.datetime(2024, 1, 1), u, "view", 1.0, "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = ams_f2(events, counters=9).collect()[0]
+
+    freqs = {u: u + 1 for u in range(12)}
+    assert got["f2_exact"] == sum(c * c for c in freqs.values())
+
+    def sign(c, k):
+        h = int(hashlib.md5(f"{c}#{k}".encode()).hexdigest()[:8], 16)
+        return 1 - 2 * (h % 2)
+
+    ests = sorted(
+        sum(sign(c, u) * f for u, f in freqs.items()) ** 2 for c in range(9)
+    )
+    assert got["f2_est"] == ests[4]  # median of 9
+    import math
+
+    want_err = math.floor(
+        abs(ests[4] - got["f2_exact"]) / got["f2_exact"] * 1e9 + 0.5
+    ) / 1e9
+    assert got["rel_err"] == want_err
+
+
+def test_ams_f2_validates_counters(spark):
+    import pytest
+
+    from mapreduceimpl_spark.operators.sketches import ams_f2
+
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        ams_f2(df, counters=0, key_col="id")
+    with pytest.raises(ValueError):
+        ams_f2(df, counters=4, key_col="id")
+
+
+def test_ams_f2_partition_invariant(spark, tables):
+    from mapreduceimpl_spark.operators.sketches import ams_f2
+
+    a = ams_f2(tables["events"], counters=9).collect()[0]
+    b = ams_f2(tables["events"].repartition(17), counters=9).collect()[0]
+    assert a == b
+    assert a["f2_exact"] > 0 and a["f2_est"] >= 0
