@@ -2515,7 +2515,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "heaps_law_growth", "unigram_kl", "vocab_overlap",
      "contamination_bloom", "ngram_novelty", "kmv_set_ops",
      "events_holt", "classifier_eval", "classifier_calibration",
-     "ams_f2"}
+     "ams_f2", "leakage_safe_split", "dp_noisy_counts"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -6382,6 +6382,51 @@ GROUP BY s.doc_id""",
             "explosion), median is a bounded 9-row pick; rel_err "
             "value-checked like countmin_estimate",
     ),
+    "leakage_safe_split": QuerySpec(
+        lambda spark, sf_dir: dedup.leakage_safe_split(
+            dedup.with_mutated_copies(load_table(spark, sf_dir, "documents")),
+            dedup.minhash_lsh_pairs(
+                dedup.with_mutated_copies(load_table(spark, sf_dir, "documents"))
+            ).filter(F.col("est_jaccard") >= 0.5),
+        ),
+        f"""SELECT doc_id, component,
+       CASE WHEN {sampling.hash_uniform_sql("'lsplit-v1:' || CAST(component AS VARCHAR)")} < 0.9
+            THEN 'train' ELSE 'test' END AS split
+FROM ({_dedup_clusters_oracle()})""",
+        doc="near-dup-aware train/test split: the split key is the "
+            "dedup COMPONENT (same MinHash->CC chain as dedup_clusters), "
+            "so near-duplicate docs can never straddle the eval "
+            "boundary — the leakage failure mode of a doc-keyed split; "
+            "the assignment itself is the zero-shuffle salted-md5 "
+            "contract of split_assign",
+    ),
+    "dp_noisy_counts": QuerySpec(
+        lambda spark, sf_dir: relational.q_dp_noisy_counts(
+            {"documents": load_table(spark, sf_dir, "documents")}
+        ),
+        f"""WITH dpc AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM documents GROUP BY lang, source
+),
+dpu AS (
+  SELECT lang, source, n_true,
+         {sampling.hash_uniform_sql("'dp-v1:' || lang || '|' || source")} - 0.5 AS uc
+  FROM dpc
+)
+SELECT lang, source, n_true,
+       floor((n_true + (-1.0) * (CASE WHEN uc < 0 THEN -1.0
+                                      WHEN uc > 0 THEN 1.0
+                                      ELSE 0.0 END)
+                    * ln(greatest(1.0 - 2.0 * abs(uc), 1e-12)))
+             * 1e9 + 0.5) / 1e9 AS n_noisy
+FROM dpu""",
+        doc="differentially-private count release: per-(lang, source) "
+            "doc counts + Laplace(1/epsilon) noise via the inverse-CDF "
+            "transform of a salted-md5 uniform (deterministic so the "
+            "oracle can replay it; sensitivity-1 counts, eps=1) — the "
+            "release leg of the privacy family next to k_anonymity / "
+            "l_diversity; noise is a zero-shuffle projection",
+    ),
 }
 
 
@@ -6454,7 +6499,7 @@ _ROUND6_ORDER = [
     "heaps_law_growth", "unigram_kl", "vocab_overlap",
     "contamination_bloom", "ngram_novelty", "kmv_set_ops",
     "events_holt", "classifier_eval", "classifier_calibration",
-    "ams_f2",
+    "ams_f2", "leakage_safe_split", "dp_noisy_counts",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

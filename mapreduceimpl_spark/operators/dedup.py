@@ -1400,3 +1400,48 @@ def prefix_filter_pairs(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    train_frac: float = 0.9,
+    salt: str = "lsplit-v1",
+) -> DataFrame:
+    """Near-dup-aware train/test split: every document is assigned a
+    split by hashing its dedup COMPONENT, not its own id — so two
+    near-duplicate documents can never straddle the boundary.  This is
+    the leakage guard a doc-keyed split (``train_val_test_split``)
+    cannot give: with per-doc hashing, a pair of near-identical docs
+    lands in train AND test with probability 2·p·(1-p), silently
+    inflating eval scores; component-keyed hashing makes that
+    probability ZERO by construction.
+
+    Output: (doc_id, component, split) for every input document —
+    singleton docs are their own component, so coverage is total and
+    the expected split ratio still tracks ``train_frac`` (components
+    are hashed uniformly; dup clusters are tiny).
+
+    Scale: the component labels come from the same min-label
+    propagation as ``dedup_decision`` (O(diameter) bounded rounds);
+    the split itself is one zero-shuffle salted-md5 projection, the
+    growth-stable contract of ``split_assign`` (new docs joining an
+    existing component inherit its split; they never move old docs).
+    """
+    if not (0.0 < train_frac < 1.0):
+        raise ValueError(
+            f"leakage_safe_split: train_frac must be in (0, 1), got {train_frac}"
+        )
+    from mapreduceimpl_spark.operators.sampling import hash_uniform
+
+    comp = dedup_decision(docs, pairs)
+    u = hash_uniform(
+        F.concat(F.lit(f"{salt}:"), F.col("component").cast("string"))
+    )
+    return comp.select(
+        "doc_id",
+        "component",
+        F.when(u < F.lit(float(train_frac)), F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -3001,3 +3001,61 @@ def q_sft_render(t: dict[str, DataFrame], max_turns: int = 8) -> DataFrame:
         ),
         F.count("*").cast("long").alias("n_turns"),
     )
+
+
+def q_dp_noisy_counts(
+    t: dict[str, DataFrame], epsilon: float = 1.0, salt: str = "dp-v1"
+) -> DataFrame:
+    """Differentially-private release of the per-(lang, source) document
+    counts: true count + Laplace(1/epsilon) noise — the third leg of
+    the privacy family (``text_pii_scrub`` redacts, ``k_anonymity`` /
+    ``l_diversity`` audit, this RELEASES an aggregate with a formal
+    epsilon budget; count queries have sensitivity 1, so scale b =
+    1/epsilon).
+
+    The Laplace draw is DETERMINISTIC and engine-portable: u =
+    salted-md5 uniform of the group key in [0, 1), centered to
+    u' = u - 1/2, then the standard inverse-CDF transform
+    ``noise = -b * sign(u') * ln(1 - 2|u'|)`` — the one libm call
+    (ln) is the same ulp-risk class as the shipped entropy/BM25
+    entries, and the 1e-9 half-up rounding of the released value
+    absorbs it.  ``1 - 2|u'|`` is floored at 1e-12 so the u' = -1/2
+    edge cannot produce -inf.  (A production release would use a
+    cryptographic RNG; the fixed salted hash here is what makes the
+    entry value-checkable, same trade as every sampler in
+    ``sampling.py``.)
+
+    Scale: one Exchange on the released key; the noise is a
+    zero-shuffle projection.  True count rides along for the
+    verification contract (drop it downstream — releasing both would
+    defeat the mechanism).
+    """
+    if epsilon <= 0:
+        raise ValueError(f"dp_noisy_counts: epsilon must be > 0, got {epsilon}")
+    from mapreduceimpl_spark.operators.sampling import hash_uniform
+
+    b = 1.0 / epsilon
+    d = t["documents"]
+    counts = d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_true")
+    )
+    u = hash_uniform(
+        F.concat(
+            F.lit(f"{salt}:"), F.col("lang"), F.lit("|"), F.col("source")
+        )
+    )
+    uc = u - F.lit(0.5)
+    sign = (
+        F.when(uc < 0, F.lit(-1.0)).when(uc > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    noise = -F.lit(b) * sign * F.log(
+        F.greatest(F.lit(1.0) - F.lit(2.0) * F.abs(uc), F.lit(1e-12))
+    )
+    return counts.select(
+        "lang",
+        "source",
+        "n_true",
+        (F.floor((F.col("n_true") + noise) * 1e9 + F.lit(0.5)) / 1e9).alias(
+            "n_noisy"
+        ),
+    )

@@ -915,3 +915,62 @@ def test_semantic_dedup_centroid_keeps_farthest(spark):
     assert not cent[10]["keep"] and cent[11]["keep"]
     # the non-duplicate vector survives under both
     assert cent[3]["keep"] and low[3]["keep"]
+
+
+def test_leakage_safe_split_never_straddles_components(spark):
+    """Planted near-dup pairs: both members always land in the SAME
+    split; a doc-keyed split of the same corpus demonstrably straddles
+    at least one pair (the failure mode this operator removes)."""
+    from mapreduceimpl_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "en") for i in range(40)], ["doc_id", "text", "lang"]
+    )
+    # pairs chain 0-1, 2-3, ..., plus one 3-doc chain 30-31-32
+    pairs = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(10)] + [(30, 31), (31, 32)],
+        ["doc_a", "doc_b"],
+    )
+    rows = leakage_safe_split(docs, pairs, train_frac=0.5).collect()
+    assert len(rows) == 40
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    # the leakage guarantee: one split value per component
+    assert all(len(s) == 1 for s in by_comp.values())
+    # the 3-doc chain collapsed to one component
+    comp_of = {r["doc_id"]: r["component"] for r in rows}
+    assert comp_of[30] == comp_of[31] == comp_of[32]
+    # both split values actually occur at train_frac=0.5 over 40 docs
+    assert {r["split"] for r in rows} == {"train", "test"}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, pairs, train_frac=1.0)
+
+
+def test_leakage_safe_split_growth_stable(spark):
+    """Adding new singleton docs never moves existing docs across the
+    boundary (the split_assign contract, inherited)."""
+    from mapreduceimpl_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "en") for i in range(20)], ["doc_id", "text", "lang"]
+    )
+    pairs = spark.createDataFrame([(0, 1)], ["doc_a", "doc_b"])
+    before = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs, pairs).collect()
+    }
+    grown = docs.unionByName(
+        spark.createDataFrame(
+            [(100 + i, f"new {i}", "en") for i in range(10)],
+            ["doc_id", "text", "lang"],
+        )
+    )
+    after = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(grown, pairs).collect()
+    }
+    assert all(after[d] == s for d, s in before.items())

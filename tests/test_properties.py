@@ -408,3 +408,39 @@ def test_winsorize_mad_clips_planted_outlier(spark):
     c = q_winsorize_mad({"lineitem": calm}).collect()[0]
     assert c["n_clipped_low"] == 0 and c["n_clipped_high"] == 0
     assert c["mean_winsorized"] == c["mean_raw"]
+
+
+def test_dp_noisy_counts_deterministic_and_centered(spark):
+    """Noise replays exactly across runs/partitionings; the mechanism
+    is a real Laplace draw (noise != 0 for essentially every group,
+    bounded tails at eps=1 over ~100 groups), and epsilon scales it."""
+    from mapreduceimpl_spark.operators.relational import q_dp_noisy_counts
+
+    docs = spark.createDataFrame(
+        [(i, f"t {i}", f"l{i % 7}", f"s{i % 13}", 10) for i in range(500)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    a = {(r["lang"], r["source"]): r["n_noisy"]
+         for r in q_dp_noisy_counts({"documents": docs}).collect()}
+    b = {(r["lang"], r["source"]): r["n_noisy"]
+         for r in q_dp_noisy_counts({"documents": docs.repartition(11)}).collect()}
+    assert a == b and len(a) == 7 * 13
+
+    rows = q_dp_noisy_counts({"documents": docs}).collect()
+    noises = [r["n_noisy"] - r["n_true"] for r in rows]
+    assert any(n != 0 for n in noises)
+    # Laplace(b=1): |noise| > 10 has probability e^-10/2 per group
+    assert all(abs(n) < 12 for n in noises)
+    # both signs occur across 91 md5-uniform draws
+    assert any(n > 0 for n in noises) and any(n < 0 for n in noises)
+
+    tight = {(r["lang"], r["source"]): r["n_noisy"] - r["n_true"]
+             for r in q_dp_noisy_counts({"documents": docs}, epsilon=10.0).collect()}
+    loose = {(r["lang"], r["source"]): r["n_noisy"] - r["n_true"] for r in rows}
+    # higher epsilon -> smaller |noise| for every group (same uniform u)
+    for k in tight:
+        assert abs(tight[k]) <= abs(loose[k]) + 1e-12
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        q_dp_noisy_counts({"documents": docs}, epsilon=0.0)
