@@ -528,7 +528,43 @@ def _probe_unigram_kl(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_ams_f2(spark, sf_dir: str):
+    """ams_f2: one per-key aggregate carrying 9 signed-sum columns +
+    a 9-row median pick — wall should track the key aggregate."""
+    from mapreduceimpl_spark.operators import sketches
+
+    events = load_table(spark, sf_dir, "events")
+    t0 = time.time()
+    n = sketches.ams_f2(events, counters=9).count()
+    return time.time() - t0, n
+
+
+def _probe_classifier_eval(spark, sf_dir: str):
+    """classifier_eval: 3-iteration GD train + confusion scan + ranking
+    over the bounded distinct-score relation — wall tracks the grid
+    re-scans, never a global per-row sort."""
+    from mapreduceimpl_spark.operators import classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = classifier.logreg_eval(docs).count()
+    return time.time() - t0, n
+
+
+def _probe_leakage_split(spark, sf_dir: str):
+    """leakage_safe_split: MinHash pairs -> CC -> component-hash split;
+    wall tracks the pair/CC stages (output = full corpus)."""
+    docs = dedup.with_mutated_copies(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    t0 = time.time()
+    n = dedup.leakage_safe_split(docs, pairs).count()
+    return time.time() - t0, n
+
+
 PROBES = {
+    "ams_f2": _probe_ams_f2,
+    "classifier_eval": _probe_classifier_eval,
+    "leakage_split": _probe_leakage_split,
     "minhash": _probe_minhash,
     "semantic": _probe_semantic,
     "pca": _probe_pca,
