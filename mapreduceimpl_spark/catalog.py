@@ -2515,7 +2515,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "heaps_law_growth", "unigram_kl", "vocab_overlap",
      "contamination_bloom", "ngram_novelty", "kmv_set_ops",
      "events_holt", "classifier_eval", "classifier_calibration",
-     "ams_f2", "leakage_safe_split", "dp_noisy_counts"}
+     "ams_f2", "leakage_safe_split", "dp_noisy_counts",
+     "gopher_rules"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -6427,6 +6428,18 @@ FROM dpu""",
             "release leg of the privacy family next to k_anonymity / "
             "l_diversity; noise is a zero-shuffle projection",
     ),
+    "gopher_rules": QuerySpec(
+        lambda spark, sf_dir: text_analysis.gopher_rules(
+            load_table(spark, sf_dir, "documents")
+        ),
+        text_analysis.gopher_rules_sql(),
+        doc="the Gopher quality-rule battery (Rae et al. 2021): "
+            "word-count bounds, mean-word-length window, symbol ratio, "
+            "alphabetic-word fraction, min stopword hits — per-rule "
+            "booleans + conjunction keep, the published heuristic gate "
+            "run before any learned filter; pure zero-shuffle codegen "
+            "projection",
+    ),
 }
 
 
@@ -6499,7 +6512,7 @@ _ROUND6_ORDER = [
     "heaps_law_growth", "unigram_kl", "vocab_overlap",
     "contamination_bloom", "ngram_novelty", "kmv_set_ops",
     "events_holt", "classifier_eval", "classifier_calibration",
-    "ams_f2", "leakage_safe_split", "dp_noisy_counts",
+    "ams_f2", "leakage_safe_split", "dp_noisy_counts", "gopher_rules",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

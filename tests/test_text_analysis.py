@@ -1135,3 +1135,42 @@ def test_ngram_novelty_duplicate_vs_unique(spark):
     assert got[3] == (3, 3, 1.0)
     # doc 4: trigrams {abc, bcd, cde}: abc df=3, bcd df=3, cde df=1
     assert got[4] == (3, 1, 1 / 3)
+
+
+def test_gopher_rules_hand_cases(spark):
+    """One doc per rule violation + one clean doc; each rejection flips
+    exactly its own rule bit."""
+    from mapreduceimpl_spark.operators.text_analysis import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            # clean: 8 words, mean len ~3.9, no symbols, all alpha, 3 stopwords
+            (0, "the cat sat on the mat tonight friends"),
+            # too few words (min_words=5)
+            (1, "tiny doc here"),
+            # mean word length too high (one 60-char word)
+            (2, "a " * 4 + "x" * 60),
+            # symbol ratio: 2 of 6 words are #-prefixed
+            (3, "#tag #tag the cat is here"),
+            # alpha fraction: 3 of 6 words are pure digits
+            (4, "12 34 56 the cat sat"),
+            # stopwords: 6 words, zero stopword hits
+            (5, "cats dogs birds fish mice deer"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert got[0]["keep"]
+    assert all(
+        got[0][c]
+        for c in ("rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+                  "rule_alpha_frac", "rule_stopwords")
+    )
+    assert not got[1]["rule_word_count"] and not got[1]["keep"]
+    assert not got[2]["rule_mean_word_len"] and not got[2]["keep"]
+    assert not got[3]["rule_symbol_ratio"] and not got[3]["keep"]
+    assert not got[4]["rule_alpha_frac"] and not got[4]["keep"]
+    assert not got[5]["rule_stopwords"] and not got[5]["keep"]
+    # the single-failure docs still pass every OTHER rule
+    assert got[1]["rule_mean_word_len"] and got[1]["rule_alpha_frac"]
+    assert got[3]["rule_word_count"] and got[3]["rule_stopwords"]
