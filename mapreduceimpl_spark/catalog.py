@@ -2516,7 +2516,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "contamination_bloom", "ngram_novelty", "kmv_set_ops",
      "events_holt", "classifier_eval", "classifier_calibration",
      "ams_f2", "leakage_safe_split", "dp_noisy_counts",
-     "gopher_rules"}
+     "gopher_rules", "ams_join_size"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -6440,6 +6440,20 @@ FROM dpu""",
             "run before any learned filter; pure zero-shuffle codegen "
             "projection",
     ),
+    "ams_join_size": QuerySpec(
+        lambda spark, sf_dir: sketches.ams_join_size(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+            counters=9,
+        ),
+        sketches.ams_join_size_sql(counters=9),
+        doc="AMS join-cardinality estimation (AGMS 1999): "
+            "|orders ⋈ lineitem| from the INNER PRODUCT of each side's "
+            "9 signed sums — sketch each table once, answer any join "
+            "size without touching either (the broadcast-vs-salt "
+            "decision at 100 TB); exact join count rides along for the "
+            "value-checked rel_err, median by bounded 9-row pick",
+    ),
 }
 
 
@@ -6513,6 +6527,7 @@ _ROUND6_ORDER = [
     "contamination_bloom", "ngram_novelty", "kmv_set_ops",
     "events_holt", "classifier_eval", "classifier_calibration",
     "ams_f2", "leakage_safe_split", "dp_noisy_counts", "gopher_rules",
+    "ams_join_size",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -584,3 +584,150 @@ SELECT f2_exact, est AS f2_est,
        floor(abs(est - f2_exact) / CAST(f2_exact AS DOUBLE) * 1e9 + 0.5) / 1e9
          AS rel_err
 FROM amid WHERE rn = {mid}"""
+
+
+def ams_join_size(
+    left: DataFrame,
+    right: DataFrame,
+    counters: int = 9,
+    left_key: str = "o_orderkey",
+    right_key: str = "l_orderkey",
+) -> DataFrame:
+    """Join-cardinality estimation from AMS sketches of the TWO sides:
+    |L ⋈ R| = Σ_k f_k·g_k, and E[S_c(L)·S_c(R)] equals it exactly
+    (the same pairwise-independent signs cancel across counters) — the
+    classic sketch-based join-size estimator (Alon, Gibbons, Matias,
+    Szegedy 1999).  This is the planning primitive :func:`ams_f2`
+    generalizes to two relations: sketch each table ONCE (9 signed
+    integers each, mergeable, persistable next to the table), then
+    answer "how big is this join" for any pair of sketched tables
+    without touching either — at 100 TB that answer decides
+    broadcast-vs-shuffle and salting BEFORE the join runs.
+
+    The sign hash keys on the JOIN VALUE (not the column name), so two
+    different column names over the same domain sketch compatibly.
+    Estimate = median over the odd ``counters`` of S_c(L)·S_c(R);
+    exact join size rides along via one real count for the
+    value-checked rel_err contract of the sketch family.
+
+    Plan: one per-key aggregate per side, a bounded counters-row
+    product + median pick; the exact side is the one real join.
+    """
+    if counters < 1 or counters % 2 == 0:
+        raise ValueError(
+            f"ams_join_size: counters must be a positive odd number, got {counters}"
+        )
+
+    def side_sums(df: DataFrame, key: str, out_prefix: str) -> DataFrame:
+        cnts = df.groupBy(key).agg(F.count("*").alias("cnt"))
+        per_key = cnts.select(
+            *[
+                (_ams_sign(F.col(key), c) * F.col("cnt")).alias(f"t{c}")
+                for c in range(counters)
+            ]
+        )
+        return per_key.agg(
+            *[
+                F.sum(f"t{c}").cast("long").alias(f"{out_prefix}{c}")
+                for c in range(counters)
+            ]
+        )
+
+    ls = side_sums(left, left_key, "ls")
+    rs = side_sums(right, right_key, "rs")
+    exact = (
+        left.select(F.col(left_key).alias("__k"))
+        .join(right.select(F.col(right_key).alias("__k")), "__k")
+        .agg(F.count("*").cast("long").alias("join_exact"))
+    )
+    ests = (
+        exact.crossJoin(ls)
+        .crossJoin(rs)  # 1 x 1 x 1 rows
+        .select(
+            "join_exact",
+            F.explode(
+                F.array(
+                    *[
+                        F.col(f"ls{c}") * F.col(f"rs{c}")
+                        for c in range(counters)
+                    ]
+                )
+            ).alias("est"),
+        )
+    )
+    w = Window.partitionBy("join_exact").orderBy("est")  # bounded rows
+    mid = (counters + 1) // 2
+    return (
+        ests.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == mid)
+        .select(
+            "join_exact",
+            F.col("est").cast("long").alias("join_est"),
+            (
+                F.floor(
+                    F.abs(F.col("est") - F.col("join_exact"))
+                    / F.col("join_exact")
+                    * 1e9
+                    + F.lit(0.5)
+                )
+                / 1e9
+            ).alias("rel_err"),
+        )
+    )
+
+
+def ams_join_size_sql(
+    counters: int = 9,
+    left_table: str = "orders",
+    right_table: str = "lineitem",
+    left_key: str = "o_orderkey",
+    right_key: str = "l_orderkey",
+) -> str:
+    """DuckDB mirror of :func:`ams_join_size`."""
+    def sign(c: int, key: str) -> str:
+        return (
+            f"(1 - 2 * (CAST('0x' || substr(md5('{c}#' || "
+            f"CAST({key} AS VARCHAR)), 1, 8) AS BIGINT) % 2))"
+        )
+
+    lterms = ",\n         ".join(
+        f"CAST(SUM({sign(c, left_key)} * cnt) AS BIGINT) AS ls{c}"
+        for c in range(counters)
+    )
+    rterms = ",\n         ".join(
+        f"CAST(SUM({sign(c, right_key)} * cnt) AS BIGINT) AS rs{c}"
+        for c in range(counters)
+    )
+    est_list = ", ".join(f"ls{c} * rs{c}" for c in range(counters))
+    mid = (counters + 1) // 2
+    return f"""WITH jlc AS (
+  SELECT {left_key}, COUNT(*) AS cnt FROM {left_table} GROUP BY {left_key}
+),
+jls AS (
+  SELECT {lterms}
+  FROM jlc
+),
+jrc AS (
+  SELECT {right_key}, COUNT(*) AS cnt FROM {right_table} GROUP BY {right_key}
+),
+jrs AS (
+  SELECT {rterms}
+  FROM jrc
+),
+jex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS join_exact
+  FROM {left_table} l JOIN {right_table} r ON l.{left_key} = r.{right_key}
+),
+jest AS (
+  SELECT join_exact, CAST(u.est AS BIGINT) AS est
+  FROM jex, jls, jrs, unnest([{est_list}]) AS u(est)
+),
+jmid AS (
+  SELECT join_exact, est,
+         ROW_NUMBER() OVER (PARTITION BY join_exact ORDER BY est) AS rn
+  FROM jest
+)
+SELECT join_exact, est AS join_est,
+       floor(abs(est - join_exact) / CAST(join_exact AS DOUBLE) * 1e9 + 0.5)
+         / 1e9 AS rel_err
+FROM jmid WHERE rn = {mid}"""

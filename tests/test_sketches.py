@@ -263,3 +263,50 @@ def test_ams_f2_partition_invariant(spark, tables):
     b = ams_f2(tables["events"].repartition(17), counters=9).collect()[0]
     assert a == b
     assert a["f2_exact"] > 0 and a["f2_est"] >= 0
+
+
+def test_ams_join_size_exact_and_replayed(spark):
+    """join_exact equals the hand-computed sum of f_k*g_k; join_est
+    equals the hashlib replay of the sketch inner product."""
+    import datetime as dt
+    import hashlib
+    import math
+
+    from mapreduceimpl_spark.operators.sketches import ams_join_size
+
+    lf = {k: k % 3 + 1 for k in range(1, 15)}       # left frequencies
+    rf = {k: (k * 7) % 4 + 1 for k in range(5, 25)}  # right, overlapping 5..14
+    left = spark.createDataFrame(
+        [(k,) for k, f in lf.items() for _ in range(f)], ["o_orderkey"]
+    )
+    right = spark.createDataFrame(
+        [(k,) for k, f in rf.items() for _ in range(f)], ["l_orderkey"]
+    )
+    got = ams_join_size(left, right, counters=9).collect()[0]
+    want_exact = sum(lf[k] * rf[k] for k in set(lf) & set(rf))
+    assert got["join_exact"] == want_exact
+
+    def sign(c, k):
+        h = int(hashlib.md5(f"{c}#{k}".encode()).hexdigest()[:8], 16)
+        return 1 - 2 * (h % 2)
+
+    ests = sorted(
+        sum(sign(c, k) * f for k, f in lf.items())
+        * sum(sign(c, k) * f for k, f in rf.items())
+        for c in range(9)
+    )
+    assert got["join_est"] == ests[4]
+    want_err = math.floor(
+        abs(ests[4] - want_exact) / want_exact * 1e9 + 0.5
+    ) / 1e9
+    assert got["rel_err"] == want_err
+
+
+def test_ams_join_size_validates_counters(spark):
+    import pytest
+
+    from mapreduceimpl_spark.operators.sketches import ams_join_size
+
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        ams_join_size(df, df, counters=2, left_key="id", right_key="id")
