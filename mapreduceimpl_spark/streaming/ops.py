@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -1114,4 +1115,101 @@ def stream_quality_score(
         "doc_id",
         (F.floor(p * 1e6 + F.lit(0.5)) / 1e6).alias("score"),
         (p >= 0.5).alias("pred"),
+    )
+
+
+_KMV_STREAM_SCHEMA = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("batch_seq", LongType()),
+        StructField("kth_u", DoubleType()),
+        StructField("est_distinct", DoubleType()),
+    ]
+)
+# the k smallest DISTINCT shingle-hash uniforms seen so far (sorted
+# ascending) + a per-key micro-batch counter: O(k) state regardless of
+# stream length — the mergeable-sketch contract, live
+_KMV_STATE = StructType(
+    [
+        StructField("ks", ArrayType(DoubleType())),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def stream_kmv_distinct(
+    docs: DataFrame, k: int = 256, n: int = 3
+) -> DataFrame:
+    """Streaming twin of ``sketches.kmv_distinct``'s SKETCH columns:
+    per-language distinct-shingle cardinality monitoring on an
+    unbounded document stream with O(k) keyed state — the live
+    dashboard use of the mergeable KMV summary (the batch entry's
+    exact_distinct column is deliberately NOT carried: tracking it
+    would need the full distinct hash set, i.e. unbounded state; the
+    sketch IS the streaming value proposition).
+
+    Emits one row per (lang, micro-batch): the current k-th minimum
+    hash and the (k-1)/u_(k) estimate (NULL until k distinct hashes
+    arrive, the batch op's under-k regime).  Because bottom-k over
+    distinct hash values is ORDER-FREE, the final emission equals the
+    batch columns over the same corpus no matter how the stream is
+    batched (tested, incl. a two-batch boundary where the k-th minimum
+    moves).
+
+    The per-batch shingle hashing replays the batch chain exactly:
+    md5(3-gram) -> hash_uniform = int(md5(that hex)[:8], 16) / 2^32,
+    both md5 passes in hashlib — bit-identical to the Spark/DuckDB
+    expressions because md5 is md5 everywhere.
+    """
+    import hashlib
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if k < 2:
+        raise ValueError(f"stream_kmv_distinct: k must be >= 2, got {k}")
+    span = 4294967296.0
+
+    def update(key: Any, pdfs: Any, state: GroupState):
+        if state.exists:
+            ks, seq = state.get
+            ks = list(ks)
+        else:
+            ks, seq = [], 0
+        seq += 1
+        new_us = set()
+        for pdf in pdfs:
+            for text in pdf["text"]:
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                if len(toks) < n:
+                    continue
+                for i in range(len(toks) - n + 1):
+                    sh = hashlib.md5(
+                        " ".join(toks[i : i + n]).encode()
+                    ).hexdigest()
+                    u = (
+                        int(hashlib.md5(sh.encode()).hexdigest()[:8], 16)
+                        / span
+                    )
+                    new_us.add(u)
+        if new_us:
+            ks = sorted(set(ks) | new_us)[:k]
+        state.update((ks, seq))
+        kth = ks[k - 1] if len(ks) >= k else None
+        yield pd.DataFrame(
+            {
+                "lang": [key[0]],
+                "batch_seq": [seq],
+                "kth_u": [kth],
+                "est_distinct": [None if kth is None else (k - 1) / kth],
+            }
+        )
+
+    return docs.groupBy("lang").applyInPandasWithState(
+        update,
+        outputStructType=_KMV_STREAM_SCHEMA,
+        stateStructType=_KMV_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -881,3 +881,82 @@ def test_stream_quality_score_matches_batch_classifier(spark, tmp_path):
 
     with pytest.raises(ValueError):
         streaming.stream_quality_score(stream, [])
+
+
+def test_stream_kmv_distinct_matches_batch_sketch(spark, tmp_path):
+    """Final per-language emission equals the batch kmv_distinct sketch
+    columns (kth_u, est_distinct) over the same corpus."""
+    from mapreduceimpl_spark.operators.sketches import kmv_distinct
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text", "lang")
+    src = tmp_path / "kmv_stream"
+    src.mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    got_rows = _run_stream(
+        streaming.stream_kmv_distinct(stream, k=64), mode="append"
+    )
+    # keep the last emission per lang
+    last = {}
+    for r in got_rows:
+        if r["lang"] not in last or r["batch_seq"] > last[r["lang"]]["batch_seq"]:
+            last[r["lang"]] = r
+    batch = {
+        r["lang"]: r
+        for r in kmv_distinct(
+            load_table(spark, SF, "documents"), k=64
+        ).collect()
+    }
+    assert set(last) == set(batch)
+    for lang, r in last.items():
+        assert r["kth_u"] == batch[lang]["kth_u"]
+        assert r["est_distinct"] == batch[lang]["est_distinct"]
+
+
+def test_stream_kmv_distinct_state_crosses_batches(spark, tmp_path):
+    """Two files split the corpus; the k-th minimum after file B must
+    reflect hashes from file A (impossible unless the bottom-k state
+    survives the micro-batch boundary) and equal the batch sketch over
+    the union."""
+    from mapreduceimpl_spark.operators.sketches import kmv_distinct
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text", "lang")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    src = tmp_path / "kmv_two"
+    src.mkdir()
+    a.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    b.coalesce(1).write.mode("overwrite").parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    got_rows = _run_stream(
+        streaming.stream_kmv_distinct(stream, k=64), mode="append"
+    )
+    last = {}
+    max_seq = 0
+    for r in got_rows:
+        max_seq = max(max_seq, r["batch_seq"])
+        if r["lang"] not in last or r["batch_seq"] > last[r["lang"]]["batch_seq"]:
+            last[r["lang"]] = r
+    assert max_seq >= 2  # genuinely saw more than one micro-batch
+    batch = {
+        r["lang"]: r
+        for r in kmv_distinct(
+            load_table(spark, SF, "documents"), k=64
+        ).collect()
+    }
+    for lang, r in last.items():
+        assert r["kth_u"] == batch[lang]["kth_u"]
+        assert r["est_distinct"] == batch[lang]["est_distinct"]
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        streaming.stream_kmv_distinct(docs, k=1)
