@@ -2516,7 +2516,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "contamination_bloom", "ngram_novelty", "kmv_set_ops",
      "events_holt", "classifier_eval", "classifier_calibration",
      "ams_f2", "leakage_safe_split", "dp_noisy_counts",
-     "gopher_rules", "ams_join_size"}
+     "gopher_rules", "ams_join_size", "events_twap"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -6454,6 +6454,35 @@ FROM dpu""",
             "decision at 100 TB); exact join count rides along for the "
             "value-checked rel_err, median by bounded 9-row pick",
     ),
+    "events_twap": QuerySpec(
+        _rel(relational.q_events_twap),
+        """WITH tw AS (
+  SELECT user_id, value,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS gap_us
+  FROM events WHERE value IS NOT NULL
+),
+ta AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(gap_us) AS BIGINT) AS span_us,
+         CAST(SUM(CASE WHEN gap_us IS NOT NULL
+                       THEN CAST(floor(value * gap_us + 0.5) AS BIGINT) END)
+              AS BIGINT) AS wsum
+  FROM tw GROUP BY user_id
+)
+SELECT user_id, n_events, span_us,
+       CASE WHEN span_us > 0
+            THEN floor(wsum / CAST(span_us AS DOUBLE) * 1e9 + 0.5) / 1e9
+       END AS twap
+FROM ta""",
+        doc="per-user TIME-weighted average (TWAP) of the event gauge: "
+            "each value holds until the next event, weight = exact "
+            "BIGINT microsecond gap (unix_micros lead — immune to the "
+            "unix_timestamp-floors vs epoch-fractions engine split), "
+            "quantized-BIGINT weighted sums; the correct mean for "
+            "irregular telemetry — ONE window Exchange, no self-join",
+    ),
 }
 
 
@@ -6527,7 +6556,7 @@ _ROUND6_ORDER = [
     "contamination_bloom", "ngram_novelty", "kmv_set_ops",
     "events_holt", "classifier_eval", "classifier_calibration",
     "ams_f2", "leakage_safe_split", "dp_noisy_counts", "gopher_rules",
-    "ams_join_size",
+    "ams_join_size", "events_twap",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

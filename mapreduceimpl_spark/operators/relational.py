@@ -3059,3 +3059,43 @@ def q_dp_noisy_counts(
             "n_noisy"
         ),
     )
+
+
+def q_events_twap(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-user TIME-weighted average of ``value`` — the correct mean
+    for irregularly sampled telemetry (a gauge that sat at 5.0 for an
+    hour then 100.0 for a second averages ~5, not 52.5; the unweighted
+    mean every dashboard naively computes overweights bursts).
+
+    Each event's value holds until the user's next event: weight =
+    exact BIGINT MICROSECOND gap to the next event (unix_micros of the
+    lead over the per-user (ts, event_id) order — integer end-to-end,
+    immune to the unix_timestamp-floors-vs-epoch-fractions engine
+    split); the last event has no successor and carries zero weight,
+    i.e. the reading is integrated over the OBSERVED span.  twap =
+    Σ round(value·gap_us) / Σ gap_us with the weighted terms quantized
+    to BIGINT and summed exactly (magnitude-safe: ≤ ~1e12 per term,
+    ~1e16 per user — inside both BIGINT and the 2^53 double-product
+    window), final ratio half-up at 1e-9.  Users with a single event
+    (or zero span) report NULL twap, never a 0/0 NaN.
+
+    Scale: ONE window Exchange on user_id (lead + the aggregate share
+    it), no self-join; millions of users parallelize the frame.
+    """
+    e = t["events"].filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).cast(
+        "long"
+    )
+    per = e.select("user_id", "ts", "event_id", "value").withColumn("gap_us", gap)
+    term = F.floor(F.col("value") * F.col("gap_us") + F.lit(0.5)).cast("long")
+    agg = per.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("gap_us").cast("long").alias("span_us"),
+        F.sum(F.when(F.col("gap_us").isNotNull(), term)).cast("long").alias("wsum"),
+    )
+    twap = F.when(
+        F.col("span_us") > 0,
+        F.floor(F.col("wsum") / F.col("span_us") * 1e9 + F.lit(0.5)) / 1e9,
+    )
+    return agg.select("user_id", "n_events", "span_us", twap.alias("twap"))

@@ -666,3 +666,59 @@ def test_holt_trend_validates_params(spark):
         timeseries.holt_trend(df, alpha=0.0)
     with pytest.raises(ValueError):
         timeseries.holt_trend(df, beta=1.5)
+
+
+def test_events_twap_hand_case(spark):
+    """Gauge at 6.0 for 30 s then 12.0 for 10 s then a terminal event:
+    twap = (6*30 + 12*10) / 40 = 7.5 — NOT the unweighted mean 9.33."""
+    import datetime
+
+    from mapreduceimpl_spark.operators.relational import q_events_twap
+
+    t0 = datetime.datetime(2024, 1, 1)
+    s = lambda n: t0 + datetime.timedelta(seconds=n)
+    rows = [
+        (1, s(0), 7, "g", 6.0, "{}"),
+        (2, s(30), 7, "g", 12.0, "{}"),
+        (3, s(40), 7, "g", 10.0, "{}"),   # last: zero weight
+        (4, s(0), 8, "g", 99.0, "{}"),    # single event: NULL twap
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r["user_id"]: r for r in q_events_twap({"events": e}).collect()}
+    assert out[7]["n_events"] == 3
+    assert out[7]["span_us"] == 40_000_000
+    assert out[7]["twap"] == 7.5
+    assert out[8]["n_events"] == 1
+    assert out[8]["twap"] is None and out[8]["span_us"] is None
+
+
+def test_events_twap_partition_invariant(tables):
+    from mapreduceimpl_spark.operators.relational import q_events_twap
+
+    a = sorted(
+        (r["user_id"], r["span_us"], r["twap"])
+        for r in q_events_twap(tables).collect()
+    )
+    b = sorted(
+        (r["user_id"], r["span_us"], r["twap"])
+        for r in q_events_twap(
+            {"events": tables["events"].repartition(13)}
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_events_twap_single_exchange_plan(spark):
+    """The lead window and the per-user aggregate share ONE user_id
+    Exchange — no second shuffle, no self-join."""
+    from mapreduceimpl_spark.operators.relational import q_events_twap
+    from mapreduceimpl_spark.plans import explain_str
+    from mapreduceimpl_spark.sources import load_table
+
+    df = q_events_twap(
+        {"events": load_table(spark, "/root/testdata/sf0.001", "events")}
+    )
+    plan = explain_str(df, "simple")
+    assert plan.count("Exchange") == 1, plan
