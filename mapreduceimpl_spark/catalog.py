@@ -2516,7 +2516,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "contamination_bloom", "ngram_novelty", "kmv_set_ops",
      "events_holt", "classifier_eval", "classifier_calibration",
      "ams_f2", "leakage_safe_split", "dp_noisy_counts",
-     "gopher_rules", "ams_join_size", "events_twap"}
+     "gopher_rules", "ams_join_size", "events_twap",
+     "grid_quantiles"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -6483,6 +6484,19 @@ FROM ta""",
             "quantized-BIGINT weighted sums; the correct mean for "
             "irregular telemetry — ONE window Exchange, no self-join",
     ),
+    "grid_quantiles": QuerySpec(
+        lambda spark, sf_dir: sketches.grid_quantiles(
+            load_table(spark, sf_dir, "lineitem")
+        ),
+        sketches.grid_quantiles_sql(),
+        doc="fixed-grid quantile sketch: P25/P50/P75/P90/P99 of "
+            "l_extendedprice from a 1024-cell equi-width histogram "
+            "(mergeable across partitions AND days — the continuous "
+            "percentile-dashboard path at 100 TB), error structurally "
+            "bounded by one cell width; exact interpolated quantiles "
+            "(percentile == quantile_cont) ride along value-checked; "
+            "raw column scanned twice, never globally sorted",
+    ),
 }
 
 
@@ -6556,7 +6570,7 @@ _ROUND6_ORDER = [
     "contamination_bloom", "ngram_novelty", "kmv_set_ops",
     "events_holt", "classifier_eval", "classifier_calibration",
     "ams_f2", "leakage_safe_split", "dp_noisy_counts", "gopher_rules",
-    "ams_join_size", "events_twap",
+    "ams_join_size", "events_twap", "grid_quantiles",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -731,3 +731,129 @@ SELECT join_exact, est AS join_est,
        floor(abs(est - join_exact) / CAST(join_exact AS DOUBLE) * 1e9 + 0.5)
          / 1e9 AS rel_err
 FROM jmid WHERE rn = {mid}"""
+
+
+def grid_quantiles(
+    lineitem: DataFrame,
+    bins: int = 1024,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    value_col: str = "l_extendedprice",
+) -> DataFrame:
+    """Fixed-grid quantile sketch: estimate any quantile of a column
+    from a ``bins``-cell equi-width histogram — the mergeable summary
+    (cell counts add across partitions AND across days) that answers
+    percentile dashboards at 100 TB where the exact sort-based
+    percentile cannot run continuously.  Estimate = lower edge of the
+    first cell whose cumulative count reaches ceil(q·n); the true
+    discrete quantile provably lies within that cell, so the error is
+    structurally bounded by ONE cell width (pytest pins it).
+
+    Exact interpolated quantiles ride along (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, identical lower+(upper−lower)·frac
+    formula over doubles) for the family's value-checked error
+    contract; both est and exact are half-up rounded at 1e-9.
+
+    Plan: one min/max/exact-percentile aggregate, one histogram
+    aggregate on a ≤``bins`` key space, a cumulative window over the
+    BOUNDED cell relation, and a bounded |qs|×bins pick — the raw
+    column is scanned twice and never sorted globally.
+    """
+    if bins < 2:
+        raise ValueError(f"grid_quantiles: bins must be >= 2, got {bins}")
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError(f"grid_quantiles: every q must be in (0, 1], got {qs}")
+    src = lineitem.select(F.col(value_col).cast("double").alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    q_arr = F.array(*[F.lit(float(q)) for q in qs])
+    stats = src.agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count("*").cast("long").alias("n"),
+        F.expr(
+            "percentile(x, array("
+            + ", ".join(repr(float(q)) for q in qs)
+            + "))"
+        ).alias("exq"),
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(bins))
+    binned = src.crossJoin(F.broadcast(stats.select("mn", "mx"))).select(
+        F.least(
+            F.floor((F.col("x") - F.col("mn")) / width).cast("long"),
+            F.lit(bins - 1),
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").cast("long").alias("c"))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bin", F.sum("c").over(wcum).cast("long").alias("cum"))
+    qrows = stats.select(
+        "mn", "mx", "n", F.posexplode(q_arr).alias("qi", "q"),
+        F.element_at("exq", F.col("qi") + 1).alias("ex"),
+    ).select(
+        "mn", "mx", "n", "q",
+        F.ceil(F.col("q") * F.col("n")).cast("long").alias("rank_r"),
+        "ex",
+    )
+    picked = (
+        qrows.join(F.broadcast(cum), F.col("cum") >= F.col("rank_r"))
+        .groupBy("q", "mn", "mx", "n", "ex")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = F.col("mn") + F.col("bin") * ((F.col("mx") - F.col("mn")) / F.lit(float(bins)))
+    r9 = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9
+    return picked.select(
+        "q",
+        "n",
+        F.col("bin").cast("long").alias("bin_idx"),
+        r9(est).alias("est_q"),
+        r9(F.col("ex")).alias("exact_q"),
+        r9((F.col("mx") - F.col("mn")) / F.lit(float(bins))).alias("bin_width"),
+    )
+
+
+def grid_quantiles_sql(
+    bins: int = 1024,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    value_col: str = "l_extendedprice",
+    table: str = "lineitem",
+) -> str:
+    """DuckDB mirror of :func:`grid_quantiles`."""
+    q_list = ", ".join(repr(float(q)) for q in qs)
+    q_vals = ", ".join(f"({float(q)!r}, {i + 1})" for i, q in enumerate(qs))
+    return f"""WITH gq_src AS (
+  SELECT CAST({value_col} AS DOUBLE) AS x FROM {table} WHERE {value_col} IS NOT NULL
+),
+gq_stats AS (
+  SELECT MIN(x) AS mn, MAX(x) AS mx, CAST(COUNT(*) AS BIGINT) AS n,
+         quantile_cont(x, [{q_list}]) AS exq
+  FROM gq_src
+),
+gq_hist AS (
+  SELECT LEAST(CAST(floor((x - mn) / ((mx - mn) / {float(bins)!r})) AS BIGINT),
+               {bins - 1}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM gq_src, gq_stats
+  GROUP BY 1
+),
+gq_cum AS (
+  SELECT bin, CAST(SUM(c) OVER (ORDER BY bin
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM gq_hist
+),
+gq_q AS (
+  SELECT v.q, s.mn, s.mx, s.n,
+         CAST(ceil(v.q * s.n) AS BIGINT) AS rank_r,
+         s.exq[v.qi] AS ex
+  FROM gq_stats s, (VALUES {q_vals}) AS v(q, qi)
+),
+gq_pick AS (
+  SELECT q, mn, mx, n, ex, MIN(bin) AS bin
+  FROM gq_q JOIN gq_cum ON cum >= rank_r
+  GROUP BY q, mn, mx, n, ex
+)
+SELECT q, n, CAST(bin AS BIGINT) AS bin_idx,
+       floor((mn + bin * ((mx - mn) / {float(bins)!r})) * 1e9 + 0.5) / 1e9
+         AS est_q,
+       floor(ex * 1e9 + 0.5) / 1e9 AS exact_q,
+       floor(((mx - mn) / {float(bins)!r}) * 1e9 + 0.5) / 1e9 AS bin_width
+FROM gq_pick"""

@@ -310,3 +310,37 @@ def test_ams_join_size_validates_counters(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):
         ams_join_size(df, df, counters=2, left_key="id", right_key="id")
+
+
+def test_grid_quantiles_hand_case_and_error_bound(spark):
+    """Uniform 1..200: every estimate is the lower edge of the cell
+    holding rank ceil(q*n), so the exact quantile sits within one cell
+    width above it."""
+    from mapreduceimpl_spark.operators.sketches import grid_quantiles
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 201)], ["l_extendedprice"]
+    )
+    rows = {r["q"]: r for r in grid_quantiles(df, bins=20).collect()}
+    assert set(rows) == {0.25, 0.5, 0.75, 0.9, 0.99}
+    for q, r in rows.items():
+        assert r["n"] == 200
+        assert 0 <= r["bin_idx"] <= 19
+        # structural bound: exact in [est, est + width] (+1 ulp slack)
+        assert r["est_q"] - 1e-6 <= r["exact_q"] <= r["est_q"] + r["bin_width"] + 1e-6
+    # median of 1..200 on a [1,200] 20-cell grid: rank 100 -> value 100
+    # lands in cell floor((100-1)/9.95) = 9 -> est edge 1 + 9*9.95
+    assert rows[0.5]["bin_idx"] == 9
+    assert abs(rows[0.5]["est_q"] - (1 + 9 * 9.95)) < 1e-6
+
+
+def test_grid_quantiles_validates(spark):
+    import pytest
+
+    from mapreduceimpl_spark.operators.sketches import grid_quantiles
+
+    df = spark.createDataFrame([(1.0,)], ["l_extendedprice"])
+    with pytest.raises(ValueError):
+        grid_quantiles(df, bins=1)
+    with pytest.raises(ValueError):
+        grid_quantiles(df, qs=(0.5, 1.5))
