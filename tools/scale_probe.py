@@ -561,7 +561,41 @@ def _probe_leakage_split(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_events_twap(spark, sf_dir: str):
+    """events_twap: one user_id window Exchange shared by lead + agg."""
+    from mapreduceimpl_spark.operators import relational
+
+    events = load_table(spark, sf_dir, "events")
+    t0 = time.time()
+    n = relational.q_events_twap({"events": events}).count()
+    return time.time() - t0, n
+
+
+def _probe_grid_quantiles(spark, sf_dir: str):
+    """grid_quantiles: two scans + bounded 1024-cell machinery."""
+    from mapreduceimpl_spark.operators import sketches
+
+    li = load_table(spark, sf_dir, "lineitem")
+    t0 = time.time()
+    n = sketches.grid_quantiles(li).count()
+    return time.time() - t0, n
+
+
+def _probe_ams_join_size(spark, sf_dir: str):
+    """ams_join_size: per-key aggregate per side + the exact join."""
+    from mapreduceimpl_spark.operators import sketches
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    t0 = time.time()
+    n = sketches.ams_join_size(o, l).count()
+    return time.time() - t0, n
+
+
 PROBES = {
+    "events_twap": _probe_events_twap,
+    "grid_quantiles": _probe_grid_quantiles,
+    "ams_join_size": _probe_ams_join_size,
     "ams_f2": _probe_ams_f2,
     "classifier_eval": _probe_classifier_eval,
     "leakage_split": _probe_leakage_split,
