@@ -652,6 +652,39 @@ ANNOTATED = {
         "shuffles); fusion itself is a full-outer join + window over "
         "bounded top-k-per-query rows — O(queries x k)."
     ),
+    "classifier_eval": (
+        "Classifier eval (round 6): confusion counts are one scan-side "
+        "aggregate over the trained scores; AUC ranks the BOUNDED "
+        "distinct-score relation (<= 1e6+1 rows at any corpus size, the "
+        "1e-6 quantization is what makes the partition-less window "
+        "safe), then a 1-row x 1-row crossJoin assembles the metrics."
+    ),
+    "ams_join_size": (
+        "AGMS join-size sketch (round 6): one per-key HashAggregate per "
+        "side collapses each table to 9 signed BIGINTs (map-side "
+        "combined — the mergeable-sketch property in the plan), the "
+        "estimate is a bounded 9-row median pick; the only join in the "
+        "plan is the EXACT verification side that production would drop."
+    ),
+    "events_twap": (
+        "Time-weighted average (round 6): lead() window and the per-user "
+        "aggregate share ONE user_id Exchange (plan-asserted); weights "
+        "are exact BIGINT microsecond gaps so no timestamp-flooring "
+        "expression appears in the plan."
+    ),
+    "grid_quantiles": (
+        "Fixed-grid quantile sketch (round 6): two scans of the raw "
+        "column (min/max/exact-percentile aggregate, then the histogram "
+        "aggregate on a <= 1024-cell key space), cumulative window over "
+        "the bounded cell relation, bounded |qs| x cells pick — no "
+        "global sort of raw rows anywhere in the plan."
+    ),
+    "leakage_safe_split": (
+        "Leakage-safe split (round 6): the MinHash banded self-join and "
+        "min-label-propagation CC stages are the audited dedup_clusters "
+        "subplan; the split itself adds only a zero-shuffle md5 "
+        "projection on the component id."
+    ),
 }
 
 
