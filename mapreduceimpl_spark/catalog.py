@@ -993,6 +993,56 @@ FROM lscored
 GROUP BY 1"""
 
 
+_MARKOV_PROB_LAYERS = """mk_pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+mk_trans AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM mk_pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+mk_prob AS (
+  SELECT prev_type, next_type, n_trans,
+         floor(n_trans / CAST(SUM(n_trans) OVER (PARTITION BY prev_type)
+                              AS DOUBLE) * 1e9 + 0.5) / 1e9 AS prob
+  FROM mk_trans
+)"""
+
+
+def _markov_stationary_oracle(iterations: int = 12) -> str:
+    """Chained-CTE replay of ``relational.q_markov_stationary``: one
+    exact-BIGINT inflow aggregate per power iteration over the bounded
+    transition matrix."""
+    layers = [
+        _MARKOV_PROB_LAYERS,
+        """mk_types AS (
+  SELECT DISTINCT event_type FROM (
+    SELECT prev_type AS event_type FROM mk_prob
+    UNION ALL SELECT next_type FROM mk_prob
+  )
+)""",
+        "mk_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM mk_types)",
+        "mpi0 AS (SELECT event_type, 1.0 / nt AS pi FROM mk_types, mk_n)",
+    ]
+    for k in range(1, iterations + 1):
+        layers.append(
+            f"""mpi{k} AS (
+  SELECT t.next_type AS event_type,
+         SUM(CAST(floor(p.pi * t.prob * 1e12 + 0.5) AS BIGINT)) / 1e12 AS pi
+  FROM mpi{k - 1} p JOIN mk_prob t ON p.event_type = t.prev_type
+  GROUP BY 1
+)"""
+        )
+    body = ",\n".join(layers)
+    return (
+        f"WITH {body}\n"
+        f"SELECT event_type, floor(pi * 1e9 + 0.5) / 1e9 AS pi "
+        f"FROM mpi{iterations}"
+    )
+
+
 def _pq_codes_oracle(
     m: int = 4, k: int = 4, iterations: int = 2, dim: int = 64
 ) -> str:
@@ -2517,7 +2567,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "events_holt", "classifier_eval", "classifier_calibration",
      "ams_f2", "leakage_safe_split", "dp_noisy_counts",
      "gopher_rules", "ams_join_size", "events_twap",
-     "grid_quantiles"}
+     "grid_quantiles", "event_markov", "markov_stationary"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -6497,6 +6547,28 @@ FROM ta""",
             "(percentile == quantile_cont) ride along value-checked; "
             "raw column scanned twice, never globally sorted",
     ),
+    "event_markov": QuerySpec(
+        _rel(relational.q_event_markov),
+        f"""WITH {_MARKOV_PROB_LAYERS}
+SELECT prev_type, next_type, n_trans, prob FROM mk_prob""",
+        doc="first-order Markov transition matrix over event types: "
+            "lag-1 pairs from ONE user_id window Exchange, matrix "
+            "aggregate on a <=|types|^2 key space, row-normalized "
+            "probabilities from exact integer ratios — the behavioral "
+            "model behind next-event prediction and funnel-leak "
+            "analysis",
+    ),
+    "markov_stationary": QuerySpec(
+        _rel(relational.q_markov_stationary),
+        _markov_stationary_oracle(12),
+        doc="stationary distribution of the event-type chain by "
+            "12-iteration power method on the BOUNDED transition "
+            "matrix: inflow terms quantized to BIGINT at 1e12 and "
+            "summed exactly (order-free in both engines), each "
+            "iteration references the previous pi exactly once "
+            "(linear lineage) — iterations cost |types|^2 rows "
+            "regardless of corpus size",
+    ),
 }
 
 
@@ -6571,6 +6643,7 @@ _ROUND6_ORDER = [
     "events_holt", "classifier_eval", "classifier_calibration",
     "ams_f2", "leakage_safe_split", "dp_noisy_counts", "gopher_rules",
     "ams_join_size", "events_twap", "grid_quantiles",
+    "event_markov", "markov_stationary",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -3099,3 +3099,93 @@ def q_events_twap(t: dict[str, DataFrame]) -> DataFrame:
         F.floor(F.col("wsum") / F.col("span_us") * 1e9 + F.lit(0.5)) / 1e9,
     )
     return agg.select("user_id", "n_events", "span_us", twap.alias("twap"))
+
+
+def q_event_markov(t: dict[str, DataFrame]) -> DataFrame:
+    """First-order Markov transition matrix over the event-type
+    alphabet: for every observed (prev_type -> next_type) pair in a
+    user's (ts, event_id)-ordered timeline, the transition count and
+    the row-normalized probability — the behavioral model behind
+    next-event prediction, funnel leak analysis, and synthetic
+    session generation.
+
+    ONE user_id window Exchange builds the lag-1 pairs; the matrix
+    aggregate keys on a ≤ |types|² space, and the row normalizer is a
+    window over that BOUNDED matrix (never raw events).  prob is
+    half-up rounded at 1e-9 from the exact integer ratio.
+    """
+    e = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").cast("long").alias("n_trans")
+    )
+    wrow = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        (
+            F.floor(
+                F.col("n_trans") / F.sum("n_trans").over(wrow) * 1e9
+                + F.lit(0.5)
+            )
+            / 1e9
+        ).alias("prob"),
+    )
+
+
+def q_markov_stationary(
+    t: dict[str, DataFrame], iterations: int = 12
+) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain by
+    fixed-iteration power method: pi_{k+1}[j] = Σ_i pi_k[i]·P[i,j]
+    starting uniform — where user behavior settles if sessions ran
+    forever (the steady-state load mix each event type carries).
+
+    Engine-exact iterative construction (the kmeans/BPE/logreg recipe
+    applied to a BOUNDED matrix): P's probabilities are 1e-9-rounded
+    exact ratios from :func:`q_event_markov`; each iteration's inflow
+    terms pi·p are quantized to BIGINT at 1e12 and summed EXACTLY
+    (order-free in both engines), the new pi being that integer sum /
+    1e12.  Every iteration references the previous pi frame exactly
+    once (broadcast join onto the ≤ |types|² matrix), so lineage is
+    LINEAR in iterations and the whole chain replays as |iterations|
+    chained CTEs.
+
+    Scale: after the one events scan, everything operates on the
+    bounded matrix — iterations cost |types|² rows each regardless of
+    corpus size.  Types with no inflow at step k drop out of pi_k
+    (their stationary mass is 0 in the limit); mass absorbed by
+    types with no outgoing row leaves the simplex, which the power
+    method reports honestly rather than renormalizing away.
+    """
+    if iterations < 1:
+        raise ValueError(
+            f"markov_stationary: iterations must be >= 1, got {iterations}"
+        )
+    trans = q_event_markov(t).select("prev_type", "next_type", "prob")
+    types = trans.select(F.col("prev_type").alias("event_type")).unionByName(
+        trans.select(F.col("next_type").alias("event_type"))
+    ).distinct()
+    n_types = types.agg(F.count("*").alias("nt"))
+    pi = types.crossJoin(F.broadcast(n_types)).select(
+        "event_type", (F.lit(1.0) / F.col("nt")).alias("pi")
+    )
+    for _ in range(iterations):
+        term = F.floor(
+            F.col("pi") * F.col("prob") * 1e12 + F.lit(0.5)
+        ).cast("long")
+        pi = (
+            F.broadcast(pi)
+            .join(trans, pi.event_type == trans.prev_type)
+            .groupBy(F.col("next_type").alias("event_type"))
+            .agg((F.sum(term) / F.lit(1e12)).alias("pi"))
+        )
+    return pi.select(
+        "event_type",
+        (F.floor(F.col("pi") * 1e9 + F.lit(0.5)) / 1e9).alias("pi"),
+    )
