@@ -2567,7 +2567,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "events_holt", "classifier_eval", "classifier_calibration",
      "ams_f2", "leakage_safe_split", "dp_noisy_counts",
      "gopher_rules", "ams_join_size", "events_twap",
-     "grid_quantiles", "event_markov", "markov_stationary"}
+     "grid_quantiles", "event_markov", "markov_stationary",
+     "dedup_recall_eval"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -6569,6 +6570,56 @@ SELECT prev_type, next_type, n_trans, prob FROM mk_prob""",
             "(linear lineage) — iterations cost |types|^2 rows "
             "regardless of corpus size",
     ),
+    "dedup_recall_eval": QuerySpec(
+        lambda spark, sf_dir: dedup.dedup_recall_eval(
+            dedup.with_mutated_copies(load_table(spark, sf_dir, "documents")),
+            min_jaccard=0.5,
+        ),
+        f"""WITH dre_truth AS (
+  SELECT doc_a, doc_b FROM ({_ngram_oracle(0.5)})
+),
+dre_cand AS (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle()}) WHERE est_jaccard >= 0.5
+),
+dre_j AS (
+  SELECT COALESCE(t.doc_a, c.doc_a) AS doc_a,
+         COALESCE(t.doc_b, c.doc_b) AS doc_b,
+         (t.doc_a IS NOT NULL) AS in_t, (c.doc_a IS NOT NULL) AS in_c
+  FROM dre_truth t FULL JOIN dre_cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+),
+dre_agg AS (
+  SELECT CAST(SUM(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+         CAST(SUM(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+         CAST(SUM(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN NOT in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN in_t AND NOT in_c THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM dre_j
+),
+dre_m AS (
+  SELECT n_truth, n_cand, tp, fp, fn,
+         CASE WHEN tp + fp > 0
+              THEN floor(tp / CAST(tp + fp AS DOUBLE) * 1e9 + 0.5) / 1e9
+         END AS precision,
+         CASE WHEN tp + fn > 0
+              THEN floor(tp / CAST(tp + fn AS DOUBLE) * 1e9 + 0.5) / 1e9
+         END AS recall
+  FROM dre_agg
+)
+SELECT n_truth, n_cand, tp, fp, fn, precision, recall,
+       CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+                 AND precision + recall > 0
+            THEN floor(2.0 * precision * recall / (precision + recall)
+                       * 1e9 + 0.5) / 1e9
+       END AS f1
+FROM dre_m""",
+        doc="pair-level eval of the MinHash-LSH candidate stage vs "
+            "EXACT n-gram Jaccard ground truth (both sides "
+            "sub-quadratic: inverted index vs banded join): tp/fp/fn, "
+            "precision/recall/F1 — FP = estimator over-score, FN = "
+            "bands that never collided; the measurement that "
+            "qualifies an LSH config before it gates a 100 TB run",
+    ),
 }
 
 
@@ -6643,7 +6694,7 @@ _ROUND6_ORDER = [
     "events_holt", "classifier_eval", "classifier_calibration",
     "ams_f2", "leakage_safe_split", "dp_noisy_counts", "gopher_rules",
     "ams_join_size", "events_twap", "grid_quantiles",
-    "event_markov", "markov_stationary",
+    "event_markov", "markov_stationary", "dedup_recall_eval",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -1445,3 +1445,68 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def dedup_recall_eval(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
+    """Evaluate the MinHash-LSH candidate stage against EXACT n-gram
+    Jaccard ground truth on the same corpus: one row of pair-level
+    (n_truth, n_cand, tp, fp, fn, precision, recall, f1) — the
+    measurement that justifies (or indicts) a banded-LSH configuration
+    before it gates a 100 TB dedup run.  FP here = estimator
+    over-score (a candidate whose true Jaccard < threshold), FN =
+    bands that never collided or under-scored — exactly the two error
+    modes of the sketch.
+
+    Both sides are sub-quadratic: truth via the shingle inverted index
+    (O(Σ df²)), candidates via the banded self-join (O(Σ bucket²));
+    the comparison is a full-outer join on the (doc_a, doc_b) pair key
+    (both sides emit doc_a < doc_b).  Ratios half-up at 1e-9, NULL on
+    empty denominators.  In production you run this on a SAMPLED
+    stratum — the operator composes with ``stratified_sample``
+    unchanged — because exact truth over the full corpus is what the
+    sketch exists to avoid.
+    """
+    truth = ngram_jaccard_pairs(docs, min_jaccard=min_jaccard).select(
+        "doc_a", "doc_b", F.lit(1).alias("t")
+    )
+    cand = (
+        minhash_lsh_pairs(docs)
+        .filter(F.col("est_jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", F.lit(1).alias("c"))
+    )
+    j = truth.join(cand, ["doc_a", "doc_b"], "full")
+    agg = j.agg(
+        F.sum(F.when(F.col("t").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_truth"),
+        F.sum(F.when(F.col("c").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cand"),
+        F.sum(F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("t").isNull() & F.col("c").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(F.col("t").isNotNull() & F.col("c").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+    r9 = lambda col: F.floor(col * 1e9 + F.lit(0.5)) / 1e9
+    prec = F.when(F.col("tp") + F.col("fp") > 0, r9(F.col("tp") / (F.col("tp") + F.col("fp"))))
+    rec = F.when(F.col("tp") + F.col("fn") > 0, r9(F.col("tp") / (F.col("tp") + F.col("fn"))))
+    out = agg.select("n_truth", "n_cand", "tp", "fp", "fn",
+                     prec.alias("precision"), rec.alias("recall"))
+    f1 = F.when(
+        F.col("precision").isNotNull()
+        & F.col("recall").isNotNull()
+        & (F.col("precision") + F.col("recall") > 0),
+        r9(
+            F.lit(2.0) * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall"))
+        ),
+    )
+    return out.select(
+        "n_truth", "n_cand", "tp", "fp", "fn", "precision", "recall",
+        f1.alias("f1"),
+    )

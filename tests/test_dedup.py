@@ -974,3 +974,44 @@ def test_leakage_safe_split_growth_stable(spark):
         for r in leakage_safe_split(grown, pairs).collect()
     }
     assert all(after[d] == s for d, s in before.items())
+
+
+def test_dedup_recall_eval_fixture_sane(spark):
+    """On the planted mutated corpus the banded LSH should recover most
+    true near-dups (recall high) without exploding candidates; counts
+    reconcile exactly."""
+    from mapreduceimpl_spark.operators.dedup import (
+        dedup_recall_eval,
+        with_mutated_copies,
+    )
+    from mapreduceimpl_spark.sources import load_table
+
+    docs = with_mutated_copies(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    r = dedup_recall_eval(docs, min_jaccard=0.5).collect()[0]
+    assert r["tp"] + r["fn"] == r["n_truth"]
+    assert r["tp"] + r["fp"] == r["n_cand"]
+    assert r["n_truth"] > 0
+    assert r["recall"] is not None and r["recall"] > 0.8
+    assert r["precision"] is not None and r["precision"] > 0.5
+    assert r["f1"] is not None
+
+
+def test_dedup_recall_eval_perfect_on_exact_copies(spark):
+    """Byte-identical duplicates: MinHash signatures match exactly, so
+    precision == recall == f1 == 1.0."""
+    from mapreduceimpl_spark.operators.dedup import dedup_recall_eval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "one two three four five six seven eight nine"),
+            (4, "totally different text with nothing shared here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    r = dedup_recall_eval(docs, min_jaccard=0.5).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"]) == (1, 0, 0)
+    assert r["precision"] == 1.0 and r["recall"] == 1.0 and r["f1"] == 1.0
