@@ -1043,6 +1043,42 @@ def _markov_stationary_oracle(iterations: int = 12) -> str:
     )
 
 
+def _logreg_pr_curve_oracle(
+    iterations: int = 3,
+    lr: float = 0.5,
+    thresholds: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> str:
+    body = ",\n".join(
+        _logreg_layers(iterations, lr) + [_logreg_scored_layer(iterations)]
+    )
+    t_vals = ", ".join(f"({float(t)!r})" for t in sorted(thresholds))
+    return f"""WITH {body},
+lprt AS (
+  SELECT s.y, s.score, v.threshold
+  FROM lscored s, (VALUES {t_vals}) AS v(threshold)
+),
+lpra AS (
+  SELECT threshold,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN score >= threshold AND y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN score >= threshold AND y = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN score < threshold AND y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn
+  FROM lprt GROUP BY threshold
+)
+SELECT threshold, tp, fp, fn,
+       CASE WHEN tp + fp > 0
+            THEN floor(tp / CAST(tp + fp AS DOUBLE) * 1e9 + 0.5) / 1e9
+       END AS prec,
+       CASE WHEN tp + fn > 0
+            THEN floor(tp / CAST(tp + fn AS DOUBLE) * 1e9 + 0.5) / 1e9
+       END AS recall,
+       floor((tp + fp) / CAST(n AS DOUBLE) * 1e9 + 0.5) / 1e9 AS keep_frac
+FROM lpra"""
+
+
 def _pq_codes_oracle(
     m: int = 4, k: int = 4, iterations: int = 2, dim: int = 64
 ) -> str:
@@ -2568,7 +2604,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "ams_f2", "leakage_safe_split", "dp_noisy_counts",
      "gopher_rules", "ams_join_size", "events_twap",
      "grid_quantiles", "event_markov", "markov_stationary",
-     "dedup_recall_eval"}
+     "dedup_recall_eval", "classifier_pr_curve"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -6620,6 +6656,18 @@ FROM dre_m""",
             "bands that never collided; the measurement that "
             "qualifies an LSH config before it gates a 100 TB run",
     ),
+    "classifier_pr_curve": QuerySpec(
+        lambda spark, sf_dir: classifier_ops.logreg_pr_curve(
+            load_table(spark, sf_dir, "documents"), iterations=3, lr=0.5
+        ),
+        _logreg_pr_curve_oracle(3, 0.5),
+        doc="precision/recall operating-point sweep of the trained "
+            "quality classifier: one row per threshold with tp/fp/fn, "
+            "precision, recall, and the corpus keep-fraction — the "
+            "purity-vs-volume trade a quality gate is actually tuned "
+            "on; one scored scan fanned across a bounded threshold "
+            "list, never re-scored per threshold",
+    ),
 }
 
 
@@ -6695,6 +6743,7 @@ _ROUND6_ORDER = [
     "ams_f2", "leakage_safe_split", "dp_noisy_counts", "gopher_rules",
     "ams_join_size", "events_twap", "grid_quantiles",
     "event_markov", "markov_stationary", "dedup_recall_eval",
+    "classifier_pr_curve",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -331,3 +331,62 @@ def logreg_calibration(
             _r9(F.sum("y") / F.count("*")).alias("frac_pos"),
         )
     )
+
+
+def logreg_pr_curve(
+    docs: DataFrame,
+    iterations: int = 3,
+    lr: float = 0.5,
+    positive_lang: str = "en",
+    thresholds: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """Precision/recall curve of the trained quality classifier: one
+    row per decision threshold — the operating-point sweep that picks
+    WHERE to cut a quality filter (keep-rate vs purity is the actual
+    business decision; a single 0.5 threshold is never what ships).
+
+    For each threshold t: pred = score >= t over the SAME
+    1e-6-quantized scores as :func:`logreg_eval`; keep_frac is the
+    corpus fraction surviving the cut.  One scan of the scored corpus
+    fanned across |thresholds| as a bounded posexplode (no per-
+    threshold re-scan), exact integer counts, ratios half-up at 1e-9,
+    NULL where undefined.
+    """
+    if not thresholds or any(not (0.0 < t < 1.0) for t in thresholds):
+        raise ValueError(
+            f"logreg_pr_curve: thresholds must be in (0, 1), got {thresholds}"
+        )
+    scored = logreg_train_scores(docs, iterations, lr, positive_lang)
+    t_arr = F.array(*[F.lit(float(t)) for t in sorted(thresholds)])
+    fanned = scored.select(
+        "y", "score", F.explode(t_arr).alias("threshold")
+    )
+    agg = fanned.groupBy("threshold").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when((F.col("score") >= F.col("threshold")) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("score") >= F.col("threshold")) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("score") < F.col("threshold")) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        _r9(F.col("tp") / (F.col("tp") + F.col("fp"))),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        _r9(F.col("tp") / (F.col("tp") + F.col("fn"))),
+    )
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        prec.alias("prec"),
+        rec.alias("recall"),
+        _r9((F.col("tp") + F.col("fp")) / F.col("n")).alias("keep_frac"),
+    )

@@ -185,3 +185,32 @@ def test_logreg_calibration_bins_partition_corpus(spark, docs_df):
 
     with pytest.raises(ValueError):
         logreg_calibration(docs_df, bins=0)
+
+
+def test_logreg_pr_curve_monotone_and_consistent(spark, docs_df):
+    """Raising the threshold can only shrink the kept set: keep_frac
+    and recall are non-increasing in threshold; each row's counts
+    reconcile with an independent recount from the scored output."""
+    from mapreduceimpl_spark.operators.classifier import logreg_pr_curve
+
+    triples = [
+        (r["y"], r["score"])
+        for r in logreg_train_scores(docs_df).collect()
+    ]
+    rows = sorted(
+        logreg_pr_curve(docs_df).collect(), key=lambda r: r["threshold"]
+    )
+    assert len(rows) == 9
+    for r in rows:
+        t = r["threshold"]
+        tp = sum(1 for y, s in triples if s >= t and y == 1)
+        fp = sum(1 for y, s in triples if s >= t and y == 0)
+        fn = sum(1 for y, s in triples if s < t and y == 1)
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn)
+    keeps = [r["keep_frac"] for r in rows]
+    recs = [r["recall"] for r in rows]
+    assert all(a >= b for a, b in zip(keeps, keeps[1:]))
+    assert all(a >= b for a, b in zip(recs, recs[1:]))
+
+    with pytest.raises(ValueError):
+        logreg_pr_curve(docs_df, thresholds=(0.5, 1.0))
