@@ -1079,6 +1079,37 @@ SELECT threshold, tp, fp, fn,
 FROM lpra"""
 
 
+def _feature_mi_oracle(bins: int = 8, iterations: int = 3, lr: float = 0.5) -> str:
+    """Mirror of ``classifier.feature_mi``: same feats/lpts grid as the
+    logreg chain (only the first two layers are referenced), exact
+    integer contingency counts, BIGINT-quantized MI terms."""
+    layers = _logreg_layers(iterations, lr)[:2]  # feats, lpts
+    body = ",\n".join(layers)
+    return f"""WITH {body},
+fmi_cells AS (
+  SELECT dim, CAST(y AS BIGINT) AS y,
+         LEAST(CAST(floor(GREATEST(x, 0.0) * {bins}) AS BIGINT), {bins - 1})
+           AS b
+  FROM lpts
+),
+fmi_by AS (
+  SELECT dim, b, y, CAST(COUNT(*) AS BIGINT) AS c FROM fmi_cells GROUP BY 1, 2, 3
+),
+fmi_b AS (SELECT dim, b, CAST(SUM(c) AS BIGINT) AS cb FROM fmi_by GROUP BY 1, 2),
+fmi_y AS (SELECT dim, y, CAST(SUM(c) AS BIGINT) AS cy FROM fmi_by GROUP BY 1, 2),
+fmi_n AS (SELECT dim, CAST(SUM(c) AS BIGINT) AS n FROM fmi_by GROUP BY 1)
+SELECT CAST(dim AS BIGINT) AS dim,
+       floor((SUM(CAST(floor((c / CAST(n AS DOUBLE))
+                              * ln((n * c) / CAST(cb * cy AS DOUBLE))
+                              * 1e12 + 0.5) AS BIGINT)) / 1e12)
+             * 1e9 + 0.5) / 1e9 AS mi
+FROM fmi_by
+JOIN fmi_b USING (dim, b)
+JOIN fmi_y USING (dim, y)
+JOIN fmi_n USING (dim)
+GROUP BY dim"""
+
+
 def _pq_codes_oracle(
     m: int = 4, k: int = 4, iterations: int = 2, dim: int = 64
 ) -> str:
@@ -2604,7 +2635,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "ams_f2", "leakage_safe_split", "dp_noisy_counts",
      "gopher_rules", "ams_join_size", "events_twap",
      "grid_quantiles", "event_markov", "markov_stationary",
-     "dedup_recall_eval", "classifier_pr_curve"}
+     "dedup_recall_eval", "classifier_pr_curve", "feature_mi"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -6668,6 +6699,18 @@ FROM dre_m""",
             "on; one scored scan fanned across a bounded threshold "
             "list, never re-scored per threshold",
     ),
+    "feature_mi": QuerySpec(
+        lambda spark, sf_dir: classifier_ops.feature_mi(
+            load_table(spark, sf_dir, "documents"), bins=8
+        ),
+        _feature_mi_oracle(8),
+        doc="mutual information between each quantized classifier "
+            "feature and the label: the model-free signal ranking run "
+            "before any training pass (bias dim MI == 0 is the built-in "
+            "sanity check); exact contingency counts on a "
+            "<= dims x bins x 2 key space, BIGINT-quantized MI terms "
+            "summed order-free",
+    ),
 }
 
 
@@ -6743,7 +6786,7 @@ _ROUND6_ORDER = [
     "ams_f2", "leakage_safe_split", "dp_noisy_counts", "gopher_rules",
     "ams_join_size", "events_twap", "grid_quantiles",
     "event_markov", "markov_stationary", "dedup_recall_eval",
-    "classifier_pr_curve",
+    "classifier_pr_curve", "feature_mi",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -390,3 +390,69 @@ def logreg_pr_curve(
         rec.alias("recall"),
         _r9((F.col("tp") + F.col("fp")) / F.col("n")).alias("keep_frac"),
     )
+
+
+def feature_mi(
+    docs: DataFrame,
+    bins: int = 8,
+    positive_lang: str = "en",
+) -> DataFrame:
+    """Mutual information between each (quantized) classifier feature
+    and the label: the model-free feature diagnostic that ranks which
+    engine-exact text statistics actually carry label signal BEFORE
+    any training run — near-zero MI features are dead weight in every
+    gradient step at 100 TB, and the bias dim's exactly-zero MI is the
+    built-in sanity check.
+
+    Features are the :func:`logreg_features` array; each dim is
+    quantized to ``least(floor(max(x, 0)·bins), bins−1)`` (the
+    calibration-bin recipe).  MI_j = Σ_{b,y} (c/n)·ln(n·c / (c_b·c_y))
+    over exact integer counts; each term is quantized to BIGINT at
+    1e12 and summed exactly (order-free in both engines, the ln call
+    being the same ulp class as the shipped entropy entries), final
+    value half-up at 1e-9.
+
+    Scale: one (dim, bin, y) aggregate over the exploded grid — key
+    space ≤ dims·bins·2 — then bounded marginal joins; nothing else
+    shuffles.
+    """
+    if bins < 2:
+        raise ValueError(f"feature_mi: bins must be >= 2, got {bins}")
+    feats = logreg_features(docs, positive_lang=positive_lang)
+    pts = feats.select(
+        F.col("y").cast("long").alias("y"),
+        F.posexplode("fs").alias("dim", "x"),
+    )
+    b = F.least(
+        F.floor(F.greatest(F.col("x"), F.lit(0.0)) * bins).cast("long"),
+        F.lit(bins - 1),
+    )
+    cells = pts.select("dim", "y", b.alias("b"))
+    c_by = cells.groupBy("dim", "b", "y").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    c_b = c_by.groupBy("dim", "b").agg(F.sum("c").cast("long").alias("cb"))
+    c_y = c_by.groupBy("dim", "y").agg(F.sum("c").cast("long").alias("cy"))
+    n = c_by.groupBy("dim").agg(F.sum("c").cast("long").alias("n"))
+    j = (
+        c_by.join(c_b, ["dim", "b"])
+        .join(c_y, ["dim", "y"])
+        .join(F.broadcast(n), "dim")
+    )
+    term = F.floor(
+        (F.col("c") / F.col("n"))
+        * F.log(
+            (F.col("n") * F.col("c"))
+            / (F.col("cb") * F.col("cy"))
+        )
+        * 1e12
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        j.groupBy("dim")
+        .agg((F.sum(term) / F.lit(1e12)).alias("mi_raw"))
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            (F.floor(F.col("mi_raw") * 1e9 + F.lit(0.5)) / 1e9).alias("mi"),
+        )
+    )

@@ -777,11 +777,18 @@ def grid_quantiles(
         ).alias("exq"),
     )
     width = (F.col("mx") - F.col("mn")) / F.lit(float(bins))
+    # constant column: zero width would send (x - mn)/width to NaN/inf
+    # — define the degenerate grid as one cell at the single value
     binned = src.crossJoin(F.broadcast(stats.select("mn", "mx"))).select(
-        F.least(
-            F.floor((F.col("x") - F.col("mn")) / width).cast("long"),
-            F.lit(bins - 1),
-        ).alias("bin")
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("x") - F.col("mn")) / width).cast("long"),
+                F.lit(bins - 1),
+            )
+        )
+        .cast("long")
+        .alias("bin")
     )
     hist = binned.groupBy("bin").agg(F.count("*").cast("long").alias("c"))
     wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
@@ -829,8 +836,10 @@ gq_stats AS (
   FROM gq_src
 ),
 gq_hist AS (
-  SELECT LEAST(CAST(floor((x - mn) / ((mx - mn) / {float(bins)!r})) AS BIGINT),
-               {bins - 1}) AS bin,
+  SELECT CASE WHEN mx = mn THEN 0
+              ELSE LEAST(CAST(floor((x - mn) / ((mx - mn) / {float(bins)!r}))
+                              AS BIGINT),
+                         {bins - 1}) END AS bin,
          CAST(COUNT(*) AS BIGINT) AS c
   FROM gq_src, gq_stats
   GROUP BY 1

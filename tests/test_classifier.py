@@ -214,3 +214,46 @@ def test_logreg_pr_curve_monotone_and_consistent(spark, docs_df):
 
     with pytest.raises(ValueError):
         logreg_pr_curve(docs_df, thresholds=(0.5, 1.0))
+
+
+def test_feature_mi_bias_zero_and_signal_ranked(spark, docs_df):
+    """Bias dim (constant feature) has exactly zero MI; the stopword
+    ratio — the feature that separates this fixture by construction —
+    carries strictly positive MI; values match an independent recount."""
+    import math
+
+    from mapreduceimpl_spark.operators.classifier import (
+        feature_mi,
+        logreg_features,
+    )
+
+    got = {r["dim"]: r["mi"] for r in feature_mi(docs_df, bins=8).collect()}
+    assert got[0] == 0.0  # bias: one cell, MI identically 0
+    assert got[3] > 0.0   # stopword ratio separates en from xx
+
+    # independent recount of one dim (the stopword ratio, dim 3)
+    rows = logreg_features(docs_df).collect()
+    cells = {}
+    for r in rows:
+        x = r["fs"][3]
+        b = min(int(math.floor(max(x, 0.0) * 8)), 7)
+        y = int(r["y"])
+        cells[(b, y)] = cells.get((b, y), 0) + 1
+    n = sum(cells.values())
+    cb = {}
+    cy = {}
+    for (b, y), c in cells.items():
+        cb[b] = cb.get(b, 0) + c
+        cy[y] = cy.get(y, 0) + c
+    acc = 0
+    for (b, y), c in sorted(cells.items()):
+        acc += math.floor(
+            (c / n) * math.log((n * c) / (cb[b] * cy[y])) * 1e12 + 0.5
+        )
+    want = math.floor((acc / 1e12) * 1e9 + 0.5) / 1e9
+    assert got[3] == want
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        feature_mi(docs_df, bins=1)

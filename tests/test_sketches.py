@@ -344,3 +344,18 @@ def test_grid_quantiles_validates(spark):
         grid_quantiles(df, bins=1)
     with pytest.raises(ValueError):
         grid_quantiles(df, qs=(0.5, 1.5))
+
+
+def test_grid_quantiles_constant_column(spark):
+    """All-equal values: the degenerate grid is one cell at the value —
+    every quantile estimate equals it, never a NaN/inf bin."""
+    from mapreduceimpl_spark.operators.sketches import grid_quantiles
+
+    df = spark.createDataFrame([(42.0,)] * 10, ["l_extendedprice"])
+    rows = grid_quantiles(df, bins=16).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["bin_idx"] == 0
+        assert r["est_q"] == 42.0
+        assert r["exact_q"] == 42.0
+        assert r["bin_width"] == 0.0
