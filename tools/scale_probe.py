@@ -592,7 +592,38 @@ def _probe_ams_join_size(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_markov_stationary(spark, sf_dir: str):
+    """markov_stationary: events scan -> bounded-matrix power method."""
+    from mapreduceimpl_spark.operators import relational
+
+    events = load_table(spark, sf_dir, "events")
+    t0 = time.time()
+    n = relational.q_markov_stationary({"events": events}).count()
+    return time.time() - t0, n
+
+
+def _probe_dedup_recall_eval(spark, sf_dir: str):
+    """dedup_recall_eval: inverted-index truth + banded candidates."""
+    docs = dedup.with_mutated_copies(load_table(spark, sf_dir, "documents"))
+    t0 = time.time()
+    n = dedup.dedup_recall_eval(docs).count()
+    return time.time() - t0, n
+
+
+def _probe_feature_mi(spark, sf_dir: str):
+    """feature_mi: one contingency aggregate over the feature grid."""
+    from mapreduceimpl_spark.operators import classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = classifier.feature_mi(docs).count()
+    return time.time() - t0, n
+
+
 PROBES = {
+    "markov_stationary": _probe_markov_stationary,
+    "dedup_recall_eval": _probe_dedup_recall_eval,
+    "feature_mi": _probe_feature_mi,
     "events_twap": _probe_events_twap,
     "grid_quantiles": _probe_grid_quantiles,
     "ams_join_size": _probe_ams_join_size,
