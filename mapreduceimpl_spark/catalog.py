@@ -6613,7 +6613,7 @@ FROM ta""",
             "percentile-dashboard path at 100 TB), error structurally "
             "bounded by one cell width; exact interpolated quantiles "
             "(percentile == quantile_cont) ride along value-checked; "
-            "raw column scanned twice, never globally sorted",
+            "raw column only in pruned scans, never globally sorted",
     ),
     "event_markov": QuerySpec(
         _rel(relational.q_event_markov),

@@ -756,7 +756,8 @@ def grid_quantiles(
     Plan: one min/max/exact-percentile aggregate, one histogram
     aggregate on a ≤``bins`` key space, a cumulative window over the
     BOUNDED cell relation, and a bounded |qs|×bins pick — the raw
-    column is scanned twice and never sorted globally.
+    column is read by three column-pruned single-column scans (the
+    1-row stats subplan is consumed twice) and never sorted globally.
     """
     if bins < 2:
         raise ValueError(f"grid_quantiles: bins must be >= 2, got {bins}")

@@ -1255,3 +1255,57 @@ def test_pq_chains_broadcast_codebooks(embeddings):
     # per subspace: 2 kmeans iters + lookup-table build + code join
     assert_broadcast_join(adc, expect=8)
     assert_no_cartesian(adc)
+
+
+def test_ams_f2_no_row_explosion_before_aggregate(tables):
+    """The 9 signed sums ride ONE per-key aggregate as columns: the
+    only Generate (explode) in the plan is the bounded 9-row estimate
+    fan-out AFTER the totals, never a 9x row blow-up of the corpus."""
+    from mapreduceimpl_spark.operators.sketches import ams_f2
+    from mapreduceimpl_spark.plans import assert_no_cartesian, explain_str
+
+    df = ams_f2(tables["events"], counters=9)
+    plan = explain_str(df, "simple")
+    assert plan.count("Generate") == 1, plan
+    assert_no_cartesian(df)
+
+
+def test_events_twap_no_flooring_unix_timestamp(tables):
+    """The gap weights must be exact micros: unix_micros appears in the
+    plan, second-flooring unix_timestamp does not."""
+    from mapreduceimpl_spark.operators.relational import q_events_twap
+    from mapreduceimpl_spark.plans import explain_str
+
+    df = q_events_twap(tables)
+    plan = explain_str(df, "extended")
+    assert "unix_micros" in plan
+    assert "unix_timestamp" not in plan
+
+
+def test_markov_stationary_broadcasts_pi_every_iteration(tables):
+    """Each power iteration broadcasts the bounded pi vector onto the
+    bounded transition matrix — 12 iterations, 12 broadcasts, no
+    cartesian, no corpus re-shuffle inside the loop."""
+    from mapreduceimpl_spark.operators.relational import q_markov_stationary
+    from mapreduceimpl_spark.plans import assert_broadcast_join, assert_no_cartesian
+
+    df = q_markov_stationary(tables, iterations=12)
+    assert_broadcast_join(df, expect=13)  # 12 pi joins + the 1-row type count
+    assert_no_cartesian(df)
+
+
+def test_grid_quantiles_no_global_sort_of_raw_rows(tables):
+    """The only Sort in the plan belongs to the bounded cell window /
+    pick — never a sort keyed on the raw value column x itself at the
+    scan side (the global-sort anti-pattern the sketch exists to
+    avoid); the raw column is scanned exactly twice."""
+    from mapreduceimpl_spark.operators.sketches import grid_quantiles
+    from mapreduceimpl_spark.plans import explain_str
+
+    df = grid_quantiles(tables["lineitem"])
+    plan = explain_str(df, "simple")
+    # three COLUMN-PRUNED scans: the 1-row stats aggregate (reused by
+    # two consumers, so its subplan appears twice) + the histogram —
+    # each reads the single value column with the null filter pushed
+    assert plan.count("Scan parquet") == 3, plan
+    assert plan.count("ReadSchema: struct<l_extendedprice:double>") == 3, plan
