@@ -2635,7 +2635,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "ams_f2", "leakage_safe_split", "dp_noisy_counts",
      "gopher_rules", "ams_join_size", "events_twap",
      "grid_quantiles", "event_markov", "markov_stationary",
-     "dedup_recall_eval", "classifier_pr_curve", "feature_mi"}
+     "dedup_recall_eval", "classifier_pr_curve", "feature_mi",
+     "langid_eval"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -6711,6 +6712,28 @@ FROM dre_m""",
             "<= dims x bins x 2 key space, BIGINT-quantized MI terms "
             "summed order-free",
     ),
+    "langid_eval": QuerySpec(
+        lambda spark, sf_dir: text_analysis.langid_eval(
+            load_table(spark, sf_dir, "documents")
+        ),
+        f"""WITH le_pred AS (
+  SELECT lang AS true_lang, pred_lang FROM ({_lang_id_oracle()})
+),
+le_cm AS (
+  SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM le_pred GROUP BY 1, 2
+)
+SELECT true_lang, pred_lang, n,
+       floor(n / CAST(SUM(n) OVER (PARTITION BY true_lang) AS DOUBLE)
+             * 1e9 + 0.5) / 1e9 AS frac_of_true
+FROM le_cm""",
+        doc="confusion matrix of the heuristic lang_id vs the labeled "
+            "lang column: per-(true, pred) counts + row-normalized "
+            "rates (diagonal = per-class recall) on a bounded "
+            "<= (|langs|+1)^2 key space — the eval that locates where "
+            "the marker-word heuristic bleeds before it gates a "
+            "mixed-language corpus",
+    ),
 }
 
 
@@ -6786,7 +6809,7 @@ _ROUND6_ORDER = [
     "ams_f2", "leakage_safe_split", "dp_noisy_counts", "gopher_rules",
     "ams_join_size", "events_twap", "grid_quantiles",
     "event_markov", "markov_stationary", "dedup_recall_eval",
-    "classifier_pr_curve", "feature_mi",
+    "classifier_pr_curve", "feature_mi", "langid_eval",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

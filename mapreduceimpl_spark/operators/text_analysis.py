@@ -2297,3 +2297,34 @@ SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stop,
         AND (alpha_frac > {min_alpha_frac!r})
         AND (n_stop >= {min_stopwords})) AS keep
 FROM r"""
+
+
+def langid_eval(docs: DataFrame) -> DataFrame:
+    """Confusion matrix of the heuristic :func:`lang_id` against the
+    labeled ``lang`` column: (true_lang, pred_lang, n, frac_of_true) —
+    the eval that tells you WHERE the marker-word heuristic breaks
+    (which languages bleed into 'und', which pairs confuse) before it
+    gates a mixed-language corpus at 100 TB.
+
+    frac_of_true is the row-normalized rate (exact integer ratio,
+    half-up at 1e-9): the diagonal is per-class recall, off-diagonal
+    cells the specific confusion rates.  One aggregate on a bounded
+    ≤ (|langs|+1)² key space after the zero-shuffle scoring
+    projection.
+    """
+    preds = lang_id(docs).select(
+        F.col("lang").alias("true_lang"), "pred_lang"
+    )
+    cm = preds.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wrow = Window.partitionBy("true_lang")
+    return cm.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        (
+            F.floor(F.col("n") / F.sum("n").over(wrow) * 1e9 + F.lit(0.5))
+            / 1e9
+        ).alias("frac_of_true"),
+    )

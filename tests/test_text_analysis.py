@@ -1174,3 +1174,32 @@ def test_gopher_rules_hand_cases(spark):
     # the single-failure docs still pass every OTHER rule
     assert got[1]["rule_mean_word_len"] and got[1]["rule_alpha_frac"]
     assert got[3]["rule_word_count"] and got[3]["rule_stopwords"]
+
+
+def test_langid_eval_hand_case(spark):
+    """Two labeled langs, one doc misdetected as 'und': the matrix rows
+    normalize to 1 and the cells match a hand count."""
+    from mapreduceimpl_spark.operators.text_analysis import LANG_MARKERS, langid_eval
+
+    en_marker = LANG_MARKERS["en"][0]
+    docs = spark.createDataFrame(
+        [
+            (1, f"{en_marker} aaa bbb", "en"),     # detected en
+            (2, f"{en_marker} ccc ddd", "en"),     # detected en
+            (3, "zzz yyy xxx", "en"),              # no markers -> und
+            (4, f"{en_marker} eee", "xx"),         # xx labeled, en detected
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    got = {(r["true_lang"], r["pred_lang"]): (r["n"], r["frac_of_true"])
+           for r in langid_eval(docs).collect()}
+    import math
+    third = math.floor(1 / 3 * 1e9 + 0.5) / 1e9
+    assert got[("en", "en")] == (2, math.floor(2 / 3 * 1e9 + 0.5) / 1e9)
+    assert got[("en", "und")] == (1, third)
+    assert got[("xx", "en")] == (1, 1.0)
+    # each true_lang row sums to ~1
+    rows = {}
+    for (t, _p), (_n, f) in got.items():
+        rows[t] = rows.get(t, 0.0) + f
+    assert all(abs(v - 1.0) < 1e-6 for v in rows.values())
