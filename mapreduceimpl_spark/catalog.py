@@ -2636,7 +2636,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "gopher_rules", "ams_join_size", "events_twap",
      "grid_quantiles", "event_markov", "markov_stationary",
      "dedup_recall_eval", "classifier_pr_curve", "feature_mi",
-     "langid_eval"}
+     "langid_eval", "survival_km"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -6734,6 +6734,62 @@ FROM le_cm""",
             "the marker-word heuristic bleeds before it gates a "
             "mixed-language corpus",
     ),
+    "survival_km": QuerySpec(
+        _rel(relational.q_survival_km),
+        """WITH km_sp AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+  FROM events GROUP BY user_id
+),
+km_end AS (SELECT MAX(epoch_us(ts)) AS end_us FROM events),
+km_u AS (
+  SELECT CAST(floor((last_us - first_us) / 86400000000.0) AS BIGINT)
+           AS lifetime_days,
+         (last_us >= end_us - 259200000000) AS censored
+  FROM km_sp, km_end
+),
+km_d AS (
+  SELECT lifetime_days,
+         CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_death,
+         CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_censored,
+         CAST(COUNT(*) AS BIGINT) AS n_exit
+  FROM km_u GROUP BY 1
+),
+km_t AS (SELECT CAST(SUM(n_exit) AS BIGINT) AS n_total FROM km_d),
+km_r AS (
+  SELECT lifetime_days, n_death, n_censored,
+         CAST(n_total - COALESCE(SUM(n_exit) OVER (ORDER BY lifetime_days
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk
+  FROM km_d, km_t
+),
+km_c AS (
+  SELECT lifetime_days, n_risk, n_death, n_censored,
+         SUM(CASE WHEN n_death > 0 AND n_death < n_risk
+                  THEN CAST(floor(ln(1.0 - n_death / CAST(n_risk AS DOUBLE))
+                                  * 1e12 + 0.5) AS BIGINT)
+                  ELSE 0 END)
+           OVER (ORDER BY lifetime_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum12,
+         SUM(CASE WHEN n_death = n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY lifetime_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero
+  FROM km_r
+)
+SELECT lifetime_days, n_risk, n_death, n_censored,
+       CASE WHEN hit_zero > 0 THEN 0.0
+            ELSE floor(exp(cum12 / 1e12) * 1e9 + 0.5) / 1e9 END AS survival
+FROM km_c""",
+        doc="Kaplan-Meier survival curve of user lifetime with "
+            "right-censoring (last event within 3 days of corpus end = "
+            "still alive, not churned — the distinction naive churn "
+            "histograms get wrong): product over ordered distinct "
+            "lifetimes via BIGINT-quantized ln factors cumulatively "
+            "summed on the BOUNDED lifetime relation; hit-zero flag "
+            "pins exact 0.0 where deaths exhaust the risk set (the "
+            "Spark-NULL vs DuckDB -inf ln(0) split)",
+    ),
 }
 
 
@@ -6809,7 +6865,7 @@ _ROUND6_ORDER = [
     "ams_f2", "leakage_safe_split", "dp_noisy_counts", "gopher_rules",
     "ams_join_size", "events_twap", "grid_quantiles",
     "event_markov", "markov_stationary", "dedup_recall_eval",
-    "classifier_pr_curve", "feature_mi", "langid_eval",
+    "classifier_pr_curve", "feature_mi", "langid_eval", "survival_km",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -3189,3 +3189,103 @@ def q_markov_stationary(
         "event_type",
         (F.floor(F.col("pi") * 1e9 + F.lit(0.5)) / 1e9).alias("pi"),
     )
+
+
+def q_survival_km(
+    t: dict[str, DataFrame], censor_horizon_days: int = 3
+) -> DataFrame:
+    """Kaplan-Meier survival curve of user LIFETIME (days between a
+    user's first and last event), right-censored: a user whose last
+    event falls within ``censor_horizon_days`` of the corpus's final
+    timestamp is CENSORED (still alive — we just stopped watching),
+    not dead — the distinction naive churn histograms get wrong and
+    the entire reason KM exists.
+
+    S(t) = Π_{t_i <= t} (1 − d_i / n_i) over the ordered distinct
+    observed lifetimes: d_i = uncensored exits at t_i, n_i = users
+    still at risk (lifetime >= t_i).  Engine-exact product: each
+    factor's ln is quantized to BIGINT at 1e12, the cumulative window
+    sum over the BOUNDED distinct-lifetime relation is exact, and
+    S = exp(sum / 1e12) half-up at 1e-9 — the same
+    quantize-then-exact-sum recipe as the shipped MI/Markov entries
+    (exp/ln being the usual accepted ulp class).  Censored exits
+    leave the risk set without a death event, exactly KM.
+
+    Output: one row per distinct lifetime day with n_risk, n_death,
+    n_censored, and the survival probability.  Scale: one per-user
+    min/max aggregate, then everything operates on the bounded
+    distinct-lifetime relation (≤ observation-span days).
+    """
+    if censor_horizon_days < 0:
+        raise ValueError(
+            f"survival_km: censor_horizon_days must be >= 0, got {censor_horizon_days}"
+        )
+    e = t["events"]
+    spans = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    corpus_end = e.agg(F.max("ts").alias("end_ts"))
+    per_user = spans.crossJoin(F.broadcast(corpus_end)).select(
+        F.floor(
+            (F.unix_micros("last_ts") - F.unix_micros("first_ts"))
+            / F.lit(86400000000.0)
+        )
+        .cast("long")
+        .alias("lifetime_days"),
+        (
+            F.unix_micros("last_ts")
+            >= F.unix_micros("end_ts")
+            - F.lit(censor_horizon_days * 86400000000)
+        ).alias("censored"),
+    )
+    by_day = per_user.groupBy("lifetime_days").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_death"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_censored"),
+        F.count("*").cast("long").alias("n_exit"),
+    )
+    w_risk = Window.orderBy("lifetime_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = by_day.agg(F.sum("n_exit").cast("long").alias("n_total"))
+    risked = by_day.crossJoin(F.broadcast(tot)).select(
+        "lifetime_days",
+        "n_death",
+        "n_censored",
+        (
+            F.col("n_total") - F.coalesce(F.sum("n_exit").over(w_risk), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    # n_death == n_risk zeroes the factor: ln(0) differs across engines
+    # (Spark NULL, DuckDB -inf), so carry an explicit hit-zero flag and
+    # pin survival to exactly 0.0 from that day on
+    log_term = F.when(
+        (F.col("n_death") > 0) & (F.col("n_death") < F.col("n_risk")),
+        F.floor(
+            F.log(F.lit(1.0) - F.col("n_death") / F.col("n_risk")) * 1e12
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    zero_flag = F.when(F.col("n_death") == F.col("n_risk"), 1).otherwise(0)
+    w_cum = Window.orderBy("lifetime_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = risked.select(
+        "lifetime_days",
+        "n_risk",
+        "n_death",
+        "n_censored",
+        F.sum(log_term).over(w_cum).alias("cum12"),
+        F.sum(zero_flag).over(w_cum).alias("hit_zero"),
+    )
+    surv = F.when(F.col("hit_zero") > 0, F.lit(0.0)).otherwise(
+        F.floor(F.exp(F.col("cum12") / F.lit(1e12)) * 1e9 + F.lit(0.5)) / 1e9
+    )
+    return cum.select(
+        "lifetime_days", "n_risk", "n_death", "n_censored", surv.alias("survival")
+    )

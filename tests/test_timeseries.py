@@ -781,3 +781,69 @@ def test_markov_stationary_converges_to_known_chain(spark):
 
     with pytest.raises(ValueError):
         q_markov_stationary({"events": e}, iterations=0)
+
+
+def test_survival_km_textbook_case(spark):
+    """5 users: deaths at day 1 (x2) and day 2, censored exits at
+    lifetimes 1 and 3 -> S = 1*(1-2/5) = 0.6 at day 1, 0.6*(1-1/2) =
+    0.3 at day 2, unchanged (censoring kills no one) at day 3."""
+    import datetime
+
+    from mapreduceimpl_spark.operators.relational import q_survival_km
+
+    d0 = datetime.datetime(2024, 1, 1)
+    day = lambda n: d0 + datetime.timedelta(days=n)
+    rows = []
+    eid = 0
+    for uid, (a, b) in enumerate([(0, 1), (0, 1), (0, 2), (8, 9), (6, 9)]):
+        for ts in (day(a), day(b)):
+            rows.append((eid, ts, uid, "e", 0.0, "{}"))
+            eid += 1
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {r["lifetime_days"]: r for r in q_survival_km({"events": e}).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["n_risk"], got[1]["n_death"], got[1]["n_censored"]) == (5, 2, 1)
+    assert got[1]["survival"] == 0.6
+    assert (got[2]["n_risk"], got[2]["n_death"]) == (2, 1)
+    assert got[2]["survival"] == 0.3
+    assert (got[3]["n_risk"], got[3]["n_death"], got[3]["n_censored"]) == (1, 0, 1)
+    assert got[3]["survival"] == 0.3
+
+
+def test_survival_km_hits_exact_zero(spark):
+    """Deaths exhaust the risk set: a censored short-lifetime user
+    anchors the corpus end, then every remaining at-risk user dies at
+    day 1 -> survival is exactly 0.0 (the ln(0) edge both engines must
+    agree on), and it stays 0 for that final row."""
+    import datetime
+
+    from mapreduceimpl_spark.operators.relational import q_survival_km
+
+    d0 = datetime.datetime(2024, 1, 1)
+    day = lambda n: d0 + datetime.timedelta(days=n)
+    rows = []
+    eid = 0
+    # anchor: lifetime 0 (half a day), last event AT the corpus end ->
+    # censored; exits first at day 0
+    rows.append((eid, day(8.5 / 1), 99, "e", 0.0, "{}")); eid += 1
+    rows.append((eid, day(9), 99, "e", 0.0, "{}")); eid += 1
+    # two users die at lifetime 1, far from the end -> uncensored, and
+    # at day 1 they ARE the whole remaining risk set
+    for uid in (1, 2):
+        rows.append((eid, day(0), uid, "e", 0.0, "{}")); eid += 1
+        rows.append((eid, day(1), uid, "e", 0.0, "{}")); eid += 1
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {r["lifetime_days"]: r for r in q_survival_km({"events": e}).collect()}
+    assert got[0]["n_censored"] == 1 and got[0]["n_death"] == 0
+    assert got[0]["survival"] == 1.0
+    assert (got[1]["n_risk"], got[1]["n_death"]) == (2, 2)
+    assert got[1]["survival"] == 0.0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        q_survival_km({"events": e}, censor_horizon_days=-1)
