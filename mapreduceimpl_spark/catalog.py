@@ -394,6 +394,55 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(corpus, min_cosine=0.9, round_digits=6)
 
 
+def _ann_recall_eval_oracle() -> str:
+    """Composes the exact brute-force and IVF-Lloyd oracles (each a
+    self-contained WITH subquery) into the per-query recall@5 join."""
+    return f"""WITH are_exact AS (
+  SELECT query_id, vec_id FROM ({_ANN_TOPK_SQL})
+),
+are_ivf AS (
+  SELECT query_id, vec_id, 1 AS hit FROM ({_ivf_lloyd_oracle(5, 4, 3, 2)})
+),
+are_j AS (
+  SELECT e.query_id, COALESCE(i.hit, 0) AS hit
+  FROM are_exact e LEFT JOIN are_ivf i
+    ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+)
+SELECT query_id, CAST(SUM(hit) AS BIGINT) AS n_hits,
+       floor(SUM(hit) / 5.0 * 1e9 + 0.5) / 1e9 AS recall
+FROM are_j GROUP BY query_id"""
+
+
+def _q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the IVF-Lloyd ANN tier against the exact brute-force
+    top-5, per query — the approximation-quality loop-closer for the
+    ANN family (same pattern as dedup_recall_eval for LSH): n_probe
+    cells of 4 means a query CAN miss true neighbors living in
+    unprobed cells, and this measures exactly how often.  Both sides
+    are the already-verified entries' plans; the comparison joins
+    2 x (10 queries x 5) bounded rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=5, round_digits=6).select(
+        "query_id", "vec_id"
+    )
+    ivf = similarity.ivf_lloyd_topk(
+        emb, queries, k=5, n_cells=4, iterations=3, n_probe=2
+    ).select("query_id", "vec_id", F.lit(1).alias("hit"))
+    j = exact.join(ivf, ["query_id", "vec_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+    ).select(
+        "query_id",
+        "n_hits",
+        (F.floor(F.col("n_hits") / F.lit(5.0) * 1e9 + F.lit(0.5)) / 1e9).alias(
+            "recall"
+        ),
+    )
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -2636,7 +2685,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "gopher_rules", "ams_join_size", "events_twap",
      "grid_quantiles", "event_markov", "markov_stationary",
      "dedup_recall_eval", "classifier_pr_curve", "feature_mi",
-     "langid_eval", "survival_km"}
+     "langid_eval", "survival_km", "ann_recall_eval"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -6790,6 +6839,15 @@ FROM km_c""",
             "pins exact 0.0 where deaths exhaust the risk set (the "
             "Spark-NULL vs DuckDB -inf ln(0) split)",
     ),
+    "ann_recall_eval": QuerySpec(
+        _q_ann_recall_eval,
+        _ann_recall_eval_oracle(),
+        doc="recall@5 of the IVF-Lloyd ANN tier vs the exact "
+            "brute-force top-5, per query — measures how often probing "
+            "2 of 4 cells misses a true neighbor (the ANN family's "
+            "loop-closer, mirroring dedup_recall_eval); composes the "
+            "two already-verified entry plans, bounded comparison",
+    ),
 }
 
 
@@ -6866,6 +6924,7 @@ _ROUND6_ORDER = [
     "ams_join_size", "events_twap", "grid_quantiles",
     "event_markov", "markov_stationary", "dedup_recall_eval",
     "classifier_pr_curve", "feature_mi", "langid_eval", "survival_km",
+    "ann_recall_eval",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

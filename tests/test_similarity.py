@@ -569,3 +569,46 @@ def test_pq_adc_topk_ranking_invariants(spark):
 
     with pytest.raises(ValueError):
         pq_adc_topk(df, n_queries=0)
+
+
+def test_ann_recall_eval_bounds_and_self_hit(spark, embeddings):
+    """recall is in [0,1] per query; the self-match (query vectors are
+    corpus members) guarantees at least one hit per query, so recall
+    >= 0.2 at k=5; counts reconcile with a direct comparison of the
+    two tiers."""
+    from mapreduceimpl_spark.catalog import _q_ann_recall_eval
+    from mapreduceimpl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_lloyd_topk,
+    )
+
+    rows = _q_ann_recall_eval(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 5
+        assert abs(r["recall"] - r["n_hits"] / 5.0) < 1e-9
+        assert r["n_hits"] >= 1  # self-match always recovered
+
+    # reconcile one query against a direct set comparison
+    from mapreduceimpl_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ex = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=5, round_digits=6).collect()
+    }
+    iv = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_lloyd_topk(
+            emb, queries, k=5, n_cells=4, iterations=3, n_probe=2
+        ).collect()
+    }
+    got = {r["query_id"]: r["n_hits"] for r in rows}
+    for q in range(10):
+        assert got[q] == len(
+            {p for p in ex if p[0] == q} & {p for p in iv if p[0] == q}
+        )
