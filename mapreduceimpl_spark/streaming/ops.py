@@ -1213,3 +1213,62 @@ def stream_kmv_distinct(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_MARKOV_PAIRS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("prev_type", StringType()),
+        StructField("next_type", StringType()),
+    ]
+)
+# the user's most recent event type — ONE string of keyed state
+_MARKOV_STATE = StructType([StructField("last_type", StringType())])
+
+
+def stream_markov_pairs(events: DataFrame) -> DataFrame:
+    """Streaming twin of the lag-1 transition pairs behind
+    ``relational.q_event_markov``: each user's latest event type is
+    ONE string of keyed state, so consecutive-event pairs are emitted
+    continuously — feed them to any windowed counter for a LIVE
+    transition matrix with O(users) state.
+
+    Per-batch rows are concatenated and sorted (ts, event_id) once
+    (the ``stream_ewma`` contract); the state string carries the lag
+    across micro-batch boundaries, so a pair whose two events arrive
+    in DIFFERENT batches is still emitted (tested).  In-order-arrival
+    ASSUMPTION as with the attribution twins: an event arriving in a
+    later batch than a same-user event with a later event time would
+    pair out of order — correct whenever the source delivers per-user
+    monotone event time.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: Any, pdfs: Any, state: GroupState):
+        last = state.get[0] if state.exists else None
+        out: dict[str, list] = {
+            "user_id": [], "event_id": [], "prev_type": [], "next_type": [],
+        }
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for eid, et in zip(batch["event_id"], batch["event_type"]):
+                if last is not None:
+                    out["user_id"].append(key[0])
+                    out["event_id"].append(eid)
+                    out["prev_type"].append(last)
+                    out["next_type"].append(et)
+                last = et
+        state.update((last,))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_MARKOV_PAIRS_SCHEMA,
+        stateStructType=_MARKOV_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -960,3 +960,74 @@ def test_stream_kmv_distinct_state_crosses_batches(spark, tmp_path):
 
     with _p.raises(ValueError):
         streaming.stream_kmv_distinct(docs, k=1)
+
+
+def test_stream_markov_pairs_matches_batch_lag(spark, events_dir):
+    """Streamed lag-1 pairs == the batch window lag over the same
+    events file."""
+    from pyspark.sql import Window
+
+    stream = streaming.read_events_stream(spark, events_dir)
+    got = {
+        (r["user_id"], r["event_id"]): (r["prev_type"], r["next_type"])
+        for r in _run_stream(streaming.stream_markov_pairs(stream), mode="append")
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = {
+        (r["user_id"], r["event_id"]): (r["prev_type"], r["event_type"])
+        for r in load_table(spark, SF, "events")
+        .select(
+            "user_id", "event_id", "event_type",
+            F.lag("event_type", 1).over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .collect()
+    }
+    assert got == batch and len(got) > 0
+
+
+def test_stream_markov_pairs_lag_crosses_batches(spark, tmp_path):
+    """A pair whose two events arrive in different files must still be
+    emitted — only possible if the last-type state survives the
+    micro-batch boundary."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "markov_two"
+    d.mkdir()
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+
+    def write(fname, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), d / fname
+        )
+
+    write("a.parquet", [(1, "2024-01-01 10:00:00", 7, "view", 0.0, "{}")])
+    _time.sleep(0.05)
+    write("b.parquet", [(2, "2024-01-01 10:01:00", 7, "click", 0.0, "{}")])
+    now = _time.time()
+    os.utime(d / "a.parquet", (now - 60, now - 60))
+    os.utime(d / "b.parquet", (now, now))
+
+    stream = streaming.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    got = _run_stream(streaming.stream_markov_pairs(stream), mode="append")
+    assert [(r["event_id"], r["prev_type"], r["next_type"]) for r in got] == [
+        (2, "view", "click")
+    ]
