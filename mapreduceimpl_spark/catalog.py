@@ -2685,7 +2685,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "gopher_rules", "ams_join_size", "events_twap",
      "grid_quantiles", "event_markov", "markov_stationary",
      "dedup_recall_eval", "classifier_pr_curve", "feature_mi",
-     "langid_eval", "survival_km", "ann_recall_eval"}
+     "langid_eval", "survival_km", "ann_recall_eval", "vocab_keyness"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -6848,6 +6848,44 @@ FROM km_c""",
             "loop-closer, mirroring dedup_recall_eval); composes the "
             "two already-verified entry plans, bounded comparison",
     ),
+    "vocab_keyness": QuerySpec(
+        lambda spark, sf_dir: text_analysis.vocab_keyness(
+            load_table(spark, sf_dir, "documents"), target_lang="en", k=25
+        ),
+        """WITH vk_t AS (
+  SELECT (lang = 'en') AS is_t, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+vk_c AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+         CAST(SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_r
+  FROM vk_t GROUP BY token
+),
+vk_n AS (
+  SELECT CAST(SUM(c_t) AS BIGINT) AS n_t, CAST(SUM(c_r) AS BIGINT) AS n_r,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM vk_c
+)
+SELECT token, c_t, c_r, delta, z FROM (
+  SELECT token, c_t, c_r,
+         floor((ln((c_t + 1) / CAST(n_t + v - c_t - 1 AS DOUBLE))
+                - ln((c_r + 1) / CAST(n_r + v - c_r - 1 AS DOUBLE)))
+               * 1e9 + 0.5) / 1e9 AS delta,
+         floor(((ln((c_t + 1) / CAST(n_t + v - c_t - 1 AS DOUBLE))
+                 - ln((c_r + 1) / CAST(n_r + v - c_r - 1 AS DOUBLE)))
+                / sqrt(1.0 / (c_t + 1) + 1.0 / (c_r + 1)))
+               * 1e9 + 0.5) / 1e9 AS z
+  FROM vk_c, vk_n
+)
+ORDER BY abs(z) DESC, token ASC LIMIT 25""",
+        doc="corpus-comparison keyness (Monroe et al. 2008 log-odds "
+            "with Dirichlet prior + z-score): WHICH tokens "
+            "characterize the en stratum vs the rest — unigram_kl's "
+            "per-word counterpart; wordcount-shaped aggregate + three "
+            "broadcast scalars, rounded-then-ranked top-25 via "
+            "TakeOrderedAndProject",
+    ),
 }
 
 
@@ -6924,7 +6962,7 @@ _ROUND6_ORDER = [
     "ams_join_size", "events_twap", "grid_quantiles",
     "event_markov", "markov_stationary", "dedup_recall_eval",
     "classifier_pr_curve", "feature_mi", "langid_eval", "survival_km",
-    "ann_recall_eval",
+    "ann_recall_eval", "vocab_keyness",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

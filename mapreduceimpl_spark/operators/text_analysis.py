@@ -2328,3 +2328,63 @@ def langid_eval(docs: DataFrame) -> DataFrame:
             / 1e9
         ).alias("frac_of_true"),
     )
+
+
+def vocab_keyness(
+    docs: DataFrame,
+    target_lang: str = "en",
+    k: int = 25,
+) -> DataFrame:
+    """Corpus-comparison keyness: which tokens most characterize the
+    ``target_lang`` stratum vs the rest, by log-odds ratio with an
+    informative Dirichlet prior and its z-score (Monroe, Colaresi &
+    Quinn 2008, "Fightin' Words") — the standard replacement for raw
+    frequency-diff or chi-square keyword lists, because the prior
+    keeps rare tokens from dominating and the z normalizes by
+    evidence.  ``unigram_kl`` answers "how different are the
+    distributions overall"; this answers WHICH words carry it.
+
+    With per-word prior alpha=1 (alpha0 = |V|):
+        delta_w = ln((c_t+1)/(n_t+|V|-c_t-1)) - ln((c_r+1)/(n_r+|V|-c_r-1))
+        var_w   = 1/(c_t+1) + 1/(c_r+1)
+        z_w     = delta_w / sqrt(var_w)
+    every input an exact integer, ln/sqrt the accepted libm class,
+    delta and z half-up at 1e-9 BEFORE the |z| ranking (rounded-then-
+    ranked, the repo contract), top-``k`` by (|z| desc, token asc).
+
+    Scale: one wordcount-shaped token aggregate with conditional sums,
+    three broadcast scalars (totals + |V|), TakeOrderedAndProject for
+    the top-k — no global sort survives the plan.
+    """
+    if k < 1:
+        raise ValueError(f"vocab_keyness: k must be >= 1, got {k}")
+    toks = docs.select(
+        (F.col("lang") == target_lang).alias("is_t"),
+        F.explode(tokens("text")).alias("token"),
+    )
+    per_tok = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("c_t"),
+        F.sum(F.when(~F.col("is_t"), 1).otherwise(0)).cast("long").alias("c_r"),
+    )
+    totals = per_tok.agg(
+        F.sum("c_t").cast("long").alias("n_t"),
+        F.sum("c_r").cast("long").alias("n_r"),
+        F.count("*").cast("long").alias("v"),
+    )
+    j = per_tok.crossJoin(F.broadcast(totals))
+    r9 = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9
+    lodds = lambda c, n: F.log(
+        (c + F.lit(1)) / (n + F.col("v") - c - F.lit(1))
+    )
+    delta = lodds(F.col("c_t"), F.col("n_t")) - lodds(F.col("c_r"), F.col("n_r"))
+    var = F.lit(1.0) / (F.col("c_t") + F.lit(1)) + F.lit(1.0) / (
+        F.col("c_r") + F.lit(1)
+    )
+    scored = j.select(
+        "token",
+        "c_t",
+        "c_r",
+        r9(delta).alias("delta"),
+        r9(delta / F.sqrt(var)).alias("z"),
+    )
+    return scored.orderBy(F.abs(F.col("z")).desc(), F.asc("token")).limit(k)

@@ -205,6 +205,7 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
         "markov_stationary",   # 1-row type count onto the bounded type set
         "survival_km",         # 1-row corpus-end ts + 1-row total onto bounded days
         "ann_recall_eval",     # composes ann_topk's broadcast query batch
+        "vocab_keyness",       # 1-row corpus totals (n_t, n_r, |V|)
         "bpe_apply",           # same 1-row argmax broadcast, +1 round
         "bpe_vocab",           # same 1-row argmax broadcast, +1 round
         "dsir_weights",        # 1-row target/pool bucket-mass totals

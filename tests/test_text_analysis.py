@@ -1203,3 +1203,32 @@ def test_langid_eval_hand_case(spark):
     for (t, _p), (_n, f) in got.items():
         rows[t] = rows.get(t, 0.0) + f
     assert all(abs(v - 1.0) < 1e-6 for v in rows.values())
+
+
+def test_vocab_keyness_separates_planted_markers(spark):
+    """Tokens exclusive to the en stratum surface with positive z,
+    exclusive rest-tokens with negative z; a perfectly balanced token
+    scores |z| below both."""
+    from mapreduceimpl_spark.operators.text_analysis import vocab_keyness
+
+    docs = spark.createDataFrame(
+        [(i, "hello common word " + ("alpha " * 5).strip(), "en") for i in range(10)]
+        + [(100 + i, "bonjour common word " + ("beta " * 5).strip(), "fr")
+           for i in range(10)],
+        ["doc_id", "text", "lang"],
+    )
+    rows = vocab_keyness(docs, target_lang="en", k=10).collect()
+    z = {r["token"]: r["z"] for r in rows}
+    assert z["alpha"] > 0 and z["hello"] > 0
+    assert z["beta"] < 0 and z["bonjour"] < 0
+    assert abs(z["alpha"]) > abs(z["hello"])  # more evidence -> larger |z|
+    if "common" in z:
+        assert abs(z["common"]) < abs(z["hello"])
+    # ranking is by |z| desc
+    zs = [abs(r["z"]) for r in rows]
+    assert zs == sorted(zs, reverse=True)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        vocab_keyness(docs, k=0)
