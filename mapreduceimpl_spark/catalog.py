@@ -817,6 +817,88 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(edges, iterations=5)
 
 
+def _hits_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pagerank customer -> supplier purchase graph (same +1e6
+    offset guard — see ``_q_pagerank``), shared so the two
+    link-analysis entries rank the identical edge set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    offset = 1_000_000
+    src = F.when(F.col("o_custkey") < offset, F.col("o_custkey")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"hits: o_custkey >= {offset} collides with the "
+                      "supplier id offset — widen it: "),
+                F.col("o_custkey").cast("string"),
+            )
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(src.alias("src"), (F.col("l_suppkey") + offset).alias("dst"))
+        .distinct()
+    )
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the customer -> supplier graph:
+    customers are hubs (buy from many well-bought-from suppliers),
+    suppliers are authorities."""
+    return graph.hits(_hits_edges(spark, sf_dir), iterations=5)
+
+
+def _hits_oracle(iterations: int = 5) -> str:
+    """Chained-CTE replay of ``graph.hits``: per iteration an
+    auth layer (decimal-routed hub sum over in-edges, L2 normalize)
+    then a hub layer (decimal-routed auth sum over out-edges, L2
+    normalize) — the SAME decimal(28,12) routing and IEEE sqrt as
+    the Spark loop, so the oracle is hash-exact."""
+    layers = [
+        """edges AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""",
+        "h0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS hub FROM edges)",
+    ]
+    for i in range(1, iterations + 1):
+        layers.append(
+            f"""a{i}_raw AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(h.hub AS DECIMAL(28,12))) AS DOUBLE) AS auth
+  FROM edges e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst
+)"""
+        )
+        layers.append(
+            f"""a{i} AS (
+  SELECT node,
+         auth / sqrt(CAST(SUM(CAST(auth * auth AS DECIMAL(28,12)))
+                          OVER () AS DOUBLE)) AS auth
+  FROM a{i}_raw
+)"""
+        )
+        layers.append(
+            f"""h{i}_raw AS (
+  SELECT e.src AS node,
+         CAST(SUM(CAST(a.auth AS DECIMAL(28,12))) AS DOUBLE) AS hub
+  FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+)"""
+        )
+        layers.append(
+            f"""h{i} AS (
+  SELECT node,
+         hub / sqrt(CAST(SUM(CAST(hub * hub AS DECIMAL(28,12)))
+                         OVER () AS DOUBLE)) AS hub
+  FROM h{i}_raw
+)"""
+        )
+    body = ",\n".join(layers)
+    n = iterations
+    return f"""WITH {body}
+SELECT node, 'hub' AS kind, floor(hub * 1e9 + 0.5) / 1e9 AS score FROM h{n}
+UNION ALL
+SELECT node, 'authority' AS kind, floor(auth * 1e9 + 0.5) / 1e9 AS score FROM a{n}"""
+
+
 def _kmeans_lloyd_layers(
     k: int = 4, iterations: int = 3, source: str = "embeddings",
     prefix: str = "",
@@ -2685,7 +2767,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "gopher_rules", "ams_join_size", "events_twap",
      "grid_quantiles", "event_markov", "markov_stationary",
      "dedup_recall_eval", "classifier_pr_curve", "feature_mi",
-     "langid_eval", "survival_km", "ann_recall_eval", "vocab_keyness"}
+     "langid_eval", "survival_km", "ann_recall_eval", "vocab_keyness",
+     "token_gini", "hits_scores", "rouge_pairs", "bpe_fertility"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -6886,6 +6969,181 @@ ORDER BY abs(z) DESC, token ASC LIMIT 25""",
             "broadcast scalars, rounded-then-ranked top-25 via "
             "TakeOrderedAndProject",
     ),
+    "token_gini": QuerySpec(
+        lambda spark, sf_dir: text_analysis.token_gini(
+            load_table(spark, sf_dir, "documents")
+        ),
+        """WITH tg_c AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY lang, token
+),
+tg_r AS (
+  SELECT lang, c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c ASC, token ASC)
+              AS BIGINT) AS i
+  FROM tg_c
+),
+tg_a AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS v,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(SUM(i * c) AS BIGINT) AS iwsum
+  FROM tg_r GROUP BY lang
+)
+SELECT lang, v, n_tokens,
+       floor(((2 * iwsum) / CAST(v * n_tokens AS DOUBLE)
+              - (v + 1) / CAST(v AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS gini
+FROM tg_a""",
+        doc="Gini coefficient of per-language token-frequency "
+            "concentration (0 = uniform, ->1 = head-dominated): exact "
+            "integer ranked-weighted sum, zero libm — the "
+            "concentration complement of zipf_law_fit; vocabulary "
+            "window (types, never raw tokens), one aggregate per lang",
+    ),
+    "hits_scores": QuerySpec(
+        _q_hits,
+        _hits_oracle(),
+        doc="HITS hubs/authorities (5 fixed iterations) on the "
+            "customer->supplier purchase graph: decimal-routed phase "
+            "sums + IEEE-sqrt L2 norms make every iteration replayable "
+            "as chained CTEs — hash-exact like pagerank, the "
+            "link-analysis complement (visit mass vs hub/authority "
+            "split); per iteration two keyed shuffles + two 1-row "
+            "norm broadcasts; each raw phase frame is persisted (the "
+            "norm references it twice — uncached that doubles lineage "
+            "per phase, the BPE 2^rounds trap)",
+    ),
+    "rouge_pairs": QuerySpec(
+        lambda spark, sf_dir: text_analysis.rouge_n_eval(
+            load_table(spark, sf_dir, "documents")
+            .select(
+                F.col("doc_id").alias("pair_id"),
+                "lang",
+                F.col("text").alias("ref_text"),
+                F.lead("text")
+                .over(Window.partitionBy("lang").orderBy("doc_id"))
+                .alias("cand_text"),
+            )
+            .filter(F.col("cand_text").isNotNull())
+        ),
+        """WITH rp_base AS (
+  SELECT doc_id AS pair_id, lang, text AS ref_text,
+         lead(text) OVER (PARTITION BY lang ORDER BY doc_id) AS cand_text
+  FROM documents
+),
+rp_p AS (
+  SELECT pair_id, lang,
+         string_split(ref_text, ' ') AS rt,
+         string_split(cand_text, ' ') AS ct
+  FROM rp_base WHERE cand_text IS NOT NULL
+),
+rp_rg AS (
+  SELECT 1 AS n, pair_id, unnest(rt) AS gram FROM rp_p
+  UNION ALL
+  SELECT 2, pair_id, rt[i] || ' ' || rt[i + 1]
+  FROM rp_p, unnest(range(1, len(rt))) AS u(i)
+),
+rp_cg AS (
+  SELECT 1 AS n, pair_id, unnest(ct) AS gram FROM rp_p
+  UNION ALL
+  SELECT 2, pair_id, ct[i] || ' ' || ct[i + 1]
+  FROM rp_p, unnest(range(1, len(ct))) AS u(i)
+),
+rp_rc AS (SELECT n, pair_id, gram, CAST(COUNT(*) AS BIGINT) AS rc
+          FROM rp_rg GROUP BY 1, 2, 3),
+rp_cc AS (SELECT n, pair_id, gram, CAST(COUNT(*) AS BIGINT) AS cc
+          FROM rp_cg GROUP BY 1, 2, 3),
+rp_ov AS (
+  SELECT r.n, r.pair_id, CAST(SUM(LEAST(r.rc, c.cc)) AS BIGINT) AS o
+  FROM rp_rc r
+  JOIN rp_cc c ON r.n = c.n AND r.pair_id = c.pair_id AND r.gram = c.gram
+  GROUP BY 1, 2
+),
+rp_rt AS (SELECT n, pair_id, CAST(SUM(rc) AS BIGINT) AS rtot FROM rp_rc GROUP BY 1, 2),
+rp_ct AS (SELECT n, pair_id, CAST(SUM(cc) AS BIGINT) AS ctot FROM rp_cc GROUP BY 1, 2),
+rp_grid AS (
+  SELECT ns.n, p.pair_id, p.lang
+  FROM rp_p p, (SELECT 1 AS n UNION ALL SELECT 2) ns
+),
+rp_sc AS (
+  SELECT g.lang, g.n, COALESCE(o.o, 0) AS o,
+         COALESCE(rt.rtot, 0) AS rtot, COALESCE(ct.ctot, 0) AS ctot
+  FROM rp_grid g
+  LEFT JOIN rp_rt rt ON g.n = rt.n AND g.pair_id = rt.pair_id
+  LEFT JOIN rp_ct ct ON g.n = ct.n AND g.pair_id = ct.pair_id
+  LEFT JOIN rp_ov o ON g.n = o.n AND g.pair_id = o.pair_id
+),
+rp_f AS (
+  SELECT lang, n, o, rtot, ctot,
+         CASE WHEN ctot > 0 THEN CAST(o AS DOUBLE) / ctot ELSE 0.0 END AS p,
+         CASE WHEN rtot > 0 THEN CAST(o AS DOUBLE) / rtot ELSE 0.0 END AS r
+  FROM rp_sc
+),
+rp_f1 AS (
+  SELECT lang, n, o, rtot, ctot,
+         round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+                    ELSE 0.0 END, 9) AS f1_9
+  FROM rp_f
+),
+rp_agg AS (
+  SELECT lang, n, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(o) AS BIGINT) AS so,
+         CAST(SUM(rtot) AS BIGINT) AS srt,
+         CAST(SUM(ctot) AS BIGINT) AS sct,
+         CAST(SUM(CAST(f1_9 AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS macro_raw
+  FROM rp_f1 GROUP BY 1, 2
+),
+rp_m AS (
+  SELECT lang, n, n_pairs, macro_raw,
+         CASE WHEN sct > 0 THEN CAST(so AS DOUBLE) / sct ELSE 0.0 END AS micro_p,
+         CASE WHEN srt > 0 THEN CAST(so AS DOUBLE) / srt ELSE 0.0 END AS micro_r
+  FROM rp_agg
+)
+SELECT lang, n, n_pairs, micro_p, micro_r,
+       CASE WHEN micro_p + micro_r > 0
+            THEN 2.0 * micro_p * micro_r / (micro_p + micro_r)
+            ELSE 0.0 END AS micro_f1,
+       round(macro_raw, 6) AS macro_f1
+FROM rp_m""",
+        doc="ROUGE-1/2 generation eval over lang-adjacent doc pairs "
+            "(lead-paired): per-(lang, n) MICRO P/R/F1 from exact "
+            "integer multiset-overlap sums and MACRO mean F1 "
+            "(round-9 -> decimal-sum, the bigram_logprob pattern); "
+            "n-gram counting is wordcount-shaped, overlap is one "
+            "equi-join on (n, pair, gram) — never pairs x pairs",
+    ),
+    "bpe_fertility": QuerySpec(
+        lambda spark, sf_dir: text_analysis.bpe_fertility(
+            load_table(spark, sf_dir, "documents"), rounds=4
+        ),
+        f"""WITH bf_apply AS ({_bpe_oracle(4, apply=True)}),
+bf_meta AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+bf_agg AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(m.n_words) AS BIGINT) AS sum_words,
+         CAST(SUM(b.n_symbols) AS BIGINT) AS sum_symbols,
+         CAST(SUM(m.n_chars) AS BIGINT) AS sum_chars,
+         CAST(SUM(b.n_merged) AS BIGINT) AS sum_merged
+  FROM bf_apply b JOIN bf_meta m USING (doc_id)
+  GROUP BY lang
+)
+SELECT lang, n_docs, sum_words, sum_symbols, sum_chars,
+       CAST(sum_symbols AS DOUBLE) / sum_words AS fertility,
+       CAST(sum_chars AS DOUBLE) / sum_symbols AS chars_per_symbol,
+       CAST(sum_merged AS DOUBLE) / sum_symbols AS merged_frac
+FROM bf_agg""",
+        doc="tokenizer-efficiency eval per lang: BPE merges applied, "
+            "then fertility (symbols/word), chars/symbol and "
+            "merged-symbol fraction from EXACT integer sums (no "
+            "rounding anywhere) — the mixing-decision readout of the "
+            "bpe_* chain; oracle wraps the bpe_apply replay as a CTE",
+    ),
 }
 
 
@@ -6962,7 +7220,8 @@ _ROUND6_ORDER = [
     "ams_join_size", "events_twap", "grid_quantiles",
     "event_markov", "markov_stationary", "dedup_recall_eval",
     "classifier_pr_curve", "feature_mi", "langid_eval", "survival_km",
-    "ann_recall_eval", "vocab_keyness",
+    "ann_recall_eval", "vocab_keyness", "token_gini", "hits_scores",
+    "rouge_pairs", "bpe_fertility",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -2388,3 +2388,201 @@ def vocab_keyness(
         r9(delta / F.sqrt(var)).alias("z"),
     )
     return scored.orderBy(F.abs(F.col("z")).desc(), F.asc("token")).limit(k)
+
+
+def token_gini(docs: DataFrame) -> DataFrame:
+    """Gini coefficient of the token-frequency distribution per
+    language: 0 = every type equally frequent, ->1 = a few types
+    dominate — the single-number concentration complement of
+    ``zipf_law_fit`` (which fits the SHAPE) and ``text_token_entropy``
+    (per-doc), answering "how head-heavy is this stratum's
+    vocabulary" before sampling/mixing decisions.
+
+    With counts c_(1) <= ... <= c_(V) rank-sorted ascending:
+        G = (2 * Σ i*c_(i)) / (V * N) - (V + 1) / V
+    EVERY term an exact integer (ranked weighted sum, type count V,
+    token mass N) and the result two exact divisions — no libm at
+    all; half-up at 1e-9 only to pin the final double.  Ties rank by
+    (count, token) so the i*c_i sum is deterministic (any tie order
+    gives the same sum within equal counts — the tiebreak just makes
+    the plan stable).
+
+    Scale: one wordcount aggregate, then a per-language window over
+    the VOCABULARY relation (types, not tokens — the zipf_law_fit
+    precedent), one final aggregate per language.
+    """
+    toks = docs.select("lang", F.explode(tokens("text")).alias("token"))
+    counts = toks.groupBy("lang", "token").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("c"), F.asc("token"))
+    ranked = counts.select(
+        "lang", "c", F.row_number().over(w).cast("long").alias("i")
+    )
+    agg = ranked.groupBy("lang").agg(
+        F.count("*").cast("long").alias("v"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("i") * F.col("c")).cast("long").alias("iwsum"),
+    )
+    g = (F.lit(2) * F.col("iwsum")) / (F.col("v") * F.col("n_tokens")) - (
+        F.col("v") + F.lit(1)
+    ) / F.col("v")
+    return agg.select(
+        "lang",
+        "v",
+        "n_tokens",
+        (F.floor(g * 1e9 + F.lit(0.5)) / 1e9).alias("gini"),
+    )
+
+
+def rouge_n_eval(
+    pairs: DataFrame,
+    ns: tuple[int, ...] = (1, 2),
+    id_col: str = "pair_id",
+    group_col: str = "lang",
+    ref_col: str = "ref_text",
+    cand_col: str = "cand_text",
+) -> DataFrame:
+    """ROUGE-N between (reference, candidate) text pairs, summarized
+    per group: the standard n-gram-overlap eval for generated text
+    (summaries, SFT outputs) — the missing generation-side sibling of
+    ``retrieval_metrics`` / ``langid_eval`` in the eval family.
+
+    Per pair and n: multiset n-gram overlap o = Σ_g min(c_ref(g),
+    c_cand(g)); P = o / |cand grams|, R = o / |ref grams|,
+    F1 = 2PR/(P+R) (0 when a denominator is 0).  Per (group, n) the
+    summary reports MICRO scores (sum of integer overlaps / sum of
+    integer totals — exact, order-free by construction) and the
+    MACRO mean F1 (per-pair F1 rounded to 9 digits then
+    decimal-summed, the ``bigram_logprob`` determinism pattern).
+
+    Scale: n-gram counting is wordcount-shaped (one shuffle per side
+    keyed on (n, pair, gram) — uniform keys); the overlap join is
+    equi-keyed on the same triple; per-pair and per-group aggregates
+    are O(pairs) and O(groups).  Nothing is ever pairs x pairs: each
+    pair only meets its own grams.
+    """
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError(f"rouge_n_eval: ns must be non-empty, all >= 1; got {ns}")
+
+    def side_counts(col: str, cname: str) -> DataFrame:
+        per_n = [
+            pairs.select(
+                F.lit(n).alias("n"),
+                F.col(id_col),
+                F.explode(_gram_strings(tokens(col), n)).alias("gram"),
+            )
+            for n in ns
+        ]
+        out = per_n[0]
+        for nxt in per_n[1:]:
+            out = out.unionAll(nxt)
+        return out.groupBy("n", id_col, "gram").agg(
+            F.count("*").cast("long").alias(cname)
+        )
+
+    rc = side_counts(ref_col, "rc")
+    cc = side_counts(cand_col, "cc")
+    ov = (
+        rc.join(cc, ["n", id_col, "gram"])
+        .groupBy("n", id_col)
+        .agg(F.sum(F.least("rc", "cc")).cast("long").alias("o"))
+    )
+    rt = rc.groupBy("n", id_col).agg(F.sum("rc").cast("long").alias("rtot"))
+    ct = cc.groupBy("n", id_col).agg(F.sum("cc").cast("long").alias("ctot"))
+
+    ns_df = pairs.sparkSession.createDataFrame([(n,) for n in ns], "n int")
+    grid = pairs.select(id_col, group_col).crossJoin(F.broadcast(ns_df))
+    sc = (
+        grid.join(rt, ["n", id_col], "left")
+        .join(ct, ["n", id_col], "left")
+        .join(ov, ["n", id_col], "left")
+        .select(
+            group_col,
+            "n",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            F.coalesce("rtot", F.lit(0)).alias("rtot"),
+            F.coalesce("ctot", F.lit(0)).alias("ctot"),
+        )
+    )
+    p = F.when(F.col("ctot") > 0, F.col("o") / F.col("ctot")).otherwise(F.lit(0.0))
+    r = F.when(F.col("rtot") > 0, F.col("o") / F.col("rtot")).otherwise(F.lit(0.0))
+    f1 = F.when(
+        (p + r) > 0, (F.lit(2.0) * p * r) / (p + r)
+    ).otherwise(F.lit(0.0))
+    sc = sc.withColumn("f1_9", F.round(f1, 9))
+
+    agg = sc.groupBy(group_col, "n").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("o").cast("long").alias("so"),
+        F.sum("rtot").cast("long").alias("srt"),
+        F.sum("ctot").cast("long").alias("sct"),
+        (
+            F.sum(F.col("f1_9").cast("decimal(28,9)")).cast("double")
+            / F.count("*")
+        ).alias("macro_f1_raw"),
+    )
+    mp = F.when(F.col("sct") > 0, F.col("so") / F.col("sct")).otherwise(F.lit(0.0))
+    mr = F.when(F.col("srt") > 0, F.col("so") / F.col("srt")).otherwise(F.lit(0.0))
+    mf1 = F.when(
+        (mp + mr) > 0, (F.lit(2.0) * mp * mr) / (mp + mr)
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        group_col,
+        "n",
+        "n_pairs",
+        mp.alias("micro_p"),
+        mr.alias("micro_r"),
+        mf1.alias("micro_f1"),
+        F.round("macro_f1_raw", 6).alias("macro_f1"),
+    )
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    rounds: int = 4,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer-efficiency eval per stratum: apply the BPE merges
+    ``bpe_train_merges`` learns, then report how the trained tokenizer
+    compresses each ``group_col`` stratum — the eval a mixing decision
+    reads BEFORE committing a token budget (a lang whose fertility
+    stays ~1.0 gets no benefit from the learned merges; one far below
+    1.0 is over-represented in the merge table).
+
+    Per group (all EXACT integer sums and single divisions, so the
+    whole entry is hash-verifiable with zero rounding):
+    n_docs, sum_words (whitespace tokens), sum_symbols (tokens under
+    the trained merges), sum_chars, fertility = sum_symbols/sum_words,
+    chars_per_symbol = sum_chars/sum_symbols, merged_frac =
+    sum_merged/sum_symbols.
+
+    Scale: rides ``bpe_apply`` (wordcount-shaped pair counts per
+    round, auto-persisted past BPE_AUTO_PERSIST_ROUNDS), plus one
+    doc-keyed join and one O(groups) aggregate.
+    """
+    stats = bpe_apply(docs, rounds=rounds, text_col=text_col)
+    meta = docs.select(
+        "doc_id",
+        group_col,
+        F.size(tokens(text_col)).cast("long").alias("__n_words"),
+        F.length(text_col).cast("long").alias("__n_chars"),
+    )
+    agg = stats.join(meta, "doc_id").groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__n_words").cast("long").alias("sum_words"),
+        F.sum("n_symbols").cast("long").alias("sum_symbols"),
+        F.sum("__n_chars").cast("long").alias("sum_chars"),
+        F.sum("n_merged").cast("long").alias("sum_merged"),
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "sum_words",
+        "sum_symbols",
+        "sum_chars",
+        (F.col("sum_symbols") / F.col("sum_words")).alias("fertility"),
+        (F.col("sum_chars") / F.col("sum_symbols")).alias("chars_per_symbol"),
+        (F.col("sum_merged") / F.col("sum_symbols")).alias("merged_frac"),
+    )

@@ -217,6 +217,8 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
         "unigram_kl",          # 1-row corpus totals (tt, tp, |V|)
         "kmv_set_ops",         # G-row strata grid self-paired
                                # (G = #languages, bounded C(G,2))
+        "rouge_pairs",         # 2-row broadcast n-grid onto the pair frame
+        "bpe_fertility",       # rides bpe_apply's 1-row argmax broadcasts
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

@@ -104,3 +104,44 @@ def test_clustering_coefficient_known_values(spark):
     assert got[2]["coeff"] == 1.0
     assert got[0]["deg"] == 4 and got[0]["coeff"] == round(2 / 12, 6)
     assert 3 not in got and 4 not in got  # deg < 2 excluded
+
+
+def test_hits_star_hand_values(spark):
+    """Bipartite star: hubs {1,2,3} all point at authority 10; hub 1
+    also points at 11.  Authority 10 gets hub mass from all three,
+    11 only from hub 1 -> auth(10) > auth(11); hub 1 points at both
+    authorities -> hub(1) > hub(2) = hub(3).  L2 norms make each
+    side's squares sum to 1."""
+    from mapreduceimpl_spark.operators.graph import hits
+
+    edges = [(1, 10), (2, 10), (3, 10), (1, 11)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["kind"], r["node"]): r["score"] for r in hits(e, iterations=5).collect()}
+
+    assert got[("authority", 10)] > got[("authority", 11)] > 0
+    assert got[("hub", 1)] > got[("hub", 2)] > 0
+    assert got[("hub", 2)] == got[("hub", 3)]
+    for kind in ("hub", "authority"):
+        sq = sum(v * v for (k, _n), v in got.items() if k == kind)
+        assert abs(sq - 1.0) < 1e-6
+
+
+def test_hits_two_disjoint_pairs_symmetric(spark):
+    """Two disjoint src->dst pairs: perfectly symmetric, so both hubs
+    (and both authorities) share the same score 1/sqrt(2)."""
+    from mapreduceimpl_spark.operators.graph import hits
+
+    e = spark.createDataFrame([(1, 10), (2, 20)], "src long, dst long")
+    got = {(r["kind"], r["node"]): r["score"] for r in hits(e, iterations=3).collect()}
+    expected = round(2 ** -0.5, 9)
+    assert got[("hub", 1)] == got[("hub", 2)] == expected
+    assert got[("authority", 10)] == got[("authority", 20)] == expected
+
+
+def test_hits_iterations_validated(spark):
+    from mapreduceimpl_spark.operators.graph import hits
+    import pytest
+
+    e = spark.createDataFrame([(1, 10)], "src long, dst long")
+    with pytest.raises(ValueError):
+        hits(e, iterations=0)

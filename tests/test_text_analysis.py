@@ -1232,3 +1232,100 @@ def test_vocab_keyness_separates_planted_markers(spark):
 
     with pytest.raises(ValueError):
         vocab_keyness(docs, k=0)
+
+
+def test_token_gini_uniform_vs_skewed(spark):
+    """A stratum where every type has equal count ginis to exactly 0;
+    a head-dominated stratum is strictly positive and matches the
+    hand-computed ranked-weighted-sum formula."""
+    from mapreduceimpl_spark.operators.text_analysis import token_gini
+
+    docs = spark.createDataFrame(
+        # uniform: 4 types x 3 occurrences each
+        [(i, "a b c d", "uni") for i in range(3)]
+        # skewed: counts a=9, b=2, c=1
+        + [(10 + i, "a a a", "skew") for i in range(3)]
+        + [(20, "b b c", "skew")],
+        ["doc_id", "text", "lang"],
+    )
+    got = {r["lang"]: r for r in token_gini(docs).collect()}
+
+    u = got["uni"]
+    assert (u["v"], u["n_tokens"]) == (4, 12)
+    assert u["gini"] == 0.0
+
+    s = got["skew"]
+    assert (s["v"], s["n_tokens"]) == (3, 12)
+    # ranks asc by (count, token): c=1 i=1, b=2 i=2, a=9 i=3
+    # G = 2*(1*1 + 2*2 + 3*9)/(3*12) - 4/3 = 64/36 - 48/36 = 16/36
+    assert s["gini"] == round(16 / 36, 9)
+
+
+def test_rouge_n_eval_hand_case(spark):
+    """One pair with hand-computable overlaps: ref 'a b a c',
+    cand 'a b a b'.  ROUGE-1 multiset overlap: min counts a=2, b=1,
+    c=0 -> o=3, P=3/4, R=3/4, F1=0.75.  ROUGE-2: ref bigrams
+    {ab, ba, ac}, cand {ab, ba, ab} -> overlap ab=1, ba=1 -> o=2,
+    P=2/3, R=2/3, F1=2/3."""
+    from mapreduceimpl_spark.operators.text_analysis import rouge_n_eval
+
+    pairs = spark.createDataFrame(
+        [(1, "en", "a b a c", "a b a b")],
+        ["pair_id", "lang", "ref_text", "cand_text"],
+    )
+    got = {r["n"]: r for r in rouge_n_eval(pairs).collect()}
+    r1, r2 = got[1], got[2]
+    assert (r1["micro_p"], r1["micro_r"], r1["micro_f1"]) == (0.75, 0.75, 0.75)
+    assert r1["macro_f1"] == 0.75
+    assert r2["micro_p"] == 2 / 3 and r2["micro_r"] == 2 / 3
+    assert abs(r2["macro_f1"] - round(2 / 3, 6)) < 1e-9
+    assert r1["n_pairs"] == r2["n_pairs"] == 1
+
+
+def test_rouge_n_eval_disjoint_and_short(spark):
+    """Disjoint texts score 0 everywhere; a 1-token pair has no
+    bigrams -> ROUGE-2 is 0 with zero totals, not an error; identical
+    texts score exactly 1."""
+    from mapreduceimpl_spark.operators.text_analysis import rouge_n_eval
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [
+            (1, "en", "x y z", "p q r"),      # disjoint
+            (2, "fr", "w", "w"),              # identical, 1 token
+            (3, "de", "a b c", "a b c"),      # identical
+        ],
+        ["pair_id", "lang", "ref_text", "cand_text"],
+    )
+    got = {(r["lang"], r["n"]): r for r in rouge_n_eval(pairs).collect()}
+    assert got[("en", 1)]["micro_f1"] == 0.0
+    assert got[("en", 2)]["micro_f1"] == 0.0
+    assert got[("fr", 1)]["micro_f1"] == 1.0
+    assert got[("fr", 2)]["micro_f1"] == 0.0  # no bigrams at all
+    assert got[("de", 2)]["micro_f1"] == 1.0 and got[("de", 2)]["macro_f1"] == 1.0
+
+    with pytest.raises(ValueError):
+        rouge_n_eval(pairs, ns=())
+    with pytest.raises(ValueError):
+        rouge_n_eval(pairs, ns=(0,))
+
+
+def test_bpe_fertility_hand_case(spark):
+    """Corpus where round-1 learns the merge (a, b): docs 'a b' twice
+    in en, 'c d e' once in fr.  After 1 round each en doc collapses to
+    one merged symbol — en: 4 words -> 2 symbols, fertility 0.5,
+    merged_frac 1.0; fr untouched: fertility 1.0, merged_frac 0.0."""
+    from mapreduceimpl_spark.operators.text_analysis import bpe_fertility
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "en"), (2, "a b", "en"), (3, "c d e", "fr")],
+        ["doc_id", "text", "lang"],
+    )
+    got = {r["lang"]: r for r in bpe_fertility(docs, rounds=1).collect()}
+    en, fr = got["en"], got["fr"]
+    assert (en["n_docs"], en["sum_words"], en["sum_symbols"]) == (2, 4, 2)
+    assert en["fertility"] == 0.5 and en["merged_frac"] == 1.0
+    assert en["sum_chars"] == 6  # 'a b' is 3 chars, twice
+    assert en["chars_per_symbol"] == 3.0
+    assert (fr["sum_words"], fr["sum_symbols"]) == (3, 3)
+    assert fr["fertility"] == 1.0 and fr["merged_frac"] == 0.0
