@@ -339,18 +339,12 @@ def q_returned_items(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def q_funnel(t: dict[str, DataFrame]) -> DataFrame:
-    """Ordered event funnel per user: first view -> first click after
-    that view -> first purchase after that click; counts per stage.
-
-    Single-shuffle formulation: all three stage computations are
-    full-partition window mins over the SAME user_id partitioning, so
-    the events table is shuffled exactly once (a join-per-stage
-    formulation shuffles the fact table once per stage — 3x the I/O at
-    100 TB).  The per-user groupBy then reuses that partitioning, and
-    only one row per user reaches the final global count.
-    """
-    e = t["events"]
+def funnel_stages(e: DataFrame) -> DataFrame:
+    """Per-user funnel stage frame: (user_id, first_view, first_click,
+    first_purchase) under the strict-ordering rule ``q_funnel``
+    aggregates — factored out so the streaming twin's equality test
+    compares against the exact batch semantics.  See ``q_funnel`` for
+    the single-shuffle posture."""
     w = Window.partitionBy("user_id")
     staged = (
         e.withColumn(
@@ -377,11 +371,25 @@ def q_funnel(t: dict[str, DataFrame]) -> DataFrame:
             ).over(w),
         )
     )
-    per_user = staged.groupBy("user_id").agg(
+    return staged.groupBy("user_id").agg(
         F.max("first_view").alias("first_view"),
         F.max("first_click").alias("first_click"),
         F.max("first_purchase").alias("first_purchase"),
     )
+
+
+def q_funnel(t: dict[str, DataFrame]) -> DataFrame:
+    """Ordered event funnel per user: first view -> first click after
+    that view -> first purchase after that click; counts per stage.
+
+    Single-shuffle formulation: all three stage computations are
+    full-partition window mins over the SAME user_id partitioning, so
+    the events table is shuffled exactly once (a join-per-stage
+    formulation shuffles the fact table once per stage — 3x the I/O at
+    100 TB).  The per-user groupBy then reuses that partitioning, and
+    only one row per user reaches the final global count.
+    """
+    per_user = funnel_stages(t["events"])
     return per_user.agg(
         F.count("*").alias("n_users"),
         F.count("first_view").alias("n_viewed"),

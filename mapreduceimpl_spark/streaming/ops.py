@@ -1272,3 +1272,86 @@ def stream_markov_pairs(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("first_view_us", LongType()),
+        StructField("first_click_us", LongType()),
+        StructField("first_purchase_us", LongType()),
+    ]
+)
+# the three funnel stage timestamps (epoch micros; -1 = not reached)
+_FUNNEL_STATE = StructType(
+    [
+        StructField("fv", LongType()),
+        StructField("fc", LongType()),
+        StructField("fp", LongType()),
+    ]
+)
+
+
+def stream_funnel(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``relational.q_funnel``'s per-user staged
+    frame: first view -> first click strictly after that view ->
+    first purchase strictly after that click, carried as THREE epochs
+    of keyed state (O(users), independent of stream length — the
+    batch form's three full-partition window mins become one fold).
+
+    Emits the user's current stage epochs each micro-batch the user
+    appears in (update semantics; read the LAST row per user).  Same
+    in-order-arrival caveat as the other journey twins: rows sort
+    (ts, event_id) only WITHIN each micro-batch, so a view arriving
+    in a later batch than a same-user click cannot retroactively
+    qualify that click — identical to batch only when arrival order
+    respects event time (true for the replay fixtures).
+
+    Stage rule replay: the batch window uses STRICT ts > first_view /
+    > first_click, so under (ts, event_id) order a click tied with
+    the first view does not advance the funnel — the fold checks the
+    same strict inequality.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: Any, pdfs: Any, state: GroupState):
+        fv, fc, fp = state.get if state.exists else (-1, -1, -1)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for et, ts in zip(batch["event_type"], batch["ts"]):
+                us = int(pd.Timestamp(ts).value // 1_000)
+                if et == "view" and fv < 0:
+                    fv = us
+                elif et == "click" and fc < 0 and 0 <= fv < us:
+                    fc = us
+                elif et == "purchase" and fp < 0 and 0 <= fc < us:
+                    fp = us
+            state.update((fv, fc, fp))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "first_view_us": [None if fv < 0 else fv],
+                    "first_click_us": [None if fc < 0 else fc],
+                    "first_purchase_us": [None if fp < 0 else fp],
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {
+                    "user_id": [],
+                    "first_view_us": [],
+                    "first_click_us": [],
+                    "first_purchase_us": [],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1031,3 +1031,105 @@ def test_stream_markov_pairs_lag_crosses_batches(spark, tmp_path):
     assert [(r["event_id"], r["prev_type"], r["next_type"]) for r in got] == [
         (2, "view", "click")
     ]
+
+
+def test_stream_funnel_matches_batch(spark, events_dir):
+    """Streaming per-user funnel state equals the batch window form's
+    staged frame (epoch-micros comparison); last emitted row per user
+    wins (update mode)."""
+    from mapreduceimpl_spark.operators import relational
+
+    stream = streaming.read_events_stream(spark, events_dir)
+    got = {}
+    for r in _run_stream(streaming.stream_funnel(stream), mode="update"):
+        got[r["user_id"]] = (
+            r["first_view_us"], r["first_click_us"], r["first_purchase_us"]
+        )
+
+    e = load_table(spark, SF, "events")
+    batch = {
+        r["user_id"]: (r["fv"], r["fc"], r["fp"])
+        for r in relational.funnel_stages(e)
+        .select(
+            "user_id",
+            F.unix_micros("first_view").alias("fv"),
+            F.unix_micros("first_click").alias("fc"),
+            F.unix_micros("first_purchase").alias("fp"),
+        )
+        .collect()
+    }
+    assert got == batch and len(got) > 0
+    # sanity: the fixture exercises every stage somewhere
+    assert any(v[2] is not None for v in got.values())
+
+
+def test_stream_funnel_state_crosses_batches(spark, tmp_path):
+    """A view in micro-batch A must qualify a click (and then a
+    purchase) in micro-batch B — the three-epoch state crossing the
+    boundary; a click tied with the first view must NOT advance the
+    funnel (strict >)."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "funnel_two_batches"
+    d.mkdir()
+
+    def write(fname, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            d / fname,
+        )
+
+    write("a.parquet", [
+        (1, "2024-01-01 10:00:00", 7, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),   # tied: no advance
+    ])
+    _time.sleep(0.05)
+    write("b.parquet", [
+        (3, "2024-01-01 10:02:00", 7, "click", 1.0, "{}"),    # -> qualifies
+        (4, "2024-01-01 10:05:00", 7, "purchase", 1.0, "{}"), # -> qualifies
+    ])
+    now = _time.time()
+    os.utime(d / "a.parquet", (now - 60, now - 60))
+    os.utime(d / "b.parquet", (now, now))
+
+    stream = streaming.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    rows = _run_stream(streaming.stream_funnel(stream), mode="update")
+    assert {r["user_id"] for r in rows} == {7}
+    # memory-sink row order across batches is not guaranteed; the state
+    # only advances, so the final state is the most-complete emission
+    final = max(
+        rows,
+        key=lambda r: (
+            r["first_purchase_us"] or -1,
+            r["first_click_us"] or -1,
+            r["first_view_us"] or -1,
+        ),
+    )
+    base = 1704103200000000  # 2024-01-01 10:00:00 UTC in micros
+    assert (
+        final["first_view_us"],
+        final["first_click_us"],
+        final["first_purchase_us"],
+    ) == (base, base + 120_000_000, base + 300_000_000)
+    # batch A's emission must NOT already show a click (the tied click)
+    partials = [r for r in rows if r["first_click_us"] is None]
+    assert len(partials) == 1 and partials[0]["first_view_us"] == base
