@@ -2768,7 +2768,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "grid_quantiles", "event_markov", "markov_stationary",
      "dedup_recall_eval", "classifier_pr_curve", "feature_mi",
      "langid_eval", "survival_km", "ann_recall_eval", "vocab_keyness",
-     "token_gini", "hits_scores", "rouge_pairs", "bpe_fertility"}
+     "token_gini", "hits_scores", "rouge_pairs", "bpe_fertility",
+     "lm_heldout_perplexity"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -7144,6 +7145,74 @@ FROM bf_agg""",
             "rounding anywhere) — the mixing-decision readout of the "
             "bpe_* chain; oracle wraps the bpe_apply replay as a CTE",
     ),
+    "lm_heldout_perplexity": QuerySpec(
+        lambda spark, sf_dir: text_analysis.heldout_perplexity(
+            load_table(spark, sf_dir, "documents")
+        ),
+        f"""WITH hp_split AS (
+  SELECT doc_id, lang, text,
+         ({sampling.hash_uniform_sql("'lmheldout-v1:' || CAST(doc_id AS VARCHAR)")})
+           >= {1.0 - 0.1!r} AS is_test
+  FROM documents
+),
+hp_uni AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        FROM hp_split WHERE NOT is_test)
+  GROUP BY token
+),
+hp_tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+  FROM hp_uni
+),
+hp_bi AS (
+  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cnt_pc FROM (
+    SELECT toks[i] AS prev, toks[i + 1] AS cur
+    FROM (SELECT string_split(text, ' ') AS toks
+          FROM hp_split WHERE NOT is_test),
+         unnest(range(1, len(toks))) AS u(i)
+    WHERE len(toks) >= 2
+  ) GROUP BY 1, 2
+),
+hp_pairs AS (
+  SELECT doc_id, lang, toks[i] AS prev, toks[i + 1] AS cur
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        FROM hp_split WHERE is_test),
+       unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+),
+hp_scored AS (
+  SELECT p.doc_id, p.lang,
+         CASE WHEN COALESCE(uc.cnt, 0) = 0 THEN 1 ELSE 0 END AS is_oov,
+         round(ln(
+           CASE WHEN COALESCE(up.cnt, 0) > 0
+                THEN CAST(0.7 AS DOUBLE)
+                     * (CAST(COALESCE(b.cnt_pc, 0) AS DOUBLE) / up.cnt)
+                ELSE CAST(0.0 AS DOUBLE) END
+           + CAST('{1.0 - 0.7!r}' AS DOUBLE)
+             * (CAST(COALESCE(uc.cnt, 0) + 1 AS DOUBLE) / (t.n + t.v + 1))
+         ), 9) AS lp
+  FROM hp_pairs p
+  LEFT JOIN hp_bi b ON p.prev = b.prev AND p.cur = b.cur
+  LEFT JOIN hp_uni up ON p.prev = up.token
+  LEFT JOIN hp_uni uc ON p.cur = uc.token
+  CROSS JOIN hp_tot t
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_scored_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(-CAST(SUM(CAST(lp AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_neg_logprob,
+       CAST(SUM(is_oov) AS DOUBLE) / COUNT(*) AS oov_rate
+FROM hp_scored GROUP BY lang""",
+        doc="held-out bigram-LM eval per lang: md5-uniform 90/10 "
+            "split, interpolated bigram + Laplace/OOV unigram floor "
+            "from TRAIN counts scoring TEST pairs — the "
+            "generalization sibling of the corpus-internal "
+            "bigram_logprob; exact-integer OOV rate; wordcount-shaped "
+            "counts, uniform-key left joins, two 1-row totals "
+            "broadcast",
+    ),
 }
 
 
@@ -7221,7 +7290,7 @@ _ROUND6_ORDER = [
     "event_markov", "markov_stationary", "dedup_recall_eval",
     "classifier_pr_curve", "feature_mi", "langid_eval", "survival_km",
     "ann_recall_eval", "vocab_keyness", "token_gini", "hits_scores",
-    "rouge_pairs", "bpe_fertility",
+    "rouge_pairs", "bpe_fertility", "lm_heldout_perplexity",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

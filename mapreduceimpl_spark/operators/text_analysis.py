@@ -2586,3 +2586,112 @@ def bpe_fertility(
         (F.col("sum_chars") / F.col("sum_symbols")).alias("chars_per_symbol"),
         (F.col("sum_merged") / F.col("sum_symbols")).alias("merged_frac"),
     )
+
+
+def heldout_perplexity(
+    docs: DataFrame,
+    lam: float = 0.7,
+    test_frac: float = 0.1,
+    tag: str = "lmheldout-v1",
+) -> DataFrame:
+    """Held-out bigram-LM eval per language: train interpolated bigram
+    counts on an md5-uniform ~(1-test_frac) split of the corpus, score
+    the held-out docs — unlike ``bigram_logprob`` (corpus-internal,
+    every bigram seen at least once) this is the eval a data-mixing
+    decision actually reads: unseen test bigrams hit the smoothed
+    unigram floor, unseen test WORDS the +1 Laplace/OOV floor.
+
+    p(cur | prev) = lam * c(prev,cur)/c(prev)   [0 when prev unseen]
+                  + (1-lam) * (c(cur)+1)/(N+V+1)  [Laplace, +1 = OOV]
+    with all counts from the TRAIN split.  Per lang: scored test docs,
+    pair count, avg negative log-prob (per-pair ln rounded to 9 then
+    decimal-summed — the ``bigram_logprob`` determinism pattern) and
+    the exact-integer OOV rate of test tokens vs the train vocabulary.
+
+    Scale: wordcount-shaped train counts; test pairs LEFT-join bigram
+    and unigram counts on uniform keys; two 1-row totals broadcast.
+    The split is the md5-uniform ``hash_uniform`` decision — zero
+    shuffle, the ``leakage_safe_split`` machinery.
+    """
+    from mapreduceimpl_spark.operators.sampling import hash_uniform
+
+    if not 0.0 < test_frac < 1.0:
+        raise ValueError(f"heldout_perplexity: test_frac in (0,1); got {test_frac}")
+    lam2 = 1.0 - lam
+
+    u = hash_uniform(F.concat(F.lit(f"{tag}:"), F.col("doc_id").cast("string")))
+    tagged = docs.withColumn("__is_test", u >= F.lit(1.0 - test_frac))
+    train = tagged.filter(~F.col("__is_test"))
+    test = tagged.filter(F.col("__is_test"))
+
+    tr_toks = train.select(F.explode(tokens("text")).alias("token"))
+    uni = tr_toks.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    totals = uni.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count("*").cast("long").alias("v"),
+    )
+    tr_pre = train.select(tokens("text").alias("__toks")).filter(
+        F.size("__toks") >= 2
+    )
+    bi = (
+        tr_pre.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__toks) - 1), "
+                    "i -> struct(__toks[i-1] AS prev, __toks[i] AS cur))"
+                )
+            ).alias("pc")
+        )
+        .groupBy("pc.prev", "pc.cur")
+        .agg(F.count("*").cast("long").alias("cnt_pc"))
+    )
+
+    te_pre = test.select("doc_id", "lang", tokens("text").alias("__toks")).filter(
+        F.size("__toks") >= 2
+    )
+    pairs = te_pre.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__toks) - 1), "
+                "i -> struct(__toks[i-1] AS prev, __toks[i] AS cur))"
+            )
+        ).alias("pc"),
+    ).select("doc_id", "lang", "pc.prev", "pc.cur")
+
+    scored = (
+        pairs.join(bi, ["prev", "cur"], "left")
+        .join(uni.select(F.col("token").alias("prev"),
+                         F.col("cnt").alias("cnt_prev")), "prev", "left")
+        .join(uni.select(F.col("token").alias("cur"),
+                         F.col("cnt").alias("cnt_cur")), "cur", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "lang",
+            (F.coalesce("cnt_cur", F.lit(0)) == 0).cast("long").alias("is_oov"),
+            F.round(
+                F.log(
+                    F.when(
+                        F.coalesce("cnt_prev", F.lit(0)) > 0,
+                        F.lit(lam)
+                        * (F.coalesce("cnt_pc", F.lit(0)) / F.col("cnt_prev")),
+                    ).otherwise(F.lit(0.0))
+                    + F.lit(lam2)
+                    * ((F.coalesce("cnt_cur", F.lit(0)) + F.lit(1))
+                       / (F.col("n") + F.col("v") + F.lit(1))),
+                ),
+                9,
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("lang").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_scored_docs"),
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(
+            -F.sum(F.col("lp").cast("decimal(28,9)")).cast("double") / F.count("*"),
+            6,
+        ).alias("avg_neg_logprob"),
+        (F.sum("is_oov") / F.count("*")).alias("oov_rate"),
+    )

