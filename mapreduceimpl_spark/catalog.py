@@ -2769,7 +2769,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "dedup_recall_eval", "classifier_pr_curve", "feature_mi",
      "langid_eval", "survival_km", "ann_recall_eval", "vocab_keyness",
      "token_gini", "hits_scores", "rouge_pairs", "bpe_fertility",
-     "lm_heldout_perplexity"}
+     "lm_heldout_perplexity", "cramers_v"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -7213,6 +7213,56 @@ FROM hp_scored GROUP BY lang""",
             "counts, uniform-key left joins, two 1-row totals "
             "broadcast",
     ),
+    "cramers_v": QuerySpec(
+        lambda spark, sf_dir: relational.cramers_v(
+            load_table(spark, sf_dir, "lineitem")
+            .join(
+                load_table(spark, sf_dir, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select("o_orderpriority", "l_returnflag"),
+            "o_orderpriority",
+            "l_returnflag",
+        ),
+        """WITH cv_cells AS (
+  SELECT o_orderpriority AS a, l_returnflag AS b,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+cv_rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rt FROM cv_cells GROUP BY a),
+cv_ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS ct FROM cv_cells GROUP BY b),
+cv_tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS c
+  FROM cv_cells
+),
+cv_terms AS (
+  SELECT t.n, t.r, t.c,
+         CAST((o * o) / ((rt * ct) / CAST(n AS DOUBLE))
+              AS DECIMAL(28,12)) AS term12
+  FROM cv_cells
+  JOIN cv_rt USING (a)
+  JOIN cv_ct USING (b)
+  CROSS JOIN cv_tot t
+),
+cv_agg AS (
+  SELECT n, r, c, CAST(SUM(term12) AS DOUBLE) - n AS chi2
+  FROM cv_terms GROUP BY 1, 2, 3
+)
+SELECT n, r, c, round(chi2, 9) AS chi2,
+       CASE WHEN LEAST(r, c) > 1
+            THEN round(sqrt(chi2 / (n * (LEAST(r, c) - 1))), 9)
+            ELSE 0.0 END AS cramers_v
+FROM cv_agg""",
+        doc="Cramér's V association between order priority and return "
+            "flag: chi-square over the r x c contingency normalized "
+            "to [0,1] via the zero-cell-free sum-o²/e - n identity — "
+            "one fact-table shuffle (the contingency groupBy), "
+            "decimal-routed cell-term sum, exact-integer inputs to "
+            "every float expression",
+    ),
 }
 
 
@@ -7290,7 +7340,7 @@ _ROUND6_ORDER = [
     "event_markov", "markov_stationary", "dedup_recall_eval",
     "classifier_pr_curve", "feature_mi", "langid_eval", "survival_km",
     "ann_recall_eval", "vocab_keyness", "token_gini", "hits_scores",
-    "rouge_pairs", "bpe_fertility", "lm_heldout_perplexity",
+    "rouge_pairs", "bpe_fertility", "lm_heldout_perplexity", "cramers_v",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -3297,3 +3297,65 @@ def q_survival_km(
     return cum.select(
         "lifetime_days", "n_risk", "n_death", "n_censored", surv.alias("survival")
     )
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cramér's V association between two categorical columns —
+    the effect-size readout behind every "does priority depend on
+    ship mode"-style question (chi-square alone grows with n; V is
+    the [0, 1]-normalized version a 100 TB table can act on).
+
+    chi2 = Σ_cells (o - e)^2 / e with e = row_tot * col_tot / n,
+    computed via the zero-cell-free identity chi2 = Σ_observed o²/e
+    - n (structural-zero cells contribute exactly their e to the
+    classic form, and Σe = n, so only OBSERVED cells need
+    materializing — the contingency groupBy's output is already the
+    full computation);  V = sqrt(chi2 / (n * (min(r, c) - 1))).
+    Every input to the float expressions is an exact integer count
+    (cell, row, column, grand totals and the r/c cardinalities), each
+    cell term is evaluated in one fixed operation order, and the
+    cell-term sum is decimal-routed — so the single output row is
+    hash-exact.
+
+    Returns one row: n, r, c, chi2 (round 9), cramers_v (round 9).
+
+    Scale: ONE shuffle of the fact table (the (a, b) contingency
+    groupBy); everything after operates on O(r*c) cells with
+    broadcast-sized row/col/grand totals.
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count("*").cast("long").alias("o"))
+    rowt = cells.groupBy("a").agg(F.sum("o").cast("long").alias("rt"))
+    colt = cells.groupBy("b").agg(F.sum("o").cast("long").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count_distinct("a").cast("long").alias("r"),
+        F.count_distinct("b").cast("long").alias("c"),
+    )
+    e = (F.col("rt") * F.col("ct")) / F.col("n")
+    term = (F.col("o") * F.col("o")) / e
+    scored = (
+        cells.join(rowt, "a")
+        .join(colt, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n", "r", "c", term.cast("decimal(28,12)").alias("term12")
+        )
+    )
+    agg = scored.groupBy("n", "r", "c").agg(
+        (F.sum("term12").cast("double") - F.col("n")).alias("chi2")
+    )
+    # min(r, c) == 1 leaves V undefined (no association possible on a
+    # single category) — pin it to 0.0 rather than NaN
+    v = F.when(
+        F.least("r", "c") > 1,
+        F.sqrt(F.col("chi2") / (F.col("n") * (F.least("r", "c") - F.lit(1)))),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n",
+        "r",
+        "c",
+        F.round("chi2", 9).alias("chi2"),
+        F.round(v, 9).alias("cramers_v"),
+    )

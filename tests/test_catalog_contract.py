@@ -220,6 +220,7 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
         "rouge_pairs",         # 2-row broadcast n-grid onto the pair frame
         "bpe_fertility",       # rides bpe_apply's 1-row argmax broadcasts
         "lm_heldout_perplexity",  # 1-row train totals (N, V) broadcast
+        "cramers_v",           # 1-row grand-total (n, r, c) broadcast
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

@@ -444,3 +444,30 @@ def test_dp_noisy_counts_deterministic_and_centered(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         q_dp_noisy_counts({"documents": docs}, epsilon=0.0)
+
+
+def test_cramers_v_hand_cases(spark):
+    """Perfect association (a == b diagonal) gives V = 1; independence
+    (balanced full cross) gives chi2 = 0, V = 0; a single-category
+    column pins V to 0 rather than NaN."""
+    from mapreduceimpl_spark.operators.relational import cramers_v
+
+    # perfect: each a maps to exactly one b, equal masses
+    perfect = spark.createDataFrame(
+        [("x", "p")] * 5 + [("y", "q")] * 5, ["ca", "cb"]
+    )
+    r = cramers_v(perfect, "ca", "cb").collect()[0]
+    assert (r["n"], r["r"], r["c"]) == (10, 2, 2)
+    assert r["cramers_v"] == 1.0 and r["chi2"] == 10.0
+
+    # independent: all four cells equal
+    indep = spark.createDataFrame(
+        [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")] * 3, ["ca", "cb"]
+    )
+    r = cramers_v(indep, "ca", "cb").collect()[0]
+    assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+
+    # degenerate: one category on one side
+    degen = spark.createDataFrame([("x", "p"), ("x", "q")], ["ca", "cb"])
+    r = cramers_v(degen, "ca", "cb").collect()[0]
+    assert r["cramers_v"] == 0.0
