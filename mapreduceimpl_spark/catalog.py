@@ -2769,7 +2769,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "dedup_recall_eval", "classifier_pr_curve", "feature_mi",
      "langid_eval", "survival_km", "ann_recall_eval", "vocab_keyness",
      "token_gini", "hits_scores", "rouge_pairs", "bpe_fertility",
-     "lm_heldout_perplexity", "cramers_v"}
+     "lm_heldout_perplexity", "cramers_v", "mannwhitney_length"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -7263,6 +7263,56 @@ FROM cv_agg""",
             "decimal-routed cell-term sum, exact-integer inputs to "
             "every float expression",
     ),
+    "mannwhitney_length": QuerySpec(
+        lambda spark, sf_dir: relational.mannwhitney_u(
+            load_table(spark, sf_dir, "documents").select(
+                F.length("text").cast("long").alias("text_len"), "lang"
+            ),
+            "text_len",
+            "lang",
+            "en",
+        ),
+        """WITH mw_tagged AS (
+  SELECT CAST(length(text) AS BIGINT) AS v,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t
+  FROM documents
+),
+mw_by_value AS (
+  SELECT v, CAST(SUM(is_t) AS BIGINT) AS cnt1,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM mw_tagged GROUP BY v
+),
+mw_ranked AS (
+  SELECT cnt1, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS below
+  FROM mw_by_value
+),
+mw_agg AS (
+  SELECT CAST(SUM(cnt1) AS BIGINT) AS n1,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt1 * (2 * below + cnt + 1)) AS BIGINT) AS two_r1,
+         CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+  FROM mw_ranked
+),
+mw_full AS (SELECT *, n - n1 AS n2 FROM mw_agg)
+SELECT n1, n2,
+       (two_r1 - n1 * (n1 + 1)) / 2.0 AS u1,
+       CASE WHEN n > 1 AND ((n1 * n2) / 12.0)
+                 * ((n + 1) - tie_term / GREATEST(n * (n - 1), 1)) > 0
+            THEN round(
+              ((two_r1 - n1 * (n1 + 1)) / 2.0 - (n1 * n2) / 2.0)
+              / sqrt(((n1 * n2) / 12.0)
+                     * ((n + 1) - tie_term / GREATEST(n * (n - 1), 1))), 9)
+            ELSE 0.0 END AS z
+FROM mw_full""",
+        doc="Mann-Whitney U rank-sum: is the en stratum's doc-length "
+            "distribution shifted vs the rest — all-integer 2*R1 "
+            "midrank accumulation (the logreg_eval AUC machinery), "
+            "tie-corrected variance, one groupBy(value) shuffle then "
+            "ranking on the bounded distinct-value relation",
+    ),
 }
 
 
@@ -7341,6 +7391,7 @@ _ROUND6_ORDER = [
     "classifier_pr_curve", "feature_mi", "langid_eval", "survival_km",
     "ann_recall_eval", "vocab_keyness", "token_gini", "hits_scores",
     "rouge_pairs", "bpe_fertility", "lm_heldout_perplexity", "cramers_v",
+    "mannwhitney_length",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -3359,3 +3359,80 @@ def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.round("chi2", 9).alias("chi2"),
         F.round(v, 9).alias("cramers_v"),
     )
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    target,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test: does the ``target`` stratum's
+    ``value_col`` distribution sit above/below the rest's — the
+    nonparametric two-sample test a mixing decision reads when means
+    mislead (heavy-tailed doc lengths, quality scores).  The midrank
+    machinery is ``classifier.logreg_eval``'s AUC trick (AUC and U are
+    the same statistic); here the 2*R1 formulation keeps EVERY
+    accumulated quantity an exact integer:
+
+      2*R1      = Σ_values cnt1 * (2*below + cnt + 1)   [midrank x2]
+      U1        = (2*R1 - n1*(n1+1)) / 2
+      tie_term  = Σ_values cnt³ - cnt
+      Var(U)    = n1*n2/12 * ((n+1) - tie_term / (n*(n-1)))
+      z         = (U1 - n1*n2/2) / sqrt(Var)
+
+    so the only float ops are the final fixed-order divisions and one
+    sqrt.  Values are grouped RAW (quantize first if continuous —
+    the logreg_eval precedent); z is 0 when the variance degenerates
+    (all values tied, or n < 2).
+
+    Scale: one wordcount-shaped groupBy(value), then ranking on the
+    bounded DISTINCT-value relation (never the row count) via one
+    ordered cumulative window, one final single-row aggregate.
+    """
+    tagged = df.select(
+        F.col(value_col).alias("v"),
+        (F.col(group_col) == F.lit(target)).cast("long").alias("is_t"),
+    )
+    by_value = tagged.groupBy("v").agg(
+        F.sum("is_t").cast("long").alias("cnt1"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_value.select(
+        "cnt1",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long").alias("below"),
+    )
+    agg = ranked.agg(
+        F.sum("cnt1").cast("long").alias("n1"),
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(
+            F.col("cnt1") * (F.lit(2) * F.col("below") + F.col("cnt") + F.lit(1))
+        ).cast("long").alias("two_r1"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).cast("long").alias("tie_term"),
+    ).withColumn("n2", F.col("n") - F.col("n1"))
+    u1 = (F.col("two_r1") - F.col("n1") * (F.col("n1") + F.lit(1))) / F.lit(2.0)
+    # greatest(..., 1) keeps the n < 2 denominator alive (when() does
+    # not short-circuit; ANSI division by zero would throw) — the
+    # degenerate case is excluded by the z guard anyway
+    var = (
+        (F.col("n1") * F.col("n2")) / F.lit(12.0)
+    ) * (
+        (F.col("n") + F.lit(1))
+        - F.col("tie_term")
+        / F.greatest(F.col("n") * (F.col("n") - F.lit(1)), F.lit(1))
+    )
+    mean_u = (F.col("n1") * F.col("n2")) / F.lit(2.0)
+    z = F.when(
+        (F.col("n") > 1) & (var > 0),
+        F.round((u1 - mean_u) / F.sqrt(var), 9),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        z.alias("z"),
+    )

@@ -471,3 +471,30 @@ def test_cramers_v_hand_cases(spark):
     degen = spark.createDataFrame([("x", "p"), ("x", "q")], ["ca", "cb"])
     r = cramers_v(degen, "ca", "cb").collect()[0]
     assert r["cramers_v"] == 0.0
+
+
+def test_mannwhitney_u_hand_case(spark):
+    """Clean separation: target values {10, 20} all above rest {1, 2}
+    -> U1 = n1*n2 = 4 (every target-rest pair won), z > 0.  Perfect
+    overlap of identical values -> all ties, variance degenerates to
+    the tie-corrected value and z = 0 via U1 = n1*n2/2."""
+    from mapreduceimpl_spark.operators.relational import mannwhitney_u
+
+    sep = spark.createDataFrame(
+        [(10, "en"), (20, "en"), (1, "fr"), (2, "fr")], ["val", "lang"]
+    )
+    r = mannwhitney_u(sep, "val", "lang", "en").collect()[0]
+    assert (r["n1"], r["n2"]) == (2, 2)
+    assert r["u1"] == 4.0 and r["z"] > 0
+
+    # reversed separation flips the sign
+    r2 = mannwhitney_u(sep, "val", "lang", "fr").collect()[0]
+    assert r2["u1"] == 0.0 and r2["z"] < 0 and r2["z"] == -r["z"]
+
+    # all values identical: total tie, z pinned to 0
+    tied = spark.createDataFrame(
+        [(5, "en"), (5, "en"), (5, "fr"), (5, "fr")], ["val", "lang"]
+    )
+    r3 = mannwhitney_u(tied, "val", "lang", "en").collect()[0]
+    assert r3["u1"] == 2.0  # n1*n2/2: midranks split evenly
+    assert r3["z"] == 0.0
