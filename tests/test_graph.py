@@ -145,3 +145,25 @@ def test_hits_iterations_validated(spark):
     e = spark.createDataFrame([(1, 10)], "src long, dst long")
     with pytest.raises(ValueError):
         hits(e, iterations=0)
+
+
+def test_hits_plan_growth_is_polynomial_not_exponential(spark):
+    """The agg+crossJoin L2-norm form referenced each raw phase frame
+    twice, doubling the logical plan per phase (2^(2*iterations)
+    duplicated subtrees — plan stringification alone OOMed the JVM at
+    sf0.01).  The window-norm form references each phase exactly once;
+    the plan string grows ~quadratically (the output union embeds the
+    chain twice, and per-node text widens with depth): measured ~3.2x
+    per iteration doubling, vs 16x/64x for the exponential form."""
+    from mapreduceimpl_spark.operators.graph import hits
+    from mapreduceimpl_spark.plans import explain_str
+
+    e = spark.createDataFrame(
+        [(i, 100 + (i % 3)) for i in range(12)], "src long, dst long"
+    )
+    p2 = len(explain_str(hits(e, iterations=2), "simple"))
+    p3 = len(explain_str(hits(e, iterations=3), "simple"))
+    p4 = len(explain_str(hits(e, iterations=4), "simple"))
+    p6 = len(explain_str(hits(e, iterations=6), "simple"))
+    assert p4 < 6 * p2, (p2, p4)
+    assert p6 < 6 * p3, (p3, p6)
