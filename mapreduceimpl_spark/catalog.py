@@ -2769,7 +2769,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "dedup_recall_eval", "classifier_pr_curve", "feature_mi",
      "langid_eval", "survival_km", "ann_recall_eval", "vocab_keyness",
      "token_gini", "hits_scores", "rouge_pairs", "bpe_fertility",
-     "lm_heldout_perplexity", "cramers_v", "mannwhitney_length"}
+     "lm_heldout_perplexity", "cramers_v", "mannwhitney_length",
+     "ols_tokens_vs_chars", "seasonal_mase"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -7313,6 +7314,105 @@ FROM mw_full""",
             "tie-corrected variance, one groupBy(value) shuffle then "
             "ranking on the bounded distinct-value relation",
     ),
+    "ols_tokens_vs_chars": QuerySpec(
+        lambda spark, sf_dir: relational.ols_by_group(
+            load_table(spark, sf_dir, "documents").select(
+                "lang",
+                F.length("text").cast("long").alias("n_chars"),
+                F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+            ),
+            "n_chars",
+            "n_tokens",
+            "lang",
+        ),
+        """WITH ols_base AS (
+  SELECT lang AS g,
+         CAST(length(text) AS BIGINT) AS x,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+  FROM documents
+),
+ols_agg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM ols_base GROUP BY g
+),
+ols_terms AS (
+  SELECT g, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den_x,
+         n * syy - sy * sy AS den_y,
+         sx, sy
+  FROM ols_agg
+)
+SELECT g AS lang, n AS n_rows,
+       round(CASE WHEN n > 1 AND den_x > 0
+                  THEN num / GREATEST(den_x, 1) ELSE 0.0 END, 9) AS slope,
+       round(CASE WHEN n > 1 AND den_x > 0
+                  THEN (sy - (num / GREATEST(den_x, 1)) * sx) / n
+                  ELSE 0.0 END, 9) AS intercept,
+       round(CASE WHEN n > 1 AND den_x > 0 AND den_y > 0
+                  THEN (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                       / (CAST(GREATEST(den_x, 1) AS DOUBLE)
+                          * CAST(GREATEST(den_y, 1) AS DOUBLE))
+                  ELSE 0.0 END, 9) AS r2
+FROM ols_terms""",
+        doc="per-language OLS of token count on char count: the five "
+            "sufficient statistics are exact longs in ONE map-side "
+            "partial aggregate (nothing but six sums crosses the "
+            "wire), slope/intercept/r² from exact-long differences "
+            "with only final divisions float — the grouped-regression "
+            "member of the stats family",
+    ),
+    "seasonal_mase": QuerySpec(
+        lambda spark, sf_dir: timeseries.seasonal_mase(
+            load_table(spark, sf_dir, "events"), season=7
+        ),
+        """WITH sm_daily AS (
+  SELECT event_type AS etype, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+sm_lag AS (
+  SELECT etype, d, y,
+         lag(y, 1) OVER w AS y1, lag(d, 1) OVER w AS d1,
+         lag(y, 7) OVER w AS ys, lag(d, 7) OVER w AS ds
+  FROM sm_daily WINDOW w AS (PARTITION BY etype ORDER BY d)
+),
+sm_err AS (
+  SELECT etype,
+         CASE WHEN date_diff('day', d1, d) = 1 THEN abs(y - y1) END AS e1,
+         CASE WHEN date_diff('day', ds, d) = 7 THEN abs(y - ys) END AS es
+  FROM sm_lag
+),
+sm_agg AS (
+  SELECT etype, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(e1) AS BIGINT) AS sum_e1,
+         CAST(COUNT(e1) AS BIGINT) AS n_e1,
+         CAST(SUM(es) AS BIGINT) AS sum_es,
+         CAST(COUNT(es) AS BIGINT) AS n_es
+  FROM sm_err GROUP BY etype
+)
+SELECT etype, n_days,
+       round(CASE WHEN n_e1 > 0 THEN sum_e1 / GREATEST(n_e1, 1)
+                  ELSE 0.0 END, 9) AS mae_naive1,
+       round(CASE WHEN n_es > 0 THEN sum_es / GREATEST(n_es, 1)
+                  ELSE 0.0 END, 9) AS mae_seasonal,
+       round(CASE WHEN n_e1 > 0 AND n_es > 0 AND sum_e1 > 0
+                  THEN (sum_es / GREATEST(n_es, 1))
+                       / (sum_e1 / GREATEST(n_e1, 1))
+                  ELSE 0.0 END, 9) AS mase
+FROM sm_agg""",
+        doc="seasonal-naive MASE per event type: lag-7 vs lag-1 daily "
+            "forecast MAE ratio with a calendar-gap guard (a missing "
+            "day invalidates the pair on both engines) — the "
+            "scale-free weekly-pattern gate before holt/ewma; daily "
+            "counts and errors exact longs, one fact shuffle then "
+            "bounded per-type windows",
+    ),
 }
 
 
@@ -7391,7 +7491,7 @@ _ROUND6_ORDER = [
     "classifier_pr_curve", "feature_mi", "langid_eval", "survival_km",
     "ann_recall_eval", "vocab_keyness", "token_gini", "hits_scores",
     "rouge_pairs", "bpe_fertility", "lm_heldout_perplexity", "cramers_v",
-    "mannwhitney_length",
+    "mannwhitney_length", "ols_tokens_vs_chars", "seasonal_mase",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

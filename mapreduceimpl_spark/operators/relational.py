@@ -3436,3 +3436,61 @@ def mannwhitney_u(
         u1.alias("u1"),
         z.alias("z"),
     )
+
+
+def ols_by_group(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group simple OLS (slope, intercept, r²) from the five
+    classical sufficient statistics — the grouped regression readout
+    behind every "does y scale with x inside each stratum" question,
+    computed in ONE aggregate pass (map-side partial sums; no second
+    scan for residuals because r² comes from the same sums).
+
+    With integer-valued x and y every sufficient statistic (n, Σx,
+    Σy, Σxy, Σx², Σy²) is an EXACT long, the slope/intercept/r²
+    numerators and denominators are exact-long differences, and only
+    the final divisions are float — fixed operation order, hash-exact
+    without decimal routing.  Quantize continuous inputs first (the
+    ``mannwhitney_u`` convention).  Degenerate strata (constant x or
+    y, or n < 2) pin slope/intercept/r² to 0.0 rather than NaN.
+
+    Scale: one groupBy(group) shuffle carrying six numeric partials,
+    O(groups) output.  At 100 TB the partial aggregation does all the
+    work map-side; nothing but the six sums crosses the wire.
+    """
+    g = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    agg = g.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")     # exact long
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")   # exact long
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")   # exact long
+    ok = (F.col("n") > 1) & (den_x > 0)
+    # ANSI-safe: greatest(..., 1) keeps excluded branches alive
+    slope = num / F.greatest(den_x, F.lit(1))
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r2 = (num.cast("double") * num.cast("double")) / (
+        F.greatest(den_x, F.lit(1)).cast("double")
+        * F.greatest(den_y, F.lit(1)).cast("double")
+    )
+    z = F.lit(0.0)
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").alias("n_rows"),
+        F.round(F.when(ok, slope).otherwise(z), 9).alias("slope"),
+        F.round(F.when(ok, intercept).otherwise(z), 9).alias("intercept"),
+        F.round(F.when(ok & (den_y > 0), r2).otherwise(z), 9).alias("r2"),
+    )

@@ -45,7 +45,7 @@ ordered pass per key group) to a stateful numeric recurrence.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _EWMA_SCHEMA = (
@@ -227,3 +227,69 @@ SELECT user_id, event_id, value,
        floor(b * {p} + 0.5) / {p} AS trend,
        floor((l + b) * {p} + 0.5) / {p} AS forecast
 FROM rec"""
+
+
+def seasonal_mase(
+    events: DataFrame,
+    season: int = 7,
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Seasonal-naive forecast quality per event type: MASE = MAE of
+    the lag-``season`` naive forecast over MAE of the lag-1 naive —
+    the scale-free "is there a weekly pattern worth modeling" readout
+    (MASE < 1: last week beats yesterday as a predictor) that gates a
+    forecasting investment before ``holt_trend``/``ewma`` run.
+
+    Daily counts are exact longs, absolute forecast errors exact-long
+    differences, each MAE one exact sum/count division, MASE one final
+    double division — hash-exact with zero rounding concerns beyond
+    the final round-9 pins.  A lagged row only scores when its date is
+    EXACTLY the expected gap away (calendar-gap guard, so a missing
+    day invalidates the pair on both engines rather than silently
+    comparing wrong days).
+
+    Scale: one groupBy(type, date) shuffle of the fact table, then
+    windows over the bounded per-type daily series (|types| x |days|
+    rows), one O(types) aggregate.
+    """
+    if season < 2:
+        raise ValueError(f"seasonal_mase: season must be >= 2, got {season}")
+    daily = events.groupBy(
+        F.col(type_col).alias("etype"), F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("long").alias("y"))
+    w = Window.partitionBy("etype").orderBy("d")
+    lagged = daily.select(
+        "etype",
+        "d",
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("d", 1).over(w).alias("d1"),
+        F.lag("y", season).over(w).alias("ys"),
+        F.lag("d", season).over(w).alias("ds"),
+    )
+    e1 = F.when(
+        F.datediff(F.col("d"), F.col("d1")) == 1, F.abs(F.col("y") - F.col("y1"))
+    )
+    es = F.when(
+        F.datediff(F.col("d"), F.col("ds")) == season,
+        F.abs(F.col("y") - F.col("ys")),
+    )
+    agg = lagged.groupBy("etype").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(e1).cast("long").alias("sum_e1"),
+        F.count(e1).cast("long").alias("n_e1"),
+        F.sum(es).cast("long").alias("sum_es"),
+        F.count(es).cast("long").alias("n_es"),
+    )
+    mae1 = F.col("sum_e1") / F.greatest(F.col("n_e1"), F.lit(1))
+    maes = F.col("sum_es") / F.greatest(F.col("n_es"), F.lit(1))
+    ok = (F.col("n_e1") > 0) & (F.col("n_es") > 0) & (F.col("sum_e1") > 0)
+    return agg.select(
+        "etype",
+        "n_days",
+        F.round(F.when(F.col("n_e1") > 0, mae1).otherwise(F.lit(0.0)), 9)
+        .alias("mae_naive1"),
+        F.round(F.when(F.col("n_es") > 0, maes).otherwise(F.lit(0.0)), 9)
+        .alias("mae_seasonal"),
+        F.round(F.when(ok, maes / mae1).otherwise(F.lit(0.0)), 9).alias("mase"),
+    )

@@ -498,3 +498,24 @@ def test_mannwhitney_u_hand_case(spark):
     r3 = mannwhitney_u(tied, "val", "lang", "en").collect()[0]
     assert r3["u1"] == 2.0  # n1*n2/2: midranks split evenly
     assert r3["z"] == 0.0
+
+
+def test_ols_by_group_hand_case(spark):
+    """Exact line y = 2x + 1 recovers slope 2, intercept 1, r² = 1;
+    a constant-x stratum degenerates to zeros; noise keeps r² < 1."""
+    from mapreduceimpl_spark.operators.relational import ols_by_group
+
+    rows = (
+        [(x, 2 * x + 1, "line") for x in (1, 2, 3, 4)]
+        + [(5, 7, "flat"), (5, 9, "flat")]               # constant x
+        + [(1, 3, "noisy"), (2, 5, "noisy"), (3, 6, "noisy")]
+    )
+    df = spark.createDataFrame(rows, ["x", "y", "g"])
+    got = {r["g"]: r for r in ols_by_group(df, "x", "y", "g").collect()}
+
+    line = got["line"]
+    assert (line["slope"], line["intercept"], line["r2"]) == (2.0, 1.0, 1.0)
+    flat = got["flat"]
+    assert (flat["slope"], flat["intercept"], flat["r2"]) == (0.0, 0.0, 0.0)
+    noisy = got["noisy"]
+    assert 0 < noisy["r2"] < 1 and noisy["slope"] > 0

@@ -847,3 +847,63 @@ def test_survival_km_hits_exact_zero(spark):
 
     with pytest.raises(ValueError):
         q_survival_km({"events": e}, censor_horizon_days=-1)
+
+
+def test_seasonal_mase_weekly_pattern(spark):
+    """A perfectly weekly series (same count every 7 days, varying
+    within the week) has seasonal MAE 0 -> MASE 0 < 1; a linear-trend
+    series has lag-7 error exactly 7x the lag-1 error -> MASE 7; a
+    calendar gap invalidates the crossing pairs; season < 2 raises."""
+    import datetime as dt
+    import pytest
+
+    from mapreduceimpl_spark.operators.timeseries import seasonal_mase
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # weekly: count pattern [1,2,3,4,5,6,7] repeating for 21 days
+    for day in range(21):
+        for _ in range((day % 7) + 1):
+            rows.append((eid, base + dt.timedelta(days=day), 1, "weekly"))
+            eid += 1
+    # trend: count = day + 1, 21 days
+    for day in range(21):
+        for _ in range(day + 1):
+            rows.append((eid, base + dt.timedelta(days=day), 1, "trend"))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {r["etype"]: r for r in seasonal_mase(df, season=7).collect()}
+
+    weekly = got["weekly"]
+    assert weekly["mae_seasonal"] == 0.0 and weekly["mase"] == 0.0
+    assert weekly["mae_naive1"] > 0
+
+    trend = got["trend"]
+    assert trend["mae_naive1"] == 1.0
+    assert trend["mae_seasonal"] == 7.0 and trend["mase"] == 7.0
+
+    with pytest.raises(ValueError):
+        seasonal_mase(df, season=1)
+
+
+def test_seasonal_mase_gap_guard(spark):
+    """Drop one middle day: the lag-1 pair crossing the hole must be
+    excluded (calendar-gap guard), not scored against the wrong day."""
+    import datetime as dt
+
+    from mapreduceimpl_spark.operators.timeseries import seasonal_mase
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in (0, 1, 3, 4):  # day 2 missing
+        for _ in range(5):
+            rows.append((eid, base + dt.timedelta(days=day), 1, "e"))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    r = seasonal_mase(df, season=7).collect()[0]
+    # pairs (0,1) and (3,4) score; (1,3) is excluded by the guard
+    assert r["n_days"] == 4 and r["mae_naive1"] == 0.0
+    # no lag-7 history at all -> seasonal side empty, MASE pinned 0
+    assert r["mae_seasonal"] == 0.0 and r["mase"] == 0.0
