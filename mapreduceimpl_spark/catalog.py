@@ -2770,7 +2770,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "langid_eval", "survival_km", "ann_recall_eval", "vocab_keyness",
      "token_gini", "hits_scores", "rouge_pairs", "bpe_fertility",
      "lm_heldout_perplexity", "cramers_v", "mannwhitney_length",
-     "ols_tokens_vs_chars", "seasonal_mase"}
+     "ols_tokens_vs_chars", "seasonal_mase", "theil_sen_daily"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -7413,6 +7413,38 @@ FROM sm_agg""",
             "counts and errors exact longs, one fact shuffle then "
             "bounded per-type windows",
     ),
+    "theil_sen_daily": QuerySpec(
+        lambda spark, sf_dir: timeseries.theil_sen_daily(
+            load_table(spark, sf_dir, "events")
+        ),
+        """WITH ts_daily AS (
+  SELECT event_type AS etype, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+ts_pairs AS (
+  SELECT a.etype,
+         (b.y - a.y) / date_diff('day', a.d, b.d) AS slope
+  FROM ts_daily a JOIN ts_daily b
+    ON a.etype = b.etype AND a.d < b.d
+),
+ts_ranked AS (
+  SELECT etype, slope,
+         CAST(ROW_NUMBER() OVER (PARTITION BY etype ORDER BY slope)
+              AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY etype) AS BIGINT) AS n_pairs
+  FROM ts_pairs
+)
+SELECT etype, n_pairs, round(slope, 9) AS ts_slope
+FROM ts_ranked
+WHERE rn = CAST(floor((n_pairs + 1) / 2.0) AS BIGINT)""",
+        doc="Theil-Sen robust daily-count trend per event type: median "
+            "of all pairwise slopes on the BOUNDED per-type daily "
+            "relation (|days|² pairs, never events²), deterministic "
+            "lower-median row_number pick (the AMS bounded-pick "
+            "convention) — the outlier-immune complement of "
+            "ols_tokens_vs_chars",
+    ),
 }
 
 
@@ -7492,6 +7524,7 @@ _ROUND6_ORDER = [
     "ann_recall_eval", "vocab_keyness", "token_gini", "hits_scores",
     "rouge_pairs", "bpe_fertility", "lm_heldout_perplexity", "cramers_v",
     "mannwhitney_length", "ols_tokens_vs_chars", "seasonal_mase",
+    "theil_sen_daily",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -293,3 +293,55 @@ def seasonal_mase(
         .alias("mae_seasonal"),
         F.round(F.when(ok, maes / mae1).otherwise(F.lit(0.0)), 9).alias("mase"),
     )
+
+
+def theil_sen_daily(
+    events: DataFrame,
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Theil-Sen robust trend per event type: the MEDIAN of all
+    pairwise slopes of the daily-count series — the outlier-immune
+    complement of ``relational.ols_by_group`` (one corrupted day drags
+    an OLS slope arbitrarily; the pairwise-slope median shrugs off up
+    to ~29% corruption), the standard robust "is volume trending"
+    readout.
+
+    The pairwise self-join is over the BOUNDED per-type daily relation
+    (|days|² pairs per type, calendar-bounded — never events²); each
+    slope is one exact-long difference divided by an exact day gap;
+    the median is a deterministic lower-median row_number pick on the
+    slope ordering (the AMS bounded-pick convention, no percentile
+    interpolation), so the output is hash-exact.
+
+    Scale: one fact shuffle (the daily groupBy); the pair join and
+    ranking touch O(types x days²) rows regardless of corpus size.
+    """
+    daily = events.groupBy(
+        F.col(type_col).alias("etype"), F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("long").alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.etype") == F.col("b.etype")) & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.etype").alias("etype"),
+        (
+            (F.col("b.y") - F.col("a.y"))
+            / F.datediff(F.col("b.d"), F.col("a.d"))
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("etype").orderBy("slope")
+    ranked = pairs.select(
+        "etype",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("etype")).cast("long").alias("n_pairs"),
+    )
+    # lower-median pick: rank (n+1) DIV 2 — types with a single day
+    # have no pairs and therefore no output row (oracle mirrors)
+    picked = ranked.filter(
+        F.col("rn") == F.floor((F.col("n_pairs") + F.lit(1)) / F.lit(2))
+    )
+    return picked.select(
+        "etype", "n_pairs", F.round("slope", 9).alias("ts_slope")
+    )

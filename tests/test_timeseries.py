@@ -907,3 +907,26 @@ def test_seasonal_mase_gap_guard(spark):
     assert r["n_days"] == 4 and r["mae_naive1"] == 0.0
     # no lag-7 history at all -> seasonal side empty, MASE pinned 0
     assert r["mae_seasonal"] == 0.0 and r["mase"] == 0.0
+
+
+def test_theil_sen_robust_to_outlier_day(spark):
+    """A clean +2/day trend with ONE corrupted day: OLS-style means
+    would shift, but the pairwise-slope median stays exactly 2.0; the
+    pair count is C(n_days, 2)."""
+    import datetime as dt
+
+    from mapreduceimpl_spark.operators.timeseries import theil_sen_daily
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    counts = [2 * day + 1 for day in range(9)]
+    counts[4] = 500  # corrupted day
+    for day, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + dt.timedelta(days=day), 1, "e"))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    r = theil_sen_daily(df).collect()[0]
+    assert r["n_pairs"] == 36  # C(9, 2)
+    assert r["ts_slope"] == 2.0
