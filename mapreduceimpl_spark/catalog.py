@@ -2770,7 +2770,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "langid_eval", "survival_km", "ann_recall_eval", "vocab_keyness",
      "token_gini", "hits_scores", "rouge_pairs", "bpe_fertility",
      "lm_heldout_perplexity", "cramers_v", "mannwhitney_length",
-     "ols_tokens_vs_chars", "seasonal_mase", "theil_sen_daily"}
+     "ols_tokens_vs_chars", "seasonal_mase", "theil_sen_daily",
+     "ks_length"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -7445,6 +7446,51 @@ WHERE rn = CAST(floor((n_pairs + 1) / 2.0) AS BIGINT)""",
             "convention) — the outlier-immune complement of "
             "ols_tokens_vs_chars",
     ),
+    "ks_length": QuerySpec(
+        lambda spark, sf_dir: relational.ks_two_sample(
+            load_table(spark, sf_dir, "documents").select(
+                F.length("text").cast("long").alias("text_len"), "lang"
+            ),
+            "text_len",
+            "lang",
+            "en",
+        ),
+        """WITH ks_tagged AS (
+  SELECT CAST(length(text) AS BIGINT) AS v,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t
+  FROM documents
+),
+ks_by_value AS (
+  SELECT v, CAST(SUM(is_t) AS BIGINT) AS cnt1,
+         CAST(COUNT(*) - SUM(is_t) AS BIGINT) AS cnt2
+  FROM ks_tagged GROUP BY v
+),
+ks_cdf AS (
+  SELECT CAST(SUM(cnt1) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+         CAST(SUM(cnt2) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2,
+         CAST(SUM(cnt1) OVER () AS BIGINT) AS n1,
+         CAST(SUM(cnt2) OVER () AS BIGINT) AS n2
+  FROM ks_by_value
+),
+ks_agg AS (
+  SELECT n1, n2,
+         MAX(abs(c1 / GREATEST(n1, 1) - c2 / GREATEST(n2, 1))) AS d_raw
+  FROM ks_cdf GROUP BY 1, 2
+)
+SELECT n1, n2,
+       round(CASE WHEN n1 > 0 AND n2 > 0 THEN d_raw ELSE 0.0 END, 9) AS d_stat,
+       round(CASE WHEN n1 > 0 AND n2 > 0
+                  THEN sqrt((n1 * n2) / (n1 + n2)) * d_raw
+                  ELSE 0.0 END, 9) AS ks_stat
+FROM ks_agg""",
+        doc="two-sample Kolmogorov-Smirnov on doc length, en vs rest: "
+            "max empirical-CDF gap from exact cumulative-count "
+            "divisions on the bounded distinct-value relation — the "
+            "distribution-shape complement of mannwhitney_length "
+            "(location vs any divergence)",
+    ),
 }
 
 
@@ -7524,7 +7570,7 @@ _ROUND6_ORDER = [
     "ann_recall_eval", "vocab_keyness", "token_gini", "hits_scores",
     "rouge_pairs", "bpe_fertility", "lm_heldout_perplexity", "cramers_v",
     "mannwhitney_length", "ols_tokens_vs_chars", "seasonal_mase",
-    "theil_sen_daily",
+    "theil_sen_daily", "ks_length",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -3494,3 +3494,61 @@ def ols_by_group(
         F.round(F.when(ok, intercept).otherwise(z), 9).alias("intercept"),
         F.round(F.when(ok & (den_y > 0), r2).otherwise(z), 9).alias("r2"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    target,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov: the max empirical-CDF gap
+    between the ``target`` stratum's ``value_col`` distribution and
+    the rest's — the distribution-SHAPE complement of
+    :func:`mannwhitney_u` (U detects location shift; D fires on any
+    divergence: variance, bimodality, truncation).
+
+    D = max over distinct values |F1(v) - F2(v)| with each CDF an
+    exact cumulative-count / total division; ks_stat =
+    sqrt(n1*n2/(n1+n2)) * D.  MAX of doubles is order-free, every
+    division has exact-long operands, so the single output row is
+    hash-exact.  Values group RAW (quantize continuous inputs first,
+    the ``mannwhitney_u`` convention).
+
+    Scale: one groupBy(value) shuffle, then cumulative + total
+    windows on the bounded DISTINCT-value relation (single-partition
+    pass over |values| rows — the bounded-relation window posture),
+    one 1-row max.
+    """
+    tagged = df.select(
+        F.col(value_col).alias("v"),
+        (F.col(group_col) == F.lit(target)).cast("long").alias("is_t"),
+    )
+    by_value = tagged.groupBy("v").agg(
+        F.sum("is_t").cast("long").alias("cnt1"),
+        (F.count("*") - F.sum("is_t")).cast("long").alias("cnt2"),
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cdf = by_value.select(
+        F.sum("cnt1").over(wc).cast("long").alias("c1"),
+        F.sum("cnt2").over(wc).cast("long").alias("c2"),
+        F.sum("cnt1").over(wt).cast("long").alias("n1"),
+        F.sum("cnt2").over(wt).cast("long").alias("n2"),
+    )
+    gap = F.abs(
+        F.col("c1") / F.greatest(F.col("n1"), F.lit(1))
+        - F.col("c2") / F.greatest(F.col("n2"), F.lit(1))
+    )
+    agg = cdf.groupBy("n1", "n2").agg(F.max(gap).alias("d_raw"))
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    ks = F.sqrt(
+        (F.col("n1") * F.col("n2"))
+        / (F.col("n1") + F.col("n2"))
+    ) * F.col("d_raw")
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(F.when(ok, F.col("d_raw")).otherwise(F.lit(0.0)), 9).alias("d_stat"),
+        F.round(F.when(ok, ks).otherwise(F.lit(0.0)), 9).alias("ks_stat"),
+    )

@@ -519,3 +519,32 @@ def test_ols_by_group_hand_case(spark):
     assert (flat["slope"], flat["intercept"], flat["r2"]) == (0.0, 0.0, 0.0)
     noisy = got["noisy"]
     assert 0 < noisy["r2"] < 1 and noisy["slope"] > 0
+
+
+def test_ks_two_sample_hand_cases(spark):
+    """Disjoint supports give D = 1 (maximal divergence); identical
+    samples give D = 0; same-location different-shape distributions
+    still fire (the case Mann-Whitney misses)."""
+    from mapreduceimpl_spark.operators.relational import ks_two_sample
+
+    disjoint = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (10, "fr"), (11, "fr")], ["val", "lang"]
+    )
+    r = ks_two_sample(disjoint, "val", "lang", "en").collect()[0]
+    assert (r["n1"], r["n2"], r["d_stat"]) == (2, 2, 1.0)
+    assert r["ks_stat"] == 1.0  # sqrt(4/4) * 1
+
+    same = spark.createDataFrame(
+        [(5, "en"), (7, "en"), (5, "fr"), (7, "fr")], ["val", "lang"]
+    )
+    r2 = ks_two_sample(same, "val", "lang", "en").collect()[0]
+    assert r2["d_stat"] == 0.0 and r2["ks_stat"] == 0.0
+
+    # same median (0), en tight {-1, 0, 1}, fr spread {-9, 0, 9}:
+    # U-test sees no shift, KS sees the shape gap at v in [-9, -1)
+    shape = spark.createDataFrame(
+        [(-1, "en"), (0, "en"), (1, "en"), (-9, "fr"), (0, "fr"), (9, "fr")],
+        ["val", "lang"],
+    )
+    r3 = ks_two_sample(shape, "val", "lang", "en").collect()[0]
+    assert r3["d_stat"] == round(1 / 3, 9)
