@@ -559,15 +559,12 @@ _WAV_HEX_2CH = (
 )
 
 
-def _q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _planted_media_assets(docs: DataFrame) -> DataFrame:
     """Plant REAL container headers (PNG / GIF / WAV, built byte-exact
     from doc_id arithmetic inside the plan) plus raw-text 'unknown'
-    payloads, then run the triage pass.  The oracle derives every
-    metadata value ANALYTICALLY from the same arithmetic — so the
-    driver check fails iff the Python byte parsers stop recovering
-    exactly what was planted (a true end-to-end parser test, with no
-    parser logic in the oracle)."""
-    docs = load_table(spark, sf_dir, "documents")
+    payloads.  Oracles derive every metadata value ANALYTICALLY from
+    the same arithmetic — shared by ``media_probe`` (full triage
+    check) and ``aspect_buckets`` (bucketing over the parsed dims)."""
     m = F.col("doc_id") % 4
     w = (F.lit(100) + F.col("doc_id") % 50).cast("int")  # < 256: LE16 = hex2 + '00'
     h = (F.lit(50) + F.col("doc_id") % 30).cast("int")
@@ -591,8 +588,14 @@ def _q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 2, F.unhex(wav_hex))
         .otherwise(F.encode("text", "utf-8"))
     )
-    assets = docs.select(F.col("doc_id").alias("asset_id"), payload.alias("payload"))
-    return multimodal.probe_media(assets)
+    return docs.select(F.col("doc_id").alias("asset_id"), payload.alias("payload"))
+
+
+def _q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-header triage: see ``_planted_media_assets``."""
+    return multimodal.probe_media(
+        _planted_media_assets(load_table(spark, sf_dir, "documents"))
+    )
 
 
 def _media_probe_oracle() -> str:
@@ -2771,7 +2774,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "token_gini", "hits_scores", "rouge_pairs", "bpe_fertility",
      "lm_heldout_perplexity", "cramers_v", "mannwhitney_length",
      "ols_tokens_vs_chars", "seasonal_mase", "theil_sen_daily",
-     "ks_length"}
+     "ks_length", "aspect_buckets"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -7491,6 +7494,44 @@ FROM ks_agg""",
             "distribution-shape complement of mannwhitney_length "
             "(location vs any divergence)",
     ),
+    "aspect_buckets": QuerySpec(
+        lambda spark, sf_dir: multimodal.aspect_bucket_assign(
+            multimodal.probe_media(
+                _planted_media_assets(load_table(spark, sf_dir, "documents"))
+            )
+        ),
+        f"""WITH ab_img AS (
+  SELECT doc_id AS asset_id,
+         CAST(100 + doc_id % 50 AS DOUBLE) / (50 + doc_id % 30) AS aspect
+  FROM documents WHERE doc_id % 4 IN (0, 1)
+),
+ab_buckets(bucket, ratio) AS (VALUES
+  {", ".join(f"('{n}', CAST('{r!r}' AS DOUBLE))" for n, r in (("square_1_1", 1.0), ("portrait_3_4", 0.75), ("portrait_9_16", 0.5625), ("portrait_2_3", 2.0 / 3.0), ("landscape_4_3", 4.0 / 3.0), ("landscape_3_2", 1.5), ("landscape_16_9", 16.0 / 9.0)))}
+),
+ab_scored AS (
+  SELECT asset_id, aspect, bucket, ratio,
+         round(abs(ln(aspect) - ln(ratio)), 9) AS dist9
+  FROM ab_img CROSS JOIN ab_buckets
+),
+ab_assigned AS (
+  SELECT * FROM (
+    SELECT asset_id, aspect, bucket, ratio,
+           ROW_NUMBER() OVER (PARTITION BY asset_id
+                              ORDER BY dist9, bucket) AS rn
+    FROM ab_scored
+  ) WHERE rn = 1
+)
+SELECT bucket, ratio, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(CAST(aspect AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+         AS avg_aspect
+FROM ab_assigned GROUP BY bucket, ratio""",
+        doc="aspect-ratio bucketing of the planted-header image corpus "
+            "(probe_media -> nearest SDXL-style bucket by round-9 "
+            "quantized log-distance, name tiebreak — ULP-proof "
+            "argmin): the batching prerequisite of resolution-bucketed "
+            "image training; oracle derives dims from the planting "
+            "arithmetic so the check exercises the real byte parsers",
+    ),
 }
 
 
@@ -7570,7 +7611,7 @@ _ROUND6_ORDER = [
     "ann_recall_eval", "vocab_keyness", "token_gini", "hits_scores",
     "rouge_pairs", "bpe_fertility", "lm_heldout_perplexity", "cramers_v",
     "mannwhitney_length", "ols_tokens_vs_chars", "seasonal_mase",
-    "theil_sen_daily", "ks_length",
+    "theil_sen_daily", "ks_length", "aspect_buckets",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -20,7 +20,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Schema of a decoded-asset metadata record.
@@ -461,3 +461,66 @@ def multimodal_meta(docs: DataFrame) -> DataFrame:
     format come from the stub decoder (deterministic but fake).
     """
     return decode_image_stub(to_binary_assets(docs))
+
+
+# standard SDXL-style aspect buckets: (name, width:height ratio)
+ASPECT_BUCKETS: tuple[tuple[str, float], ...] = (
+    ("square_1_1", 1.0),
+    ("portrait_3_4", 0.75),
+    ("portrait_9_16", 0.5625),
+    ("portrait_2_3", 2.0 / 3.0),
+    ("landscape_4_3", 4.0 / 3.0),
+    ("landscape_3_2", 1.5),
+    ("landscape_16_9", 16.0 / 9.0),
+)
+
+
+def aspect_bucket_assign(
+    meta: DataFrame,
+    buckets: tuple[tuple[str, float], ...] = ASPECT_BUCKETS,
+) -> DataFrame:
+    """Assign every parsed image to its nearest aspect-ratio bucket —
+    the batching prerequisite of any resolution-bucketed image
+    training run (a batch mixes only same-bucket images so the crop
+    is minimal): nearest by |ln(w/h) - ln(bucket_ratio)|, the
+    symmetric log-distance (4:3 and 3:4 are equally far from square).
+
+    Determinism: the distance is quantized (round 9) BEFORE ranking
+    and ties break on bucket name, so an engine-ULP difference in ln
+    can never flip an assignment; aspects themselves are exact w/h
+    divisions of header-parsed integers.  Output per bucket: image
+    count and decimal-routed mean aspect.
+
+    Scale: images broadcast-join the O(|buckets|) list (7 rows), one
+    per-asset window rank on (asset), one O(buckets) aggregate.  The
+    fact table shuffles once (the rank's partitionBy asset reuses no
+    prior Exchange but keys are unique and uniform).
+    """
+    b_rows = [(n, r) for n, r in buckets]
+    bdf = meta.sparkSession.createDataFrame(b_rows, "bucket string, ratio double")
+    images = meta.filter(
+        (F.col("media") == "image")
+        & F.col("width").isNotNull()
+        & F.col("height").isNotNull()
+        & (F.col("height") > 0)
+    ).select("asset_id", (F.col("width") / F.col("height")).alias("aspect"))
+    scored = images.crossJoin(F.broadcast(bdf)).select(
+        "asset_id",
+        "aspect",
+        "bucket",
+        "ratio",
+        F.round(
+            F.abs(F.log(F.col("aspect")) - F.log(F.col("ratio"))), 9
+        ).alias("dist9"),
+    )
+    w = Window.partitionBy("asset_id").orderBy("dist9", "bucket")
+    assigned = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return assigned.groupBy("bucket", "ratio").agg(
+        F.count("*").cast("long").alias("n_images"),
+        (
+            F.sum(F.col("aspect").cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("avg_aspect"),
+    )

@@ -221,6 +221,7 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
         "bpe_fertility",       # rides bpe_apply's 1-row argmax broadcasts
         "lm_heldout_perplexity",  # 1-row train totals (N, V) broadcast
         "cramers_v",           # 1-row grand-total (n, r, c) broadcast
+        "aspect_buckets",      # 7-row bucket list broadcast onto images
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

@@ -382,3 +382,29 @@ def test_tiff_header_parses_both_byte_orders():
     assert multimodal.parse_image_header(_tiff(321, 123, "big")) == (321, 123, "tiff")
     # truncated IFD -> None, not an exception
     assert multimodal.parse_image_header(_tiff(1024, 768, "little")[:12]) is None
+
+
+def test_aspect_bucket_assign_hand_cases(spark):
+    """Known geometries land in their named buckets: 512x512 ->
+    square, 1024x576 (16:9) -> landscape_16_9, 600x800 -> portrait_3_4;
+    non-images and null dims are excluded; every image lands in
+    exactly one bucket."""
+    from mapreduceimpl_spark.operators.multimodal import aspect_bucket_assign
+
+    meta = spark.createDataFrame(
+        [
+            (1, "image", 512, 512),
+            (2, "image", 1024, 576),
+            (3, "image", 600, 800),
+            (4, "audio", None, None),
+            (5, "image", None, None),
+        ],
+        "asset_id long, media string, width long, height long",
+    )
+    rows = aspect_bucket_assign(meta).collect()
+    got = {r["bucket"]: r for r in rows}
+    assert got["square_1_1"]["n_images"] == 1
+    assert got["square_1_1"]["avg_aspect"] == 1.0
+    assert got["landscape_16_9"]["n_images"] == 1
+    assert got["portrait_3_4"]["n_images"] == 1
+    assert sum(r["n_images"] for r in rows) == 3  # one bucket per image
