@@ -2774,7 +2774,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "token_gini", "hits_scores", "rouge_pairs", "bpe_fertility",
      "lm_heldout_perplexity", "cramers_v", "mannwhitney_length",
      "ols_tokens_vs_chars", "seasonal_mase", "theil_sen_daily",
-     "ks_length", "aspect_buckets"}
+     "ks_length", "aspect_buckets", "shard_balance"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -7532,6 +7532,41 @@ FROM ab_assigned GROUP BY bucket, ratio""",
             "image training; oracle derives dims from the planting "
             "arithmetic so the check exercises the real byte parsers",
     ),
+    "shard_balance": QuerySpec(
+        lambda spark, sf_dir: sampling.shard_balance(
+            load_table(spark, sf_dir, "documents").select("doc_id", "source"),
+            epoch=0,
+            n_shards=16,
+        ),
+        f"""WITH sb_shard AS (
+  SELECT source AS strata,
+         CAST(floor(({sampling.hash_uniform_sql("'epoch-0:' || CAST(doc_id AS VARCHAR)")}) * 16.0)
+              AS BIGINT) AS shard
+  FROM documents
+),
+sb_per AS (
+  SELECT strata, shard, CAST(COUNT(*) AS BIGINT) AS rows
+  FROM sb_shard GROUP BY 1, 2
+),
+sb_agg AS (
+  SELECT strata,
+         CAST(SUM(rows) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_shards_used,
+         CAST(MIN(rows) AS BIGINT) AS min_shard_rows,
+         CAST(MAX(rows) AS BIGINT) AS max_shard_rows
+  FROM sb_per GROUP BY strata
+)
+SELECT strata, n_rows, n_shards_used, min_shard_rows, max_shard_rows,
+       round((max_shard_rows * n_shards_used) / CAST(n_rows AS DOUBLE), 9)
+         AS skew
+FROM sb_agg""",
+        doc="shard-balance audit of epoch_shuffle_sharded's md5 shard "
+            "assignment: per stratum rows, shards used, min/max shard "
+            "populations and straggler skew (max*used/rows, 1.0 = "
+            "even) — the pre-launch check that the bounded-sort "
+            "promise of sharding actually holds; exact longs, one "
+            "groupBy(strata, shard)",
+    ),
 }
 
 
@@ -7611,7 +7646,7 @@ _ROUND6_ORDER = [
     "ann_recall_eval", "vocab_keyness", "token_gini", "hits_scores",
     "rouge_pairs", "bpe_fertility", "lm_heldout_perplexity", "cramers_v",
     "mannwhitney_length", "ols_tokens_vs_chars", "seasonal_mase",
-    "theil_sen_daily", "ks_length", "aspect_buckets",
+    "theil_sen_daily", "ks_length", "aspect_buckets", "shard_balance",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -570,3 +570,48 @@ def token_budget_mix(
         .filter((F.col("cum_tokens") - F.col("n_tokens")) < F.col("budget"))
         .select("key", "stratum", "n_tokens", "cum_tokens")
     )
+
+
+def shard_balance(
+    df: DataFrame,
+    epoch: int = 0,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Balance audit of :func:`epoch_shuffle_sharded`'s shard
+    assignment — the check a sharded training run reads BEFORE
+    launching: a skewed shard becomes the epoch's straggler (the
+    whole point of sharding was bounding the per-partition sort, so
+    an imbalanced split silently un-bounds it).
+
+    Per stratum: rows, shards actually used, min/max shard
+    populations, and skew = max_shard * n_shards_used / n_rows (1.0 =
+    perfectly even; the straggler's relative slowdown).  All counts
+    exact longs; skew one exact-long-product division — hash-exact.
+
+    Scale: one groupBy(strata, shard) over the md5-derived shard ids
+    (no window, unlike the shuffle itself), then an O(strata) rollup.
+    """
+    if n_shards < 1:
+        raise ValueError(f"shard_balance: n_shards must be >= 1, got {n_shards}")
+    salted = F.concat(F.lit(f"epoch-{epoch}:"), F.col(key_col).cast("string"))
+    shard = F.floor(hash_uniform(salted) * F.lit(float(n_shards))).cast("long")
+    per_shard = df.groupBy(
+        F.col(strata_col).alias("strata"), shard.alias("shard")
+    ).agg(F.count("*").cast("long").alias("rows"))
+    agg = per_shard.groupBy("strata").agg(
+        F.sum("rows").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_shards_used"),
+        F.min("rows").cast("long").alias("min_shard_rows"),
+        F.max("rows").cast("long").alias("max_shard_rows"),
+    )
+    skew = (F.col("max_shard_rows") * F.col("n_shards_used")) / F.col("n_rows")
+    return agg.select(
+        "strata",
+        "n_rows",
+        "n_shards_used",
+        "min_shard_rows",
+        "max_shard_rows",
+        F.round(skew, 9).alias("skew"),
+    )

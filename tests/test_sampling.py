@@ -31,3 +31,41 @@ def test_token_budget_mix_greedy_prefix(spark):
     a = sorted(r["key"] for r in out)
     b = sorted(r["key"] for r in token_budget_mix(docs, {"en": 25}).collect())
     assert a == b
+
+
+def test_shard_balance_consistency_with_sharded_shuffle(spark):
+    """shard_balance's per-shard populations must equal a direct
+    recount of epoch_shuffle_sharded's shard column (same epoch,
+    same n_shards); skew >= 1 with equality iff perfectly even;
+    n_shards validated."""
+    import pytest
+
+    from mapreduceimpl_spark.operators.sampling import (
+        epoch_shuffle_sharded,
+        shard_balance,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "web" if i % 3 else "books") for i in range(300)],
+        ["doc_id", "source"],
+    )
+    bal = {r["strata"]: r for r in shard_balance(df, epoch=1, n_shards=8).collect()}
+    direct = (
+        epoch_shuffle_sharded(df, epoch=1, n_shards=8)
+        .groupBy("source", "shard")
+        .count()
+        .groupBy("source")
+        .agg(
+            {"count": "max", "*": "count"}
+        )
+        .collect()
+    )
+    for r in direct:
+        b = bal[r["source"]]
+        assert b["max_shard_rows"] == r["max(count)"]
+        assert b["n_shards_used"] == r["count(1)"]
+        assert b["skew"] >= 1.0
+        assert b["min_shard_rows"] <= b["max_shard_rows"]
+
+    with pytest.raises(ValueError):
+        shard_balance(df, n_shards=0)
