@@ -2774,7 +2774,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "token_gini", "hits_scores", "rouge_pairs", "bpe_fertility",
      "lm_heldout_perplexity", "cramers_v", "mannwhitney_length",
      "ols_tokens_vs_chars", "seasonal_mase", "theil_sen_daily",
-     "ks_length", "aspect_buckets", "shard_balance"}
+     "ks_length", "aspect_buckets", "shard_balance", "t_closeness"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -7567,6 +7567,51 @@ FROM sb_agg""",
             "promise of sharding actually holds; exact longs, one "
             "groupBy(strata, shard)",
     ),
+    "t_closeness": QuerySpec(
+        _rel(relational.q_t_closeness),
+        """WITH tc_cells AS (
+  SELECT lang,
+         LEAST(9, CAST(floor(n_chars / 100) AS BIGINT)) AS len_bucket,
+         source, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2, 3
+),
+tc_classes AS (
+  SELECT lang, len_bucket, CAST(SUM(cnt) AS BIGINT) AS class_size
+  FROM tc_cells GROUP BY 1, 2
+),
+tc_gvals AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM tc_cells GROUP BY 1
+),
+tc_gtot AS (SELECT CAST(SUM(gcnt) AS BIGINT) AS n FROM tc_gvals),
+tc_grid AS (
+  SELECT cl.lang, cl.len_bucket, cl.class_size,
+         CAST(abs(COALESCE(ce.cnt, 0) / CAST(cl.class_size AS DOUBLE)
+                  - gv.gcnt / CAST(gt.n AS DOUBLE))
+              AS DECIMAL(28,12)) AS gap12
+  FROM tc_classes cl
+  CROSS JOIN tc_gvals gv
+  CROSS JOIN tc_gtot gt
+  LEFT JOIN tc_cells ce
+    ON cl.lang = ce.lang AND cl.len_bucket = ce.len_bucket
+   AND gv.source = ce.source
+),
+tc_agg AS (
+  SELECT lang, len_bucket, class_size,
+         CAST(SUM(gap12) AS DOUBLE) / 2.0 AS tvd_raw
+  FROM tc_grid GROUP BY 1, 2, 3
+)
+SELECT lang, len_bucket, class_size,
+       round(tvd_raw, 9) AS tvd,
+       round(tvd_raw, 9) > 0.3 AS violates_t
+FROM tc_agg""",
+        doc="t-closeness audit (the anonymity triad's third leg after "
+            "k_anonymity/l_diversity): per quasi-identifier class, "
+            "total-variation distance of the sensitive (source) "
+            "distribution vs the corpus-global one over the FULL "
+            "value set — skew leaks that pass both k and l; exact "
+            "count divisions, decimal-routed gap sum on the bounded "
+            "|classes| x |sources| grid",
+    ),
 }
 
 
@@ -7647,6 +7692,7 @@ _ROUND6_ORDER = [
     "rouge_pairs", "bpe_fertility", "lm_heldout_perplexity", "cramers_v",
     "mannwhitney_length", "ols_tokens_vs_chars", "seasonal_mase",
     "theil_sen_daily", "ks_length", "aspect_buckets", "shard_balance",
+    "t_closeness",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

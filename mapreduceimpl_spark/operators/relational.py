@@ -3552,3 +3552,60 @@ def ks_two_sample(
         F.round(F.when(ok, F.col("d_raw")).otherwise(F.lit(0.0)), 9).alias("d_stat"),
         F.round(F.when(ok, ks).otherwise(F.lit(0.0)), 9).alias("ks_stat"),
     )
+
+
+def q_t_closeness(t: dict[str, DataFrame], threshold: float = 0.3) -> DataFrame:
+    """t-closeness audit — the third leg of the anonymity triad
+    (``q_k_anonymity`` bounds class SIZE, ``q_l_diversity`` sensitive
+    VARIETY; this bounds sensitive DISTRIBUTION SKEW): per
+    quasi-identifier class (lang, length bucket), the total-variation
+    distance between the class's sensitive-attribute (source)
+    distribution and the corpus-global one.  A class can pass k and l
+    yet leak via skew — 90% of one source inside a class tells an
+    attacker the likely value even with l distinct present; TVD is
+    the categorical instance of the t-closeness EMD (Li et al. 2007).
+
+    TVD = (1/2) Σ_v |p_class(v) - p_global(v)| over the GLOBAL value
+    set (values absent from the class contribute p_global(v)).  Every
+    probability is an exact-long-count division; the per-class sum
+    runs over the bounded |sources| value set and is decimal-routed.
+
+    Scale: one Exchange on (class, source) for cell counts; class and
+    global totals are aggregate-side; the class x value grid is
+    |classes| x |sources| — bounded, never row-count shaped.
+    """
+    d = t["documents"]
+    bucket = F.least(F.lit(9), F.floor(F.col("n_chars") / 100).cast("long"))
+    base = d.select("lang", bucket.alias("len_bucket"), "source")
+    cells = base.groupBy("lang", "len_bucket", "source").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    classes = cells.groupBy("lang", "len_bucket").agg(
+        F.sum("cnt").cast("long").alias("class_size")
+    )
+    gvals = cells.groupBy("source").agg(F.sum("cnt").cast("long").alias("gcnt"))
+    gtot = gvals.agg(F.sum("gcnt").cast("long").alias("n"))
+    grid = (
+        classes.crossJoin(F.broadcast(gvals))
+        .crossJoin(F.broadcast(gtot))
+        .join(cells, ["lang", "len_bucket", "source"], "left")
+        .select(
+            "lang",
+            "len_bucket",
+            "class_size",
+            F.abs(
+                F.coalesce("cnt", F.lit(0)) / F.col("class_size")
+                - F.col("gcnt") / F.col("n")
+            ).cast("decimal(28,12)").alias("gap12"),
+        )
+    )
+    agg = grid.groupBy("lang", "len_bucket", "class_size").agg(
+        (F.sum("gap12").cast("double") / F.lit(2.0)).alias("tvd_raw")
+    )
+    return agg.select(
+        "lang",
+        "len_bucket",
+        "class_size",
+        F.round("tvd_raw", 9).alias("tvd"),
+        (F.round("tvd_raw", 9) > F.lit(threshold)).alias("violates_t"),
+    )

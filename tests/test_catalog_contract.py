@@ -222,6 +222,8 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
         "lm_heldout_perplexity",  # 1-row train totals (N, V) broadcast
         "cramers_v",           # 1-row grand-total (n, r, c) broadcast
         "aspect_buckets",      # 7-row bucket list broadcast onto images
+        "t_closeness",         # bounded classes x sources grid +
+                               # 1-row global total broadcast
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

@@ -548,3 +548,34 @@ def test_ks_two_sample_hand_cases(spark):
     )
     r3 = ks_two_sample(shape, "val", "lang", "en").collect()[0]
     assert r3["d_stat"] == round(1 / 3, 9)
+
+
+def test_t_closeness_flags_skewed_class(spark):
+    """Global split is 50/50 (web/books).  A class mirroring it has
+    TVD 0; a class that is 100% web has TVD 0.5 and violates t=0.3
+    even though it passes l-diversity's distinct-count... (it has 1
+    distinct value here, but the point is SKEW: a 90/10 class with 2
+    distinct values still leaks)."""
+    from mapreduceimpl_spark.operators.relational import q_t_closeness
+
+    rows = (
+        # class (en, bucket 0): 2 web + 2 books — mirrors global
+        [(1, "en", 50, "web"), (2, "en", 50, "web"),
+         (3, "en", 60, "books"), (4, "en", 70, "books")]
+        # class (fr, bucket 0): 4 web only — maximally skewed
+        + [(10 + i, "fr", 80, "web") for i in range(4)]
+        # balance the global to exactly 50/50 (6 web, 6 books):
+        # 4 more books in (de, 1)
+        + [(20 + i, "de", 150 + i, "books") for i in range(4)]
+    )
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "lang", "n_chars", "source"]
+    )
+    got = {(r["lang"], r["len_bucket"]): r
+           for r in q_t_closeness({"documents": docs}).collect()}
+
+    en = got[("en", 0)]
+    assert en["tvd"] == 0.0 and not en["violates_t"]
+    fr = got[("fr", 0)]
+    # p_class = (web 1.0, books 0.0) vs global (0.5, 0.5): TVD = 0.5
+    assert fr["tvd"] == 0.5 and fr["violates_t"]
