@@ -2774,7 +2774,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "token_gini", "hits_scores", "rouge_pairs", "bpe_fertility",
      "lm_heldout_perplexity", "cramers_v", "mannwhitney_length",
      "ols_tokens_vs_chars", "seasonal_mase", "theil_sen_daily",
-     "ks_length", "aspect_buckets", "shard_balance", "t_closeness"}
+     "ks_length", "aspect_buckets", "shard_balance", "t_closeness",
+     "fim_render"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -7612,6 +7613,41 @@ FROM tc_agg""",
             "count divisions, decimal-routed gap sum on the bounded "
             "|classes| x |sources| grid",
     ),
+    "fim_render": QuerySpec(
+        lambda spark, sf_dir: text_analysis.fim_render(
+            load_table(spark, sf_dir, "documents")
+        ),
+        f"""WITH fr_base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         ({sampling.hash_uniform_sql("'fim-a:' || CAST(doc_id AS VARCHAR)")}) AS u1,
+         ({sampling.hash_uniform_sql("'fim-b:' || CAST(doc_id AS VARCHAR)")}) AS u2
+  FROM documents
+),
+fr_a AS (
+  SELECT doc_id, toks, n, u2,
+         CAST(floor(u1 * (n + 1)) AS BIGINT) AS a
+  FROM fr_base
+),
+fr_cuts AS (
+  SELECT doc_id, toks, n, a,
+         a + CAST(floor(u2 * (n - a + 1)) AS BIGINT) AS b
+  FROM fr_a
+)
+SELECT doc_id, n AS n_tokens, a AS cut_a, b AS cut_b,
+       '<PRE>' || ' ' || COALESCE(array_to_string(toks[1:a], ' '), '')
+       || ' ' || '<SUF>' || ' '
+       || COALESCE(array_to_string(toks[b + 1:n], ' '), '')
+       || ' ' || '<MID>' || ' '
+       || COALESCE(array_to_string(toks[a + 1:b], ' '), '')
+         AS fim_text
+FROM fr_cuts""",
+        doc="fill-in-the-middle (PSM) example construction: two "
+            "md5-derived exact-integer cut points split each doc into "
+            "prefix/middle/suffix, rendered <PRE> p <SUF> s <MID> m — "
+            "the code-model transform of the example-construction "
+            "family; pure narrow projection, zero shuffles",
+    ),
 }
 
 
@@ -7692,7 +7728,7 @@ _ROUND6_ORDER = [
     "rouge_pairs", "bpe_fertility", "lm_heldout_perplexity", "cramers_v",
     "mannwhitney_length", "ols_tokens_vs_chars", "seasonal_mase",
     "theil_sen_daily", "ks_length", "aspect_buckets", "shard_balance",
-    "t_closeness",
+    "t_closeness", "fim_render",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -2695,3 +2695,56 @@ def heldout_perplexity(
         ).alias("avg_neg_logprob"),
         (F.sum("is_oov") / F.count("*")).alias("oov_rate"),
     )
+
+
+def fim_render(
+    docs: DataFrame,
+    pre_tok: str = "<PRE>",
+    suf_tok: str = "<SUF>",
+    mid_tok: str = "<MID>",
+) -> DataFrame:
+    """Fill-in-the-middle example construction (Bavarian et al. 2022):
+    split each doc's token sequence at two md5-derived cut points into
+    (prefix, middle, suffix) and render the PSM permutation
+    ``<PRE> prefix <SUF> suffix <MID> middle`` — the code-model
+    training transform missing from the span-corruption /
+    preference-pair / SFT example-construction family.
+
+    Cut points are EXACT integer arithmetic on the md5 uniform (the
+    ``hash_uniform`` convention): a = floor(u1 * (n+1)) in [0, n],
+    b = a + floor(u2 * (n-a+1)) in [a, n] — empty prefix/middle/
+    suffix are legal (the standard FIM corner cases) and render as
+    empty strings, so the output is hash-exact with zero rounding.
+
+    Scale: pure narrow projection — zero shuffles, zero joins; the
+    split decision rides the row like every md5-uniform sampler here.
+    """
+    from mapreduceimpl_spark.operators.sampling import hash_uniform
+
+    toks = tokens("text")
+    n = F.size(toks)
+    u1 = hash_uniform(F.concat(F.lit("fim-a:"), F.col("doc_id").cast("string")))
+    u2 = hash_uniform(F.concat(F.lit("fim-b:"), F.col("doc_id").cast("string")))
+    a = F.floor(u1 * (n + F.lit(1)).cast("double")).cast("long")
+    b = (
+        a + F.floor(u2 * (n - a + F.lit(1)).cast("double")).cast("long")
+    ).cast("long")
+    prefix = F.array_join(F.slice(toks, F.lit(1), a), " ")
+    middle = F.array_join(
+        F.slice(toks, (a + F.lit(1)).cast("int"), (b - a).cast("int")), " "
+    )
+    suffix = F.array_join(
+        F.slice(toks, (b + F.lit(1)).cast("int"), (n.cast("long") - b).cast("int")),
+        " ",
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        a.alias("cut_a"),
+        b.alias("cut_b"),
+        F.concat(
+            F.lit(pre_tok), F.lit(" "), prefix,
+            F.lit(" "), F.lit(suf_tok), F.lit(" "), suffix,
+            F.lit(" "), F.lit(mid_tok), F.lit(" "), middle,
+        ).alias("fim_text"),
+    )

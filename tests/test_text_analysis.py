@@ -1356,3 +1356,28 @@ def test_heldout_perplexity_oov_and_floors(spark):
         heldout_perplexity(docs, test_frac=0.0)
     with pytest.raises(ValueError):
         heldout_perplexity(docs, test_frac=1.0)
+
+
+def test_fim_render_reconstructs_and_bounds(spark):
+    """The three rendered parts re-concatenate to the original token
+    sequence (order PSM -> prefix+middle+suffix = doc); cut points
+    honor 0 <= a <= b <= n."""
+    from mapreduceimpl_spark.operators.text_analysis import fim_render
+
+    docs = spark.createDataFrame(
+        [(i, "t%d " % i * 5 % i if False else "alpha beta gamma delta epsilon")
+         for i in range(20)],
+        ["doc_id", "text"],
+    )
+    rows = fim_render(docs).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r["cut_a"] <= r["cut_b"] <= r["n_tokens"] == 5
+        body = r["fim_text"]
+        assert body.startswith("<PRE> ")
+        pre, rest = body[len("<PRE> "):].split(" <SUF> ", 1)
+        suf, mid = rest.split(" <MID> ", 1)
+        reassembled = " ".join(x for x in (pre, mid, suf) if x)
+        assert reassembled == "alpha beta gamma delta epsilon"
+    # cut diversity: not all docs split at the same points
+    assert len({(r["cut_a"], r["cut_b"]) for r in rows}) > 3
