@@ -2775,7 +2775,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "lm_heldout_perplexity", "cramers_v", "mannwhitney_length",
      "ols_tokens_vs_chars", "seasonal_mase", "theil_sen_daily",
      "ks_length", "aspect_buckets", "shard_balance", "t_closeness",
-     "fim_render"}
+     "fim_render", "kmeans_ari"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -7648,6 +7648,61 @@ FROM fr_cuts""",
             "the code-model transform of the example-construction "
             "family; pure narrow projection, zero shuffles",
     ),
+    "kmeans_ari": QuerySpec(
+        lambda spark, sf_dir: kmeans.kmeans_label_agreement(
+            load_table(spark, sf_dir, "embeddings"), k=4, iterations=3
+        ),
+        "WITH " + ",\n".join(_kmeans_lloyd_layers(4, 3)) + """,
+ka_cells AS (
+  SELECT a.cluster, e.label AS lbl, CAST(COUNT(*) AS BIGINT) AS nij
+  FROM a3 a JOIN embeddings e ON a.vec_id = e.vec_id
+  GROUP BY 1, 2
+),
+ka_pc AS (
+  SELECT cluster, CAST(SUM(nij) AS BIGINT) AS ai,
+         CAST(MAX(nij) AS BIGINT) AS mx
+  FROM ka_cells GROUP BY cluster
+),
+ka_pl AS (
+  SELECT lbl, CAST(SUM(nij) AS BIGINT) AS bj FROM ka_cells GROUP BY lbl
+),
+ka_s1 AS (
+  SELECT CAST(SUM(CAST(floor((nij * (nij - 1)) / 2) AS BIGINT)) AS BIGINT)
+           AS sidx,
+         CAST(SUM(nij) AS BIGINT) AS n
+  FROM ka_cells
+),
+ka_s2 AS (
+  SELECT CAST(SUM(CAST(floor((ai * (ai - 1)) / 2) AS BIGINT)) AS BIGINT) AS sa,
+         CAST(SUM(mx) AS BIGINT) AS summax,
+         CAST(COUNT(*) AS BIGINT) AS k_used
+  FROM ka_pc
+),
+ka_s3 AS (
+  SELECT CAST(SUM(CAST(floor((bj * (bj - 1)) / 2) AS BIGINT)) AS BIGINT) AS sb,
+         CAST(COUNT(*) AS BIGINT) AS n_labels
+  FROM ka_pl
+),
+ka_j AS (
+  SELECT *,
+         (CAST(sa AS DOUBLE) * sb)
+           / CAST(floor((n * (n - 1)) / 2) AS BIGINT) AS expected,
+         (sa + sb) / 2.0 AS max_index
+  FROM ka_s1 CROSS JOIN ka_s2 CROSS JOIN ka_s3
+)
+SELECT n, k_used, n_labels,
+       round(summax / CAST(n AS DOUBLE), 9) AS purity,
+       round(CASE WHEN max_index - expected <> 0
+                  THEN (sidx - expected) / (max_index - expected)
+                  ELSE 0.0 END, 9) AS ari
+FROM ka_j""",
+        doc="external validation of the hash-verified Lloyd tier: "
+            "purity + Adjusted Rand Index vs embedding labels, pure "
+            "pair-counting on the bounded k x |labels| contingency "
+            "(every binomial count an exact integer) riding the same "
+            "chained-CTE kmeans replay — closes the clustering loop "
+            "like ann_recall_eval/dedup_recall_eval close theirs",
+    ),
 }
 
 
@@ -7728,7 +7783,7 @@ _ROUND6_ORDER = [
     "rouge_pairs", "bpe_fertility", "lm_heldout_perplexity", "cramers_v",
     "mannwhitney_length", "ols_tokens_vs_chars", "seasonal_mase",
     "theil_sen_daily", "ks_length", "aspect_buckets", "shard_balance",
-    "t_closeness", "fim_render",
+    "t_closeness", "fim_render", "kmeans_ari",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -286,3 +286,71 @@ def kmeans_lloyd_internals(
                 .agg((F.floor(mean * 1e9 + F.lit(0.5)) / 1e9).alias("c"))
             )
     return assign, cent
+
+
+def kmeans_label_agreement(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    label_col: str = "label",
+) -> DataFrame:
+    """Clustering-quality eval of the hash-verified Lloyd tier against
+    ground-truth labels: PURITY (Σ per-cluster majority-label mass /
+    n) and the ADJUSTED RAND INDEX — the external-validation readout
+    that closes the k-means loop the way ``ann_recall_eval`` closes
+    ANN and ``dedup_recall_eval`` closes LSH dedup.
+
+    ARI is pure pair-counting over the bounded k x |labels|
+    contingency: with pc(x) = floor(x(x-1)/2),
+
+      ARI = (Σij pc(n_ij) - E) / ((Σi pc(a_i) + Σj pc(b_j))/2 - E),
+      E   = Σi pc(a_i) * Σj pc(b_j) / pc(n)
+
+    every pc() an exact integer (doubles only in the final fixed-order
+    products/divisions), so the single output row is hash-exact via
+    the same chained-CTE replay as ``kmeans_lloyd``.  Degenerate
+    denominators (single cluster AND single label) pin ARI to 0.0.
+
+    Scale: rides the Lloyd plan (aggregate-shaped, k*dim broadcast);
+    the eval itself is one (cluster, label) groupBy plus three 1-row
+    aggregates on the bounded contingency.
+    """
+    assign, _ = kmeans_lloyd_internals(embeddings, k=k, iterations=iterations)
+    labels = embeddings.select("vec_id", F.col(label_col).alias("lbl"))
+    cells = assign.join(labels, "vec_id").groupBy("cluster", "lbl").agg(
+        F.count("*").cast("long").alias("nij")
+    )
+
+    def pc(col):
+        return F.floor((col * (col - F.lit(1))) / F.lit(2)).cast("long")
+
+    per_cluster = cells.groupBy("cluster").agg(
+        F.sum("nij").cast("long").alias("ai"),
+        F.max("nij").cast("long").alias("mx"),
+    )
+    per_label = cells.groupBy("lbl").agg(F.sum("nij").cast("long").alias("bj"))
+    sums = cells.agg(
+        F.sum(pc(F.col("nij"))).cast("long").alias("sidx"),
+        F.sum("nij").cast("long").alias("n"),
+    )
+    sa = per_cluster.agg(
+        F.sum(pc(F.col("ai"))).cast("long").alias("sa"),
+        F.sum("mx").cast("long").alias("summax"),
+        F.count("*").cast("long").alias("k_used"),
+    )
+    sb = per_label.agg(
+        F.sum(pc(F.col("bj"))).cast("long").alias("sb"),
+        F.count("*").cast("long").alias("n_labels"),
+    )
+    j = sums.crossJoin(sa).crossJoin(sb)
+    expected = (F.col("sa").cast("double") * F.col("sb")) / pc(F.col("n"))
+    max_index = (F.col("sa") + F.col("sb")) / F.lit(2.0)
+    ok = (max_index - expected) != 0
+    ari = (F.col("sidx") - expected) / (max_index - expected)
+    return j.select(
+        "n",
+        "k_used",
+        "n_labels",
+        F.round(F.col("summax") / F.col("n"), 9).alias("purity"),
+        F.round(F.when(ok, ari).otherwise(F.lit(0.0)), 9).alias("ari"),
+    )

@@ -224,6 +224,8 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
         "aspect_buckets",      # 7-row bucket list broadcast onto images
         "t_closeness",         # bounded classes x sources grid +
                                # 1-row global total broadcast
+        "kmeans_ari",          # 1-row x 1-row x 1-row ARI sums +
+                               # the Lloyd chain's k*dim broadcasts
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

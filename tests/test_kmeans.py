@@ -123,3 +123,30 @@ def test_kmeans_lloyd_fixed_validates(spark):
         kmeans_lloyd_fixed(df, k=0)
     with _pytest.raises(ValueError):
         kmeans_lloyd_fixed(df, iterations=0)
+
+
+def test_kmeans_label_agreement_hand_cases(spark):
+    """Two tight, far-apart blobs with labels matching the blobs:
+    Lloyd with k=2 separates them perfectly -> purity 1, ARI 1.
+    With labels UNRELATED to geometry (alternating), agreement drops
+    to chance -> ARI near 0 (and well below the aligned case)."""
+    from mapreduceimpl_spark.operators.kmeans import kmeans_label_agreement
+
+    # vec_ids 0,1 seed the two clusters (deterministic lowest-id init)
+    blob_a = [(i, [0.0 + 0.01 * i, 0.0], "a") for i in range(0, 8, 2)]
+    blob_b = [(i, [10.0 + 0.01 * i, 10.0], "b") for i in range(1, 9, 2)]
+    aligned = spark.createDataFrame(
+        blob_a + blob_b, "vec_id long, embedding array<double>, label string"
+    )
+    r = kmeans_label_agreement(aligned, k=2, iterations=2).collect()[0]
+    assert (r["n"], r["k_used"], r["n_labels"]) == (8, 2, 2)
+    assert r["purity"] == 1.0 and r["ari"] == 1.0
+
+    # same geometry, labels orthogonal to the blobs (2 per blob each)
+    shuffled = spark.createDataFrame(
+        [(v, e, "x" if i % 2 == 0 else "y")
+         for i, (v, e, _l) in enumerate(blob_a + blob_b)],
+        "vec_id long, embedding array<double>, label string",
+    )
+    r2 = kmeans_label_agreement(shuffled, k=2, iterations=2).collect()[0]
+    assert r2["ari"] < 0.2 and r2["purity"] <= 0.75
