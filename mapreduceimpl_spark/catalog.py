@@ -2775,7 +2775,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "lm_heldout_perplexity", "cramers_v", "mannwhitney_length",
      "ols_tokens_vs_chars", "seasonal_mase", "theil_sen_daily",
      "ks_length", "aspect_buckets", "shard_balance", "t_closeness",
-     "fim_render", "kmeans_ari"}
+     "fim_render", "kmeans_ari", "kmeans_silhouette"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -7703,6 +7703,40 @@ FROM ka_j""",
             "chained-CTE kmeans replay — closes the clustering loop "
             "like ann_recall_eval/dedup_recall_eval close theirs",
     ),
+    "kmeans_silhouette": QuerySpec(
+        lambda spark, sf_dir: kmeans.kmeans_silhouette(
+            load_table(spark, sf_dir, "embeddings"), k=4, iterations=3
+        ),
+        "WITH " + ",\n".join(_kmeans_lloyd_layers(4, 3)) + """,
+ksil_own AS (SELECT vec_id, cluster AS own_cluster, dist AS a2 FROM a3),
+ksil_other AS (
+  SELECT d.vec_id, MIN(d.dist) AS b2
+  FROM d3 d JOIN ksil_own o ON d.vec_id = o.vec_id
+  WHERE d.cluster <> o.own_cluster
+  GROUP BY d.vec_id
+),
+ksil_s AS (
+  SELECT o.own_cluster,
+         round(CASE WHEN GREATEST(sqrt(CAST(o.a2 AS DOUBLE)),
+                                  sqrt(CAST(t.b2 AS DOUBLE))) > 0
+                    THEN (sqrt(CAST(t.b2 AS DOUBLE))
+                          - sqrt(CAST(o.a2 AS DOUBLE)))
+                         / GREATEST(sqrt(CAST(o.a2 AS DOUBLE)),
+                                    sqrt(CAST(t.b2 AS DOUBLE)))
+                    ELSE 0.0 END, 9) AS s9
+  FROM ksil_own o JOIN ksil_other t ON o.vec_id = t.vec_id
+)
+SELECT own_cluster AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+       round(CAST(SUM(CAST(s9 AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_silhouette
+FROM ksil_s GROUP BY 1""",
+        doc="simplified (centroid-based) silhouette of the Lloyd tier "
+            "— the internal-validation pairing of kmeans_ari's "
+            "external ARI: per point (b - a)/max(a, b) against own vs "
+            "nearest-other FINAL centroid, reusing the replay's own "
+            "distance layer (d3) so the oracle adds zero new "
+            "arithmetic; O(n*k), never points x points",
+    ),
 }
 
 
@@ -7783,7 +7817,7 @@ _ROUND6_ORDER = [
     "rouge_pairs", "bpe_fertility", "lm_heldout_perplexity", "cramers_v",
     "mannwhitney_length", "ols_tokens_vs_chars", "seasonal_mase",
     "theil_sen_daily", "ks_length", "aspect_buckets", "shard_balance",
-    "t_closeness", "fim_render", "kmeans_ari",
+    "t_closeness", "fim_render", "kmeans_ari", "kmeans_silhouette",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -354,3 +354,65 @@ def kmeans_label_agreement(
         F.round(F.col("summax") / F.col("n"), 9).alias("purity"),
         F.round(F.when(ok, ari).otherwise(F.lit(0.0)), 9).alias("ari"),
     )
+
+
+def kmeans_silhouette(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette of the hash-verified
+    Lloyd tier — the INTERNAL validation pairing
+    :func:`kmeans_label_agreement`'s external ARI: per point,
+    a = Euclidean distance to the OWN centroid, b = distance to the
+    NEAREST OTHER centroid, s = (b - a) / max(a, b) in (-1, 1];
+    reported as per-cluster means.  The classic O(n²) silhouette is
+    replaced by the O(n*k) centroid form — the only variant that
+    scales, and the standard practice at corpus size.
+
+    Determinism: distances reuse the Lloyd loop's decimal-routed
+    squared sums (one extra distance layer against the FINAL
+    centroids, exactly the d_iter CTE shape, so the oracle replays
+    it); per-point s is rounded to 9 then decimal-summed (the
+    ``bigram_logprob`` mean pattern).  sqrt is IEEE-exact on both
+    engines.
+
+    Scale: rides the Lloyd plan plus one k*dim-broadcast distance
+    pass and one O(k) aggregate; never points x points.
+    """
+    assign, cent = kmeans_lloyd_internals(embeddings, k=k, iterations=iterations)
+    pts = embeddings.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    term = (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+    d_all = (
+        pts.join(F.broadcast(cent), "dim")
+        .select("vec_id", "cluster", term.alias("t"))
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum(F.col("t").cast("decimal(38,18)")).alias("dist"))
+    )
+    own = assign.select(
+        "vec_id", F.col("cluster").alias("own_cluster"), F.col("dist").alias("a2")
+    )
+    other = (
+        d_all.join(own, "vec_id")
+        .filter(F.col("cluster") != F.col("own_cluster"))
+        .groupBy("vec_id")
+        .agg(F.min("dist").alias("b2"))
+    )
+    sa = F.sqrt(F.col("a2").cast("double"))
+    sb = F.sqrt(F.col("b2").cast("double"))
+    s = F.when(
+        F.greatest(sa, sb) > 0, (sb - sa) / F.greatest(sa, sb)
+    ).otherwise(F.lit(0.0))
+    scored = own.join(other, "vec_id").select(
+        "own_cluster", F.round(s, 9).alias("s9")
+    )
+    return scored.groupBy(F.col("own_cluster").alias("cluster")).agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.round(
+            F.sum(F.col("s9").cast("decimal(28,9)")).cast("double") / F.count("*"),
+            6,
+        ).alias("mean_silhouette"),
+    )

@@ -226,6 +226,7 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
                                # 1-row global total broadcast
         "kmeans_ari",          # 1-row x 1-row x 1-row ARI sums +
                                # the Lloyd chain's k*dim broadcasts
+        "kmeans_silhouette",   # the Lloyd chain's k*dim broadcasts
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

@@ -150,3 +150,27 @@ def test_kmeans_label_agreement_hand_cases(spark):
     )
     r2 = kmeans_label_agreement(shuffled, k=2, iterations=2).collect()[0]
     assert r2["ari"] < 0.2 and r2["purity"] <= 0.75
+
+
+def test_kmeans_silhouette_separated_vs_merged(spark):
+    """Two tight far-apart blobs: silhouette near 1 for both clusters.
+    One smeared blob split into 2 forced clusters: silhouette
+    collapses toward 0 — the internal signal that k was wrong."""
+    from mapreduceimpl_spark.operators.kmeans import kmeans_silhouette
+
+    tight = spark.createDataFrame(
+        [(i, [0.0 + 0.001 * i, 0.0]) for i in range(0, 8, 2)]
+        + [(i, [10.0 + 0.001 * i, 10.0]) for i in range(1, 9, 2)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = kmeans_silhouette(tight, k=2, iterations=2).collect()
+    assert len(rows) == 2
+    assert all(r["mean_silhouette"] > 0.9 for r in rows)
+    assert sum(r["n_points"] for r in rows) == 8
+
+    smear = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    rows2 = kmeans_silhouette(smear, k=2, iterations=3).collect()
+    assert all(r["mean_silhouette"] < 0.9 for r in rows2)
