@@ -2775,7 +2775,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "lm_heldout_perplexity", "cramers_v", "mannwhitney_length",
      "ols_tokens_vs_chars", "seasonal_mase", "theil_sen_daily",
      "ks_length", "aspect_buckets", "shard_balance", "t_closeness",
-     "fim_render", "kmeans_ari", "kmeans_silhouette"}
+     "fim_render", "kmeans_ari", "kmeans_silhouette",
+     "events_funnel_windowed", "benford_digits"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -7737,6 +7738,65 @@ FROM ksil_s GROUP BY 1""",
             "distance layer (d3) so the oracle adds zero new "
             "arithmetic; O(n*k), never points x points",
     ),
+    "events_funnel_windowed": QuerySpec(
+        _rel(relational.q_funnel_windowed),
+        """WITH fw1 AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv
+  FROM events GROUP BY user_id
+),
+fw2 AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN e.event_type = 'click' AND e.ts > f.fv
+                   AND e.ts <= f.fv + INTERVAL 24 HOUR
+             THEN e.ts END) AS fc
+  FROM events e JOIN fw1 f USING (user_id) GROUP BY e.user_id
+),
+fw3 AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > c.fc
+                   AND e.ts <= f.fv + INTERVAL 24 HOUR
+             THEN e.ts END) AS fp
+  FROM events e JOIN fw1 f USING (user_id) JOIN fw2 c USING (user_id)
+  GROUP BY e.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(f.fv) AS BIGINT) AS n_viewed,
+       CAST(COUNT(c.fc) AS BIGINT) AS n_clicked_in_window,
+       CAST(COUNT(p.fp) AS BIGINT) AS n_purchased_in_window
+FROM fw1 f JOIN fw2 c USING (user_id) JOIN fw3 p USING (user_id)""",
+        doc="24h-horizon conversion funnel: click and purchase must "
+            "land within the view-anchored window (exact micros "
+            "timestamp arithmetic) — the latency-honest variant of "
+            "events_funnel a product team actually quotes; same "
+            "single-shuffle three-window-min posture",
+    ),
+    "benford_digits": QuerySpec(
+        lambda spark, sf_dir: relational.benford_deviation(
+            load_table(spark, sf_dir, "orders"), "o_totalprice"
+        ),
+        f"""WITH bf_d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+bf_counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM bf_d GROUP BY digit
+),
+bf_tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM bf_counts),
+bf_exp(digit, exp_p) AS (VALUES
+  {", ".join(f"({d}, CAST('{__import__('math').log10(1.0 + 1.0 / d)!r}' AS DOUBLE))" for d in range(1, 10))}
+)
+SELECT digit, cnt,
+       cnt / CAST(n AS DOUBLE) AS obs_p,
+       exp_p,
+       round(abs(cnt / CAST(n AS DOUBLE) - exp_p), 9) AS abs_dev
+FROM bf_counts CROSS JOIN bf_tot JOIN bf_exp USING (digit)""",
+        doc="Benford first-digit audit of order totals: observed vs "
+            "log10(1+1/d) expected share per leading digit "
+            "(repr-interpolated constants, exact string-derived "
+            "digits, exact count divisions) — the classic "
+            "fabricated-feed smell test; 9-group map-side aggregate",
+    ),
 }
 
 
@@ -7818,6 +7878,7 @@ _ROUND6_ORDER = [
     "mannwhitney_length", "ols_tokens_vs_chars", "seasonal_mase",
     "theil_sen_daily", "ks_length", "aspect_buckets", "shard_balance",
     "t_closeness", "fim_render", "kmeans_ari", "kmeans_silhouette",
+    "events_funnel_windowed", "benford_digits",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -3609,3 +3609,109 @@ def q_t_closeness(t: dict[str, DataFrame], threshold: float = 0.3) -> DataFrame:
         F.round("tvd_raw", 9).alias("tvd"),
         (F.round("tvd_raw", 9) > F.lit(threshold)).alias("violates_t"),
     )
+
+
+def q_funnel_windowed(t: dict[str, DataFrame], horizon_hours: int = 24) -> DataFrame:
+    """Time-bounded conversion funnel — ``q_funnel`` with a horizon:
+    the click must follow the first view AND land within
+    ``horizon_hours`` of it, the purchase must follow that click
+    within the SAME view-anchored horizon.  This is the number a
+    product team actually quotes ("24h conversion"): the unbounded
+    funnel credits a purchase months later, which inflates conversion
+    and hides latency regressions.
+
+    Same single-shuffle posture as ``q_funnel``: three window mins
+    over one user_id partitioning; the horizon is exact timestamp
+    arithmetic (micros), so the oracle replays it bit-for-bit.
+    """
+    e = t["events"]
+    w = Window.partitionBy("user_id")
+    horizon = F.expr(f"INTERVAL {int(horizon_hours)} HOURS")
+    staged = e.withColumn(
+        "first_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    deadline = F.col("first_view") + horizon
+    staged = staged.withColumn(
+        "first_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("first_view"))
+                & (F.col("ts") <= deadline),
+                F.col("ts"),
+            )
+        ).over(w),
+    ).withColumn(
+        "first_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("first_click"))
+                & (F.col("ts") <= deadline),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("first_view").alias("fv"),
+        F.max("first_click").alias("fc"),
+        F.max("first_purchase").alias("fp"),
+    )
+    return per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.count("fv").cast("long").alias("n_viewed"),
+        F.count("fc").cast("long").alias("n_clicked_in_window"),
+        F.count("fp").cast("long").alias("n_purchased_in_window"),
+    )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), d = 1..9 — Python
+# floats whose repr() is interpolated into BOTH engines' expressions
+BENFORD_P: tuple[float, ...] = tuple(
+    __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)
+)
+
+
+def benford_deviation(
+    df: DataFrame,
+    amount_col: str,
+) -> DataFrame:
+    """Benford's-law first-digit audit of a positive amount column —
+    the classic fabricated-/corrupted-data smell test (real
+    transactional magnitudes follow log10(1+1/d); synthetic or
+    truncated feeds don't): per leading digit, observed vs expected
+    share and the absolute gap.
+
+    The leading digit is exact string arithmetic on floor(amount)
+    (no logs on the data path); expected probabilities are Python
+    constants repr-interpolated into both engines; observed shares
+    are exact-long-count divisions — 9 hash-exact rows.
+
+    Scale: one map-side-combined groupBy(digit) (9 groups) + a 1-row
+    total broadcast.
+    """
+    d = F.substring(
+        F.floor(F.col(amount_col)).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.filter(F.col(amount_col) >= 1)
+        .groupBy(d.alias("digit"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("long").alias("n"))
+    exp = df.sparkSession.createDataFrame(
+        [(i + 1, p) for i, p in enumerate(BENFORD_P)], "digit int, exp_p double"
+    )
+    obs = F.col("cnt") / F.col("n")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .join(F.broadcast(exp), "digit")
+        .select(
+            "digit",
+            "cnt",
+            obs.alias("obs_p"),
+            "exp_p",
+            F.round(F.abs(obs - F.col("exp_p")), 9).alias("abs_dev"),
+        )
+    )

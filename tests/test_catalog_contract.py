@@ -227,6 +227,7 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
         "kmeans_ari",          # 1-row x 1-row x 1-row ARI sums +
                                # the Lloyd chain's k*dim broadcasts
         "kmeans_silhouette",   # the Lloyd chain's k*dim broadcasts
+        "benford_digits",      # 1-row total onto the 9-digit counts
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

@@ -579,3 +579,70 @@ def test_t_closeness_flags_skewed_class(spark):
     fr = got[("fr", 0)]
     # p_class = (web 1.0, books 0.0) vs global (0.5, 0.5): TVD = 0.5
     assert fr["tvd"] == 0.5 and fr["violates_t"]
+
+
+def test_funnel_windowed_horizon_excludes_late_stages(spark):
+    """A purchase 25h after the first view converts in the unbounded
+    funnel but NOT in the 24h-windowed one; an in-window journey
+    converts in both; the strict > rule still applies at the view."""
+    import datetime as dt
+
+    from mapreduceimpl_spark.operators.relational import (
+        q_funnel,
+        q_funnel_windowed,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(eid, minutes, uid, et):
+        return (eid, base + dt.timedelta(minutes=minutes), uid, et, 1.0, "{}")
+
+    rows = [
+        # user 1: all within 24h -> converts in both
+        ev(1, 0, 1, "view"), ev(2, 30, 1, "click"), ev(3, 60, 1, "purchase"),
+        # user 2: click at 10min, purchase at 25h -> windowed loses it
+        ev(4, 0, 2, "view"), ev(5, 10, 2, "click"), ev(6, 25 * 60, 2, "purchase"),
+        # user 3: click 25h after view -> windowed loses click AND purchase
+        ev(7, 0, 3, "view"), ev(8, 25 * 60, 3, "click"), ev(9, 25 * 60 + 10, 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    unbounded = q_funnel({"events": df}).collect()[0]
+    windowed = q_funnel_windowed({"events": df}).collect()[0]
+
+    assert unbounded["n_purchased_after_click"] == 3
+    assert (windowed["n_users"], windowed["n_viewed"]) == (3, 3)
+    assert windowed["n_clicked_in_window"] == 2  # users 1, 2
+    assert windowed["n_purchased_in_window"] == 1  # user 1 only
+
+
+def test_benford_deviation_follows_planted_distribution(spark):
+    """A corpus planted to EXACTLY Benford proportions scores ~0
+    deviation on every digit; a uniform-digit corpus deviates most on
+    digit 1 (expected 0.301 vs observed 1/9)."""
+    import math
+
+    from mapreduceimpl_spark.operators.relational import benford_deviation
+
+    rows = []
+    rid = 0
+    # plant: digit d appears round(1000 * log10(1+1/d)) times
+    planted_counts = {d: round(1000 * math.log10(1 + 1 / d)) for d in range(1, 10)}
+    for d, c in planted_counts.items():
+        for _ in range(c):
+            rows.append((rid, float(d) * 10 + 0.5),)
+            rid += 1
+    df = spark.createDataFrame(rows, ["rid", "amount"])
+    got = {r["digit"]: r for r in benford_deviation(df, "amount").collect()}
+    assert set(got) == set(range(1, 10))
+    for d in range(1, 10):
+        assert got[d]["abs_dev"] < 0.001
+        assert got[d]["cnt"] == planted_counts[d]
+
+    uni = spark.createDataFrame(
+        [(i, float(d)) for i, d in enumerate(list(range(1, 10)) * 10)],
+        ["rid", "amount"],
+    )
+    gu = {r["digit"]: r for r in benford_deviation(uni, "amount").collect()}
+    assert gu[1]["abs_dev"] == max(r["abs_dev"] for r in gu.values())
