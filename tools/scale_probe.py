@@ -620,7 +620,51 @@ def _probe_feature_mi(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_hits(spark, sf_dir: str):
+    """hits_scores: 5 iterations, two keyed shuffles per phase on the
+    customer->supplier edge table; score frames O(nodes)."""
+    from mapreduceimpl_spark import catalog
+
+    t0 = time.time()
+    n = catalog.SPECS["hits_scores"].fn(spark, sf_dir).count()
+    return time.time() - t0, n
+
+
+def _probe_rouge(spark, sf_dir: str):
+    """rouge_pairs: wordcount-shaped gram counts + one (n, pair, gram)
+    equi-join — never pairs x pairs."""
+    from mapreduceimpl_spark import catalog
+
+    t0 = time.time()
+    n = catalog.SPECS["rouge_pairs"].fn(spark, sf_dir).count()
+    return time.time() - t0, n
+
+
+def _probe_kmeans_ari(spark, sf_dir: str):
+    """kmeans_ari: Lloyd chain + bounded contingency pair counting."""
+    from mapreduceimpl_spark import catalog
+
+    t0 = time.time()
+    n = catalog.SPECS["kmeans_ari"].fn(spark, sf_dir).count()
+    return time.time() - t0, n
+
+
+def _probe_heldout_lm(spark, sf_dir: str):
+    """lm_heldout_perplexity: train-side wordcount counts scoring the
+    held-out pair stream through uniform-key left joins."""
+    from mapreduceimpl_spark import catalog
+
+    t0 = time.time()
+    n = catalog.SPECS["lm_heldout_perplexity"].fn(spark, sf_dir).count()
+    return time.time() - t0, n
+
+
 PROBES = {
+    "hits": _probe_hits,
+    "rouge": _probe_rouge,
+    "kmeans_ari": _probe_kmeans_ari,
+    "heldout_lm": _probe_heldout_lm,
+
     "markov_stationary": _probe_markov_stationary,
     "dedup_recall_eval": _probe_dedup_recall_eval,
     "feature_mi": _probe_feature_mi,
