@@ -2776,7 +2776,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "ols_tokens_vs_chars", "seasonal_mase", "theil_sen_daily",
      "ks_length", "aspect_buckets", "shard_balance", "t_closeness",
      "fim_render", "kmeans_ari", "kmeans_silhouette",
-     "events_funnel_windowed", "benford_digits"}
+     "events_funnel_windowed", "benford_digits", "psi_drift"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -7797,6 +7797,50 @@ FROM bf_counts CROSS JOIN bf_tot JOIN bf_exp USING (digit)""",
             "digits, exact count divisions) — the classic "
             "fabricated-feed smell test; 9-group map-side aggregate",
     ),
+    "psi_drift": QuerySpec(
+        _rel(relational.q_psi_drift),
+        """WITH pd_e AS (SELECT event_id, value FROM events),
+pd_b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM pd_e),
+pd_binned AS (
+  SELECT CASE WHEN hi <> lo
+              THEN least(CAST(floor((value - lo) / ((hi - lo) / 20.0))
+                              AS BIGINT), 19)
+              ELSE 0 END AS bin,
+         event_id % 2 = 0 AS half
+  FROM pd_e CROSS JOIN pd_b
+),
+pd_counts AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN half THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         CAST(SUM(CASE WHEN half THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+  FROM pd_binned GROUP BY bin
+),
+pd_tot AS (
+  SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+         CAST(SUM(cnt_b) AS BIGINT) AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS bins_used
+  FROM pd_counts
+),
+pd_terms AS (
+  SELECT bins_used,
+         round(((cnt_a + 1) / CAST(n_a + 20 AS DOUBLE)
+                - (cnt_b + 1) / CAST(n_b + 20 AS DOUBLE))
+               * ln(((cnt_a + 1) / CAST(n_a + 20 AS DOUBLE))
+                    / ((cnt_b + 1) / CAST(n_b + 20 AS DOUBLE))), 9) AS term9,
+         abs((cnt_a + 1) / CAST(n_a + 20 AS DOUBLE)
+             - (cnt_b + 1) / CAST(n_b + 20 AS DOUBLE)) AS gap
+  FROM pd_counts CROSS JOIN pd_tot
+)
+SELECT CAST(MAX(bins_used) AS BIGINT) AS n_bins_used,
+       round(CAST(SUM(CAST(term9 AS DECIMAL(28,9))) AS DOUBLE), 6) AS psi,
+       round(MAX(gap), 9) AS max_bin_gap
+FROM pd_terms""",
+        doc="Population Stability Index between the event stream's "
+            "even/odd snapshot halves: Laplace-smoothed shares on the "
+            "shared equi-width bins, sign-mixed log-weighted terms "
+            "round-9 decimal-summed — the single-number alerting "
+            "score complementing histogram_drift's per-bin TVD",
+    ),
 }
 
 
@@ -7878,7 +7922,7 @@ _ROUND6_ORDER = [
     "mannwhitney_length", "ols_tokens_vs_chars", "seasonal_mase",
     "theil_sen_daily", "ks_length", "aspect_buckets", "shard_balance",
     "t_closeness", "fim_render", "kmeans_ari", "kmeans_silhouette",
-    "events_funnel_windowed", "benford_digits",
+    "events_funnel_windowed", "benford_digits", "psi_drift",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

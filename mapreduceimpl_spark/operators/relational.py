@@ -3715,3 +3715,68 @@ def benford_deviation(
             F.round(F.abs(obs - F.col("exp_p")), 9).alias("abs_dev"),
         )
     )
+
+
+def q_psi_drift(t: dict[str, DataFrame], n_bins: int = 20) -> DataFrame:
+    """Population Stability Index between the two deterministic
+    snapshot halves of the event stream — the single-number drift
+    score the industry actually alerts on (PSI < 0.1 stable, > 0.25
+    act), complementing ``q_histogram_drift``'s per-bin TVD
+    decomposition with the log-weighted summary.
+
+    Same global-min/max equi-width binning as the histogram entry;
+    shares are Laplace-smoothed ((cnt + 1) / (n + n_bins), exact
+    integer operands) so empty bins never hit ln(0); per-bin term
+    (pa - pb) * ln(pa / pb) is rounded to 9 then decimal-summed (the
+    ``bigram_logprob`` pattern — PSI terms are sign-mixed, which
+    DECIMAL handles exactly).
+
+    Output one row: n_bins, psi (round 6), max_bin_gap (the largest
+    |pa - pb|, round 9 — the TVD hotspot PSI's log weighting can
+    understate).
+    """
+    e = t["events"].select("event_id", "value")
+    bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = (
+        e.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bin",
+            F.when(
+                F.col("hi") != F.col("lo"),
+                F.least(
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / F.lit(float(n_bins)))
+                    ),
+                    F.lit(n_bins - 1),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn("half", (F.col("event_id") % 2 == 0))
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half"), 1).otherwise(0)).cast("long").alias("cnt_a"),
+        F.sum(F.when(~F.col("half"), 1).otherwise(0)).cast("long").alias("cnt_b"),
+    )
+    totals = counts.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum("cnt_b").cast("long").alias("n_b"),
+        F.count("*").cast("long").alias("bins_used"),
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    pa = (F.col("cnt_a") + F.lit(1)) / (F.col("n_a") + F.lit(n_bins))
+    pb = (F.col("cnt_b") + F.lit(1)) / (F.col("n_b") + F.lit(n_bins))
+    term = F.round((pa - pb) * F.log(pa / pb), 9)
+    gap = F.abs(pa - pb)
+    agg = j.agg(
+        F.max("bins_used").cast("long").alias("n_bins_used"),
+        F.sum(term.cast("decimal(28,9)")).cast("double").alias("psi_raw"),
+        F.max(gap).alias("gap_raw"),
+    )
+    return agg.select(
+        "n_bins_used",
+        F.round("psi_raw", 6).alias("psi"),
+        F.round("gap_raw", 9).alias("max_bin_gap"),
+    )

@@ -228,6 +228,7 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
                                # the Lloyd chain's k*dim broadcasts
         "kmeans_silhouette",   # the Lloyd chain's k*dim broadcasts
         "benford_digits",      # 1-row total onto the 9-digit counts
+        "psi_drift",           # 1-row (lo,hi) + 1-row totals broadcast
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

@@ -646,3 +646,25 @@ def test_benford_deviation_follows_planted_distribution(spark):
     )
     gu = {r["digit"]: r for r in benford_deviation(uni, "amount").collect()}
     assert gu[1]["abs_dev"] == max(r["abs_dev"] for r in gu.values())
+
+
+def test_psi_drift_identical_halves_zero(spark):
+    """Mirrored halves (same values on even and odd event_ids) give
+    PSI exactly 0 and zero max gap; shifting one half inflates both."""
+    from mapreduceimpl_spark.operators.relational import q_psi_drift
+
+    same = spark.createDataFrame(
+        [(2 * i, float(i % 10)) for i in range(200)]
+        + [(2 * i + 1, float(i % 10)) for i in range(200)],
+        ["event_id", "value"],
+    )
+    r = q_psi_drift({"events": same}).collect()[0]
+    assert r["psi"] == 0.0 and r["max_bin_gap"] == 0.0
+
+    shifted = spark.createDataFrame(
+        [(2 * i, float(i % 10)) for i in range(200)]
+        + [(2 * i + 1, float(i % 10) + 5.0) for i in range(200)],
+        ["event_id", "value"],
+    )
+    r2 = q_psi_drift({"events": shifted}).collect()[0]
+    assert r2["psi"] > 0.1 and r2["max_bin_gap"] > 0.0
