@@ -2776,7 +2776,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "ols_tokens_vs_chars", "seasonal_mase", "theil_sen_daily",
      "ks_length", "aspect_buckets", "shard_balance", "t_closeness",
      "fim_render", "kmeans_ari", "kmeans_silhouette",
-     "events_funnel_windowed", "benford_digits", "psi_drift"}
+     "events_funnel_windowed", "benford_digits", "psi_drift",
+     "attribution_time_decay"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -7841,6 +7842,43 @@ FROM pd_terms""",
             "round-9 decimal-summed — the single-number alerting "
             "score complementing histogram_drift's per-bin TVD",
     ),
+    "attribution_time_decay": QuerySpec(
+        _rel(relational.q_attribution_time_decay),
+        """WITH ad_g AS (
+  SELECT event_id, user_id, event_type, ts,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS grp
+  FROM events
+),
+ad_c AS (
+  SELECT user_id, grp, event_id AS click_id, epoch_us(ts) AS cus
+  FROM ad_g WHERE event_type = 'click'
+),
+ad_p AS (
+  SELECT user_id, grp, event_id AS purchase_id, epoch_us(ts) AS pus
+  FROM ad_g WHERE event_type = 'purchase'
+),
+ad_s AS (
+  SELECT c.user_id, p.purchase_id, c.click_id,
+         round(power(2.0, (c.cus - p.pus) / 604800000000.0), 9) AS w9
+  FROM ad_c c JOIN ad_p p ON c.user_id = p.user_id AND c.grp = p.grp
+)
+SELECT user_id, purchase_id, click_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_touch,
+       w9,
+       round(w9 / CAST(SUM(CAST(w9 AS DECIMAL(28,9))) OVER w AS DOUBLE), 6)
+         AS share
+FROM ad_s
+WINDOW w AS (PARTITION BY user_id, purchase_id)""",
+        doc="time-decay multi-touch attribution (halflife 7d): the "
+            "third standard model after last-touch and linear — same "
+            "journey segmentation, exact-micros decay exponent, "
+            "pow(2,x) round-9 before the decimal-routed group "
+            "normalization; group fan-out is journey length, never "
+            "events x events",
+    ),
 }
 
 
@@ -7923,6 +7961,7 @@ _ROUND6_ORDER = [
     "theil_sen_daily", "ks_length", "aspect_buckets", "shard_balance",
     "t_closeness", "fim_render", "kmeans_ari", "kmeans_silhouette",
     "events_funnel_windowed", "benford_digits", "psi_drift",
+    "attribution_time_decay",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

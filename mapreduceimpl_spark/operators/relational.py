@@ -3780,3 +3780,75 @@ def q_psi_drift(t: dict[str, DataFrame], n_bins: int = 20) -> DataFrame:
         F.round("psi_raw", 6).alias("psi"),
         F.round("gap_raw", 9).alias("max_bin_gap"),
     )
+
+
+def q_attribution_time_decay(
+    t: dict[str, DataFrame], halflife_days: float = 7.0
+) -> DataFrame:
+    """Time-decay multi-touch attribution — the third standard model
+    after last-touch (newest click takes all) and linear (equal
+    split): each click in the converting journey segment gets weight
+    2^(-age / halflife) at purchase time, so recent touches dominate
+    smoothly instead of absolutely.
+
+    Same journey segmentation as ``q_attribution_linear`` (running
+    preceding-purchase count; never events x events).  The decay
+    exponent is ONE exact-long micros difference and ONE division —
+    identical operands on both engines; pow(2, x) is then rounded to
+    9 (the ULP-absorbing convention) BEFORE the decimal-routed group
+    normalization, so shares are hash-exact.
+
+    Output per (purchase, click): the touch count, the rounded raw
+    weight and its normalized share of the purchase's credit.
+
+    Scale: one user_id window Exchange + one (user, grp) window over
+    the joined click-purchase frame — group fan-out is journey
+    length, bounded by user activity, never corpus-shaped.
+    """
+    e = t["events"]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_p = F.col("event_type") == "purchase"
+    is_c = F.col("event_type") == "click"
+    grouped = e.withColumn(
+        "grp",
+        F.coalesce(
+            F.sum(F.when(is_p, 1).otherwise(0)).over(w_prev), F.lit(0)
+        ).cast("long"),
+    )
+    clicks = grouped.filter(is_c).select(
+        "user_id",
+        "grp",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("cus"),
+    )
+    purchases = grouped.filter(is_p).select(
+        "user_id",
+        "grp",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("pus"),
+    )
+    half_us = halflife_days * 86400.0 * 1e6
+    joined = clicks.join(purchases, ["user_id", "grp"])
+    w9 = F.round(
+        F.pow(F.lit(2.0), (F.col("cus") - F.col("pus")) / F.lit(half_us)), 9
+    )
+    scored = joined.select(
+        "user_id", "purchase_id", "click_id", w9.alias("w9")
+    )
+    wg = Window.partitionBy("user_id", "purchase_id")
+    return scored.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.count("*").over(wg).cast("long").alias("n_touch"),
+        "w9",
+        F.round(
+            F.col("w9")
+            / F.sum(F.col("w9").cast("decimal(28,9)")).over(wg).cast("double"),
+            6,
+        ).alias("share"),
+    )

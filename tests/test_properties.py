@@ -668,3 +668,40 @@ def test_psi_drift_identical_halves_zero(spark):
     )
     r2 = q_psi_drift({"events": shifted}).collect()[0]
     assert r2["psi"] > 0.1 and r2["max_bin_gap"] > 0.0
+
+
+def test_attribution_time_decay_ordering_and_conservation(spark):
+    """Within a journey: newer clicks get strictly larger shares; a
+    click AT purchase time gets weight 1; shares sum to ~1 per
+    purchase; an organic purchase (no clicks) emits no rows — the
+    same journey rule as the linear model."""
+    import datetime as dt
+
+    from mapreduceimpl_spark.operators.relational import (
+        q_attribution_time_decay,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, days, uid, et):
+        return (eid, base + dt.timedelta(days=days), uid, et, 1.0, "{}")
+
+    rows = [
+        ev(1, 0, 1, "click"),     # 14 days before purchase
+        ev(2, 7, 1, "click"),     # 7 days before (one halflife)
+        ev(3, 14, 1, "click"),    # at purchase time
+        ev(4, 14, 1, "purchase"),
+        ev(5, 0, 2, "purchase"),  # organic
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {r["click_id"]: r for r in
+           q_attribution_time_decay({"events": df}).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[3]["w9"] == 1.0
+    assert got[2]["w9"] == 0.5          # exactly one halflife
+    assert got[1]["w9"] == 0.25         # two halflives
+    assert got[1]["share"] < got[2]["share"] < got[3]["share"]
+    assert abs(sum(r["share"] for r in got.values()) - 1.0) < 1e-5
+    assert all(r["n_touch"] == 3 for r in got.values())
