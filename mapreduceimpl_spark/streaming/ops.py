@@ -1355,3 +1355,81 @@ def stream_funnel(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_ATTR_DECAY_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("purchase_id", LongType()),
+        StructField("click_id", LongType()),
+        StructField("delta_us", LongType()),
+        StructField("n_touch", LongType()),
+    ]
+)
+# clicks of the open journey segment: parallel (id, epoch-us) arrays
+_ATTR_DECAY_STATE = StructType(
+    [
+        StructField("click_ids", ArrayType(LongType())),
+        StructField("click_us", ArrayType(LongType())),
+    ]
+)
+
+
+def stream_attribution_time_decay(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``relational.q_attribution_time_decay``'s
+    STATEFUL half: the open journey segment's clicks ride as two
+    parallel arrays of keyed state (ids, epoch micros), and each
+    purchase emits one row per credited click with the EXACT integer
+    age ``delta_us`` = purchase_us - click_us and the touch count.
+
+    The decay weighting itself (pow(2, -age/halflife), round, group
+    normalize) is deliberately NOT recomputed in Python: it is
+    stateless given (delta_us, n_touch), so the twin emits the exact
+    integers and the caller applies the identical Spark expressions —
+    keeping the stream==batch equality contract free of cross-libm
+    pow() drift (the same reason the quality-score twin ships decimal
+    terms, not floats).
+
+    State is O(open-journey clicks) per user, cleared at each
+    purchase.  Same in-order-arrival caveat as the other journey
+    twins (rows sort (ts, event_id) within each micro-batch only).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: Any, pdfs: Any, state: GroupState):
+        ids, uss = state.get if state.exists else ([], [])
+        ids, uss = list(ids), list(uss)
+        out: dict[str, list] = {
+            "user_id": [], "purchase_id": [], "click_id": [],
+            "delta_us": [], "n_touch": [],
+        }
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for eid, et, ts in zip(
+                batch["event_id"], batch["event_type"], batch["ts"]
+            ):
+                us = int(pd.Timestamp(ts).value // 1_000)
+                if et == "click":
+                    ids.append(int(eid))
+                    uss.append(us)
+                elif et == "purchase":
+                    for cid, cus in zip(ids, uss):
+                        out["user_id"].append(key[0])
+                        out["purchase_id"].append(int(eid))
+                        out["click_id"].append(cid)
+                        out["delta_us"].append(us - cus)
+                        out["n_touch"].append(len(ids))
+                    ids, uss = [], []
+        state.update((ids, uss))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_ATTR_DECAY_SCHEMA,
+        stateStructType=_ATTR_DECAY_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1133,3 +1133,109 @@ def test_stream_funnel_state_crosses_batches(spark, tmp_path):
     # batch A's emission must NOT already show a click (the tied click)
     partials = [r for r in rows if r["first_click_us"] is None]
     assert len(partials) == 1 and partials[0]["first_view_us"] == base
+
+
+def test_stream_attribution_time_decay_matches_batch(spark, events_dir):
+    """The twin's exact-integer (purchase, click, delta_us, n_touch)
+    rows equal the batch journey join's — the stateful half compared
+    on integers so no pow() enters the equality."""
+    from pyspark.sql import Window
+
+    stream = streaming.read_events_stream(spark, events_dir)
+    got = {
+        (r["purchase_id"], r["click_id"]): (r["delta_us"], r["n_touch"])
+        for r in _run_stream(
+            streaming.stream_attribution_time_decay(stream), mode="append"
+        )
+    }
+
+    e = load_table(spark, SF, "events")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_p = F.col("event_type") == "purchase"
+    grouped = e.withColumn(
+        "grp",
+        F.coalesce(
+            F.sum(F.when(is_p, 1).otherwise(0)).over(w_prev), F.lit(0)
+        ).cast("long"),
+    )
+    clicks = grouped.filter(F.col("event_type") == "click").select(
+        "user_id", "grp",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("cus"),
+    )
+    purchases = grouped.filter(is_p).select(
+        "user_id", "grp",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("pus"),
+    )
+    joined = clicks.join(purchases, ["user_id", "grp"])
+    wg = Window.partitionBy("user_id", "purchase_id")
+    batch = {
+        (r["purchase_id"], r["click_id"]): (r["delta_us"], r["n_touch"])
+        for r in joined.select(
+            "purchase_id", "click_id",
+            (F.col("pus") - F.col("cus")).alias("delta_us"),
+            F.count("*").over(wg).cast("long").alias("n_touch"),
+        ).collect()
+    }
+    assert got == batch and len(got) > 0
+
+
+def test_stream_attribution_time_decay_state_crosses_batches(spark, tmp_path):
+    """Clicks in micro-batch A credit a purchase in micro-batch B with
+    exact ages; the journey clears at the purchase so a later purchase
+    in batch C is organic (emits nothing)."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "decay_batches"
+    d.mkdir()
+
+    def write(fname, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()), ("event_type", pa.string()),
+                ("value", pa.float64()), ("props", pa.string()),
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            d / fname,
+        )
+
+    write("a.parquet", [
+        (1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+        (2, "2024-01-01 11:00:00", 7, "click", 1.0, "{}"),
+    ])
+    _time.sleep(0.05)
+    write("b.parquet", [
+        (3, "2024-01-01 12:00:00", 7, "purchase", 1.0, "{}"),
+        (4, "2024-01-01 13:00:00", 7, "purchase", 1.0, "{}"),  # organic
+    ])
+    now = _time.time()
+    os.utime(d / "a.parquet", (now - 60, now - 60))
+    os.utime(d / "b.parquet", (now, now))
+
+    stream = streaming.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    rows = _run_stream(
+        streaming.stream_attribution_time_decay(stream), mode="append"
+    )
+    got = {(r["purchase_id"], r["click_id"]): (r["delta_us"], r["n_touch"])
+           for r in rows}
+    assert got == {
+        (3, 1): (7_200_000_000, 2),   # 2h in micros
+        (3, 2): (3_600_000_000, 2),   # 1h
+    }
