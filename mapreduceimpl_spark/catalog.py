@@ -2777,7 +2777,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "ks_length", "aspect_buckets", "shard_balance", "t_closeness",
      "fim_render", "kmeans_ari", "kmeans_silhouette",
      "events_funnel_windowed", "benford_digits", "psi_drift",
-     "attribution_time_decay"}
+     "attribution_time_decay", "code_detect"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -7879,6 +7879,52 @@ WINDOW w AS (PARTITION BY user_id, purchase_id)""",
             "normalization; group fan-out is journey length, never "
             "events x events",
     ),
+    "code_detect": QuerySpec(
+        lambda spark, sf_dir: text_analysis.code_detect(
+            load_table(spark, sf_dir, "documents")
+        ),
+        """WITH cd_base AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(replace(text, '{', ''))
+            + length(text) - length(replace(text, '}', ''))
+            + length(text) - length(replace(text, ';', ''))
+            + length(text) - length(replace(text, '(', ''))
+            + length(text) - length(replace(text, ')', ''))
+            + length(text) - length(replace(text, '=', ''))
+            + length(text) - length(replace(text, '<', ''))
+            + length(text) - length(replace(text, '>', '')) AS BIGINT)
+           AS n_symbols,
+         string_split(text, chr(10)) AS lines,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+cd_m AS (
+  SELECT doc_id, n_chars, n_symbols, n_tok,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, x -> starts_with(x, '  ')))
+              AS BIGINT) AS n_indent,
+         CAST(len(list_filter(lines, x -> ends_with(x, ';')))
+              AS BIGINT) AS n_semi
+  FROM cd_base
+)
+SELECT doc_id, n_chars, n_symbols,
+       n_symbols / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS symbol_ratio,
+       n_indent / CAST(GREATEST(n_lines, 1) AS DOUBLE) AS indent_ratio,
+       n_semi / CAST(GREATEST(n_lines, 1) AS DOUBLE) AS semicolon_rate,
+       (n_chars - (n_tok - 1)) / CAST(GREATEST(n_tok, 1) AS DOUBLE)
+         AS mean_token_len,
+       n_symbols / CAST(GREATEST(n_chars, 1) AS DOUBLE) > 0.03
+         AND (n_indent / CAST(GREATEST(n_lines, 1) AS DOUBLE) > 0.2
+              OR n_semi / CAST(GREATEST(n_lines, 1) AS DOUBLE) > 0.2)
+         AS is_code
+FROM cd_m""",
+        doc="heuristic code-vs-prose router: exact symbol/indent/"
+            "semicolon/token-length evidence ratios and a composite "
+            "is_code flag — the pretraining-mix gate before "
+            "pipeline-specific dedup; pure codegen narrow projection, "
+            "zero shuffles",
+    ),
 }
 
 
@@ -7961,7 +8007,7 @@ _ROUND6_ORDER = [
     "theil_sen_daily", "ks_length", "aspect_buckets", "shard_balance",
     "t_closeness", "fim_render", "kmeans_ari", "kmeans_silhouette",
     "events_funnel_windowed", "benford_digits", "psi_drift",
-    "attribution_time_decay",
+    "attribution_time_decay", "code_detect",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -2748,3 +2748,53 @@ def fim_render(
             F.lit(" "), F.lit(mid_tok), F.lit(" "), middle,
         ).alias("fim_text"),
     )
+
+
+def code_detect(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic code-vs-prose router — the pretraining-mix gate that
+    decides whether a crawled doc goes to the code pipeline (its own
+    dedup/quality rules) or the text one, BEFORE any expensive pass:
+    per doc, exact character/token evidence ratios and a composite
+    flag.
+
+    Signals (all exact integer counts over the raw string, single
+    divisions, zero libm): symbol_ratio (occurrences of {};()=<> per
+    char), indent_ratio (tokens that are leading-whitespace runs do
+    not survive a space split, so instead: lines starting with 2+
+    spaces / lines), semicolon line-end rate, and mean token length
+    (code identifiers trend long).  is_code = symbol_ratio > 0.03 AND
+    (indent_ratio > 0.2 OR semi_rate > 0.2).
+
+    Scale: pure narrow projection over built-in string functions —
+    zero shuffles, codegen end to end.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    # count occurrences of a char c: length - length(replace(text, c))
+    # (literal replace, not regex — the chars are regex metachars)
+    def occ(c: str):
+        return n_chars - F.length(F.replace(t, F.lit(c), F.lit("")))
+
+    n_sym = sum(occ(c) for c in "{};()=<>")
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_indent = F.size(F.filter(lines, lambda ln: ln.startswith("  ")))
+    n_semi = F.size(F.filter(lines, lambda ln: ln.endswith(";")))
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    sym_ratio = n_sym / F.greatest(n_chars, F.lit(1))
+    indent_ratio = n_indent / F.greatest(n_lines, F.lit(1))
+    semi_rate = n_semi / F.greatest(n_lines, F.lit(1))
+    mean_tok_len = (n_chars - (n_tok - F.lit(1))) / F.greatest(n_tok, F.lit(1))
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_sym.cast("long").alias("n_symbols"),
+        sym_ratio.alias("symbol_ratio"),
+        indent_ratio.alias("indent_ratio"),
+        semi_rate.alias("semicolon_rate"),
+        mean_tok_len.alias("mean_token_len"),
+        (
+            (sym_ratio > 0.03) & ((indent_ratio > 0.2) | (semi_rate > 0.2))
+        ).alias("is_code"),
+    )

@@ -1381,3 +1381,22 @@ def test_fim_render_reconstructs_and_bounds(spark):
         assert reassembled == "alpha beta gamma delta epsilon"
     # cut diversity: not all docs split at the same points
     assert len({(r["cut_a"], r["cut_b"]) for r in rows}) > 3
+
+
+def test_code_detect_separates_code_from_prose(spark):
+    """A code-shaped doc (braces, semicolon line ends, indented block)
+    flags is_code; plain prose does not; ratios are exact."""
+    from mapreduceimpl_spark.operators.text_analysis import code_detect
+
+    code = "int main() {\n  int x = 1;\n  return x;\n}"
+    prose = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, code), (2, prose)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in code_detect(docs).collect()}
+    c, p = got[1], got[2]
+    assert c["is_code"] and not p["is_code"]
+    assert c["symbol_ratio"] > 0.03 and p["n_symbols"] == 0
+    # 4 lines, 2 start with two spaces, 2 end with ';'
+    assert c["indent_ratio"] == 0.5 and c["semicolon_rate"] == 0.5
+    assert p["symbol_ratio"] == 0.0
