@@ -2777,7 +2777,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "ks_length", "aspect_buckets", "shard_balance", "t_closeness",
      "fim_render", "kmeans_ari", "kmeans_silhouette",
      "events_funnel_windowed", "benford_digits", "psi_drift",
-     "attribution_time_decay", "code_detect"}
+     "attribution_time_decay", "code_detect", "conversion_latency"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -7925,6 +7925,58 @@ FROM cd_m""",
             "pipeline-specific dedup; pure codegen narrow projection, "
             "zero shuffles",
     ),
+    "conversion_latency": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda stages: stages.filter(F.col("first_purchase").isNotNull())
+            .select(
+                (
+                    F.unix_micros("first_purchase") - F.unix_micros("first_view")
+                ).alias("lat_us")
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_converted"),
+                F.percentile("lat_us", 0.25).alias("p25_us"),
+                F.percentile("lat_us", 0.5).alias("p50_us"),
+                F.percentile("lat_us", 0.75).alias("p75_us"),
+                F.percentile("lat_us", 0.9).alias("p90_us"),
+            )
+        )(
+            relational.funnel_stages(load_table(spark, sf_dir, "events"))
+        ),
+        """WITH cl1 AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv
+  FROM events GROUP BY user_id
+),
+cl2 AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN e.event_type = 'click' AND e.ts > f.fv
+             THEN e.ts END) AS fc
+  FROM events e JOIN cl1 f USING (user_id) GROUP BY e.user_id
+),
+cl3 AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > c.fc
+             THEN e.ts END) AS fp
+  FROM events e JOIN cl1 f USING (user_id) JOIN cl2 c USING (user_id)
+  GROUP BY e.user_id
+),
+cl_lat AS (
+  SELECT epoch_us(p.fp) - epoch_us(f.fv) AS lat_us
+  FROM cl1 f JOIN cl3 p USING (user_id)
+  WHERE p.fp IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       quantile_cont(lat_us, 0.25) AS p25_us,
+       quantile_cont(lat_us, 0.5) AS p50_us,
+       quantile_cont(lat_us, 0.75) AS p75_us,
+       quantile_cont(lat_us, 0.9) AS p90_us
+FROM cl_lat""",
+        doc="view-to-purchase latency percentiles over converting "
+            "users (the funnel's time dimension): exact micros deltas "
+            "through Spark percentile == DuckDB quantile_cont "
+            "(bit-equal interpolation, the grid_quantiles parity) — "
+            "the latency readout events_funnel's counts hide",
+    ),
 }
 
 
@@ -8007,7 +8059,7 @@ _ROUND6_ORDER = [
     "theil_sen_daily", "ks_length", "aspect_buckets", "shard_balance",
     "t_closeness", "fim_render", "kmeans_ari", "kmeans_silhouette",
     "events_funnel_windowed", "benford_digits", "psi_drift",
-    "attribution_time_decay", "code_detect",
+    "attribution_time_decay", "code_detect", "conversion_latency",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -705,3 +705,36 @@ def test_attribution_time_decay_ordering_and_conservation(spark):
     assert got[1]["share"] < got[2]["share"] < got[3]["share"]
     assert abs(sum(r["share"] for r in got.values()) - 1.0) < 1e-5
     assert all(r["n_touch"] == 3 for r in got.values())
+
+
+def test_conversion_latency_hand_case(spark):
+    """Three converting users with view->purchase latencies of exactly
+    1h/2h/4h: the median interpolates to 2h, p25/p75 to the exact
+    quantile_cont positions; a non-converter is excluded."""
+    import datetime as dt
+
+    from mapreduceimpl_spark import catalog
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid, hours in ((1, 1), (2, 2), (3, 4)):
+        rows += [
+            (eid, base, uid, "view", 1.0, "{}"),
+            (eid + 1, base + dt.timedelta(minutes=5), uid, "click", 1.0, "{}"),
+            (eid + 2, base + dt.timedelta(hours=hours), uid, "purchase", 1.0, "{}"),
+        ]
+        eid += 3
+    rows.append((eid, base, 9, "view", 1.0, "{}"))  # never converts
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    r = catalog.SPECS["conversion_latency"].fn(spark, d).collect()[0]
+    h = 3_600_000_000  # 1h in micros
+    assert r["n_converted"] == 3
+    assert r["p50_us"] == 2 * h
+    assert r["p25_us"] == 1.5 * h  # interpolated between 1h and 2h
+    assert r["p90_us"] == 3.6 * h  # between 2h and 4h at frac 0.8
