@@ -2777,7 +2777,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "ks_length", "aspect_buckets", "shard_balance", "t_closeness",
      "fim_render", "kmeans_ari", "kmeans_silhouette",
      "events_funnel_windowed", "benford_digits", "psi_drift",
-     "attribution_time_decay", "code_detect", "conversion_latency"}
+     "attribution_time_decay", "code_detect", "conversion_latency",
+     "dow_uniformity"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -7977,6 +7978,32 @@ FROM cl_lat""",
             "(bit-equal interpolation, the grid_quantiles parity) — "
             "the latency readout events_funnel's counts hide",
     ),
+    "dow_uniformity": QuerySpec(
+        _rel(relational.q_dow_uniformity),
+        """WITH du_counts AS (
+  SELECT dayofweek(ts) + 1 AS dow, CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1
+),
+du_agg AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         CAST(SUM(o * o) AS BIGINT) AS so2,
+         CAST(COUNT(*) AS BIGINT) AS days_seen,
+         CAST(MAX(o) AS BIGINT) AS max_day,
+         CAST(MIN(o) AS BIGINT) AS min_day
+  FROM du_counts
+)
+SELECT n, days_seen, min_day, max_day,
+       round((7.0 / n) * so2 - n, 9) AS chi2,
+       round(GREATEST(abs(max_day / CAST(n AS DOUBLE) - 1.0 / 7.0),
+                      abs(min_day / CAST(n AS DOUBLE) - 1.0 / 7.0)), 9)
+         AS max_share_dev
+FROM du_agg""",
+        doc="chi-square goodness-of-fit of event volume vs uniform "
+            "day-of-week (the NULL-model complement of cramers_v's "
+            "association test): zero-cell-free (7/n)*sum o² - n "
+            "expansion, exact long counts, 7-group map-side "
+            "aggregate, 1 row",
+    ),
 }
 
 
@@ -8060,6 +8087,7 @@ _ROUND6_ORDER = [
     "t_closeness", "fim_render", "kmeans_ari", "kmeans_silhouette",
     "events_funnel_windowed", "benford_digits", "psi_drift",
     "attribution_time_decay", "code_detect", "conversion_latency",
+    "dow_uniformity",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

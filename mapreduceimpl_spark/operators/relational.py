@@ -3852,3 +3852,49 @@ def q_attribution_time_decay(
             6,
         ).alias("share"),
     )
+
+
+def q_dow_uniformity(t: dict[str, DataFrame]) -> DataFrame:
+    """Chi-square goodness-of-fit of event volume against a uniform
+    day-of-week distribution — the load-pattern test behind capacity
+    planning and anomaly baselines (``cramers_v`` tests ASSOCIATION
+    between two columns; this tests one column's fit to a NULL
+    model).  Weekly periodicity shows up as a large statistic.
+
+    chi2 = Σ_d (o_d - n/7)² / (n/7) over the 7 observed-day counts =
+    (7/n) * Σ o_d² - n via the same zero-cell-free expansion as
+    ``cramers_v`` (a day with no events contributes its expectation):
+    Σ o² is an exact long, so chi2 is two fixed-order float ops.
+    Also reports the max |share - 1/7| deviation among OBSERVED days
+    (days_seen < 7 means an absent day deviates by the full 1/7).
+
+    Scale: one 7-group map-side aggregate; 1 output row.
+    """
+    e = t["events"]
+    # dayofweek is locale-free in Spark (1=Sunday..7=Saturday); DuckDB
+    # dayofweek(ts) is 0=Sunday..6 — the oracle offsets to match
+    counts = e.groupBy(F.dayofweek("ts").alias("dow")).agg(
+        F.count("*").cast("long").alias("o")
+    )
+    agg = counts.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.sum(F.col("o") * F.col("o")).cast("long").alias("so2"),
+        F.count("*").cast("long").alias("days_seen"),
+        F.max(F.col("o")).cast("long").alias("max_day"),
+        F.min(F.col("o")).cast("long").alias("min_day"),
+    )
+    chi2 = (F.lit(7.0) / F.col("n")) * F.col("so2") - F.col("n")
+    return agg.select(
+        "n",
+        "days_seen",
+        "min_day",
+        "max_day",
+        F.round(chi2, 9).alias("chi2"),
+        F.round(
+            F.greatest(
+                F.abs(F.col("max_day") / F.col("n") - F.lit(1.0 / 7.0)),
+                F.abs(F.col("min_day") / F.col("n") - F.lit(1.0 / 7.0)),
+            ),
+            9,
+        ).alias("max_share_dev"),
+    )

@@ -738,3 +738,31 @@ def test_conversion_latency_hand_case(spark):
     assert r["p50_us"] == 2 * h
     assert r["p25_us"] == 1.5 * h  # interpolated between 1h and 2h
     assert r["p90_us"] == 3.6 * h  # between 2h and 4h at frac 0.8
+
+
+def test_dow_uniformity_hand_cases(spark):
+    """A perfectly uniform 7-day week gives chi2 = 0 and zero share
+    deviation; piling everything on one day gives chi2 = 6n (the
+    degenerate maximum for 7 cells)."""
+    import datetime as dt
+
+    from mapreduceimpl_spark.operators.relational import q_dow_uniformity
+
+    base = dt.datetime(2024, 1, 1)  # Monday
+    uniform = spark.createDataFrame(
+        [(i, base + dt.timedelta(days=i % 7), 1, "view", 1.0, "{}")
+         for i in range(70)],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    r = q_dow_uniformity({"events": uniform}).collect()[0]
+    assert (r["n"], r["days_seen"]) == (70, 7)
+    assert r["chi2"] == 0.0 and r["max_share_dev"] == 0.0
+
+    single = spark.createDataFrame(
+        [(i, base, 1, "view", 1.0, "{}") for i in range(70)],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    r2 = q_dow_uniformity({"events": single}).collect()[0]
+    assert r2["days_seen"] == 1
+    # chi2 = (7/n)*n^2 - n = 6n
+    assert r2["chi2"] == 6.0 * 70
