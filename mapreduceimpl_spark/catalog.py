@@ -2778,7 +2778,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "fim_render", "kmeans_ari", "kmeans_silhouette",
      "events_funnel_windowed", "benford_digits", "psi_drift",
      "attribution_time_decay", "code_detect", "conversion_latency",
-     "dow_uniformity"}
+     "dow_uniformity", "packing_efficiency"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -8004,6 +8004,39 @@ FROM du_agg""",
             "expansion, exact long counts, 7-group map-side "
             "aggregate, 1 row",
     ),
+    "packing_efficiency": QuerySpec(
+        lambda spark, sf_dir: packing.packing_efficiency(
+            load_table(spark, sf_dir, "documents"), budget=256, n_shards=4
+        ),
+        f"""WITH pe_packed AS ({_SEQ_PACK_ORACLE}),
+pe_bins AS (
+  SELECT group_key, shard, bin_id,
+         CAST(MAX(bin_fill) AS BIGINT) AS fill,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pe_packed GROUP BY 1, 2, 3
+),
+pe_agg AS (
+  SELECT group_key,
+         CAST(COUNT(*) AS BIGINT) AS n_bins,
+         CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         CAST(SUM(fill) AS BIGINT) AS sum_tokens,
+         CAST(MIN(fill) AS BIGINT) AS min_fill,
+         CAST(MAX(fill) AS BIGINT) AS max_fill,
+         CAST(SUM(CASE WHEN fill > 256 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_over_budget
+  FROM pe_bins GROUP BY group_key
+)
+SELECT group_key, n_bins, n_docs, sum_tokens, min_fill, max_fill,
+       n_over_budget,
+       round(sum_tokens / CAST(n_bins * 256 AS DOUBLE), 9)
+         AS mean_utilization
+FROM pe_agg""",
+        doc="bin-utilization audit of the greedy packer — the metric "
+            "packing exists for (padding waste = real compute every "
+            "step): per group bins/docs/token mass, min/max final "
+            "fill, over-budget bins and exact mean utilization; "
+            "oracle wraps the recursive packing replay as a CTE",
+    ),
 }
 
 
@@ -8087,7 +8120,7 @@ _ROUND6_ORDER = [
     "t_closeness", "fim_render", "kmeans_ari", "kmeans_silhouette",
     "events_funnel_windowed", "benford_digits", "psi_drift",
     "attribution_time_decay", "code_detect", "conversion_latency",
-    "dow_uniformity",
+    "dow_uniformity", "packing_efficiency",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -605,3 +605,35 @@ def test_epoch_shuffle_sharded_bounds_window_and_permutes(docs):
     # a different epoch produces a different permutation somewhere
     c = epoch_shuffle_sharded(base, epoch=1, n_shards=8).collect()
     assert {tuple(r) for r in a} != {tuple(r) for r in c}
+
+
+def test_packing_efficiency_consistency(spark):
+    """Utilization must equal a direct recount of pack_greedy's bins;
+    token mass is conserved; an oversized doc shows up in
+    n_over_budget with max_fill above budget."""
+    from mapreduceimpl_spark.operators.packing import (
+        pack_greedy,
+        packing_efficiency,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 50, "en") for i in range(10)]          # 50 tokens each
+        + [(100, "big " * 300, "en")]                        # oversized: 300
+        + [(200 + i, "w " * 10, "fr") for i in range(4)],    # tiny
+        ["doc_id", "text", "lang"],
+    )
+    eff = {r["group_key"]: r
+           for r in packing_efficiency(docs, budget=128, n_shards=1).collect()}
+    packed = pack_greedy(docs, budget=128, n_shards=1)
+    direct_tokens = {
+        r["group_key"]: r["s"]
+        for r in packed.groupBy("group_key")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    for g, r in eff.items():
+        assert r["sum_tokens"] == direct_tokens[g]  # mass conserved
+        assert 0 < r["mean_utilization"] <= max(1.0, r["max_fill"] / 128)
+    en = eff["en"]
+    assert en["n_over_budget"] == 1 and en["max_fill"] >= 300
+    assert eff["fr"]["n_over_budget"] == 0
