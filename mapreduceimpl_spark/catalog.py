@@ -2778,7 +2778,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "fim_render", "kmeans_ari", "kmeans_silhouette",
      "events_funnel_windowed", "benford_digits", "psi_drift",
      "attribution_time_decay", "code_detect", "conversion_latency",
-     "dow_uniformity", "packing_efficiency"}
+     "dow_uniformity", "packing_efficiency", "curriculum_phases"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -8037,6 +8037,53 @@ FROM pe_agg""",
             "fill, over-budget bins and exact mean utilization; "
             "oracle wraps the recursive packing replay as a CTE",
     ),
+    "curriculum_phases": QuerySpec(
+        lambda spark, sf_dir: text_analysis.curriculum_phases(
+            load_table(spark, sf_dir, "documents")
+        ),
+        f"""WITH cp_toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+cp_counts AS (SELECT token, COUNT(*) AS cnt FROM cp_toks GROUP BY token),
+cp_total AS (SELECT COUNT(*) AS total FROM cp_toks),
+cp_scored AS (
+  SELECT t.doc_id,
+         round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 9) AS lp
+  FROM cp_toks t JOIN cp_counts USING (token) CROSS JOIN cp_total
+),
+cp_docs AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         round(-CAST(SUM(CAST(lp AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+           AS d
+  FROM cp_scored GROUP BY doc_id
+),
+cp_cuts AS (
+  SELECT quantile_cont(d, 1.0 / 3.0) AS c1,
+         quantile_cont(d, 2.0 / 3.0) AS c2
+  FROM cp_docs
+),
+cp_tagged AS (
+  SELECT n_tokens, d,
+         CASE WHEN d <= c1 THEN 1 WHEN d <= c2 THEN 2 ELSE 3 END AS phase
+  FROM cp_docs CROSS JOIN cp_cuts
+),
+cp_tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS all_tokens FROM cp_tagged),
+cp_agg AS (
+  SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS diff_raw
+  FROM cp_tagged GROUP BY phase
+)
+SELECT phase, n_docs, sum_tokens,
+       round(diff_raw, 6) AS mean_difficulty,
+       sum_tokens / CAST(all_tokens AS DOUBLE) AS token_share
+FROM cp_agg CROSS JOIN cp_tot""",
+        doc="curriculum-learning phase assignment: easy->hard by the "
+            "unigram-LM difficulty score, split at TWO broadcast exact "
+            "percentile cutoffs (never a corpus-wide NTILE sort — the "
+            "customer_rfm scale lesson applied at design time); per "
+            "phase docs, token mass, mean difficulty, token share",
+    ),
 }
 
 
@@ -8120,7 +8167,7 @@ _ROUND6_ORDER = [
     "t_closeness", "fim_render", "kmeans_ari", "kmeans_silhouette",
     "events_funnel_windowed", "benford_digits", "psi_drift",
     "attribution_time_decay", "code_detect", "conversion_latency",
-    "dow_uniformity", "packing_efficiency",
+    "dow_uniformity", "packing_efficiency", "curriculum_phases",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -2798,3 +2798,55 @@ def code_detect(docs: DataFrame, text_col: str = "text") -> DataFrame:
             (sym_ratio > 0.03) & ((indent_ratio > 0.2) | (semi_rate > 0.2))
         ).alias("is_code"),
     )
+
+
+def curriculum_phases(docs: DataFrame, n_phases: int = 3) -> DataFrame:
+    """Curriculum-learning phase assignment: order the corpus
+    easy -> hard by unigram-LM difficulty (``unigram_logprob``'s
+    avg neg log-prob — boilerplate-probable text scores low, rare/
+    garbled text high) and split it into ``n_phases`` schedule phases
+    at exact percentile cutoffs, reporting each phase's mass.
+
+    Phases come from TWO broadcast percentile cutoffs, NOT a global
+    NTILE sort (the ``customer_rfm`` lesson: a corpus-wide
+    single-partition sort is the thing that dies first at 100 TB;
+    ``percentile`` is exact and bit-equal to DuckDB quantile_cont).
+    Ties at a cutoff go to the earlier phase (<=), so the assignment
+    is deterministic on the round-6 scores.
+
+    Output per phase: n_docs, sum_tokens, mean difficulty
+    (decimal-routed mean of the round-6 scores) and the share of the
+    corpus token budget the phase consumes.
+    """
+    if n_phases != 3:
+        raise ValueError("curriculum_phases: exactly 3 phases supported "
+                         f"(two exact cutoffs); got {n_phases}")
+    scored = unigram_logprob(docs)
+    cuts = scored.agg(
+        F.percentile("avg_neg_logprob", 1.0 / 3.0).alias("c1"),
+        F.percentile("avg_neg_logprob", 2.0 / 3.0).alias("c2"),
+    )
+    tagged = scored.crossJoin(F.broadcast(cuts)).select(
+        "n_tokens",
+        "avg_neg_logprob",
+        F.when(F.col("avg_neg_logprob") <= F.col("c1"), F.lit(1))
+        .when(F.col("avg_neg_logprob") <= F.col("c2"), F.lit(2))
+        .otherwise(F.lit(3))
+        .alias("phase"),
+    )
+    total = tagged.agg(F.sum("n_tokens").cast("long").alias("all_tokens"))
+    agg = tagged.groupBy("phase").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        (
+            F.sum(F.col("avg_neg_logprob").cast("decimal(28,6)")).cast("double")
+            / F.count("*")
+        ).alias("diff_raw"),
+    )
+    return agg.crossJoin(F.broadcast(total)).select(
+        "phase",
+        "n_docs",
+        "sum_tokens",
+        F.round("diff_raw", 6).alias("mean_difficulty"),
+        (F.col("sum_tokens") / F.col("all_tokens")).alias("token_share"),
+    )

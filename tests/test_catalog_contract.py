@@ -229,6 +229,8 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
         "kmeans_silhouette",   # the Lloyd chain's k*dim broadcasts
         "benford_digits",      # 1-row total onto the 9-digit counts
         "psi_drift",           # 1-row (lo,hi) + 1-row totals broadcast
+        "curriculum_phases",   # 1-row cutoffs + 1-row token total, on
+                               # top of unigram_logprob's 1-row total
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

@@ -1400,3 +1400,31 @@ def test_code_detect_separates_code_from_prose(spark):
     # 4 lines, 2 start with two spaces, 2 end with ';'
     assert c["indent_ratio"] == 0.5 and c["semicolon_rate"] == 0.5
     assert p["symbol_ratio"] == 0.0
+
+
+def test_curriculum_phases_orders_by_difficulty(spark):
+    """Common-word docs land in phase 1, rare-word docs in phase 3;
+    phases partition the corpus; mean difficulty is monotone in
+    phase; n_phases != 3 is rejected."""
+    import pytest
+
+    from mapreduceimpl_spark.operators.text_analysis import curriculum_phases
+
+    docs = spark.createDataFrame(
+        # easy: the same common words everywhere
+        [(i, "the the the common common") for i in range(12)]
+        # medium: half common, half unique
+        + [(100 + i, "the common unique%d token%d" % (i, i)) for i in range(12)]
+        # hard: all-unique vocabulary
+        + [(200 + i, "zz%d qq%d ww%d vv%d" % (i, i, i, i)) for i in range(12)],
+        ["doc_id", "text"],
+    )
+    rows = curriculum_phases(docs).collect()
+    got = {r["phase"]: r for r in rows}
+    assert set(got) == {1, 2, 3}
+    assert sum(r["n_docs"] for r in rows) == 36
+    assert got[1]["mean_difficulty"] < got[2]["mean_difficulty"] < got[3]["mean_difficulty"]
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-9
+
+    with pytest.raises(ValueError):
+        curriculum_phases(docs, n_phases=4)
