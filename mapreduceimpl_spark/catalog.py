@@ -2778,7 +2778,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "fim_render", "kmeans_ari", "kmeans_silhouette",
      "events_funnel_windowed", "benford_digits", "psi_drift",
      "attribution_time_decay", "code_detect", "conversion_latency",
-     "dow_uniformity", "packing_efficiency", "curriculum_phases"}
+     "dow_uniformity", "packing_efficiency", "curriculum_phases",
+     "dup_cluster_sizes"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -8084,6 +8085,33 @@ FROM cp_agg CROSS JOIN cp_tot""",
             "customer_rfm scale lesson applied at design time); per "
             "phase docs, token mass, mean difficulty, token share",
     ),
+    "dup_cluster_sizes": QuerySpec(
+        lambda spark, sf_dir: dedup.cluster_size_histogram(
+            dedup.dedup_decision(
+                dedup.with_mutated_copies(load_table(spark, sf_dir, "documents")),
+                dedup.minhash_lsh_pairs(
+                    dedup.with_mutated_copies(
+                        load_table(spark, sf_dir, "documents")
+                    )
+                ).filter(F.col("est_jaccard") >= 0.5),
+            )
+        ),
+        f"""WITH dcs_comp AS ({_dedup_clusters_oracle()}),
+dcs_sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM dcs_comp GROUP BY component
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+FROM dcs_sizes GROUP BY cluster_size""",
+        doc="near-dup cluster-size histogram over the dedup_clusters "
+            "decision: unique mass, template families and the exact "
+            "removable-doc count per size — the shape report a dedup "
+            "config review reads first; two bounded aggregates on the "
+            "O(docs) decision frame",
+    ),
 }
 
 
@@ -8168,6 +8196,7 @@ _ROUND6_ORDER = [
     "events_funnel_windowed", "benford_digits", "psi_drift",
     "attribution_time_decay", "code_detect", "conversion_latency",
     "dow_uniformity", "packing_efficiency", "curriculum_phases",
+    "dup_cluster_sizes",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

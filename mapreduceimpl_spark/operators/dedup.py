@@ -1510,3 +1510,29 @@ def dedup_recall_eval(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
         "n_truth", "n_cand", "tp", "fp", "fn", "precision", "recall",
         f1.alias("f1"),
     )
+
+
+def cluster_size_histogram(decision: DataFrame) -> DataFrame:
+    """Histogram of near-dup cluster sizes over a ``dedup_decision``
+    frame — the shape report a dedup config review reads first: mass
+    at size 1 = unique docs, a long tail of big clusters = template/
+    boilerplate families the pair threshold should perhaps split, and
+    Σ (size - 1) over clusters = exactly the doc count removal will
+    delete.
+
+    Output per size: n_clusters, n_docs (= size * n_clusters) and the
+    removable count (size - 1) * n_clusters — all exact longs.
+
+    Scale: two aggregates on the O(docs) decision frame (component
+    then size); output is bounded by the largest cluster.
+    """
+    sizes = decision.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        (F.count("*") * F.col("cluster_size")).cast("long").alias("n_docs"),
+        ((F.col("cluster_size") - F.lit(1)) * F.count("*"))
+        .cast("long")
+        .alias("n_removable"),
+    )

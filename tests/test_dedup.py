@@ -1015,3 +1015,26 @@ def test_dedup_recall_eval_perfect_on_exact_copies(spark):
     r = dedup_recall_eval(docs, min_jaccard=0.5).collect()[0]
     assert (r["tp"], r["fp"], r["fn"]) == (1, 0, 0)
     assert r["precision"] == 1.0 and r["recall"] == 1.0 and r["f1"] == 1.0
+
+
+def test_cluster_size_histogram_hand_case(spark):
+    """Components {1,2,3}, {10,11}, {20}: histogram shows one size-3,
+    one size-2, one size-1 cluster; removable = 2 + 1 + 0."""
+    from mapreduceimpl_spark.operators.dedup import (
+        cluster_size_histogram,
+        dedup_decision,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in (1, 2, 3, 10, 11, 20)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (10, 11, 0.9)],
+        ["doc_a", "doc_b", "est_jaccard"],
+    )
+    hist = {r["cluster_size"]: r
+            for r in cluster_size_histogram(dedup_decision(docs, pairs)).collect()}
+    assert hist[3]["n_clusters"] == 1 and hist[3]["n_removable"] == 2
+    assert hist[2]["n_clusters"] == 1 and hist[2]["n_removable"] == 1
+    assert hist[1]["n_clusters"] == 1 and hist[1]["n_removable"] == 0
+    assert sum(r["n_docs"] for r in hist.values()) == 6
