@@ -502,7 +502,11 @@ def aspect_bucket_assign(
         (F.col("media") == "image")
         & F.col("width").isNotNull()
         & F.col("height").isNotNull()
+        # a corrupt header CAN carry width/height 0 — ln(0) is NULL in
+        # Spark but -inf in DuckDB, so degenerate geometry is excluded
+        # on both engines rather than diverging
         & (F.col("height") > 0)
+        & (F.col("width") > 0)
     ).select("asset_id", (F.col("width") / F.col("height")).alias("aspect"))
     scored = images.crossJoin(F.broadcast(bdf)).select(
         "asset_id",

@@ -408,3 +408,16 @@ def test_aspect_bucket_assign_hand_cases(spark):
     assert got["landscape_16_9"]["n_images"] == 1
     assert got["portrait_3_4"]["n_images"] == 1
     assert sum(r["n_images"] for r in rows) == 3  # one bucket per image
+
+
+def test_aspect_bucket_assign_excludes_degenerate_dims(spark):
+    """width or height 0 (corrupt headers carry them) must be excluded,
+    not produce a NULL/-inf log-distance divergence."""
+    from mapreduceimpl_spark.operators.multimodal import aspect_bucket_assign
+
+    meta = spark.createDataFrame(
+        [(1, "image", 512, 512), (2, "image", 0, 100), (3, "image", 100, 0)],
+        "asset_id long, media string, width long, height long",
+    )
+    rows = aspect_bucket_assign(meta).collect()
+    assert sum(r["n_images"] for r in rows) == 1
