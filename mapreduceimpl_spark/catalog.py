@@ -7238,6 +7238,7 @@ FROM hp_scored GROUP BY lang""",
   SELECT o_orderpriority AS a, l_returnflag AS b,
          CAST(COUNT(*) AS BIGINT) AS o
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority IS NOT NULL AND l_returnflag IS NOT NULL
   GROUP BY 1, 2
 ),
 cv_rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rt FROM cv_cells GROUP BY a),

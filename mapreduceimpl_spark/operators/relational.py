@@ -3323,9 +3323,14 @@ def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     groupBy); everything after operates on O(r*c) cells with
     broadcast-sized row/col/grand totals.
     """
-    cells = df.groupBy(
-        F.col(col_a).alias("a"), F.col(col_b).alias("b")
-    ).agg(F.count("*").cast("long").alias("o"))
+    # NULL categories would land in contingency cells but be excluded
+    # from the COUNT(DISTINCT) r/c cardinalities (both engines agree on
+    # that asymmetry) — drop them so the two views stay consistent
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count("*").cast("long").alias("o"))
+    )
     rowt = cells.groupBy("a").agg(F.sum("o").cast("long").alias("rt"))
     colt = cells.groupBy("b").agg(F.sum("o").cast("long").alias("ct"))
     tot = cells.agg(

@@ -766,3 +766,18 @@ def test_dow_uniformity_hand_cases(spark):
     assert r2["days_seen"] == 1
     # chi2 = (7/n)*n^2 - n = 6n
     assert r2["chi2"] == 6.0 * 70
+
+
+def test_cramers_v_drops_null_categories(spark):
+    """NULL categories would inflate contingency cells while being
+    excluded from the r/c cardinalities — they must be dropped so the
+    two views stay consistent."""
+    from mapreduceimpl_spark.operators.relational import cramers_v
+
+    df = spark.createDataFrame(
+        [("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"), (None, "p"), ("x", None)],
+        "ca string, cb string",
+    )
+    r = cramers_v(df, "ca", "cb").collect()[0]
+    assert (r["n"], r["r"], r["c"]) == (4, 2, 2)
+    assert r["cramers_v"] == 1.0
