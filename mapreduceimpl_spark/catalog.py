@@ -2779,7 +2779,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "events_funnel_windowed", "benford_digits", "psi_drift",
      "attribution_time_decay", "code_detect", "conversion_latency",
      "dow_uniformity", "packing_efficiency", "curriculum_phases",
-     "dup_cluster_sizes"}
+     "dup_cluster_sizes", "deletion_cascade"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -8113,6 +8113,42 @@ FROM dcs_sizes GROUP BY cluster_size""",
             "config review reads first; two bounded aggregates on the "
             "O(docs) decision frame",
     ),
+    "deletion_cascade": QuerySpec(
+        _rel(relational.q_deletion_cascade),
+        f"""WITH dc_cohort AS (
+  SELECT c_custkey FROM customer
+  WHERE ({sampling.hash_uniform_sql("'erasure-v1:' || CAST(c_custkey AS VARCHAR)")}) < 0.01
+),
+dc_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM dc_cohort)
+),
+dc_li AS (
+  SELECT 1 AS x FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM dc_orders)
+)
+SELECT 'customer' AS table_name,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS rows_total,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM dc_cohort) AS rows_to_delete,
+       (SELECT COUNT(*) FROM dc_cohort)
+         / CAST((SELECT COUNT(*) FROM customer) AS DOUBLE) AS delete_frac
+UNION ALL
+SELECT 'orders',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM dc_orders),
+       (SELECT COUNT(*) FROM dc_orders)
+         / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE)
+UNION ALL
+SELECT 'lineitem',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM dc_li),
+       (SELECT COUNT(*) FROM dc_li)
+         / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE)""",
+        doc="right-to-erasure impact report: md5-uniform 1% customer "
+            "cohort cascaded customer -> orders -> lineitem via "
+            "semi-joins, exact per-table delete counts and fractions "
+            "— the compliance dry-run before the destructive pass",
+    ),
 }
 
 
@@ -8197,7 +8233,7 @@ _ROUND6_ORDER = [
     "events_funnel_windowed", "benford_digits", "psi_drift",
     "attribution_time_decay", "code_detect", "conversion_latency",
     "dow_uniformity", "packing_efficiency", "curriculum_phases",
-    "dup_cluster_sizes",
+    "dup_cluster_sizes", "deletion_cascade",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

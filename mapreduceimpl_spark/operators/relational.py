@@ -3903,3 +3903,54 @@ def q_dow_uniformity(t: dict[str, DataFrame]) -> DataFrame:
             9,
         ).alias("max_share_dev"),
     )
+
+
+def q_deletion_cascade(t: dict[str, DataFrame]) -> DataFrame:
+    """Right-to-erasure impact report: given a deterministic deletion
+    cohort (the md5-uniform 1% of customers — standing in for a GDPR
+    request list), count the rows each table must delete, following
+    the referential cascade customer -> orders -> lineitem — the
+    compliance dry-run a data platform executes BEFORE the destructive
+    pass, and the number the DPO signs off on.
+
+    Exact counts only; the cohort decision is the ``hash_uniform``
+    convention (replayable, no list shipping).  Output one row per
+    table: rows_total, rows_to_delete, delete_frac (exact division).
+
+    Scale: the cohort is a semi-join pushed down each fact table
+    (orders by custkey; lineitem via the orders keys — two keyed
+    shuffles); counts are map-side-combined aggregates.
+    """
+    from mapreduceimpl_spark.operators.sampling import hash_uniform
+
+    c = t["customer"]
+    o = t["orders"]
+    li = t["lineitem"]
+    cohort = c.filter(
+        hash_uniform(
+            F.concat(F.lit("erasure-v1:"), F.col("c_custkey").cast("string"))
+        )
+        < F.lit(0.01)
+    ).select("c_custkey")
+    del_orders = o.join(
+        cohort, o.o_custkey == cohort.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    del_li = li.join(
+        del_orders, li.l_orderkey == del_orders.o_orderkey, "left_semi"
+    )
+
+    def row(name: str, total_df: DataFrame, del_df: DataFrame) -> DataFrame:
+        return total_df.agg(F.count("*").cast("long").alias("rows_total")).crossJoin(
+            del_df.agg(F.count("*").cast("long").alias("rows_to_delete"))
+        ).select(
+            F.lit(name).alias("table_name"),
+            "rows_total",
+            "rows_to_delete",
+            (F.col("rows_to_delete") / F.col("rows_total")).alias("delete_frac"),
+        )
+
+    return (
+        row("customer", c, cohort)
+        .unionAll(row("orders", o, del_orders))
+        .unionAll(row("lineitem", li, del_li))
+    )

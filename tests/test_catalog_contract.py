@@ -231,6 +231,7 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
         "psi_drift",           # 1-row (lo,hi) + 1-row totals broadcast
         "curriculum_phases",   # 1-row cutoffs + 1-row token total, on
                                # top of unigram_logprob's 1-row total
+        "deletion_cascade",    # three 1-row x 1-row count pairs
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

@@ -781,3 +781,45 @@ def test_cramers_v_drops_null_categories(spark):
     r = cramers_v(df, "ca", "cb").collect()[0]
     assert (r["n"], r["r"], r["c"]) == (4, 2, 2)
     assert r["cramers_v"] == 1.0
+
+
+def test_deletion_cascade_referential_consistency(spark, tables):
+    """The cascade counts must equal direct recounts: every order of a
+    cohort customer is deleted, every lineitem of a deleted order is
+    deleted, and fractions are exact count ratios."""
+    from mapreduceimpl_spark.operators.relational import q_deletion_cascade
+
+    rows = {r["table_name"]: r for r in q_deletion_cascade(tables).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    for r in rows.values():
+        assert 0 <= r["rows_to_delete"] <= r["rows_total"]
+        assert r["delete_frac"] == r["rows_to_delete"] / r["rows_total"]
+    # direct recount: cascade counts equal a hand-built semi-join chain
+    from pyspark.sql import functions as F
+
+    from mapreduceimpl_spark.operators.sampling import hash_uniform
+
+    cohort = tables["customer"].filter(
+        hash_uniform(
+            F.concat(F.lit("erasure-v1:"), F.col("c_custkey").cast("string"))
+        )
+        < 0.01
+    )
+    n_c = cohort.count()
+    assert rows["customer"]["rows_to_delete"] == n_c
+    del_o = tables["orders"].join(
+        cohort.select("c_custkey"),
+        tables["orders"].o_custkey == F.col("c_custkey"),
+        "left_semi",
+    )
+    assert rows["orders"]["rows_to_delete"] == del_o.count()
+    n_li = tables["lineitem"].join(
+        del_o.select("o_orderkey"),
+        tables["lineitem"].l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    ).count()
+    assert rows["lineitem"]["rows_to_delete"] == n_li
+    # at sf0.001 the 1% cohort may legitimately be empty; the cascade
+    # must then be empty too
+    if n_c == 0:
+        assert rows["lineitem"]["rows_to_delete"] == 0
