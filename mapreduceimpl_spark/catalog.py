@@ -2779,7 +2779,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "events_funnel_windowed", "benford_digits", "psi_drift",
      "attribution_time_decay", "code_detect", "conversion_latency",
      "dow_uniformity", "packing_efficiency", "curriculum_phases",
-     "dup_cluster_sizes", "deletion_cascade"}
+     "dup_cluster_sizes", "deletion_cascade", "sample_size_plan"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -8149,6 +8149,42 @@ SELECT 'lineitem',
             "semi-joins, exact per-table delete counts and fractions "
             "— the compliance dry-run before the destructive pass",
     ),
+    "sample_size_plan": QuerySpec(
+        lambda spark, sf_dir: sampling.sample_size_plan(
+            load_table(spark, sf_dir, "documents"), "n_chars"
+        ),
+        """WITH ssp_agg AS (
+  SELECT lang AS strata, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS sx,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+  FROM documents GROUP BY lang
+),
+ssp_m AS (
+  SELECT strata, n, sx, sxx,
+         sx / CAST(n AS DOUBLE) AS mean_value,
+         sqrt((n * sxx - sx * sx)
+              / CAST(n * GREATEST(n - 1, 1) AS DOUBLE)) AS sd_raw
+  FROM ssp_agg
+)
+SELECT strata, n, mean_value,
+       round(sd_raw, 9) AS sd,
+       CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0 AND sx > 0
+            THEN CAST(ceil((1.96 * sd_raw / (0.05 * mean_value))
+                           * (1.96 * sd_raw / (0.05 * mean_value)))
+                 AS BIGINT)
+            ELSE 0 END AS n_required,
+       CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0 AND sx > 0
+            THEN CAST(ceil((1.96 * sd_raw / (0.05 * mean_value))
+                           * (1.96 * sd_raw / (0.05 * mean_value)))
+                 AS BIGINT) / CAST(n AS DOUBLE)
+            ELSE 0.0 END AS required_frac
+FROM ssp_m""",
+        doc="per-stratum survey-sampling size calculator: required n "
+            "for a ±5% relative 95% CI on mean doc length from the "
+            "exact integer sufficient statistics (the ols_by_group "
+            "pattern) — the planning step before any sampler runs; "
+            "one map-side aggregate",
+    ),
 }
 
 
@@ -8233,7 +8269,7 @@ _ROUND6_ORDER = [
     "events_funnel_windowed", "benford_digits", "psi_drift",
     "attribution_time_decay", "code_detect", "conversion_latency",
     "dow_uniformity", "packing_efficiency", "curriculum_phases",
-    "dup_cluster_sizes", "deletion_cascade",
+    "dup_cluster_sizes", "deletion_cascade", "sample_size_plan",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -615,3 +615,62 @@ def shard_balance(
         "max_shard_rows",
         F.round(skew, 9).alias("skew"),
     )
+
+
+# z for a 95% two-sided normal interval — repr-interpolated into both
+# engines so the planning arithmetic is bit-identical
+Z_95 = 1.96
+
+
+def sample_size_plan(
+    df: DataFrame,
+    value_col: str,
+    strata_col: str = "lang",
+    rel_margin: float = 0.05,
+) -> DataFrame:
+    """Per-stratum sample-size calculator: the planning step BEFORE
+    any sampling entry runs — how many rows per stratum does a mean
+    estimate need for a ±``rel_margin`` relative 95% CI
+    (n = (z * sd / (margin * mean))², the classic survey-sampling
+    formula).  Strata whose required n exceeds their population tell
+    you sampling cannot hit the target there at all.
+
+    Variance comes from the exact integer sufficient statistics
+    (n·Σx² − (Σx)²) / (n·(n−1)) — the ``ols_by_group`` pattern — so
+    mean/sd/required-n are fixed-order float expressions over exact
+    longs; required n is one ceil.  Degenerate strata (n < 2, zero
+    variance, zero mean) report required_n = 0.
+
+    Scale: ONE map-side-combined aggregate per stratum; O(strata)
+    output.
+    """
+    if not 0.0 < rel_margin < 1.0:
+        raise ValueError(f"sample_size_plan: rel_margin in (0,1); got {rel_margin}")
+    g = df.select(
+        F.col(strata_col).alias("strata"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    agg = g.groupBy("strata").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        / (F.col("n") * F.greatest(F.col("n") - F.lit(1), F.lit(1)))
+    )
+    sd = F.sqrt(var)
+    ok = (F.col("n") > 1) & (var > 0) & (F.col("sx") > 0)
+    n_req = F.ceil(
+        (F.lit(Z_95) * sd / (F.lit(rel_margin) * mean))
+        * (F.lit(Z_95) * sd / (F.lit(rel_margin) * mean))
+    ).cast("long")
+    return agg.select(
+        "strata",
+        "n",
+        mean.alias("mean_value"),
+        F.round(sd, 9).alias("sd"),
+        F.when(ok, n_req).otherwise(F.lit(0)).cast("long").alias("n_required"),
+        F.when(ok, n_req / F.col("n")).otherwise(F.lit(0.0)).alias("required_frac"),
+    )

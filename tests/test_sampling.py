@@ -69,3 +69,37 @@ def test_shard_balance_consistency_with_sharded_shuffle(spark):
 
     with pytest.raises(ValueError):
         shard_balance(df, n_shards=0)
+
+
+def test_sample_size_plan_hand_case(spark):
+    """A low-variance stratum needs fewer samples than a high-variance
+    one at the same mean; a constant stratum needs 0; the formula
+    matches an independent recomputation."""
+    import math
+
+    import pytest
+
+    from mapreduceimpl_spark.operators.sampling import sample_size_plan
+
+    rows = (
+        [(i, 100 + (i % 2), "tight") for i in range(50)]      # sd ~ 0.5
+        + [(100 + i, 100 + 50 * (i % 2), "wide") for i in range(50)]
+        + [(200 + i, 42, "const") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "val", "lang"])
+    got = {r["strata"]: r for r in
+           sample_size_plan(df, "val", "lang").collect()}
+
+    assert got["const"]["n_required"] == 0 and got["const"]["sd"] == 0.0
+    assert 0 < got["tight"]["n_required"] < got["wide"]["n_required"]
+
+    t = got["tight"]
+    xs = [100 + (i % 2) for i in range(50)]
+    n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+    mean = sx / n
+    sd = math.sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+    expect = math.ceil((1.96 * sd / (0.05 * mean)) ** 2)
+    assert t["n_required"] == expect
+
+    with pytest.raises(ValueError):
+        sample_size_plan(df, "val", "lang", rel_margin=0.0)
