@@ -2779,7 +2779,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "events_funnel_windowed", "benford_digits", "psi_drift",
      "attribution_time_decay", "code_detect", "conversion_latency",
      "dow_uniformity", "packing_efficiency", "curriculum_phases",
-     "dup_cluster_sizes", "deletion_cascade", "sample_size_plan"}
+     "dup_cluster_sizes", "deletion_cascade", "sample_size_plan",
+     "event_burstiness"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -8185,6 +8186,44 @@ FROM ssp_m""",
             "pattern) — the planning step before any sampler runs; "
             "one map-side aggregate",
     ),
+    "event_burstiness": QuerySpec(
+        lambda spark, sf_dir: timeseries.event_burstiness(
+            load_table(spark, sf_dir, "events")
+        ),
+        """WITH eb_gaps AS (
+  SELECT event_type AS etype,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+  FROM events
+),
+eb_agg AS (
+  SELECT etype,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(g) AS BIGINT) AS sg,
+         CAST(SUM(CAST(g AS HUGEINT) * g) AS DOUBLE) AS sgg
+  FROM eb_gaps WHERE g IS NOT NULL GROUP BY etype
+),
+eb_m AS (
+  SELECT etype, n_gaps, sg, sgg,
+         sg / CAST(n_gaps AS DOUBLE) AS mean,
+         (sgg - (sg / CAST(n_gaps AS DOUBLE)) * sg)
+           / GREATEST(n_gaps - 1, 1) AS var
+  FROM eb_agg
+)
+SELECT etype, n_gaps,
+       mean AS mean_gap_us,
+       CASE WHEN n_gaps >= 2 AND var > 0 THEN sqrt(var)
+            ELSE 0.0 END AS sd_gap_us,
+       round(CASE WHEN n_gaps >= 2 AND var > 0
+                  THEN (sqrt(var) - mean) / (sqrt(var) + mean)
+                  ELSE 0.0 END, 9) AS burstiness
+FROM eb_m""",
+        doc="Goh-Barabási burstiness of per-user inter-event gaps by "
+            "event type ((sd-mean)/(sd+mean): -1 periodic, 0 Poisson, "
+            "->1 bursty) — exact BIGINT micros gaps, decimal/hugeint "
+            "Σg² sufficient statistics; one user window Exchange + one "
+            "map-side aggregate",
+    ),
 }
 
 
@@ -8270,6 +8309,7 @@ _ROUND6_ORDER = [
     "attribution_time_decay", "code_detect", "conversion_latency",
     "dow_uniformity", "packing_efficiency", "curriculum_phases",
     "dup_cluster_sizes", "deletion_cascade", "sample_size_plan",
+    "event_burstiness",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

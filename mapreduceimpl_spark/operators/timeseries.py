@@ -345,3 +345,64 @@ def theil_sen_daily(
     return picked.select(
         "etype", "n_pairs", F.round("slope", 9).alias("ts_slope")
     )
+
+
+def event_burstiness(
+    events: DataFrame,
+    type_col: str = "event_type",
+    min_gaps: int = 2,
+) -> DataFrame:
+    """Burstiness of inter-event gaps per event type (Goh & Barabási):
+    B = (sd - mean) / (sd + mean) over the per-user inter-event times,
+    in (-1, 1) — B ~ -1 periodic/regular, ~0 Poisson, -> 1 bursty.
+    The behavioral fingerprint that separates bot-like regular traffic
+    from human bursts BEFORE any per-user modeling.
+
+    Gaps are exact BIGINT micros (lag over the per-user (ts, event_id)
+    order); mean/sd come from the exact integer sufficient statistics
+    (Σg, Σg² — the ``ols_by_group`` pattern; g² up to ~10^13 per gap
+    so Σg² stays well inside long at fixture scale, DECIMAL-route it
+    at true corpus scale), so B is a fixed-order float expression.
+    Types with under ``min_gaps`` gaps or zero variance report B = 0.
+
+    Scale: one user_id window Exchange for the lags, one map-side
+    aggregate per type.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.select(
+            type_col,
+            "user_id",
+            "ts",
+            "event_id",
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .select(F.col(type_col).alias("etype"), "g")
+    )
+    agg = gaps.groupBy("etype").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("sg"),
+        F.sum(
+            (F.col("g").cast("decimal(28,0)") * F.col("g")).cast("decimal(38,0)")
+        ).alias("sgg_dec"),
+    )
+    sgg = F.col("sgg_dec").cast("double")
+    mean = F.col("sg") / F.col("n_gaps")
+    var = (sgg - (F.col("sg") / F.col("n_gaps")) * F.col("sg")) / F.greatest(
+        F.col("n_gaps") - F.lit(1), F.lit(1)
+    )
+    sd = F.sqrt(var)
+    ok = (F.col("n_gaps") >= min_gaps) & (var > 0)
+    b = (sd - mean) / (sd + mean)
+    # mean/sd ship UNROUNDED: at micros magnitudes (~1e10) a 1e-6
+    # rounding grain sits BELOW the double ULP (~7.6e-6), where Spark
+    # and DuckDB round() legitimately disagree — the raw fixed-order
+    # divisions are bit-identical, so no rounding is the exact choice
+    return agg.select(
+        "etype",
+        "n_gaps",
+        mean.alias("mean_gap_us"),
+        F.when(ok, sd).otherwise(F.lit(0.0)).alias("sd_gap_us"),
+        F.round(F.when(ok, b).otherwise(F.lit(0.0)), 9).alias("burstiness"),
+    )

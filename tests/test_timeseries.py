@@ -930,3 +930,31 @@ def test_theil_sen_robust_to_outlier_day(spark):
     r = theil_sen_daily(df).collect()[0]
     assert r["n_pairs"] == 36  # C(9, 2)
     assert r["ts_slope"] == 2.0
+
+
+def test_event_burstiness_regular_vs_bursty(spark):
+    """A perfectly periodic user (constant gaps) has zero variance ->
+    B pinned 0 via the guard; a bursty pattern (many tiny gaps + one
+    huge gap) pushes B toward 1; a mildly irregular one sits between."""
+    import datetime as dt
+
+    from mapreduceimpl_spark.operators.timeseries import event_burstiness
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # periodic: every 60s
+    for i in range(20):
+        rows.append((eid, base + dt.timedelta(seconds=60 * i), 1, "periodic"))
+        eid += 1
+    # bursty: 1s gaps then a 1-day gap, repeated
+    t = base
+    for i in range(20):
+        t += dt.timedelta(seconds=1 if i % 5 else 86400)
+        rows.append((eid, t, 2, "bursty"))
+        eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {r["etype"]: r for r in event_burstiness(df).collect()}
+    assert got["periodic"]["burstiness"] == 0.0  # zero variance guard
+    assert got["periodic"]["mean_gap_us"] == 60_000_000.0
+    assert got["bursty"]["burstiness"] > 0.3
