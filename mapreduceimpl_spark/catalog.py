@@ -2780,7 +2780,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "attribution_time_decay", "code_detect", "conversion_latency",
      "dow_uniformity", "packing_efficiency", "curriculum_phases",
      "dup_cluster_sizes", "deletion_cascade", "sample_size_plan",
-     "event_burstiness"}
+     "event_burstiness", "effective_domains"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -8224,6 +8224,36 @@ FROM eb_m""",
             "Σg² sufficient statistics; one user window Exchange + one "
             "map-side aggregate",
     ),
+    "effective_domains": QuerySpec(
+        lambda spark, sf_dir: text_analysis.effective_domains(
+            load_table(spark, sf_dir, "documents")
+        ),
+        """WITH ed_cells AS (
+  SELECT lang AS grp, source AS dom, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+ed_tot AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS tot FROM ed_cells GROUP BY grp),
+ed_scored AS (
+  SELECT c.grp, t.tot AS n_docs,
+         round(-(cnt / CAST(tot AS DOUBLE))
+               * ln(cnt / CAST(tot AS DOUBLE)), 9) AS t9
+  FROM ed_cells c JOIN ed_tot t ON c.grp = t.grp
+),
+ed_agg AS (
+  SELECT grp, n_docs, CAST(COUNT(*) AS BIGINT) AS n_sources,
+         CAST(SUM(CAST(t9 AS DECIMAL(28,9))) AS DOUBLE) AS h_raw
+  FROM ed_scored GROUP BY 1, 2
+)
+SELECT grp AS lang, n_docs, n_sources,
+       round(h_raw, 9) AS entropy,
+       round(exp(h_raw), 6) AS effective_sources
+FROM ed_agg""",
+        doc="effective number of domains per language: exp of the "
+            "Shannon entropy of the source shares (exact count "
+            "divisions, round-9 decimal-summed terms) — the "
+            "skew-aware diversity number raw distinct counts miss, "
+            "complementing token_gini's concentration",
+    ),
 }
 
 
@@ -8309,7 +8339,7 @@ _ROUND6_ORDER = [
     "attribution_time_decay", "code_detect", "conversion_latency",
     "dow_uniformity", "packing_efficiency", "curriculum_phases",
     "dup_cluster_sizes", "deletion_cascade", "sample_size_plan",
-    "event_burstiness",
+    "event_burstiness", "effective_domains",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

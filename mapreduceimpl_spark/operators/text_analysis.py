@@ -2850,3 +2850,43 @@ def curriculum_phases(docs: DataFrame, n_phases: int = 3) -> DataFrame:
         F.round("diff_raw", 6).alias("mean_difficulty"),
         (F.col("sum_tokens") / F.col("all_tokens")).alias("token_share"),
     )
+
+
+def effective_domains(
+    docs: DataFrame,
+    group_col: str = "lang",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Effective number of domains feeding each stratum: exp of the
+    Shannon entropy of the domain share distribution — the diversity
+    number a mixing decision actually wants ("en draws on 3.2
+    effective sources, zh on 1.4") where raw distinct counts ignore
+    skew and ``token_gini`` measures the complementary concentration.
+
+    Shares are exact count divisions; each -p·ln(p) term is rounded
+    to 9 and decimal-summed (the ``bigram_logprob`` pattern), and the
+    final exp is one libm call on the identical double.
+
+    Scale: one (group, domain) groupBy, one bounded per-group
+    aggregate; output O(groups).
+    """
+    cells = docs.groupBy(
+        F.col(group_col).alias("grp"), F.col(domain_col).alias("dom")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    totals = cells.groupBy("grp").agg(F.sum("cnt").cast("long").alias("tot"))
+    p = F.col("cnt") / F.col("tot")
+    term = F.round(-p * F.log(p), 9)
+    scored = cells.join(totals, "grp").select(
+        "grp", F.col("tot").alias("n_docs"), term.alias("t9")
+    )
+    agg = scored.groupBy("grp", "n_docs").agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.sum(F.col("t9").cast("decimal(28,9)")).cast("double").alias("h_raw"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_sources",
+        F.round("h_raw", 9).alias("entropy"),
+        F.round(F.exp("h_raw"), 6).alias("effective_sources"),
+    )

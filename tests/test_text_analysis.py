@@ -1428,3 +1428,23 @@ def test_curriculum_phases_orders_by_difficulty(spark):
 
     with pytest.raises(ValueError):
         curriculum_phases(docs, n_phases=4)
+
+
+def test_effective_domains_hand_cases(spark):
+    """A uniform 4-source stratum has exactly 4.0 effective sources;
+    a heavily skewed one reports far fewer than its distinct count;
+    a single-source stratum reports exactly 1.0."""
+    from mapreduceimpl_spark.operators.text_analysis import effective_domains
+
+    rows = (
+        [(i, "t", "uni", "s%d" % (i % 4)) for i in range(40)]
+        + [(100 + i, "t", "skew", "big" if i < 37 else "s%d" % i) for i in range(40)]
+        + [(200 + i, "t", "mono", "only") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    got = {r["lang"]: r for r in effective_domains(docs).collect()}
+    assert got["uni"]["n_sources"] == 4
+    assert got["uni"]["effective_sources"] == 4.0
+    assert got["mono"]["effective_sources"] == 1.0 and got["mono"]["entropy"] == 0.0
+    assert got["skew"]["n_sources"] == 4
+    assert got["skew"]["effective_sources"] < 2.0
