@@ -2780,7 +2780,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "attribution_time_decay", "code_detect", "conversion_latency",
      "dow_uniformity", "packing_efficiency", "curriculum_phases",
      "dup_cluster_sizes", "deletion_cascade", "sample_size_plan",
-     "event_burstiness", "effective_domains"}
+     "event_burstiness", "effective_domains", "session_depth_hist"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -8254,6 +8254,41 @@ FROM ed_agg""",
             "skew-aware diversity number raw distinct counts miss, "
             "complementing token_gini's concentration",
     ),
+    "session_depth_hist": QuerySpec(
+        _rel(relational.q_session_depth_hist),
+        """WITH sdh_flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sdh_sess AS (
+  SELECT user_id, event_id,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM sdh_flagged
+),
+sdh_sizes AS (
+  SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS depth
+  FROM sdh_sess GROUP BY user_id, session_id
+),
+sdh_hist AS (
+  SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_sessions
+  FROM sdh_sizes GROUP BY depth
+),
+sdh_tot AS (SELECT CAST(SUM(n_sessions) AS BIGINT) AS total FROM sdh_hist)
+SELECT depth, n_sessions,
+       n_sessions / CAST(total AS DOUBLE) AS session_share,
+       CAST(depth * n_sessions AS BIGINT) AS n_events
+FROM sdh_hist CROSS JOIN sdh_tot""",
+        doc="session-depth histogram over the gap sessionization: "
+            "bounce mass at depth 1, power-session tail, exact share "
+            "per depth — the engagement-shape readout; rides the "
+            "sessionize Exchange then two bounded aggregates",
+    ),
 }
 
 
@@ -8339,7 +8374,7 @@ _ROUND6_ORDER = [
     "attribution_time_decay", "code_detect", "conversion_latency",
     "dow_uniformity", "packing_efficiency", "curriculum_phases",
     "dup_cluster_sizes", "deletion_cascade", "sample_size_plan",
-    "event_burstiness", "effective_domains",
+    "event_burstiness", "effective_domains", "session_depth_hist",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -3954,3 +3954,29 @@ def q_deletion_cascade(t: dict[str, DataFrame]) -> DataFrame:
         .unionAll(row("orders", o, del_orders))
         .unionAll(row("lineitem", li, del_li))
     )
+
+
+def q_session_depth_hist(t: dict[str, DataFrame]) -> DataFrame:
+    """Histogram of session depths (events per session) over the
+    gap-based sessionization — the engagement-shape report behind
+    "are sessions getting shallower": mass at depth 1 = bounce rate,
+    the tail = power sessions.  Composes ``q_events_sessionize``'s
+    per-session frame into a bounded (depth -> sessions) relation.
+
+    All exact longs; share is one exact division against the 1-row
+    session total.
+
+    Scale: rides the sessionize window Exchange, then two bounded
+    aggregates; output is bounded by the deepest session.
+    """
+    sessions = q_events_sessionize(t)
+    hist = sessions.groupBy(F.col("n_events").alias("depth")).agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    total = hist.agg(F.sum("n_sessions").cast("long").alias("total"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "depth",
+        "n_sessions",
+        (F.col("n_sessions") / F.col("total")).alias("session_share"),
+        (F.col("depth") * F.col("n_sessions")).cast("long").alias("n_events"),
+    )

@@ -232,6 +232,8 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
         "curriculum_phases",   # 1-row cutoffs + 1-row token total, on
                                # top of unigram_logprob's 1-row total
         "deletion_cascade",    # three 1-row x 1-row count pairs
+        "session_depth_hist",  # 1-row session total onto the bounded
+                               # depth histogram
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

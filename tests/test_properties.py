@@ -823,3 +823,31 @@ def test_deletion_cascade_referential_consistency(spark, tables):
     # must then be empty too
     if n_c == 0:
         assert rows["lineitem"]["rows_to_delete"] == 0
+
+
+def test_session_depth_hist_hand_case(spark):
+    """User A: 3 events within 30min (one session of depth 3) then a
+    2h gap and 1 event (depth 1); user B: 2 events in one session.
+    Histogram: depth 1 x1, depth 2 x1, depth 3 x1; shares sum to 1;
+    n_events reconciles with the input row count."""
+    import datetime as dt
+
+    from mapreduceimpl_spark.operators.relational import q_session_depth_hist
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(eid, minutes, uid):
+        return (eid, base + dt.timedelta(minutes=minutes), uid, "view", 1.0, "{}")
+
+    rows = [
+        ev(1, 0, 1), ev(2, 10, 1), ev(3, 20, 1),   # session depth 3
+        ev(4, 140, 1),                              # lone session
+        ev(5, 0, 2), ev(6, 5, 2),                   # depth 2
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {r["depth"]: r for r in q_session_depth_hist({"events": df}).collect()}
+    assert {d: r["n_sessions"] for d, r in got.items()} == {1: 1, 2: 1, 3: 1}
+    assert abs(sum(r["session_share"] for r in got.values()) - 1.0) < 1e-12
+    assert sum(r["n_events"] for r in got.values()) == 6
