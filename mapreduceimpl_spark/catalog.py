@@ -2780,7 +2780,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "attribution_time_decay", "code_detect", "conversion_latency",
      "dow_uniformity", "packing_efficiency", "curriculum_phases",
      "dup_cluster_sizes", "deletion_cascade", "sample_size_plan",
-     "event_burstiness", "effective_domains", "session_depth_hist"}
+     "event_burstiness", "effective_domains", "session_depth_hist",
+     "iqr_fences"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -8289,6 +8290,35 @@ FROM sdh_hist CROSS JOIN sdh_tot""",
             "per depth — the engagement-shape readout; rides the "
             "sessionize Exchange then two bounded aggregates",
     ),
+    "iqr_fences": QuerySpec(
+        _rel(relational.q_iqr_fences),
+        """WITH iq_d AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents
+),
+iq_q AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         quantile_cont(x, 0.25) AS q1,
+         quantile_cont(x, 0.75) AS q3
+  FROM iq_d GROUP BY lang
+),
+iq_f AS (
+  SELECT d.lang, n, q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lo,
+         q3 + 1.5 * (q3 - q1) AS hi,
+         CASE WHEN d.x < q1 - 1.5 * (q3 - q1)
+                   OR d.x > q3 + 1.5 * (q3 - q1)
+              THEN 1 ELSE 0 END AS is_out
+  FROM iq_d d JOIN iq_q q ON d.lang = q.lang
+)
+SELECT lang, n, q1, q3, lo, hi,
+       CAST(SUM(is_out) AS BIGINT) AS n_outliers,
+       CAST(SUM(is_out) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS outlier_frac
+FROM iq_f GROUP BY lang, n, q1, q3, lo, hi""",
+        doc="Tukey 1.5-IQR outlier fences per language on doc length: "
+            "quartiles via the exact percentile == quantile_cont "
+            "parity, the quantile sibling of mad_outliers; two "
+            "map-side passes, O(langs) output",
+    ),
 }
 
 
@@ -8375,6 +8405,7 @@ _ROUND6_ORDER = [
     "dow_uniformity", "packing_efficiency", "curriculum_phases",
     "dup_cluster_sizes", "deletion_cascade", "sample_size_plan",
     "event_burstiness", "effective_domains", "session_depth_hist",
+    "iqr_fences",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

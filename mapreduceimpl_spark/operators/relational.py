@@ -3980,3 +3980,43 @@ def q_session_depth_hist(t: dict[str, DataFrame]) -> DataFrame:
         (F.col("n_sessions") / F.col("total")).alias("session_share"),
         (F.col("depth") * F.col("n_sessions")).cast("long").alias("n_events"),
     )
+
+
+def q_iqr_fences(t: dict[str, DataFrame]) -> DataFrame:
+    """Tukey IQR outlier fences per language over doc length — the
+    boxplot rule (1.5·IQR beyond the quartiles), the quantile-based
+    sibling of ``mad_outliers`` (MAD keys off the median's absolute
+    deviations; IQR off the quartile spread — the two standard robust
+    fences a data-quality gate picks between).
+
+    Quartiles ride the exact Spark-percentile == DuckDB-quantile_cont
+    bit parity; fences and outlier counts are fixed-order float
+    comparisons against exact-long lengths.
+
+    Scale: one groupBy(lang) percentile aggregate, then one
+    fence-count aggregate over the same grouping — two map-side
+    passes, O(langs) output.
+    """
+    d = t["documents"].select(
+        "lang", F.col("n_chars").cast("long").alias("x")
+    )
+    q = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        F.percentile("x", 0.25).alias("q1"),
+        F.percentile("x", 0.75).alias("q3"),
+    )
+    lo = F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    fenced = d.join(q, "lang").select(
+        "lang",
+        "n",
+        "q1",
+        "q3",
+        lo.alias("lo"),
+        hi.alias("hi"),
+        ((F.col("x") < lo) | (F.col("x") > hi)).cast("long").alias("is_out"),
+    )
+    return fenced.groupBy("lang", "n", "q1", "q3", "lo", "hi").agg(
+        F.sum("is_out").cast("long").alias("n_outliers"),
+        (F.sum("is_out") / F.count("*")).alias("outlier_frac"),
+    )

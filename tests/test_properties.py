@@ -851,3 +851,17 @@ def test_session_depth_hist_hand_case(spark):
     assert {d: r["n_sessions"] for d, r in got.items()} == {1: 1, 2: 1, 3: 1}
     assert abs(sum(r["session_share"] for r in got.values()) - 1.0) < 1e-12
     assert sum(r["n_events"] for r in got.values()) == 6
+
+
+def test_iqr_fences_hand_case(spark):
+    """Tight cluster 100..109 with two planted extremes: exactly the
+    extremes fall outside the 1.5-IQR fences."""
+    from mapreduceimpl_spark.operators.relational import q_iqr_fences
+
+    rows = [(i, "t", "en", 100 + i) for i in range(10)]
+    rows += [(90, "t", "en", 1), (91, "t", "en", 10_000)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "n_chars"])
+    r = q_iqr_fences({"documents": docs}).collect()[0]
+    assert r["n"] == 12 and r["n_outliers"] == 2
+    assert r["lo"] < 100 and r["hi"] > 109
+    assert abs(r["outlier_frac"] - 2 / 12) < 1e-12
