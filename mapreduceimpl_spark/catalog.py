@@ -2781,7 +2781,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "dow_uniformity", "packing_efficiency", "curriculum_phases",
      "dup_cluster_sizes", "deletion_cascade", "sample_size_plan",
      "event_burstiness", "effective_domains", "session_depth_hist",
-     "iqr_fences"}
+     "iqr_fences", "qlm_search"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -8319,6 +8319,19 @@ FROM iq_f GROUP BY lang, n, q1, q3, lo, hi""",
             "parity, the quantile sibling of mad_outliers; two "
             "map-side passes, O(langs) output",
     ),
+    "qlm_search": QuerySpec(
+        lambda spark, sf_dir: retrieval.qlm_topk(
+            load_table(spark, sf_dir, "documents"),
+            spark.createDataFrame(_BM25_QUERIES, "query_id long, term string"),
+        ),
+        retrieval.qlm_oracle_sql(_BM25_QUERIES),
+        doc="Dirichlet query-likelihood retrieval (mu=2000) over the "
+            "same inverted index and query set as bm25_search — the "
+            "language-modeling ranking function a retrieval stack "
+            "A/B-tests against BM25; absent query terms score through "
+            "the collection prior on a bounded candidates x |q| grid, "
+            "per-term lns round-9 decimal-summed",
+    ),
 }
 
 
@@ -8405,7 +8418,7 @@ _ROUND6_ORDER = [
     "dow_uniformity", "packing_efficiency", "curriculum_phases",
     "dup_cluster_sizes", "deletion_cascade", "sample_size_plan",
     "event_burstiness", "effective_domains", "session_depth_hist",
-    "iqr_fences",
+    "iqr_fences", "qlm_search",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -335,3 +335,137 @@ def retrieval_metrics(
             ).alias("ndcg_at_k"),
         )
     )
+
+
+def qlm_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 5,
+    mu: float = 2000.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001) — the language-modeling ranking function next to ``bm25``:
+    score(q, d) = Σ_t ln((tf + μ·p(t|C)) / (dl + μ)), the second
+    classic lexical model a retrieval stack A/B-tests against BM25.
+
+    Candidates are docs matching >= 1 query term (the BM25 posting
+    semantics); ABSENT query terms still score through the collection
+    prior, so each candidate meets the full per-query term grid (a
+    bounded |candidates| x |q| fan-out, never corpus x queries).
+    Query terms unseen in the whole corpus are skipped (their ln(0)
+    prior is non-discriminative).  Per-term lns round to 9 then
+    decimal-sum (the ``bm25`` determinism recipe); ties rank by
+    doc_id.
+
+    Output: (query_id, rank, doc_id, score).
+    """
+    tf, dl = bm25_index(docs)
+    qterms = query_terms.select("query_id", "term").distinct()
+    cand_docs = (
+        tf.join(F.broadcast(qterms), tf["token"] == qterms["term"])
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    ctf = (
+        tf.join(F.broadcast(qterms.select("term").distinct()),
+                tf["token"] == F.col("term"))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("ctf"))
+    )
+    totals = dl.agg(F.sum("dl").cast("long").alias("c_total"))
+    grid = (
+        cand_docs.join(qterms, "query_id")
+        .join(F.broadcast(ctf), "term")  # inner: drops corpus-unseen terms
+        .join(
+            tf.select(
+                F.col("token").alias("term"), "doc_id", F.col("tf").alias("tf0")
+            ),
+            ["term", "doc_id"],
+            "left",
+        )
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+    )
+    prior = F.lit(mu) * (F.col("ctf") / F.col("c_total"))
+    term_score = F.round(
+        F.log(
+            (F.coalesce("tf0", F.lit(0)) + prior) / (F.col("dl") + F.lit(mu))
+        ),
+        9,
+    )
+    per_doc = (
+        grid.select("query_id", "doc_id", term_score.alias("ts"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("ts").cast("decimal(28,9)")).cast("double"),
+                round_digits,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def qlm_oracle_sql(
+    queries: list[tuple[int, str]],
+    k: int = 5,
+    mu: float = 2000.0,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB replay of :func:`qlm_topk` with repr-interpolated mu and
+    identical expression parenthesization."""
+    vals = ", ".join(f"({qid}, '{t}')" for qid, t in queries)
+    a_mu = repr(mu)
+    toks = "string_split(text, ' ')"
+    return f"""WITH qterms AS (
+  SELECT DISTINCT * FROM (VALUES {vals}) AS q(query_id, term)
+),
+tf AS (
+  SELECT token, doc_id, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({toks}) AS token FROM documents)
+  GROUP BY token, doc_id
+),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+totals AS (SELECT CAST(SUM(dl) AS BIGINT) AS c_total FROM dl),
+cand AS (
+  SELECT DISTINCT q.query_id, t.doc_id
+  FROM tf t JOIN qterms q ON t.token = q.term
+),
+ctf AS (
+  SELECT t.token AS term, CAST(SUM(t.tf) AS BIGINT) AS ctf
+  FROM tf t JOIN (SELECT DISTINCT term FROM qterms) q ON t.token = q.term
+  GROUP BY t.token
+),
+grid AS (
+  SELECT c.query_id, c.doc_id, q.term, f.ctf,
+         COALESCE(t.tf, 0) AS tf0, d.dl
+  FROM cand c
+  JOIN qterms q ON c.query_id = q.query_id
+  JOIN ctf f ON q.term = f.term
+  LEFT JOIN tf t ON t.token = q.term AND t.doc_id = c.doc_id
+  JOIN dl d ON c.doc_id = d.doc_id
+),
+scored AS (
+  SELECT query_id, doc_id,
+         round(ln((tf0 + {a_mu} * (ctf / CAST(c_total AS DOUBLE)))
+                  / (dl + {a_mu})), 9) AS ts
+  FROM grid CROSS JOIN totals
+),
+per_doc AS (
+  SELECT query_id, doc_id,
+         round(CAST(SUM(CAST(ts AS DECIMAL(28,9))) AS DOUBLE), {round_digits})
+           AS score
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM per_doc
+) WHERE rank <= {k}"""

@@ -234,6 +234,8 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
         "deletion_cascade",    # three 1-row x 1-row count pairs
         "session_depth_hist",  # 1-row session total onto the bounded
                                # depth histogram
+        "qlm_search",          # bm25's broadcast query vocab + 1-row
+                               # collection total
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

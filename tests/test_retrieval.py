@@ -198,3 +198,34 @@ def test_retrieval_metrics_hand_case(spark):
     assert abs(out[0]["ndcg_at_k"] - round(dcg / idcg, 6)) < 1e-9
     assert out[1]["n_hits"] == 0 and out[1]["mrr"] == 0.0
     assert out[1]["recall_at_k"] == 0.0 and out[1]["ndcg_at_k"] == 0.0
+
+
+def test_qlm_topk_ranks_matching_docs(spark):
+    """A doc dense in the query term outranks a sparse one and both
+    outrank candidates matching only the other term; absent terms
+    score through the prior (so every candidate gets |q| terms);
+    corpus-unseen query terms are skipped, not ln(0)."""
+    from mapreduceimpl_spark.operators.retrieval import qlm_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple pie"),
+            (2, "apple tart"),
+            (3, "banana split banana"),
+            (4, "carrot cake"),
+        ],
+        ["doc_id", "text"],
+    )
+    q = spark.createDataFrame(
+        [(1, "apple"), (1, "banana"), (2, "unseen_token"), (2, "carrot")],
+        ["query_id", "term"],
+    )
+    rows = qlm_topk(docs, q, k=3).collect()
+    q1 = [r["doc_id"] for r in rows if r["query_id"] == 1]
+    # doc 3 matches banana; docs 1,2 match apple; doc 4 matches neither
+    assert set(q1) <= {1, 2, 3} and len(q1) == 3
+    assert q1[0] in (1, 3)  # densest matches lead
+    q2 = [r for r in rows if r["query_id"] == 2]
+    # unseen term skipped; carrot ranks doc 4 first with finite score
+    assert q2[0]["doc_id"] == 4
+    assert all(r["score"] < 0 for r in rows)  # log-probs are negative
