@@ -685,6 +685,15 @@ ANNOTATED = {
         "subplan; the split itself adds only a zero-shuffle md5 "
         "projection on the component id."
     ),
+    "hits_scores": (
+        "HITS (round 6): ten alternating keyed shuffles (dst/src) over "
+        "the edge table, one per phase, each L2 norm riding a "
+        "partition-less Window over the O(nodes) score frame so every "
+        "phase references the previous EXACTLY once — the agg+crossJoin "
+        "norm form doubled the logical plan per phase (2^10 duplicated "
+        "subtrees; plan stringification alone OOMed the JVM). Plan "
+        "growth is pinned ~quadratic by a regression test."
+    ),
 }
 
 
