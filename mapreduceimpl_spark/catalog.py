@@ -2084,6 +2084,38 @@ def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probes.select("probe_id", "truth").join(res, "probe_id")
 
 
+def _q_bloom_fp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured vs analytic Bloom false-positive rate — closes the
+    bloom loop the way ``ann_recall_eval`` closes ANN: the 200 planted
+    ghosts measure the REAL FP rate; the classic bound
+    (1 - (1 - 1/m)^(k*n))^k predicts it from the distinct key count.
+    A measured rate far above expectation means the lanes are
+    correlated (hash bug); far below means m is oversized for n."""
+    res = _q_bloom_membership(spark, sf_dir)
+    ghosts = res.filter(~F.col("truth")).agg(
+        F.count("*").cast("long").alias("n_ghosts"),
+        F.sum(F.col("bloom_member").cast("long")).cast("long").alias("n_fp"),
+    )
+    n_keys = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.sha2(F.col("text"), 256).alias("key"))
+        .agg(F.count_distinct("key").cast("long").alias("n_keys"))
+    )
+    base = 1.0 - 1.0 / 8192.0  # exactly representable (1 - 2^-13)
+    j = ghosts.crossJoin(F.broadcast(n_keys))
+    expected = F.pow(
+        F.lit(1.0) - F.pow(F.lit(base), F.lit(3.0) * F.col("n_keys")),
+        F.lit(3.0),
+    )
+    return j.select(
+        "n_keys",
+        "n_ghosts",
+        "n_fp",
+        (F.col("n_fp") / F.col("n_ghosts")).alias("measured_fp"),
+        F.round(expected, 9).alias("expected_fp"),
+    )
+
+
 def _bloom_membership_oracle() -> str:
     pos_corpus = sketches._bloom_positions_sql("key", 3, 8192)
     return f"""WITH corpus AS (SELECT sha256(text) AS key FROM documents),
@@ -2781,7 +2813,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "dow_uniformity", "packing_efficiency", "curriculum_phases",
      "dup_cluster_sizes", "deletion_cascade", "sample_size_plan",
      "event_burstiness", "effective_domains", "session_depth_hist",
-     "iqr_fences", "qlm_search"}
+     "iqr_fences", "qlm_search", "bloom_fp_eval"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -8332,6 +8364,31 @@ FROM iq_f GROUP BY lang, n, q1, q3, lo, hi""",
             "the collection prior on a bounded candidates x |q| grid, "
             "per-term lns round-9 decimal-summed",
     ),
+    "bloom_fp_eval": QuerySpec(
+        _q_bloom_fp_eval,
+        f"""WITH bfe AS ({_bloom_membership_oracle()}),
+bfe_g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_ghosts,
+         CAST(SUM(CASE WHEN bloom_member THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_fp
+  FROM bfe WHERE NOT truth
+),
+bfe_k AS (
+  SELECT CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_keys
+  FROM documents
+)
+SELECT n_keys, n_ghosts, n_fp,
+       n_fp / CAST(n_ghosts AS DOUBLE) AS measured_fp,
+       round(power(1.0 - power({1.0 - 1.0 / 8192.0!r}, 3.0 * n_keys), 3.0), 9)
+         AS expected_fp
+FROM bfe_g CROSS JOIN bfe_k""",
+        doc="measured vs analytic Bloom FP rate: planted ghosts give "
+            "the real rate, (1-(1-1/m)^(kn))^k the bound from the "
+            "distinct key count (base 1-2^-13 exactly representable, "
+            "pow round-9) — closes the bloom loop like "
+            "ann_recall_eval closes ANN; divergence above the bound "
+            "means correlated lanes, below means m oversized",
+    ),
 }
 
 
@@ -8418,7 +8475,7 @@ _ROUND6_ORDER = [
     "dow_uniformity", "packing_efficiency", "curriculum_phases",
     "dup_cluster_sizes", "deletion_cascade", "sample_size_plan",
     "event_burstiness", "effective_domains", "session_depth_hist",
-    "iqr_fences", "qlm_search",
+    "iqr_fences", "qlm_search", "bloom_fp_eval",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -236,6 +236,8 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
                                # depth histogram
         "qlm_search",          # bm25's broadcast query vocab + 1-row
                                # collection total
+        "bloom_fp_eval",       # 1-row ghost stats x 1-row key count,
+                               # over bloom_membership's broadcast bits
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

@@ -359,3 +359,21 @@ def test_grid_quantiles_constant_column(spark):
         assert r["est_q"] == 42.0
         assert r["exact_q"] == 42.0
         assert r["bin_width"] == 0.0
+
+
+def test_bloom_fp_eval_measured_within_reason_of_bound(spark, tmp_path):
+    """On the sf0.001 fixture the measured ghost FP rate must sit in a
+    loose band around the analytic expectation (binomial noise over
+    200 ghosts), and the exact counts must reconcile."""
+    from mapreduceimpl_spark.catalog import SPECS
+
+    r = SPECS["bloom_fp_eval"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_ghosts"] == 200
+    assert r["measured_fp"] == r["n_fp"] / 200
+    assert 0.0 <= r["expected_fp"] <= 1.0
+    # 200 Bernoulli trials: allow a wide band (5 sigma-ish) around p
+    import math
+
+    p = r["expected_fp"]
+    sigma = math.sqrt(max(p * (1 - p), 1e-9) / 200)
+    assert abs(r["measured_fp"] - p) < max(5 * sigma, 0.05)
