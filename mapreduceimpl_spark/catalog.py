@@ -2084,6 +2084,44 @@ def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probes.select("probe_id", "truth").join(res, "probe_id")
 
 
+def _q_countmin_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min error eval against the epsilon*N bound — the CMS
+    sibling of ``bloom_fp_eval``: per-probe overestimates are exact
+    integers (one-sided error), summarized next to the classic
+    (e/w)*N guarantee; a max overestimate above the bound more often
+    than delta says the lanes are correlated."""
+    import math
+
+    est = sketches.countmin_estimate(
+        load_table(spark, sf_dir, "documents"), d=3, w=1024, k=20
+    )
+    agg = est.agg(
+        F.count("*").cast("long").alias("n_probed"),
+        F.sum((F.col("est_cnt") == F.col("true_cnt")).cast("long"))
+        .cast("long")
+        .alias("n_exact"),
+        F.max(F.col("est_cnt") - F.col("true_cnt")).cast("long").alias("max_overest"),
+        F.sum(F.col("est_cnt") - F.col("true_cnt")).cast("long").alias("sum_overest"),
+    )
+    tot = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .agg(F.count("*").cast("long").alias("n_tokens"))
+    )
+    j = agg.crossJoin(F.broadcast(tot))
+    return j.select(
+        "n_probed",
+        "n_exact",
+        "max_overest",
+        "sum_overest",
+        "n_tokens",
+        (F.col("sum_overest") / F.col("n_probed")).alias("mean_overest"),
+        F.round(
+            (F.lit(math.e) / F.lit(1024.0)) * F.col("n_tokens"), 6
+        ).alias("eps_bound"),
+    )
+
+
 def _q_bloom_fp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured vs analytic Bloom false-positive rate — closes the
     bloom loop the way ``ann_recall_eval`` closes ANN: the 200 planted
@@ -2813,7 +2851,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "dow_uniformity", "packing_efficiency", "curriculum_phases",
      "dup_cluster_sizes", "deletion_cascade", "sample_size_plan",
      "event_burstiness", "effective_domains", "session_depth_hist",
-     "iqr_fences", "qlm_search", "bloom_fp_eval"}
+     "iqr_fences", "qlm_search", "bloom_fp_eval", "countmin_error_eval"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -8389,6 +8427,55 @@ FROM bfe_g CROSS JOIN bfe_k""",
             "ann_recall_eval closes ANN; divergence above the bound "
             "means correlated lanes, below means m oversized",
     ),
+    "countmin_error_eval": QuerySpec(
+        _q_countmin_error_eval,
+        """WITH cme AS (WITH tok AS (
+             SELECT unnest(string_split(text, ' ')) AS token FROM documents
+           ),
+           cells AS (
+             SELECT i.i - 1 AS lane, b.buckets[i.i] AS bucket
+             FROM (SELECT [CAST('0x' || substr(md5('0:' || token), 1, 8) AS BIGINT) % 1024, CAST('0x' || substr(md5('1:' || token), 1, 8) AS BIGINT) % 1024, CAST('0x' || substr(md5('2:' || token), 1, 8) AS BIGINT) % 1024] AS buckets FROM tok) b,
+                  unnest(generate_series(1, 3)) AS i(i)
+           ),
+           sketch AS (
+             SELECT lane, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM cells GROUP BY lane, bucket
+           ),
+           truth AS (
+             SELECT token, CAST(COUNT(*) AS BIGINT) AS true_cnt
+             FROM tok GROUP BY token
+             ORDER BY true_cnt DESC, token ASC LIMIT 20
+           ),
+           qpos AS (
+             SELECT t.token, t.true_cnt, i.i - 1 AS lane,
+                    ([CAST('0x' || substr(md5('0:' || t.token), 1, 8) AS BIGINT) % 1024, CAST('0x' || substr(md5('1:' || t.token), 1, 8) AS BIGINT) % 1024, CAST('0x' || substr(md5('2:' || t.token), 1, 8) AS BIGINT) % 1024])[i.i] AS bucket
+             FROM truth t, unnest(generate_series(1, 3)) AS i(i)
+           )
+           SELECT q.token, q.true_cnt, MIN(s.cnt) AS est_cnt
+           FROM qpos q JOIN sketch s
+             ON q.lane = s.lane AND q.bucket = s.bucket
+           GROUP BY q.token, q.true_cnt),
+cme_tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+),
+cme_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+         CAST(SUM(CASE WHEN est_cnt = true_cnt THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact,
+         CAST(MAX(est_cnt - true_cnt) AS BIGINT) AS max_overest,
+         CAST(SUM(est_cnt - true_cnt) AS BIGINT) AS sum_overest
+  FROM cme
+)
+SELECT n_probed, n_exact, max_overest, sum_overest, n_tokens,
+       sum_overest / CAST(n_probed AS DOUBLE) AS mean_overest,
+       round((2.718281828459045 / 1024.0) * n_tokens, 6) AS eps_bound
+FROM cme_agg CROSS JOIN cme_tot""",
+        doc="Count-Min overestimate eval vs the (e/w)*N guarantee — "
+            "the CMS sibling of bloom_fp_eval: exact integer "
+            "per-probe overestimates (one-sided error) summarized "
+            "next to the analytic bound; wraps the countmin replay",
+    ),
 }
 
 
@@ -8475,7 +8562,7 @@ _ROUND6_ORDER = [
     "dow_uniformity", "packing_efficiency", "curriculum_phases",
     "dup_cluster_sizes", "deletion_cascade", "sample_size_plan",
     "event_burstiness", "effective_domains", "session_depth_hist",
-    "iqr_fences", "qlm_search", "bloom_fp_eval",
+    "iqr_fences", "qlm_search", "bloom_fp_eval", "countmin_error_eval",
 ]
 
 if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):

@@ -238,6 +238,8 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
                                # collection total
         "bloom_fp_eval",       # 1-row ghost stats x 1-row key count,
                                # over bloom_membership's broadcast bits
+        "countmin_error_eval", # 1-row probe stats x 1-row token total,
+                               # over countmin's broadcast query rows
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

@@ -377,3 +377,25 @@ def test_bloom_fp_eval_measured_within_reason_of_bound(spark, tmp_path):
     p = r["expected_fp"]
     sigma = math.sqrt(max(p * (1 - p), 1e-9) / 200)
     assert abs(r["measured_fp"] - p) < max(5 * sigma, 0.05)
+
+
+def test_countmin_error_eval_consistency(spark):
+    """Overestimate summary must reconcile with a direct recount of
+    countmin_estimate's rows, honor the one-sided-error contract, and
+    carry the analytic bound."""
+    from mapreduceimpl_spark.catalog import SPECS
+    from mapreduceimpl_spark.operators import sketches
+    from mapreduceimpl_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    r = SPECS["countmin_error_eval"].fn(spark, sf).collect()[0]
+    est = sketches.countmin_estimate(
+        load_table(spark, sf, "documents"), d=3, w=1024, k=20
+    ).collect()
+    overs = [e["est_cnt"] - e["true_cnt"] for e in est]
+    assert all(o >= 0 for o in overs)  # one-sided error
+    assert r["n_probed"] == len(est) == 20
+    assert r["max_overest"] == max(overs)
+    assert r["sum_overest"] == sum(overs)
+    assert r["n_exact"] == sum(1 for o in overs if o == 0)
+    assert r["eps_bound"] > 0
