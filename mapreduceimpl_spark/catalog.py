@@ -9,16 +9,24 @@ probing) which get the driver's rows-only check + pytest invariants.
 
 Ordering contract (round 2+): the driver records CORRECTNESS rows for
 roughly the FIRST 50 entries in insertion order.  SPECS is therefore
-rebuilt from ``_ROUND6_ORDER`` (defined after the dict literal) so the
+rebuilt from ``_ROUND7_ORDER`` (defined after the dict literal) so the
 entries that most need a fresh green row come first.
-Round 6 leads with the 14-entry round-5 deferral backlog (positions
-1-14), then every oracle-backed entry whose newest driver row dates
-from r1/r2 (positions 15-36), then the stalest r3 greens — encoding
-the max-age policy (no oracle-backed entry's newest driver row older
-than 5 completed rounds — the sustainable cycle at ~50 slots/round
-for a growing ~195-entry catalog; tests/test_catalog_contract.py
-enforces it against the live CORRECTNESS files, and round 6's window
-is packed tighter than required: nothing outside it is older than r3).  Any NEW entry added this
+Round 7 packs the entire window with the round-6 deferral backlog:
+positions 1-49 are 49 of the 70 never-driver-attested round-6
+additions (all locally oracle-verified at both SFs and independently
+re-verified by the round-6 judge); the remaining 21 stay in
+``DEFERRED_TO_NEXT_ROUND`` at positions 50-70 so round 8 rotates them
+in first.  The tail is ordered stalest-cohort-first (r3, then r4/r5/
+r6) so each future round's window promotion is a simple prefix shift.
+Max-age policy: no oracle-backed entry's newest driver row may be
+older than 6 completed rounds.  Feasibility arithmetic at the current
+264-oracle-backed catalog: steady-state re-attestation demand is
+264/6 = 44 slots/round against the driver's ~49-slot window — the
+previous 4-round cycle would need 66 slots/round and is arithmetically
+impossible at this catalog size, so 6 is the tightest feasible cycle
+with ~5 slots/round of headroom for new entries.
+tests/test_catalog_contract.py enforces the policy against the live
+CORRECTNESS files.  Any NEW entry added this
 round that doesn't fit the window goes into
 ``DEFERRED_TO_NEXT_ROUND``; tests/test_catalog_contract.py enforces
 both directions and tools/rotation_report.py shows the live state.  The bench set
@@ -637,10 +645,15 @@ def _q_multimodal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     GIF payloads collide exactly when (width, height) collide, WAVs
     collide per planted variant.
 
-    The shard write happens eagerly at build time into a per-SF temp
-    dir (wiped first, atomic per-shard publish); the returned frame is
-    the lazy read-back pipeline.  The only collect is the 8-row shard
-    manifest — the bounded sink-stats pattern."""
+    The shard write happens eagerly at build time into a per-SF,
+    PER-PROCESS temp dir (wiped first, atomic per-shard publish;
+    ``MAPREDUCEIMPL_WDS_FUNNEL_DIR`` overrides the root) — the pid in
+    the path means two concurrent sessions (bench racing verify) can
+    never clobber each other's shards mid-read (ADVICE r6); an atexit
+    hook removes the dir when the owning process exits.  The returned
+    frame is the lazy read-back pipeline.  The only collect is the
+    8-row shard manifest — the bounded sink-stats pattern."""
+    import atexit
     import os
     import shutil
     import tempfile
@@ -689,10 +702,12 @@ def _q_multimodal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"mapreduceimpl_wds_funnel_{os.path.basename(sf_dir.rstrip('/'))}",
+        os.environ.get("MAPREDUCEIMPL_WDS_FUNNEL_DIR", tempfile.gettempdir()),
+        "mapreduceimpl_wds_funnel_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     shutil.rmtree(out_dir, ignore_errors=True)
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     write_tar_shards(media_rows.unionByName(cap_rows), out_dir).collect()
 
     samples = group_samples(read_tar_shards(spark, out_dir + "/*.tar"))
@@ -1837,6 +1852,83 @@ t{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)"""
     return f"WITH {body}\n{selects}"
 
 
+def _bpe_batched_oracle(passes: int = 3, max_per_pass: int = 8) -> str:
+    """Chained-CTE replay of ``text_analysis.bpe_train_batched``: per
+    pass, one pair-count CTE, a LIMIT-``max_per_pass`` candidate rank,
+    the non-domination selection as a NOT EXISTS over the bounded
+    candidate set, and a rewrite that nests one ``replace`` per
+    candidate rank IN RANK ORDER (rank 1 innermost — the same order
+    the Spark side's sorted-array fold applies); a missing rank's
+    scalar subquery coalesces to the chr(31) sentinel, a no-op
+    replace, exactly like the Spark side's empty fold steps."""
+    b = "chr(3) || chr(2)"
+    syms = f"string_split(substr(seq, 2, len(seq) - 2), {b})"
+    layers = [
+        f"""d0 AS MATERIALIZED (
+  SELECT doc_id,
+         chr(2) || array_to_string(
+           string_split(
+             replace(replace(replace(replace(coalesce(text, ''),
+                     chr(2), ''), chr(3), ''), chr(30), ''), chr(31), ''),
+             ' '),
+           {b}) || chr(3) AS seq
+  FROM documents
+)"""
+    ]
+    for r in range(1, passes + 1):
+        layers.append(
+            f"""p{r} AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 j -> toks[j] || {b} || toks[j + 1])) AS pair
+    FROM (SELECT {syms} AS toks FROM d{r - 1})
+    WHERE len(toks) >= 2
+  ) GROUP BY pair
+),
+c{r} AS (
+  SELECT pair, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rnk
+  FROM (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT {max_per_pass})
+),
+s{r} AS (
+  SELECT c.rnk, c.pair, c.cnt FROM c{r} c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM c{r} q
+    WHERE q.rnk < c.rnk
+      AND (string_split(q.pair, {b})[1] = string_split(c.pair, {b})[1]
+        OR string_split(q.pair, {b})[1] = string_split(c.pair, {b})[2]
+        OR string_split(q.pair, {b})[2] = string_split(c.pair, {b})[1]
+        OR string_split(q.pair, {b})[2] = string_split(c.pair, {b})[2])
+  )
+)"""
+        )
+        if r < passes:
+            expr = "seq"
+            for j in range(1, max_per_pass + 1):
+                expr = (
+                    f"replace({expr},\n"
+                    f"    coalesce(chr(2) || (SELECT pair FROM s{r} WHERE rnk = {j})"
+                    f" || chr(3), chr(31)),\n"
+                    f"    coalesce(chr(2) || replace((SELECT pair FROM s{r}"
+                    f" WHERE rnk = {j}), {b}, chr(30)) || chr(3), chr(31)))"
+                )
+            layers.append(
+                f"""d{r} AS MATERIALIZED (
+  SELECT doc_id,
+         {expr} AS seq
+  FROM d{r - 1}
+)"""
+            )
+    body = ",\n".join(layers)
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS pass_no, rnk AS rank, "
+        f"replace(replace(pair, {b}, ' '), chr(30), ' ') AS pair, cnt "
+        f"FROM s{r}"
+        for r in range(1, passes + 1)
+    )
+    return f"WITH {body}\n{selects}"
+
+
 def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
     """Chained-CTE replay of ``graph.pagerank``: one CTE layer per
     iteration, decimal-routed contribution sums, the SAME float
@@ -2826,32 +2918,21 @@ FROM sess GROUP BY user_id, sid
 # (tools/check_oracle.py) and MUST rotate into the window next round —
 # tests/test_catalog_contract.py enforces that this set only shrinks:
 # once an entry has a driver CORRECTNESS row it must leave this set.
-# Round 6 start: EMPTY — all 14 round-5 deferrals were rotated into
-# window head positions 1-14 (see _ROUND6_ORDER).  Any entry added
-# this round that doesn't fit the window goes here.
+# Round 7 start: 21 entries — the round-6 deferral backlog was 70
+# (> one 49-slot window); 49 rotated into window head positions 1-49
+# (see _ROUND7_ORDER), these 21 hold positions 50-70 so round 8 can
+# promote them with a prefix shift.  Any entry added this round that
+# doesn't fit the window goes here.
 DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
-    {"quality_classifier", "quality_classifier_weights",
-     "dsir_weights", "dsir_select", "pq_codes", "pq_adc_topk",
-     "skipgram_negatives", "glove_cooccurrence", "zipf_law_fit",
-     "heaps_law_growth", "unigram_kl", "vocab_overlap",
-     "contamination_bloom", "ngram_novelty", "kmv_set_ops",
-     "events_holt", "classifier_eval", "classifier_calibration",
-     "ams_f2", "leakage_safe_split", "dp_noisy_counts",
-     "gopher_rules", "ams_join_size", "events_twap",
-     "grid_quantiles", "event_markov", "markov_stationary",
-     "dedup_recall_eval", "classifier_pr_curve", "feature_mi",
-     "langid_eval", "survival_km", "ann_recall_eval", "vocab_keyness",
-     "token_gini", "hits_scores", "rouge_pairs", "bpe_fertility",
-     "lm_heldout_perplexity", "cramers_v", "mannwhitney_length",
-     "ols_tokens_vs_chars", "seasonal_mase", "theil_sen_daily",
-     "ks_length", "aspect_buckets", "shard_balance", "t_closeness",
-     "fim_render", "kmeans_ari", "kmeans_silhouette",
-     "events_funnel_windowed", "benford_digits", "psi_drift",
-     "attribution_time_decay", "code_detect", "conversion_latency",
-     "dow_uniformity", "packing_efficiency", "curriculum_phases",
-     "dup_cluster_sizes", "deletion_cascade", "sample_size_plan",
-     "event_burstiness", "effective_domains", "session_depth_hist",
-     "iqr_fences", "qlm_search", "bloom_fp_eval", "countmin_error_eval"}
+    {"kmeans_ari", "kmeans_silhouette", "events_funnel_windowed",
+     "benford_digits", "psi_drift", "attribution_time_decay",
+     "code_detect", "conversion_latency", "dow_uniformity",
+     "packing_efficiency", "curriculum_phases", "dup_cluster_sizes",
+     "deletion_cascade", "sample_size_plan", "event_burstiness",
+     "effective_domains", "session_depth_hist", "iqr_fences",
+     "qlm_search", "bloom_fp_eval", "countmin_error_eval",
+     # round-7 additions (window already packed with the r6 backlog)
+     "bpe_train_batched"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -4341,6 +4422,18 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
         doc="vocabulary half of BPE training: top-30 symbols by corpus "
             "frequency after all learned merges; wordcount aggregate + "
             "ranking window over the aggregated vocab only",
+    ),
+    "bpe_train_batched": QuerySpec(
+        lambda spark, sf_dir: text_analysis.bpe_train_batched(
+            load_table(spark, sf_dir, "documents"), passes=3, max_per_pass=4
+        ),
+        _bpe_batched_oracle(3, 4),
+        doc="multi-merge-per-pass BPE (VERDICT r6 gap #3): per pass, one "
+            "pair count -> top-4 candidates -> non-domination conflict-free "
+            "selection -> ALL selected merges applied in one rank-ordered "
+            "rewrite fold; the batching that makes 10^4-merge trainings "
+            "feasible (M merges per corpus pass instead of 1); at "
+            "max_per_pass=1 equals bpe_train_merges row-for-row (pytest)",
     ),
     "ann_ivf_lloyd_topk": QuerySpec(
         lambda spark, sf_dir: similarity.ivf_lloyd_topk(
@@ -8479,99 +8572,94 @@ FROM cme_agg CROSS JOIN cme_tot""",
 }
 
 
-# Round-5 window rotation (driver records the first ~50 entries; see
-# module docstring).  Head 1-41: the full round-4 deferral backlog —
-# every entry that landed after round 4's window filled and therefore
-# has no driver CORRECTNESS row yet (all locally oracle-PASS at
-# sf0.01 AND sf0.1 via tools/check_oracle.py, and independently
-# re-verified by the round-4 judge); 42-49: the stalest round-1/2
-# greens as low-stakes padding; the round-4-green block and the rest
-# of the previously-verified tail follow.  After round 5's driver run
-# every oracle-backed entry in the catalog will have a driver row.
-_ROUND6_ORDER = [
-    "bpe_train_merges", "bpe_apply", "bpe_vocab", "kmeans_lloyd",
-    "ann_ivf_lloyd_topk", "epoch_shuffle_sharded", "l_diversity", "attribution_linear",
-    "dedup_containment", "dedup_keeper_longest", "winsorize_mad", "countmin_estimate",
-    "contamination_containment", "asof_join_forward", "sample_hash", "dedup_ngram_jaccard",
-    "ann_topk", "text_lang_id", "text_quality", "text_token_stats",
-    "text_clean", "corpus_filter", "embedding_centroids", "embedding_norms",
-    "text_fingerprint", "text_repetition", "text_pii_scrub", "contamination_check",
-    "sample_stratified", "domain_mix", "embedding_quantize", "tfidf_topterms",
-    "scalar_case_date", "scalar_math_date", "window_analytics", "set_ops",
-    "dedup_semantic", "multimodal_funnel", "pca_scores", "dedup_semantic_centroid",
-    "hybrid_search_rrf", "semdedup_funnel", "lm_quality_buckets",
-    "in_batch_negatives", "retrieval_metrics", "token_budget_mix",
-    "wordcount", "dedup_incremental", "doc_chunks", "retention_cohorts",
-    "text_unigram_logprob", "sample_fixed_n", "scalar_map", "dedup_simhash64_pairs",
-    "ann_lsh_topk", "ann_lsh_multiprobe", "dedup_clusters", "range_join",
-    "hypertable_rollup", "table_profile", "snapshot_diff", "triangle_count",
-    "clustering_coeff", "events_ewma", "bm25_search", "dedup_minhash_verified",
-    "basket_rules", "skyline_frontier", "fuzzy_join_verified", "rolling_active_users",
-    "sample_weighted_k", "pit_join", "changelog_apply", "events_autocorr",
-    "span_corruption", "triplet_mining", "temperature_mix", "kfold_assign",
-    "epoch_shuffle", "vocab_coverage", "preference_pairs", "conversation_build",
-    "kmv_distinct", "bloom_membership", "dedup_prefix_filter", "length_buckets",
-    "dq_expectations", "histogram_drift", "incremental_agg", "alignment_funnel",
-    "centroid_similarity", "udtf_chunks", "attribution_last_touch", "ab_test_report",
-    "k_anonymity", "mad_outliers", "bootstrap_se", "cuped_adjustment",
-    "consistent_sample_join", "sft_render", "seq_pack", "multimodal_meta",
-    "events_sliding", "events_session_native", "dedup_exact", "dedup_exact_norm",
-    "dedup_simhash_sigs", "dedup_simhash_pairs", "priority_returns", "forecast_revenue",
-    "shipmode_priority", "customer_distribution", "promo_revenue", "parts_supplier_relation",
-    "discounted_revenue", "waiting_suppliers", "sales_opportunity", "min_cost_supplier",
-    "revenue_share", "top_supplier", "small_qty_revenue", "large_orders",
-    "heavy_shippers", "market_share", "product_profit", "dedup_span_exact",
-    "split_assign", "heavy_hitters", "text_bigram_logprob", "collocations_pmi",
-    "events_anomaly", "events_running_anomaly", "revenue_pareto", "customer_rfm",
-    "event_top_paths", "state_intervals", "fuzzy_join", "vocab_topk",
-    "quality_percentile", "knn_classify", "random_projection", "next_event_pairs",
-    "token_pair_counts", "knn_classify_lsh", "pretrain_funnel", "corr_analysis",
-    "price_histogram", "skew_salted_join", "skew_two_phase", "pagerank",
-    "timeseries_gapfill", "media_probe", "text_token_entropy", "monthly_growth",
-    "events_sessionize", "asof_join", "dedup_minhash_lsh", "dedup_embedding",
-    "agg_approx", "ann_ivf_topk", "kmeans_assign", "text_compression_ratio",
-    "sample_weighted", "user_features", "lang_count", "udf_wordcount",
-    "filter_project", "pricing_summary", "agg_multikey", "agg_distinct",
-    "distinct_op", "agg_rollup", "agg_cube", "grouping_sets",
-    "join_inner", "join_left", "join_semi", "join_anti",
-    "join_full", "join_cross", "join_broadcast", "join_theta",
-    "shipping_priority", "local_supplier_volume", "volume_shipping", "returned_items",
-    "events_funnel", "window_rank", "sort_limit", "scalar_string",
-    "json_extract", "null_handling", "subquery_corr", "array_agg",
-    "percentile", "pivot", "text_bpe_tokens", "events_tumbling",
-    # round-6 late additions: PAST the window, in DEFERRED_TO_NEXT_ROUND,
-    # locally oracle-verified at both SFs (check_oracle) — must rotate
-    # into the window head next round
-    "quality_classifier", "quality_classifier_weights",
-    "dsir_weights", "dsir_select", "pq_codes", "pq_adc_topk",
-    "skipgram_negatives", "glove_cooccurrence", "zipf_law_fit",
-    "heaps_law_growth", "unigram_kl", "vocab_overlap",
-    "contamination_bloom", "ngram_novelty", "kmv_set_ops",
-    "events_holt", "classifier_eval", "classifier_calibration",
-    "ams_f2", "leakage_safe_split", "dp_noisy_counts", "gopher_rules",
-    "ams_join_size", "events_twap", "grid_quantiles",
-    "event_markov", "markov_stationary", "dedup_recall_eval",
-    "classifier_pr_curve", "feature_mi", "langid_eval", "survival_km",
-    "ann_recall_eval", "vocab_keyness", "token_gini", "hits_scores",
-    "rouge_pairs", "bpe_fertility", "lm_heldout_perplexity", "cramers_v",
-    "mannwhitney_length", "ols_tokens_vs_chars", "seasonal_mase",
-    "theil_sen_daily", "ks_length", "aspect_buckets", "shard_balance",
-    "t_closeness", "fim_render", "kmeans_ari", "kmeans_silhouette",
-    "events_funnel_windowed", "benford_digits", "psi_drift",
-    "attribution_time_decay", "code_detect", "conversion_latency",
-    "dow_uniformity", "packing_efficiency", "curriculum_phases",
-    "dup_cluster_sizes", "deletion_cascade", "sample_size_plan",
-    "event_burstiness", "effective_domains", "session_depth_hist",
-    "iqr_fences", "qlm_search", "bloom_fp_eval", "countmin_error_eval",
+# Round-7 window rotation (driver records the first ~50 entries; see
+# module docstring).  Head 1-49: 49 of the 70-entry round-6 deferral
+# backlog — every one locally oracle-PASS at sf0.01 AND sf0.1
+# (tools/check_oracle.py) and independently re-verified by the round-6
+# judge at sf0.01 (heaviest 8 also at sf0.1); 50-70: the remaining 21
+# deferrals (still in DEFERRED_TO_NEXT_ROUND, first in line for round
+# 8's window); then the verified tail ordered stalest-cohort-first
+# (r3 cohort, then r4, r5, r6) so future promotions are prefix shifts.
+_ROUND7_ORDER = [
+    'quality_classifier', 'quality_classifier_weights', 'dsir_weights', 'dsir_select',
+    'pq_codes', 'pq_adc_topk', 'skipgram_negatives', 'glove_cooccurrence',
+    'zipf_law_fit', 'heaps_law_growth', 'unigram_kl', 'vocab_overlap',
+    'contamination_bloom', 'ngram_novelty', 'kmv_set_ops', 'events_holt',
+    'classifier_eval', 'classifier_calibration', 'ams_f2', 'leakage_safe_split',
+    'dp_noisy_counts', 'gopher_rules', 'ams_join_size', 'events_twap',
+    'grid_quantiles', 'event_markov', 'markov_stationary', 'dedup_recall_eval',
+    'classifier_pr_curve', 'feature_mi', 'langid_eval', 'survival_km',
+    'ann_recall_eval', 'vocab_keyness', 'token_gini', 'hits_scores',
+    'rouge_pairs', 'bpe_fertility', 'lm_heldout_perplexity', 'cramers_v',
+    'mannwhitney_length', 'ols_tokens_vs_chars', 'seasonal_mase', 'theil_sen_daily',
+    'ks_length', 'aspect_buckets', 'shard_balance', 't_closeness',
+    'fim_render', 'kmeans_ari', 'kmeans_silhouette', 'events_funnel_windowed',
+    'benford_digits', 'psi_drift', 'attribution_time_decay', 'code_detect',
+    'conversion_latency', 'dow_uniformity', 'packing_efficiency', 'curriculum_phases',
+    'dup_cluster_sizes', 'deletion_cascade', 'sample_size_plan', 'event_burstiness',
+    'effective_domains', 'session_depth_hist', 'iqr_fences', 'qlm_search',
+    'bloom_fp_eval', 'countmin_error_eval',
+    # round-7 additions: deferred (window packed with the r6 backlog)
+    'bpe_train_batched',
+    'text_unigram_logprob', 'sample_fixed_n',
+    'scalar_map', 'dedup_simhash64_pairs', 'ann_lsh_topk', 'ann_lsh_multiprobe',
+    'dedup_clusters', 'range_join', 'hypertable_rollup', 'sample_weighted',
+    'user_features', 'lang_count', 'udf_wordcount', 'filter_project',
+    'pricing_summary', 'agg_multikey', 'agg_distinct', 'distinct_op',
+    'agg_rollup', 'agg_cube', 'grouping_sets', 'join_inner',
+    'join_left', 'join_semi', 'join_anti', 'join_full',
+    'join_cross', 'join_broadcast', 'join_theta', 'shipping_priority',
+    'local_supplier_volume', 'volume_shipping', 'returned_items', 'events_funnel',
+    'window_rank', 'sort_limit', 'scalar_string', 'json_extract',
+    'null_handling', 'subquery_corr', 'array_agg', 'percentile',
+    'pivot', 'text_bpe_tokens', 'events_tumbling', 'forecast_revenue',
+    'shipmode_priority', 'customer_distribution', 'promo_revenue', 'parts_supplier_relation',
+    'discounted_revenue', 'waiting_suppliers', 'sales_opportunity', 'min_cost_supplier',
+    'revenue_share', 'top_supplier', 'small_qty_revenue', 'large_orders',
+    'heavy_shippers', 'market_share', 'product_profit', 'dedup_span_exact',
+    'split_assign', 'heavy_hitters', 'text_bigram_logprob', 'collocations_pmi',
+    'events_anomaly', 'events_running_anomaly', 'revenue_pareto', 'customer_rfm',
+    'event_top_paths', 'state_intervals', 'fuzzy_join', 'vocab_topk',
+    'quality_percentile', 'knn_classify', 'random_projection', 'next_event_pairs',
+    'token_pair_counts', 'knn_classify_lsh', 'pretrain_funnel', 'corr_analysis',
+    'price_histogram', 'skew_salted_join', 'skew_two_phase', 'pagerank',
+    'timeseries_gapfill', 'media_probe', 'text_token_entropy', 'monthly_growth',
+    'events_sessionize', 'asof_join', 'dedup_minhash_lsh', 'dedup_embedding',
+    'table_profile', 'snapshot_diff', 'triangle_count', 'clustering_coeff',
+    'events_ewma', 'bm25_search', 'dedup_minhash_verified', 'basket_rules',
+    'skyline_frontier', 'fuzzy_join_verified', 'rolling_active_users', 'sample_weighted_k',
+    'pit_join', 'changelog_apply', 'events_autocorr', 'span_corruption',
+    'triplet_mining', 'temperature_mix', 'kfold_assign', 'epoch_shuffle',
+    'vocab_coverage', 'preference_pairs', 'conversation_build', 'kmv_distinct',
+    'bloom_membership', 'dedup_prefix_filter', 'length_buckets', 'dq_expectations',
+    'histogram_drift', 'incremental_agg', 'alignment_funnel', 'centroid_similarity',
+    'udtf_chunks', 'attribution_last_touch', 'ab_test_report', 'k_anonymity',
+    'mad_outliers', 'bootstrap_se', 'cuped_adjustment', 'consistent_sample_join',
+    'sft_render', 'seq_pack', 'multimodal_meta', 'events_sliding',
+    'events_session_native', 'dedup_exact', 'dedup_exact_norm', 'dedup_simhash_sigs',
+    'dedup_simhash_pairs', 'priority_returns', 'bpe_train_merges', 'bpe_apply',
+    'bpe_vocab', 'kmeans_lloyd', 'ann_ivf_lloyd_topk', 'epoch_shuffle_sharded',
+    'l_diversity', 'attribution_linear', 'dedup_containment', 'dedup_keeper_longest',
+    'winsorize_mad', 'countmin_estimate', 'contamination_containment', 'asof_join_forward',
+    'sample_hash', 'dedup_ngram_jaccard', 'ann_topk', 'text_lang_id',
+    'text_quality', 'text_token_stats', 'text_clean', 'corpus_filter',
+    'embedding_centroids', 'embedding_norms', 'text_fingerprint', 'text_repetition',
+    'text_pii_scrub', 'contamination_check', 'sample_stratified', 'domain_mix',
+    'embedding_quantize', 'tfidf_topterms', 'scalar_case_date', 'scalar_math_date',
+    'window_analytics', 'set_ops', 'dedup_semantic', 'multimodal_funnel',
+    'pca_scores', 'dedup_semantic_centroid', 'hybrid_search_rrf', 'semdedup_funnel',
+    'lm_quality_buckets', 'in_batch_negatives', 'retrieval_metrics', 'token_budget_mix',
+    'wordcount', 'dedup_incremental', 'doc_chunks', 'retention_cohorts',
+    'agg_approx', 'ann_ivf_topk', 'kmeans_assign', 'text_compression_ratio',
 ]
 
-if set(_ROUND6_ORDER) != set(SPECS) or len(_ROUND6_ORDER) != len(SPECS):
+if set(_ROUND7_ORDER) != set(SPECS) or len(_ROUND7_ORDER) != len(SPECS):
     raise AssertionError(
         "catalog rotation list out of sync with SPECS: "
-        f"missing={set(SPECS) - set(_ROUND6_ORDER)} "
-        f"unknown={set(_ROUND6_ORDER) - set(SPECS)}"
+        f"missing={set(SPECS) - set(_ROUND7_ORDER)} "
+        f"unknown={set(_ROUND7_ORDER) - set(SPECS)}"
     )
-SPECS = {name: SPECS[name] for name in _ROUND6_ORDER}
+SPECS = {name: SPECS[name] for name in _ROUND7_ORDER}
 
 
 # Bench execution order, pinned to round 2's recorded order so the

@@ -538,10 +538,21 @@ def token_budget_mix(
     Determinism: the order is (md5(key), key) — rerun-stable and
     engine-portable; the running sum is an exact BIGINT.
 
-    Scale: one window sort per stratum over (hash, key) — the same
-    per-stratum sort ``sample_fixed_n`` pays; at 100 TB shard each
-    stratum first (``epoch_shuffle_sharded``'s salt trick) so no
-    single partition sorts a whole language.
+    Scale (two-phase exact plan, ADVICE r6): the global hash-order
+    prefix sum is computed WITHOUT ever sorting a whole stratum in one
+    task.  Because the shard id is the md5 string's first two hex
+    chars, lexicographic (h, key) order within a stratum is exactly
+    (shard, h, key) order, so the stratum-wide running sum decomposes
+    into (a) per-(stratum, shard) token totals — one hash aggregate,
+    no sort, (b) an exclusive prefix sum of those totals over the
+    bounded |strata| x 256 relation — the only global window, O(256)
+    rows per stratum, (c) the intra-shard running sum on partitions
+    1/256th of a stratum, offset by (b).  Byte-identical to the
+    single-window form (regression-tested), with a bonus prune:
+    shards whose starting offset already meets the budget are filtered
+    out BEFORE the intra-shard sort (a doc's prev-cum is >= its shard
+    offset), so only the boundary shard and earlier ones sort at all —
+    at 100 TB the sorted volume is ~budget tokens, not corpus tokens.
     """
     from pyspark.sql import Window
 
@@ -559,12 +570,34 @@ def token_budget_mix(
         F.col(strata_col).alias("stratum"),
         F.size(tokens(text_col)).cast("long").alias("n_tokens"),
         F.md5(F.col(key_col).cast("string")).alias("h"),
+    ).withColumn("shard", F.substring("h", 1, 2))
+    # (a) per-shard totals; (b) exclusive prefix over the bounded
+    # (stratum, shard) grid -> each shard's starting offset
+    w_shards = (
+        Window.partitionBy("stratum")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w = Window.partitionBy("stratum").orderBy("h", "key")
-    cum = F.sum("n_tokens").over(w)
-    return (
-        scored.withColumn("cum_tokens", cum.cast("long"))
+    offsets = (
+        scored.groupBy("stratum", "shard")
+        .agg(F.sum("n_tokens").cast("long").alias("shard_tokens"))
+        .withColumn(
+            "shard_offset",
+            F.coalesce(F.sum("shard_tokens").over(w_shards), F.lit(0)).cast("long"),
+        )
         .withColumn("budget", F.element_at(b_expr, F.col("stratum")))
+        # prune: a doc's prev-cum >= its shard offset, so a shard that
+        # STARTS at/past the budget can never contribute a selected doc
+        .filter(F.col("shard_offset") < F.col("budget"))
+        .select("stratum", "shard", "shard_offset", "budget")
+    )
+    # (c) intra-shard running sum on 256x smaller partitions; the
+    # offsets relation is bounded (|strata| x 256) -> broadcast join
+    w_intra = Window.partitionBy("stratum", "shard").orderBy("h", "key")
+    cum = F.col("shard_offset") + F.sum("n_tokens").over(w_intra)
+    return (
+        scored.join(F.broadcast(offsets), ["stratum", "shard"])
+        .withColumn("cum_tokens", cum.cast("long"))
         # keep while the PREVIOUS cumulative total was under budget:
         # the crossing doc is included, everything after is cut
         .filter((F.col("cum_tokens") - F.col("n_tokens")) < F.col("budget"))

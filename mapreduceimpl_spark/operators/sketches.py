@@ -744,13 +744,20 @@ def grid_quantiles(
     (cell counts add across partitions AND across days) that answers
     percentile dashboards at 100 TB where the exact sort-based
     percentile cannot run continuously.  Estimate = lower edge of the
-    first cell whose cumulative count reaches ceil(q·n); the true
-    discrete quantile provably lies within that cell, so the error is
-    structurally bounded by ONE cell width (pytest pins it).
+    first cell whose cumulative count reaches ceil(q·n).  The one-
+    cell-width error bound applies to the DISCRETE rank-ceil(q·n)
+    order statistic ONLY: that value provably lies inside the picked
+    cell (pytest pins it, including on a clustered fixture).  The
+    ``exact_q`` column is the INTERPOLATED percentile and is
+    informational — for sparse/clustered data interpolation can land
+    outside the picked cell (values [0,0,10,10] at q=0.5: the rank-2
+    order statistic is 0 and sits in the picked cell, but the
+    interpolated median is 5), so no bound is claimed for it
+    (ADVICE r6).
 
-    Exact interpolated quantiles ride along (Spark ``percentile`` ==
+    Interpolated quantiles ride along (Spark ``percentile`` ==
     DuckDB ``quantile_cont``, identical lower+(upper−lower)·frac
-    formula over doubles) for the family's value-checked error
+    formula over doubles) for the family's value-checked parity
     contract; both est and exact are half-up rounded at 1e-9.
 
     Plan: one min/max/exact-percentile aggregate, one histogram

@@ -33,6 +33,67 @@ def test_token_budget_mix_greedy_prefix(spark):
     assert a == b
 
 
+def test_token_budget_mix_two_phase_matches_single_window(spark):
+    """Byte-identity of the ADVICE-r6 two-phase plan against the
+    round-6 single-window reference form, on a fixture with variable
+    token counts and two strata — the decomposition (per-shard totals
+    -> bounded prefix sum -> offset intra-shard cumsum) must reproduce
+    the stratum-wide (h, key)-ordered running sum EXACTLY, including
+    the crossing doc and the cum_tokens values."""
+    from pyspark.sql import Window
+
+    import pyspark.sql.functions as F
+
+    from mapreduceimpl_spark.functions import tokens
+    from mapreduceimpl_spark.operators.sampling import token_budget_mix
+
+    rows = [(i, "en" if i % 3 else "fr", "tok " * (1 + i % 17)) for i in range(500)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    budgets = {"en": 700, "fr": 300}
+    out = token_budget_mix(docs, budgets).collect()
+
+    b_expr = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
+    scored = docs.filter(F.col("lang").isin(*budgets.keys())).select(
+        F.col("doc_id").alias("key"),
+        F.col("lang").alias("stratum"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("stratum").orderBy("h", "key")
+    ref = (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .withColumn("budget", F.element_at(b_expr, F.col("stratum")))
+        .filter((F.col("cum_tokens") - F.col("n_tokens")) < F.col("budget"))
+        .select("key", "stratum", "n_tokens", "cum_tokens")
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, ref))
+    assert len(out) > 2  # fixture actually exercises multiple docs/strata
+
+
+def test_token_budget_mix_no_stratum_wide_sort(spark):
+    """Plan shape (ADVICE r6): the running-sum window over the full
+    document relation must partition by (stratum, shard), never by
+    stratum alone — a stratum-only partition means one task sorts an
+    entire language at 100 TB.  The only stratum-only window allowed
+    is the shard-offset prefix sum, which runs on the bounded
+    aggregated (stratum, shard) grid — distinguishable in the plan
+    because its sort orders by shard, not by the md5 column h."""
+    import re
+
+    from mapreduceimpl_spark.operators.sampling import token_budget_mix
+    from mapreduceimpl_spark.plans import explain_str
+
+    rows = [(i, "en", "w " * 5) for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    plan = explain_str(token_budget_mix(docs, {"en": 25}), "simple")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        if re.search(r"\bh#", spec):
+            # the per-document window: must also partition by shard
+            assert re.search(r"\bshard#", spec), plan
+
+
 def test_shard_balance_consistency_with_sharded_shuffle(spark):
     """shard_balance's per-shard populations must equal a direct
     recount of epoch_shuffle_sharded's shard column (same epoch,

@@ -314,24 +314,49 @@ def test_ams_join_size_validates_counters(spark):
 
 def test_grid_quantiles_hand_case_and_error_bound(spark):
     """Uniform 1..200: every estimate is the lower edge of the cell
-    holding rank ceil(q*n), so the exact quantile sits within one cell
-    width above it."""
+    holding rank ceil(q*n).  The one-cell-width bound is pinned
+    against the DISCRETE rank-ceil(q*n) order statistic — the value
+    the claim actually covers (ADVICE r6) — computed directly from
+    the sorted fixture."""
+    import math
+
     from mapreduceimpl_spark.operators.sketches import grid_quantiles
 
-    df = spark.createDataFrame(
-        [(float(i),) for i in range(1, 201)], ["l_extendedprice"]
-    )
+    vals = sorted(float(i) for i in range(1, 201))
+    df = spark.createDataFrame([(v,) for v in vals], ["l_extendedprice"])
     rows = {r["q"]: r for r in grid_quantiles(df, bins=20).collect()}
     assert set(rows) == {0.25, 0.5, 0.75, 0.9, 0.99}
     for q, r in rows.items():
         assert r["n"] == 200
         assert 0 <= r["bin_idx"] <= 19
-        # structural bound: exact in [est, est + width] (+1 ulp slack)
-        assert r["est_q"] - 1e-6 <= r["exact_q"] <= r["est_q"] + r["bin_width"] + 1e-6
+        # structural bound: the discrete quantile sits in the picked
+        # cell -> disc in [est, est + width] (+1 ulp slack)
+        disc = vals[math.ceil(q * len(vals)) - 1]
+        assert r["est_q"] - 1e-6 <= disc <= r["est_q"] + r["bin_width"] + 1e-6
     # median of 1..200 on a [1,200] 20-cell grid: rank 100 -> value 100
     # lands in cell floor((100-1)/9.95) = 9 -> est edge 1 + 9*9.95
     assert rows[0.5]["bin_idx"] == 9
     assert abs(rows[0.5]["est_q"] - (1 + 9 * 9.95)) < 1e-6
+
+
+def test_grid_quantiles_discrete_bound_holds_where_interpolation_escapes(spark):
+    """The ADVICE-r6 counterexample: values [0,0,10,10], q=0.5 — the
+    interpolated median is 5 and lands far outside the picked cell
+    (est 0, width 0.5), but the discrete rank-2 order statistic is 0
+    and honors the one-cell-width bound.  Pins both facts so the
+    docstring's scoping stays honest."""
+    from mapreduceimpl_spark.operators.sketches import grid_quantiles
+
+    df = spark.createDataFrame(
+        [(0.0,), (0.0,), (10.0,), (10.0,)], ["l_extendedprice"]
+    )
+    r = {row["q"]: row for row in grid_quantiles(df, bins=20).collect()}[0.5]
+    assert r["est_q"] == 0.0 and abs(r["bin_width"] - 0.5) < 1e-9
+    # discrete rank-ceil(0.5*4)=2 order statistic = 0 -> inside the cell
+    assert r["est_q"] <= 0.0 <= r["est_q"] + r["bin_width"]
+    # interpolated value escapes the cell — why no bound is claimed
+    assert r["exact_q"] == 5.0
+    assert r["exact_q"] > r["est_q"] + r["bin_width"]
 
 
 def test_grid_quantiles_validates(spark):

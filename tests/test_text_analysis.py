@@ -802,6 +802,87 @@ def test_bpe_matches_pure_python_reference(spark):
         assert got_counts == exp_counts, (trial, texts)
 
 
+def test_bpe_batched_m1_equals_sequential(spark):
+    """At max_per_pass=1 the non-domination selection degenerates to
+    the plain argmax, so bpe_train_batched must reproduce
+    bpe_train_merges row-for-row (pass_no==round, rank always 1) —
+    the equivalence anchor that pins the batched variant to the
+    hash-verified sequential trainer."""
+    from mapreduceimpl_spark.operators.text_analysis import (
+        bpe_train_batched,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "a a b"), (3, "c b a a")], ["doc_id", "text"]
+    )
+    seq = [
+        (r["round"], r["pair"], r["cnt"])
+        for r in bpe_train_merges(docs, rounds=3).orderBy("round").collect()
+    ]
+    bat = bpe_train_batched(docs, passes=3, max_per_pass=1).orderBy("pass_no")
+    got = [(r["pass_no"], r["pair"], r["cnt"]) for r in bat.collect()]
+    assert got == seq
+    assert all(r["rank"] == 1 for r in bat.collect())
+
+
+def test_bpe_batched_selects_conflict_free_set(spark):
+    """Hand fixture where the top candidates conflict: pairs sharing a
+    side symbol with a higher-ranked candidate must be rejected
+    (rank gap visible in the output), disjoint ones accepted, and all
+    selected merges applied in ONE pass (pass-2 counts reflect every
+    pass-1 merge)."""
+    from mapreduceimpl_spark.operators.text_analysis import bpe_train_batched
+
+    # pair counts in pass 1: 'a b' x3 (docs 1,2,3), 'b c' x2 (1,2),
+    # 'x y' x2 (4,5) -> ranked: (a b), (b c), (x y).  (b c) shares 'b'
+    # with rank-1 -> rejected; (x y) is disjoint -> selected at rank 3.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b c"),
+            (3, "a b"),
+            (4, "x y"),
+            (5, "x y"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bpe_train_batched(docs, passes=2, max_per_pass=3).collect()
+    p1 = sorted(
+        [(r["rank"], r["pair"], r["cnt"]) for r in out if r["pass_no"] == 1]
+    )
+    assert p1 == [(1, "a b", 3), (3, "x y", 2)]
+    # pass 2 sees the rewritten corpus: docs 1,2 = '(a b) c' -> pair
+    # '(a b) c' x2 is the new top; no other pair repeats
+    p2 = [(r["rank"], r["pair"], r["cnt"]) for r in out if r["pass_no"] == 2]
+    assert (1, "a b c", 2) in p2
+
+
+def test_bpe_batched_validates_and_persist_identical(spark):
+    import pytest as _pytest
+
+    from mapreduceimpl_spark.operators.text_analysis import bpe_train_batched
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e a b c d") for i in range(6)], ["doc_id", "text"]
+    )
+    with _pytest.raises(ValueError):
+        bpe_train_batched(docs, passes=0)
+    with _pytest.raises(ValueError):
+        bpe_train_batched(docs, max_per_pass=0)
+    lazy = {tuple(r) for r in bpe_train_batched(docs, passes=2, max_per_pass=4).collect()}
+    caches: list = []
+    persisted = {
+        tuple(r)
+        for r in bpe_train_batched(
+            docs, passes=2, max_per_pass=4, persist_levels=True, caches=caches
+        ).collect()
+    }
+    assert lazy == persisted and len(lazy) >= 2
+    for c in caches:
+        c.unpersist()
+
+
 def test_bpe_auto_persist_engages_and_bounds_lineage(spark):
     """VERDICT r5 'what's wrong' #1: beyond BPE_AUTO_PERSIST_ROUNDS the
     loop must persist each merge level by default, truncating the
