@@ -91,11 +91,11 @@ def main() -> None:
                 # not against its (different-day) recorded number — makes
                 # the host-variance diagnosis mechanical (VERDICT r5 #5).
                 "provenance": {
-                    "prev_round_end_commit": "1b63be8",
-                    "prev_round_end_recheck_warm_sec": 9.733,
-                    "prev_round_end_recheck_with_warmup_sec": 13.206,
-                    "prev_round_recorded_warm_sec": 10.089,
-                    "recheck_date": "2026-08-14",
+                    "prev_round_end_commit": "9ea261a",
+                    "prev_round_end_recheck_warm_sec": 11.892,
+                    "prev_round_end_recheck_with_warmup_sec": 15.584,
+                    "prev_round_recorded_warm_sec": 10.124,
+                    "recheck_date": "2026-08-15",
                 },
             }
         )

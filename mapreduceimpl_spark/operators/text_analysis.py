@@ -1179,11 +1179,19 @@ def bpe_train_merges(
     trainings run hundreds of merges, where 2^rounds lineage replay is
     catastrophic, so the scale-correct posture engages itself; the
     tiny fixture-proven round counts keep the zero-cache path (at
-    those scales the persisted path is measurably not faster).  Pass
-    ``caches=[]`` to receive every frame this call persisted (the
+    those scales the persisted path is measurably not faster).
+    Past ``BPE_CHECKPOINT_ROUNDS`` the persisted path upgrades to
+    ``localCheckpoint`` — persist bounds execution but the ANALYZED
+    plan still doubles per round (each level is referenced twice),
+    and plan analysis alone OOMs around 10-12 levels; checkpointing
+    re-roots each level at constant plan size (identical values,
+    pytest-pinned), which is what lets deep trainings run at all.
+    Pass ``caches=[]`` to receive every frame this call persisted (the
     final corpus level plus each round's 1-row argmax) so a long-lived
     session can unpersist them after its terminal action; without it
-    the blocks are freed only by Spark's GC-driven ContextCleaner.
+    the blocks are freed only by Spark's GC-driven ContextCleaner
+    (checkpointed levels are always ContextCleaner-freed — unpersist
+    has no effect on them, so they are not handed out).
     """
     seqs, merge_rows = _bpe_levels(
         docs, rounds, text_col, persist_levels, apply_last=False, caches=caches
@@ -1210,6 +1218,18 @@ _BPE_NOMATCH = "\x1f"
 # below it, the fixture-scale measurements show caching buys nothing.
 BPE_AUTO_PERSIST_ROUNDS = 4
 
+# Deep-run threshold: persist bounds EXECUTION but not the LOGICAL
+# plan — each level references the previous twice (pair count +
+# rewrite), so the analyzed tree still doubles per round and plan
+# analysis itself OOMs around 10-12 levels (measured: a 12-pass run
+# killed the JVM heap before any task ran).  Past this many rounds
+# the persisted path switches to localCheckpoint(eager=True), which
+# re-roots each level as a LogicalRDD scan: constant plan size per
+# level, same values (pytest-pinned).  Checkpoint blocks are freed by
+# the ContextCleaner as level references drop (they are NOT handed to
+# ``caches`` — unpersist() has no effect on a checkpointed frame).
+BPE_CHECKPOINT_ROUNDS = 8
+
 
 def _bpe_levels(
     docs: DataFrame,
@@ -1229,6 +1249,10 @@ def _bpe_levels(
         raise ValueError(f"bpe merge loop: rounds must be >= 1, got {rounds}")
     if persist_levels is None:
         persist_levels = rounds > BPE_AUTO_PERSIST_ROUNDS
+    # deep tier: beyond BPE_CHECKPOINT_ROUNDS even the ANALYZED plan
+    # doubles per round (persist only bounds execution), so levels are
+    # localCheckpoint'ed instead — constant plan size per level
+    use_ckpt = bool(persist_levels) and rounds > BPE_CHECKPOINT_ROUNDS
     soh, eot, rs, b = _BPE_SOH, _BPE_EOT, _BPE_RS, _BPE_B
 
     scrubbed = F.translate(
@@ -1245,7 +1269,11 @@ def _bpe_levels(
     prev_persisted = None
     merge_rows = []
     for r in range(1, rounds + 1):
-        if persist_levels:
+        if use_ckpt:
+            # deep tier: truncate the logical plan itself; blocks are
+            # ContextCleaner-freed as the level references drop
+            seqs = seqs.localCheckpoint(eager=True)
+        elif persist_levels:
             # eager per-round checkpoint cadence: materialize this
             # level, then release the previous one — exactly one
             # cached CORPUS alive at a time (the last level stays
@@ -1447,10 +1475,14 @@ def bpe_train_batched(
     TakeOrderedAndProject top-M (never a global window over the pair
     vocabulary), an M x M bounded anti-join, and ONE corpus rewrite
     via a broadcast 1-row sorted merge array folded with
-    ``F.aggregate`` — the corpus never shuffles.  Remaining honest
-    ceiling: one Spark job per PASS is still the floor; at 10^5
-    merges even M=32 batching leaves ~3k sequential jobs, so truly
-    huge vocabs want a driver-side trainer over a sampled corpus.
+    ``F.aggregate`` — the corpus never shuffles.  Past
+    ``BPE_CHECKPOINT_ROUNDS`` passes the persisted path upgrades to
+    ``localCheckpoint`` (constant plan size per level — see
+    ``bpe_train_merges``); the 12-pass scale probe runs on this tier.
+    Remaining honest ceiling: one Spark job per PASS is still the
+    floor; at 10^5 merges even M=32 batching leaves ~3k sequential
+    jobs, so truly huge vocabs want a driver-side trainer over a
+    sampled corpus.
     """
     if passes < 1:
         raise ValueError(f"bpe_train_batched: passes must be >= 1, got {passes}")
@@ -1460,6 +1492,7 @@ def bpe_train_batched(
         )
     if persist_levels is None:
         persist_levels = passes > BPE_AUTO_PERSIST_ROUNDS
+    use_ckpt = bool(persist_levels) and passes > BPE_CHECKPOINT_ROUNDS
     soh, eot, rs, b = _BPE_SOH, _BPE_EOT, _BPE_RS, _BPE_B
 
     scrubbed = F.translate(
@@ -1475,7 +1508,11 @@ def bpe_train_batched(
     prev_persisted = None
     merge_rows = []
     for p in range(1, passes + 1):
-        if persist_levels:
+        if use_ckpt:
+            # deep tier (see BPE_CHECKPOINT_ROUNDS): constant plan
+            # size per level — what lets 10+-pass trainings run at all
+            seqs = seqs.localCheckpoint(eager=True)
+        elif persist_levels:
             seqs = seqs.persist()
             seqs.count()
             if prev_persisted is not None:

@@ -883,6 +883,38 @@ def test_bpe_batched_validates_and_persist_identical(spark):
         c.unpersist()
 
 
+def test_bpe_deep_tier_checkpoints_and_matches(docs, monkeypatch):
+    """Past BPE_CHECKPOINT_ROUNDS the persisted path must switch to
+    localCheckpoint: persist bounds only EXECUTION, while the ANALYZED
+    plan still doubles per level (each level is referenced twice), and
+    a measured 12-pass run OOMed the JVM during plan analysis before
+    any task ran.  With the threshold lowered, the deep tier must (a)
+    re-root levels as LogicalRDD scans — visible as 'Scan ExistingRDD'
+    against the parquet-backed fixture, which otherwise plans parquet
+    scans only — and (b) return values identical to the lazy path, for
+    BOTH the batched and the sequential trainer."""
+    from mapreduceimpl_spark.operators import text_analysis as ta
+    from mapreduceimpl_spark.plans import explain_str
+
+    lazy_b = {
+        tuple(r)
+        for r in ta.bpe_train_batched(
+            docs, passes=4, max_per_pass=2, persist_levels=False
+        ).collect()
+    }
+    lazy_s = {
+        tuple(r)
+        for r in ta.bpe_train_merges(docs, rounds=4, persist_levels=False).collect()
+    }
+    monkeypatch.setattr(ta, "BPE_CHECKPOINT_ROUNDS", 3)
+    deep_b = ta.bpe_train_batched(docs, passes=4, max_per_pass=2, persist_levels=True)
+    assert "Scan ExistingRDD" in explain_str(deep_b, "simple")
+    assert {tuple(r) for r in deep_b.collect()} == lazy_b
+    deep_s = ta.bpe_train_merges(docs, rounds=4, persist_levels=True)
+    assert "Scan ExistingRDD" in explain_str(deep_s, "simple")
+    assert {tuple(r) for r in deep_s.collect()} == lazy_s
+
+
 def test_bpe_auto_persist_engages_and_bounds_lineage(spark):
     """VERDICT r5 'what's wrong' #1: beyond BPE_AUTO_PERSIST_ROUNDS the
     loop must persist each merge level by default, truncating the

@@ -694,6 +694,30 @@ ANNOTATED = {
         "subtrees; plan stringification alone OOMed the JVM). Plan "
         "growth is pinned ~quadratic by a regression test."
     ),
+    "token_budget_mix": (
+        "Two-phase greedy token prefix (ADVICE r6 fix): the Window "
+        "running-sum partitions by (stratum, shard=md5-prefix) — never "
+        "stratum alone, so no task sorts a whole language — offset by "
+        "an exclusive prefix sum over the BOUNDED (stratum x 256) "
+        "shard-total relation (the only stratum-wide window), joined "
+        "back as a BroadcastHashJoin. Shards whose starting offset "
+        "already meets the budget are filtered out BEFORE the sort, so "
+        "sorted volume tracks the budget, not the corpus. Byte-"
+        "identical to the single-window form (pytest)."
+    ),
+    "bpe_train_batched": (
+        "Multi-merge-per-pass BPE (round 7): per pass one wordcount-"
+        "shaped pair-count Exchange, a TakeOrderedAndProject top-M "
+        "(never a global window over the pair vocabulary), a bounded "
+        "M x M left-anti self-join for the conflict-free selection, "
+        "and ONE BroadcastNestedLoopJoin of the 1-row sorted merge "
+        "array whose replace-fold rewrites the corpus in place — the "
+        "corpus never shuffles across the whole training. Past "
+        "BPE_CHECKPOINT_ROUNDS levels are localCheckpoint'ed: persist "
+        "bounds execution but the analyzed plan doubles per level "
+        "(each level referenced twice), and analysis alone OOMed a "
+        "measured 12-pass run; re-rooting makes deep runs linear."
+    ),
 }
 
 

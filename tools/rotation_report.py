@@ -55,4 +55,9 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    try:
+        raise SystemExit(main())
+    except BrokenPipeError:  # piped through head/less — not an error
+        import os
+
+        os._exit(0)
