@@ -2932,7 +2932,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "effective_domains", "session_depth_hist", "iqr_fences",
      "qlm_search", "bloom_fp_eval", "countmin_error_eval",
      # round-7 additions (window already packed with the r6 backlog)
-     "bpe_train_batched"}
+     "bpe_train_batched", "domain_frequency_cap"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -5008,6 +5008,24 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "taken in md5-hash order until each budget is crossed "
             "(greedy prefix, crossing doc included); one per-stratum "
             "window sort, exact BIGINT running totals",
+    ),
+    "domain_frequency_cap": QuerySpec(
+        lambda spark, sf_dir: sampling.domain_frequency_cap(
+            load_table(spark, sf_dir, "documents"), cap=15
+        ),
+        """SELECT key, domain, dom_rank FROM (
+             SELECT doc_id AS key, source AS domain,
+                    CAST(ROW_NUMBER() OVER (
+                      PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ) AS BIGINT) AS dom_rank
+             FROM documents
+           ) WHERE dom_rank <= 15""",
+        doc="C4/RefinedWeb per-domain frequency cap: keep the first 15 "
+            "docs per domain in md5-hash order; two-phase plan (bounded "
+            "shard-offset prefix sum + pruned intra-shard row_number) so "
+            "no task sorts a whole domain — the oracle is the naive "
+            "per-domain window the plan must equal byte-for-byte",
     ),
     "in_batch_negatives": QuerySpec(
         lambda spark, sf_dir: similarity.in_batch_negatives(
@@ -8600,7 +8618,7 @@ _ROUND7_ORDER = [
     'effective_domains', 'session_depth_hist', 'iqr_fences', 'qlm_search',
     'bloom_fp_eval', 'countmin_error_eval',
     # round-7 additions: deferred (window packed with the r6 backlog)
-    'bpe_train_batched',
+    'bpe_train_batched', 'domain_frequency_cap',
     'text_unigram_logprob', 'sample_fixed_n',
     'scalar_map', 'dedup_simhash64_pairs', 'ann_lsh_topk', 'ann_lsh_multiprobe',
     'dedup_clusters', 'range_join', 'hypertable_rollup', 'sample_weighted',

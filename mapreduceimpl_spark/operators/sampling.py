@@ -605,6 +605,71 @@ def token_budget_mix(
     )
 
 
+def domain_frequency_cap(
+    df: DataFrame,
+    cap: int = 15,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Frequency-cap documents per domain — the C4/RefinedWeb rule
+    that stops a single boilerplate-heavy domain from dominating a
+    pretraining mix: within each domain, keep the first ``cap``
+    documents in deterministic (md5(key), key) order and drop the
+    rest.  Output: (key, domain, dom_rank) for every kept document,
+    dom_rank 1-based within the domain.
+
+    Determinism: md5-hash order — rerun-stable, engine-portable, and
+    unbiased w.r.t. document content (the same uniform-order device
+    every sampling entry uses).
+
+    Scale (the ``token_budget_mix`` two-phase pattern generalized):
+    a per-domain row_number would sort each whole domain in one task —
+    at 100 TB a mega-domain is tens of TB through a single partition.
+    Instead: (a) per-(domain, shard=md5-prefix) row counts — one hash
+    aggregate, (b) an exclusive prefix sum over the bounded
+    |domains| x 256 grid — the only domain-wide window, (c) shards
+    whose starting offset already reaches the cap are PRUNED before
+    any sort (a doc's rank exceeds its shard offset), so at most
+    ~cap rows per domain are ever sorted, (d) intra-shard row_number
+    on 256x-smaller partitions, offset by (b).  Byte-identical to the
+    naive per-domain window (the oracle IS that naive form).
+    """
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError(f"domain_frequency_cap: cap must be >= 1, got {cap}")
+    scored = df.select(
+        F.col(key_col).alias("key"),
+        F.col(domain_col).alias("domain"),
+        F.md5(F.col(key_col).cast("string")).alias("h"),
+    ).withColumn("shard", F.substring("h", 1, 2))
+    w_shards = (
+        Window.partitionBy("domain")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        scored.groupBy("domain", "shard")
+        .agg(F.count("*").cast("long").alias("shard_n"))
+        .withColumn(
+            "shard_offset",
+            F.coalesce(F.sum("shard_n").over(w_shards), F.lit(0)).cast("long"),
+        )
+        # prune: a doc's dom_rank is > its shard's starting offset, so
+        # a shard that STARTS at/past the cap cannot contribute
+        .filter(F.col("shard_offset") < F.lit(cap))
+        .select("domain", "shard", "shard_offset")
+    )
+    w_intra = Window.partitionBy("domain", "shard").orderBy("h", "key")
+    rnk = (F.col("shard_offset") + F.row_number().over(w_intra)).cast("long")
+    return (
+        scored.join(F.broadcast(offsets), ["domain", "shard"])
+        .withColumn("dom_rank", rnk)
+        .filter(F.col("dom_rank") <= F.lit(cap))
+        .select("key", "domain", "dom_rank")
+    )
+
+
 def shard_balance(
     df: DataFrame,
     epoch: int = 0,

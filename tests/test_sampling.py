@@ -94,6 +94,67 @@ def test_token_budget_mix_no_stratum_wide_sort(spark):
             assert re.search(r"\bshard#", spec), plan
 
 
+def test_domain_frequency_cap_matches_naive_window(spark):
+    """Byte-identity of the two-phase plan against the naive
+    per-domain row_number it decomposes, plus cap semantics: exactly
+    min(cap, |domain|) rows per domain, dom_rank dense 1..k within
+    each domain, deterministic across reruns."""
+    from pyspark.sql import Window
+
+    import pyspark.sql.functions as F
+
+    from mapreduceimpl_spark.operators.sampling import domain_frequency_cap
+
+    rows = [(i, f"d{i % 7}") for i in range(300)] + [(1000, "solo")]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = domain_frequency_cap(docs, cap=10).collect()
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ref = (
+        docs.select(
+            F.col("doc_id").alias("key"),
+            F.col("source").alias("domain"),
+            F.row_number().over(w).cast("long").alias("dom_rank"),
+        )
+        .filter(F.col("dom_rank") <= 10)
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, ref))
+    per_dom: dict = {}
+    for r in out:
+        per_dom.setdefault(r["domain"], []).append(r["dom_rank"])
+    for dom, ranks in per_dom.items():
+        expect = 1 if dom == "solo" else 10
+        assert sorted(ranks) == list(range(1, expect + 1)), dom
+    # rerun-stable
+    again = domain_frequency_cap(docs, cap=10).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        domain_frequency_cap(docs, cap=0)
+
+
+def test_domain_frequency_cap_no_domain_wide_sort(spark):
+    """Plan shape: the row_number window over the full document
+    relation must partition by (domain, shard), never domain alone
+    (same contract as token_budget_mix — the h-ordered windowspec
+    must carry the shard column)."""
+    import re
+
+    from mapreduceimpl_spark.operators.sampling import domain_frequency_cap
+    from mapreduceimpl_spark.plans import explain_str
+
+    docs = spark.createDataFrame([(i, "web") for i in range(10)], ["doc_id", "source"])
+    plan = explain_str(domain_frequency_cap(docs, cap=3), "simple")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        if re.search(r"\bh#", spec):
+            assert re.search(r"\bshard#", spec), plan
+
+
 def test_shard_balance_consistency_with_sharded_shuffle(spark):
     """shard_balance's per-shard populations must equal a direct
     recount of epoch_shuffle_sharded's shard column (same epoch,
