@@ -1929,6 +1929,86 @@ s{r} AS (
     return f"WITH {body}\n{selects}"
 
 
+def _mmr_oracle(
+    k: int = 5, pool: int = 12, lam: float = 0.7, n_queries: int = 10
+) -> str:
+    """Chained-CTE replay of ``similarity.mmr_rerank``: candidate
+    top-pool and the pairwise sim grid use the ANN family's
+    rounded-cosine idiom; each greedy step is (score -> argmax row
+    over the bounded frame -> best_sim/selection update via a LEFT
+    join to the grid), with repr-interpolated lam literals so the
+    marginal-score arithmetic is bit-identical.  The already-selected
+    guard (mmr_rank IS NULL) mirrors the Spark side's exhausted-query
+    behavior."""
+    lam_r = repr(float(lam))
+    om_r = repr(1.0 - float(lam))
+    layers = [
+        f"""me AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+mq AS (SELECT vec_id AS query_id, v AS qv FROM me WHERE vec_id < {n_queries}),
+mcand AS MATERIALIZED (
+  SELECT query_id, vec_id, cosine FROM (
+    SELECT query_id, vec_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM (SELECT query_id, vec_id,
+                 round(list_cosine_similarity(qv, v), 6) AS cosine
+          FROM mq CROSS JOIN me WHERE vec_id <> query_id)
+  ) WHERE rn <= {pool}
+),
+mgrid AS MATERIALIZED (
+  SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+  FROM mcand a
+  JOIN mcand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+  JOIN me ea ON ea.vec_id = a.vec_id
+  JOIN me eb ON eb.vec_id = b.vec_id
+),
+m0 AS (
+  SELECT query_id, vec_id AS c, cosine AS rel, CAST(0.0 AS DOUBLE) AS best_sim,
+         FALSE AS sel, CAST(NULL AS BIGINT) AS mmr_rank,
+         CAST(NULL AS DOUBLE) AS sel_score
+  FROM mcand
+)"""
+    ]
+    for i in range(1, k + 1):
+        layers.append(
+            f"""w{i} AS (
+  SELECT *, round({lam_r} * rel - {om_r} * best_sim, 9) AS score FROM m{i - 1}
+),
+win{i} AS (
+  SELECT query_id, c AS winner FROM (
+    SELECT query_id, c,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sel ASC, score DESC, c ASC) AS rn
+    FROM w{i}
+  ) WHERE rn = 1
+),
+m{i} AS (
+  SELECT w.query_id, w.c, w.rel,
+         greatest(w.best_sim, coalesce(g.sim, w.best_sim)) AS best_sim,
+         (w.sel OR w.c = win.winner) AS sel,
+         CASE WHEN w.c = win.winner AND w.mmr_rank IS NULL
+              THEN CAST({i} AS BIGINT) ELSE w.mmr_rank END AS mmr_rank,
+         CASE WHEN w.c = win.winner AND w.mmr_rank IS NULL
+              THEN w.score ELSE w.sel_score END AS sel_score
+  FROM w{i} w
+  JOIN win{i} win ON w.query_id = win.query_id
+  LEFT JOIN mgrid g ON g.query_id = w.query_id AND g.a = w.c
+                    AND g.b = win.winner
+)"""
+        )
+    body = ",\n".join(layers)
+    return (
+        f"WITH {body}\n"
+        f"SELECT query_id, c AS vec_id, mmr_rank, rel AS relevance,\n"
+        f"       sel_score AS mmr_score\n"
+        f"FROM m{k} WHERE mmr_rank IS NOT NULL"
+    )
+
+
 def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
     """Chained-CTE replay of ``graph.pagerank``: one CTE layer per
     iteration, decimal-routed contribution sums, the SAME float
@@ -2932,7 +3012,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "effective_domains", "session_depth_hist", "iqr_fences",
      "qlm_search", "bloom_fp_eval", "countmin_error_eval",
      # round-7 additions (window already packed with the r6 backlog)
-     "bpe_train_batched", "domain_frequency_cap"}
+     "bpe_train_batched", "domain_frequency_cap", "mmr_rerank"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -5008,6 +5088,21 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "taken in md5-hash order until each budget is crossed "
             "(greedy prefix, crossing doc included); one per-stratum "
             "window sort, exact BIGINT running totals",
+    ),
+    "mmr_rerank": QuerySpec(
+        lambda spark, sf_dir: similarity.mmr_rerank(
+            load_table(spark, sf_dir, "embeddings"),
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=5, pool=12, lam=0.7,
+        ),
+        _mmr_oracle(k=5, pool=12, lam=0.7, n_queries=10),
+        doc="MMR diversified top-k (Carbonell & Goldstein SIGIR'98): "
+            "greedy lam*rel - (1-lam)*max-sim-to-selected re-rank of the "
+            "brute-force top-pool; every step a bounded Q x pool frame "
+            "referenced EXACTLY once (window-first argmax, the linear-"
+            "lineage rule); hash-verified chained-CTE replay",
     ),
     "domain_frequency_cap": QuerySpec(
         lambda spark, sf_dir: sampling.domain_frequency_cap(
@@ -8618,7 +8713,7 @@ _ROUND7_ORDER = [
     'effective_domains', 'session_depth_hist', 'iqr_fences', 'qlm_search',
     'bloom_fp_eval', 'countmin_error_eval',
     # round-7 additions: deferred (window packed with the r6 backlog)
-    'bpe_train_batched', 'domain_frequency_cap',
+    'bpe_train_batched', 'domain_frequency_cap', 'mmr_rerank',
     'text_unigram_logprob', 'sample_fixed_n',
     'scalar_map', 'dedup_simhash64_pairs', 'ann_lsh_topk', 'ann_lsh_multiprobe',
     'dedup_clusters', 'range_join', 'hypertable_rollup', 'sample_weighted',

@@ -1051,3 +1051,140 @@ def pq_adc_topk(
         adist.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k_results)
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 12,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98) — the re-ranking step a data-selection or
+    retrieval pipeline runs AFTER similarity search so the k picks
+    are not k near-duplicates of each other: greedily select the
+    candidate maximizing ``lam*relevance - (1-lam)*max_sim_to_
+    already_selected``.
+
+    Candidates = per-query top-``pool`` by rounded cosine (the
+    ``brute_force_topk`` contract, self-matches excluded); the greedy
+    loop runs ``k`` chained steps over that BOUNDED Q x pool frame.
+    Output: (query_id, vec_id, mmr_rank, relevance, mmr_score) —
+    mmr_rank 1..k in selection order, mmr_score the winning marginal
+    score at selection time (step 1's diversity term is 0, so its
+    score is lam*relevance).
+
+    Determinism / engine parity: relevance and pairwise sims are
+    cosine rounded to ``round_digits`` BEFORE any ranking; marginal
+    scores use repr-interpolated lam literals on those rounded
+    operands and are rounded to 1e-9 before the (score desc, vec_id
+    asc) argmax — the ANN family's rounded-then-ranked idiom, so the
+    DuckDB chained-CTE replay is bit-identical.
+
+    Scale and lineage: every per-step frame is bounded (Q x pool
+    rows; the pairwise grid Q x pool^2), and each step references the
+    previous frame EXACTLY ONCE — the argmax winner is attached as a
+    full-frame ordered window ``first()`` instead of an agg+join (the
+    linear-lineage rule: a second reference per step would double the
+    logical plan per iteration).  The grid is re-derived per step
+    (k linear corpus scans when unpersisted — persist the candidate
+    frame for large k); nothing corpus-sized ever shuffles.
+    """
+    if k < 1 or pool < k:
+        raise ValueError(f"mmr_rerank: need 1 <= k <= pool, got k={k} pool={pool}")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"mmr_rerank: lam must be in [0, 1], got {lam}")
+    cands = brute_force_topk(
+        embeddings,
+        queries,
+        k=pool,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        round_digits=round_digits,
+        exclude_self=True,
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
+    )
+    ca = (
+        cands.join(corpus, cands["vec_id"] == corpus["cid"])
+        .select("query_id", F.col("vec_id").alias("a"), F.col("cv").alias("va"))
+    )
+    cb = (
+        cands.join(corpus, cands["vec_id"] == corpus["cid"])
+        .select(F.col("query_id").alias("qb"), F.col("vec_id").alias("b"),
+                F.col("cv").alias("vb"))
+    )
+    grid = (
+        ca.join(cb, (F.col("query_id") == F.col("qb")) & (F.col("a") != F.col("b")))
+        .select(
+            "query_id", "a", "b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), round_digits)
+            .alias("sim"),
+        )
+    )
+
+    m = cands.select(
+        "query_id",
+        F.col("vec_id").alias("c"),
+        F.col("cosine").alias("rel"),
+        F.lit(0.0).alias("best_sim"),
+        F.lit(False).alias("sel"),
+        F.lit(None).cast("long").alias("mmr_rank"),
+        F.lit(None).cast("double").alias("sel_score"),
+    )
+    lam_c = F.lit(float(repr(lam)))
+    one_minus = F.lit(float(repr(1.0 - lam)))
+    for step in range(1, k + 1):
+        scored = m.withColumn(
+            "score",
+            F.round(lam_c * F.col("rel") - one_minus * F.col("best_sim"), 9),
+        )
+        w_full = (
+            Window.partitionBy("query_id")
+            .orderBy(F.col("sel").asc(), F.col("score").desc(), F.col("c").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        with_win = scored.withColumn("winner", F.first("c").over(w_full))
+        # a winner that is ALREADY selected only happens when a query
+        # exhausted its candidates (< k available) — the rank guard
+        # below keeps its original selection step in that case
+        is_win = (F.col("c") == F.col("winner")) & F.col("mmr_rank").isNull()
+        m = (
+            with_win.join(
+                grid,
+                (with_win["query_id"] == grid["query_id"])
+                & (F.col("a") == F.col("c"))
+                & (F.col("b") == F.col("winner")),
+                "left",
+            )
+            .select(
+                with_win["query_id"],
+                "c",
+                "rel",
+                F.greatest(F.col("best_sim"), F.coalesce(F.col("sim"), F.col("best_sim")))
+                .alias("best_sim"),
+                (F.col("sel") | is_win).alias("sel"),
+                F.when(is_win, F.lit(step).cast("long"))
+                .otherwise(F.col("mmr_rank"))
+                .alias("mmr_rank"),
+                F.when(is_win, F.col("score")).otherwise(F.col("sel_score"))
+                .alias("sel_score"),
+            )
+        )
+    return (
+        m.filter(F.col("mmr_rank").isNotNull())
+        .select(
+            "query_id",
+            F.col("c").alias("vec_id"),
+            "mmr_rank",
+            F.col("rel").alias("relevance"),
+            F.col("sel_score").alias("mmr_score"),
+        )
+    )

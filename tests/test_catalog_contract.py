@@ -243,6 +243,8 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
                                # over countmin's broadcast query rows
         "bpe_train_batched",   # 1-row sorted merge-array broadcast per
                                # pass (the rank-ordered replace fold)
+        "mmr_rerank",          # composes ann_topk's broadcast query batch
+                               # (candidate top-pool), then bounded frames
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

@@ -612,3 +612,76 @@ def test_ann_recall_eval_bounds_and_self_hit(spark, embeddings):
         assert got[q] == len(
             {p for p in ex if p[0] == q} & {p for p in iv if p[0] == q}
         )
+
+
+def test_mmr_rerank_diversifies_against_plain_topk(spark):
+    """The hand-geometry case MMR exists for: two near-duplicate
+    highly-relevant candidates plus one orthogonal diverse one.  Plain
+    top-2 picks both duplicates; MMR (lam=0.3) picks one duplicate
+    then the diverse candidate, because the second duplicate's
+    max-sim-to-selected penalty (~1.0) swamps its relevance edge.
+    Also pins rank-1 = plain argmax (step 1 has no diversity term),
+    selection-order ranks, and parameter validation."""
+    import pytest as _pytest
+
+    from mapreduceimpl_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),      # query
+        (10, [1.0, 0.05]),    # near-dup A1 (most relevant)
+        (11, [1.0, 0.06]),    # near-dup A2 (sim(A1,A2) ~ 1)
+        (12, [0.0, 1.0]),     # diverse B (orthogonal to query and A's)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plain = [
+        r["vec_id"]
+        for r in brute_force_topk(emb, q, k=2, round_digits=6, exclude_self=True)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert plain == [10, 11]  # duplicates crowd the plain top-2
+
+    out = mmr_rerank(emb, q, k=2, pool=3, lam=0.3).orderBy("mmr_rank").collect()
+    assert [r["vec_id"] for r in out] == [10, 12]
+    assert [r["mmr_rank"] for r in out] == [1, 2]
+    # step-1 score is lam*relevance (empty selected set -> zero penalty)
+    assert abs(out[0]["mmr_score"] - 0.3 * out[0]["relevance"]) < 1e-8
+    # the diverse pick's score carries its (small) penalty to A1
+    assert out[1]["mmr_score"] < 0.3 * out[1]["relevance"] + 1e-12
+
+    with _pytest.raises(ValueError):
+        mmr_rerank(emb, q, k=5, pool=3)
+    with _pytest.raises(ValueError):
+        mmr_rerank(emb, q, k=1, pool=2, lam=1.5)
+
+
+def test_mmr_rerank_lam1_equals_plain_topk(embeddings):
+    """lam=1 removes the diversity term, so MMR must reproduce the
+    brute-force ranking exactly (same ids in the same order) — the
+    equivalence anchor tying the greedy loop to the verified ANN
+    contract."""
+    from mapreduceimpl_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plain = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in brute_force_topk(
+            embeddings, q, k=4, round_digits=6, exclude_self=True
+        ).collect()
+    }
+    mmr = {
+        (r["query_id"], r["mmr_rank"]): r["vec_id"]
+        for r in mmr_rerank(embeddings, q, k=4, pool=8, lam=1.0).collect()
+    }
+    assert mmr == plain
