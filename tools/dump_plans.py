@@ -718,6 +718,23 @@ ANNOTATED = {
         "(each level referenced twice), and analysis alone OOMed a "
         "measured 12-pass run; re-rooting makes deep runs linear."
     ),
+    "domain_frequency_cap": (
+        "Per-domain frequency cap (round 7): same two-phase shape as "
+        "token_budget_mix — the document-relation row_number windows on "
+        "(domain, shard), the only domain-wide window is the exclusive "
+        "prefix sum over the bounded |domains| x 256 shard-count grid, "
+        "and shards starting at/past the cap are filtered before any "
+        "sort, so at most ~cap rows per domain are ever sorted."
+    ),
+    "mmr_rerank": (
+        "MMR diversified top-k (round 7): the broadcast query batch "
+        "feeds brute-force candidates (corpus never shuffles), then k "
+        "greedy steps over bounded Q x pool frames — each step's argmax "
+        "winner is a full-frame ordered window first() so the previous "
+        "step is referenced EXACTLY once (linear lineage; an agg+join "
+        "winner would double the plan per step), and the pairwise-sim "
+        "grid joins are all BroadcastHashJoins on bounded relations."
+    ),
 }
 
 
