@@ -6,12 +6,16 @@ extraction / resize / frame-sampling run as Arrow-batched pandas
 functions over ``mapInPandas`` so each task streams batches without
 materializing a partition.
 
-The decode step itself is STUBBED (no codec libraries in this
-environment): ``decode_image_stub`` derives deterministic fake
-metadata from the payload bytes and raises ``NotImplementedError``
-when ``strict=True`` — the Spark-side plumbing (schema, batching,
-partition flow) is real and tested; swap ``_fake_decode`` for
-PIL/ffmpeg in production.
+Decode honesty ledger (round 7): formats that need ONLY stdlib byte
+handling + numpy are decoded FOR REAL — ``wav_pcm_decode`` (16-bit
+PCM sample reinterpret + exact stats) and ``ppm_decode_resize``
+(binary-PPM pixel plane + nearest-neighbor resize), both value-
+verified against closed-form oracles.  Compressed formats (PNG/JPEG/
+MP4/...) stay STUBBED: ``decode_image_stub`` derives deterministic
+fake metadata from the payload bytes and raises
+``NotImplementedError`` when ``strict=True`` — the Spark-side
+plumbing (schema, batching, partition flow) is real and tested; swap
+``_fake_decode`` for PIL/ffmpeg in production.
 """
 
 from __future__ import annotations
@@ -528,3 +532,168 @@ def aspect_bucket_assign(
             / F.count("*")
         ).alias("avg_aspect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL sample/pixel decode for codec-free formats (round 7)
+# ---------------------------------------------------------------------------
+# The compressed formats (PNG/JPEG/MP4/...) stay honestly stubbed —
+# no codec libraries here — but PCM WAV and binary PPM need only
+# stdlib byte handling + numpy, so their decode is REAL: actual
+# sample/pixel bytes parsed back out of the container, Arrow-batched.
+
+WAV_PCM_SCHEMA = (
+    "asset_id long, sample_rate long, channels long, n_samples long, "
+    "peak_abs long, sum_abs long, sum_sq long"
+)
+
+
+def wav_pcm_decode(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL audio sample decode for 16-bit PCM WAV payloads: walk the
+    RIFF chunks, locate fmt (audio_format must be 1 = PCM, 16-bit) and
+    data, reinterpret the data bytes as little-endian int16 samples
+    with numpy, and emit exact-integer sample statistics —
+    (asset_id, sample_rate, channels, n_samples, peak_abs, sum_abs,
+    sum_sq).  n_samples counts interleaved samples across channels;
+    all stats are exact BIGINTs so the engine-parity contract has no
+    float surface at all.  Non-WAV / non-PCM / non-16-bit payloads are
+    dropped (filter upstream with ``probe_media`` if counts matter).
+
+    This is the step the image/video tiers still stub: WAV PCM needs
+    no codec library, so the decode here is the real thing — the
+    catalog entry plants payloads whose samples are an analytic
+    function of doc_id and the DuckDB oracle computes the same stats
+    in closed form, which fails if ANY byte of the builder or the
+    parser drifts.
+
+    Scale: one Arrow-batched ``mapInPandas`` map stage, no shuffle;
+    the numpy reinterpret is O(bytes) with no Python per-sample loop.
+    """
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [], "sample_rate": [], "channels": [],
+                "n_samples": [], "peak_abs": [], "sum_abs": [], "sum_sq": [],
+            }
+            for aid, blob in zip(pdf[id_col], pdf[payload_col]):
+                b = b"" if blob is None else bytes(blob)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    continue
+                i, rate, channels, fmt_code, bits = 12, None, None, None, None
+                data = None
+                while i + 8 <= len(b):
+                    cid = b[i : i + 4]
+                    csz = int.from_bytes(b[i + 4 : i + 8], "little")
+                    if cid == b"fmt " and i + 24 <= len(b):
+                        fmt_code = int.from_bytes(b[i + 8 : i + 10], "little")
+                        channels = int.from_bytes(b[i + 10 : i + 12], "little")
+                        rate = int.from_bytes(b[i + 12 : i + 16], "little")
+                        bits = int.from_bytes(b[i + 22 : i + 24], "little")
+                    elif cid == b"data":
+                        data = b[i + 8 : i + 8 + csz]
+                    i += 8 + csz + (csz & 1)
+                if fmt_code != 1 or bits != 16 or not rate or not channels:
+                    continue
+                if data is None:
+                    continue
+                arr = np.frombuffer(
+                    data[: len(data) - (len(data) % 2)], dtype="<i2"
+                ).astype(np.int64)
+                out["asset_id"].append(int(aid))
+                out["sample_rate"].append(int(rate))
+                out["channels"].append(int(channels))
+                out["n_samples"].append(int(arr.size))
+                out["peak_abs"].append(int(np.abs(arr).max()) if arr.size else 0)
+                out["sum_abs"].append(int(np.abs(arr).sum()))
+                out["sum_sq"].append(int((arr * arr).sum()))
+            yield pd.DataFrame(out)
+
+    return assets.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(payload_col)
+    ).mapInPandas(decode, WAV_PCM_SCHEMA)
+
+
+PPM_RESIZE_SCHEMA = (
+    "asset_id long, width long, height long, out_side long, "
+    "checksum long, top_left_r long, bottom_right_b long"
+)
+
+
+def ppm_decode_resize(
+    assets: DataFrame,
+    out_side: int = 2,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL pixel decode + nearest-neighbor resize for binary PPM
+    (P6) payloads — the uncompressed image format stdlib bytes can
+    decode, making the resize tier real instead of stubbed: parse the
+    ASCII header (magic, width, height, maxval), reinterpret the RGB
+    plane with numpy, resize to ``out_side`` x ``out_side`` with the
+    floor(i * src / dst) nearest-neighbor index convention, and emit
+    exact-integer results: a position-weighted checksum of the resized
+    pixels (sum over row-major (y, x, c) of value * (1 + index)) plus
+    two corner samples.  maxval must be 255 (1 byte/channel);
+    malformed or non-P6 payloads are dropped.
+
+    Scale: Arrow-batched ``mapInPandas`` map stage, no shuffle; numpy
+    fancy indexing does the resize without per-pixel Python.
+    """
+    import numpy as np
+
+    if out_side < 1:
+        raise ValueError(f"ppm_decode_resize: out_side must be >= 1, got {out_side}")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [], "width": [], "height": [], "out_side": [],
+                "checksum": [], "top_left_r": [], "bottom_right_b": [],
+            }
+            for aid, blob in zip(pdf[id_col], pdf[payload_col]):
+                b = b"" if blob is None else bytes(blob)
+                if b[:2] != b"P6":
+                    continue
+                # header: P6 <ws> width <ws> height <ws> maxval <single ws>
+                toks, i, tok = [], 2, b""
+                while i < len(b) and len(toks) < 3:
+                    c = b[i : i + 1]
+                    if c in (b" ", b"\t", b"\n", b"\r"):
+                        if tok:
+                            toks.append(tok)
+                            tok = b""
+                    else:
+                        tok += c
+                    i += 1
+                if len(toks) < 3 or not all(t.isdigit() for t in toks):
+                    continue
+                w, h, maxval = (int(t) for t in toks)
+                if maxval != 255 or w < 1 or h < 1:
+                    continue
+                plane = b[i : i + w * h * 3]
+                if len(plane) < w * h * 3:
+                    continue
+                arr = np.frombuffer(plane, dtype=np.uint8).reshape(h, w, 3)
+                ys = (np.arange(out_side) * h) // out_side
+                xs = (np.arange(out_side) * w) // out_side
+                resized = arr[np.ix_(ys, xs)].astype(np.int64)  # (out, out, 3)
+                flat = resized.reshape(-1)
+                weights = np.arange(1, flat.size + 1, dtype=np.int64)
+                out["asset_id"].append(int(aid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_side"].append(out_side)
+                out["checksum"].append(int((flat * weights).sum()))
+                out["top_left_r"].append(int(resized[0, 0, 0]))
+                out["bottom_right_b"].append(int(resized[-1, -1, 2]))
+            yield pd.DataFrame(out)
+
+    return assets.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(payload_col)
+    ).mapInPandas(decode, PPM_RESIZE_SCHEMA)

@@ -421,3 +421,76 @@ def test_aspect_bucket_assign_excludes_degenerate_dims(spark):
     )
     rows = aspect_bucket_assign(meta).collect()
     assert sum(r["n_images"] for r in rows) == 1
+
+
+def _pcm_wav_bytes(samples, rate=8000, channels=1, prepend_list_chunk=False):
+    """Hand-built 16-bit PCM WAV, independent of the catalog's
+    hex-expression builder."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels,
+                      2 * channels, 16)
+    chunks = b""
+    if prepend_list_chunk:  # exercise the chunk walk past extras
+        chunks += b"LIST" + struct.pack("<I", 4) + b"INFO"
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_pcm_decode_hand_payloads(spark):
+    """Real sample decode against hand-built WAVs with known stats;
+    a LIST chunk before fmt must not break the walk; non-PCM and
+    truncated payloads are dropped."""
+    import struct
+
+    from mapreduceimpl_spark.operators.multimodal import wav_pcm_decode
+
+    good = _pcm_wav_bytes([100, -200, 300, -32768])
+    listy = _pcm_wav_bytes([7, -7], prepend_list_chunk=True)
+    nonpcm = good.replace(struct.pack("<HH", 1, 1), struct.pack("<HH", 3, 1), 1)
+    rows = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(listy)),
+         (3, bytearray(nonpcm)), (4, bytearray(b"not a wav"))],
+        "asset_id long, payload binary",
+    )
+    got = {r["asset_id"]: r for r in wav_pcm_decode(rows).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert (r1["sample_rate"], r1["channels"], r1["n_samples"]) == (8000, 1, 4)
+    assert r1["peak_abs"] == 32768
+    assert r1["sum_abs"] == 100 + 200 + 300 + 32768
+    assert r1["sum_sq"] == 100**2 + 200**2 + 300**2 + 32768**2
+    assert got[2]["n_samples"] == 2 and got[2]["sum_abs"] == 14
+
+
+def test_ppm_decode_resize_hand_payload(spark):
+    """Real pixel decode + NN resize against a hand-built 4x2 P6
+    image with distinct per-pixel values; verifies the
+    (dst*size)//out index convention and the position-weighted
+    checksum; malformed headers and short planes are dropped."""
+    from mapreduceimpl_spark.operators.multimodal import ppm_decode_resize
+
+    w, h = 4, 2
+    plane = bytes((10 * y + 3 * x + c) % 256
+                  for y in range(h) for x in range(w) for c in range(3))
+    good = f"P6\n{w} {h}\n255\n".encode() + plane
+    bad_maxval = f"P6\n{w} {h}\n65535\n".encode() + plane * 2
+    short = f"P6\n{w} {h}\n255\n".encode() + plane[:-1]
+    rows = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad_maxval)), (3, bytearray(short))],
+        "asset_id long, payload binary",
+    )
+    got = {r["asset_id"]: r for r in ppm_decode_resize(rows, out_side=2).collect()}
+    assert set(got) == {1}
+    r = got[1]
+    assert (r["width"], r["height"], r["out_side"]) == (4, 2, 2)
+    # NN indices: ys = (0*2//2, 1*2//2) = (0, 1); xs = (0*4//2, 1*4//2) = (0, 2)
+    def px(y, x, c):
+        return (10 * y + 3 * x + c) % 256
+
+    expect = [px(y, x, c) for y in (0, 1) for x in (0, 2) for c in range(3)]
+    assert r["top_left_r"] == expect[0] == px(0, 0, 0)
+    assert r["bottom_right_b"] == expect[-1] == px(1, 2, 2)
+    assert r["checksum"] == sum(v * (1 + i) for i, v in enumerate(expect))
