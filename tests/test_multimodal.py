@@ -494,3 +494,20 @@ def test_ppm_decode_resize_hand_payload(spark):
     assert r["top_left_r"] == expect[0] == px(0, 0, 0)
     assert r["bottom_right_b"] == expect[-1] == px(1, 2, 2)
     assert r["checksum"] == sum(v * (1 + i) for i, v in enumerate(expect))
+
+
+def test_real_decoders_plan_is_shuffle_free(spark):
+    """wav_pcm_decode / ppm_decode_resize are pure Arrow-batched map
+    stages: no Exchange may appear in their physical plans — at 100 TB
+    the decode cost is exactly one pass over the payload bytes."""
+    from mapreduceimpl_spark.operators.multimodal import (
+        ppm_decode_resize,
+        wav_pcm_decode,
+    )
+    from mapreduceimpl_spark.plans import explain_str
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(b"x"))], "asset_id long, payload binary"
+    )
+    for df in (wav_pcm_decode(assets), ppm_decode_resize(assets)):
+        assert "Exchange" not in explain_str(df, "simple")

@@ -685,3 +685,20 @@ def test_mmr_rerank_lam1_equals_plain_topk(embeddings):
         for r in mmr_rerank(embeddings, q, k=4, pool=8, lam=1.0).collect()
     }
     assert mmr == plain
+
+
+def test_mmr_rerank_plan_growth_is_linear_in_k(embeddings):
+    """Lineage regression (the HITS/BPE lesson): each greedy step must
+    reference the previous frame exactly once, so the analyzed plan
+    grows LINEARLY with k.  An agg+join winner would double the plan
+    per step (2^k) and k=6 would already be 8x k=3; the linear form
+    stays under ~3x."""
+    from mapreduceimpl_spark.operators.similarity import mmr_rerank
+    from mapreduceimpl_spark.plans import explain_str
+
+    q = embeddings.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    len3 = len(explain_str(mmr_rerank(embeddings, q, k=3, pool=8), "simple"))
+    len6 = len(explain_str(mmr_rerank(embeddings, q, k=6, pool=8), "simple"))
+    assert len6 < 3 * len3, (len3, len6)

@@ -726,6 +726,14 @@ ANNOTATED = {
         "and shards starting at/past the cap are filtered before any "
         "sort, so at most ~cap rows per domain are ever sorted."
     ),
+    "wav_pcm_decode": (
+        "REAL PCM sample decode (round 7): a single shuffle-free map "
+        "stage — the planted WAV bytes are built by codegen expressions "
+        "fused into the scan, and the ArrowEvalPython/mapInPandas node "
+        "does the numpy int16 reinterpret; no Exchange anywhere "
+        "(pytest-pinned), so at 100 TB the cost is exactly one pass "
+        "over the payload bytes."
+    ),
     "mmr_rerank": (
         "MMR diversified top-k (round 7): the broadcast query batch "
         "feeds brute-force candidates (corpus never shuffles), then k "
