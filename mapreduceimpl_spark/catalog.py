@@ -2063,6 +2063,75 @@ SELECT asset_id,
 FROM ppv GROUP BY asset_id"""
 
 
+def _q_y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling end-to-end (VERDICT gap #2, the video
+    modality made real for the uncompressed case): plant a complete
+    YUV4MPEG2 stream per document — header, FRAME markers, and
+    nf = 3 + doc_id%4 full C420 4x2 frames whose Y/U/V bytes are
+    analytic functions of (doc_id, frame, position) — then walk the
+    bytes back with ``multimodal.y4m_frame_sample`` (every=2) and
+    compare the per-sampled-frame exact luma stats against the
+    generator's closed form."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def hex2(c):
+        return F.lpad(F.hex(c), 2, "0")
+
+    did = F.col("doc_id")
+    nf = (F.lit(3) + did % 4).cast("int")
+    hdr_hex = (
+        "595556344D50454732205734204832204632353A312049702041313A31"
+        "20433432306A7065670A"
+    )
+    frame_marker = "4652414D450A"
+
+    def plane_hex(f, count, base, step):
+        return F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(count - 1)),
+                lambda i: hex2((did + f * 11 + base + i * step) % 256),
+            ),
+        )
+
+    frames_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), nf - 1),
+            lambda f: F.concat(
+                F.lit(frame_marker),
+                plane_hex(f, 8, 0, 3),    # Y: 4x2
+                plane_hex(f, 2, 100, 5),  # U: 2x1
+                plane_hex(f, 2, 200, 7),  # V: 2x1
+            ),
+        ),
+    )
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.unhex(F.concat(F.lit(hdr_hex), frames_hex)).alias("payload"),
+    )
+    return multimodal.y4m_frame_sample(assets, every=2)
+
+
+_Y4M_FRAME_SAMPLE_SQL = """WITH y4f AS (
+  SELECT doc_id AS asset_id, 3 + doc_id % 4 AS nf FROM documents
+),
+y4s AS (
+  SELECT asset_id, unnest(generate_series(0, nf - 1)) AS f FROM y4f
+),
+y4p AS (
+  SELECT asset_id, f, (asset_id + f * 11 + i * 3) % 256 AS y
+  FROM (SELECT asset_id, f, unnest(generate_series(0, 7)) AS i FROM y4s
+        WHERE f % 2 = 0)
+)
+SELECT asset_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(4 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+       CAST(SUM(y) AS BIGINT) AS y_sum,
+       CAST(MIN(y) AS BIGINT) AS y_min,
+       CAST(MAX(y) AS BIGINT) AS y_max
+FROM y4p GROUP BY asset_id, f"""
+
+
 def _mmr_oracle(
     k: int = 5, pool: int = 12, lam: float = 0.7, n_queries: int = 10
 ) -> str:
@@ -3147,7 +3216,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "qlm_search", "bloom_fp_eval", "countmin_error_eval",
      # round-7 additions (window already packed with the r6 backlog)
      "bpe_train_batched", "domain_frequency_cap", "mmr_rerank",
-     "wav_pcm_decode", "ppm_decode_resize"}
+     "wav_pcm_decode", "ppm_decode_resize", "y4m_frame_sample"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -5239,6 +5308,14 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "needs no codec lib): planted full pixel planes -> numpy "
             "reshape + fancy-index NN to 2x2 -> exact position-weighted "
             "checksum; oracle replays the (dst*size)//out index math",
+    ),
+    "y4m_frame_sample": QuerySpec(
+        _q_y4m_frame_sample,
+        _Y4M_FRAME_SAMPLE_SQL,
+        doc="REAL video frame sampling (uncompressed Y4M needs no codec "
+            "lib): planted full YUV4MPEG2 streams -> FRAME-marker walk + "
+            "numpy luma stats on every 2nd frame in Arrow-batched "
+            "mapInPandas; oracle is the closed form of the plane generator",
     ),
     "mmr_rerank": QuerySpec(
         lambda spark, sf_dir: similarity.mmr_rerank(
@@ -8865,7 +8942,7 @@ _ROUND7_ORDER = [
     'bloom_fp_eval', 'countmin_error_eval',
     # round-7 additions: deferred (window packed with the r6 backlog)
     'bpe_train_batched', 'domain_frequency_cap', 'mmr_rerank',
-    'wav_pcm_decode', 'ppm_decode_resize',
+    'wav_pcm_decode', 'ppm_decode_resize', 'y4m_frame_sample',
     'text_unigram_logprob', 'sample_fixed_n',
     'scalar_map', 'dedup_simhash64_pairs', 'ann_lsh_topk', 'ann_lsh_multiprobe',
     'dedup_clusters', 'range_join', 'hypertable_rollup', 'sample_weighted',

@@ -8,10 +8,11 @@ materializing a partition.
 
 Decode honesty ledger (round 7): formats that need ONLY stdlib byte
 handling + numpy are decoded FOR REAL — ``wav_pcm_decode`` (16-bit
-PCM sample reinterpret + exact stats) and ``ppm_decode_resize``
-(binary-PPM pixel plane + nearest-neighbor resize), both value-
-verified against closed-form oracles.  Compressed formats (PNG/JPEG/
-MP4/...) stay STUBBED: ``decode_image_stub`` derives deterministic
+PCM sample reinterpret + exact stats), ``ppm_decode_resize``
+(binary-PPM pixel plane + nearest-neighbor resize), and
+``y4m_frame_sample`` (uncompressed YUV4MPEG2 frame walk + luma
+stats), one per modality, all value-verified against closed-form
+oracles.  Compressed formats (PNG/JPEG/MP4/...) stay STUBBED: ``decode_image_stub`` derives deterministic
 fake metadata from the payload bytes and raises
 ``NotImplementedError`` when ``strict=True`` — the Spark-side
 plumbing (schema, batching, partition flow) is real and tested; swap
@@ -697,3 +698,83 @@ def ppm_decode_resize(
     return assets.select(
         F.col(id_col).cast("long").alias(id_col), F.col(payload_col)
     ).mapInPandas(decode, PPM_RESIZE_SCHEMA)
+
+
+Y4M_FRAME_SCHEMA = (
+    "asset_id long, frame_idx long, width long, height long, "
+    "y_sum long, y_min long, y_max long"
+)
+
+
+def y4m_frame_sample(
+    assets: DataFrame,
+    every: int = 2,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL video frame sampling for uncompressed Y4M (YUV4MPEG2)
+    payloads — the third modality made real where no codec library is
+    needed (PCM WAV covered audio, binary PPM covered images): parse
+    the ASCII stream header (W/H tags; C420 8-bit chroma assumed, so
+    a frame is w*h*3/2 bytes), walk the ``FRAME`` markers, keep every
+    ``every``-th frame starting at 0 (the standard sampling cadence a
+    vision encoder's loader uses), and emit exact-integer luma-plane
+    stats per sampled frame: (asset_id, frame_idx, width, height,
+    y_sum, y_min, y_max).  Only the Y plane is summarized — that is
+    the plane frame samplers hand downstream.  Non-Y4M payloads, odd
+    dimensions, and truncated frames are dropped.
+
+    Scale: one Arrow-batched ``mapInPandas`` map stage, no shuffle;
+    numpy reinterprets each sampled Y plane with no per-pixel Python,
+    and skipped frames cost a pointer bump, not a decode.
+    """
+    import numpy as np
+
+    if every < 1:
+        raise ValueError(f"y4m_frame_sample: every must be >= 1, got {every}")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [], "frame_idx": [], "width": [], "height": [],
+                "y_sum": [], "y_min": [], "y_max": [],
+            }
+            for aid, blob in zip(pdf[id_col], pdf[payload_col]):
+                b = b"" if blob is None else bytes(blob)
+                if not b.startswith(b"YUV4MPEG2"):
+                    continue
+                nl = b.find(b"\n")
+                if nl < 0:
+                    continue
+                w = h = None
+                for tag in b[9:nl].split(b" "):
+                    if tag[:1] == b"W" and tag[1:].isdigit():
+                        w = int(tag[1:])
+                    elif tag[:1] == b"H" and tag[1:].isdigit():
+                        h = int(tag[1:])
+                if not w or not h or w % 2 or h % 2:
+                    continue
+                fsize = w * h * 3 // 2
+                i, fidx = nl + 1, 0
+                while b[i : i + 5] == b"FRAME":
+                    fnl = b.find(b"\n", i)
+                    if fnl < 0 or fnl + 1 + fsize > len(b):
+                        break
+                    if fidx % every == 0:
+                        y = np.frombuffer(
+                            b[fnl + 1 : fnl + 1 + w * h], dtype=np.uint8
+                        ).astype(np.int64)
+                        out["asset_id"].append(int(aid))
+                        out["frame_idx"].append(fidx)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["y_sum"].append(int(y.sum()))
+                        out["y_min"].append(int(y.min()))
+                        out["y_max"].append(int(y.max()))
+                    i = fnl + 1 + fsize
+                    fidx += 1
+            yield pd.DataFrame(out)
+
+    return assets.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(payload_col)
+    ).mapInPandas(decode, Y4M_FRAME_SCHEMA)

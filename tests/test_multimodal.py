@@ -503,11 +503,58 @@ def test_real_decoders_plan_is_shuffle_free(spark):
     from mapreduceimpl_spark.operators.multimodal import (
         ppm_decode_resize,
         wav_pcm_decode,
+        y4m_frame_sample,
     )
     from mapreduceimpl_spark.plans import explain_str
 
     assets = spark.createDataFrame(
         [(1, bytearray(b"x"))], "asset_id long, payload binary"
     )
-    for df in (wav_pcm_decode(assets), ppm_decode_resize(assets)):
+    for df in (
+        wav_pcm_decode(assets),
+        ppm_decode_resize(assets),
+        y4m_frame_sample(assets),
+    ):
         assert "Exchange" not in explain_str(df, "simple")
+
+
+def test_y4m_frame_sample_hand_payload(spark):
+    """Real frame walk against a hand-built YUV4MPEG2 stream: 4 C420
+    4x2 frames with distinct luma planes, every=2 keeps frames 0 and
+    2 with exact luma stats; FRAME params lines are tolerated; odd
+    dimensions and non-Y4M payloads are dropped; a truncated final
+    frame stops the walk instead of emitting garbage."""
+    from mapreduceimpl_spark.operators.multimodal import y4m_frame_sample
+
+    def frame(vals, marker=b"FRAME\n"):
+        y = bytes(vals)              # 8 luma bytes (4x2)
+        uv = bytes([9, 9, 8, 8])     # 2 U + 2 V
+        return marker + y + uv
+
+    hdr = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n"
+    good = hdr + b"".join(
+        frame([f * 10 + i for i in range(8)],
+              marker=b"FRAME Xparam\n" if f == 1 else b"FRAME\n")
+        for f in range(4)
+    )
+    odd = b"YUV4MPEG2 W3 H2 F25:1\n" + frame([0] * 8)
+    truncated = hdr + frame([1] * 8) + b"FRAME\n\x00\x01"  # frame 1 cut short
+    rows = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(odd)),
+         (3, bytearray(truncated)), (4, bytearray(b"RIFFnotvideo"))],
+        "asset_id long, payload binary",
+    )
+    got = {(r["asset_id"], r["frame_idx"]): r
+           for r in y4m_frame_sample(rows, every=2).collect()}
+    assert set(got) == {(1, 0), (1, 2), (3, 0)}
+    f0, f2 = got[(1, 0)], got[(1, 2)]
+    assert (f0["width"], f0["height"]) == (4, 2)
+    assert f0["y_sum"] == sum(range(8)) and (f0["y_min"], f0["y_max"]) == (0, 7)
+    assert f2["y_sum"] == sum(20 + i for i in range(8))
+    assert (f2["y_min"], f2["y_max"]) == (20, 27)
+    assert got[(3, 0)]["y_sum"] == 8  # the intact frame before the cut
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        y4m_frame_sample(rows, every=0)

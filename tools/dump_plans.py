@@ -732,7 +732,8 @@ ANNOTATED = {
         "fused into the scan, and the ArrowEvalPython/mapInPandas node "
         "does the numpy int16 reinterpret; no Exchange anywhere "
         "(pytest-pinned), so at 100 TB the cost is exactly one pass "
-        "over the payload bytes."
+        "over the payload bytes. ppm_decode_resize and y4m_frame_sample "
+        "share the identical plan shape for the other two modalities."
     ),
     "mmr_rerank": (
         "MMR diversified top-k (round 7): the broadcast query batch "
