@@ -19,12 +19,14 @@ re-verified by the round-6 judge); the remaining 21 stay in
 in first.  The tail is ordered stalest-cohort-first (r3, then r4/r5/
 r6) so each future round's window promotion is a simple prefix shift.
 Max-age policy: no oracle-backed entry's newest driver row may be
-older than 6 completed rounds.  Feasibility arithmetic at the current
-264-oracle-backed catalog: steady-state re-attestation demand is
-264/6 = 44 slots/round against the driver's ~49-slot window — the
-previous 4-round cycle would need 66 slots/round and is arithmetically
+older than 6 completed rounds.  Feasibility arithmetic at the
+round-7-final catalog (270 oracle-backed after this round's 6
+additions): steady-state re-attestation demand is 270/6 = 45
+slots/round against the driver's ~49-slot window — the previous
+4-round cycle would need 68 slots/round and is arithmetically
 impossible at this catalog size, so 6 is the tightest feasible cycle
-with ~5 slots/round of headroom for new entries.
+with ~4 slots/round of headroom; future rounds must budget new-entry
+intake against THAT margin, not the pre-round-7 five.
 tests/test_catalog_contract.py enforces the policy against the live
 CORRECTNESS files.  Any NEW entry added this
 round that doesn't fit the window goes into
@@ -630,6 +632,11 @@ FROM documents
 """
 
 
+# dirs this process has already registered an atexit cleanup for —
+# guards against stacking one handler per _q_multimodal_funnel call
+_WDS_FUNNEL_CLEANUPS: set[str] = set()
+
+
 def _q_multimodal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal ingest funnel (VERDICT r5 #4), the media
     counterpart of ``pretrain_funnel``: plant real container headers
@@ -701,13 +708,31 @@ def _q_multimodal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
     )
 
+    root = os.environ.get("MAPREDUCEIMPL_WDS_FUNNEL_DIR", tempfile.gettempdir())
     out_dir = os.path.join(
-        os.environ.get("MAPREDUCEIMPL_WDS_FUNNEL_DIR", tempfile.gettempdir()),
+        root,
         "mapreduceimpl_wds_funnel_"
         f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
+    # pid-keyed dirs are not self-healing like the old fixed name (a
+    # SIGKILLed run's atexit never fires and a new pid never rewrites
+    # the dead pid's dir) — sweep siblings owned by dead processes
+    import glob as _glob
+
+    for sib in _glob.glob(
+        os.path.join(root, "mapreduceimpl_wds_funnel_*_[0-9]*")
+    ):
+        try:
+            pid = int(sib.rsplit("_", 1)[1])
+            os.kill(pid, 0)  # raises if the owner is gone
+        except ValueError:
+            continue
+        except OSError:
+            shutil.rmtree(sib, ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
-    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    if out_dir not in _WDS_FUNNEL_CLEANUPS:  # one handler per dir, not per call
+        _WDS_FUNNEL_CLEANUPS.add(out_dir)
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     write_tar_shards(media_rows.unionByName(cap_rows), out_dir).collect()
 
     samples = group_samples(read_tar_shards(spark, out_dir + "/*.tar"))

@@ -587,7 +587,7 @@ def wav_pcm_decode(
                 if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
                     continue
                 i, rate, channels, fmt_code, bits = 12, None, None, None, None
-                data = None
+                data, truncated = None, False
                 while i + 8 <= len(b):
                     cid = b[i : i + 4]
                     csz = int.from_bytes(b[i + 4 : i + 8], "little")
@@ -597,15 +597,21 @@ def wav_pcm_decode(
                         rate = int.from_bytes(b[i + 12 : i + 16], "little")
                         bits = int.from_bytes(b[i + 22 : i + 24], "little")
                     elif cid == b"data":
+                        if i + 8 + csz > len(b):
+                            # chunk header promises more bytes than the
+                            # payload holds: understating the stats
+                            # silently would be worse than dropping
+                            truncated = True
+                            break
                         data = b[i + 8 : i + 8 + csz]
                     i += 8 + csz + (csz & 1)
-                if fmt_code != 1 or bits != 16 or not rate or not channels:
+                if truncated or fmt_code != 1 or bits != 16:
                     continue
-                if data is None:
+                if not rate or not channels or data is None:
                     continue
-                arr = np.frombuffer(
-                    data[: len(data) - (len(data) % 2)], dtype="<i2"
-                ).astype(np.int64)
+                if len(data) % 2:  # odd byte count cannot be 16-bit PCM
+                    continue
+                arr = np.frombuffer(data, dtype="<i2").astype(np.int64)
                 out["asset_id"].append(int(aid))
                 out["sample_rate"].append(int(rate))
                 out["channels"].append(int(channels))

@@ -662,8 +662,21 @@ def domain_frequency_cap(
     )
     w_intra = Window.partitionBy("domain", "shard").orderBy("h", "key")
     rnk = (F.col("shard_offset") + F.row_number().over(w_intra)).cast("long")
+    # null-SAFE domain key: the naive window (and the oracle's
+    # PARTITION BY) treats NULL domains as one group, so the join-back
+    # must too — a plain equi-join would silently drop every
+    # NULL-domain document (review r7)
+    off = offsets.select(
+        F.col("domain").alias("o_domain"),
+        F.col("shard").alias("o_shard"),
+        "shard_offset",
+    )
     return (
-        scored.join(F.broadcast(offsets), ["domain", "shard"])
+        scored.join(
+            F.broadcast(off),
+            F.col("domain").eqNullSafe(F.col("o_domain"))
+            & (F.col("shard") == F.col("o_shard")),
+        )
         .withColumn("dom_rank", rnk)
         .filter(F.col("dom_rank") <= F.lit(cap))
         .select("key", "domain", "dom_rank")

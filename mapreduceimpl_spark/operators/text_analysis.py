@@ -1231,6 +1231,50 @@ BPE_AUTO_PERSIST_ROUNDS = 4
 BPE_CHECKPOINT_ROUNDS = 8
 
 
+def _bpe_wrap_corpus(
+    docs: DataFrame, text_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The shared representation contract of BOTH trainers: scrub the
+    control characters, then wrap every whitespace symbol as
+    <SOH>sym<EOT> (see ``bpe_train_merges``).  One definition so the
+    sequential and batched loops can never desynchronize on the
+    scrub set or the wrap form."""
+    scrubbed = F.translate(
+        F.coalesce(F.col(text_col), F.lit("")),
+        _BPE_SOH + _BPE_EOT + _BPE_RS + _BPE_NOMATCH,
+        "",
+    )
+    return docs.select(
+        F.col(id_col),
+        F.concat(
+            F.lit(_BPE_SOH), F.array_join(F.split(scrubbed, " "), _BPE_B),
+            F.lit(_BPE_EOT),
+        ).alias("seq"),
+    )
+
+
+def _bpe_level_checkpoint(
+    seqs: DataFrame,
+    use_ckpt: bool,
+    persist_levels: bool,
+    prev_persisted: DataFrame | None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """The shared per-level persistence cadence of BOTH trainers:
+    deep tier -> localCheckpoint (constant plan size, ContextCleaner-
+    freed); persist tier -> eager persist with exactly one cached
+    corpus alive (previous level released); lazy tier -> no-op.
+    Returns (level, new prev_persisted handle)."""
+    if use_ckpt:
+        return seqs.localCheckpoint(eager=True), prev_persisted
+    if persist_levels:
+        seqs = seqs.persist()
+        seqs.count()
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        return seqs, seqs
+    return seqs, prev_persisted
+
+
 def _bpe_levels(
     docs: DataFrame,
     rounds: int,
@@ -1255,36 +1299,16 @@ def _bpe_levels(
     use_ckpt = bool(persist_levels) and rounds > BPE_CHECKPOINT_ROUNDS
     soh, eot, rs, b = _BPE_SOH, _BPE_EOT, _BPE_RS, _BPE_B
 
-    scrubbed = F.translate(
-        F.coalesce(F.col(text_col), F.lit("")), soh + eot + rs + _BPE_NOMATCH, ""
-    )
-    # wrapped form: <SOH>sym1<EOT><SOH>sym2<EOT>... == SOH + join(b) + EOT
-    seqs = docs.select(
-        F.col(id_col),
-        F.concat(
-            F.lit(soh), F.array_join(F.split(scrubbed, " "), b), F.lit(eot)
-        ).alias("seq"),
-    )
+    seqs = _bpe_wrap_corpus(docs, text_col, id_col)
 
     prev_persisted = None
     merge_rows = []
     for r in range(1, rounds + 1):
-        if use_ckpt:
-            # deep tier: truncate the logical plan itself; blocks are
-            # ContextCleaner-freed as the level references drop
-            seqs = seqs.localCheckpoint(eager=True)
-        elif persist_levels:
-            # eager per-round checkpoint cadence: materialize this
-            # level, then release the previous one — exactly one
-            # cached CORPUS alive at a time (the last level stays
-            # cached for the caller's action).  The per-round 1-row
-            # argmax is persisted too (below) so the returned merge
-            # rows read cached tops, not replays of uncached levels.
-            seqs = seqs.persist()
-            seqs.count()
-            if prev_persisted is not None:
-                prev_persisted.unpersist()
-            prev_persisted = seqs
+        # the per-round 1-row argmax is persisted too (below) so the
+        # returned merge rows read cached tops, not uncached replays
+        seqs, prev_persisted = _bpe_level_checkpoint(
+            seqs, use_ckpt, bool(persist_levels), prev_persisted
+        )
         toks = _bpe_symbols(F.col("seq"))
         pair_arr = F.transform(
             F.sequence(F.lit(1), F.size(toks) - 1),
@@ -1495,29 +1519,14 @@ def bpe_train_batched(
     use_ckpt = bool(persist_levels) and passes > BPE_CHECKPOINT_ROUNDS
     soh, eot, rs, b = _BPE_SOH, _BPE_EOT, _BPE_RS, _BPE_B
 
-    scrubbed = F.translate(
-        F.coalesce(F.col(text_col), F.lit("")), soh + eot + rs + _BPE_NOMATCH, ""
-    )
-    seqs = docs.select(
-        F.col("doc_id"),
-        F.concat(
-            F.lit(soh), F.array_join(F.split(scrubbed, " "), b), F.lit(eot)
-        ).alias("seq"),
-    )
+    seqs = _bpe_wrap_corpus(docs, text_col)
 
     prev_persisted = None
     merge_rows = []
     for p in range(1, passes + 1):
-        if use_ckpt:
-            # deep tier (see BPE_CHECKPOINT_ROUNDS): constant plan
-            # size per level — what lets 10+-pass trainings run at all
-            seqs = seqs.localCheckpoint(eager=True)
-        elif persist_levels:
-            seqs = seqs.persist()
-            seqs.count()
-            if prev_persisted is not None:
-                prev_persisted.unpersist()
-            prev_persisted = seqs
+        seqs, prev_persisted = _bpe_level_checkpoint(
+            seqs, use_ckpt, bool(persist_levels), prev_persisted
+        )
         toks = _bpe_symbols(F.col("seq"))
         pair_arr = F.transform(
             F.sequence(F.lit(1), F.size(toks) - 1),
@@ -1592,8 +1601,13 @@ def bpe_train_batched(
         if p < passes:
             # ONE broadcast row: the selected merges as a rank-sorted
             # struct array; the rewrite folds replace() over it in
-            # rank order (empty array = no-op), keeping the corpus
-            # lineage linear — one reference to the previous level
+            # rank order (empty array = no-op).  NOTE the broadcast
+            # side (ms -> sel -> cand) also roots at the previous
+            # level, so like the sequential trainer each pass holds
+            # TWO references to level p-1 — the persist tier bounds
+            # the replay and the localCheckpoint tier bounds the
+            # analyzed-plan doubling; the fold only avoids adding a
+            # per-merge third/fourth reference on top
             ms = sel.agg(
                 F.sort_array(
                     F.collect_list(F.struct("rnk", "pattern", "merged"))

@@ -44,15 +44,17 @@ def test_no_oracle_backed_entry_goes_stale():
     6 rounds.  Concretely, before round N runs, an oracle-backed entry
     must either (a) sit inside the recording window (gets a fresh row
     now), (b) have a driver row from round >= N-6, or (c) be a declared
-    deferral.  Feasibility arithmetic at the round-7 catalog (264
-    oracle-backed entries, ~49 recorded slots/round): steady-state
-    re-attestation demand is 264/6 = 44 slots/round — the previous
-    4-round cycle would demand 66 slots/round, permanently above the
-    window, so ANY schedule breaches it by round 8 (70 deferred
-    first-attestations + 45 r3 refreshes = 115 rows needed in 98
-    slots).  The 6-round cycle is the tightest feasible one, leaving
-    ~5 slots/round of headroom for catalog growth; rounds still pack
-    windows stalest-first so realized ages stay well under the bound."""
+    deferral.  Feasibility arithmetic at the round-7-final catalog
+    (270 oracle-backed entries, ~49 recorded slots/round):
+    steady-state re-attestation demand is 270/6 = 45 slots/round —
+    the previous 4-round cycle would demand 68 slots/round,
+    permanently above the window, so ANY schedule breaches it by
+    round 8 (70 deferred first-attestations + 45 r3 refreshes = 115
+    rows needed in 98 slots).  The 6-round cycle is the tightest
+    feasible one, leaving ~4 slots/round of headroom for catalog
+    growth (new-entry intake must be budgeted against this margin);
+    rounds still pack windows stalest-first so realized ages stay
+    well under the bound."""
     import glob
     import json
     import re

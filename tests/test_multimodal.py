@@ -450,9 +450,11 @@ def test_wav_pcm_decode_hand_payloads(spark):
     good = _pcm_wav_bytes([100, -200, 300, -32768])
     listy = _pcm_wav_bytes([7, -7], prepend_list_chunk=True)
     nonpcm = good.replace(struct.pack("<HH", 1, 1), struct.pack("<HH", 3, 1), 1)
+    truncated = good[:-3]  # data header promises more bytes than remain
     rows = spark.createDataFrame(
         [(1, bytearray(good)), (2, bytearray(listy)),
-         (3, bytearray(nonpcm)), (4, bytearray(b"not a wav"))],
+         (3, bytearray(nonpcm)), (4, bytearray(b"not a wav")),
+         (5, bytearray(truncated))],
         "asset_id long, payload binary",
     )
     got = {r["asset_id"]: r for r in wav_pcm_decode(rows).collect()}

@@ -106,6 +106,9 @@ def test_domain_frequency_cap_matches_naive_window(spark):
     from mapreduceimpl_spark.operators.sampling import domain_frequency_cap
 
     rows = [(i, f"d{i % 7}") for i in range(300)] + [(1000, "solo")]
+    # NULL domains form ONE group, like the naive window's PARTITION BY
+    # (a null-unsafe join-back would silently drop them — review r7)
+    rows += [(2000 + i, None) for i in range(15)]
     docs = spark.createDataFrame(rows, ["doc_id", "source"])
     out = domain_frequency_cap(docs, cap=10).collect()
 
@@ -124,6 +127,7 @@ def test_domain_frequency_cap_matches_naive_window(spark):
     per_dom: dict = {}
     for r in out:
         per_dom.setdefault(r["domain"], []).append(r["dom_rank"])
+    assert None in per_dom  # NULL-domain docs retained and capped
     for dom, ranks in per_dom.items():
         expect = 1 if dom == "solo" else 10
         assert sorted(ranks) == list(range(1, expect + 1)), dom

@@ -461,6 +461,19 @@ def _probe_token_budget(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_real_decode(spark, sf_dir: str):
+    """The three real decoders (WAV PCM / PPM resize / Y4M frames) as
+    one pass: all are shuffle-free Arrow map stages, so wall should
+    track payload bytes ~linearly across the 10x step."""
+    from mapreduceimpl_spark import catalog
+
+    t0 = time.time()
+    n = 0
+    for name in ("wav_pcm_decode", "ppm_decode_resize", "y4m_frame_sample"):
+        n += catalog.SPECS[name].fn(spark, sf_dir).count()
+    return time.time() - t0, n
+
+
 def _probe_kmeans_lloyd(spark, sf_dir: str):
     from mapreduceimpl_spark.operators import kmeans
 
@@ -741,6 +754,7 @@ PROBES = {
     "bpe_persisted": _probe_bpe_persisted,
     "bpe_batched_deep": _probe_bpe_batched_deep,
     "token_budget": _probe_token_budget,
+    "real_decode": _probe_real_decode,
     "kmeans_lloyd": _probe_kmeans_lloyd,
     "ivf_lloyd": _probe_ivf_lloyd,
     "glove": _probe_glove,
