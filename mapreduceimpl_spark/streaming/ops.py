@@ -1433,3 +1433,97 @@ def stream_attribution_time_decay(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_DFC_STREAM_SCHEMA = StructType(
+    [
+        StructField("domain", StringType()),
+        StructField("batch_seq", LongType()),
+        StructField("key", LongType()),
+        StructField("dom_rank", LongType()),
+    ]
+)
+_DFC_STATE = StructType(
+    [
+        StructField("hs", ArrayType(StringType())),
+        StructField("keys", ArrayType(LongType())),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def stream_domain_frequency_cap(
+    docs: DataFrame,
+    cap: int = 15,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of ``sampling.domain_frequency_cap``: maintain
+    each domain's capped keeper set LIVE on an unbounded document
+    stream with O(cap) keyed state — the ingestion-time form of the
+    C4/RefinedWeb per-domain cap (admit a new doc's (md5, key) into
+    the bottom-``cap`` set or refuse it, without ever re-reading the
+    corpus).
+
+    Because the batch selection is the bottom-``cap`` of (md5(key),
+    key) per domain — an ORDER-FREE set, exactly like the KMV
+    bottom-k — the final emission equals the batch operator's
+    (key, domain, dom_rank) rows no matter how the stream is
+    micro-batched (tested, incl. a two-file boundary where a later
+    file's lower hash evicts an earlier keeper).  Each micro-batch
+    re-emits the domain's current keeper set with ranks (at most
+    ``cap`` rows per domain per batch).
+
+    Caveat: the state key is the raw domain value; route NULL domains
+    to a sentinel upstream on the stream side (the batch operator
+    retains them as one group via its null-safe join).
+
+    The per-doc hash replays the batch chain exactly:
+    ``hashlib.md5(str(key))`` == Spark's ``md5(CAST(key AS STRING))``
+    on BIGINT keys — md5 is md5 everywhere, and the hex-string sort
+    order is the batch window's ORDER BY (h, key).
+    """
+    import hashlib
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if cap < 1:
+        raise ValueError(
+            f"stream_domain_frequency_cap: cap must be >= 1, got {cap}"
+        )
+
+    def update(key: Any, pdfs: Any, state: GroupState):
+        if state.exists:
+            hs, ks, seq = state.get
+            pairs = list(zip(hs, ks))
+        else:
+            pairs, seq = [], 0
+        seq += 1
+        for pdf in pdfs:
+            for k_ in pdf[key_col]:
+                if k_ is None:
+                    continue
+                k_ = int(k_)
+                pairs.append(
+                    (hashlib.md5(str(k_).encode()).hexdigest(), k_)
+                )
+        pairs = sorted(set(pairs))[:cap]
+        state.update(
+            ([p[0] for p in pairs], [p[1] for p in pairs], seq)
+        )
+        yield pd.DataFrame(
+            {
+                "domain": [key[0]] * len(pairs),
+                "batch_seq": [seq] * len(pairs),
+                "key": [p[1] for p in pairs],
+                "dom_rank": list(range(1, len(pairs) + 1)),
+            }
+        )
+
+    return docs.groupBy(domain_col).applyInPandasWithState(
+        update,
+        outputStructType=_DFC_STREAM_SCHEMA,
+        stateStructType=_DFC_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

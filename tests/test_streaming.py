@@ -1239,3 +1239,91 @@ def test_stream_attribution_time_decay_state_crosses_batches(spark, tmp_path):
         (3, 1): (7_200_000_000, 2),   # 2h in micros
         (3, 2): (3_600_000_000, 2),   # 1h
     }
+
+
+def test_stream_domain_cap_matches_batch(spark, tmp_path):
+    """Final per-domain emission equals batch domain_frequency_cap's
+    (key, domain, dom_rank) rows over the same corpus — bottom-cap of
+    (md5, key) is order-free, so stream == batch exactly."""
+    from mapreduceimpl_spark.operators.sampling import domain_frequency_cap
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "source")
+    src = tmp_path / "dfc_stream"
+    src.mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    got_rows = _run_stream(
+        streaming.stream_domain_frequency_cap(stream, cap=7), mode="append"
+    )
+    last_seq: dict = {}
+    for r in got_rows:
+        last_seq[r["domain"]] = max(last_seq.get(r["domain"], 0), r["batch_seq"])
+    final = {
+        (r["key"], r["domain"], r["dom_rank"])
+        for r in got_rows
+        if r["batch_seq"] == last_seq[r["domain"]]
+    }
+    batch = {
+        (r["key"], r["domain"], r["dom_rank"])
+        for r in domain_frequency_cap(
+            load_table(spark, SF, "documents"), cap=7
+        ).collect()
+    }
+    assert final == batch and len(batch) > 0
+
+
+def test_stream_domain_cap_eviction_crosses_batches(spark, tmp_path):
+    """Two files split the corpus at the median doc_id (a parity split
+    would give each file a DISJOINT domain set in this fixture — source
+    is assigned by doc_id stripe — so no domain would ever cross a
+    batch); a second-file doc whose md5 sorts below a first-file keeper
+    must EVICT it (only possible if the bottom-cap state crosses the
+    micro-batch boundary), and the final sets equal the batch operator
+    over the union."""
+    from mapreduceimpl_spark.operators.sampling import domain_frequency_cap
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "source")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    a = docs.filter(F.col("doc_id") <= mid)
+    b = docs.filter(F.col("doc_id") > mid)
+    src = tmp_path / "dfc_two"
+    src.mkdir()
+    a.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    b.coalesce(1).write.mode("overwrite").parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    got_rows = _run_stream(
+        streaming.stream_domain_frequency_cap(stream, cap=7), mode="append"
+    )
+    max_seq = max(r["batch_seq"] for r in got_rows)
+    assert max_seq >= 2  # genuinely saw more than one micro-batch
+    last_seq: dict = {}
+    for r in got_rows:
+        last_seq[r["domain"]] = max(last_seq.get(r["domain"], 0), r["batch_seq"])
+    final = {
+        (r["key"], r["domain"], r["dom_rank"])
+        for r in got_rows
+        if r["batch_seq"] == last_seq[r["domain"]]
+    }
+    batch_rows = domain_frequency_cap(
+        load_table(spark, SF, "documents"), cap=7
+    ).collect()
+    batch = {(r["key"], r["domain"], r["dom_rank"]) for r in batch_rows}
+    assert final == batch
+    # the boundary did real work: some final keeper arrived in file B
+    # (doc_id > mid) — its admission evicted a file-A keeper, and some
+    # file-A keeper survived (state carried across the boundary)
+    assert any(k > mid for k, _, _ in final)
+    assert any(k <= mid for k, _, _ in final)
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        streaming.stream_domain_frequency_cap(docs, cap=0)
