@@ -20,8 +20,8 @@ in first.  The tail is ordered stalest-cohort-first (r3, then r4/r5/
 r6) so each future round's window promotion is a simple prefix shift.
 Max-age policy: no oracle-backed entry's newest driver row may be
 older than 6 completed rounds.  Feasibility arithmetic at the
-round-7-final catalog (270 oracle-backed after this round's 6
-additions): steady-state re-attestation demand is 270/6 = 45
+round-7-final catalog (271 oracle-backed after this round's 7
+additions): steady-state re-attestation demand is 271/6 ~= 45.2
 slots/round against the driver's ~49-slot window — the previous
 4-round cycle would need 68 slots/round and is arithmetically
 impossible at this catalog size, so 6 is the tightest feasible cycle
@@ -442,6 +442,59 @@ def _q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=5, n_cells=4, iterations=3, n_probe=2
     ).select("query_id", "vec_id", F.lit(1).alias("hit"))
     j = exact.join(ivf, ["query_id", "vec_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+    ).select(
+        "query_id",
+        "n_hits",
+        (F.floor(F.col("n_hits") / F.lit(5.0) * 1e9 + F.lit(0.5)) / 1e9).alias(
+            "recall"
+        ),
+    )
+
+
+def _pq_recall_eval_oracle() -> str:
+    """Composes the exact brute-force and PQ/ADC oracles (each a
+    self-contained WITH subquery) into the per-query recall@5 join —
+    the PQ mirror of ``_ann_recall_eval_oracle`` (VERDICT r6 #7)."""
+    return f"""WITH pre_exact AS (
+  SELECT query_id, vec_id FROM ({_ANN_TOPK_SQL})
+),
+pre_pq AS (
+  SELECT query_id, vec_id, 1 AS hit FROM ({_pq_adc_oracle(10, 5, 4, 4, 2, 64)})
+),
+pre_j AS (
+  SELECT e.query_id, COALESCE(p.hit, 0) AS hit
+  FROM pre_exact e LEFT JOIN pre_pq p
+    ON e.query_id = p.query_id AND e.vec_id = p.vec_id
+)
+SELECT query_id, CAST(SUM(hit) AS BIGINT) AS n_hits,
+       floor(SUM(hit) / 5.0 * 1e9 + 0.5) / 1e9 AS recall
+FROM pre_j GROUP BY query_id"""
+
+
+def _q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the PQ/ADC compression tier against the exact
+    brute-force top-5, per query — closes the approximation-quality
+    loop for the second production ANN tier exactly the way
+    ``ann_recall_eval`` closes IVF-Lloyd's: ADC scores vectors through
+    4 codes alone, so it CAN rank a coarse-cell neighbor above a true
+    one, and this measures how often.  Truth side is the cosine-exact
+    top-5; the fixture vectors are unit-norm (float32 noise ~1e-7), so
+    cosine order == L2 order — the metric ADC approximates — up to
+    sub-rounding ties.  Both sides are already-hash-verified entries'
+    plans; the comparison joins 2 x (10 queries x 5) bounded rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=5, round_digits=6).select(
+        "query_id", "vec_id"
+    )
+    pq = similarity.pq_adc_topk(
+        emb, n_queries=10, k_results=5, m=4, k=4, iterations=2, dim=64
+    ).select("query_id", "vec_id", F.lit(1).alias("hit"))
+    j = exact.join(pq, ["query_id", "vec_id"], "left")
     return j.groupBy("query_id").agg(
         F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
     ).select(
@@ -3241,7 +3294,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      "qlm_search", "bloom_fp_eval", "countmin_error_eval",
      # round-7 additions (window already packed with the r6 backlog)
      "bpe_train_batched", "domain_frequency_cap", "mmr_rerank",
-     "wav_pcm_decode", "ppm_decode_resize", "y4m_frame_sample"}
+     "wav_pcm_decode", "ppm_decode_resize", "y4m_frame_sample",
+     "pq_recall_eval"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -5356,6 +5410,15 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "brute-force top-pool; every step a bounded Q x pool frame "
             "referenced EXACTLY once (window-first argmax, the linear-"
             "lineage rule); hash-verified chained-CTE replay",
+    ),
+    "pq_recall_eval": QuerySpec(
+        _q_pq_recall_eval,
+        _pq_recall_eval_oracle(),
+        doc="recall@5 of the PQ/ADC tier vs exact brute force, per "
+            "query (VERDICT r6 #7: loop-closer symmetry with "
+            "ann_recall_eval so BOTH production ANN tiers carry a "
+            "measured-recall row); composes two hash-verified plans "
+            "into a bounded 2 x (10 x 5) join",
     ),
     "domain_frequency_cap": QuerySpec(
         lambda spark, sf_dir: sampling.domain_frequency_cap(
@@ -8968,6 +9031,7 @@ _ROUND7_ORDER = [
     # round-7 additions: deferred (window packed with the r6 backlog)
     'bpe_train_batched', 'domain_frequency_cap', 'mmr_rerank',
     'wav_pcm_decode', 'ppm_decode_resize', 'y4m_frame_sample',
+    'pq_recall_eval',
     'text_unigram_logprob', 'sample_fixed_n',
     'scalar_map', 'dedup_simhash64_pairs', 'ann_lsh_topk', 'ann_lsh_multiprobe',
     'dedup_clusters', 'range_join', 'hypertable_rollup', 'sample_weighted',
