@@ -20,8 +20,8 @@ in first.  The tail is ordered stalest-cohort-first (r3, then r4/r5/
 r6) so each future round's window promotion is a simple prefix shift.
 Max-age policy: no oracle-backed entry's newest driver row may be
 older than 6 completed rounds.  Feasibility arithmetic at the
-round-7-final catalog (271 oracle-backed after this round's 7
-additions): steady-state re-attestation demand is 271/6 ~= 45.2
+round-7-final catalog (272 oracle-backed after this round's 8
+additions): steady-state re-attestation demand is 272/6 ~= 45.3
 slots/round against the driver's ~49-slot window — the previous
 4-round cycle would need 68 slots/round and is arithmetically
 impossible at this catalog size, so 6 is the tightest feasible cycle
@@ -2210,6 +2210,92 @@ SELECT asset_id, CAST(f AS BIGINT) AS frame_idx,
 FROM y4p GROUP BY asset_id, f"""
 
 
+def _q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-image decode end-to-end — the first compressed
+    format to leave the stub tier (stdlib zlib is the codec): plant a
+    spec-valid PNG per document with ``multimodal.png_encode`` —
+    pixel (x, y, c) = (doc_id + x*3 + y*5 + c*7) % 256 (the PPM tier's
+    analytic form), alternating RGB/grayscale by doc parity, row y
+    filtered with type (doc_id + y) % 5 so ALL FIVE scanline filters
+    are exercised corpus-wide, and every 4th document's deflate stream
+    split across two IDAT chunks — then decode the bytes back with
+    ``multimodal.png_decode_stats`` (chunk walk + CRC32 verify + zlib
+    inflate + filter reconstruction in Arrow-batched mapInPandas).
+    The oracle computes the stats in CLOSED FORM from the analytic
+    generator, independent of the byte path, so a drifted byte in
+    filter math on either side fails the hash; zlib's own CRCs make
+    encode/decode additionally self-checking.  The builder needs zlib
+    so it is a mapInPandas stage rather than the other tiers' JVM hex
+    expressions — still deterministic (stats never depend on the
+    deflate byte stream, only on the inflated pixels)."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list[int] = []
+            payloads: list[bytes] = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 3, 3 + did % 2
+                ch = 3 if did % 2 == 0 else 1
+                arr = (
+                    (
+                        did
+                        + 3 * np.arange(w)[None, :, None]
+                        + 5 * np.arange(h)[:, None, None]
+                        + 7 * np.arange(ch)[None, None, :]
+                    )
+                    % 256
+                ).astype(np.uint8)
+                if ch == 1:
+                    arr = arr[:, :, 0]
+                ids.append(did)
+                payloads.append(
+                    multimodal.png_encode(
+                        arr,
+                        row_filters=[(did + y) % 5 for y in range(h)],
+                        idat_split=2 if did % 4 == 0 else 1,
+                    )
+                )
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    assets = docs.mapInPandas(build, "asset_id long, payload binary")
+    return multimodal.png_decode_stats(assets)
+
+
+_PNG_DECODE_STATS_SQL = """WITH pngd AS (
+  SELECT doc_id AS asset_id, 4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch,
+         CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS color_type
+  FROM documents
+),
+pngx AS (
+  SELECT asset_id, w, h, ch, color_type,
+         unnest(generate_series(0, w * h * ch - 1)) AS idx
+  FROM pngd
+),
+pngv AS (
+  SELECT asset_id, w, h, ch, color_type, idx,
+         (asset_id + ((idx // ch) % w) * 3 + (idx // (w * ch)) * 5
+          + (idx % ch) * 7) % 256 AS v
+  FROM pngx
+)
+SELECT asset_id,
+       CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(MAX(color_type) AS BIGINT) AS color_type,
+       CAST(MAX(ch) AS BIGINT) AS n_channels,
+       CAST(SUM(v) AS BIGINT) AS pix_sum,
+       CAST(MIN(v) AS BIGINT) AS pix_min,
+       CAST(MAX(v) AS BIGINT) AS pix_max,
+       CAST(SUM(v * (1 + idx)) AS BIGINT) AS checksum
+FROM pngv GROUP BY asset_id"""
+
+
 def _mmr_oracle(
     k: int = 5, pool: int = 12, lam: float = 0.7, n_queries: int = 10
 ) -> str:
@@ -3295,7 +3381,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      # round-7 additions (window already packed with the r6 backlog)
      "bpe_train_batched", "domain_frequency_cap", "mmr_rerank",
      "wav_pcm_decode", "ppm_decode_resize", "y4m_frame_sample",
-     "pq_recall_eval"}
+     "pq_recall_eval", "png_decode_stats"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -5395,6 +5481,15 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "lib): planted full YUV4MPEG2 streams -> FRAME-marker walk + "
             "numpy luma stats on every 2nd frame in Arrow-batched "
             "mapInPandas; oracle is the closed form of the plane generator",
+    ),
+    "png_decode_stats": QuerySpec(
+        _q_png_decode_stats,
+        _PNG_DECODE_STATS_SQL,
+        doc="REAL COMPRESSED-image decode (stdlib zlib is the codec): "
+            "planted spec-valid PNGs exercising all 5 scanline filters "
+            "and multi-IDAT streams -> chunk walk + CRC verify + inflate "
+            "+ filter reconstruction in Arrow-batched mapInPandas; "
+            "oracle is the closed form of the pixel generator",
     ),
     "mmr_rerank": QuerySpec(
         lambda spark, sf_dir: similarity.mmr_rerank(
@@ -9031,7 +9126,7 @@ _ROUND7_ORDER = [
     # round-7 additions: deferred (window packed with the r6 backlog)
     'bpe_train_batched', 'domain_frequency_cap', 'mmr_rerank',
     'wav_pcm_decode', 'ppm_decode_resize', 'y4m_frame_sample',
-    'pq_recall_eval',
+    'pq_recall_eval', 'png_decode_stats',
     'text_unigram_logprob', 'sample_fixed_n',
     'scalar_map', 'dedup_simhash64_pairs', 'ann_lsh_topk', 'ann_lsh_multiprobe',
     'dedup_clusters', 'range_join', 'hypertable_rollup', 'sample_weighted',

@@ -503,6 +503,7 @@ def test_real_decoders_plan_is_shuffle_free(spark):
     stages: no Exchange may appear in their physical plans — at 100 TB
     the decode cost is exactly one pass over the payload bytes."""
     from mapreduceimpl_spark.operators.multimodal import (
+        png_decode_stats,
         ppm_decode_resize,
         wav_pcm_decode,
         y4m_frame_sample,
@@ -516,6 +517,7 @@ def test_real_decoders_plan_is_shuffle_free(spark):
         wav_pcm_decode(assets),
         ppm_decode_resize(assets),
         y4m_frame_sample(assets),
+        png_decode_stats(assets),
     ):
         assert "Exchange" not in explain_str(df, "simple")
 
@@ -560,3 +562,105 @@ def test_y4m_frame_sample_hand_payload(spark):
 
     with _pytest.raises(ValueError):
         y4m_frame_sample(rows, every=0)
+
+
+def test_png_roundtrip_all_filters_and_multi_idat(spark):
+    """png_encode -> png_decode_stats recovers EXACT pixels through
+    zlib and all five scanline filters: a 5-row image assigns filter
+    type y to row y (None/Sub/Up/Average/Paeth each exercised), split
+    across 3 IDAT chunks; grayscale and RGB both verified against
+    stats computed from the source array."""
+    import numpy as np
+
+    from mapreduceimpl_spark.operators.multimodal import (
+        png_decode_stats,
+        png_encode,
+    )
+
+    h, w = 5, 7
+    rgb = np.array(
+        [[[(11 * y + 3 * x + 7 * c) % 256 for c in range(3)]
+          for x in range(w)] for y in range(h)],
+        dtype=np.uint8,
+    )
+    gray = np.array(
+        [[(5 * y + 13 * x) % 256 for x in range(w)] for y in range(h)],
+        dtype=np.uint8,
+    )
+    png_rgb = png_encode(rgb, row_filters=[0, 1, 2, 3, 4], idat_split=3)
+    png_gray = png_encode(gray, row_filters=[4, 3, 2, 1, 0])
+    rows = spark.createDataFrame(
+        [(1, bytearray(png_rgb)), (2, bytearray(png_gray))],
+        "asset_id long, payload binary",
+    )
+    got = {r["asset_id"]: r for r in png_decode_stats(rows).collect()}
+    assert set(got) == {1, 2}
+    for aid, arr, ctype, ch in ((1, rgb, 2, 3), (2, gray, 0, 1)):
+        flat = arr.astype(np.int64).reshape(-1)
+        r = got[aid]
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["color_type"], r["n_channels"]) == (ctype, ch)
+        assert r["pix_sum"] == int(flat.sum())
+        assert r["pix_min"] == int(flat.min())
+        assert r["pix_max"] == int(flat.max())
+        weights = np.arange(1, flat.size + 1, dtype=np.int64)
+        assert r["checksum"] == int((flat * weights).sum())
+
+
+def test_png_decode_drops_malformed(spark):
+    """Corrupt/out-of-scope PNGs are DROPPED, never understated: a
+    flipped IDAT byte (CRC mismatch), a truncated tail, a 16-bit
+    depth, an interlaced header, and a valid-CRC chunk holding
+    garbage deflate all vanish from the output; the pristine payload
+    survives alongside them."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mapreduceimpl_spark.operators.multimodal import (
+        png_decode_stats,
+        png_encode,
+    )
+
+    good = png_encode(np.arange(12, dtype=np.uint8).reshape(2, 6))
+    idat_at = good.index(b"IDAT")
+    corrupt = bytearray(good)
+    corrupt[idat_at + 6] ^= 0xFF  # payload byte flips; CRC now wrong
+    # cut INSIDE the IDAT chunk: its length header promises bytes the
+    # payload no longer holds (cutting only the IEND trailer is NOT a
+    # drop — the pixel data is complete and stats aren't understated)
+    truncated = good[: idat_at + 8]
+
+    def patch_ihdr(offset: int, val: int) -> bytes:
+        b = bytearray(good)
+        ih = b.index(b"IHDR")
+        b[ih + 4 + offset] = val
+        data = bytes(b[ih + 4 : ih + 17])
+        b[ih + 17 : ih + 21] = struct.pack(
+            ">I", zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF
+        )
+        return bytes(b)
+
+    deep = patch_ihdr(8, 16)       # bit depth 16
+    interlaced = patch_ihdr(12, 1)  # Adam7
+
+    sig = good[:8]
+    ihdr_chunk = good[8 : 8 + 25]
+    bad_deflate = b"notdeflate"
+    garbage = (
+        sig + ihdr_chunk
+        + struct.pack(">I", len(bad_deflate)) + b"IDAT" + bad_deflate
+        + struct.pack(">I", zlib.crc32(b"IDAT" + bad_deflate) & 0xFFFFFFFF)
+        + struct.pack(">I", 0) + b"IEND"
+        + struct.pack(">I", zlib.crc32(b"IEND") & 0xFFFFFFFF)
+    )
+    rows = spark.createDataFrame(
+        [(1, bytearray(good)), (2, corrupt), (3, bytearray(truncated)),
+         (4, bytearray(deep)), (5, bytearray(interlaced)),
+         (6, bytearray(garbage)), (7, bytearray(b"not a png"))],
+        "asset_id long, payload binary",
+    )
+    got = {r["asset_id"]: r for r in png_decode_stats(rows).collect()}
+    assert set(got) == {1}
+    assert got[1]["pix_sum"] == sum(range(12))
