@@ -20,8 +20,8 @@ in first.  The tail is ordered stalest-cohort-first (r3, then r4/r5/
 r6) so each future round's window promotion is a simple prefix shift.
 Max-age policy: no oracle-backed entry's newest driver row may be
 older than 6 completed rounds.  Feasibility arithmetic at the
-round-7-final catalog (272 oracle-backed after this round's 8
-additions): steady-state re-attestation demand is 272/6 ~= 45.3
+round-7-final catalog (273 oracle-backed after this round's 9
+additions): steady-state re-attestation demand is 273/6 = 45.5
 slots/round against the driver's ~49-slot window — the previous
 4-round cycle would need 68 slots/round and is arithmetically
 impossible at this catalog size, so 6 is the tightest feasible cycle
@@ -688,6 +688,92 @@ FROM documents
 # dirs this process has already registered an atexit cleanup for —
 # guards against stacking one handler per _q_multimodal_funnel call
 _WDS_FUNNEL_CLEANUPS: set[str] = set()
+
+
+def _staging_dir(prefix: str, sf_dir: str, env_var: str) -> str:
+    """Per-SF, per-PROCESS scratch dir for entries that stage files at
+    build time (the multimodal-funnel de-race pattern, ADVICE r6):
+    pid-keyed path so concurrent sessions never clobber each other,
+    env override for deployments, atexit cleanup, and a sweep of
+    siblings owned by dead pids (SIGKILL never runs atexit)."""
+    import atexit
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    root = os.environ.get(env_var, tempfile.gettempdir())
+    out_dir = os.path.join(
+        root, f"{prefix}_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
+    )
+    for sib in _glob.glob(os.path.join(root, f"{prefix}_*_[0-9]*")):
+        try:
+            pid = int(sib.rsplit("_", 1)[1])
+            os.kill(pid, 0)  # raises if the owner is gone
+        except ValueError:
+            continue
+        except OSError:
+            shutil.rmtree(sib, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    if out_dir not in _WDS_FUNNEL_CLEANUPS:  # one handler per dir
+        _WDS_FUNNEL_CLEANUPS.add(out_dir)
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    return out_dir
+
+
+def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end WARC ingest — the Common Crawl path a 100 TB
+    pretraining pipeline starts from: render every document as a WARC
+    ``conversion`` record, write member-per-record ``*.warc.gz``
+    shards with the distributed sink, read them back through the
+    multi-member gzip walk, WET-extract the text, and emit per-record
+    facts (doc_id parsed from the target URI, content_length from the
+    record header, sha256 of the recovered text).  The oracle computes
+    the same facts in closed form from ``documents`` — a drifted byte
+    anywhere in the sink's record framing, the gzip member chain, the
+    reader's Content-Length walk, or the UTF-8 round-trip fails the
+    hash.  Staging uses the pid-keyed scratch-dir pattern; the only
+    collect is the bounded 8-row shard manifest."""
+    from mapreduceimpl_spark.sources.warc import (
+        read_warc_shards,
+        warc_conversion_text,
+        write_warc_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    recs = docs.select(
+        (F.col("doc_id") % 8).alias("shard_id"),
+        F.lit("conversion").alias("warc_type"),
+        F.concat(
+            F.lit("<urn:doc:"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+            F.lit(">"),
+        ).alias("record_id"),
+        F.concat(
+            F.lit("https://example.com/doc/"), F.col("doc_id").cast("string")
+        ).alias("target_uri"),
+        F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
+    )
+    out_dir = _staging_dir(
+        "mapreduceimpl_warc_ingest", sf_dir, "MAPREDUCEIMPL_WARC_INGEST_DIR"
+    )
+    write_warc_shards(recs, out_dir).collect()  # bounded 8-row manifest
+    wet = warc_conversion_text(read_warc_shards(spark, out_dir + "/*.warc.gz"))
+    return wet.select(
+        F.element_at(F.split("target_uri", "/"), -1).cast("long").alias("doc_id"),
+        # the WET frame is conversion records by construction
+        F.lit("conversion").alias("warc_type"),
+        "content_length",
+        F.sha2(F.col("text"), 256).alias("sha"),
+    )
+
+
+_WARC_INGEST_SQL = """SELECT doc_id,
+       'conversion' AS warc_type,
+       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS content_length,
+       sha256(COALESCE(text, '')) AS sha
+FROM documents"""
 
 
 def _q_multimodal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3381,7 +3467,7 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      # round-7 additions (window already packed with the r6 backlog)
      "bpe_train_batched", "domain_frequency_cap", "mmr_rerank",
      "wav_pcm_decode", "ppm_decode_resize", "y4m_frame_sample",
-     "pq_recall_eval", "png_decode_stats"}
+     "pq_recall_eval", "png_decode_stats", "warc_ingest"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -5481,6 +5567,14 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "lib): planted full YUV4MPEG2 streams -> FRAME-marker walk + "
             "numpy luma stats on every 2nd frame in Arrow-batched "
             "mapInPandas; oracle is the closed form of the plane generator",
+    ),
+    "warc_ingest": QuerySpec(
+        _q_warc_ingest,
+        _WARC_INGEST_SQL,
+        doc="Common Crawl-layout WARC round trip: distributed member-"
+            "per-record gzip sink -> multi-member inflate + Content-"
+            "Length record walk -> WET text extraction; per-record "
+            "facts vs the closed-form oracle over documents",
     ),
     "png_decode_stats": QuerySpec(
         _q_png_decode_stats,
@@ -9126,7 +9220,7 @@ _ROUND7_ORDER = [
     # round-7 additions: deferred (window packed with the r6 backlog)
     'bpe_train_batched', 'domain_frequency_cap', 'mmr_rerank',
     'wav_pcm_decode', 'ppm_decode_resize', 'y4m_frame_sample',
-    'pq_recall_eval', 'png_decode_stats',
+    'pq_recall_eval', 'png_decode_stats', 'warc_ingest',
     'text_unigram_logprob', 'sample_fixed_n',
     'scalar_map', 'dedup_simhash64_pairs', 'ann_lsh_topk', 'ann_lsh_multiprobe',
     'dedup_clusters', 'range_join', 'hypertable_rollup', 'sample_weighted',
