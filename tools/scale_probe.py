@@ -462,15 +462,30 @@ def _probe_token_budget(spark, sf_dir: str):
 
 
 def _probe_real_decode(spark, sf_dir: str):
-    """The three real decoders (WAV PCM / PPM resize / Y4M frames) as
-    one pass: all are shuffle-free Arrow map stages, so wall should
-    track payload bytes ~linearly across the 10x step."""
+    """The four real decoders (WAV PCM / PPM resize / Y4M frames /
+    PNG inflate+defilter) as one pass: all are shuffle-free Arrow map
+    stages, so wall should track payload bytes ~linearly across the
+    10x step."""
     from mapreduceimpl_spark import catalog
 
     t0 = time.time()
     n = 0
-    for name in ("wav_pcm_decode", "ppm_decode_resize", "y4m_frame_sample"):
+    for name in (
+        "wav_pcm_decode", "ppm_decode_resize", "y4m_frame_sample",
+        "png_decode_stats",
+    ):
         n += catalog.SPECS[name].fn(spark, sf_dir).count()
+    return time.time() - t0, n
+
+
+def _probe_warc_ingest(spark, sf_dir: str):
+    """WARC sink + multi-member inflate + WET extraction end-to-end:
+    one keyed Exchange to write, shard-parallel map to read — wall
+    should track corpus bytes ~linearly across the 10x step."""
+    from mapreduceimpl_spark import catalog
+
+    t0 = time.time()
+    n = catalog.SPECS["warc_ingest"].fn(spark, sf_dir).count()
     return time.time() - t0, n
 
 
@@ -755,6 +770,7 @@ PROBES = {
     "bpe_batched_deep": _probe_bpe_batched_deep,
     "token_budget": _probe_token_budget,
     "real_decode": _probe_real_decode,
+    "warc_ingest": _probe_warc_ingest,
     "kmeans_lloyd": _probe_kmeans_lloyd,
     "ivf_lloyd": _probe_ivf_lloyd,
     "glove": _probe_glove,
