@@ -14,9 +14,10 @@ entries that most need a fresh green row come first.
 Round 7 packs the entire window with the round-6 deferral backlog:
 positions 1-49 are 49 of the 70 never-driver-attested round-6
 additions (all locally oracle-verified at both SFs and independently
-re-verified by the round-6 judge); the remaining 21 stay in
-``DEFERRED_TO_NEXT_ROUND`` at positions 50-70 so round 8 rotates them
-in first.  The tail is ordered stalest-cohort-first (r3, then r4/r5/
+re-verified by the round-6 judge); the remaining 21, plus this
+round's 9 additions (each hash-verified locally at
+sf0.001/0.01/0.1 as it landed), sit in ``DEFERRED_TO_NEXT_ROUND``
+right after the window so round 8 rotates all 30 in first.  The tail is ordered stalest-cohort-first (r3, then r4/r5/
 r6) so each future round's window promotion is a simple prefix shift.
 Max-age policy: no oracle-backed entry's newest driver row may be
 older than 6 completed rounds.  Feasibility arithmetic at the
@@ -799,11 +800,6 @@ def _q_multimodal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     hook removes the dir when the owning process exits.  The returned
     frame is the lazy read-back pipeline.  The only collect is the
     8-row shard manifest — the bounded sink-stats pattern."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     from mapreduceimpl_spark.sources.webdataset import (
         group_samples,
         read_tar_shards,
@@ -847,31 +843,9 @@ def _q_multimodal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
     )
 
-    root = os.environ.get("MAPREDUCEIMPL_WDS_FUNNEL_DIR", tempfile.gettempdir())
-    out_dir = os.path.join(
-        root,
-        "mapreduceimpl_wds_funnel_"
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    out_dir = _staging_dir(
+        "mapreduceimpl_wds_funnel", sf_dir, "MAPREDUCEIMPL_WDS_FUNNEL_DIR"
     )
-    # pid-keyed dirs are not self-healing like the old fixed name (a
-    # SIGKILLed run's atexit never fires and a new pid never rewrites
-    # the dead pid's dir) — sweep siblings owned by dead processes
-    import glob as _glob
-
-    for sib in _glob.glob(
-        os.path.join(root, "mapreduceimpl_wds_funnel_*_[0-9]*")
-    ):
-        try:
-            pid = int(sib.rsplit("_", 1)[1])
-            os.kill(pid, 0)  # raises if the owner is gone
-        except ValueError:
-            continue
-        except OSError:
-            shutil.rmtree(sib, ignore_errors=True)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    if out_dir not in _WDS_FUNNEL_CLEANUPS:  # one handler per dir, not per call
-        _WDS_FUNNEL_CLEANUPS.add(out_dir)
-        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     write_tar_shards(media_rows.unionByName(cap_rows), out_dir).collect()
 
     samples = group_samples(read_tar_shards(spark, out_dir + "/*.tar"))

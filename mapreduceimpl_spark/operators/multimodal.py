@@ -811,7 +811,10 @@ def png_encode(
     across multiple IDAT chunks, which the spec allows and decoders
     must concatenate.  Output is a spec-valid PNG (correct CRCs) that
     any external viewer opens; within this repo it is the fixture
-    builder for the planted-payload decode oracle.
+    builder for the planted-payload decode oracle.  Byte determinism
+    holds per zlib build (deflate output may differ across zlib
+    versions while the decoded pixels — and therefore every
+    oracle-checked stat — stay identical).
     """
     import struct
     import zlib
@@ -874,6 +877,113 @@ def png_encode(
     return bytes(out)
 
 
+def _png_recon(flt, prev, ftype: int, ch: int):
+    """Reconstruct one defiltered scanline (int64 arrays of w*ch)."""
+    import numpy as np
+
+    if ftype == 0:
+        return flt
+    if ftype == 2:
+        return (flt + prev) % 256
+    if ftype == 1:
+        chains = flt.reshape(-1, ch)  # (w, ch): recon = cumsum mod 256
+        return (np.cumsum(chains, axis=0) % 256).reshape(-1)
+    rec = np.empty_like(flt)
+    w = flt.size // ch
+    row = flt.reshape(w, ch)
+    pr = prev.reshape(w, ch)
+    left = np.zeros(ch, dtype=np.int64)
+    upleft = np.zeros(ch, dtype=np.int64)
+    outr = rec.reshape(w, ch)
+    for x in range(w):
+        if ftype == 3:
+            pred = (left + pr[x]) // 2
+        else:  # Paeth
+            p = left + pr[x] - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - pr[x]), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, pr[x], upleft)
+            )
+        outr[x] = (row[x] + pred) % 256
+        left = outr[x]
+        upleft = pr[x]
+    return rec
+
+
+def png_stats(b: bytes) -> dict | None:
+    """Pure per-payload PNG decode (the unit ``png_decode_stats`` maps
+    over the corpus): returns the exact-integer stat dict, or None for
+    anything malformed or out of the codec-free scope (bad signature,
+    CRC mismatch, truncated chunk, non-8-bit, palette/alpha, Adam7,
+    garbage deflate, short inflate, unknown filter).  Module-level so
+    property tests can fuzz it directly — arbitrary bytes must return
+    None or a valid dict, never raise."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[: len(_PNG_SIG)] != _PNG_SIG:
+        return None
+    i, ihdr, idat = len(_PNG_SIG), None, bytearray()
+    while i + 12 <= len(b):
+        (clen,) = struct.unpack(">I", b[i : i + 4])
+        ctype = b[i + 4 : i + 8]
+        if i + 12 + clen > len(b):  # truncated chunk: drop
+            return None
+        data = b[i + 8 : i + 8 + clen]
+        (crc,) = struct.unpack(">I", b[i + 8 + clen : i + 12 + clen])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return None
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        return None
+    w, h, depth, color_type, comp, fmeth, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if (
+        depth != 8 or color_type not in (0, 2)
+        or comp != 0 or fmeth != 0 or interlace != 0
+        or w < 1 or h < 1
+    ):
+        return None
+    ch = 3 if color_type == 2 else 1
+    try:
+        lines = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = 1 + w * ch
+    if len(lines) != h * stride:
+        return None
+    la = np.frombuffer(lines, dtype=np.uint8).reshape(h, stride)
+    ftypes = la[:, 0]
+    if (ftypes > 4).any():
+        return None
+    prev = np.zeros(w * ch, dtype=np.int64)
+    rows = []
+    for y in range(h):
+        prev = _png_recon(la[y, 1:].astype(np.int64), prev, int(ftypes[y]), ch)
+        rows.append(prev)
+    pix = np.concatenate(rows)
+    weights = np.arange(1, pix.size + 1, dtype=np.int64)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "color_type": int(color_type),
+        "n_channels": ch,
+        "pix_sum": int(pix.sum()),
+        "pix_min": int(pix.min()),
+        "pix_max": int(pix.max()),
+        "checksum": int((pix * weights).sum()),
+    }
+
+
 def png_decode_stats(
     assets: DataFrame,
     id_col: str = "asset_id",
@@ -903,40 +1013,6 @@ def png_decode_stats(
     those rows pay a per-pixel Python loop vectorized across channels
     — the honest cost of PNG without a codec library, bounded per row.
     """
-    import struct
-    import zlib
-
-    import numpy as np
-
-    def _recon(flt: np.ndarray, prev: np.ndarray, ftype: int, ch: int) -> np.ndarray:
-        # flt/prev are int64 1-D arrays of length w*ch; returns recon
-        if ftype == 0:
-            return flt
-        if ftype == 2:
-            return (flt + prev) % 256
-        if ftype == 1:
-            chains = flt.reshape(-1, ch)  # (w, ch): recon = cumsum mod 256
-            return (np.cumsum(chains, axis=0) % 256).reshape(-1)
-        rec = np.empty_like(flt)
-        w = flt.size // ch
-        row = flt.reshape(w, ch)
-        pr = prev.reshape(w, ch)
-        left = np.zeros(ch, dtype=np.int64)
-        upleft = np.zeros(ch, dtype=np.int64)
-        outr = rec.reshape(w, ch)
-        for x in range(w):
-            if ftype == 3:
-                pred = (left + pr[x]) // 2
-            else:  # Paeth
-                p = left + pr[x] - upleft
-                pa, pb, pc = np.abs(p - left), np.abs(p - pr[x]), np.abs(p - upleft)
-                pred = np.where(
-                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, pr[x], upleft)
-                )
-            outr[x] = (row[x] + pred) % 256
-            left = outr[x]
-            upleft = pr[x]
-        return rec
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -946,69 +1022,12 @@ def png_decode_stats(
                 "checksum": [],
             }
             for aid, blob in zip(pdf[id_col], pdf[payload_col]):
-                b = b"" if blob is None else bytes(blob)
-                if b[: len(_PNG_SIG)] != _PNG_SIG:
+                st = png_stats(b"" if blob is None else bytes(blob))
+                if st is None:
                     continue
-                i, ihdr, idat, ok = len(_PNG_SIG), None, bytearray(), True
-                while i + 12 <= len(b):
-                    (clen,) = struct.unpack(">I", b[i : i + 4])
-                    ctype = b[i + 4 : i + 8]
-                    if i + 12 + clen > len(b):  # truncated chunk: drop
-                        ok = False
-                        break
-                    data = b[i + 8 : i + 8 + clen]
-                    (crc,) = struct.unpack(">I", b[i + 8 + clen : i + 12 + clen])
-                    if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-                        ok = False
-                        break
-                    if ctype == b"IHDR":
-                        ihdr = data
-                    elif ctype == b"IDAT":
-                        idat += data
-                    elif ctype == b"IEND":
-                        break
-                    i += 12 + clen
-                if not ok or ihdr is None or len(ihdr) != 13 or not idat:
-                    continue
-                w, h, depth, color_type, comp, fmeth, interlace = struct.unpack(
-                    ">IIBBBBB", ihdr
-                )
-                if (
-                    depth != 8 or color_type not in (0, 2)
-                    or comp != 0 or fmeth != 0 or interlace != 0
-                    or w < 1 or h < 1
-                ):
-                    continue
-                ch = 3 if color_type == 2 else 1
-                try:
-                    lines = zlib.decompress(bytes(idat))
-                except zlib.error:
-                    continue
-                stride = 1 + w * ch
-                if len(lines) != h * stride:
-                    continue
-                la = np.frombuffer(lines, dtype=np.uint8).reshape(h, stride)
-                ftypes = la[:, 0]
-                if (ftypes > 4).any():
-                    continue
-                prev = np.zeros(w * ch, dtype=np.int64)
-                rows = []
-                for y in range(h):
-                    prev = _recon(
-                        la[y, 1:].astype(np.int64), prev, int(ftypes[y]), ch
-                    )
-                    rows.append(prev)
-                pix = np.concatenate(rows)
-                weights = np.arange(1, pix.size + 1, dtype=np.int64)
                 out["asset_id"].append(int(aid))
-                out["width"].append(int(w))
-                out["height"].append(int(h))
-                out["color_type"].append(int(color_type))
-                out["n_channels"].append(ch)
-                out["pix_sum"].append(int(pix.sum()))
-                out["pix_min"].append(int(pix.min()))
-                out["pix_max"].append(int(pix.max()))
-                out["checksum"].append(int((pix * weights).sum()))
+                for k, v in st.items():
+                    out[k].append(v)
             yield pd.DataFrame(out)
 
     return assets.select(

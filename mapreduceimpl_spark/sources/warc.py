@@ -157,8 +157,11 @@ def write_warc_shards(
     ``shard_col`` value in the Common Crawl member-per-record layout
     (each record its own gzip member, mtime pinned to 0), records
     sorted by (record_id) within the shard — shard bytes are a pure
-    function of their contents, so re-running the sink reproduces
-    identical files.  Returns the lazy manifest (shard, n_records,
+    function of their contents AND the zlib build, so re-running the
+    sink on the same runtime reproduces identical files (across zlib
+    versions the deflate bytes may differ while the decoded records
+    stay identical — unlike the tar sink, whose uncompressed bytes
+    are version-independent).  Returns the lazy manifest (shard, n_records,
     n_bytes-uncompressed); run an action to perform the write.
 
     Scale: one keyed Exchange on the shard id, then each shard is

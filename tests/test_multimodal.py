@@ -664,3 +664,36 @@ def test_png_decode_drops_malformed(spark):
     got = {r["asset_id"]: r for r in png_decode_stats(rows).collect()}
     assert set(got) == {1}
     assert got[1]["pix_sum"] == sum(range(12))
+
+
+def test_staging_dir_isolates_processes_and_sweeps_dead_pids(tmp_path, monkeypatch):
+    """The de-race contract for build-time staging entries
+    (multimodal_funnel, warc_ingest — ADVICE r6): the dir is keyed by
+    THIS pid (two live sessions can never share a path), a sibling
+    owned by a DEAD pid is swept (SIGKILL never runs atexit), a
+    sibling owned by a LIVE pid is left alone, and the env override
+    redirects the root."""
+    import os
+    import subprocess
+
+    from mapreduceimpl_spark.catalog import _staging_dir
+
+    monkeypatch.setenv("MAPREDUCEIMPL_TEST_STAGE_DIR", str(tmp_path))
+
+    # a pid that existed and is now certainly dead
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead = tmp_path / f"stg_sfX_{proc.pid}"
+    dead.mkdir()
+    (dead / "leftover").write_text("x")
+    live = tmp_path / f"stg_sfY_{os.getpid()}"
+    live.mkdir()
+
+    out = _staging_dir("stg", "/data/sf0.001", "MAPREDUCEIMPL_TEST_STAGE_DIR")
+    assert out == str(tmp_path / f"stg_sf0.001_{os.getpid()}")
+    assert not dead.exists(), "dead-pid sibling must be swept"
+    assert live.exists(), "live-pid sibling must survive"
+    # same prefix, different sf: a second call in this process still
+    # yields a distinct path per sf
+    out2 = _staging_dir("stg", "/data/sf0.1", "MAPREDUCEIMPL_TEST_STAGE_DIR")
+    assert out2 != out and str(os.getpid()) in out2

@@ -865,3 +865,60 @@ def test_iqr_fences_hand_case(spark):
     assert r["n"] == 12 and r["n_outliers"] == 2
     assert r["lo"] < 100 and r["hi"] > 109
     assert abs(r["outlier_frac"] - 2 / 12) < 1e-12
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    rgb=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31),
+    split=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_png_roundtrip_property(w, h, rgb, seed, split, data):
+    """For ALL image shapes, pixel contents, per-row filter choices,
+    and IDAT splits: png_stats(png_encode(x)) recovers the EXACT
+    stats of x — the compressed-decode analogue of the md5/sha
+    replayability properties above (pure functions, no Spark)."""
+    import numpy as np
+
+    from mapreduceimpl_spark.operators.multimodal import png_encode, png_stats
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    filters = data.draw(
+        st.lists(st.integers(min_value=0, max_value=4), min_size=h, max_size=h)
+    )
+    got = png_stats(png_encode(arr, row_filters=filters, idat_split=split))
+    flat = arr.astype(np.int64).reshape(-1)
+    weights = np.arange(1, flat.size + 1, dtype=np.int64)
+    assert got == {
+        "width": w,
+        "height": h,
+        "color_type": 2 if rgb else 0,
+        "n_channels": 3 if rgb else 1,
+        "pix_sum": int(flat.sum()),
+        "pix_min": int(flat.min()),
+        "pix_max": int(flat.max()),
+        "checksum": int((flat * weights).sum()),
+    }
+
+
+@given(blob=st.binary(max_size=256), with_sig=st.booleans())
+@settings(max_examples=300, deadline=None)
+def test_png_stats_total_on_arbitrary_bytes(blob, with_sig):
+    """png_stats is TOTAL: arbitrary bytes (with or without a valid
+    signature prefix) return None or a valid dict, never raise — the
+    drop-don't-crash contract a 100 TB crawl of hostile payloads
+    needs."""
+    from mapreduceimpl_spark.operators.multimodal import _PNG_SIG, png_stats
+
+    b = (_PNG_SIG + blob) if with_sig else blob
+    got = png_stats(b)
+    assert got is None or (
+        set(got) == {"width", "height", "color_type", "n_channels",
+                     "pix_sum", "pix_min", "pix_max", "checksum"}
+        and got["width"] >= 1 and got["height"] >= 1
+    )
