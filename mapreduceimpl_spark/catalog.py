@@ -15,14 +15,14 @@ Round 7 packs the entire window with the round-6 deferral backlog:
 positions 1-49 are 49 of the 70 never-driver-attested round-6
 additions (all locally oracle-verified at both SFs and independently
 re-verified by the round-6 judge); the remaining 21, plus this
-round's 9 additions (each hash-verified locally at
+round's 10 additions (each hash-verified locally at
 sf0.001/0.01/0.1 as it landed), sit in ``DEFERRED_TO_NEXT_ROUND``
-right after the window so round 8 rotates all 30 in first.  The tail is ordered stalest-cohort-first (r3, then r4/r5/
+right after the window so round 8 rotates all 31 in first.  The tail is ordered stalest-cohort-first (r3, then r4/r5/
 r6) so each future round's window promotion is a simple prefix shift.
 Max-age policy: no oracle-backed entry's newest driver row may be
 older than 6 completed rounds.  Feasibility arithmetic at the
-round-7-final catalog (273 oracle-backed after this round's 9
-additions): steady-state re-attestation demand is 273/6 = 45.5
+round-7-final catalog (274 oracle-backed after this round's 10
+additions): steady-state re-attestation demand is 274/6 ~= 45.7
 slots/round against the driver's ~49-slot window — the previous
 4-round cycle would need 68 slots/round and is arithmetically
 impossible at this catalog size, so 6 is the tightest feasible cycle
@@ -2356,6 +2356,76 @@ SELECT asset_id,
 FROM pngv GROUP BY asset_id"""
 
 
+def _q_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end with the codec implemented IN THE
+    REPO (``multimodal._lzw_decompress`` — LZW dictionary coding,
+    code-width growth, 4096-cap CLEAR resets; PNG leaned on stdlib
+    zlib, this one leans on nothing): plant a spec-valid GIF89a per
+    document with ``multimodal.gif_encode`` — index (x, y) =
+    (doc_id + 3x + 5y) % p over a p = 4 + doc_id%5 palette whose
+    entry (i, c) = (doc_id*11 + i*7 + c*3) % 256 — then decode the
+    bytes back and emit exact-integer stats over both the index plane
+    and its palette RGB values.  The oracle computes the same stats
+    in closed form from the analytic generators, independent of the
+    byte path; the LZW pair itself is additionally hypothesis-fuzzed
+    (all palette sizes, the KwKwK case, the END-code width boundary
+    the first draft got wrong)."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list[int] = []
+            payloads: list[bytes] = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, p = 4 + did % 3, 3 + did % 2, 4 + did % 5
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                idx = ((did + 3 * xs + 5 * ys) % p).astype(np.uint8)
+                pal = (
+                    (did * 11 + 7 * np.arange(p)[:, None]
+                     + 3 * np.arange(3)[None, :]) % 256
+                ).astype(np.uint8)
+                ids.append(did)
+                payloads.append(multimodal.gif_encode(idx, pal))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    assets = docs.mapInPandas(build, "asset_id long, payload binary")
+    return multimodal.gif_decode_stats(assets)
+
+
+_GIF_DECODE_STATS_SQL = """WITH gifd AS (
+  SELECT doc_id AS asset_id, 4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h,
+         4 + doc_id % 5 AS p
+  FROM documents
+),
+gifx AS (
+  SELECT asset_id, w, h, p, unnest(generate_series(0, w * h - 1)) AS pos
+  FROM gifd
+),
+gifv AS (
+  SELECT asset_id, w, h, p, pos,
+         (asset_id + 3 * (pos % w) + 5 * (pos // w)) % p AS idx
+  FROM gifx
+)
+SELECT asset_id,
+       CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(MAX(CASE WHEN p <= 4 THEN 4 ELSE 8 END) AS BIGINT) AS palette_size,
+       CAST(SUM(idx) AS BIGINT) AS idx_sum,
+       CAST(MIN(idx) AS BIGINT) AS idx_min,
+       CAST(MAX(idx) AS BIGINT) AS idx_max,
+       CAST(SUM(idx * (1 + pos)) AS BIGINT) AS checksum,
+       CAST(SUM((asset_id * 11 + idx * 7) % 256
+              + (asset_id * 11 + idx * 7 + 3) % 256
+              + (asset_id * 11 + idx * 7 + 6) % 256) AS BIGINT) AS rgb_sum
+FROM gifv GROUP BY asset_id"""
+
+
 def _mmr_oracle(
     k: int = 5, pool: int = 12, lam: float = 0.7, n_queries: int = 10
 ) -> str:
@@ -3441,7 +3511,8 @@ DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
      # round-7 additions (window already packed with the r6 backlog)
      "bpe_train_batched", "domain_frequency_cap", "mmr_rerank",
      "wav_pcm_decode", "ppm_decode_resize", "y4m_frame_sample",
-     "pq_recall_eval", "png_decode_stats", "warc_ingest"}
+     "pq_recall_eval", "png_decode_stats", "warc_ingest",
+     "gif_decode_stats"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -5558,6 +5629,15 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "and multi-IDAT streams -> chunk walk + CRC verify + inflate "
             "+ filter reconstruction in Arrow-batched mapInPandas; "
             "oracle is the closed form of the pixel generator",
+    ),
+    "gif_decode_stats": QuerySpec(
+        _q_gif_decode_stats,
+        _GIF_DECODE_STATS_SQL,
+        doc="REAL GIF decode with a from-scratch LZW codec (no library "
+            "at all): planted spec-valid GIF89a payloads -> block walk "
+            "+ global color table + LZW index-plane decompression in "
+            "Arrow-batched mapInPandas; oracle is the closed form of "
+            "the index/palette generators; LZW pair hypothesis-fuzzed",
     ),
     "mmr_rerank": QuerySpec(
         lambda spark, sf_dir: similarity.mmr_rerank(
@@ -9194,7 +9274,7 @@ _ROUND7_ORDER = [
     # round-7 additions: deferred (window packed with the r6 backlog)
     'bpe_train_batched', 'domain_frequency_cap', 'mmr_rerank',
     'wav_pcm_decode', 'ppm_decode_resize', 'y4m_frame_sample',
-    'pq_recall_eval', 'png_decode_stats', 'warc_ingest',
+    'pq_recall_eval', 'png_decode_stats', 'warc_ingest', 'gif_decode_stats',
     'text_unigram_logprob', 'sample_fixed_n',
     'scalar_map', 'dedup_simhash64_pairs', 'ann_lsh_topk', 'ann_lsh_multiprobe',
     'dedup_clusters', 'range_join', 'hypertable_rollup', 'sample_weighted',

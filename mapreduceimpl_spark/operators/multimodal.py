@@ -11,8 +11,12 @@ handling + numpy are decoded FOR REAL — ``wav_pcm_decode`` (16-bit
 PCM sample reinterpret + exact stats), ``ppm_decode_resize``
 (binary-PPM pixel plane + nearest-neighbor resize), and
 ``y4m_frame_sample`` (uncompressed YUV4MPEG2 frame walk + luma
-stats), one per modality, all value-verified against closed-form
-oracles.  Compressed formats (PNG/JPEG/MP4/...) stay STUBBED: ``decode_image_stub`` derives deterministic
+stats), one per modality; plus two COMPRESSED formats:
+``png_decode_stats`` (stdlib zlib inflate + all five scanline-filter
+reconstructions) and ``gif_decode_stats`` (a from-scratch LZW codec,
+``_lzw_compress``/``_lzw_decompress``) — all value-verified against
+closed-form oracles.  Entropy-coded formats (JPEG/MP4/...) stay
+STUBBED: ``decode_image_stub`` derives deterministic
 fake metadata from the payload bytes and raises
 ``NotImplementedError`` when ``strict=True`` — the Spark-side
 plumbing (schema, batching, partition flow) is real and tested; swap
@@ -1033,3 +1037,290 @@ def png_decode_stats(
     return assets.select(
         F.col(id_col).cast("long").alias(id_col), F.col(payload_col)
     ).mapInPandas(decode, PNG_DECODE_SCHEMA)
+
+
+GIF_DECODE_SCHEMA = (
+    "asset_id long, width long, height long, palette_size long, "
+    "idx_sum long, idx_min long, idx_max long, checksum long, rgb_sum long"
+)
+
+
+def _lzw_compress(data: bytes, min_code_size: int) -> bytes:
+    """Real GIF LZW compression (dictionary coding, LSB-first bit
+    packing): emits CLEAR, builds multi-byte string codes, widens the
+    code width by the canonical rule (width += 1 when next_code ==
+    2^width + 1 — the timing every spec decoder mirrors), and resets
+    with CLEAR at the 4096-code table cap."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bits = bytearray()
+    acc = n_acc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n_acc
+        acc |= code << n_acc
+        n_acc += width
+        while n_acc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+
+    # Width timing must SIMULATE THE DECODER, not the encoder's own
+    # dictionary: the decoder appends an entry (and may widen) after
+    # EVERY data code except the first since CLEAR — including the
+    # final one before END — while the encoder's last emit assigns
+    # nothing.  Tracking only next_code desyncs exactly there (the
+    # END code lands at the old width; hypothesis found the case).
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, width = end + 1, min_code_size + 1
+    dec_size = end + 1  # decoder's simulated table size
+    first = True        # decoder skips the append on the first data code
+    emit(clear, width)
+
+    def after_data_code() -> None:
+        nonlocal dec_size, width, first
+        if not first and dec_size < 4096:
+            dec_size += 1
+            if dec_size == (1 << width) and width < 12:
+                width += 1
+        first = False
+
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        after_data_code()
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+        else:  # table full: reset (decoder mirrors on CLEAR)
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code, width = end + 1, min_code_size + 1
+            dec_size, first = end + 1, True
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur], width)
+        after_data_code()
+    emit(end, width)
+    if n_acc:
+        bits.append(acc & 0xFF)
+    return bytes(bits)
+
+
+def _lzw_decompress(bits: bytes, min_code_size: int, max_out: int) -> bytes | None:
+    """Canonical GIF LZW decode; None on any malformation (code past
+    the table, missing data, output overrun)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    prev = None
+    acc = n_acc = pos = 0
+    while True:
+        while n_acc < width:
+            if pos >= len(bits):
+                return None  # ran out before END
+            acc |= bits[pos] << n_acc
+            pos += 1
+            n_acc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_acc -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and code not in (clear, end):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None
+        out += entry
+        if len(out) > max_out:
+            return None
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out) if len(out) == max_out else None
+
+
+def gif_encode(indices, palette) -> bytes:
+    """Minimal REAL GIF89a encoder (stdlib-only): single non-interlaced
+    frame, global color table, REAL LZW compression of the index
+    plane (multi-byte dictionary strings, width growth, 4096-cap
+    CLEAR resets — not the 'uncompressed GIF' trick).  ``indices`` is
+    a (h, w) uint8 array of palette indices; ``palette`` is (p, 3)
+    uint8 RGB.  Spec-valid output any external viewer opens; within
+    this repo it is the fixture builder for the planted-payload
+    decode oracle (bytes are fully deterministic — LZW has no
+    library/version surface, unlike deflate)."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError(
+            f"gif_encode: want (h,w) indices + (p,3) palette, "
+            f"got {idx.shape}, {pal.shape}"
+        )
+    h, w = idx.shape
+    p = pal.shape[0]
+    if h < 1 or w < 1 or p < 2 or p > 256 or int(idx.max()) >= p:
+        raise ValueError("gif_encode: empty image, bad palette size, or "
+                         "index out of palette range")
+    gct_bits = max(1, (p - 1).bit_length())  # table size 2^gct_bits >= p
+    gct_n = 1 << gct_bits
+    full_pal = np.zeros((gct_n, 3), dtype=np.uint8)
+    full_pal[:p] = pal
+    min_code_size = max(2, gct_bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (gct_bits - 1), 0, 0])  # GCT flag+size, bg, aspect
+    out += full_pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(min_code_size)
+    stream = _lzw_compress(idx.reshape(-1).tobytes(), min_code_size)
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def gif_stats(b: bytes) -> dict | None:
+    """Pure per-payload GIF decode (the unit ``gif_decode_stats`` maps
+    over the corpus): header + logical screen descriptor + global
+    color table, extension-block skipping, first image descriptor,
+    REAL LZW decompression of the index plane, and exact-integer
+    stats over both the indices and their palette RGB values.  None
+    for anything malformed or out of scope (no global color table,
+    local color tables, interlacing, index past the declared palette,
+    LZW errors, pixel-count mismatch) — module-level so property
+    tests fuzz it directly; arbitrary bytes never raise."""
+    import struct
+
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    flags = b[10]
+    if not (flags & 0x80) or w < 1 or h < 1:
+        return None  # scope: global color table required
+    gct_n = 2 << (flags & 0x07)
+    i = 13
+    if i + 3 * gct_n > len(b):
+        return None
+    pal = np.frombuffer(b[i : i + 3 * gct_n], dtype=np.uint8).reshape(gct_n, 3)
+    i += 3 * gct_n
+    while i < len(b):
+        marker = b[i]
+        i += 1
+        if marker == 0x21:  # extension: label + sub-blocks
+            i += 1
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif marker == 0x2C:
+            if i + 9 > len(b):
+                return None
+            _, _, iw, ih = struct.unpack("<HHHH", b[i : i + 8])
+            iflags = b[i + 8]
+            i += 9
+            if iflags & 0x80 or iflags & 0x40:
+                return None  # scope: no local tables, no interlace
+            if iw != w or ih != h or i >= len(b):
+                return None
+            min_code_size = b[i]
+            i += 1
+            if min_code_size < 2 or min_code_size > 8:
+                return None
+            stream = bytearray()
+            while i < len(b) and b[i] != 0:
+                n = b[i]
+                if i + 1 + n > len(b):
+                    return None  # truncated sub-block: drop
+                stream += b[i + 1 : i + 1 + n]
+                i += 1 + n
+            if i >= len(b):
+                return None
+            raw = _lzw_decompress(bytes(stream), min_code_size, w * h)
+            if raw is None:
+                return None
+            idx = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            if int(idx.max()) >= gct_n:
+                return None
+            weights = np.arange(1, idx.size + 1, dtype=np.int64)
+            rgb = pal[idx].astype(np.int64)
+            return {
+                "width": int(w),
+                "height": int(h),
+                "palette_size": int(gct_n),
+                "idx_sum": int(idx.sum()),
+                "idx_min": int(idx.min()),
+                "idx_max": int(idx.max()),
+                "checksum": int((idx * weights).sum()),
+                "rgb_sum": int(rgb.sum()),
+            }
+        elif marker == 0x3B:
+            return None  # trailer before any image
+        else:
+            return None
+    return None
+
+
+def gif_decode_stats(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL GIF decode — the second compressed format made real, this
+    time with the codec implemented IN THE REPO (``_lzw_decompress``;
+    PNG leaned on stdlib zlib): block walk, global color table, LZW
+    index-plane decompression, and exact-integer stats over indices
+    and palette RGB.  Scope is single-frame, non-interlaced, global
+    palette; everything else — and every malformation — is DROPPED,
+    never understated.
+
+    Scale: one Arrow-batched ``mapInPandas`` map stage, no shuffle.
+    LZW decode is inherently sequential per payload (each code can
+    extend the dictionary the next code uses), so the per-byte cost
+    is a Python loop — the honest price of a from-scratch codec;
+    parallelism comes from payloads-per-partition, which is the axis
+    that grows at 100 TB.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [], "width": [], "height": [], "palette_size": [],
+                "idx_sum": [], "idx_min": [], "idx_max": [], "checksum": [],
+                "rgb_sum": [],
+            }
+            for aid, blob in zip(pdf[id_col], pdf[payload_col]):
+                st = gif_stats(b"" if blob is None else bytes(blob))
+                if st is None:
+                    continue
+                out["asset_id"].append(int(aid))
+                for k, v in st.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return assets.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(payload_col)
+    ).mapInPandas(decode, GIF_DECODE_SCHEMA)

@@ -45,8 +45,8 @@ def test_no_oracle_backed_entry_goes_stale():
     must either (a) sit inside the recording window (gets a fresh row
     now), (b) have a driver row from round >= N-6, or (c) be a declared
     deferral.  Feasibility arithmetic at the round-7-final catalog
-    (273 oracle-backed entries, ~49 recorded slots/round):
-    steady-state re-attestation demand is 273/6 = 45.5 slots/round —
+    (274 oracle-backed entries, ~49 recorded slots/round):
+    steady-state re-attestation demand is 274/6 ~= 45.7 slots/round —
     the previous 4-round cycle would demand 68 slots/round,
     permanently above the window, so ANY schedule breaches it by
     round 8 (70 deferred first-attestations + 45 r3 refreshes = 115

@@ -697,3 +697,75 @@ def test_staging_dir_isolates_processes_and_sweeps_dead_pids(tmp_path, monkeypat
     # yields a distinct path per sf
     out2 = _staging_dir("stg", "/data/sf0.1", "MAPREDUCEIMPL_TEST_STAGE_DIR")
     assert out2 != out and str(os.getpid()) in out2
+
+
+def test_gif_roundtrip_real_lzw(spark):
+    """gif_encode -> gif_decode_stats recovers EXACT index and
+    palette-RGB stats through the from-scratch LZW codec, including an
+    image big enough to force code-width growth; an extension block
+    before the image descriptor must be skipped."""
+    import numpy as np
+
+    from mapreduceimpl_spark.operators.multimodal import (
+        gif_decode_stats,
+        gif_encode,
+    )
+
+    rng = np.random.default_rng(42)
+    small_idx = rng.integers(0, 5, size=(6, 9), dtype=np.uint8)
+    small_pal = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    big_idx = rng.integers(0, 200, size=(40, 50), dtype=np.uint8)
+    big_pal = rng.integers(0, 256, size=(200, 3), dtype=np.uint8)
+    small = gif_encode(small_idx, small_pal)
+    # splice a graphic-control extension between the GCT and the
+    # image descriptor: 0x21 0xF9 [len 4][4 bytes][0 terminator]
+    at = small.index(b"\x2c")
+    with_ext = small[:at] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + small[at:]
+    rows = spark.createDataFrame(
+        [(1, bytearray(small)), (2, bytearray(gif_encode(big_idx, big_pal))),
+         (3, bytearray(with_ext))],
+        "asset_id long, payload binary",
+    )
+    got = {r["asset_id"]: r for r in gif_decode_stats(rows).collect()}
+    assert set(got) == {1, 2, 3}
+    for aid, idx, pal in ((1, small_idx, small_pal), (2, big_idx, big_pal),
+                          (3, small_idx, small_pal)):
+        flat = idx.astype(np.int64).reshape(-1)
+        wts = np.arange(1, flat.size + 1, dtype=np.int64)
+        r = got[aid]
+        assert (r["width"], r["height"]) == (idx.shape[1], idx.shape[0])
+        assert r["idx_sum"] == int(flat.sum())
+        assert r["checksum"] == int((flat * wts).sum())
+        assert r["rgb_sum"] == int(pal[idx].astype(np.int64).sum())
+
+
+def test_gif_decode_drops_malformed(spark):
+    """Out-of-scope/corrupt GIFs are DROPPED: interlaced flag, local
+    color table flag, truncated sub-block, garbage LZW, wrong pixel
+    count, no global color table."""
+    import numpy as np
+
+    from mapreduceimpl_spark.operators.multimodal import (
+        gif_decode_stats,
+        gif_encode,
+    )
+
+    idx = np.arange(12, dtype=np.uint8).reshape(3, 4) % 4
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    good = gif_encode(idx, pal)
+    at = good.index(b"\x2c")
+    interlaced = bytearray(good); interlaced[at + 9] |= 0x40
+    local_ct = bytearray(good); local_ct[at + 9] |= 0x80
+    no_gct = bytearray(good); no_gct[10] &= 0x7F
+    truncated = good[: at + 12]
+    garbage = bytearray(good)
+    garbage[at + 11 :] = b"\x03\xff\xff\xff\x00\x3b"  # bogus LZW stream
+    rows = spark.createDataFrame(
+        [(1, bytearray(good)), (2, interlaced), (3, local_ct),
+         (4, no_gct), (5, bytearray(truncated)), (6, garbage),
+         (7, bytearray(b"GIF89a only header"))],
+        "asset_id long, payload binary",
+    )
+    got = {r["asset_id"]: r for r in gif_decode_stats(rows).collect()}
+    assert set(got) == {1}
+    assert got[1]["idx_sum"] == int((np.arange(12) % 4).sum())

@@ -922,3 +922,65 @@ def test_png_stats_total_on_arbitrary_bytes(blob, with_sig):
                      "pix_sum", "pix_min", "pix_max", "checksum"}
         and got["width"] >= 1 and got["height"] >= 1
     )
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    p=st.integers(min_value=2, max_value=256),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=100, deadline=None)
+def test_gif_lzw_roundtrip_property(w, h, p, seed):
+    """For ALL image shapes, palette sizes (2..256 — spanning every
+    min-code-size), and pixel contents: gif_stats(gif_encode(x))
+    recovers x's exact stats through the from-scratch LZW codec."""
+    import numpy as np
+
+    from mapreduceimpl_spark.operators.multimodal import gif_encode, gif_stats
+
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, p, size=(h, w), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(p, 3), dtype=np.uint8)
+    got = gif_stats(gif_encode(idx, pal))
+    flat = idx.astype(np.int64).reshape(-1)
+    wts = np.arange(1, flat.size + 1, dtype=np.int64)
+    assert got is not None
+    assert (got["width"], got["height"]) == (w, h)
+    assert got["palette_size"] >= p
+    assert got["idx_sum"] == int(flat.sum())
+    assert got["idx_min"] == int(flat.min())
+    assert got["idx_max"] == int(flat.max())
+    assert got["checksum"] == int((flat * wts).sum())
+    assert got["rgb_sum"] == int(pal[idx].astype(np.int64).sum())
+
+
+@given(blob=st.binary(max_size=200), with_sig=st.booleans())
+@settings(max_examples=300, deadline=None)
+def test_gif_stats_total_on_arbitrary_bytes(blob, with_sig):
+    """gif_stats is TOTAL: arbitrary bytes return None or a valid
+    dict, never raise (drop-don't-crash on hostile crawl payloads)."""
+    from mapreduceimpl_spark.operators.multimodal import gif_stats
+
+    b = (b"GIF89a" + blob) if with_sig else blob
+    got = gif_stats(b)
+    assert got is None or (got["width"] >= 1 and got["height"] >= 1)
+
+
+@given(
+    data=st.binary(min_size=0, max_size=600),
+    mcs=st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_lzw_codec_roundtrip_property(data, mcs):
+    """The LZW pair is exact for ALL byte strings whose values fit the
+    code space (the alphabet 0..2^mcs-1), including empty input and
+    long repetition runs (the KwKwK case)."""
+    from mapreduceimpl_spark.operators.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    clipped = bytes(x % (1 << mcs) for x in data)
+    out = _lzw_decompress(_lzw_compress(clipped, mcs), mcs, len(clipped))
+    assert out == clipped
