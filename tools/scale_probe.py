@@ -462,17 +462,17 @@ def _probe_token_budget(spark, sf_dir: str):
 
 
 def _probe_real_decode(spark, sf_dir: str):
-    """The four real decoders (WAV PCM / PPM resize / Y4M frames /
-    PNG inflate+defilter) as one pass: all are shuffle-free Arrow map
-    stages, so wall should track payload bytes ~linearly across the
-    10x step."""
+    """The five real decoders (WAV PCM / PPM resize / Y4M frames /
+    PNG inflate+defilter / GIF LZW) as one pass: all are shuffle-free
+    Arrow map stages, so wall should track payload bytes ~linearly
+    across the 10x step."""
     from mapreduceimpl_spark import catalog
 
     t0 = time.time()
     n = 0
     for name in (
         "wav_pcm_decode", "ppm_decode_resize", "y4m_frame_sample",
-        "png_decode_stats",
+        "png_decode_stats", "gif_decode_stats",
     ):
         n += catalog.SPECS[name].fn(spark, sf_dir).count()
     return time.time() - t0, n
