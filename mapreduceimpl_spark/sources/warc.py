@@ -70,6 +70,76 @@ def _gunzip_members(blob: bytes) -> bytes:
     return bytes(out)
 
 
+def parse_warc_records(data: bytes) -> list[dict]:
+    """Pure WARC record walk over an inflated stream (the unit
+    ``read_warc_shards`` maps over shards): returns a list of
+    {warc_type, record_id, target_uri, warc_date, content_length,
+    payload} dicts.  Header names are case-insensitive; records
+    missing Content-Length, and everything after the first malformed
+    or truncated record, are dropped.  Module-level so property tests
+    can fuzz framing directly — arbitrary bytes never raise."""
+    out: list[dict] = []
+    i = 0
+    while i < len(data):
+        while data[i : i + 2] == b"\r\n":
+            i += 2
+        if i >= len(data):
+            break
+        if not data.startswith(b"WARC/", i):
+            break  # lost sync: drop the remainder
+        hdr_end = data.find(b"\r\n\r\n", i)
+        if hdr_end < 0:
+            break
+        fields: dict[str, str] = {}
+        head = data[i:hdr_end].decode("utf-8", "replace")
+        for line in head.split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        try:
+            clen = int(fields["content-length"])
+        except (KeyError, ValueError):
+            break
+        pstart = hdr_end + 4
+        if clen < 0 or pstart + clen > len(data):
+            break  # truncated payload: drop, don't understate
+        out.append(
+            {
+                "warc_type": fields.get("warc-type", ""),
+                "record_id": fields.get("warc-record-id", ""),
+                "target_uri": fields.get("warc-target-uri", ""),
+                "warc_date": fields.get("warc-date", ""),
+                "content_length": clen,
+                "payload": data[pstart : pstart + clen],
+            }
+        )
+        i = pstart + clen
+    return out
+
+
+def _render_record(
+    wtype: str, rid: str, uri: str, date: str, blob: bytes
+) -> bytes:
+    """Render one WARC record (the unit ``write_warc_shards`` emits).
+    Header VALUES are sanitized — CR/LF/NUL become spaces — because an
+    unsanitized value containing CRLF would corrupt the record framing
+    for every subsequent record in the shard (the spec forbids bare
+    CRLF in field values); the payload is framed by Content-Length and
+    needs no escaping."""
+
+    def clean(s: str) -> str:
+        return str(s).translate({0x0D: " ", 0x0A: " ", 0x00: " "})
+
+    head = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {clean(wtype)}\r\n"
+        f"WARC-Record-ID: {clean(rid)}\r\n"
+        f"WARC-Target-URI: {clean(uri)}\r\n"
+        f"WARC-Date: {clean(date)}\r\n"
+        f"Content-Length: {len(blob)}\r\n\r\n"
+    ).encode()
+    return head + blob + b"\r\n\r\n"
+
+
 def read_warc_shards(spark: SparkSession, path_glob: str) -> DataFrame:
     """One row per WARC record across every shard matching
     ``path_glob``: (shard, record_idx, warc_type, record_id,
@@ -90,40 +160,12 @@ def read_warc_shards(spark: SparkSession, path_glob: str) -> DataFrame:
                     "record_id": [], "target_uri": [], "warc_date": [],
                     "content_length": [], "payload": [],
                 }
-                data = _gunzip_members(bytes(blob))
-                i, idx = 0, 0
-                while i < len(data):
-                    while data[i : i + 2] == b"\r\n":
-                        i += 2
-                    if i >= len(data):
-                        break
-                    if not data.startswith(b"WARC/", i):
-                        break  # lost sync: drop the remainder
-                    hdr_end = data.find(b"\r\n\r\n", i)
-                    if hdr_end < 0:
-                        break
-                    fields: dict[str, str] = {}
-                    head = data[i:hdr_end].decode("utf-8", "replace")
-                    for line in head.split("\r\n")[1:]:
-                        k, _, v = line.partition(":")
-                        fields[k.strip().lower()] = v.strip()
-                    try:
-                        clen = int(fields["content-length"])
-                    except (KeyError, ValueError):
-                        break
-                    pstart = hdr_end + 4
-                    if clen < 0 or pstart + clen > len(data):
-                        break  # truncated payload: drop, don't understate
+                recs = parse_warc_records(_gunzip_members(bytes(blob)))
+                for idx, r in enumerate(recs):
                     out["shard"].append(path)
                     out["record_idx"].append(idx)
-                    out["warc_type"].append(fields.get("warc-type", ""))
-                    out["record_id"].append(fields.get("warc-record-id", ""))
-                    out["target_uri"].append(fields.get("warc-target-uri", ""))
-                    out["warc_date"].append(fields.get("warc-date", ""))
-                    out["content_length"].append(clen)
-                    out["payload"].append(data[pstart : pstart + clen])
-                    i = pstart + clen
-                    idx += 1
+                    for k, v in r.items():
+                        out[k].append(v)
                 yield pd.DataFrame(out)
 
     return shards.select("path", "content").mapInPandas(parse, WARC_RECORD_SCHEMA)
@@ -183,22 +225,14 @@ def write_warc_shards(
                 pdf[warc_type_col], pdf[record_id_col], pdf[uri_col],
                 pdf[date_col], pdf[payload_col],
             ):
-                blob = bytes(payload)
-                head = (
-                    "WARC/1.0\r\n"
-                    f"WARC-Type: {wtype}\r\n"
-                    f"WARC-Record-ID: {rid}\r\n"
-                    f"WARC-Target-URI: {uri}\r\n"
-                    f"WARC-Date: {date}\r\n"
-                    f"Content-Length: {len(blob)}\r\n\r\n"
-                ).encode()
+                rec = _render_record(wtype, rid, uri, date, bytes(payload))
                 member = io.BytesIO()
                 with gzip.GzipFile(
                     fileobj=member, mode="wb", compresslevel=6, mtime=0
                 ) as gz:
-                    gz.write(head + blob + b"\r\n\r\n")
+                    gz.write(rec)
                 fh.write(member.getvalue())
-                n_bytes += len(head) + len(blob) + 4
+                n_bytes += len(rec)  # header + payload + record separator
         os.replace(tmp, path)  # atomic publish
         return pd.DataFrame(
             {"shard": [path], "n_records": [len(pdf)], "n_bytes": [n_bytes]}

@@ -984,3 +984,80 @@ def test_lzw_codec_roundtrip_property(data, mcs):
     clipped = bytes(x % (1 << mcs) for x in data)
     out = _lzw_decompress(_lzw_compress(clipped, mcs), mcs, len(clipped))
     assert out == clipped
+
+
+_warc_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+)
+
+
+@given(
+    recs=st.lists(
+        st.tuples(_warc_text, _warc_text, _warc_text, _warc_text,
+                  st.binary(max_size=120)),
+        max_size=8,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_warc_render_parse_roundtrip_property(recs):
+    """For ALL record lists — header values with CR/LF/NUL (sanitized
+    to spaces so they can't corrupt the framing), payloads containing
+    the record separator and 'WARC/1.0' itself — parsing the rendered
+    stream recovers every record exactly and in order."""
+    from mapreduceimpl_spark.sources.warc import (
+        _render_record,
+        parse_warc_records,
+    )
+
+    stream = b"".join(_render_record(t, r, u, d, p) for t, r, u, d, p in recs)
+    got = parse_warc_records(stream)
+    assert len(got) == len(recs)
+
+    def clean(s):
+        return str(s).translate({0x0D: " ", 0x0A: " ", 0x00: " "}).strip()
+
+    for (t, r, u, d, p), g in zip(recs, got):
+        assert g["payload"] == p and g["content_length"] == len(p)
+        assert g["warc_type"] == clean(t)
+        assert g["record_id"] == clean(r)
+        assert g["target_uri"] == clean(u)
+        assert g["warc_date"] == clean(d)
+
+
+@given(
+    recs=st.lists(
+        st.tuples(_warc_text, st.binary(max_size=60)), min_size=1, max_size=6
+    ),
+    cut=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_warc_truncation_yields_clean_prefix(recs, cut):
+    """Cutting the stream at ANY byte yields a clean PREFIX of the
+    full record list — complete records before the cut survive, the
+    cut record and everything after vanish, nothing is understated or
+    garbled."""
+    from mapreduceimpl_spark.sources.warc import (
+        _render_record,
+        parse_warc_records,
+    )
+
+    stream = b"".join(
+        _render_record("conversion", f"<urn:{i}>", u, "d", p)
+        for i, (u, p) in enumerate(recs)
+    )
+    full = parse_warc_records(stream)
+    got = parse_warc_records(stream[: min(cut, len(stream))])
+    assert got == full[: len(got)]
+
+
+@given(blob=st.binary(max_size=300), with_magic=st.booleans())
+@settings(max_examples=300, deadline=None)
+def test_warc_parse_total_on_arbitrary_bytes(blob, with_magic):
+    """parse_warc_records is TOTAL and self-consistent on arbitrary
+    bytes: never raises, and every emitted record's payload length
+    equals its content_length."""
+    from mapreduceimpl_spark.sources.warc import parse_warc_records
+
+    b = (b"WARC/1.0\r\n" + blob) if with_magic else blob
+    for r in parse_warc_records(b):
+        assert len(r["payload"]) == r["content_length"]
