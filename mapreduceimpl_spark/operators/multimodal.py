@@ -553,6 +553,51 @@ WAV_PCM_SCHEMA = (
 )
 
 
+def wav_pcm_stats(b: bytes) -> dict | None:
+    """Pure per-payload 16-bit PCM WAV decode (the unit
+    ``wav_pcm_decode`` maps over the corpus); None for non-WAV,
+    non-PCM, non-16-bit, odd-byte, or truncated payloads.
+    Module-level so property tests fuzz it directly."""
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, rate, channels, fmt_code, bits = 12, None, None, None, None
+    data, truncated = None, False
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        csz = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            fmt_code = int.from_bytes(b[i + 8 : i + 10], "little")
+            channels = int.from_bytes(b[i + 10 : i + 12], "little")
+            rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            if i + 8 + csz > len(b):
+                # chunk header promises more bytes than the payload
+                # holds: understating the stats silently would be
+                # worse than dropping
+                truncated = True
+                break
+            data = b[i + 8 : i + 8 + csz]
+        i += 8 + csz + (csz & 1)
+    if truncated or fmt_code != 1 or bits != 16:
+        return None
+    if not rate or not channels or data is None:
+        return None
+    if len(data) % 2:  # odd byte count cannot be 16-bit PCM
+        return None
+    arr = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    return {
+        "sample_rate": int(rate),
+        "channels": int(channels),
+        "n_samples": int(arr.size),
+        "peak_abs": int(np.abs(arr).max()) if arr.size else 0,
+        "sum_abs": int(np.abs(arr).sum()),
+        "sum_sq": int((arr * arr).sum()),
+    }
+
+
 def wav_pcm_decode(
     assets: DataFrame,
     id_col: str = "asset_id",
@@ -578,7 +623,6 @@ def wav_pcm_decode(
     Scale: one Arrow-batched ``mapInPandas`` map stage, no shuffle;
     the numpy reinterpret is O(bytes) with no Python per-sample loop.
     """
-    import numpy as np
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -587,42 +631,12 @@ def wav_pcm_decode(
                 "n_samples": [], "peak_abs": [], "sum_abs": [], "sum_sq": [],
             }
             for aid, blob in zip(pdf[id_col], pdf[payload_col]):
-                b = b"" if blob is None else bytes(blob)
-                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                st = wav_pcm_stats(b"" if blob is None else bytes(blob))
+                if st is None:
                     continue
-                i, rate, channels, fmt_code, bits = 12, None, None, None, None
-                data, truncated = None, False
-                while i + 8 <= len(b):
-                    cid = b[i : i + 4]
-                    csz = int.from_bytes(b[i + 4 : i + 8], "little")
-                    if cid == b"fmt " and i + 24 <= len(b):
-                        fmt_code = int.from_bytes(b[i + 8 : i + 10], "little")
-                        channels = int.from_bytes(b[i + 10 : i + 12], "little")
-                        rate = int.from_bytes(b[i + 12 : i + 16], "little")
-                        bits = int.from_bytes(b[i + 22 : i + 24], "little")
-                    elif cid == b"data":
-                        if i + 8 + csz > len(b):
-                            # chunk header promises more bytes than the
-                            # payload holds: understating the stats
-                            # silently would be worse than dropping
-                            truncated = True
-                            break
-                        data = b[i + 8 : i + 8 + csz]
-                    i += 8 + csz + (csz & 1)
-                if truncated or fmt_code != 1 or bits != 16:
-                    continue
-                if not rate or not channels or data is None:
-                    continue
-                if len(data) % 2:  # odd byte count cannot be 16-bit PCM
-                    continue
-                arr = np.frombuffer(data, dtype="<i2").astype(np.int64)
                 out["asset_id"].append(int(aid))
-                out["sample_rate"].append(int(rate))
-                out["channels"].append(int(channels))
-                out["n_samples"].append(int(arr.size))
-                out["peak_abs"].append(int(np.abs(arr).max()) if arr.size else 0)
-                out["sum_abs"].append(int(np.abs(arr).sum()))
-                out["sum_sq"].append(int((arr * arr).sum()))
+                for k, v in st.items():
+                    out[k].append(v)
             yield pd.DataFrame(out)
 
     return assets.select(
@@ -634,6 +648,50 @@ PPM_RESIZE_SCHEMA = (
     "asset_id long, width long, height long, out_side long, "
     "checksum long, top_left_r long, bottom_right_b long"
 )
+
+
+def ppm_resize_stats(b: bytes, out_side: int) -> dict | None:
+    """Pure per-payload binary-PPM decode + nearest-neighbor resize
+    (the unit ``ppm_decode_resize`` maps over the corpus); None for
+    non-P6, non-255-maxval, malformed-header, or short-plane payloads.
+    Module-level so property tests fuzz it directly."""
+    import numpy as np
+
+    if b[:2] != b"P6":
+        return None
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws>
+    toks, i, tok = [], 2, b""
+    while i < len(b) and len(toks) < 3:
+        c = b[i : i + 1]
+        if c in (b" ", b"\t", b"\n", b"\r"):
+            if tok:
+                toks.append(tok)
+                tok = b""
+        else:
+            tok += c
+        i += 1
+    if len(toks) < 3 or not all(t.isdigit() for t in toks):
+        return None
+    w, h, maxval = (int(t) for t in toks)
+    if maxval != 255 or w < 1 or h < 1:
+        return None
+    plane = b[i : i + w * h * 3]
+    if len(plane) < w * h * 3:
+        return None
+    arr = np.frombuffer(plane, dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(out_side) * h) // out_side
+    xs = (np.arange(out_side) * w) // out_side
+    resized = arr[np.ix_(ys, xs)].astype(np.int64)  # (out, out, 3)
+    flat = resized.reshape(-1)
+    weights = np.arange(1, flat.size + 1, dtype=np.int64)
+    return {
+        "width": w,
+        "height": h,
+        "out_side": out_side,
+        "checksum": int((flat * weights).sum()),
+        "top_left_r": int(resized[0, 0, 0]),
+        "bottom_right_b": int(resized[-1, -1, 2]),
+    }
 
 
 def ppm_decode_resize(
@@ -656,8 +714,6 @@ def ppm_decode_resize(
     Scale: Arrow-batched ``mapInPandas`` map stage, no shuffle; numpy
     fancy indexing does the resize without per-pixel Python.
     """
-    import numpy as np
-
     if out_side < 1:
         raise ValueError(f"ppm_decode_resize: out_side must be >= 1, got {out_side}")
 
@@ -668,41 +724,14 @@ def ppm_decode_resize(
                 "checksum": [], "top_left_r": [], "bottom_right_b": [],
             }
             for aid, blob in zip(pdf[id_col], pdf[payload_col]):
-                b = b"" if blob is None else bytes(blob)
-                if b[:2] != b"P6":
+                st = ppm_resize_stats(
+                    b"" if blob is None else bytes(blob), out_side
+                )
+                if st is None:
                     continue
-                # header: P6 <ws> width <ws> height <ws> maxval <single ws>
-                toks, i, tok = [], 2, b""
-                while i < len(b) and len(toks) < 3:
-                    c = b[i : i + 1]
-                    if c in (b" ", b"\t", b"\n", b"\r"):
-                        if tok:
-                            toks.append(tok)
-                            tok = b""
-                    else:
-                        tok += c
-                    i += 1
-                if len(toks) < 3 or not all(t.isdigit() for t in toks):
-                    continue
-                w, h, maxval = (int(t) for t in toks)
-                if maxval != 255 or w < 1 or h < 1:
-                    continue
-                plane = b[i : i + w * h * 3]
-                if len(plane) < w * h * 3:
-                    continue
-                arr = np.frombuffer(plane, dtype=np.uint8).reshape(h, w, 3)
-                ys = (np.arange(out_side) * h) // out_side
-                xs = (np.arange(out_side) * w) // out_side
-                resized = arr[np.ix_(ys, xs)].astype(np.int64)  # (out, out, 3)
-                flat = resized.reshape(-1)
-                weights = np.arange(1, flat.size + 1, dtype=np.int64)
                 out["asset_id"].append(int(aid))
-                out["width"].append(w)
-                out["height"].append(h)
-                out["out_side"].append(out_side)
-                out["checksum"].append(int((flat * weights).sum()))
-                out["top_left_r"].append(int(resized[0, 0, 0]))
-                out["bottom_right_b"].append(int(resized[-1, -1, 2]))
+                for k, v in st.items():
+                    out[k].append(v)
             yield pd.DataFrame(out)
 
     return assets.select(
@@ -714,6 +743,53 @@ Y4M_FRAME_SCHEMA = (
     "asset_id long, frame_idx long, width long, height long, "
     "y_sum long, y_min long, y_max long"
 )
+
+
+def y4m_frame_stats(b: bytes, every: int) -> list[dict]:
+    """Pure per-payload YUV4MPEG2 frame walk (the unit
+    ``y4m_frame_sample`` maps over the corpus): one dict per SAMPLED
+    frame; empty list for non-Y4M / odd-dimension payloads, and the
+    walk STOPS at a truncated frame instead of emitting garbage.
+    Module-level so property tests fuzz it directly."""
+    import numpy as np
+
+    out: list[dict] = []
+    if not b.startswith(b"YUV4MPEG2"):
+        return out
+    nl = b.find(b"\n")
+    if nl < 0:
+        return out
+    w = h = None
+    for tag in b[9:nl].split(b" "):
+        if tag[:1] == b"W" and tag[1:].isdigit():
+            w = int(tag[1:])
+        elif tag[:1] == b"H" and tag[1:].isdigit():
+            h = int(tag[1:])
+    if not w or not h or w % 2 or h % 2:
+        return out
+    fsize = w * h * 3 // 2
+    i, fidx = nl + 1, 0
+    while b[i : i + 5] == b"FRAME":
+        fnl = b.find(b"\n", i)
+        if fnl < 0 or fnl + 1 + fsize > len(b):
+            break
+        if fidx % every == 0:
+            y = np.frombuffer(
+                b[fnl + 1 : fnl + 1 + w * h], dtype=np.uint8
+            ).astype(np.int64)
+            out.append(
+                {
+                    "frame_idx": fidx,
+                    "width": w,
+                    "height": h,
+                    "y_sum": int(y.sum()),
+                    "y_min": int(y.min()),
+                    "y_max": int(y.max()),
+                }
+            )
+        i = fnl + 1 + fsize
+        fidx += 1
+    return out
 
 
 def y4m_frame_sample(
@@ -738,8 +814,6 @@ def y4m_frame_sample(
     numpy reinterprets each sampled Y plane with no per-pixel Python,
     and skipped frames cost a pointer bump, not a decode.
     """
-    import numpy as np
-
     if every < 1:
         raise ValueError(f"y4m_frame_sample: every must be >= 1, got {every}")
 
@@ -750,39 +824,12 @@ def y4m_frame_sample(
                 "y_sum": [], "y_min": [], "y_max": [],
             }
             for aid, blob in zip(pdf[id_col], pdf[payload_col]):
-                b = b"" if blob is None else bytes(blob)
-                if not b.startswith(b"YUV4MPEG2"):
-                    continue
-                nl = b.find(b"\n")
-                if nl < 0:
-                    continue
-                w = h = None
-                for tag in b[9:nl].split(b" "):
-                    if tag[:1] == b"W" and tag[1:].isdigit():
-                        w = int(tag[1:])
-                    elif tag[:1] == b"H" and tag[1:].isdigit():
-                        h = int(tag[1:])
-                if not w or not h or w % 2 or h % 2:
-                    continue
-                fsize = w * h * 3 // 2
-                i, fidx = nl + 1, 0
-                while b[i : i + 5] == b"FRAME":
-                    fnl = b.find(b"\n", i)
-                    if fnl < 0 or fnl + 1 + fsize > len(b):
-                        break
-                    if fidx % every == 0:
-                        y = np.frombuffer(
-                            b[fnl + 1 : fnl + 1 + w * h], dtype=np.uint8
-                        ).astype(np.int64)
-                        out["asset_id"].append(int(aid))
-                        out["frame_idx"].append(fidx)
-                        out["width"].append(w)
-                        out["height"].append(h)
-                        out["y_sum"].append(int(y.sum()))
-                        out["y_min"].append(int(y.min()))
-                        out["y_max"].append(int(y.max()))
-                    i = fnl + 1 + fsize
-                    fidx += 1
+                for fr in y4m_frame_stats(
+                    b"" if blob is None else bytes(blob), every
+                ):
+                    out["asset_id"].append(int(aid))
+                    for k, v in fr.items():
+                        out[k].append(v)
             yield pd.DataFrame(out)
 
     return assets.select(

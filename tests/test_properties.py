@@ -1061,3 +1061,132 @@ def test_warc_parse_total_on_arbitrary_bytes(blob, with_magic):
     b = (b"WARC/1.0\r\n" + blob) if with_magic else blob
     for r in parse_warc_records(b):
         assert len(r["payload"]) == r["content_length"]
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), max_size=120
+    ),
+    rate=st.integers(min_value=1, max_value=192_000),
+    channels=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_wav_pcm_stats_roundtrip_property(samples, rate, channels):
+    """For ALL sample vectors (full int16 range incl. -32768), rates,
+    and channel counts: the RIFF render parses back to exact-integer
+    stats."""
+    import struct
+
+    from mapreduceimpl_spark.operators.multimodal import wav_pcm_stats
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * 2 * channels, 2 * channels, 16
+    )
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 16 + len(data) + 16) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    got = wav_pcm_stats(wav)
+    assert got == {
+        "sample_rate": rate,
+        "channels": channels,
+        "n_samples": len(samples),
+        "peak_abs": max((abs(s) for s in samples), default=0),
+        "sum_abs": sum(abs(s) for s in samples),
+        "sum_sq": sum(s * s for s in samples),
+    }
+
+
+@given(
+    w=st.integers(min_value=1, max_value=10),
+    h=st.integers(min_value=1, max_value=10),
+    out_side=st.integers(min_value=1, max_value=5),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=200, deadline=None)
+def test_ppm_resize_stats_roundtrip_property(w, h, out_side, seed):
+    """For ALL geometries and pixel contents: P6 render -> decode ->
+    the (dst*size)//out nearest-neighbor convention, computed
+    independently here with plain loops."""
+    import numpy as np
+
+    from mapreduceimpl_spark.operators.multimodal import ppm_resize_stats
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    b = f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+    got = ppm_resize_stats(b, out_side)
+    expect = [
+        int(arr[(y * h) // out_side, (x * w) // out_side, c])
+        for y in range(out_side) for x in range(out_side) for c in range(3)
+    ]
+    assert got is not None
+    assert (got["width"], got["height"], got["out_side"]) == (w, h, out_side)
+    assert got["checksum"] == sum(v * (1 + i) for i, v in enumerate(expect))
+    assert got["top_left_r"] == expect[0]
+    assert got["bottom_right_b"] == expect[-1]
+
+
+@given(
+    w=st.sampled_from([2, 4, 6, 8]),
+    h=st.sampled_from([2, 4, 6]),
+    n_frames=st.integers(min_value=0, max_value=7),
+    every=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31),
+    cut=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_y4m_frame_stats_roundtrip_and_truncation_property(
+    w, h, n_frames, every, seed, cut
+):
+    """For ALL even geometries, frame counts, cadences, and plane
+    contents: the frame walk samples exactly frames 0, every, 2*every,
+    ... with exact luma stats — and cutting the stream at ANY byte
+    yields a clean prefix of the sampled-frame list."""
+    import numpy as np
+
+    from mapreduceimpl_spark.operators.multimodal import y4m_frame_stats
+
+    rng = np.random.default_rng(seed)
+    planes = [
+        rng.integers(0, 256, size=w * h * 3 // 2, dtype=np.uint8)
+        for _ in range(n_frames)
+    ]
+    b = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode() + b"".join(
+        b"FRAME\n" + p.tobytes() for p in planes
+    )
+    got = y4m_frame_stats(b, every)
+    assert [g["frame_idx"] for g in got] == list(range(0, n_frames, every))
+    for g in got:
+        y = planes[g["frame_idx"]][: w * h].astype(np.int64)
+        assert (g["y_sum"], g["y_min"], g["y_max"]) == (
+            int(y.sum()), int(y.min()), int(y.max()),
+        )
+    truncated = y4m_frame_stats(b[: min(cut, len(b))], every)
+    assert truncated == got[: len(truncated)]
+
+
+@given(blob=st.binary(max_size=200), fmt=st.sampled_from(["wav", "ppm", "y4m"]))
+@settings(max_examples=300, deadline=None)
+def test_uncompressed_decoders_total_on_arbitrary_bytes(blob, fmt):
+    """wav_pcm_stats / ppm_resize_stats / y4m_frame_stats are TOTAL on
+    arbitrary bytes (magic prefix included): None/empty or valid
+    output, never an exception — the same drop-don't-crash contract
+    the PNG/GIF/WARC fuzzes pin."""
+    from mapreduceimpl_spark.operators.multimodal import (
+        ppm_resize_stats,
+        wav_pcm_stats,
+        y4m_frame_stats,
+    )
+
+    if fmt == "wav":
+        wav_pcm_stats(b"RIFF" + blob)
+        wav_pcm_stats(blob)
+    elif fmt == "ppm":
+        ppm_resize_stats(b"P6" + blob, 2)
+        ppm_resize_stats(blob, 2)
+    else:
+        y4m_frame_stats(b"YUV4MPEG2 " + blob, 2)
+        y4m_frame_stats(blob, 2)
