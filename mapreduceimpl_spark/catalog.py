@@ -734,7 +734,10 @@ def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere in the sink's record framing, the gzip member chain, the
     reader's Content-Length walk, or the UTF-8 round-trip fails the
     hash.  Staging uses the pid-keyed scratch-dir pattern; the only
-    collect is the bounded 8-row shard manifest."""
+    collect is the bounded 8-row shard manifest.  The 8-shard split is
+    fixture-scale — parallelism on both sides equals the shard count,
+    so a production run sizes shards to ~100-256 MB (O(corpus/shard)
+    groups), not a fixed 8."""
     from mapreduceimpl_spark.sources.warc import (
         read_warc_shards,
         warc_conversion_text,
