@@ -55,6 +55,12 @@ def read_tar_shards(spark: SparkSession, path_glob: str) -> DataFrame:
     FIRST dot is the sample key, the rest is the extension (so
     ``a/b/000123.seg.png`` -> key ``a/b/000123``, ext ``seg.png``).
     Directories and other non-regular members are skipped.
+
+    Drop-don't-crash (the byte-reader contract shared with the WARC
+    source and the media decoders): a shard that isn't a tar yields
+    zero rows, and a shard that turns malformed mid-archive keeps the
+    members already walked and drops the remainder — one corrupt
+    shard in a 100 TB corpus must not fail the job.
     """
     shards = spark.read.format("binaryFile").load(path_glob)
 
@@ -65,19 +71,22 @@ def read_tar_shards(spark: SparkSession, path_glob: str) -> DataFrame:
                     "shard": [], "member": [], "key": [], "ext": [],
                     "n_bytes": [], "payload": [],
                 }
-                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
-                    for m in tf:
-                        if not m.isreg():
-                            continue
-                        payload = tf.extractfile(m).read()
-                        name = m.name
-                        base, dot, rest = name.partition(".")
-                        out["shard"].append(path)
-                        out["member"].append(name)
-                        out["key"].append(base)
-                        out["ext"].append(rest if dot else "")
-                        out["n_bytes"].append(len(payload))
-                        out["payload"].append(payload)
+                try:
+                    with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                        for m in tf:
+                            if not m.isreg():
+                                continue
+                            payload = tf.extractfile(m).read()
+                            name = m.name
+                            base, dot, rest = name.partition(".")
+                            out["shard"].append(path)
+                            out["member"].append(name)
+                            out["key"].append(base)
+                            out["ext"].append(rest if dot else "")
+                            out["n_bytes"].append(len(payload))
+                            out["payload"].append(payload)
+                except (tarfile.TarError, EOFError, OSError):
+                    pass  # malformed/truncated shard: keep walked members
                 yield pd.DataFrame(out)
 
     return shards.select("path", "content").mapInPandas(unpack, MEMBER_SCHEMA)

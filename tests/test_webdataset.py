@@ -132,3 +132,33 @@ def test_write_tar_shards_deterministic_bytes(spark, tmp_path):
     a = (tmp_path / "a" / "shard-00000.tar").read_bytes()
     b = (tmp_path / "b" / "shard-00000.tar").read_bytes()
     assert a == b and len(a) > 0
+
+
+def test_read_tar_shards_drops_corrupt_shard_not_the_job(spark, tmp_path):
+    """Drop-don't-crash: a non-tar shard and a mid-archive-corrupted
+    shard must not fail the read — the good shard's members all come
+    back, the corrupt shard keeps only the members walked before the
+    damage (here: truncation after the first member)."""
+    d = tmp_path / "wds_bad"
+    d.mkdir()
+    _write_shard(
+        d / "good.tar",
+        [("000000.txt", b"alpha"), ("000001.txt", b"beta")],
+    )
+    (d / "junk.tar").write_bytes(b"this is not a tar archive at all")
+    _write_shard(
+        d / "cut.tar",
+        [("000002.txt", b"gamma"), ("000003.txt", b"delta")],
+    )
+    whole = (d / "cut.tar").read_bytes()
+    # keep header(512) + payload block(512) of member 1, cut inside
+    # member 2's header so the walk dies mid-archive
+    (d / "cut.tar").write_bytes(whole[: 512 + 512 + 100])
+
+    rows = read_tar_shards(spark, f"{d}/*.tar").collect()
+    got = {(r["shard"].rsplit("/", 1)[-1], r["member"]) for r in rows}
+    assert ("good.tar", "000000.txt") in got
+    assert ("good.tar", "000001.txt") in got
+    assert ("cut.tar", "000002.txt") in got          # walked before the cut
+    assert all(s != "junk.tar" for s, _ in got)      # non-tar: zero rows
+    assert ("cut.tar", "000003.txt") not in got      # dropped remainder
