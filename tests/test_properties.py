@@ -1190,3 +1190,28 @@ def test_uncompressed_decoders_total_on_arbitrary_bytes(blob, fmt):
     else:
         y4m_frame_stats(b"YUV4MPEG2 " + blob, 2)
         y4m_frame_stats(blob, 2)
+
+
+@given(
+    blob=st.binary(max_size=300),
+    prefix=st.sampled_from(
+        [b"", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8", b"RIFF",
+         b"BM", b"II*\x00", b"MM\x00*", b"fLaC", b"OggS",
+         b"\x00\x00\x00\x18ftyp", b"YUV4MPEG2 "]
+    ),
+)
+@settings(max_examples=400, deadline=None)
+def test_header_parsers_total_on_arbitrary_bytes(blob, prefix):
+    """The triage header parsers (the cheap first pass run on EVERY
+    asset at 100 TB) are TOTAL: arbitrary bytes behind every magic
+    prefix return a tuple or None, never raise and never hang."""
+    from mapreduceimpl_spark.operators.multimodal import (
+        parse_audio_header,
+        parse_image_header,
+        parse_video_header,
+    )
+
+    b = prefix + blob
+    for fn in (parse_image_header, parse_audio_header, parse_video_header):
+        got = fn(b)
+        assert got is None or isinstance(got, tuple)
