@@ -50,9 +50,6 @@ WARC_RECORD_SCHEMA = (
     "payload binary"
 )
 
-_HDR = {"warc-type", "warc-record-id", "warc-target-uri", "warc-date"}
-
-
 def _gunzip_members(blob: bytes) -> bytes:
     """Inflate a chain of gzip members; a truncated final member is
     dropped whole (never a partial inflate)."""
