@@ -710,11 +710,16 @@ def _staging_dir(prefix: str, sf_dir: str, env_var: str) -> str:
     for sib in _glob.glob(os.path.join(root, f"{prefix}_*_[0-9]*")):
         try:
             pid = int(sib.rsplit("_", 1)[1])
-            os.kill(pid, 0)  # raises if the owner is gone
+            os.kill(pid, 0)  # ESRCH iff the owner is gone
         except ValueError:
             continue
-        except OSError:
+        except ProcessLookupError:
             shutil.rmtree(sib, ignore_errors=True)
+        except OSError:
+            # EPERM etc.: the pid EXISTS (another user's live session on
+            # a shared staging root) — sweeping it would clobber a
+            # concurrent run, the exact race this helper prevents
+            continue
     shutil.rmtree(out_dir, ignore_errors=True)
     if out_dir not in _WDS_FUNNEL_CLEANUPS:  # one handler per dir
         _WDS_FUNNEL_CLEANUPS.add(out_dir)

@@ -1501,8 +1501,8 @@ def stream_domain_frequency_cap(
         seq += 1
         for pdf in pdfs:
             for k_ in pdf[key_col]:
-                if k_ is None:
-                    continue
+                if k_ is None or k_ != k_:  # NaN/null guard: pandas
+                    continue                # floats nullable longs
                 k_ = int(k_)
                 pairs.append(
                     (hashlib.md5(str(k_).encode()).hexdigest(), k_)

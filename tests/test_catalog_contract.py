@@ -64,7 +64,10 @@ def test_no_oracle_backed_entry_goes_stale():
     newest: dict[str, int] = {}
     rounds = []
     for path in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:  # stray file (e.g. a _draft copy): skip, don't crash
+            continue
+        rnd = int(m.group(1))
         rounds.append(rnd)
         with open(path) as fh:
             for name, row in json.load(fh).items():
@@ -107,7 +110,10 @@ def test_rotation_schedule_simulates_clean_for_future_rounds():
     newest: dict[str, int] = {}
     rounds = []
     for path in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:  # stray file (e.g. a _draft copy): skip, don't crash
+            continue
+        rnd = int(m.group(1))
         rounds.append(rnd)
         with open(path) as fh:
             for name, row in json.load(fh).items():

@@ -503,6 +503,7 @@ def test_real_decoders_plan_is_shuffle_free(spark):
     stages: no Exchange may appear in their physical plans — at 100 TB
     the decode cost is exactly one pass over the payload bytes."""
     from mapreduceimpl_spark.operators.multimodal import (
+        gif_decode_stats,
         png_decode_stats,
         ppm_decode_resize,
         wav_pcm_decode,
@@ -518,6 +519,7 @@ def test_real_decoders_plan_is_shuffle_free(spark):
         ppm_decode_resize(assets),
         y4m_frame_sample(assets),
         png_decode_stats(assets),
+        gif_decode_stats(assets),
     ):
         assert "Exchange" not in explain_str(df, "simple")
 

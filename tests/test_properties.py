@@ -11,7 +11,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from mapreduceimpl_spark.operators import dedup
@@ -930,6 +930,11 @@ def test_png_stats_total_on_arbitrary_bytes(blob, with_sig):
     p=st.integers(min_value=2, max_value=256),
     seed=st.integers(min_value=0, max_value=2**31),
 )
+# the falsifying case hypothesis found in the first LZW draft (the
+# encoder emitted END at the pre-widen width when the decoder's append
+# after the FINAL data code crossed 2^width) — pinned so the
+# regression is deterministic, not re-findable-by-search-only
+@example(w=4, h=4, p=3, seed=2)
 @settings(max_examples=100, deadline=None)
 def test_gif_lzw_roundtrip_property(w, h, p, seed):
     """For ALL image shapes, palette sizes (2..256 — spanning every
@@ -1192,26 +1197,43 @@ def test_uncompressed_decoders_total_on_arbitrary_bytes(blob, fmt):
         y4m_frame_stats(blob, 2)
 
 
-@given(
-    blob=st.binary(max_size=300),
-    prefix=st.sampled_from(
-        [b"", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8", b"RIFF",
-         b"BM", b"II*\x00", b"MM\x00*", b"fLaC", b"OggS",
-         b"\x00\x00\x00\x18ftyp", b"YUV4MPEG2 "]
-    ),
-)
-@settings(max_examples=400, deadline=None)
-def test_header_parsers_total_on_arbitrary_bytes(blob, prefix):
-    """The triage header parsers (the cheap first pass run on EVERY
-    asset at 100 TB) are TOTAL: arbitrary bytes behind every magic
-    prefix return a tuple or None, never raise and never hang."""
+@given(seed=st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=5, deadline=None)
+def test_lzw_roundtrip_through_4096_cap_reset(seed):
+    """Force the 4096-code table-full CLEAR-reset branch — the
+    subtlest path in both halves of the LZW pair — and prove the
+    roundtrip survives it.  The test PROVES the cap was reached with
+    an independent textbook phrase segmentation (greedy
+    longest-match, one new phrase per emitted code): if that counter
+    crosses 4090 before resetting, the encoder must have taken the
+    reset branch on the same input."""
+    import numpy as np
+
     from mapreduceimpl_spark.operators.multimodal import (
-        parse_audio_header,
-        parse_image_header,
-        parse_video_header,
+        _lzw_compress,
+        _lzw_decompress,
     )
 
-    b = prefix + blob
-    for fn in (parse_image_header, parse_audio_header, parse_video_header):
-        got = fn(b)
-        assert got is None or isinstance(got, tuple)
+    rng = np.random.default_rng(seed)
+    data = bytes(rng.integers(0, 4, size=80_000, dtype=np.uint8))
+
+    # independent greedy segmentation: phrases == dictionary adds
+    table = {bytes([i]) for i in range(4)}
+    cur, adds, capped = b"", 6, False  # 4 literals + clear + end
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        if adds < 4096:
+            table.add(nxt)
+            adds += 1
+        else:
+            capped = True
+            table = {bytes([i]) for i in range(4)}
+            adds = 6
+        cur = bytes([byte])
+    assert capped, "fixture too small to force the cap — enlarge it"
+
+    out = _lzw_decompress(_lzw_compress(data, 2), 2, len(data))
+    assert out == data

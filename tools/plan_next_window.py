@@ -42,7 +42,10 @@ def newest_hash_rounds(repo_dir: str) -> tuple[dict[str, int], int]:
     newest: dict[str, int] = {}
     rounds = [0]
     for path in sorted(glob.glob(f"{repo_dir}/CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:  # stray file (e.g. a _draft copy): skip, don't crash
+            continue
+        rnd = int(m.group(1))
         rounds.append(rnd)
         with open(path) as fh:
             for name, row in json.load(fh).items():
