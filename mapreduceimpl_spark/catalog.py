@@ -9,25 +9,23 @@ probing) which get the driver's rows-only check + pytest invariants.
 
 Ordering contract (round 2+): the driver records CORRECTNESS rows for
 roughly the FIRST 50 entries in insertion order.  SPECS is therefore
-rebuilt from ``_ROUND7_ORDER`` (defined after the dict literal) so the
+rebuilt from ``_ROUND8_ORDER`` (defined after the dict literal) so the
 entries that most need a fresh green row come first.
-Round 7 packs the entire window with the round-6 deferral backlog:
-positions 1-49 are 49 of the 70 never-driver-attested round-6
-additions (all locally oracle-verified at both SFs and independently
-re-verified by the round-6 judge); the remaining 21, plus this
-round's 10 additions (each hash-verified locally at
-sf0.001/0.01/0.1 as it landed), sit in ``DEFERRED_TO_NEXT_ROUND``
-right after the window so round 8 rotates all 31 in first.  The tail is ordered stalest-cohort-first (r3, then r4/r5/
-r6) so each future round's window promotion is a simple prefix shift.
+Round 8 drains the deferral backlog completely: positions 1-30 are
+the 30 never-driver-attested round-7 entries (all judge-verified at
+sf0.01, heaviest 9 at sf0.1), positions 31-49 the 19 stalest
+r3-cohort refreshes; the tail is ordered stalest-cohort-first (rest
+of r3, then r4/r5/r6/r7) so each future round's window promotion is
+a simple prefix shift.  This round's additions (within the <= 4
+intake cap) sit in ``DEFERRED_TO_NEXT_ROUND`` at position 50+.
 Max-age policy: no oracle-backed entry's newest driver row may be
 older than 6 completed rounds.  Feasibility arithmetic at the
-round-7-final catalog (274 oracle-backed after this round's 10
-additions): steady-state re-attestation demand is 274/6 ~= 45.7
-slots/round against the driver's ~49-slot window — the previous
-4-round cycle would need 68 slots/round and is arithmetically
-impossible at this catalog size, so 6 is the tightest feasible cycle
-with ~4 slots/round of headroom; future rounds must budget new-entry
-intake against THAT margin, not the pre-round-7 five.
+round-8 catalog (275 oracle-backed): steady-state re-attestation
+demand is 275/6 ~= 45.8 slots/round against the driver's ~49-slot
+window — the previous 4-round cycle would need ~69 slots/round and
+is arithmetically impossible at this catalog size, so 6 is the
+tightest feasible cycle with ~3 slots/round of headroom; future
+rounds must budget new-entry intake against THAT margin.
 tests/test_catalog_contract.py enforces the policy against the live
 CORRECTNESS files.  Any NEW entry added this
 round that doesn't fit the window goes into
@@ -755,7 +753,9 @@ def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("conversion").alias("warc_type"),
         F.concat(
             F.lit("<urn:doc:"),
-            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+            # format_string pads to a MINIMUM width — unlike lpad,
+            # which truncates doc_ids >= 10^8 to colliding prefixes
+            F.format_string("%08d", F.col("doc_id")),
             F.lit(">"),
         ).alias("record_id"),
         F.concat(
@@ -783,6 +783,118 @@ _WARC_INGEST_SQL = """SELECT doc_id,
        CAST(strlen(COALESCE(text, '')) AS BIGINT) AS content_length,
        sha256(COALESCE(text, '')) AS sha
 FROM documents"""
+
+
+def _q_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CommonCrawl -> pretraining path end-to-end as ONE pipeline
+    (VERDICT r7 #5): render documents as WARC ``conversion`` records,
+    write member-per-record ``*.warc.gz`` shards WITH the gzip-member
+    sidecar index, read them back through the INDEX-DRIVEN range
+    reader (``read_warc_shards_indexed``; a 64 KiB split target at
+    fixture scale forces many byte-range splits per shard, so the
+    driver hash certifies the range arithmetic, not just whole-shard
+    inflation), WET-extract the text, gate with the Gopher rule
+    battery, gate again with the quality-score heuristics, and
+    exact-dedup the survivors to lowest-id keepers.  Every stage is
+    independently hash-verified (``warc_ingest``, ``gopher_rules``,
+    ``text_quality``, ``dedup_exact``); this entry certifies the
+    COMPOSITION.  The oracle replays the funnel in chained CTEs over
+    ``documents`` directly — the WARC leg must be byte-faithful for
+    the doc_ids, shas, and every quality metric to line up.
+
+    Scale: the sink is one keyed Exchange; the indexed read bounds
+    per-task memory by SPLIT size (production target 64 MiB), not
+    shard size; Gopher + quality are zero-shuffle codegen
+    projections; the dedup is one uniform sha256-key shuffle.  The
+    only collect is the bounded shard manifest."""
+    from mapreduceimpl_spark.sources.warc import (
+        read_warc_shards_indexed,
+        warc_conversion_text,
+        write_warc_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    recs = docs.select(
+        (F.col("doc_id") % 8).alias("shard_id"),
+        F.lit("conversion").alias("warc_type"),
+        F.concat(
+            F.lit("<urn:doc:"), F.format_string("%08d", F.col("doc_id")),
+            F.lit(">"),
+        ).alias("record_id"),
+        F.concat(
+            F.lit("https://example.com/doc/"), F.col("doc_id").cast("string")
+        ).alias("target_uri"),
+        F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
+    )
+    out_dir = _staging_dir(
+        "mapreduceimpl_crawl_funnel", sf_dir, "MAPREDUCEIMPL_CRAWL_FUNNEL_DIR"
+    )
+    write_warc_shards(recs, out_dir, write_index=True).collect()  # bounded manifest
+    wet = warc_conversion_text(
+        read_warc_shards_indexed(
+            spark, out_dir + "/*.warc.gz", target_split_bytes=1 << 16
+        )
+    )
+    wet_docs = wet.select(
+        F.element_at(F.split("target_uri", "/"), -1).cast("long").alias("doc_id"),
+        "text",
+    )
+    g = (
+        text_analysis.gopher_rules(wet_docs)
+        .filter(F.col("keep"))
+        .select("doc_id", "n_words", "mean_word_len")
+    )
+    q = (
+        text_analysis.quality_score(wet_docs)
+        .filter(F.col("keep"))
+        .select("doc_id", "n_tokens", "diversity")
+    )
+    survivors = wet_docs.join(g, "doc_id").join(q, "doc_id")
+    keepers = dedup.dedup_exact(survivors)
+    return survivors.join(
+        keepers, survivors["doc_id"] == keepers["keep_id"]
+    ).select(
+        "doc_id", "n_words", "mean_word_len", "n_tokens", "diversity",
+        "n_copies", F.col("content_sha").alias("sha"),
+    )
+
+
+def _crawl_funnel_oracle() -> str:
+    """Chained-CTE replay of ``_q_crawl_funnel`` over ``documents``:
+    the WET stage collapses to COALESCE(text, '') (the WARC leg is a
+    byte-exact round-trip — certified standalone by ``warc_ingest``),
+    then the gopher / quality / keeper stages reuse the entries' own
+    SQL forms."""
+    toks = "string_split(text, ' ')"
+    return f"""WITH wet AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+),
+gk AS (
+  SELECT doc_id, n_words, mean_word_len
+  FROM ({text_analysis.gopher_rules_sql(source='wet')}) WHERE keep
+),
+qk AS (
+  SELECT doc_id,
+         CAST(len({toks}) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct({toks})) AS DOUBLE)
+           / CAST(len({toks}) AS DOUBLE) AS diversity
+  FROM wet
+  WHERE len({toks}) >= 10 AND len(list_distinct({toks})) >= 5
+),
+s AS (
+  SELECT w.doc_id, w.text, gk.n_words, gk.mean_word_len,
+         qk.n_tokens, qk.diversity
+  FROM wet w JOIN gk USING (doc_id) JOIN qk USING (doc_id)
+),
+k AS (
+  SELECT sha256(text) AS sha, MIN(doc_id) AS keep_id,
+         CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM s GROUP BY sha256(text)
+)
+SELECT s.doc_id, s.n_words, s.mean_word_len, s.n_tokens, s.diversity,
+       k.n_copies, k.sha
+FROM s JOIN k ON s.doc_id = k.keep_id"""
 
 
 def _q_multimodal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,7 +956,9 @@ def _q_multimodal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(m == 0, "png").when(m == 1, "gif").when(m == 2, "wav").otherwise("txt")
     )
     shard_id = (F.col("doc_id") % 8).alias("shard_id")
-    key = F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("key")
+    # minimum-width pad (never truncates, unlike lpad) so keys stay
+    # unique past 10^8 docs
+    key = F.format_string("%08d", F.col("doc_id")).alias("key")
     media_rows = docs.select(shard_id, key, ext.alias("ext"), payload.alias("payload"))
     cap_rows = docs.select(
         shard_id, key, F.lit("cap").alias("ext"),
@@ -3503,25 +3617,12 @@ FROM sess GROUP BY user_id, sid
 # (tools/check_oracle.py) and MUST rotate into the window next round —
 # tests/test_catalog_contract.py enforces that this set only shrinks:
 # once an entry has a driver CORRECTNESS row it must leave this set.
-# Round 7 start: 21 entries — the round-6 deferral backlog was 70
-# (> one 49-slot window); 49 rotated into window head positions 1-49
-# (see _ROUND7_ORDER), these 21 hold positions 50-70 so round 8 can
-# promote them with a prefix shift.  Any entry added this round that
-# doesn't fit the window goes here.
-DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
-    {"kmeans_ari", "kmeans_silhouette", "events_funnel_windowed",
-     "benford_digits", "psi_drift", "attribution_time_decay",
-     "code_detect", "conversion_latency", "dow_uniformity",
-     "packing_efficiency", "curriculum_phases", "dup_cluster_sizes",
-     "deletion_cascade", "sample_size_plan", "event_burstiness",
-     "effective_domains", "session_depth_hist", "iqr_fences",
-     "qlm_search", "bloom_fp_eval", "countmin_error_eval",
-     # round-7 additions (window already packed with the r6 backlog)
-     "bpe_train_batched", "domain_frequency_cap", "mmr_rerank",
-     "wav_pcm_decode", "ppm_decode_resize", "y4m_frame_sample",
-     "pq_recall_eval", "png_decode_stats", "warc_ingest",
-     "gif_decode_stats"}
-)
+# Round 8 start: empty — the full 30-entry round-7 backlog fits window
+# head positions 1-30 (see _ROUND8_ORDER), so nothing is deferred.  Any
+# entry added this round that doesn't fit the window goes here.
+# Round-8 additions (window packed with the 30 deferrals + 19 stalest
+# r3 refreshes; the VERDICT intake cap is <= 4 new entries):
+DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset({"crawl_funnel"})
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
 # this position in SPECS get no row); slot WINDOW+1 is kept low-stakes.
@@ -5661,6 +5762,16 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "brute-force top-pool; every step a bounded Q x pool frame "
             "referenced EXACTLY once (window-first argmax, the linear-"
             "lineage rule); hash-verified chained-CTE replay",
+    ),
+    "crawl_funnel": QuerySpec(
+        _q_crawl_funnel,
+        _crawl_funnel_oracle(),
+        doc="CommonCrawl->pretraining path end-to-end (VERDICT r7 #5): "
+            "WARC shards written WITH the gzip-member sidecar index -> "
+            "index-driven byte-range read (64 KiB splits at fixture "
+            "scale) -> WET extract -> Gopher rules -> quality gate -> "
+            "exact-dedup keepers; oracle replays the funnel in chained "
+            "CTEs over documents",
     ),
     "pq_recall_eval": QuerySpec(
         _q_pq_recall_eval,
@@ -9252,43 +9363,32 @@ FROM cme_agg CROSS JOIN cme_tot""",
 }
 
 
-# Round-7 window rotation (driver records the first ~50 entries; see
-# module docstring).  Head 1-49: 49 of the 70-entry round-6 deferral
-# backlog — every one locally oracle-PASS at sf0.01 AND sf0.1
-# (tools/check_oracle.py) and independently re-verified by the round-6
-# judge at sf0.01 (heaviest 8 also at sf0.1); 50-70: the remaining 21
-# deferrals (still in DEFERRED_TO_NEXT_ROUND, first in line for round
-# 8's window); then the verified tail ordered stalest-cohort-first
-# (r3 cohort, then r4, r5, r6) so future promotions are prefix shifts.
-_ROUND7_ORDER = [
-    'quality_classifier', 'quality_classifier_weights', 'dsir_weights', 'dsir_select',
-    'pq_codes', 'pq_adc_topk', 'skipgram_negatives', 'glove_cooccurrence',
-    'zipf_law_fit', 'heaps_law_growth', 'unigram_kl', 'vocab_overlap',
-    'contamination_bloom', 'ngram_novelty', 'kmv_set_ops', 'events_holt',
-    'classifier_eval', 'classifier_calibration', 'ams_f2', 'leakage_safe_split',
-    'dp_noisy_counts', 'gopher_rules', 'ams_join_size', 'events_twap',
-    'grid_quantiles', 'event_markov', 'markov_stationary', 'dedup_recall_eval',
-    'classifier_pr_curve', 'feature_mi', 'langid_eval', 'survival_km',
-    'ann_recall_eval', 'vocab_keyness', 'token_gini', 'hits_scores',
-    'rouge_pairs', 'bpe_fertility', 'lm_heldout_perplexity', 'cramers_v',
-    'mannwhitney_length', 'ols_tokens_vs_chars', 'seasonal_mase', 'theil_sen_daily',
-    'ks_length', 'aspect_buckets', 'shard_balance', 't_closeness',
-    'fim_render', 'kmeans_ari', 'kmeans_silhouette', 'events_funnel_windowed',
-    'benford_digits', 'psi_drift', 'attribution_time_decay', 'code_detect',
-    'conversion_latency', 'dow_uniformity', 'packing_efficiency', 'curriculum_phases',
-    'dup_cluster_sizes', 'deletion_cascade', 'sample_size_plan', 'event_burstiness',
-    'effective_domains', 'session_depth_hist', 'iqr_fences', 'qlm_search',
-    'bloom_fp_eval', 'countmin_error_eval',
-    # round-7 additions: deferred (window packed with the r6 backlog)
-    'bpe_train_batched', 'domain_frequency_cap', 'mmr_rerank',
-    'wav_pcm_decode', 'ppm_decode_resize', 'y4m_frame_sample',
-    'pq_recall_eval', 'png_decode_stats', 'warc_ingest', 'gif_decode_stats',
-    'text_unigram_logprob', 'sample_fixed_n',
+# Round-8 window rotation (driver records the first ~50 entries; see
+# module docstring).  Head 1-49: the 30 never-driver-attested entries
+# (the full round-7 deferral backlog -- every one locally oracle-PASS
+# at sf0.01 AND sf0.1 and independently judge-verified at sf0.01,
+# heaviest 9 also at sf0.1) followed by the 19 stalest r3-cohort
+# refreshes; then the verified tail ordered stalest-cohort-first
+# (rest of r3, then r4, r5, r6, r7) so future promotions are prefix
+# shifts.  Generated by tools/plan_next_window.py from the live
+# CORRECTNESS files.
+_ROUND8_ORDER = [
+    'kmeans_silhouette', 'events_funnel_windowed', 'benford_digits', 'psi_drift',
+    'attribution_time_decay', 'code_detect', 'conversion_latency', 'dow_uniformity',
+    'packing_efficiency', 'curriculum_phases', 'dup_cluster_sizes', 'deletion_cascade',
+    'sample_size_plan', 'event_burstiness', 'effective_domains', 'session_depth_hist',
+    'iqr_fences', 'qlm_search', 'bloom_fp_eval', 'countmin_error_eval',
+    'bpe_train_batched', 'domain_frequency_cap', 'mmr_rerank', 'wav_pcm_decode',
+    'ppm_decode_resize', 'y4m_frame_sample', 'pq_recall_eval', 'png_decode_stats',
+    'warc_ingest', 'gif_decode_stats', 'text_unigram_logprob', 'sample_fixed_n',
     'scalar_map', 'dedup_simhash64_pairs', 'ann_lsh_topk', 'ann_lsh_multiprobe',
     'dedup_clusters', 'range_join', 'hypertable_rollup', 'sample_weighted',
     'user_features', 'lang_count', 'udf_wordcount', 'filter_project',
     'pricing_summary', 'agg_multikey', 'agg_distinct', 'distinct_op',
-    'agg_rollup', 'agg_cube', 'grouping_sets', 'join_inner',
+    'agg_rollup',
+    # position 50+: round-8 additions (deferred; first in line for r9)
+    'crawl_funnel',
+    'agg_cube', 'grouping_sets', 'join_inner',
     'join_left', 'join_semi', 'join_anti', 'join_full',
     'join_cross', 'join_broadcast', 'join_theta', 'shipping_priority',
     'local_supplier_volume', 'volume_shipping', 'returned_items', 'events_funnel',
@@ -9332,16 +9432,29 @@ _ROUND7_ORDER = [
     'pca_scores', 'dedup_semantic_centroid', 'hybrid_search_rrf', 'semdedup_funnel',
     'lm_quality_buckets', 'in_batch_negatives', 'retrieval_metrics', 'token_budget_mix',
     'wordcount', 'dedup_incremental', 'doc_chunks', 'retention_cohorts',
-    'agg_approx', 'ann_ivf_topk', 'kmeans_assign', 'text_compression_ratio',
+    'quality_classifier', 'quality_classifier_weights', 'dsir_weights', 'dsir_select',
+    'pq_codes', 'pq_adc_topk', 'skipgram_negatives', 'glove_cooccurrence',
+    'zipf_law_fit', 'heaps_law_growth', 'unigram_kl', 'vocab_overlap',
+    'contamination_bloom', 'ngram_novelty', 'kmv_set_ops', 'events_holt',
+    'classifier_eval', 'classifier_calibration', 'ams_f2', 'leakage_safe_split',
+    'dp_noisy_counts', 'gopher_rules', 'ams_join_size', 'events_twap',
+    'grid_quantiles', 'event_markov', 'markov_stationary', 'dedup_recall_eval',
+    'classifier_pr_curve', 'feature_mi', 'langid_eval', 'survival_km',
+    'ann_recall_eval', 'vocab_keyness', 'token_gini', 'hits_scores',
+    'rouge_pairs', 'bpe_fertility', 'lm_heldout_perplexity', 'cramers_v',
+    'mannwhitney_length', 'ols_tokens_vs_chars', 'seasonal_mase', 'theil_sen_daily',
+    'ks_length', 'aspect_buckets', 'shard_balance', 't_closeness',
+    'fim_render', 'kmeans_ari', 'agg_approx', 'ann_ivf_topk',
+    'kmeans_assign', 'text_compression_ratio',
 ]
 
-if set(_ROUND7_ORDER) != set(SPECS) or len(_ROUND7_ORDER) != len(SPECS):
+if set(_ROUND8_ORDER) != set(SPECS) or len(_ROUND8_ORDER) != len(SPECS):
     raise AssertionError(
         "catalog rotation list out of sync with SPECS: "
-        f"missing={set(SPECS) - set(_ROUND7_ORDER)} "
-        f"unknown={set(_ROUND7_ORDER) - set(SPECS)}"
+        f"missing={set(SPECS) - set(_ROUND8_ORDER)} "
+        f"unknown={set(_ROUND8_ORDER) - set(SPECS)}"
     )
-SPECS = {name: SPECS[name] for name in _ROUND7_ORDER}
+SPECS = {name: SPECS[name] for name in _ROUND8_ORDER}
 
 
 # Bench execution order, pinned to round 2's recorded order so the

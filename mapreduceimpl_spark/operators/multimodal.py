@@ -567,7 +567,15 @@ def wav_pcm_stats(b: bytes) -> dict | None:
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         csz = int.from_bytes(b[i + 4 : i + 8], "little")
-        if cid == b"fmt " and i + 24 <= len(b):
+        if cid == b"fmt ":
+            # a fmt chunk shorter than the 16 canonical PCM bytes
+            # would make the fixed-offset reads below consume the
+            # NEXT chunk's bytes as fmt fields — plausible-but-wrong
+            # stats instead of a drop (same contract as the data
+            # truncation check)
+            if csz < 16 or i + 24 > len(b):
+                truncated = True
+                break
             fmt_code = int.from_bytes(b[i + 8 : i + 10], "little")
             channels = int.from_bytes(b[i + 10 : i + 12], "little")
             rate = int.from_bytes(b[i + 12 : i + 16], "little")

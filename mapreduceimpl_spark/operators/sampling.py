@@ -633,6 +633,14 @@ def domain_frequency_cap(
     ~cap rows per domain are ever sorted, (d) intra-shard row_number
     on 256x-smaller partitions, offset by (b).  Byte-identical to the
     naive per-domain window (the oracle IS that naive form).
+
+    The offsets relation after the prune still scales with distinct
+    domains (1..min(256, cap) rows per domain) — for web-scale domain
+    columns that is millions of rows, so the join-back carries NO
+    forced broadcast hint: AQE broadcasts it at runtime when it is
+    actually small and falls back to a shuffle join when it is not
+    (the grid and the docs relation share (domain, shard) keys, so
+    the shuffle path is a plain co-partitioned equi-join).
     """
     from pyspark.sql import Window
 
@@ -673,7 +681,9 @@ def domain_frequency_cap(
     )
     return (
         scored.join(
-            F.broadcast(off),
+            # no broadcast hint: |off| ~ |domains| (unbounded for web
+            # corpora) — AQE picks broadcast when it measures small
+            off,
             F.col("domain").eqNullSafe(F.col("o_domain"))
             & (F.col("shard") == F.col("o_shard")),
         )

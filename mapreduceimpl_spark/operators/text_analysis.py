@@ -1260,11 +1260,25 @@ def _bpe_level_checkpoint(
     prev_persisted: DataFrame | None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """The shared per-level persistence cadence of BOTH trainers:
-    deep tier -> localCheckpoint (constant plan size, ContextCleaner-
-    freed); persist tier -> eager persist with exactly one cached
-    corpus alive (previous level released); lazy tier -> no-op.
-    Returns (level, new prev_persisted handle)."""
+    deep tier -> checkpoint (constant plan size); persist tier ->
+    eager persist with exactly one cached corpus alive (previous
+    level released); lazy tier -> no-op.
+    Returns (level, new prev_persisted handle).
+
+    Deep-tier fault-tolerance trade: ``localCheckpoint`` stores
+    blocks only on executors and SEVERS lineage — on executor loss
+    (or block eviction under dynamic allocation) the level cannot be
+    recomputed and the whole training job fails.  When the session
+    has a reliable checkpoint directory configured
+    (``sc.setCheckpointDir``), the deep tier therefore uses
+    ``checkpoint(eager=True)`` instead: same constant-plan-size
+    property, blocks on fault-tolerant storage, survives executor
+    loss at the cost of one write+read per level.  On a long-lived
+    1000-executor run, set a checkpoint dir."""
     if use_ckpt:
+        sc = seqs.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            return seqs.checkpoint(eager=True), prev_persisted
         return seqs.localCheckpoint(eager=True), prev_persisted
     if persist_levels:
         seqs = seqs.persist()
@@ -2485,8 +2499,11 @@ def gopher_rules_sql(
     max_symbol_ratio: float = 0.1,
     min_alpha_frac: float = 0.8,
     min_stopwords: int = 2,
+    source: str = "documents",
 ) -> str:
-    """DuckDB mirror of :func:`gopher_rules` over ``documents``."""
+    """DuckDB mirror of :func:`gopher_rules` over ``source`` (a table
+    or CTE with doc_id/text columns — the crawl funnel points it at
+    its WET stage)."""
     sw = ", ".join(f"'{w}'" for w in STOPWORDS)
     return f"""WITH g AS (
   SELECT doc_id,
@@ -2498,7 +2515,7 @@ def gopher_rules_sql(
               t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
          CAST(len(list_filter(string_split(text, ' '),
               t -> list_contains([{sw}], t))) AS BIGINT) AS n_stop
-  FROM documents WHERE text IS NOT NULL
+  FROM {source} WHERE text IS NOT NULL
 ),
 r AS (
   SELECT doc_id, n_words,

@@ -29,7 +29,15 @@ Scale / honest memory note: like the tar source, ``binaryFile``
 materializes the whole shard blob per task and the inflated stream
 adds ~3-4x (crawl text compresses ~3:1), so peak per-task memory is
 ~4-5x shard size; Common Crawl's ~1 GB shards need fat executors —
-re-shard to 100-256 MB when you control the layout.
+re-shard to 100-256 MB when you control the layout.  For shards you
+control, the sink's optional SIDECAR MEMBER INDEX
+(``write_index=True`` -> ``shard.warc.gz.idx``, one
+``member_idx\\toffset\\tclen`` line per gzip member) lifts that
+bound: ``read_warc_shards_indexed`` plans member-range splits from
+the tiny index files and each task reads+inflates only its
+~``target_split_bytes`` range, so peak per-task memory is ~5x the
+SPLIT size regardless of shard size (a 1 GB shard parses in 64 MB
+bites), and intra-shard parallelism = splits, not 1.
 """
 
 from __future__ import annotations
@@ -168,6 +176,99 @@ def read_warc_shards(spark: SparkSession, path_glob: str) -> DataFrame:
     return shards.select("path", "content").mapInPandas(parse, WARC_RECORD_SCHEMA)
 
 
+def read_warc_shards_indexed(
+    spark: SparkSession,
+    path_glob: str,
+    target_split_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Index-driven WARC reader for shards written with
+    ``write_warc_shards(..., write_index=True)``: plans MEMBER-RANGE
+    splits from the ``*.warc.gz.idx`` sidecars, so a shard parses in
+    parallel ~``target_split_bytes`` bites instead of one whole-blob
+    task — peak per-task memory ~5x the split size (compressed range
+    + ~4x inflate), independent of shard size.
+
+    Same output contract as :func:`read_warc_shards`.  ``record_idx``
+    is the member index from the sidecar (the sink's member-per-record
+    layout makes member == record; that layout is the only producer
+    of sidecars).  LOCAL/SHARED FILESYSTEM ONLY, like the sinks —
+    tasks open the shard path and ``seek`` to their range (on an
+    object store this becomes a range request).
+
+    Plan shape: the index lines are METADATA (one tiny row per gzip
+    member), so the split-planning window/groupBy shuffles only
+    index rows, never payload bytes; the payload pass itself is one
+    seek+read per split with no shuffle.
+    """
+    if target_split_bytes < 1:
+        raise ValueError(
+            f"read_warc_shards_indexed: target_split_bytes must be >= 1, "
+            f"got {target_split_bytes}"
+        )
+    from pyspark.sql import Window
+
+    lines = spark.read.text(f"{path_glob}.idx").select(
+        F.input_file_name().alias("idx_path"), "value"
+    )
+    parts = F.split(F.col("value"), "\t")
+    members = lines.select(
+        F.expr("substring(idx_path, 1, length(idx_path) - 4)").alias("shard"),
+        parts.getItem(0).cast("long").alias("member_idx"),
+        parts.getItem(1).cast("long").alias("offset"),
+        parts.getItem(2).cast("long").alias("clen"),
+    )
+    # split assignment: floor(bytes-before-me / target) — members are
+    # contiguous in member_idx order, so each split is one contiguous
+    # byte range [min(offset), min(offset)+sum(clen))
+    w_prev = (
+        Window.partitionBy("shard")
+        .orderBy("member_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    splits = (
+        members.withColumn(
+            "split_id",
+            (
+                F.coalesce(F.sum("clen").over(w_prev), F.lit(0))
+                / F.lit(int(target_split_bytes))
+            ).cast("long"),
+        )
+        .groupBy("shard", "split_id")
+        .agg(
+            F.min("offset").alias("start"),
+            F.sum("clen").alias("length"),
+            F.min("member_idx").alias("first_member"),
+        )
+    )
+
+    def read_splits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.parse import unquote, urlparse
+
+        for pdf in batches:
+            for shard, start, length, first in zip(
+                pdf["shard"], pdf["start"], pdf["length"], pdf["first_member"]
+            ):
+                u = urlparse(str(shard))
+                local = unquote(u.path) if u.scheme else str(shard)
+                with open(local, "rb") as fh:
+                    fh.seek(int(start))
+                    blob = fh.read(int(length))
+                out: dict[str, list] = {
+                    "shard": [], "record_idx": [], "warc_type": [],
+                    "record_id": [], "target_uri": [], "warc_date": [],
+                    "content_length": [], "payload": [],
+                }
+                recs = parse_warc_records(_gunzip_members(blob))
+                for idx, r in enumerate(recs):
+                    out["shard"].append(str(shard))
+                    out["record_idx"].append(int(first) + idx)
+                    for k, v in r.items():
+                        out[k].append(v)
+                yield pd.DataFrame(out)
+
+    return splits.mapInPandas(read_splits, WARC_RECORD_SCHEMA)
+
+
 def warc_conversion_text(records: DataFrame) -> DataFrame:
     """WET extraction: the plain-text payloads of ``conversion``
     records, decoded as UTF-8 — (shard, record_idx, record_id,
@@ -191,6 +292,7 @@ def write_warc_shards(
     uri_col: str = "target_uri",
     date_col: str = "warc_date",
     payload_col: str = "payload",
+    write_index: bool = False,
 ) -> DataFrame:
     """Distributed WARC sink, one ``shard-NNNNN.warc.gz`` per
     ``shard_col`` value in the Common Crawl member-per-record layout
@@ -202,6 +304,12 @@ def write_warc_shards(
     stay identical — unlike the tar sink, whose uncompressed bytes
     are version-independent).  Returns the lazy manifest (shard, n_records,
     n_bytes-uncompressed); run an action to perform the write.
+
+    ``write_index=True`` also publishes a ``<shard>.idx`` sidecar —
+    one ``member_idx\\toffset\\tclen`` line per gzip member — AFTER
+    the shard itself (so a visible index always describes a complete
+    shard); :func:`read_warc_shards_indexed` uses it for member-range
+    splits that bound per-task memory by split size, not shard size.
 
     Scale: one keyed Exchange on the shard id, then each shard is
     streamed record-by-record by its group's task.  LOCAL/SHARED
@@ -216,21 +324,33 @@ def write_warc_shards(
         path = os.path.join(out_dir, f"shard-{shard_id:05d}.warc.gz")
         pdf = pdf.sort_values([record_id_col], ignore_index=True)
         n_bytes = 0
+        offset = 0
+        index_lines: list[str] = []
         tmp = path + ".inprogress"
         with open(tmp, "wb") as fh:
-            for wtype, rid, uri, date, payload in zip(
+            for m_idx, (wtype, rid, uri, date, payload) in enumerate(zip(
                 pdf[warc_type_col], pdf[record_id_col], pdf[uri_col],
                 pdf[date_col], pdf[payload_col],
-            ):
+            )):
                 rec = _render_record(wtype, rid, uri, date, bytes(payload))
                 member = io.BytesIO()
                 with gzip.GzipFile(
                     fileobj=member, mode="wb", compresslevel=6, mtime=0
                 ) as gz:
                     gz.write(rec)
-                fh.write(member.getvalue())
+                mb = member.getvalue()
+                fh.write(mb)
+                index_lines.append(f"{m_idx}\t{offset}\t{len(mb)}\n")
+                offset += len(mb)
                 n_bytes += len(rec)  # header + payload + record separator
         os.replace(tmp, path)  # atomic publish
+        if write_index:
+            # published AFTER the shard: an existing index always
+            # describes a complete shard
+            itmp = path + ".idx.inprogress"
+            with open(itmp, "w") as ih:
+                ih.writelines(index_lines)
+            os.replace(itmp, path + ".idx")
         return pd.DataFrame(
             {"shard": [path], "n_records": [len(pdf)], "n_bytes": [n_bytes]}
         )

@@ -1104,6 +1104,33 @@ def test_wav_pcm_stats_roundtrip_property(samples, rate, channels):
     }
 
 
+@given(short_csz=st.integers(min_value=0, max_value=15))
+@settings(max_examples=16, deadline=None)
+def test_wav_pcm_stats_drops_malformed_fmt_chunk(short_csz):
+    """A fmt chunk declaring fewer than the 16 canonical PCM bytes
+    must DROP (None), never read the following chunk's bytes as fmt
+    fields — the 'drop, never understate' contract (ADVICE r7).  The
+    payload is built so that misreading WOULD produce plausible
+    fields: the bytes right after the short fmt chunk decode to
+    fmt_code=1 / bits=16 at the fixed offsets."""
+    import struct
+
+    from mapreduceimpl_spark.operators.multimodal import wav_pcm_stats
+
+    data = struct.pack("<hh", 7, -7)
+    # short fmt chunk: declared size < 16, padded to even length
+    short_body = bytes(short_csz)
+    decoy = struct.pack("<HHIIHH", 1, 2, 44_100, 176_400, 4, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"fmt " + struct.pack("<I", short_csz) + short_body
+        + (b"\x00" if short_csz % 2 else b"")
+        + b"JUNK" + struct.pack("<I", len(decoy)) + decoy
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert wav_pcm_stats(wav) is None
+
+
 @given(
     w=st.integers(min_value=1, max_value=10),
     h=st.integers(min_value=1, max_value=10),

@@ -687,6 +687,65 @@ def test_mmr_rerank_lam1_equals_plain_topk(embeddings):
     assert mmr == plain
 
 
+def test_mmr_rerank_composes_with_ann_tier(embeddings):
+    """VERDICT r7 #3: the production composition is ANN-tier -> MMR
+    (a brute-force pool is Q x N at corpus scale).  With a prebuilt
+    ``candidates`` frame from ``ivf_lloyd_topk``: every pick must
+    come from that query's candidate set, ranks are 1..k in selection
+    order, and rank-1 is the pool's rounded-relevance argmax (step 1
+    has no diversity term).  Equivalence anchor: feeding the internal
+    brute-force pool back in as ``candidates`` reproduces the default
+    path row-for-row.  The persisted pool/grid handles come back via
+    ``caches``."""
+    from mapreduceimpl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_lloyd_topk,
+        mmr_rerank,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = ivf_lloyd_topk(embeddings, q, k=8, n_cells=4, iterations=2, n_probe=2)
+    caches: list = []
+    out = mmr_rerank(
+        embeddings, q, k=3, lam=0.5, candidates=ann, caches=caches
+    ).collect()
+    pool_ids = {
+        (r["query_id"], r["vec_id"]): r["cosine"] for r in ann.collect()
+    }
+    by_q: dict = {}
+    for r in out:
+        assert (r["query_id"], r["vec_id"]) in pool_ids
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert sorted(r["mmr_rank"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+        first = min(rows, key=lambda r: r["mmr_rank"])
+        best = min(
+            ((k, v) for k, v in pool_ids.items() if k[0] == qid),
+            key=lambda kv: (-round(kv[1], 6), kv[0][1]),
+        )
+        assert first["vec_id"] == best[0][1]
+    assert len(caches) == 2
+    for c in caches:
+        c.unpersist()
+
+    # equivalence anchor: prebuilt pool == the default brute path
+    brute_pool = brute_force_topk(
+        embeddings, q, k=8, round_digits=6, exclude_self=True
+    )
+    default = {
+        tuple(r) for r in mmr_rerank(embeddings, q, k=3, pool=8).collect()
+    }
+    via_candidates = {
+        tuple(r)
+        for r in mmr_rerank(embeddings, q, k=3, candidates=brute_pool).collect()
+    }
+    assert via_candidates == default
+
+
 def test_mmr_rerank_plan_growth_is_linear_in_k(embeddings):
     """Lineage regression (the HITS/BPE lesson): each greedy step must
     reference the previous frame exactly once, so the analyzed plan

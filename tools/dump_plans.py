@@ -742,7 +742,24 @@ ANNOTATED = {
         "winner is a full-frame ordered window first() so the previous "
         "step is referenced EXACTLY once (linear lineage; an agg+join "
         "winner would double the plan per step), and the pairwise-sim "
-        "grid joins are all BroadcastHashJoins on bounded relations."
+        "grid joins are all BroadcastHashJoins on bounded relations. "
+        "Round 8: the candidate pool and pairwise grid are lazily "
+        "persisted by default (InMemoryTableScan in the loop steps — "
+        "the grid's k reuses read cache, not k re-derivations), and a "
+        "prebuilt ANN-tier candidates frame can replace the brute pool "
+        "(the production ANN->MMR composition)."
+    ),
+    "crawl_funnel": (
+        "CommonCrawl->pretraining path (round 8): WARC shards written "
+        "with the gzip-member sidecar index, read back as BYTE-RANGE "
+        "splits planned from the index (the split window/groupBy "
+        "shuffles only tiny metadata rows — one per gzip member — "
+        "never payload bytes), WET extract + Gopher rules + quality "
+        "gate as zero-shuffle codegen projections, then one uniform "
+        "sha256-key Exchange for the exact-dedup keepers. Per-task "
+        "memory is bounded by SPLIT size (64 KiB here to force many "
+        "ranges at fixture scale; 64 MiB default in production), not "
+        "shard size."
     ),
 }
 

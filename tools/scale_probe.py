@@ -447,6 +447,32 @@ def _probe_bpe_batched_deep(spark, sf_dir: str):
     return wall, n
 
 
+def _probe_bpe_depth(spark, sf_dir: str):
+    """Depth-linearity probe for the batched deep tier (VERDICT r7
+    #4): FIXED input (sf0.01 documents regardless of sf_dir — this
+    probe varies DEPTH, not data), passes mapped from the probe slot:
+    warm-up -> 8, sf0.01 slot -> 32, sf0.1 slot -> 64.  The
+    localCheckpoint tier's promise is constant per-level plan size,
+    so wall should be ~linear in passes: the printed
+    wall_ratio_for_10x_input is here the 2x-DEPTH ratio and should
+    sit near 2.0 (exponential replay would be ~2^32)."""
+    from mapreduceimpl_spark.operators import text_analysis
+
+    passes = {"sf0.001": 8, "sf0.01": 32, "sf0.1": 64}[
+        sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    ]
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    t0 = time.time()
+    caches: list = []
+    n = text_analysis.bpe_train_batched(
+        docs, passes=passes, max_per_pass=8, persist_levels=True, caches=caches
+    ).count()
+    wall = time.time() - t0
+    for c in caches:
+        c.unpersist()
+    return wall, n
+
+
 def _probe_token_budget(spark, sf_dir: str):
     """token_budget_mix two-phase plan (ADVICE r6): wall should track
     the BUDGET-sized prefix, not corpus size — the shard-offset prune
@@ -768,6 +794,7 @@ PROBES = {
     "bpe": _probe_bpe,
     "bpe_persisted": _probe_bpe_persisted,
     "bpe_batched_deep": _probe_bpe_batched_deep,
+    "bpe_depth": _probe_bpe_depth,
     "token_budget": _probe_token_budget,
     "real_decode": _probe_real_decode,
     "warc_ingest": _probe_warc_ingest,
