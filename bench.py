@@ -91,11 +91,14 @@ def main() -> None:
                 # not against its (different-day) recorded number — makes
                 # the host-variance diagnosis mechanical (VERDICT r5 #5).
                 "provenance": {
-                    "prev_round_end_commit": "9ea261a",
-                    "prev_round_end_recheck_warm_sec": 11.892,
-                    "prev_round_end_recheck_with_warmup_sec": 15.584,
-                    "prev_round_recorded_warm_sec": 10.124,
+                    "prev_round_end_commit": "7bc64da",
+                    "prev_round_end_recheck_warm_sec": 10.304,
+                    "prev_round_end_recheck_with_warmup_sec": 13.818,
+                    "prev_round_recorded_warm_sec": 9.764,
                     "recheck_date": "2026-08-15",
+                    # first bench after host idle measured 16.63 s on the
+                    # SAME prev-end commit (cold page cache, concentrated
+                    # in the shuffle-heavy queries); compare warm-vs-warm
                 },
             }
         )

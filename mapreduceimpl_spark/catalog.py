@@ -2549,7 +2549,11 @@ FROM gifv GROUP BY asset_id"""
 
 
 def _mmr_oracle(
-    k: int = 5, pool: int = 12, lam: float = 0.7, n_queries: int = 10
+    k: int = 5,
+    pool: int = 12,
+    lam: float = 0.7,
+    n_queries: int = 10,
+    cand_sql: str | None = None,
 ) -> str:
     """Chained-CTE replay of ``similarity.mmr_rerank``: candidate
     top-pool and the pairwise sim grid use the ANN family's
@@ -2558,15 +2562,20 @@ def _mmr_oracle(
     join to the grid), with repr-interpolated lam literals so the
     marginal-score arithmetic is bit-identical.  The already-selected
     guard (mmr_rank IS NULL) mirrors the Spark side's exhausted-query
-    behavior."""
+    behavior.  ``cand_sql`` swaps the brute-force pool for a prebuilt
+    candidate query (e.g. the IVF-Lloyd chain) — nested as a
+    subquery so its CTE names stay scoped — mirroring the operator's
+    ``candidates`` parameter (the production ANN -> MMR composition).
+    """
     lam_r = repr(float(lam))
     om_r = repr(1.0 - float(lam))
-    layers = [
-        f"""me AS MATERIALIZED (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
-),
-mq AS (SELECT vec_id AS query_id, v AS qv FROM me WHERE vec_id < {n_queries}),
+    if cand_sql is not None:
+        mcand = f"""mcand AS MATERIALIZED (
+  SELECT query_id, vec_id, round(CAST(cosine AS DOUBLE), 6) AS cosine
+  FROM ({cand_sql})
+),"""
+    else:
+        mcand = f"""mq AS (SELECT vec_id AS query_id, v AS qv FROM me WHERE vec_id < {n_queries}),
 mcand AS MATERIALIZED (
   SELECT query_id, vec_id, cosine FROM (
     SELECT query_id, vec_id, cosine,
@@ -2576,7 +2585,13 @@ mcand AS MATERIALIZED (
                  round(list_cosine_similarity(qv, v), 6) AS cosine
           FROM mq CROSS JOIN me WHERE vec_id <> query_id)
   ) WHERE rn <= {pool}
+),"""
+    layers = [
+        f"""me AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
 ),
+{mcand}
 mgrid AS MATERIALIZED (
   SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
          round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
@@ -3622,7 +3637,9 @@ FROM sess GROUP BY user_id, sid
 # entry added this round that doesn't fit the window goes here.
 # Round-8 additions (window packed with the 30 deferrals + 19 stalest
 # r3 refreshes; the VERDICT intake cap is <= 4 new entries):
-DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset({"crawl_funnel"})
+DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
+    {"crawl_funnel", "mmr_rerank_ivf"}
+)
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
 # this position in SPECS get no row); slot WINDOW+1 is kept low-stakes.
@@ -5772,6 +5789,28 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "scale) -> WET extract -> Gopher rules -> quality gate -> "
             "exact-dedup keepers; oracle replays the funnel in chained "
             "CTEs over documents",
+    ),
+    "mmr_rerank_ivf": QuerySpec(
+        lambda spark, sf_dir: similarity.mmr_rerank(
+            load_table(spark, sf_dir, "embeddings"),
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=5, lam=0.7,
+            candidates=similarity.ivf_lloyd_topk(
+                load_table(spark, sf_dir, "embeddings"),
+                load_table(spark, sf_dir, "embeddings")
+                .filter(F.col("vec_id") < 10)
+                .select(F.col("vec_id").alias("query_id"), "embedding"),
+                k=12, n_cells=4, iterations=3, n_probe=2,
+            ),
+        ),
+        _mmr_oracle(k=5, lam=0.7, cand_sql=_ivf_lloyd_oracle(12, 4, 3, 2)),
+        doc="the PRODUCTION retrieval composition ANN-tier -> MMR "
+            "(VERDICT r7 #3): the IVF-Lloyd top-12 pool (hash-verified "
+            "chained-CTE chain) feeds the diversified greedy re-rank "
+            "instead of a Q x N brute-force scan; the whole composition "
+            "is one hash-verified plan",
     ),
     "pq_recall_eval": QuerySpec(
         _q_pq_recall_eval,
@@ -9387,7 +9426,7 @@ _ROUND8_ORDER = [
     'pricing_summary', 'agg_multikey', 'agg_distinct', 'distinct_op',
     'agg_rollup',
     # position 50+: round-8 additions (deferred; first in line for r9)
-    'crawl_funnel',
+    'crawl_funnel', 'mmr_rerank_ivf',
     'agg_cube', 'grouping_sets', 'join_inner',
     'join_left', 'join_semi', 'join_anti', 'join_full',
     'join_cross', 'join_broadcast', 'join_theta', 'shipping_priority',

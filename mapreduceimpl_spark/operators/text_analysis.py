@@ -1220,15 +1220,19 @@ BPE_AUTO_PERSIST_ROUNDS = 4
 
 # Deep-run threshold: persist bounds EXECUTION but not the LOGICAL
 # plan — each level references the previous twice (pair count +
-# rewrite), so the analyzed tree still doubles per round and plan
-# analysis itself OOMs around 10-12 levels (measured: a 12-pass run
-# killed the JVM heap before any task ran).  Past this many rounds
-# the persisted path switches to localCheckpoint(eager=True), which
-# re-roots each level as a LogicalRDD scan: constant plan size per
-# level, same values (pytest-pinned).  Checkpoint blocks are freed by
-# the ContextCleaner as level references drop (they are NOT handed to
-# ``caches`` — unpersist() has no effect on a checkpointed frame).
-BPE_CHECKPOINT_ROUNDS = 8
+# rewrite), so the analyzed tree still doubles per round.  Measured
+# failures: a 12-pass sequential run killed the JVM heap during plan
+# analysis (round 7), and an 8-pass BATCHED run (whose per-level
+# expressions are M x larger) OOM'd an 8 GiB driver merely
+# STRINGIFYING the plan inside AQE's explainString (round 8) — so the
+# threshold sits at 6, comfortably inside what an 8 GiB driver
+# renders.  Past this many rounds the persisted path switches to
+# localCheckpoint(eager=True), which re-roots each level as a
+# LogicalRDD scan: constant plan size per level, same values
+# (pytest-pinned).  Checkpoint blocks are freed by the ContextCleaner
+# as level references drop (they are NOT handed to ``caches`` —
+# unpersist() has no effect on a checkpointed frame).
+BPE_CHECKPOINT_ROUNDS = 6
 
 
 def _bpe_wrap_corpus(

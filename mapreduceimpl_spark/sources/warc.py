@@ -200,56 +200,19 @@ def read_warc_shards_indexed(
     index rows, never payload bytes; the payload pass itself is one
     seek+read per split with no shuffle.
     """
-    if target_split_bytes < 1:
-        raise ValueError(
-            f"read_warc_shards_indexed: target_split_bytes must be >= 1, "
-            f"got {target_split_bytes}"
-        )
-    from pyspark.sql import Window
+    from mapreduceimpl_spark.sources.shardindex import (
+        local_path,
+        plan_member_splits,
+    )
 
-    lines = spark.read.text(f"{path_glob}.idx").select(
-        F.input_file_name().alias("idx_path"), "value"
-    )
-    parts = F.split(F.col("value"), "\t")
-    members = lines.select(
-        F.expr("substring(idx_path, 1, length(idx_path) - 4)").alias("shard"),
-        parts.getItem(0).cast("long").alias("member_idx"),
-        parts.getItem(1).cast("long").alias("offset"),
-        parts.getItem(2).cast("long").alias("clen"),
-    )
-    # split assignment: floor(bytes-before-me / target) — members are
-    # contiguous in member_idx order, so each split is one contiguous
-    # byte range [min(offset), min(offset)+sum(clen))
-    w_prev = (
-        Window.partitionBy("shard")
-        .orderBy("member_idx")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    splits = (
-        members.withColumn(
-            "split_id",
-            (
-                F.coalesce(F.sum("clen").over(w_prev), F.lit(0))
-                / F.lit(int(target_split_bytes))
-            ).cast("long"),
-        )
-        .groupBy("shard", "split_id")
-        .agg(
-            F.min("offset").alias("start"),
-            F.sum("clen").alias("length"),
-            F.min("member_idx").alias("first_member"),
-        )
-    )
+    splits = plan_member_splits(spark, path_glob, target_split_bytes)
 
     def read_splits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from urllib.parse import unquote, urlparse
-
         for pdf in batches:
             for shard, start, length, first in zip(
                 pdf["shard"], pdf["start"], pdf["length"], pdf["first_member"]
             ):
-                u = urlparse(str(shard))
-                local = unquote(u.path) if u.scheme else str(shard)
+                local = local_path(shard)
                 with open(local, "rb") as fh:
                     fh.seek(int(start))
                     blob = fh.read(int(length))

@@ -28,7 +28,13 @@ task before unpacking — peak per-task memory is ~2x shard size (blob
 + extracted members of the in-flight batch), and only the downstream
 member rows stream in Arrow batches.  Size shards so that bound fits
 the executor: ~100-256 MB shards are the right target here, not the
-1 GB sometimes used with pure-streaming readers.
+1 GB sometimes used with pure-streaming readers.  For shards you
+control, the sink's optional SIDECAR MEMBER INDEX
+(``write_index=True`` -> ``shard.tar.idx``) lifts that bound:
+``read_tar_shards_indexed`` plans byte-range splits from the tiny
+index files (offsets land on member header blocks — tar is
+uncompressed, so ranges are directly seekable), bounding per-task
+memory by SPLIT size and giving intra-shard parallelism.
 """
 
 from __future__ import annotations
@@ -45,6 +51,37 @@ MEMBER_SCHEMA = (
     "shard string, member string, key string, ext string, "
     "n_bytes long, payload binary"
 )
+
+
+def parse_tar_members(blob: bytes) -> list[dict]:
+    """Pure tar member walk (the unit both readers map over shards):
+    one {member, key, ext, n_bytes, payload} dict per regular member,
+    WebDataset key/ext split on the FIRST dot.  Drop-don't-crash: a
+    non-tar blob yields [], and a blob that turns malformed
+    mid-archive keeps the members already walked.  Module-level so
+    property tests can fuzz it directly — arbitrary bytes never
+    raise."""
+    out: list[dict] = []
+    try:
+        with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+            for m in tf:
+                if not m.isreg():
+                    continue
+                payload = tf.extractfile(m).read()
+                name = m.name
+                base, dot, rest = name.partition(".")
+                out.append(
+                    {
+                        "member": name,
+                        "key": base,
+                        "ext": rest if dot else "",
+                        "n_bytes": len(payload),
+                        "payload": payload,
+                    }
+                )
+    except (tarfile.TarError, EOFError, OSError):
+        pass  # malformed/truncated shard: keep walked members
+    return out
 
 
 def read_tar_shards(spark: SparkSession, path_glob: str) -> DataFrame:
@@ -71,25 +108,61 @@ def read_tar_shards(spark: SparkSession, path_glob: str) -> DataFrame:
                     "shard": [], "member": [], "key": [], "ext": [],
                     "n_bytes": [], "payload": [],
                 }
-                try:
-                    with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
-                        for m in tf:
-                            if not m.isreg():
-                                continue
-                            payload = tf.extractfile(m).read()
-                            name = m.name
-                            base, dot, rest = name.partition(".")
-                            out["shard"].append(path)
-                            out["member"].append(name)
-                            out["key"].append(base)
-                            out["ext"].append(rest if dot else "")
-                            out["n_bytes"].append(len(payload))
-                            out["payload"].append(payload)
-                except (tarfile.TarError, EOFError, OSError):
-                    pass  # malformed/truncated shard: keep walked members
+                for r in parse_tar_members(bytes(blob)):
+                    out["shard"].append(path)
+                    for k, v in r.items():
+                        out[k].append(v)
                 yield pd.DataFrame(out)
 
     return shards.select("path", "content").mapInPandas(unpack, MEMBER_SCHEMA)
+
+
+def read_tar_shards_indexed(
+    spark: SparkSession,
+    path_glob: str,
+    target_split_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Index-driven tar reader for shards written with
+    ``write_tar_shards(..., write_index=True)``: plans MEMBER-RANGE
+    splits from the ``*.tar.idx`` sidecars, so a shard unpacks in
+    parallel ~``target_split_bytes`` bites — peak per-task memory
+    ~2x the SPLIT size instead of ~2x shard size.  Same output
+    contract as :func:`read_tar_shards`.  LOCAL/SHARED FILESYSTEM
+    ONLY, like the sinks (tasks ``seek`` into the shard; on an object
+    store this becomes a range request).
+
+    Each split's byte range starts at a member HEADER block (the
+    sidecar records header offsets), and the reader appends the two
+    zero blocks of a tar end-of-archive so the slice parses as a
+    complete archive.
+    """
+    from mapreduceimpl_spark.sources.shardindex import (
+        local_path,
+        plan_member_splits,
+    )
+
+    splits = plan_member_splits(spark, path_glob, target_split_bytes)
+
+    def read_splits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for shard, start, length in zip(
+                pdf["shard"], pdf["start"], pdf["length"]
+            ):
+                with open(local_path(shard), "rb") as fh:
+                    fh.seek(int(start))
+                    blob = fh.read(int(length))
+                out: dict[str, list] = {
+                    "shard": [], "member": [], "key": [], "ext": [],
+                    "n_bytes": [], "payload": [],
+                }
+                # synthetic end-of-archive so the slice is a valid tar
+                for r in parse_tar_members(blob + b"\x00" * 1024):
+                    out["shard"].append(str(shard))
+                    for k, v in r.items():
+                        out[k].append(v)
+                yield pd.DataFrame(out)
+
+    return splits.mapInPandas(read_splits, MEMBER_SCHEMA)
 
 
 def group_samples(members: DataFrame) -> DataFrame:
@@ -122,6 +195,7 @@ def write_tar_shards(
     key_col: str = "key",
     ext_col: str = "ext",
     payload_col: str = "payload",
+    write_index: bool = False,
 ) -> DataFrame:
     """Distributed WebDataset sink: one tar shard per ``shard_col``
     value, each written by the executor that owns that group — the
@@ -139,6 +213,11 @@ def write_tar_shards(
 
     Returns the manifest (shard path, n_members, n_bytes), one row
     per shard — lazy; run an action to perform the write.
+
+    ``write_index=True`` also publishes a ``<shard>.idx`` sidecar —
+    one ``member_idx\\toffset\\tlength`` line per member, offset at
+    the member's HEADER block — AFTER the shard itself, for
+    :func:`read_tar_shards_indexed`'s byte-range splits.
 
     Scale: one keyed Exchange on the shard id, then each tar is
     streamed member-by-member by its group's task — parallelism =
@@ -160,17 +239,30 @@ def write_tar_shards(
         path = os.path.join(out_dir, f"shard-{shard_id:05d}.tar")
         pdf = pdf.sort_values([key_col, ext_col], ignore_index=True)
         n_bytes = 0
+        index_lines: list[str] = []
         tmp = path + ".inprogress"
         with tarfile.open(tmp, "w") as tf:
-            for key, ext, payload in zip(
+            for m_idx, (key, ext, payload) in enumerate(zip(
                 pdf[key_col], pdf[ext_col], pdf[payload_col]
-            ):
+            )):
                 blob = bytes(payload)
                 info = tarfile.TarInfo(f"{key}.{ext}" if ext else str(key))
                 info.size = len(blob)
+                # tf.offset is the archive write position — recording
+                # it before/after addfile captures the member's full
+                # extent (header block(s) + padded payload) exactly
+                start = tf.offset
                 tf.addfile(info, io.BytesIO(blob))
+                index_lines.append(f"{m_idx}\t{start}\t{tf.offset - start}\n")
                 n_bytes += len(blob)
         os.replace(tmp, path)  # atomic publish: never a half-written shard
+        if write_index:
+            # published AFTER the shard: an existing index always
+            # describes a complete shard
+            itmp = path + ".idx.inprogress"
+            with open(itmp, "w") as ih:
+                ih.writelines(index_lines)
+            os.replace(itmp, path + ".idx")
         return pd.DataFrame(
             {"shard": [path], "n_members": [len(pdf)], "n_bytes": [n_bytes]}
         )

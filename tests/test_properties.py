@@ -1068,6 +1068,20 @@ def test_warc_parse_total_on_arbitrary_bytes(blob, with_magic):
         assert len(r["payload"]) == r["content_length"]
 
 
+@given(blob=st.binary(max_size=4096), pad=st.booleans())
+@settings(max_examples=150, deadline=None)
+def test_parse_tar_members_total_on_arbitrary_bytes(blob, pad):
+    """parse_tar_members is TOTAL and self-consistent on arbitrary
+    bytes (the drop-don't-crash contract shared with WARC and the
+    media decoders): never raises, and every emitted member's payload
+    length equals its n_bytes."""
+    from mapreduceimpl_spark.sources.webdataset import parse_tar_members
+
+    b = blob + (b"\x00" * 1024 if pad else b"")
+    for r in parse_tar_members(b):
+        assert len(r["payload"]) == r["n_bytes"]
+
+
 @given(
     samples=st.lists(
         st.integers(min_value=-32768, max_value=32767), max_size=120

@@ -915,6 +915,24 @@ def test_bpe_deep_tier_checkpoints_and_matches(docs, monkeypatch):
     assert {tuple(r) for r in deep_s.collect()} == lazy_s
 
 
+def test_bpe_batched_depth8_engages_checkpoint_tier(docs):
+    """Round-8 regression: 8 persisted BATCHED passes OOM'd an 8 GiB
+    driver merely stringifying the doubled plan inside AQE's
+    explainString (the batched per-level expressions are M x larger
+    than the sequential trainer's, so the old threshold of 8 left the
+    worst legal persist-tier depth unrenderable).  With the threshold
+    at 6, this depth must run the checkpoint tier: LogicalRDD-rooted
+    levels and a plan string that stays small."""
+    from mapreduceimpl_spark.operators import text_analysis as ta
+    from mapreduceimpl_spark.plans import explain_str
+
+    out = ta.bpe_train_batched(docs, passes=8, max_per_pass=4,
+                               persist_levels=True)
+    plan = explain_str(out, "simple")
+    assert "Scan ExistingRDD" in plan
+    assert len(plan) < 2_000_000, len(plan)
+
+
 def test_bpe_deep_tier_plan_size_linear_in_passes(docs, monkeypatch):
     """Plan-depth regression at high pass counts (VERDICT r7 #4): the
     deep tier's promise is CONSTANT plan size per level (each level

@@ -777,7 +777,9 @@ def main() -> None:
     ]
     for name, note in ANNOTATED.items():
         df = qs[name](spark, SF)
-        plan = explain_str(df, "formatted")
+        # NUL sentinels in plan literals (e.g. a coalesce('\x00') null
+        # marker) would make the whole file binary to grep
+        plan = explain_str(df, "formatted").replace("\x00", "\\x00")
         out.append(f"## {name}")
         out.append("")
         out.append(note)
