@@ -836,10 +836,16 @@ def _q_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, out_dir + "/*.warc.gz", target_split_bytes=1 << 16
         )
     )
+    # lazily persisted: wet_docs is referenced by gopher + quality +
+    # the survivor join, and the survivors subtree twice more (keeper
+    # agg + final join) — unpersisted, one action would re-seek and
+    # re-inflate every shard ~6x.  The cache is corpus-sized
+    # (MEMORY_AND_DISK spills), the same documented trade as
+    # pretrain_funnel's kept-branch persist guidance.
     wet_docs = wet.select(
         F.element_at(F.split("target_uri", "/"), -1).cast("long").alias("doc_id"),
         "text",
-    )
+    ).persist()
     g = (
         text_analysis.gopher_rules(wet_docs)
         .filter(F.col("keep"))

@@ -1108,7 +1108,12 @@ def mmr_rerank(
     VERDICT r7) lazily persists the candidate frame and the pairwise
     grid, so the grid's k reuses in the loop read the cache instead
     of re-deriving k corpus/ANN scans; persisted handles are appended
-    to ``caches`` when given so callers can release them.  Nothing
+    to ``caches`` when given so callers can release them.  Without
+    ``caches`` the two entries stay registered in the session's
+    CacheManager until session end — acceptable because both are
+    BOUNDED (Q x pool and Q x pool^2 rows, the same bounded-leak
+    class as the BPE per-pass argmax persists), but a long-lived
+    service should pass ``caches`` and unpersist.  Nothing
     corpus-sized ever shuffles.
     """
     if k < 1:
@@ -1118,12 +1123,14 @@ def mmr_rerank(
     if not (0.0 <= lam <= 1.0):
         raise ValueError(f"mmr_rerank: lam must be in [0, 1], got {lam}")
     if candidates is not None:
-        # prebuilt ANN-tier pool: normalize to the shared contract
-        # shape and re-round defensively (rounded-then-ranked idiom —
-        # a no-op for tiers that already round)
+        # prebuilt ANN-tier pool: FIXED (query_id, vec_id, cosine)
+        # contract names (every ANN tier emits exactly these,
+        # regardless of the caller's id_col/query_id_col for the
+        # embeddings frame) and a defensive re-round (rounded-then-
+        # ranked idiom — a no-op for tiers that already round)
         cands = candidates.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(id_col).alias("vec_id"),
+            "query_id",
+            "vec_id",
             F.round(F.col("cosine").cast("double"), round_digits).alias("cosine"),
         )
     else:

@@ -1277,8 +1277,16 @@ def _bpe_level_checkpoint(
     (``sc.setCheckpointDir``), the deep tier therefore uses
     ``checkpoint(eager=True)`` instead: same constant-plan-size
     property, blocks on fault-tolerant storage, survives executor
-    loss at the cost of one write+read per level.  On a long-lived
-    1000-executor run, set a checkpoint dir."""
+    loss.  Costs, stated honestly: each level is computed TWICE
+    (once for the eager action, once more when Spark's
+    ReliableRDDCheckpointData job writes the files — persist-first
+    would trade that for cache memory), and the checkpoint FILES are
+    deleted by the ContextCleaner only because ``session.get_spark``
+    sets ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
+    (the Spark default leaves one orphan directory per level
+    forever); an external session without that conf should sweep its
+    checkpoint dir.  On a long-lived 1000-executor run, set a
+    checkpoint dir."""
     if use_ckpt:
         sc = seqs.sparkSession.sparkContext
         if sc.getCheckpointDir() is not None:

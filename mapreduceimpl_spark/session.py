@@ -59,6 +59,11 @@ def get_spark(app_name: str = "mapreduceimpl-spark") -> SparkSession:
         # read as long and convert in sources.registry (micro precision,
         # matching DuckDB's ns->us read of the same file)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- reliable-checkpoint hygiene: let the ContextCleaner delete
+        # checkpoint FILES once their RDD is GC'd (default false leaves
+        # one never-deleted directory per checkpointed level — the deep
+        # BPE tier with sc.setCheckpointDir would fill storage) ---
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # managed-table warehouse (bucketed tables); static conf, so it

@@ -72,6 +72,41 @@ def plan_member_splits(
     )
 
 
+def assert_index_coverage(spark: SparkSession, path_glob: str) -> None:
+    """Fail LOUDLY when any shard matching ``path_glob`` lacks a
+    sidecar: the indexed readers plan splits from ``*.idx`` files
+    only, so a directory with partial sidecar coverage (mixed
+    ``write_index`` runs, a deleted sidecar) would otherwise silently
+    return a SUBSET of the corpus — the one failure mode worse than
+    crashing.  Metadata-only: both listings collect shard PATHS
+    (bounded by shard count), never payload bytes."""
+    from pyspark.errors import AnalysisException
+
+    shard_paths = {
+        local_path(r[0])
+        for r in spark.read.format("binaryFile")
+        .load(path_glob).select("path").collect()
+    }
+    try:
+        idx_paths = {
+            local_path(r[0])[: -len(".idx")]
+            for r in spark.read.format("binaryFile")
+            .load(path_glob + ".idx").select("path").collect()
+        }
+    except AnalysisException:
+        # a glob matching zero files raises PATH_NOT_FOUND — no shard
+        # has a sidecar at all
+        idx_paths = set()
+    missing = sorted(shard_paths - idx_paths)
+    if missing:
+        raise ValueError(
+            f"indexed shard read: {len(missing)} shard(s) matching "
+            f"{path_glob!r} have no .idx sidecar (e.g. {missing[:3]}); "
+            "re-write them with write_index=True or use the "
+            "whole-shard reader"
+        )
+
+
 def local_path(uri: str) -> str:
     """Filesystem path of a Spark file URI (``input_file_name`` yields
     ``file:///...`` with percent-encoding); non-URI strings pass

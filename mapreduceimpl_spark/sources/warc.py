@@ -155,6 +155,8 @@ def read_warc_shards(spark: SparkSession, path_glob: str) -> DataFrame:
     records missing Content-Length, and everything after the first
     malformed or truncated record, are dropped.
     """
+    from mapreduceimpl_spark.sources.shardindex import local_path
+
     shards = spark.read.format("binaryFile").load(path_glob)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -167,7 +169,10 @@ def read_warc_shards(spark: SparkSession, path_glob: str) -> DataFrame:
                 }
                 recs = parse_warc_records(_gunzip_members(bytes(blob)))
                 for idx, r in enumerate(recs):
-                    out["shard"].append(path)
+                    # local filesystem path, NOT the binaryFile URI:
+                    # one shard-id form across both readers AND the
+                    # sink manifest, so joins on `shard` line up
+                    out["shard"].append(local_path(path))
                     out["record_idx"].append(idx)
                     for k, v in r.items():
                         out[k].append(v)
@@ -201,10 +206,12 @@ def read_warc_shards_indexed(
     seek+read per split with no shuffle.
     """
     from mapreduceimpl_spark.sources.shardindex import (
+        assert_index_coverage,
         local_path,
         plan_member_splits,
     )
 
+    assert_index_coverage(spark, path_glob)
     splits = plan_member_splits(spark, path_glob, target_split_bytes)
 
     def read_splits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -223,7 +230,7 @@ def read_warc_shards_indexed(
                 }
                 recs = parse_warc_records(_gunzip_members(blob))
                 for idx, r in enumerate(recs):
-                    out["shard"].append(str(shard))
+                    out["shard"].append(local)
                     out["record_idx"].append(int(first) + idx)
                     for k, v in r.items():
                         out[k].append(v)
@@ -306,6 +313,16 @@ def write_warc_shards(
                 index_lines.append(f"{m_idx}\t{offset}\t{len(mb)}\n")
                 offset += len(mb)
                 n_bytes += len(rec)  # header + payload + record separator
+        # a stale sidecar from a previous run must NEVER describe the
+        # new bytes (the indexed reader would seek wrong offsets and
+        # silently drop records) — remove it BEFORE publishing, so
+        # every crash window leaves either old-shard+old-idx or
+        # new-shard+no-idx, both safe (assert_index_coverage catches
+        # the no-idx state loudly)
+        try:
+            os.remove(path + ".idx")
+        except FileNotFoundError:
+            pass
         os.replace(tmp, path)  # atomic publish
         if write_index:
             # published AFTER the shard: an existing index always

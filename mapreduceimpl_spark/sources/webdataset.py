@@ -99,6 +99,8 @@ def read_tar_shards(spark: SparkSession, path_glob: str) -> DataFrame:
     members already walked and drops the remainder — one corrupt
     shard in a 100 TB corpus must not fail the job.
     """
+    from mapreduceimpl_spark.sources.shardindex import local_path
+
     shards = spark.read.format("binaryFile").load(path_glob)
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -109,7 +111,10 @@ def read_tar_shards(spark: SparkSession, path_glob: str) -> DataFrame:
                     "n_bytes": [], "payload": [],
                 }
                 for r in parse_tar_members(bytes(blob)):
-                    out["shard"].append(path)
+                    # local filesystem path, NOT the binaryFile URI:
+                    # one shard-id form across both readers AND the
+                    # sink manifest, so joins on `shard` line up
+                    out["shard"].append(local_path(path))
                     for k, v in r.items():
                         out[k].append(v)
                 yield pd.DataFrame(out)
@@ -137,10 +142,12 @@ def read_tar_shards_indexed(
     complete archive.
     """
     from mapreduceimpl_spark.sources.shardindex import (
+        assert_index_coverage,
         local_path,
         plan_member_splits,
     )
 
+    assert_index_coverage(spark, path_glob)
     splits = plan_member_splits(spark, path_glob, target_split_bytes)
 
     def read_splits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -148,7 +155,8 @@ def read_tar_shards_indexed(
             for shard, start, length in zip(
                 pdf["shard"], pdf["start"], pdf["length"]
             ):
-                with open(local_path(shard), "rb") as fh:
+                local = local_path(shard)
+                with open(local, "rb") as fh:
                     fh.seek(int(start))
                     blob = fh.read(int(length))
                 out: dict[str, list] = {
@@ -157,7 +165,7 @@ def read_tar_shards_indexed(
                 }
                 # synthetic end-of-archive so the slice is a valid tar
                 for r in parse_tar_members(blob + b"\x00" * 1024):
-                    out["shard"].append(str(shard))
+                    out["shard"].append(local)
                     for k, v in r.items():
                         out[k].append(v)
                 yield pd.DataFrame(out)
@@ -255,6 +263,14 @@ def write_tar_shards(
                 tf.addfile(info, io.BytesIO(blob))
                 index_lines.append(f"{m_idx}\t{start}\t{tf.offset - start}\n")
                 n_bytes += len(blob)
+        # a stale sidecar from a previous run must NEVER describe the
+        # new bytes — remove BEFORE publishing (crash windows leave
+        # old-shard+old-idx or new-shard+no-idx, both safe:
+        # assert_index_coverage catches the no-idx state loudly)
+        try:
+            os.remove(path + ".idx")
+        except FileNotFoundError:
+            pass
         os.replace(tmp, path)  # atomic publish: never a half-written shard
         if write_index:
             # published AFTER the shard: an existing index always

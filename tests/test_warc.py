@@ -189,16 +189,21 @@ def test_indexed_read_matches_whole_shard_read(spark, tmp_path):
             pos += clen
         assert pos == shard_len
 
+    # FULL shard paths (not basenames): both readers and the sink
+    # manifest must agree on one shard-id form (review r8) — whole
+    # reader, indexed reader, and the .warc.gz files on disk
     whole = {
-        (r["shard"].rsplit("/", 1)[-1], r["record_idx"]): (
+        (r["shard"], r["record_idx"]): (
             r["record_id"], r["warc_type"], r["target_uri"],
             r["warc_date"], r["content_length"], bytes(r["payload"]),
         )
         for r in read_warc_shards(spark, f"{out}/*.warc.gz").collect()
     }
+    disk_shards = {str(p) for p in out.glob("*.warc.gz")}
+    assert {s for s, _ in whole} == disk_shards
     for target in (1, 10**9):  # one-split-per-member AND one-per-shard
         ranged = {
-            (r["shard"].rsplit("/", 1)[-1], r["record_idx"]): (
+            (r["shard"], r["record_idx"]): (
                 r["record_id"], r["warc_type"], r["target_uri"],
                 r["warc_date"], r["content_length"], bytes(r["payload"]),
             )
@@ -211,6 +216,20 @@ def test_indexed_read_matches_whole_shard_read(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_warc_shards_indexed(spark, f"{out}/*.warc.gz", target_split_bytes=0)
+
+    # partial sidecar coverage must fail LOUDLY, not silently return a
+    # subset (review r8): delete one shard's index
+    idx_files[0].unlink()
+    with _pytest.raises(ValueError, match="no .idx sidecar"):
+        read_warc_shards_indexed(spark, f"{out}/*.warc.gz")
+
+    # re-writing the same dir WITHOUT the index must remove the stale
+    # sidecars — an old index describing new bytes would silently
+    # corrupt the indexed read (review r8)
+    write_warc_shards(df, str(out)).collect()
+    assert list(out.glob("*.idx")) == []
+    with _pytest.raises(ValueError, match="no .idx sidecar"):
+        read_warc_shards_indexed(spark, f"{out}/*.warc.gz")
 
 
 def test_warc_read_plan_is_shuffle_free(spark, tmp_path):

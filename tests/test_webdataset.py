@@ -167,18 +167,31 @@ def test_indexed_tar_read_matches_whole_shard_read(spark, tmp_path):
         shard_len = (tmp_path / "wds_idx" / idx.name[:-4]).stat().st_size
         assert pos + 1024 <= shard_len
 
+    # FULL shard paths: both readers and the sink manifest must agree
+    # on one shard-id form (review r8)
     whole = {
-        (r["shard"].rsplit("/", 1)[-1], r["key"], r["ext"]): bytes(r["payload"])
+        (r["shard"], r["key"], r["ext"]): bytes(r["payload"])
         for r in read_tar_shards(spark, out + "/*.tar").collect()
     }
+    disk_shards = {str(p) for p in (tmp_path / "wds_idx").glob("*.tar")}
+    assert {s for s, _, _ in whole} == disk_shards
     for target in (1, 10**9):  # one-split-per-member AND one-per-shard
         ranged = {
-            (r["shard"].rsplit("/", 1)[-1], r["key"], r["ext"]): bytes(r["payload"])
+            (r["shard"], r["key"], r["ext"]): bytes(r["payload"])
             for r in read_tar_shards_indexed(
                 spark, out + "/*.tar", target_split_bytes=target
             ).collect()
         }
         assert ranged == whole and len(ranged) == 10
+
+    # stale-sidecar hygiene (review r8): re-writing without the index
+    # removes old .idx files, and partial coverage fails loudly
+    import pytest as _pytest
+
+    write_tar_shards(members, out).collect()
+    assert list((tmp_path / "wds_idx").glob("*.idx")) == []
+    with _pytest.raises(ValueError, match="no .idx sidecar"):
+        read_tar_shards_indexed(spark, out + "/*.tar")
 
 
 def test_read_tar_shards_drops_corrupt_shard_not_the_job(spark, tmp_path):

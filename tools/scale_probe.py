@@ -515,6 +515,19 @@ def _probe_warc_ingest(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_crawl_funnel(spark, sf_dir: str):
+    """crawl_funnel end-to-end (WARC write+indexed read -> WET ->
+    Gopher -> quality -> dedup keepers): one keyed sink Exchange, a
+    metadata-only split plan, range reads, codegen gates, one sha
+    shuffle — wall should track corpus bytes ~linearly across the
+    10x step."""
+    from mapreduceimpl_spark import catalog
+
+    t0 = time.time()
+    n = catalog.SPECS["crawl_funnel"].fn(spark, sf_dir).count()
+    return time.time() - t0, n
+
+
 def _probe_kmeans_lloyd(spark, sf_dir: str):
     from mapreduceimpl_spark.operators import kmeans
 
@@ -798,6 +811,7 @@ PROBES = {
     "token_budget": _probe_token_budget,
     "real_decode": _probe_real_decode,
     "warc_ingest": _probe_warc_ingest,
+    "crawl_funnel": _probe_crawl_funnel,
     "kmeans_lloyd": _probe_kmeans_lloyd,
     "ivf_lloyd": _probe_ivf_lloyd,
     "glove": _probe_glove,
