@@ -107,6 +107,100 @@ def assert_index_coverage(spark: SparkSession, path_glob: str) -> None:
         )
 
 
+def gzip_member_offsets(blob: bytes) -> list[tuple[int, int, int]]:
+    """Pure gzip-member boundary walk: (member_idx, offset, clen) for
+    every COMPLETE member in a concatenated-gzip blob (the Common
+    Crawl layout).  A truncated or corrupt trailing member is omitted
+    — indexing it would let a range read inflate garbage.  Offsets
+    are exact: each member's compressed extent is the bytes the
+    decompressor consumed for it."""
+    import zlib
+
+    out: list[tuple[int, int, int]] = []
+    pos, idx = 0, 0
+    while pos < len(blob):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            d.decompress(blob[pos:])
+            d.flush()
+        except zlib.error:
+            break
+        if not d.eof:  # truncated final member
+            break
+        consumed = len(blob) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        out.append((idx, pos, consumed))
+        pos += consumed
+        idx += 1
+    return out
+
+
+def tar_member_offsets(blob: bytes) -> list[tuple[int, int, int]]:
+    """Pure tar member-extent walk: (member_idx, offset, length) for
+    every member of an UNCOMPRESSED tar blob, offset at the header
+    block, length = header block(s) + 512-padded payload (the same
+    extent ``write_tar_shards`` records).  Uses tarfile's own header
+    parsing (offset/offset_data/size), so GNU long-name extensions
+    are covered; a malformed tail is dropped (clean prefix)."""
+    import io
+    import tarfile
+
+    out: list[tuple[int, int, int]] = []
+    try:
+        with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+            for idx, m in enumerate(tf):
+                end = m.offset_data + ((m.size + 511) // 512) * 512
+                if end > len(blob):
+                    break  # truncated member: never index it
+                out.append((idx, m.offset, end - m.offset))
+    except (tarfile.TarError, EOFError, OSError):
+        pass
+    return out
+
+
+def build_shard_indexes(
+    spark: SparkSession, path_glob: str, kind: str
+) -> DataFrame:
+    """Build ``.idx`` sidecars for EXISTING shards (e.g. real Common
+    Crawl ``*.warc.gz`` you didn't write) so the indexed byte-range
+    readers can split them: one pass over each shard walks its member
+    boundaries (``kind='gzip'`` for member-per-record gzip, ``'tar'``
+    for uncompressed tar) and atomically publishes
+    ``<shard>.idx``.  Returns the manifest (shard, n_members) —
+    lazy; run an action to perform the writes.  LOCAL/SHARED
+    FILESYSTEM ONLY (the sink contract).
+
+    Scale: one whole-shard task per shard — the SAME cost as a single
+    whole-shard read, paid once; every later read is range-split.
+    """
+    if kind not in ("gzip", "tar"):
+        raise ValueError(f"build_shard_indexes: kind must be 'gzip' or 'tar', got {kind!r}")
+    import pandas as pd
+
+    walk = gzip_member_offsets if kind == "gzip" else tar_member_offsets
+    shards = spark.read.format("binaryFile").load(path_glob)
+
+    def index_shard(batches):
+        import os
+
+        for pdf in batches:
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                local = local_path(path)
+                members = walk(bytes(blob))
+                tmp = local + ".idx.inprogress"
+                with open(tmp, "w") as fh:
+                    fh.writelines(f"{i}\t{off}\t{ln}\n" for i, off, ln in members)
+                os.replace(tmp, local + ".idx")
+                yield pd.DataFrame(
+                    {"shard": [local], "n_members": [len(members)]}
+                )
+
+    return shards.select("path", "content").mapInPandas(
+        index_shard, "shard string, n_members long"
+    )
+
+
 def local_path(uri: str) -> str:
     """Filesystem path of a Spark file URI (``input_file_name`` yields
     ``file:///...`` with percent-encoding); non-URI strings pass

@@ -1068,6 +1068,54 @@ def test_warc_parse_total_on_arbitrary_bytes(blob, with_magic):
         assert len(r["payload"]) == r["content_length"]
 
 
+@given(
+    payloads=st.lists(st.binary(max_size=200), min_size=0, max_size=8),
+    cut=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=150, deadline=None)
+def test_gzip_member_offsets_roundtrip_and_clean_prefix(payloads, cut):
+    """For ALL member lists: the gzip boundary walk recovers exactly
+    one contiguous extent per member (offset chain re-inflates to the
+    original payload), and cutting the blob at ANY byte yields a
+    clean PREFIX of the member list — the decoder-contract trio
+    (roundtrip, totality, truncation) for the index builder."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    from mapreduceimpl_spark.sources.shardindex import gzip_member_offsets
+
+    members = [_gzip.compress(p, mtime=0) for p in payloads]
+    blob = b"".join(members)
+    got = gzip_member_offsets(blob)
+    assert [(i, o) for i, o, _ in got] == [
+        (i, sum(len(m) for m in members[:i])) for i in range(len(members))
+    ]
+    for (i, off, ln), p in zip(got, payloads):
+        d = _zlib.decompressobj(16 + _zlib.MAX_WBITS)
+        assert d.decompress(blob[off : off + ln]) + d.flush() == p
+    # truncation: a cut blob indexes a clean prefix (never a partial
+    # or phantom member)
+    trunc = gzip_member_offsets(blob[: min(cut, len(blob))])
+    assert trunc == got[: len(trunc)]
+    assert all(o + ln <= min(cut, len(blob)) for _, o, ln in trunc)
+
+
+@given(blob=st.binary(max_size=2048), pad=st.booleans())
+@settings(max_examples=150, deadline=None)
+def test_member_offset_walkers_total_on_arbitrary_bytes(blob, pad):
+    """gzip_member_offsets / tar_member_offsets are TOTAL on arbitrary
+    bytes and only ever report extents inside the blob."""
+    from mapreduceimpl_spark.sources.shardindex import (
+        gzip_member_offsets,
+        tar_member_offsets,
+    )
+
+    b = blob + (b"\x00" * 1024 if pad else b"")
+    for walk in (gzip_member_offsets, tar_member_offsets):
+        for _, off, ln in walk(b):
+            assert 0 <= off and off + ln <= len(b) and ln > 0
+
+
 @given(blob=st.binary(max_size=4096), pad=st.booleans())
 @settings(max_examples=150, deadline=None)
 def test_parse_tar_members_total_on_arbitrary_bytes(blob, pad):

@@ -232,6 +232,44 @@ def test_indexed_read_matches_whole_shard_read(spark, tmp_path):
         read_warc_shards_indexed(spark, f"{out}/*.warc.gz")
 
 
+def test_build_shard_indexes_matches_sink_index_gzip(spark, tmp_path):
+    """The offline index BUILDER (for shards you did NOT write — real
+    Common Crawl files) must reproduce the sink's own sidecar
+    byte-for-byte: same member extents from walking the gzip chain.
+    After building, the indexed reader sees exactly the whole-shard
+    truth."""
+    from mapreduceimpl_spark.sources.shardindex import build_shard_indexes
+
+    rows = [
+        (i % 2, "conversion", f"<urn:doc:{i:04d}>", f"https://x/{i}",
+         "2024-01-01T00:00:00Z", bytearray(f"payload {i} " .encode() * (3 + i)))
+        for i in range(8)
+    ]
+    schema = ("shard_id long, warc_type string, record_id string, "
+              "target_uri string, warc_date string, payload binary")
+    df = spark.createDataFrame(rows, schema)
+    a, b = tmp_path / "with_idx", tmp_path / "built_idx"
+    write_warc_shards(df, str(a), write_index=True).collect()
+    write_warc_shards(df, str(b)).collect()
+    assert list(b.glob("*.idx")) == []
+    manifest = build_shard_indexes(spark, f"{b}/*.warc.gz", kind="gzip").collect()
+    assert sum(m["n_members"] for m in manifest) == 8
+    for idx in sorted(a.glob("*.idx")):
+        assert idx.read_text() == (b / idx.name).read_text()
+
+    whole = {
+        (r["shard"].rsplit("/", 1)[-1], r["record_id"]): bytes(r["payload"])
+        for r in read_warc_shards(spark, f"{b}/*.warc.gz").collect()
+    }
+    ranged = {
+        (r["shard"].rsplit("/", 1)[-1], r["record_id"]): bytes(r["payload"])
+        for r in read_warc_shards_indexed(
+            spark, f"{b}/*.warc.gz", target_split_bytes=1
+        ).collect()
+    }
+    assert ranged == whole and len(ranged) == 8
+
+
 def test_warc_read_plan_is_shuffle_free(spark, tmp_path):
     """The read path is binaryFile -> one Arrow map stage: no Exchange
     — at 100 TB the scan cost is one pass per shard, parallelism =

@@ -194,6 +194,46 @@ def test_indexed_tar_read_matches_whole_shard_read(spark, tmp_path):
         read_tar_shards_indexed(spark, out + "/*.tar")
 
 
+def test_build_shard_indexes_matches_sink_index_tar(spark, tmp_path):
+    """Tar sibling of the gzip index builder: building sidecars for
+    externally-produced tar shards reproduces the sink's own index
+    byte-for-byte (header-parse extents == write-position extents),
+    and the indexed read then equals the whole-shard read."""
+    from mapreduceimpl_spark.sources.shardindex import build_shard_indexes
+    from mapreduceimpl_spark.sources.webdataset import (
+        read_tar_shards_indexed,
+        write_tar_shards,
+    )
+
+    rows = [(0, f"{i:06d}", "bin", bytes([i % 251] * (40 + 70 * i)))
+            for i in range(6)]
+    members = spark.createDataFrame(rows, ["shard_id", "key", "ext", "payload"])
+    a, b = tmp_path / "with_idx", tmp_path / "built_idx"
+    write_tar_shards(members, str(a), write_index=True).collect()
+    write_tar_shards(members, str(b)).collect()
+    manifest = build_shard_indexes(spark, f"{b}/*.tar", kind="tar").collect()
+    assert sum(m["n_members"] for m in manifest) == 6
+    for idx in sorted(a.glob("*.idx")):
+        assert idx.read_text() == (b / idx.name).read_text()
+
+    whole = {
+        (r["key"], r["ext"]): bytes(r["payload"])
+        for r in read_tar_shards(spark, f"{b}/*.tar").collect()
+    }
+    ranged = {
+        (r["key"], r["ext"]): bytes(r["payload"])
+        for r in read_tar_shards_indexed(
+            spark, f"{b}/*.tar", target_split_bytes=1
+        ).collect()
+    }
+    assert ranged == whole and len(ranged) == 6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build_shard_indexes(spark, f"{b}/*.tar", kind="zip")
+
+
 def test_read_tar_shards_drops_corrupt_shard_not_the_job(spark, tmp_path):
     """Drop-don't-crash: a non-tar shard and a mid-archive-corrupted
     shard must not fail the read — the good shard's members all come
