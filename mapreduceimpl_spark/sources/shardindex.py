@@ -188,7 +188,9 @@ def build_shard_indexes(
             for path, blob in zip(pdf["path"], pdf["content"]):
                 local = local_path(path)
                 members = walk(bytes(blob))
-                tmp = local + ".idx.inprogress"
+                # pid-unique: concurrent speculative attempts must not
+                # interleave into one tmp (last os.replace wins)
+                tmp = f"{local}.idx.inprogress.{os.getpid()}"
                 with open(tmp, "w") as fh:
                     fh.writelines(f"{i}\t{off}\t{ln}\n" for i, off, ln in members)
                 os.replace(tmp, local + ".idx")

@@ -296,7 +296,12 @@ def write_warc_shards(
         n_bytes = 0
         offset = 0
         index_lines: list[str] = []
-        tmp = path + ".inprogress"
+        # pid-unique tmp: a speculative/retried attempt for the same
+        # shard must never interleave into a sibling's tmp file — the
+        # last os.replace wins and both attempts wrote complete bytes.
+        # Orphaned tmps from killed attempts are invisible to readers
+        # (no glob matches *.inprogress.*).
+        tmp = f"{path}.inprogress.{os.getpid()}"
         with open(tmp, "wb") as fh:
             for m_idx, (wtype, rid, uri, date, payload) in enumerate(zip(
                 pdf[warc_type_col], pdf[record_id_col], pdf[uri_col],
@@ -327,7 +332,7 @@ def write_warc_shards(
         if write_index:
             # published AFTER the shard: an existing index always
             # describes a complete shard
-            itmp = path + ".idx.inprogress"
+            itmp = f"{path}.idx.inprogress.{os.getpid()}"
             with open(itmp, "w") as ih:
                 ih.writelines(index_lines)
             os.replace(itmp, path + ".idx")

@@ -248,7 +248,12 @@ def write_tar_shards(
         pdf = pdf.sort_values([key_col, ext_col], ignore_index=True)
         n_bytes = 0
         index_lines: list[str] = []
-        tmp = path + ".inprogress"
+        # pid-unique tmp: a speculative/retried attempt for the same
+        # shard must never interleave into a sibling's tmp file — the
+        # last os.replace wins and both attempts wrote complete bytes.
+        # Orphaned tmps from killed attempts are invisible to readers
+        # (no glob matches *.inprogress.*).
+        tmp = f"{path}.inprogress.{os.getpid()}"
         with tarfile.open(tmp, "w") as tf:
             for m_idx, (key, ext, payload) in enumerate(zip(
                 pdf[key_col], pdf[ext_col], pdf[payload_col]
@@ -275,7 +280,7 @@ def write_tar_shards(
         if write_index:
             # published AFTER the shard: an existing index always
             # describes a complete shard
-            itmp = path + ".idx.inprogress"
+            itmp = f"{path}.idx.inprogress.{os.getpid()}"
             with open(itmp, "w") as ih:
                 ih.writelines(index_lines)
             os.replace(itmp, path + ".idx")

@@ -284,3 +284,36 @@ def test_warc_read_plan_is_shuffle_free(spark, tmp_path):
     )
     df = warc_conversion_text(read_warc_shards(spark, f"{d}/*.warc.gz"))
     assert "Exchange" not in explain_str(df, "simple")
+
+
+def test_orphan_inprogress_tmps_invisible_to_readers(spark, tmp_path):
+    """A killed speculative attempt leaves ``*.inprogress.<pid>``
+    orphans next to the shards (the sinks' pid-unique tmp names).
+    Every reader path — whole-shard glob, indexed range read, its
+    sidecar-coverage check — must see EXACTLY the published shards,
+    never the orphans."""
+    out = tmp_path / "sink"
+    rows = [
+        (i % 2, "conversion", f"<urn:doc:{i:04d}>",
+         f"https://example.com/doc/{i}", "2024-01-01T00:00:00Z",
+         bytearray(f"text {i}".encode()))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "shard_id long, warc_type string, record_id string, "
+        "target_uri string, warc_date string, payload binary",
+    )
+    write_warc_shards(df, str(out), write_index=True).collect()
+    # plant orphans a dead attempt would leave: half-written shard
+    # bytes and a half-written sidecar
+    (out / "shard-00000.warc.gz.inprogress.99999").write_bytes(b"\x1f\x8b garbage")
+    (out / "shard-00000.warc.gz.idx.inprogress.99999").write_text("0\t0\t1\n")
+
+    whole = read_warc_shards(spark, f"{out}/*.warc.gz")
+    assert whole.select("shard").distinct().count() == 2
+    assert whole.count() == 8
+    ranged = read_warc_shards_indexed(
+        spark, f"{out}/*.warc.gz", target_split_bytes=1
+    )
+    assert ranged.count() == 8

@@ -262,3 +262,27 @@ def test_read_tar_shards_drops_corrupt_shard_not_the_job(spark, tmp_path):
     assert ("cut.tar", "000002.txt") in got          # walked before the cut
     assert all(s != "junk.tar" for s, _ in got)      # non-tar: zero rows
     assert ("cut.tar", "000003.txt") not in got      # dropped remainder
+
+
+def test_orphan_inprogress_tmps_invisible_to_readers(spark, tmp_path):
+    """Tar sibling of the WARC orphan test: ``*.inprogress.<pid>``
+    leftovers from a killed attempt must be invisible to the
+    whole-shard and indexed readers."""
+    from mapreduceimpl_spark.sources.webdataset import (
+        read_tar_shards,
+        read_tar_shards_indexed,
+        write_tar_shards,
+    )
+
+    rows = [(i % 2, f"{i:06d}", "txt", bytes([65 + i] * 50)) for i in range(6)]
+    members = spark.createDataFrame(rows, ["shard_id", "key", "ext", "payload"])
+    out = tmp_path / "wds"
+    write_tar_shards(members, str(out), write_index=True).collect()
+    (out / "shard-00000.tar.inprogress.99999").write_bytes(b"\x00" * 512)
+    (out / "shard-00000.tar.idx.inprogress.99999").write_text("0\t0\t512\n")
+
+    whole = read_tar_shards(spark, f"{out}/*.tar")
+    assert whole.select("shard").distinct().count() == 2
+    assert whole.count() == 6
+    ranged = read_tar_shards_indexed(spark, f"{out}/*.tar", target_split_bytes=1)
+    assert ranged.count() == 6
