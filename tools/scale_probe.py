@@ -528,6 +528,19 @@ def _probe_crawl_funnel(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_mmr_ivf(spark, sf_dir: str):
+    """mmr_rerank_ivf (ANN tier -> MMR): the candidate pool is the
+    IVF top-12 per query (bounded by Q x k, NOT corpus size), so as
+    the corpus grows 10x only the IVF probe stage should grow — the
+    greedy re-rank's work is constant.  Wall should track the IVF
+    search cost, far sublinear in corpus rows."""
+    from mapreduceimpl_spark import catalog
+
+    t0 = time.time()
+    n = catalog.SPECS["mmr_rerank_ivf"].fn(spark, sf_dir).count()
+    return time.time() - t0, n
+
+
 def _probe_kmeans_lloyd(spark, sf_dir: str):
     from mapreduceimpl_spark.operators import kmeans
 
@@ -812,6 +825,7 @@ PROBES = {
     "real_decode": _probe_real_decode,
     "warc_ingest": _probe_warc_ingest,
     "crawl_funnel": _probe_crawl_funnel,
+    "mmr_ivf": _probe_mmr_ivf,
     "kmeans_lloyd": _probe_kmeans_lloyd,
     "ivf_lloyd": _probe_ivf_lloyd,
     "glove": _probe_glove,
