@@ -54,7 +54,7 @@ from mapreduceimpl_spark.functions import skew
 from mapreduceimpl_spark.operators import classifier as classifier_ops
 from mapreduceimpl_spark.operators import dedup, graph, kmeans, multimodal, packing, relational
 from mapreduceimpl_spark.operators import retrieval, sketches
-from mapreduceimpl_spark.operators import sampling, similarity, text_analysis, timeseries, udf_surface, wordcount
+from mapreduceimpl_spark.operators import sampling, similarity, text_analysis, timeseries, udf_surface, unigram_lm, wordcount
 from mapreduceimpl_spark.sources import load_table, load_tables
 
 # --- shared SQL fragments (mirror functions/exprs.py exactly) -------------
@@ -3642,9 +3642,11 @@ FROM sess GROUP BY user_id, sid
 # head positions 1-30 (see _ROUND8_ORDER), so nothing is deferred.  Any
 # entry added this round that doesn't fit the window goes here.
 # Round-8 additions (window packed with the 30 deferrals + 19 stalest
-# r3 refreshes; the VERDICT intake cap is <= 4 new entries):
+# r3 refreshes; the VERDICT intake cap is <= 4 new entries — all 4
+# used: the crawl funnel, the ANN-fed MMR composition, and the
+# unigram-LM tokenizer train/apply pair):
 DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
-    {"crawl_funnel", "mmr_rerank_ivf"}
+    {"crawl_funnel", "mmr_rerank_ivf", "unigram_lm_train", "unigram_lm_segment"}
 )
 
 # Size of the driver's CORRECTNESS recording window (entries beyond
@@ -5817,6 +5819,31 @@ SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
             "chained-CTE chain) feeds the diversified greedy re-rank "
             "instead of a Q x N brute-force scan; the whole composition "
             "is one hash-verified plan",
+    ),
+    "unigram_lm_train": QuerySpec(
+        lambda spark, sf_dir: unigram_lm.unigram_lm_train(
+            load_table(spark, sf_dir, "documents")
+        ),
+        unigram_lm.unigram_lm_oracle_sql(),
+        doc="SentencePiece-style unigram-LM tokenizer training (Kudo, "
+            "ACL 2018; hard-EM): seed substring inventory -> 2 rounds of "
+            "Viterbi segmentation + count re-estimation with char-floor "
+            "smoothing; the ONLY corpus-sized work is one wordcount "
+            "shuffle — EM runs on the Heaps-bounded vocab; bit-exact "
+            "oracle (integer counts, one division, fixed-order double "
+            "products — no transcendentals)",
+    ),
+    "unigram_lm_segment": QuerySpec(
+        lambda spark, sf_dir: unigram_lm.unigram_lm_segment(
+            load_table(spark, sf_dir, "documents")
+        ),
+        unigram_lm.unigram_lm_oracle_sql(segment=True),
+        doc="the apply half of the unigram-LM pair (like bpe_tokenize "
+            "to bpe_train_merges): per distinct word the max-likelihood "
+            "Viterbi segmentation under the trained piece probabilities, "
+            "ties broken toward the longer piece — path, piece count and "
+            "the raw product score all value-exact vs the recursive-CTE "
+            "replay",
     ),
     "pq_recall_eval": QuerySpec(
         _q_pq_recall_eval,
@@ -9432,7 +9459,7 @@ _ROUND8_ORDER = [
     'pricing_summary', 'agg_multikey', 'agg_distinct', 'distinct_op',
     'agg_rollup',
     # position 50+: round-8 additions (deferred; first in line for r9)
-    'crawl_funnel', 'mmr_rerank_ivf',
+    'crawl_funnel', 'mmr_rerank_ivf', 'unigram_lm_train', 'unigram_lm_segment',
     'agg_cube', 'grouping_sets', 'join_inner',
     'join_left', 'join_semi', 'join_anti', 'join_full',
     'join_cross', 'join_broadcast', 'join_theta', 'shipping_priority',

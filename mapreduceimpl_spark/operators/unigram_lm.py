@@ -1,0 +1,439 @@
+"""SentencePiece-style unigram language-model tokenizer training.
+
+The OTHER half of modern subword tokenization, next to this repo's BPE
+pair (``text_analysis.bpe_train_merges`` / ``bpe_tokenize``): Kudo
+(ACL 2018, "Subword Regularization") trains a unigram LM over a seed
+piece inventory by EM — segment the corpus under current piece
+probabilities (E-step, Viterbi), re-estimate piece probabilities from
+the segmentation counts (M-step), prune useless pieces — and tokenizes
+by max-likelihood Viterbi segmentation.  This module implements the
+hard-EM (Viterbi-count) variant with deterministic, engine-portable
+arithmetic so every step replays bit-exactly in SQL:
+
+- all counts are exact BIGINT sums (word frequencies x path
+  multiplicities);
+- a piece's probability is the ONE division ``count / total`` (two
+  exact integers; IEEE-correctly-rounded in any engine);
+- a segmentation's likelihood is a product of those doubles multiplied
+  in FIXED left-to-right path order — no transcendentals anywhere, so
+  Spark, Python, and DuckDB produce bit-identical doubles;
+- the Viterbi tie rule is explicit: on exact score ties prefer the
+  LONGER last piece (candidates scanned d = max_piece_len .. 1 with
+  strict-greater replacement).
+
+Reference capability anchor: the reference framework's UDF surface
+(``mp/worker.go:14-17``) exists to run exactly this kind of iterative
+corpus computation; its k-means sketch (``kmeans.go:14-25``) is the
+same collect-refine-broadcast loop this trainer uses.
+
+Scale design (the 100 TB question): the ONLY corpus-sized work is the
+word-frequency count — one wordcount-shaped shuffle, after which the
+corpus is never touched again.  EM runs on the DISTINCT-WORD table
+(Heaps-law-bounded; millions of rows for web text, not trillions) with
+the piece inventory collected to the driver each iteration — the same
+bounded collect-and-broadcast contract as ``kmeans.py`` centroids
+(piece inventory <= |vocab| x max_piece_len x mean word length; cap
+the vocabulary with ``max_vocab_words`` when distinct words are
+unbounded, keeping the top-N by frequency like SentencePiece's own
+seed pruning).  Per-word Viterbi is an Arrow-batched ``mapInPandas``
+over the vocab table — per-row imperative DP is the documented pandas
+UDF escape hatch (same class as EWMA/packing recurrences).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_PIECE_LEN = 4
+EM_ITERATIONS = 2
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text", max_vocab_words: int | None = None
+) -> DataFrame:
+    """(word, freq) over space-split tokens — the one corpus-sized
+    stage (wordcount-shaped: partial agg -> shuffle -> final agg).
+    ``max_vocab_words`` keeps the top-N by (freq DESC, word ASC) —
+    deterministic, SentencePiece-style seed cap for unbounded
+    vocabularies."""
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    if max_vocab_words is not None:
+        from pyspark.sql import Window
+
+        rank = F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("word"))
+        )
+        words = (
+            words.withColumn("_r", rank)
+            .filter(F.col("_r") <= max_vocab_words)
+            .drop("_r")
+        )
+    return words
+
+
+def _substring_grid(words: DataFrame, max_piece_len: int) -> DataFrame:
+    """(word, freq, piece, l) for every in-word substring of length
+    1..max_piece_len — vocab-sized x word length, never corpus-sized."""
+    return (
+        words.select(
+            "word", "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+        )
+        .select(
+            "word", "freq", "i",
+            F.explode(F.sequence(F.lit(1), F.lit(max_piece_len))).alias("l"),
+        )
+        .filter(F.col("i") + F.col("l") - 1 <= F.length("word"))
+        .select(
+            "word", "freq", F.expr("substring(word, i, l)").alias("piece"),
+            "l",
+        )
+    )
+
+
+def seed_piece_counts(words: DataFrame, max_piece_len: int = MAX_PIECE_LEN) -> DataFrame:
+    """Seed inventory: every substring of length 1..max_piece_len with
+    count = sum over words of freq x in-word occurrences."""
+    return (
+        _substring_grid(words, max_piece_len)
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("count"))
+    )
+
+
+def viterbi_word(
+    word: str, probs: dict, max_piece_len: int = MAX_PIECE_LEN
+) -> tuple[list, float]:
+    """PURE per-word max-product Viterbi — the one DP both engines
+    replay, exposed for direct property testing: (pieces, score).
+
+    Bit-deterministic by construction: candidates for position j are
+    the pieces ending at j with length d = max_piece_len..1;
+    score(d) = best[j-d] * p(piece) (one IEEE multiply), absent
+    pieces score -1.0; strict-greater replacement scanning d
+    DESCENDING makes exact ties prefer the longer piece (the SQL
+    oracle's CASE-branch order).  Single-character pieces must all be
+    present (the M-step's char floor guarantees it), so best[j] > 0
+    always and a path always exists."""
+    L = len(word)
+    best = [0.0] * (L + 1)
+    best[0] = 1.0
+    back: list = [None] * (L + 1)
+    for j in range(1, L + 1):
+        b, choice = -2.0, None
+        for d in range(max_piece_len, 0, -1):
+            if d > j:
+                s: float = -1.0
+                cand = None
+            else:
+                piece = word[j - d : j]
+                p = probs.get(piece)
+                if p is None:
+                    s, cand = -1.0, None
+                else:
+                    s, cand = best[j - d] * p, piece
+            if s > b:
+                b, choice = s, cand
+        best[j] = b
+        back[j] = choice
+    pieces: list = []
+    j = L
+    while j > 0:
+        pieces.append(back[j])
+        j -= len(back[j])
+    pieces.reverse()
+    return pieces, best[L]
+
+
+def _viterbi_pandas(words: DataFrame, probs: dict, max_piece_len: int) -> DataFrame:
+    """Best segmentation per word under ``probs`` via the pure
+    ``viterbi_word`` DP, Arrow-batched: (word, freq, path
+    array<string>, score double)."""
+    import pandas as pd
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, scores = [], []
+            for word in pdf["word"]:
+                pieces, score = viterbi_word(word, probs, max_piece_len)
+                paths.append(pieces)
+                scores.append(score)
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "freq": pdf["freq"],
+                    "path": paths,
+                    "score": scores,
+                }
+            )
+
+    return words.mapInPandas(
+        run, "word string, freq long, path array<string>, score double"
+    )
+
+
+def _em_step(
+    words: DataFrame, chars: DataFrame, probs: dict, max_piece_len: int
+) -> DataFrame:
+    """One hard-EM iteration: Viterbi-segment every word, count piece
+    usage weighted by word frequency, keep multi-char pieces that were
+    used, floor every single-char piece at count 1 (coverage: any word
+    stays segmentable, so Viterbi scores stay positive)."""
+    used = (
+        _viterbi_pandas(words, probs, max_piece_len)
+        .select("freq", F.explode("path").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("count"))
+    )
+    multi = used.filter(F.length("piece") > 1)
+    single = chars.join(used, "piece", "left").select(
+        "piece",
+        F.greatest(F.coalesce(F.col("count"), F.lit(0)), F.lit(1)).alias("count"),
+    )
+    return multi.unionByName(single)
+
+
+def _probs_from_rows(rows) -> dict:
+    """count/total on exact Python ints — the same correctly-rounded
+    IEEE division DuckDB computes for CAST(cnt AS DOUBLE)/CAST(total
+    AS DOUBLE)."""
+    total = sum(r["count"] for r in rows)
+    return {r["piece"]: r["count"] / total for r in rows}
+
+
+def _em_loop(
+    docs: DataFrame,
+    iterations: int,
+    max_piece_len: int,
+    text_col: str,
+    max_vocab_words: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the hard-EM loop; returns (words persisted, final pieces
+    lazy).  Each iteration collects the CURRENT inventory to the
+    driver (bounded, the k-means-centroid contract) and broadcasts the
+    probabilities into the next Viterbi pass, so the returned pieces
+    frame is always exactly ONE viterbi+count lineage deep — plan size
+    constant in ``iterations``, never a nested-EM tower."""
+    words = word_frequencies(docs, text_col, max_vocab_words).persist()
+    chars = _substring_grid(words, 1).select("piece").distinct()
+    pieces = seed_piece_counts(words, max_piece_len)
+    for _ in range(iterations):
+        pieces = _em_step(
+            words, chars, _probs_from_rows(pieces.collect()), max_piece_len
+        )
+    return words, pieces
+
+
+def unigram_lm_train(
+    docs: DataFrame,
+    iterations: int = EM_ITERATIONS,
+    max_piece_len: int = MAX_PIECE_LEN,
+    text_col: str = "text",
+    max_vocab_words: int | None = None,
+) -> DataFrame:
+    """Train the unigram-LM piece inventory: (piece, count, prob)
+    after ``iterations`` hard-EM rounds over the seed inventory.
+
+    ``prob`` is the final ``count / total`` double — bit-portable
+    because both operands are exact integers.  The total rides in as a
+    broadcast 1-row aggregate (the package's bounded-crossJoin
+    pattern), keeping the result a single lazy plan."""
+    _, pieces = _em_loop(docs, iterations, max_piece_len, text_col, max_vocab_words)
+    pieces = pieces.persist()  # referenced twice below (rows + total)
+    total = pieces.agg(F.sum("count").cast("long").alias("_total"))
+    return pieces.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "count",
+        (F.col("count").cast("double") / F.col("_total").cast("double")).alias(
+            "prob"
+        ),
+    )
+
+
+def unigram_lm_segment(
+    docs: DataFrame,
+    iterations: int = EM_ITERATIONS,
+    max_piece_len: int = MAX_PIECE_LEN,
+    text_col: str = "text",
+    max_vocab_words: int | None = None,
+) -> DataFrame:
+    """Tokenize the vocabulary with the trained model: per distinct
+    word, the max-likelihood segmentation — (word, freq, pieces
+    space-joined, n_pieces, score).  The apply half of the pair, like
+    ``bpe_tokenize`` is to ``bpe_train_merges``."""
+    words, pieces = _em_loop(
+        docs, iterations, max_piece_len, text_col, max_vocab_words
+    )
+    seg = _viterbi_pandas(
+        words, _probs_from_rows(pieces.collect()), max_piece_len
+    )
+    return seg.select(
+        "word",
+        "freq",
+        F.array_join("path", " ").alias("pieces"),
+        F.size("path").cast("long").alias("n_pieces"),
+        "score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle replay — kept in this module so the Viterbi DP and its
+# SQL twin can only be edited together.  The DP recursion carries
+# (best DOUBLE[], path VARCHAR[]) per word; each level j+1 scores the
+# <= max_piece_len candidate pieces ending there.  Candidate
+# probabilities are PRE-JOINED per (word, position) into a pivoted
+# cg{t} grid OUTSIDE the recursion (they depend only on the word, not
+# on DP state) — correlated scalar subqueries inside the recursive
+# member mis-evaluate under DuckDB's expression dedup, and lateral
+# left-joins on correlated columns are unsupported; a plain equi-join
+# against the materialized grid sidesteps both.  Every non-recursive
+# CTE is MATERIALIZED so engines can't re-inline a whole EM iteration
+# per reference (the pretrain_funnel oracle precedent).
+# ---------------------------------------------------------------------------
+
+
+def _sql_cand(d: int) -> str:
+    return (
+        f"CASE WHEN c.p{d} IS NOT NULL THEN "
+        f"list_extract(d.best, d.j + 2 - {d}) * c.p{d} ELSE -1.0 END"
+    )
+
+
+def _sql_path(d: int) -> str:
+    return (
+        f"list_extract(d.path, d.j + 2 - {d}) || chr(1) || "
+        f"substr(d.word, d.j + 2 - {d}, {d})"
+    )
+
+
+def _sql_cand_grid(name: str, probs_cte: str, max_piece_len: int) -> str:
+    cols = ",\n         ".join(
+        f"MAX(CASE WHEN l = {d} THEN p END) AS p{d}"
+        for d in range(max_piece_len, 0, -1)
+    )
+    return f"""{name} AS MATERIALIZED (
+  SELECT word, jnext,
+         {cols}
+  FROM (
+    SELECT g.word, g.i + g.l - 1 AS jnext, g.l, pr.p
+    FROM grid g JOIN {probs_cte} pr ON pr.piece = g.piece
+  )
+  GROUP BY word, jnext
+)"""
+
+
+def _sql_dp(name: str, cg_cte: str, max_piece_len: int) -> str:
+    # the CASE scans d descending with >= — exact ties prefer the
+    # longer piece, mirroring the Python DP's strict-greater
+    # replacement over d = max..1
+    cands = {d: _sql_cand(d) for d in range(max_piece_len, 0, -1)}
+    branches = []
+    ds = sorted(cands, reverse=True)
+    for i, d in enumerate(ds[:-1]):
+        conds = " AND ".join(f"{cands[d]} >= {cands[e]}" for e in ds[i + 1:])
+        branches.append(f"WHEN {conds} THEN {_sql_path(d)}")
+    branches.append(f"ELSE {_sql_path(ds[-1])}")
+    case = "\n             ".join(branches)
+    greatest = ", ".join(cands[d] for d in ds)
+    return f"""{name} AS (
+  SELECT word, freq, 0 AS j,
+         [CAST(1.0 AS DOUBLE)] AS best, [CAST('' AS VARCHAR)] AS path
+  FROM w
+  UNION ALL
+  SELECT d.word, d.freq, d.j + 1,
+         list_append(d.best, greatest({greatest})),
+         list_append(d.path,
+           CASE
+             {case} END)
+  FROM {name} d JOIN {cg_cte} c ON c.word = d.word AND c.jnext = d.j + 1
+  WHERE d.j < length(d.word)
+)"""
+
+
+def _sql_em_iter(t: int, prev_probs: str, max_piece_len: int) -> str:
+    return f"""{_sql_cand_grid(f"cg{t}", prev_probs, max_piece_len)},
+{_sql_dp(f"dp{t}", f"cg{t}", max_piece_len)},
+f{t} AS MATERIALIZED (
+  SELECT word, freq,
+         ltrim(list_extract(path, length(word) + 1), chr(1)) AS path
+  FROM dp{t} WHERE j = length(word)
+),
+u{t} AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS count
+  FROM (SELECT freq, unnest(string_split(path, chr(1))) AS piece FROM f{t})
+  GROUP BY piece
+),
+p{t} AS MATERIALIZED (
+  SELECT piece, count FROM u{t} WHERE length(piece) > 1
+  UNION ALL
+  SELECT c.piece,
+         GREATEST(COALESCE(u{t}.count, CAST(0 AS BIGINT)), CAST(1 AS BIGINT))
+  FROM chars c LEFT JOIN u{t} USING (piece)
+),
+probs{t} AS MATERIALIZED (
+  SELECT piece,
+         CAST(count AS DOUBLE) / CAST((SELECT SUM(count) FROM p{t}) AS DOUBLE) AS p
+  FROM p{t}
+)"""
+
+
+def unigram_lm_oracle_sql(
+    iterations: int = EM_ITERATIONS,
+    max_piece_len: int = MAX_PIECE_LEN,
+    segment: bool = False,
+) -> str:
+    """Full chained-CTE DuckDB replay of ``unigram_lm_train`` (or,
+    with ``segment=True``, ``unigram_lm_segment``): seed counts ->
+    ``iterations`` unrolled hard-EM rounds (candidate grid -> recursive
+    Viterbi -> usage counts -> smoothed/pruned inventory) -> final
+    probabilities / segmentation.  Bit-exact, not approximate: both
+    engines do the same integer counts, the same count/total division,
+    and the same fixed-order double products."""
+    head = f"""WITH RECURSIVE w AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) > 0 GROUP BY word
+),
+grid AS MATERIALIZED (
+  SELECT word, freq, i, l, substr(word, i, l) AS piece
+  FROM (
+    SELECT word, freq, i, unnest(range(1, {max_piece_len} + 1)) AS l
+    FROM (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i FROM w)
+  )
+  WHERE i + l - 1 <= length(word)
+),
+chars AS MATERIALIZED (SELECT DISTINCT piece FROM grid WHERE l = 1),
+p0 AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS count FROM grid GROUP BY piece),
+probs0 AS MATERIALIZED (
+  SELECT piece,
+         CAST(count AS DOUBLE) / CAST((SELECT SUM(count) FROM p0) AS DOUBLE) AS p
+  FROM p0
+),
+"""
+    iters = ",\n".join(
+        _sql_em_iter(t, f"probs{t-1}", max_piece_len)
+        for t in range(1, iterations + 1)
+    )
+    T = iterations
+    if not segment:
+        return head + iters + f"""
+SELECT piece, count,
+       CAST(count AS DOUBLE) / CAST((SELECT SUM(count) FROM p{T}) AS DOUBLE) AS prob
+FROM p{T}"""
+    final_path = "ltrim(list_extract(path, length(word) + 1), chr(1))"
+    return head + iters + f""",
+{_sql_cand_grid("cgseg", f"probs{T}", max_piece_len)},
+{_sql_dp("dpseg", "cgseg", max_piece_len)}
+SELECT word, freq,
+       replace({final_path}, chr(1), ' ') AS pieces,
+       CAST(len(string_split({final_path}, chr(1))) AS BIGINT) AS n_pieces,
+       list_extract(best, length(word) + 1) AS score
+FROM dpseg WHERE j = length(word)"""

@@ -272,6 +272,7 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
         "histogram_drift",     # 1-row global (min,max) + 1-row totals
         "cuped_adjustment",    # 1-row pooled moments (theta, mean_x)
         "bpe_train_merges",    # 1-row argmax merge pair per round
+        "unigram_lm_train",    # 1-row inventory total for count/total
         "classifier_eval",     # 1-row confusion x 1-row rank aggregate
         "ams_join_size",       # 1-row exact x 1-row sketch x 1-row sketch
         "grid_quantiles",      # 1-row min/max stats + bounded |qs| x bins pick

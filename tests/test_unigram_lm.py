@@ -1,0 +1,143 @@
+"""Unigram-LM tokenizer training (Kudo, ACL 2018 — hard-EM variant):
+pure-DP optimality vs brute-force enumeration, the exact-tie rule,
+M-step smoothing/pruning invariants, segmentation coverage, and
+cross-partitioning determinism."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mapreduceimpl_spark.operators.unigram_lm import (
+    MAX_PIECE_LEN,
+    seed_piece_counts,
+    unigram_lm_segment,
+    unigram_lm_train,
+    viterbi_word,
+    word_frequencies,
+)
+
+
+def _all_segmentations(word: str, maxl: int):
+    if not word:
+        yield []
+        return
+    for d in range(1, min(maxl, len(word)) + 1):
+        for rest in _all_segmentations(word[d:], maxl):
+            yield [word[:d]] + rest
+
+
+def _score(pieces, probs):
+    s = 1.0
+    for q in pieces:  # same left-to-right order as the DP accumulates
+        s = s * probs[q]
+    return s
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    word=st.text(alphabet="abc", min_size=1, max_size=8),
+    extra=st.dictionaries(
+        st.text(alphabet="abc", min_size=2, max_size=MAX_PIECE_LEN),
+        st.floats(min_value=0.001, max_value=0.999),
+        max_size=8,
+    ),
+)
+def test_viterbi_is_optimal_vs_bruteforce(word, extra):
+    """The DP's score equals the max over ALL segmentations (exact
+    double equality — identical multiplication order), and its path is
+    a valid segmentation achieving that score."""
+    probs = {"a": 0.25, "b": 0.125, "c": 0.0625, **extra}
+    pieces, score = viterbi_word(word, probs, MAX_PIECE_LEN)
+    assert "".join(pieces) == word
+    assert _score(pieces, probs) == score
+    best = max(
+        _score(seg, probs)
+        for seg in _all_segmentations(word, MAX_PIECE_LEN)
+        if all(q in probs for q in seg)
+    )
+    assert score == best
+
+
+def test_viterbi_exact_tie_prefers_longer_piece():
+    """0.5 * 0.5 == 0.25 exactly in binary, so ['a','a'] and ['aa']
+    tie bit-for-bit — the documented rule (and the SQL CASE order)
+    picks the longer piece."""
+    pieces, score = viterbi_word("aa", {"a": 0.5, "aa": 0.25})
+    assert pieces == ["aa"]
+    assert score == 0.25
+    # and the longer piece wins at every position, not just the root
+    pieces, _ = viterbi_word("aaaa", {"a": 0.5, "aa": 0.25})
+    assert pieces == ["aa", "aa"]
+
+
+def test_viterbi_prefers_strictly_better_short_split():
+    pieces, score = viterbi_word("ab", {"a": 0.5, "b": 0.4, "ab": 0.1})
+    assert pieces == ["a", "b"]
+    assert score == 0.5 * 0.4
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+
+
+def test_seed_counts_hand_computed(spark):
+    docs = _docs(spark, ["ab ab b"])
+    words = word_frequencies(docs)
+    got = {r["piece"]: r["count"] for r in seed_piece_counts(words).collect()}
+    # words: ab freq 2, b freq 1; substrings of 'ab': a, b, ab
+    assert got == {"a": 2, "b": 3, "ab": 2}
+
+
+def test_em_prunes_unused_multichar_and_floors_chars(spark):
+    """After training, every surviving multi-char piece was used by
+    some Viterbi path, and every character of the vocabulary survives
+    with count >= 1 (so any future word stays segmentable)."""
+    docs = _docs(spark, ["abc abc abc ab ab d"] * 3)
+    final = unigram_lm_train(docs, iterations=2).toPandas()
+    pieces = set(final["piece"])
+    chars = {"a", "b", "c", "d"}
+    assert chars <= pieces
+    assert (final["count"] >= 1).all()
+    seg = unigram_lm_segment(docs, iterations=2).toPandas()
+    used = {q for row in seg["pieces"] for q in row.split(" ")}
+    assert {q for q in pieces if len(q) > 1} <= used
+
+
+def test_segment_reconstructs_every_word(spark):
+    docs = _docs(spark, ["spark group spark filter", "group by key filter"])
+    seg = unigram_lm_segment(docs, iterations=2).toPandas()
+    assert len(seg) == 5  # distinct words: spark group filter by key
+    for _, r in seg.iterrows():
+        assert r["pieces"].replace(" ", "") == r["word"]
+        assert r["n_pieces"] == len(r["pieces"].split(" "))
+        assert r["score"] > 0
+
+
+def test_train_is_partitioning_invariant(spark):
+    """Same corpus through 1 and 7 input partitions: identical piece
+    inventory, counts, and probabilities (bit-exact) — the counts are
+    order-free integer sums and the EM runs on collected exact ints."""
+    texts = ["spark group filter key", "group group spark", "filter key spark"] * 4
+    a = unigram_lm_train(_docs(spark, texts).coalesce(1)).toPandas()
+    b = unigram_lm_train(_docs(spark, texts).repartition(7)).toPandas()
+    a = a.sort_values("piece").reset_index(drop=True)
+    b = b.sort_values("piece").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_train_probs_are_count_over_total(spark):
+    final = unigram_lm_train(_docs(spark, ["ab ba ab"]), iterations=1).toPandas()
+    total = int(final["count"].sum())
+    for _, r in final.iterrows():
+        assert r["prob"] == r["count"] / total
+    assert abs(final["prob"].sum() - 1.0) < 1e-9
+
+
+def test_max_vocab_words_cap_is_deterministic(spark):
+    """The Heaps-cap keeps the top-N words by (freq DESC, word ASC) —
+    the documented web-scale bound on the EM's vocab table."""
+    docs = _docs(spark, ["aa bb aa cc aa bb dd"])
+    capped = word_frequencies(docs, max_vocab_words=2).collect()
+    assert {(r["word"], r["freq"]) for r in capped} == {("aa", 3), ("bb", 2)}

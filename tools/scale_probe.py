@@ -528,6 +528,18 @@ def _probe_crawl_funnel(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_unigram_lm(spark, sf_dir: str):
+    """unigram_lm_train: the only corpus-sized stage is the wordcount
+    shuffle; EM runs on the Heaps-bounded distinct-word table (fixed
+    vocab in the fixture), so wall across the 10x step should track
+    the wordcount scan, not the EM."""
+    from mapreduceimpl_spark import catalog
+
+    t0 = time.time()
+    n = catalog.SPECS["unigram_lm_train"].fn(spark, sf_dir).count()
+    return time.time() - t0, n
+
+
 def _probe_mmr_ivf(spark, sf_dir: str):
     """mmr_rerank_ivf (ANN tier -> MMR): the candidate pool is the
     IVF top-12 per query (bounded by Q x k, NOT corpus size), so as
@@ -826,6 +838,7 @@ PROBES = {
     "warc_ingest": _probe_warc_ingest,
     "crawl_funnel": _probe_crawl_funnel,
     "mmr_ivf": _probe_mmr_ivf,
+    "unigram_lm": _probe_unigram_lm,
     "kmeans_lloyd": _probe_kmeans_lloyd,
     "ivf_lloyd": _probe_ivf_lloyd,
     "glove": _probe_glove,
