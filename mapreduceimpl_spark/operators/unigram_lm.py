@@ -37,7 +37,10 @@ the vocabulary with ``max_vocab_words`` when distinct words are
 unbounded, keeping the top-N by frequency like SentencePiece's own
 seed pruning).  Per-word Viterbi is an Arrow-batched ``mapInPandas``
 over the vocab table — per-row imperative DP is the documented pandas
-UDF escape hatch (same class as EWMA/packing recurrences).
+UDF escape hatch (same class as EWMA/packing recurrences).  The
+``words``/``pieces`` persists are vocab-sized and not unpersisted
+(the package's documented bounded-leak class — same as the funnel
+entries' kept-branch caches).
 """
 
 from __future__ import annotations
@@ -66,15 +69,11 @@ def word_frequencies(
         .agg(F.count("*").alias("freq"))
     )
     if max_vocab_words is not None:
-        from pyspark.sql import Window
-
-        rank = F.row_number().over(
-            Window.orderBy(F.col("freq").desc(), F.col("word"))
-        )
-        words = (
-            words.withColumn("_r", rank)
-            .filter(F.col("_r") <= max_vocab_words)
-            .drop("_r")
+        # orderBy + limit plans as TakeOrderedAndProject — a
+        # distributed top-N, never a single-task sort of the whole
+        # vocabulary (a global row_number window would be one)
+        words = words.orderBy(F.col("freq").desc(), F.col("word")).limit(
+            max_vocab_words
         )
     return words
 

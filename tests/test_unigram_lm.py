@@ -137,7 +137,13 @@ def test_train_probs_are_count_over_total(spark):
 
 def test_max_vocab_words_cap_is_deterministic(spark):
     """The Heaps-cap keeps the top-N words by (freq DESC, word ASC) —
-    the documented web-scale bound on the EM's vocab table."""
+    the documented web-scale bound on the EM's vocab table — and plans
+    as a distributed TakeOrderedAndProject, never a single-task global
+    sort."""
+    from mapreduceimpl_spark.plans import explain_str
+
     docs = _docs(spark, ["aa bb aa cc aa bb dd"])
-    capped = word_frequencies(docs, max_vocab_words=2).collect()
+    capped_df = word_frequencies(docs, max_vocab_words=2)
+    assert "TakeOrderedAndProject" in explain_str(capped_df, "simple")
+    capped = capped_df.collect()
     assert {(r["word"], r["freq"]) for r in capped} == {("aa", 3), ("bb", 2)}
