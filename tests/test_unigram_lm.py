@@ -135,6 +135,33 @@ def test_train_probs_are_count_over_total(spark):
     assert abs(final["prob"].sum() - 1.0) < 1e-9
 
 
+def test_oracle_parity_beyond_catalog_depth(spark, tmp_path):
+    """The SQL generator unrolls ARBITRARY iteration counts; the
+    catalog pins T=2, so this guards the generator's generality:
+    train + segment at T=3 must stay bit-exact against DuckDB on a
+    corpus the catalog never sees."""
+    import duckdb
+
+    from mapreduceimpl_spark.operators.unigram_lm import unigram_lm_oracle_sql
+
+    texts = ["spark sparks park parks", "spark park spa", "parks spark spark"]
+    docs = _docs(spark, texts)
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    for segment, fn, key in (
+        (False, unigram_lm_train, "piece"),
+        (True, unigram_lm_segment, "word"),
+    ):
+        a = fn(docs, iterations=3).toPandas()
+        b = con.execute(unigram_lm_oracle_sql(iterations=3, segment=segment)).fetchdf()
+        a = a.sort_values(key).reset_index(drop=True)[sorted(a.columns)]
+        b = b.sort_values(key).reset_index(drop=True)[sorted(b.columns)]
+        assert a.equals(b), f"iteration-3 {'segment' if segment else 'train'} diverged"
+
+
 def test_max_vocab_words_cap_is_deterministic(spark):
     """The Heaps-cap keeps the top-N words by (freq DESC, word ASC) —
     the documented web-scale bound on the EM's vocab table — and plans
