@@ -201,11 +201,16 @@ def _em_step(
 
 
 def _probs_from_rows(rows) -> dict:
-    """count/total on exact Python ints — the same correctly-rounded
-    IEEE division DuckDB computes for CAST(cnt AS DOUBLE)/CAST(total
-    AS DOUBLE)."""
-    total = sum(r["count"] for r in rows)
-    return {r["piece"]: r["count"] / total for r in rows}
+    """float(count) / float(total): CAST each exact integer to DOUBLE
+    FIRST, then one IEEE division — operand-for-operand what the
+    oracle's CAST(cnt AS DOUBLE)/CAST(total AS DOUBLE) computes.
+    Python's bare ``count / total`` divides the exact rationals and
+    rounds once, which differs in the last ulp when either operand
+    exceeds 2^53 (review r8) — reachable for web-scale total piece
+    occurrences, and a one-ulp prob difference can flip a Viterbi
+    exact-tie."""
+    total = float(sum(r["count"] for r in rows))
+    return {r["piece"]: float(r["count"]) / total for r in rows}
 
 
 def _em_loop(
@@ -286,8 +291,10 @@ def unigram_lm_segment(
 # ---------------------------------------------------------------------------
 # DuckDB oracle replay — kept in this module so the Viterbi DP and its
 # SQL twin can only be edited together.  The DP recursion carries
-# (best DOUBLE[], path VARCHAR[]) per word; each level j+1 scores the
-# <= max_piece_len candidate pieces ending there.  Candidate
+# (best DOUBLE[], path VARCHAR[][]) per word — the path at each
+# position is a NATIVE list of pieces, never a packed string, so
+# parity holds for arbitrary text including control characters; each
+# level j+1 scores the <= max_piece_len candidate pieces ending there.  Candidate
 # probabilities are PRE-JOINED per (word, position) into a pivoted
 # cg{t} grid OUTSIDE the recursion (they depend only on the word, not
 # on DP state) — correlated scalar subqueries inside the recursive
@@ -307,9 +314,12 @@ def _sql_cand(d: int) -> str:
 
 
 def _sql_path(d: int) -> str:
+    # native list state (VARCHAR[] per position): no packed-string
+    # separator, so parity holds for ARBITRARY text — a chr(1)-joined
+    # encoding silently fractured pieces containing U+0001 (review r8)
     return (
-        f"list_extract(d.path, d.j + 2 - {d}) || chr(1) || "
-        f"substr(d.word, d.j + 2 - {d}, {d})"
+        f"list_append(list_extract(d.path, d.j + 2 - {d}), "
+        f"substr(d.word, d.j + 2 - {d}, {d}))"
     )
 
 
@@ -344,7 +354,7 @@ def _sql_dp(name: str, cg_cte: str, max_piece_len: int) -> str:
     greatest = ", ".join(cands[d] for d in ds)
     return f"""{name} AS (
   SELECT word, freq, 0 AS j,
-         [CAST(1.0 AS DOUBLE)] AS best, [CAST('' AS VARCHAR)] AS path
+         [CAST(1.0 AS DOUBLE)] AS best, [CAST([] AS VARCHAR[])] AS path
   FROM w
   UNION ALL
   SELECT d.word, d.freq, d.j + 1,
@@ -361,13 +371,12 @@ def _sql_em_iter(t: int, prev_probs: str, max_piece_len: int) -> str:
     return f"""{_sql_cand_grid(f"cg{t}", prev_probs, max_piece_len)},
 {_sql_dp(f"dp{t}", f"cg{t}", max_piece_len)},
 f{t} AS MATERIALIZED (
-  SELECT word, freq,
-         ltrim(list_extract(path, length(word) + 1), chr(1)) AS path
+  SELECT word, freq, list_extract(path, length(word) + 1) AS path
   FROM dp{t} WHERE j = length(word)
 ),
 u{t} AS MATERIALIZED (
   SELECT piece, CAST(SUM(freq) AS BIGINT) AS count
-  FROM (SELECT freq, unnest(string_split(path, chr(1))) AS piece FROM f{t})
+  FROM (SELECT freq, unnest(path) AS piece FROM f{t})
   GROUP BY piece
 ),
 p{t} AS MATERIALIZED (
@@ -427,12 +436,12 @@ probs0 AS MATERIALIZED (
 SELECT piece, count,
        CAST(count AS DOUBLE) / CAST((SELECT SUM(count) FROM p{T}) AS DOUBLE) AS prob
 FROM p{T}"""
-    final_path = "ltrim(list_extract(path, length(word) + 1), chr(1))"
+    final_path = "list_extract(path, length(word) + 1)"
     return head + iters + f""",
 {_sql_cand_grid("cgseg", f"probs{T}", max_piece_len)},
 {_sql_dp("dpseg", "cgseg", max_piece_len)}
 SELECT word, freq,
-       replace({final_path}, chr(1), ' ') AS pieces,
-       CAST(len(string_split({final_path}, chr(1))) AS BIGINT) AS n_pieces,
+       array_to_string({final_path}, ' ') AS pieces,
+       CAST(len({final_path}) AS BIGINT) AS n_pieces,
        list_extract(best, length(word) + 1) AS score
 FROM dpseg WHERE j = length(word)"""

@@ -188,12 +188,13 @@ def build_shard_indexes(
             for path, blob in zip(pdf["path"], pdf["content"]):
                 local = local_path(path)
                 members = walk(bytes(blob))
-                # pid-unique: concurrent speculative attempts must not
-                # interleave into one tmp (last os.replace wins)
-                tmp = f"{local}.idx.inprogress.{os.getpid()}"
+                # attempt-unique: concurrent speculative attempts must
+                # not interleave into one tmp (last os.replace wins)
+                tmp = f"{local}.idx.inprogress.{attempt_token()}"
                 with open(tmp, "w") as fh:
                     fh.writelines(f"{i}\t{off}\t{ln}\n" for i, off, ln in members)
                 os.replace(tmp, local + ".idx")
+                sweep_stale_tmps(local)
                 yield pd.DataFrame(
                     {"shard": [local], "n_members": [len(members)]}
                 )
@@ -201,6 +202,46 @@ def build_shard_indexes(
     return shards.select("path", "content").mapInPandas(
         index_shard, "shard string, n_members long"
     )
+
+
+def attempt_token() -> str:
+    """Globally unique token for THIS task attempt's tmp-file names.
+
+    ``os.getpid()`` alone is only unique per host — on a shared
+    filesystem two speculative attempts on different hosts can collide
+    on pid (review r8).  Spark's ``taskAttemptId`` is unique across
+    the whole application; the pid rides along as a fallback
+    discriminator for driver-side (no TaskContext) callers."""
+    import os
+
+    try:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is not None:
+            return f"{ctx.taskAttemptId()}.{os.getpid()}"
+    except Exception:  # noqa: BLE001 - any import/ctx oddity: degrade
+        pass
+    return f"d{os.getpid()}"
+
+
+def sweep_stale_tmps(path: str) -> None:
+    """Remove orphaned ``<path>.inprogress.*`` / ``<path>.idx.inprogress.*``
+    tmps after a successful publish.  Without this, every killed
+    attempt leaks a shard-sized orphan forever (review r8).  Racing a
+    LIVE sibling attempt is safe: the sibling's own ``os.replace``
+    fails loudly and Spark's attempt semantics already tolerate a
+    failed duplicate attempt — the shard it wanted to publish is
+    already on disk."""
+    import glob as _glob
+    import os
+
+    for pat in (f"{path}.inprogress.*", f"{path}.idx.inprogress.*"):
+        for stale in _glob.glob(pat):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass  # vanished concurrently / perms: never fail publish
 
 
 def local_path(uri: str) -> str:

@@ -296,12 +296,18 @@ def write_warc_shards(
         n_bytes = 0
         offset = 0
         index_lines: list[str] = []
-        # pid-unique tmp: a speculative/retried attempt for the same
-        # shard must never interleave into a sibling's tmp file — the
-        # last os.replace wins and both attempts wrote complete bytes.
-        # Orphaned tmps from killed attempts are invisible to readers
-        # (no glob matches *.inprogress.*).
-        tmp = f"{path}.inprogress.{os.getpid()}"
+        # attempt-unique tmp: a speculative/retried attempt for the
+        # same shard must never interleave into a sibling's tmp file —
+        # the last os.replace wins and both attempts wrote complete
+        # bytes.  taskAttemptId-keyed (pid alone is per-host only);
+        # orphans from killed attempts are invisible to readers and
+        # swept after the next successful publish.
+        from mapreduceimpl_spark.sources.shardindex import (
+            attempt_token,
+            sweep_stale_tmps,
+        )
+
+        tmp = f"{path}.inprogress.{attempt_token()}"
         with open(tmp, "wb") as fh:
             for m_idx, (wtype, rid, uri, date, payload) in enumerate(zip(
                 pdf[warc_type_col], pdf[record_id_col], pdf[uri_col],
@@ -332,10 +338,11 @@ def write_warc_shards(
         if write_index:
             # published AFTER the shard: an existing index always
             # describes a complete shard
-            itmp = f"{path}.idx.inprogress.{os.getpid()}"
+            itmp = f"{path}.idx.inprogress.{attempt_token()}"
             with open(itmp, "w") as ih:
                 ih.writelines(index_lines)
             os.replace(itmp, path + ".idx")
+        sweep_stale_tmps(path)
         return pd.DataFrame(
             {"shard": [path], "n_records": [len(pdf)], "n_bytes": [n_bytes]}
         )

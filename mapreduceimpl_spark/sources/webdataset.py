@@ -248,12 +248,18 @@ def write_tar_shards(
         pdf = pdf.sort_values([key_col, ext_col], ignore_index=True)
         n_bytes = 0
         index_lines: list[str] = []
-        # pid-unique tmp: a speculative/retried attempt for the same
-        # shard must never interleave into a sibling's tmp file — the
-        # last os.replace wins and both attempts wrote complete bytes.
-        # Orphaned tmps from killed attempts are invisible to readers
-        # (no glob matches *.inprogress.*).
-        tmp = f"{path}.inprogress.{os.getpid()}"
+        # attempt-unique tmp: a speculative/retried attempt for the
+        # same shard must never interleave into a sibling's tmp file —
+        # the last os.replace wins and both attempts wrote complete
+        # bytes.  taskAttemptId-keyed (pid alone is per-host only);
+        # orphans from killed attempts are invisible to readers and
+        # swept after the next successful publish.
+        from mapreduceimpl_spark.sources.shardindex import (
+            attempt_token,
+            sweep_stale_tmps,
+        )
+
+        tmp = f"{path}.inprogress.{attempt_token()}"
         with tarfile.open(tmp, "w") as tf:
             for m_idx, (key, ext, payload) in enumerate(zip(
                 pdf[key_col], pdf[ext_col], pdf[payload_col]
@@ -280,10 +286,11 @@ def write_tar_shards(
         if write_index:
             # published AFTER the shard: an existing index always
             # describes a complete shard
-            itmp = f"{path}.idx.inprogress.{os.getpid()}"
+            itmp = f"{path}.idx.inprogress.{attempt_token()}"
             with open(itmp, "w") as ih:
                 ih.writelines(index_lines)
             os.replace(itmp, path + ".idx")
+        sweep_stale_tmps(path)
         return pd.DataFrame(
             {"shard": [path], "n_members": [len(pdf)], "n_bytes": [n_bytes]}
         )

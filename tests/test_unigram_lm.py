@@ -144,7 +144,12 @@ def test_oracle_parity_beyond_catalog_depth(spark, tmp_path):
 
     from mapreduceimpl_spark.operators.unigram_lm import unigram_lm_oracle_sql
 
-    texts = ["spark sparks park parks", "spark park spa", "parks spark spark"]
+    # deliberately hostile text: control chars (incl. U+0001, which a
+    # packed-string path encoding would fracture), unicode, long runs
+    texts = [
+        "spark sparks park parks", "spark park spa", "parks spark spark",
+        "a\x01b a\x01b \x01\x01 héllo héllo aaaaaaaaaaaa",
+    ]
     docs = _docs(spark, texts)
     docs.write.parquet(str(tmp_path / "documents.parquet"))
     con = duckdb.connect()
