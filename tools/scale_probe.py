@@ -540,6 +540,27 @@ def _probe_unigram_lm(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_unigram_vocab_synth(spark, sf_dir: str):
+    """unigram-LM EM cost vs VOCABULARY size (the Heaps-bound claim):
+    a synthetic corpus of N distinct md5-derived words (one row each,
+    so corpus == vocab) grows 10x across the step; EM work — seed
+    grid, Viterbi over distinct words, piece counts — should grow
+    ~linearly in vocab, demonstrating the bound that makes the
+    bounded-collect contract safe.  sf0.01 -> 3k words, sf0.1 ->
+    30k."""
+    from mapreduceimpl_spark.operators import unigram_lm
+
+    sizes = {"sf0.001": 300, "sf0.01": 3_000, "sf0.1": 30_000}
+    n = sizes[sf_dir.rstrip("/").rsplit("/", 1)[-1]]
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.substring(F.md5(F.col("id").cast("string")), 1, 8).alias("text"),
+    )
+    t0 = time.time()
+    n_out = unigram_lm.unigram_lm_train(docs, iterations=2).count()
+    return time.time() - t0, n_out
+
+
 def _probe_mmr_ivf(spark, sf_dir: str):
     """mmr_rerank_ivf (ANN tier -> MMR): the candidate pool is the
     IVF top-12 per query (bounded by Q x k, NOT corpus size), so as
@@ -839,6 +860,7 @@ PROBES = {
     "crawl_funnel": _probe_crawl_funnel,
     "mmr_ivf": _probe_mmr_ivf,
     "unigram_lm": _probe_unigram_lm,
+    "unigram_vocab_synth": _probe_unigram_vocab_synth,
     "kmeans_lloyd": _probe_kmeans_lloyd,
     "ivf_lloyd": _probe_ivf_lloyd,
     "glove": _probe_glove,
