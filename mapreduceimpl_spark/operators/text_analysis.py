@@ -61,12 +61,15 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(docs: DataFrame, passthrough: tuple = ()) -> DataFrame:
     """Per-document quality metrics for corpus filtering.
 
     n_tokens, mean token length, stopword ratio, vocabulary diversity
     (distinct/total tokens), and a composite keep-flag.  All ratios are
     single double divisions of exact integers — deterministic.
+    ``passthrough`` appends input columns unchanged — lets STREAMING
+    compositions chain gates without a stream-stream join (the batch
+    funnels re-join on doc_id instead).
     """
     toks = tokens("text")
     n_tok = F.size(toks).cast("long")
@@ -81,6 +84,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
         (n_stop.cast("double") / n_tok.cast("double")).alias("stopword_ratio"),
         (n_distinct.cast("double") / n_tok.cast("double")).alias("diversity"),
         ((n_tok >= 10) & (n_distinct >= 5)).alias("keep"),
+        *[F.col(c) for c in passthrough],
     )
 
 
@@ -2449,6 +2453,7 @@ def gopher_rules(
     max_symbol_ratio: float = 0.1,
     min_alpha_frac: float = 0.8,
     min_stopwords: int = 2,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """The Gopher quality-rule battery (Rae et al. 2021, table A1) as
     one projection: the published heuristic filter most large English
@@ -2500,6 +2505,9 @@ def gopher_rules(
         r_alpha.alias("rule_alpha_frac"),
         r_stop.alias("rule_stopwords"),
         (r_words & r_mwl & r_sym & r_alpha & r_stop).alias("keep"),
+        # passthrough: lets streaming compositions chain gates without
+        # a stream-stream join (batch funnels re-join on doc_id)
+        *[F.col(c) for c in passthrough],
     )
 
 

@@ -1527,3 +1527,56 @@ def stream_domain_frequency_cap(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_crawl_gates(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming half of the crawl ingest path (the gate chain of the
+    batch ``crawl_funnel``, whose WARC leg is a batch artifact):
+    Gopher rule battery -> quality-score gate -> exact content dedup
+    at the door, over a continuous document stream.
+
+    Both gates are stateless codegen projections chained via their
+    ``passthrough`` columns — no stream-stream join anywhere; the only
+    state is ``dropDuplicatesWithinWatermark``'s one 64-hex sha per
+    unique recent document (the ``stream_dedup_content`` contract:
+    the periodic batch dedup owns anything older than the horizon).
+
+    Batch parity: the sha2-256 identity and every gate threshold and
+    metric are bit-identical to the batch operators, so for any doc
+    the stream admits, its (content_sha, n_words, mean_word_len,
+    n_tokens, diversity) row equals the batch funnel's row for that
+    content — only WHICH duplicate survives differs (first-arrived
+    here vs lowest doc_id in batch), and duplicates share all
+    content-derived values by construction.
+
+    Output: (doc_id, n_words, mean_word_len, n_tokens, diversity,
+    content_sha, <ts_col>) — one row per first-seen surviving
+    document.
+    """
+    from mapreduceimpl_spark.operators import text_analysis
+
+    g = (
+        text_analysis.gopher_rules(docs, passthrough=("text", ts_col))
+        .filter(F.col("keep"))
+        .select("doc_id", "n_words", "mean_word_len", "text", ts_col)
+    )
+    q = (
+        text_analysis.quality_score(
+            g, passthrough=("n_words", "mean_word_len", "text", ts_col)
+        )
+        .filter(F.col("keep"))
+        .select(
+            "doc_id", "n_words", "mean_word_len", "n_tokens", "diversity",
+            "text", ts_col,
+        )
+    )
+    return (
+        q.withColumn("content_sha", F.sha2(F.col("text"), 256))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_sha"])
+        .drop("text")
+    )

@@ -1327,3 +1327,56 @@ def test_stream_domain_cap_eviction_crosses_batches(spark, tmp_path):
 
     with _p.raises(ValueError):
         streaming.stream_domain_frequency_cap(docs, cap=0)
+
+
+def test_stream_crawl_gates_matches_batch(spark, tmp_path):
+    """Streaming crawl ingest (Gopher -> quality -> content dedup at
+    the door) == the batch crawl_funnel's gate chain: stream the
+    documents fixture as two file copies (second batch = pure
+    re-crawl), expect one survivor per distinct gate-passing text,
+    every content-derived metric bit-equal to the batch gates, and
+    the two-batch boundary to admit zero re-crawled docs."""
+    from mapreduceimpl_spark.operators import dedup, text_analysis
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id",
+        "text",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ingest_ts"),
+    )
+    src = tmp_path / "crawl_stream"
+    src.mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    got = _run_stream(streaming.stream_crawl_gates(stream), mode="append")
+
+    # batch replica of the gate chain (crawl_funnel minus the WARC leg)
+    g = text_analysis.gopher_rules(docs).filter("keep").select(
+        "doc_id", "n_words", "mean_word_len"
+    )
+    q = text_analysis.quality_score(docs).filter("keep").select(
+        "doc_id", "n_tokens", "diversity"
+    )
+    survivors = docs.join(g, "doc_id").join(q, "doc_id")
+    keepers = dedup.dedup_exact(survivors)
+    batch = survivors.join(
+        keepers, survivors["doc_id"] == keepers["keep_id"]
+    ).select(
+        F.col("content_sha").alias("sha"), "n_words", "mean_word_len",
+        "n_tokens", "diversity",
+    ).collect()
+    batch_rows = {
+        r["sha"]: (r["n_words"], r["mean_word_len"], r["n_tokens"], r["diversity"])
+        for r in batch
+    }
+    # one survivor per distinct gate-passing content, despite every doc
+    # arriving twice (the second file is the boundary: zero admissions)
+    assert len(got) == len(batch_rows)
+    for r in got:
+        assert batch_rows[r["content_sha"]] == (
+            r["n_words"], r["mean_word_len"], r["n_tokens"], r["diversity"]
+        )
