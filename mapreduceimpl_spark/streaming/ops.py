@@ -1580,3 +1580,51 @@ def stream_crawl_gates(
         .dropDuplicatesWithinWatermark(["content_sha"])
         .drop("text")
     )
+
+
+_UNIGRAM_SEG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_words", LongType()),
+        StructField("n_pieces", LongType()),
+        StructField("pieces", ArrayType(StringType())),
+    ]
+)
+
+
+def stream_unigram_segment(
+    docs: DataFrame, probs: dict, max_piece_len: int = 4
+) -> DataFrame:
+    """Ship-the-model for the unigram-LM tokenizer: train offline
+    (``unigram_lm.unigram_lm_train``), collect the bounded
+    piece->prob dict (the k-means-centroid contract), and tokenize a
+    continuous document STREAM as a STATELESS Arrow-batched
+    projection — no state store, no watermark, append mode at any
+    rate; the exact streaming counterpart of ``stream_quality_score``
+    for the tokenizer.
+
+    Each document's words run the same pure ``viterbi_word`` DP the
+    batch segmenter and the DuckDB oracle replay, so stream == batch
+    bit-for-bit on every piece sequence.  Output: (doc_id, n_words,
+    n_pieces, pieces) — the per-document piece sequence in word
+    order."""
+    from mapreduceimpl_spark.operators.unigram_lm import viterbi_word
+
+    if not probs:
+        raise ValueError("stream_unigram_segment: probs must be non-empty")
+
+    def run(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "n_words": [], "n_pieces": [], "pieces": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in (text or "").split(" ") if w]
+                pieces: list = []
+                for w in words:
+                    pieces.extend(viterbi_word(w, probs, max_piece_len)[0])
+                rows["doc_id"].append(doc_id)
+                rows["n_words"].append(len(words))
+                rows["n_pieces"].append(len(pieces))
+                rows["pieces"].append(pieces)
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(run, _UNIGRAM_SEG_SCHEMA)

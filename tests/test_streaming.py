@@ -1380,3 +1380,35 @@ def test_stream_crawl_gates_matches_batch(spark, tmp_path):
         assert batch_rows[r["content_sha"]] == (
             r["n_words"], r["mean_word_len"], r["n_tokens"], r["diversity"]
         )
+
+
+def test_stream_unigram_segment_matches_batch(spark, tmp_path):
+    """Ship-the-model tokenization: a unigram-LM trained offline
+    segments a document stream bit-identically to the same projection
+    run in batch — every per-doc piece sequence equal, across a
+    two-file micro-batch split."""
+    from mapreduceimpl_spark.operators.unigram_lm import unigram_lm_train
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    model = unigram_lm_train(docs).collect()
+    probs = {r["piece"]: r["prob"] for r in model}
+
+    src = tmp_path / "seg_stream"
+    src.mkdir()
+    half = docs.count() // 2
+    docs.filter(F.col("doc_id") < half).coalesce(1).write.parquet(str(src / "a"))
+    docs.filter(F.col("doc_id") >= half).coalesce(1).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], tuple(r["pieces"]))
+        for r in _run_stream(streaming.stream_unigram_segment(stream, probs))
+    }
+    batch = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], tuple(r["pieces"]))
+        for r in streaming.stream_unigram_segment(docs, probs).collect()
+    }
+    assert got == batch and len(got) == docs.count()
