@@ -117,11 +117,17 @@ def viterbi_word(
     Bit-deterministic by construction: candidates for position j are
     the pieces ending at j with length d = max_piece_len..1;
     score(d) = best[j-d] * p(piece) (one IEEE multiply), absent
-    pieces score -1.0; strict-greater replacement scanning d
-    DESCENDING makes exact ties prefer the longer piece (the SQL
-    oracle's CASE-branch order).  Single-character pieces must all be
-    present (the M-step's char floor guarantees it), so best[j] > 0
-    always and a path always exists."""
+    multi-char pieces score -1.0; strict-greater replacement scanning
+    d DESCENDING makes exact ties prefer the longer piece (the SQL
+    oracle's CASE-branch order).
+
+    TOTAL over arbitrary text: a single character ABSENT from the
+    inventory degrades to a zero-probability UNK piece (char-fallback,
+    the real tokenizers' move), so a path always exists and an
+    OOV-containing word is detectable by score == 0.0.  For training-
+    vocabulary words the M-step's char floor keeps every char present,
+    so the fallback never fires there and best[j] > 0 — the SQL
+    oracle mirrors the same ``coalesce(p1, 0.0)`` semantics."""
     L = len(word)
     best = [0.0] * (L + 1)
     best[0] = 1.0
@@ -135,10 +141,10 @@ def viterbi_word(
             else:
                 piece = word[j - d : j]
                 p = probs.get(piece)
-                if p is None:
+                if p is None and d > 1:
                     s, cand = -1.0, None
-                else:
-                    s, cand = best[j - d] * p, piece
+                else:  # d == 1 is always viable: OOV char -> p = 0.0
+                    s, cand = best[j - d] * (p if p is not None else 0.0), piece
             if s > b:
                 b, choice = s, cand
         best[j] = b
@@ -307,6 +313,11 @@ def unigram_lm_segment(
 
 
 def _sql_cand(d: int) -> str:
+    if d == 1:
+        # d=1 is always viable: an OOV char degrades to a
+        # zero-probability UNK piece (viterbi_word's char-fallback),
+        # keeping the DP total over arbitrary text
+        return "(list_extract(d.best, d.j + 1) * coalesce(c.p1, 0.0))"
     return (
         f"CASE WHEN c.p{d} IS NOT NULL THEN "
         f"list_extract(d.best, d.j + 2 - {d}) * c.p{d} ELSE -1.0 END"

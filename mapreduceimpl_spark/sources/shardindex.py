@@ -222,7 +222,11 @@ def attempt_token() -> str:
             return f"{ctx.taskAttemptId()}.{os.getpid()}"
     except Exception:  # noqa: BLE001 - any import/ctx oddity: degrade
         pass
-    return f"d{os.getpid()}"
+    # fallback keeps the cross-host guarantee: hostname + pid is
+    # collision-free where pid alone is per-host only (review r8)
+    import socket
+
+    return f"d{socket.gethostname()}.{os.getpid()}"
 
 
 def sweep_stale_tmps(path: str) -> None:
@@ -232,14 +236,25 @@ def sweep_stale_tmps(path: str) -> None:
     LIVE sibling attempt is safe: the sibling's own ``os.replace``
     fails loudly and Spark's attempt semantics already tolerate a
     failed duplicate attempt — the shard it wanted to publish is
-    already on disk."""
-    import glob as _glob
+    already on disk.
+
+    Prefix-matched over ONE ``scandir`` pass (never ``glob``: shard
+    paths are user-supplied and may contain glob metacharacters like
+    ``[01]``, which would match — and delete — a SIBLING shard's live
+    tmp, review r8).  Cost is one directory scan per published shard,
+    executor-side, negligible next to writing the shard's bytes."""
     import os
 
-    for pat in (f"{path}.inprogress.*", f"{path}.idx.inprogress.*"):
-        for stale in _glob.glob(pat):
+    d, base = os.path.split(path)
+    prefixes = (f"{base}.inprogress.", f"{base}.idx.inprogress.")
+    try:
+        entries = os.listdir(d or ".")
+    except OSError:
+        return
+    for name in entries:
+        if name.startswith(prefixes):
             try:
-                os.remove(stale)
+                os.remove(os.path.join(d, name))
             except OSError:
                 pass  # vanished concurrently / perms: never fail publish
 

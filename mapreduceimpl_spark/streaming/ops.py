@@ -1593,7 +1593,7 @@ _UNIGRAM_SEG_SCHEMA = StructType(
 
 
 def stream_unigram_segment(
-    docs: DataFrame, probs: dict, max_piece_len: int = 4
+    docs: DataFrame, probs: dict, max_piece_len: int | None = None
 ) -> DataFrame:
     """Ship-the-model for the unigram-LM tokenizer: train offline
     (``unigram_lm.unigram_lm_train``), collect the bounded
@@ -1605,13 +1605,23 @@ def stream_unigram_segment(
 
     Each document's words run the same pure ``viterbi_word`` DP the
     batch segmenter and the DuckDB oracle replay, so stream == batch
-    bit-for-bit on every piece sequence.  Output: (doc_id, n_words,
-    n_pieces, pieces) — the per-document piece sequence in word
-    order."""
-    from mapreduceimpl_spark.operators.unigram_lm import viterbi_word
+    bit-for-bit on every piece sequence; an OOV character (text the
+    model never saw — the ship-the-model reality) degrades to a
+    zero-probability single-char UNK piece rather than failing the
+    query, and ``n_pieces``/``pieces`` stay total.  Output: (doc_id,
+    n_words, n_pieces, pieces) — the per-document piece sequence in
+    word order.  ``max_piece_len`` defaults to the trainer's
+    ``MAX_PIECE_LEN`` so the constant can never drift between the
+    batch and streaming halves."""
+    from mapreduceimpl_spark.operators.unigram_lm import (
+        MAX_PIECE_LEN,
+        viterbi_word,
+    )
 
     if not probs:
         raise ValueError("stream_unigram_segment: probs must be non-empty")
+    if max_piece_len is None:
+        max_piece_len = MAX_PIECE_LEN
 
     def run(batches):
         for pdf in batches:

@@ -179,3 +179,17 @@ def test_max_vocab_words_cap_is_deterministic(spark):
     assert "TakeOrderedAndProject" in explain_str(capped_df, "simple")
     capped = capped_df.collect()
     assert {(r["word"], r["freq"]) for r in capped} == {("aa", 3), ("bb", 2)}
+
+
+def test_viterbi_total_on_oov_text():
+    """Ship-the-model reality: characters the model never saw degrade
+    to zero-probability single-char UNK pieces — the DP never crashes,
+    the path still covers the word, and score == 0.0 flags the OOV."""
+    probs = {"c": 0.2, "a": 0.2, "f": 0.2, "ca": 0.3}
+    pieces, score = viterbi_word("café", probs)
+    assert "".join(pieces) == "café"
+    assert score == 0.0
+    assert "é" in pieces  # the OOV char is its own piece
+    # a fully in-vocab word is unaffected by the fallback
+    pieces, score = viterbi_word("caf", probs)
+    assert score > 0.0 and "".join(pieces) == "caf"

@@ -286,3 +286,24 @@ def test_orphan_inprogress_tmps_invisible_to_readers(spark, tmp_path):
     assert whole.count() == 6
     ranged = read_tar_shards_indexed(spark, f"{out}/*.tar", target_split_bytes=1)
     assert ranged.count() == 6
+
+
+def test_publish_sweeps_orphans_even_in_glob_metachar_dirs(spark, tmp_path):
+    """A successful publish removes dead attempts' leftovers, and the
+    sweep is prefix-matched (not glob): an output directory containing
+    glob metacharacters must neither miss its own orphans nor touch a
+    SIBLING shard's files."""
+    from mapreduceimpl_spark.sources.webdataset import write_tar_shards
+
+    rows = [(0, "000000", "txt", b"x" * 64), (1, "000001", "txt", b"y" * 64)]
+    members = spark.createDataFrame(rows, ["shard_id", "key", "ext", "payload"])
+    out = tmp_path / "batch[01]"  # glob would parse [01] as a class
+    out.mkdir()
+    orphan = out / "shard-00000.tar.inprogress.d.dead.999"
+    sibling = out / "shard-00001x.tar.inprogress.d.live.888"
+    orphan.write_bytes(b"\x00" * 128)
+    sibling.write_bytes(b"\x00" * 128)  # different shard prefix: keep
+    write_tar_shards(members, str(out)).collect()
+    assert not orphan.exists()      # swept by shard-00000's publish
+    assert sibling.exists()         # never another shard's tmp
+    assert (out / "shard-00000.tar").exists()
