@@ -193,3 +193,14 @@ def test_viterbi_total_on_oov_text():
     # a fully in-vocab word is unaffected by the fallback
     pieces, score = viterbi_word("caf", probs)
     assert score > 0.0 and "".join(pieces) == "caf"
+
+
+@settings(max_examples=100, deadline=None)
+@given(word=st.text(alphabet="abé", min_size=1, max_size=10))
+def test_viterbi_oov_totality_property(word):
+    """For ANY word: the path reconstructs the word, and score == 0.0
+    exactly when it contains an out-of-inventory character."""
+    probs = {"a": 0.5, "b": 0.25, "ab": 0.3}
+    pieces, score = viterbi_word(word, probs)
+    assert "".join(pieces) == word
+    assert (score == 0.0) == ("é" in word)
