@@ -12,8 +12,10 @@ arithmetic so every step replays bit-exactly in SQL:
 
 - all counts are exact BIGINT sums (word frequencies x path
   multiplicities);
-- a piece's probability is the ONE division ``count / total`` (two
-  exact integers; IEEE-correctly-rounded in any engine);
+- a piece's probability is ONE division of the two exact integer
+  counts, each cast to double FIRST (operand-for-operand the oracle's
+  ``CAST(cnt AS DOUBLE)/CAST(total AS DOUBLE)`` — identical in any
+  IEEE engine, including past 2^53);
 - a segmentation's likelihood is a product of those doubles multiplied
   in FIXED left-to-right path order — no transcendentals anywhere, so
   Spark, Python, and DuckDB produce bit-identical doubles;
