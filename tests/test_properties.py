@@ -1326,3 +1326,58 @@ def test_lzw_roundtrip_through_4096_cap_reset(seed):
 
     out = _lzw_decompress(_lzw_compress(data, 2), 2, len(data))
     assert out == data
+
+
+def test_plan_member_splits_partitions_members_exactly(spark, tmp_path):
+    """Randomized member layouts: for ANY sidecar and ANY split
+    target, the planned byte ranges are contiguous within each shard
+    (start_{k+1} = start_k + length_k), begin at the first member's
+    offset, sum to the exact member-byte total, and cover every member
+    index exactly once — the arithmetic that makes indexed range reads
+    lossless at any scale."""
+    import random
+
+    from mapreduceimpl_spark.sources.shardindex import (
+        local_path,
+        plan_member_splits,
+    )
+
+    rng = random.Random(823)
+    shards = {}
+    for s in range(3):
+        lens = [rng.randint(1, 5000) for _ in range(rng.randint(1, 60))]
+        offs, pos = [], 0
+        for ln in lens:
+            offs.append(pos)
+            pos += ln
+        path = tmp_path / f"shard-{s:05d}.bin"
+        path.write_bytes(b"\x00" * pos)
+        (tmp_path / f"shard-{s:05d}.bin.idx").write_text(
+            "".join(f"{i}\t{o}\t{ln}\n" for i, (o, ln) in enumerate(zip(offs, lens)))
+        )
+        shards[str(path)] = (offs, lens)
+
+    for target in (1, 777, 10_000, 10**9):
+        rows = plan_member_splits(
+            spark, f"{tmp_path}/shard-*.bin", target
+        ).collect()
+        by_shard: dict = {}
+        for r in rows:
+            by_shard.setdefault(local_path(r["shard"]), []).append(r)
+        assert set(by_shard) == set(shards)
+        for shard, splits in by_shard.items():
+            offs, lens = shards[shard]
+            splits.sort(key=lambda r: r["start"])
+            assert splits[0]["start"] == offs[0]
+            assert splits[0]["first_member"] == 0
+            pos = offs[0]
+            members_covered = 0
+            for sp in splits:
+                assert sp["start"] == pos, (shard, target)
+                assert sp["length"] >= 1
+                pos += sp["length"]
+            assert pos == offs[-1] + lens[-1]  # exact byte coverage
+            firsts = [sp["first_member"] for sp in splits]
+            assert firsts == sorted(firsts) and len(set(firsts)) == len(firsts)
+            if target >= sum(lens):
+                assert len(splits) == 1
