@@ -20,8 +20,9 @@ a simple prefix shift.  This round's additions (within the <= 4
 intake cap) sit in ``DEFERRED_TO_NEXT_ROUND`` at position 50+.
 Max-age policy: no oracle-backed entry's newest driver row may be
 older than 6 completed rounds.  Feasibility arithmetic at the
-round-8 catalog (275 oracle-backed): steady-state re-attestation
-demand is 275/6 ~= 45.8 slots/round against the driver's ~49-slot
+round-8 catalog (278 oracle-backed after this round's 4-entry
+intake): steady-state re-attestation
+demand is 278/6 ~= 46.3 slots/round against the driver's ~49-slot
 window — the previous 4-round cycle would need ~69 slots/round and
 is arithmetically impossible at this catalog size, so 6 is the
 tightest feasible cycle with ~3 slots/round of headroom; future
