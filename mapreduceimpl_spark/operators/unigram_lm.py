@@ -250,15 +250,33 @@ def unigram_lm_train(
     max_piece_len: int = MAX_PIECE_LEN,
     text_col: str = "text",
     max_vocab_words: int | None = None,
+    target_vocab: int | None = None,
 ) -> DataFrame:
     """Train the unigram-LM piece inventory: (piece, count, prob)
     after ``iterations`` hard-EM rounds over the seed inventory.
+
+    ``target_vocab`` is SentencePiece's ``--vocab_size``: after the
+    EM, keep EVERY single-char piece (coverage — any text stays
+    segmentable via the char fallback) plus the top multi-char pieces
+    by (count DESC, piece ASC) until the inventory is ``target_vocab``
+    pieces; probabilities are renormalized over the survivors so the
+    shipped model is a distribution.  Deterministic — no
+    likelihood-loss estimation, the hard-EM counts ARE the usage
+    statistic the paper's pruning approximates.
 
     ``prob`` is the final ``count / total`` double — bit-portable
     because both operands are exact integers.  The total rides in as a
     broadcast 1-row aggregate (the package's bounded-crossJoin
     pattern), keeping the result a single lazy plan."""
     _, pieces = _em_loop(docs, iterations, max_piece_len, text_col, max_vocab_words)
+    if target_vocab is not None:
+        chars_only = pieces.filter(F.length("piece") == 1)
+        multi = pieces.filter(F.length("piece") > 1)
+        # distributed top-N (TakeOrderedAndProject), never a global sort
+        keep_multi = multi.orderBy(
+            F.col("count").desc(), F.col("piece")
+        ).limit(max(0, target_vocab - chars_only.count()))
+        pieces = chars_only.unionByName(keep_multi)
     pieces = pieces.persist()  # referenced twice below (rows + total)
     total = pieces.agg(F.sum("count").cast("long").alias("_total"))
     return pieces.crossJoin(F.broadcast(total)).select(

@@ -204,3 +204,32 @@ def test_viterbi_oov_totality_property(word):
     pieces, score = viterbi_word(word, probs)
     assert "".join(pieces) == word
     assert (score == 0.0) == ("é" in word)
+
+
+def test_target_vocab_prunes_to_size_and_renormalizes(spark):
+    """SentencePiece --vocab_size semantics: every single-char piece
+    survives (coverage), multi-char pieces keep the top slots by
+    (count DESC, piece ASC), and probabilities renormalize over the
+    survivors."""
+    docs = _docs(spark, ["abc abc abc ab ab abcd d dd dd"] * 2)
+    full = unigram_lm_train(docs).toPandas()
+    chars = {p for p in full["piece"] if len(p) == 1}
+    v = len(chars) + 2
+    pruned = unigram_lm_train(docs, target_vocab=v).toPandas()
+    assert len(pruned) == v
+    assert chars <= set(pruned["piece"])
+    kept_multi = sorted(
+        (p for p in pruned["piece"] if len(p) > 1),
+    )
+    top2 = [
+        r["piece"]
+        for _, r in full[full["piece"].str.len() > 1]
+        .sort_values(["count", "piece"], ascending=[False, True])
+        .head(2)
+        .iterrows()
+    ]
+    assert kept_multi == sorted(top2)
+    assert abs(pruned["prob"].sum() - 1.0) < 1e-9
+    total = int(pruned["count"].sum())
+    for _, r in pruned.iterrows():
+        assert r["prob"] == r["count"] / total
