@@ -1412,3 +1412,25 @@ def test_stream_unigram_segment_matches_batch(spark, tmp_path):
         for r in streaming.stream_unigram_segment(docs, probs).collect()
     }
     assert got == batch and len(got) == docs.count()
+
+
+def test_stream_crawl_gates_plan_is_stateless_except_dedup(spark):
+    """The gate chain must stay a stateless projection pipeline with
+    EXACTLY one dedup state operator and no stream-stream join — the
+    property that lets it run at any ingest rate with one 64-hex key
+    of state per unique recent doc."""
+    import re
+
+    docs = spark.readStream.format("rate").load().select(
+        F.col("value").alias("doc_id"),
+        F.lit("placeholder text").alias("text"),
+        F.col("timestamp").alias("ingest_ts"),
+    )
+    plan = (
+        streaming.stream_crawl_gates(docs)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert len(re.findall("Deduplicate", plan)) == 1
+    assert "Join" not in plan
