@@ -8,30 +8,26 @@ non-SQL-expressible ops (iterative k-means, HLL sketches, seeded LSH
 probing) which get the driver's rows-only check + pytest invariants.
 
 Ordering contract (round 2+): the driver records CORRECTNESS rows for
-roughly the FIRST 50 entries in insertion order.  SPECS is therefore
-rebuilt from ``_ROUND8_ORDER`` (defined after the dict literal) so the
-entries that most need a fresh green row come first.
-Round 8 drains the deferral backlog completely: positions 1-30 are
-the 30 never-driver-attested round-7 entries (all judge-verified at
-sf0.01, heaviest 9 at sf0.1), positions 31-49 the 19 stalest
-r3-cohort refreshes; the tail is ordered stalest-cohort-first (rest
-of r3, then r4/r5/r6/r7) so each future round's window promotion is
-a simple prefix shift.  This round's additions (within the <= 4
-intake cap) sit in ``DEFERRED_TO_NEXT_ROUND`` at position 50+.
+the FIRST 50 entries in insertion order (five rounds of evidence —
+the round-7/8 "49-slot" plan was one short, which is exactly what
+kept reddening test_deferred_set_self_cleans).  SPECS is therefore
+rebuilt from ``_ROUND9_ORDER`` (defined after the dict literal) so
+the entries that most need a fresh green row come first.
+Round 9 packs: positions 1-3 the never-driver-attested round-8
+additions (judge-verified at both SFs), positions 4-28 the full r3
+cohort (at the 6-round max-age this round), positions 29-50 the 22
+stalest r4 refreshes; the tail is stalest-cohort-first so each
+future round's window promotion is a simple prefix shift.
 Max-age policy: no oracle-backed entry's newest driver row may be
 older than 6 completed rounds.  Feasibility arithmetic at the
-round-8 catalog (278 oracle-backed after this round's 4-entry
-intake): steady-state re-attestation
-demand is 278/6 ~= 46.3 slots/round against the driver's ~49-slot
-window — the previous 4-round cycle would need ~69 slots/round and
-is arithmetically impossible at this catalog size, so 6 is the
-tightest feasible cycle with ~3 slots/round of headroom; future
-rounds must budget new-entry intake against THAT margin.
-tests/test_catalog_contract.py enforces the policy against the live
-CORRECTNESS files.  Any NEW entry added this
-round that doesn't fit the window goes into
-``DEFERRED_TO_NEXT_ROUND``; tests/test_catalog_contract.py enforces
-both directions and tools/rotation_report.py shows the live state.  The bench set
+round-9 catalog (267 oracle-backed after the 11-entry retirement,
+see RETIRED_SUPERSET): steady-state re-attestation demand is
+267/6 ~= 44.5 slots/round against the 50-slot window — 5.5
+slots/round of headroom; future rounds must budget new-entry intake
+against THAT margin.  tests/test_catalog_contract.py enforces the
+policy against the live CORRECTNESS files; ``DEFERRED_TO_NEXT_ROUND``
+is now DERIVED from those files (bottom of module) instead of
+hand-maintained, and tools/rotation_report.py shows the live state.  The bench set
 is pinned to the round-2 execution order (``_BENCH_ORDER``) so
 per-query timings stay comparable across rounds regardless of window
 rotation.
@@ -3634,25 +3630,23 @@ FROM sess GROUP BY user_id, sid
 # the catalog — ordering matters; see module docstring
 # ---------------------------------------------------------------------------
 
-# Entries added AFTER this round's verification window was already full
-# of higher-priority new evidence.  They are locally oracle-verified
-# (tools/check_oracle.py) and MUST rotate into the window next round —
-# tests/test_catalog_contract.py enforces that this set only shrinks:
-# once an entry has a driver CORRECTNESS row it must leave this set.
-# Round 8 start: empty — the full 30-entry round-7 backlog fits window
-# head positions 1-30 (see _ROUND8_ORDER), so nothing is deferred.  Any
-# entry added this round that doesn't fit the window goes here.
-# Round-8 additions (window packed with the 30 deferrals + 19 stalest
-# r3 refreshes; the VERDICT intake cap is <= 4 new entries — all 4
-# used: the crawl funnel, the ANN-fed MMR composition, and the
-# unigram-LM tokenizer train/apply pair):
-DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
-    {"crawl_funnel", "mmr_rerank_ivf", "unigram_lm_train", "unigram_lm_segment"}
-)
+# DEFERRED_TO_NEXT_ROUND is DERIVED at the bottom of this module from
+# the live CORRECTNESS_r*.json evidence (VERDICT r8 #1): a deferred
+# entry is, by definition, an oracle-backed entry placed past the
+# recording window that has never received a driver row.  Rounds 7 and
+# 8 each hand-maintained this set against a window constant that was
+# one slot too small (planned 49, driver demonstrably records 50), so
+# whatever entry sat at position 50 got attested and invalidated the
+# literal — the recurring red test.  Deriving it makes that failure
+# mode unrepresentable; the one-round-max deferral wait and the
+# fit-one-window cap are enforced independently by the rotation
+# simulation in tests/test_catalog_contract.py.
 
-# Size of the driver's CORRECTNESS recording window (entries beyond
-# this position in SPECS get no row); slot WINDOW+1 is kept low-stakes.
-VERIFICATION_WINDOW = 49
+# Size of the driver's CORRECTNESS recording window.  Five rounds of
+# evidence (r4-r8) show the driver records exactly 50 rows per round,
+# so plan all 50 slots; new intake that must wait a round starts at
+# position 51.
+VERIFICATION_WINDOW = 50
 
 
 def driver_verified_queries(repo_dir: str | None = None) -> dict[str, str]:
@@ -9436,64 +9430,92 @@ FROM cme_agg CROSS JOIN cme_tot""",
 }
 
 
-# Round-8 window rotation (driver records the first ~50 entries; see
-# module docstring).  Head 1-49: the 30 never-driver-attested entries
-# (the full round-7 deferral backlog -- every one locally oracle-PASS
-# at sf0.01 AND sf0.1 and independently judge-verified at sf0.01,
-# heaviest 9 also at sf0.1) followed by the 19 stalest r3-cohort
-# refreshes; then the verified tail ordered stalest-cohort-first
-# (rest of r3, then r4, r5, r6, r7) so future promotions are prefix
-# shifts.  Generated by tools/plan_next_window.py from the live
-# CORRECTNESS files.
-_ROUND8_ORDER = [
-    'kmeans_silhouette', 'events_funnel_windowed', 'benford_digits', 'psi_drift',
-    'attribution_time_decay', 'code_detect', 'conversion_latency', 'dow_uniformity',
-    'packing_efficiency', 'curriculum_phases', 'dup_cluster_sizes', 'deletion_cascade',
-    'sample_size_plan', 'event_burstiness', 'effective_domains', 'session_depth_hist',
-    'iqr_fences', 'qlm_search', 'bloom_fp_eval', 'countmin_error_eval',
-    'bpe_train_batched', 'domain_frequency_cap', 'mmr_rerank', 'wav_pcm_decode',
-    'ppm_decode_resize', 'y4m_frame_sample', 'pq_recall_eval', 'png_decode_stats',
-    'warc_ingest', 'gif_decode_stats', 'text_unigram_logprob', 'sample_fixed_n',
-    'scalar_map', 'dedup_simhash64_pairs', 'ann_lsh_topk', 'ann_lsh_multiprobe',
-    'dedup_clusters', 'range_join', 'hypertable_rollup', 'sample_weighted',
-    'user_features', 'lang_count', 'udf_wordcount', 'filter_project',
-    'pricing_summary', 'agg_multikey', 'agg_distinct', 'distinct_op',
-    'agg_rollup',
-    # position 50+: round-8 additions (deferred; first in line for r9)
-    'crawl_funnel', 'mmr_rerank_ivf', 'unigram_lm_train', 'unigram_lm_segment',
-    'agg_cube', 'grouping_sets', 'join_inner',
-    'join_left', 'join_semi', 'join_anti', 'join_full',
-    'join_cross', 'join_broadcast', 'join_theta', 'shipping_priority',
-    'local_supplier_volume', 'volume_shipping', 'returned_items', 'events_funnel',
-    'window_rank', 'sort_limit', 'scalar_string', 'json_extract',
-    'null_handling', 'subquery_corr', 'array_agg', 'percentile',
-    'pivot', 'text_bpe_tokens', 'events_tumbling', 'forecast_revenue',
-    'shipmode_priority', 'customer_distribution', 'promo_revenue', 'parts_supplier_relation',
-    'discounted_revenue', 'waiting_suppliers', 'sales_opportunity', 'min_cost_supplier',
-    'revenue_share', 'top_supplier', 'small_qty_revenue', 'large_orders',
-    'heavy_shippers', 'market_share', 'product_profit', 'dedup_span_exact',
-    'split_assign', 'heavy_hitters', 'text_bigram_logprob', 'collocations_pmi',
-    'events_anomaly', 'events_running_anomaly', 'revenue_pareto', 'customer_rfm',
-    'event_top_paths', 'state_intervals', 'fuzzy_join', 'vocab_topk',
-    'quality_percentile', 'knn_classify', 'random_projection', 'next_event_pairs',
-    'token_pair_counts', 'knn_classify_lsh', 'pretrain_funnel', 'corr_analysis',
-    'price_histogram', 'skew_salted_join', 'skew_two_phase', 'pagerank',
-    'timeseries_gapfill', 'media_probe', 'text_token_entropy', 'monthly_growth',
-    'events_sessionize', 'asof_join', 'dedup_minhash_lsh', 'dedup_embedding',
-    'table_profile', 'snapshot_diff', 'triangle_count', 'clustering_coeff',
-    'events_ewma', 'bm25_search', 'dedup_minhash_verified', 'basket_rules',
-    'skyline_frontier', 'fuzzy_join_verified', 'rolling_active_users', 'sample_weighted_k',
-    'pit_join', 'changelog_apply', 'events_autocorr', 'span_corruption',
-    'triplet_mining', 'temperature_mix', 'kfold_assign', 'epoch_shuffle',
-    'vocab_coverage', 'preference_pairs', 'conversation_build', 'kmv_distinct',
-    'bloom_membership', 'dedup_prefix_filter', 'length_buckets', 'dq_expectations',
-    'histogram_drift', 'incremental_agg', 'alignment_funnel', 'centroid_similarity',
-    'udtf_chunks', 'attribution_last_touch', 'ab_test_report', 'k_anonymity',
-    'mad_outliers', 'bootstrap_se', 'cuped_adjustment', 'consistent_sample_join',
-    'sft_render', 'seq_pack', 'multimodal_meta', 'events_sliding',
-    'events_session_native', 'dedup_exact', 'dedup_exact_norm', 'dedup_simhash_sigs',
-    'dedup_simhash_pairs', 'priority_returns', 'bpe_train_merges', 'bpe_apply',
-    'bpe_vocab', 'kmeans_lloyd', 'ann_ivf_lloyd_topk', 'epoch_shuffle_sharded',
+# ---------------------------------------------------------------------------
+# retired entries (round 9, VERDICT r8 #6): each of these is a strict
+# subset of a still-registered composed entry — its every stage runs
+# (and is value-verified by the driver) inside the named superset, so
+# keeping a separate rotation slot was pure re-attestation bookkeeping.
+# The (fn, oracle) pair is NOT deleted: tests/test_retired_entries.py
+# runs the SAME driver-style Spark-vs-DuckDB value compare for every
+# retired entry at sf0.001 on every pytest run, so these stay
+# value-verified continuously — they just no longer consume one of the
+# driver's ~50 per-round rotation slots.  COVERAGE.md carries the
+# retiree -> superset map for the judge.
+# ---------------------------------------------------------------------------
+RETIRED_SUPERSET: dict[str, str] = {
+    # sig stage runs verbatim inside both SimHash pair pipelines
+    "dedup_simhash_sigs": "dedup_simhash64_pairs",
+    # identical pipeline at 32 bits; 64-bit is the billion-doc config
+    "dedup_simhash_pairs": "dedup_simhash64_pairs",
+    # bpe_train_batched at max_per_pass=1 equals it row-for-row (pytest)
+    "bpe_train_merges": "bpe_train_batched",
+    # bpe_fertility rides bpe_apply's full rewrite chain per doc
+    "bpe_apply": "bpe_fertility",
+    # silhouette (and ann_ivf_lloyd_topk) compose the Lloyd CTE chain
+    "kmeans_lloyd": "kmeans_silhouette",
+    # sharded variant = same salted-hash rank + shard assignment on top
+    "epoch_shuffle": "epoch_shuffle_sharded",
+    # same vote semantics over LSH-bucketed candidates; brute distance
+    # path stays value-verified via ann_topk / ann_recall_eval
+    "knn_classify": "knn_classify_lsh",
+    # windowed funnel = same single-shuffle staged windows + horizon
+    "events_funnel": "events_funnel_windowed",
+    # dup_cluster_sizes' oracle embeds _dedup_clusters_oracle() whole
+    "dedup_clusters": "dup_cluster_sizes",
+    # kfold_assign is the documented k-ary generalization
+    "split_assign": "kfold_assign",
+    # lm_quality_buckets wraps the shared bigram-LM scorer + replay
+    "text_bigram_logprob": "lm_quality_buckets",
+}
+RETIRED_SPECS: dict[str, QuerySpec] = {
+    name: SPECS.pop(name) for name in RETIRED_SUPERSET
+}
+
+
+# Round-9 window rotation (driver records the FIRST 50 entries; see
+# module docstring).  Head 1-50: the 3 never-driver-attested round-8
+# additions (mmr_rerank_ivf, unigram_lm_train, unigram_lm_segment —
+# every one locally oracle-PASS and judge-verified at sf0.01 AND
+# sf0.1), then the full 25-entry r3 cohort (reaches the 6-round
+# max-age this round) and the 22 stalest r4 refreshes; the tail stays
+# stalest-cohort-first (rest of r4, then r5/r6/r7/r8) so future
+# promotions are prefix shifts.  Generated by
+# tools/plan_next_window.py from the live CORRECTNESS files after the
+# round-9 retirement (RETIRED_SUPERSET) shrank the oracle-backed
+# catalog to 267 (steady-state re-attestation demand 267/6 ~= 44.5
+# slots/round vs the 50-slot window — 5.5 slots/round of headroom).
+_ROUND9_ORDER = [
+    'mmr_rerank_ivf', 'unigram_lm_train', 'unigram_lm_segment', 'agg_cube',
+    'grouping_sets', 'join_inner', 'join_left', 'join_semi',
+    'join_anti', 'join_full', 'join_cross', 'join_broadcast',
+    'join_theta', 'shipping_priority', 'local_supplier_volume', 'volume_shipping',
+    'returned_items', 'window_rank', 'sort_limit', 'scalar_string',
+    'json_extract', 'null_handling', 'subquery_corr', 'array_agg',
+    'percentile', 'pivot', 'text_bpe_tokens', 'events_tumbling',
+    'forecast_revenue', 'shipmode_priority', 'customer_distribution', 'promo_revenue',
+    'parts_supplier_relation', 'discounted_revenue', 'waiting_suppliers', 'sales_opportunity',
+    'min_cost_supplier', 'revenue_share', 'top_supplier', 'small_qty_revenue',
+    'large_orders', 'heavy_shippers', 'market_share', 'product_profit',
+    'dedup_span_exact', 'heavy_hitters', 'collocations_pmi', 'events_anomaly',
+    'events_running_anomaly', 'revenue_pareto', 'customer_rfm', 'event_top_paths',
+    'state_intervals', 'fuzzy_join', 'vocab_topk', 'quality_percentile',
+    'random_projection', 'next_event_pairs', 'token_pair_counts', 'knn_classify_lsh',
+    'pretrain_funnel', 'corr_analysis', 'price_histogram', 'skew_salted_join',
+    'skew_two_phase', 'pagerank', 'timeseries_gapfill', 'media_probe',
+    'text_token_entropy', 'monthly_growth', 'events_sessionize', 'asof_join',
+    'dedup_minhash_lsh', 'dedup_embedding', 'table_profile', 'snapshot_diff',
+    'triangle_count', 'clustering_coeff', 'events_ewma', 'bm25_search',
+    'dedup_minhash_verified', 'basket_rules', 'skyline_frontier', 'fuzzy_join_verified',
+    'rolling_active_users', 'sample_weighted_k', 'pit_join', 'changelog_apply',
+    'events_autocorr', 'span_corruption', 'triplet_mining', 'temperature_mix',
+    'kfold_assign', 'vocab_coverage', 'preference_pairs', 'conversation_build',
+    'kmv_distinct', 'bloom_membership', 'dedup_prefix_filter', 'length_buckets',
+    'dq_expectations', 'histogram_drift', 'incremental_agg', 'alignment_funnel',
+    'centroid_similarity', 'udtf_chunks', 'attribution_last_touch', 'ab_test_report',
+    'k_anonymity', 'mad_outliers', 'bootstrap_se', 'cuped_adjustment',
+    'consistent_sample_join', 'sft_render', 'seq_pack', 'multimodal_meta',
+    'events_sliding', 'events_session_native', 'dedup_exact', 'dedup_exact_norm',
+    'priority_returns', 'bpe_vocab', 'ann_ivf_lloyd_topk', 'epoch_shuffle_sharded',
     'l_diversity', 'attribution_linear', 'dedup_containment', 'dedup_keeper_longest',
     'winsorize_mad', 'countmin_estimate', 'contamination_containment', 'asof_join_forward',
     'sample_hash', 'dedup_ngram_jaccard', 'ann_topk', 'text_lang_id',
@@ -9517,17 +9539,41 @@ _ROUND8_ORDER = [
     'rouge_pairs', 'bpe_fertility', 'lm_heldout_perplexity', 'cramers_v',
     'mannwhitney_length', 'ols_tokens_vs_chars', 'seasonal_mase', 'theil_sen_daily',
     'ks_length', 'aspect_buckets', 'shard_balance', 't_closeness',
-    'fim_render', 'kmeans_ari', 'agg_approx', 'ann_ivf_topk',
-    'kmeans_assign', 'text_compression_ratio',
+    'fim_render', 'kmeans_ari', 'kmeans_silhouette', 'events_funnel_windowed',
+    'benford_digits', 'psi_drift', 'attribution_time_decay', 'code_detect',
+    'conversion_latency', 'dow_uniformity', 'packing_efficiency', 'curriculum_phases',
+    'dup_cluster_sizes', 'deletion_cascade', 'sample_size_plan', 'event_burstiness',
+    'effective_domains', 'session_depth_hist', 'iqr_fences', 'qlm_search',
+    'bloom_fp_eval', 'countmin_error_eval', 'bpe_train_batched', 'domain_frequency_cap',
+    'mmr_rerank', 'wav_pcm_decode', 'ppm_decode_resize', 'y4m_frame_sample',
+    'pq_recall_eval', 'png_decode_stats', 'warc_ingest', 'gif_decode_stats',
+    'text_unigram_logprob', 'sample_fixed_n', 'scalar_map', 'dedup_simhash64_pairs',
+    'ann_lsh_topk', 'ann_lsh_multiprobe', 'range_join', 'hypertable_rollup',
+    'sample_weighted', 'user_features', 'lang_count', 'udf_wordcount',
+    'filter_project', 'pricing_summary', 'agg_multikey', 'agg_distinct',
+    'distinct_op', 'agg_rollup', 'crawl_funnel', 'agg_approx',
+    'ann_ivf_topk', 'kmeans_assign', 'text_compression_ratio',
 ]
 
-if set(_ROUND8_ORDER) != set(SPECS) or len(_ROUND8_ORDER) != len(SPECS):
+if set(_ROUND9_ORDER) != set(SPECS) or len(_ROUND9_ORDER) != len(SPECS):
     raise AssertionError(
         "catalog rotation list out of sync with SPECS: "
-        f"missing={set(SPECS) - set(_ROUND8_ORDER)} "
-        f"unknown={set(_ROUND8_ORDER) - set(SPECS)}"
+        f"missing={set(SPECS) - set(_ROUND9_ORDER)} "
+        f"unknown={set(_ROUND9_ORDER) - set(SPECS)}"
     )
-SPECS = {name: SPECS[name] for name in _ROUND8_ORDER}
+SPECS = {name: SPECS[name] for name in _ROUND9_ORDER}
+
+# Derived deferral set (see the VERIFICATION_WINDOW comment): the
+# oracle-backed entries past the recording window with no driver row
+# yet.  Self-cleaning by construction — the moment the driver attests
+# an entry (wherever it sat), it leaves this set on the next import.
+DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
+    name
+    for i, name in enumerate(SPECS)
+    if i >= VERIFICATION_WINDOW
+    and SPECS[name].oracle is not None
+    and name not in driver_verified_queries()
+)
 
 
 # Bench execution order, pinned to round 2's recorded order so the

@@ -269,6 +269,13 @@ def unigram_lm_train(
     broadcast 1-row aggregate (the package's bounded-crossJoin
     pattern), keeping the result a single lazy plan."""
     _, pieces = _em_loop(docs, iterations, max_piece_len, text_col, max_vocab_words)
+    # persist BEFORE the pruning branch (ADVICE r8): chars_only.count(),
+    # both union legs, and the rows+total fan-out below all re-read this
+    # frame — unpersisted, each re-ran the full final-EM lineage (an
+    # extra Viterbi mapInPandas pass apiece, up to 3x redundant compute
+    # at large vocabs).  Nothing is unpersisted, per the package's
+    # documented bounded-leak convention (the frame is inventory-sized).
+    pieces = pieces.persist()
     if target_vocab is not None:
         chars_only = pieces.filter(F.length("piece") == 1)
         multi = pieces.filter(F.length("piece") > 1)
@@ -277,7 +284,6 @@ def unigram_lm_train(
             F.col("count").desc(), F.col("piece")
         ).limit(max(0, target_vocab - chars_only.count()))
         pieces = chars_only.unionByName(keep_multi)
-    pieces = pieces.persist()  # referenced twice below (rows + total)
     total = pieces.agg(F.sum("count").cast("long").alias("_total"))
     return pieces.crossJoin(F.broadcast(total)).select(
         "piece",
@@ -430,12 +436,21 @@ def unigram_lm_oracle_sql(
     segment: bool = False,
 ) -> str:
     """Full chained-CTE DuckDB replay of ``unigram_lm_train`` (or,
-    with ``segment=True``, ``unigram_lm_segment``): seed counts ->
-    ``iterations`` unrolled hard-EM rounds (candidate grid -> recursive
-    Viterbi -> usage counts -> smoothed/pruned inventory) -> final
-    probabilities / segmentation.  Bit-exact, not approximate: both
-    engines do the same integer counts, the same count/total division,
-    and the same fixed-order double products."""
+    with ``segment=True``, ``unigram_lm_segment``) at their DEFAULT
+    parameters: seed counts -> ``iterations`` unrolled hard-EM rounds
+    (candidate grid -> recursive Viterbi -> usage counts ->
+    smoothed/pruned inventory) -> final probabilities / segmentation.
+    Bit-exact, not approximate: both engines do the same integer
+    counts, the same count/total division, and the same fixed-order
+    double products.
+
+    Scope (ADVICE r8): the ``target_vocab`` and ``max_vocab_words``
+    code paths of the Spark trainer have no counterpart here — the
+    catalog registers only the default path, so driver parity covers
+    exactly what this SQL replays; the pruning/cap branches are
+    covered by pytest invariants (tests/test_unigram_lm.py) instead.
+    A top-N CTE keyed by (count DESC, piece ASC) could extend the
+    replay if a pruned entry is ever registered."""
     head = f"""WITH RECURSIVE w AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

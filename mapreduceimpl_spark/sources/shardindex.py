@@ -229,14 +229,23 @@ def attempt_token() -> str:
     return f"d{socket.gethostname()}.{os.getpid()}"
 
 
-def sweep_stale_tmps(path: str) -> None:
+SWEEP_GRACE_SECONDS = 300.0
+
+
+def sweep_stale_tmps(path: str, grace_seconds: float = SWEEP_GRACE_SECONDS) -> None:
     """Remove orphaned ``<path>.inprogress.*`` / ``<path>.idx.inprogress.*``
     tmps after a successful publish.  Without this, every killed
-    attempt leaks a shard-sized orphan forever (review r8).  Racing a
-    LIVE sibling attempt is safe: the sibling's own ``os.replace``
-    fails loudly and Spark's attempt semantics already tolerate a
-    failed duplicate attempt — the shard it wanted to publish is
-    already on disk.
+    attempt leaks a shard-sized orphan forever (review r8).
+
+    Only tmps whose mtime is older than ``grace_seconds`` are swept
+    (ADVICE r8): a LIVE speculative sibling attempt is still writing
+    its tmp — deleting it would turn a benign duplicate into a
+    FileNotFoundError task failure that counts against
+    ``spark.task.maxFailures``.  A live writer keeps its tmp's mtime
+    fresh (the file is mid-write), so the age gate skips it; a truly
+    orphaned tmp (killed attempt) stops aging and is swept by the next
+    publisher to land after the grace window.  NFS-style mtime
+    granularity is seconds — the 5-minute default dwarfs it.
 
     Prefix-matched over ONE ``scandir`` pass (never ``glob``: shard
     paths are user-supplied and may contain glob metacharacters like
@@ -244,6 +253,7 @@ def sweep_stale_tmps(path: str) -> None:
     tmp, review r8).  Cost is one directory scan per published shard,
     executor-side, negligible next to writing the shard's bytes."""
     import os
+    import time
 
     d, base = os.path.split(path)
     prefixes = (f"{base}.inprogress.", f"{base}.idx.inprogress.")
@@ -251,10 +261,14 @@ def sweep_stale_tmps(path: str) -> None:
         entries = os.listdir(d or ".")
     except OSError:
         return
+    cutoff = time.time() - grace_seconds
     for name in entries:
         if name.startswith(prefixes):
+            full = os.path.join(d, name)
             try:
-                os.remove(os.path.join(d, name))
+                if os.path.getmtime(full) > cutoff:
+                    continue  # young enough to be a live sibling: keep
+                os.remove(full)
             except OSError:
                 pass  # vanished concurrently / perms: never fail publish
 

@@ -1,12 +1,16 @@
 """Catalog-ordering contract guard.
 
-The correctness driver records rows for roughly the FIRST 50 catalog
-entries in insertion order.  The standing contract (catalog.py
-docstring, COVERAGE.md): every entry that has never received a green
-row in any previous round's CORRECTNESS_r*.json must sit inside the
-first 49 positions (slot 50 stays low-stakes), so each round converts
-maximum unproven surface into driver evidence.  This test enforces
-the invariant mechanically for future rounds' reorderings.
+The correctness driver records rows for the FIRST 50 catalog entries
+in insertion order.  The standing contract (catalog.py docstring,
+COVERAGE.md): every entry that has never received a green row in any
+previous round's CORRECTNESS_r*.json must sit inside those 50
+positions (or be a derived deferral awaiting the next repack), so
+each round converts maximum unproven surface into driver evidence.
+This test enforces the invariant mechanically for future rounds'
+reorderings; since round 9 DEFERRED_TO_NEXT_ROUND is derived from
+the live CORRECTNESS files, so the round-7/8 failure mode (driver
+attests the entry the hand-maintained literal parked at position 50)
+is unrepresentable.
 """
 
 from __future__ import annotations
@@ -162,7 +166,11 @@ def test_rotation_schedule_simulates_clean_for_future_rounds():
 def test_deferred_set_self_cleans():
     """Once a deferred entry receives a driver CORRECTNESS row it must
     leave DEFERRED_TO_NEXT_ROUND (and, per the rotation contract, move
-    into the window the round after it was added)."""
+    into the window the round after it was added).  Since round 9 the
+    set is DERIVED from the live CORRECTNESS files, so this is a
+    regression guard on the derivation, not a hand-maintenance chore:
+    it reddened in rounds 7 AND 8 because the hand-kept literal parked
+    an entry at position 50 of a window planned one slot too small."""
     verified = _previously_verified()
     stale = sorted(catalog.DEFERRED_TO_NEXT_ROUND & verified)
     assert not stale, (
@@ -322,7 +330,7 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []
-    for name, spec in catalog.SPECS.items():
+    for name, spec in {**catalog.SPECS, **catalog.RETIRED_SPECS}.items():
         plan = explain_str(spec.fn(spark, sf), "simple")
         if "CartesianProduct" in plan:
             cart.append(name)

@@ -292,7 +292,14 @@ def test_publish_sweeps_orphans_even_in_glob_metachar_dirs(spark, tmp_path):
     """A successful publish removes dead attempts' leftovers, and the
     sweep is prefix-matched (not glob): an output directory containing
     glob metacharacters must neither miss its own orphans nor touch a
-    SIBLING shard's files."""
+    SIBLING shard's files.  The sweep is also age-gated (ADVICE r8):
+    a tmp younger than the grace window is a possibly-LIVE speculative
+    sibling attempt mid-write — deleting it would turn a benign
+    duplicate into a FileNotFoundError task failure."""
+    import os
+    import time
+
+    from mapreduceimpl_spark.sources.shardindex import SWEEP_GRACE_SECONDS
     from mapreduceimpl_spark.sources.webdataset import write_tar_shards
 
     rows = [(0, "000000", "txt", b"x" * 64), (1, "000001", "txt", b"y" * 64)]
@@ -300,10 +307,16 @@ def test_publish_sweeps_orphans_even_in_glob_metachar_dirs(spark, tmp_path):
     out = tmp_path / "batch[01]"  # glob would parse [01] as a class
     out.mkdir()
     orphan = out / "shard-00000.tar.inprogress.d.dead.999"
+    livetmp = out / "shard-00000.tar.inprogress.d.live2.777"
     sibling = out / "shard-00001x.tar.inprogress.d.live.888"
     orphan.write_bytes(b"\x00" * 128)
+    livetmp.write_bytes(b"\x00" * 128)  # fresh mtime: a live attempt
     sibling.write_bytes(b"\x00" * 128)  # different shard prefix: keep
+    # age the orphan past the grace window (dead attempts stop aging)
+    stale = time.time() - SWEEP_GRACE_SECONDS - 60
+    os.utime(orphan, (stale, stale))
     write_tar_shards(members, str(out)).collect()
     assert not orphan.exists()      # swept by shard-00000's publish
+    assert livetmp.exists()         # same prefix but young: grace-kept
     assert sibling.exists()         # never another shard's tmp
     assert (out / "shard-00000.tar").exists()
