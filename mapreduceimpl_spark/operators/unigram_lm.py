@@ -294,6 +294,139 @@ def unigram_lm_train(
     )
 
 
+def _estep_used_counts(
+    words: DataFrame, probs: dict, max_piece_len: int
+) -> DataFrame:
+    """One E-step's freq-weighted piece-usage counts (piece, count) —
+    the per-round Spark job of the deep trainer.  The probs dict is
+    broadcast data inside the pandas-UDF closure, NOT plan nodes, so
+    the plan is the same size at round 1 and round 1000 (pinned by
+    tests/test_unigram_lm.py::test_deep_estep_plan_size_constant)."""
+    return (
+        _viterbi_pandas(words, probs, max_piece_len)
+        .select("freq", F.explode("path").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("count"))
+    )
+
+
+def _probs_from_counts(counts: dict) -> dict:
+    """Dict twin of :func:`_probs_from_rows` — identical arithmetic
+    (float-cast each exact integer FIRST, one IEEE division)."""
+    total = float(sum(counts.values()))
+    return {p: float(c) / total for p, c in counts.items()}
+
+
+def unigram_lm_train_deep(
+    docs: DataFrame,
+    em_rounds: int = 8,
+    target_vocab: int | None = None,
+    shrink_factor: float = 0.75,
+    max_piece_len: int = MAX_PIECE_LEN,
+    text_col: str = "text",
+    max_vocab_words: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Production-depth hard-EM (VERDICT r8 #3): run ``em_rounds`` EM
+    rounds with SentencePiece's progressive pruning schedule instead
+    of the oracle entry's 2 unrolled rounds.  Returns ``(pieces,
+    history)``: the final inventory (piece, count, prob) and one
+    diagnostics row per round (round, n_pieces, n_multi, corpus_ll).
+
+    Depth design — why this stays O(em_rounds) wall with a CONSTANT
+    plan, where BPE needed localCheckpoint: BPE rewrites the CORPUS
+    each pass, so lineage compounds and must be re-rooted; here the
+    corpus is touched once (the ``word_frequencies`` shuffle, then
+    ``words`` is persisted) and every round is ONE fresh job over that
+    cached vocab table — Viterbi ``mapInPandas`` + one count aggregate
+    + a bounded inventory collect (the k-means-centroid contract, same
+    as ``_em_loop``).  The M-step (char floor, probability
+    re-estimation, pruning) runs driver-side on the collected
+    inventory — inventory-sized work on data we collect anyway, which
+    also makes the per-round corpus log-likelihood EXACT (the Spark
+    floor in ``_em_step`` can't distinguish a floored char from a
+    truly-once-used one).
+
+    ``corpus_ll`` for round r is sum(freq * ln best-score) under the
+    round's INPUT probabilities = sum over used pieces of count * ln p
+    — the hard-EM objective.  It is non-decreasing across rounds while
+    no pruning fires (M-step maximizes it for the fixed segmentation,
+    Viterbi maximizes it for the fixed probabilities; the char floor
+    perturbs the maximizer by at most the unused-char mass, measured
+    well under monotonicity on the fixtures — pytest-pinned);
+    pruning rounds may pay likelihood for vocabulary size, exactly as
+    in Kudo (ACL 2018) §3.2.
+
+    Pruning schedule: while the inventory exceeds ``target_vocab``,
+    keep every single-char piece (coverage floor) and the top multi
+    pieces by (count DESC, piece ASC), shrinking the multi set by
+    ``shrink_factor`` per round but never below what the target
+    allows; the FINAL round prunes exactly to ``target_vocab``.
+
+    At ``em_rounds=EM_ITERATIONS`` with no pruning the final inventory
+    equals :func:`unigram_lm_train` row-for-row (pytest-pinned) — the
+    deep tier extends the hash-verified path, it doesn't fork it.
+    """
+    import math
+
+    if em_rounds < 1:
+        raise ValueError(f"em_rounds must be >= 1, got {em_rounds}")
+    if not (0.0 < shrink_factor <= 1.0):
+        raise ValueError(f"shrink_factor must be in (0, 1], got {shrink_factor}")
+    if target_vocab is not None and target_vocab < 1:
+        raise ValueError(f"target_vocab must be >= 1, got {target_vocab}")
+
+    spark = docs.sparkSession
+    words = word_frequencies(docs, text_col, max_vocab_words).persist()
+    # bounded collects: alphabet + seed inventory (the same rows
+    # _em_loop collects; see the module docstring's bounded-collect
+    # contract and max_vocab_words cap)
+    chars = sorted(
+        r["piece"]
+        for r in _substring_grid(words, 1).select("piece").distinct().collect()
+    )
+    counts = {
+        r["piece"]: r["count"]
+        for r in seed_piece_counts(words, max_piece_len).collect()
+    }
+
+    history: list[tuple[int, int, int, float]] = []
+    for r in range(1, em_rounds + 1):
+        probs = _probs_from_counts(counts)
+        used = {
+            row["piece"]: row["count"]
+            for row in _estep_used_counts(words, probs, max_piece_len).collect()
+        }
+        # every used piece is in probs with p > 0: multi candidates
+        # come from the inventory, chars are floored at count >= 1
+        corpus_ll = sum(c * math.log(probs[p]) for p, c in used.items())
+        multi = {p: c for p, c in used.items() if len(p) > 1}
+        if target_vocab is not None:
+            budget = max(target_vocab - len(chars), 0)
+            if len(multi) > budget:
+                keep = (
+                    budget
+                    if r == em_rounds
+                    else max(budget, int(len(multi) * shrink_factor))
+                )
+                kept = sorted(multi.items(), key=lambda kv: (-kv[1], kv[0]))[:keep]
+                multi = dict(kept)
+        counts = {
+            **multi,
+            **{ch: max(used.get(ch, 0), 1) for ch in chars},
+        }
+        history.append((r, len(counts), len(multi), corpus_ll))
+
+    total = float(sum(counts.values()))
+    pieces = spark.createDataFrame(
+        [(p, c, float(c) / total) for p, c in sorted(counts.items())],
+        "piece string, count long, prob double",
+    )
+    hist = spark.createDataFrame(
+        history, "round long, n_pieces long, n_multi long, corpus_ll double"
+    )
+    return pieces, hist
+
+
 def unigram_lm_segment(
     docs: DataFrame,
     iterations: int = EM_ITERATIONS,

@@ -233,3 +233,100 @@ def test_target_vocab_prunes_to_size_and_renormalizes(spark):
     total = int(pruned["count"].sum())
     for _, r in pruned.iterrows():
         assert r["prob"] == r["count"] / total
+
+
+# ---------------------------------------------------------------------------
+# deep EM tier (VERDICT r8 #3): production-depth rounds + progressive
+# pruning, anchored to the hash-verified 2-round path
+# ---------------------------------------------------------------------------
+
+_DEEP_TEXTS = [
+    "spark group filter key value spark",
+    "group group spark window join",
+    "filter key spark value window",
+    "join window group filter value",
+] * 3
+
+
+def test_deep_equals_train_at_default_depth(spark):
+    """unigram_lm_train_deep at em_rounds=2 with no pruning must equal
+    the oracle-backed unigram_lm_train(iterations=2) row-for-row —
+    the deep tier EXTENDS the hash-verified path, it doesn't fork it
+    (counts exact-integer equal, probs the same float-cast division)."""
+    from mapreduceimpl_spark.operators.unigram_lm import unigram_lm_train_deep
+
+    docs = _docs(spark, _DEEP_TEXTS)
+    deep, _ = unigram_lm_train_deep(docs, em_rounds=2)
+    base = unigram_lm_train(docs, iterations=2)
+    assert {tuple(r) for r in deep.collect()} == {tuple(r) for r in base.collect()}
+
+
+def test_deep_ll_non_decreasing_without_pruning(spark):
+    """The hard-EM objective (corpus log-likelihood under each round's
+    input probabilities) is non-decreasing across rounds while no
+    pruning fires — the textbook Viterbi-EM guarantee; the char floor
+    perturbs the M-step maximizer only by the unused-char unit counts,
+    measured well under monotonicity here."""
+    from mapreduceimpl_spark.operators.unigram_lm import unigram_lm_train_deep
+
+    _, hist = unigram_lm_train_deep(_docs(spark, _DEEP_TEXTS), em_rounds=5)
+    lls = [r["corpus_ll"] for r in hist.orderBy("round").collect()]
+    assert len(lls) == 5
+    assert all(b >= a for a, b in zip(lls, lls[1:])), lls
+
+
+def test_deep_pruning_schedule_reaches_target(spark):
+    """With target_vocab set, the final inventory lands exactly on the
+    target (chars + top multis), every single char survives (coverage
+    floor), n_multi shrinks monotonically once pruning starts, and the
+    probabilities renormalize over the survivors."""
+    from mapreduceimpl_spark.operators.unigram_lm import unigram_lm_train_deep
+
+    docs = _docs(spark, _DEEP_TEXTS)
+    chars = {c for t in _DEEP_TEXTS for c in t if c != " "}
+    target = len(chars) + 4
+    pieces, hist = unigram_lm_train_deep(
+        docs, em_rounds=4, target_vocab=target, shrink_factor=0.5
+    )
+    pdf = pieces.toPandas()
+    assert len(pdf) == target
+    assert chars <= set(pdf["piece"])
+    assert abs(pdf["prob"].sum() - 1.0) < 1e-9
+    multis = [r["n_multi"] for r in hist.orderBy("round").collect()]
+    assert all(b <= a for a, b in zip(multis, multis[1:])), multis
+
+
+def test_deep_validates_params(spark):
+    import pytest
+
+    from mapreduceimpl_spark.operators.unigram_lm import unigram_lm_train_deep
+
+    docs = _docs(spark, ["a b"])
+    with pytest.raises(ValueError):
+        unigram_lm_train_deep(docs, em_rounds=0)
+    with pytest.raises(ValueError):
+        unigram_lm_train_deep(docs, shrink_factor=0.0)
+    with pytest.raises(ValueError):
+        unigram_lm_train_deep(docs, target_vocab=0)
+
+
+def test_deep_estep_plan_size_constant(spark):
+    """The per-round E-step job must not grow with round number or
+    inventory size: probabilities travel as broadcast closure data in
+    the pandas UDF, never as plan nodes, and lineage restarts at the
+    persisted words table every round — so the round-1000 plan is the
+    round-1 plan.  Pinned by comparing plan text for a 3-piece and a
+    30k-piece probability table."""
+    from mapreduceimpl_spark.operators.unigram_lm import (
+        MAX_PIECE_LEN,
+        _estep_used_counts,
+    )
+    from mapreduceimpl_spark.plans import explain_str
+
+    words = word_frequencies(_docs(spark, _DEEP_TEXTS))
+    small = {"a": 0.5, "b": 0.25, "c": 0.25}
+    big = {f"w{i:05d}"[-MAX_PIECE_LEN:] + str(i % 7): 1e-5 for i in range(30000)}
+    big.update(small)
+    plan_small = explain_str(_estep_used_counts(words, small, MAX_PIECE_LEN), "simple")
+    plan_big = explain_str(_estep_used_counts(words, big, MAX_PIECE_LEN), "simple")
+    assert len(plan_small.splitlines()) == len(plan_big.splitlines())

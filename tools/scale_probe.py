@@ -561,6 +561,33 @@ def _probe_unigram_vocab_synth(spark, sf_dir: str):
     return time.time() - t0, n_out
 
 
+def _probe_unigram_em_depth(spark, sf_dir: str):
+    """Depth-linearity probe for the deep EM tier (VERDICT r8 #3):
+    FIXED input (sf0.01 documents regardless of sf_dir — this probe
+    varies EM DEPTH, not data), em_rounds mapped from the probe slot:
+    warm-up -> 2, sf0.01 slot -> 8, sf0.1 slot -> 16.  Every round is
+    one fresh job over the persisted vocab table (no lineage
+    compounding — the M-step is driver-side on the collected
+    inventory), so wall should be ~linear in rounds: the printed
+    wall_ratio_for_10x_input is here the 2x-DEPTH ratio and should
+    sit near 2.0."""
+    from mapreduceimpl_spark.operators import unigram_lm
+
+    rounds = {"sf0.001": 2, "sf0.01": 8, "sf0.1": 16}[
+        sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    ]
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    t0 = time.time()
+    pieces, hist = unigram_lm.unigram_lm_train_deep(docs, em_rounds=rounds)
+    lls = [r["corpus_ll"] for r in hist.orderBy("round").collect()]
+    n = pieces.count()
+    wall = time.time() - t0
+    assert all(b >= a for a, b in zip(lls, lls[1:])), (
+        f"hard-EM objective decreased at depth {rounds}: {lls}"
+    )
+    return wall, n
+
+
 def _probe_mmr_ivf(spark, sf_dir: str):
     """mmr_rerank_ivf (ANN tier -> MMR): the candidate pool is the
     IVF top-12 per query (bounded by Q x k, NOT corpus size), so as
@@ -861,6 +888,7 @@ PROBES = {
     "mmr_ivf": _probe_mmr_ivf,
     "unigram_lm": _probe_unigram_lm,
     "unigram_vocab_synth": _probe_unigram_vocab_synth,
+    "unigram_em_depth": _probe_unigram_em_depth,
     "kmeans_lloyd": _probe_kmeans_lloyd,
     "ivf_lloyd": _probe_ivf_lloyd,
     "glove": _probe_glove,
