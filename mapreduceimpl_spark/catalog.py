@@ -3080,6 +3080,98 @@ JOIN sig sb ON pair.doc_b = sb.doc_id
 """
 
 
+def _lsh_scurve_oracle(
+    n_perms: int = dedup.MINHASH_PERMS,
+    band_size: int = dedup.LSH_BAND_SIZE,
+    min_jaccard: float = 0.3,
+    n_buckets: int = 10,
+) -> str:
+    """Replay of ``dedup.lsh_scurve_eval``: exact-Jaccard truth pairs
+    (shared shingle CTE) left-joined against the banded MinHash
+    candidate set, bucketed, with the analytic 1-(1-s^r)^b curve
+    expanded as the SAME fixed-order multiplication chain the Spark
+    side builds (no pow — bit-identical IEEE products)."""
+    lanes = dedup._MINHASH_LANES_PER_DIGEST
+    hexw = dedup.MINHASH_LANE_HEX
+    mins = ",\n    ".join(
+        f"min(substr(md5('{i // lanes}#' || shingle), {(i % lanes) * hexw + 1}, {hexw})) AS mh_{i}"
+        for i in range(n_perms)
+    )
+    n_bands = n_perms // band_size
+    bands = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_id, md5(concat_ws('|', {cols})) AS band_key FROM sig".format(
+            b=b,
+            cols=", ".join(f"mh_{b * band_size + r}" for r in range(band_size)),
+        )
+        for b in range(n_bands)
+    )
+    # (((1.0 * s) * s) ... ) — mirror the Spark loop's left-assoc chain
+    s_r = "1.0"
+    for _ in range(band_size):
+        s_r = f"({s_r} * s_mid)"
+    miss = "1.0"
+    for _ in range(n_bands):
+        miss = f"({miss} * one_minus)"
+    return f"""
+WITH corpus AS ({_NEARDUP_CORPUS}),
+sh AS (
+  SELECT doc_id, unnest({_shingle_list(3)}) AS shingle
+  FROM corpus WHERE len({_TOKS}) >= 3
+),
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b, jaccard FROM (
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON inter.doc_a = sa.doc_id
+    JOIN sz sb ON inter.doc_b = sb.doc_id
+  )
+  WHERE jaccard >= {min_jaccard!r}
+),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+),
+band AS (
+{bands}
+),
+pair AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+flagged AS (
+  SELECT t.jaccard,
+         CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM truth t LEFT JOIN pair p
+    ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+),
+bucketed AS (
+  SELECT LEAST({n_buckets - 1}, CAST(floor(jaccard * {n_buckets}) AS BIGINT)) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(hit) AS BIGINT) AS n_detected
+  FROM flagged GROUP BY 1
+)
+SELECT bucket, n_pairs, n_detected,
+       round(CAST(n_detected AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS detect_rate,
+       s_mid,
+       round(1.0 - {miss}, 6) AS analytic_p
+FROM (
+  SELECT *,
+         (CAST(bucket AS DOUBLE) + 0.5) / {float(n_buckets)!r} AS s_mid,
+         1.0 - {s_r.replace("s_mid", f"((CAST(bucket AS DOUBLE) + 0.5) / {float(n_buckets)!r})")} AS one_minus
+  FROM bucketed
+)
+"""
+
+
 def _fuzzy_cand_sql(min_jaccard: float) -> str:
     """The fuzzy_join candidate CTE chain (part-name dictionary vs its
     vowel-dropped mutation) parameterized by threshold — the SAME
@@ -9444,6 +9536,41 @@ FROM cme_agg CROSS JOIN cme_tot""",
             "per-probe overestimates (one-sided error) summarized "
             "next to the analytic bound; wraps the countmin replay",
     ),
+    # ------------------------------------------------------------------
+    # round-9 additions (intake cap <= 4: 2 used)
+    # ------------------------------------------------------------------
+    "lsh_scurve_eval": QuerySpec(
+        lambda spark, sf_dir: dedup.lsh_scurve_eval(
+            dedup.with_mutated_copies(load_table(spark, sf_dir, "documents"))
+        ),
+        _lsh_scurve_oracle(),
+        doc="LSH (b, r) tuning eval: measured candidate-detection rate "
+            "per exact-Jaccard bucket vs the analytic 1-(1-s^r)^b "
+            "S-curve — exact truth from the shingle inverted index, "
+            "detection from the banded MinHash join, curve as a fixed-"
+            "order multiply chain; the sketch-error-eval family's "
+            "dedup-parameter member (bloom_fp_eval / countmin_error_"
+            "eval / pq_recall_eval pattern)",
+    ),
+    "unigram_fertility": QuerySpec(
+        lambda spark, sf_dir: unigram_lm.unigram_fertility(
+            load_table(spark, sf_dir, "documents")
+        ),
+        f"""SELECT n_words, total_words, total_pieces, max_pieces,
+       round(CAST(total_pieces AS DOUBLE) / CAST(total_words AS DOUBLE), 6)
+         AS fertility
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(freq) AS BIGINT) AS total_words,
+         CAST(SUM(freq * n_pieces) AS BIGINT) AS total_pieces,
+         CAST(MAX(n_pieces) AS BIGINT) AS max_pieces
+  FROM ({unigram_lm.unigram_lm_oracle_sql(segment=True)}) seg
+)""",
+        doc="corpus fertility (pieces per word) under the trained "
+            "unigram LM — bpe_fertility's twin for the other tokenizer "
+            "family: freq-weighted totals over the hash-verified "
+            "segment table, one corpus-sized wordcount shuffle total",
+    ),
 }
 
 
@@ -9514,7 +9641,11 @@ _ROUND9_ORDER = [
     'min_cost_supplier', 'revenue_share', 'top_supplier', 'small_qty_revenue',
     'large_orders', 'heavy_shippers', 'market_share', 'product_profit',
     'dedup_span_exact', 'heavy_hitters', 'collocations_pmi', 'events_anomaly',
-    'events_running_anomaly', 'revenue_pareto', 'customer_rfm', 'event_top_paths',
+    'events_running_anomaly', 'revenue_pareto',
+    # position 51+: round-9 additions (derived deferrals; first in
+    # line for the r10 window after local + judge verification)
+    'lsh_scurve_eval', 'unigram_fertility',
+    'customer_rfm', 'event_top_paths',
     'state_intervals', 'fuzzy_join', 'vocab_topk', 'quality_percentile',
     'random_projection', 'next_event_pairs', 'token_pair_counts', 'knn_classify_lsh',
     'pretrain_funnel', 'corr_analysis', 'price_histogram', 'skew_salted_join',

@@ -329,6 +329,86 @@ def minhash_verified_pairs(
     )
 
 
+def lsh_scurve_eval(
+    docs: DataFrame,
+    n_perms: int = MINHASH_PERMS,
+    band_size: int = LSH_BAND_SIZE,
+    min_jaccard: float = 0.3,
+    n_buckets: int = 10,
+    hash_fn: str = "md5",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """LSH band/row parameter-tuning eval: MEASURED candidate-detection
+    rate per true-Jaccard bucket next to the ANALYTIC S-curve
+    ``P(candidate | s) = 1 - (1 - s^r)^b`` (r = band_size, b = bands)
+    — the curve every large-scale dedup tunes (b, r) against, here
+    checked against ground truth instead of trusted on faith.  The
+    sketch-error-eval sibling of ``bloom_fp_eval`` / ``pq_recall_eval``.
+
+    Ground truth: EXACT Jaccard over the shingle inverted index
+    (``ngram_jaccard_pairs``) down to ``min_jaccard`` — every pair
+    with jaccard >= the floor shares a shingle, so the inverted index
+    enumerates the truth set completely (O(Σ df²), never n²; pass
+    ``max_shingle_df`` at web scale exactly as the dedup pass does).
+    Detection: membership in ``minhash_lsh_pairs``'s banded candidate
+    set — the two sides join on uniformly-distributed (doc_a, doc_b).
+
+    Output per bucket (bucket = floor(jaccard * n_buckets), capped):
+    (bucket, n_pairs, n_detected, detect_rate, s_mid, analytic_p),
+    with detect_rate rounded at 1e-6 and analytic_p computed by a
+    FIXED-order multiplication chain (no pow), so the SQL oracle
+    replays it bit-exactly.
+
+    Scale: truth and detection each bound their own work by the
+    inverted-index / banded-join arguments of their base operators;
+    the bucket aggregate is |buckets| rows.  A production corpus tunes
+    (b, r) on a SAMPLE — this operator composes with ``sample_hash``
+    unchanged since all inputs are plain (doc_id, text) frames.
+    """
+    truth = ngram_jaccard_pairs(
+        docs, min_jaccard=min_jaccard, max_shingle_df=max_shingle_df
+    )
+    detected = minhash_lsh_pairs(docs, n_perms, band_size, hash_fn).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    flagged = truth.join(detected, ["doc_a", "doc_b"], "left").select(
+        "jaccard", F.coalesce(F.col("hit"), F.lit(0)).alias("hit")
+    )
+    bucketed = flagged.groupBy(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(F.col("jaccard") * n_buckets).cast("long"),
+        ).alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("hit").cast("long").alias("n_detected"),
+    )
+    s_mid = (F.col("bucket").cast("double") + F.lit(0.5)) / F.lit(float(n_buckets))
+    # fixed-order multiply chains (((1*s)*s)*...*s) — bit-identical in
+    # any IEEE engine, unlike pow()
+    s_r = F.lit(1.0)
+    for _ in range(band_size):
+        s_r = s_r * F.col("s_mid")
+    one_minus = F.lit(1.0) - s_r
+    miss = F.lit(1.0)
+    for _ in range(n_perms // band_size):
+        miss = miss * one_minus
+    return (
+        bucketed.withColumn("s_mid", s_mid)
+        .select(
+            "bucket",
+            "n_pairs",
+            "n_detected",
+            F.round(
+                F.col("n_detected").cast("double") / F.col("n_pairs").cast("double"),
+                6,
+            ).alias("detect_rate"),
+            "s_mid",
+            F.round(F.lit(1.0) - miss, 6).alias("analytic_p"),
+        )
+    )
+
+
 def incremental_dedup(
     corpus: DataFrame,
     batch: DataFrame,

@@ -453,6 +453,50 @@ def unigram_lm_segment(
     )
 
 
+def unigram_fertility(
+    docs: DataFrame,
+    iterations: int = EM_ITERATIONS,
+    max_piece_len: int = MAX_PIECE_LEN,
+    text_col: str = "text",
+    max_vocab_words: int | None = None,
+) -> DataFrame:
+    """Corpus fertility report for the trained unigram LM — the
+    tokenizer-quality headline every tokenizer ships with (pieces per
+    word; ``bpe_fertility`` is the BPE twin): ONE row of
+
+    - ``n_words``: distinct vocabulary words segmented,
+    - ``total_words``: corpus word occurrences (freq-weighted),
+    - ``total_pieces``: corpus piece count under the model
+      (freq x per-word path length, exact BIGINT),
+    - ``max_pieces``: worst single-word segmentation length,
+    - ``fertility``: total_pieces / total_words, rounded at 1e-6.
+
+    Composes :func:`unigram_lm_segment` (the hash-verified apply
+    half); the aggregate reads the vocab-sized segmentation table, so
+    the only corpus-sized work remains the wordcount shuffle inside
+    the trainer."""
+    seg = unigram_lm_segment(
+        docs, iterations, max_piece_len, text_col, max_vocab_words
+    )
+    totals = seg.agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("freq").cast("long").alias("total_words"),
+        F.sum(F.col("freq") * F.col("n_pieces")).cast("long").alias("total_pieces"),
+        F.max("n_pieces").cast("long").alias("max_pieces"),
+    )
+    return totals.select(
+        "n_words",
+        "total_words",
+        "total_pieces",
+        "max_pieces",
+        F.round(
+            F.col("total_pieces").cast("double")
+            / F.col("total_words").cast("double"),
+            6,
+        ).alias("fertility"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle replay — kept in this module so the Viterbi DP and its
 # SQL twin can only be edited together.  The DP recursion carries

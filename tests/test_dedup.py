@@ -1038,3 +1038,57 @@ def test_cluster_size_histogram_hand_case(spark):
     assert hist[2]["n_clusters"] == 1 and hist[2]["n_removable"] == 1
     assert hist[1]["n_clusters"] == 1 and hist[1]["n_removable"] == 0
     assert sum(r["n_docs"] for r in hist.values()) == 6
+
+
+# ---------------------------------------------------------------------------
+# LSH S-curve parameter eval (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_scurve_analytic_matches_closed_form(docs):
+    """Every bucket's analytic_p equals the hand-computed
+    1-(1-s^r)^b at the bucket midpoint (same fixed-order multiply
+    chain), detect rates are valid probabilities, and detected never
+    exceeds the truth count."""
+    from mapreduceimpl_spark.operators.dedup import (
+        LSH_BAND_SIZE,
+        MINHASH_PERMS,
+        lsh_scurve_eval,
+        with_mutated_copies,
+    )
+
+    rows = lsh_scurve_eval(with_mutated_copies(docs)).collect()
+    assert rows, "no truth pairs at the fixture scale"
+    b = MINHASH_PERMS // LSH_BAND_SIZE
+    for r in rows:
+        s = (float(r["bucket"]) + 0.5) / 10.0
+        assert r["s_mid"] == s
+        s_r = 1.0
+        for _ in range(LSH_BAND_SIZE):
+            s_r = s_r * s
+        miss = 1.0
+        for _ in range(b):
+            miss = miss * (1.0 - s_r)
+        import math
+
+        assert r["analytic_p"] == math.floor((1.0 - miss) * 1e6 + 0.5) / 1e6
+        assert 0 <= r["n_detected"] <= r["n_pairs"]
+        assert 0.0 <= r["detect_rate"] <= 1.0
+
+
+def test_lsh_scurve_high_jaccard_detected(docs):
+    """At the operating point the curve promises: near-certain
+    detection in the top bucket (s_mid=0.95 -> P~0.964 analytically;
+    the mutated copies land there) and the measured rate should match
+    the promise direction — high buckets detect better than the
+    analytic floor of the bottom bucket."""
+    from mapreduceimpl_spark.operators.dedup import (
+        lsh_scurve_eval,
+        with_mutated_copies,
+    )
+
+    got = {r["bucket"]: r for r in lsh_scurve_eval(with_mutated_copies(docs)).collect()}
+    top = got[max(got)]
+    assert top["s_mid"] >= 0.8
+    assert top["detect_rate"] >= 0.9  # the mutated-copy pairs are found
+    assert top["analytic_p"] >= 0.9

@@ -330,3 +330,25 @@ def test_deep_estep_plan_size_constant(spark):
     plan_small = explain_str(_estep_used_counts(words, small, MAX_PIECE_LEN), "simple")
     plan_big = explain_str(_estep_used_counts(words, big, MAX_PIECE_LEN), "simple")
     assert len(plan_small.splitlines()) == len(plan_big.splitlines())
+
+
+def test_unigram_fertility_hand_computed(spark):
+    """Fertility on a corpus where the segmentation is predictable:
+    totals recomputed from the segment table row-for-row."""
+    from mapreduceimpl_spark.operators.unigram_lm import unigram_fertility
+
+    docs = _docs(spark, ["spark spark group", "group filter spark"])
+    seg = unigram_lm_segment(docs, iterations=2).collect()
+    n_words = len(seg)
+    total_words = sum(r["freq"] for r in seg)
+    total_pieces = sum(r["freq"] * r["n_pieces"] for r in seg)
+    row = unigram_fertility(docs, iterations=2).collect()[0]
+    assert row["n_words"] == n_words
+    assert row["total_words"] == total_words
+    assert row["total_pieces"] == total_pieces
+    assert row["max_pieces"] == max(r["n_pieces"] for r in seg)
+    import math
+
+    assert row["fertility"] == math.floor(
+        (total_pieces / total_words) * 1e6 + 0.5
+    ) / 1e6
