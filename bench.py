@@ -91,14 +91,16 @@ def main() -> None:
                 # not against its (different-day) recorded number — makes
                 # the host-variance diagnosis mechanical (VERDICT r5 #5).
                 "provenance": {
-                    "prev_round_end_commit": "7bc64da",
-                    "prev_round_end_recheck_warm_sec": 10.304,
-                    "prev_round_end_recheck_with_warmup_sec": 13.818,
-                    "prev_round_recorded_warm_sec": 9.764,
-                    "recheck_date": "2026-08-15",
-                    # first bench after host idle measured 16.63 s on the
-                    # SAME prev-end commit (cold page cache, concentrated
-                    # in the shuffle-heavy queries); compare warm-vs-warm
+                    "prev_round_end_commit": "39621b6",
+                    "prev_round_end_recheck_warm_sec": 10.614,
+                    "prev_round_end_recheck_with_warmup_sec": 14.712,
+                    "prev_round_recorded_warm_sec": 10.65,
+                    "recheck_date": "2026-08-16",
+                    # round-9 b2b (same host, same hour): r8-end commit
+                    # 10.387 / 10.614 s warm vs HEAD 10.47 / 10.27 s warm
+                    # -> HEAD/prev = 0.97x, no regression; compare
+                    # warm-vs-warm (first-run page-cache hazard pinned
+                    # in round 8: 16.63 s on an identical commit)
                 },
             }
         )

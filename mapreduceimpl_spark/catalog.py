@@ -20,11 +20,11 @@ stalest r4 refreshes; the tail is stalest-cohort-first so each
 future round's window promotion is a simple prefix shift.
 Max-age policy: no oracle-backed entry's newest driver row may be
 older than 6 completed rounds.  Feasibility arithmetic at the
-round-9 catalog (267 oracle-backed after the 11-entry retirement,
-see RETIRED_SUPERSET): steady-state re-attestation demand is
-267/6 ~= 44.5 slots/round against the 50-slot window — 5.5
-slots/round of headroom; future rounds must budget new-entry intake
-against THAT margin.  tests/test_catalog_contract.py enforces the
+round-9 catalog (269 oracle-backed: 278 minus the 11-entry
+retirement, see RETIRED_SUPERSET, plus this round's 2-entry intake):
+steady-state re-attestation demand is 269/6 ~= 44.8 slots/round
+against the 50-slot window — ~5 slots/round of headroom; future
+rounds must budget new-entry intake against THAT margin.  tests/test_catalog_contract.py enforces the
 policy against the live CORRECTNESS files; ``DEFERRED_TO_NEXT_ROUND``
 is now DERIVED from those files (bottom of module) instead of
 hand-maintained, and tools/rotation_report.py shows the live state.  The bench set
@@ -9626,8 +9626,9 @@ RETIRED_SPECS: dict[str, QuerySpec] = {
 # promotions are prefix shifts.  Generated by
 # tools/plan_next_window.py from the live CORRECTNESS files after the
 # round-9 retirement (RETIRED_SUPERSET) shrank the oracle-backed
-# catalog to 267 (steady-state re-attestation demand 267/6 ~= 44.5
-# slots/round vs the 50-slot window — 5.5 slots/round of headroom).
+# catalog to 267; the 2-entry round-9 intake at position 51+ brings
+# it to 269 (steady-state re-attestation demand 269/6 ~= 44.8
+# slots/round vs the 50-slot window — ~5 slots/round of headroom).
 _ROUND9_ORDER = [
     'mmr_rerank_ivf', 'unigram_lm_train', 'unigram_lm_segment', 'agg_cube',
     'grouping_sets', 'join_inner', 'join_left', 'join_semi',

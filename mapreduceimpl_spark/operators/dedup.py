@@ -340,7 +340,8 @@ def lsh_scurve_eval(
 ) -> DataFrame:
     """LSH band/row parameter-tuning eval: MEASURED candidate-detection
     rate per true-Jaccard bucket next to the ANALYTIC S-curve
-    ``P(candidate | s) = 1 - (1 - s^r)^b`` (r = band_size, b = bands)
+    ``P(candidate | s) = 1 - (1 - s^r)^b`` (r = band_size, b = bands;
+    Leskovec, Rajaraman & Ullman, "Mining of Massive Datasets" §3.4.2)
     — the curve every large-scale dedup tunes (b, r) against, here
     checked against ground truth instead of trusted on faith.  The
     sketch-error-eval sibling of ``bloom_fp_eval`` / ``pq_recall_eval``.

@@ -761,6 +761,23 @@ ANNOTATED = {
         "ranges at fixture scale; 64 MiB default in production), not "
         "shard size."
     ),
+    "lsh_scurve_eval": (
+        "LSH (b, r) tuning eval (round 9): truth side is the shingle "
+        "inverted index (equi-join on shingle, O(sum df^2) never n^2); "
+        "detection side is the banded MinHash self-join (O(sum "
+        "bucket^2)); the two meet in ONE left join keyed on the "
+        "uniformly-distributed (doc_a, doc_b) pair, and everything "
+        "after is a |buckets|-row aggregate with the analytic S-curve "
+        "as codegen arithmetic. No stage ever materializes all pairs."
+    ),
+    "unigram_fertility": (
+        "Tokenizer fertility (round 9): the only corpus-sized work is "
+        "the wordcount shuffle inside the trainer; segmentation is the "
+        "Arrow-batched Viterbi mapInPandas over the Heaps-bounded "
+        "distinct-word table, and the report is a single global "
+        "aggregate of that vocab-sized frame (partial -> final "
+        "HashAggregate, one 1-row exchange)."
+    ),
 }
 
 
@@ -768,15 +785,28 @@ def main() -> None:
     spark = get_spark("dump-plans")
     spark.sparkContext.setLogLevel("ERROR")
     qs = catalog.queries()
+    # retired entries (catalog.RETIRED_SUPERSET) keep their pinned
+    # plans: the code still runs inside its superset entry and in the
+    # retired-entry pytest harness, so the plan audit still applies
+    retired = {
+        name: spec.fn for name, spec in catalog.RETIRED_SPECS.items()
+    }
     out = [
         "# PLANS — physical plans of headline queries (generated by tools/dump_plans.py)",
         "",
         "Each plan is `explain('formatted')` output at sf0.01, with the",
         "scale property it demonstrates. Regenerate after plan changes.",
+        "Entries marked (retired) live in catalog.RETIRED_SPECS — value-",
+        "verified by tests/test_retired_entries.py, composed by a live",
+        "superset entry rather than holding their own rotation slot.",
         "",
     ]
     for name, note in ANNOTATED.items():
-        df = qs[name](spark, SF)
+        if name in qs:
+            df = qs[name](spark, SF)
+        else:
+            df = retired[name](spark, SF)
+            name = f"{name} (retired)"
         # NUL sentinels in plan literals (e.g. a coalesce('\x00') null
         # marker) would make the whole file binary to grep
         plan = explain_str(df, "formatted").replace("\x00", "\\x00")
