@@ -9571,6 +9571,16 @@ FROM (
             "family: freq-weighted totals over the hash-verified "
             "segment table, one corpus-sized wordcount shuffle total",
     ),
+    "feature_hashing": QuerySpec(
+        lambda spark, sf_dir: text_analysis.feature_hashing(
+            load_table(spark, sf_dir, "documents")
+        ),
+        text_analysis.feature_hashing_sql(),
+        doc="signed hashing-trick bag-of-words (Weinberger ICML 2009): "
+            "model-free fixed-dim sparse text vectors with no vocab "
+            "table — one wordcount-shaped shuffle; the cheap-embedding "
+            "front end for knn/classifier/clustering at corpus scale",
+    ),
 }
 
 
@@ -9645,7 +9655,7 @@ _ROUND9_ORDER = [
     'events_running_anomaly', 'revenue_pareto',
     # position 51+: round-9 additions (derived deferrals; first in
     # line for the r10 window after local + judge verification)
-    'lsh_scurve_eval', 'unigram_fertility',
+    'lsh_scurve_eval', 'unigram_fertility', 'feature_hashing',
     'customer_rfm', 'event_top_paths',
     'state_intervals', 'fuzzy_join', 'vocab_topk', 'quality_percentile',
     'random_projection', 'next_event_pairs', 'token_pair_counts', 'knn_classify_lsh',

@@ -424,6 +424,74 @@ def fingerprint_winnow(docs: DataFrame, k: int = 5, window: int = 4) -> DataFram
     )
 
 
+def feature_hashing(
+    docs: DataFrame, dim: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """Signed hashing-trick bag-of-words (Weinberger et al., ICML 2009
+    "Feature Hashing for Large Scale Multitask Learning"): the
+    model-free text embedding a 100 TB pipeline uses when a learned
+    encoder is too expensive — fixed ``dim``-dimensional sparse
+    vectors with no vocabulary table, no training pass, and no state
+    to ship.
+
+    token t -> bucket = md5int('fh:' || t) mod dim, sign = +1/-1 from
+    an INDEPENDENT hash bit (md5int('fhs:' || t) mod 2) — the signed
+    variant keeps collision bias zero in expectation (the paper's
+    unbiasedness lemma).  Output: sparse rows (doc_id, bucket, weight)
+    with weight = signed token-count sum (exact BIGINT; weights that
+    cancel to 0 are kept — dropping them would make row counts depend
+    on collision layout).
+
+    Scale: one token explode -> one (doc_id, bucket) aggregate with
+    map-side partial sums — wordcount-shaped, the cheapest possible
+    shuffle; downstream knn/classifier/clustering consume the sparse
+    rows directly.  Engine-portable by construction: both hashes are
+    the repo's standard first-8-hex-digits md5 integer parse
+    (``conv(hex, 16, 10)`` == DuckDB ``CAST('0x' || ... AS BIGINT)``).
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+
+    def _md5int(prefix: str, col: F.Column) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), col)), 1, 8), 16, 10
+        ).cast("long")
+
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    return (
+        tok.select(
+            "doc_id",
+            (_md5int("fh:", F.col("token")) % dim).alias("bucket"),
+            F.when(_md5int("fhs:", F.col("token")) % 2 == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("sign"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("long").alias("weight"))
+    )
+
+
+def feature_hashing_sql(dim: int = 64, source: str = "documents") -> str:
+    """DuckDB mirror of :func:`feature_hashing` (same md5 lanes, same
+    mod/sign arithmetic) — kept next to the operator so the pair can
+    only be edited together."""
+    b = "CAST('0x' || substr(md5('fh:' || token), 1, 8) AS BIGINT)"
+    s = "CAST('0x' || substr(md5('fhs:' || token), 1, 8) AS BIGINT)"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM {source}
+)
+SELECT doc_id,
+       {b} % {dim} AS bucket,
+       CAST(SUM(CASE WHEN {s} % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+FROM tok
+WHERE length(token) > 0
+GROUP BY doc_id, {b} % {dim}
+"""
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF
     (``tf * (ln((N+1)/(df+1)) + 1)`` — the smoothed sklearn-style

@@ -1635,3 +1635,42 @@ def test_effective_domains_hand_cases(spark):
     assert got["mono"]["effective_sources"] == 1.0 and got["mono"]["entropy"] == 0.0
     assert got["skew"]["n_sources"] == 4
     assert got["skew"]["effective_sources"] < 2.0
+
+
+def test_feature_hashing_hand_computed(spark):
+    """Signed hashing-trick vectors recomputed token-by-token with the
+    same md5 lanes: buckets, signs, and weights all exact; repeated
+    tokens accumulate; empty tokens dropped."""
+    from mapreduceimpl_spark.operators.text_analysis import feature_hashing
+
+    docs = spark.createDataFrame(
+        [(0, "cat cat dog"), (1, "dog")], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["bucket"]): r["weight"]
+        for r in feature_hashing(docs, dim=8).collect()
+    }
+    import hashlib
+
+    def md5int(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    want: dict = {}
+    for doc_id, text in [(0, "cat cat dog"), (1, "dog")]:
+        for t in text.split(" "):
+            b = md5int(f"fh:{t}") % 8
+            s = 1 if md5int(f"fhs:{t}") % 2 == 0 else -1
+            want[(doc_id, b)] = want.get((doc_id, b), 0) + s
+    assert got == want
+
+
+def test_feature_hashing_partition_invariant_and_validates(spark, docs):
+    from mapreduceimpl_spark.operators.text_analysis import feature_hashing
+
+    a = {tuple(r) for r in feature_hashing(docs.coalesce(1), dim=16).collect()}
+    b = {tuple(r) for r in feature_hashing(docs.repartition(7), dim=16).collect()}
+    assert a == b and len(a) > 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        feature_hashing(docs, dim=0)

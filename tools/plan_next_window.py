@@ -14,11 +14,12 @@ packing order the simulation assumes —
      whenever they run; they never consume a rotation slot), in
      current order, at the tail.
 
-Paste the output as the next ``_ROUND{N}_ORDER`` literal, rename the
-variable, update ``DEFERRED_TO_NEXT_ROUND`` (it must shrink to the
-entries past the window, which this plan makes empty unless intake
-exceeded a window), and run tests/test_catalog_contract.py — the
-simulation test validates the result mechanically.
+Paste the output as the next ``_ROUND{N}_ORDER`` literal and rename
+the variable; ``DEFERRED_TO_NEXT_ROUND`` needs no edit — since round
+9 it is DERIVED from the live CORRECTNESS files at catalog import
+(exactly the oracle-backed entries past the window with no driver
+row).  Run tests/test_catalog_contract.py — the simulation test
+validates the result mechanically.
 
 Usage: python tools/plan_next_window.py [--names-only]
 """

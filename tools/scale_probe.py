@@ -561,6 +561,21 @@ def _probe_unigram_vocab_synth(spark, sf_dir: str):
     return time.time() - t0, n_out
 
 
+def _probe_lsh_scurve(spark, sf_dir: str):
+    """lsh_scurve_eval growth: truth side is the shingle inverted
+    index (O(sum df^2)), detection side the banded self-join (O(sum
+    bucket^2)) — the composed eval should inherit both sub-quadratic
+    bounds across the 10x corpus step, and the top-bucket detection
+    rate should stay ~1 at every scale (the S-curve is scale-free)."""
+    corpus = dedup.with_mutated_copies(load_table(spark, sf_dir, "documents"))
+    t0 = time.time()
+    rows = dedup.lsh_scurve_eval(corpus).collect()
+    wall = time.time() - t0
+    top = max(rows, key=lambda r: r["bucket"])
+    assert top["detect_rate"] >= 0.9, rows
+    return wall, len(rows)
+
+
 def _probe_unigram_em_depth(spark, sf_dir: str):
     """Depth-linearity probe for the deep EM tier (VERDICT r8 #3):
     FIXED input (sf0.01 documents regardless of sf_dir — this probe
@@ -889,6 +904,7 @@ PROBES = {
     "unigram_lm": _probe_unigram_lm,
     "unigram_vocab_synth": _probe_unigram_vocab_synth,
     "unigram_em_depth": _probe_unigram_em_depth,
+    "lsh_scurve": _probe_lsh_scurve,
     "kmeans_lloyd": _probe_kmeans_lloyd,
     "ivf_lloyd": _probe_ivf_lloyd,
     "glove": _probe_glove,
