@@ -9581,6 +9581,17 @@ FROM (
             "table — one wordcount-shaped shuffle; the cheap-embedding "
             "front end for knn/classifier/clustering at corpus scale",
     ),
+    "fh_cosine_topk": QuerySpec(
+        lambda spark, sf_dir: text_analysis.fh_cosine_topk(
+            load_table(spark, sf_dir, "documents")
+        ),
+        text_analysis.fh_cosine_topk_sql(),
+        doc="cosine top-k retrieval over the hashed vectors (embed -> "
+            "retrieve with no trained encoder): exact BIGINT dot "
+            "products, sqrt-of-integer norms, rounded-then-ranked "
+            "cosine; bounded query side broadcast onto never-shuffled "
+            "corpus vectors, one keyed aggregate",
+    ),
 }
 
 
@@ -9655,7 +9666,7 @@ _ROUND9_ORDER = [
     'events_running_anomaly', 'revenue_pareto',
     # position 51+: round-9 additions (derived deferrals; first in
     # line for the r10 window after local + judge verification)
-    'lsh_scurve_eval', 'unigram_fertility', 'feature_hashing',
+    'lsh_scurve_eval', 'unigram_fertility', 'feature_hashing', 'fh_cosine_topk',
     'customer_rfm', 'event_top_paths',
     'state_intervals', 'fuzzy_join', 'vocab_topk', 'quality_percentile',
     'random_projection', 'next_event_pairs', 'token_pair_counts', 'knn_classify_lsh',

@@ -492,6 +492,113 @@ GROUP BY doc_id, {b} % {dim}
 """
 
 
+def fh_cosine_topk(
+    docs: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    dim: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cosine top-k retrieval over :func:`feature_hashing` vectors —
+    the completion of the model-free embedding path (embed ->
+    retrieve without any trained encoder): the first ``n_queries``
+    docs by id query the whole corpus.
+
+    Exactness: the dot product is a SUM of BIGINT weight products —
+    exact integers, no float accumulation order to worry about; each
+    norm is one sqrt of an exact integer (sqrt is correctly rounded in
+    every IEEE engine) and the cosine is rounded at 1e-6 BEFORE
+    ranking with a doc_id tiebreak — the repo's standard portable-rank
+    recipe.  The self-pair stays in the result: query == doc scoring
+    cosine 1.0 at rank 1 is the retrieval sanity invariant
+    (pytest-pinned).
+
+    Scale: the query side is ``n_queries`` x dim bounded rows —
+    broadcast onto the corpus vectors (join on the dim-valued bucket
+    key), so the corpus table never shuffles for the join; the
+    (query, doc) partial dot products then take ONE keyed aggregate
+    (Q x |docs| rows, Q bounded) and a per-query rank window over the
+    scored relation.  Output: (query_id, doc_id, cosine, rank).
+    """
+    if n_queries < 1 or k < 1:
+        raise ValueError(f"n_queries and k must be >= 1, got {n_queries}, {k}")
+    vecs = feature_hashing(docs, dim, text_col)
+    norms = vecs.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight")).cast("double")).alias(
+            "norm"
+        )
+    )
+    q = vecs.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"),
+        "bucket",
+        F.col("weight").alias("w_q"),
+    )
+    qn = norms.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"), F.col("norm").alias("norm_q")
+    )
+    dots = (
+        vecs.join(F.broadcast(q), "bucket")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("w_q") * F.col("weight")).cast("long").alias("dot"))
+    )
+    scored = (
+        dots.join(norms, "doc_id")
+        .join(F.broadcast(qn), "query_id")
+        .filter((F.col("norm") > 0) & (F.col("norm_q") > 0))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("dot").cast("double") / (F.col("norm") * F.col("norm_q")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def fh_cosine_topk_sql(
+    n_queries: int = 10, k: int = 5, dim: int = 64, source: str = "documents"
+) -> str:
+    """DuckDB mirror of :func:`fh_cosine_topk` over the shared
+    :func:`feature_hashing_sql` body."""
+    return f"""
+WITH fh AS ({feature_hashing_sql(dim, source)}),
+norms AS (
+  SELECT doc_id, sqrt(CAST(SUM(weight * weight) AS DOUBLE)) AS norm
+  FROM fh GROUP BY doc_id
+),
+dots AS (
+  SELECT q.doc_id AS query_id, d.doc_id AS doc_id,
+         CAST(SUM(q.weight * d.weight) AS BIGINT) AS dot
+  FROM fh q JOIN fh d ON q.bucket = d.bucket
+  WHERE q.doc_id < {n_queries}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT dots.query_id AS query_id, dots.doc_id AS doc_id,
+         round(CAST(dot AS DOUBLE) / (nd.norm * nq.norm), 6) AS cosine
+  FROM dots
+  JOIN norms nd ON dots.doc_id = nd.doc_id
+  JOIN norms nq ON dots.query_id = nq.doc_id
+  WHERE nd.norm > 0 AND nq.norm > 0
+)
+SELECT query_id, doc_id, cosine, rank FROM (
+  SELECT query_id, doc_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, doc_id ASC) AS BIGINT)
+           AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF
     (``tf * (ln((N+1)/(df+1)) + 1)`` — the smoothed sklearn-style

@@ -1674,3 +1674,34 @@ def test_feature_hashing_partition_invariant_and_validates(spark, docs):
 
     with pytest.raises(ValueError):
         feature_hashing(docs, dim=0)
+
+
+def test_fh_cosine_topk_self_retrieval_and_shape(spark, docs):
+    """Retrieval sanity over the hashed vectors: every query's rank-1
+    hit is itself at cosine 1.0 (exact — integer dot over its own
+    norm squared), ranks are 1..k dense per query, and scores are
+    non-increasing down each ranked list."""
+    from mapreduceimpl_spark.operators.text_analysis import fh_cosine_topk
+
+    rows = fh_cosine_topk(docs, n_queries=5, k=4).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, lst in by_q.items():
+        lst.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in lst] == list(range(1, len(lst) + 1))
+        assert lst[0]["doc_id"] == qid and lst[0]["cosine"] == 1.0
+        scores = [r["cosine"] for r in lst]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+
+
+def test_fh_cosine_topk_corpus_not_shuffled_for_join(spark, docs):
+    """The query side must broadcast onto the corpus vectors: the
+    bucket join plans as a BroadcastHashJoin, never a SortMergeJoin
+    shuffling the corpus."""
+    from mapreduceimpl_spark.operators.text_analysis import fh_cosine_topk
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(fh_cosine_topk(docs), "simple")
+    assert "BroadcastHashJoin" in plan

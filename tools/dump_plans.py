@@ -778,6 +778,15 @@ ANNOTATED = {
         "aggregate of that vocab-sized frame (partial -> final "
         "HashAggregate, one 1-row exchange)."
     ),
+    "fh_cosine_topk": (
+        "Embed -> retrieve with no trained encoder (round 9): the "
+        "bounded query vectors BROADCAST onto the corpus hashed "
+        "vectors (BroadcastHashJoin on bucket — the corpus never "
+        "shuffles for the join, plan-pinned in pytest), the dot "
+        "products are exact BIGINT sums through one keyed aggregate, "
+        "and the rank window reads only the Q x |docs| scored "
+        "relation with rounded-then-ranked cosine."
+    ),
 }
 
 
