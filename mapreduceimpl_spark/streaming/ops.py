@@ -1529,6 +1529,57 @@ def stream_domain_frequency_cap(
     )
 
 
+def stream_feature_hashing(
+    docs: DataFrame, dim: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """Embed-on-ingest twin of ``text_analysis.feature_hashing``:
+    signed hashing-trick sparse vectors over a continuous document
+    stream, STATELESS — no state store, no watermark, append mode at
+    any rate.
+
+    The batch operator's groupBy(doc_id, bucket) would be a stateful
+    streaming aggregation, but each document arrives as ONE row, so
+    the per-doc vector is computable row-locally: distinct buckets
+    come from a ``transform`` over the row's token array, and each
+    exploded (doc, bucket) row folds its weight with an ``aggregate``
+    HOF over the SAME row-local array — exact integer sums, so the
+    emitted rows equal the batch operator's bit-for-bit (pytest pins
+    stream == batch across micro-batches).
+
+    Scale: per-row work is O(tokens x distinct buckets) with dim
+    bounded (64 default) — a codegen projection, the cheapest
+    streaming stage there is.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+
+    def _md5int(prefix: str, t: F.Column) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), t)), 1, 8), 16, 10
+        ).cast("long")
+
+    def _bucket(t: F.Column) -> F.Column:
+        return _md5int("fh:", t) % dim
+
+    def _sign(t: F.Column) -> F.Column:
+        return F.when(_md5int("fhs:", t) % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
+    )
+    rows = docs.select(
+        "doc_id",
+        toks.alias("__toks"),
+        F.explode(F.array_distinct(F.transform(toks, _bucket))).alias("bucket"),
+    )
+    weight = F.aggregate(
+        F.filter(F.col("__toks"), lambda t: _bucket(t) == F.col("bucket")),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + _sign(t),
+    )
+    return rows.select("doc_id", "bucket", weight.alias("weight"))
+
+
 def stream_crawl_gates(
     docs: DataFrame,
     ts_col: str = "ingest_ts",

@@ -1434,3 +1434,31 @@ def test_stream_crawl_gates_plan_is_stateless_except_dedup(spark):
     )
     assert len(re.findall("Deduplicate", plan)) == 1
     assert "Join" not in plan
+
+
+def test_stream_feature_hashing_matches_batch(spark, tmp_path):
+    """Embed-on-ingest twin: the stateless row-local HOF formulation
+    over a two-micro-batch stream must equal the batch
+    feature_hashing aggregate bit-for-bit (exact integer weights)."""
+    from mapreduceimpl_spark.operators.text_analysis import feature_hashing
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    batch = {tuple(r) for r in feature_hashing(docs, dim=32).collect()}
+
+    src = tmp_path / "docs_for_hashing"
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(str(src / "a"))
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    got = _run_stream(
+        streaming.stream_feature_hashing(stream, dim=32), mode="append"
+    )
+    assert {tuple(r) for r in got} == batch
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        streaming.stream_feature_hashing(stream, dim=0)
