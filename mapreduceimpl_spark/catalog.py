@@ -20,10 +20,10 @@ stalest r4 refreshes; the tail is stalest-cohort-first so each
 future round's window promotion is a simple prefix shift.
 Max-age policy: no oracle-backed entry's newest driver row may be
 older than 6 completed rounds.  Feasibility arithmetic at the
-round-9 catalog (269 oracle-backed: 278 minus the 11-entry
-retirement, see RETIRED_SUPERSET, plus this round's 2-entry intake):
-steady-state re-attestation demand is 269/6 ~= 44.8 slots/round
-against the 50-slot window — ~5 slots/round of headroom; future
+round-9 catalog (271 oracle-backed: 278 minus the 11-entry
+retirement, see RETIRED_SUPERSET, plus this round's 4-entry intake):
+steady-state re-attestation demand is 271/6 ~= 45.2 slots/round
+against the 50-slot window — ~4.8 slots/round of headroom; future
 rounds must budget new-entry intake against THAT margin.  tests/test_catalog_contract.py enforces the
 policy against the live CORRECTNESS files; ``DEFERRED_TO_NEXT_ROUND``
 is now DERIVED from those files (bottom of module) instead of
@@ -9537,7 +9537,7 @@ FROM cme_agg CROSS JOIN cme_tot""",
             "next to the analytic bound; wraps the countmin replay",
     ),
     # ------------------------------------------------------------------
-    # round-9 additions (intake cap <= 4: 2 used)
+    # round-9 additions (intake cap <= 4: all 4 used)
     # ------------------------------------------------------------------
     "lsh_scurve_eval": QuerySpec(
         lambda spark, sf_dir: dedup.lsh_scurve_eval(
@@ -9596,10 +9596,17 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
-# retired entries (round 9, VERDICT r8 #6): each of these is a strict
-# subset of a still-registered composed entry — its every stage runs
-# (and is value-verified by the driver) inside the named superset, so
-# keeping a separate rotation slot was pure re-attestation bookkeeping.
+# retired entries (round 9, VERDICT r8 #6).  Nine of the eleven are
+# strict subsets of a still-registered composed entry — their every
+# stage runs (and is value-verified by the driver) inside the named
+# superset.  Two are SIBLING CONFIGURATIONS rather than literal
+# subsets, stated plainly: dedup_simhash_pairs is the same pipeline
+# as dedup_simhash64_pairs at 32 bits (the shared sig/blocking code
+# is driver-verified at 64), and knn_classify's brute distance scan
+# is driver-verified via ann_topk/ann_recall_eval while its vote
+# aggregation runs inside knn_classify_lsh — for those two the
+# driver-level sf0.01 attestation of the exact configuration is
+# traded for the pytest harness below.
 # The (fn, oracle) pair is NOT deleted: tests/test_retired_entries.py
 # runs the SAME driver-style Spark-vs-DuckDB value compare for every
 # retired entry at sf0.001 on every pytest run, so these stay
@@ -9647,9 +9654,9 @@ RETIRED_SPECS: dict[str, QuerySpec] = {
 # promotions are prefix shifts.  Generated by
 # tools/plan_next_window.py from the live CORRECTNESS files after the
 # round-9 retirement (RETIRED_SUPERSET) shrank the oracle-backed
-# catalog to 267; the 2-entry round-9 intake at position 51+ brings
-# it to 269 (steady-state re-attestation demand 269/6 ~= 44.8
-# slots/round vs the 50-slot window — ~5 slots/round of headroom).
+# catalog to 267; the 4-entry round-9 intake at position 51+ brings
+# it to 271 (steady-state re-attestation demand 271/6 ~= 45.2
+# slots/round vs the 50-slot window — ~4.8 slots/round of headroom).
 _ROUND9_ORDER = [
     'mmr_rerank_ivf', 'unigram_lm_train', 'unigram_lm_segment', 'agg_cube',
     'grouping_sets', 'join_inner', 'join_left', 'join_semi',
@@ -9733,17 +9740,34 @@ if set(_ROUND9_ORDER) != set(SPECS) or len(_ROUND9_ORDER) != len(SPECS):
     )
 SPECS = {name: SPECS[name] for name in _ROUND9_ORDER}
 
-# Derived deferral set (see the VERIFICATION_WINDOW comment): the
-# oracle-backed entries past the recording window with no driver row
-# yet.  Self-cleaning by construction — the moment the driver attests
-# an entry (wherever it sat), it leaves this set on the next import.
-DEFERRED_TO_NEXT_ROUND: frozenset[str] = frozenset(
-    name
-    for i, name in enumerate(SPECS)
-    if i >= VERIFICATION_WINDOW
-    and SPECS[name].oracle is not None
-    and name not in driver_verified_queries()
-)
+def deferred_to_next_round() -> frozenset[str]:
+    """Derived deferral set (see the VERIFICATION_WINDOW comment): the
+    oracle-backed entries past the recording window with no driver row
+    yet.  Self-cleaning by construction — the moment the driver attests
+    an entry (wherever it sat), it leaves this set on the next read.
+
+    Computed lazily (exposed as the module attribute
+    ``DEFERRED_TO_NEXT_ROUND`` via PEP 562) so plain production imports
+    of the catalog never pay the CORRECTNESS-file glob, and a checkout
+    WITHOUT any CORRECTNESS files (a deployment, not the rotation
+    workspace) reports an EMPTY deferral set rather than labelling the
+    whole catalog tail deferred (review r9)."""
+    verified = driver_verified_queries()
+    if not verified:  # no rotation bookkeeping present: nothing deferred
+        return frozenset()
+    return frozenset(
+        name
+        for i, name in enumerate(SPECS)
+        if i >= VERIFICATION_WINDOW
+        and SPECS[name].oracle is not None
+        and name not in verified
+    )
+
+
+def __getattr__(name: str):
+    if name == "DEFERRED_TO_NEXT_ROUND":
+        return deferred_to_next_round()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 # Bench execution order, pinned to round 2's recorded order so the

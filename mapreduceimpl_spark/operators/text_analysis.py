@@ -424,6 +424,28 @@ def fingerprint_winnow(docs: DataFrame, k: int = 5, window: int = 4) -> DataFram
     )
 
 
+def _fh_md5int(prefix: str, col: F.Column) -> F.Column:
+    """First-8-hex-digits md5 integer of ``prefix || token`` — the ONE
+    definition of the feature-hashing lanes, shared by the batch
+    operator, the streaming twin, and (string-mirrored) the SQL oracle
+    so the 'fh:'/'fhs:' contract cannot silently fork (review r9)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), col)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def fh_bucket(token: F.Column, dim: int) -> F.Column:
+    """Feature-hashing bucket of a token column (md5 'fh:' lane mod dim)."""
+    return _fh_md5int("fh:", token) % dim
+
+
+def fh_sign(token: F.Column) -> F.Column:
+    """Independent +1/-1 sign of a token column (md5 'fhs:' lane parity)."""
+    return F.when(_fh_md5int("fhs:", token) % 2 == 0, F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+
+
 def feature_hashing(
     docs: DataFrame, dim: int = 64, text_col: str = "text"
 ) -> DataFrame:
@@ -451,22 +473,14 @@ def feature_hashing(
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
-
-    def _md5int(prefix: str, col: F.Column) -> F.Column:
-        return F.conv(
-            F.substring(F.md5(F.concat(F.lit(prefix), col)), 1, 8), 16, 10
-        ).cast("long")
-
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
     ).filter(F.length("token") > 0)
     return (
         tok.select(
             "doc_id",
-            (_md5int("fh:", F.col("token")) % dim).alias("bucket"),
-            F.when(_md5int("fhs:", F.col("token")) % 2 == 0, F.lit(1))
-            .otherwise(F.lit(-1))
-            .alias("sign"),
+            fh_bucket(F.col("token"), dim).alias("bucket"),
+            fh_sign(F.col("token")).alias("sign"),
         )
         .groupBy("doc_id", "bucket")
         .agg(F.sum("sign").cast("long").alias("weight"))

@@ -1550,19 +1550,10 @@ def stream_feature_hashing(
     bounded (64 default) — a codegen projection, the cheapest
     streaming stage there is.
     """
+    from mapreduceimpl_spark.operators.text_analysis import fh_bucket, fh_sign
+
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
-
-    def _md5int(prefix: str, t: F.Column) -> F.Column:
-        return F.conv(
-            F.substring(F.md5(F.concat(F.lit(prefix), t)), 1, 8), 16, 10
-        ).cast("long")
-
-    def _bucket(t: F.Column) -> F.Column:
-        return _md5int("fh:", t) % dim
-
-    def _sign(t: F.Column) -> F.Column:
-        return F.when(_md5int("fhs:", t) % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
 
     toks = F.filter(
         F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
@@ -1570,12 +1561,14 @@ def stream_feature_hashing(
     rows = docs.select(
         "doc_id",
         toks.alias("__toks"),
-        F.explode(F.array_distinct(F.transform(toks, _bucket))).alias("bucket"),
+        F.explode(
+            F.array_distinct(F.transform(toks, lambda t: fh_bucket(t, dim)))
+        ).alias("bucket"),
     )
     weight = F.aggregate(
-        F.filter(F.col("__toks"), lambda t: _bucket(t) == F.col("bucket")),
+        F.filter(F.col("__toks"), lambda t: fh_bucket(t, dim) == F.col("bucket")),
         F.lit(0).cast("long"),
-        lambda acc, t: acc + _sign(t),
+        lambda acc, t: acc + fh_sign(t),
     )
     return rows.select("doc_id", "bucket", weight.alias("weight"))
 

@@ -572,7 +572,9 @@ def _probe_lsh_scurve(spark, sf_dir: str):
     rows = dedup.lsh_scurve_eval(corpus).collect()
     wall = time.time() - t0
     top = max(rows, key=lambda r: r["bucket"])
-    assert top["detect_rate"] >= 0.9, rows
+    if top["detect_rate"] < 0.9:  # report, never abort a measurement tool
+        print(json.dumps({"probe": "lsh_scurve", "warn": "top-bucket "
+                          f"detect_rate {top['detect_rate']} < 0.9"}))
     return wall, len(rows)
 
 
@@ -597,9 +599,12 @@ def _probe_unigram_em_depth(spark, sf_dir: str):
     lls = [r["corpus_ll"] for r in hist.orderBy("round").collect()]
     n = pieces.count()
     wall = time.time() - t0
-    assert all(b >= a for a, b in zip(lls, lls[1:])), (
-        f"hard-EM objective decreased at depth {rounds}: {lls}"
-    )
+    if not all(b >= a for a, b in zip(lls, lls[1:])):
+        # report, never abort: the char floor makes monotonicity an
+        # empirical property (trainer docstring) — the pytest pins it
+        # on the fixtures; the probe's job is the timing
+        print(json.dumps({"probe": "unigram_em_depth", "warn":
+                          f"LL dipped at depth {rounds}: {lls}"}))
     return wall, n
 
 
