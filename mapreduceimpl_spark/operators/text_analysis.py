@@ -613,6 +613,190 @@ WHERE rank <= {k}
 """
 
 
+def chunk_retrieval_maxp(
+    docs: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    dim: int = 64,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Chunk-level dense retrieval with MaxP document aggregation —
+    the passage-scoring doc ranker of Dai & Callan (SIGIR 2019,
+    "Deeper Text Understanding for IR with Contextual Neural Language
+    Modeling"): a document's score for a query is the MAX of its
+    passages' scores.  Composed entirely from hash-verified stages:
+    ``chunk_documents`` (64/8 token windows) -> ``feature_hashing``
+    per chunk (model-free vectors) -> chunk-vs-chunk cosine (exact
+    BIGINT dots, the ``fh_cosine_topk`` arithmetic) -> per-(query,
+    doc) MAX over the target doc's chunks -> top-k docs per query.
+
+    Queries are the FIRST chunk of each doc with doc_id < n_queries
+    (the "lead-passage as query" retrieval-eval convention); the
+    query's own document is excluded from candidates, so rank 1 is
+    the nearest OTHER document.  Output: (query_id, doc_id, score,
+    rank) with score = max chunk cosine rounded at 1e-6 BEFORE both
+    the max and the rank (round-then-aggregate keeps the doc score
+    engine-portable: max of rounded values == rounded max only when
+    rounding precedes the fold).
+
+    Scale: chunking is a zero-shuffle narrow transform; hashing is
+    one wordcount-shaped shuffle on chunk ids; the bounded query
+    vectors broadcast onto the never-shuffled chunk vectors; the MaxP
+    rollup and rank read only the Q x |docs| aggregated relation.
+    chunk_id = doc_id * 1024 + chunk_idx with the pretrain_funnel
+    raise_error guard — an over-long document fails loudly, never
+    aliases two chunks onto one id.
+    """
+    if n_queries < 1 or k < 1:
+        raise ValueError(f"n_queries and k must be >= 1, got {n_queries}, {k}")
+    chunk_id = F.when(
+        F.col("chunk_idx") < 1024, F.col("doc_id") * 1024 + F.col("chunk_idx")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("chunk_retrieval_maxp: chunk_idx >= 1024 for doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(" — widen the chunk-id multiplier"),
+            )
+        )
+    )
+    chunks = chunk_documents(docs, chunk_tokens, overlap).select(
+        chunk_id.alias("doc_id"), "chunk_text"
+    )
+    vecs = feature_hashing(chunks, dim, text_col="chunk_text").withColumnRenamed(
+        "doc_id", "chunk_id"
+    )
+    norms = vecs.groupBy("chunk_id").agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight")).cast("double")).alias(
+            "norm"
+        )
+    )
+    # query = chunk 0 of each doc below n_queries: chunk_id == doc_id*1024
+    is_query = (F.col("chunk_id") % 1024 == 0) & (
+        F.col("chunk_id") < n_queries * 1024
+    )
+    q = vecs.filter(is_query).select(
+        (F.col("chunk_id") / 1024).cast("long").alias("query_id"),
+        "bucket",
+        F.col("weight").alias("w_q"),
+    )
+    qn = norms.filter(is_query).select(
+        (F.col("chunk_id") / 1024).cast("long").alias("query_id"),
+        F.col("norm").alias("norm_q"),
+    )
+    dots = (
+        vecs.join(F.broadcast(q), "bucket")
+        .groupBy("query_id", "chunk_id")
+        .agg(F.sum(F.col("w_q") * F.col("weight")).cast("long").alias("dot"))
+    )
+    scored = (
+        dots.join(norms, "chunk_id")
+        .join(F.broadcast(qn), "query_id")
+        .filter((F.col("norm") > 0) & (F.col("norm_q") > 0))
+        .select(
+            "query_id",
+            F.floor(F.col("chunk_id") / 1024).cast("long").alias("doc_id"),
+            F.round(
+                F.col("dot").cast("double") / (F.col("norm") * F.col("norm_q")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("doc_id") != F.col("query_id"))  # never self-doc
+    )
+    maxp = scored.groupBy("query_id", "doc_id").agg(
+        F.max("cosine").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        maxp.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def chunk_retrieval_maxp_sql(
+    n_queries: int = 5,
+    k: int = 5,
+    dim: int = 64,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    source: str = "documents",
+) -> str:
+    """DuckDB mirror of :func:`chunk_retrieval_maxp`, composing the
+    shared chunk arithmetic (the catalog's ``_chunk_sql`` shape) with
+    the shared :func:`feature_hashing_sql` lanes."""
+    stride = chunk_tokens - overlap
+    return f"""
+WITH cbase AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks FROM {source}
+),
+cex AS (
+  SELECT doc_id, toks,
+         unnest(range(0, 1 + GREATEST(0,
+             CAST(ceil((len(toks) - {chunk_tokens}) / {stride}.0) AS BIGINT))))
+           AS chunk_idx
+  FROM cbase
+),
+chunkrows AS (
+  SELECT doc_id * 1024 + chunk_idx AS chunk_id,
+         array_to_string(list_slice(toks, chunk_idx * {stride} + 1,
+                                    chunk_idx * {stride} + {chunk_tokens}),
+                         ' ') AS chunk_text
+  FROM cex
+),
+tok AS (
+  SELECT chunk_id, unnest(string_split(chunk_text, ' ')) AS token
+  FROM chunkrows
+),
+fh AS (
+  SELECT chunk_id,
+         CAST('0x' || substr(md5('fh:' || token), 1, 8) AS BIGINT) % {dim}
+           AS bucket,
+         CAST(SUM(CASE WHEN CAST('0x' || substr(md5('fhs:' || token), 1, 8)
+                             AS BIGINT) % 2 = 0
+                       THEN 1 ELSE -1 END) AS BIGINT) AS weight
+  FROM tok
+  WHERE length(token) > 0
+  GROUP BY chunk_id,
+           CAST('0x' || substr(md5('fh:' || token), 1, 8) AS BIGINT) % {dim}
+),
+norms AS (
+  SELECT chunk_id, sqrt(CAST(SUM(weight * weight) AS DOUBLE)) AS norm
+  FROM fh GROUP BY chunk_id
+),
+dots AS (
+  SELECT q.chunk_id // 1024 AS query_id, d.chunk_id AS chunk_id,
+         CAST(SUM(q.weight * d.weight) AS BIGINT) AS dot
+  FROM fh q JOIN fh d ON q.bucket = d.bucket
+  WHERE q.chunk_id % 1024 = 0 AND q.chunk_id < {n_queries} * 1024
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT dots.query_id AS query_id,
+         dots.chunk_id // 1024 AS doc_id,
+         round(CAST(dot AS DOUBLE) / (nd.norm * nq.norm), 6) AS cosine
+  FROM dots
+  JOIN norms nd ON dots.chunk_id = nd.chunk_id
+  JOIN norms nq ON dots.query_id * 1024 = nq.chunk_id
+  WHERE nd.norm > 0 AND nq.norm > 0
+    AND dots.chunk_id // 1024 <> dots.query_id
+),
+maxp AS (
+  SELECT query_id, doc_id, MAX(cosine) AS score
+  FROM scored GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank
+  FROM maxp
+)
+WHERE rank <= {k}
+"""
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF
     (``tf * (ln((N+1)/(df+1)) + 1)`` — the smoothed sklearn-style

@@ -1705,3 +1705,48 @@ def test_fh_cosine_topk_corpus_not_shuffled_for_join(spark, docs):
 
     plan = explain_str(fh_cosine_topk(docs), "simple")
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_retrieval_maxp_matches_duckdb_oracle(spark, docs):
+    """Staged round-10 entry, pre-verified at fixture scale with the
+    driver-equivalent compare: the full chunk -> hash-embed -> cosine
+    -> MaxP -> rank plan equals its composed SQL replay value-exactly."""
+    import duckdb
+
+    from mapreduceimpl_spark.operators.text_analysis import (
+        chunk_retrieval_maxp,
+        chunk_retrieval_maxp_sql,
+    )
+    from tools.check_oracle import compare
+
+    sdf = chunk_retrieval_maxp(docs).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    odf = con.execute(chunk_retrieval_maxp_sql()).fetchdf()
+    con.close()
+    problems = compare("chunk_retrieval_maxp", sdf, odf)
+    assert not problems, problems
+    assert len(sdf) > 0
+
+
+def test_chunk_retrieval_maxp_invariants(spark, docs):
+    """MaxP semantics: dense 1..k ranks per query, never the query's
+    own document, scores non-increasing down each list and within
+    [-1, 1]."""
+    from mapreduceimpl_spark.operators.text_analysis import chunk_retrieval_maxp
+
+    rows = chunk_retrieval_maxp(docs, n_queries=4, k=3).collect()
+    by_q: dict = {}
+    for r in rows:
+        assert r["doc_id"] != r["query_id"]
+        assert -1.0 <= r["score"] <= 1.0
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for lst in by_q.values():
+        lst.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in lst] == list(range(1, len(lst) + 1))
+        scores = [r["score"] for r in lst]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
