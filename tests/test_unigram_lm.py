@@ -352,3 +352,37 @@ def test_unigram_fertility_hand_computed(spark):
     assert row["fertility"] == math.floor(
         (total_pieces / total_words) * 1e6 + 0.5
     ) / 1e6
+
+
+def test_deep_trainer_matches_duckdb_oracle_at_depth_4(spark):
+    """Staged round-10 entry: the deep trainer AT DEPTH (em_rounds=4,
+    no pruning) against the oracle generator unrolled to T=4 — the
+    driver-equivalent compare that will back `unigram_lm_train_deep4`
+    when it enters the catalog (DuckDB replays T=6 at sf0.01 in
+    ~0.3 s, so depth itself is not an oracle limitation)."""
+    import duckdb
+
+    from mapreduceimpl_spark.operators.unigram_lm import (
+        unigram_lm_oracle_sql,
+        unigram_lm_train_deep,
+    )
+    from tools.check_oracle import compare
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    import pyspark.sql.functions as F
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    pieces, _ = unigram_lm_train_deep(docs, em_rounds=4)
+    sdf = pieces.toPandas()
+    odf = con.execute(unigram_lm_oracle_sql(iterations=4)).fetchdf()
+    con.close()
+    problems = compare("unigram_lm_train_deep4", sdf, odf)
+    assert not problems, problems
+    assert len(sdf) > 0
