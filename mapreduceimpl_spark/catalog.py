@@ -129,29 +129,12 @@ SELECT group_key, shard, doc_id, n_tokens, bin_id, bin_fill FROM packed"""
 _SEQ_PACK_ORACLE = f"WITH RECURSIVE {_pack_sql('documents', 256)}"
 
 
-def _chunk_sql(source: str, chunk_tokens: int = 64, overlap: int = 8) -> str:
-    """``chunk_documents``'s window arithmetic as CTE layers over
-    relation ``source`` — the single SQL copy shared by the doc_chunks
-    and pretrain_funnel oracles.  Emits ``chunkrows`` with
-    (doc_id, chunk_idx, chunk_text, n_tokens)."""
-    stride = chunk_tokens - overlap
-    return f"""cbase AS (SELECT doc_id, {_TOKS} AS toks FROM {source}),
-cex AS (
-  SELECT doc_id, toks,
-         unnest(range(0, 1 + GREATEST(0,
-             CAST(ceil((len(toks) - {chunk_tokens}) / {stride}.0) AS BIGINT))))
-           AS chunk_idx
-  FROM cbase
-),
-chunkrows AS (
-  SELECT doc_id, chunk_idx,
-         array_to_string(list_slice(toks, chunk_idx * {stride} + 1,
-                                    chunk_idx * {stride} + {chunk_tokens}),
-                         ' ') AS chunk_text,
-         CAST(LEAST({chunk_tokens}, len(toks) - chunk_idx * {stride})
-              AS BIGINT) AS n_tokens
-  FROM cex
-)"""
+# ``chunk_documents``'s window arithmetic as CTE layers — THE single
+# SQL copy now lives beside the operator (text_analysis.chunk_sql,
+# round 9); this alias keeps the doc_chunks / pretrain_funnel oracle
+# call sites unchanged.  The shared copy COALESCEs null text exactly
+# like the Spark side (value-identical on the null-free fixtures).
+_chunk_sql = text_analysis.chunk_sql
 
 
 # BM25 query set: fixed (query_id, term) pairs over the fixture

@@ -715,20 +715,17 @@ def chunk_retrieval_maxp(
     )
 
 
-def chunk_retrieval_maxp_sql(
-    n_queries: int = 5,
-    k: int = 5,
-    dim: int = 64,
-    chunk_tokens: int = 64,
-    overlap: int = 8,
-    source: str = "documents",
-) -> str:
-    """DuckDB mirror of :func:`chunk_retrieval_maxp`, composing the
-    shared chunk arithmetic (the catalog's ``_chunk_sql`` shape) with
-    the shared :func:`feature_hashing_sql` lanes."""
+def chunk_sql(source: str, chunk_tokens: int = 64, overlap: int = 8) -> str:
+    """``chunk_documents``'s window arithmetic as CTE layers over
+    relation ``source`` — THE single SQL copy (moved here from
+    catalog.py in round 9 so the chunk-consuming oracles in BOTH
+    modules compose one definition; catalog's ``_chunk_sql`` is now an
+    alias).  Emits ``chunkrows`` with (doc_id, chunk_idx, chunk_text,
+    n_tokens).  COALESCE mirrors the Spark side's null-text handling
+    (one ''-chunk), which the previous copy omitted — value-identical
+    on the null-free fixtures, strictly more faithful beyond them."""
     stride = chunk_tokens - overlap
-    return f"""
-WITH cbase AS (
+    return f"""cbase AS (
   SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks FROM {source}
 ),
 cex AS (
@@ -739,15 +736,35 @@ cex AS (
   FROM cbase
 ),
 chunkrows AS (
-  SELECT doc_id * 1024 + chunk_idx AS chunk_id,
+  SELECT doc_id, chunk_idx,
          array_to_string(list_slice(toks, chunk_idx * {stride} + 1,
                                     chunk_idx * {stride} + {chunk_tokens}),
-                         ' ') AS chunk_text
+                         ' ') AS chunk_text,
+         CAST(LEAST({chunk_tokens}, len(toks) - chunk_idx * {stride})
+              AS BIGINT) AS n_tokens
   FROM cex
+)"""
+
+
+def chunk_retrieval_maxp_sql(
+    n_queries: int = 5,
+    k: int = 5,
+    dim: int = 64,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    source: str = "documents",
+) -> str:
+    """DuckDB mirror of :func:`chunk_retrieval_maxp`, composing the
+    shared :func:`chunk_sql` arithmetic with the shared
+    :func:`feature_hashing_sql` lanes."""
+    return f"""
+WITH {chunk_sql(source, chunk_tokens, overlap)},
+cids AS (
+  SELECT doc_id * 1024 + chunk_idx AS chunk_id, chunk_text FROM chunkrows
 ),
 tok AS (
   SELECT chunk_id, unnest(string_split(chunk_text, ' ')) AS token
-  FROM chunkrows
+  FROM cids
 ),
 fh AS (
   SELECT chunk_id,

@@ -1,9 +1,12 @@
 """Value-verification for retired catalog entries (round 9).
 
 VERDICT r8 #6: at 282 entries the driver's 50-slot re-attestation
-window spent ~93% of every round on bookkeeping.  Each entry in
-catalog.RETIRED_SUPERSET is a strict subset of a still-registered
-composed entry, so its rotation slot was redundant — but retiring it
+window spent ~93% of every round on bookkeeping.  Nine entries in
+catalog.RETIRED_SUPERSET are strict subsets of a still-registered
+composed entry; two (32-bit SimHash pairs, brute kNN vote) are
+sibling configurations whose shared machinery is driver-verified via
+the named superset (see the catalog header for the exact trade).
+Either way the rotation slot was redundant — but retiring an entry
 must NOT weaken verification.  This module therefore runs the exact
 driver-style comparison (Spark result vs DuckDB oracle: row count,
 column names, order-insensitive full value equality) for every
