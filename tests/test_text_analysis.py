@@ -1750,3 +1750,46 @@ def test_chunk_retrieval_maxp_invariants(spark, docs):
         assert [r["rank"] for r in lst] == list(range(1, len(lst) + 1))
         scores = [r["score"] for r in lst]
         assert all(a >= b for a, b in zip(scores, scores[1:]))
+
+
+def test_feature_hashing_and_maxp_parity_on_hostile_text(spark, tmp_path):
+    """Engine parity for the round-9/10 SQL generators beyond the
+    fixture: control characters (incl. U+0001), unicode, repeated
+    runs, and a null text must hash and chunk identically in Spark
+    and DuckDB (md5 operates on the same UTF-8 bytes in both)."""
+    import duckdb
+
+    from mapreduceimpl_spark.operators.text_analysis import (
+        chunk_retrieval_maxp,
+        chunk_retrieval_maxp_sql,
+        feature_hashing,
+        feature_hashing_sql,
+    )
+    from tools.check_oracle import compare
+
+    texts = [
+        "spark sparks park parks",
+        "a\x01b a\x01b \x01\x01 héllo héllo",
+        ("tok" + "e" * 40 + " ") * 30 + "tail",  # long tokens, many chunks
+        None,
+        "ünïcode ünïcode 中文 中文 emoji🙂 emoji🙂",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    for name, sdf, sql in (
+        ("feature_hashing", feature_hashing(docs, dim=16),
+         feature_hashing_sql(dim=16)),
+        ("chunk_retrieval_maxp",
+         chunk_retrieval_maxp(docs, n_queries=3, k=4, chunk_tokens=8, overlap=2),
+         chunk_retrieval_maxp_sql(n_queries=3, k=4, chunk_tokens=8, overlap=2)),
+    ):
+        problems = compare(name, sdf.toPandas(), con.execute(sql).fetchdf())
+        assert not problems, (name, problems)
+    con.close()
