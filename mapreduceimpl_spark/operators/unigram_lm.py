@@ -453,6 +453,163 @@ def unigram_lm_segment(
     )
 
 
+def sample_uniform_at(epoch: int, word: str, j: int) -> float:
+    """Deterministic [0,1) uniform for the backward-sampling decision
+    at position ``j`` of ``word`` — first 8 md5 hex digits of the
+    salted key, exact integer parse, ONE float division (the repo's
+    ``hash_uniform`` recipe, bit-identical in DuckDB)."""
+    import hashlib
+
+    h = hashlib.md5(f"sr{epoch}:{word}:{j}".encode()).hexdigest()[:8]
+    return float(int(h, 16)) / 4294967296.0
+
+
+def sample_segment_word(
+    word: str,
+    probs: dict,
+    max_piece_len: int = MAX_PIECE_LEN,
+    u_at=None,
+) -> tuple[list, float]:
+    """PURE forward-filter / backward-sample segmentation draw — the
+    subword-regularization sampler of Kudo (ACL 2018) at alpha = 1:
+    a segmentation s of ``word`` is drawn with probability
+    P(s) / sum over segmentations P(s'), exactly (no n-best
+    truncation), via the standard FFBS decomposition.
+
+    Bit-deterministic by construction, so a SQL engine replays the
+    SAME draw: the forward mass A[j] = sum over pieces ending at j of
+    A[j-d] * p(piece) accumulates in FIXED d-descending order; the
+    backward step at j compares target = u_j * A[j] against the SAME
+    fixed-order cumulative sums (no division — thresholds multiply
+    instead, keeping every comparison an exact IEEE product of the
+    operands both engines hold).  Because the backward cumulative sum
+    repeats the forward accumulation order, its final value equals
+    A[j] BITWISE, and u < 1 guarantees a branch is taken for any
+    normal A[j] > 0; the ELSE branch (zero mass at an OOV char, or a
+    subnormal-A rounding tie) deterministically degrades to the
+    single char — ``viterbi_word``'s fallback, mirrored by the SQL
+    CASE's ELSE.  ``sample_prob`` multiplies the chosen pieces'
+    probabilities in SELECTION (right-to-left) order — the order the
+    SQL recursion folds them in.
+
+    Returns (pieces, sample_prob)."""
+    if u_at is None:
+        u_at = lambda w, j: sample_uniform_at(0, w, j)  # noqa: E731
+    L = len(word)
+    A = [0.0] * (L + 1)
+    A[0] = 1.0
+    for j in range(1, L + 1):
+        acc = 0.0
+        for d in range(max_piece_len, 0, -1):
+            if d > j:
+                continue
+            p = probs.get(word[j - d : j])
+            if p is None:
+                if d != 1:
+                    continue
+                p = 0.0  # OOV char: zero-mass fallback candidate
+            acc = acc + A[j - d] * p
+        A[j] = acc
+    pieces: list = []
+    sample_prob = 1.0
+    j = L
+    while j > 0:
+        target = u_at(word, j) * A[j]
+        cum = 0.0
+        choice, p_choice = None, 0.0
+        for d in range(max_piece_len, 0, -1):
+            if d > j:
+                continue
+            piece = word[j - d : j]
+            p = probs.get(piece)
+            if p is None:
+                if d != 1:
+                    continue
+                p = 0.0
+            cum = cum + A[j - d] * p
+            if target < cum:
+                choice, p_choice = piece, p
+                break
+        if choice is None:  # zero mass / rounding tie: char fallback
+            choice = word[j - 1 : j]
+            p_choice = probs.get(choice, 0.0)
+        pieces.append(choice)
+        sample_prob = sample_prob * p_choice
+        j -= len(choice)
+    pieces.reverse()
+    return pieces, sample_prob
+
+
+def _sample_pandas(
+    words: DataFrame, probs: dict, max_piece_len: int, epoch: int
+) -> DataFrame:
+    """Sampled segmentation per word via the pure FFBS draw,
+    Arrow-batched: (word, freq, path array<string>, sample_prob)."""
+    import pandas as pd
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        u_at = lambda w, j: sample_uniform_at(epoch, w, j)  # noqa: E731
+        for pdf in batches:
+            paths, sps = [], []
+            for word in pdf["word"]:
+                pieces, sp = sample_segment_word(word, probs, max_piece_len, u_at)
+                paths.append(pieces)
+                sps.append(sp)
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "freq": pdf["freq"],
+                    "path": paths,
+                    "sample_prob": sps,
+                }
+            )
+
+    return words.mapInPandas(
+        run, "word string, freq long, path array<string>, sample_prob double"
+    )
+
+
+def unigram_lm_sample_segment(
+    docs: DataFrame,
+    iterations: int = EM_ITERATIONS,
+    epoch: int = 0,
+    max_piece_len: int = MAX_PIECE_LEN,
+    text_col: str = "text",
+    max_vocab_words: int | None = None,
+) -> DataFrame:
+    """Subword regularization — the headline feature of Kudo (ACL
+    2018): instead of the single max-likelihood Viterbi segmentation
+    (``unigram_lm_segment``), draw a segmentation per word from the
+    FULL posterior P(s | word) under the trained unigram LM, exactly
+    (FFBS over the same DP lattice, no n-best truncation).  Varying
+    ``epoch`` re-salts the per-position uniforms, giving each training
+    epoch an independent segmentation draw — the regularization that
+    the paper shows improves downstream model robustness.
+
+    Deterministic given (corpus, iterations, epoch), so the DuckDB
+    oracle (``unigram_lm_sample_oracle_sql``) replays every draw
+    bit-exactly.  Output: (word, freq, pieces, n_pieces, sample_prob)
+    with sample_prob the product of the drawn pieces' probabilities
+    in selection order.
+
+    Scale: identical posture to ``unigram_lm_segment`` — one corpus
+    wordcount shuffle, then an Arrow-batched per-word DP over the
+    Heaps-bounded vocab table."""
+    words, pieces = _em_loop(
+        docs, iterations, max_piece_len, text_col, max_vocab_words
+    )
+    seg = _sample_pandas(
+        words, _probs_from_rows(pieces.collect()), max_piece_len, epoch
+    )
+    return seg.select(
+        "word",
+        "freq",
+        F.array_join("path", " ").alias("pieces"),
+        F.size("path").cast("long").alias("n_pieces"),
+        "sample_prob",
+    )
+
+
 def unigram_fertility(
     docs: DataFrame,
     iterations: int = EM_ITERATIONS,
@@ -607,27 +764,10 @@ probs{t} AS MATERIALIZED (
 )"""
 
 
-def unigram_lm_oracle_sql(
-    iterations: int = EM_ITERATIONS,
-    max_piece_len: int = MAX_PIECE_LEN,
-    segment: bool = False,
-) -> str:
-    """Full chained-CTE DuckDB replay of ``unigram_lm_train`` (or,
-    with ``segment=True``, ``unigram_lm_segment``) at their DEFAULT
-    parameters: seed counts -> ``iterations`` unrolled hard-EM rounds
-    (candidate grid -> recursive Viterbi -> usage counts ->
-    smoothed/pruned inventory) -> final probabilities / segmentation.
-    Bit-exact, not approximate: both engines do the same integer
-    counts, the same count/total division, and the same fixed-order
-    double products.
-
-    Scope (ADVICE r8): the ``target_vocab`` and ``max_vocab_words``
-    code paths of the Spark trainer have no counterpart here — the
-    catalog registers only the default path, so driver parity covers
-    exactly what this SQL replays; the pruning/cap branches are
-    covered by pytest invariants (tests/test_unigram_lm.py) instead.
-    A top-N CTE keyed by (count DESC, piece ASC) could extend the
-    replay if a pruned entry is ever registered."""
+def _sql_head_and_iters(iterations: int, max_piece_len: int) -> tuple[str, str]:
+    """Shared WITH-chain prefix of every unigram-LM oracle: word
+    frequencies, substring grid, seed probabilities, and the
+    ``iterations`` unrolled EM rounds (probs{T} is the trained model)."""
     head = f"""WITH RECURSIVE w AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -653,6 +793,31 @@ probs0 AS MATERIALIZED (
         _sql_em_iter(t, f"probs{t-1}", max_piece_len)
         for t in range(1, iterations + 1)
     )
+    return head, iters
+
+
+def unigram_lm_oracle_sql(
+    iterations: int = EM_ITERATIONS,
+    max_piece_len: int = MAX_PIECE_LEN,
+    segment: bool = False,
+) -> str:
+    """Full chained-CTE DuckDB replay of ``unigram_lm_train`` (or,
+    with ``segment=True``, ``unigram_lm_segment``) at their DEFAULT
+    parameters: seed counts -> ``iterations`` unrolled hard-EM rounds
+    (candidate grid -> recursive Viterbi -> usage counts ->
+    smoothed/pruned inventory) -> final probabilities / segmentation.
+    Bit-exact, not approximate: both engines do the same integer
+    counts, the same count/total division, and the same fixed-order
+    double products.
+
+    Scope (ADVICE r8): the ``target_vocab`` and ``max_vocab_words``
+    code paths of the Spark trainer have no counterpart here — the
+    catalog registers only the default path, so driver parity covers
+    exactly what this SQL replays; the pruning/cap branches are
+    covered by pytest invariants (tests/test_unigram_lm.py) instead.
+    A top-N CTE keyed by (count DESC, piece ASC) could extend the
+    replay if a pruned entry is ever registered."""
+    head, iters = _sql_head_and_iters(iterations, max_piece_len)
     T = iterations
     if not segment:
         return head + iters + f"""
@@ -668,3 +833,120 @@ SELECT word, freq,
        CAST(len({final_path}) AS BIGINT) AS n_pieces,
        list_extract(best, length(word) + 1) AS score
 FROM dpseg WHERE j = length(word)"""
+
+
+def _sql_fwd_term(d: int) -> str:
+    """Forward-mass term for a length-``d`` piece ending at position
+    d.j + 1 (0.0 when the piece is absent — adding 0.0 is the IEEE
+    identity the Python side exploits by skipping)."""
+    if d == 1:
+        return "(list_extract(d.fa, d.j + 1) * coalesce(c.p1, 0.0))"
+    return (
+        f"CASE WHEN c.p{d} IS NOT NULL THEN "
+        f"list_extract(d.fa, d.j + 2 - {d}) * c.p{d} ELSE 0.0 END"
+    )
+
+
+def _sql_bwd_term(d: int) -> str:
+    """Backward-sampling term for a length-``d`` piece ending at
+    position ``j`` — written over the UNPREFIXED (fa, j, p{d}) columns
+    the inner projection of the bwd recursion exposes."""
+    if d == 1:
+        return "(list_extract(fa, j) * coalesce(p1, 0.0))"
+    return (
+        f"CASE WHEN p{d} IS NOT NULL THEN "
+        f"list_extract(fa, j + 1 - {d}) * p{d} ELSE 0.0 END"
+    )
+
+
+def unigram_lm_sample_oracle_sql(
+    iterations: int = EM_ITERATIONS,
+    epoch: int = 0,
+    max_piece_len: int = MAX_PIECE_LEN,
+) -> str:
+    """Bit-exact DuckDB replay of ``unigram_lm_sample_segment`` —
+    train probs{T} via the shared unrolled-EM chain, then FFBS:
+
+    - ``fwd`` recursion carries the forward-mass list A as ``fa``,
+      each level appending the fixed-order sum of candidate terms
+      (d descending, 0.0 for absent pieces — the same chain the
+      Python accumulates);
+    - ``bwd`` recursion walks j downward, choosing the piece whose
+      d-descending cumulative sum first exceeds
+      target = u_j * A[j] (the threshold-multiplication form — no
+      division anywhere), with the ELSE falling back to the single
+      char exactly like :func:`sample_segment_word`; the chosen
+      piece's probability folds into ``sp`` in the same selection
+      order the Python multiplies.
+    """
+    head, iters = _sql_head_and_iters(iterations, max_piece_len)
+    T = iterations
+    ds = list(range(max_piece_len, 0, -1))
+    fwd_sum = _sql_fwd_term(ds[0])
+    for d in ds[1:]:
+        fwd_sum = f"({fwd_sum} + {_sql_fwd_term(d)})"
+    # backward: cumulative thresholds in the SAME d-descending order
+    u_expr = (
+        f"(CAST('0x' || substr(md5('sr{epoch}:' || b.word || ':' || "
+        f"CAST(b.j AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0)"
+    )
+    target = f"({u_expr} * list_extract(b.fa, b.j + 1))"
+    p_cols = ", ".join(f"c.p{d} AS p{d}" for d in ds)
+    piece_br, prob_br = [], []
+    cum = None
+    for d in ds:
+        cum = _sql_bwd_term(d) if cum is None else f"({cum} + {_sql_bwd_term(d)})"
+        piece = f"substr(word, j + 1 - {d}, {d})"
+        p_d = f"p{d}" if d > 1 else "coalesce(p1, 0.0)"
+        piece_br.append(f"WHEN __t < {cum} THEN {piece}")
+        prob_br.append(f"WHEN __t < {cum} THEN {p_d}")
+    piece_case = (
+        "CASE\n      "
+        + "\n      ".join(piece_br)
+        + "\n      ELSE substr(word, j, 1) END"
+    )
+    prob_case = (
+        "CASE\n      "
+        + "\n      ".join(prob_br)
+        + "\n      ELSE coalesce(p1, 0.0) END"
+    )
+    return head + iters + f""",
+{_sql_cand_grid("cgsmp", f"probs{T}", max_piece_len)},
+fwd AS (
+  SELECT word, freq, 0 AS j, [CAST(1.0 AS DOUBLE)] AS fa FROM w
+  UNION ALL
+  SELECT d.word, d.freq, d.j + 1, list_append(d.fa, {fwd_sum})
+  FROM fwd d JOIN cgsmp c ON c.word = d.word AND c.jnext = d.j + 1
+  WHERE d.j < length(d.word)
+),
+ffinal AS MATERIALIZED (
+  SELECT word, freq, fa FROM fwd WHERE j = length(word)
+),
+bwd AS (
+  SELECT word, freq, fa, length(word) AS j,
+         CAST([] AS VARCHAR[]) AS rpieces, CAST(1.0 AS DOUBLE) AS sp
+  FROM ffinal
+  UNION ALL
+  SELECT word, freq, fa,
+         j - length(__piece) AS j,
+         list_append(rpieces, __piece) AS rpieces,
+         sp * __p AS sp
+  FROM (
+    SELECT word, freq, fa, j, rpieces, sp,
+           {piece_case} AS __piece,
+           {prob_case} AS __p
+    FROM (
+      SELECT b.word AS word, b.freq AS freq, b.fa AS fa, b.j AS j,
+             b.rpieces AS rpieces, b.sp AS sp,
+             {target} AS __t,
+             {p_cols}
+      FROM bwd b JOIN cgsmp c ON c.word = b.word AND c.jnext = b.j
+      WHERE b.j > 0
+    )
+  )
+)
+SELECT word, freq,
+       array_to_string(list_reverse(rpieces), ' ') AS pieces,
+       CAST(len(rpieces) AS BIGINT) AS n_pieces,
+       sp AS sample_prob
+FROM bwd WHERE j = 0"""

@@ -386,3 +386,142 @@ def test_deep_trainer_matches_duckdb_oracle_at_depth_4(spark):
     problems = compare("unigram_lm_train_deep4", sdf, odf)
     assert not problems, problems
     assert len(sdf) > 0
+
+
+# ---------------------------------------------------------------------------
+# subword regularization: FFBS sampled segmentation (staged round 10)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    word=st.text(alphabet="abc", min_size=1, max_size=8),
+    extra=st.dictionaries(
+        st.text(alphabet="abc", min_size=2, max_size=MAX_PIECE_LEN),
+        st.floats(min_value=0.001, max_value=0.999),
+        max_size=8,
+    ),
+    u=st.floats(min_value=0.0, max_value=0.999999),
+)
+def test_ffbs_forward_mass_and_draw_validity(word, extra, u):
+    """The sampler's forward mass equals the brute-force sum over ALL
+    viable segmentations (tolerance only for summation order), and any
+    constant-u draw returns a VALID segmentation whose probability is
+    the product of its pieces — i.e. a member of the enumerated
+    support whenever the mass is positive."""
+    import math
+
+    from mapreduceimpl_spark.operators.unigram_lm import sample_segment_word
+
+    probs = {"a": 0.25, "b": 0.125, "c": 0.0625, **extra}
+    total = 0.0
+    support = {}
+    for seg in _all_segmentations(word, MAX_PIECE_LEN):
+        if all(q in probs for q in seg):
+            p = _score(seg, probs)
+            support[tuple(seg)] = p
+            total += p
+    # forward mass vs brute force (different summation order -> tol)
+    L = len(word)
+    A = [0.0] * (L + 1)
+    A[0] = 1.0
+    for j in range(1, L + 1):
+        acc = 0.0
+        for d in range(MAX_PIECE_LEN, 0, -1):
+            if d > j:
+                continue
+            p = probs.get(word[j - d : j])
+            if p is None:
+                continue
+            acc += A[j - d] * p
+        A[j] = acc
+    assert math.isclose(A[L], total, rel_tol=1e-9)
+
+    pieces, sp = sample_segment_word(
+        word, probs, MAX_PIECE_LEN, u_at=lambda w, j: u
+    )
+    assert "".join(pieces) == word
+    if total > 0:
+        assert tuple(pieces) in support
+        assert sp > 0
+
+
+def test_ffbs_threshold_semantics_exact():
+    """Inverse-CDF check on the 2-segmentation word 'aa': with the
+    d-descending scan, the LONGER piece 'aa' owns the low-u mass
+    [0, p_aa / A) and the char split owns the rest — the flip happens
+    at exactly u*A < p_aa (threshold multiplication, no division)."""
+    from mapreduceimpl_spark.operators.unigram_lm import sample_segment_word
+
+    probs = {"a": 0.4, "aa": 0.2}
+    A2 = 0.2 + 0.4 * 0.4  # d-descending: aa first, then a*a
+    thresh = 0.2 / A2
+    for u, want in [
+        (0.0, ["aa"]),
+        (thresh - 1e-9, ["aa"]),
+        (thresh + 1e-9, ["a", "a"]),
+        (0.999999, ["a", "a"]),
+    ]:
+        pieces, sp = sample_segment_word(
+            "aa", probs, u_at=lambda w, j, u=u: u
+        )
+        assert pieces == want, (u, pieces)
+        assert sp == (0.2 if want == ["aa"] else 0.4 * 0.4)
+
+
+def test_sample_segment_reconstructs_and_varies_by_epoch(spark):
+    """Driver-visible sanity: every drawn segmentation reconstructs
+    its word; different epochs re-salt the uniforms and must produce a
+    different draw for at least one word of a corpus whose posterior
+    is spread (repeated bigram-friendly words)."""
+    from mapreduceimpl_spark.operators.unigram_lm import (
+        unigram_lm_sample_segment,
+    )
+
+    # words LONGER than max_piece_len force cut points, so the
+    # posterior has several comparable-mass segmentations to draw from
+    docs = _docs(spark, ["ababab bababa ab ba abababab", "ababab ab ba"] * 3)
+    draws = {}
+    for epoch in (0, 1, 2):
+        rows = unigram_lm_sample_segment(docs, epoch=epoch).collect()
+        for r in rows:
+            assert r["pieces"].replace(" ", "") == r["word"]
+            assert r["n_pieces"] == len(r["pieces"].split(" "))
+        draws[epoch] = {r["word"]: r["pieces"] for r in rows}
+    assert any(draws[0] != draws[e] for e in (1, 2)), draws
+
+
+def test_sample_segment_matches_duckdb_oracle_hostile(spark, tmp_path):
+    """Staged round-10 entry: bit-exact FFBS parity against the
+    recursive-CTE replay on hostile text (control chars, unicode,
+    ambiguous repeats) at two epochs."""
+    import duckdb
+
+    from mapreduceimpl_spark.operators.unigram_lm import (
+        unigram_lm_sample_oracle_sql,
+        unigram_lm_sample_segment,
+    )
+    from tools.check_oracle import compare
+
+    texts = [
+        "abab abab ab ab abab ba baba",
+        "a\x01b a\x01b \x01\x01 héllo héllo",
+        "aaaa aaaa aa aa a",
+    ]
+    docs = _docs(spark, texts)
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    for epoch in (0, 3):
+        sdf = unigram_lm_sample_segment(docs, epoch=epoch).toPandas()
+        odf = con.execute(
+            unigram_lm_sample_oracle_sql(epoch=epoch)
+        ).fetchdf()
+        problems = compare(f"sample_segment_e{epoch}", sdf, odf)
+        assert not problems, (epoch, problems)
+        # the ambiguous corpus must actually exercise multi-piece draws
+        assert (sdf["n_pieces"] > 1).any()
+    con.close()
