@@ -1682,3 +1682,50 @@ def stream_unigram_segment(
             yield pd.DataFrame(rows)
 
     return docs.select("doc_id", "text").mapInPandas(run, _UNIGRAM_SEG_SCHEMA)
+
+
+def stream_unigram_sample_segment(
+    docs: DataFrame,
+    probs: dict,
+    epoch: int = 0,
+    max_piece_len: int | None = None,
+) -> DataFrame:
+    """Subword-regularization twin of ``stream_unigram_segment``
+    (twin 27): tokenize a document STREAM with a SAMPLED segmentation
+    per word — the FFBS draw of ``unigram_lm.sample_segment_word``
+    under the shipped piece->prob dict, salted by ``epoch`` so each
+    training epoch's ingest re-draws independently.  Stateless,
+    append mode at any rate; a word's draw depends only on (epoch,
+    word), so stream == batch bit-for-bit on any micro-batching AND
+    repeated occurrences of a word tokenize identically within an
+    epoch (the paper samples per occurrence; per-word-type sampling
+    is the deterministic-replay trade, stated here)."""
+    from mapreduceimpl_spark.operators.unigram_lm import (
+        MAX_PIECE_LEN,
+        sample_segment_word,
+        sample_uniform_at,
+    )
+
+    if not probs:
+        raise ValueError("stream_unigram_sample_segment: probs must be non-empty")
+    if max_piece_len is None:
+        max_piece_len = MAX_PIECE_LEN
+
+    def run(batches):
+        u_at = lambda w, j: sample_uniform_at(epoch, w, j)  # noqa: E731
+        for pdf in batches:
+            rows = {"doc_id": [], "n_words": [], "n_pieces": [], "pieces": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in (text or "").split(" ") if w]
+                pieces: list = []
+                for w in words:
+                    pieces.extend(
+                        sample_segment_word(w, probs, max_piece_len, u_at)[0]
+                    )
+                rows["doc_id"].append(doc_id)
+                rows["n_words"].append(len(words))
+                rows["n_pieces"].append(len(pieces))
+                rows["pieces"].append(pieces)
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(run, _UNIGRAM_SEG_SCHEMA)

@@ -1462,3 +1462,57 @@ def test_stream_feature_hashing_matches_batch(spark, tmp_path):
 
     with pytest.raises(ValueError):
         streaming.stream_feature_hashing(stream, dim=0)
+
+
+def test_stream_unigram_sample_segment_matches_batch_and_varies(spark, tmp_path):
+    """Sampled-tokenization twin: the FFBS draw over a stream equals
+    the same stateless projection in batch bit-for-bit across a
+    two-file micro-batch split, a different epoch re-draws at least
+    one word of an ambiguous corpus, and every draw reconstructs its
+    document's words."""
+    from mapreduceimpl_spark.operators.unigram_lm import unigram_lm_train
+
+    texts = ["ababab bababa ab ba abababab", "ababab ab ba bababa"] * 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    probs = {
+        r["piece"]: r["prob"] for r in unigram_lm_train(docs).collect()
+    }
+
+    src = tmp_path / "smp_stream"
+    src.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(str(src / "a"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    got = {
+        r["doc_id"]: tuple(r["pieces"])
+        for r in _run_stream(
+            streaming.stream_unigram_sample_segment(stream, probs, epoch=0)
+        )
+    }
+    batch = {
+        r["doc_id"]: tuple(r["pieces"])
+        for r in streaming.stream_unigram_sample_segment(
+            docs, probs, epoch=0
+        ).collect()
+    }
+    assert got == batch and len(got) == len(texts)
+    for i, t in enumerate(texts):
+        assert "".join(got[i]) == t.replace(" ", "")
+    other = {
+        r["doc_id"]: tuple(r["pieces"])
+        for r in streaming.stream_unigram_sample_segment(
+            docs, probs, epoch=1
+        ).collect()
+    }
+    assert other != got
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        streaming.stream_unigram_sample_segment(docs, {})

@@ -578,6 +578,19 @@ def _probe_lsh_scurve(spark, sf_dir: str):
     return wall, len(rows)
 
 
+def _probe_chunk_maxp(spark, sf_dir: str):
+    """chunk_retrieval_maxp growth: chunking is narrow, hashing one
+    wordcount shuffle, the query side a bounded broadcast — wall
+    should track the chunk count (~linear in corpus), never Q x N x
+    chunk blowup."""
+    from mapreduceimpl_spark.operators import text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = text_analysis.chunk_retrieval_maxp(docs).count()
+    return time.time() - t0, n
+
+
 def _probe_unigram_em_depth(spark, sf_dir: str):
     """Depth-linearity probe for the deep EM tier (VERDICT r8 #3):
     FIXED input (sf0.01 documents regardless of sf_dir — this probe
@@ -910,6 +923,7 @@ PROBES = {
     "unigram_vocab_synth": _probe_unigram_vocab_synth,
     "unigram_em_depth": _probe_unigram_em_depth,
     "lsh_scurve": _probe_lsh_scurve,
+    "chunk_maxp": _probe_chunk_maxp,
     "kmeans_lloyd": _probe_kmeans_lloyd,
     "ivf_lloyd": _probe_ivf_lloyd,
     "glove": _probe_glove,
