@@ -610,6 +610,95 @@ def unigram_lm_sample_segment(
     )
 
 
+def expected_pieces_word(
+    word: str, probs: dict, max_piece_len: int = MAX_PIECE_LEN
+) -> tuple[float, float]:
+    """PURE posterior-expected segmentation length — the exact mean of
+    n_pieces over ALL segmentations weighted by P(s), no sampling, no
+    enumeration: alongside the forward mass A[j] carry
+    C[j] = sum over partial segmentations ending at j of P(s) * n(s),
+    via C[j] = sum_d (C[j-d] + A[j-d]) * p(piece) (one more piece adds
+    1 to every path it extends).  E[n_pieces] = C[L] / A[L].
+
+    Same portability discipline as the rest of the module: both
+    accumulators sum in fixed d-descending order with 0.0 for absent
+    pieces, and the ONE division happens at the end.  Returns
+    (mass A[L], expectation-numerator C[L]); the caller divides so the
+    rounding site is shared with the SQL replay.  A[L] == 0 (an OOV
+    char anywhere) makes the expectation undefined — callers emit
+    NULL, mirroring the oracle's NULLIF."""
+    L = len(word)
+    A = [0.0] * (L + 1)
+    C = [0.0] * (L + 1)
+    A[0] = 1.0
+    for j in range(1, L + 1):
+        acc_a = 0.0
+        acc_c = 0.0
+        for d in range(max_piece_len, 0, -1):
+            if d > j:
+                continue
+            p = probs.get(word[j - d : j])
+            if p is None:
+                if d != 1:
+                    continue
+                p = 0.0
+            acc_a = acc_a + A[j - d] * p
+            acc_c = acc_c + (C[j - d] + A[j - d]) * p
+        A[j] = acc_a
+        C[j] = acc_c
+    return A[L], C[L]
+
+
+def unigram_expected_fertility(
+    docs: DataFrame,
+    iterations: int = EM_ITERATIONS,
+    max_piece_len: int = MAX_PIECE_LEN,
+    text_col: str = "text",
+    max_vocab_words: int | None = None,
+) -> DataFrame:
+    """Posterior-EXPECTED fertility per word under the trained unigram
+    LM: (word, freq, expected_pieces) with expected_pieces =
+    C[L]/A[L] rounded at 1e-9 — the exact mean segmentation length
+    over the full posterior, completing the family's three stances:
+    ``unigram_lm_segment`` (argmax), ``unigram_lm_sample_segment``
+    (a draw), and this (the mean).  The gap between Viterbi n_pieces
+    and the expectation is the segmentation-ambiguity signal Kudo's
+    subword regularization exploits.
+
+    Scale: identical posture to the other apply halves — one corpus
+    wordcount shuffle, then an Arrow-batched per-word DP over the
+    Heaps-bounded vocab table."""
+    import pandas as pd
+
+    words, pieces = _em_loop(
+        docs, iterations, max_piece_len, text_col, max_vocab_words
+    )
+    probs = _probs_from_rows(pieces.collect())
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            es = []
+            for word in pdf["word"]:
+                a, c = expected_pieces_word(word, probs, max_piece_len)
+                if a == 0.0:
+                    es.append(None)  # OOV char: undefined (oracle NULLIF)
+                else:
+                    import math
+
+                    es.append(math.floor((c / a) * 1e9 + 0.5) / 1e9)
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "freq": pdf["freq"],
+                    "expected_pieces": es,
+                }
+            )
+
+    return words.mapInPandas(
+        run, "word string, freq long, expected_pieces double"
+    )
+
+
 def unigram_fertility(
     docs: DataFrame,
     iterations: int = EM_ITERATIONS,
@@ -845,6 +934,66 @@ def _sql_fwd_term(d: int) -> str:
         f"CASE WHEN c.p{d} IS NOT NULL THEN "
         f"list_extract(d.fa, d.j + 2 - {d}) * c.p{d} ELSE 0.0 END"
     )
+
+
+def _sql_exp_terms(d: int) -> tuple[str, str]:
+    """(mass term, expectation term) for a length-``d`` piece ending
+    at position d.j + 1 in the expected-fertility forward recursion."""
+    if d == 1:
+        return (
+            "(list_extract(d.fa, d.j + 1) * coalesce(c.p1, 0.0))",
+            "((list_extract(d.fc, d.j + 1) + list_extract(d.fa, d.j + 1))"
+            " * coalesce(c.p1, 0.0))",
+        )
+    a = (
+        f"CASE WHEN c.p{d} IS NOT NULL THEN "
+        f"list_extract(d.fa, d.j + 2 - {d}) * c.p{d} ELSE 0.0 END"
+    )
+    cc = (
+        f"CASE WHEN c.p{d} IS NOT NULL THEN "
+        f"(list_extract(d.fc, d.j + 2 - {d}) + "
+        f"list_extract(d.fa, d.j + 2 - {d})) * c.p{d} ELSE 0.0 END"
+    )
+    return a, cc
+
+
+def unigram_expected_fertility_oracle_sql(
+    iterations: int = EM_ITERATIONS,
+    max_piece_len: int = MAX_PIECE_LEN,
+) -> str:
+    """Bit-exact DuckDB replay of ``unigram_expected_fertility``: the
+    shared unrolled-EM head, then ONE forward recursion carrying both
+    the mass list ``fa`` and the expectation-numerator list ``fc``
+    (fixed d-descending sums), finishing with the single shared
+    rounding site floor((C/A) * 1e9 + 0.5) / 1e9 and NULLIF for the
+    zero-mass (OOV) case."""
+    head, iters = _sql_head_and_iters(iterations, max_piece_len)
+    T = iterations
+    ds = list(range(max_piece_len, 0, -1))
+    a0, c0 = _sql_exp_terms(ds[0])
+    sum_a, sum_c = a0, c0
+    for d in ds[1:]:
+        a_t, c_t = _sql_exp_terms(d)
+        sum_a = f"({sum_a} + {a_t})"
+        sum_c = f"({sum_c} + {c_t})"
+    return head + iters + f""",
+{_sql_cand_grid("cgexp", f"probs{T}", max_piece_len)},
+fexp AS (
+  SELECT word, freq, 0 AS j,
+         [CAST(1.0 AS DOUBLE)] AS fa, [CAST(0.0 AS DOUBLE)] AS fc
+  FROM w
+  UNION ALL
+  SELECT d.word, d.freq, d.j + 1,
+         list_append(d.fa, {sum_a}),
+         list_append(d.fc, {sum_c})
+  FROM fexp d JOIN cgexp c ON c.word = d.word AND c.jnext = d.j + 1
+  WHERE d.j < length(d.word)
+)
+SELECT word, freq,
+       floor((list_extract(fc, length(word) + 1)
+              / NULLIF(list_extract(fa, length(word) + 1), 0.0))
+             * 1000000000 + 0.5) / 1000000000 AS expected_pieces
+FROM fexp WHERE j = length(word)"""
 
 
 def _sql_bwd_term(d: int) -> str:

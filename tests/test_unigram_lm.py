@@ -525,3 +525,76 @@ def test_sample_segment_matches_duckdb_oracle_hostile(spark, tmp_path):
         # the ambiguous corpus must actually exercise multi-piece draws
         assert (sdf["n_pieces"] > 1).any()
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# posterior-expected fertility (staged round 10)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    word=st.text(alphabet="ab", min_size=1, max_size=8),
+    extra=st.dictionaries(
+        st.text(alphabet="ab", min_size=2, max_size=MAX_PIECE_LEN),
+        st.floats(min_value=0.001, max_value=0.999),
+        max_size=6,
+    ),
+)
+def test_expected_pieces_equals_bruteforce(word, extra):
+    """C[L]/A[L] equals the enumerated posterior mean of n_pieces
+    (tolerance only for summation order), and Viterbi's length bounds
+    it from below at the argmax... not in general — but the
+    expectation always lies within [min, max] enumerated lengths."""
+    import math
+
+    from mapreduceimpl_spark.operators.unigram_lm import expected_pieces_word
+
+    probs = {"a": 0.3, "b": 0.2, **extra}
+    mass, num = 0.0, 0.0
+    lens = []
+    for seg in _all_segmentations(word, MAX_PIECE_LEN):
+        if all(q in probs for q in seg):
+            p = _score(seg, probs)
+            mass += p
+            num += p * len(seg)
+            lens.append(len(seg))
+    a, c = expected_pieces_word(word, probs)
+    assert math.isclose(a, mass, rel_tol=1e-9)
+    assert math.isclose(c, num, rel_tol=1e-9)
+    if mass > 0:
+        e = c / a
+        assert min(lens) - 1e-9 <= e <= max(lens) + 1e-9
+
+
+def test_expected_fertility_matches_duckdb_oracle(spark, tmp_path):
+    """Staged round-10 entry: driver-equivalent compare of the
+    expected-fertility plan against its recursive-CTE replay, on an
+    ambiguous corpus plus hostile text."""
+    import duckdb
+
+    from mapreduceimpl_spark.operators.unigram_lm import (
+        unigram_expected_fertility,
+        unigram_expected_fertility_oracle_sql,
+    )
+    from tools.check_oracle import compare
+
+    texts = [
+        "ababab bababa ab ba abababab",
+        "a\x01b a\x01b héllo héllo",
+        "aaaa aaaa aa aa a",
+    ] * 2
+    docs = _docs(spark, texts)
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    sdf = unigram_expected_fertility(docs).toPandas()
+    odf = con.execute(unigram_expected_fertility_oracle_sql()).fetchdf()
+    con.close()
+    problems = compare("unigram_expected_fertility", sdf, odf)
+    assert not problems, problems
+    # ambiguity signal: some word's expectation strictly exceeds 1
+    assert (sdf["expected_pieces"].dropna() > 1.0).any()
