@@ -668,6 +668,8 @@ def unigram_expected_fertility(
     Scale: identical posture to the other apply halves — one corpus
     wordcount shuffle, then an Arrow-batched per-word DP over the
     Heaps-bounded vocab table."""
+    import math
+
     import pandas as pd
 
     words, pieces = _em_loop(
@@ -683,8 +685,6 @@ def unigram_expected_fertility(
                 if a == 0.0:
                     es.append(None)  # OOV char: undefined (oracle NULLIF)
                 else:
-                    import math
-
                     es.append(math.floor((c / a) * 1e9 + 0.5) / 1e9)
             yield pd.DataFrame(
                 {

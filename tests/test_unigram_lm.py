@@ -543,9 +543,9 @@ def test_sample_segment_matches_duckdb_oracle_hostile(spark, tmp_path):
 )
 def test_expected_pieces_equals_bruteforce(word, extra):
     """C[L]/A[L] equals the enumerated posterior mean of n_pieces
-    (tolerance only for summation order), and Viterbi's length bounds
-    it from below at the argmax... not in general — but the
-    expectation always lies within [min, max] enumerated lengths."""
+    (tolerance only for summation order), and the expectation always
+    lies within the [min, max] of the enumerated segmentation
+    lengths."""
     import math
 
     from mapreduceimpl_spark.operators.unigram_lm import expected_pieces_word
