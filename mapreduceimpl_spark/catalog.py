@@ -87,7 +87,9 @@ _UNIFORM_D = sampling.hash_uniform_sql("d.doc_id")
 # iteration advances every (lang, shard) group by one document in
 # doc_id order, carrying (bin_id, bin_fill) forward — the exact
 # recurrence pack_greedy runs imperatively inside applyInPandas.
-def _pack_sql(source: str, budget: int, n_shards: int = 4) -> str:
+def _pack_sql(
+    source: str, budget: int, n_shards: int = 4, presized: bool = False
+) -> str:
     """The greedy first-fit packing recurrence as recursive-CTE layers
     over relation ``source`` (needs lang / doc_id / text columns) —
     THE single SQL copy of ``packing._pack_one_group``'s semantics,
@@ -98,13 +100,21 @@ def _pack_sql(source: str, budget: int, n_shards: int = 4) -> str:
     bin stays there (Python's ``fill > 0 and fill + n > budget``
     overflow check), it does not open a second bin.  ``ordered`` is
     MATERIALIZED so the recursion never re-runs the upstream pipeline
-    per step."""
+    per step.  ``presized`` (round 9) mirrors ``pack_greedy``'s
+    ``size_col`` hook: the source relation already carries an
+    ``n_tokens`` column (the tokenizer-aware composition), clamped
+    identically."""
     stay = f"(p.bin_fill = 0 OR p.bin_fill + o.n_tokens <= {budget})"
+    size = (
+        "greatest(0, coalesce(n_tokens, 0))"
+        if presized
+        else f"greatest(0, coalesce(len({_TOKS}), 0))"
+    )
     return f"""sized AS (
   SELECT CAST(lang AS VARCHAR) AS group_key,
          CAST(floor(({_UNIFORM}) * {n_shards}) AS BIGINT) AS shard,
          doc_id,
-         CAST(greatest(0, coalesce(len({_TOKS}), 0)) AS BIGINT) AS n_tokens
+         CAST({size} AS BIGINT) AS n_tokens
   FROM {source}
 ),
 ordered AS MATERIALIZED (
@@ -127,6 +137,34 @@ SELECT group_key, shard, doc_id, n_tokens, bin_id, bin_fill FROM packed"""
 
 
 _SEQ_PACK_ORACLE = f"WITH RECURSIVE {_pack_sql('documents', 256)}"
+
+
+def _tokenized_pack_oracle(budget: int = 128, n_shards: int = 4) -> str:
+    """Replay of ``packing.tokenized_pack`` (STAGED for a future
+    intake window; driver-equivalent compare in
+    tests/test_sampling_packing.py): the unigram-LM segment oracle
+    supplies per-word piece counts, the corpus token stream joins to
+    that vocab-sized relation, per-doc sums feed the shared packing
+    recursion in presized mode."""
+    seg_sql = unigram_lm.unigram_lm_oracle_sql(segment=True)
+    return f"""WITH RECURSIVE
+wseg AS MATERIALIZED (
+  SELECT word, n_pieces FROM ({seg_sql})
+),
+ptok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+pdsz AS MATERIALIZED (
+  SELECT doc_id, CAST(SUM(n_pieces) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, token FROM ptok WHERE length(token) > 0) t
+  JOIN wseg ON t.token = wseg.word
+  GROUP BY doc_id
+),
+presized AS (
+  SELECT d.lang, d.doc_id, z.n_tokens
+  FROM documents d LEFT JOIN pdsz z USING (doc_id)
+),
+{_pack_sql('presized', budget, n_shards, presized=True)}"""
 
 
 # ``chunk_documents``'s window arithmetic as CTE layers — THE single

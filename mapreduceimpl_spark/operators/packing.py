@@ -68,6 +68,7 @@ def pack_greedy(
     id_col: str = "doc_id",
     n_shards: int = 1,
     text_col: str = "text",
+    size_col: str | None = None,
 ) -> DataFrame:
     """Assign each document a ``(group, shard, bin_id)`` packing slot.
 
@@ -77,21 +78,32 @@ def pack_greedy(
     size.  Deterministic: doc order within a group is doc_id order and
     shards are md5 buckets, so the assignment is reproducible across
     runs, partitionings, and engines.
+
+    ``size_col`` (round 9) swaps the size measure: instead of the
+    default whitespace token count of ``text_col``, pack by a
+    precomputed per-document size column — the hook the
+    tokenizer-aware composition (``tokenized_pack``) uses to budget in
+    TOKENIZER pieces, the unit the training batch actually consumes.
+    Null/negative sizes clamp to 0 exactly like the default path.
     """
     if budget <= 0:
         raise ValueError(f"pack_greedy: budget must be positive, got {budget}")
     # explicit floor: Spark's double->long cast truncates but DuckDB's
     # rounds, so the oracle mirrors floor() on both sides
     shard = F.floor(hash_uniform(F.col(id_col)) * n_shards).cast("long")
-    sized = docs.select(
-        F.col(group_col).cast("string").alias("group_key"),
-        shard.alias("shard"),
-        F.col(id_col).cast("long").alias("doc_id"),
+    if size_col is None:
         # null/empty text packs as a 0-token document instead of a NULL
         # (size() yields null/-1 on null input depending on legacy conf;
         # int(NaN) would then raise inside the pandas pass) — mirrored
         # in the catalog's recursive-CTE oracle
-        F.greatest(F.lit(0), F.coalesce(F.size(tokens(text_col)), F.lit(0)))
+        size = F.size(tokens(text_col))
+    else:
+        size = F.col(size_col)
+    sized = docs.select(
+        F.col(group_col).cast("string").alias("group_key"),
+        shard.alias("shard"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.greatest(F.lit(0), F.coalesce(size, F.lit(0)))
         .cast("long")
         .alias("n_tokens"),
     )
@@ -100,6 +112,56 @@ def pack_greedy(
         return _pack_one_group(pdf, budget)
 
     return sized.groupBy("group_key", "shard").applyInPandas(pack, _PACK_SCHEMA)
+
+
+def tokenized_pack(
+    docs: DataFrame,
+    budget: int = 128,
+    n_shards: int = 4,
+    group_col: str = "lang",
+    iterations: int | None = None,
+) -> DataFrame:
+    """Token-budget packing in TOKENIZER units (round 9): train the
+    unigram LM on the corpus, segment the vocabulary, and pack each
+    document by its PIECE count — sum over its token occurrences of
+    the word's ``n_pieces`` — instead of the whitespace word count.
+    The budget a training batch actually has is tokenizer pieces, and
+    on real text the two differ by the fertility factor (~1.1-1.4x),
+    so word-count packing systematically overfills bins; this
+    composition closes that gap with the same greedy first-fit
+    semantics (``pack_greedy``) and full oracle replayability.
+
+    Scale: the segment table is vocab-sized (Heaps-bounded); the
+    doc-size join explodes the corpus tokens ONCE and joins them to
+    that bounded word table (broadcastable under the max_vocab_words
+    contract; AQE decides), then one doc_id aggregate feeds the
+    packer.  Every word of the corpus is in the training vocabulary
+    by construction, so the join is lossless; empty docs pack at
+    size 0 via the left join.
+    """
+    from mapreduceimpl_spark.operators import unigram_lm
+
+    if iterations is None:
+        iterations = unigram_lm.EM_ITERATIONS
+    word_sizes = unigram_lm.unigram_lm_segment(docs, iterations=iterations).select(
+        F.col("word").alias("token"), "n_pieces"
+    )
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).filter(F.length("token") > 0)
+    doc_sizes = (
+        tok.join(word_sizes, "token")
+        .groupBy("doc_id")
+        .agg(F.sum("n_pieces").cast("long").alias("n_pieces_doc"))
+    )
+    sized = docs.select("doc_id", group_col).join(doc_sizes, "doc_id", "left")
+    return pack_greedy(
+        sized,
+        budget=budget,
+        group_col=group_col,
+        n_shards=n_shards,
+        size_col="n_pieces_doc",
+    )
 
 
 def packing_stats(packed: DataFrame, budget: int = 512) -> DataFrame:

@@ -637,3 +637,53 @@ def test_packing_efficiency_consistency(spark):
     en = eff["en"]
     assert en["n_over_budget"] == 1 and en["max_fill"] >= 300
     assert eff["fr"]["n_over_budget"] == 0
+
+
+def test_tokenized_pack_matches_duckdb_oracle(spark):
+    """Staged entry: tokenizer-aware packing (budget in unigram-LM
+    pieces) against the composed replay — segment oracle -> per-doc
+    piece sums -> the shared packing recursion in presized mode."""
+    import duckdb
+
+    from mapreduceimpl_spark import catalog
+    from mapreduceimpl_spark.operators.packing import tokenized_pack
+    from mapreduceimpl_spark.sources import load_table
+    from tools.check_oracle import compare
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sdf = tokenized_pack(docs).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    odf = con.execute(catalog._tokenized_pack_oracle()).fetchdf()
+    con.close()
+    problems = compare("tokenized_pack", sdf, odf)
+    assert not problems, problems
+    assert len(sdf) == docs.count()
+
+
+def test_tokenized_pack_budget_semantics_and_fertility_gap(spark):
+    """Every bin respects the PIECE budget (except single oversized
+    docs), and the piece sizes are >= the word counts (fertility >= 1)
+    — the gap word-count packing would have overfilled by."""
+    from mapreduceimpl_spark.operators.packing import pack_greedy, tokenized_pack
+    from mapreduceimpl_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    budget = 128
+    packed = tokenized_pack(docs, budget=budget).toPandas()
+    by_word = pack_greedy(docs, budget=budget, n_shards=4).toPandas()
+    # bin totals: max bin_fill per (group, shard, bin)
+    fills = packed.groupby(["group_key", "shard", "bin_id"]).agg(
+        fill=("bin_fill", "max"), n=("doc_id", "count")
+    )
+    over = fills[(fills["fill"] > budget) & (fills["n"] > 1)]
+    assert over.empty, over
+    # piece count >= word count per doc (char floor keeps every word
+    # segmentable, a segmentation has >= 1 piece per word)
+    w = by_word.set_index("doc_id")["n_tokens"]
+    p = packed.set_index("doc_id")["n_tokens"]
+    assert (p[w.index] >= w).all()
+    assert (p[w.index] > w).any()  # the fertility gap is real here

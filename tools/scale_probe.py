@@ -578,6 +578,18 @@ def _probe_lsh_scurve(spark, sf_dir: str):
     return wall, len(rows)
 
 
+def _probe_fh_topk(spark, sf_dir: str):
+    """fh_cosine_topk growth: hashing is one wordcount-shaped shuffle,
+    the bounded query side broadcasts, scoring is one keyed aggregate
+    over Q x |docs| — wall should track the corpus linearly."""
+    from mapreduceimpl_spark.operators import text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = text_analysis.fh_cosine_topk(docs).count()
+    return time.time() - t0, n
+
+
 def _probe_chunk_maxp(spark, sf_dir: str):
     """chunk_retrieval_maxp growth: chunking is narrow, hashing one
     wordcount shuffle, the query side a bounded broadcast — wall
@@ -924,6 +936,7 @@ PROBES = {
     "unigram_em_depth": _probe_unigram_em_depth,
     "lsh_scurve": _probe_lsh_scurve,
     "chunk_maxp": _probe_chunk_maxp,
+    "fh_topk": _probe_fh_topk,
     "kmeans_lloyd": _probe_kmeans_lloyd,
     "ivf_lloyd": _probe_ivf_lloyd,
     "glove": _probe_glove,
