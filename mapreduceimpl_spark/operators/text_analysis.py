@@ -756,27 +756,25 @@ def chunk_retrieval_maxp_sql(
 ) -> str:
     """DuckDB mirror of :func:`chunk_retrieval_maxp`, composing the
     shared :func:`chunk_sql` arithmetic with the shared
-    :func:`feature_hashing_sql` lanes."""
+    :func:`feature_hashing_sql` lanes (ONE definition of the
+    'fh:'/'fhs:' hashing contract — review r9), and mirroring the
+    Spark side's chunk-id guard with ``error()`` so an over-long
+    document fails LOUDLY here too instead of silently aliasing two
+    chunks onto one id."""
+    fh_src = "(SELECT chunk_id AS doc_id, chunk_text AS text FROM cids)"
     return f"""
 WITH {chunk_sql(source, chunk_tokens, overlap)},
 cids AS (
-  SELECT doc_id * 1024 + chunk_idx AS chunk_id, chunk_text FROM chunkrows
-),
-tok AS (
-  SELECT chunk_id, unnest(string_split(chunk_text, ' ')) AS token
-  FROM cids
+  SELECT CASE WHEN chunk_idx < 1024 THEN doc_id * 1024 + chunk_idx
+              ELSE CAST(error('chunk_retrieval_maxp: chunk_idx >= 1024 '
+                              || 'for doc_id ' || CAST(doc_id AS VARCHAR))
+                        AS BIGINT) END AS chunk_id,
+         chunk_text
+  FROM chunkrows
 ),
 fh AS (
-  SELECT chunk_id,
-         CAST('0x' || substr(md5('fh:' || token), 1, 8) AS BIGINT) % {dim}
-           AS bucket,
-         CAST(SUM(CASE WHEN CAST('0x' || substr(md5('fhs:' || token), 1, 8)
-                             AS BIGINT) % 2 = 0
-                       THEN 1 ELSE -1 END) AS BIGINT) AS weight
-  FROM tok
-  WHERE length(token) > 0
-  GROUP BY chunk_id,
-           CAST('0x' || substr(md5('fh:' || token), 1, 8) AS BIGINT) % {dim}
+  SELECT doc_id AS chunk_id, bucket, weight
+  FROM ({feature_hashing_sql(dim, fh_src)})
 ),
 norms AS (
   SELECT chunk_id, sqrt(CAST(SUM(weight * weight) AS DOUBLE)) AS norm

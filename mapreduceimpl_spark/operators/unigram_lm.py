@@ -47,7 +47,8 @@ entries' kept-branch caches).
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator
+import hashlib
+from typing import Callable, Iterable, Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -160,30 +161,42 @@ def viterbi_word(
     return pieces, best[L]
 
 
-def _viterbi_pandas(words: DataFrame, probs: dict, max_piece_len: int) -> DataFrame:
-    """Best segmentation per word under ``probs`` via the pure
-    ``viterbi_word`` DP, Arrow-batched: (word, freq, path
-    array<string>, score double)."""
+def _map_words(
+    words: DataFrame, schema: str, per_word: Callable[[str], dict]
+) -> DataFrame:
+    """THE Arrow-batched scaffold for per-word pure DPs over the vocab
+    table (review r9: one copy instead of three): emit (word, freq,
+    **per_word(word)) rows under ``schema``.  Empty Arrow batches are
+    skipped so the extra columns never go missing on a 0-row batch."""
     import pandas as pd
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            paths, scores = [], []
+            if len(pdf) == 0:
+                continue
+            cols: dict[str, list] = {}
             for word in pdf["word"]:
-                pieces, score = viterbi_word(word, probs, max_piece_len)
-                paths.append(pieces)
-                scores.append(score)
+                for k, v in per_word(word).items():
+                    cols.setdefault(k, []).append(v)
             yield pd.DataFrame(
-                {
-                    "word": pdf["word"],
-                    "freq": pdf["freq"],
-                    "path": paths,
-                    "score": scores,
-                }
+                {"word": pdf["word"], "freq": pdf["freq"], **cols}
             )
 
-    return words.mapInPandas(
-        run, "word string, freq long, path array<string>, score double"
+    return words.mapInPandas(run, schema)
+
+
+def _viterbi_pandas(words: DataFrame, probs: dict, max_piece_len: int) -> DataFrame:
+    """Best segmentation per word under ``probs`` via the pure
+    ``viterbi_word`` DP, Arrow-batched: (word, freq, path
+    array<string>, score double)."""
+
+    def per_word(word: str) -> dict:
+        pieces, score = viterbi_word(word, probs, max_piece_len)
+        return {"path": pieces, "score": score}
+
+    return _map_words(
+        words, "word string, freq long, path array<string>, score double",
+        per_word,
     )
 
 
@@ -458,8 +471,6 @@ def sample_uniform_at(epoch: int, word: str, j: int) -> float:
     at position ``j`` of ``word`` — first 8 md5 hex digits of the
     salted key, exact integer parse, ONE float division (the repo's
     ``hash_uniform`` recipe, bit-identical in DuckDB)."""
-    import hashlib
-
     h = hashlib.md5(f"sr{epoch}:{word}:{j}".encode()).hexdigest()[:8]
     return float(int(h, 16)) / 4294967296.0
 
@@ -545,27 +556,16 @@ def _sample_pandas(
 ) -> DataFrame:
     """Sampled segmentation per word via the pure FFBS draw,
     Arrow-batched: (word, freq, path array<string>, sample_prob)."""
-    import pandas as pd
+    u_at = lambda w, j: sample_uniform_at(epoch, w, j)  # noqa: E731
 
-    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        u_at = lambda w, j: sample_uniform_at(epoch, w, j)  # noqa: E731
-        for pdf in batches:
-            paths, sps = [], []
-            for word in pdf["word"]:
-                pieces, sp = sample_segment_word(word, probs, max_piece_len, u_at)
-                paths.append(pieces)
-                sps.append(sp)
-            yield pd.DataFrame(
-                {
-                    "word": pdf["word"],
-                    "freq": pdf["freq"],
-                    "path": paths,
-                    "sample_prob": sps,
-                }
-            )
+    def per_word(word: str) -> dict:
+        pieces, sp = sample_segment_word(word, probs, max_piece_len, u_at)
+        return {"path": pieces, "sample_prob": sp}
 
-    return words.mapInPandas(
-        run, "word string, freq long, path array<string>, sample_prob double"
+    return _map_words(
+        words,
+        "word string, freq long, path array<string>, sample_prob double",
+        per_word,
     )
 
 
@@ -670,32 +670,19 @@ def unigram_expected_fertility(
     Heaps-bounded vocab table."""
     import math
 
-    import pandas as pd
-
     words, pieces = _em_loop(
         docs, iterations, max_piece_len, text_col, max_vocab_words
     )
     probs = _probs_from_rows(pieces.collect())
 
-    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            es = []
-            for word in pdf["word"]:
-                a, c = expected_pieces_word(word, probs, max_piece_len)
-                if a == 0.0:
-                    es.append(None)  # OOV char: undefined (oracle NULLIF)
-                else:
-                    es.append(math.floor((c / a) * 1e9 + 0.5) / 1e9)
-            yield pd.DataFrame(
-                {
-                    "word": pdf["word"],
-                    "freq": pdf["freq"],
-                    "expected_pieces": es,
-                }
-            )
+    def per_word(word: str) -> dict:
+        a, c = expected_pieces_word(word, probs, max_piece_len)
+        if a == 0.0:
+            return {"expected_pieces": None}  # OOV char (oracle NULLIF)
+        return {"expected_pieces": math.floor((c / a) * 1e9 + 0.5) / 1e9}
 
-    return words.mapInPandas(
-        run, "word string, freq long, expected_pieces double"
+    return _map_words(
+        words, "word string, freq long, expected_pieces double", per_word
     )
 
 
@@ -938,23 +925,22 @@ def _sql_fwd_term(d: int) -> str:
 
 def _sql_exp_terms(d: int) -> tuple[str, str]:
     """(mass term, expectation term) for a length-``d`` piece ending
-    at position d.j + 1 in the expected-fertility forward recursion."""
+    at position d.j + 1 in the expected-fertility forward recursion.
+    The mass half IS :func:`_sql_fwd_term` (one definition — review
+    r9), so the sampled-segmentation and expected-fertility oracles
+    can never compute different forward masses for the same model."""
     if d == 1:
-        return (
-            "(list_extract(d.fa, d.j + 1) * coalesce(c.p1, 0.0))",
+        cc = (
             "((list_extract(d.fc, d.j + 1) + list_extract(d.fa, d.j + 1))"
-            " * coalesce(c.p1, 0.0))",
+            " * coalesce(c.p1, 0.0))"
         )
-    a = (
-        f"CASE WHEN c.p{d} IS NOT NULL THEN "
-        f"list_extract(d.fa, d.j + 2 - {d}) * c.p{d} ELSE 0.0 END"
-    )
-    cc = (
-        f"CASE WHEN c.p{d} IS NOT NULL THEN "
-        f"(list_extract(d.fc, d.j + 2 - {d}) + "
-        f"list_extract(d.fa, d.j + 2 - {d})) * c.p{d} ELSE 0.0 END"
-    )
-    return a, cc
+    else:
+        cc = (
+            f"CASE WHEN c.p{d} IS NOT NULL THEN "
+            f"(list_extract(d.fc, d.j + 2 - {d}) + "
+            f"list_extract(d.fa, d.j + 2 - {d})) * c.p{d} ELSE 0.0 END"
+        )
+    return _sql_fwd_term(d), cc
 
 
 def unigram_expected_fertility_oracle_sql(

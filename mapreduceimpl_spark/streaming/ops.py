@@ -1666,6 +1666,16 @@ def stream_unigram_segment(
         raise ValueError("stream_unigram_segment: probs must be non-empty")
     if max_piece_len is None:
         max_piece_len = MAX_PIECE_LEN
+    return _stream_tokenize(
+        docs, lambda w: viterbi_word(w, probs, max_piece_len)[0]
+    )
+
+
+def _stream_tokenize(docs: DataFrame, segment_word) -> DataFrame:
+    """THE shared streaming tokenizer scaffold (review r9: one copy
+    for the Viterbi and sampled twins): split each document's text on
+    spaces, run ``segment_word(word) -> pieces`` per word, emit
+    (doc_id, n_words, n_pieces, pieces) — stateless mapInPandas."""
 
     def run(batches):
         for pdf in batches:
@@ -1674,7 +1684,7 @@ def stream_unigram_segment(
                 words = [w for w in (text or "").split(" ") if w]
                 pieces: list = []
                 for w in words:
-                    pieces.extend(viterbi_word(w, probs, max_piece_len)[0])
+                    pieces.extend(segment_word(w))
                 rows["doc_id"].append(doc_id)
                 rows["n_words"].append(len(words))
                 rows["n_pieces"].append(len(pieces))
@@ -1710,22 +1720,7 @@ def stream_unigram_sample_segment(
         raise ValueError("stream_unigram_sample_segment: probs must be non-empty")
     if max_piece_len is None:
         max_piece_len = MAX_PIECE_LEN
-
-    def run(batches):
-        u_at = lambda w, j: sample_uniform_at(epoch, w, j)  # noqa: E731
-        for pdf in batches:
-            rows = {"doc_id": [], "n_words": [], "n_pieces": [], "pieces": []}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = [w for w in (text or "").split(" ") if w]
-                pieces: list = []
-                for w in words:
-                    pieces.extend(
-                        sample_segment_word(w, probs, max_piece_len, u_at)[0]
-                    )
-                rows["doc_id"].append(doc_id)
-                rows["n_words"].append(len(words))
-                rows["n_pieces"].append(len(pieces))
-                rows["pieces"].append(pieces)
-            yield pd.DataFrame(rows)
-
-    return docs.select("doc_id", "text").mapInPandas(run, _UNIGRAM_SEG_SCHEMA)
+    u_at = lambda w, j: sample_uniform_at(epoch, w, j)  # noqa: E731
+    return _stream_tokenize(
+        docs, lambda w: sample_segment_word(w, probs, max_piece_len, u_at)[0]
+    )

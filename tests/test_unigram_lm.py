@@ -373,8 +373,6 @@ def test_deep_trainer_matches_duckdb_oracle_at_depth_4(spark):
         "CREATE VIEW documents AS SELECT * FROM "
         "'/root/testdata/sf0.001/documents.parquet'"
     )
-    import pyspark.sql.functions as F
-
     docs = (
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         .select("doc_id", "text")
