@@ -367,3 +367,88 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
             bad_bnlj.append(name)
     assert not cart, f"cartesian products in: {cart}"
     assert not bad_bnlj, f"unreviewed nested-loop joins in: {bad_bnlj}"
+
+
+def test_contract_stays_green_after_next_driver_run(tmp_path):
+    """The round-7/8 failure mode was HEAD reddening the moment the
+    driver's CORRECTNESS file landed.  Simulate exactly that: copy the
+    live evidence, synthesize the next round's file (hash rows for the
+    window prefix — 50 rows, the demonstrated driver behavior), and
+    assert the whole contract holds against it: the derived deferral
+    set self-cleans to exactly the past-window unattested entries, no
+    oracle-backed entry breaches the 6-round max-age, and the
+    stalest-first repack schedule stays feasible for six further
+    rounds."""
+    import glob
+    import json
+    import re
+    import shutil
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    rounds = []
+    for path in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rounds.append(int(m.group(1)))
+        shutil.copy(path, tmp_path / Path(path).name)
+    if not rounds:
+        return
+    nxt = max(rounds) + 1
+    names = list(catalog.SPECS)
+    window = names[: catalog.VERIFICATION_WINDOW]
+    synthetic = {
+        n: {"rows_match": True, "schema_match": True, "hash_match": True,
+            "spark_rows": 1, "oracle_rows": 1, "err": None}
+        for n in window
+    }
+    (tmp_path / f"CORRECTNESS_r{nxt:02d}.json").write_text(
+        json.dumps(synthetic)
+    )
+
+    verified = catalog.driver_verified_queries(repo_dir=str(tmp_path))
+    assert set(window) <= set(verified)
+
+    # derived deferral against the simulated evidence: exactly the
+    # oracle-backed past-window entries with no row (this round's
+    # intake), nothing else
+    deferred = {
+        n
+        for i, n in enumerate(names)
+        if i >= catalog.VERIFICATION_WINDOW
+        and catalog.SPECS[n].oracle is not None
+        and n not in verified
+    }
+    assert deferred == {
+        "lsh_scurve_eval", "unigram_fertility", "feature_hashing",
+        "fh_cosine_topk",
+    }
+
+    # max-age at the simulated next-round start: nothing outside the
+    # deferral set may be older than nxt+1 - 6 (checked before the
+    # round AFTER the simulated one runs, mirroring the live test)
+    newest: dict[str, int] = {}
+    for path in sorted(glob.glob(str(tmp_path / "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        for name, row in json.load(open(path)).items():
+            if row.get("hash_match"):
+                newest[name] = max(newest.get(name, 0), rnd)
+    tracked = [n for n in names if catalog.SPECS[n].oracle is not None]
+    age = {n: newest.get(n, 0) for n in tracked}
+    breaches = [
+        n for n in tracked
+        if n not in deferred and 0 < age[n] < (nxt + 1) - 6
+    ]
+    assert not breaches, breaches
+
+    # six simulated repacked rounds stay feasible (stalest-first,
+    # never-attested first — the planner's policy)
+    for r in range(nxt + 1, nxt + 7):
+        w = sorted(age, key=lambda n: (age[n], n))[: catalog.VERIFICATION_WINDOW]
+        for n in w:
+            age[n] = r
+        late = [(n, a) for n, a in age.items() if 0 < a < r - 6]
+        assert not late, (r, sorted(late)[:10])
+        if r > nxt + 1:
+            assert not [n for n, a in age.items() if a == 0]
