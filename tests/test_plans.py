@@ -1309,3 +1309,21 @@ def test_grid_quantiles_no_global_sort_of_raw_rows(tables):
     # each reads the single value column with the null filter pushed
     assert plan.count("Scan parquet") == 3, plan
     assert plan.count("ReadSchema: struct<l_extendedprice:double>") == 3, plan
+
+
+def test_staged_round10_ops_plan_shapes(docs):
+    """The staged round-10 entries get the catalog lint's guarantees
+    early: no CartesianProduct anywhere, and chunk_retrieval_maxp's
+    bucket join broadcasts the bounded query side (the corpus chunk
+    vectors never shuffle for the join)."""
+    from mapreduceimpl_spark.operators.packing import tokenized_pack
+    from mapreduceimpl_spark.operators.text_analysis import chunk_retrieval_maxp
+    from mapreduceimpl_spark.plans import explain_str
+
+    maxp = explain_str(chunk_retrieval_maxp(docs), "simple")
+    assert "CartesianProduct" not in maxp
+    assert "BroadcastHashJoin" in maxp
+
+    tpack = explain_str(tokenized_pack(docs), "simple")
+    assert "CartesianProduct" not in tpack
+    assert "BroadcastNestedLoopJoin" not in tpack
