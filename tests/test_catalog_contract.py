@@ -99,7 +99,7 @@ def test_no_oracle_backed_entry_goes_stale():
 def test_rotation_schedule_simulates_clean_for_future_rounds():
     """VERDICT r6 #2 made executable: simulate the next SIX driver
     windows under the documented packing policy (this round's window is
-    the live SPECS prefix; every later round repacks its 49 slots
+    the live SPECS prefix; every later round repacks its 50 slots
     stalest-first, never-verified entries first) and assert that no
     oracle-backed entry ever breaches the 6-round max-age and that no
     deferred entry waits more than one further round.  Any catalog
