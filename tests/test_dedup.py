@@ -1092,3 +1092,46 @@ def test_lsh_scurve_high_jaccard_detected(docs):
     assert top["s_mid"] >= 0.8
     assert top["detect_rate"] >= 0.9  # the mutated-copy pairs are found
     assert top["analytic_p"] >= 0.9
+
+
+def test_lsh_scurve_parity_at_alternate_band_config(spark, docs):
+    """The eval exists to TUNE (b, r), so the oracle generator must be
+    correct away from the catalog's pinned 16/4: driver-equivalent
+    compare at 8 permutations in 4 bands of 2 rows (a flatter S-curve)
+    — guards the generator's generality like the unigram depth test."""
+    import duckdb
+
+    from mapreduceimpl_spark import catalog
+    from mapreduceimpl_spark.operators.dedup import (
+        lsh_scurve_eval,
+        with_mutated_copies,
+    )
+    from tools.check_oracle import compare
+
+    sdf = lsh_scurve_eval(
+        with_mutated_copies(docs), n_perms=8, band_size=2
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    odf = con.execute(
+        catalog._lsh_scurve_oracle(n_perms=8, band_size=2)
+    ).fetchdf()
+    con.close()
+    problems = compare("lsh_scurve_8x2", sdf, odf)
+    assert not problems, problems
+    # a flatter curve: 2-row bands fire MORE often at low similarity
+    # than 4-row bands do — check the analytic column reflects r=2
+    for r in sdf.itertuples():
+        s = r.s_mid
+        s_r = 1.0
+        for _ in range(2):
+            s_r *= s
+        miss = 1.0
+        for _ in range(4):
+            miss *= 1.0 - s_r
+        import math
+
+        assert r.analytic_p == math.floor((1.0 - miss) * 1e6 + 0.5) / 1e6
