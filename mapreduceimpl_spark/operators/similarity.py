@@ -234,20 +234,24 @@ def ivf_build(
     return centroids, cells
 
 
-def ivf_search(
+def ivf_probe_scores(
     centroids: list[list[float]],
     cells: DataFrame,
     queries: DataFrame,
-    k: int = 5,
     n_probe: int = 2,
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
-    """Query a prebuilt IVF index: per query, rank the broadcast
-    centroid list (n_queries x n_cells, tiny), probe the ``n_probe``
-    nearest cells, exact-rescore only those cells' vectors."""
-    # query-side: distance to every centroid (n_queries x n_cells,
-    # tiny), keep the n_probe nearest cells
+    """Shared IVF probe + exact-rescore core: per query, rank the
+    broadcast centroid list (n_queries x n_cells, tiny), probe the
+    ``n_probe`` nearest cells, cosine-rescore only those cells'
+    vectors — (query_id, vec_id, cosine), unranked.  The batch
+    ``ivf_search`` broadcasts the bounded query side onto the
+    never-shuffled index; the STREAMING twin passes
+    ``broadcast_queries=False`` (a stream side cannot be a broadcast
+    build side; the stream-static equi-join on ``cell`` plans the
+    static index as the build side instead)."""
     qv = queries.select(F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
     probe_structs = [
         F.struct(
@@ -265,10 +269,29 @@ def ivf_search(
         "qv",
         F.slice(F.array_sort(F.array(*probe_structs)), 1, n_probe).alias("probe"),
     ).select("query_id", "qv", F.explode("probe.cell").alias("cell"))
-    scored = F.broadcast(probes).join(cells, "cell").select(
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    return probes.join(cells, "cell").select(
         "query_id",
         "vec_id",
         cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+
+
+def ivf_search(
+    centroids: list[list[float]],
+    cells: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Query a prebuilt IVF index: per query, rank the broadcast
+    centroid list (n_queries x n_cells, tiny), probe the ``n_probe``
+    nearest cells, exact-rescore only those cells' vectors."""
+    scored = ivf_probe_scores(
+        centroids, cells, queries, n_probe, vec_col, query_id_col
     )
     return _topk_by_cosine(scored, k)
 

@@ -1573,6 +1573,61 @@ def stream_feature_hashing(
     return rows.select("doc_id", "bucket", weight.alias("weight"))
 
 
+def stream_ann_search(
+    queries: DataFrame,
+    centroids: list,
+    cells: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Vector-search SERVING (twin 28): a STREAM of embedding queries
+    probes the batch-built persisted IVF index — the
+    index-offline/query-online split every vector store runs.
+
+    Composition: the probe selection is the SAME narrow codegen the
+    batch ``ivf_search`` uses (``similarity.ivf_probe_scores`` — one
+    definition), joined stream-static on ``cell`` (supported in append
+    mode; the static index is the build side since a stream can't be
+    broadcast).  Per-query top-k can't be a rank window on a stream,
+    so the scored rows repartition by query_id — each query is
+    complete within its micro-batch — and one Arrow pass takes the
+    (cosine DESC, vec_id ASC) top-k per query, the exact
+    ``_topk_by_cosine`` contract; stream == batch bit-for-bit
+    (pytest-pinned across a two-micro-batch split).
+
+    State: none.  Per-micro-batch memory: the batch's queries x
+    probed-cells scored rows per partition (the pandas pass buffers
+    one partition) — bounded by the serving batch size, not the
+    corpus."""
+    from mapreduceimpl_spark.operators.similarity import ivf_probe_scores
+
+    if k < 1 or n_probe < 1:
+        raise ValueError(f"k and n_probe must be >= 1, got {k}, {n_probe}")
+    scored = ivf_probe_scores(
+        centroids, cells, queries, n_probe, broadcast_queries=False
+    )
+
+    def topk(batches):
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        out = []
+        for qid, grp in pdf.groupby("query_id", sort=False):
+            grp = grp.sort_values(
+                ["cosine", "vec_id"], ascending=[False, True], kind="mergesort"
+            ).head(k)
+            grp = grp.assign(rank=range(1, len(grp) + 1))
+            out.append(grp)
+        yield pd.concat(out, ignore_index=True)[
+            ["query_id", "vec_id", "cosine", "rank"]
+        ]
+
+    return scored.repartition("query_id").mapInPandas(
+        topk, "query_id long, vec_id long, cosine double, rank long"
+    )
+
+
 def stream_crawl_gates(
     docs: DataFrame,
     ts_col: str = "ingest_ts",

@@ -1516,3 +1516,49 @@ def test_stream_unigram_sample_segment_matches_batch_and_varies(spark, tmp_path)
 
     with pytest.raises(ValueError):
         streaming.stream_unigram_sample_segment(docs, {})
+
+
+def test_stream_ann_search_matches_batch_ivf(spark, tmp_path):
+    """Vector-search serving twin: a two-micro-batch query stream
+    against the batch-built IVF index returns exactly the batch
+    ivf_search rows (same probes, same cosine, same (cosine desc,
+    vec_id asc) top-k contract)."""
+    from mapreduceimpl_spark.operators.similarity import ivf_build, ivf_search
+    from mapreduceimpl_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    centroids, cells = ivf_build(emb, n_cells=4, kmeans_iter=3)
+    cells = cells.persist()
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in ivf_search(centroids, cells, queries, k=5, n_probe=2).collect()
+    }
+
+    src = tmp_path / "queries"
+    src.mkdir()
+    queries.filter(F.col("query_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    queries.filter(F.col("query_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in _run_stream(
+            streaming.stream_ann_search(stream, centroids, cells, k=5, n_probe=2)
+        )
+    }
+    assert got == batch and len(got) == 50
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        streaming.stream_ann_search(stream, centroids, cells, k=0)
