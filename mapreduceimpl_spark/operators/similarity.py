@@ -453,6 +453,27 @@ def lsh_search(
     ``round_digits`` rounds the cosine before ranking so the order is
     reproducible across engines with different float fold order (same
     knob as :func:`brute_force_topk` — used by the DuckDB oracle)."""
+    scored = lsh_probe_scores(
+        params, corpus, queries, n_probe, vec_col, query_id_col, round_digits
+    )
+    return _topk_by_cosine(scored, k)
+
+
+def lsh_probe_scores(
+    params: dict,
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Shared sign-LSH probe + rescore core of :func:`lsh_search` —
+    (query_id, vec_id, cosine), unranked; ``broadcast_queries=False``
+    is the streaming-serving variant (a stream side cannot be a
+    broadcast build side — the stream-static bucket join keeps the
+    static index as build side)."""
     n_planes = params["n_planes"]
     if not 1 <= n_probe <= n_planes + 1:
         raise ValueError(
@@ -487,12 +508,13 @@ def lsh_search(
     sim = cosine_similarity(F.col("qv"), F.col("cv"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    scored = F.broadcast(q).join(corpus, "bucket").select(
+    if broadcast_queries:
+        q = F.broadcast(q)
+    return q.join(corpus, "bucket").select(
         "query_id",
         "vec_id",
         sim.alias("cosine"),
     )
-    return _topk_by_cosine(scored, k)
 
 
 def quantize_embeddings(

@@ -1606,6 +1606,16 @@ def stream_ann_search(
     scored = ivf_probe_scores(
         centroids, cells, queries, n_probe, broadcast_queries=False
     )
+    return _stream_topk_by_cosine(scored, k)
+
+
+def _stream_topk_by_cosine(scored: DataFrame, k: int) -> DataFrame:
+    """THE streaming replay of the ANN family's ranking contract
+    (``similarity._topk_by_cosine``: cosine DESC, vec_id ASC): rank
+    windows don't exist on streams, so repartition the scored rows by
+    query_id (each query is complete within its micro-batch) and take
+    the per-query top-k in one Arrow pass.  Shared by the IVF and LSH
+    serving twins."""
 
     def topk(batches):
         pdfs = [pdf for pdf in batches if len(pdf)]
@@ -1613,7 +1623,7 @@ def stream_ann_search(
             return
         pdf = pd.concat(pdfs, ignore_index=True)
         out = []
-        for qid, grp in pdf.groupby("query_id", sort=False):
+        for _qid, grp in pdf.groupby("query_id", sort=False):
             grp = grp.sort_values(
                 ["cosine", "vec_id"], ascending=[False, True], kind="mergesort"
             ).head(k)
@@ -1626,6 +1636,29 @@ def stream_ann_search(
     return scored.repartition("query_id").mapInPandas(
         topk, "query_id long, vec_id long, cosine double, rank long"
     )
+
+
+def stream_lsh_search(
+    queries: DataFrame,
+    params: dict,
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Sign-LSH sibling of ``stream_ann_search`` (twin 29): the query
+    stream hashes with the persisted index's OWN hyperplane params
+    (``similarity.lsh_probe_scores`` — one definition with the batch
+    ``lsh_search``, multi-probe included), joins stream-static on
+    bucket, and ranks through the shared streaming top-k tail.  Zero
+    state; stream == batch bit-for-bit (pytest-pinned)."""
+    from mapreduceimpl_spark.operators.similarity import lsh_probe_scores
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    scored = lsh_probe_scores(
+        params, corpus, queries, n_probe, broadcast_queries=False
+    )
+    return _stream_topk_by_cosine(scored, k)
 
 
 def stream_crawl_gates(

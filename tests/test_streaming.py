@@ -1562,3 +1562,46 @@ def test_stream_ann_search_matches_batch_ivf(spark, tmp_path):
 
     with pytest.raises(ValueError):
         streaming.stream_ann_search(stream, centroids, cells, k=0)
+
+
+def test_stream_lsh_search_matches_batch(spark, tmp_path):
+    """Sign-LSH serving twin: multi-probe stream search against the
+    batch-built bucketed index equals batch lsh_search exactly."""
+    from mapreduceimpl_spark.operators.similarity import lsh_build, lsh_search
+    from mapreduceimpl_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    params, corpus = lsh_build(emb, n_planes=6)
+    corpus = corpus.persist()
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in lsh_search(params, corpus, queries, k=5, n_probe=3).collect()
+    }
+    src = tmp_path / "lsh_queries"
+    src.mkdir()
+    queries.filter(F.col("query_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    queries.filter(F.col("query_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in _run_stream(
+            streaming.stream_lsh_search(stream, params, corpus, k=5, n_probe=3)
+        )
+    }
+    assert got == batch and len(got) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        streaming.stream_lsh_search(stream, params, corpus, k=0)
