@@ -11,20 +11,22 @@ Ordering contract (round 2+): the driver records CORRECTNESS rows for
 the FIRST 50 entries in insertion order (five rounds of evidence —
 the round-7/8 "49-slot" plan was one short, which is exactly what
 kept reddening test_deferred_set_self_cleans).  SPECS is therefore
-rebuilt from ``_ROUND9_ORDER`` (defined after the dict literal) so
+rebuilt from ``_ROUND10_ORDER`` (defined after the dict literal) so
 the entries that most need a fresh green row come first.
-Round 9 packs: positions 1-3 the never-driver-attested round-8
-additions (judge-verified at both SFs), positions 4-28 the full r3
-cohort (at the 6-round max-age this round), positions 29-50 the 22
-stalest r4 refreshes; the tail is stalest-cohort-first so each
-future round's window promotion is a simple prefix shift.
+Round 10 packs: positions 1-8 the never-driver-attested entries (the
+4 round-9 intake deferrals, judge-verified at both SFs, plus the 4
+round-10 intake entries — in window, so this round leaves NO
+deferral chain), positions 9-32 the full r4 cohort (at the 6-round
+max-age this round), positions 33-50 the 18 stalest r5 refreshes;
+the tail is stalest-cohort-first so each future round's window
+promotion is a simple prefix shift.
 Max-age policy: no oracle-backed entry's newest driver row may be
 older than 6 completed rounds.  Feasibility arithmetic at the
-round-9 catalog (271 oracle-backed: 278 minus the 11-entry
-retirement, see RETIRED_SUPERSET, plus this round's 4-entry intake):
-steady-state re-attestation demand is 271/6 ~= 45.2 slots/round
-against the 50-slot window — ~4.8 slots/round of headroom; future
-rounds must budget new-entry intake against THAT margin.  tests/test_catalog_contract.py enforces the
+round-10 catalog (264 oracle-backed: 271 minus the second 11-entry
+retirement pass, see RETIRED_SUPERSET, plus this round's 4-entry
+intake): steady-state re-attestation demand is 264/6 = 44
+slots/round against the 50-slot window — 6 slots/round of headroom;
+future rounds must budget new-entry intake against THAT margin.  tests/test_catalog_contract.py enforces the
 policy against the live CORRECTNESS files; ``DEFERRED_TO_NEXT_ROUND``
 is now DERIVED from those files (bottom of module) instead of
 hand-maintained, and tools/rotation_report.py shows the live state.  The bench set
@@ -9613,6 +9615,57 @@ FROM (
             "cosine; bounded query side broadcast onto never-shuffled "
             "corpus vectors, one keyed aggregate",
     ),
+    # --- round-10 intake (the four staged r9 candidates; each was
+    # pre-verified at sf0.001/0.01/0.1 via the driver-equivalent
+    # compare in pytest before entering SPECS, plan shapes pinned by
+    # test_staged_round10_ops_plan_shapes) ---
+    "unigram_lm_train_deep4": QuerySpec(
+        lambda spark, sf_dir: unigram_lm.unigram_lm_train_deep(
+            load_table(spark, sf_dir, "documents"), em_rounds=4
+        )[0],
+        unigram_lm.unigram_lm_oracle_sql(iterations=4),
+        doc="the production-depth EM trainer ITSELF at em_rounds=4 "
+            "(no pruning) against the oracle generator unrolled to "
+            "T=4 — makes the deep-tier lineage value-verified, not "
+            "just equivalence-pinned to the 2-round entry; constant "
+            "plan by construction (one fresh job per round over the "
+            "persisted Heaps-bounded vocab)",
+    ),
+    "unigram_lm_sample_segment": QuerySpec(
+        lambda spark, sf_dir: unigram_lm.unigram_lm_sample_segment(
+            load_table(spark, sf_dir, "documents")
+        ),
+        unigram_lm.unigram_lm_sample_oracle_sql(),
+        doc="subword regularization (Kudo ACL 2018): a segmentation "
+            "drawn from the FULL posterior P(s|word) per word via "
+            "exact FFBS over the trained DP lattice — deterministic "
+            "per (corpus, epoch) through salted md5 uniforms, so the "
+            "recursive-CTE replay reproduces every draw bit-exactly",
+    ),
+    "chunk_retrieval_maxp": QuerySpec(
+        lambda spark, sf_dir: text_analysis.chunk_retrieval_maxp(
+            load_table(spark, sf_dir, "documents")
+        ),
+        text_analysis.chunk_retrieval_maxp_sql(),
+        doc="chunk-level dense retrieval with MaxP doc aggregation "
+            "(Dai & Callan SIGIR 2019): chunk_documents -> "
+            "feature_hashing per chunk -> exact-BIGINT cosine -> "
+            "per-doc MAX -> top-k; bounded query chunks broadcast "
+            "onto the never-shuffled corpus chunk vectors",
+    ),
+    "tokenized_pack": QuerySpec(
+        lambda spark, sf_dir: packing.tokenized_pack(
+            load_table(spark, sf_dir, "documents")
+        ),
+        _tokenized_pack_oracle(),
+        doc="token-budget packing in TOKENIZER units: unigram-LM "
+            "segment supplies per-word piece counts, corpus tokens "
+            "join the Heaps-bounded vocab relation once, per-doc "
+            "piece sums feed the shared greedy packer in presized "
+            "mode — closes the tokenizer->batch loop at piece "
+            "granularity (word-count packing overfills by the "
+            "fertility factor)",
+    ),
 }
 
 
@@ -9659,107 +9712,141 @@ RETIRED_SUPERSET: dict[str, str] = {
     "split_assign": "kfold_assign",
     # lm_quality_buckets wraps the shared bigram-LM scorer + replay
     "text_bigram_logprob": "lm_quality_buckets",
+    # --- round-10 pass (VERDICT r9 #5): each retiree's stages run
+    # verbatim inside the named live superset, Spark fn AND oracle ---
+    # bloom_fp_eval calls _q_bloom_membership and embeds
+    # _bloom_membership_oracle() whole
+    "bloom_membership": "bloom_fp_eval",
+    # countmin_error_eval calls countmin_estimate at the SAME
+    # (d=3, w=1024, k=20) config and wraps the countmin replay
+    "countmin_estimate": "countmin_error_eval",
+    # dsir_select calls dsir_weights; both oracles share _dsir_layers
+    "dsir_weights": "dsir_select",
+    # markov_stationary's P matrix is q_event_markov's exact ratios;
+    # oracle chains _MARKOV_PROB_LAYERS (the event_markov oracle body)
+    "event_markov": "markov_stationary",
+    # pretrain_funnel runs corpus_filter verbatim as its first stage
+    # and embeds _corpus_filter_oracle() whole (semdedup_funnel too)
+    "corpus_filter": "pretrain_funnel",
+    # pretrain_funnel's chunk stage is chunk_documents with the shared
+    # _chunk_sql oracle body (chunk_retrieval_maxp composes it too)
+    "doc_chunks": "pretrain_funnel",
+    # semdedup_funnel shares every semantic layer with dedup_semantic
+    # verbatim (stated in both docs since round 6)
+    "dedup_semantic": "semdedup_funnel",
+    # crawl_funnel runs gopher_rules verbatim as its gate stage and
+    # its oracle reuses the entry's own SQL
+    "gopher_rules": "crawl_funnel",
+    # langid_eval scores lang_id's predictions and embeds
+    # _lang_id_oracle() whole
+    "text_lang_id": "langid_eval",
+    # packing_efficiency runs pack_greedy at the SAME (budget=256,
+    # n_shards=4) config and embeds _SEQ_PACK_ORACLE whole
+    "seq_pack": "packing_efficiency",
+    # dedup_recall_eval's truth side is ngram_jaccard_pairs at the
+    # same min_jaccard=0.5 and embeds _ngram_oracle(0.5) whole
+    "dedup_ngram_jaccard": "dedup_recall_eval",
 }
 RETIRED_SPECS: dict[str, QuerySpec] = {
     name: SPECS.pop(name) for name in RETIRED_SUPERSET
 }
 
 
-# Round-9 window rotation (driver records the FIRST 50 entries; see
-# module docstring).  Head 1-50: the 3 never-driver-attested round-8
-# additions (mmr_rerank_ivf, unigram_lm_train, unigram_lm_segment —
-# every one locally oracle-PASS and judge-verified at sf0.01 AND
-# sf0.1), then the full 25-entry r3 cohort (reaches the 6-round
-# max-age this round) and the 22 stalest r4 refreshes; the tail stays
-# stalest-cohort-first (rest of r4, then r5/r6/r7/r8) so future
-# promotions are prefix shifts.  Generated by
-# tools/plan_next_window.py from the live CORRECTNESS files after the
-# round-9 retirement (RETIRED_SUPERSET) shrank the oracle-backed
-# catalog to 267; the 4-entry round-9 intake at position 51+ brings
-# it to 271 (steady-state re-attestation demand 271/6 ~= 45.2
-# slots/round vs the 50-slot window — ~4.8 slots/round of headroom).
-_ROUND9_ORDER = [
-    'mmr_rerank_ivf', 'unigram_lm_train', 'unigram_lm_segment', 'agg_cube',
-    'grouping_sets', 'join_inner', 'join_left', 'join_semi',
-    'join_anti', 'join_full', 'join_cross', 'join_broadcast',
-    'join_theta', 'shipping_priority', 'local_supplier_volume', 'volume_shipping',
-    'returned_items', 'window_rank', 'sort_limit', 'scalar_string',
-    'json_extract', 'null_handling', 'subquery_corr', 'array_agg',
-    'percentile', 'pivot', 'text_bpe_tokens', 'events_tumbling',
-    'forecast_revenue', 'shipmode_priority', 'customer_distribution', 'promo_revenue',
-    'parts_supplier_relation', 'discounted_revenue', 'waiting_suppliers', 'sales_opportunity',
-    'min_cost_supplier', 'revenue_share', 'top_supplier', 'small_qty_revenue',
-    'large_orders', 'heavy_shippers', 'market_share', 'product_profit',
-    'dedup_span_exact', 'heavy_hitters', 'collocations_pmi', 'events_anomaly',
-    'events_running_anomaly', 'revenue_pareto',
-    # position 51+: round-9 additions (derived deferrals; first in
-    # line for the r10 window after local + judge verification)
+# Round-10 window rotation (driver records the FIRST 50 entries; see
+# module docstring).  Head 1-50: the 4 never-driver-attested round-9
+# intake entries (every one judge-verified at sf0.01 AND sf0.1 last
+# round), the 4 round-10 intake entries (pre-verified at 3 SFs via
+# the driver-equivalent pytest compares BEFORE entering SPECS — in
+# window now, so this round leaves NO deferral chain), the full
+# 24-entry r4 cohort (reaches the 6-round max-age this round), and 18
+# stalest r5 refreshes (with the aging bench headliners dedup_exact /
+# udtf_chunks promoted within their cohort per VERDICT r9 #6; the r6
+# headliners wordcount / set_ops / scalar_case_date / scalar_math_date
+# lead the r6 segment so round 11 catches them).  The tail stays
+# stalest-cohort-first so future promotions are prefix shifts.
+# Generated by tools/plan_next_window.py from the live CORRECTNESS
+# files after the round-10 retirement (11 more strict-subset entries
+# into RETIRED_SUPERSET) shrank the oracle-backed catalog to 260; the
+# 4-entry intake brings it to 264 (steady-state re-attestation demand
+# 264/6 = 44 slots/round vs the 50-slot window — 6 slots/round of
+# headroom, up from 4.8).
+_ROUND10_ORDER = [
     'lsh_scurve_eval', 'unigram_fertility', 'feature_hashing', 'fh_cosine_topk',
-    'customer_rfm', 'event_top_paths',
-    'state_intervals', 'fuzzy_join', 'vocab_topk', 'quality_percentile',
-    'random_projection', 'next_event_pairs', 'token_pair_counts', 'knn_classify_lsh',
-    'pretrain_funnel', 'corr_analysis', 'price_histogram', 'skew_salted_join',
-    'skew_two_phase', 'pagerank', 'timeseries_gapfill', 'media_probe',
-    'text_token_entropy', 'monthly_growth', 'events_sessionize', 'asof_join',
-    'dedup_minhash_lsh', 'dedup_embedding', 'table_profile', 'snapshot_diff',
-    'triangle_count', 'clustering_coeff', 'events_ewma', 'bm25_search',
-    'dedup_minhash_verified', 'basket_rules', 'skyline_frontier', 'fuzzy_join_verified',
-    'rolling_active_users', 'sample_weighted_k', 'pit_join', 'changelog_apply',
-    'events_autocorr', 'span_corruption', 'triplet_mining', 'temperature_mix',
+    'unigram_lm_train_deep4', 'unigram_lm_sample_segment', 'chunk_retrieval_maxp', 'tokenized_pack',
+    'customer_rfm', 'event_top_paths', 'state_intervals', 'fuzzy_join',
+    'vocab_topk', 'quality_percentile', 'random_projection', 'next_event_pairs',
+    'token_pair_counts', 'knn_classify_lsh', 'pretrain_funnel', 'corr_analysis',
+    'price_histogram', 'skew_salted_join', 'skew_two_phase', 'pagerank',
+    'timeseries_gapfill', 'media_probe', 'text_token_entropy', 'monthly_growth',
+    'events_sessionize', 'asof_join', 'dedup_minhash_lsh', 'dedup_embedding',
+    'table_profile', 'snapshot_diff', 'triangle_count', 'clustering_coeff',
+    'events_ewma', 'bm25_search', 'dedup_minhash_verified', 'basket_rules',
+    'skyline_frontier', 'fuzzy_join_verified', 'rolling_active_users', 'sample_weighted_k',
+    'pit_join', 'changelog_apply', 'events_autocorr', 'span_corruption',
+    'dedup_exact', 'udtf_chunks', 'triplet_mining', 'temperature_mix',
     'kfold_assign', 'vocab_coverage', 'preference_pairs', 'conversation_build',
-    'kmv_distinct', 'bloom_membership', 'dedup_prefix_filter', 'length_buckets',
-    'dq_expectations', 'histogram_drift', 'incremental_agg', 'alignment_funnel',
-    'centroid_similarity', 'udtf_chunks', 'attribution_last_touch', 'ab_test_report',
-    'k_anonymity', 'mad_outliers', 'bootstrap_se', 'cuped_adjustment',
-    'consistent_sample_join', 'sft_render', 'seq_pack', 'multimodal_meta',
-    'events_sliding', 'events_session_native', 'dedup_exact', 'dedup_exact_norm',
-    'priority_returns', 'bpe_vocab', 'ann_ivf_lloyd_topk', 'epoch_shuffle_sharded',
+    'kmv_distinct', 'dedup_prefix_filter', 'length_buckets', 'dq_expectations',
+    'histogram_drift', 'incremental_agg', 'alignment_funnel', 'centroid_similarity',
+    'attribution_last_touch', 'ab_test_report', 'k_anonymity', 'mad_outliers',
+    'bootstrap_se', 'cuped_adjustment', 'consistent_sample_join', 'sft_render',
+    'multimodal_meta', 'events_sliding', 'events_session_native', 'dedup_exact_norm',
+    'priority_returns', 'wordcount', 'set_ops', 'scalar_case_date',
+    'scalar_math_date', 'bpe_vocab', 'ann_ivf_lloyd_topk', 'epoch_shuffle_sharded',
     'l_diversity', 'attribution_linear', 'dedup_containment', 'dedup_keeper_longest',
-    'winsorize_mad', 'countmin_estimate', 'contamination_containment', 'asof_join_forward',
-    'sample_hash', 'dedup_ngram_jaccard', 'ann_topk', 'text_lang_id',
-    'text_quality', 'text_token_stats', 'text_clean', 'corpus_filter',
+    'winsorize_mad', 'contamination_containment', 'asof_join_forward', 'sample_hash',
+    'ann_topk', 'text_quality', 'text_token_stats', 'text_clean',
     'embedding_centroids', 'embedding_norms', 'text_fingerprint', 'text_repetition',
     'text_pii_scrub', 'contamination_check', 'sample_stratified', 'domain_mix',
-    'embedding_quantize', 'tfidf_topterms', 'scalar_case_date', 'scalar_math_date',
-    'window_analytics', 'set_ops', 'dedup_semantic', 'multimodal_funnel',
+    'embedding_quantize', 'tfidf_topterms', 'window_analytics', 'multimodal_funnel',
     'pca_scores', 'dedup_semantic_centroid', 'hybrid_search_rrf', 'semdedup_funnel',
     'lm_quality_buckets', 'in_batch_negatives', 'retrieval_metrics', 'token_budget_mix',
-    'wordcount', 'dedup_incremental', 'doc_chunks', 'retention_cohorts',
-    'quality_classifier', 'quality_classifier_weights', 'dsir_weights', 'dsir_select',
-    'pq_codes', 'pq_adc_topk', 'skipgram_negatives', 'glove_cooccurrence',
-    'zipf_law_fit', 'heaps_law_growth', 'unigram_kl', 'vocab_overlap',
-    'contamination_bloom', 'ngram_novelty', 'kmv_set_ops', 'events_holt',
-    'classifier_eval', 'classifier_calibration', 'ams_f2', 'leakage_safe_split',
-    'dp_noisy_counts', 'gopher_rules', 'ams_join_size', 'events_twap',
-    'grid_quantiles', 'event_markov', 'markov_stationary', 'dedup_recall_eval',
-    'classifier_pr_curve', 'feature_mi', 'langid_eval', 'survival_km',
-    'ann_recall_eval', 'vocab_keyness', 'token_gini', 'hits_scores',
-    'rouge_pairs', 'bpe_fertility', 'lm_heldout_perplexity', 'cramers_v',
-    'mannwhitney_length', 'ols_tokens_vs_chars', 'seasonal_mase', 'theil_sen_daily',
-    'ks_length', 'aspect_buckets', 'shard_balance', 't_closeness',
-    'fim_render', 'kmeans_ari', 'kmeans_silhouette', 'events_funnel_windowed',
-    'benford_digits', 'psi_drift', 'attribution_time_decay', 'code_detect',
-    'conversion_latency', 'dow_uniformity', 'packing_efficiency', 'curriculum_phases',
-    'dup_cluster_sizes', 'deletion_cascade', 'sample_size_plan', 'event_burstiness',
-    'effective_domains', 'session_depth_hist', 'iqr_fences', 'qlm_search',
-    'bloom_fp_eval', 'countmin_error_eval', 'bpe_train_batched', 'domain_frequency_cap',
-    'mmr_rerank', 'wav_pcm_decode', 'ppm_decode_resize', 'y4m_frame_sample',
-    'pq_recall_eval', 'png_decode_stats', 'warc_ingest', 'gif_decode_stats',
-    'text_unigram_logprob', 'sample_fixed_n', 'scalar_map', 'dedup_simhash64_pairs',
-    'ann_lsh_topk', 'ann_lsh_multiprobe', 'range_join', 'hypertable_rollup',
-    'sample_weighted', 'user_features', 'lang_count', 'udf_wordcount',
-    'filter_project', 'pricing_summary', 'agg_multikey', 'agg_distinct',
-    'distinct_op', 'agg_rollup', 'crawl_funnel', 'agg_approx',
-    'ann_ivf_topk', 'kmeans_assign', 'text_compression_ratio',
+    'dedup_incremental', 'retention_cohorts', 'quality_classifier', 'quality_classifier_weights',
+    'dsir_select', 'pq_codes', 'pq_adc_topk', 'skipgram_negatives',
+    'glove_cooccurrence', 'zipf_law_fit', 'heaps_law_growth', 'unigram_kl',
+    'vocab_overlap', 'contamination_bloom', 'ngram_novelty', 'kmv_set_ops',
+    'events_holt', 'classifier_eval', 'classifier_calibration', 'ams_f2',
+    'leakage_safe_split', 'dp_noisy_counts', 'ams_join_size', 'events_twap',
+    'grid_quantiles', 'markov_stationary', 'dedup_recall_eval', 'classifier_pr_curve',
+    'feature_mi', 'langid_eval', 'survival_km', 'ann_recall_eval',
+    'vocab_keyness', 'token_gini', 'hits_scores', 'rouge_pairs',
+    'bpe_fertility', 'lm_heldout_perplexity', 'cramers_v', 'mannwhitney_length',
+    'ols_tokens_vs_chars', 'seasonal_mase', 'theil_sen_daily', 'ks_length',
+    'aspect_buckets', 'shard_balance', 't_closeness', 'fim_render',
+    'kmeans_ari', 'kmeans_silhouette', 'events_funnel_windowed', 'benford_digits',
+    'psi_drift', 'attribution_time_decay', 'code_detect', 'conversion_latency',
+    'dow_uniformity', 'packing_efficiency', 'curriculum_phases', 'dup_cluster_sizes',
+    'deletion_cascade', 'sample_size_plan', 'event_burstiness', 'effective_domains',
+    'session_depth_hist', 'iqr_fences', 'qlm_search', 'bloom_fp_eval',
+    'countmin_error_eval', 'bpe_train_batched', 'domain_frequency_cap', 'mmr_rerank',
+    'wav_pcm_decode', 'ppm_decode_resize', 'y4m_frame_sample', 'pq_recall_eval',
+    'png_decode_stats', 'warc_ingest', 'gif_decode_stats', 'text_unigram_logprob',
+    'sample_fixed_n', 'scalar_map', 'dedup_simhash64_pairs', 'ann_lsh_topk',
+    'ann_lsh_multiprobe', 'range_join', 'hypertable_rollup', 'sample_weighted',
+    'user_features', 'lang_count', 'udf_wordcount', 'filter_project',
+    'pricing_summary', 'agg_multikey', 'agg_distinct', 'distinct_op',
+    'agg_rollup', 'crawl_funnel', 'mmr_rerank_ivf', 'unigram_lm_train',
+    'unigram_lm_segment', 'agg_cube', 'grouping_sets', 'join_inner',
+    'join_left', 'join_semi', 'join_anti', 'join_full',
+    'join_cross', 'join_broadcast', 'join_theta', 'shipping_priority',
+    'local_supplier_volume', 'volume_shipping', 'returned_items', 'window_rank',
+    'sort_limit', 'scalar_string', 'json_extract', 'null_handling',
+    'subquery_corr', 'array_agg', 'percentile', 'pivot',
+    'text_bpe_tokens', 'events_tumbling', 'forecast_revenue', 'shipmode_priority',
+    'customer_distribution', 'promo_revenue', 'parts_supplier_relation', 'discounted_revenue',
+    'waiting_suppliers', 'sales_opportunity', 'min_cost_supplier', 'revenue_share',
+    'top_supplier', 'small_qty_revenue', 'large_orders', 'heavy_shippers',
+    'market_share', 'product_profit', 'dedup_span_exact', 'heavy_hitters',
+    'collocations_pmi', 'events_anomaly', 'events_running_anomaly', 'revenue_pareto',
+    'agg_approx', 'ann_ivf_topk', 'kmeans_assign', 'text_compression_ratio',
 ]
 
-if set(_ROUND9_ORDER) != set(SPECS) or len(_ROUND9_ORDER) != len(SPECS):
+if set(_ROUND10_ORDER) != set(SPECS) or len(_ROUND10_ORDER) != len(SPECS):
     raise AssertionError(
         "catalog rotation list out of sync with SPECS: "
-        f"missing={set(SPECS) - set(_ROUND9_ORDER)} "
-        f"unknown={set(_ROUND9_ORDER) - set(SPECS)}"
+        f"missing={set(SPECS) - set(_ROUND10_ORDER)} "
+        f"unknown={set(_ROUND10_ORDER) - set(SPECS)}"
     )
-SPECS = {name: SPECS[name] for name in _ROUND9_ORDER}
+SPECS = {name: SPECS[name] for name in _ROUND10_ORDER}
 
 def deferred_to_next_round() -> frozenset[str]:
     """Derived deferral set (see the VERIFICATION_WINDOW comment): the

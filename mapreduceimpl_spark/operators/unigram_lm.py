@@ -378,6 +378,15 @@ def unigram_lm_train_deep(
     At ``em_rounds=EM_ITERATIONS`` with no pruning the final inventory
     equals :func:`unigram_lm_train` row-for-row (pytest-pinned) — the
     deep tier extends the hash-verified path, it doesn't fork it.
+
+    Bounded-collect contract (ADVICE r9): every EM round collects the
+    per-round piece-usage dict (and, once, the seed inventory), whose
+    size is bounded ONLY by the ``max_vocab_words`` cap — the default
+    ``None`` is for fixture/oracle-parity scale.  Deep training over
+    a web-scale corpus MUST pass a finite ``max_vocab_words`` (the
+    same valve ``_em_loop`` documents); the Heaps-law distinct-word
+    count at 100 TB is otherwise a driver-memory risk, not a
+    correctness one.
     """
     import math
 

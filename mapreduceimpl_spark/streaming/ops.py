@@ -1624,9 +1624,18 @@ def _stream_topk_by_cosine(scored: DataFrame, k: int) -> DataFrame:
         pdf = pd.concat(pdfs, ignore_index=True)
         out = []
         for _qid, grp in pdf.groupby("query_id", sort=False):
-            grp = grp.sort_values(
-                ["cosine", "vec_id"], ascending=[False, True], kind="mergesort"
-            ).head(k)
+            # Spark's F.desc ranks NaN as the LARGEST double (a
+            # zero-norm vector's cosine is NaN), while pandas
+            # sort_values places NaN last regardless of direction —
+            # sort on a NaN->+inf key so stream == batch holds on
+            # that edge case too (ADVICE r9; cosine is otherwise
+            # <= 1.0, so +inf collides with nothing)
+            key = grp["cosine"].fillna(float("inf"))
+            grp = grp.assign(_sort_key=key).sort_values(
+                ["_sort_key", "vec_id"],
+                ascending=[False, True],
+                kind="mergesort",
+            ).drop(columns="_sort_key").head(k)
             grp = grp.assign(rank=range(1, len(grp) + 1))
             out.append(grp)
         yield pd.concat(out, ignore_index=True)[

@@ -55,9 +55,18 @@ def newest_hash_rounds(repo_dir: str) -> tuple[dict[str, int], int]:
     return newest, max(rounds)
 
 
-def planned_order() -> tuple[list[str], dict[str, int]]:
-    repo = str(Path(__file__).resolve().parents[1])
-    newest, _ = newest_hash_rounds(repo)
+def planned_order(
+    newest: dict[str, int] | None = None,
+) -> tuple[list[str], dict[str, int]]:
+    """The packing policy as a pure function of the evidence: pass
+    ``newest`` (name -> newest hash-green round) to plan against
+    synthetic/simulated evidence (tests/test_catalog_contract.py
+    reuses THIS function so the simulated driver run and the real
+    round-start repack can never disagree); default reads the live
+    CORRECTNESS files."""
+    if newest is None:
+        repo = str(Path(__file__).resolve().parents[1])
+        newest, _ = newest_hash_rounds(repo)
     names = list(catalog.SPECS)
     pos = {n: i for i, n in enumerate(names)}
     oracle = [n for n in names if catalog.SPECS[n].oracle is not None]
