@@ -97,6 +97,183 @@ def kmv_distinct(
     )
 
 
+def _hll_constants(p: int) -> tuple[int, float]:
+    """(m, alpha_m * m^2 * 2^53) for the HLL estimator — the scaled
+    constant is ONE python double injected via repr into both engines
+    so the raw estimate is a single identical IEEE division."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return m, alpha * m * m * 9007199254740992.0  # 2**53
+
+
+def hll_distinct(
+    docs: DataFrame, p: int = 8, strata_col: str = "lang"
+) -> DataFrame:
+    """Per-stratum distinct-token count by HyperLogLog (Flajolet,
+    Fusy, Gandouet, Meunier 2007), replayed value-exactly: the
+    deterministic, oracle-checkable sibling of the rows-only
+    ``agg_approx`` entry (Spark's approx_count_distinct is HLL++ with
+    an engine-private hash, so only THIS construction can be
+    hash-verified; ``kmv_distinct`` is the order-statistics sibling).
+
+    Construction (all integer until the final division):
+
+    - element hash: 60-bit integer from the md5 15-hex prefix (the
+      repo's portable hash lane); distinctness is over HASH VALUES —
+      a collision folds two tokens, the sketch's documented bias;
+    - register index = h % m (m = 2^p), w = h >> p (a (60-p)-bit
+      field), rank = leftmost-1 position of w = (60-p)+1 - bitlen(w)
+      via the binary-string length (integer string ops, no float
+      log2), w = 0 -> (60-p)+1;
+    - register M_j = MAX(rank) — the only corpus-sized aggregate,
+      one shuffle on (stratum, register) then a <= m-row rollup;
+    - indicator sum scaled by 2^53: present registers contribute
+      1 << (53 - M_j) (BIGINT-exact; M_j <= 53), the V empty
+      registers contribute 1 << 53 each — so the harmonic-mean
+      denominator is an EXACT integer and the raw estimate
+      alpha*m^2*2^53 / S is one IEEE division;
+    - small-range correction per the paper: raw <= 2.5m and V > 0
+      -> linear counting m * ln(m/V) (the only transcendental,
+      rounded with the result at 1e-6).  The 64-bit large-range
+      correction is unnecessary: the hash space is 2^60 and the
+      estimator here never approaches it.
+
+    Output: (stratum, exact_distinct, n_empty, est_distinct,
+    rel_err) with exact counted over the same hash domain, so
+    rel_err isolates SKETCH error — the alerting number that says
+    whether p is sized right before trusting HLL unions at 100 TB.
+
+    Scale: one distinct-hash Exchange (uniform md5 keys), one
+    (stratum, register) aggregate, then <= m rows per stratum; union
+    of two sketches is register-wise MAX, which this layout makes a
+    plain groupBy — the mergeability HLL exists for.
+    """
+    if not (4 <= p <= 16):
+        raise ValueError(f"hll_distinct: p must be in [4, 16], got {p}")
+    m, scaled_alpha = _hll_constants(p)
+    wbits = 60 - p
+    toks = docs.select(
+        F.col(strata_col), F.explode(tokens("text")).alias("token")
+    )
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
+    hashes = toks.select(strata_col, h.alias("h")).distinct()
+    rank = F.when(
+        F.col("w") == 0, F.lit(wbits + 1)
+    ).otherwise(F.lit(wbits + 1) - F.length(F.bin(F.col("w"))))
+    regs = (
+        hashes.select(
+            strata_col,
+            F.pmod(F.col("h"), F.lit(m)).alias("register"),
+            F.shiftright(F.col("h"), p).alias("w"),
+        )
+        .select(strata_col, "register", rank.alias("rank"))
+        .groupBy(strata_col, "register")
+        .agg(F.max("rank").alias("mj"))
+    )
+    per = regs.groupBy(strata_col).agg(
+        # shiftleft's bit-count arg must be a literal in the python
+        # API — the expr form takes the per-register column
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - mj)"))
+        .cast("long")
+        .alias("s_present"),
+        F.count("*").cast("long").alias("n_present"),
+    )
+    exact = hashes.groupBy(strata_col).agg(
+        F.count("*").cast("long").alias("exact_distinct")
+    )
+    v = (F.lit(m) - F.col("n_present")).cast("long")
+    s = (F.col("s_present") + v * F.lit(1 << 53)).cast("double")
+    raw = F.lit(scaled_alpha) / s
+    est = F.round(
+        F.when(
+            (raw <= F.lit(2.5 * m)) & (v > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+        ).otherwise(raw),
+        6,
+    )
+    return (
+        exact.join(per, strata_col)
+        .select(
+            strata_col,
+            "exact_distinct",
+            v.alias("n_empty"),
+            est.alias("est_distinct"),
+        )
+        .select(
+            strata_col,
+            "exact_distinct",
+            "n_empty",
+            "est_distinct",
+            F.round(
+                (F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def hll_distinct_sql(p: int = 8, strata_col: str = "lang") -> str:
+    """DuckDB mirror of :func:`hll_distinct` over ``documents`` —
+    same md5 lane, same integer register/rank arithmetic (bitlen via
+    the binary-string length both engines), same repr-injected
+    estimator constant, same fixed rounding points."""
+    m, scaled_alpha = _hll_constants(p)
+    wbits = 60 - p
+    return f"""WITH hl_tok AS (
+  SELECT {strata_col}, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+hl_hash AS (
+  SELECT DISTINCT {strata_col},
+         CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+  FROM hl_tok
+),
+hl_rank AS (
+  SELECT {strata_col}, h % {m} AS register,
+         CASE WHEN (h >> {p}) = 0 THEN {wbits + 1}
+              ELSE {wbits + 1} - length(bin(h >> {p})) END AS rank
+  FROM hl_hash
+),
+hl_reg AS (
+  SELECT {strata_col}, register, MAX(rank) AS mj
+  FROM hl_rank GROUP BY 1, 2
+),
+hl_per AS (
+  SELECT {strata_col},
+         CAST(SUM(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT) AS s_present,
+         CAST(COUNT(*) AS BIGINT) AS n_present
+  FROM hl_reg GROUP BY 1
+),
+hl_exact AS (
+  SELECT {strata_col}, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+  FROM hl_hash GROUP BY 1
+),
+hl_est AS (
+  SELECT e.{strata_col}, e.exact_distinct,
+         CAST({m} - n_present AS BIGINT) AS n_empty,
+         round(CASE WHEN ({scaled_alpha!r}
+                          / CAST(s_present
+                                 + ({m} - n_present)
+                                   * (CAST(1 AS BIGINT) << 53) AS DOUBLE))
+                         <= {2.5 * m!r}
+                     AND ({m} - n_present) > 0
+               THEN {float(m)!r}
+                    * ln({float(m)!r}
+                         / CAST({m} - n_present AS DOUBLE))
+               ELSE {scaled_alpha!r}
+                    / CAST(s_present
+                           + ({m} - n_present)
+                             * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
+               END, 6) AS est_distinct
+  FROM hl_exact e JOIN hl_per USING ({strata_col})
+)
+SELECT {strata_col}, exact_distinct, n_empty, est_distinct,
+       round((est_distinct - exact_distinct)
+             / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
+FROM hl_est"""
+
+
 def kmv_distinct_sql(k: int = 256, n: int = 3, strata_col: str = "lang") -> str:
     """DuckDB mirror of :func:`kmv_distinct` over ``documents``."""
     u = hash_uniform_sql(f"md5(array_to_string(toks[i + 1 : i + {n}], ' '))")

@@ -515,8 +515,13 @@ def fh_cosine_topk(
 ) -> DataFrame:
     """Cosine top-k retrieval over :func:`feature_hashing` vectors —
     the completion of the model-free embedding path (embed ->
-    retrieve without any trained encoder): the first ``n_queries``
-    docs by id query the whole corpus.
+    retrieve without any trained encoder): docs with
+    ``doc_id < n_queries`` query the whole corpus.  NOTE (ADVICE r9):
+    this is an id-space FILTER, not a top-N — it assumes the dense
+    ids-from-0 convention the fixture tables (and every other
+    ``vec_id < n_queries`` ANN entry in this repo) guarantee; on a
+    sparse or offset id space it selects fewer (possibly zero)
+    queries, so remap ids or pass an explicit query frame upstream.
 
     Exactness: the dot product is a SUM of BIGINT weight products —
     exact integers, no float accumulation order to worry about; each
@@ -613,6 +618,46 @@ WHERE rank <= {k}
 """
 
 
+def chunk_hash_index(
+    docs: DataFrame,
+    dim: int = 64,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """The chunk-level hashed-vector INDEX of :func:`chunk_retrieval_maxp`
+    — (vecs, norms) with vecs = (chunk_id, bucket, weight) and norms =
+    (chunk_id, norm) — extracted (round 10) so the batch retrieval
+    entry and the streaming serving twin ``stream_chunk_maxp`` score
+    against ONE index definition (the ``ivf_probe_scores`` /
+    ``lsh_probe_scores`` extraction pattern from round 9).
+    chunk_id = doc_id * 1024 + chunk_idx with the pretrain_funnel
+    raise_error guard — an over-long document fails loudly, never
+    aliases two chunks onto one id."""
+    chunk_id = F.when(
+        F.col("chunk_idx") < 1024, F.col("doc_id") * 1024 + F.col("chunk_idx")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("chunk_retrieval_maxp: chunk_idx >= 1024 for doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(" — widen the chunk-id multiplier"),
+            )
+        )
+    )
+    chunks = chunk_documents(docs, chunk_tokens, overlap).select(
+        chunk_id.alias("doc_id"), "chunk_text"
+    )
+    vecs = feature_hashing(chunks, dim, text_col="chunk_text").withColumnRenamed(
+        "doc_id", "chunk_id"
+    )
+    norms = vecs.groupBy("chunk_id").agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight")).cast("double")).alias(
+            "norm"
+        )
+    )
+    return vecs, norms
+
+
 def chunk_retrieval_maxp(
     docs: DataFrame,
     n_queries: int = 5,
@@ -650,28 +695,7 @@ def chunk_retrieval_maxp(
     """
     if n_queries < 1 or k < 1:
         raise ValueError(f"n_queries and k must be >= 1, got {n_queries}, {k}")
-    chunk_id = F.when(
-        F.col("chunk_idx") < 1024, F.col("doc_id") * 1024 + F.col("chunk_idx")
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("chunk_retrieval_maxp: chunk_idx >= 1024 for doc_id "),
-                F.col("doc_id").cast("string"),
-                F.lit(" — widen the chunk-id multiplier"),
-            )
-        )
-    )
-    chunks = chunk_documents(docs, chunk_tokens, overlap).select(
-        chunk_id.alias("doc_id"), "chunk_text"
-    )
-    vecs = feature_hashing(chunks, dim, text_col="chunk_text").withColumnRenamed(
-        "doc_id", "chunk_id"
-    )
-    norms = vecs.groupBy("chunk_id").agg(
-        F.sqrt(F.sum(F.col("weight") * F.col("weight")).cast("double")).alias(
-            "norm"
-        )
-    )
+    vecs, norms = chunk_hash_index(docs, dim, chunk_tokens, overlap)
     # query = chunk 0 of each doc below n_queries: chunk_id == doc_id*1024
     is_query = (F.col("chunk_id") % 1024 == 0) & (
         F.col("chunk_id") < n_queries * 1024
@@ -1261,6 +1285,132 @@ def bigram_logprob(
             6,
         ).alias("avg_neg_logprob"),
     )
+
+
+# interpolated Kneser-Ney's absolute discount: 0.75 is the classic
+# Chen & Goodman (1998) fixed value AND an exact binary fraction
+# (3/4), so c - D and D * n are single IEEE ops both engines replay
+# bit-identically — never make this configurable to a non-dyadic
+# value without routing it through repr() injection like lam above
+KN_DISCOUNT = 0.75
+
+
+def kneser_ney_bigram(docs: DataFrame, round_lp: int = 9) -> DataFrame:
+    """Interpolated Kneser-Ney bigram pseudo-perplexity per document
+    (Kneser & Ney 1995; the interpolated form of Chen & Goodman 1998,
+    TR-10-98 §2.7) — the standard n-gram smoothing, completing the
+    LM-quality ladder next to the Jelinek-Mercer interpolation of
+    :func:`bigram_logprob`:
+
+        p(cur|prev) = (c(prev,cur) - D) / c(prev)
+                    + (D * N1+(prev,*)) / c(prev) * p_cont(cur)
+        p_cont(cur) = N1+(*,cur) / N1+(*,*)
+
+    with D = 0.75 and continuation counts N1+ = distinct-context
+    counts — the KN insight that a word's backoff probability should
+    reflect how many contexts it FOLLOWS, not how often it occurs
+    ("San Francisco" makes "Francisco" frequent but nearly
+    single-context).  Corpus-internal scoring means c(prev,cur) >= 1
+    for every scored pair, so the discounted term never needs the
+    max(., 0) clamp and never hits log(0).
+
+    Determinism: every count is an exact integer; the probability is
+    three divisions and one fused add-multiply evaluated in ONE fixed
+    operation order mirrored token-for-token by :func:`kneser_ney_sql`;
+    per-pair logs rounded to ``round_lp`` then decimal-summed (the
+    ``bigram_logprob`` recipe).
+
+    Scale: identical posture to ``bigram_logprob`` — narrow pair
+    transform, three wordcount-shaped aggregates over the PAIR
+    VOCABULARY (counts + two distinct-context counts), uniform-key
+    joins back onto the pair stream, a 1-row broadcast total
+    (N1+(*,*)), one groupBy(doc).  No vocabulary-sized driver state.
+    """
+    D = KN_DISCOUNT
+    pre = docs.select("doc_id", tokens("text").alias("__toks")).filter(
+        F.size("__toks") >= 2
+    )
+    pairs = pre.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__toks) - 1), "
+                "i -> struct(__toks[i-1] AS prev, __toks[i] AS cur))"
+            )
+        ).alias("pc"),
+    ).select("doc_id", "pc.prev", "pc.cur")
+    bi = pairs.groupBy("prev", "cur").agg(F.count("*").alias("cnt_pc"))
+    cprev = pairs.groupBy("prev").agg(F.count("*").alias("cnt_prev"))
+    n1p = bi.groupBy("prev").agg(F.count("*").alias("n1p"))
+    n1c = bi.groupBy("cur").agg(F.count("*").alias("n1c"))
+    n_types = bi.agg(F.count("*").alias("n_types"))
+    prob = (
+        (F.col("cnt_pc").cast("double") - F.lit(D))
+        / F.col("cnt_prev").cast("double")
+        + (F.lit(D) * F.col("n1p").cast("double"))
+        / F.col("cnt_prev").cast("double")
+        * (F.col("n1c").cast("double") / F.col("n_types").cast("double"))
+    )
+    scored = (
+        pairs.join(bi, ["prev", "cur"])
+        .join(cprev, "prev")
+        .join(n1p, "prev")
+        .join(n1c, "cur")
+        .crossJoin(F.broadcast(n_types))
+        .select("doc_id", F.round(F.log(prob), round_lp).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(
+            -F.sum(F.col("lp").cast(f"decimal(28,{round_lp})")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_neg_logprob"),
+    )
+
+
+def kneser_ney_sql(source: str = "documents") -> str:
+    """DuckDB mirror of :func:`kneser_ney_bigram`: the same pair
+    construction as the bigram-JM replay, plus the two
+    distinct-context aggregates; the probability expression copies
+    the Spark operation order sub-term for sub-term (D = 0.75 is an
+    exact binary fraction, so no repr injection is needed)."""
+    return f"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM {source}
+),
+kn_pairs AS (
+  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+),
+kn_bi AS (
+  SELECT prev, cur, COUNT(*) AS cnt_pc FROM kn_pairs GROUP BY 1, 2
+),
+kn_cprev AS (
+  SELECT prev, COUNT(*) AS cnt_prev FROM kn_pairs GROUP BY prev
+),
+kn_n1p AS (SELECT prev, COUNT(*) AS n1p FROM kn_bi GROUP BY prev),
+kn_n1c AS (SELECT cur, COUNT(*) AS n1c FROM kn_bi GROUP BY cur),
+kn_types AS (SELECT COUNT(*) AS n_types FROM kn_bi),
+kn_scored AS (
+  SELECT p.doc_id,
+         round(ln((CAST(cnt_pc AS DOUBLE) - 0.75)
+                  / CAST(cnt_prev AS DOUBLE)
+                + (0.75 * CAST(n1p AS DOUBLE))
+                  / CAST(cnt_prev AS DOUBLE)
+                  * (CAST(n1c AS DOUBLE) / CAST(n_types AS DOUBLE))), 9)
+           AS lp
+  FROM kn_pairs p
+  JOIN kn_bi bi ON p.prev = bi.prev AND p.cur = bi.cur
+  JOIN kn_cprev cp ON p.prev = cp.prev
+  JOIN kn_n1p np ON p.prev = np.prev
+  JOIN kn_n1c nc ON p.cur = nc.cur
+  CROSS JOIN kn_types
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(-CAST(SUM(CAST(lp AS DECIMAL(28,9))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_neg_logprob
+FROM kn_scored GROUP BY doc_id"""
 
 
 def collocations_pmi(

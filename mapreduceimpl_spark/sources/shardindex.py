@@ -247,6 +247,17 @@ def sweep_stale_tmps(path: str, grace_seconds: float = SWEEP_GRACE_SECONDS) -> N
     publisher to land after the grace window.  NFS-style mtime
     granularity is seconds — the 5-minute default dwarfs it.
 
+    Residual window (ADVICE r9, accepted trade-off): a live sibling
+    that goes >``grace_seconds`` between two consecutive writes (a
+    pathological GC/host pause — the writers loop over IN-MEMORY
+    Arrow batches, so there is no slow-upstream wait between writes)
+    can still be swept and fail with FileNotFoundError, which
+    speculative retry absorbs.  True liveness (pid/host lease files)
+    would trade one orphan class for another on a shared filesystem;
+    operators on pause-prone hosts should raise ``grace_seconds``
+    (it is a parameter, and SWEEP_GRACE_SECONDS the default) — the
+    only cost of a large grace is orphan bytes lingering longer.
+
     Prefix-matched over ONE ``scandir`` pass (never ``glob``: shard
     paths are user-supplied and may contain glob metacharacters like
     ``[01]``, which would match — and delete — a SIBLING shard's live

@@ -1670,6 +1670,140 @@ def stream_lsh_search(
     return _stream_topk_by_cosine(scored, k)
 
 
+def stream_chunk_maxp(
+    query_docs: DataFrame,
+    index_vecs: DataFrame,
+    index_norms: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    chunk_tokens: int = 64,
+) -> DataFrame:
+    """Passage-retrieval SERVING (twin 30): a STREAM of query
+    documents searches the batch-built chunk-level hashed index of
+    ``text_analysis.chunk_retrieval_maxp`` — index offline
+    (``chunk_hash_index``: (chunk_id, bucket, weight) vectors +
+    (chunk_id, norm)), query online, MaxP document scores out.  Zero
+    state, append mode.
+
+    Composition, stage by stage against the batch entry's contract:
+
+    - the query vector is the doc's LEAD PASSAGE (first
+      ``chunk_tokens`` tokens — batch's chunk 0), hashed ROW-LOCALLY
+      with the shared ``fh_bucket``/``fh_sign`` lanes (the
+      ``stream_feature_hashing`` construction: a streaming
+      groupBy-free exact integer fold over the row's own token
+      array), with the per-query norm folded in the same projection;
+    - candidates come from ONE stream-static equi-join on ``bucket``
+      (static index as build side) plus the norm join on
+      ``chunk_id`` — the corpus index never re-shuffles per batch;
+    - the dot -> cosine -> MaxP -> top-k tail runs per query in one
+      Arrow pass (``repartition(query_id)``, each query complete
+      within its micro-batch): BIGINT dot sums are order-free, the
+      cosine is rounded half-away-from-zero at 1e-6 via
+      decimal.Decimal on the EXACT binary double — the same
+      BigDecimal HALF_UP path Spark's ``F.round`` takes, so stream
+      == batch holds bit-for-bit (pytest-pinned), round-then-max
+      preserved.
+
+    Scale: per-micro-batch memory is (query buckets x bucket
+    occupancy) rows per query, bounded by serving batch size; at a
+    very hot bucket, shard the index by (bucket, chunk_id range) —
+    the join stays an equi-join.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduceimpl_spark.operators.text_analysis import fh_bucket, fh_sign
+
+    if k < 1 or dim < 1 or chunk_tokens < 1:
+        raise ValueError(
+            f"k, dim, chunk_tokens must be >= 1, got {k}, {dim}, {chunk_tokens}"
+        )
+
+    lead = F.slice(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "), 1, chunk_tokens
+    )
+    toks = F.filter(lead, lambda t: F.length(t) > 0)
+    bw = F.transform(
+        F.array_distinct(
+            F.transform(F.col("__toks"), lambda t: fh_bucket(t, dim))
+        ),
+        lambda b: F.struct(
+            b.alias("bucket"),
+            F.aggregate(
+                F.filter(F.col("__toks"), lambda t: fh_bucket(t, dim) == b),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + fh_sign(t),
+            ).alias("w_q"),
+        ),
+    )
+    q = (
+        query_docs.select(
+            F.col("doc_id").alias("query_id"), toks.alias("__toks")
+        )
+        .select("query_id", bw.alias("__bw"))
+        .select(
+            "query_id",
+            F.explode("__bw").alias("bw"),
+            F.sqrt(
+                F.aggregate(
+                    F.col("__bw"),
+                    F.lit(0).cast("long"),
+                    lambda acc, s: acc + s["w_q"] * s["w_q"],
+                ).cast("double")
+            ).alias("norm_q"),
+        )
+        .filter(F.col("norm_q") > 0)
+        .select("query_id", "bw.bucket", "bw.w_q", "norm_q")
+    )
+    joined = (
+        q.join(index_vecs, "bucket")
+        .join(index_norms, "chunk_id")
+        .filter(F.col("norm") > 0)
+        .filter(F.floor(F.col("chunk_id") / 1024) != F.col("query_id"))
+        .select("query_id", "chunk_id", "w_q", "weight", "norm", "norm_q")
+    )
+
+    q6 = Decimal("0.000001")
+
+    def maxp_topk(batches):
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        pdf["__p"] = pdf["w_q"] * pdf["weight"]
+        dots = (
+            pdf.groupby(["query_id", "chunk_id", "norm", "norm_q"], sort=False)[
+                "__p"
+            ]
+            .sum()
+            .reset_index(name="dot")
+        )
+        cos = dots["dot"].astype(float) / (dots["norm"] * dots["norm_q"])
+        dots["__cos"] = [
+            float(Decimal(x).quantize(q6, rounding=ROUND_HALF_UP)) for x in cos
+        ]
+        dots["doc_id"] = dots["chunk_id"] // 1024
+        maxp = (
+            dots.groupby(["query_id", "doc_id"], sort=False)["__cos"]
+            .max()
+            .reset_index(name="score")
+        )
+        out = []
+        for _qid, grp in maxp.groupby("query_id", sort=False):
+            grp = grp.sort_values(
+                ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+            ).head(k)
+            grp = grp.assign(rank=range(1, len(grp) + 1))
+            out.append(grp)
+        yield pd.concat(out, ignore_index=True)[
+            ["query_id", "doc_id", "score", "rank"]
+        ]
+
+    return joined.repartition("query_id").mapInPandas(
+        maxp_topk, "query_id long, doc_id long, score double, rank long"
+    )
+
+
 def stream_crawl_gates(
     docs: DataFrame,
     ts_col: str = "ingest_ts",

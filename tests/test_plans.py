@@ -1312,10 +1312,12 @@ def test_grid_quantiles_no_global_sort_of_raw_rows(tables):
 
 
 def test_staged_round10_ops_plan_shapes(docs):
-    """The staged round-10 entries get the catalog lint's guarantees
-    early: no CartesianProduct anywhere, and chunk_retrieval_maxp's
-    bucket join broadcasts the bounded query side (the corpus chunk
-    vectors never shuffle for the join)."""
+    """Pinned while these were STAGED (pre-intake), kept now that
+    they are live SPECS entries — the catalog lint covers the
+    cartesian check, but the BroadcastHashJoin assertion here is
+    stronger: chunk_retrieval_maxp's bucket join must broadcast the
+    bounded query side (the corpus chunk vectors never shuffle for
+    the join)."""
     from mapreduceimpl_spark.operators.packing import tokenized_pack
     from mapreduceimpl_spark.operators.text_analysis import chunk_retrieval_maxp
     from mapreduceimpl_spark.plans import explain_str

@@ -1605,3 +1605,52 @@ def test_stream_lsh_search_matches_batch(spark, tmp_path):
 
     with pytest.raises(ValueError):
         streaming.stream_lsh_search(stream, params, corpus, k=0)
+
+
+def test_stream_chunk_maxp_matches_batch(spark, tmp_path):
+    """Passage-retrieval serving twin (30): a stream of query docs
+    against the batch-built chunk_hash_index yields exactly the batch
+    chunk_retrieval_maxp rows — bit-for-bit across a micro-batch
+    split (one query file per trigger)."""
+    from mapreduceimpl_spark.operators.text_analysis import (
+        chunk_hash_index,
+        chunk_retrieval_maxp,
+    )
+    from mapreduceimpl_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    batch = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in chunk_retrieval_maxp(docs, n_queries=5, k=5).collect()
+    }
+    assert batch
+
+    vecs, norms = chunk_hash_index(docs)
+    vecs = vecs.persist()
+    norms = norms.persist()
+    queries = docs.filter(F.col("doc_id") < 5)
+    src = tmp_path / "maxp_queries"
+    src.mkdir()
+    queries.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    queries.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in _run_stream(streaming.stream_chunk_maxp(stream, vecs, norms, k=5))
+    }
+    assert got == batch
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        streaming.stream_chunk_maxp(stream, vecs, norms, k=0)
+    vecs.unpersist()
+    norms.unpersist()

@@ -1793,3 +1793,117 @@ def test_feature_hashing_and_maxp_parity_on_hostile_text(spark, tmp_path):
         problems = compare(name, sdf.toPandas(), con.execute(sql).fetchdf())
         assert not problems, (name, problems)
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# interpolated Kneser-Ney bigram scoring (staged round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_kneser_ney_matches_duckdb_oracle(spark, docs):
+    """Staged round-11 entry, driver-equivalent compare on the
+    fixture corpus: the KN plan equals its SQL replay value-exactly."""
+    import duckdb
+
+    from mapreduceimpl_spark.operators.text_analysis import (
+        kneser_ney_bigram,
+        kneser_ney_sql,
+    )
+    from tools.check_oracle import compare
+
+    sdf = kneser_ney_bigram(docs).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    odf = con.execute(kneser_ney_sql()).fetchdf()
+    con.close()
+    problems = compare("kneser_ney_bigram", sdf, odf)
+    assert not problems, problems
+    assert len(sdf) > 0
+
+
+def test_kneser_ney_oracle_parity_on_hostile_text(spark, tmp_path):
+    """Beyond the fixture: control chars, unicode, repeated runs and
+    a single-token doc (must be ABSENT from output) replay exactly."""
+    import duckdb
+
+    from mapreduceimpl_spark.operators.text_analysis import (
+        kneser_ney_bigram,
+        kneser_ney_sql,
+    )
+    from tools.check_oracle import compare
+
+    rows = [
+        (0, "a b a b a c"),
+        (1, "a\x01b a\x01b héllo a\x01b"),
+        (2, "single"),
+        (3, "b b b b"),
+        (4, "héllo a b c a b"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    sdf = kneser_ney_bigram(docs).toPandas()
+    assert 2 not in set(sdf["doc_id"])  # < 2 tokens: unscoreable
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    odf = con.execute(kneser_ney_sql()).fetchdf()
+    con.close()
+    problems = compare("kneser_ney_bigram", sdf, odf)
+    assert not problems, problems
+
+
+def test_kneser_ney_is_a_proper_distribution(spark):
+    """KN's defining algebra on a tiny enumerable corpus: for every
+    observed context, the discounted mass plus the backoff mass over
+    the WHOLE vocabulary sums to exactly 1 (the absolute-discount
+    bookkeeping), and the operator's per-doc score equals a pure
+    Python replay of the same formula."""
+    import math
+    from collections import Counter
+
+    from mapreduceimpl_spark.operators.text_analysis import (
+        KN_DISCOUNT,
+        kneser_ney_bigram,
+    )
+
+    texts = {0: "the cat sat on the mat", 1: "the cat ate the rat", 2: "a cat"}
+    docs = spark.createDataFrame(
+        list(texts.items()), ["doc_id", "text"]
+    )
+    pairs = [
+        (w[i], w[i + 1])
+        for w in (t.split(" ") for t in texts.values())
+        for i in range(len(w) - 1)
+    ]
+    bi = Counter(pairs)
+    cprev = Counter(p for p, _ in pairs)
+    n1p = Counter(p for p, _ in set(pairs))
+    n1c = Counter(c for _, c in set(pairs))
+    n_types = len(set(pairs))
+    vocab = {t for pc in pairs for t in pc}
+    D = KN_DISCOUNT
+
+    def p_kn(prev, cur):
+        disc = (bi[(prev, cur)] - D) / cprev[prev] if bi[(prev, cur)] else 0.0
+        return disc + (D * n1p[prev]) / cprev[prev] * (n1c[cur] / n_types)
+
+    for prev in cprev:
+        total = sum(p_kn(prev, cur) for cur in vocab)
+        assert math.isclose(total, 1.0, rel_tol=1e-12), (prev, total)
+
+    got = {r["doc_id"]: r for r in kneser_ney_bigram(docs).collect()}
+    for doc_id, text in texts.items():
+        w = text.split(" ")
+        lps = [
+            round(math.log(p_kn(w[i], w[i + 1])), 9) for i in range(len(w) - 1)
+        ]
+        assert got[doc_id]["n_pairs"] == len(lps)
+        expect = round(-math.fsum(lps) / len(lps), 6)
+        assert math.isclose(
+            got[doc_id]["avg_neg_logprob"], expect, abs_tol=2e-6
+        ), (doc_id, got[doc_id]["avg_neg_logprob"], expect)

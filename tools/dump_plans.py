@@ -787,6 +787,42 @@ ANNOTATED = {
         "and the rank window reads only the Q x |docs| scored "
         "relation with rounded-then-ranked cosine."
     ),
+    "unigram_lm_train_deep4": (
+        "Production-depth EM at em_rounds=4 (round 10): constant plan "
+        "BY CONSTRUCTION — the corpus is touched once (the "
+        "word-frequencies shuffle, then the vocab table persists as "
+        "InMemoryTableScan) and each round is one fresh Arrow-batched "
+        "Viterbi job + one count aggregate over that Heaps-bounded "
+        "relation; the M-step is driver-side on the bounded inventory "
+        "collect, so depth never compounds lineage (no localCheckpoint "
+        "re-rooting, unlike BPE's corpus-rewrite loop)."
+    ),
+    "unigram_lm_sample_segment": (
+        "Subword regularization (round 10, Kudo ACL 2018): identical "
+        "plan posture to unigram_lm_segment — one corpus wordcount "
+        "shuffle into the trainer, then exact FFBS sampling as the "
+        "Arrow-batched mapInPandas over the Heaps-bounded "
+        "distinct-word table; the per-position uniforms are salted "
+        "md5 column arithmetic, so a different epoch re-plans nothing."
+    ),
+    "chunk_retrieval_maxp": (
+        "Chunk-level MaxP retrieval (round 10, Dai & Callan SIGIR "
+        "2019): chunking is a zero-shuffle narrow transform, hashing "
+        "one wordcount-shaped shuffle on chunk ids, then the bounded "
+        "query chunk vectors BROADCAST onto the never-shuffled corpus "
+        "chunk vectors (BroadcastHashJoin on bucket, plan-pinned); "
+        "MaxP rollup and the rank window read only the Q x |docs| "
+        "aggregated relation."
+    ),
+    "tokenized_pack": (
+        "Tokenizer-unit packing (round 10): the unigram segment table "
+        "is vocab-sized (Heaps-bounded); the corpus token stream "
+        "explodes ONCE and equi-joins that bounded relation (AQE "
+        "picks broadcast under the max_vocab_words contract), one "
+        "doc_id aggregate sizes each document in PIECES, and the "
+        "greedy packer runs per (lang, md5-shard) partition in "
+        "applyInPandas — the same budget recursion the oracle replays."
+    ),
 }
 
 
