@@ -2570,6 +2570,95 @@ def glove_cooccurrence(
     )
 
 
+def good_turing_mass(
+    docs: DataFrame, strata_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Good-Turing unseen-probability mass per stratum (Good 1953;
+    the estimator behind Katz backoff and the classic answer to "how
+    much of this domain's vocabulary have we NOT crawled yet"): the
+    probability that the next token drawn is a previously-unseen type
+    is estimated by N1/N — the singleton share of the token stream —
+    and the Turing-smoothed expected true frequency of a once-seen
+    type is r*(1) = 2*N2/N1.
+
+    At 100 TB this is the coverage dial for a crawl slice: a high
+    unseen mass says the domain's vocabulary is still growing (keep
+    crawling / the LM will face OOV mass); near zero says the slice
+    is saturated and more data buys repetition, not coverage — the
+    same decision Heaps-law growth informs, here as a probability
+    with an estimator pedigree rather than a curve shape.
+
+    Every statistic is an exact integer (token count N, type count V,
+    count-of-count N1, N2); the only doubles are the two final
+    divisions, rounded at 1e-6 — bit-identical in the SQL replay.
+    ``r_star_1`` is NULL when a stratum has no singletons (the
+    estimator's undefined regime, surfaced rather than 0-filled).
+
+    Output: (stratum, n_tokens, n_types, n1, n2, unseen_mass,
+    r_star_1).
+
+    Scale: ONE wordcount-shaped shuffle on (stratum, token), then a
+    per-stratum rollup of the vocab-sized relation — no windows, no
+    joins, nothing corpus-sized past the first aggregate.
+    """
+    toks = docs.select(
+        F.col(strata_col), F.explode(tokens(text_col)).alias("token")
+    )
+    vocab = toks.groupBy(strata_col, "token").agg(F.count("*").alias("cnt"))
+    agg = vocab.groupBy(strata_col).agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum((F.col("cnt") == 1).cast("long")).cast("long").alias("n1"),
+        F.sum((F.col("cnt") == 2).cast("long")).cast("long").alias("n2"),
+    )
+    return agg.select(
+        strata_col,
+        "n_tokens",
+        "n_types",
+        "n1",
+        "n2",
+        F.round(
+            F.col("n1").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("unseen_mass"),
+        F.when(
+            F.col("n1") > 0,
+            F.round(
+                (F.lit(2.0) * F.col("n2").cast("double"))
+                / F.col("n1").cast("double"),
+                6,
+            ),
+        ).alias("r_star_1"),
+    )
+
+
+def good_turing_sql(strata_col: str = "lang", source: str = "documents") -> str:
+    """DuckDB mirror of :func:`good_turing_mass`: same integer
+    count-of-counts, same two rounded divisions in the same order."""
+    return f"""WITH gt_tok AS (
+  SELECT {strata_col}, unnest(string_split(text, ' ')) AS token
+  FROM {source}
+),
+gt_vocab AS (
+  SELECT {strata_col}, token, COUNT(*) AS cnt
+  FROM gt_tok GROUP BY 1, 2
+),
+gt_agg AS (
+  SELECT {strata_col},
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM gt_vocab GROUP BY 1
+)
+SELECT {strata_col}, n_tokens, n_types, n1, n2,
+       round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS unseen_mass,
+       CASE WHEN n1 > 0
+            THEN round((2.0 * CAST(n2 AS DOUBLE)) / CAST(n1 AS DOUBLE), 6)
+            ELSE NULL END AS r_star_1
+FROM gt_agg"""
+
+
 def zipf_law_fit(
     docs: DataFrame, text_col: str = "text", round_l: int = 9
 ) -> DataFrame:

@@ -1907,3 +1907,58 @@ def test_kneser_ney_is_a_proper_distribution(spark):
         assert math.isclose(
             got[doc_id]["avg_neg_logprob"], expect, abs_tol=2e-6
         ), (doc_id, got[doc_id]["avg_neg_logprob"], expect)
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing unseen mass (staged round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_good_turing_matches_duckdb_oracle(spark, docs):
+    """Staged round-11 entry, driver-equivalent compare."""
+    import duckdb
+
+    from mapreduceimpl_spark.operators.text_analysis import (
+        good_turing_mass,
+        good_turing_sql,
+    )
+    from tools.check_oracle import compare
+
+    sdf = good_turing_mass(docs).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    odf = con.execute(good_turing_sql()).fetchdf()
+    con.close()
+    problems = compare("good_turing_mass", sdf, odf)
+    assert not problems, problems
+    assert len(sdf) > 0
+
+
+def test_good_turing_estimator_definition(spark):
+    """The estimator on an enumerable corpus: counts, singleton mass
+    and r*(1) are exactly the textbook quantities; a singleton-free
+    stratum reports NULL r_star_1 (undefined regime, not 0)."""
+    from mapreduceimpl_spark.operators.text_analysis import good_turing_mass
+
+    rows = {
+        r["lang"]: r
+        for r in good_turing_mass(
+            spark.createDataFrame(
+                [
+                    (1, "aa", "x x y y z w"),  # z,w singletons; x,y doubles
+                    (2, "bb", "p p q q"),      # no singletons
+                ],
+                ["doc_id", "lang", "text"],
+            )
+        ).collect()
+    }
+    a = rows["aa"]
+    assert (a["n_tokens"], a["n_types"], a["n1"], a["n2"]) == (6, 4, 2, 2)
+    assert a["unseen_mass"] == round(2 / 6, 6)
+    assert a["r_star_1"] == round(2.0 * 2 / 2, 6)
+    b = rows["bb"]
+    assert (b["n1"], b["r_star_1"]) == (0, None)
+    assert b["unseen_mass"] == 0.0

@@ -878,7 +878,32 @@ def _probe_heldout_lm(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_kneser_ney(spark, sf_dir: str):
+    """kneser_ney_bigram: narrow pair transform + three pair-vocab
+    aggregates + uniform-key joins — wall should track token volume."""
+    from mapreduceimpl_spark.operators.text_analysis import kneser_ney_bigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = kneser_ney_bigram(docs).count()
+    return time.time() - t0, n
+
+
+def _probe_hll(spark, sf_dir: str):
+    """hll_distinct: one distinct-hash Exchange + a (stratum,
+    register) aggregate onto <= m rows per stratum — wall should
+    track token volume, output size is register-bounded."""
+    from mapreduceimpl_spark.operators.sketches import hll_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = hll_distinct(docs).count()
+    return time.time() - t0, n
+
+
 PROBES = {
+    "kneser_ney": _probe_kneser_ney,
+    "hll": _probe_hll,
     "hits": _probe_hits,
     "rouge": _probe_rouge,
     "kmeans_ari": _probe_kmeans_ari,
