@@ -1329,3 +1329,29 @@ def test_staged_round10_ops_plan_shapes(docs):
     tpack = explain_str(tokenized_pack(docs), "simple")
     assert "CartesianProduct" not in tpack
     assert "BroadcastNestedLoopJoin" not in tpack
+
+
+def test_staged_round11_ops_plan_shapes(docs):
+    """Plan-shape pins for the round-11 staged operators, ahead of
+    intake (the round-10 pattern): no CartesianProduct and no
+    unreviewed BroadcastNestedLoopJoin anywhere — kneser_ney's only
+    1-row broadcast is the distinct-pair total (a reviewed scalar
+    ride-along), hll and good_turing are pure aggregate chains."""
+    from mapreduceimpl_spark.operators.sketches import hll_distinct
+    from mapreduceimpl_spark.operators.text_analysis import (
+        good_turing_mass,
+        kneser_ney_bigram,
+    )
+    from mapreduceimpl_spark.plans import explain_str
+
+    kn = explain_str(kneser_ney_bigram(docs), "simple")
+    assert "CartesianProduct" not in kn
+    # the n_types 1-row total rides a broadcast nested loop by design
+    # (the heavy_hitters/bigram_logprob pattern); nothing else may
+    assert kn.count("BroadcastNestedLoopJoin") <= 1
+
+    for df in (hll_distinct(docs), good_turing_mass(docs)):
+        plan = explain_str(df, "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" not in plan  # aggregate chains join nothing
