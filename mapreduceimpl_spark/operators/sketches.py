@@ -98,12 +98,20 @@ def kmv_distinct(
 
 
 def _hll_constants(p: int) -> tuple[int, float]:
-    """(m, alpha_m * m^2 * 2^53) for the HLL estimator — the scaled
-    constant is ONE python double injected via repr into both engines
-    so the raw estimate is a single identical IEEE division."""
+    """(m, alpha_m * m^2 * 2^(61-p)) for the HLL estimator — the
+    scaled constant is ONE python double injected via repr into both
+    engines so the raw estimate is a single identical IEEE division.
+
+    The 2^(61-p) = 2^(wbits+1) scale is chosen so the harmonic-mean
+    denominator stays an exact, overflow-free BIGINT for EVERY
+    p in [4, 16] (review r10): rank M_j is at most wbits+1, so the
+    per-register exponent (wbits+1) - M_j is never negative, present
+    registers sum to at most m * 2^wbits = 2^60, and the v empty
+    registers add at most m * 2^(wbits+1) = 2^61 — total < 2^62.
+    (At the p=8 default this is the same 2^53 scale as before.)"""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    return m, alpha * m * m * 9007199254740992.0  # 2**53
+    return m, alpha * m * m * 2.0 ** (61 - p)
 
 
 def hll_distinct(
@@ -127,11 +135,13 @@ def hll_distinct(
       log2), w = 0 -> (60-p)+1;
     - register M_j = MAX(rank) — the only corpus-sized aggregate,
       one shuffle on (stratum, register) then a <= m-row rollup;
-    - indicator sum scaled by 2^53: present registers contribute
-      1 << (53 - M_j) (BIGINT-exact; M_j <= 53), the V empty
-      registers contribute 1 << 53 each — so the harmonic-mean
-      denominator is an EXACT integer and the raw estimate
-      alpha*m^2*2^53 / S is one IEEE division;
+    - indicator sum scaled by 2^(wbits+1) (= 2^53 at the p=8
+      default): present registers contribute 1 << ((wbits+1) - M_j)
+      (BIGINT-exact; M_j <= wbits+1 so the shift count is never
+      negative), the V empty registers contribute 1 << (wbits+1)
+      each — the harmonic-mean denominator is an EXACT integer
+      (< 2^62 at every p in [4, 16] — see _hll_constants) and the
+      raw estimate alpha*m^2*2^(wbits+1) / S is one IEEE division;
     - small-range correction per the paper: raw <= 2.5m and V > 0
       -> linear counting m * ln(m/V) (the only transcendental,
       rounded with the result at 1e-6).  The 64-bit large-range
@@ -173,7 +183,7 @@ def hll_distinct(
     per = regs.groupBy(strata_col).agg(
         # shiftleft's bit-count arg must be a literal in the python
         # API — the expr form takes the per-register column
-        F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - mj)"))
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {wbits + 1} - mj)"))
         .cast("long")
         .alias("s_present"),
         F.count("*").cast("long").alias("n_present"),
@@ -182,7 +192,7 @@ def hll_distinct(
         F.count("*").cast("long").alias("exact_distinct")
     )
     v = (F.lit(m) - F.col("n_present")).cast("long")
-    s = (F.col("s_present") + v * F.lit(1 << 53)).cast("double")
+    s = (F.col("s_present") + v * F.lit(1 << (wbits + 1))).cast("double")
     raw = F.lit(scaled_alpha) / s
     est = F.round(
         F.when(
@@ -241,7 +251,7 @@ hl_reg AS (
 ),
 hl_per AS (
   SELECT {strata_col},
-         CAST(SUM(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT) AS s_present,
+         CAST(SUM(CAST(1 AS BIGINT) << ({wbits + 1} - mj)) AS BIGINT) AS s_present,
          CAST(COUNT(*) AS BIGINT) AS n_present
   FROM hl_reg GROUP BY 1
 ),
@@ -255,7 +265,7 @@ hl_est AS (
          round(CASE WHEN ({scaled_alpha!r}
                           / CAST(s_present
                                  + ({m} - n_present)
-                                   * (CAST(1 AS BIGINT) << 53) AS DOUBLE))
+                                   * (CAST(1 AS BIGINT) << {wbits + 1}) AS DOUBLE))
                          <= {2.5 * m!r}
                      AND ({m} - n_present) > 0
                THEN {float(m)!r}
@@ -264,7 +274,7 @@ hl_est AS (
                ELSE {scaled_alpha!r}
                     / CAST(s_present
                            + ({m} - n_present)
-                             * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
+                             * (CAST(1 AS BIGINT) << {wbits + 1}) AS DOUBLE)
                END, 6) AS est_distinct
   FROM hl_exact e JOIN hl_per USING ({strata_col})
 )

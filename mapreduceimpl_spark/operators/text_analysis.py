@@ -638,7 +638,7 @@ def chunk_hash_index(
     ).otherwise(
         F.raise_error(
             F.concat(
-                F.lit("chunk_retrieval_maxp: chunk_idx >= 1024 for doc_id "),
+                F.lit("chunk_hash_index: chunk_idx >= 1024 for doc_id "),
                 F.col("doc_id").cast("string"),
                 F.lit(" — widen the chunk-id multiplier"),
             )
@@ -1223,6 +1223,35 @@ def heavy_hitters(docs: DataFrame, min_frac: float = 0.002) -> DataFrame:
     )
 
 
+def adjacent_pairs(a: str = "prev", b: str = "cur") -> F.Column:
+    """Exploded adjacent-token (lag-1) pair structs from a ``__toks``
+    array column — THE one copy of the pair construction every
+    bigram-shaped operator shares (review r10: this expr string had
+    drifted into five verbatim copies).  Select as
+    ``adjacent_pairs().alias("pc")`` then project ``pc.<a>/pc.<b>``."""
+    return F.explode(
+        F.expr(
+            "transform(sequence(1, size(__toks) - 1), "
+            f"i -> struct(__toks[i-1] AS {a}, __toks[i] AS {b}))"
+        )
+    )
+
+
+def _avg_neg_logprob_tail(scored: DataFrame, round_lp: int) -> DataFrame:
+    """Per-doc decimal-summed mean negative log-probability — the
+    shared (n_pairs, avg_neg_logprob) tail of the bigram-LM scorers
+    (``scored``: one (doc_id, lp) row per pair, lp pre-rounded at
+    ``round_lp``)."""
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(
+            -F.sum(F.col("lp").cast(f"decimal(28,{round_lp})")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_neg_logprob"),
+    )
+
+
 def bigram_logprob(
     docs: DataFrame, lam: float = 0.7, round_lp: int = 9
 ) -> DataFrame:
@@ -1256,13 +1285,7 @@ def bigram_logprob(
     uni = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     total = uni.agg(F.sum("cnt").alias("n"))
     pairs = pre.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(__toks) - 1), "
-                "i -> struct(__toks[i-1] AS prev, __toks[i] AS cur))"
-            )
-        ).alias("pc"),
+        "doc_id", adjacent_pairs().alias("pc")
     ).select("doc_id", "pc.prev", "pc.cur")
     bi = pairs.groupBy("prev", "cur").agg(F.count("*").alias("cnt_pc"))
     up = uni.select(F.col("token").alias("prev"), F.col("cnt").alias("cnt_prev"))
@@ -1277,14 +1300,7 @@ def bigram_logprob(
         .crossJoin(F.broadcast(total))
         .select("doc_id", F.round(F.log(prob), round_lp).alias("lp"))
     )
-    return scored.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_pairs"),
-        F.round(
-            -F.sum(F.col("lp").cast(f"decimal(28,{round_lp})")).cast("double")
-            / F.count("*"),
-            6,
-        ).alias("avg_neg_logprob"),
-    )
+    return _avg_neg_logprob_tail(scored, round_lp)
 
 
 # interpolated Kneser-Ney's absolute discount: 0.75 is the classic
@@ -1331,13 +1347,7 @@ def kneser_ney_bigram(docs: DataFrame, round_lp: int = 9) -> DataFrame:
         F.size("__toks") >= 2
     )
     pairs = pre.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(__toks) - 1), "
-                "i -> struct(__toks[i-1] AS prev, __toks[i] AS cur))"
-            )
-        ).alias("pc"),
+        "doc_id", adjacent_pairs().alias("pc")
     ).select("doc_id", "pc.prev", "pc.cur")
     bi = pairs.groupBy("prev", "cur").agg(F.count("*").alias("cnt_pc"))
     cprev = pairs.groupBy("prev").agg(F.count("*").alias("cnt_prev"))
@@ -1359,14 +1369,7 @@ def kneser_ney_bigram(docs: DataFrame, round_lp: int = 9) -> DataFrame:
         .crossJoin(F.broadcast(n_types))
         .select("doc_id", F.round(F.log(prob), round_lp).alias("lp"))
     )
-    return scored.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_pairs"),
-        F.round(
-            -F.sum(F.col("lp").cast(f"decimal(28,{round_lp})")).cast("double")
-            / F.count("*"),
-            6,
-        ).alias("avg_neg_logprob"),
-    )
+    return _avg_neg_logprob_tail(scored, round_lp)
 
 
 def kneser_ney_sql(source: str = "documents") -> str:
@@ -1434,12 +1437,7 @@ def collocations_pmi(
     """
     pre = docs.select(tokens("text").alias("__toks")).filter(F.size("__toks") >= 2)
     pairs = pre.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(__toks) - 1), "
-                "i -> struct(__toks[i-1] AS tok_a, __toks[i] AS tok_b))"
-            )
-        ).alias("pc")
+        adjacent_pairs("tok_a", "tok_b").alias("pc")
     ).select("pc.tok_a", "pc.tok_b")
     toks = docs.select(F.explode(tokens("text")).alias("token"))
     uni = toks.groupBy("token").agg(F.count("*").alias("cnt"))
@@ -3524,14 +3522,7 @@ def heldout_perplexity(
         F.size("__toks") >= 2
     )
     bi = (
-        tr_pre.select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(__toks) - 1), "
-                    "i -> struct(__toks[i-1] AS prev, __toks[i] AS cur))"
-                )
-            ).alias("pc")
-        )
+        tr_pre.select(adjacent_pairs().alias("pc"))
         .groupBy("pc.prev", "pc.cur")
         .agg(F.count("*").cast("long").alias("cnt_pc"))
     )
@@ -3540,14 +3531,7 @@ def heldout_perplexity(
         F.size("__toks") >= 2
     )
     pairs = te_pre.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(__toks) - 1), "
-                "i -> struct(__toks[i-1] AS prev, __toks[i] AS cur))"
-            )
-        ).alias("pc"),
+        "doc_id", "lang", adjacent_pairs().alias("pc")
     ).select("doc_id", "lang", "pc.prev", "pc.cur")
 
     scored = (

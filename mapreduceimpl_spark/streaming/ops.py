@@ -1699,10 +1699,12 @@ def stream_chunk_maxp(
     - the dot -> cosine -> MaxP -> top-k tail runs per query in one
       Arrow pass (``repartition(query_id)``, each query complete
       within its micro-batch): BIGINT dot sums are order-free, the
-      cosine is rounded half-away-from-zero at 1e-6 via
-      decimal.Decimal on the EXACT binary double — the same
-      BigDecimal HALF_UP path Spark's ``F.round`` takes, so stream
-      == batch holds bit-for-bit (pytest-pinned), round-then-max
+      cosine is rounded at 1e-6 via ``Decimal(repr(x))`` HALF_UP —
+      matching Spark ``F.round``'s BigDecimal.valueOf(double)
+      SHORTEST-REPR semantics, the ``stream_running_anomaly``
+      convention (``Decimal(x)`` on the exact binary expansion
+      diverges at repr-tie values like 0.1234565) — so stream ==
+      batch holds bit-for-bit (pytest-pinned), round-then-max
       preserved.
 
     Scale: per-micro-batch memory is (query buckets x bucket
@@ -1779,8 +1781,12 @@ def stream_chunk_maxp(
             .reset_index(name="dot")
         )
         cos = dots["dot"].astype(float) / (dots["norm"] * dots["norm_q"])
+        # Decimal(repr(x)), NEVER Decimal(x): F.round goes through
+        # BigDecimal.valueOf's shortest-repr of the double (review
+        # r10; the stream_running_anomaly convention)
         dots["__cos"] = [
-            float(Decimal(x).quantize(q6, rounding=ROUND_HALF_UP)) for x in cos
+            float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
+            for x in cos
         ]
         dots["doc_id"] = dots["chunk_id"] // 1024
         maxp = (

@@ -1350,8 +1350,11 @@ def test_staged_round11_ops_plan_shapes(docs):
     # (the heavy_hitters/bigram_logprob pattern); nothing else may
     assert kn.count("BroadcastNestedLoopJoin") <= 1
 
+    # hll joins its two post-aggregate per-stratum relations on the
+    # bounded strata key (any equi-join strategy is healthy there);
+    # good_turing is a pure aggregate chain.  The real invariant both
+    # share: no cartesian, no nested loop.
     for df in (hll_distinct(docs), good_turing_mass(docs)):
         plan = explain_str(df, "simple")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
-        assert "SortMergeJoin" not in plan  # aggregate chains join nothing

@@ -523,3 +523,28 @@ def test_hll_partition_invariant(docs):
     a = {tuple(r) for r in sketches.hll_distinct(docs).collect()}
     b = {tuple(r) for r in sketches.hll_distinct(docs.repartition(13)).collect()}
     assert a == b
+
+
+def test_hll_nondefault_p_matches_oracle_and_stays_finite(docs):
+    """Review r10: the 2^(wbits+1) scaling must keep the integer
+    denominator overflow-free and the shift count non-negative across
+    the WHOLE validated p range — p=4 (rank can reach 57) and p=12
+    (4096 registers, mostly empty at fixture scale) both replay
+    value-exactly in DuckDB, where the old 2^53 scaling errored with
+    negative-shift / int64-overflow respectively."""
+    import duckdb
+
+    from tools.check_oracle import compare
+
+    for p in (4, 12):
+        sdf = sketches.hll_distinct(docs, p=p).toPandas()
+        assert (sdf["est_distinct"] > 0).all(), (p, sdf)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.001/documents.parquet'"
+        )
+        odf = con.execute(sketches.hll_distinct_sql(p=p)).fetchdf()
+        con.close()
+        problems = compare(f"hll_distinct_p{p}", sdf, odf)
+        assert not problems, (p, problems)

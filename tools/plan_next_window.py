@@ -55,18 +55,16 @@ def newest_hash_rounds(repo_dir: str) -> tuple[dict[str, int], int]:
     return newest, max(rounds)
 
 
-def planned_order(
-    newest: dict[str, int] | None = None,
-) -> tuple[list[str], dict[str, int]]:
-    """The packing policy as a pure function of the evidence: pass
-    ``newest`` (name -> newest hash-green round) to plan against
-    synthetic/simulated evidence (tests/test_catalog_contract.py
-    reuses THIS function so the simulated driver run and the real
-    round-start repack can never disagree); default reads the live
-    CORRECTNESS files."""
-    if newest is None:
-        repo = str(Path(__file__).resolve().parents[1])
-        newest, _ = newest_hash_rounds(repo)
+def planned_order() -> tuple[list[str], dict[str, int]]:
+    """The packing policy over the live CORRECTNESS evidence —
+    never-attested oracle-backed entries first (current relative
+    order), then attested stalest-first (position tiebreak), rows-only
+    at the tail.  tests/test_catalog_contract.py builds its simulated
+    next-driver window from THIS function's output, so the simulation
+    and the real round-start repack cannot disagree (review r10: the
+    frozen-prefix simulation was the r7/8/9 round-start-red class)."""
+    repo = str(Path(__file__).resolve().parents[1])
+    newest, _ = newest_hash_rounds(repo)
     names = list(catalog.SPECS)
     pos = {n: i for i, n in enumerate(names)}
     oracle = [n for n in names if catalog.SPECS[n].oracle is not None]
