@@ -1381,3 +1381,100 @@ def test_plan_member_splits_partitions_members_exactly(spark, tmp_path):
             assert firsts == sorted(firsts) and len(set(firsts)) == len(firsts)
             if target >= sum(lens):
                 assert len(splits) == 1
+
+
+# --- HyperLogLog register arithmetic (round 10) ----------------------------
+
+
+def _hll_reference(tokens: set[str], p: int) -> tuple[float, int]:
+    """Pure-Python HLL on the md5 60-bit lane — independent reference
+    for the Spark/DuckDB register arithmetic (same construction as
+    sketches.hll_distinct, implemented from the paper, no Spark)."""
+    import math
+
+    from mapreduceimpl_spark.operators.sketches import _hll_constants
+
+    m, scaled_alpha = _hll_constants(p)
+    wbits = 60 - p
+    regs: dict[int, int] = {}
+    for t in tokens:
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        j, w = h % m, h >> p
+        rank = (wbits + 1) if w == 0 else (wbits + 1) - w.bit_length()
+        regs[j] = max(regs.get(j, 0), rank)
+    s = sum(1 << ((wbits + 1) - r) for r in regs.values())
+    v = m - len(regs)
+    s += v * (1 << (wbits + 1))
+    raw = scaled_alpha / float(s)
+    if raw <= 2.5 * m and v > 0:
+        return round(m * math.log(m / v), 6), v
+    return round(raw, 6), v
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    words=st.sets(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                  min_size=1, max_size=200),
+    p=st.sampled_from([4, 8, 12]),
+)
+def test_hll_reference_shift_counts_never_negative(words, p):
+    """The 2^(wbits+1) scaling keeps every shift count in range and
+    the estimate finite/positive across random token sets and the
+    whole p range (review r10 — the 2^53 scaling violated both)."""
+    est, v = _hll_reference(words, p)
+    assert est > 0
+    assert 0 <= v <= (1 << p)
+
+
+def test_hll_spark_matches_python_reference(spark):
+    """The distributed register fold equals the pure-Python reference
+    on a corpus with duplicate, multi-doc and unicode tokens."""
+    texts = [
+        "alpha beta gamma alpha",
+        "beta delta epsilon zeta",
+        "héllo wörld alpha",
+    ]
+    from mapreduceimpl_spark.operators.sketches import hll_distinct
+
+    df = spark.createDataFrame(
+        [(i, "xx", t) for i, t in enumerate(texts)],
+        ["doc_id", "lang", "text"],
+    )
+    toks = {t for s in texts for t in s.split(" ")}
+    for p in (4, 8, 12):
+        row = hll_distinct(df, p=p).collect()[0]
+        # exact is over the hash domain; no collisions at this size
+        assert row["exact_distinct"] == len(toks)
+        est, v = _hll_reference(toks, p)
+        assert row["est_distinct"] == est, (p, row["est_distinct"], est)
+        assert row["n_empty"] == v
+
+
+# --- adjacent-pair construction (round 10) ---------------------------------
+
+
+def test_adjacent_pairs_matches_zip(spark):
+    """The shared lag-1 pair expr (text_analysis.adjacent_pairs)
+    equals python zip(words, words[1:]) — evaluated THROUGH Spark on
+    rows covering repeats, empties-from-double-space, unicode and a
+    2-token minimum."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimpl_spark.operators.text_analysis import adjacent_pairs
+
+    texts = ["a b a b a", "x  y", "héllo wörld", "p q"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    rows = (
+        df.select("doc_id", F.split("text", " ").alias("__toks"))
+        .select("doc_id", adjacent_pairs().alias("pc"))
+        .select("doc_id", "pc.prev", "pc.cur")
+        .collect()
+    )
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["prev"], r["cur"]))
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        assert got[i] == list(zip(w, w[1:])), (i, got[i])
