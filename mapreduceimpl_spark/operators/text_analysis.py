@@ -1342,7 +1342,6 @@ def kneser_ney_bigram(docs: DataFrame, round_lp: int = 9) -> DataFrame:
     joins back onto the pair stream, a 1-row broadcast total
     (N1+(*,*)), one groupBy(doc).  No vocabulary-sized driver state.
     """
-    D = KN_DISCOUNT
     pre = docs.select("doc_id", tokens("text").alias("__toks")).filter(
         F.size("__toks") >= 2
     )
@@ -1354,22 +1353,63 @@ def kneser_ney_bigram(docs: DataFrame, round_lp: int = 9) -> DataFrame:
     n1p = bi.groupBy("prev").agg(F.count("*").alias("n1p"))
     n1c = bi.groupBy("cur").agg(F.count("*").alias("n1c"))
     n_types = bi.agg(F.count("*").alias("n_types"))
-    prob = (
-        (F.col("cnt_pc").cast("double") - F.lit(D))
-        / F.col("cnt_prev").cast("double")
-        + (F.lit(D) * F.col("n1p").cast("double"))
-        / F.col("cnt_prev").cast("double")
-        * (F.col("n1c").cast("double") / F.col("n_types").cast("double"))
-    )
     scored = (
         pairs.join(bi, ["prev", "cur"])
         .join(cprev, "prev")
         .join(n1p, "prev")
         .join(n1c, "cur")
         .crossJoin(F.broadcast(n_types))
-        .select("doc_id", F.round(F.log(prob), round_lp).alias("lp"))
+        .select(
+            "doc_id",
+            F.round(F.log(kn_prob_expr()), round_lp).alias("lp"),
+        )
     )
     return _avg_neg_logprob_tail(scored, round_lp)
+
+
+def kn_prob_expr() -> F.Column:
+    """The interpolated-KN probability as ONE fixed-order column
+    expression over (cnt_pc, cnt_prev, n1p, n1c, n_types) — shared by
+    the batch scorer and the streaming serving twin
+    (``streaming.stream_kneser_ney_score``) so the arithmetic cannot
+    drift.  ``cnt_pc`` may be NULL (a pair unseen in training when
+    serving fresh text): the discounted term contributes 0 and the
+    pure continuation backoff remains — the interpolated-KN unseen-
+    bigram case; on corpus-internal scoring every pair exists and the
+    WHEN never fires, so batch values are unchanged."""
+    D = KN_DISCOUNT
+    return F.when(
+        F.col("cnt_pc").isNotNull(),
+        (F.col("cnt_pc").cast("double") - F.lit(D))
+        / F.col("cnt_prev").cast("double"),
+    ).otherwise(F.lit(0.0)) + (F.lit(D) * F.col("n1p").cast("double")) / F.col(
+        "cnt_prev"
+    ).cast("double") * (
+        F.col("n1c").cast("double") / F.col("n_types").cast("double")
+    )
+
+
+def kneser_ney_model(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The trained interpolated-KN count model as five relations —
+    (bi, cprev, n1p, n1c, n_types) with the exact column names
+    :func:`kn_prob_expr` consumes.  Built from the same pair
+    construction as :func:`kneser_ney_bigram` (one wordcount-shaped
+    shuffle + three pair-vocab aggregates); the serving twin joins a
+    document stream against these stream-static."""
+    pairs = (
+        docs.select(tokens(text_col).alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select(adjacent_pairs().alias("pc"))
+        .select("pc.prev", "pc.cur")
+    )
+    bi = pairs.groupBy("prev", "cur").agg(F.count("*").alias("cnt_pc"))
+    cprev = pairs.groupBy("prev").agg(F.count("*").alias("cnt_prev"))
+    n1p = bi.groupBy("prev").agg(F.count("*").alias("n1p"))
+    n1c = bi.groupBy("cur").agg(F.count("*").alias("n1c"))
+    n_types = bi.agg(F.count("*").alias("n_types"))
+    return bi, cprev, n1p, n1c, n_types
 
 
 def kneser_ney_sql(source: str = "documents") -> str:

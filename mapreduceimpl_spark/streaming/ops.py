@@ -1810,6 +1810,102 @@ def stream_chunk_maxp(
     )
 
 
+def stream_kneser_ney_score(
+    docs: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame],
+    round_lp: int = 9,
+) -> DataFrame:
+    """LM-quality-filter SERVING (twin 31): score a STREAM of
+    documents under the batch-trained interpolated-Kneser-Ney model
+    (``text_analysis.kneser_ney_model``: the five count relations,
+    train offline / score online).  Zero state, append mode — the
+    ingest-time twin of the quality gate ``kneser_ney_bigram``
+    provides in batch.
+
+    Composition against the batch contract:
+
+    - pair construction is the shared ``adjacent_pairs`` expr over
+      the row's own token array (narrow, stream-safe);
+    - count lookups are stream-static equi-joins; ``bi`` joins LEFT
+      so a pair unseen in training scores through the pure
+      continuation backoff (the interpolated-KN unseen-bigram case —
+      ``kn_prob_expr``, ONE definition with batch), while a pair
+      whose prev/cur never occurred in training drops out (its mass
+      is the Good-Turing unseen story, reported by
+      ``good_turing_mass`` on the training side); ``n_types`` is one
+      bounded 1-row collect at twin construction (the
+      ``stream_ann_search`` centroids pattern — a stream cannot ride
+      a broadcast cross join);
+    - per-doc aggregation can't be a streaming groupBy, so the lp
+      rows repartition by doc_id (each doc complete within its
+      micro-batch) and one Arrow pass replays the decimal-sum tail:
+      Decimal(repr(lp)) at 1e-9 summed exactly, mean negated and
+      HALF_UP-rounded at 1e-6 — on the training corpus the output
+      equals ``kneser_ney_bigram`` bit-for-bit (pytest-pinned).
+
+    Scale: the model relations are pair-vocab-sized (Heaps-bounded);
+    per-micro-batch memory is the batch's own pair stream.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduceimpl_spark.operators.text_analysis import (
+        adjacent_pairs,
+        kn_prob_expr,
+    )
+
+    if round_lp < 1:
+        raise ValueError(f"round_lp must be >= 1, got {round_lp}")
+    bi, cprev, n1p, n1c, n_types = model
+    # bounded collect: ONE row (the distinct-pair count) — the static
+    # 1-row total cannot broadcast onto a stream
+    n_types_val = int(n_types.collect()[0][0])
+
+    pairs = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select("doc_id", adjacent_pairs().alias("pc"))
+        .select("doc_id", "pc.prev", "pc.cur")
+    )
+    scored = (
+        pairs.join(bi, ["prev", "cur"], "left")
+        .join(cprev, "prev")
+        .join(n1p, "prev")
+        .join(n1c, "cur")
+        .withColumn("n_types", F.lit(n_types_val).cast("long"))
+        .select("doc_id", F.round(F.log(kn_prob_expr()), round_lp).alias("lp"))
+    )
+
+    q_lp = Decimal(1).scaleb(-round_lp)
+
+    def per_doc(batches):
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        out = []
+        for doc_id, grp in pdf.groupby("doc_id", sort=False):
+            # the batch tail: SUM(CAST(lp AS DECIMAL(28,round_lp)))
+            # — Decimal(repr(x)) matches the shortest-repr cast
+            total = sum(
+                Decimal(repr(x)).quantize(q_lp, rounding=ROUND_HALF_UP)
+                for x in grp["lp"]
+            )
+            n = len(grp)
+            avg = float(
+                Decimal(repr(-float(total) / n)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            out.append((doc_id, n, avg))
+        yield pd.DataFrame(
+            out, columns=["doc_id", "n_pairs", "avg_neg_logprob"]
+        )
+
+    return scored.repartition("doc_id").mapInPandas(
+        per_doc, "doc_id long, n_pairs long, avg_neg_logprob double"
+    )
+
+
 def stream_crawl_gates(
     docs: DataFrame,
     ts_col: str = "ingest_ts",

@@ -1654,3 +1654,110 @@ def test_stream_chunk_maxp_matches_batch(spark, tmp_path):
         streaming.stream_chunk_maxp(stream, vecs, norms, k=0)
     vecs.unpersist()
     norms.unpersist()
+
+
+def test_stream_kneser_ney_score_matches_batch(spark, tmp_path):
+    """LM-quality serving twin (31): a document stream scored under
+    the batch-trained KN model equals batch kneser_ney_bigram
+    bit-for-bit on the training corpus, across a micro-batch split."""
+    from mapreduceimpl_spark.operators.text_analysis import (
+        kneser_ney_bigram,
+        kneser_ney_model,
+    )
+    from mapreduceimpl_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    batch = {
+        r["doc_id"]: (r["n_pairs"], r["avg_neg_logprob"])
+        for r in kneser_ney_bigram(docs).collect()
+    }
+    assert batch
+
+    model = tuple(t.persist() for t in kneser_ney_model(docs))
+    src = tmp_path / "kn_docs"
+    src.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["avg_neg_logprob"])
+        for r in _run_stream(streaming.stream_kneser_ney_score(stream, model))
+    }
+    assert got == batch
+    for t in model:
+        t.unpersist()
+
+
+def test_stream_kneser_ney_unseen_pair_backs_off(spark, tmp_path):
+    """Serving fresh text: a pair of in-vocab words never adjacent in
+    training scores through the pure continuation backoff (finite,
+    negative lp); a pair with an out-of-vocab word drops out."""
+    import math
+
+    from mapreduceimpl_spark.operators.text_analysis import (
+        KN_DISCOUNT,
+        kneser_ney_model,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "a b c"), (1, "b a c"), (2, "a b a")], ["doc_id", "text"]
+    )
+    model = tuple(t.persist() for t in kneser_ney_model(train))
+    fresh = spark.createDataFrame(
+        [(10, "c a"), (11, "a zzz")], ["doc_id", "text"]
+    )
+    src = tmp_path / "kn_fresh"
+    src.mkdir()
+    fresh.coalesce(1).write.parquet(str(src / "a"))
+    stream = (
+        spark.readStream.schema(fresh.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in _run_stream(streaming.stream_kneser_ney_score(stream, model))
+    }
+    # (c, a): c seen as prev (c->a? no: pairs are a-b,b-c,b-a,a-c,a-b,b-a
+    # ... c is a prev nowhere) — construct expectation from the counts:
+    # training pairs: (a,b),(b,c),(b,a),(a,c),(a,b),(b,a) — prev c never
+    # occurs, so (c,a) drops; doc 10 absent
+    assert 10 not in rows
+    # (a, zzz): zzz out-of-vocab as cur -> drops; doc 11 absent
+    assert 11 not in rows
+
+    # now a genuinely-backed-off pair: (c, b) has prev? c never a prev.
+    # use (a, a): a is a prev (cnt_prev=4... compute) and a is a cur via
+    # (b,a); (a,a) never adjacent in training -> pure backoff
+    fresh2 = spark.createDataFrame([(12, "a a")], ["doc_id", "text"])
+    src2 = tmp_path / "kn_fresh2"
+    src2.mkdir()
+    fresh2.coalesce(1).write.parquet(str(src2 / "a"))
+    stream2 = (
+        spark.readStream.schema(fresh2.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src2}/*")
+    )
+    rows2 = {
+        r["doc_id"]: r
+        for r in _run_stream(streaming.stream_kneser_ney_score(stream2, model))
+    }
+    r = rows2[12]
+    # training pairs list: (a,b),(b,c),(b,a),(a,c),(a,b),(b,a):
+    # cnt_prev(a)=3 [(a,b)x2,(a,c)], n1p(a)=2 [b,c], n1c(a)=1 [b->a],
+    # n_types=4 [(a,b),(b,c),(b,a),(a,c)]
+    D = KN_DISCOUNT
+    p = 0.0 + (D * 2) / 3 * (1 / 4)
+    expect = round(-round(math.log(p), 9) / 1, 6)
+    assert r["n_pairs"] == 1
+    assert math.isclose(r["avg_neg_logprob"], expect, abs_tol=2e-9)
+    for t in model:
+        t.unpersist()
