@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -1210,6 +1211,109 @@ def stream_kmv_distinct(
         update,
         outputStructType=_KMV_STREAM_SCHEMA,
         stateStructType=_KMV_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_HLL_STREAM_SCHEMA = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("batch_seq", LongType()),
+        StructField("n_empty", LongType()),
+        StructField("est_distinct", DoubleType()),
+    ]
+)
+# m = 2^p register maxima + a per-key micro-batch counter: O(m) state
+# regardless of stream length — register-wise MAX is the HLL merge,
+# live
+_HLL_STATE = StructType(
+    [
+        StructField("regs", ArrayType(IntegerType())),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def stream_hll_distinct(docs: DataFrame, p: int = 8) -> DataFrame:
+    """Streaming twin of ``sketches.hll_distinct``'s SKETCH columns
+    (twin 32): per-language distinct-token cardinality monitoring on
+    an unbounded document stream with O(m = 2^p) keyed state — the
+    register-wise-MAX merge is exactly HLL's mergeability, applied
+    per micro-batch (the ``stream_kmv_distinct`` pattern; as there,
+    the batch entry's exact_distinct column is deliberately NOT
+    carried — tracking it would need the full distinct hash set,
+    i.e. unbounded state).
+
+    Emits one row per (lang, micro-batch): current empty-register
+    count and the estimate through the SAME integer-scaled
+    arithmetic as batch (``_hll_constants``' 2^(wbits+1) scale, exact
+    BIGINT harmonic denominator, linear counting in the small-range
+    regime, Decimal(repr) HALF_UP at 1e-6).  Register maxima are
+    ORDER-FREE, so the final emission equals the batch entry's
+    (n_empty, est_distinct) no matter how the stream is batched
+    (tested, incl. a two-batch boundary).  The per-token hashing
+    replays the batch chain exactly: md5 15-hex prefix -> 60-bit
+    int, register = h % m, rank from the remaining bits' bit length
+    — hashlib md5 is bit-identical to the Spark/DuckDB expressions.
+    """
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from mapreduceimpl_spark.operators.sketches import _hll_constants
+
+    if not (4 <= p <= 16):
+        raise ValueError(f"stream_hll_distinct: p must be in [4, 16], got {p}")
+    m, scaled_alpha = _hll_constants(p)
+    wbits = 60 - p
+    q6 = Decimal("0.000001")
+
+    def update(key: Any, pdfs: Any, state: GroupState):
+        if state.exists:
+            regs, seq = state.get
+            regs = list(regs)
+        else:
+            regs, seq = [0] * m, 0
+        seq += 1
+        for pdf in pdfs:
+            for text in pdf["text"]:
+                if text is None:
+                    continue  # batch: split(NULL) -> no rows
+                for t in text.split(" "):
+                    # NO empty-token filter: batch tokens() keeps ''
+                    h = int(
+                        hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16
+                    )
+                    j, w = h % m, h >> p
+                    r = (wbits + 1) if w == 0 else (wbits + 1) - w.bit_length()
+                    if r > regs[j]:
+                        regs[j] = r
+        state.update((regs, seq))
+        s_present = sum(1 << ((wbits + 1) - r) for r in regs if r > 0)
+        v = m - sum(1 for r in regs if r > 0)
+        raw = scaled_alpha / float(s_present + v * (1 << (wbits + 1)))
+        est = (
+            float(m) * math.log(float(m) / v)
+            if (raw <= 2.5 * m and v > 0)
+            else raw
+        )
+        est = float(Decimal(repr(est)).quantize(q6, rounding=ROUND_HALF_UP))
+        yield pd.DataFrame(
+            {
+                "lang": [key[0]],
+                "batch_seq": [seq],
+                "n_empty": [v],
+                "est_distinct": [est],
+            }
+        )
+
+    return docs.groupBy("lang").applyInPandasWithState(
+        update,
+        outputStructType=_HLL_STREAM_SCHEMA,
+        stateStructType=_HLL_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

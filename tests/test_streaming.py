@@ -1761,3 +1761,55 @@ def test_stream_kneser_ney_unseen_pair_backs_off(spark, tmp_path):
     assert math.isclose(r["avg_neg_logprob"], expect, abs_tol=2e-9)
     for t in model:
         t.unpersist()
+
+
+def test_stream_hll_distinct_matches_batch_sketch(spark, tmp_path):
+    """HLL monitoring twin (32): the final per-language emission over
+    a two-batch stream equals the batch hll_distinct sketch columns
+    (n_empty, est_distinct) exactly — register maxima are order-free."""
+    from mapreduceimpl_spark.operators.sketches import hll_distinct
+    from mapreduceimpl_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang", "text")
+    batch = {
+        r["lang"]: (r["n_empty"], r["est_distinct"])
+        for r in hll_distinct(docs).collect()
+    }
+    assert batch
+
+    src = tmp_path / "hll_docs"
+    src.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    rows = _run_stream(streaming.stream_hll_distinct(stream))
+    final = {}
+    for r in rows:
+        if r["lang"] not in final or r["batch_seq"] > final[r["lang"]]["batch_seq"]:
+            final[r["lang"]] = r
+    got = {
+        lang: (r["n_empty"], r["est_distinct"]) for lang, r in final.items()
+    }
+    assert got == batch
+    # and the estimate is monotonically refined: a later batch never
+    # RAISES n_empty (registers only fill)
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lst in by_lang.values():
+        lst.sort(key=lambda r: r["batch_seq"])
+        empties = [r["n_empty"] for r in lst]
+        assert all(a >= b for a, b in zip(empties, empties[1:]))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        streaming.stream_hll_distinct(stream, p=3)
