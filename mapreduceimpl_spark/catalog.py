@@ -3276,6 +3276,61 @@ FROM corpus c LEFT JOIN comp k ON c.doc_id = k.node
 """
 
 
+def _dedup_bcubed_oracle(
+    min_jaccard: float = 0.5, id_offset: int = 100_000
+) -> str:
+    """Replay of ``dedup.dedup_bcubed_eval`` (STAGED for a future
+    intake window; driver-equivalent compare in tests/test_dedup.py):
+    the same recursive reachability components as
+    ``_dedup_clusters_oracle``, truth groups from the planted
+    doc_id % id_offset key, then the three B-cubed size aggregates,
+    per-doc rounded ratios, decimal-summed means and a fixed-order F1
+    from the ROUNDED means."""
+    return f"""
+WITH RECURSIVE scored AS (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle()}) p WHERE est_jaccard >= {min_jaccard}
+),
+edge AS (
+  SELECT doc_a AS u, doc_b AS v FROM scored
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM scored
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edge
+  UNION
+  SELECT re.node, e.v AS r FROM reach re JOIN edge e ON re.r = e.u
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+corpus AS ({_NEARDUP_CORPUS}),
+lab AS (
+  SELECT c.doc_id,
+         coalesce(k.component, c.doc_id) AS cluster,
+         c.doc_id % {id_offset} AS truth
+  FROM corpus c LEFT JOIN comp k ON c.doc_id = k.node
+),
+cs AS (SELECT cluster, COUNT(*) AS c_n FROM lab GROUP BY cluster),
+ts AS (SELECT truth, COUNT(*) AS t_n FROM lab GROUP BY truth),
+iv AS (SELECT cluster, truth, COUNT(*) AS i_n FROM lab GROUP BY 1, 2),
+per AS (
+  SELECT round(i_n / c_n, 9) AS p, round(i_n / t_n, 9) AS r
+  FROM lab JOIN iv USING (cluster, truth)
+           JOIN cs USING (cluster)
+           JOIN ts USING (truth)
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         round(CAST(SUM(CAST(p AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+           AS bcubed_precision,
+         round(CAST(SUM(CAST(r AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+           AS bcubed_recall
+  FROM per
+)
+SELECT n_docs, bcubed_precision, bcubed_recall,
+       round((2.0 * bcubed_precision * bcubed_recall)
+             / (bcubed_precision + bcubed_recall), 6) AS bcubed_f1
+FROM m"""
+
+
 def _dedup_keeper_longest_oracle(min_jaccard: float = 0.5) -> str:
     """Keeper-policy mirror of ``_dedup_clusters_oracle``: same
     recursive reachability components, keeper = argmax (text length,

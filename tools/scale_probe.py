@@ -901,7 +901,20 @@ def _probe_hll(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_bcubed(spark, sf_dir: str):
+    """dedup_bcubed_eval: the dedup chain it audits (sub-quadratic
+    banded candidates + CC) plus three keyed aggregates — wall should
+    track the dedup run, not square in the corpus."""
+    from mapreduceimpl_spark.operators.dedup import dedup_bcubed_eval
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = dedup_bcubed_eval(docs).count()
+    return time.time() - t0, n
+
+
 PROBES = {
+    "bcubed": _probe_bcubed,
     "kneser_ney": _probe_kneser_ney,
     "hll": _probe_hll,
     "hits": _probe_hits,
