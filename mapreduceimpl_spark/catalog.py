@@ -1135,6 +1135,32 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(edges, iterations=5)
 
 
+def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the SAME customer->supplier
+    purchase graph as pagerank/HITS (same +1e6 offset guard — see
+    ``_q_pagerank``), so all three link-analysis entries read one edge
+    set.  STAGED for a future intake window; driver-equivalent compare
+    in tests/test_graph.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    offset = 1_000_000
+    src = F.when(F.col("o_custkey") < offset, F.col("o_custkey")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"label_propagation: o_custkey >= {offset} collides "
+                      "with the supplier id offset — widen it: "),
+                F.col("o_custkey").cast("string"),
+            )
+        )
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(src.alias("src"), (F.col("l_suppkey") + offset).alias("dst"))
+        .distinct()
+    )
+    return graph.label_propagation(edges, iterations=4)
+
+
 def _hits_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pagerank customer -> supplier purchase graph (same +1e6
     offset guard — see ``_q_pagerank``), shared so the two
@@ -2717,6 +2743,41 @@ def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
     return f"WITH {body}\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
 
 
+def _label_propagation_oracle(iterations: int = 4) -> str:
+    """Chained-CTE replay of ``graph.label_propagation`` (STAGED for a
+    future intake window) over the pagerank purchase graph: one CTE
+    layer per synchronous round, the argmax as a
+    (count DESC, label ASC) row_number — all-integer, so the compare
+    is exact with no float routing at all."""
+    layers = [
+        """edges AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""",
+        """und AS MATERIALIZED (
+  SELECT src AS me, dst AS nbr FROM edges
+  UNION
+  SELECT dst AS me, src AS nbr FROM edges
+)""",
+        "l0 AS (SELECT DISTINCT me AS node, me AS label FROM und)",
+    ]
+    for i in range(1, iterations + 1):
+        layers.append(
+            f"""l{i} AS (
+  SELECT me AS node, label FROM (
+    SELECT e.me, l.label,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.me ORDER BY COUNT(*) DESC, l.label ASC
+           ) AS rn
+    FROM und e JOIN l{i - 1} l ON e.nbr = l.node
+    GROUP BY e.me, l.label
+  ) WHERE rn = 1
+)"""
+        )
+    body = ",\n".join(layers)
+    return f"WITH {body}\nSELECT node, label FROM l{iterations}"
+
+
 def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted join whose RESULT is oracle-checked against the plain
     join: the salt must change only the shuffle distribution, never a
@@ -3192,6 +3253,84 @@ FROM (
          1.0 - {s_r.replace("s_mid", f"((CAST(bucket AS DOUBLE) + 0.5) / {float(n_buckets)!r})")} AS one_minus
   FROM bucketed
 )
+"""
+
+
+def _bbit_minhash_oracle(
+    n_perms: int = dedup.MINHASH_PERMS,
+    min_jaccard: float = 0.3,
+    n_buckets: int = 10,
+    round_err: int = 9,
+    corpus_sql: str = _NEARDUP_CORPUS,
+) -> str:
+    """Replay of ``dedup.bbit_minhash_eval`` (STAGED for a future
+    intake window; driver-equivalent compare in tests/test_dedup.py):
+    exact-Jaccard truth pairs (the scurve oracle's shared CTE chain),
+    md5-lane signatures, full-lane and 1-bit agreement counts (the
+    retained bit is the parity of a lane's LAST hex digit — one
+    substr, no bit arithmetic), per-pair errors rounded then
+    decimal-summed per true-Jaccard bucket."""
+    lanes = dedup._MINHASH_LANES_PER_DIGEST
+    hexw = dedup.MINHASH_LANE_HEX
+    mins = ",\n    ".join(
+        f"min(substr(md5('{i // lanes}#' || shingle), {(i % lanes) * hexw + 1}, {hexw})) AS mh_{i}"
+        for i in range(n_perms)
+    )
+    odd = ", ".join(f"'{h}'" for h in dedup._ODD_HEX)
+    eq_full = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(n_perms)
+    )
+    eq_bit = " + ".join(
+        f"CASE WHEN (substr(sa.mh_{i}, {hexw}, 1) IN ({odd}))"
+        f" = (substr(sb.mh_{i}, {hexw}, 1) IN ({odd})) THEN 1 ELSE 0 END"
+        for i in range(n_perms)
+    )
+    k = float(n_perms)
+    return f"""
+WITH corpus AS ({corpus_sql}),
+sh AS (
+  SELECT doc_id, unnest({_shingle_list(3)}) AS shingle
+  FROM corpus WHERE len({_TOKS}) >= 3
+),
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b, jaccard FROM (
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON inter.doc_a = sa.doc_id
+    JOIN sz sb ON inter.doc_b = sb.doc_id
+  )
+  WHERE jaccard >= {min_jaccard!r}
+),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+),
+scored AS (
+  SELECT t.jaccard,
+         round(abs(CAST({eq_full} AS DOUBLE) / {k!r} - t.jaccard), {round_err})
+           AS err_full,
+         round(abs((2.0 * CAST({eq_bit} AS DOUBLE) - {k!r}) / {k!r} - t.jaccard),
+               {round_err}) AS err_1bit
+  FROM truth t
+  JOIN sig sa ON t.doc_a = sa.doc_id
+  JOIN sig sb ON t.doc_b = sb.doc_id
+)
+SELECT LEAST({n_buckets - 1}, CAST(floor(jaccard * {n_buckets}) AS BIGINT)) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(CAST(SUM(CAST(err_full AS DECIMAL(28,{round_err}))) AS DOUBLE)
+             / COUNT(*), 6) AS mae_full,
+       round(CAST(SUM(CAST(err_1bit AS DECIMAL(28,{round_err}))) AS DOUBLE)
+             / COUNT(*), 6) AS mae_1bit
+FROM scored GROUP BY 1
 """
 
 

@@ -269,3 +269,64 @@ def hits(
             half_up(F.col("auth")).alias("score"),
         )
     )
+
+
+def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (Raghavan, Albert
+    & Kumara, "Near linear time algorithm to detect community
+    structures in large-scale networks", Phys. Rev. E 76, 2007) —
+    community detection over an undirected view of ``edges``.
+
+    Every node starts labeled with its own id; each round, every node
+    adopts the label most frequent among its neighbors' PREVIOUS-round
+    labels, ties broken by the SMALLEST label.  The synchronous
+    deterministic variant (not the paper's random-order asynchronous
+    sweep) is the one a data-parallel engine wants: each round is one
+    join + two aggregations, and a FIXED iteration count makes the
+    whole run a chained-CTE SQL replay — hash-verified like pagerank,
+    not rows-only.  (On bipartite regions synchronous updates can
+    oscillate — Raghavan §V discusses this; a fixed horizon makes the
+    answer well-defined and bit-reproducible either way.)
+
+    All-integer: labels are node ids, frequencies are counts, the
+    argmax is max(struct(count, -label)) — no floats anywhere.
+
+    Returns (node, label) for every node in the undirected edge set.
+
+    Scale: per iteration one shuffle keyed on the neighbor id (join
+    against the O(nodes) label relation) and one keyed aggregate; the
+    label table never exceeds O(nodes) — the same per-iteration cost
+    envelope as ``pagerank`` over the same edges.  Skewed hubs salt
+    the same way any groupBy does under AQE.
+    """
+    if iterations < 1:
+        raise ValueError(
+            f"label_propagation: iterations must be >= 1, got {iterations}"
+        )
+    und = (
+        edges.select(F.col("src").alias("me"), F.col("dst").alias("nbr"))
+        .union(edges.select(F.col("dst").alias("me"), F.col("src").alias("nbr")))
+        .distinct()
+    )
+    labels = und.select(F.col("me").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(iterations):
+        counts = (
+            und.join(labels, und.nbr == labels.node)
+            .groupBy("me", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            counts.groupBy("me")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("neg_label"))
+                ).alias("best")
+            )
+            .select(
+                F.col("me").alias("node"),
+                (-F.col("best.neg_label")).alias("label"),
+            )
+        )
+    return labels

@@ -3804,3 +3804,128 @@ def effective_domains(
         F.round("h_raw", 9).alias("entropy"),
         F.round(F.exp("h_raw"), 6).alias("effective_sources"),
     )
+
+
+# ---------------------------------------------------------------------------
+# readability: Flesch reading ease / Flesch-Kincaid grade level
+# ---------------------------------------------------------------------------
+
+
+def readability_scores(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus readability per ``group_col``: Flesch Reading Ease
+    (Flesch, "A new readability yardstick", J. Applied Psychology
+    1948) and the Flesch-Kincaid grade level (Kincaid et al., Naval
+    Technical Training report, 1975) — the classic quality dials a
+    pretraining filter sheet carries next to the Gopher length/ratio
+    rules.
+
+    Counting rules (stated, since every readability tool picks its
+    own): words are the non-empty single-space tokens of the
+    lowercased text; sentences are maximal ``[.!?]+`` runs, clamped to
+    >= 1 per doc (a fragment with no terminal punctuation is one
+    sentence); syllables are ``[aeiouy]+`` vowel groups per word,
+    clamped to >= 1 per word (the standard heuristic — "rhythm" has
+    one syllable worth of vowels, "he" one).  All three are exact
+    per-doc integers, summed per group, and the two formulas
+
+        FRE   = 206.835 - 1.015 * (words/sentences) - 84.6 * (syllables/words)
+        grade = 0.39 * (words/sentences) + 11.8 * (syllables/words) - 15.59
+
+    are computed once per GROUP from the integer sums (corpus-level
+    scores, the form the original studies fit), in one fixed operation
+    order — two IEEE divisions, then multiply/subtract left to right —
+    so the SQL replay is bit-identical with no decimal routing needed.
+
+    Output per group: (group, n_docs, n_words, n_sentences,
+    n_syllables, flesch_re, fk_grade), scores rounded at 1e-4.
+
+    Scale: purely scalar per-doc expressions (split / regexp_count /
+    higher-order aggregate — all codegen, no UDF), then ONE groupBy on
+    the low-cardinality group key with map-side partial sums.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda w: w != F.lit("")
+    )
+    n_words = F.greatest(F.lit(1), F.size(words))
+    n_sentences = F.greatest(
+        F.lit(1), F.regexp_count(F.col(text_col), F.lit("[.!?]+"))
+    )
+    n_syllables = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.greatest(F.lit(1), F.regexp_count(w, F.lit("[aeiouy]+"))),
+    )
+    per_doc = docs.select(
+        F.col(group_col).alias("grp"),
+        n_words.cast("long").alias("w"),
+        n_sentences.cast("long").alias("s"),
+        n_syllables.cast("long").alias("y"),
+    )
+    agg = per_doc.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum("s").cast("long").alias("n_sentences"),
+        F.sum("y").cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+        ).alias("flesch_re"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
+        ).alias("fk_grade"),
+    )
+
+
+def readability_sql(group_col: str = "lang") -> str:
+    """DuckDB replay of ``readability_scores`` (STAGED for a future
+    intake window; driver-equivalent compare in
+    tests/test_text_analysis.py): the same clamped integer counts and
+    the same fixed-order double arithmetic, constants repr-injected."""
+    return f"""
+WITH per_doc AS (
+  SELECT {group_col} AS grp,
+         GREATEST(1, len(list_filter(string_split(lower(text), ' '),
+                                     w -> w <> ''))) AS w,
+         GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+         COALESCE(CAST(list_sum(list_transform(
+             list_filter(string_split(lower(text), ' '), w -> w <> ''),
+             w -> GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+')))
+         )) AS BIGINT), 0) AS y
+  FROM documents
+),
+agg AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS n_words,
+         CAST(SUM(s) AS BIGINT) AS n_sentences,
+         CAST(SUM(y) AS BIGINT) AS n_syllables
+  FROM per_doc GROUP BY grp
+)
+SELECT grp AS {group_col}, n_docs, n_words, n_sentences, n_syllables,
+       round((CAST({206.835!r} AS DOUBLE)
+              - (CAST({1.015!r} AS DOUBLE)
+                 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))))
+             - (CAST({84.6!r} AS DOUBLE)
+                * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))),
+             4) AS flesch_re,
+       round(((CAST({0.39!r} AS DOUBLE)
+               * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)))
+              + (CAST({11.8!r} AS DOUBLE)
+                 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))))
+             - CAST({15.59!r} AS DOUBLE),
+             4) AS fk_grade
+FROM agg
+"""

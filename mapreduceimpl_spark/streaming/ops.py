@@ -2161,3 +2161,101 @@ def stream_unigram_sample_segment(
     return _stream_tokenize(
         docs, lambda w: sample_segment_word(w, probs, max_piece_len, u_at)[0]
     )
+
+
+_READABILITY_STREAM_SCHEMA = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("batch_seq", LongType()),
+        StructField("n_docs", LongType()),
+        StructField("n_words", LongType()),
+        StructField("n_sentences", LongType()),
+        StructField("n_syllables", LongType()),
+        StructField("flesch_re", DoubleType()),
+        StructField("fk_grade", DoubleType()),
+    ]
+)
+# four integer counters per language key: O(1) state per key, exact
+_READABILITY_STATE = StructType(
+    [
+        StructField("n_docs", LongType()),
+        StructField("n_words", LongType()),
+        StructField("n_sentences", LongType()),
+        StructField("n_syllables", LongType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def stream_readability_scores(docs: DataFrame) -> DataFrame:
+    """Streaming twin of ``text_analysis.readability_scores`` (twin
+    33): live corpus-readability monitoring — the quality dial a
+    crawl-ingest dashboard watches drift on as a new snapshot streams
+    in.  Per-language keyed state is FOUR integer counters (docs,
+    words, sentences, syllables); each micro-batch adds exact per-doc
+    counts under the batch entry's stated counting rules, and the
+    Flesch Reading Ease / FK grade are recomputed from the integer
+    sums with the SAME fixed operation order, Decimal(repr) HALF_UP
+    at 1e-4 standing in for F.round.
+
+    Integer sums are ORDER-FREE, so the final emission per language
+    equals the batch entry's row over the same corpus no matter how
+    the stream is micro-batched (tested, incl. a two-batch boundary).
+    Counting replays the batch expressions row-locally: Python
+    ``re`` on ``[.!?]+`` / ``[aeiouy]+`` counts the same maximal runs
+    Spark's regexp_count does, and single-space split + non-empty
+    filter is ``F.split(lower(text), ' ')`` + filter exactly.
+
+    Scale: stateless per-row work + O(langs) state; append mode at
+    any ingest rate.
+    """
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sent_re = re.compile(r"[.!?]+")
+    vowel_re = re.compile(r"[aeiouy]+")
+    q4 = Decimal("0.0001")
+
+    def _r4(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(q4, rounding=ROUND_HALF_UP))
+
+    def update(key: Any, pdfs: Any, state: GroupState):
+        if state.exists:
+            nd, nw, ns, ny, seq = state.get
+        else:
+            nd = nw = ns = ny = seq = 0
+        seq += 1
+        for pdf in pdfs:
+            for text in pdf["text"]:
+                if text is None:
+                    continue
+                words = [w for w in text.lower().split(" ") if w != ""]
+                nd += 1
+                nw += max(1, len(words))
+                ns += max(1, len(sent_re.findall(text)))
+                ny += sum(max(1, len(vowel_re.findall(w))) for w in words)
+        state.update((nd, nw, ns, ny, seq))
+        wps = nw / ns
+        spw = ny / nw
+        yield pd.DataFrame(
+            {
+                "lang": [key[0]],
+                "batch_seq": [seq],
+                "n_docs": [nd],
+                "n_words": [nw],
+                "n_sentences": [ns],
+                "n_syllables": [ny],
+                "flesch_re": [_r4(206.835 - 1.015 * wps - 84.6 * spw)],
+                "fk_grade": [_r4(0.39 * wps + 11.8 * spw - 15.59)],
+            }
+        )
+
+    return docs.groupBy("lang").applyInPandasWithState(
+        update,
+        outputStructType=_READABILITY_STREAM_SCHEMA,
+        stateStructType=_READABILITY_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

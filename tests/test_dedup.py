@@ -1191,3 +1191,89 @@ def test_dedup_bcubed_plan_shape(spark, docs):
     plan = explain_str(dedup_bcubed_eval(docs), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# b-bit minwise hashing accuracy eval (staged round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_bbit_minhash_matches_duckdb_oracle(spark, docs):
+    """Staged entry, driver-equivalent compare: truth pairs + lane
+    signatures + both estimators' bucketed MAEs equal the SQL replay
+    value-exactly on the planted corpus."""
+    import duckdb
+
+    from mapreduceimpl_spark import catalog
+    from mapreduceimpl_spark.operators.dedup import (
+        bbit_minhash_eval,
+        with_mutated_copies,
+    )
+    from tools.check_oracle import compare
+
+    sdf = bbit_minhash_eval(with_mutated_copies(docs)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    odf = con.execute(catalog._bbit_minhash_oracle()).fetchdf()
+    con.close()
+    problems = compare("bbit_minhash_eval", sdf, odf)
+    assert not problems, problems
+    assert len(sdf) > 0
+
+
+def test_bbit_minhash_estimator_semantics(spark, docs):
+    """The storage/accuracy trade must show up with the right sign:
+    (a) the 1-bit estimator is never MORE accurate than full lanes in
+    pair-weighted aggregate (it discards 31 of 32 bits), and (b) an
+    exact duplicate pair scores zero error under BOTH estimators (all
+    lanes equal -> j_full = j_1bit = 1 = true Jaccard)."""
+    from mapreduceimpl_spark.operators.dedup import (
+        bbit_minhash_eval,
+        with_mutated_copies,
+    )
+
+    rows = bbit_minhash_eval(with_mutated_copies(docs)).collect()
+    assert rows
+    w_full = sum(r["n_pairs"] * r["mae_full"] for r in rows)
+    w_1bit = sum(r["n_pairs"] * r["mae_1bit"] for r in rows)
+    assert w_1bit >= w_full, (w_1bit, w_full)
+
+    two = docs.limit(1).selectExpr("0 AS doc_id", "text").union(
+        docs.limit(1).selectExpr("1 AS doc_id", "text")
+    )
+    top = bbit_minhash_eval(two, min_jaccard=0.5).collect()
+    assert len(top) == 1
+    assert top[0]["bucket"] == 9
+    assert top[0]["mae_full"] == 0.0 and top[0]["mae_1bit"] == 0.0
+
+
+def test_bbit_parity_reads_the_low_bit():
+    """The retained bit of an 8-hex lane IS the integer low bit: the
+    last-hex-digit-odd test equals int(lane, 16) % 2 for every lane of
+    a few hundred md5 digests (pure Python, no engines)."""
+    import hashlib
+
+    from mapreduceimpl_spark.operators.dedup import _ODD_HEX
+
+    for i in range(300):
+        digest = hashlib.md5(f"probe-{i}".encode()).hexdigest()
+        for lane_start in (0, 8, 16, 24):
+            lane = digest[lane_start:lane_start + 8]
+            assert (lane[-1] in _ODD_HEX) == (int(lane, 16) % 2 == 1), lane
+
+
+def test_bbit_minhash_plan_shape(spark, docs):
+    """Staged plan pin: the truth join and both signature joins are
+    keyed — no cartesian, no nested loop."""
+    from mapreduceimpl_spark.operators.dedup import (
+        bbit_minhash_eval,
+        with_mutated_copies,
+    )
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(bbit_minhash_eval(with_mutated_copies(docs)), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -167,3 +167,75 @@ def test_hits_plan_growth_is_polynomial_not_exponential(spark):
     p6 = len(explain_str(hits(e, iterations=6), "simple"))
     assert p4 < 6 * p2, (p2, p4)
     assert p6 < 6 * p3, (p3, p6)
+
+
+# ---------------------------------------------------------------------------
+# label propagation (staged round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_matches_duckdb_oracle(spark):
+    """Staged entry, driver-equivalent compare: four synchronous LPA
+    rounds over the purchase graph equal the chained-CTE replay
+    exactly (all-integer, no float routing)."""
+    import duckdb
+
+    from mapreduceimpl_spark import catalog
+    from mapreduceimpl_spark.sources import TABLES
+    from tools.check_oracle import compare
+
+    sf = "/root/testdata/sf0.001"
+    sdf = catalog._q_label_propagation(spark, sf).toPandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    odf = con.execute(catalog._label_propagation_oracle()).fetchdf()
+    con.close()
+    problems = compare("label_propagation", sdf, odf)
+    assert not problems, problems
+    assert len(sdf) > 0
+
+
+def test_label_propagation_two_components(spark):
+    """Two disjoint triangles: each converges to the all-min-id label
+    within 4 synchronous rounds (hand-traced: tie-breaks pull the min
+    id across the triangle in round 2, unanimity by round 3)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(edges, iterations=4).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_label_propagation_tie_breaks_to_smallest(spark):
+    """A node with two equally frequent neighbor labels adopts the
+    smaller one: star center 10 with leaves 1 and 2 (round 1 labels
+    stay 1 and 2 — each leaf sees only the center) takes label 1."""
+    edges = spark.createDataFrame([(10, 1), (10, 2)], ["src", "dst"])
+    got = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(edges, iterations=1).collect()
+    }
+    assert got[10] == 1
+    # leaves see only the center's previous label
+    assert got[1] == 10 and got[2] == 10
+
+
+def test_label_propagation_rejects_bad_iterations(spark):
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        graph.label_propagation(edges, iterations=0)
+
+
+def test_label_propagation_plan_shape(spark):
+    """Staged plan pin: joins are equi-joins against the O(nodes)
+    label relation — no cartesian, no nested loop."""
+    from mapreduceimpl_spark.plans import explain_str
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    plan = explain_str(graph.label_propagation(edges, iterations=2), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

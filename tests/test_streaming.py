@@ -1813,3 +1813,52 @@ def test_stream_hll_distinct_matches_batch_sketch(spark, tmp_path):
 
     with pytest.raises(ValueError):
         streaming.stream_hll_distinct(stream, p=3)
+
+
+def test_stream_readability_matches_batch(spark, tmp_path):
+    """Readability monitoring twin (33): the final per-language
+    emission over a two-batch stream equals the batch
+    readability_scores row exactly — integer count sums are
+    order-free, and the Decimal(repr) HALF_UP tail matches F.round."""
+    from mapreduceimpl_spark.operators.text_analysis import readability_scores
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang", "text")
+    batch = {
+        r["lang"]: (
+            r["n_docs"], r["n_words"], r["n_sentences"], r["n_syllables"],
+            r["flesch_re"], r["fk_grade"],
+        )
+        for r in readability_scores(docs).collect()
+    }
+    assert batch
+
+    src = tmp_path / "read_docs"
+    src.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(str(src / "a"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    rows = _run_stream(streaming.stream_readability_scores(stream))
+    final = {}
+    for r in rows:
+        if r["lang"] not in final or r["batch_seq"] > final[r["lang"]]["batch_seq"]:
+            final[r["lang"]] = r
+    got = {
+        lang: (
+            r["n_docs"], r["n_words"], r["n_sentences"], r["n_syllables"],
+            r["flesch_re"], r["fk_grade"],
+        )
+        for lang, r in final.items()
+    }
+    assert got == batch
+    # counters only grow across micro-batches
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lst in by_lang.values():
+        lst.sort(key=lambda r: r["batch_seq"])
+        words = [r["n_words"] for r in lst]
+        assert all(a <= b for a, b in zip(words, words[1:]))

@@ -1962,3 +1962,95 @@ def test_good_turing_estimator_definition(spark):
     b = rows["bb"]
     assert (b["n1"], b["r_star_1"]) == (0, None)
     assert b["unseen_mass"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# readability: Flesch reading ease / FK grade (staged round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_readability_matches_duckdb_oracle(spark, docs):
+    """Staged entry, driver-equivalent compare on the fixture corpus."""
+    import duckdb
+
+    from mapreduceimpl_spark.operators.text_analysis import (
+        readability_scores,
+        readability_sql,
+    )
+    from tools.check_oracle import compare
+
+    sdf = readability_scores(docs).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    odf = con.execute(readability_sql()).fetchdf()
+    con.close()
+    problems = compare("readability_scores", sdf, odf)
+    assert not problems, problems
+    assert len(sdf) > 0
+
+
+def test_readability_formula_hand_computed(spark):
+    """Hand-checkable corpus: 'The cat sat. The dog ran.' = 6 words,
+    2 sentences, 6 one-vowel-group words -> FRE and grade from the
+    published constants in the operator's fixed order."""
+    docs = spark.createDataFrame(
+        [(0, "The cat sat. The dog ran.", "en")], ["doc_id", "text", "lang"]
+    )
+    from mapreduceimpl_spark.operators.text_analysis import readability_scores
+
+    row = readability_scores(docs).collect()[0]
+    assert (row["n_words"], row["n_sentences"], row["n_syllables"]) == (6, 2, 6)
+    wps, spw = 6 / 2, 6 / 6
+    assert row["flesch_re"] == round(206.835 - 1.015 * wps - 84.6 * spw, 4)
+    assert row["fk_grade"] == round(0.39 * wps + 11.8 * spw - 15.59, 4)
+
+
+def test_readability_oracle_parity_on_hostile_text(spark, tmp_path):
+    """Beyond the fixture: uppercase, double spaces, punctuation runs,
+    a no-vowel token, an empty doc and a single-word doc replay
+    exactly (the per-word and per-doc clamps on both engines)."""
+    import duckdb
+
+    from mapreduceimpl_spark.operators.text_analysis import (
+        readability_scores,
+        readability_sql,
+    )
+    from tools.check_oracle import compare
+
+    rows = [
+        (0, "SHOUTING TEXT!!! with   runs... of? punctuation", "en"),
+        (1, "", "en"),
+        (2, "word", "fr"),
+        (3, "xyz qqq zzz", "fr"),
+        (4, "rhythm myth gym", "de"),
+        (5, "a. b! c? d", "de"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    sdf = readability_scores(docs).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    odf = con.execute(readability_sql()).fetchdf()
+    con.close()
+    problems = compare("readability_scores", sdf, odf)
+    assert not problems, problems
+    # the empty doc clamps: 1 word, 1 sentence, 0 syllables
+    en = sdf[sdf.lang == "en"].iloc[0]
+    assert en["n_sentences"] == 3 + 1  # '!!!' '...' '?' runs + empty doc clamp
+
+
+def test_readability_plan_shape(spark, docs):
+    """Staged plan pin: scalar expressions + ONE aggregate — no join
+    at all in the plan."""
+    from mapreduceimpl_spark.operators.text_analysis import readability_scores
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(readability_scores(docs), "simple")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan

@@ -913,7 +913,42 @@ def _probe_bcubed(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_bbit_minhash(spark, sf_dir: str):
+    """bbit_minhash_eval: inverted-index truth + two doc-keyed
+    signature joins — wall should track the truth-pair count, never
+    n^2 in docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = dedup.bbit_minhash_eval(dedup.with_mutated_copies(docs)).count()
+    return time.time() - t0, n
+
+
+def _probe_label_propagation(spark, sf_dir: str):
+    """label_propagation: per round one nbr-keyed join against the
+    O(nodes) label relation + one keyed aggregate — wall should be
+    edges-linear per iteration, like pagerank."""
+    from mapreduceimpl_spark.catalog import _q_label_propagation
+
+    t0 = time.time()
+    n = _q_label_propagation(spark, sf_dir).count()
+    return time.time() - t0, n
+
+
+def _probe_readability(spark, sf_dir: str):
+    """readability_scores: scalar codegen expressions + one partial-agg
+    groupBy on a 5-value key — wall should be scan-linear."""
+    from mapreduceimpl_spark.operators.text_analysis import readability_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = readability_scores(docs).count()
+    return time.time() - t0, n
+
+
 PROBES = {
+    "bbit_minhash": _probe_bbit_minhash,
+    "label_propagation": _probe_label_propagation,
+    "readability": _probe_readability,
     "bcubed": _probe_bcubed,
     "kneser_ney": _probe_kneser_ney,
     "hll": _probe_hll,
