@@ -1478,3 +1478,93 @@ def test_adjacent_pairs_matches_zip(spark):
     for i, t in enumerate(texts):
         w = t.split(" ")
         assert got[i] == list(zip(w, w[1:])), (i, got[i])
+
+
+# --- label propagation vs a pure-Python synchronous reference -------------
+
+
+def _lpa_reference(edges: list[tuple[int, int]], iterations: int) -> dict[int, int]:
+    nbrs: dict[int, set[int]] = {}
+    for s, d in edges:
+        nbrs.setdefault(s, set()).add(d)
+        nbrs.setdefault(d, set()).add(s)
+    labels = {n: n for n in nbrs}
+    for _ in range(iterations):
+        new = {}
+        for n, ns in nbrs.items():
+            freq: dict[int, int] = {}
+            for m in ns:
+                freq[labels[m]] = freq.get(labels[m], 0) + 1
+            best = max(freq.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_python_reference_random_graphs(spark):
+    """Five seeded random graphs: the Spark plan's labels equal the
+    pure-Python synchronous-LPA reference exactly (same smallest-label
+    tie-break), across different densities and iteration counts."""
+    import random
+
+    from mapreduceimpl_spark.operators import graph
+
+    for seed, n_nodes, n_edges, iters in (
+        (1, 12, 18, 3),
+        (2, 25, 30, 4),
+        (3, 8, 28, 2),
+        (4, 40, 45, 5),
+        (5, 6, 5, 1),
+    ):
+        rng = random.Random(seed)
+        edges = set()
+        while len(edges) < n_edges:
+            a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        edges = sorted(edges)
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r["node"]: r["label"]
+            for r in graph.label_propagation(df, iterations=iters).collect()
+        }
+        assert got == _lpa_reference(edges, iters), (seed, got)
+
+
+# --- readability counts vs a pure-Python reference ------------------------
+
+
+def _readability_reference(texts: list[str]) -> tuple[int, int, int]:
+    import re
+
+    w = s = y = 0
+    for t in texts:
+        words = [x for x in t.lower().split(" ") if x != ""]
+        w += max(1, len(words))
+        s += max(1, len(re.findall(r"[.!?]+", t)))
+        y += sum(max(1, len(re.findall(r"[aeiouy]+", x))) for x in words)
+    return w, s, y
+
+
+def test_readability_counts_match_python_reference_random_text(spark):
+    """Seeded random token soup (mixed punctuation, case, empty and
+    no-vowel tokens): the Spark scalar counting expressions equal the
+    pure-Python reference — the same reference the streaming twin
+    replays row-locally."""
+    import random
+
+    from mapreduceimpl_spark.operators.text_analysis import readability_scores
+
+    rng = random.Random(7)
+    vocab = ["The", "cat", "RAN!", "x.y?z", "qqq", "", "a...b", "myth",
+             "HELLO!!!", "ok?", "u", "zzz!"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12)))
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)], ["doc_id", "text", "lang"]
+    )
+    row = readability_scores(docs).collect()[0]
+    w, s, y = _readability_reference(texts)
+    assert (row["n_words"], row["n_sentences"], row["n_syllables"]) == (w, s, y)
