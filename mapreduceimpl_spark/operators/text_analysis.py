@@ -3929,3 +3929,142 @@ SELECT grp AS {group_col}, n_docs, n_words, n_sentences, n_syllables,
              4) AS fk_grade
 FROM agg
 """
+
+
+def winnow_density_eval(
+    docs: DataFrame, k: int = 5, window: int = 4
+) -> DataFrame:
+    """Measured winnowing fingerprint density next to the analytic
+    guarantee — the parameter-tuning eval for ``fingerprint_winnow``
+    the way ``lsh_scurve_eval`` is for the MinHash bands: Schleimer,
+    Wilkerson & Aiken ("Winnowing: local algorithms for document
+    fingerprinting", SIGMOD 2003) prove the expected fraction of
+    positions selected by a window of ``window`` hashes is exactly
+    2/(window+1) for random hashes — the storage budget the
+    fingerprint index is provisioned on.  This entry measures the
+    ACTUAL selected-position density per language, so boilerplate-
+    heavy corpora (repeated shingles compress the selected set below
+    the random-hash expectation) are caught before the index is
+    sized, not after.
+
+    Selection replays robust winnowing's tie rule: each window keeps
+    its minimal hash, RIGHTMOST position on equal hashes — as
+    min(struct(hash, -pos)) on both engines (struct ordering is
+    lexicographic in Spark and DuckDB alike).  Density counts
+    DISTINCT selected positions (overlapping windows re-selecting one
+    position is the whole point of the 2/(w+1) bound).
+
+    Restricted to docs with at least one full window (>= k+window-1
+    tokens), stated.  Output per lang: (lang, n_docs, n_positions,
+    n_windows, n_selected, density, analytic_density), ratios rounded
+    at 1e-6; analytic 2/(window+1) injected as the same Python-rounded
+    literal on both sides.
+
+    Scale: one doc-id-partitioned bounded-frame window pass (the
+    ``fingerprint_winnow`` shuffle) + two keyed aggregates; no joins
+    beyond the O(docs) per-doc frames.
+    """
+    pre = docs.select(
+        "doc_id", "lang", tokens("text").alias("__toks")
+    ).filter(F.size("__toks") >= k + window - 1)
+    n_sh = F.size(F.col("__toks")) - (k - 1)
+    shingle_arr = F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k))),
+    )
+    sh = pre.select("doc_id", "lang", F.posexplode(shingle_arr).alias("pos", "h"))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(window - 1), 0)
+    sel = (
+        sh.select(
+            "doc_id",
+            "lang",
+            "pos",
+            F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(w).alias("m"),
+        )
+        .filter(F.col("pos") >= window - 1)
+        .select("doc_id", "lang", (-F.col("m.np")).alias("sel_pos"))
+    )
+    per_doc_sel = sel.groupBy("doc_id", "lang").agg(
+        F.count_distinct("sel_pos").alias("n_sel")
+    )
+    per_doc_pos = pre.select(
+        "doc_id",
+        "lang",
+        n_sh.cast("long").alias("n_pos"),
+        (n_sh - (window - 1)).cast("long").alias("n_win"),
+    )
+    analytic = round(2.0 / (window + 1), 6)
+    return (
+        per_doc_pos.join(per_doc_sel, ["doc_id", "lang"])
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_pos").cast("long").alias("n_positions"),
+            F.sum("n_win").cast("long").alias("n_windows"),
+            F.sum("n_sel").cast("long").alias("n_selected"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_positions",
+            "n_windows",
+            "n_selected",
+            F.round(
+                F.col("n_selected").cast("double")
+                / F.col("n_positions").cast("double"),
+                6,
+            ).alias("density"),
+            F.lit(analytic).alias("analytic_density"),
+        )
+    )
+
+
+def winnow_density_sql(k: int = 5, window: int = 4) -> str:
+    """DuckDB replay of ``winnow_density_eval`` (STAGED for a future
+    intake window; driver-equivalent compare in
+    tests/test_text_analysis.py): the same struct-min rightmost tie
+    rule over the same bounded frame."""
+    toks = "string_split(text, ' ')"
+    analytic = round(2.0 / (window + 1), 6)
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_transform(range(0, len({toks}) - {k - 1}),
+                        i -> md5(array_to_string({toks}[i + 1 : i + {k}], ' '))) AS hs
+  FROM documents WHERE len({toks}) >= {k + window - 1}
+),
+s AS (
+  SELECT doc_id, lang, unnest(hs) AS h, unnest(range(0, len(hs))) AS pos
+  FROM t
+),
+sel AS (
+  SELECT doc_id, lang, -(m.np) AS sel_pos FROM (
+    SELECT doc_id, lang, pos,
+           MIN({{'h': h, 'np': -pos}}) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW
+           ) AS m
+    FROM s
+  ) WHERE pos >= {window - 1}
+),
+per_sel AS (
+  SELECT doc_id, lang, COUNT(DISTINCT sel_pos) AS n_sel
+  FROM sel GROUP BY doc_id, lang
+),
+per_pos AS (
+  SELECT doc_id, lang,
+         CAST(len(hs) AS BIGINT) AS n_pos,
+         CAST(len(hs) - {window - 1} AS BIGINT) AS n_win
+  FROM t
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_pos) AS BIGINT) AS n_positions,
+       CAST(SUM(n_win) AS BIGINT) AS n_windows,
+       CAST(SUM(n_sel) AS BIGINT) AS n_selected,
+       round(CAST(SUM(n_sel) AS DOUBLE) / CAST(SUM(n_pos) AS DOUBLE), 6)
+         AS density,
+       {analytic!r} AS analytic_density
+FROM per_pos JOIN per_sel USING (doc_id, lang)
+GROUP BY lang
+"""

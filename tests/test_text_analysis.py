@@ -2054,3 +2054,75 @@ def test_readability_plan_shape(spark, docs):
     plan = explain_str(readability_scores(docs), "simple")
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# winnowing density eval (staged round 12/13)
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_density_matches_duckdb_oracle(spark, docs):
+    """Staged entry, driver-equivalent compare on the fixture corpus."""
+    import duckdb
+
+    from mapreduceimpl_spark.operators.text_analysis import (
+        winnow_density_eval,
+        winnow_density_sql,
+    )
+    from tools.check_oracle import compare
+
+    sdf = winnow_density_eval(docs).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    odf = con.execute(winnow_density_sql()).fetchdf()
+    con.close()
+    problems = compare("winnow_density_eval", sdf, odf)
+    assert not problems, problems
+    assert len(sdf) > 0
+
+
+def test_winnow_density_near_analytic_on_fixture(spark, docs):
+    """The SIGMOD'03 theorem: expected density 2/(w+1) for random
+    hashes. md5 over the fixture shingles behaves near-randomly, so
+    every language lands within a few percent of 0.4 (slightly BELOW:
+    repeated shingles in the small-vocab fixture compress the
+    selected set, the effect the entry exists to measure)."""
+    from mapreduceimpl_spark.operators.text_analysis import winnow_density_eval
+
+    rows = winnow_density_eval(docs).collect()
+    assert rows
+    for r in rows:
+        assert 0.3 <= r["density"] <= 0.45, (r["lang"], r["density"])
+        assert r["analytic_density"] == 0.4
+        # selection can never exceed one position per window nor the
+        # position count
+        assert r["n_selected"] <= r["n_windows"] <= r["n_positions"]
+
+
+def test_winnow_density_rightmost_tie_rule(spark):
+    """A constant-token doc: every shingle hash is identical, so every
+    window selects its RIGHTMOST position (robust winnowing's rule) —
+    n_selected == n_windows (each window end is selected)."""
+    from mapreduceimpl_spark.operators.text_analysis import winnow_density_eval
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(["tok"] * 12), "en")], ["doc_id", "text", "lang"]
+    )
+    row = winnow_density_eval(docs).collect()[0]
+    # 12 tokens, k=5 -> 8 positions, window=4 -> 5 windows; all hashes
+    # equal -> rightmost = window end, 5 distinct selections
+    assert (row["n_positions"], row["n_windows"], row["n_selected"]) == (8, 5, 5)
+
+
+def test_winnow_density_plan_shape(spark, docs):
+    """Staged plan pin: one doc-partitioned window pass + keyed
+    aggregates; the only join is the per-doc uniform-key join."""
+    from mapreduceimpl_spark.operators.text_analysis import winnow_density_eval
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(winnow_density_eval(docs), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -945,7 +945,19 @@ def _probe_readability(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_winnow_density(spark, sf_dir: str):
+    """winnow_density_eval: one doc-partitioned bounded-frame window
+    pass + keyed aggregates — wall should be corpus-token-linear."""
+    from mapreduceimpl_spark.operators.text_analysis import winnow_density_eval
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = winnow_density_eval(docs).count()
+    return time.time() - t0, n
+
+
 PROBES = {
+    "winnow_density": _probe_winnow_density,
     "bbit_minhash": _probe_bbit_minhash,
     "label_propagation": _probe_label_propagation,
     "readability": _probe_readability,
