@@ -3334,6 +3334,85 @@ FROM scored GROUP BY 1
 """
 
 
+def _fellegi_sunter_oracle(upper: float = 100.0, lower: float = 1.0) -> str:
+    """Replay of ``dedup.fellegi_sunter_linkage`` (STAGED for a future
+    intake window; driver-equivalent compare in tests/test_dedup.py):
+    the same planted second source, nation-blocked candidates,
+    add-one-smoothed m/u estimates, once-computed per-field ratios and
+    the fixed-order likelihood product."""
+    fields = ("a_name", "a_seg", "a_bal")
+    m_counts = ",\n         ".join(
+        f"SUM(CASE WHEN is_match AND {a} THEN 1 ELSE 0 END) AS m_{a}"
+        for a in fields
+    )
+    u_counts = ",\n         ".join(
+        f"SUM(CASE WHEN NOT is_match AND {a} THEN 1 ELSE 0 END) AS u_{a}"
+        for a in fields
+    )
+    pm = ",\n         ".join(
+        f"CAST(m_{a} + 1 AS DOUBLE) / CAST(n_m + 2 AS DOUBLE) AS pm_{a}"
+        for a in fields
+    )
+    pu = ",\n         ".join(
+        f"CAST(u_{a} + 1 AS DOUBLE) / CAST(n_u + 2 AS DOUBLE) AS pu_{a}"
+        for a in fields
+    )
+    rm = ",\n         ".join(f"pm_{a} / pu_{a} AS rm_{a}" for a in fields)
+    rn = ",\n         ".join(
+        f"(1.0 - pm_{a}) / (1.0 - pu_{a}) AS rn_{a}" for a in fields
+    )
+    terms = [f"CASE WHEN {a} THEN rm_{a} ELSE rn_{a} END" for a in fields]
+    score = f"(({terms[0]} * {terms[1]}) * {terms[2]})"
+    return f"""
+WITH rightsrc AS (
+  SELECT c_custkey AS orig_key, c_nationkey,
+         CASE WHEN c_custkey % 3 = 0
+              THEN concat(substr(c_name, 1, 9), 'x', substr(c_name, 11))
+              ELSE c_name END AS r_name,
+         CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN'
+              ELSE c_mktsegment END AS r_mktsegment,
+         CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + CAST(700.0 AS DOUBLE)
+              ELSE c_acctbal END AS r_acctbal
+  FROM customer
+),
+cand AS (
+  SELECT l.c_custkey = r.orig_key AS is_match,
+         l.c_name = r.r_name AS a_name,
+         l.c_mktsegment = r.r_mktsegment AS a_seg,
+         floor(l.c_acctbal / CAST(1000.0 AS DOUBLE))
+           = floor(r.r_acctbal / CAST(1000.0 AS DOUBLE)) AS a_bal
+  FROM customer l JOIN rightsrc r ON l.c_nationkey = r.c_nationkey
+),
+counts AS (
+  SELECT SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS n_m,
+         SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS n_u,
+         {m_counts},
+         {u_counts}
+  FROM cand
+),
+probs AS (
+  SELECT {pm},
+         {pu}
+  FROM counts
+),
+ratios AS (
+  SELECT {rm},
+         {rn}
+  FROM probs
+),
+scored AS (
+  SELECT is_match, {score} AS score
+  FROM cand CROSS JOIN ratios
+)
+SELECT CASE WHEN score > {upper!r} THEN 'link'
+            WHEN score > {lower!r} THEN 'possible'
+            ELSE 'non_link' END AS decision,
+       is_match,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM scored GROUP BY 1, 2
+"""
+
+
 def _fuzzy_cand_sql(min_jaccard: float) -> str:
     """The fuzzy_join candidate CTE chain (part-name dictionary vs its
     vowel-dropped mutation) parameterized by threshold — the SAME

@@ -1818,3 +1818,205 @@ def bbit_minhash_eval(
             ).alias("mae_1bit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage
+# ---------------------------------------------------------------------------
+
+
+def fs_mutated_customers(customers: DataFrame) -> DataFrame:
+    """Deterministic second 'source' of the customer entities for the
+    record-linkage eval (the ``with_mutated_copies`` idea on tabular
+    fields): every customer reappears with its key carried in
+    ``orig_key`` and field noise planted by key arithmetic —
+    every 3rd name gets its 10th char corrupted, every 7th market
+    segment is lost to 'UNKNOWN', every 4th account balance drifts
+    +700 (crossing the floor(bal/1000) bucket for ~70% of them).
+    Nation is kept: it is the blocking key."""
+    third = F.col("c_custkey") % 3 == 0
+    seventh = F.col("c_custkey") % 7 == 0
+    fourth = F.col("c_custkey") % 4 == 0
+    return customers.select(
+        F.col("c_custkey").alias("orig_key"),
+        "c_nationkey",
+        F.when(
+            third,
+            F.concat(
+                F.substring("c_name", 1, 9),
+                F.lit("x"),
+                F.substring("c_name", 11, 2147483647),
+            ),
+        ).otherwise(F.col("c_name")).alias("r_name"),
+        F.when(seventh, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("r_mktsegment"),
+        F.when(fourth, F.col("c_acctbal") + F.lit(700.0))
+        .otherwise(F.col("c_acctbal"))
+        .alias("r_acctbal"),
+    )
+
+
+FS_FIELDS = ("a_name", "a_seg", "a_bal")
+
+
+def _fs_candidates(customers: DataFrame) -> DataFrame:
+    """Nation-blocked candidate pairs with truth + per-field agreement
+    flags — ONE definition shared by the batch linkage entry, the
+    ratio-constants helper, and (agreement expressions) the serving
+    twin."""
+    left = customers.select(
+        "c_custkey", "c_nationkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    right = fs_mutated_customers(customers)
+    return left.join(right, "c_nationkey").select(
+        (F.col("c_custkey") == F.col("orig_key")).alias("is_match"),
+        _fs_agreements(),
+    )
+
+
+def _fs_agreements() -> F.Column:
+    """The three agreement flags as one struct expression (expanded by
+    the callers) — kept in one place so batch and stream can never
+    disagree on what 'agrees' means."""
+    return F.struct(
+        (F.col("c_name") == F.col("r_name")).alias("a_name"),
+        (F.col("c_mktsegment") == F.col("r_mktsegment")).alias("a_seg"),
+        (
+            F.floor(F.col("c_acctbal") / F.lit(1000.0))
+            == F.floor(F.col("r_acctbal") / F.lit(1000.0))
+        ).alias("a_bal"),
+    ).alias("agree")
+
+
+def _fs_ratios(cand: DataFrame) -> DataFrame:
+    """The ONE-row m/u ratio relation from a truth-labeled candidate
+    frame (add-one smoothing; each division computed once)."""
+
+    def _n(flag: F.Column) -> F.Column:
+        return F.sum(F.when(flag, 1).otherwise(0))
+
+    counts = cand.agg(
+        _n(F.col("is_match")).alias("n_m"),
+        _n(~F.col("is_match")).alias("n_u"),
+        *[
+            _n(F.col("is_match") & F.col(f"agree.{a}")).alias(f"m_{a}")
+            for a in FS_FIELDS
+        ],
+        *[
+            _n(~F.col("is_match") & F.col(f"agree.{a}")).alias(f"u_{a}")
+            for a in FS_FIELDS
+        ],
+    )
+    probs = counts.select(
+        *[
+            (
+                (F.col(f"m_{a}") + 1).cast("double")
+                / (F.col("n_m") + 2).cast("double")
+            ).alias(f"pm_{a}")
+            for a in FS_FIELDS
+        ],
+        *[
+            (
+                (F.col(f"u_{a}") + 1).cast("double")
+                / (F.col("n_u") + 2).cast("double")
+            ).alias(f"pu_{a}")
+            for a in FS_FIELDS
+        ],
+    )
+    return probs.select(
+        *[
+            (F.col(f"pm_{a}") / F.col(f"pu_{a}")).alias(f"rm_{a}")
+            for a in FS_FIELDS
+        ],
+        *[
+            (
+                (F.lit(1.0) - F.col(f"pm_{a}"))
+                / (F.lit(1.0) - F.col(f"pu_{a}"))
+            ).alias(f"rn_{a}")
+            for a in FS_FIELDS
+        ],
+    )
+
+
+def fs_ratio_constants(customers: DataFrame) -> dict:
+    """Collect the six FS ratios as plain Python doubles — the model
+    artifact the serving twin ships (train offline, score online);
+    a bounded one-row collect."""
+    return _fs_ratios(_fs_candidates(customers)).collect()[0].asDict()
+
+
+def fs_score_expr(ratios: dict | None = None) -> F.Column:
+    """The fixed-order likelihood product over the agreement struct.
+    With ``ratios=None`` the per-field ratio columns are read from the
+    joined one-row relation (batch); with a constants dict they are
+    injected as literals (the serving twin) — SAME doubles, same
+    multiply order, so scores are bit-identical."""
+    col = (
+        (lambda a: F.col(f"rm_{a}"))
+        if ratios is None
+        else (lambda a: F.lit(float(ratios[f"rm_{a}"])))
+    )
+    coln = (
+        (lambda a: F.col(f"rn_{a}"))
+        if ratios is None
+        else (lambda a: F.lit(float(ratios[f"rn_{a}"])))
+    )
+    term = lambda a: F.when(F.col(f"agree.{a}"), col(a)).otherwise(  # noqa: E731
+        coln(a)
+    )
+    t = FS_FIELDS
+    return (term(t[0]) * term(t[1])) * term(t[2])
+
+
+def fs_decision_expr(upper: float, lower: float) -> F.Column:
+    """The paper's three-way verdict from a ``score`` column."""
+    return (
+        F.when(F.col("score") > F.lit(upper), F.lit("link"))
+        .when(F.col("score") > F.lit(lower), F.lit("possible"))
+        .otherwise(F.lit("non_link"))
+    )
+
+
+def fellegi_sunter_linkage(
+    customers: DataFrame, upper: float = 100.0, lower: float = 1.0
+) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter, "A Theory for
+    Record Linkage", JASA 1969) between the customer table and its
+    planted second source — the entity-resolution workload a
+    multi-source ingest runs where the Jaccard fuzzy joins here work
+    on text: per-field agreement probabilities m (among true matches)
+    and u (among non-matches) are ESTIMATED from the truth-labeled
+    candidate set with add-one smoothing, every candidate pair is
+    scored by the likelihood ratio
+
+        score = prod over fields of (m/u if agree else (1-m)/(1-u))
+
+    (the product form — equivalent to summing the classic log2
+    weights, with no log in sight so both engines multiply the SAME
+    doubles in the same fixed field order: name, segment, balance
+    bucket), and pairs fall into the paper's three-way verdict:
+    link (score > upper), possible (manual-review zone), non_link.
+
+    Output: (decision, is_match, n_pairs) — the confusion the
+    threshold choice rests on.
+
+    Blocking: candidate pairs share c_nationkey (25 blocks), the
+    standard FS blocking step — work is sum over blocks of |L_b|x|R_b|,
+    never |L|x|R|; at web scale block tighter (phone prefix, zip)
+    exactly as the paper's successors do.  The m/u stats relation is
+    ONE row, broadcast onto the candidates.
+
+    Determinism: agreements/counts are exact integers; m, u and the
+    two ratios per field are single IEEE divisions computed once in
+    the stats row; the score is a fixed-order product of row-selected
+    ratios — bit-portable, like the S-curve multiply chains.
+    """
+    cand = _fs_candidates(customers)
+    ratios = _fs_ratios(cand)
+    scored = cand.crossJoin(F.broadcast(ratios)).select(
+        "is_match", fs_score_expr().alias("score")
+    )
+    return scored.groupBy(
+        fs_decision_expr(upper, lower).alias("decision"), "is_match"
+    ).agg(F.count("*").cast("long").alias("n_pairs"))

@@ -2259,3 +2259,57 @@ def stream_readability_scores(docs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_fs_linkage(
+    right_stream: DataFrame,
+    customers: DataFrame,
+    ratios: dict,
+    upper: float = 100.0,
+    lower: float = 1.0,
+) -> DataFrame:
+    """Streaming twin of ``dedup.fellegi_sunter_linkage`` (twin 34):
+    live entity resolution — m/u ratios are estimated OFFLINE on the
+    truth-labeled batch (``fs_ratio_constants``, the model artifact),
+    then an ingest stream of second-source records resolves against
+    the STATIC customer table online: stream-static equi-join on the
+    blocking key, the shared agreement struct, and the shared
+    fixed-order likelihood product with the ratios injected as
+    literals — the SAME doubles in the same multiply order as the
+    batch plan reads from its broadcast one-row relation, so scores
+    (hence verdicts) are bit-identical and the twin's decision counts
+    equal the batch confusion matrix exactly over any micro-batching
+    (stateless: each pair scores alone).
+
+    Emits one row per candidate pair: (orig_key, c_custkey, is_match,
+    decision) — the review queue a linkage pipeline feeds.
+
+    Scale: the static side is the join build side; per-micro-batch
+    work is |batch| x |block| with no state carried.
+    """
+    from mapreduceimpl_spark.operators.dedup import (
+        _fs_agreements,
+        fs_decision_expr,
+        fs_score_expr,
+    )
+
+    left = customers.select(
+        "c_custkey", "c_nationkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    flagged = right_stream.join(left, "c_nationkey").select(
+        "orig_key",
+        "c_custkey",
+        (F.col("c_custkey") == F.col("orig_key")).alias("is_match"),
+        _fs_agreements(),
+    )
+    return flagged.select(
+        "orig_key",
+        "c_custkey",
+        "is_match",
+        fs_score_expr(ratios).alias("score"),
+    ).select(
+        "orig_key",
+        "c_custkey",
+        "is_match",
+        fs_decision_expr(upper, lower).alias("decision"),
+    )

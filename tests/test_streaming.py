@@ -1862,3 +1862,47 @@ def test_stream_readability_matches_batch(spark, tmp_path):
         lst.sort(key=lambda r: r["batch_seq"])
         words = [r["n_words"] for r in lst]
         assert all(a <= b for a, b in zip(words, words[1:]))
+
+
+def test_stream_fs_linkage_matches_batch(spark, tmp_path):
+    """Record-linkage serving twin (34): batch-estimated m/u ratios
+    score a two-batch stream of second-source records against the
+    static customer table; the twin's decision counts equal the batch
+    confusion matrix exactly (stateless pair scoring, same fixed-order
+    product), and every pair appears exactly once."""
+    from mapreduceimpl_spark.operators.dedup import (
+        fellegi_sunter_linkage,
+        fs_mutated_customers,
+        fs_ratio_constants,
+    )
+
+    cust = load_table(spark, SF, "customer")
+    batch = {
+        (r["decision"], r["is_match"]): r["n_pairs"]
+        for r in fellegi_sunter_linkage(cust).collect()
+    }
+    ratios = fs_ratio_constants(cust)
+
+    right = fs_mutated_customers(cust)
+    src = tmp_path / "fs_right"
+    src.mkdir()
+    right.filter(F.col("orig_key") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    right.filter(F.col("orig_key") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    stream = (
+        spark.readStream.schema(right.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    rows = _run_stream(streaming.stream_fs_linkage(stream, cust, ratios))
+    got: dict = {}
+    for r in rows:
+        got[(r["decision"], r["is_match"])] = (
+            got.get((r["decision"], r["is_match"]), 0) + 1
+        )
+    assert got == batch
+    # exactly one verdict per candidate pair
+    assert len(rows) == len({(r["orig_key"], r["c_custkey"]) for r in rows})

@@ -956,7 +956,21 @@ def _probe_winnow_density(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_fellegi_sunter(spark, sf_dir: str):
+    """fellegi_sunter_linkage: work is sum over blocks of |L_b| x
+    |R_b| (25 nation blocks) — a 10x customer step is 100x candidate
+    pairs within 10x block count, so wall tracks the quadratic
+    per-block bound the blocking key sets, stated."""
+    from mapreduceimpl_spark.operators.dedup import fellegi_sunter_linkage
+
+    cust = load_table(spark, sf_dir, "customer")
+    t0 = time.time()
+    n = fellegi_sunter_linkage(cust).count()
+    return time.time() - t0, n
+
+
 PROBES = {
+    "fellegi_sunter": _probe_fellegi_sunter,
     "winnow_density": _probe_winnow_density,
     "bbit_minhash": _probe_bbit_minhash,
     "label_propagation": _probe_label_propagation,
