@@ -2012,7 +2012,11 @@ def fellegi_sunter_linkage(
     the stats row; the score is a fixed-order product of row-selected
     ratios — bit-portable, like the S-curve multiply chains.
     """
-    cand = _fs_candidates(customers)
+    # the blocked candidate join is the dominant cost and feeds BOTH
+    # the m/u aggregate and the scored probe side — persist it so the
+    # quadratic-per-block stage runs once, not twice (review finding;
+    # the ratios aggregate materializes the cache, the probe reads it)
+    cand = _fs_candidates(customers).persist()
     ratios = _fs_ratios(cand)
     scored = cand.crossJoin(F.broadcast(ratios)).select(
         "is_match", fs_score_expr().alias("score")

@@ -3864,7 +3864,10 @@ def readability_scores(
         F.col(group_col).alias("grp"),
         n_words.cast("long").alias("w"),
         n_sentences.cast("long").alias("s"),
-        n_syllables.cast("long").alias("y"),
+        # per-doc coalesce mirrors the SQL replay: a NULL text
+        # contributes 0 syllables (not NULL), so a group of only null
+        # texts still sums to 0 instead of NULL on both engines
+        F.coalesce(n_syllables.cast("long"), F.lit(0)).alias("y"),
     )
     agg = per_doc.groupBy("grp").agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -3961,8 +3964,9 @@ def winnow_density_eval(
     literal on both sides.
 
     Scale: one doc-id-partitioned bounded-frame window pass (the
-    ``fingerprint_winnow`` shuffle) + two keyed aggregates; no joins
-    beyond the O(docs) per-doc frames.
+    ``fingerprint_winnow`` shuffle) feeding a single per-doc aggregate
+    that yields positions, windows AND distinct selections together —
+    no second corpus scan, no join anywhere in the plan.
     """
     pre = docs.select(
         "doc_id", "lang", tokens("text").alias("__toks")
@@ -3974,29 +3978,27 @@ def winnow_density_eval(
     )
     sh = pre.select("doc_id", "lang", F.posexplode(shingle_arr).alias("pos", "h"))
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(window - 1), 0)
-    sel = (
-        sh.select(
-            "doc_id",
-            "lang",
-            "pos",
-            F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(w).alias("m"),
-        )
-        .filter(F.col("pos") >= window - 1)
-        .select("doc_id", "lang", (-F.col("m.np")).alias("sel_pos"))
-    )
-    per_doc_sel = sel.groupBy("doc_id", "lang").agg(
-        F.count_distinct("sel_pos").alias("n_sel")
-    )
-    per_doc_pos = pre.select(
+    # ONE pass: position count, window count and the distinct selected
+    # positions all come out of the same per-doc aggregate over the
+    # windowed relation (a second branch off the token arrays would
+    # re-scan and re-hash the corpus — review finding); partial windows
+    # (pos < window-1) fold into the count_distinct as NULLs
+    win = sh.select(
         "doc_id",
         "lang",
-        n_sh.cast("long").alias("n_pos"),
-        (n_sh - (window - 1)).cast("long").alias("n_win"),
+        "pos",
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(w).alias("m"),
+    )
+    per_doc = win.groupBy("doc_id", "lang").agg(
+        F.count("*").cast("long").alias("n_pos"),
+        (F.count("*") - (window - 1)).cast("long").alias("n_win"),
+        F.count_distinct(
+            F.when(F.col("pos") >= window - 1, -F.col("m.np"))
+        ).alias("n_sel"),
     )
     analytic = round(2.0 / (window + 1), 6)
     return (
-        per_doc_pos.join(per_doc_sel, ["doc_id", "lang"])
-        .groupBy("lang")
+        per_doc.groupBy("lang")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("n_pos").cast("long").alias("n_positions"),
@@ -4037,25 +4039,21 @@ s AS (
   SELECT doc_id, lang, unnest(hs) AS h, unnest(range(0, len(hs))) AS pos
   FROM t
 ),
-sel AS (
-  SELECT doc_id, lang, -(m.np) AS sel_pos FROM (
-    SELECT doc_id, lang, pos,
-           MIN({{'h': h, 'np': -pos}}) OVER (
-             PARTITION BY doc_id ORDER BY pos
-             ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW
-           ) AS m
-    FROM s
-  ) WHERE pos >= {window - 1}
+win AS (
+  SELECT doc_id, lang, pos,
+         MIN({{'h': h, 'np': -pos}}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW
+         ) AS m
+  FROM s
 ),
-per_sel AS (
-  SELECT doc_id, lang, COUNT(DISTINCT sel_pos) AS n_sel
-  FROM sel GROUP BY doc_id, lang
-),
-per_pos AS (
+per_doc AS (
   SELECT doc_id, lang,
-         CAST(len(hs) AS BIGINT) AS n_pos,
-         CAST(len(hs) - {window - 1} AS BIGINT) AS n_win
-  FROM t
+         CAST(COUNT(*) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - {window - 1} AS BIGINT) AS n_win,
+         COUNT(DISTINCT CASE WHEN pos >= {window - 1}
+                             THEN -(m.np) END) AS n_sel
+  FROM win GROUP BY doc_id, lang
 )
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -4065,6 +4063,6 @@ SELECT lang,
        round(CAST(SUM(n_sel) AS DOUBLE) / CAST(SUM(n_pos) AS DOUBLE), 6)
          AS density,
        {analytic!r} AS analytic_density
-FROM per_pos JOIN per_sel USING (doc_id, lang)
+FROM per_doc
 GROUP BY lang
 """

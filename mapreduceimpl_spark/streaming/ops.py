@@ -2229,8 +2229,12 @@ def stream_readability_scores(docs: DataFrame) -> DataFrame:
         seq += 1
         for pdf in pdfs:
             for text in pdf["text"]:
-                if text is None:
-                    continue
+                # a null text is a counted doc in batch (the greatest
+                # clamps give w=1, s=1, y=0) — treat as empty string,
+                # which lands on exactly those clamped values; pandas
+                # may surface SQL NULL as None or NaN
+                if text is None or (isinstance(text, float) and text != text):
+                    text = ""
                 words = [w for w in text.lower().split(" ") if w != ""]
                 nd += 1
                 nw += max(1, len(words))

@@ -1241,8 +1241,9 @@ def test_bbit_minhash_estimator_semantics(spark, docs):
     w_1bit = sum(r["n_pairs"] * r["mae_1bit"] for r in rows)
     assert w_1bit >= w_full, (w_1bit, w_full)
 
-    two = docs.limit(1).selectExpr("0 AS doc_id", "text").union(
-        docs.limit(1).selectExpr("1 AS doc_id", "text")
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    two = docs.sparkSession.createDataFrame(
+        [(0, text), (1, text)], ["doc_id", "text"]
     )
     top = bbit_minhash_eval(two, min_jaccard=0.5).collect()
     assert len(top) == 1

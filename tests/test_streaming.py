@@ -1822,7 +1822,15 @@ def test_stream_readability_matches_batch(spark, tmp_path):
     order-free, and the Decimal(repr) HALF_UP tail matches F.round."""
     from mapreduceimpl_spark.operators.text_analysis import readability_scores
 
-    docs = load_table(spark, SF, "documents").select("doc_id", "lang", "text")
+    base = load_table(spark, SF, "documents").select("doc_id", "lang", "text")
+    # plant a null-text doc: batch counts it through the clamps
+    # (w=1, s=1, y=0) and the twin must agree (review finding: a
+    # skipped null diverged the doc count)
+    docs = base.union(
+        spark.createDataFrame(
+            [(990001, "en", None)], "doc_id long, lang string, text string"
+        )
+    )
     batch = {
         r["lang"]: (
             r["n_docs"], r["n_words"], r["n_sentences"], r["n_syllables"],

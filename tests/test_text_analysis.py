@@ -2027,6 +2027,10 @@ def test_readability_oracle_parity_on_hostile_text(spark, tmp_path):
         (3, "xyz qqq zzz", "fr"),
         (4, "rhythm myth gym", "de"),
         (5, "a. b! c? d", "de"),
+        # a NULL text is a counted doc on BOTH engines: the greatest
+        # clamps give w=1, s=1 and the coalesced/sum-skipped syllable
+        # term gives 0
+        (6, None, "zh"),
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
     docs.write.parquet(str(tmp_path / "documents.parquet"))
@@ -2118,11 +2122,12 @@ def test_winnow_density_rightmost_tie_rule(spark):
 
 
 def test_winnow_density_plan_shape(spark, docs):
-    """Staged plan pin: one doc-partitioned window pass + keyed
-    aggregates; the only join is the per-doc uniform-key join."""
+    """Staged plan pin: one doc-partitioned window pass feeding one
+    per-doc aggregate — NO join in the plan at all (positions, windows
+    and selections come out of the same pass)."""
     from mapreduceimpl_spark.operators.text_analysis import winnow_density_eval
     from mapreduceimpl_spark.plans import explain_str
 
     plan = explain_str(winnow_density_eval(docs), "simple")
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
