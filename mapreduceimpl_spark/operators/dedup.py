@@ -933,6 +933,114 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    max_rounds: int = 30,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii, "Connected
+    Components in MapReduce and Beyond", SoCC 2014, Alg. 5) — the
+    HIGH-diameter twin of :func:`connected_components`: min-label
+    propagation needs O(diameter) rounds (fine for tiny near-dup
+    clusters, fatal for chain-shaped graphs), the star alternation
+    converges in O(log n) rounds regardless of diameter, which is why
+    it is the web-scale choice when components can be long paths
+    (citation chains, session stitching, billion-node link graphs).
+
+      large-star(u): connect every neighbor v > u to
+                     m = min(N(u) + {u})   (over the symmetric view)
+      small-star(u): orient each edge (big, small); connect every
+                     smaller neighbor AND u itself to m = min(N_<(u))
+
+    Both steps are one groupBy + one uniform-key join over the edge
+    list; every intermediate edge set only ever points nodes at
+    SMALLER labels, so the fixpoint is the star forest rooted at each
+    component's minimum — the SAME (doc_id, component = min reachable)
+    contract as ``connected_components`` (equivalence pytest-pinned on
+    random graphs and a long path).  Convergence witness: the
+    order-free xxhash64 sum of the canonicalized edge multiset,
+    the same ~2^-64 argument as the min-label loop.
+
+    Scale: per round two shuffles keyed on node id; large-star
+    explicitly splits high-degree hubs (every big neighbor re-keys to
+    the hub's min, then leaves the hub's neighborhood), which is the
+    skew-taming property min-label lacks.  <= 2 edge sets cached at
+    any moment.
+    """
+    import warnings
+
+    e = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _canon_sum(edges: DataFrame):
+        return edges.agg(
+            F.sum(
+                F.xxhash64(
+                    F.least("u", "v"), F.greatest("u", "v")
+                ).cast("decimal(38,0)")
+            )
+        ).collect()[0][0]
+
+    prev_sum = None
+    converged = False
+    for _ in range(max_rounds):
+        # large-star over the symmetric view
+        und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m_l = (
+            und.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        e = (
+            und.filter(F.col("v") > F.col("u"))
+            .join(m_l, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the (big -> small) orientation
+        g = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m_s = g.groupBy("u").agg(F.min("v").alias("m"))
+        # localCheckpoint (not cache): each round nests two joins and
+        # three unions on top of the last, and 30 rounds of nested
+        # lineage blow the JVM heap at codegen time — re-rooting per
+        # round keeps the plan constant-depth (the BPE-trainer
+        # precedent)
+        e = (
+            g.join(m_s, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m_s.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        ).localCheckpoint()
+        cur_sum = _canon_sum(e)
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if not converged:
+        warnings.warn(
+            f"connected_components_star: no convergence witness after "
+            f"{max_rounds} rounds (O(log n) expected — raise max_rounds)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # fixpoint edges are (child, root) stars; roots label themselves
+    labels = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("v").alias("v"))
+    ).distinct()
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("component")
+    )
+
+
 def dedup_decision(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Full fuzzy-dedup verdict: every document labeled with its
     near-dup component and whether it is the canonical keeper (lowest

@@ -1344,3 +1344,83 @@ def test_fellegi_sunter_plan_shape(spark, tables):
     assert "CartesianProduct" not in plan
     # the one-row ratios relation must come in as a broadcast
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# large-star / small-star connected components (web-scale CC twin)
+# ---------------------------------------------------------------------------
+
+
+def test_cc_star_equals_min_label_on_random_graphs(spark):
+    """The star alternation and min-label propagation must produce
+    the IDENTICAL (doc_id, component=min reachable) map — five seeded
+    random graphs across densities."""
+    import random
+
+    from mapreduceimpl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed, n_nodes, n_edges in ((11, 20, 12), (12, 30, 35), (13, 9, 3),
+                                   (14, 50, 40), (15, 16, 40)):
+        rng = random.Random(seed)
+        edges = set()
+        while len(edges) < n_edges:
+            a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        df = spark.createDataFrame(sorted(edges), ["doc_a", "doc_b"])
+        want = {
+            (r["doc_id"], r["component"])
+            for r in connected_components(df).collect()
+        }
+        got = {
+            (r["doc_id"], r["component"])
+            for r in connected_components_star(df).collect()
+        }
+        assert got == want, (seed, sorted(got ^ want))
+
+
+def test_cc_star_logn_rounds_on_long_path(spark):
+    """THE reason the star variant exists: a 64-node path has
+    diameter 63 (min-label would need ~63 rounds and the default
+    max_iter=20 splits it, warning), but the star alternation
+    converges inside max_rounds=12 ~ 2*log2(64) with no warning and
+    one component rooted at 0."""
+    import warnings
+
+    from mapreduceimpl_spark.operators.dedup import connected_components_star
+
+    path = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(path, ["doc_a", "doc_b"])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any non-convergence warning fails
+        rows = connected_components_star(df, max_rounds=12).collect()
+    assert len(rows) == 64
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_cc_star_on_planted_corpus_pairs(spark, docs):
+    """On the production input shape (the banded MinHash verdict over
+    the planted corpus) the star components equal the min-label
+    components the whole dedup chain is verified on."""
+    from mapreduceimpl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        minhash_lsh_pairs,
+        with_mutated_copies,
+    )
+
+    pairs = minhash_lsh_pairs(with_mutated_copies(docs)).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    want = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    got = {
+        (r["doc_id"], r["component"])
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == want
