@@ -876,6 +876,9 @@ def connected_components(
     small-diameter dedup case.  Each round's label cache is dropped as
     soon as the next round materializes (<= 2 label sets cached at any
     moment), so a long run does not accumulate executor memory.
+    For HIGH-diameter graphs (chains, session stitching) use
+    :func:`connected_components_star` — the O(log n)-round Kiveris
+    alternation with the identical output contract.
     """
     import warnings
 
