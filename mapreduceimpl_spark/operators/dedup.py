@@ -2126,7 +2126,11 @@ def fellegi_sunter_linkage(
     # the blocked candidate join is the dominant cost and feeds BOTH
     # the m/u aggregate and the scored probe side — persist it so the
     # quadratic-per-block stage runs once, not twice (review finding;
-    # the ratios aggregate materializes the cache, the probe reads it)
+    # the ratios aggregate materializes the cache, the probe reads it).
+    # The cache lives until LRU eviction — O(pairs) booleans, the
+    # deliberate trade for halving the dominant join at scale (at
+    # fixture SFs an A/B measured equal warm walls: scans are cheap
+    # there, so the win only shows where it matters)
     cand = _fs_candidates(customers).persist()
     ratios = _fs_ratios(cand)
     scored = cand.crossJoin(F.broadcast(ratios)).select(
