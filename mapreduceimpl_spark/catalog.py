@@ -11,22 +11,26 @@ Ordering contract (round 2+): the driver records CORRECTNESS rows for
 the FIRST 50 entries in insertion order (five rounds of evidence —
 the round-7/8 "49-slot" plan was one short, which is exactly what
 kept reddening test_deferred_set_self_cleans).  SPECS is therefore
-rebuilt from ``_ROUND10_ORDER`` (defined after the dict literal) so
+rebuilt from ``_ROUND11_ORDER`` (defined after the dict literal) so
 the entries that most need a fresh green row come first.
-Round 10 packs: positions 1-8 the never-driver-attested entries (the
-4 round-9 intake deferrals, judge-verified at both SFs, plus the 4
-round-10 intake entries — in window, so this round leaves NO
-deferral chain), positions 9-32 the full r4 cohort (at the 6-round
-max-age this round), positions 33-50 the 18 stalest r5 refreshes;
-the tail is stalest-cohort-first so each future round's window
-promotion is a simple prefix shift.
+Round 11 packs (tools/plan_next_window.py over the live CORRECTNESS
+files — r10 went 50/50 green, so there is NO deferral carry-in):
+positions 1-4 the round-11 intake entries (kneser_ney_bigram,
+hll_distinct, good_turing_mass, unigram_expected_fertility — each
+pre-verified at sf0.001/0.01/0.1 via the driver-equivalent pytest
+compare BEFORE entering SPECS), positions 5-50 the 46 stalest
+refreshes (the r5-cohort remainder, then the r6 head: wordcount /
+set_ops / scalar_case_date / scalar_math_date reach max-age-1 and
+sit in-window); the tail stays stalest-cohort-first so each future
+round's window promotion is a simple prefix shift.
 Max-age policy: no oracle-backed entry's newest driver row may be
 older than 6 completed rounds.  Feasibility arithmetic at the
-round-10 catalog (264 oracle-backed: 271 minus the second 11-entry
-retirement pass, see RETIRED_SUPERSET, plus this round's 4-entry
-intake): steady-state re-attestation demand is 264/6 = 44
-slots/round against the 50-slot window — 6 slots/round of headroom;
-future rounds must budget new-entry intake against THAT margin.  tests/test_catalog_contract.py enforces the
+round-11 catalog (268 oracle-backed = 264 + this round's 4-entry
+intake): steady-state re-attestation demand is 268/6 = 44.7
+slots/round against the 50-slot window — ~5.3 slots/round of
+headroom; future rounds must budget new-entry intake against THAT
+margin (the six-deep r12 staged queue needs either ~2 more
+retirements or a two-round split intake).  tests/test_catalog_contract.py enforces the
 policy against the live CORRECTNESS files; ``DEFERRED_TO_NEXT_ROUND``
 is now DERIVED from those files (bottom of module) instead of
 hand-maintained, and tools/rotation_report.py shows the live state.  The bench set
@@ -470,6 +474,59 @@ def _q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+def _matryoshka_recall_oracle(
+    dims: tuple[int, ...] = (8, 16, 32), k: int = 5, n_queries: int = 10
+) -> str:
+    """Replay of ``similarity.matryoshka_recall_eval`` (STAGED for a
+    future intake window; driver-equivalent compare in
+    tests/test_similarity.py): the full-dim truth is the ann_topk
+    subquery verbatim; each prefix tier is list_slice + the family's
+    round-6-then-rank contract; grading joins the bounded
+    truth x dims grid."""
+    dims_sql = "[" + ", ".join(str(d) for d in sorted(dims)) + "]"
+    return f"""WITH mre AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+mr_dims AS (SELECT unnest({dims_sql}) AS dim),
+mr_q AS (SELECT vec_id AS query_id, v AS qv FROM mre WHERE vec_id < {n_queries}),
+mr_truth AS (
+  SELECT query_id, vec_id FROM ({_ANN_TOPK_SQL})
+),
+mr_cd AS (
+  SELECT dim, vec_id, list_slice(v, 1, dim) AS cv FROM mre CROSS JOIN mr_dims
+),
+mr_qd AS (
+  SELECT dim, query_id, list_slice(qv, 1, dim) AS qv
+  FROM mr_q CROSS JOIN mr_dims
+),
+mr_scored AS (
+  SELECT q.dim, q.query_id, c.vec_id,
+         round(list_cosine_similarity(q.qv, c.cv), 6) AS cosine
+  FROM mr_qd q JOIN mr_cd c ON q.dim = c.dim
+),
+mr_cand AS (
+  SELECT dim, query_id, vec_id, 1 AS hit FROM (
+    SELECT dim, query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY dim, query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM mr_scored
+  ) WHERE rank <= {k}
+),
+mr_td AS (
+  SELECT d.dim, t.query_id, t.vec_id FROM mr_truth t CROSS JOIN mr_dims d
+),
+mr_graded AS (
+  SELECT t.dim, t.query_id, COALESCE(c.hit, 0) AS hit
+  FROM mr_td t LEFT JOIN mr_cand c
+    ON t.dim = c.dim AND t.query_id = c.query_id AND t.vec_id = c.vec_id
+)
+SELECT CAST(dim AS BIGINT) AS dim, query_id,
+       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       floor(SUM(hit) / {float(k)!r} * 1e9 + 0.5) / 1e9 AS recall
+FROM mr_graded GROUP BY dim, query_id"""
 
 
 def _pq_recall_eval_oracle() -> str:
@@ -1159,6 +1216,23 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return graph.label_propagation(edges, iterations=4)
+
+
+def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the SAME customer->supplier purchase
+    graph as pagerank/HITS/label_propagation, restarting onto nation-1
+    customers — "which suppliers (and peer customers) sit close to
+    THIS market segment", the topic-sensitive question the global
+    entry can't ask.  STAGED for a future intake window;
+    driver-equivalent compare in tests/test_graph.py."""
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 1)
+        .select(F.col("c_custkey").alias("node"))
+    )
+    return graph.pagerank_personalized(
+        _hits_edges(spark, sf_dir), seeds, iterations=5
+    )
 
 
 def _hits_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2732,6 +2806,54 @@ def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
          CAST('{base}' AS DOUBLE)
          + CAST('{d}' AS DOUBLE) * COALESCE(c.incoming, CAST(0.0 AS DOUBLE)) AS rank
   FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(r.rank / d2.out_deg AS DECIMAL(28,12))) AS DOUBLE) AS incoming
+    FROM edges e JOIN r{i - 1} r ON e.src = r.node JOIN deg d2 ON e.src = d2.src
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+)"""
+        )
+    body = ",\n".join(layers)
+    return f"WITH {body}\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
+
+
+def _ppr_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    """Chained-CTE replay of ``graph.pagerank_personalized`` (STAGED
+    for a future intake window) over the pagerank purchase graph with
+    nation-1 customer seeds: the ``_pagerank_oracle`` layer shape with
+    the restart relation computed once and re-read every round, the
+    SAME float literals Spark uses (repr-interpolated)."""
+    base = f"{1.0 - damping!r}"
+    d = f"{damping!r}"
+    layers = [
+        """edges AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src)",
+        """seeds AS MATERIALIZED (
+  SELECT DISTINCT c_custkey AS node FROM customer
+  WHERE c_nationkey = 1
+    AND c_custkey IN (SELECT node FROM nodes)
+)""",
+        "ns AS (SELECT COUNT(*) AS ns FROM seeds)",
+        """restart AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL
+              THEN CAST(1.0 AS DOUBLE) / CAST(ns.ns AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS restart
+  FROM nodes n LEFT JOIN seeds s ON n.node = s.node CROSS JOIN ns
+)""",
+        "r0 AS (SELECT node, restart AS rank FROM restart)",
+    ]
+    for i in range(1, iterations + 1):
+        layers.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST('{base}' AS DOUBLE) * n.restart
+         + CAST('{d}' AS DOUBLE) * COALESCE(c.incoming, CAST(0.0 AS DOUBLE)) AS rank
+  FROM restart n LEFT JOIN (
     SELECT e.dst AS node,
            CAST(SUM(CAST(r.rank / d2.out_deg AS DECIMAL(28,12))) AS DOUBLE) AS incoming
     FROM edges e JOIN r{i - 1} r ON e.src = r.node JOIN deg d2 ON e.src = d2.src
@@ -9939,6 +10061,62 @@ FROM (
             "granularity (word-count packing overfills by the "
             "fertility factor)",
     ),
+    # --- round-11 intake (the four staged r10 candidates; each was
+    # pre-verified at sf0.001/0.01/0.1 via the driver-equivalent
+    # compare in pytest before entering SPECS, plan shapes pinned by
+    # tests/test_plans.py::test_staged_round11_ops_plan_shapes) ---
+    "kneser_ney_bigram": QuerySpec(
+        lambda spark, sf_dir: text_analysis.kneser_ney_bigram(
+            load_table(spark, sf_dir, "documents")
+        ),
+        text_analysis.kneser_ney_sql(),
+        doc="interpolated Kneser-Ney bigram scoring (Kneser & Ney "
+            "1995; Chen & Goodman 1998): D=0.75 absolute discount, "
+            "continuation counts from distinct-context relations, "
+            "per-doc mean log-prob in quality bands — five count "
+            "relations as equi-joins, per-context mass proven =1; "
+            "the serving twin stream_kneser_ney_score shares the "
+            "probability expression bit-exactly",
+    ),
+    "hll_distinct": QuerySpec(
+        lambda spark, sf_dir: sketches.hll_distinct(
+            load_table(spark, sf_dir, "documents")
+        ),
+        sketches.hll_distinct_sql(),
+        doc="deterministic HyperLogLog distinct-token count per "
+            "stratum (Flajolet et al. 2007): md5 60-bit lane, "
+            "register rank via integer binary-string length, "
+            "EXACT-BIGINT harmonic-mean denominator, linear counting "
+            "in the paper's small-range regime — the value-verified "
+            "sibling of the rows-only agg_approx; register-bounded "
+            "state (2^p rows) so sketch union is a plain groupBy MAX",
+    ),
+    "good_turing_mass": QuerySpec(
+        lambda spark, sf_dir: text_analysis.good_turing_mass(
+            load_table(spark, sf_dir, "documents")
+        ),
+        text_analysis.good_turing_sql(),
+        doc="Good-Turing unseen-probability mass per stratum (Good "
+            "1953): P(next token is a new type) = N1/N plus the "
+            "Turing-smoothed r*(1) = 2*N2/N1, NULL in the "
+            "singleton-free undefined regime — the crawl-coverage "
+            "dial next to heaps_law_growth; all-integer "
+            "count-of-counts over one wordcount shuffle",
+    ),
+    "unigram_expected_fertility": QuerySpec(
+        lambda spark, sf_dir: unigram_lm.unigram_expected_fertility(
+            load_table(spark, sf_dir, "documents")
+        ),
+        unigram_lm.unigram_expected_fertility_oracle_sql(),
+        doc="posterior-EXPECTED fertility per word under the trained "
+            "unigram LM: expected_pieces = C[L]/A[L] over the FULL "
+            "segmentation posterior (one forward recursion carrying "
+            "mass and expectation together) — completes the family's "
+            "three stances next to the argmax (unigram_lm_segment) "
+            "and the draw (unigram_lm_sample_segment); the gap vs "
+            "Viterbi n_pieces is the ambiguity signal subword "
+            "regularization exploits",
+    ),
 }
 
 
@@ -10025,101 +10203,98 @@ RETIRED_SPECS: dict[str, QuerySpec] = {
 }
 
 
-# Round-10 window rotation (driver records the FIRST 50 entries; see
-# module docstring).  Head 1-50: the 4 never-driver-attested round-9
-# intake entries (every one judge-verified at sf0.01 AND sf0.1 last
-# round), the 4 round-10 intake entries (pre-verified at 3 SFs via
-# the driver-equivalent pytest compares BEFORE entering SPECS — in
-# window now, so this round leaves NO deferral chain), the full
-# 24-entry r4 cohort (reaches the 6-round max-age this round), and 18
-# stalest r5 refreshes (with the aging bench headliners dedup_exact /
-# udtf_chunks promoted within their cohort per VERDICT r9 #6; the r6
-# headliners wordcount / set_ops / scalar_case_date / scalar_math_date
-# lead the r6 segment so round 11 catches them).  The tail stays
+# Round-11 window rotation (driver records the FIRST 50 entries; see
+# module docstring).  Head 1-50: the 4 round-11 intake entries
+# (never driver-attested; pre-verified at sf0.001/0.01/0.1 via the
+# driver-equivalent pytest compares BEFORE entering SPECS), then the
+# 46 stalest attested refreshes — round 10 went 50/50 green so the
+# deferral carry-in is EMPTY and the head is a pure prefix shift:
+# the r5-cohort remainder (triplet_mining .. priority_returns), then
+# the r6 headliners (wordcount / set_ops / scalar_case_date /
+# scalar_math_date) and the r6 cohort front.  The tail stays
 # stalest-cohort-first so future promotions are prefix shifts.
 # Generated by tools/plan_next_window.py from the live CORRECTNESS
-# files after the round-10 retirement (11 more strict-subset entries
-# into RETIRED_SUPERSET) shrank the oracle-backed catalog to 260; the
-# 4-entry intake brings it to 264 (steady-state re-attestation demand
-# 264/6 = 44 slots/round vs the 50-slot window — 6 slots/round of
-# headroom, up from 4.8).
-_ROUND10_ORDER = [
-    'lsh_scurve_eval', 'unigram_fertility', 'feature_hashing', 'fh_cosine_topk',
-    'unigram_lm_train_deep4', 'unigram_lm_sample_segment', 'chunk_retrieval_maxp', 'tokenized_pack',
-    'customer_rfm', 'event_top_paths', 'state_intervals', 'fuzzy_join',
-    'vocab_topk', 'quality_percentile', 'random_projection', 'next_event_pairs',
-    'token_pair_counts', 'knn_classify_lsh', 'pretrain_funnel', 'corr_analysis',
-    'price_histogram', 'skew_salted_join', 'skew_two_phase', 'pagerank',
-    'timeseries_gapfill', 'media_probe', 'text_token_entropy', 'monthly_growth',
-    'events_sessionize', 'asof_join', 'dedup_minhash_lsh', 'dedup_embedding',
-    'table_profile', 'snapshot_diff', 'triangle_count', 'clustering_coeff',
-    'events_ewma', 'bm25_search', 'dedup_minhash_verified', 'basket_rules',
-    'skyline_frontier', 'fuzzy_join_verified', 'rolling_active_users', 'sample_weighted_k',
-    'pit_join', 'changelog_apply', 'events_autocorr', 'span_corruption',
-    'dedup_exact', 'udtf_chunks', 'triplet_mining', 'temperature_mix',
-    'kfold_assign', 'vocab_coverage', 'preference_pairs', 'conversation_build',
-    'kmv_distinct', 'dedup_prefix_filter', 'length_buckets', 'dq_expectations',
-    'histogram_drift', 'incremental_agg', 'alignment_funnel', 'centroid_similarity',
-    'attribution_last_touch', 'ab_test_report', 'k_anonymity', 'mad_outliers',
-    'bootstrap_se', 'cuped_adjustment', 'consistent_sample_join', 'sft_render',
-    'multimodal_meta', 'events_sliding', 'events_session_native', 'dedup_exact_norm',
-    'priority_returns', 'wordcount', 'set_ops', 'scalar_case_date',
-    'scalar_math_date', 'bpe_vocab', 'ann_ivf_lloyd_topk', 'epoch_shuffle_sharded',
-    'l_diversity', 'attribution_linear', 'dedup_containment', 'dedup_keeper_longest',
-    'winsorize_mad', 'contamination_containment', 'asof_join_forward', 'sample_hash',
-    'ann_topk', 'text_quality', 'text_token_stats', 'text_clean',
-    'embedding_centroids', 'embedding_norms', 'text_fingerprint', 'text_repetition',
-    'text_pii_scrub', 'contamination_check', 'sample_stratified', 'domain_mix',
-    'embedding_quantize', 'tfidf_topterms', 'window_analytics', 'multimodal_funnel',
-    'pca_scores', 'dedup_semantic_centroid', 'hybrid_search_rrf', 'semdedup_funnel',
-    'lm_quality_buckets', 'in_batch_negatives', 'retrieval_metrics', 'token_budget_mix',
-    'dedup_incremental', 'retention_cohorts', 'quality_classifier', 'quality_classifier_weights',
-    'dsir_select', 'pq_codes', 'pq_adc_topk', 'skipgram_negatives',
-    'glove_cooccurrence', 'zipf_law_fit', 'heaps_law_growth', 'unigram_kl',
-    'vocab_overlap', 'contamination_bloom', 'ngram_novelty', 'kmv_set_ops',
-    'events_holt', 'classifier_eval', 'classifier_calibration', 'ams_f2',
-    'leakage_safe_split', 'dp_noisy_counts', 'ams_join_size', 'events_twap',
-    'grid_quantiles', 'markov_stationary', 'dedup_recall_eval', 'classifier_pr_curve',
-    'feature_mi', 'langid_eval', 'survival_km', 'ann_recall_eval',
-    'vocab_keyness', 'token_gini', 'hits_scores', 'rouge_pairs',
-    'bpe_fertility', 'lm_heldout_perplexity', 'cramers_v', 'mannwhitney_length',
-    'ols_tokens_vs_chars', 'seasonal_mase', 'theil_sen_daily', 'ks_length',
-    'aspect_buckets', 'shard_balance', 't_closeness', 'fim_render',
-    'kmeans_ari', 'kmeans_silhouette', 'events_funnel_windowed', 'benford_digits',
-    'psi_drift', 'attribution_time_decay', 'code_detect', 'conversion_latency',
-    'dow_uniformity', 'packing_efficiency', 'curriculum_phases', 'dup_cluster_sizes',
-    'deletion_cascade', 'sample_size_plan', 'event_burstiness', 'effective_domains',
-    'session_depth_hist', 'iqr_fences', 'qlm_search', 'bloom_fp_eval',
-    'countmin_error_eval', 'bpe_train_batched', 'domain_frequency_cap', 'mmr_rerank',
-    'wav_pcm_decode', 'ppm_decode_resize', 'y4m_frame_sample', 'pq_recall_eval',
-    'png_decode_stats', 'warc_ingest', 'gif_decode_stats', 'text_unigram_logprob',
-    'sample_fixed_n', 'scalar_map', 'dedup_simhash64_pairs', 'ann_lsh_topk',
-    'ann_lsh_multiprobe', 'range_join', 'hypertable_rollup', 'sample_weighted',
-    'user_features', 'lang_count', 'udf_wordcount', 'filter_project',
-    'pricing_summary', 'agg_multikey', 'agg_distinct', 'distinct_op',
-    'agg_rollup', 'crawl_funnel', 'mmr_rerank_ivf', 'unigram_lm_train',
-    'unigram_lm_segment', 'agg_cube', 'grouping_sets', 'join_inner',
-    'join_left', 'join_semi', 'join_anti', 'join_full',
-    'join_cross', 'join_broadcast', 'join_theta', 'shipping_priority',
-    'local_supplier_volume', 'volume_shipping', 'returned_items', 'window_rank',
-    'sort_limit', 'scalar_string', 'json_extract', 'null_handling',
-    'subquery_corr', 'array_agg', 'percentile', 'pivot',
-    'text_bpe_tokens', 'events_tumbling', 'forecast_revenue', 'shipmode_priority',
-    'customer_distribution', 'promo_revenue', 'parts_supplier_relation', 'discounted_revenue',
-    'waiting_suppliers', 'sales_opportunity', 'min_cost_supplier', 'revenue_share',
-    'top_supplier', 'small_qty_revenue', 'large_orders', 'heavy_shippers',
-    'market_share', 'product_profit', 'dedup_span_exact', 'heavy_hitters',
-    'collocations_pmi', 'events_anomaly', 'events_running_anomaly', 'revenue_pareto',
+# files; the 4-entry intake brings the oracle-backed catalog to 268
+# (steady-state re-attestation demand 268/6 = 44.7 slots/round vs
+# the 50-slot window — ~5.3 slots/round of headroom).
+_ROUND11_ORDER = [
+    'kneser_ney_bigram', 'hll_distinct', 'good_turing_mass', 'unigram_expected_fertility',
+    'triplet_mining', 'temperature_mix', 'kfold_assign', 'vocab_coverage',
+    'preference_pairs', 'conversation_build', 'kmv_distinct', 'dedup_prefix_filter',
+    'length_buckets', 'dq_expectations', 'histogram_drift', 'incremental_agg',
+    'alignment_funnel', 'centroid_similarity', 'attribution_last_touch', 'ab_test_report',
+    'k_anonymity', 'mad_outliers', 'bootstrap_se', 'cuped_adjustment',
+    'consistent_sample_join', 'sft_render', 'multimodal_meta', 'events_sliding',
+    'events_session_native', 'dedup_exact_norm', 'priority_returns', 'wordcount',
+    'set_ops', 'scalar_case_date', 'scalar_math_date', 'bpe_vocab',
+    'ann_ivf_lloyd_topk', 'epoch_shuffle_sharded', 'l_diversity', 'attribution_linear',
+    'dedup_containment', 'dedup_keeper_longest', 'winsorize_mad', 'contamination_containment',
+    'asof_join_forward', 'sample_hash', 'ann_topk', 'text_quality',
+    'text_token_stats', 'text_clean', 'embedding_centroids', 'embedding_norms',
+    'text_fingerprint', 'text_repetition', 'text_pii_scrub', 'contamination_check',
+    'sample_stratified', 'domain_mix', 'embedding_quantize', 'tfidf_topterms',
+    'window_analytics', 'multimodal_funnel', 'pca_scores', 'dedup_semantic_centroid',
+    'hybrid_search_rrf', 'semdedup_funnel', 'lm_quality_buckets', 'in_batch_negatives',
+    'retrieval_metrics', 'token_budget_mix', 'dedup_incremental', 'retention_cohorts',
+    'quality_classifier', 'quality_classifier_weights', 'dsir_select', 'pq_codes',
+    'pq_adc_topk', 'skipgram_negatives', 'glove_cooccurrence', 'zipf_law_fit',
+    'heaps_law_growth', 'unigram_kl', 'vocab_overlap', 'contamination_bloom',
+    'ngram_novelty', 'kmv_set_ops', 'events_holt', 'classifier_eval',
+    'classifier_calibration', 'ams_f2', 'leakage_safe_split', 'dp_noisy_counts',
+    'ams_join_size', 'events_twap', 'grid_quantiles', 'markov_stationary',
+    'dedup_recall_eval', 'classifier_pr_curve', 'feature_mi', 'langid_eval',
+    'survival_km', 'ann_recall_eval', 'vocab_keyness', 'token_gini',
+    'hits_scores', 'rouge_pairs', 'bpe_fertility', 'lm_heldout_perplexity',
+    'cramers_v', 'mannwhitney_length', 'ols_tokens_vs_chars', 'seasonal_mase',
+    'theil_sen_daily', 'ks_length', 'aspect_buckets', 'shard_balance',
+    't_closeness', 'fim_render', 'kmeans_ari', 'kmeans_silhouette',
+    'events_funnel_windowed', 'benford_digits', 'psi_drift', 'attribution_time_decay',
+    'code_detect', 'conversion_latency', 'dow_uniformity', 'packing_efficiency',
+    'curriculum_phases', 'dup_cluster_sizes', 'deletion_cascade', 'sample_size_plan',
+    'event_burstiness', 'effective_domains', 'session_depth_hist', 'iqr_fences',
+    'qlm_search', 'bloom_fp_eval', 'countmin_error_eval', 'bpe_train_batched',
+    'domain_frequency_cap', 'mmr_rerank', 'wav_pcm_decode', 'ppm_decode_resize',
+    'y4m_frame_sample', 'pq_recall_eval', 'png_decode_stats', 'warc_ingest',
+    'gif_decode_stats', 'text_unigram_logprob', 'sample_fixed_n', 'scalar_map',
+    'dedup_simhash64_pairs', 'ann_lsh_topk', 'ann_lsh_multiprobe', 'range_join',
+    'hypertable_rollup', 'sample_weighted', 'user_features', 'lang_count',
+    'udf_wordcount', 'filter_project', 'pricing_summary', 'agg_multikey',
+    'agg_distinct', 'distinct_op', 'agg_rollup', 'crawl_funnel',
+    'mmr_rerank_ivf', 'unigram_lm_train', 'unigram_lm_segment', 'agg_cube',
+    'grouping_sets', 'join_inner', 'join_left', 'join_semi',
+    'join_anti', 'join_full', 'join_cross', 'join_broadcast',
+    'join_theta', 'shipping_priority', 'local_supplier_volume', 'volume_shipping',
+    'returned_items', 'window_rank', 'sort_limit', 'scalar_string',
+    'json_extract', 'null_handling', 'subquery_corr', 'array_agg',
+    'percentile', 'pivot', 'text_bpe_tokens', 'events_tumbling',
+    'forecast_revenue', 'shipmode_priority', 'customer_distribution', 'promo_revenue',
+    'parts_supplier_relation', 'discounted_revenue', 'waiting_suppliers', 'sales_opportunity',
+    'min_cost_supplier', 'revenue_share', 'top_supplier', 'small_qty_revenue',
+    'large_orders', 'heavy_shippers', 'market_share', 'product_profit',
+    'dedup_span_exact', 'heavy_hitters', 'collocations_pmi', 'events_anomaly',
+    'events_running_anomaly', 'revenue_pareto', 'lsh_scurve_eval', 'unigram_fertility',
+    'feature_hashing', 'fh_cosine_topk', 'unigram_lm_train_deep4', 'unigram_lm_sample_segment',
+    'chunk_retrieval_maxp', 'tokenized_pack', 'customer_rfm', 'event_top_paths',
+    'state_intervals', 'fuzzy_join', 'vocab_topk', 'quality_percentile',
+    'random_projection', 'next_event_pairs', 'token_pair_counts', 'knn_classify_lsh',
+    'pretrain_funnel', 'corr_analysis', 'price_histogram', 'skew_salted_join',
+    'skew_two_phase', 'pagerank', 'timeseries_gapfill', 'media_probe',
+    'text_token_entropy', 'monthly_growth', 'events_sessionize', 'asof_join',
+    'dedup_minhash_lsh', 'dedup_embedding', 'table_profile', 'snapshot_diff',
+    'triangle_count', 'clustering_coeff', 'events_ewma', 'bm25_search',
+    'dedup_minhash_verified', 'basket_rules', 'skyline_frontier', 'fuzzy_join_verified',
+    'rolling_active_users', 'sample_weighted_k', 'pit_join', 'changelog_apply',
+    'events_autocorr', 'span_corruption', 'dedup_exact', 'udtf_chunks',
     'agg_approx', 'ann_ivf_topk', 'kmeans_assign', 'text_compression_ratio',
 ]
 
-if set(_ROUND10_ORDER) != set(SPECS) or len(_ROUND10_ORDER) != len(SPECS):
+if set(_ROUND11_ORDER) != set(SPECS) or len(_ROUND11_ORDER) != len(SPECS):
     raise AssertionError(
         "catalog rotation list out of sync with SPECS: "
-        f"missing={set(SPECS) - set(_ROUND10_ORDER)} "
-        f"unknown={set(_ROUND10_ORDER) - set(SPECS)}"
+        f"missing={set(SPECS) - set(_ROUND11_ORDER)} "
+        f"unknown={set(_ROUND11_ORDER) - set(SPECS)}"
     )
-SPECS = {name: SPECS[name] for name in _ROUND10_ORDER}
+SPECS = {name: SPECS[name] for name in _ROUND11_ORDER}
 
 def deferred_to_next_round() -> frozenset[str]:
     """Derived deferral set (see the VERIFICATION_WINDOW comment): the

@@ -974,6 +974,15 @@ def connected_components_star(
     """
     import warnings
 
+    # All mentioned nodes BEFORE the self-pair filter: a node appearing
+    # only as (x, x) has no proper edge but still owns a row in the
+    # output (component = itself), matching connected_components, whose
+    # symmetric view keeps self-pairs (review r10).
+    all_nodes = (
+        pairs.select(F.col(a_col).alias("u"))
+        .unionByName(pairs.select(F.col(b_col).alias("u")))
+        .distinct()
+    )
     e = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -1035,12 +1044,20 @@ def connected_components_star(
             RuntimeWarning,
             stacklevel=2,
         )
-    # fixpoint edges are (child, root) stars; roots label themselves
-    labels = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("v").alias("v"))
-    ).distinct()
-    return labels.select(
-        F.col("u").alias("doc_id"), F.col("v").alias("component")
+    # Fixpoint edges are (child, root) stars; roots and isolated nodes
+    # label themselves.  Emission goes through a per-node MIN so that
+    # even when max_rounds is exhausted without the convergence witness
+    # (e not yet a star forest, a node still holding several outgoing
+    # edges) every doc_id maps to exactly ONE component — degraded to a
+    # possibly-split label, the same failure mode as the min-label
+    # twin, never duplicate rows per node (review r10).
+    child_min = e.groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        all_nodes.join(child_min, "u", "left")
+        .select(
+            F.col("u").alias("doc_id"),
+            F.coalesce(F.least("mn", "u"), F.col("u")).alias("component"),
+        )
     )
 
 
@@ -2090,7 +2107,10 @@ def fs_decision_expr(upper: float, lower: float) -> F.Column:
 
 
 def fellegi_sunter_linkage(
-    customers: DataFrame, upper: float = 100.0, lower: float = 1.0
+    customers: DataFrame,
+    upper: float = 100.0,
+    lower: float = 1.0,
+    eager: bool = True,
 ) -> DataFrame:
     """Probabilistic record linkage (Fellegi & Sunter, "A Theory for
     Record Linkage", JASA 1969) between the customer table and its
@@ -2127,15 +2147,23 @@ def fellegi_sunter_linkage(
     # the m/u aggregate and the scored probe side — persist it so the
     # quadratic-per-block stage runs once, not twice (review finding;
     # the ratios aggregate materializes the cache, the probe reads it).
-    # The cache lives until LRU eviction — O(pairs) booleans, the
-    # deliberate trade for halving the dominant join at scale (at
-    # fixture SFs an A/B measured equal warm walls: scans are cheap
-    # there, so the win only shows where it matters)
+    # Default ``eager=True`` runs the terminal aggregate NOW (the
+    # result is <= 6 rows: 3 decisions x 2 truth labels, pinned to a
+    # localCheckpoint) and unpersists the O(pairs) candidate cache
+    # before returning, so repeated invocations in a long-lived
+    # session leave nothing behind (review r10; the
+    # connected_components precedent).  ``eager=False`` returns the
+    # lazy plan for inspection — the caller then owns the unpersist
+    # (the cache lives until LRU eviction).
     cand = _fs_candidates(customers).persist()
     ratios = _fs_ratios(cand)
     scored = cand.crossJoin(F.broadcast(ratios)).select(
         "is_match", fs_score_expr().alias("score")
     )
-    return scored.groupBy(
+    out = scored.groupBy(
         fs_decision_expr(upper, lower).alias("decision"), "is_match"
     ).agg(F.count("*").cast("long").alias("n_pairs"))
+    if eager:
+        out = out.localCheckpoint()
+        cand.unpersist()
+    return out

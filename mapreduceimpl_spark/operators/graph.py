@@ -77,6 +77,92 @@ def pagerank(
     return ranks.select("node", F.round("rank", round_digits).alias("rank"))
 
 
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping: float = DAMPING,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank (Haveliwala, WWW 2002;
+    the restart-vector generalization of Page et al.): the random
+    surfer teleports to a SEED node instead of anywhere, so rank
+    concentrates around the seed set — the recommendation /
+    similar-entity primitive (who is close to THESE customers?) where
+    global PageRank answers global importance.
+
+        r_{t+1}(n) = (1 - d) * restart(n) + d * sum_in r_t(src)/deg(src)
+        restart(n) = 1/|S| if n in S else 0,     r_0 = restart
+
+    ``seeds``: a (node) DataFrame; only seeds present in the graph
+    carry restart mass (the intersection is taken, stated — mass over
+    absent seeds would leak out of the measured node set).  Nodes
+    unreachable from the seed set finish at exactly 0.
+
+    Determinism: the ``pagerank`` recipe — decimal-routed contribution
+    sums, fixed iterations so the DuckDB oracle replays every round as
+    a chained CTE, rank rounded before output.  The restart weight is
+    one double division 1.0/|S| computed identically on both engines.
+
+    |S| is ONE bounded scalar collect (the convergence-witness /
+    ratio-relation precedent): inlining it as a literal keeps the
+    restart subplan — which every iteration re-references — free of a
+    1-row broadcast that would otherwise be re-expanded per round.
+
+    Scale: identical posture to ``pagerank`` — per iteration one
+    shuffle keyed on dst plus a keyed join on src; the restart
+    relation is O(nodes) and computed ONCE before the loop.
+    """
+    if iterations < 1:
+        raise ValueError(
+            f"pagerank_personalized: iterations must be >= 1, got {iterations}"
+        )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed_nodes = seeds.select(F.col("node")).distinct().join(nodes, "node")
+    n_seeds = seed_nodes.count()  # bounded: ONE scalar
+    restart = (
+        nodes.join(seed_nodes.withColumn("__is_seed", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.when(
+                F.col("__is_seed").isNotNull(),
+                F.lit(1.0) / F.lit(float(n_seeds)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("restart"),
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ranks = restart.select("node", F.col("restart").alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(
+                F.sum(F.col("contrib").cast("decimal(28,12)"))
+                .cast("double")
+                .alias("incoming")
+            )
+        )
+        ranks = restart.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping) * F.col("restart")
+                + F.lit(damping) * F.coalesce(F.col("incoming"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.round("rank", round_digits).alias("rank"))
+
+
 def _triangle_internals(edges: DataFrame, src: str, dst: str):
     """Exact triangle count of the undirected graph given by
     ``edges`` — the canonical graph-analytics benchmark after

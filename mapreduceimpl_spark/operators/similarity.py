@@ -1276,3 +1276,163 @@ def mmr_rerank(
             F.col("sel_score").alias("mmr_score"),
         )
     )
+
+
+def matryoshka_recall_eval(
+    embeddings: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32),
+    k: int = 5,
+    n_queries: int = 10,
+) -> DataFrame:
+    """Prefix-dimension retrieval recall — the storage/latency dial of
+    Matryoshka Representation Learning (Kusupati et al., NeurIPS
+    2022): an MRL-trained embedding packs coarse-to-fine information
+    into nested prefixes, so serving can run ANN on the first d
+    coordinates at d/D of the memory bandwidth and re-rank with the
+    full vector.  Whether a given corpus's embeddings actually tolerate
+    truncation is an EMPIRICAL question, and this entry answers it the
+    way ``ann_recall_eval`` does for IVF and ``pq_recall_eval`` for
+    PQ: recall@k of exact cosine top-k over ``embedding[:d]`` against
+    the full-dimension truth, per query and per d.
+
+    All three prefix tiers share ONE corpus pass: the corpus and the
+    bounded query set are exploded over the dims grid (3x rows, never
+    3 scans), scored per (dim, query) with the family's
+    round-6-then-rank contract, and the truth top-k (the ann_topk
+    plan) is graded against each tier via a bounded
+    truth x dims grid — n_queries*k*|dims| rows.
+
+    Scale: the corpus never shuffles (broadcast query side, window
+    ranked per (dim, query)); the dims explosion multiplies the scan
+    width by |dims| but keeps it one stage.
+
+    Output: (dim, query_id, n_hits, recall) — |dims| x n_queries rows.
+    """
+    dims = tuple(sorted(dims))
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    dims_lit = F.array(*[F.lit(d) for d in dims])
+    corpus_d = emb.select(
+        F.explode(dims_lit).alias("dim"),
+        "vec_id",
+        F.col("v").alias("cv"),
+    ).select("dim", "vec_id", F.slice("cv", F.lit(1), F.col("dim")).alias("cv"))
+    queries = emb.filter(F.col("vec_id") < n_queries)
+    q_d = queries.select(
+        F.explode(dims_lit).alias("dim"),
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+    ).select("dim", "query_id", F.slice("qv", F.lit(1), F.col("dim")).alias("qv"))
+    scored = (
+        F.broadcast(q_d)
+        .join(corpus_d, "dim")
+        .select(
+            "dim",
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("dim", "query_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    truth = brute_force_topk(
+        embeddings,
+        queries.select(F.col("vec_id").alias("query_id"), F.col("v").alias("embedding")),
+        k=k,
+        round_digits=6,
+    ).select("query_id", "vec_id")
+    dims_df = truth.sparkSession.range(0, 1).select(
+        F.explode(dims_lit).alias("dim")
+    )
+    truth_d = truth.crossJoin(F.broadcast(dims_df))
+    graded = truth_d.join(cand, ["dim", "query_id", "vec_id"], "left")
+    return (
+        graded.groupBy("dim", "query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits")
+        )
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            "query_id",
+            "n_hits",
+            (
+                F.floor(F.col("n_hits") / F.lit(float(k)) * 1e9 + F.lit(0.5))
+                / 1e9
+            ).alias("recall"),
+        )
+    )
+
+
+def matryoshka_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int = 16,
+    shortlist: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """The Matryoshka serving funnel (Kusupati et al., NeurIPS 2022,
+    §4 adaptive retrieval): SHORTLIST by prefix-dimension cosine (d of
+    D coordinates — the cheap memory-bandwidth tier
+    ``matryoshka_recall_eval`` measures), then RE-RANK the shortlist
+    by full-dimension cosine and emit top-k.  Retrieve-cheap /
+    rerank-exact is the production shape; this is its batch
+    definition, and ``streaming.stream_matryoshka_rerank`` serves the
+    identical contract on a query stream (bit-exact, pytest-pinned).
+
+    Both scores ride ONE corpus pass (the full and sliced vectors are
+    projected together), round-6-then-rank with the vec_id tiebreak at
+    BOTH stages — the family contract.
+
+    Output: (query_id, vec_id, cosine, rank) with rank 1..k by
+    full-dim cosine within the prefix shortlist.
+    """
+    if not (1 <= k <= shortlist):
+        raise ValueError(
+            f"need 1 <= k <= shortlist, got k={k}, shortlist={shortlist}"
+        )
+    corpus = embeddings.select(
+        "vec_id",
+        _as_double("embedding").alias("cv"),
+    ).select("vec_id", "cv", F.slice("cv", 1, dim).alias("cvp"))
+    q = queries.select(
+        F.col("query_id"),
+        _as_double("embedding").alias("qv"),
+    ).select("query_id", "qv", F.slice("qv", 1, dim).alias("qvp"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity(F.col("qvp"), F.col("cvp")), 6).alias(
+                "cosine_prefix"
+            ),
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_prefix"), F.asc("vec_id")
+    )
+    short = scored.withColumn("prank", F.row_number().over(w1)).filter(
+        F.col("prank") <= shortlist
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        short.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

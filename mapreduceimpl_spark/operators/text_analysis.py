@@ -1456,6 +1456,285 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
 FROM kn_scored GROUP BY doc_id"""
 
 
+KATZ_K = 5
+
+
+def _katz_discount_expr() -> F.Column:
+    """The Katz/Good-Turing discount ratio d_c as ONE fixed-order
+    column expression over (cnt_pc, n1..n6) — shared by the batch
+    scorer and its oracle mirror so the arithmetic cannot drift.
+
+    For 1 <= c <= k (k=5):
+
+        d_c = ( (c+1)*N_{c+1} / (c*N_c)  -  A ) / (1 - A),
+        A   = (k+1)*N_{k+1} / N_1
+
+    and d_c = 1 for c > k (Katz 1987 eq. 16: reliable counts are not
+    discounted).  Degenerate regimes fall back to d_c = 1 (no
+    discount), deterministically on BOTH engines: N_1 = 0 (A
+    undefined), N_c = 0 or N_{c+1} = 0 (GT estimate undefined/zero),
+    A >= 1 (the reserved-mass normalizer collapses), or a computed
+    d_c outside (0, 1] (non-monotone count-of-counts make the raw
+    ratio over- or ANTI-discount — the SRILM out-of-range rule;
+    Katz's own k<=5 guidance exists exactly because high-c N_c are
+    noisy)."""
+    k = KATZ_K
+    n1 = F.col("n1").cast("double")
+    a = (F.lit(float(k + 1)) * F.col(f"n{k + 1}").cast("double")) / n1
+    expr = F.lit(1.0)  # c > k: no discount
+    for c in range(k, 0, -1):
+        nc = F.col(f"n{c}").cast("double")
+        nc1 = F.col(f"n{c + 1}").cast("double")
+        raw = ((F.lit(float(c + 1)) * nc1) / (F.lit(float(c)) * nc) - a) / (
+            F.lit(1.0) - a
+        )
+        d_c = F.when(
+            (F.col("n1") == 0)
+            | (F.col(f"n{c}") == 0)
+            | (F.col(f"n{c + 1}") == 0)
+            | (a >= F.lit(1.0)),
+            F.lit(1.0),
+        ).otherwise(
+            F.when(
+                (raw <= F.lit(0.0)) | (raw > F.lit(1.0)), F.lit(1.0)
+            ).otherwise(raw)
+        )
+        expr = F.when(F.col("cnt_pc") == c, d_c).otherwise(expr)
+    return expr
+
+
+def katz_backoff_bigram(docs: DataFrame, round_lp: int = 9) -> DataFrame:
+    """Katz backoff bigram pseudo-perplexity per document (Katz,
+    "Estimation of probabilities from sparse data for the language
+    model component of a speech recognizer", IEEE TASSP 1987) —
+    completing the classic smoothing family next to Jelinek-Mercer
+    interpolation (``bigram_logprob``), interpolated Kneser-Ney
+    (``kneser_ney_bigram``) and the raw Good-Turing estimator
+    (``good_turing_mass``): seen bigrams are DISCOUNTED by the
+    Good-Turing ratio d_c (see :func:`_katz_discount_expr`), with the
+    reserved mass redistributed to unseen bigrams through the unigram
+    backoff.  Corpus-internal scoring means every scored pair is seen
+    (c >= 1), so only the discounted branch
+
+        p_katz(cur|prev) = d_c * c(prev,cur) / c(prev)
+
+    is ever exercised — the SAME seen-branch-only posture as the KN
+    entry, stated; the alpha/backoff branch is the serving-time case.
+
+    Determinism: all counts exact integers; the count-of-counts
+    N_1..N_6 are ONE global row (conditional aggregation over the
+    bigram-type relation, broadcast); d_c and the probability are a
+    fixed operation order mirrored token-for-token by
+    :func:`katz_backoff_sql`; per-pair logs rounded at ``round_lp``
+    then decimal-summed (the family recipe).
+
+    Scale: the ``kneser_ney_bigram`` posture exactly — narrow pair
+    transform, two wordcount-shaped aggregates (bigram counts,
+    context counts), a 6-column 1-row broadcast, one groupBy(doc).
+    """
+    pre = docs.select("doc_id", tokens("text").alias("__toks")).filter(
+        F.size("__toks") >= 2
+    )
+    pairs = pre.select("doc_id", adjacent_pairs().alias("pc")).select(
+        "doc_id", "pc.prev", "pc.cur"
+    )
+    bi = pairs.groupBy("prev", "cur").agg(F.count("*").alias("cnt_pc"))
+    cprev = pairs.groupBy("prev").agg(F.count("*").alias("cnt_prev"))
+    coc = bi.agg(
+        *[
+            F.count(F.when(F.col("cnt_pc") == c, True)).alias(f"n{c}")
+            for c in range(1, KATZ_K + 2)
+        ]
+    )
+    scored = (
+        pairs.join(bi, ["prev", "cur"])
+        .join(cprev, "prev")
+        .crossJoin(F.broadcast(coc))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    _katz_discount_expr()
+                    * (
+                        F.col("cnt_pc").cast("double")
+                        / F.col("cnt_prev").cast("double")
+                    )
+                ),
+                round_lp,
+            ).alias("lp"),
+        )
+    )
+    return _avg_neg_logprob_tail(scored, round_lp)
+
+
+def katz_backoff_sql(source: str = "documents") -> str:
+    """DuckDB mirror of :func:`katz_backoff_bigram`: the shared pair
+    construction, the one-row count-of-counts, and the d_c CASE chain
+    copying the Spark operation order sub-term for sub-term (all
+    constants are exact binary fractions or small-integer doubles, so
+    no repr injection is needed)."""
+    k = KATZ_K
+    a_sql = (
+        f"({float(k + 1)!r} * CAST(n{k + 1} AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    )
+    branches = []
+    for c in range(1, k + 1):
+        raw = (
+            f"(({float(c + 1)!r} * CAST(n{c + 1} AS DOUBLE))"
+            f" / ({float(c)!r} * CAST(n{c} AS DOUBLE)) - {a_sql})"
+            f" / (1.0 - {a_sql})"
+        )
+        branches.append(
+            f"WHEN cnt_pc = {c} THEN "
+            f"CASE WHEN n1 = 0 OR n{c} = 0 OR n{c + 1} = 0 "
+            f"OR {a_sql} >= 1.0 THEN 1.0 "
+            f"WHEN {raw} <= 0.0 OR {raw} > 1.0 THEN 1.0 ELSE {raw} END"
+        )
+    d_case = "CASE " + " ".join(branches) + " ELSE 1.0 END"
+    coc_cols = ", ".join(
+        f"COUNT(*) FILTER (WHERE cnt_pc = {c}) AS n{c}"
+        for c in range(1, k + 2)
+    )
+    return f"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM {source}
+),
+kb_pairs AS (
+  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+),
+kb_bi AS (
+  SELECT prev, cur, COUNT(*) AS cnt_pc FROM kb_pairs GROUP BY 1, 2
+),
+kb_cprev AS (
+  SELECT prev, COUNT(*) AS cnt_prev FROM kb_pairs GROUP BY prev
+),
+kb_coc AS (SELECT {coc_cols} FROM kb_bi),
+kb_scored AS (
+  SELECT p.doc_id,
+         round(ln(({d_case})
+                  * (CAST(cnt_pc AS DOUBLE) / CAST(cnt_prev AS DOUBLE))),
+               9) AS lp
+  FROM kb_pairs p
+  JOIN kb_bi bi ON p.prev = bi.prev AND p.cur = bi.cur
+  JOIN kb_cprev cp ON p.prev = cp.prev
+  CROSS JOIN kb_coc
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(-CAST(SUM(CAST(lp AS DECIMAL(28,9))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_neg_logprob
+FROM kb_scored GROUP BY doc_id"""
+
+
+def ngram_draft_acceptance(docs: DataFrame) -> DataFrame:
+    """Draft-acceptance rate of a bigram argmax predictor — the n-gram
+    table side of speculative decoding (Leviathan, Kalman & Matias,
+    "Fast Inference from Transformers via Speculative Decoding", ICML
+    2023): a cheap draft proposes the next token, the target model
+    verifies, and the wall-clock win is governed by the ACCEPTANCE
+    RATE alpha.  An n-gram table is the cheapest possible draft (and a
+    real deployed one — e.g. prompt-lookup / n-gram speculation), so
+    this entry measures, per language and per context-frequency band,
+    how often the corpus's own next token equals the bigram argmax
+
+        draft(prev) = argmax_w c(prev, w)   (tie -> smallest w)
+
+    trained per language on the same corpus.  The banding answers the
+    capacity-planning question: acceptance on 100+-count contexts is
+    where table-based drafting pays; the 1-9 band is the long tail
+    where it cannot.
+
+    Determinism: the argmax is min(struct(-count, word)) — exact
+    integers with a total-order tie rule, the winnowing recipe; the
+    single rate is one rounded division.
+
+    Scale: one wordcount-shaped shuffle for the (lang, prev, cur)
+    counts, a per-(lang, prev) struct-min (same relation, second
+    aggregate), one uniform-key join back onto the pair stream, one
+    bounded groupBy (langs x 3 bands).  No driver state.
+
+    Output: (lang, band, n_positions, n_accepted, acceptance_rate).
+    """
+    pre = docs.select("doc_id", "lang", tokens("text").alias("__toks")).filter(
+        F.size("__toks") >= 2
+    )
+    pairs = pre.select("lang", adjacent_pairs().alias("pc")).select(
+        "lang", "pc.prev", "pc.cur"
+    )
+    bi = pairs.groupBy("lang", "prev", "cur").agg(F.count("*").alias("cnt"))
+    draft = bi.groupBy("lang", "prev").agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("nc"), F.col("cur").alias("c"))
+        )["c"].alias("pred"),
+        F.sum("cnt").alias("cnt_prev"),
+    )
+    band = (
+        F.when(F.col("cnt_prev") < 10, F.lit("1-9"))
+        .when(F.col("cnt_prev") < 100, F.lit("10-99"))
+        .otherwise(F.lit("100+"))
+    )
+    return (
+        pairs.join(draft, ["lang", "prev"])
+        .select(
+            "lang",
+            band.alias("band"),
+            (F.col("cur") == F.col("pred")).cast("int").alias("acc"),
+        )
+        .groupBy("lang", "band")
+        .agg(
+            F.count("*").cast("long").alias("n_positions"),
+            F.sum("acc").cast("long").alias("n_accepted"),
+        )
+        .select(
+            "lang",
+            "band",
+            "n_positions",
+            "n_accepted",
+            F.round(
+                F.col("n_accepted").cast("double")
+                / F.col("n_positions").cast("double"),
+                6,
+            ).alias("acceptance_rate"),
+        )
+    )
+
+
+def ngram_draft_acceptance_sql(source: str = "documents") -> str:
+    """DuckDB mirror of :func:`ngram_draft_acceptance`: same pair
+    construction, struct-min argmax and banding."""
+    return f"""WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM {source}
+),
+da_pairs AS (
+  SELECT lang, toks[i] AS prev, toks[i + 1] AS cur
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+),
+da_bi AS (
+  SELECT lang, prev, cur, COUNT(*) AS cnt FROM da_pairs GROUP BY 1, 2, 3
+),
+da_draft AS (
+  SELECT lang, prev,
+         (MIN({{'nc': -cnt, 'c': cur}})).c AS pred,
+         SUM(cnt) AS cnt_prev
+  FROM da_bi GROUP BY lang, prev
+),
+da_scored AS (
+  SELECT p.lang,
+         CASE WHEN cnt_prev < 10 THEN '1-9'
+              WHEN cnt_prev < 100 THEN '10-99'
+              ELSE '100+' END AS band,
+         CASE WHEN p.cur = d.pred THEN 1 ELSE 0 END AS acc
+  FROM da_pairs p JOIN da_draft d ON p.lang = d.lang AND p.prev = d.prev
+)
+SELECT lang, band,
+       CAST(COUNT(*) AS BIGINT) AS n_positions,
+       CAST(SUM(acc) AS BIGINT) AS n_accepted,
+       round(CAST(SUM(acc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS acceptance_rate
+FROM da_scored GROUP BY lang, band"""
+
+
 def collocations_pmi(
     docs: DataFrame, min_count: int = 5, k: int = 50
 ) -> DataFrame:
@@ -3945,23 +4224,28 @@ def winnow_density_eval(
     positions selected by a window of ``window`` hashes is exactly
     2/(window+1) for random hashes — the storage budget the
     fingerprint index is provisioned on.  This entry measures the
-    ACTUAL selected-position density per language, so boilerplate-
-    heavy corpora (repeated shingles compress the selected set below
-    the random-hash expectation) are caught before the index is
-    sized, not after.
+    ACTUAL selected density per language, so corpora that violate the
+    random-hash assumption are caught before the index is sized, not
+    after.  Two densities, because repetition moves them in OPPOSITE
+    directions (review r10): repeated shingles COMPRESS the distinct
+    selected-HASH set (fewer stored fingerprints — the index
+    cardinality), while the rightmost tie rule on equal-hash runs
+    re-selects every window's last POSITION, pushing position density
+    ABOVE the 2/(w+1) bound (a constant-token doc selects 5 positions
+    but stores 1 hash).  n_selected (positions) sizes the per-doc
+    match table; n_selected_hashes sizes the fingerprint index —
+    ``fingerprint_winnow`` stores distinct hashes per doc.
 
     Selection replays robust winnowing's tie rule: each window keeps
     its minimal hash, RIGHTMOST position on equal hashes — as
     min(struct(hash, -pos)) on both engines (struct ordering is
-    lexicographic in Spark and DuckDB alike).  Density counts
-    DISTINCT selected positions (overlapping windows re-selecting one
-    position is the whole point of the 2/(w+1) bound).
+    lexicographic in Spark and DuckDB alike).
 
     Restricted to docs with at least one full window (>= k+window-1
     tokens), stated.  Output per lang: (lang, n_docs, n_positions,
-    n_windows, n_selected, density, analytic_density), ratios rounded
-    at 1e-6; analytic 2/(window+1) injected as the same Python-rounded
-    literal on both sides.
+    n_windows, n_selected, n_selected_hashes, density, hash_density,
+    analytic_density), ratios rounded at 1e-6; analytic 2/(window+1)
+    injected as the same Python-rounded literal on both sides.
 
     Scale: one doc-id-partitioned bounded-frame window pass (the
     ``fingerprint_winnow`` shuffle) feeding a single per-doc aggregate
@@ -3995,6 +4279,9 @@ def winnow_density_eval(
         F.count_distinct(
             F.when(F.col("pos") >= window - 1, -F.col("m.np"))
         ).alias("n_sel"),
+        F.count_distinct(
+            F.when(F.col("pos") >= window - 1, F.col("m.h"))
+        ).alias("n_sel_h"),
     )
     analytic = round(2.0 / (window + 1), 6)
     return (
@@ -4004,6 +4291,7 @@ def winnow_density_eval(
             F.sum("n_pos").cast("long").alias("n_positions"),
             F.sum("n_win").cast("long").alias("n_windows"),
             F.sum("n_sel").cast("long").alias("n_selected"),
+            F.sum("n_sel_h").cast("long").alias("n_selected_hashes"),
         )
         .select(
             "lang",
@@ -4011,11 +4299,17 @@ def winnow_density_eval(
             "n_positions",
             "n_windows",
             "n_selected",
+            "n_selected_hashes",
             F.round(
                 F.col("n_selected").cast("double")
                 / F.col("n_positions").cast("double"),
                 6,
             ).alias("density"),
+            F.round(
+                F.col("n_selected_hashes").cast("double")
+                / F.col("n_positions").cast("double"),
+                6,
+            ).alias("hash_density"),
             F.lit(analytic).alias("analytic_density"),
         )
     )
@@ -4052,7 +4346,9 @@ per_doc AS (
          CAST(COUNT(*) AS BIGINT) AS n_pos,
          CAST(COUNT(*) - {window - 1} AS BIGINT) AS n_win,
          COUNT(DISTINCT CASE WHEN pos >= {window - 1}
-                             THEN -(m.np) END) AS n_sel
+                             THEN -(m.np) END) AS n_sel,
+         COUNT(DISTINCT CASE WHEN pos >= {window - 1}
+                             THEN m.h END) AS n_sel_h
   FROM win GROUP BY doc_id, lang
 )
 SELECT lang,
@@ -4060,8 +4356,11 @@ SELECT lang,
        CAST(SUM(n_pos) AS BIGINT) AS n_positions,
        CAST(SUM(n_win) AS BIGINT) AS n_windows,
        CAST(SUM(n_sel) AS BIGINT) AS n_selected,
+       CAST(SUM(n_sel_h) AS BIGINT) AS n_selected_hashes,
        round(CAST(SUM(n_sel) AS DOUBLE) / CAST(SUM(n_pos) AS DOUBLE), 6)
          AS density,
+       round(CAST(SUM(n_sel_h) AS DOUBLE) / CAST(SUM(n_pos) AS DOUBLE), 6)
+         AS hash_density,
        {analytic!r} AS analytic_density
 FROM per_doc
 GROUP BY lang

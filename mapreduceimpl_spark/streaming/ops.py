@@ -2317,3 +2317,90 @@ def stream_fs_linkage(
         "is_match",
         fs_decision_expr(upper, lower).alias("decision"),
     )
+
+
+def stream_matryoshka_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int = 16,
+    shortlist: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """Streaming twin of ``similarity.matryoshka_rerank_topk``
+    (twin 35): the Matryoshka retrieve-cheap / rerank-exact funnel on
+    a LIVE query stream — shortlist by prefix-dimension cosine, rerank
+    the shortlist by full-dimension cosine, emit top-k; stream ==
+    batch bit-for-bit (pytest-pinned across a micro-batch split).
+
+    Composition: the static corpus projects its full and sliced
+    vectors ONCE and joins the query stream on a constant key (the
+    stream side cannot be broadcast; the static side is the build
+    side), both cosines ride the same codegen round-6 contract as the
+    batch plan, and the two-stage (prefix head(shortlist) -> full
+    head(k)) ranking runs per query in one Arrow pass — rank windows
+    don't exist on streams, and each query is complete within its
+    micro-batch (the ``_stream_topk_by_cosine`` argument).  NaN
+    cosines sort through the NaN->+inf key so Spark's
+    NaN-ranks-largest desc order is preserved (the ADVICE r9 rule).
+
+    Scale: per micro-batch |batch| x |corpus| scored rows — the
+    brute-force tier; at corpus scale the shortlist stage runs on the
+    IVF index (``stream_ann_search``) with this pass reranking its
+    candidates, same contract.
+    """
+    from mapreduceimpl_spark.functions import cosine_similarity
+
+    if not (1 <= k <= shortlist):
+        raise ValueError(
+            f"need 1 <= k <= shortlist, got k={k}, shortlist={shortlist}"
+        )
+    cstat = corpus.select(
+        F.lit(0).alias("__jk"),
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("cv"),
+    ).select("__jk", "vec_id", "cv", F.slice("cv", 1, dim).alias("cvp"))
+    qs = queries.select(
+        F.lit(0).alias("__jk"),
+        "query_id",
+        F.col("embedding").cast("array<double>").alias("qv"),
+    ).select("__jk", "query_id", "qv", F.slice("qv", 1, dim).alias("qvp"))
+    scored = qs.join(cstat, "__jk").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity(F.col("qvp"), F.col("cvp")), 6).alias(
+            "cosine_prefix"
+        ),
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+
+    def rerank(batches):
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        out = []
+        for _qid, grp in pdf.groupby("query_id", sort=False):
+            pkey = grp["cosine_prefix"].fillna(float("inf"))
+            grp = (
+                grp.assign(_pk=pkey)
+                .sort_values(["_pk", "vec_id"], ascending=[False, True],
+                             kind="mergesort")
+                .head(shortlist)
+            )
+            fkey = grp["cosine"].fillna(float("inf"))
+            grp = (
+                grp.assign(_fk=fkey)
+                .sort_values(["_fk", "vec_id"], ascending=[False, True],
+                             kind="mergesort")
+                .head(k)
+                .drop(columns=["_pk", "_fk"])
+            )
+            grp = grp.assign(rank=range(1, len(grp) + 1))
+            out.append(grp)
+        yield pd.concat(out, ignore_index=True)[
+            ["query_id", "vec_id", "cosine", "rank"]
+        ]
+
+    return scored.repartition("query_id").mapInPandas(
+        rerank, "query_id long, vec_id long, cosine double, rank long"
+    )

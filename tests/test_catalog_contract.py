@@ -356,6 +356,8 @@ def test_catalog_plan_lint_no_cartesian_bounded_bnlj(spark):
                                # pass (the rank-ordered replace fold)
         "mmr_rerank",          # composes ann_topk's broadcast query batch
                                # (candidate top-pool), then bounded frames
+        "kneser_ney_bigram",   # 1-row N1+(*,*) pair-type total broadcast
+                               # onto the scored pair stream
     }
     sf = "/root/testdata/sf0.001"
     cart, bad_bnlj = [], []

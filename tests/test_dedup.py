@@ -1340,10 +1340,16 @@ def test_fellegi_sunter_plan_shape(spark, tables):
     from mapreduceimpl_spark.operators.dedup import fellegi_sunter_linkage
     from mapreduceimpl_spark.plans import explain_str
 
-    plan = explain_str(fellegi_sunter_linkage(tables["customer"]), "simple")
+    # eager=False: the default eagerly pins the <=6-row result to a
+    # localCheckpoint (and unpersists the candidate cache), which
+    # hides the logical plan from explain
+    plan = explain_str(
+        fellegi_sunter_linkage(tables["customer"], eager=False), "simple"
+    )
     assert "CartesianProduct" not in plan
     # the one-row ratios relation must come in as a broadcast
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    spark.catalog.clearCache()  # eager=False leaves the cache to the caller
 
 
 # ---------------------------------------------------------------------------
@@ -1380,6 +1386,49 @@ def test_cc_star_equals_min_label_on_random_graphs(spark):
             for r in connected_components_star(df).collect()
         }
         assert got == want, (seed, sorted(got ^ want))
+
+
+def test_cc_star_keeps_self_pair_only_nodes(spark):
+    """Review r10: a node appearing ONLY as (x, x) has no proper edge
+    but still owns an output row (component = itself) — the min-label
+    twin's symmetric view keeps self-pairs, and the star variant must
+    honor the identical-output contract."""
+    from mapreduceimpl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 3), (9, 9)], ["doc_a", "doc_b"]
+    )
+    want = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    got = {
+        (r["doc_id"], r["component"])
+        for r in connected_components_star(df).collect()
+    }
+    assert got == want
+    assert (7, 7) in got and (9, 9) in got
+
+
+def test_cc_star_one_row_per_node_on_nonconvergence(spark):
+    """Review r10: when max_rounds is exhausted before the convergence
+    witness, e need not be a star forest — the emission must still map
+    every doc_id to exactly ONE component (a possibly-split label, the
+    min-label twin's own degraded mode), never duplicate rows."""
+    import warnings
+
+    from mapreduceimpl_spark.operators.dedup import connected_components_star
+
+    path = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(path, ["doc_a", "doc_b"])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # the non-convergence warning
+        rows = connected_components_star(df, max_rounds=1).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 64
 
 
 def test_cc_star_logn_rounds_on_long_path(spark):

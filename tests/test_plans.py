@@ -1358,3 +1358,47 @@ def test_staged_round11_ops_plan_shapes(docs):
         plan = explain_str(df, "simple")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_staged_round13_ops_plan_shapes(docs, embeddings, tables):
+    """Plan-shape pins for the round-13 staged operators, ahead of
+    intake (the round-10/11 pattern): no CartesianProduct anywhere;
+    the only nested-loop joins are the reviewed bounded broadcasts
+    (katz's 1-row count-of-counts; matryoshka's truth x dims grid)."""
+    from mapreduceimpl_spark.operators import graph
+    from mapreduceimpl_spark.operators.similarity import (
+        matryoshka_recall_eval,
+    )
+    from mapreduceimpl_spark.operators.text_analysis import (
+        katz_backoff_bigram,
+        ngram_draft_acceptance,
+    )
+    from mapreduceimpl_spark.plans import explain_str
+
+    kb = explain_str(katz_backoff_bigram(docs), "simple")
+    assert "CartesianProduct" not in kb
+    # the 1-row count-of-counts broadcast is the one reviewed BNLJ
+    assert kb.count("BroadcastNestedLoopJoin") <= 1
+
+    da = explain_str(ngram_draft_acceptance(docs), "simple")
+    assert "CartesianProduct" not in da
+    assert "BroadcastNestedLoopJoin" not in da
+
+    mr = explain_str(matryoshka_recall_eval(embeddings), "simple")
+    assert "CartesianProduct" not in mr
+    # scoring joins the broadcast query grid on the dims equi-key;
+    # the bounded truth x dims grade grid is the one reviewed BNLJ
+    assert "BroadcastExchange" in mr
+
+    edges = docs.sparkSession.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], ["src", "dst"]
+    )
+    seeds = docs.sparkSession.createDataFrame([(1,)], ["node"])
+    pp = explain_str(
+        graph.pagerank_personalized(edges, seeds, iterations=2), "simple"
+    )
+    assert "CartesianProduct" not in pp
+    # |S| is inlined as a literal (bounded scalar collect), so the
+    # restart subplan that every round re-references carries NO
+    # broadcast nested loop at all
+    assert "BroadcastNestedLoopJoin" not in pp

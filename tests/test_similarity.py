@@ -761,3 +761,70 @@ def test_mmr_rerank_plan_growth_is_linear_in_k(embeddings):
     len3 = len(explain_str(mmr_rerank(embeddings, q, k=3, pool=8), "simple"))
     len6 = len(explain_str(mmr_rerank(embeddings, q, k=6, pool=8), "simple"))
     assert len6 < 3 * len3, (len3, len6)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension recall (staged round 13)
+# ---------------------------------------------------------------------------
+
+
+def test_matryoshka_recall_matches_duckdb_oracle(spark):
+    """Staged entry, driver-equivalent compare on the fixture
+    embeddings table."""
+    import duckdb
+
+    from mapreduceimpl_spark import catalog
+    from mapreduceimpl_spark.operators.similarity import (
+        matryoshka_recall_eval,
+    )
+    from mapreduceimpl_spark.sources import load_table
+    from tools.check_oracle import compare
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    sdf = matryoshka_recall_eval(emb).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    odf = con.execute(catalog._matryoshka_recall_oracle()).fetchdf()
+    con.close()
+    problems = compare("matryoshka_recall_eval", sdf, odf)
+    assert not problems, problems
+    assert len(sdf) == 3 * 10  # |dims| x n_queries
+
+
+def test_matryoshka_recall_full_dim_is_exact(spark):
+    """At d = full dimension the prefix IS the vector, so recall@k
+    must be exactly 1.0 for every query; and every recall lies in
+    [0, 1] with n_hits <= k."""
+    from mapreduceimpl_spark.operators.similarity import (
+        matryoshka_recall_eval,
+    )
+    from mapreduceimpl_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = matryoshka_recall_eval(emb, dims=(8, 64)).collect()
+    assert len(rows) == 2 * 10
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 5
+        assert 0.0 <= r["recall"] <= 1.0
+        if r["dim"] == 64:
+            assert (r["n_hits"], r["recall"]) == (5, 1.0), r
+
+
+def test_matryoshka_recall_plan_shape(spark):
+    """Staged plan pin: the corpus never shuffles for scoring (the
+    bounded query-dim grid is broadcast) and there is no cartesian
+    product; the only nested-loop join is the bounded truth x dims
+    grid."""
+    from mapreduceimpl_spark.operators.similarity import (
+        matryoshka_recall_eval,
+    )
+    from mapreduceimpl_spark.plans import explain_str
+    from mapreduceimpl_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    plan = explain_str(matryoshka_recall_eval(emb), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan

@@ -1914,3 +1914,80 @@ def test_stream_fs_linkage_matches_batch(spark, tmp_path):
     assert got == batch
     # exactly one verdict per candidate pair
     assert len(rows) == len({(r["orig_key"], r["c_custkey"]) for r in rows})
+
+
+def test_stream_matryoshka_rerank_matches_batch(spark, tmp_path):
+    """Matryoshka serving twin (35): the prefix-shortlist /
+    full-rerank funnel on a two-micro-batch query stream equals the
+    batch matryoshka_rerank_topk rows exactly."""
+    from mapreduceimpl_spark.operators.similarity import (
+        matryoshka_rerank_topk,
+    )
+    from mapreduceimpl_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in matryoshka_rerank_topk(
+            emb, queries, dim=16, shortlist=20, k=5
+        ).collect()
+    }
+    assert len(batch) == 50
+
+    src = tmp_path / "mrr_queries"
+    src.mkdir()
+    queries.filter(F.col("query_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    queries.filter(F.col("query_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in _run_stream(
+            streaming.stream_matryoshka_rerank(
+                stream, emb, dim=16, shortlist=20, k=5
+            )
+        )
+    }
+    assert got == batch
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        streaming.stream_matryoshka_rerank(stream, emb, k=30, shortlist=20)
+
+
+def test_stream_matryoshka_rerank_reorders_vs_prefix_only(spark):
+    """The funnel exists because prefix order and full order DISAGREE:
+    on a corpus engineered so the prefix tier misranks, the rerank
+    stage restores the full-dim order within the shortlist."""
+    from mapreduceimpl_spark.operators.similarity import (
+        matryoshka_rerank_topk,
+    )
+
+    # prefix (first 2 dims) says vec 2 beats vec 1; full vector says 1
+    rows = [
+        (1, [0.5, 0.5, 1.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 1.0]),
+        (3, [-1.0, 0.0, 0.0, -1.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0, 1.0])], ["query_id", "embedding"]
+    )
+    got = [
+        (r["vec_id"], r["rank"])
+        for r in matryoshka_rerank_topk(emb, q, dim=2, shortlist=3, k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(1, 1), (2, 2)]

@@ -2119,6 +2119,11 @@ def test_winnow_density_rightmost_tie_rule(spark):
     # 12 tokens, k=5 -> 8 positions, window=4 -> 5 windows; all hashes
     # equal -> rightmost = window end, 5 distinct selections
     assert (row["n_positions"], row["n_windows"], row["n_selected"]) == (8, 5, 5)
+    # ... but the fingerprint INDEX stores one hash (review r10: the
+    # two densities move in opposite directions under repetition —
+    # position density 0.625 > 2/(w+1)=0.4, hash density 0.125 < 0.4)
+    assert row["n_selected_hashes"] == 1
+    assert row["density"] > row["analytic_density"] > row["hash_density"]
 
 
 def test_winnow_density_plan_shape(spark, docs):
@@ -2131,3 +2136,246 @@ def test_winnow_density_plan_shape(spark, docs):
     plan = explain_str(winnow_density_eval(docs), "simple")
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Katz backoff bigram (staged round 13)
+# ---------------------------------------------------------------------------
+
+
+def test_katz_backoff_matches_duckdb_oracle(spark, docs):
+    """Staged entry, driver-equivalent compare on the fixture corpus."""
+    import duckdb
+
+    from mapreduceimpl_spark.operators.text_analysis import (
+        katz_backoff_bigram,
+        katz_backoff_sql,
+    )
+    from tools.check_oracle import compare
+
+    sdf = katz_backoff_bigram(docs).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    odf = con.execute(katz_backoff_sql()).fetchdf()
+    con.close()
+    problems = compare("katz_backoff_bigram", sdf, odf)
+    assert not problems, problems
+    assert len(sdf) > 0
+
+
+def test_katz_backoff_oracle_parity_on_hostile_text(spark, tmp_path):
+    """Control chars, unicode, repeated runs and a single-token doc
+    (absent from output) replay exactly — the KN hostile fixture."""
+    import duckdb
+
+    from mapreduceimpl_spark.operators.text_analysis import (
+        katz_backoff_bigram,
+        katz_backoff_sql,
+    )
+    from tools.check_oracle import compare
+
+    rows = [
+        (0, "a b a b a c"),
+        (1, "a\x01b a\x01b héllo a\x01b"),
+        (2, "single"),
+        (3, "b b b b"),
+        (4, "héllo a b c a b"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sdf = katz_backoff_bigram(docs).toPandas()
+    assert 2 not in set(sdf["doc_id"])  # < 2 tokens: unscoreable
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    odf = con.execute(katz_backoff_sql()).fetchdf()
+    con.close()
+    problems = compare("katz_backoff_hostile", sdf, odf)
+    assert not problems, problems
+
+
+def test_katz_backoff_against_pure_python_reference(spark):
+    """A seeded random corpus scored by an independent pure-Python
+    Katz implementation (textbook formulas, no Spark/SQL in sight)
+    must reproduce every per-doc mean to 1e-6 — the same
+    randomized-reference harness as label_propagation/readability."""
+    import math
+    import random
+    from collections import Counter
+
+    from mapreduceimpl_spark.operators.text_analysis import (
+        KATZ_K,
+        katz_backoff_bigram,
+    )
+
+    rng = random.Random(1113)
+    vocab = [f"w{i}" for i in range(12)]
+    corpus = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 40))))
+        for i in range(25)
+    ]
+
+    pairs_by_doc = {
+        i: [
+            (toks[j], toks[j + 1])
+            for j in range(len(toks) - 1)
+        ]
+        for i, text in corpus
+        for toks in [text.split(" ")]
+        if len(toks) >= 2
+    }
+    all_pairs = [p for ps in pairs_by_doc.values() for p in ps]
+    bi = Counter(all_pairs)
+    cprev = Counter(p for p, _ in all_pairs)
+    coc = Counter(bi.values())
+    k = KATZ_K
+    n = {c: coc.get(c, 0) for c in range(1, k + 2)}
+
+    def d_of(c: int) -> float:
+        if c > k:
+            return 1.0
+        if n[1] == 0 or n[c] == 0 or n[c + 1] == 0:
+            return 1.0
+        a = (k + 1.0) * n[k + 1] / n[1]
+        if a >= 1.0:
+            return 1.0
+        raw = ((c + 1.0) * n[c + 1] / (float(c) * n[c]) - a) / (1.0 - a)
+        return 1.0 if (raw <= 0.0 or raw > 1.0) else raw
+
+    want = {}
+    for i, ps in pairs_by_doc.items():
+        lps = [
+            round(math.log(d_of(bi[p]) * (bi[p] / cprev[p[0]])), 9)
+            for p in ps
+        ]
+        want[i] = (len(ps), round(-sum(lps) / len(lps), 6))
+
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["avg_neg_logprob"])
+        for r in katz_backoff_bigram(
+            spark.createDataFrame(corpus, ["doc_id", "text"])
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], i
+        assert abs(got[i][1] - want[i][1]) <= 1e-6, (i, got[i], want[i])
+
+
+def test_katz_discount_is_a_true_discount_on_fixture(spark, docs):
+    """On the real corpus the Katz score can only DISCOUNT seen-bigram
+    probabilities, so every doc's Katz mean neg-logprob >= its raw-ML
+    mean (d_c <= 1 after the degenerate-regime fallbacks) — and the
+    two models agree on n_pairs."""
+    import pyspark.sql.functions as F
+    from mapreduceimpl_spark.operators.text_analysis import (
+        katz_backoff_bigram,
+    )
+    from mapreduceimpl_spark.operators.text_analysis import (
+        tokens as _tokens,
+    )
+
+    katz = {
+        r["doc_id"]: (r["n_pairs"], r["avg_neg_logprob"])
+        for r in katz_backoff_bigram(docs).collect()
+    }
+    # raw-ML sibling: same pipeline with d_c == 1 (log(c/cprev))
+    from mapreduceimpl_spark.operators.text_analysis import (
+        _avg_neg_logprob_tail,
+        adjacent_pairs,
+    )
+
+    pre = docs.select("doc_id", _tokens("text").alias("__toks")).filter(
+        F.size("__toks") >= 2
+    )
+    pairs = pre.select("doc_id", adjacent_pairs().alias("pc")).select(
+        "doc_id", "pc.prev", "pc.cur"
+    )
+    bi = pairs.groupBy("prev", "cur").agg(F.count("*").alias("cnt_pc"))
+    cprev = pairs.groupBy("prev").agg(F.count("*").alias("cnt_prev"))
+    scored = (
+        pairs.join(bi, ["prev", "cur"])
+        .join(cprev, "prev")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.col("cnt_pc").cast("double")
+                    / F.col("cnt_prev").cast("double")
+                ),
+                9,
+            ).alias("lp"),
+        )
+    )
+    ml = {
+        r["doc_id"]: (r["n_pairs"], r["avg_neg_logprob"])
+        for r in _avg_neg_logprob_tail(scored, 9).collect()
+    }
+    assert set(katz) == set(ml)
+    for d in katz:
+        assert katz[d][0] == ml[d][0]
+        assert katz[d][1] >= ml[d][1] - 1e-9, (d, katz[d], ml[d])
+
+
+# ---------------------------------------------------------------------------
+# bigram draft acceptance (staged round 13)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_draft_acceptance_matches_duckdb_oracle(spark, docs):
+    """Staged entry, driver-equivalent compare on the fixture corpus."""
+    import duckdb
+
+    from mapreduceimpl_spark.operators.text_analysis import (
+        ngram_draft_acceptance,
+        ngram_draft_acceptance_sql,
+    )
+    from tools.check_oracle import compare
+
+    sdf = ngram_draft_acceptance(docs).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    odf = con.execute(ngram_draft_acceptance_sql()).fetchdf()
+    con.close()
+    problems = compare("ngram_draft_acceptance", sdf, odf)
+    assert not problems, problems
+    assert len(sdf) > 0
+
+
+def test_ngram_draft_acceptance_semantics(spark):
+    """Enumerable corpus: the argmax table, the tie rule and the
+    banding are exactly the documented ones."""
+    from mapreduceimpl_spark.operators.text_analysis import (
+        ngram_draft_acceptance,
+    )
+
+    # lang 'aa': pairs (a,b) x2, (b,a) x2, (a,c) x1
+    #   draft(a) = b (2 > 1), draft(b) = a
+    #   positions with prev=a: 3 (2 accepted), prev=b: 2 (2 accepted)
+    #   all contexts have cnt_prev < 10 -> band '1-9'; rate 4/5
+    # lang 'tt': "x y x z" -> draft(x) = y (tie 1,1 -> smallest 'y');
+    #   prev-x positions: 2, accepted 1; prev-y: 1 accepted 1 (y->x)
+    #   wait: pairs are (x,y), (y,x), (x,z): draft(y)=x -> accepted;
+    #   total 3 positions, accepted = (x,y):1 + (y,x):1 = 2
+    rows = [
+        (1, "aa", "a b a b a c"),
+        (2, "tt", "x y x z"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {
+        (r["lang"], r["band"]): (
+            r["n_positions"],
+            r["n_accepted"],
+            r["acceptance_rate"],
+        )
+        for r in ngram_draft_acceptance(docs).collect()
+    }
+    assert got == {
+        ("aa", "1-9"): (5, 4, round(4 / 5, 6)),
+        ("tt", "1-9"): (3, 2, round(2 / 3, 6)),
+    }

@@ -956,6 +956,57 @@ def _probe_winnow_density(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_katz_backoff(spark, sf_dir: str):
+    """katz_backoff_bigram: the kneser_ney posture (pair transform,
+    two wordcount-shaped aggregates, a 1-row count-of-counts
+    broadcast) — wall should be corpus-token-linear like KN's 1.02x."""
+    from mapreduceimpl_spark.operators.text_analysis import katz_backoff_bigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = katz_backoff_bigram(docs).count()
+    return time.time() - t0, n
+
+
+def _probe_draft_acceptance(spark, sf_dir: str):
+    """ngram_draft_acceptance: one (lang,prev,cur) count shuffle, one
+    struct-min per context, one uniform-key join back — wall should
+    be corpus-token-linear."""
+    from mapreduceimpl_spark.operators.text_analysis import (
+        ngram_draft_acceptance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = ngram_draft_acceptance(docs).count()
+    return time.time() - t0, n
+
+
+def _probe_matryoshka(spark, sf_dir: str):
+    """matryoshka_recall_eval: one dims-exploded corpus scan scored
+    against the broadcast query grid — wall should be |dims| x the
+    ann_topk scan, corpus-linear."""
+    from mapreduceimpl_spark.operators.similarity import (
+        matryoshka_recall_eval,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t0 = time.time()
+    n = matryoshka_recall_eval(emb).count()
+    return time.time() - t0, n
+
+
+def _probe_ppr(spark, sf_dir: str):
+    """pagerank_personalized: per round one dst-keyed shuffle + one
+    src-keyed join (the pagerank envelope) with a one-off restart
+    relation — wall should track pagerank's edges-linear rounds."""
+    from mapreduceimpl_spark.catalog import _q_pagerank_personalized
+
+    t0 = time.time()
+    n = _q_pagerank_personalized(spark, sf_dir).count()
+    return time.time() - t0, n
+
+
 def _probe_fellegi_sunter(spark, sf_dir: str):
     """fellegi_sunter_linkage: work is sum over blocks of |L_b| x
     |R_b| (25 nation blocks) — a 10x customer step is 100x candidate
@@ -970,6 +1021,10 @@ def _probe_fellegi_sunter(spark, sf_dir: str):
 
 
 PROBES = {
+    "katz_backoff": _probe_katz_backoff,
+    "draft_acceptance": _probe_draft_acceptance,
+    "matryoshka": _probe_matryoshka,
+    "ppr": _probe_ppr,
     "fellegi_sunter": _probe_fellegi_sunter,
     "winnow_density": _probe_winnow_density,
     "bbit_minhash": _probe_bbit_minhash,
