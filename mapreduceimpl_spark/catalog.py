@@ -25,12 +25,12 @@ sit in-window); the tail stays stalest-cohort-first so each future
 round's window promotion is a simple prefix shift.
 Max-age policy: no oracle-backed entry's newest driver row may be
 older than 6 completed rounds.  Feasibility arithmetic at the
-round-11 catalog (268 oracle-backed = 264 + this round's 4-entry
-intake): steady-state re-attestation demand is 268/6 = 44.7
-slots/round against the 50-slot window — ~5.3 slots/round of
-headroom; future rounds must budget new-entry intake against THAT
-margin (the six-deep r12 staged queue needs either ~2 more
-retirements or a two-round split intake).  tests/test_catalog_contract.py enforces the
+round-11 catalog (262 oracle-backed = 264 + this round's 4-entry
+intake - the third retirement pass's 6 strict-subset/sibling
+retirees, see RETIRED_SUPERSET): steady-state re-attestation demand
+is 262/6 = 43.7 slots/round against the 50-slot window — ~6.3
+slots/round of headroom, enough for the six-entry r12 intake (268/6
+= 44.7, 5.3 headroom) and the four-entry r13 queue behind it.  tests/test_catalog_contract.py enforces the
 policy against the live CORRECTNESS files; ``DEFERRED_TO_NEXT_ROUND``
 is now DERIVED from those files (bottom of module) instead of
 hand-maintained, and tools/rotation_report.py shows the live state.  The bench set
@@ -10197,6 +10197,34 @@ RETIRED_SUPERSET: dict[str, str] = {
     # dedup_recall_eval's truth side is ngram_jaccard_pairs at the
     # same min_jaccard=0.5 and embeds _ngram_oracle(0.5) whole
     "dedup_ngram_jaccard": "dedup_recall_eval",
+    # --- round-11 pass (headroom for the six-entry r12 intake) ---
+    # clustering_coeff composes _triangle_internals verbatim (the same
+    # canonicalized edges + degree orientation + wedge join; its
+    # oracle's tri CTE IS triangle_count's counted relation) — only
+    # the terminal aggregate differs (per-node credit vs global count)
+    "triangle_count": "clustering_coeff",
+    # fuzzy_join_verified calls fuzzy_join verbatim as its candidate
+    # stage and its oracle chains _fuzzy_cand_sql; SIBLING CONFIG,
+    # stated plainly: the live entry runs min_jaccard=0.3 where the
+    # retiree ran 0.5 — the 0.5 configuration's driver attestation is
+    # traded for the every-run pytest compare below
+    "fuzzy_join": "fuzzy_join_verified",
+    # multi-probe sign-LSH explodes [base bucket] + flips, so the
+    # n_probe=1 pipeline (same lsh_bucket on both sides, same rescore,
+    # same rank contract) runs verbatim as probe 0 inside
+    # ann_lsh_multiprobe; shared oracle generator (_ann_lsh_oracle)
+    "ann_lsh_topk": "ann_lsh_multiprobe",
+    # pq_recall_eval's candidate side is pq_adc_topk at the SAME
+    # (10, 5, 4, 4, 2, 64) config and embeds _pq_adc_oracle whole
+    "pq_adc_topk": "pq_recall_eval",
+    # ann_recall_eval's candidate side is ivf_lloyd_topk at the SAME
+    # (k=5, n_cells=4, iterations=3, n_probe=2) config and embeds
+    # _ivf_lloyd_oracle(5, 4, 3, 2) whole
+    "ann_ivf_lloyd_topk": "ann_recall_eval",
+    # hybrid_search_rrf calls retrieval.bm25_topk verbatim with the
+    # identical (_BM25_QUERIES) args as its lexical arm and
+    # _hybrid_rrf_oracle embeds bm25_oracle_sql(_BM25_QUERIES) whole
+    "bm25_search": "hybrid_search_rrf",
 }
 RETIRED_SPECS: dict[str, QuerySpec] = {
     name: SPECS.pop(name) for name in RETIRED_SUPERSET
@@ -10214,9 +10242,10 @@ RETIRED_SPECS: dict[str, QuerySpec] = {
 # scalar_math_date) and the r6 cohort front.  The tail stays
 # stalest-cohort-first so future promotions are prefix shifts.
 # Generated by tools/plan_next_window.py from the live CORRECTNESS
-# files; the 4-entry intake brings the oracle-backed catalog to 268
-# (steady-state re-attestation demand 268/6 = 44.7 slots/round vs
-# the 50-slot window — ~5.3 slots/round of headroom).
+# files; the 4-entry intake minus the third retirement pass (6
+# entries) brings the oracle-backed catalog to 262 (steady-state
+# re-attestation demand 262/6 = 43.7 slots/round vs the 50-slot
+# window — ~6.3 slots/round of headroom).
 _ROUND11_ORDER = [
     'kneser_ney_bigram', 'hll_distinct', 'good_turing_mass', 'unigram_expected_fertility',
     'triplet_mining', 'temperature_mix', 'kfold_assign', 'vocab_coverage',
@@ -10227,7 +10256,7 @@ _ROUND11_ORDER = [
     'consistent_sample_join', 'sft_render', 'multimodal_meta', 'events_sliding',
     'events_session_native', 'dedup_exact_norm', 'priority_returns', 'wordcount',
     'set_ops', 'scalar_case_date', 'scalar_math_date', 'bpe_vocab',
-    'ann_ivf_lloyd_topk', 'epoch_shuffle_sharded', 'l_diversity', 'attribution_linear',
+    'epoch_shuffle_sharded', 'l_diversity', 'attribution_linear',
     'dedup_containment', 'dedup_keeper_longest', 'winsorize_mad', 'contamination_containment',
     'asof_join_forward', 'sample_hash', 'ann_topk', 'text_quality',
     'text_token_stats', 'text_clean', 'embedding_centroids', 'embedding_norms',
@@ -10237,7 +10266,7 @@ _ROUND11_ORDER = [
     'hybrid_search_rrf', 'semdedup_funnel', 'lm_quality_buckets', 'in_batch_negatives',
     'retrieval_metrics', 'token_budget_mix', 'dedup_incremental', 'retention_cohorts',
     'quality_classifier', 'quality_classifier_weights', 'dsir_select', 'pq_codes',
-    'pq_adc_topk', 'skipgram_negatives', 'glove_cooccurrence', 'zipf_law_fit',
+    'skipgram_negatives', 'glove_cooccurrence', 'zipf_law_fit',
     'heaps_law_growth', 'unigram_kl', 'vocab_overlap', 'contamination_bloom',
     'ngram_novelty', 'kmv_set_ops', 'events_holt', 'classifier_eval',
     'classifier_calibration', 'ams_f2', 'leakage_safe_split', 'dp_noisy_counts',
@@ -10256,7 +10285,7 @@ _ROUND11_ORDER = [
     'domain_frequency_cap', 'mmr_rerank', 'wav_pcm_decode', 'ppm_decode_resize',
     'y4m_frame_sample', 'pq_recall_eval', 'png_decode_stats', 'warc_ingest',
     'gif_decode_stats', 'text_unigram_logprob', 'sample_fixed_n', 'scalar_map',
-    'dedup_simhash64_pairs', 'ann_lsh_topk', 'ann_lsh_multiprobe', 'range_join',
+    'dedup_simhash64_pairs', 'ann_lsh_multiprobe', 'range_join',
     'hypertable_rollup', 'sample_weighted', 'user_features', 'lang_count',
     'udf_wordcount', 'filter_project', 'pricing_summary', 'agg_multikey',
     'agg_distinct', 'distinct_op', 'agg_rollup', 'crawl_funnel',
@@ -10275,14 +10304,13 @@ _ROUND11_ORDER = [
     'events_running_anomaly', 'revenue_pareto', 'lsh_scurve_eval', 'unigram_fertility',
     'feature_hashing', 'fh_cosine_topk', 'unigram_lm_train_deep4', 'unigram_lm_sample_segment',
     'chunk_retrieval_maxp', 'tokenized_pack', 'customer_rfm', 'event_top_paths',
-    'state_intervals', 'fuzzy_join', 'vocab_topk', 'quality_percentile',
+    'state_intervals', 'vocab_topk', 'quality_percentile',
     'random_projection', 'next_event_pairs', 'token_pair_counts', 'knn_classify_lsh',
     'pretrain_funnel', 'corr_analysis', 'price_histogram', 'skew_salted_join',
     'skew_two_phase', 'pagerank', 'timeseries_gapfill', 'media_probe',
     'text_token_entropy', 'monthly_growth', 'events_sessionize', 'asof_join',
     'dedup_minhash_lsh', 'dedup_embedding', 'table_profile', 'snapshot_diff',
-    'triangle_count', 'clustering_coeff', 'events_ewma', 'bm25_search',
-    'dedup_minhash_verified', 'basket_rules', 'skyline_frontier', 'fuzzy_join_verified',
+    'clustering_coeff', 'events_ewma', 'dedup_minhash_verified', 'basket_rules', 'skyline_frontier', 'fuzzy_join_verified',
     'rolling_active_users', 'sample_weighted_k', 'pit_join', 'changelog_apply',
     'events_autocorr', 'span_corruption', 'dedup_exact', 'udtf_chunks',
     'agg_approx', 'ann_ivf_topk', 'kmeans_assign', 'text_compression_ratio',

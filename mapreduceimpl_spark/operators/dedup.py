@@ -2111,6 +2111,7 @@ def fellegi_sunter_linkage(
     upper: float = 100.0,
     lower: float = 1.0,
     eager: bool = True,
+    max_block_rows: int | None = 100_000,
 ) -> DataFrame:
     """Probabilistic record linkage (Fellegi & Sunter, "A Theory for
     Record Linkage", JASA 1969) between the customer table and its
@@ -2136,13 +2137,43 @@ def fellegi_sunter_linkage(
     standard FS blocking step — work is sum over blocks of |L_b|x|R_b|,
     never |L|x|R|; at web scale block tighter (phone prefix, zip)
     exactly as the paper's successors do.  The m/u stats relation is
-    ONE row, broadcast onto the candidates.
+    ONE row, broadcast onto the candidates.  ``max_block_rows``
+    (default 1e5 -> up to 1e10 pairs in one block) REFUSES to run when
+    any block exceeds it — the per-block quadratic is the algorithm's
+    own bound, and a hot block should be met with a tighter compound
+    blocking key, not a silent week-long join; ``None`` disables the
+    guard deliberately.
 
     Determinism: agreements/counts are exact integers; m, u and the
     two ratios per field are single IEEE divisions computed once in
     the stats row; the score is a fixed-order product of row-selected
     ratios — bit-portable, like the S-curve multiply chains.
     """
+    # Guard the stated per-block quadratic BEFORE the join runs
+    # (VERDICT r10 #5): blocked-join work is sum over blocks of
+    # |L_b| x |R_b|, so one hot block of n rows costs n^2 pairs — at
+    # the default cap that is 1e10 comparisons, already past what one
+    # block's executor share should absorb.  The check is one bounded
+    # aggregate (<= #blocks rows, 25 nations here); the named fix is
+    # the paper's own: block on a TIGHTER compound key (nation +
+    # acctbal bucket, zip, phone prefix), not a bigger cluster.
+    if max_block_rows is not None:
+        hot = (
+            customers.groupBy("c_nationkey")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_block_rows)
+            .orderBy(F.desc("n"))
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            raise ValueError(
+                f"fellegi_sunter_linkage: blocking key c_nationkey has a "
+                f"block of {hot[0]['n']} rows (> max_block_rows="
+                f"{max_block_rows}); the per-block candidate join is "
+                f"quadratic — use a tighter compound blocking key or "
+                f"raise max_block_rows deliberately"
+            )
     # the blocked candidate join is the dominant cost and feeds BOTH
     # the m/u aggregate and the scored probe side — persist it so the
     # quadratic-per-block stage runs once, not twice (review finding;

@@ -1459,7 +1459,7 @@ FROM kn_scored GROUP BY doc_id"""
 KATZ_K = 5
 
 
-def _katz_discount_expr() -> F.Column:
+def _katz_discount_expr(coc: dict[int, int] | None = None) -> F.Column:
     """The Katz/Good-Turing discount ratio d_c as ONE fixed-order
     column expression over (cnt_pc, n1..n6) — shared by the batch
     scorer and its oracle mirror so the arithmetic cannot drift.
@@ -1477,21 +1477,33 @@ def _katz_discount_expr() -> F.Column:
     d_c outside (0, 1] (non-monotone count-of-counts make the raw
     ratio over- or ANTI-discount — the SRILM out-of-range rule;
     Katz's own k<=5 guidance exists exactly because high-c N_c are
-    noisy)."""
+    noisy).
+
+    ``coc`` injects the count-of-counts N_1..N_{k+1} as LITERALS (the
+    serving twin's path — a stream cannot ride the 1-row broadcast);
+    ``None`` reads them from the n1..n6 columns (the batch path).
+    Identical expression tree either way, so batch and stream cannot
+    drift."""
     k = KATZ_K
-    n1 = F.col("n1").cast("double")
-    a = (F.lit(float(k + 1)) * F.col(f"n{k + 1}").cast("double")) / n1
+
+    def n_col(c: int) -> F.Column:
+        if coc is not None:
+            return F.lit(int(coc[c]))
+        return F.col(f"n{c}")
+
+    n1 = n_col(1).cast("double")
+    a = (F.lit(float(k + 1)) * n_col(k + 1).cast("double")) / n1
     expr = F.lit(1.0)  # c > k: no discount
     for c in range(k, 0, -1):
-        nc = F.col(f"n{c}").cast("double")
-        nc1 = F.col(f"n{c + 1}").cast("double")
+        nc = n_col(c).cast("double")
+        nc1 = n_col(c + 1).cast("double")
         raw = ((F.lit(float(c + 1)) * nc1) / (F.lit(float(c)) * nc) - a) / (
             F.lit(1.0) - a
         )
         d_c = F.when(
-            (F.col("n1") == 0)
-            | (F.col(f"n{c}") == 0)
-            | (F.col(f"n{c + 1}") == 0)
+            (n_col(1) == 0)
+            | (n_col(c) == 0)
+            | (n_col(c + 1) == 0)
             | (a >= F.lit(1.0)),
             F.lit(1.0),
         ).otherwise(
@@ -1565,6 +1577,104 @@ def katz_backoff_bigram(docs: DataFrame, round_lp: int = 9) -> DataFrame:
         )
     )
     return _avg_neg_logprob_tail(scored, round_lp)
+
+
+def katz_model(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, dict[int, int], DataFrame]:
+    """The trained Katz backoff model as relations + constants —
+    (bi, cprev, uni, coc, alpha) with the column names the scoring
+    expressions consume; built from the same pair construction as
+    :func:`katz_backoff_bigram`.  The serving twin
+    (``streaming.stream_katz_score``) joins a document stream against
+    these stream-static, exercising the BACKOFF branch corpus-internal
+    scoring never reaches:
+
+        p_katz(cur|prev) = d_c * c(prev,cur)/c(prev)        seen pair
+                         = alpha(prev) * p_ml(cur)          seen prev
+                         = p_ml(cur)                        new prev
+
+    with p_ml the training unigram and
+
+        alpha(prev) = (1 - sum_seen d_c * c/cprev)
+                    / (1 - sum_seen p_ml(cur))
+
+    (Katz 1987 eq. 20) — exactly the mass the discounts reserved,
+    re-normalized over the unseen tail, so per-context total mass is
+    1 by construction FOR EVERY CONTEXT WITH AN UNSEEN TAIL (pytest
+    proves it in pure Python).  A context that co-occurred with the
+    ENTIRE vocabulary has no tail to absorb its reserved mass: its
+    alpha is emitted as 0 and the context's distribution is DEFICIENT
+    by exactly (1 - sum_seen d_c*c/cprev) — SRILM's own rule for the
+    zero-denominator backoff weight, stated (pytest pins the deficit
+    too); only tiny closed vocabularies ever hit this regime.
+
+    Determinism: ``coc`` (count-of-counts N_1..N_6) and the unigram
+    total are exact integers (returned as a dict for literal
+    injection — a stream cannot ride a 1-row broadcast); alpha's two
+    context sums are decimal-routed (DECIMAL(38,18) per term) so
+    partition order never changes a weight (a full-coverage context's
+    alpha can never be consulted by a serving pair anyway — every
+    (prev, w in V) is seen).
+
+    Scale: all relations are pair-vocab / vocab sized (Heaps-
+    bounded); alpha is one aggregate over the bigram-type relation.
+    """
+    pairs = (
+        docs.select(tokens(text_col).alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select(adjacent_pairs().alias("pc"))
+        .select("pc.prev", "pc.cur")
+    )
+    bi = pairs.groupBy("prev", "cur").agg(F.count("*").alias("cnt_pc"))
+    cprev = pairs.groupBy("prev").agg(F.count("*").alias("cnt_prev"))
+    uni = pairs.groupBy("cur").agg(F.count("*").alias("c_uni"))
+    coc_row = bi.agg(
+        *[
+            F.count(F.when(F.col("cnt_pc") == c, True)).alias(f"n{c}")
+            for c in range(1, KATZ_K + 2)
+        ]
+    ).collect()[0]  # bounded: ONE row of 6 integers
+    coc = {c: int(coc_row[f"n{c}"]) for c in range(1, KATZ_K + 2)}
+    n_uni = int(
+        uni.agg(F.sum("c_uni").alias("n")).collect()[0]["n"]
+    )  # bounded: ONE scalar (the token total)
+    d = _katz_discount_expr(coc)
+    seen = (
+        bi.join(cprev, "prev")
+        .join(uni, "cur")
+        .select(
+            "prev",
+            (
+                d
+                * (
+                    F.col("cnt_pc").cast("double")
+                    / F.col("cnt_prev").cast("double")
+                )
+            ).alias("p_disc"),
+            (
+                F.col("c_uni").cast("double") / F.lit(float(n_uni))
+            ).alias("p_ml"),
+        )
+    )
+    alpha = seen.groupBy("prev").agg(
+        (
+            F.lit(1.0)
+            - F.sum(F.col("p_disc").cast("decimal(38,18)")).cast("double")
+        ).alias("__num"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("p_ml").cast("decimal(38,18)")).cast("double")
+        ).alias("__den"),
+    ).select(
+        "prev",
+        F.when(F.col("__den") <= F.lit(0.0), F.lit(0.0))
+        .otherwise(F.col("__num") / F.col("__den"))
+        .alias("alpha"),
+    )
+    return bi, cprev, uni.withColumn(
+        "n_uni", F.lit(n_uni).cast("long")
+    ), coc, alpha
 
 
 def katz_backoff_sql(source: str = "documents") -> str:
@@ -4365,3 +4475,137 @@ SELECT lang,
 FROM per_doc
 GROUP BY lang
 """
+
+
+ML_IN_DOMAIN_SOURCES = ("src1", "src2", "src3")
+
+
+def cross_entropy_selection(
+    docs: DataFrame,
+    in_sources: tuple[str, ...] = ML_IN_DOMAIN_SOURCES,
+    round_lp: int = 9,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cross-entropy difference data selection (Moore & Lewis,
+    "Intelligent Selection of Language Model Training Data", ACL
+    2010) — the classic domain-targeted corpus filter and the
+    ancestor of ``dsir_select``'s importance weights: score every
+    document by how much better the IN-DOMAIN language model predicts
+    it than the GENERAL model,
+
+        ml_score(doc) = mean_tokens [ ln P_in(w) - ln P_gen(w) ]
+
+    (Moore-Lewis rank by H_in - H_gen ascending; this is the same
+    order with the sign flipped so HIGHER = more in-domain, stated).
+    Selecting the top slice yields in-domain-like data from a general
+    crawl — the pretrain-mixture dial between ``dsir_select``
+    (hashed-ngram importance resampling) and ``lm_quality_buckets``
+    (absolute quality).
+
+    Models: unigram with add-one smoothing over the SHARED general
+    vocabulary V (both models smooth over the same V, so OOV-in-
+    in-domain tokens get mass and the difference is defined for every
+    corpus token): P_m(w) = (c_m(w) + 1) / (N_m + V).  In-domain =
+    docs whose ``source`` is in ``in_sources`` (the fixture's crawl
+    has 20 sources; three play the curated slice).
+
+    Determinism: counts are exact integers; each probability is one
+    division; the per-token log difference is rounded at ``round_lp``
+    then decimal-summed per doc (the bigram_logprob recipe); the
+    final decile is NTILE over the total order (ml_score, doc_id).
+
+    Scale: one token explode feeding BOTH count relations (the
+    in-domain counts are a filtered aggregate of the same stream), a
+    1-row (N_in, N_gen, V) broadcast, one uniform-key join back, one
+    groupBy(doc), one bounded window for the deciles.
+
+    Output: (doc_id, n_tokens, ml_score, decile).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.col("source").isin(*in_sources).alias("__in"),
+        F.explode(tokens("text")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.count("*").alias("c_gen"),
+        F.count(F.when(F.col("__in"), True)).alias("c_in"),
+    )
+    totals = counts.agg(
+        F.sum("c_gen").alias("n_gen"),
+        F.sum("c_in").alias("n_in"),
+        F.count("*").alias("v"),
+    )
+    lp = F.round(
+        F.log(
+            (F.col("c_in") + 1).cast("double")
+            / (F.col("n_in") + F.col("v")).cast("double")
+        )
+        - F.log(
+            (F.col("c_gen") + 1).cast("double")
+            / (F.col("n_gen") + F.col("v")).cast("double")
+        ),
+        round_lp,
+    )
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", lp.alias("lp"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("lp").cast(f"decimal(28,{round_lp})")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("ml_score"),
+    )
+    w = Window.orderBy(F.col("ml_score").desc(), F.col("doc_id").asc())
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "ml_score",
+        F.ntile(n_buckets).over(w).cast("long").alias("decile"),
+    )
+
+
+def cross_entropy_selection_sql(
+    in_sources: tuple[str, ...] = ML_IN_DOMAIN_SOURCES,
+    n_buckets: int = 10,
+    source: str = "documents",
+) -> str:
+    """DuckDB mirror of :func:`cross_entropy_selection`: same shared-
+    vocab add-one models, same fixed-order rounded log difference,
+    same (score desc, doc_id) NTILE."""
+    srcs = ", ".join(f"'{s}'" for s in in_sources)
+    return f"""WITH ml_toks AS (
+  SELECT doc_id, source IN ({srcs}) AS isin,
+         unnest(string_split(text, ' ')) AS tok
+  FROM {source}
+),
+ml_counts AS (
+  SELECT tok, COUNT(*) AS c_gen,
+         COUNT(*) FILTER (WHERE isin) AS c_in
+  FROM ml_toks GROUP BY tok
+),
+ml_totals AS (
+  SELECT SUM(c_gen) AS n_gen, SUM(c_in) AS n_in, COUNT(*) AS v
+  FROM ml_counts
+),
+ml_scored AS (
+  SELECT t.doc_id,
+         round(ln(CAST(c_in + 1 AS DOUBLE) / CAST(n_in + v AS DOUBLE))
+               - ln(CAST(c_gen + 1 AS DOUBLE) / CAST(n_gen + v AS DOUBLE)),
+               9) AS lp
+  FROM ml_toks t JOIN ml_counts c ON t.tok = c.tok
+  CROSS JOIN ml_totals
+),
+ml_per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         round(CAST(SUM(CAST(lp AS DECIMAL(28,9))) AS DOUBLE)
+               / COUNT(*), 6) AS ml_score
+  FROM ml_scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, ml_score,
+       CAST(NTILE({n_buckets}) OVER (ORDER BY ml_score DESC, doc_id ASC)
+            AS BIGINT) AS decile
+FROM ml_per_doc"""

@@ -2404,3 +2404,101 @@ def stream_matryoshka_rerank(
     return scored.repartition("query_id").mapInPandas(
         rerank, "query_id long, vec_id long, cosine double, rank long"
     )
+
+
+def stream_katz_score(
+    docs: DataFrame,
+    model,
+    round_lp: int = 9,
+) -> DataFrame:
+    """Katz-backoff LM serving (twin 36): score a STREAM of documents
+    under the batch-trained Katz model (``text_analysis.katz_model``:
+    count relations + the alpha backoff weights, train offline /
+    score online) — the sibling of ``stream_kneser_ney_score`` that
+    exercises the BACKOFF branch batch corpus-internal scoring never
+    reaches:
+
+    - seen pair: d_c * c(prev,cur)/c(prev) — the d_c CASE is
+      ``_katz_discount_expr`` with the count-of-counts injected as
+      LITERALS (same expression tree as batch, so on the training
+      corpus the output equals ``katz_backoff_bigram`` bit-for-bit,
+      pytest-pinned across a micro-batch split);
+    - unseen pair with a seen context: alpha(prev) * p_ml(cur) — the
+      reserved-mass redistribution (per-context total mass proven = 1
+      in pure Python);
+    - unseen context: p_ml(cur) — the pure-unigram fallthrough.
+
+    Vocabulary contract: pairs whose ``cur`` never occurred in
+    training drop out (the inner ``uni`` join — the closed-vocab
+    convention; OOV mass is the training side's ``good_turing_mass``
+    story, exactly the KN twin's rule for never-seen words).
+
+    Zero state, append mode; per-doc aggregation is the shared
+    Arrow decimal-sum tail (repartition by doc_id, each doc complete
+    within its micro-batch).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduceimpl_spark.operators.text_analysis import (
+        _katz_discount_expr,
+        adjacent_pairs,
+    )
+
+    if round_lp < 1:
+        raise ValueError(f"round_lp must be >= 1, got {round_lp}")
+    bi, cprev, uni, coc, alpha = model
+
+    pairs = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select("doc_id", adjacent_pairs().alias("pc"))
+        .select("doc_id", "pc.prev", "pc.cur")
+    )
+    p_ml = F.col("c_uni").cast("double") / F.col("n_uni").cast("double")
+    prob = (
+        F.when(
+            F.col("cnt_pc").isNotNull(),
+            _katz_discount_expr(coc)
+            * (
+                F.col("cnt_pc").cast("double")
+                / F.col("cnt_prev").cast("double")
+            ),
+        )
+        .when(F.col("cnt_prev").isNotNull(), F.col("alpha") * p_ml)
+        .otherwise(p_ml)
+    )
+    scored = (
+        pairs.join(bi, ["prev", "cur"], "left")
+        .join(cprev, "prev", "left")
+        .join(alpha, "prev", "left")
+        .join(uni, "cur")
+        .select("doc_id", F.round(F.log(prob), round_lp).alias("lp"))
+    )
+
+    q_lp = Decimal(1).scaleb(-round_lp)
+
+    def per_doc(batches):
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        out = []
+        for doc_id, grp in pdf.groupby("doc_id", sort=False):
+            total = sum(
+                Decimal(repr(x)).quantize(q_lp, rounding=ROUND_HALF_UP)
+                for x in grp["lp"]
+            )
+            n = len(grp)
+            avg = float(
+                Decimal(repr(-float(total) / n)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            out.append((doc_id, n, avg))
+        yield pd.DataFrame(
+            out, columns=["doc_id", "n_pairs", "avg_neg_logprob"]
+        )
+
+    return scored.repartition("doc_id").mapInPandas(
+        per_doc, "doc_id long, n_pairs long, avg_neg_logprob double"
+    )

@@ -1473,3 +1473,23 @@ def test_cc_star_on_planted_corpus_pairs(spark, docs):
         for r in connected_components_star(pairs).collect()
     }
     assert got == want
+
+
+def test_fellegi_sunter_hot_block_guard(spark, tables):
+    """VERDICT r10 #5: the per-block candidate join is quadratic, so a
+    block past max_block_rows must REFUSE with the tighter-key advice
+    — and the guard must not fire on the healthy fixture."""
+    import pytest
+
+    from mapreduceimpl_spark.operators.dedup import fellegi_sunter_linkage
+
+    cust = tables["customer"]
+    n = cust.count()
+    with pytest.raises(ValueError, match="tighter compound blocking key"):
+        # every fixture block is under n rows; a cap of 0 makes them
+        # all hot — same code path as one genuinely hot nation
+        fellegi_sunter_linkage(cust, max_block_rows=0)
+    # healthy fixture at the default cap: runs (eager) and returns
+    rows = fellegi_sunter_linkage(cust).collect()
+    assert len(rows) > 0
+    assert n > 0

@@ -1991,3 +1991,106 @@ def test_stream_matryoshka_rerank_reorders_vs_prefix_only(spark):
         .collect()
     ]
     assert got == [(1, 1), (2, 2)]
+
+
+def test_stream_katz_score_matches_batch_on_training_corpus(spark, tmp_path):
+    """Katz LM serving twin (36): scoring the training corpus itself
+    through the stream path (two micro-batches) equals the batch
+    katz_backoff_bigram rows bit-for-bit — on seen pairs the twin's
+    literal-injected discount CASE is the same expression tree."""
+    from mapreduceimpl_spark.operators.text_analysis import (
+        katz_backoff_bigram,
+        katz_model,
+    )
+    from mapreduceimpl_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    batch = {
+        r["doc_id"]: (r["n_pairs"], r["avg_neg_logprob"])
+        for r in katz_backoff_bigram(docs).collect()
+    }
+    model = katz_model(docs)
+
+    src = tmp_path / "katz_docs"
+    src.mkdir()
+    sel = docs.select("doc_id", "text")
+    sel.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    sel.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    stream = (
+        spark.readStream.schema(sel.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["avg_neg_logprob"])
+        for r in _run_stream(streaming.stream_katz_score(stream, model))
+    }
+    assert got == batch
+
+
+def test_stream_katz_score_backoff_branches(spark, tmp_path):
+    """Fresh text exercises the branches batch scoring never reaches:
+    an unseen pair of seen words routes through alpha(prev) * p_ml,
+    an unseen context falls through to the pure unigram, and an OOV
+    word's pairs drop (closed-vocab contract)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduceimpl_spark.operators.text_analysis import (
+        katz_model,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b a b a c d d"),
+            (2, "b a b c a a d b"),
+            (3, "c c a b d a b a"),
+        ],
+        ["doc_id", "text"],
+    )
+    model = katz_model(train)
+    bi, cprev, uni, coc, alpha = model
+    bi_m = {(r["prev"], r["cur"]): r["cnt_pc"] for r in bi.collect()}
+    cprev_m = {r["prev"]: r["cnt_prev"] for r in cprev.collect()}
+    uni_rows = uni.collect()
+    n_uni = uni_rows[0]["n_uni"]
+    uni_m = {r["cur"]: r["c_uni"] for r in uni_rows}
+    alpha_m = {r["prev"]: r["alpha"] for r in alpha.collect()}
+    assert ("d", "c") not in bi_m and "d" in cprev_m  # the unseen pair
+
+    # serving doc: "d c" unseen pair (seen prev), "zz a" OOV prev
+    # fallthrough... zz is OOV as *cur* too: pair (c, zz) drops, pair
+    # (zz, a) scores through the pure-unigram branch
+    serve = [(100, "d c zz a")]
+    # pairs surviving the uni join: (d, c) backoff; (zz, a) unigram
+    lp1 = round(math.log(alpha_m["d"] * (uni_m["c"] / n_uni)), 9)
+    lp2 = round(math.log(uni_m["a"] / n_uni), 9)
+    q = Decimal(1).scaleb(-9)
+    tot = sum(
+        Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP)
+        for x in (lp1, lp2)
+    )
+    want = float(
+        Decimal(repr(-float(tot) / 2)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+    sdf = spark.createDataFrame(serve, ["doc_id", "text"])
+    src = tmp_path / "katz_serve"
+    src.mkdir()
+    sdf.coalesce(1).write.parquet(str(src / "a"))
+    stream = (
+        spark.readStream.schema(sdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    rows = _run_stream(streaming.stream_katz_score(stream, model))
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_id"], r["n_pairs"]) == (100, 2)
+    assert abs(r["avg_neg_logprob"] - want) <= 1e-9

@@ -2379,3 +2379,132 @@ def test_ngram_draft_acceptance_semantics(spark):
         ("aa", "1-9"): (5, 4, round(4 / 5, 6)),
         ("tt", "1-9"): (3, 2, round(2 / 3, 6)),
     }
+
+
+# ---------------------------------------------------------------------------
+# Moore-Lewis cross-entropy data selection (staged round 14)
+# ---------------------------------------------------------------------------
+
+
+def test_cross_entropy_selection_matches_duckdb_oracle(spark, docs):
+    """Staged entry, driver-equivalent compare on the fixture corpus."""
+    import duckdb
+
+    from mapreduceimpl_spark.operators.text_analysis import (
+        cross_entropy_selection,
+        cross_entropy_selection_sql,
+    )
+    from tools.check_oracle import compare
+
+    sdf = cross_entropy_selection(docs).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    odf = con.execute(cross_entropy_selection_sql()).fetchdf()
+    con.close()
+    problems = compare("cross_entropy_selection", sdf, odf)
+    assert not problems, problems
+    assert len(sdf) > 0
+
+
+def test_cross_entropy_selection_semantics(spark):
+    """Enumerable corpus: add-one model probabilities, the rounded log
+    difference, and the decile order are exactly the documented ones."""
+    import math
+
+    from mapreduceimpl_spark.operators.text_analysis import (
+        cross_entropy_selection,
+    )
+
+    rows = [
+        (1, "src1", "aa aa"),
+        (2, "src9", "bb bb"),
+        (3, "src9", "aa bb"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["ml_score"], r["decile"])
+        for r in cross_entropy_selection(docs).collect()
+    }
+    # c_gen: aa=3, bb=3; c_in: aa=2, bb=0; N_gen=6, N_in=2, V=2
+    lp_aa = round(math.log(3 / 4) - math.log(4 / 8), 9)   # ln 1.5
+    lp_bb = round(math.log(1 / 4) - math.log(4 / 8), 9)   # ln 0.5
+    assert got[1] == (2, round(lp_aa, 6), 1)
+    assert got[2] == (2, round(lp_bb, 6), 3)
+    assert got[3] == (2, round((lp_aa + lp_bb) / 2, 6), 2)
+    # the in-domain doc outranks the general one
+    assert got[1][1] > got[3][1] > got[2][1]
+
+
+# ---------------------------------------------------------------------------
+# Katz model relations + per-context mass (staged round 14 serving)
+# ---------------------------------------------------------------------------
+
+
+def test_katz_model_mass_sums_to_one_per_context(spark):
+    """Katz 1987's whole point: the discounted seen mass plus the
+    alpha-scaled unseen-unigram mass is EXACTLY the unit — replayed in
+    pure Python from the model relations for every context WITH an
+    unseen tail; a full-vocabulary-coverage context (alpha emitted 0,
+    the SRILM zero-denominator rule) is deficient by exactly its
+    reserved mass, pinned too."""
+    from mapreduceimpl_spark.operators.text_analysis import (
+        KATZ_K,
+        katz_model,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a c d d"),
+            (2, "b a b c a a d b"),
+            (3, "c c a b d a b a"),
+        ],
+        ["doc_id", "text"],
+    )
+    bi, cprev, uni, coc, alpha = katz_model(docs)
+    bi_m = {(r["prev"], r["cur"]): r["cnt_pc"] for r in bi.collect()}
+    cprev_m = {r["prev"]: r["cnt_prev"] for r in cprev.collect()}
+    uni_rows = uni.collect()
+    n_uni = uni_rows[0]["n_uni"]
+    uni_m = {r["cur"]: r["c_uni"] for r in uni_rows}
+    alpha_m = {r["prev"]: r["alpha"] for r in alpha.collect()}
+    k = KATZ_K
+
+    def d_of(c: int) -> float:
+        if c > k:
+            return 1.0
+        if coc[1] == 0 or coc[c] == 0 or coc[c + 1] == 0:
+            return 1.0
+        a = (k + 1.0) * coc[k + 1] / coc[1]
+        if a >= 1.0:
+            return 1.0
+        raw = ((c + 1.0) * coc[c + 1] / (float(c) * coc[c]) - a) / (1.0 - a)
+        return 1.0 if (raw <= 0.0 or raw > 1.0) else raw
+
+    vocab = list(uni_m)
+    n_full_coverage = 0
+    for prev in cprev_m:
+        total, seen_disc, has_tail = 0.0, 0.0, False
+        for w in vocab:
+            c = bi_m.get((prev, w))
+            if c is not None:
+                p = d_of(c) * (c / cprev_m[prev])
+                total += p
+                seen_disc += p
+            else:
+                has_tail = True
+                total += alpha_m[prev] * (uni_m[w] / n_uni)
+        if has_tail:
+            assert abs(total - 1.0) <= 1e-9, (prev, total)
+        else:
+            # full vocabulary coverage: alpha is 0 (SRILM rule) and
+            # the context is deficient by exactly the reserved mass
+            n_full_coverage += 1
+            assert alpha_m[prev] == 0.0
+            assert abs(total - seen_disc) <= 1e-12, (prev, total)
+            assert total < 1.0
+    # the fixture exercises BOTH regimes ('a' saw every vocab word)
+    assert n_full_coverage >= 1
+    assert n_full_coverage < len(cprev_m)

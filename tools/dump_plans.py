@@ -823,6 +823,35 @@ ANNOTATED = {
         "greedy packer runs per (lang, md5-shard) partition in "
         "applyInPandas — the same budget recursion the oracle replays."
     ),
+    "kneser_ney_bigram": (
+        "Interpolated Kneser-Ney scoring (round 11): one pair "
+        "transform, three wordcount-shaped aggregates over the pair "
+        "vocabulary (bigram counts + two distinct-context counts), "
+        "uniform-key joins back onto the pair stream, and the ONE "
+        "reviewed 1-row broadcast (the N1+(*,*) type total) — no "
+        "vocabulary-sized driver state anywhere."
+    ),
+    "hll_distinct": (
+        "Deterministic HyperLogLog (round 11): the element hash and "
+        "register rank are pure codegen scalars; state is "
+        "REGISTER-BOUNDED (2^p rows per stratum after the first "
+        "aggregate), so the merge is a plain groupBy MAX and a "
+        "billion-row stratum costs the same post-aggregate work as a "
+        "thousand-row one."
+    ),
+    "good_turing_mass": (
+        "Good-Turing unseen mass (round 11): one wordcount shuffle to "
+        "type counts, an all-integer count-of-counts aggregate per "
+        "stratum, two rounded divisions — a pure aggregate chain, no "
+        "join in the plan at all."
+    ),
+    "unigram_expected_fertility": (
+        "Posterior-expected fertility (round 11): the unigram-LM "
+        "trainer's persisted Heaps-bounded vocab table feeds ONE "
+        "forward recursion carrying the mass and expectation lists "
+        "together (Arrow-batched over distinct words) — corpus "
+        "touched once, expectation exact, no second lattice pass."
+    ),
 }
 
 

@@ -956,6 +956,20 @@ def _probe_winnow_density(spark, sf_dir: str):
     return time.time() - t0, n
 
 
+def _probe_unigram_deep4(spark, sf_dir: str):
+    """unigram_lm_train_deep4 — the catalog's most expensive entry
+    (VERDICT r10 #7: measure, don't assume): 4 full EM rounds, each a
+    fresh Arrow-batched Viterbi job over the persisted Heaps-bounded
+    vocab — wall should grow with the DISTINCT-WORD table (Heaps:
+    sublinear in tokens), not the token stream."""
+    from mapreduceimpl_spark.operators.unigram_lm import unigram_lm_train_deep
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    n = unigram_lm_train_deep(docs, em_rounds=4)[0].count()
+    return time.time() - t0, n
+
+
 def _probe_katz_backoff(spark, sf_dir: str):
     """katz_backoff_bigram: the kneser_ney posture (pair transform,
     two wordcount-shaped aggregates, a 1-row count-of-counts
@@ -1021,6 +1035,7 @@ def _probe_fellegi_sunter(spark, sf_dir: str):
 
 
 PROBES = {
+    "unigram_deep4": _probe_unigram_deep4,
     "katz_backoff": _probe_katz_backoff,
     "draft_acceptance": _probe_draft_acceptance,
     "matryoshka": _probe_matryoshka,
