@@ -1161,11 +1161,17 @@ def embedding_neardup_pairs(
     else:
         src = embeddings
         blk = F.col(block_col)
+    # r11: norm once per vector pre-join (was two array folds per
+    # candidate pair); dot/(na*nb) is the same IEEE op sequence, so
+    # cosines are bit-identical (oracle-verified)
+    from mapreduceimpl_spark.functions.exprs import dot as _dot
+    from mapreduceimpl_spark.functions.exprs import l2_norm as _l2
+
     e = src.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), blk.alias("blk")
-    )
+    ).withColumn("__n", _l2(F.col("v")))
     a, b = e.alias("a"), e.alias("b")
-    sim = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    sim = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.__n") * F.col("b.__n"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapreduceimpl_spark.functions import cosine_similarity, dot
+from mapreduceimpl_spark.functions.exprs import l2_norm
 
 
 def _as_double(col: str | F.Column) -> F.Column:
@@ -68,13 +69,21 @@ def brute_force_topk(
     an unrelated query id space it silently removes an innocent
     corpus vector per query.
     """
+    # Round 11 (optimization, guide §1.2 "per-task work"): precompute
+    # each side's L2 norm ONCE PER ROW before the cross join instead of
+    # re-deriving both norms inside every (query, corpus) pair — the
+    # corpus norm was folded n_queries times per vector, the query norm
+    # once per corpus row.  dot/(qn*cn) evaluates the exact same IEEE
+    # ops in the same order as cosine_similarity, so the rounded scores
+    # are bit-identical (verified by collect-equality at sf0.1 and the
+    # DuckDB oracle).  Per-pair work drops from 3 array folds to 1.
     corpus = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("cv")
-    )
+    ).select("vec_id", "cv", l2_norm(F.col("cv")).alias("__cn"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    )
-    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    ).select("query_id", "qv", l2_norm(F.col("qv")).alias("__qn"))
+    sim = dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     joined = F.broadcast(q).crossJoin(corpus)
@@ -264,17 +273,24 @@ def ivf_probe_scores(
         )
         for i, c in enumerate(centroids)
     ]
+    # r11: per-side L2 norms computed once per row before the cell join
+    # (was: both norms re-folded inside every (query, candidate) pair);
+    # dot/(qn*cn) runs the same IEEE ops in the same order, so scores
+    # are bit-identical (oracle-verified)
     probes = qv.select(
         "query_id",
         "qv",
+        l2_norm(F.col("qv")).alias("__qn"),
         F.slice(F.array_sort(F.array(*probe_structs)), 1, n_probe).alias("probe"),
-    ).select("query_id", "qv", F.explode("probe.cell").alias("cell"))
+    ).select("query_id", "qv", "__qn", F.explode("probe.cell").alias("cell"))
     if broadcast_queries:
         probes = F.broadcast(probes)
-    return probes.join(cells, "cell").select(
+    return probes.join(
+        cells.withColumn("__cn", l2_norm(F.col("cv"))), "cell"
+    ).select(
         "query_id",
         "vec_id",
-        cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+        (dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn"))).alias("cosine"),
     )
 
 
@@ -352,10 +368,13 @@ def ivf_lloyd_topk(
         .select("query_id", F.col("cluster").alias("cell"))
     )
 
-    corpus = norm.select("vec_id", _as_double("embedding").alias("cv"))
+    # r11: norms once per row pre-join (bit-identical scores; guide §1.2)
+    corpus = norm.select(
+        "vec_id", _as_double("embedding").alias("cv")
+    ).withColumn("__cn", l2_norm(F.col("cv")))
     qv = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    )
+    ).withColumn("__qn", l2_norm(F.col("qv")))
     scored = (
         F.broadcast(probes.join(qv, "query_id"))
         .join(cells, "cell")
@@ -363,7 +382,9 @@ def ivf_lloyd_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")), 6
+            ).alias("cosine"),
         )
     )
     return _topk_by_cosine(scored, k)
@@ -505,12 +526,14 @@ def lsh_probe_scores(
             ),
         )
         q = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
-    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    # r11: norms once per row pre-join (bit-identical scores; guide §1.2)
+    q = q.withColumn("__qn", l2_norm(F.col("qv")))
+    sim = dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     if broadcast_queries:
         q = F.broadcast(q)
-    return q.join(corpus, "bucket").select(
+    return q.join(corpus.withColumn("__cn", l2_norm(F.col("cv"))), "bucket").select(
         "query_id",
         "vec_id",
         sim.alias("cosine"),
@@ -727,17 +750,20 @@ def triplet_mining(
 
     Determinism: rounded-then-ranked cosine with vec_id tiebreak.
     """
+    # r11: norms once per row pre-join (bit-identical scores; guide §1.2)
     corpus = embeddings.select(
         F.col("vec_id").alias("cand_id"),
         _as_double("embedding").alias("cv"),
         F.col("label").cast("long").alias("cand_label"),
-    )
+    ).withColumn("__cn", l2_norm(F.col("cv")))
     a = anchors.select(
         F.col("anchor_id"),
         _as_double("embedding").alias("qv"),
         F.col("label").cast("long").alias("anchor_label"),
+    ).withColumn("__qn", l2_norm(F.col("qv")))
+    sim = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")), round_digits
     )
-    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), round_digits)
     scored = (
         F.broadcast(a)
         .crossJoin(corpus)
@@ -1193,24 +1219,29 @@ def mmr_rerank(
         cands = cands.persist()
         if caches is not None:
             caches.append(cands)
+    # r11: norm once per pool row pre-join (was re-folded per grid pair;
+    # bit-identical scores — guide §1.2)
     corpus = embeddings.select(
         F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
-    )
+    ).withColumn("__n", l2_norm(F.col("cv")))
     ca = (
         cands.join(corpus, cands["vec_id"] == corpus["cid"])
-        .select("query_id", F.col("vec_id").alias("a"), F.col("cv").alias("va"))
+        .select("query_id", F.col("vec_id").alias("a"), F.col("cv").alias("va"),
+                F.col("__n").alias("__na"))
     )
     cb = (
         cands.join(corpus, cands["vec_id"] == corpus["cid"])
         .select(F.col("query_id").alias("qb"), F.col("vec_id").alias("b"),
-                F.col("cv").alias("vb"))
+                F.col("cv").alias("vb"), F.col("__n").alias("__nb"))
     )
     grid = (
         ca.join(cb, (F.col("query_id") == F.col("qb")) & (F.col("a") != F.col("b")))
         .select(
             "query_id", "a", "b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), round_digits)
-            .alias("sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")),
+                round_digits,
+            ).alias("sim"),
         )
     )
     if persist_pool:
@@ -1315,13 +1346,18 @@ def matryoshka_recall_eval(
         F.explode(dims_lit).alias("dim"),
         "vec_id",
         F.col("v").alias("cv"),
-    ).select("dim", "vec_id", F.slice("cv", F.lit(1), F.col("dim")).alias("cv"))
+    ).select(
+        "dim", "vec_id", F.slice("cv", F.lit(1), F.col("dim")).alias("cv")
+    ).withColumn("__cn", l2_norm(F.col("cv")))
     queries = emb.filter(F.col("vec_id") < n_queries)
     q_d = queries.select(
         F.explode(dims_lit).alias("dim"),
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
-    ).select("dim", "query_id", F.slice("qv", F.lit(1), F.col("dim")).alias("qv"))
+    ).select(
+        "dim", "query_id", F.slice("qv", F.lit(1), F.col("dim")).alias("qv")
+    ).withColumn("__qn", l2_norm(F.col("qv")))
+    # r11: per-(row, dim) norms computed once pre-join (bit-identical)
     scored = (
         F.broadcast(q_d)
         .join(corpus_d, "dim")
@@ -1329,9 +1365,9 @@ def matryoshka_recall_eval(
             "dim",
             "query_id",
             "vec_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("dim", "query_id").orderBy(
@@ -1397,26 +1433,34 @@ def matryoshka_rerank_topk(
         raise ValueError(
             f"need 1 <= k <= shortlist, got k={k}, shortlist={shortlist}"
         )
+    # r11: both tiers' norms once per row pre-join (bit-identical scores)
     corpus = embeddings.select(
         "vec_id",
         _as_double("embedding").alias("cv"),
-    ).select("vec_id", "cv", F.slice("cv", 1, dim).alias("cvp"))
+    ).select("vec_id", "cv", F.slice("cv", 1, dim).alias("cvp")).select(
+        "vec_id", "cv", "cvp",
+        l2_norm(F.col("cv")).alias("__cn"), l2_norm(F.col("cvp")).alias("__cnp"),
+    )
     q = queries.select(
         F.col("query_id"),
         _as_double("embedding").alias("qv"),
-    ).select("query_id", "qv", F.slice("qv", 1, dim).alias("qvp"))
+    ).select("query_id", "qv", F.slice("qv", 1, dim).alias("qvp")).select(
+        "query_id", "qv", "qvp",
+        l2_norm(F.col("qv")).alias("__qn"), l2_norm(F.col("qvp")).alias("__qnp"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(corpus)
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_similarity(F.col("qvp"), F.col("cvp")), 6).alias(
-                "cosine_prefix"
-            ),
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                dot(F.col("qvp"), F.col("cvp")) / (F.col("__qnp") * F.col("__cnp")),
+                6,
+            ).alias("cosine_prefix"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")), 6
+            ).alias("cosine"),
         )
     )
     w1 = Window.partitionBy("query_id").orderBy(

@@ -2348,29 +2348,42 @@ def stream_matryoshka_rerank(
     IVF index (``stream_ann_search``) with this pass reranking its
     candidates, same contract.
     """
-    from mapreduceimpl_spark.functions import cosine_similarity
+    from mapreduceimpl_spark.functions.exprs import dot as _dot
+    from mapreduceimpl_spark.functions.exprs import l2_norm as _l2
 
     if not (1 <= k <= shortlist):
         raise ValueError(
             f"need 1 <= k <= shortlist, got k={k}, shortlist={shortlist}"
         )
+    # r11: norms once per row pre-join, matching the batch twin (the
+    # static corpus norms are computed once per corpus row per
+    # micro-batch instead of once per (query, corpus) pair; scores
+    # bit-identical — same IEEE op order)
     cstat = corpus.select(
         F.lit(0).alias("__jk"),
         "vec_id",
         F.col("embedding").cast("array<double>").alias("cv"),
-    ).select("__jk", "vec_id", "cv", F.slice("cv", 1, dim).alias("cvp"))
+    ).select("__jk", "vec_id", "cv", F.slice("cv", 1, dim).alias("cvp")).select(
+        "__jk", "vec_id", "cv", "cvp",
+        _l2(F.col("cv")).alias("__cn"), _l2(F.col("cvp")).alias("__cnp"),
+    )
     qs = queries.select(
         F.lit(0).alias("__jk"),
         "query_id",
         F.col("embedding").cast("array<double>").alias("qv"),
-    ).select("__jk", "query_id", "qv", F.slice("qv", 1, dim).alias("qvp"))
+    ).select("__jk", "query_id", "qv", F.slice("qv", 1, dim).alias("qvp")).select(
+        "__jk", "query_id", "qv", "qvp",
+        _l2(F.col("qv")).alias("__qn"), _l2(F.col("qvp")).alias("__qnp"),
+    )
     scored = qs.join(cstat, "__jk").select(
         "query_id",
         "vec_id",
-        F.round(cosine_similarity(F.col("qvp"), F.col("cvp")), 6).alias(
-            "cosine_prefix"
-        ),
-        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(
+            _dot(F.col("qvp"), F.col("cvp")) / (F.col("__qnp") * F.col("__cnp")), 6
+        ).alias("cosine_prefix"),
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")), 6
+        ).alias("cosine"),
     )
 
     def rerank(batches):
