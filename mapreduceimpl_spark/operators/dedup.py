@@ -73,15 +73,31 @@ def with_mutated_copies(
     """Test corpus for near-dup operators: append a lightly-mutated copy
     of every ``every``-th document (same text + a short suffix), so
     fuzzy dedup has true near-duplicates to find.  Deterministic and
-    SQL-mirrorable (the oracle builds the same union)."""
-    dup = docs.filter((F.col("doc_id") % every) == 0).select(
+    SQL-mirrorable (the oracle builds the same union).
+
+    Round 11 (optimization, guide §6): built as a single-scan explode
+    — each row fans out to itself (plus its mutated copy on every
+    ``every``-th id) from ONE pass over the parquet file.  The previous
+    union-of-two-subqueries formulation scanned the documents table
+    TWICE (the mutated branch's ``% every`` filter cannot push to the
+    parquet reader), doubling input I/O for every near-dup operator
+    built on this corpus.  Output rows and schema are identical
+    (collect-equality at sf0.1 + the full oracle gate)."""
+    base = F.struct(F.col("doc_id").alias("doc_id"), F.col("text").alias("text"))
+    dup = F.struct(
         (F.col("doc_id") + id_offset).alias("doc_id"),
         F.concat(F.col("text"), F.lit(suffix)).alias("text"),
+    )
+    arr = F.when((F.col("doc_id") % every) == 0, F.array(base, dup)).otherwise(
+        F.array(base)
+    )
+    return docs.select(F.explode(arr).alias("__r"), "lang", "source", "n_chars").select(
+        F.col("__r.doc_id").alias("doc_id"),
+        F.col("__r.text").alias("text"),
         "lang",
         "source",
         "n_chars",
     )
-    return docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(dup)
 
 
 # ---------------------------------------------------------------------------
@@ -156,6 +172,20 @@ def minhash_signatures(
     of md5-lane signatures — itself a dataset, which is why bands
     (below) aggregate to one short key per (doc, band) before any join.
     """
+    # Round 11 (optimization) note — two "faster" signature forms were
+    # built, verified output-identical, and REJECTED on measurement
+    # (guide §1.1's "the ideal plan is usually slower at first"):
+    # (a) numeric lanes via conv(hex,16,10) upgrade the min() aggregate
+    #     from SortAggregate to HashAggregate (min over STRING has a
+    #     var-width buffer HashAggregate cannot hold), but conv costs
+    #     more than the sort it removes: interleaved sf0.1 medians
+    #     3.21 s -> 4.57 s for the full pairs pipeline;
+    # (b) a zero-exchange per-row form (array_min over transform of the
+    #     per-doc shingle array — no explode, no sort, no shuffle at
+    #     all) loses ~8% locally to intermediate array materialization
+    #     (2.37 s vs 2.55 s, 8 interleaved reps).
+    # The explode -> partial-min -> one-doc-shuffle shape stays; its
+    # per-task sort is bounded by task input and spills gracefully.
     sh = ngram_shingles(docs, n=shingle_n, id_col=id_col, text_col=text_col)
     mins = [
         F.min(_perm_hash(F.col("shingle"), i, hash_fn)).alias(f"mh_{i}")
@@ -253,9 +283,22 @@ def minhash_lsh_pairs(
     estimated Jaccard (matching positions / n_perms) is computed in
     the same pass — no join back to the signature table (measured ~4x
     faster than the signatures->pairs->re-join formulation).
+
+    Round 11 (optimization, guide §2.4 "remove shuffles outright"):
+    the self-join carries a SHUFFLE_HASH hint.  Under the broadcast
+    plan the build side was an independent BroadcastExchange subtree,
+    so the whole shingle->md5->signature pipeline executed TWICE (once
+    per join side); with a shuffled hash join both sides require the
+    same hashpartitioning(band_id, band_key), the subtrees canonicalize
+    equal, and AQE's exchange reuse turns the build side into a
+    ReusedExchange — the signature pipeline runs ONCE (plan-pinned in
+    tests/test_plans.py).  This is also the only strategy that exists
+    at 100 TB: the bands relation is the corpus itself, far past any
+    broadcast threshold, and AQE skew-split handles hot band buckets
+    for shuffled hash joins the same as for sort-merge.
     """
     bands = _bands_with_sig(docs, n_perms, band_size, hash_fn)
-    a, b = bands.alias("a"), bands.alias("b")
+    a, b = bands.alias("a").hint("shuffle_hash"), bands.alias("b")
     matches = F.size(
         F.filter(
             F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
@@ -1120,17 +1163,30 @@ def with_perturbed_vectors(
 ) -> DataFrame:
     """Test corpus for vector near-dup: add a copy of every ``every``-th
     vector with ``delta`` added to dimension 0 (cosine stays high but
-    < 1).  Deterministic IEEE double ops — SQL-mirrorable exactly."""
-    base = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label")
-    dup = base.filter((F.col("vec_id") % every) == 0).select(
+    < 1).  Deterministic IEEE double ops — SQL-mirrorable exactly.
+
+    Round 11 (optimization, guide §6): single-scan explode instead of
+    a union of two scans — same rationale and equality evidence as
+    ``with_mutated_copies``."""
+    base = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+    orig = F.struct(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("embedding"))
+    dup = F.struct(
         (F.col("vec_id") + id_offset).alias("vec_id"),
         F.concat(
             F.array(F.element_at("embedding", 1) + delta),
             F.slice("embedding", 2, 100_000),
         ).alias("embedding"),
+    )
+    arr = F.when((F.col("vec_id") % every) == 0, F.array(orig, dup)).otherwise(
+        F.array(orig)
+    )
+    return base.select(F.explode(arr).alias("__r"), "label").select(
+        F.col("__r.vec_id").alias("vec_id"),
+        F.col("__r.embedding").alias("embedding"),
         "label",
     )
-    return base.unionByName(dup)
 
 
 def embedding_neardup_pairs(

@@ -405,9 +405,17 @@ def q_window_rank(t: dict[str, DataFrame]) -> DataFrame:
     both window specs share one Exchange)."""
     o = t["orders"]
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    # Round 11 (optimization, guide §2.4): the RANGE frame orders by
+    # o_totalprice DESC so its required sort [custkey, totalprice DESC]
+    # is a PREFIX of the rank window's [custkey, totalprice DESC,
+    # orderkey ASC] — EnsureRequirements drops the second full Sort of
+    # orders (plan: 2 Sorts -> 1).  A symmetric +/-1000 RANGE frame
+    # counts the same row set under either sort direction, so
+    # n_similar_price is unchanged (collect-equality at sf0.1 + oracle,
+    # whose SQL keeps the ASC spelling).
     wr = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_totalprice")
+        .orderBy(F.desc("o_totalprice"))
         .rangeBetween(-1000, 1000)
     )
     return (

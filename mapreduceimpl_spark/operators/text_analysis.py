@@ -2042,11 +2042,16 @@ def preference_pairs(docs: DataFrame) -> DataFrame:
     margin filter drops it (margin > 0 keeps only genuinely ordered
     pairs).
 
-    Plan: both row_number windows share the (lang, source) partition
-    key — ONE Exchange, two sorts; the two rank-1 sets are |groups|
-    rows joined on the group key.  At 100 TB the group count is small
-    (domains x languages) — the join is broadcast-eligible and the
-    window input is the corpus scanned once.
+    Plan (round 11, optimization — guide §2.3 "aggregate before you
+    shuffle"): the two rank-1 winners are struct-extrema AGGREGATES,
+    not windows — ``max(struct(diversity, -doc_id))`` picks (highest
+    diversity, lowest id) and ``min`` of the same struct picks (lowest
+    diversity, highest id), exactly the two row_number tie-break
+    orders.  One partial+final aggregate pair replaces the previous
+    two full window sorts plus a rank-1 self-join: the corpus never
+    sorts, the exchange carries |groups| partial rows instead of the
+    corpus, and the join disappears (collect-equality at sf0.01/0.1 +
+    oracle, whose SQL keeps the two-window spelling).
     """
     toks = tokens("text")
     base = docs.select(
@@ -2061,29 +2066,21 @@ def preference_pairs(docs: DataFrame) -> DataFrame:
     # NULL-diversity docs (null text) are excluded BEFORE ranking:
     # Spark sorts nulls first on ASC while DuckDB defaults nulls last,
     # so a null row would hijack the rejected slot in one engine only
-    w_chosen = Window.partitionBy("lang", "source").orderBy(
-        F.col("diversity").desc(), F.col("doc_id").asc()
+    key = F.struct(
+        F.col("diversity").alias("div"), (-F.col("doc_id")).alias("neg_id")
     )
-    w_rejected = Window.partitionBy("lang", "source").orderBy(
-        F.col("diversity").asc(), F.col("doc_id").desc()
-    )
-    ranked = base.withColumn("rd", F.row_number().over(w_chosen)).withColumn(
-        "ra", F.row_number().over(w_rejected)
-    )
-    chosen = ranked.filter(F.col("rd") == 1).select(
-        "lang",
-        "source",
-        F.col("doc_id").alias("chosen_id"),
-        F.col("diversity").alias("chosen_score"),
-    )
-    rejected = ranked.filter(F.col("ra") == 1).select(
-        "lang",
-        "source",
-        F.col("doc_id").alias("rejected_id"),
-        F.col("diversity").alias("rejected_score"),
+    agg = base.groupBy("lang", "source").agg(
+        F.max(key).alias("__ch"), F.min(key).alias("__rj")
     )
     return (
-        chosen.join(rejected, ["lang", "source"])
+        agg.select(
+            "lang",
+            "source",
+            (-F.col("__ch.neg_id")).alias("chosen_id"),
+            (-F.col("__rj.neg_id")).alias("rejected_id"),
+            F.col("__ch.div").alias("chosen_score"),
+            F.col("__rj.div").alias("rejected_score"),
+        )
         .filter(F.col("chosen_score") > F.col("rejected_score"))
         .select(
             "lang",

@@ -1402,3 +1402,42 @@ def test_staged_round13_ops_plan_shapes(docs, embeddings, tables):
     # restart subplan that every round re-references carries NO
     # broadcast nested loop at all
     assert "BroadcastNestedLoopJoin" not in pp
+
+
+# ---------------------------------------------------------------------------
+# round 11 (optimization): minhash signature aggregate + self-join reuse
+# ---------------------------------------------------------------------------
+
+
+def test_mutated_copies_single_scan(docs):
+    """Round 11: the near-dup test corpus is built by a single-scan
+    explode — the previous union-of-two-subqueries read the documents
+    parquet twice (the mutated branch's ``% every`` filter cannot push
+    down), doubling input I/O for every near-dup operator."""
+    from mapreduceimpl_spark.operators import dedup
+    from mapreduceimpl_spark.plans import explain_str
+
+    plan = explain_str(dedup.with_mutated_copies(docs), "simple")
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_minhash_self_join_computes_signatures_once(docs):
+    """Round 11: the banded self-join is a ShuffledHashJoin whose build
+    side is a ReusedExchange of the stream side, so the whole
+    shingle->md5->signature pipeline executes ONCE per run (the previous
+    BroadcastHashJoin plan ran it twice, once per join side), and the
+    single-scan with_mutated_copies leaves exactly one corpus scan in
+    the final adaptive plan."""
+    from mapreduceimpl_spark.operators import dedup
+
+    df = dedup.minhash_lsh_pairs(dedup.with_mutated_copies(docs))
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan.toString appends the pre-execution "Initial
+    # Plan" section, where reuse has not happened yet — cut it off
+    final = final.split("Initial Plan")[0]
+    assert "isFinalPlan=true" in final
+    assert "ShuffledHashJoin" in final
+    assert "BroadcastHashJoin" not in final
+    assert "ReusedExchange" in final
+    assert final.count("Scan parquet") == 1, final.count("Scan parquet")
