@@ -91,6 +91,33 @@ def main() -> None:
                 # not against its (different-day) recorded number — makes
                 # the host-variance diagnosis mechanical (VERDICT r5 #5).
                 "provenance": {
+                    # --- round 11 OPTIMIZATION pass (2026-08-18) ---
+                    # Six interleaved same-day pairs, fresh process per
+                    # side, HEAD vs the r10-end worktree (3ac7fd1):
+                    # totals HEAD [42.5, 17.9, 13.2, 15.6, 14.8, 36.8]
+                    # vs PREV [20.1, 16.8, 14.0, 13.6, 17.1, 19.3].
+                    # Pairs 1 and 6 hit the documented host stall class
+                    # (single-core-spin interpreted-aggregate runs; see
+                    # OPTIMIZATION_r11.md "Host-noise"): a single query
+                    # inflated 4-6x (pair 1: ann_topk 6.3s,
+                    # pricing_summary 6.5s; pair 6: minhash 9.0s) while
+                    # the machine sat 90%+ idle.  Clean pairs 2-5:
+                    # ratios 1.07/0.94/1.15/0.87 -> geomean 1.00,
+                    # alternating sign; clean per-query medians within
+                    # +/-12% of 1.0 except window_rank 0.78x (the r11
+                    # second-sort elimination, plan-verified in
+                    # plans/r11/window_rank_{before,after}.txt) and
+                    # local_supplier_volume 0.85x / shipping_priority
+                    # 1.25x (both in code untouched this round — the
+                    # sub-2s noise floor).  The r11 changes are
+                    # structural at-scale wins (signature pipeline 1x
+                    # instead of 2x via ReusedExchange, single-scan
+                    # fixture corpora, aggregate-not-window preference
+                    # pairs), deliberately local-neutral.
+                    "r11_optimization_pairs_head_over_prev": [
+                        2.11, 1.07, 0.94, 1.15, 0.87, 1.90,
+                    ],
+                    "r11_clean_pair_geomean": 1.00,
                     "prev_round_end_commit": "3ac7fd1",
                     # same-day warm pair (2026-08-17): r10-end 18.151s
                     # vs HEAD 18.130s = 1.00x; the host runs ~20%

@@ -37,10 +37,27 @@ def get_spark(app_name: str = "mapreduceimpl-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # --- shuffle ---
-        .config("spark.sql.shuffle.partitions", _DEFAULT_LOCAL_SHUFFLE_PARTITIONS)
+        # --- shuffle --- (env-tunable for cluster deployments: set
+        # 2-3x total cores; AQE coalescing merges the excess at runtime)
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get(
+                "SPARK_GRAFT_SHUFFLE_PARTITIONS", _DEFAULT_LOCAL_SHUFFLE_PARTITIONS
+            ),
+        )
         # --- broadcast joins for dimension tables (region/nation/...) ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- prefer shuffled hash join over sort-merge when its size
+        # conditions are met (optimization guide §3.1/§9): SHJ skips
+        # both sides' sorts; AQE skew-split covers SHJ the same as SMJ.
+        # Measured r11 (order-balanced A/B at sf0.1): NEUTRAL locally —
+        # at fixture sizes AQE re-plans every shuffle join to broadcast
+        # anyway (pagerank executed plan: 19 BHJ, 0 SMJ), so the flag
+        # only decides strategy where a side exceeds the broadcast
+        # threshold but a partition fits a hash map — exactly the
+        # 100 TB case.  Join strategy never changes results; full
+        # oracle gate re-run green under the flag. ---
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # --- runtime row-level filtering: inject a bloom filter built
         # from the selective (creation) side of a shuffle join into the
         # big side's scan, pruning rows before the shuffle.  Off by
@@ -51,8 +68,16 @@ def get_spark(app_name: str = "mapreduceimpl-spark") -> SparkSession:
         # --- Arrow: vectorized transfer for pandas-UDF escape hatches ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # --- parquet scan: keep splits memory-friendly ---
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # --- parquet scan: keep splits memory-friendly locally; on a
+        # 100 TB cluster scan raise to 512m-1g (guide §6) to cut task
+        # count and the M factor of every downstream shuffle (env knob
+        # so the local bench stays comparable) ---
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES", str(128 * 1024 * 1024)
+            ),
+        )
         # --- deterministic session timezone for timestamp semantics ---
         .config("spark.sql.session.timeZone", "UTC")
         # parquet TIMESTAMP(NANOS) (events.ts) is rejected by default;
