@@ -57,7 +57,14 @@ ANNOTATED = {
         "Shingle explode -> 16 map-side partial MINs -> one shuffle per "
         "doc -> band explode -> self-equi-join on (band_id, band_key) "
         "md5 keys (uniform, AQE-skew-splittable). Estimated Jaccard "
-        "computed in the same pass — no re-join to signatures."
+        "computed in the same pass — no re-join to signatures. "
+        "Round 11: the self-join is a SHUFFLE_HASH hint so both sides "
+        "share one hashpartitioning requirement and AQE reuses the "
+        "exchange — the signature pipeline executes ONCE per run (the "
+        "prior broadcast build side was an independent subtree that "
+        "re-ran the whole scan->md5->min chain; runtime plan pinned by "
+        "test_minhash_self_join_computes_signatures_once), and the "
+        "mutated-copy corpus is a single-scan explode (2 scans -> 1)."
     ),
     "ann_topk": (
         "Query side is a BroadcastExchange; the corpus scan joins "
@@ -85,6 +92,15 @@ ANNOTATED = {
         "ntile, first/last, percent_rank, cume_dist) over one "
         "(user_id; ts, event_id) spec: exactly one Exchange + one "
         "Sort feed every Window operator."
+    ),
+    "window_rank": (
+        "Round 11: ONE Exchange and ONE Sort feed both Window "
+        "operators — the ±1000 RANGE frame orders o_totalprice DESC, "
+        "making its sort requirement a prefix of the rank windows' "
+        "(o_totalprice DESC, o_orderkey ASC), so EnsureRequirements "
+        "drops the second full sort of orders (a symmetric range "
+        "frame counts the same rows under either direction; the "
+        "oracle keeps the ASC spelling)."
     ),
     "text_repetition": (
         "Gopher repetition filters: three gram streams (uni/bi/tri) "
@@ -535,10 +551,12 @@ ANNOTATED = {
         "exploded token stream; one Exchange on token, one on doc_id."
     ),
     "preference_pairs": (
-        "DPO pair construction: both row_number windows (chosen DESC, "
-        "rejected ASC) share ONE (lang, source) Exchange — the corpus "
-        "is scanned and shuffled once; the rank-1 sets are |groups| "
-        "rows, joined broadcast."
+        "DPO pair construction (round 11): the two rank-1 winners are "
+        "struct-extrema AGGREGATES — max/min of struct(diversity, "
+        "-doc_id) replay the two row_number tie-break orders — so one "
+        "partial+final aggregate pair replaces the previous two full "
+        "window sorts plus a rank-1 self-join; the exchange carries "
+        "|groups| partial rows, the corpus never sorts."
     ),
     "conversation_build": (
         "Dialog assembly: ONE user_id Exchange; ordering is array_sort "
