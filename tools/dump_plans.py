@@ -142,9 +142,12 @@ ANNOTATED = {
     ),
     "tfidf_topterms": (
         "TF-IDF: token explode -> (doc, term) counts with map-side "
-        "partials; document frequency aggregates the much smaller "
-        "(doc, term) stream; N broadcasts as a 1-row literal; final "
-        "per-doc top-k is one row_number window."
+        "partials; document frequency is a count(*) window over the "
+        "SAME (doc, term) relation (round 11 — the former second "
+        "aggregate + join-back defeated exchange reuse via column "
+        "pruning and exploded the corpus twice: 3 scans -> 2); N "
+        "broadcasts as a 1-row literal; final per-doc top-k is one "
+        "row_number window."
     ),
     "range_join": (
         "Interval-overlap join: the EQUI key (user_id) carries the "
