@@ -1313,7 +1313,19 @@ def q_revenue_share(t: dict[str, DataFrame]) -> DataFrame:
     supplier revenue, computed from the per-supplier aggregate itself
     (|suppliers| rows, decimal-routed so the mean is order-free)."""
     li, s = t["lineitem"], t["supplier"]
-    per_supp = li.groupBy("l_suppkey").agg(dec_sum(revenue()).alias("value"))
+    # Round 11 (optimization, guide §2.4): the explicit isNotNull makes
+    # the per-supplier aggregate subtree IDENTICAL under both consumers.
+    # Without it, the supplier join infers isnotnull(l_suppkey) on the
+    # output branch only, the two subtrees no longer canonicalize
+    # equal, exchange reuse cannot fire, and the fact table was scanned
+    # and partially aggregated TWICE (executed plan: ReusedExchange=0,
+    # 2 lineitem scans -> now 1; l_suppkey is a TPC-H FK, never null,
+    # so the threshold mean is unchanged — oracle green).
+    per_supp = (
+        li.filter(F.col("l_suppkey").isNotNull())
+        .groupBy("l_suppkey")
+        .agg(dec_sum(revenue()).alias("value"))
+    )
     threshold = per_supp.agg(
         (dec_avg("value") * F.lit(1.05)).alias("threshold")
     )
@@ -1332,10 +1344,14 @@ def q_top_supplier(t: dict[str, DataFrame]) -> DataFrame:
     revenue aggregate is computed once and reused for both the MAX and
     the final filter (Spark: one plan, the one-row MAX broadcasts)."""
     li, s = t["lineitem"], t["supplier"]
+    # explicit isNotNull for the same exchange-reuse reason as
+    # q_revenue_share (round 11): both consumers of ``rev`` must see
+    # an identical subtree or the fact is scanned twice
     rev = (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+            & F.col("l_suppkey").isNotNull()
         )
         .groupBy("l_suppkey")
         .agg(dec_sum(revenue()).alias("total_revenue"))

@@ -219,7 +219,12 @@ ANNOTATED = {
         "Q11 shape: the one-row 1.05x-mean threshold broadcasts onto "
         "the per-supplier aggregate; the fact shuffles once on "
         "l_suppkey; the threshold is computed from the |suppliers|-row "
-        "aggregate, not a second fact scan."
+        "aggregate, not a second fact scan.  Round 11: that claim is "
+        "now enforced — an explicit isNotNull(l_suppkey) at the source "
+        "makes both consumers' subtrees canonicalize equal so exchange "
+        "reuse fires (previously the join-inferred null filter broke "
+        "it and the fact WAS scanned twice; executed plan now 1 "
+        "lineitem scan + ReusedExchange)."
     ),
     "shipmode_priority": (
         "Q12 shape: ship-date window in PushedFilters, conditional "
@@ -229,7 +234,10 @@ ANNOTATED = {
     "top_supplier": (
         "Q15 shape: the revenue view is computed once; its one-row MAX "
         "broadcasts back for the equality filter — no re-aggregation, "
-        "supplier dim broadcast."
+        "supplier dim broadcast.  Round 11: 'computed once' is now "
+        "enforced the same way as revenue_share (source-side "
+        "isNotNull -> identical subtrees -> ReusedExchange; previously "
+        "the fact was scanned twice at runtime)."
     ),
     "customer_distribution": (
         "Q13 shape: LEFT OUTER preserves zero-order customers "
