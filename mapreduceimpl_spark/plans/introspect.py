@@ -25,6 +25,28 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
+def executed_plan_str(df: DataFrame) -> str:
+    """String form of the EXECUTED physical plan (post-AQE re-planning).
+
+    ``explain_str`` shows the initial plan (``isFinalPlan=false``) until
+    the query has run; runtime effects — exchange reuse, AQE join
+    rewrites, coalesced partitions — are only visible here.  The caller
+    must have executed the DataFrame first (e.g. ``df.collect()``).
+
+    Centralizes the private ``_jdf.queryExecution().executedPlan()``
+    JVM access (ADVICE r11: one place to fix on a Spark upgrade or
+    under Spark Connect, instead of per-test).  AdaptiveSparkPlan's
+    ``toString`` appends a pre-execution "Initial Plan" section where
+    runtime reuse has not happened yet; it is cut off when present
+    (absent on non-adaptive plans or if a future Spark renames it —
+    callers then see the full string, and the ``isFinalPlan=true``
+    assertion most callers make still guards staleness).
+    """
+    final = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    head, _sep, _tail = final.partition("Initial Plan")
+    return head
+
+
 def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
     """Assert each fragment appears in the scan's PushedFilters list."""
     plan = explain_str(df)

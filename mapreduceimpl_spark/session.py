@@ -56,8 +56,22 @@ def get_spark(app_name: str = "mapreduceimpl-spark") -> SparkSession:
         # only decides strategy where a side exceeds the broadcast
         # threshold but a partition fits a hash map — exactly the
         # 100 TB case.  Join strategy never changes results; full
-        # oracle gate re-run green under the flag. ---
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # oracle gate re-run green under the flag.
+        # Round 12 (ADVICE r11): env-tunable.  The SHJ trade-off is
+        # that its build-side HashedRelation cannot spill — a skewed
+        # partition that still exceeds memory after AQE skew-split
+        # OOMs where sort-merge would have spilled gracefully.  The
+        # local default stays "false" (prefer SHJ; joins that were
+        # measured to need SHJ for exchange reuse, e.g.
+        # minhash_lsh_pairs, additionally carry explicit SHUFFLE_HASH
+        # hints so they do not depend on this session default); a
+        # memory-tight cluster deployment sets
+        # SPARK_GRAFT_PREFER_SORTMERGE=true to get the spill-safe
+        # strategy everywhere except those hinted joins. ---
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SORTMERGE", "false"),
+        )
         # --- runtime row-level filtering: inject a bloom filter built
         # from the selective (creation) side of a shuffle join into the
         # big side's scan, pruning rows before the shuffle.  Off by

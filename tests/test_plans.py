@@ -400,6 +400,18 @@ def test_q11_total_broadcasts_fact_shuffles_once(tables):
     assert_broadcast_join(df, expect=2)  # total + supplier dim
 
 
+def test_q11_suppkey_fk_invariant_holds_in_fixture(tables):
+    """Round 12 (ADVICE r11): q_revenue_share's source-side
+    isNotNull(l_suppkey) (the round-11 exchange-reuse fix) silently
+    couples the Q11 threshold semantics to the TPC-H FK invariant —
+    a null suppkey group would previously have contributed to the
+    1.05x-mean threshold before being dropped by the inner join.
+    Guard the invariant at the fixture level instead of relying on the
+    in-code comment: if non-TPC-H data with null suppkeys is ever
+    routed through, this fails loudly."""
+    assert tables["lineitem"].filter(F.col("l_suppkey").isNull()).count() == 0
+
+
 def test_q15_max_of_aggregate_broadcasts(tables):
     df = relational.q_top_supplier(tables)
     assert_no_cartesian(df)
@@ -1429,13 +1441,11 @@ def test_minhash_self_join_computes_signatures_once(docs):
     single-scan with_mutated_copies leaves exactly one corpus scan in
     the final adaptive plan."""
     from mapreduceimpl_spark.operators import dedup
+    from mapreduceimpl_spark.plans import executed_plan_str
 
     df = dedup.minhash_lsh_pairs(dedup.with_mutated_copies(docs))
     df.collect()
-    final = df._jdf.queryExecution().executedPlan().toString()
-    # AdaptiveSparkPlan.toString appends the pre-execution "Initial
-    # Plan" section, where reuse has not happened yet — cut it off
-    final = final.split("Initial Plan")[0]
+    final = executed_plan_str(df)
     assert "isFinalPlan=true" in final
     assert "ShuffledHashJoin" in final
     assert "BroadcastHashJoin" not in final
