@@ -1361,6 +1361,11 @@ def test_staged_round11_ops_plan_shapes(docs):
     # the n_types 1-row total rides a broadcast nested loop by design
     # (the heavy_hitters/bigram_logprob pattern); nothing else may
     assert kn.count("BroadcastNestedLoopJoin") <= 1
+    # Round 12: c(prev) is derived from the bi relation (sum of
+    # cnt_pc), never a second aggregate over the raw pair stream —
+    # 5 corpus-scan subtrees (scored stream + bi under its four
+    # consumers), not the 6 the separate cprev aggregate cost
+    assert kn.count("FileScan parquet") <= 5, kn.count("FileScan parquet")
 
     # hll joins its two post-aggregate per-stratum relations on the
     # bounded strata key (any equi-join strategy is healthy there);
