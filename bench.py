@@ -91,68 +91,43 @@ def main() -> None:
                 # not against its (different-day) recorded number — makes
                 # the host-variance diagnosis mechanical (VERDICT r5 #5).
                 "provenance": {
-                    # --- round 11 OPTIMIZATION pass (2026-08-18) ---
-                    # Six interleaved same-day pairs, fresh process per
-                    # side, HEAD vs the r10-end worktree (3ac7fd1):
-                    # totals HEAD [42.5, 17.9, 13.2, 15.6, 14.8, 36.8]
-                    # vs PREV [20.1, 16.8, 14.0, 13.6, 17.1, 19.3].
-                    # Pairs 1 and 6 hit the documented host stall class
-                    # (single-core-spin interpreted-aggregate runs; see
-                    # OPTIMIZATION_r11.md "Host-noise"): a single query
-                    # inflated 4-6x (pair 1: ann_topk 6.3s,
-                    # pricing_summary 6.5s; pair 6: minhash 9.0s) while
-                    # the machine sat 90%+ idle.  Clean pairs 2-5:
-                    # ratios 1.07/0.94/1.15/0.87 -> geomean 1.00,
-                    # alternating sign; clean per-query medians within
-                    # +/-12% of 1.0 except window_rank 0.78x (the r11
-                    # second-sort elimination, plan-verified in
-                    # plans/r11/window_rank_{before,after}.txt) and
-                    # local_supplier_volume 0.85x / shipping_priority
-                    # 1.25x (both in code untouched this round — the
-                    # sub-2s noise floor).  The r11 changes are
-                    # structural at-scale wins (signature pipeline 1x
-                    # instead of 2x via ReusedExchange, single-scan
-                    # fixture corpora, aggregate-not-window preference
-                    # pairs), deliberately local-neutral.
+                    # --- round 12 OPTIMIZATION pass (2026-08-18) ---
+                    # Six interleaved order-balanced pairs, fresh
+                    # process per side, HEAD vs the r11-end worktree
+                    # (4f46f3a): totals HEAD [13.3, 13.3, 13.4, 28.9,
+                    # 15.3, 14.5] vs PREV [14.2, 13.5, 13.8, 17.6,
+                    # 18.2, 13.0].  Pair 4 hit the documented host
+                    # stall class ONE-SIDED (HEAD's ann_topk 3.2x,
+                    # text_quality 2.8x inflated in a single run) and
+                    # is discarded; clean pairs 1/2/3/5/6 -> ratios
+                    # 0.94/0.99/0.97/0.84/1.11, geomean 0.97,
+                    # alternating sign.  Per-query clean medians all
+                    # within +/-12% of 1.0 — expected, since NO bench
+                    # query's code or plan changed in round 12 (PLANS.md
+                    # regenerated at HEAD: zero structural diffs); the
+                    # round's changes are the kneser_ney derivable-
+                    # count merge (-21% on that non-bench entry,
+                    # plans/r12/kneser_ney_bigram_{before,after}.txt)
+                    # and the ADVICE r11 closures.  Same-day single-
+                    # shot totals on IDENTICAL code spread 12.7-141.1 s
+                    # this round (one 10x whole-run inflation event
+                    # while the sandbox sat at load 2.2/32 cores), so
+                    # only within-pair ratios are meaningful.
+                    "r12_optimization_pairs_head_over_prev": [
+                        0.94, 0.99, 0.97, 1.65, 0.84, 1.11,
+                    ],
+                    "r12_clean_pair_geomean": 0.97,
+                    "prev_round_end_commit": "4f46f3a",
+                    "recheck_date": "2026-08-18",
+                    # r11's adjudications (kept for the record): six
+                    # pairs HEAD-vs-r10-end, clean geomean 1.00; mover
+                    # per-query pairs showed a +/-60% single-shot
+                    # noise floor on sub-2s queries.  r10: clean-pair
+                    # geomean 1.03x vs r9-end.
                     "r11_optimization_pairs_head_over_prev": [
                         2.11, 1.07, 0.94, 1.15, 0.87, 1.90,
                     ],
                     "r11_clean_pair_geomean": 1.00,
-                    "prev_round_end_commit": "3ac7fd1",
-                    # same-day warm pair (2026-08-17): r10-end 18.151s
-                    # vs HEAD 18.130s = 1.00x; the host runs ~20%
-                    # slower than on r10's record day (15.17s), so
-                    # compare ratios, not absolutes (bench docstring).
-                    "prev_round_end_recheck_warm_sec": 18.151,
-                    "prev_round_recorded_warm_sec": 15.173,
-                    "recheck_date": "2026-08-17",
-                    # round-11 closure of the r10 watch item (VERDICT
-                    # r10 "Performance"): per-query A/B pairs for the
-                    # three movers, THREE interleaved same-day pairs
-                    # (HEAD vs r10-end worktree), each side a fresh
-                    # process with the bench warmup protocol.  The
-                    # mover code is byte-identical on both sides
-                    # (relational.py untouched since r9), so every
-                    # deviation from 1.0x IS the noise floor:
-                    #   events_sessionize       1.58x / 0.93x / 1.23x
-                    #   window_rank             0.98x / 0.45x / 0.65x
-                    #   local_supplier_volume   1.24x / 0.82x / 1.16x
-                    # (pair 2 ran during repo build activity — both
-                    # sides inflated 2-4x uniformly; the within-pair
-                    # ratio is still valid).  Alternating sign on all
-                    # three queries; absolute per-run walls for the
-                    # SAME code spread up to 5x (window_rank prev-side
-                    # 0.70/3.68/0.85 s) -> sub-2s queries at local[32]
-                    # carry a +/-60% single-measurement noise floor,
-                    # and the r10-recorded 1.72x/1.38x/1.24x movers
-                    # are inside it.  No plan regression.
-                    "mover_pairs_head_over_prev": {
-                        "events_sessionize": [1.58, 0.93, 1.23],
-                        "window_rank": [0.98, 0.45, 0.65],
-                        "local_supplier_volume": [1.24, 0.82, 1.16],
-                    },
-                    # r10's total-level adjudication (kept for the
-                    # record): clean-pair geomean 1.03x vs r9-end.
                     "abab_pairs_head_over_prev_r10": [0.93, 1.02, 1.16],
                 },
             }
